@@ -1,0 +1,24 @@
+from .core import asof_join, sessionize, topk_per_group
+from .dedup import (
+    canonicalize_exact,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    shingle_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .similarity import ann_topk_bruteforce, lsh_bucket_ann
+
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "topk_per_group",
+    "canonicalize_exact",
+    "shingle_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "ann_topk_bruteforce",
+    "lsh_bucket_ann",
+]

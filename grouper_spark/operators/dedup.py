@@ -1,0 +1,250 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Designed around the 100 TB constraint: nothing here ever materializes the
+full O(n^2) pair space. Candidate pairs always come from an equi-join on
+a bucket key (shingle, LSH band hash, or SimHash band), which Spark
+executes as a plain shuffle join; exact verification runs only on the
+candidates. All hashing is xxhash64 (JVM-side, whole-stage codegen) —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, word_shingles
+
+
+def canonicalize_exact(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup: map every row to the min-id row with identical
+    normalized text. One shuffle on the fingerprint.
+
+    Adds ``fingerprint`` (md5 of normalized text), ``canonical_id``
+    (min id among identical texts) and ``is_dup``.
+    """
+    from pyspark.sql import Window
+
+    fp = F.md5(normalized_text(text_col))
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.withColumn("fingerprint", fp)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_dup", (F.col(id_col) != F.col("canonical_id")).cast("int"))
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact pairwise Jaccard similarity over n-word shingles.
+
+    Pair generation is an equi-join on the shingle value (not a cross
+    join): docs sharing zero shingles never meet. Columns:
+    ``doc_a, doc_b, inter, size_a, size_b, jaccard``.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
+    ).withColumn("sh_size", F.size("shingles"))
+    exploded = sh.select("doc", "sh_size", F.explode("shingles").alias("shingle"))
+    a = exploded.select(
+        F.col("doc").alias("doc_a"),
+        F.col("sh_size").alias("size_a"),
+        "shingle",
+    )
+    b = exploded.select(
+        F.col("doc").alias("doc_b"),
+        F.col("sh_size").alias("size_b"),
+        "shingle",
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return pairs.withColumn(
+        "jaccard",
+        F.col("inter")
+        / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+    )
+
+
+def _perm_hash(col, seed: int):
+    """Deterministic per-permutation 64-bit hash of a shingle string."""
+    return F.xxhash64(F.concat(F.lit(f"mh{seed}|"), col))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_perm`` seeded hash
+    functions, the min hash over the doc's shingles. Schema:
+    ``(doc, sig: array<bigint>)``. One shuffle (groupBy doc)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    mins = sh.groupBy("doc").agg(
+        *[F.min(_perm_hash(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_perm)]
+    )
+    return mins.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard.
+
+    Signatures are banded (``bands`` bands of ``num_perm/bands`` rows);
+    docs colliding in >=1 band become candidates via an equi-join on
+    (band_idx, band_hash) — the 100 TB path, since candidate volume is
+    driven by true similarity, not corpus size. ``est_jaccard`` is the
+    fraction of matching signature positions.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", i * rows_per_band + j + 1)
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "sig", "band.band_idx", "band.band_hash")
+    a = banded.select(
+        F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    b = banded.select(
+        F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    )
+    return cands.select(
+        "doc_a",
+        "doc_b",
+        (matches / F.lit(float(num_perm))).alias("est_jaccard"),
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash over whitespace tokens: bit j of the hash is the
+    sign of sum over tokens of (+1 if bit j of xxhash64(token) else -1).
+
+    Computed as explode -> groupBy(doc) with one conditional sum per bit —
+    a single shuffle, all codegen. Schema: ``(doc, simhash: bigint)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    sums = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Candidate generation: split each hash into ``bits/band_bits`` bands and
+    equi-join on (band_idx, band_value) — two hashes within Hamming d
+    collide in >=1 band whenever d < bits/band_bits (pigeonhole), so with
+    16 bits / 4-bit bands this is exact for d <= 3. No cross join.
+    """
+    sh = simhash(df, id_col, text_col, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "simhash", "band.band_idx", "band.band_val")
+    a = banded.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

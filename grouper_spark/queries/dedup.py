@@ -1,0 +1,110 @@
+"""Deduplication queries: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The Jaccard query is the exact oracle-checked path; MinHash-LSH and
+SimHash are the 100 TB approximate paths (deterministic, but their
+xxhash64 seed space has no DuckDB equivalent → rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import (
+    canonicalize_exact,
+    minhash_lsh_pairs,
+    shingle_jaccard_pairs,
+    simhash,
+)
+from ..sources import table
+from . import query
+
+
+@query(
+    "q33_exact_dedup",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+), canon AS (
+  SELECT doc_id, fingerprint,
+         MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+  FROM fp
+)
+SELECT doc_id, fingerprint, canonical_id,
+       CAST(doc_id != canonical_id AS INT) AS is_dup
+FROM canon
+ORDER BY doc_id
+""",
+    tags=("dedup",),
+)
+def q33_exact_dedup(spark, sf_dir):
+    """Exact dedup mapping: every doc → min-id doc with identical
+    normalized text (single shuffle on the md5 fingerprint)."""
+    d = table(spark, sf_dir, "documents")
+    out = canonicalize_exact(d, "doc_id", "text")
+    return out.select("doc_id", "fingerprint", "canonical_id", "is_dup").orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "q34_ngram_jaccard",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                           i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(shingles) AS sh_size, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh_size AS size_a, b.sh_size AS size_b,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       inter / (size_a + size_b - inter) AS jaccard
+FROM pairs
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+""",
+    tags=("dedup",),
+)
+def q34_ngram_jaccard(spark, sf_dir):
+    """Exact pairwise 3-gram Jaccard, top-20 most similar pairs. Pair
+    space comes from an equi-join on the shingle value — never a cross
+    join — so candidate volume tracks true overlap, not corpus size."""
+    d = table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(d, "doc_id", "text", n=3)
+    return (
+        pairs.select(
+            "doc_a", "doc_b", F.col("inter").cast("bigint").alias("inter"), "jaccard"
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query("q35_minhash_lsh", oracle=None, tags=("dedup", "rows_only"))
+def q35_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (16 perms, 4 bands): the scale path
+    for corpus-wide near-dedup. Deterministic via seeded xxhash64; no SQL
+    oracle because DuckDB lacks xxhash64."""
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_perm=16, bands=4)
+    return pairs.orderBy(F.col("est_jaccard").desc(), "doc_a", "doc_b").limit(50)
+
+
+@query("q36_simhash", oracle=None, tags=("dedup", "rows_only"))
+def q36_simhash(spark, sf_dir):
+    """Per-document 16-bit SimHash (token-hash sign aggregation) — emits
+    the hash itself; banded Hamming pair search lives in
+    operators.dedup.simhash_pairs."""
+    d = table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=16).orderBy("doc")

@@ -1,0 +1,197 @@
+"""Date/time, JSON extraction, and event-time windowing (tumbling /
+sliding / session) over the ``events`` stream-shaped table.
+
+These run in batch mode here; the same expressions (window(),
+session_window(), from_json) are Structured-Streaming-legal, so each is
+directly liftable onto readStream + watermark — see
+``grouper_spark.streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import money_sum
+from ..operators import sessionize
+from ..sources import table
+from . import query
+from ._sqlgen import sql_money_sum
+
+
+@query(
+    "q22_date_trunc_trend",
+    oracle=f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       COUNT(*) AS n_orders,
+       {sql_money_sum("o_totalprice", "revenue")}
+FROM orders
+GROUP BY order_month
+ORDER BY order_month
+""",
+    tags=("date",),
+)
+def q22_date_trunc_trend(spark, sf_dir):
+    """Monthly revenue trend via date_trunc."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice", "revenue"))
+        .orderBy("order_month")
+    )
+
+
+@query(
+    "q23_date_parts",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       COUNT(*) AS n_orders,
+       CAST(MIN(day(o_orderdate)) AS INT) AS min_dom,
+       CAST(MAX(day(o_orderdate)) AS INT) AS max_dom
+FROM orders
+GROUP BY order_year, order_quarter
+ORDER BY order_year, order_quarter
+""",
+    tags=("date",),
+)
+def q23_date_parts(spark, sf_dir):
+    """Calendar-part extraction (year/quarter/day-of-month)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(F.dayofmonth("o_orderdate")).alias("min_dom"),
+            F.max(F.dayofmonth("o_orderdate")).alias("max_dom"),
+        )
+        .orderBy("order_year", "order_quarter")
+    )
+
+
+@query(
+    "q24_json_extract",
+    oracle=f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value", "total_value")}
+FROM events
+GROUP BY k_bucket
+ORDER BY k_bucket
+""",
+    tags=("json",),
+)
+def q24_json_extract(spark, sf_dir):
+    """JSON field extraction from the props payload, bucketed aggregation."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n_events"), money_sum("value", "total_value"))
+        .orderBy("k_bucket")
+    )
+
+
+@query(
+    "q25_tumbling_window",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value", "total_value")}
+FROM events
+GROUP BY window_start
+ORDER BY window_start
+""",
+    tags=("event_time",),
+)
+def q25_tumbling_window(spark, sf_dir):
+    """1-hour tumbling event-time window via native window() — identical
+    code works under readStream + withWatermark."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), money_sum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "q26_sliding_window",
+    oracle=f"""
+WITH starts AS (
+  SELECT *,
+         date_trunc('hour', ts)
+           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                  ELSE INTERVAL 0 MINUTE END AS base_start
+  FROM events
+), expanded AS (
+  SELECT u.window_start, e.value
+  FROM starts e,
+       UNNEST([e.base_start, e.base_start - INTERVAL 30 MINUTE]) AS u(window_start)
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value", "total_value")}
+FROM expanded
+GROUP BY window_start
+ORDER BY window_start
+""",
+    tags=("event_time",),
+)
+def q26_sliding_window(spark, sf_dir):
+    """1-hour window sliding every 30 min — each event lands in 2 windows.
+    Oracle expands the two window starts explicitly."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), money_sum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "q27_session_window",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value", "session_value")}
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+    tags=("event_time", "operator"),
+)
+def q27_session_window(spark, sf_dir):
+    """Sessionization with a 30-minute inactivity gap via the reusable
+    sessionize operator (lag + cumulative flag — one shuffle per key;
+    same grouping Spark's native session_window produces)."""
+    e = table(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", ts="ts", gap_seconds=1800.0, tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            money_sum("value", "session_value"),
+        )
+        .drop("session_id")
+        .orderBy("user_id", "session_start")
+    )

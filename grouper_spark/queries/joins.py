@@ -1,0 +1,240 @@
+"""Join inventory: broadcast, shuffle equi, multi-way, semi/anti,
+range (equi + band), pure theta.
+
+Scale notes:
+- ``nation``/``region`` (25/5 rows at every SF) are explicitly
+  ``broadcast()`` — map-side hash join, zero shuffle of the fact side.
+- Fact⋈fact joins (orders⋈lineitem) shuffle both sides on the key; AQE
+  handles skew splitting and may convert to broadcast at runtime when a
+  filtered side turns out small.
+- The pure theta join is confined to a dimension self-join (25×25);
+  at 100 TB theta joins on facts are a design smell — every banded need
+  is expressed as equi(+range) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import money_sum
+from ..sources import table
+from . import query
+from ._sqlgen import sql_money_sum
+
+
+@query(
+    "q11_broadcast_join",
+    oracle=f"""
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       {sql_money_sum("c_acctbal", "total_acctbal")}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+    tags=("join",),
+)
+def q11_broadcast_join(spark, sf_dir):
+    """Customer rolled up to nation/region via broadcast hash joins —
+    the fact side never shuffles for the join."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money_sum("c_acctbal", "total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "q12_shuffle_join",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lineitems,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("join",),
+)
+def q12_shuffle_join(spark, sf_dir):
+    """Fact⋈fact equi join (orders⋈lineitem): shuffle hash / sort-merge on
+    the order key, partial aggregation before the final group shuffle."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lineitems"), money_sum(rev, "revenue"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q13_multi_join_topk",
+    oracle=f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("join", "flagship"),
+)
+def q13_multi_join_topk(spark, sf_dir):
+    """TPC-H-Q3-style three-way join with selective filters pushed below
+    the joins, then top-k by aggregated revenue."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q14_semi_join",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+)
+ORDER BY c_custkey
+""",
+    tags=("join",),
+)
+def q14_semi_join(spark, sf_dir):
+    """LEFT SEMI join — probe side streams, no row multiplication."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q15_anti_join",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+)
+ORDER BY c_custkey
+""",
+    tags=("join",),
+)
+def q15_anti_join(spark, sf_dir):
+    """LEFT ANTI join (customers with no pending orders) — NOT EXISTS
+    semantics, null-safe unlike NOT IN."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q16_range_join",
+    oracle=f"""
+SELECT p_brand,
+       COUNT(*) AS n_matches,
+       {sql_money_sum("l_extendedprice", "matched_price")}
+FROM part
+JOIN lineitem
+  ON p_partkey = l_partkey
+ AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    tags=("join",),
+)
+def q16_range_join(spark, sf_dir):
+    """Equi + band-range join: the equi key drives the shuffle, the range
+    predicate evaluates post-match — never a cross product."""
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem")
+    cond = (
+        (p.p_partkey == l.l_partkey)
+        & (l.l_quantity >= p.p_size - 5)
+        & (l.l_quantity <= p.p_size + 5)
+    )
+    return (
+        p.join(l, cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_matches"),
+            money_sum("l_extendedprice", "matched_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q17_theta_join",
+    oracle="""
+SELECT a.n_regionkey AS region_key,
+       COUNT(*) AS n_pairs,
+       MIN(a.n_name || '|' || b.n_name) AS first_pair
+FROM nation a
+JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+GROUP BY a.n_regionkey
+ORDER BY region_key
+""",
+    tags=("join",),
+)
+def q17_theta_join(spark, sf_dir):
+    """Theta self-join on a dimension (intra-region nation pairs) —
+    inequality condition, broadcast nested loop on 25 rows."""
+    a = table(spark, sf_dir, "nation").alias("a")
+    b = table(spark, sf_dir, "nation").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .groupBy(F.col("a.n_regionkey").alias("region_key"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(
+                F.concat(F.col("a.n_name"), F.lit("|"), F.col("b.n_name"))
+            ).alias("first_pair"),
+        )
+        .orderBy("region_key")
+    )

@@ -1,0 +1,296 @@
+"""Relational core: scan, filter, project, aggregate, rollup/cube/grouping
+sets, sort/limit, set operations.
+
+Scale notes (100 TB design point):
+- Filters/projections are declared, not computed here — Catalyst pushes
+  predicates and prunes columns into the parquet scan (verify via
+  ``explain("formatted")``: PushedFilters / ReadSchema).
+- Aggregations are hash aggregates with map-side partial aggregation;
+  the only shuffle is on the (low-cardinality) group keys.
+- Sorts before LIMIT compile to TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import money, money_avg, money_sum
+from ..sources import table
+from . import query
+from ._sqlgen import sql_money_avg, sql_money_cell, sql_money_sum
+
+SHIP_CUTOFF = "1999-12-01"
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_money_sum("l_quantity", "sum_qty")},
+       {sql_money_sum("l_extendedprice", "sum_base_price")},
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+       {sql_money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+       {sql_money_avg("l_quantity", "avg_qty")},
+       {sql_money_avg("l_extendedprice", "avg_price")},
+       {sql_money_avg("l_discount", "avg_disc")},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "flagship"),
+)
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style pricing summary: scan → filter → hash agg → sort."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(f"{SHIP_CUTOFF} 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity", "sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            money_sum(disc_price, "sum_disc_price"),
+            money_sum(charge, "sum_charge"),
+            money_avg("l_quantity", "avg_qty"),
+            money_avg("l_extendedprice", "avg_price"),
+            money_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_filter_predicates",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+FROM part
+WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND p_size BETWEEN 10 AND 40
+  AND p_name LIKE '%a%'
+  AND p_retailprice IS NOT NULL
+ORDER BY p_partkey
+""",
+    tags=("filter",),
+)
+def q02_filter_predicates(spark, sf_dir):
+    """IN / BETWEEN / LIKE / null-check predicates, all pushed to the scan."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .filter(F.col("p_size").between(10, 40))
+        .filter(F.col("p_name").like("%a%"))
+        .filter(F.col("p_retailprice").isNotNull())
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q03_project_compute",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       {sql_money_cell("l_extendedprice * (1 - l_discount)", "net_price")},
+       {sql_money_cell("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "gross_price")},
+       CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class,
+       CAST(l_quantity AS BIGINT) AS qty_int
+FROM lineitem
+WHERE l_orderkey < 1000
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("project",),
+)
+def q03_project_compute(spark, sf_dir):
+    """Computed projections: arithmetic, CASE WHEN, casts."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (money(net) / 100.0).alias("net_price"),
+        (money(net * (1 + F.col("l_tax"))) / 100.0).alias("gross_price"),
+        F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("qty_int"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q04_agg_global",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       {sql_money_sum("l_extendedprice", "total_price")},
+       {sql_money_cell("MIN(l_extendedprice)", "min_price")},
+       {sql_money_cell("MAX(l_extendedprice)", "max_price")}
+FROM lineitem
+""",
+    tags=("agg",),
+)
+def q04_agg_global(spark, sf_dir):
+    """Global (no-group) aggregate with count distinct and min/max."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        money_sum("l_extendedprice", "total_price"),
+        (money(F.min("l_extendedprice")) / 100.0).alias("min_price"),
+        (money(F.max("l_extendedprice")) / 100.0).alias("max_price"),
+    )
+
+
+@query(
+    "q05_group_count_distinct",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       {sql_money_sum("o_totalprice", "revenue")}
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("agg",),
+)
+def q05_group_count_distinct(spark, sf_dir):
+    """Grouped aggregate with COUNT(DISTINCT) — expands to a two-phase
+    aggregate in Spark; the distinct shuffle is on (group, value)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            money_sum("o_totalprice", "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q06_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {sql_money_sum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    tags=("agg",),
+)
+def q06_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (grand total + per-flag + per-pair)."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), money_sum("l_quantity", "sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q07_cube",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_money_sum("o_totalprice", "revenue")}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+    tags=("agg",),
+)
+def q07_cube(spark, sf_dir):
+    """CUBE: all grouping-set combinations of (status, priority)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice", "revenue"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) / 100.0 AS sum_price
+FROM {lineitem}
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query(
+    "q08_grouping_sets",
+    oracle=GROUPING_SETS_SQL.format(lineitem="lineitem"),
+    tags=("agg", "sql"),
+)
+def q08_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via Spark SQL (same SQL text as the oracle)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(GROUPING_SETS_SQL.format(lineitem="gs_lineitem"))
+
+
+@query(
+    "q09_sort_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("sort",),
+)
+def q09_sort_limit(spark, sf_dir):
+    """Global top-k — compiles to TakeOrderedAndProject (per-partition
+    top-k + driver merge; never a full sort at any scale)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q10_set_ops",
+    oracle="""
+WITH building AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), rich AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+), debtors AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+)
+SELECT c_custkey, 'building_rich' AS tag FROM (
+  SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich
+)
+UNION ALL
+SELECT c_custkey, 'building_debtor' AS tag FROM (
+  SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM debtors
+)
+ORDER BY tag, c_custkey
+""",
+    tags=("setop",),
+)
+def q10_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION ALL composition."""
+    c = table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    debtors = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    both = building.intersect(rich).withColumn("tag", F.lit("building_rich"))
+    # subtract == EXCEPT (distinct semantics), matching the SQL oracle
+    solvent = building.subtract(debtors).withColumn("tag", F.lit("building_debtor"))
+    return both.unionByName(solvent).orderBy("tag", "c_custkey")

@@ -1,0 +1,106 @@
+"""Similarity search queries over the ``embeddings`` table.
+
+q37 is the exact brute-force oracle path (broadcast queries, corpus
+scan, window top-k); q38 is the LSH-bucketed approximate path for scale;
+q39 is the array-function battery (norms / dot products) used by both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, dot, l2_norm
+from ..operators import ann_topk_bruteforce, lsh_bucket_ann
+from ..sources import table
+from . import query
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+@query(
+    "q37_ann_bruteforce",
+    oracle=f"""
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+         AS cosine_r
+FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+JOIN embeddings c ON c.vec_id != q.vec_id
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+           c.vec_id
+) <= {TOP_K}
+ORDER BY query_id, cosine_r DESC, neighbor_id
+""",
+    tags=("similarity",),
+)
+def q37_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for the first 10 vectors: broadcast the query
+    batch across the corpus scan (no corpus shuffle), window top-k."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    res = ann_topk_bruteforce(e, q, id_col="vec_id", vec_col="embedding", k=TOP_K)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine_r"),
+    ).orderBy("query_id", F.col("cosine_r").desc(), "neighbor_id")
+
+
+@query("q38_ann_lsh", oracle=None, tags=("similarity", "rows_only"))
+def q38_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN: corpus bucketed once by sign pattern,
+    queries probe their bucket via equi-join, exact rerank inside. The
+    100 TB path — bucket-local scans instead of corpus-wide."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    res = lsh_bucket_ann(
+        e, q, id_col="vec_id", vec_col="embedding", k=TOP_K, num_planes=6
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r")
+    ).orderBy("query_id", F.col("cosine_r").desc(), "neighbor_id")
+
+
+@query(
+    "q39_vector_stats",
+    oracle="""
+WITH v AS (
+  SELECT label,
+         CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * 1000000.0, 0) AS BIGINT) AS norm_fp,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(MIN(dim) AS INT) AS min_dim,
+       CAST(MAX(dim) AS INT) AS max_dim,
+       SUM(norm_fp) / 1000000.0 / COUNT(*) AS avg_norm
+FROM v
+GROUP BY label
+ORDER BY label
+""",
+    tags=("similarity",),
+)
+def q39_vector_stats(spark, sf_dir):
+    """Array-function battery: per-label vector counts, dimension checks,
+    average L2 norm (fixed-point-summed for cross-engine exactness)."""
+    e = table(spark, sf_dir, "embeddings")
+    norm_fp = F.round(l2_norm("embedding") * 1000000.0, 0).cast("bigint")
+    v = e.select("label", norm_fp.alias("norm_fp"), F.size("embedding").alias("dim"))
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            (F.sum("norm_fp") / 1000000.0 / F.count("*")).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# re-export for bench / tests
+__all__ = ["q37_ann_bruteforce", "q38_ann_lsh", "q39_vector_stats", "dot", "cosine_similarity"]

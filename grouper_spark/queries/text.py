@@ -1,0 +1,191 @@
+"""Text analysis over the ``documents`` table: string function battery,
+token statistics, quality scoring, language-ID heuristic, fingerprinting.
+
+All expressions are JVM-side (split/transform/aggregate/md5) — the whole
+battery runs inside whole-stage codegen, no Python UDFs; at 100 TB these
+are embarrassingly parallel map-only passes (zero shuffles except the
+final per-language rollups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, token_count, tokens
+from ..sources import table
+from . import query
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@query(
+    "q28_string_fns",
+    oracle="""
+SELECT doc_id,
+       upper(substr(text, 1, 20)) AS head_upper,
+       length(text) AS text_len,
+       CAST(contains(text, 'spark') AS INT) AS has_spark,
+       concat(lang, ':', source) AS lang_source,
+       replace(substr(text, 1, 30), ' ', '_') AS head_snake
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text",),
+)
+def q28_string_fns(spark, sf_dir):
+    """String battery: upper/substr/length/contains/concat/replace.
+    (upper mirrors the reference's proc-fn motif, core_test.clj:41.)"""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 20)).alias("head_upper"),
+        F.length("text").alias("text_len"),
+        F.col("text").contains("spark").cast("int").alias("has_spark"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        F.replace(
+            F.substring("text", 1, 30), F.lit(" "), F.lit("_")
+        ).alias("head_snake"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q29_token_stats",
+    oracle="""
+WITH toks AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       SUM(n_tokens) / COUNT(*) AS avg_tokens,
+       SUM(n_chars) / COUNT(*) AS avg_chars
+FROM toks
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("text",),
+)
+def q29_token_stats(spark, sf_dir):
+    """Token counting + per-language corpus statistics."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens") / F.count("*")).alias("avg_tokens"),
+            (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q30_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique,
+       len(list_distinct(toks)) / len(toks) AS unique_ratio,
+       len(list_filter(toks, w -> list_contains({_SW_SQL}, w))) / len(toks)
+         AS stopword_ratio,
+       list_sum(list_transform(toks, w -> length(w))) / len(toks)
+         AS avg_token_len
+FROM t
+ORDER BY doc_id
+""",
+    tags=("text",),
+)
+def q30_quality_score(spark, sf_dir):
+    """Quality features per document: lexical diversity, stopword density,
+    mean token length — the standard pre-training quality filters."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_uniq.alias("n_unique"),
+        (n_uniq / n).alias("unique_ratio"),
+        (n_stop / n).alias("stopword_ratio"),
+        (tok_chars / n).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q31_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_sha
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "dedup"),
+)
+def q31_fingerprint(spark, sf_dir):
+    """Canonical document fingerprints (md5 + sha256 of normalized text) —
+    the join key for cross-corpus exact dedup."""
+    d = table(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.sha2(norm, 256).alias("fingerprint_sha"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q32_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
+                            {_SW_SQL})) AS n_stop_types
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN n_stop_types >= 2 THEN 'en' ELSE 'other' END AS predicted,
+       CAST(((CASE WHEN n_stop_types >= 2 THEN 'en' ELSE 'other' END) = lang) AS INT)
+         AS hit
+FROM scored
+ORDER BY doc_id
+""",
+    tags=("text",),
+)
+def q32_lang_id(spark, sf_dir):
+    """Stopword-profile language-ID heuristic (n-gram/token evidence).
+    Deliberately simple and deterministic; real models plug in behind the
+    same column contract."""
+    d = table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop_types = F.size(F.array_intersect(F.array_distinct(tokens("text")), sw))
+    predicted = F.when(n_stop_types >= 2, "en").otherwise("other")
+    return d.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted"),
+        (predicted == F.col("lang")).cast("int").alias("hit"),
+    ).orderBy("doc_id")

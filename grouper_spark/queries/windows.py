@@ -1,0 +1,155 @@
+"""Window functions: ranking, analytic frames, top-k per group, as-of join.
+
+Every window partitions on a real key (customer / user) — at 100 TB the
+window is one shuffle on that key and per-partition sort; there are no
+global (unpartitioned) windows anywhere in this inventory, since those
+serialize onto a single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import money
+from ..operators import asof_join, topk_per_group
+from ..sources import table
+from . import query
+
+
+@query(
+    "q18_window_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rk,
+       DENSE_RANK() OVER w AS drk,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+QUALIFY rn <= 5
+ORDER BY o_custkey, rn
+""",
+    tags=("window",),
+)
+def q18_window_rank(spark, sf_dir):
+    """Ranking battery (row_number/rank/dense_rank/ntile) per customer."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q19_window_running",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS running_value,
+       LAG(event_id) OVER w AS prev_event_id,
+       LEAD(event_id) OVER w AS next_event_id,
+       FIRST_VALUE(event_id) OVER w AS first_event_id
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+""",
+    tags=("window",),
+)
+def q19_window_running(spark, sf_dir):
+    """Analytic frames: running sum (fixed-point, order-exact), lag/lead,
+    first_value over a per-user event timeline."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.sum(money("value")).over(wrun) / 100.0).alias("running_value"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.first("event_id").over(w).alias("first_event_id"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "q20_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+    tags=("window", "operator"),
+)
+def q20_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer via the reusable topk_per_group operator."""
+    o = table(spark, sf_dir, "orders")
+    top = topk_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice", "rn").orderBy(
+        "o_custkey", "rn"
+    )
+
+
+@query(
+    "q21_asof_join",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts, s.value AS signup_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id
+""",
+    tags=("window", "operator"),
+)
+def q21_asof_join(spark, sf_dir):
+    """As-of (backward) join: each purchase matched to the user's most
+    recent signup at-or-before it. Uses the union-merge asof_join operator
+    (single sort-merge pass — no range explosion); oracle is DuckDB's
+    native ASOF JOIN."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    signups = e.filter(F.col("event_type") == "signup")
+    joined = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        suffix="_signup",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_signup").alias("signup_ts"),
+        F.col("value_signup").alias("signup_value"),
+    ).orderBy("event_id")

@@ -1,0 +1,235 @@
+"""The Grouper micro-batch engine: asynchronous bounded-queue batching
+with per-item result delivery.
+
+Semantics re-implemented from the reference's contract (see
+/root/reference/src/grouper/core.clj — API `start!`/`submit!`/`shutdown!`
+at core.clj:99-155, batch apply at core.clj:68-83), re-expressed for a
+Spark world. Preserved invariants (SURVEY.md §2.B):
+
+1.  FIFO within batch (bounded FIFO queue, drained in order).
+2.  Positional result identity (i-th result ↔ i-th submitted item).
+3.  Scalar broadcast: non-sequence proc result delivered to every item.
+4.  Pad & truncate: short results padded with None, long truncated.
+5.  Callback invoked before the future resolves.
+6.  Batch-granular failure: one bad item fails its whole batch; the
+    exception is delivered *as the result value* to every item (deref
+    returns it, does not raise) and to every errback. No retry.
+7.  Two flush triggers: interval timer OR queue-full.
+8.  Producer backpressure: submit blocks while the queue is full.
+9.  Closed-state rejection: submit after close raises
+    RuntimeError("Grouper is closed").
+10. Drain-on-shutdown: close() flushes everything already queued.
+11. No pool → batches process on the single dispatcher thread; pool=N →
+    up to N batches in flight (cross-batch completion order
+    nondeterministic, intra-batch order preserved).
+
+Spark integration: ``proc_fn`` may be a plain ``seq -> seq`` function
+(reference-style, runs on the dispatcher/pool thread) or a
+``DataFrame -> DataFrame`` transform (``dataframe_fn=True``) receiving
+the batch as ``(idx: long, value)`` rows and returning ``(idx, result)``
+— the scalable path, where the batch function is a real Spark plan.
+For continuous sources use ``grouper_process_stream`` (Structured
+Streaming foreachBatch with the same normalization semantics).
+"""
+
+from __future__ import annotations
+
+import queue as _queue
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+__all__ = ["Grouper", "Request"]
+
+
+@dataclass
+class Request:
+    """One submitted item (reference: deftype Request, core.clj:13-17)."""
+
+    obj: Any
+    future: Future = field(default_factory=Future)
+    callback: Callable[[Any], Any] | None = None
+    errback: Callable[[BaseException], Any] | None = None
+
+
+class Grouper:
+    """Asynchronous micro-batching engine.
+
+    Parameters mirror the reference's ``start!`` options
+    (core.clj:99-136): ``capacity`` (required, bounded queue size),
+    ``interval`` (flush period in **milliseconds**, or None for
+    size-only flushing), ``pool`` (worker thread count; None processes
+    batches on the dispatcher thread).
+    """
+
+    def __init__(
+        self,
+        proc_fn: Callable,
+        *,
+        capacity: int,
+        interval: float | None = None,
+        pool: int | None = None,
+        spark=None,
+        dataframe_fn: bool = False,
+    ) -> None:
+        # Option validation mirroring the reference's :pre asserts
+        # (core.clj:111-117), surfaced as Python exceptions.
+        if not callable(proc_fn):
+            raise TypeError("proc_fn must be callable")
+        if not isinstance(capacity, int) or isinstance(capacity, bool) or capacity <= 0:
+            raise ValueError("capacity must be a positive int")
+        if interval is not None and (
+            not isinstance(interval, (int, float)) or interval <= 0
+        ):
+            raise ValueError("interval must be a positive number of ms, or None")
+        if pool is not None and (
+            not isinstance(pool, int) or isinstance(pool, bool) or pool <= 0
+        ):
+            raise ValueError("pool must be a positive int, or None")
+        if dataframe_fn and spark is None:
+            raise ValueError("dataframe_fn=True requires a SparkSession")
+
+        self._proc_fn = proc_fn
+        self._interval_s = None if interval is None else interval / 1000.0
+        self._queue: _queue.Queue[Request] = _queue.Queue(maxsize=capacity)
+        self._executor = ThreadPoolExecutor(max_workers=pool) if pool else None
+        self._spark = spark
+        self._dataframe_fn = dataframe_fn
+        self._running = True
+        self._wake = threading.Condition()
+        self._notified = False
+        self._dispatcher = threading.Thread(
+            target=self._loop, name="grouper-dispatcher", daemon=True
+        )
+        self._dispatcher.start()
+
+    # -- public API (submit! / shutdown!, core.clj:138-155) ---------------
+
+    def submit(
+        self,
+        obj: Any,
+        *,
+        callback: Callable[[Any], Any] | None = None,
+        errback: Callable[[BaseException], Any] | None = None,
+    ) -> Future:
+        """Enqueue one item; returns a Future for its result.
+
+        Blocks when the queue is full (producer backpressure) after
+        waking the dispatcher for an early size-triggered flush
+        (reference: core.clj:39-45).
+        """
+        if not self._running:
+            raise RuntimeError("Grouper is closed")
+        req = Request(obj, Future(), callback, errback)
+        try:
+            self._queue.put_nowait(req)
+        except _queue.Full:
+            self._wake_up()
+            self._queue.put(req)  # blocking put: backpressure
+        return req.future
+
+    def flush(self) -> None:
+        """Wake the dispatcher for an immediate drain (test/ops helper)."""
+        self._wake_up()
+
+    def shutdown(self) -> None:
+        """Graceful drain-then-stop (reference: core.clj:58-66,152-155):
+        already-queued items are processed before termination."""
+        if not self._running:
+            return
+        self._running = False
+        while self._dispatcher.is_alive():
+            self._wake_up()
+            self._dispatcher.join(timeout=0.01)
+        if self._executor is not None:
+            self._executor.shutdown(wait=True)
+
+    close = shutdown
+
+    def __enter__(self) -> "Grouper":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown()
+
+    @property
+    def running(self) -> bool:
+        return self._running
+
+    # -- dispatcher (core.clj:124-135) -------------------------------------
+
+    def _wake_up(self) -> None:
+        with self._wake:
+            self._notified = True
+            self._wake.notify_all()
+
+    def _sleep(self) -> None:
+        """Wait for the interval, an explicit wake-up, or forever when
+        interval is None (size-only flushing, README.md:94-96)."""
+        with self._wake:
+            if not self._notified:
+                self._wake.wait(timeout=self._interval_s)
+            self._notified = False
+
+    def _loop(self) -> None:
+        # "Should not terminate until queue is empty" (core.clj:124-126).
+        while self._running or not self._queue.empty():
+            self._sleep()
+            batch: list[Request] = []
+            while True:
+                try:
+                    batch.append(self._queue.get_nowait())
+                except _queue.Empty:
+                    break
+            if not batch:
+                continue
+            if self._executor is not None:
+                self._executor.submit(self._process, batch)
+            else:
+                self._process(batch)
+
+    # -- batch apply (body-fn, core.clj:68-83) ------------------------------
+
+    def _apply_proc(self, objs: list[Any]) -> Any:
+        if self._dataframe_fn:
+            df = self._spark.createDataFrame(
+                [(i, o) for i, o in enumerate(objs)], ["idx", "value"]
+            )
+            out = self._proc_fn(df)
+            rows = out.select("idx", "result").collect()
+            by_idx = {r["idx"]: r["result"] for r in rows}
+            return [by_idx.get(i) for i in range(len(objs))]
+        return self._proc_fn(objs)
+
+    def _process(self, batch: list[Request]) -> None:
+        objs = [r.obj for r in batch]
+        try:
+            result = self._apply_proc(objs)
+            # Scalar broadcast (core.clj:73): non-sequence → every item.
+            if isinstance(result, (str, bytes)) or not hasattr(result, "__iter__"):
+                results = [result] * len(batch)
+            else:
+                results = list(result)
+                # Pad short / truncate long (core.clj:74-76).
+                if len(results) < len(batch):
+                    results += [None] * (len(batch) - len(results))
+                else:
+                    results = results[: len(batch)]
+            for req, res in zip(batch, results):
+                if req.callback is not None:
+                    try:
+                        req.callback(res)
+                    except Exception:
+                        pass  # callback errors never poison delivery
+                req.future.set_result(res)
+        except Exception as exc:
+            # Batch-granular failure: exception delivered AS A VALUE to
+            # every item (deref returns it), plus errbacks (core.clj:80-83).
+            for req in batch:
+                if req.errback is not None:
+                    try:
+                        req.errback(exc)
+                    except Exception:
+                        pass
+                req.future.set_result(exc)
