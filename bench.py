@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Execution is forced with the noop sink (full computation, no driver
+collect) except for intentionally-small results, which are collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from grouper_spark.queries import load_all  # noqa: E402
+from grouper_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward shuffle-heavy ops.
+HEADLINE = (
+    "q01_pricing_summary",    # scan + hash agg
+    "q05_group_count_distinct",
+    "q12_shuffle_join",       # fact⋈fact join
+    "q13_multi_join_topk",    # 3-way join + agg + top-k
+    "q18_window_rank",        # window battery
+    "q21_asof_join",          # as-of merge
+    "q27_session_window",     # sessionization
+    "q31_fingerprint",        # text hashing battery
+    "q34_ngram_jaccard",      # shingle join dedup
+    "q35_minhash_lsh",        # LSH dedup
+    "q37_ann_bruteforce",     # similarity search
+)
+
+
+def run_one(spark, qdef, sf_dir: str) -> float:
+    t0 = time.time()
+    df = qdef.fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    registry = load_all()
+    spark = get_spark("grouper-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest fixture so measured times are
+    # steady-state compute, not first-query JIT.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        run_one(spark, registry["q01_pricing_summary"], warm_dir)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, registry[name], sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,21 +51,29 @@ def shingle_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
     ).withColumn("sh_size", F.size("shingles"))
-    exploded = sh.select("doc", "sh_size", F.explode("shingles").alias("shingle"))
-    a = exploded.select(
-        F.col("doc").alias("doc_a"),
-        F.col("sh_size").alias("size_a"),
-        "shingle",
-    )
-    b = exploded.select(
-        F.col("doc").alias("doc_b"),
-        F.col("sh_size").alias("size_b"),
-        "shingle",
+    # One shuffle: group docs by (64-bit hashed) shingle, expand each
+    # posting list into its pairs. Cheaper than the equivalent self-join
+    # (which would shuffle the exploded table twice AND recompute the
+    # shingling subtree per side). Hash collisions at 64 bits are
+    # ~1e-9 at billions of distinct shingles — acceptable.
+    exploded = sh.select(
+        "doc",
+        "sh_size",
+        F.explode("shingles").alias("shingle"),
+    ).select("doc", "sh_size", F.xxhash64("shingle").alias("sh"))
+    posting = exploded.groupBy("sh").agg(
+        F.collect_list(F.struct("doc", "sh_size")).alias("members")
     )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        posting.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sh_size").alias("size_a"),
+            F.col("b.sh_size").alias("size_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
     return pairs.withColumn(

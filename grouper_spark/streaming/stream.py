@@ -85,4 +85,9 @@ def grouper_process_stream(
         query = writer.trigger(processingTime=f"{interval_ms} milliseconds").start()
         query.processAllAvailable()
         query.stop()
+    if not os.path.exists(result_dir):
+        # every batch failed → only the dead-letter sink has rows
+        return spark.createDataFrame(
+            [], "batch_id long, status string, error string"
+        )
     return spark.read.parquet(result_dir)

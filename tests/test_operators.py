@@ -1,0 +1,150 @@
+"""Unit tests for the reusable operator layer on small synthetic frames."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from grouper_spark.functions.text import money, tokens, word_shingles
+from grouper_spark.functions.vector import cosine_similarity
+from grouper_spark.operators import (
+    ann_topk_bruteforce,
+    asof_join,
+    canonicalize_exact,
+    sessionize,
+    shingle_jaccard_pairs,
+    simhash_pairs,
+    topk_per_group,
+)
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9), ("b", 7)], ["k", "v"]
+    )
+    out = topk_per_group(df, ["k"], [F.col("v").desc()], k=2)
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert got == {("a", 3), ("a", 2), ("b", 9), ("b", 7)}
+
+
+def test_asof_join_backward(spark):
+    ts = datetime
+    left = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1, 10, 0), "L1"),
+            (1, ts(2024, 1, 1, 12, 0), "L2"),
+            (2, ts(2024, 1, 1, 9, 0), "L3"),
+        ],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1, 9, 30), 100.0),
+            (1, ts(2024, 1, 1, 11, 0), 200.0),
+            (2, ts(2024, 1, 1, 9, 30), 300.0),  # after L3: no match
+        ],
+        ["k", "ts", "val"],
+    )
+    out = asof_join(left, right, on="k", right_values=["val"], suffix="_r")
+    got = {r["tag"]: r["val_r"] for r in out.collect()}
+    assert got == {"L1": 100.0, "L2": 200.0, "L3": None}
+
+
+def test_asof_join_exact_tie_matches(spark):
+    ts = datetime
+    left = spark.createDataFrame([(1, ts(2024, 1, 1, 10, 0), "L")], ["k", "ts", "tag"])
+    right = spark.createDataFrame([(1, ts(2024, 1, 1, 10, 0), 7.0)], ["k", "ts", "val"])
+    out = asof_join(left, right, on="k", right_values=["val"])
+    assert out.collect()[0]["val_asof"] == 7.0  # "<=" semantics
+
+
+def test_sessionize_gap(spark):
+    ts = datetime
+    df = spark.createDataFrame(
+        [
+            (1, 1, ts(2024, 1, 1, 10, 0)),
+            (1, 2, ts(2024, 1, 1, 10, 10)),  # same session (<30min)
+            (1, 3, ts(2024, 1, 1, 11, 0)),  # new session (50min gap)
+            (2, 4, ts(2024, 1, 1, 10, 0)),
+        ],
+        ["user", "eid", "ts"],
+    )
+    out = sessionize(df, key="user", ts="ts", gap_seconds=1800, tiebreak="eid")
+    got = {r["eid"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_canonicalize_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["id", "text"]
+    )
+    out = canonicalize_exact(df, "id", "text")
+    got = {r["id"]: (r["canonical_id"], r["is_dup"]) for r in out.collect()}
+    # normalization (lowercase, collapsed whitespace) makes 1 and 2 dups
+    assert got == {1: (1, 0), 2: (1, 1), 3: (3, 0)}
+
+
+def test_shingle_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")], ["id", "text"]
+    )
+    out = shingle_jaccard_pairs(df, "id", "text", n=3).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["doc_a"], row["doc_b"], row["jaccard"]) == (1, 2, 1.0)
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c")], ["id", "text"])
+    out = df.select("id", word_shingles("text", 3).alias("sh")).collect()
+    got = {r["id"]: r["sh"] for r in out}
+    assert got[1] == []  # fewer words than n → empty, not a descending range
+    assert got[2] == ["a b c"]
+
+
+def test_simhash_pairs_detects_identical(spark):
+    df = spark.createDataFrame(
+        [(1, "spark query engine fast"), (2, "spark query engine fast"),
+         (3, "completely different words here")],
+        ["id", "text"],
+    )
+    out = simhash_pairs(df, "id", "text", bits=16, max_hamming=3)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    assert got.get((1, 2)) == 0
+    assert all(k == (1, 2) for k in got)
+
+
+def test_ann_bruteforce_self_similarity(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [1.0, 0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 1)
+    out = ann_topk_bruteforce(df, q, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [4, 2]  # by cosine desc
+    assert all(r["query_id"] == 1 for r in out)
+
+
+def test_cosine_similarity_column(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], ["a", "b"])
+    val = df.select(cosine_similarity("a", "b").alias("c")).collect()[0]["c"]
+    assert abs(val) < 1e-12
+
+
+def test_money_fixed_point(spark):
+    df = spark.createDataFrame([(1.005,), (2.675,), (0.1,)], ["x"])
+    got = [r["m"] for r in df.select(money("x").alias("m")).collect()]
+    # IEEE: 1.005*100 → 100.49999999999999 (rounds down), but 2.675*100 →
+    # exactly 267.5 (rounds half-away to 268). DuckDB agrees on both —
+    # verified bit-identical behavior, which is what the oracle relies on.
+    assert got == [100, 268, 10]
+
+
+def test_tokens_empty_and_spaces(spark):
+    df = spark.createDataFrame([("",), ("   ",), (" a  b ",)], ["t"])
+    got = [r["n"] for r in df.select(F.size(tokens("t")).alias("n")).collect()]
+    assert got == [0, 0, 2]

@@ -1,0 +1,91 @@
+"""Smoke + spot-parity over the full query registry.
+
+Every registered query must run at sf0.001 with a stable non-empty
+schema; a representative subset is additionally checked against its
+DuckDB oracle here (full-inventory parity lives in
+tools/check_parity.py and the driver's own gate).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+import duckdb
+import pytest
+
+from grouper_spark.queries import load_all
+from grouper_spark.sources import TABLES
+
+REGISTRY = load_all()
+
+# Queries expected to return >0 rows at sf0.001 (q15 anti-join is
+# legitimately small but non-empty at all SFs).
+ALL_NAMES = sorted(REGISTRY)
+
+PARITY_SUBSET = (
+    "q01_pricing_summary",
+    "q06_rollup",
+    "q12_shuffle_join",
+    "q18_window_rank",
+    "q21_asof_join",
+    "q27_session_window",
+    "q34_ngram_jaccard",
+    "q37_ann_bruteforce",
+)
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_query_runs(spark, sf_dir, name):
+    qdef = REGISTRY[name]
+    df = qdef.fn(spark, sf_dir)
+    assert len(df.columns) > 0
+    n = df.count()
+    assert n >= 0
+    if name not in ("q15_anti_join",):
+        assert n > 0, f"{name} unexpectedly empty at {sf_dir}"
+
+
+def _normalize(v):
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_normalize(x) for x in v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _key(row):
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", PARITY_SUBSET)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    qdef = REGISTRY[name]
+    assert qdef.oracle is not None
+    sdf = qdef.fn(spark, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        (tuple(_normalize(r[c]) for c in scols) for r in sdf.collect()), key=_key
+    )
+    res = duck.execute(qdef.oracle)
+    dcols_raw = [d[0] for d in res.description]
+    order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+    dcols = [dcols_raw[i] for i in order]
+    drows = sorted(
+        (tuple(_normalize(r[i]) for i in order) for r in res.fetchall()), key=_key
+    )
+    assert scols == dcols
+    assert srows == drows

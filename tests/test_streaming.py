@@ -1,0 +1,56 @@
+"""Structured-Streaming grouper path: drain semantics + dead-letter."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from grouper_spark.streaming import grouper_process_stream
+
+
+@pytest.fixture()
+def source_dir(spark):
+    d = os.path.join(tempfile.gettempdir(), f"gs-test-src-{uuid.uuid4().hex}")
+    spark.createDataFrame(
+        [(i, f"item{i}") for i in range(20)], ["id", "payload"]
+    ).repartition(4).write.parquet(d)
+    return d
+
+
+def test_stream_ok_path(spark, source_dir):
+    out = grouper_process_stream(
+        spark,
+        source_dir,
+        lambda df: df.select("id", F.upper("payload").alias("payload_upper")),
+        interval_ms=None,
+        max_files_per_trigger=1,
+    )
+    rows = out.collect()
+    assert len(rows) == 20
+    assert {r["status"] for r in rows} == {"ok"}
+    assert {r["payload_upper"] for r in rows} == {f"ITEM{i}" for i in range(20)}
+    # maxFilesPerTrigger=1 over 4 files → multiple micro-batches
+    assert out.select("batch_id").distinct().count() > 1
+
+
+def test_stream_error_as_value(spark, source_dir):
+    result_dir = os.path.join(tempfile.gettempdir(), f"gs-test-res-{uuid.uuid4().hex}")
+
+    def bad_proc(df):
+        raise ValueError("boom")
+
+    grouper_process_stream(
+        spark,
+        source_dir,
+        bad_proc,
+        interval_ms=None,
+        max_files_per_trigger=2,
+        result_dir=result_dir,
+    )
+    errs = spark.read.parquet(result_dir + "-errors").collect()
+    assert len(errs) > 0
+    assert all(e["status"] == "error" and "boom" in e["error"] for e in errs)
