@@ -39,6 +39,8 @@ _MODULES = (
     "text",
     "dedup",
     "similarity",
+    "functions_battery",
+    "pandas_udfs",
     "microbatch",
     "multimodal",
 )

@@ -1,0 +1,196 @@
+"""Scalar-function batteries: math, conditional, array, regexp, JSON
+struct, distinct, approx-distinct.
+
+Everything is a built-in column expression (whole-stage codegen); the
+transcendental functions are rounded to 6 decimals on both sides since
+libm implementations may differ in the last ulp across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources import table
+from . import query
+
+
+@query(
+    "q43_math_fns",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       round(sqrt(l_quantity), 6) AS qty_sqrt,
+       round(exp(l_discount), 6) AS disc_exp,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       CAST(pow(l_quantity, 2) AS BIGINT) AS qty_sq,
+       l_linenumber % 3 AS line_mod
+FROM lineitem
+WHERE l_orderkey < 2000
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("functions",),
+)
+def q43_math_fns(spark, sf_dir):
+    """Math battery: abs/ceil/floor/sqrt/exp/ln/pow/mod."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.pow("l_quantity", F.lit(2)).cast("bigint").alias("qty_sq"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q44_conditional_fns",
+    oracle="""
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+       greatest(c_acctbal, 0.0) AS bal_clamped,
+       least(c_acctbal, 1000.0) AS bal_capped,
+       CASE WHEN c_acctbal < 0 THEN 'debtor'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS tier,
+       CAST(c_acctbal IS NULL AS INT) AS bal_is_null
+FROM customer
+ORDER BY c_custkey
+""",
+    tags=("functions",),
+)
+def q44_conditional_fns(spark, sf_dir):
+    """Conditional battery: coalesce/nullif/greatest/least/CASE/IS NULL."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("segment_masked"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_clamped"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_capped"),
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.col("c_acctbal").isNull().cast("int").alias("bal_is_null"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q45_array_fns",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       embedding[1] AS first_coord,
+       embedding[-1] AS last_coord,
+       list_slice(embedding, 1, 3) AS head3,
+       list_max(embedding) AS coord_max,
+       list_min(embedding) AS coord_min
+FROM embeddings
+ORDER BY vec_id
+""",
+    tags=("functions",),
+)
+def q45_array_fns(spark, sf_dir):
+    """Array battery: size/element_at/slice/array_max/array_min —
+    raw float passthrough, bit-identical in both engines."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_coord"),
+        F.element_at("embedding", -1).alias("last_coord"),
+        F.slice("embedding", 1, 3).alias("head3"),
+        F.array_max("embedding").alias("coord_max"),
+        F.array_min("embedding").alias("coord_min"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "q46_regexp_fns",
+    oracle="""
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
+       regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+       CAST(regexp_matches(p_name, '^[a-z]+ ') AS INT) AS starts_word
+FROM part
+ORDER BY p_partkey
+""",
+    tags=("functions",),
+)
+def q46_regexp_fns(spark, sf_dir):
+    """Regexp battery: extract / replace / match."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.col("p_name").rlike(r"^[a-z]+ ").cast("int").alias("starts_word"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q47_json_struct",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       length(props) AS props_len
+FROM events
+ORDER BY event_id
+""",
+    tags=("functions", "json"),
+)
+def q47_json_struct(spark, sf_dir):
+    """Typed JSON parsing: from_json into a struct column, field access."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        F.length("props").alias("props_len"),
+    ).orderBy("event_id")
+
+
+@query("q48_approx_distinct", oracle=None, tags=("agg", "rows_only"))
+def q48_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct next to the exact count — the
+    sketch path for 100 TB cardinality estimation (no oracle: HLL
+    implementations differ across engines by design)."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q49_distinct",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus, o_orderstatus
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+ORDER BY l_returnflag, l_linestatus, o_orderstatus
+""",
+    tags=("agg",),
+)
+def q49_distinct(spark, sf_dir):
+    """DISTINCT over a join — dropDuplicates as a relational operator."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("l_returnflag", "l_linestatus", "o_orderstatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus", "o_orderstatus")
+    )

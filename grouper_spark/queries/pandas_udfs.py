@@ -1,0 +1,85 @@
+"""Arrow-batched Python UDF paths — the sanctioned escape hatch when
+built-ins can't express the computation (reference analogue: proc-fn as
+the user's batch function, core.clj:68-83).
+
+Both queries keep the Python-side arithmetic integer-exact so they can
+carry full DuckDB oracles: proof that the vectorized UDF path preserves
+engine correctness, not just the codegen path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.text import money
+from ..sources import table
+from . import query
+
+
+@query(
+    "q50_applyinpandas_grouped",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("udf",),
+)
+def q50_applyinpandas_grouped(spark, sf_dir):
+    """Grouped-map Pandas UDF (applyInPandas): per-user aggregation done
+    in pandas over Arrow batches. Cent conversion happens Spark-side so
+    the pandas sum is int64-exact; shuffle is one hash partition on the
+    group key, same as a native groupBy."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", money("value").alias("cents"), "value"
+    )
+
+    def agg_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "total_cents": [pdf["cents"].sum()],
+                "max_value": [pdf["value"].max()],
+            }
+        )
+
+    out = e.groupBy("user_id").applyInPandas(
+        agg_user,
+        schema="user_id long, n_events long, total_cents long, max_value double",
+    )
+    return out.orderBy("user_id")
+
+
+@query(
+    "q51_pandas_scalar_udf",
+    oracle="""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens_udf,
+       length(trim(text)) AS trimmed_len
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("udf", "text"),
+)
+def q51_pandas_scalar_udf(spark, sf_dir):
+    """Scalar Pandas UDF (@pandas_udf): vectorized token counting over
+    Arrow batches — the 10-100x-over-row-UDF path for logic that truly
+    needs Python."""
+
+    @pandas_udf("int")
+    def token_count_pd(texts: pd.Series) -> pd.Series:
+        return texts.str.split().str.len().astype("int32")
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_pd("text").alias("n_tokens_udf"),
+        F.length(F.trim("text")).alias("trimmed_len"),
+    ).orderBy("doc_id")
