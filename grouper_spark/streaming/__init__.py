@@ -1,4 +1,11 @@
-from .grouper import Grouper, Request
+from .grouper import Grouper, Request, shutdown, start, submit
 from .stream import grouper_process_stream
 
-__all__ = ["Grouper", "Request", "grouper_process_stream"]
+__all__ = [
+    "Grouper",
+    "Request",
+    "start",
+    "submit",
+    "shutdown",
+    "grouper_process_stream",
+]

@@ -40,7 +40,7 @@ from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
-__all__ = ["Grouper", "Request"]
+__all__ = ["Grouper", "Request", "start", "submit", "shutdown"]
 
 
 @dataclass
@@ -157,6 +157,11 @@ class Grouper:
     def running(self) -> bool:
         return self._running
 
+    def is_running(self) -> bool:
+        """SPI parity with the reference's IGrouper.isRunning
+        (core.clj:19-24)."""
+        return self._running
+
     # -- dispatcher (core.clj:124-135) -------------------------------------
 
     def _wake_up(self) -> None:
@@ -233,3 +238,26 @@ class Grouper:
                     except Exception:
                         pass
                 req.future.set_result(exc)
+
+
+# -- functional API mirroring the reference (start!/submit!/shutdown!,
+# -- core.clj:99-155) ------------------------------------------------------
+
+
+def start(proc_fn: Callable, **options) -> Grouper:
+    """``start!`` parity: build and start a Grouper.
+
+    ``start(fn, capacity=100, interval=50, pool=4)`` mirrors
+    ``(start! fn :capacity 100 :interval 50 :pool 4)``.
+    """
+    return Grouper(proc_fn, **options)
+
+
+def submit(grouper: Grouper, obj: Any, *, callback=None, errback=None) -> Future:
+    """``submit!`` parity: enqueue one item, get a deref-able handle."""
+    return grouper.submit(obj, callback=callback, errback=errback)
+
+
+def shutdown(grouper: Grouper) -> None:
+    """``shutdown!`` parity: drain everything queued, then stop."""
+    grouper.shutdown()

