@@ -14,6 +14,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only if the scan is under-parallel for CPU-heavy work.
+
+    Small single-file inputs (one task) serialize compute-dense operators
+    (shingling, hashing, vector math) onto one core. At lake scale the
+    source already has thousands of splits and this is a no-op — the
+    check costs one plan inspection, not a job.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def topk_per_group(
     df: DataFrame,
     partition_by: Sequence[str],

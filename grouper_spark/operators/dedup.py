@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, word_shingles
+from .core import ensure_parallelism
 
 
 def canonicalize_exact(
@@ -48,7 +49,7 @@ def shingle_jaccard_pairs(
     join): docs sharing zero shingles never meet. Columns:
     ``doc_a, doc_b, inter, size_a, size_b, jaccard``.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
     ).withColumn("sh_size", F.size("shingles"))
     # One shuffle: group docs by (64-bit hashed) shingle, expand each
@@ -56,11 +57,16 @@ def shingle_jaccard_pairs(
     # (which would shuffle the exploded table twice AND recompute the
     # shingling subtree per side). Hash collisions at 64 bits are
     # ~1e-9 at billions of distinct shingles — acceptable.
-    exploded = sh.select(
-        "doc",
-        "sh_size",
-        F.explode("shingles").alias("shingle"),
-    ).select("doc", "sh_size", F.xxhash64("shingle").alias("sh"))
+    # explode_outer + post-filter, NOT explode: plain explode makes
+    # Catalyst infer a size(shingles)>0 filter containing the whole
+    # shingling expression and push it below the repartition — i.e. the
+    # entire shingle computation runs (twice) inside the narrow scan
+    # stage. explode_outer keeps the exchange as the stage boundary.
+    exploded = (
+        sh.select("doc", "sh_size", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .select("doc", "sh_size", F.xxhash64("shingle").alias("sh"))
+    )
     posting = exploded.groupBy("sh").agg(
         F.collect_list(F.struct("doc", "sh_size")).alias("members")
     )
@@ -98,8 +104,13 @@ def minhash_signatures(
     """MinHash signature per document: for each of ``num_perm`` seeded hash
     functions, the min hash over the doc's shingles. Schema:
     ``(doc, sig: array<bigint>)``. One shuffle (groupBy doc)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode_outer(word_shingles(text_col, n)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
     mins = sh.groupBy("doc").agg(
         *[F.min(_perm_hash(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_perm)]
@@ -184,9 +195,13 @@ def simhash(
     Computed as explode -> groupBy(doc) with one conditional sum per bit —
     a single shuffle, all codegen. Schema: ``(doc, simhash: bigint)``.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
     )
     h = F.xxhash64(F.col("tok"))
     sums = toks.groupBy("doc").agg(

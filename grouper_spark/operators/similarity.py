@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, dot, l2_normalize
+from .core import ensure_parallelism
 
 
 def ann_topk_bruteforce(
@@ -46,7 +47,7 @@ def ann_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), l2_normalize(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), l2_normalize(vec_col).alias("__cv")
     )
     pairs = c.crossJoin(F.broadcast(q))
@@ -106,7 +107,7 @@ def lsh_bucket_ann(
     if first is not None:
         dim = first["d"]
     planes = random_hyperplanes(dim, num_planes, seed)
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _bucket_col(F.col(vec_col), planes).alias("bucket"),
