@@ -104,3 +104,45 @@ def q39_vector_stats(spark, sf_dir):
 
 # re-export for bench / tests
 __all__ = ["q37_ann_bruteforce", "q38_ann_lsh", "q39_vector_stats", "dot", "cosine_similarity"]
+
+
+@query(
+    "q53_embedding_neardup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cosine_r
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cosine_r DESC, vec_a, vec_b
+LIMIT 20
+""",
+    tags=("similarity", "dedup"),
+)
+def q53_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: the 20 most-similar vector pairs.
+
+    Exact all-pairs here (the oracle path — broadcast one normalized
+    side, dot-product join, top-k). The 100 TB path is the identical
+    rerank applied to lsh_bucket_ann candidates instead of all pairs.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    from ..functions.vector import l2_normalize
+    from ..operators.core import ensure_parallelism
+
+    a = ensure_parallelism(e).select(
+        F.col("vec_id").alias("vec_a"), l2_normalize("embedding").alias("__va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), l2_normalize("embedding").alias("__vb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(dot("__va", "__vb"), 6).alias("cosine_r"),
+        )
+        .orderBy(F.col("cosine_r").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )

@@ -189,3 +189,67 @@ def q32_lang_id(spark, sf_dir):
         predicted.alias("predicted"),
         (predicted == F.col("lang")).cast("int").alias("hit"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q54_bpe_tokens",
+    oracle="""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpeish,
+       len(list_distinct(regexp_extract_all(text, '\\w+|[^\\w\\s]')))
+         AS n_bpeish_types
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text",),
+)
+def q54_bpe_tokens(spark, sf_dir):
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (word-pieces + isolated punctuation) — the pre-tokenizer split rule
+    GPT-style BPE vocabularies start from."""
+    d = table(spark, sf_dir, "documents")
+    bpeish = F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        F.size(bpeish).alias("n_bpeish"),
+        F.size(F.array_distinct(bpeish)).alias("n_bpeish_types"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q55_rolling_hash",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(text), '\\s+'),
+                        tok -> length(tok) * 31 + ascii(substr(tok, 1, 1)))
+           AS vals
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_reduce(vals, (a, b) -> (a * 1000003 + b) % 2147483647)
+            AS BIGINT) AS roll_hash
+FROM t
+ORDER BY doc_id
+""",
+    tags=("text", "dedup"),
+)
+def q55_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint over the token stream
+    (order-sensitive, unlike a bag-of-words hash): fold
+    acc*P + f(token) mod M left-to-right. Pure integer arithmetic in
+    codegen — engine-exact by construction."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    vals = F.transform(
+        toks,
+        lambda t: (F.length(t) * 31 + F.ascii(F.substring(t, 1, 1))).cast("bigint"),
+    )
+    roll = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, b: (acc * 1000003 + b) % 2147483647,
+    )
+    return d.select("doc_id", roll.alias("roll_hash")).orderBy("doc_id")
