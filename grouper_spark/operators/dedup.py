@@ -161,16 +161,27 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc", "sig", "band.band_idx", "band.band_hash")
-    a = banded.select(
-        F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
-    )
-    b = banded.select(
-        F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    # Posting-list pair expansion, not an a×b self-join: a self-join
+    # would execute the whole signature pipeline (explode + 16-way min
+    # agg) twice and shuffle both sides. One groupBy on the bucket key
+    # computes signatures once; pairs expand from each bucket's member
+    # list. Bucket membership is tiny (similar docs only), so the
+    # collect_list stays small — skew in a pathological bucket is
+    # bounded by banding width at 100 TB.
+    posting = banded.groupBy("band_idx", "band_hash").agg(
+        F.collect_list(F.struct("doc", "sig")).alias("members")
     )
     cands = (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        posting.filter(F.size("members") > 1)
+        .select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
     matches = F.size(
@@ -254,16 +265,23 @@ def simhash_pairs(
             )
         ).alias("band"),
     ).select("doc", "simhash", "band.band_idx", "band.band_val")
-    a = banded.select(
-        F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_val"
-    )
-    b = banded.select(
-        F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_val"
+    # Posting-list expansion (see minhash_lsh_pairs): computes the
+    # simhash pipeline once instead of twice and replaces the self-join
+    # shuffle pair with a single groupBy on the band bucket.
+    posting = banded.groupBy("band_idx", "band_val").agg(
+        F.collect_list(F.struct("doc", "simhash")).alias("members")
     )
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        posting.filter(F.size("members") > 1)
+        .select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
         .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
