@@ -35,12 +35,17 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; zero vectors get 0.0 (not a divide-by-zero —
+    ANSI mode is on, so an unguarded /0 would fail the whole stage)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def l2_normalize(a: Column | str) -> Column:
     """Scale a vector to unit L2 norm (pre-normalization turns cosine top-k
-    into dot-product top-k — one aggregate per pair instead of three)."""
+    into dot-product top-k — one aggregate per pair instead of three).
+    Zero vectors pass through unchanged (guarded divisor, ANSI-safe)."""
     a = F.col(a) if isinstance(a, str) else a
     n = l2_norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    safe = F.when(n == 0, F.lit(1.0)).otherwise(n)
+    return F.transform(a, lambda x: x.cast("double") / safe)

@@ -7,7 +7,7 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
-from .similarity import ann_topk_bruteforce, lsh_bucket_ann
+from .similarity import ann_topk_bruteforce, ivf_ann, lsh_bucket_ann
 
 __all__ = [
     "asof_join",

@@ -24,6 +24,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,6 +87,88 @@ def _bucket_col(vec_col, planes: list[list[float]]):
         bit = F.when(dot(vec_col, plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) coarse quantizer.
+
+    Structure mirrors FAISS IVF-Flat: ``n_cells`` centroids partition the
+    corpus into cells (argmax cosine against the centroid set); each query
+    probes its ``n_probe`` nearest cells and exact-reranks only inside
+    them. Centroids here are a deterministic hash-ordered sample of the
+    corpus (no iterative training — at 100 TB you'd train k-means on a
+    sample offline and broadcast the codebook exactly the same way; the
+    query-time plan is identical).
+
+    The cell assignment is a map-side pass (the codebook ships inside the
+    UDF closure = an implicit broadcast); the probe is an equi-join on
+    ``cell`` with the query side broadcast. Corpus is never shuffled.
+    Returns ``(query_id, neighbor_id, cosine)``.
+    """
+    # Deterministic "codebook": sample n_cells corpus vectors in xxhash64
+    # order (seeded, stable across runs), driver-collects only n_cells rows.
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("i"), l2_normalize(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i").cast("string")), F.col("i"))
+        .limit(n_cells)
+        .collect()
+    )
+    mat = np.array([list(r["v"]) for r in cent_rows], dtype=np.float64).T  # dim×cells
+    n_cells = mat.shape[1]
+    n_probe = min(n_probe, n_cells)
+
+    # Quantizer = Arrow-batched numpy matmul (N×dim @ dim×cells), not
+    # Catalyst higher-order functions: HOF lambdas are interpreted (no
+    # whole-stage codegen), so 16 embedded-literal dot products per row
+    # run ~50× slower than one vectorized BLAS call per Arrow batch.
+    def _sims(v: pd.Series) -> np.ndarray:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return (m / norms) @ mat
+
+    @F.pandas_udf("int")
+    def _cell_of(v: pd.Series) -> pd.Series:
+        # argmax ties resolve to the lowest index — deterministic
+        return pd.Series(_sims(v).argmax(axis=1).astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def _probes_of(v: pd.Series) -> pd.Series:
+        idx = np.argsort(-_sims(v), kind="stable", axis=1)[:, :n_probe]
+        return pd.Series(list(idx.astype("int32")))
+
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        l2_normalize(vec_col).alias("__cv"),
+        _cell_of(vec_col).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_normalize(vec_col).alias("__qv"),
+        F.explode(_probes_of(vec_col)).alias("cell"),
+    )
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", dot("__qv", "__cv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
 
 
 def lsh_bucket_ann(

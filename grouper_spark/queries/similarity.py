@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, dot, l2_norm
-from ..operators import ann_topk_bruteforce, lsh_bucket_ann
+from ..operators import ann_topk_bruteforce, ivf_ann, lsh_bucket_ann
 from ..sources import table
 from . import query
 
@@ -100,6 +100,21 @@ def q39_vector_stats(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query("q56_ann_ivf", oracle=None, tags=("similarity", "rows_only"))
+def q56_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN: hash-sampled codebook of 16 centroids, corpus
+    assigned to cells map-side, queries probe their 4 nearest cells and
+    exact-rerank inside — the FAISS-style scale path next to q38's LSH."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    res = ivf_ann(
+        e, q, id_col="vec_id", vec_col="embedding", k=TOP_K, n_cells=16, n_probe=4
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r")
+    ).orderBy("query_id", F.col("cosine_r").desc(), "neighbor_id")
 
 
 # re-export for bench / tests

@@ -148,3 +148,43 @@ def test_tokens_empty_and_spaces(spark):
     df = spark.createDataFrame([("",), ("   ",), (" a  b ",)], ["t"])
     got = [r["n"] for r in df.select(F.size(tokens("t")).alias("n")).collect()]
     assert got == [0, 0, 2]
+
+
+def test_ivf_ann_exact_when_probing_all_cells(spark):
+    from grouper_spark.operators import ivf_ann
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [1.0, 0.01, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 1)
+    # n_probe == n_cells ⇒ every cell probed ⇒ must equal brute force
+    out = ivf_ann(df, q, k=2, n_cells=3, n_probe=3).collect()
+    assert [r["neighbor_id"] for r in out] == [4, 2]
+    assert all(r["query_id"] == 1 for r in out)
+
+
+def test_ivf_ann_partial_probe_subset_of_bruteforce_scores(spark):
+    from grouper_spark.operators import ivf_ann
+
+    rows = [(i, [float((i * 7 + j * 3) % 11), float((i * 5 + j) % 7), float(i % 3)])
+            for i in range(20) for j in [0]]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 2)
+    out = ivf_ann(df, q, k=3, n_cells=4, n_probe=2).collect()
+    # approximate: every returned neighbor must carry its true cosine and
+    # per-query result sets stay within k, deterministically ordered
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_bruteforce(df, q, k=20).collect()
+    }
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact and abs(exact[key] - r["cosine"]) < 1e-9
+    assert all(len(v) <= 3 for v in per_q.values())
