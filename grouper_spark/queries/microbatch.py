@@ -11,7 +11,11 @@ import uuid
 from pyspark.sql import functions as F
 
 from ..sources import table
-from ..streaming import grouper_process_stream
+from ..streaming import (
+    grouper_process_stream,
+    stage_stream_source,
+    stateful_running_sum,
+)
 from . import query
 
 
@@ -29,12 +33,9 @@ def q40_grouper_stream(spark, sf_dir):
             (F.col("value") * 2).alias("value_doubled"),
         )
 
-    # Stage the table as a 4-file directory so availableNow +
-    # maxFilesPerTrigger=1 actually exercises multiple micro-batches.
-    source_dir = os.path.join(
-        tempfile.gettempdir(), f"grouper-src-{uuid.uuid4().hex}"
-    )
-    table(spark, sf_dir, "events").repartition(4).write.parquet(source_dir)
+    # Stage the table as a 4-file directory (staggered mtimes) so
+    # availableNow + maxFilesPerTrigger=1 runs exactly 4 micro-batches.
+    source_dir = stage_stream_source(table(spark, sf_dir, "events"), 4)
 
     out = grouper_process_stream(
         spark,
@@ -67,8 +68,7 @@ def q52_stream_watermark_window(spark, sf_dir):
     RocksDB-backed streaming state. Complete-mode totals equal the
     batch aggregation, so this streaming query carries an exact SQL
     oracle."""
-    src = os.path.join(tempfile.gettempdir(), f"grouper-wm-{uuid.uuid4().hex}")
-    table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    src = stage_stream_source(table(spark, sf_dir, "events"), 4)
     schema = spark.read.parquet(src).schema
     name = f"wm_{uuid.uuid4().hex[:12]}"
     stream = (
@@ -97,3 +97,44 @@ def q52_stream_watermark_window(spark, sf_dir):
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
         .orderBy("window_start")
     )
+
+
+@query(
+    "q57_stateful_running_sum",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_seen,
+       SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "stateful"),
+)
+def q57_stateful_running_sum(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running (count, cents-sum) GroupState updated across 4
+    micro-batches; the final emission per user must equal the batch
+    groupBy — which is the exact SQL oracle. Fixed-point cents are
+    computed Spark-side BEFORE the stream so rounding matches DuckDB."""
+    from ..functions.text import money
+
+    src = stage_stream_source(
+        table(spark, sf_dir, "events").select("user_id", money("value").alias("cents")),
+        4,
+    )
+
+    log = stateful_running_sum(
+        spark, src, key_col="user_id", cents_col="cents", max_files_per_trigger=1
+    )
+    # final state per key = emission with the max running count
+    final = (
+        log.groupBy("key")
+        .agg(F.max(F.struct("n_seen", "total_cents")).alias("s"))
+        .select(
+            F.col("key").alias("user_id"),
+            F.col("s.n_seen").alias("n_seen"),
+            (F.col("s.total_cents") / 100.0).alias("total_value"),
+        )
+    )
+    return final.orderBy("user_id")

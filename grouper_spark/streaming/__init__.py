@@ -1,5 +1,5 @@
 from .grouper import Grouper, Request, shutdown, start, submit
-from .stream import grouper_process_stream
+from .stream import grouper_process_stream, stage_stream_source, stateful_running_sum
 
 __all__ = [
     "Grouper",
@@ -8,4 +8,6 @@ __all__ = [
     "submit",
     "shutdown",
     "grouper_process_stream",
+    "stage_stream_source",
+    "stateful_running_sum",
 ]

@@ -91,3 +91,90 @@ def grouper_process_stream(
             [], "batch_id long, status string, error string"
         )
     return spark.read.parquet(result_dir)
+
+
+def stateful_running_sum(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    key_col: str,
+    cents_col: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key running (count, sum)
+    maintained in explicit ``GroupState`` via ``applyInPandasWithState``.
+
+    Each micro-batch updates the key's state and emits the running totals
+    (update mode), so the sink holds one row per (key, batch-it-appeared-
+    in). At scale the state store is RocksDB per key-partition — state
+    shuffles once on the key, Arrow-batched per group. This is the Spark
+    shape of the reference's only stateful machinery (the dispatcher's
+    queue, core.clj:26-31) generalized to keyed user state.
+
+    Returns the raw emission log (``key, n_seen, total_cents``); the
+    caller reduces to final state (max n_seen per key) if wanted.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+
+    def update(key, pdfs, state):
+        n, tot = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += int(pdf[cents_col].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_seen": [n], "total_cents": [tot]}
+        )
+
+    name = f"state_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="key bigint, n_seen bigint, total_cents bigint",
+            stateStructType="n bigint, tot bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stage_stream_source(df: DataFrame, n_files: int, source_dir: str | None = None) -> str:
+    """Materialize a DataFrame as an ``n_files``-file parquet directory with
+    strictly increasing file mtimes, for use as a deterministic streaming
+    source.
+
+    FileStreamSource orders files by (mtime, path); parallel write tasks
+    finish within one clock tick, leaving batch ordering to path
+    tie-breaks. Strictly increasing mtimes pin a deterministic
+    file→micro-batch assignment, so with ``maxFilesPerTrigger=1`` the
+    stream replays the same N batches in the same order every run.
+    """
+    import glob
+    import time
+
+    if source_dir is None:
+        source_dir = os.path.join(
+            tempfile.gettempdir(), f"grouper-src-{uuid.uuid4().hex}"
+        )
+    df.repartition(n_files).write.parquet(source_dir)
+    files = sorted(glob.glob(os.path.join(source_dir, "*.parquet")))
+    base = time.time() - 10 * len(files)
+    for i, f in enumerate(files):
+        os.utime(f, (base + 10 * i, base + 10 * i))
+    return source_dir

@@ -54,3 +54,37 @@ def test_stream_error_as_value(spark, source_dir):
     errs = spark.read.parquet(result_dir + "-errors").collect()
     assert len(errs) > 0
     assert all(e["status"] == "error" and "boom" in e["error"] for e in errs)
+
+
+def test_stateful_running_sum_state_accumulates(spark):
+    from grouper_spark.streaming import stateful_running_sum
+
+    import glob
+    import time
+
+    # Stage two files with explicit contents (both containing key 1) so
+    # key-1 state provably spans micro-batches; staggered mtimes pin the
+    # batch order.
+    src = os.path.join(tempfile.gettempdir(), f"gs-state-{uuid.uuid4().hex}")
+    f1 = spark.createDataFrame([(1, 100), (1, 200), (2, 50)], "user_id long, cents long")
+    f2 = spark.createDataFrame([(1, 300), (2, 50)], "user_id long, cents long")
+    f1.coalesce(1).write.mode("append").parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")), key=os.path.getmtime)
+    now = time.time()
+    for i, f in enumerate(files):
+        os.utime(f, (now + 10 * i, now + 10 * i))
+
+    log = stateful_running_sum(
+        spark, src, key_col="user_id", cents_col="cents", max_files_per_trigger=1
+    )
+    emitted = log.collect()
+    # final state per key equals the global aggregate
+    final = {}
+    for r in emitted:
+        if r["key"] not in final or r["n_seen"] > final[r["key"]][0]:
+            final[r["key"]] = (r["n_seen"], r["total_cents"])
+    assert final[1] == (3, 600)
+    assert final[2] == (2, 100)
+    # state genuinely spanned micro-batches: some key emitted more than once
+    assert len(emitted) > len(final)
