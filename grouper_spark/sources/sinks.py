@@ -4,8 +4,8 @@ The reference has no file formats at all (its only buffer is an
 in-memory queue, core.clj:27); an analytics engine needs real lake I/O.
 These helpers standardize the layouts that matter at 100 TB:
 
-- ``read_any``: format-dispatching reader (parquet/csv/json) with the
-  same downstream behavior as the parquet catalog.
+- ``read_any``: format-dispatching reader (parquet/csv/json/orc) with
+  the same downstream behavior as the parquet catalog.
 - ``write_partitioned``: hive-style partition layout (e.g. by event
   date) so partition pruning turns time-range scans into directory
   listings.
@@ -19,7 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def read_any(

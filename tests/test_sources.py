@@ -25,7 +25,7 @@ def small_df(spark):
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_format_roundtrip(spark, small_df, fmt):
     path = _tmp(fmt)
     small_df.write.format(fmt).option("header", "true").save(path)
@@ -53,3 +53,23 @@ def test_functional_grouper_api():
     assert g.is_running()
     shutdown(g)
     assert not g.is_running()
+
+
+def test_write_bucketed_join_skips_shuffle(spark):
+    from grouper_spark.sources import write_bucketed
+
+    n1 = f"bkt_a_{uuid.uuid4().hex[:8]}"
+    n2 = f"bkt_b_{uuid.uuid4().hex[:8]}"
+    a = spark.range(0, 1000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("vb", F.col("id") * 3)
+    try:
+        write_bucketed(a, n1, ["id"], num_buckets=4, sort_by=["id"])
+        write_bucketed(b, n2, ["id"], num_buckets=4, sort_by=["id"])
+        joined = spark.table(n1).join(spark.table(n2), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed sides: the join must not re-shuffle either side
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {n1}")
+        spark.sql(f"DROP TABLE IF EXISTS {n2}")
