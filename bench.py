@@ -43,6 +43,32 @@ def run_one(spark, qdef, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def grouper_throughput(n_items: int = 50_000) -> float:
+    """Items/s through the in-process Grouper micro-batch layer.
+
+    Comparable to the reference's analytic model (README.md:44-50):
+    batch=100, 10 ms simulated round-trip per batch ⇒ the model says
+    ~909 items/s for a serial remote store. Our figure measures the
+    engine overhead against that same workload shape.
+    """
+    import time as _t
+
+    from grouper_spark.streaming import Grouper
+
+    def proc(xs):
+        _t.sleep(0.010)  # the reference model's 10 ms per-batch round-trip
+        return [x + 1 for x in xs]
+
+    t0 = _t.time()
+    with Grouper(proc, capacity=100, interval=None, pool=8) as g:
+        futs = [g.submit(i) for i in range(n_items)]
+        g.flush()
+        last = futs[-1].result(60)
+    dt = _t.time() - t0
+    assert last == n_items, last
+    return n_items / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -71,6 +97,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "grouper_throughput_items_per_s": round(grouper_throughput(), 1),
+                "grouper_baseline_items_per_s": 909.0,
             }
         )
     )
