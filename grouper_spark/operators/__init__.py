@@ -1,4 +1,4 @@
-from .core import asof_join, sessionize, topk_per_group
+from .core import asof_join, salted_join, sessionize, topk_per_group
 from .dedup import (
     canonicalize_exact,
     minhash_signatures,
@@ -11,6 +11,7 @@ from .similarity import ann_topk_bruteforce, ivf_ann, lsh_bucket_ann
 
 __all__ = [
     "asof_join",
+    "salted_join",
     "sessionize",
     "topk_per_group",
     "canonicalize_exact",
@@ -20,5 +21,6 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "ann_topk_bruteforce",
+    "ivf_ann",
     "lsh_bucket_ann",
 ]

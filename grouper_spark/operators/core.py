@@ -129,3 +129,39 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join with key salting for skew: identical results to
+    ``skewed.join(other, on, how)``, but hot keys on the skewed side are
+    spread over ``n_salts`` shuffle partitions.
+
+    The skewed side gets a deterministic salt (xxhash64 of the whole row,
+    mod n_salts — no rand(), so retries/replays are stable); the other
+    side is replicated n_salts times. Shuffle keys become
+    (key..., __salt), so a key that previously hot-spotted one reducer
+    now lands on n_salts of them. Cost: other-side shuffle volume ×
+    n_salts — use for fact⋈fact where one side has pathological keys and
+    AQE's skew split (enabled in session.py) needs help, e.g. when the
+    skew is in a groupBy-under-join Catalyst can't split.
+
+    ``how`` supports the row-preserving joins (inner/left); right/full
+    would duplicate other-side null-matches across salts.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, not {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+    ).cast("int")
+    s = skewed.withColumn("__salt", salt)
+    o = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return s.join(o, keys + ["__salt"], how).drop("__salt")

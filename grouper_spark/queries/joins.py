@@ -238,3 +238,37 @@ def q17_theta_join(spark, sf_dir):
         )
         .orderBy("region_key")
     )
+
+
+@query(
+    "q58_salted_join",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_lineitems,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("join", "skew"),
+)
+def q58_salted_join(spark, sf_dir):
+    """Skew-resistant fact⋈fact join: the lineitem side is salted
+    (deterministic xxhash64 mod 8), orders replicated 8×, shuffle keys
+    (orderkey, salt). Result is hash-identical to the plain join — the
+    oracle proves the rewrite is semantics-preserving."""
+    from ..operators import salted_join
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = salted_join(l, o, on="o_orderkey", n_salts=8)
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_lineitems"), money_sum(rev, "revenue"))
+        .orderBy("l_returnflag")
+    )

@@ -138,3 +138,39 @@ def q57_stateful_running_sum(spark, sf_dir):
         )
     )
     return final.orderBy("user_id")
+
+
+@query(
+    "q59_stream_dedup_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+""",
+    tags=("streaming", "dedup"),
+)
+def q59_stream_dedup_watermark(spark, sf_dir):
+    """Streaming dedup with bounded state: dropDuplicatesWithinWatermark
+    on (user_id, event_type) over a 4-micro-batch replay. The watermark
+    bounds how long a key is remembered — the 100 TB knob that keeps
+    dedup state finite on an infinite stream. With a delay wider than
+    the fixture's time span nothing expires, so the distinct key set
+    equals batch DISTINCT — the exact SQL oracle."""
+    src = stage_stream_source(table(spark, sf_dir, "events"), 4)
+    schema = spark.read.parquet(src).schema
+    name = f"dd_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type")

@@ -1,0 +1,96 @@
+"""Physical-plan assertions: the plans we designed for 100 TB must stay
+the plans Catalyst actually produces. Each test pins a property that a
+careless refactor could silently regress (pushdown lost, broadcast
+dropped, an extra exchange) — correctness tests would still pass, but
+the query would fall over at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grouper_spark.queries import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir, registry):
+    df = registry["q01_pricing_summary"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q01_column_pruned_scan(spark, sf_dir, registry):
+    df = registry["q01_pricing_summary"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # the lineitem scan must not read join keys / comment-ish columns
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" not in scan
+    assert "l_partkey" not in scan
+
+
+def test_q11_dimension_join_is_broadcast(spark, sf_dir, registry):
+    df = registry["q11_broadcast_join"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # the fact (customer) side must NOT be exchanged for the dim join
+    assert "BroadcastExchange" in plan
+
+
+def test_q37_corpus_never_shuffled_before_scoring(spark, sf_dir, registry):
+    df = registry["q37_ann_bruteforce"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # query side broadcast; the only hash exchange is the final window's
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 1, plan
+
+
+def test_q12_partial_aggregation_before_shuffle(spark, sf_dir, registry):
+    df = registry["q12_shuffle_join"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # map-side combine: a partial_count must appear below the group exchange
+    assert "partial_count" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from grouper_spark.operators import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d")] * 5, ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["k", "w"])
+    got = salted_join(left, right, on="k", n_salts=4)
+    want = left.join(right, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the join key set must include the salt
+    assert "__salt" in plan_of(got)
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from grouper_spark.operators import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (9, "z")], ["k", "v"])
+    right = spark.createDataFrame([(1, 10)], ["k", "w"])
+    got = sorted(map(tuple, salted_join(left, right, "k", how="left").collect()))
+    assert got == [(1, "a", 10), (9, "z", None)]
+
+
+def test_minhash_lsh_single_signature_pipeline(spark, sf_dir, registry):
+    # posting-list design: the doc-grouping aggregate must appear exactly
+    # once (a self-join formulation would build it twice)
+    df = registry["q35_minhash_lsh"].fn(spark, sf_dir)
+    plan = optimized_of(df)
+    assert plan.count("xxhash64(concat(mh0|") == 1, plan
