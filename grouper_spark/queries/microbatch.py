@@ -16,7 +16,12 @@ from ..streaming import (
     stage_stream_source,
     stateful_running_sum,
 )
+from ..streaming.stream import scoped_shuffle_partitions
 from . import query
+
+# Stateful streaming runs without AQE; size the state-store width to the
+# replayed fixture state instead of the batch default.
+_STREAM_SHUFFLE = 8
 
 
 @query("q40_grouper_stream", oracle=None, tags=("streaming", "rows_only"))
@@ -84,14 +89,15 @@ def q52_stream_watermark_window(spark, sf_dir):
             ).alias("total_value"),
         )
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, _STREAM_SHUFFLE):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
@@ -124,9 +130,10 @@ def q57_stateful_running_sum(spark, sf_dir):
         4,
     )
 
-    log = stateful_running_sum(
-        spark, src, key_col="user_id", cents_col="cents", max_files_per_trigger=1
-    )
+    with scoped_shuffle_partitions(spark, _STREAM_SHUFFLE):
+        log = stateful_running_sum(
+            spark, src, key_col="user_id", cents_col="cents", max_files_per_trigger=1
+        )
     # final state per key = emission with the max running count
     final = (
         log.groupBy("key")
@@ -159,18 +166,94 @@ def q59_stream_dedup_watermark(spark, sf_dir):
     src = stage_stream_source(table(spark, sf_dir, "events"), 4)
     schema = spark.read.parquet(src).schema
     name = f"dd_{uuid.uuid4().hex[:12]}"
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withWatermark("ts", "365 days")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, _STREAM_SHUFFLE):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "365 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("user_id", "event_type")
+
+
+@query(
+    "q60_stream_stream_join",
+    oracle="""
+SELECT a.event_id AS purchase_id, b.event_id AS click_id,
+       a.user_id AS user_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'purchase' AND b.event_type = 'click'
+ AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts <= a.ts
+ORDER BY purchase_id, click_id
+""",
+    tags=("streaming", "join"),
+)
+def q60_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: purchases matched to same-user clicks
+    in the preceding 10 minutes. Watermarks on BOTH sides plus the time-
+    range predicate bound the join state (the knob that keeps two
+    infinite streams joinable); inner-join append output is exactly the
+    batch interval join, hence the SQL oracle. The replay arrives in
+    event-time order (range-staged files) so the watermark never evicts
+    state that batch semantics would still match."""
+    src = stage_stream_source(table(spark, sf_dir, "events"), 4, order_by="ts")
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:12]}"
+    with scoped_shuffle_partitions(spark, _STREAM_SHUFFLE):
+        q = (
+            joined.select(
+                "purchase_id", "click_id", F.col("p_user").alias("user_id")
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).orderBy("purchase_id", "click_id")

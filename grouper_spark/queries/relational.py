@@ -294,3 +294,69 @@ def q10_set_ops(spark, sf_dir):
     # subtract == EXCEPT (distinct semantics), matching the SQL oracle
     solvent = building.subtract(debtors).withColumn("tag", F.lit("building_debtor"))
     return both.unionByName(solvent).orderBy("tag", "c_custkey")
+
+
+@query(
+    "q61_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       round(median(o_totalprice), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("agg",),
+)
+def q61_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (median / p90 / p99, linear
+    interpolation). Exact percentile sorts each group's values — at
+    100 TB swap in approx_percentile (t-digest sketch, map-side
+    mergeable) and drop the oracle to rows-only."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q62_pivot",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+       {sql_money_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", "rev_f")}
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("agg", "pivot"),
+)
+def q62_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): order counts by priority × status plus
+    pivoted revenue. Explicit pivot values keep the plan a single-pass
+    hash aggregate (no distinct-values pre-query) — required at scale."""
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("o_totalprice"), "rev"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+        F.col("P_n").alias("n_p"),
+        F.coalesce("F_rev", F.lit(0.0)).alias("rev_f"),
+    ).orderBy("o_orderpriority")

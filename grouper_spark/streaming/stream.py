@@ -15,6 +15,7 @@ re-run.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 import tempfile
 import uuid
 from typing import Callable
@@ -154,7 +155,12 @@ def stateful_running_sum(
     return spark.table(name)
 
 
-def stage_stream_source(df: DataFrame, n_files: int, source_dir: str | None = None) -> str:
+def stage_stream_source(
+    df: DataFrame,
+    n_files: int,
+    source_dir: str | None = None,
+    order_by: str | None = None,
+) -> str:
     """Materialize a DataFrame as an ``n_files``-file parquet directory with
     strictly increasing file mtimes, for use as a deterministic streaming
     source.
@@ -172,9 +178,40 @@ def stage_stream_source(df: DataFrame, n_files: int, source_dir: str | None = No
         source_dir = os.path.join(
             tempfile.gettempdir(), f"grouper-src-{uuid.uuid4().hex}"
         )
-    df.repartition(n_files).write.parquet(source_dir)
+    if order_by is not None:
+        # Event-time-ordered arrival: range-partition on the time column
+        # so file i holds strictly earlier events than file i+1 (file
+        # part-ids follow range order, and mtime staggering below follows
+        # file name order). Watermark-correct replay needs this — random
+        # file contents would advance the watermark past most of the
+        # remaining data after the first batch.
+        df = df.repartitionByRange(n_files, F.col(order_by)).sortWithinPartitions(
+            order_by
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.parquet(source_dir)
     files = sorted(glob.glob(os.path.join(source_dir, "*.parquet")))
     base = time.time() - 10 * len(files)
     for i, f in enumerate(files):
         os.utime(f, (base + 10 * i, base + 10 * i))
     return source_dir
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily lower spark.sql.shuffle.partitions for a streaming
+    query that executes eagerly (availableNow + awaitTermination).
+
+    Stateful streaming disables AQE, so every state-store operator runs
+    with the full static shuffle width — 32 partitions × N micro-batches
+    of task overhead for state that fits in a handful. At scale you size
+    this to the state volume; for the fixture replays a narrow width is
+    the right plan. The conf is restored before the caller's batch
+    queries run."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
