@@ -1,6 +1,7 @@
 from .core import asof_join, salted_join, sessionize, topk_per_group
 from .dedup import (
     canonicalize_exact,
+    dedup_clusters,
     minhash_signatures,
     minhash_lsh_pairs,
     shingle_jaccard_pairs,
@@ -15,6 +16,7 @@ __all__ = [
     "sessionize",
     "topk_per_group",
     "canonicalize_exact",
+    "dedup_clusters",
     "shingle_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",

@@ -289,3 +289,57 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive near-dup clusters: connected components of the Jaccard
+    pair graph (edges = pairs with jaccard >= threshold), labels = min
+    doc id reachable. The canonical "keep one per cluster" dedup step
+    that follows candidate generation in a training-data pipeline.
+
+    Iterative min-label propagation: each round joins labels to the edge
+    list and takes the min over neighbors; converges in O(component
+    diameter) rounds. ``localCheckpoint`` after every round cuts the
+    lineage — without it the plan doubles per iteration and the job dies
+    long before 100 TB. Edges are checkpointed once so the expensive
+    shingle join never re-executes. Driver sees only per-round changed
+    COUNTS (scalars), never row data.
+    """
+    pairs = shingle_jaccard_pairs(df, id_col, text_col, n).filter(
+        F.col("jaccard") >= threshold
+    )
+    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = df.select(F.col(id_col).alias("doc")).withColumn(
+        "cluster_id", F.col("doc")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        prop = labels.join(edges, labels["doc"] == edges["src"]).select(
+            F.col("dst").alias("doc"), "cluster_id"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

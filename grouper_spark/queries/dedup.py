@@ -108,3 +108,50 @@ def q36_simhash(spark, sf_dir):
     operators.dedup.simhash_pairs."""
     d = table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text", bits=16).orderBy("doc")
+
+
+@query(
+    "q63_dedup_clusters",
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                           i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(shingles) AS sh_size, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh_size AS size_a, b.sh_size AS size_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  WHERE inter / (size_a + size_b - inter) >= 0.5
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+  WHERE inter / (size_a + size_b - inter) >= 0.5
+), reach(doc, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+)
+SELECT doc, MIN(label) AS cluster_id FROM reach
+GROUP BY doc
+ORDER BY doc
+""",
+    tags=("dedup", "iterative"),
+)
+def q63_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: connected components over the
+    jaccard>=0.5 pair graph by iterative min-label propagation
+    (localCheckpoint per round — lineage stays flat). The oracle is a
+    DuckDB recursive CTE computing the same min-reachable-id labels."""
+    from ..operators import dedup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    out = dedup_clusters(d, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(F.col("doc").alias("doc"), "cluster_id").orderBy("doc")

@@ -188,3 +188,21 @@ def test_ivf_ann_partial_probe_subset_of_bruteforce_scores(spark):
         key = (r["query_id"], r["neighbor_id"])
         assert key in exact and abs(exact[key] - r["cosine"]) < 1e-9
     assert all(len(v) <= 3 for v in per_q.values())
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    from grouper_spark.operators import dedup_clusters
+
+    # a~b and b~c share 3-gram shingles; a~c share none directly —
+    # transitivity must still put all three in one cluster
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta other words"),
+        (3, "gamma delta other words more here"),
+        (4, "completely unrelated text with no overlap at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc"]: r["cluster_id"] for r in
+           dedup_clusters(df, "doc_id", "text", threshold=0.2).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4
