@@ -43,6 +43,7 @@ _MODULES = (
     "pandas_udfs",
     "microbatch",
     "multimodal",
+    "pipeline",
 )
 
 

@@ -1,0 +1,110 @@
+"""End-to-end training-data pipeline: the composition a 100 TB corpus
+actually runs, built entirely from this engine's operators.
+
+quality gate → exact dedup (canonical keep) → transitive near-dup
+clustering (keep one per cluster) → per-language corpus stats.
+
+Every stage is the registered operator (q30/q33/q63 building blocks)
+chained as one lazy DataFrame plan (the iterative clustering step
+materializes internally via localCheckpoint); the DuckDB oracle is the
+same pipeline as a single WITH RECURSIVE chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..operators import canonicalize_exact, dedup_clusters
+from ..sources import table
+from . import query
+
+_MIN_TOKENS = 10
+_JACCARD = 0.5
+
+
+@query(
+    "q64_pipeline_end2end",
+    oracle=f"""
+WITH RECURSIVE toksd AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), qual AS (
+  SELECT * FROM toksd WHERE n_tokens >= {_MIN_TOKENS}
+), fp AS (
+  SELECT doc_id, lang, text, n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM qual
+), canon AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY f) AS cid FROM fp
+), surv AS (
+  SELECT doc_id, lang, text, n_tokens FROM canon WHERE doc_id = cid
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                           i, i + 2), ' ')
+         )) AS shingles
+  FROM surv
+), ex AS (
+  SELECT doc_id, len(shingles) AS sh_size, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh_size AS size_a, b.sh_size AS size_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  WHERE inter / (size_a + size_b - inter) >= {_JACCARD}
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+  WHERE inter / (size_a + size_b - inter) >= {_JACCARD}
+), reach(doc, label) AS (
+  SELECT doc_id, doc_id FROM surv
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+), clusters AS (
+  SELECT doc, MIN(label) AS cluster_id FROM reach GROUP BY doc
+), kept AS (
+  SELECT s.lang, s.n_tokens
+  FROM surv s JOIN clusters c ON s.doc_id = c.doc
+  WHERE c.doc = c.cluster_id
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM kept
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("pipeline", "dedup", "text"),
+)
+def q64_pipeline_end2end(spark, sf_dir):
+    """The full corpus-curation pipeline over ``documents``: drop short
+    docs, drop exact duplicates (keep min-id canonical), collapse
+    near-dup clusters (jaccard >= 0.5, transitive) to one survivor each,
+    then per-language doc/token stats on what a trainer would ingest."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    qual = d.filter(F.col("n_tokens") >= _MIN_TOKENS)
+    canon = canonicalize_exact(qual, "doc_id", "text").filter(
+        F.col("is_dup") == 0
+    ).select("doc_id", "lang", "text", "n_tokens")
+    clusters = dedup_clusters(canon, "doc_id", "text", threshold=_JACCARD)
+    keep = clusters.filter(F.col("doc") == F.col("cluster_id")).select("doc")
+    kept = canon.join(keep, canon["doc_id"] == keep["doc"])
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
