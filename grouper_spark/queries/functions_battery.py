@@ -194,3 +194,47 @@ def q49_distinct(spark, sf_dir):
         .distinct()
         .orderBy("l_returnflag", "l_linestatus", "o_orderstatus")
     )
+
+
+@query(
+    "q65_map_fns",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events
+  GROUP BY user_id, event_type
+), sized AS (
+  SELECT user_id, COUNT(*) AS map_size FROM per GROUP BY user_id
+)
+SELECT p.user_id, p.event_type, p.cnt, s.map_size
+FROM per p JOIN sized s ON p.user_id = s.user_id
+ORDER BY p.user_id, p.event_type
+""",
+    tags=("functions", "map"),
+)
+def q65_map_fns(spark, sf_dir):
+    """MapType battery: per-user event_type→count maps built with
+    map_from_entries, then map_size + map_entries exploded back to rows.
+    The map round-trip is the operator under test; the oracle only needs
+    the flattened rows."""
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return (
+        maps.select(
+            "user_id",
+            F.size("m").alias("map_size"),
+            F.explode(F.map_entries("m")).alias("kv"),
+        )
+        .select(
+            "user_id",
+            F.col("kv.key").alias("event_type"),
+            F.col("kv.value").alias("cnt"),
+            "map_size",
+        )
+        .orderBy("user_id", "event_type")
+    )
