@@ -156,9 +156,19 @@ def salted_join(
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(f"salted_join supports inner/left, not {how!r}")
+    if "__salt" in skewed.columns or "__salt" in other.columns:
+        raise ValueError("salted_join: inputs must not already have __salt")
     keys = [on] if isinstance(on, str) else list(on)
+    # Salt entropy from every hashable column (xxhash64 rejects MapType);
+    # the key columns alone would map a hot key to ONE salt and defeat
+    # the whole point.
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name for f in skewed.schema.fields if not isinstance(f.dataType, MapType)
+    ]
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+        F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts)
     ).cast("int")
     s = skewed.withColumn("__salt", salt)
     o = other.withColumn(

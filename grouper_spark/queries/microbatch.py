@@ -4,8 +4,6 @@ schema are stable)."""
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 
 from pyspark.sql import functions as F

@@ -92,9 +92,15 @@ def q64_pipeline_end2end(spark, sf_dir):
         "n_tokens", token_count("text")
     )
     qual = d.filter(F.col("n_tokens") >= _MIN_TOKENS)
-    canon = canonicalize_exact(qual, "doc_id", "text").filter(
-        F.col("is_dup") == 0
-    ).select("doc_id", "lang", "text", "n_tokens")
+    # localCheckpoint: canon feeds three consumers (edge generation,
+    # cluster seed labels, the final join) — without it the scan + md5 +
+    # fingerprint window would execute three times
+    canon = (
+        canonicalize_exact(qual, "doc_id", "text")
+        .filter(F.col("is_dup") == 0)
+        .select("doc_id", "lang", "text", "n_tokens")
+        .localCheckpoint()
+    )
     clusters = dedup_clusters(canon, "doc_id", "text", threshold=_JACCARD)
     keep = clusters.filter(F.col("doc") == F.col("cluster_id")).select("doc")
     kept = canon.join(keep, canon["doc_id"] == keep["doc"])

@@ -353,10 +353,12 @@ def q62_pivot(spark, sf_dir):
             money_sum(F.col("o_totalprice"), "rev"),
         )
     )
+    # absent (priority, status) combos: pivot emits NULL, the oracle's
+    # COUNT(*) FILTER emits 0 — coalesce every pivoted cell
     return piv.select(
         "o_orderpriority",
-        F.col("F_n").alias("n_f"),
-        F.col("O_n").alias("n_o"),
-        F.col("P_n").alias("n_p"),
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
         F.coalesce("F_rev", F.lit(0.0)).alias("rev_f"),
     ).orderBy("o_orderpriority")

@@ -248,8 +248,12 @@ def q55_rolling_hash(spark, sf_dir):
         lambda t: (F.length(t) * 31 + F.ascii(F.substring(t, 1, 1))).cast("bigint"),
     )
     roll = F.aggregate(
-        F.slice(vals, 2, F.size(vals) - 1),
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
         F.element_at(vals, 1),
         lambda acc, b: (acc * 1000003 + b) % 2147483647,
     )
-    return d.select("doc_id", roll.alias("roll_hash")).orderBy("doc_id")
+    # Zero-token docs: slice(…, 2, size-1) would get length -1 (runtime
+    # error) and the seed element_at would be null — hash them to 0, the
+    # same value DuckDB's f('') fold yields for whitespace-only text.
+    safe = F.when(F.size(vals) == 0, F.lit(0).cast("bigint")).otherwise(roll)
+    return d.select("doc_id", safe.alias("roll_hash")).orderBy("doc_id")

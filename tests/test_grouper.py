@@ -268,34 +268,32 @@ def test_dataframe_proc_fn(spark):
 
 # --- property-based invariants (hypothesis) ---------------------------------
 
-try:
-    from hypothesis import given, settings
-    from hypothesis import strategies as st
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
-    @given(items=st.lists(st.integers(min_value=-10**6, max_value=10**6),
-                          min_size=1, max_size=50))
-    @settings(max_examples=25, deadline=None)
-    def test_property_positional_identity(items):
-        """For ANY submitted sequence, result i == proc(items)[i] — the
-        reference's core invariant (core.clj:74-79) under random input."""
-        with make(lambda xs: [x * 2 + 1 for x in xs], capacity=len(items)) as g:
-            futs = [g.submit(x) for x in items]
-            g.flush()
-            got = [f.result(10) for f in futs]
-        assert got == [x * 2 + 1 for x in items]
 
-    @given(items=st.lists(st.integers(), min_size=1, max_size=20),
-           keep=st.integers(min_value=0, max_value=25))
-    @settings(max_examples=25, deadline=None)
-    def test_property_pad_and_truncate(items, keep):
-        """proc returning a wrong-length list pads with None / drops the
-        excess (core.clj:74-76) for every length combination."""
-        with make(lambda xs: list(xs)[:keep], capacity=len(items)) as g:
-            futs = [g.submit(x) for x in items]
-            g.flush()
-            got = [f.result(10) for f in futs]
-        want = (list(items)[:keep] + [None] * len(items))[: len(items)]
-        assert got == want
+@given(items=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                      min_size=1, max_size=50))
+@settings(max_examples=25, deadline=None)
+def test_property_positional_identity(items):
+    """For ANY submitted sequence, result i == proc(items)[i] — the
+    reference's core invariant (core.clj:74-79) under random input."""
+    with make(lambda xs: [x * 2 + 1 for x in xs], capacity=len(items)) as g:
+        futs = [g.submit(x) for x in items]
+        g.flush()
+        got = [f.result(10) for f in futs]
+    assert got == [x * 2 + 1 for x in items]
 
-except ImportError:  # hypothesis not installed — property tests skipped
-    pass
+
+@given(items=st.lists(st.integers(), min_size=1, max_size=20),
+       keep=st.integers(min_value=0, max_value=25))
+@settings(max_examples=25, deadline=None)
+def test_property_pad_and_truncate(items, keep):
+    """proc returning a wrong-length list pads with None / drops the
+    excess (core.clj:74-76) for every length combination."""
+    with make(lambda xs: list(xs)[:keep], capacity=len(items)) as g:
+        futs = [g.submit(x) for x in items]
+        g.flush()
+        got = [f.result(10) for f in futs]
+    want = (list(items)[:keep] + [None] * len(items))[: len(items)]
+    assert got == want

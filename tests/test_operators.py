@@ -206,3 +206,20 @@ def test_dedup_clusters_transitive_chain(spark):
            dedup_clusters(df, "doc_id", "text", threshold=0.2).collect()}
     assert out[1] == out[2] == out[3] == 1
     assert out[4] == 4
+
+
+def test_dedup_clusters_long_chain_pointer_jumping(spark):
+    from grouper_spark.operators import dedup_clusters
+
+    # doc i shares a 3-gram window with doc i+1 only → a 12-long chain.
+    # Plain min-propagation needs ~11 rounds; pointer jumping must
+    # converge within 6, or raise.
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(12):
+        seg = words[i * 3 : i * 3 + 6]  # overlaps next doc by 3 words
+        docs.append((i + 1, " ".join(seg)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = dedup_clusters(df, "doc_id", "text", threshold=0.1, max_iters=6)
+    labels = {r["doc"]: r["cluster_id"] for r in out.collect()}
+    assert set(labels.values()) == {1}
