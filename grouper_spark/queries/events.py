@@ -195,3 +195,63 @@ def q27_session_window(spark, sf_dir):
         .drop("session_id")
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q67_funnel",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_signup,
+       COUNT(c.user_id) AS n_click_after,
+       COUNT(p.user_id) AS n_purchase_after
+FROM s
+LEFT JOIN c ON s.user_id = c.user_id
+LEFT JOIN p ON s.user_id = p.user_id
+""",
+    tags=("event_time", "funnel"),
+)
+def q67_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup → click → purchase: each step's
+    first event must follow the previous step's. Three per-user min
+    aggregations chained by key joins — every stage partitions on
+    user_id, so at scale the shuffles co-locate and AQE can reuse the
+    exchange."""
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    funnel = s.join(c, "user_id", "left").join(p, "user_id", "left")
+    return funnel.agg(
+        F.count("*").alias("n_signup"),
+        F.count("c_ts").alias("n_click_after"),
+        F.count("p_ts").alias("n_purchase_after"),
+    )

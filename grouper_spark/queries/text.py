@@ -257,3 +257,47 @@ def q55_rolling_hash(spark, sf_dir):
     # same value DuckDB's f('') fold yields for whitespace-only text.
     safe = F.when(F.size(vals) == 0, F.lit(0).cast("bigint")).otherwise(roll)
     return d.select("doc_id", safe.alias("roll_hash")).orderBy("doc_id")
+
+
+@query(
+    "q66_fuzzy_join",
+    oracle="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
+FROM documents a
+JOIN documents b
+  ON substr(a.text, 1, 4) = substr(b.text, 1, 4)
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10
+ORDER BY doc_a, doc_b
+""",
+    tags=("text", "join", "fuzzy"),
+)
+def q66_fuzzy_join(spark, sf_dir):
+    """Fuzzy self-join: candidate pairs from an equi-join on a 4-char
+    prefix block, verified by Levenshtein distance over the head of the
+    text. The block-then-verify shape is the scale pattern — edit
+    distance runs only on candidates, never on the n² pair space."""
+    d = table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 40)
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 4).alias("blk"),
+        head.alias("head_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 4).alias("blk"),
+        head.alias("head_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("head_a", "head_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 10)
+        .orderBy("doc_a", "doc_b")
+    )
