@@ -88,3 +88,37 @@ def test_stateful_running_sum_state_accumulates(spark):
     assert final[2] == (2, 100)
     # state genuinely spanned micro-batches: some key emitted more than once
     assert len(emitted) > len(final)
+
+
+def test_checkpoint_resume_exactly_once(spark):
+    """Restarting an availableNow stream on the SAME checkpoint must not
+    reprocess committed batches — the exactly-once contract the 100 TB
+    path relies on for restarts."""
+    from grouper_spark.streaming import stage_stream_source
+
+    src = stage_stream_source(
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "id long, v long"), 2
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), f"gs-ckpt-{uuid.uuid4().hex}")
+    out = os.path.join(tempfile.gettempdir(), f"gs-out-{uuid.uuid4().hex}")
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    run_once()  # same checkpoint: nothing new to process
+    second = spark.read.parquet(out).count()
+    assert first == 8
+    assert second == 8, "restart reprocessed already-committed batches"
