@@ -362,3 +362,68 @@ def q62_pivot(spark, sf_dir):
         F.coalesce("P_n", F.lit(0)).alias("n_p"),
         F.coalesce("F_rev", F.lit(0.0)).alias("rev_f"),
     ).orderBy("o_orderpriority")
+
+
+@query("q68_approx_percentiles", oracle=None, tags=("agg", "approx", "rows_only"))
+def q68_approx_percentiles(spark, sf_dir):
+    """Sketch-path percentiles: approx_percentile (mergeable digest,
+    map-side combinable — the 100 TB replacement for q61's exact sort).
+    Deterministic for a fixed accuracy, but digest internals have no
+    DuckDB equivalent → rows-only check."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)), 4
+            ).alias("median_approx"),
+            F.round(
+                F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)), 4
+            ).alias("p90_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q69_set_ops_all",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+), b AS (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT 'inter' AS op, o_custkey, COUNT(*) AS n FROM (
+  SELECT * FROM a INTERSECT ALL SELECT * FROM b
+) GROUP BY o_custkey
+UNION ALL
+SELECT 'exc' AS op, o_custkey, COUNT(*) AS n FROM (
+  SELECT * FROM a EXCEPT ALL SELECT * FROM b
+) GROUP BY o_custkey
+ORDER BY op, o_custkey
+""",
+    tags=("setops",),
+)
+def q69_set_ops_all(spark, sf_dir):
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL) — bag
+    semantics with duplicate counts preserved, unlike q10's distinct
+    variants. Both compile to a single aggregate on the value with
+    min/diff of per-side counts — one shuffle each."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("inter"))
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("exc"))
+    )
+    return inter.unionByName(exc).select("op", "o_custkey", "n").orderBy(
+        "op", "o_custkey"
+    )
