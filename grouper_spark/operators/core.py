@@ -159,14 +159,26 @@ def salted_join(
     if "__salt" in skewed.columns or "__salt" in other.columns:
         raise ValueError("salted_join: inputs must not already have __salt")
     keys = [on] if isinstance(on, str) else list(on)
-    # Salt entropy from every hashable column (xxhash64 rejects MapType);
-    # the key columns alone would map a hot key to ONE salt and defeat
-    # the whole point.
-    from pyspark.sql.types import MapType
+    # Salt entropy from every hashable column (xxhash64 rejects MapType
+    # anywhere in the type, including nested in arrays/structs); the key
+    # columns alone would map a hot key to ONE salt and defeat the whole
+    # point.
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    hashable = [
-        f.name for f in skewed.schema.fields if not isinstance(f.dataType, MapType)
-    ]
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    hashable = [f.name for f in skewed.schema.fields if not _has_map(f.dataType)]
+    if not hashable:
+        raise ValueError(
+            "salted_join: no hashable (map-free) columns to derive a salt from"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts)
     ).cast("int")

@@ -330,10 +330,14 @@ def dedup_clusters(
         prop = labels.join(edges, labels["doc"] == edges["src"]).select(
             F.col("dst").alias("doc"), "cluster_id"
         )
+        # checkpoint before the self-referencing parent join: stepped
+        # appears on both sides, and without materialization the whole
+        # union+aggregate subtree would execute twice per round
         stepped = (
             labels.unionByName(prop)
             .groupBy("doc")
             .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
         )
         # pointer jumping: labels are doc ids, so each label has its own
         # label — follow it one hop (label monotonically decreases, so

@@ -368,8 +368,8 @@ def q62_pivot(spark, sf_dir):
 def q68_approx_percentiles(spark, sf_dir):
     """Sketch-path percentiles: approx_percentile (mergeable digest,
     map-side combinable — the 100 TB replacement for q61's exact sort).
-    Deterministic for a fixed accuracy, but digest internals have no
-    DuckDB equivalent → rows-only check."""
+    Sketch merges are arrival-order-dependent, so values may wobble
+    within the accuracy bound across runs → rows-only check."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")

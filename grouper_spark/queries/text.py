@@ -262,13 +262,18 @@ def q55_rolling_hash(spark, sf_dir):
 @query(
     "q66_fuzzy_join",
     oracle="""
+WITH h AS (
+  SELECT doc_id,
+         substr(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), 1, 40) AS head
+  FROM documents
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
-FROM documents a
-JOIN documents b
-  ON substr(a.text, 1, 4) = substr(b.text, 1, 4)
+       levenshtein(a.head, b.head) AS edit_dist
+FROM h a
+JOIN h b
+  ON substr(a.head, 1, 4) = substr(b.head, 1, 4)
  AND a.doc_id < b.doc_id
-WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10
+WHERE levenshtein(a.head, b.head) <= 10
 ORDER BY doc_a, doc_b
 """,
     tags=("text", "join", "fuzzy"),
@@ -277,17 +282,23 @@ def q66_fuzzy_join(spark, sf_dir):
     """Fuzzy self-join: candidate pairs from an equi-join on a 4-char
     prefix block, verified by Levenshtein distance over the head of the
     text. The block-then-verify shape is the scale pattern — edit
-    distance runs only on candidates, never on the n² pair space."""
+    distance runs only on candidates, never on the n² pair space.
+
+    Both sides strip non-ASCII before the distance: DuckDB's levenshtein
+    counts BYTES while Spark counts code points, so multi-byte chars
+    would diverge; on ASCII the two are identical by construction."""
     d = table(spark, sf_dir, "documents")
-    head = F.substring("text", 1, 40)
+    head = F.substring(
+        F.regexp_replace("text", r"[^\x00-\x7F]", ""), 1, 40
+    )
     a = d.select(
         F.col("doc_id").alias("doc_a"),
-        F.substring("text", 1, 4).alias("blk"),
+        F.substring(head, 1, 4).alias("blk"),
         head.alias("head_a"),
     )
     b = d.select(
         F.col("doc_id").alias("doc_b"),
-        F.substring("text", 1, 4).alias("blk"),
+        F.substring(head, 1, 4).alias("blk"),
         head.alias("head_b"),
     )
     return (

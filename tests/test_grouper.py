@@ -268,8 +268,9 @@ def test_dataframe_proc_fn(spark):
 
 # --- property-based invariants (hypothesis) ---------------------------------
 
-from hypothesis import given, settings
-from hypothesis import strategies as st
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
 
 
 @given(items=st.lists(st.integers(min_value=-10**6, max_value=10**6),
