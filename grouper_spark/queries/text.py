@@ -312,3 +312,71 @@ def q66_fuzzy_join(spark, sf_dir):
         .filter(F.col("edit_dist") <= 10)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q70_pii_scrub",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact: user' || doc_id ||
+         '@example.com or https://site' || doc_id ||
+         '.example/page call 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+           AS raw
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, raw,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+           '555-[0-9]{4}', '<PHONE>', 'g') AS clean
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         AS n_emails,
+       len(regexp_extract_all(raw, 'https?://[^ ]+')) AS n_urls,
+       len(regexp_extract_all(raw, '555-[0-9]{4}')) AS n_phones,
+       md5(clean) AS clean_md5,
+       CAST(NOT contains(clean, '@example.com') AS INT) AS email_gone
+FROM scrubbed
+ORDER BY doc_id
+""",
+    tags=("text", "pii"),
+)
+def q70_pii_scrub(spark, sf_dir):
+    """PII scrubbing: email / URL / phone patterns replaced with typed
+    placeholder tokens — the redaction pass every training corpus runs.
+    Fixture text is synthetic-clean, so deterministic PII is injected
+    per doc first; the oracle hash-verifies the scrubbed output, and
+    ``email_gone`` proves removal. Pure regexp_replace chain: map-only,
+    whole-stage codegen, zero shuffles at any scale."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://site"), F.col("doc_id").cast("string"),
+        F.lit(".example/page call 555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url_re = r"https?://[^ ]+"
+    phone_re = r"555-[0-9]{4}"
+    aug = d.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("raw", email_re, "<EMAIL>"), url_re, "<URL>"
+        ),
+        phone_re,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(email_re), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(url_re), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all("raw", F.lit(phone_re), 0)).alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+        (~clean.contains("@example.com")).cast("int").alias("email_gone"),
+    ).orderBy("doc_id")
