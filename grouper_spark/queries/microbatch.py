@@ -255,3 +255,77 @@ def q60_stream_stream_join(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+@query(
+    "q71_incremental_matview",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS total_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "incremental"),
+)
+def q71_incremental_matview(spark, sf_dir):
+    """Incremental materialized-view maintenance: each micro-batch's
+    partial aggregate is merged into a persistent parquet view inside
+    foreachBatch (read-merge-overwrite; at scale, MERGE INTO on a
+    transactional table). After the drain the view must equal the batch
+    groupBy — the exact SQL oracle. This is the foreachBatch upsert
+    pattern that keeps derived tables fresh without reprocessing
+    history."""
+    import os
+    import tempfile
+
+    from ..functions.text import money
+
+    src = stage_stream_source(
+        table(spark, sf_dir, "events").select(
+            "event_type", money("value").alias("cents")
+        ),
+        4,
+    )
+    view_dir = os.path.join(tempfile.gettempdir(), f"mv-{uuid.uuid4().hex}")
+    schema = spark.read.parquet(src).schema
+
+    def merge(batch_df, batch_id):
+        part = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"), F.sum("cents").alias("total_cents")
+        )
+        if os.path.exists(view_dir):
+            prev = spark.read.parquet(view_dir)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_cents").alias("total_cents"),
+                )
+            )
+        else:
+            merged = part
+        # collect-then-rewrite avoids reading+overwriting the same files
+        # in one plan; the view is group-key-sized (tiny) by definition
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(view_dir)
+
+    with scoped_shuffle_partitions(spark, _STREAM_SHUFFLE):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option(
+                "checkpointLocation",
+                view_dir + "-ckpt",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(view_dir).orderBy("event_type")
