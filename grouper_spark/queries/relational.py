@@ -427,3 +427,77 @@ def q69_set_ops_all(spark, sf_dir):
     return inter.unionByName(exc).select("op", "o_custkey", "n").orderBy(
         "op", "o_custkey"
     )
+
+
+@query(
+    "q72_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, n_orders
+FROM wide
+UNPIVOT (n_orders FOR status IN (n_f, n_o, n_p))
+ORDER BY o_orderpriority, status
+""",
+    tags=("agg", "pivot"),
+)
+def q72_unpivot(spark, sf_dir):
+    """Unpivot (melt): the wide pivot table back to long form —
+    DataFrame.unpivot with explicit value columns, the inverse of q62.
+    Wide→long is a per-row explode, no shuffle beyond the source agg."""
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["n_f", "n_o", "n_p"], "status", "n_orders"
+    ).orderBy("o_orderpriority", "status")
+
+
+@query(
+    "q73_stats",
+    oracle="""
+SELECT o_orderpriority,
+       round(stddev_samp(o_totalprice), 4) AS price_stddev,
+       round(var_samp(o_totalprice), 4) AS price_var,
+       round(covar_samp(o_totalprice, o_custkey), 4) AS price_cust_cov,
+       round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("agg", "stats"),
+)
+def q73_stats(spark, sf_dir):
+    """Statistical aggregate battery: sample stddev/variance, covariance
+    and correlation per group. Both engines use single-pass co-moment
+    updates; rounding absorbs the last-ulp accumulation-order noise."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("o_totalprice"), 4).alias("price_var"),
+            F.round(F.covar_samp("o_totalprice", "o_custkey"), 4).alias(
+                "price_cust_cov"
+            ),
+            F.round(F.corr("o_totalprice", "o_custkey"), 6).alias(
+                "price_cust_corr"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

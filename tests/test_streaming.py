@@ -122,3 +122,23 @@ def test_checkpoint_resume_exactly_once(spark):
     second = spark.read.parquet(out).count()
     assert first == 8
     assert second == 8, "restart reprocessed already-committed batches"
+
+
+def test_processing_time_trigger_drains(spark):
+    """The interval path (Trigger.ProcessingTime + processAllAvailable):
+    all staged rows must be processed and stamped with ok status."""
+    from grouper_spark.streaming import grouper_process_stream, stage_stream_source
+
+    src = stage_stream_source(
+        spark.createDataFrame([(i, i + 100) for i in range(6)], "id long, v long"), 2
+    )
+    out = grouper_process_stream(
+        spark,
+        src,
+        lambda df: df.withColumn("doubled", df["v"] * 2),
+        interval_ms=200,
+        max_files_per_trigger=1,
+    )
+    rows = out.orderBy("id").collect()
+    assert len(rows) == 6
+    assert all(r["status"] == "ok" and r["doubled"] == r["v"] * 2 for r in rows)
