@@ -238,3 +238,40 @@ def q65_map_fns(spark, sf_dir):
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "q76_agg_extras",
+    oracle="""
+SELECT o_orderpriority,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       CAST(bool_and(o_totalprice > 0) AS INT) AS all_positive,
+       CAST(bool_or(o_orderstatus = 'P') AS INT) AS any_pending,
+       bit_and(o_custkey) AS cust_bit_and,
+       bit_or(o_custkey) AS cust_bit_or
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("agg", "functions"),
+)
+def q76_agg_extras(spark, sf_dir):
+    """Aggregate extras: arg-min/max (min_by/max_by), boolean every/any,
+    bitwise AND/OR — all single-pass hash aggregates with map-side
+    partials. min_by ties are broken identically in both engines only
+    when the extremum is unique; o_totalprice is (cents-valued, wide
+    range) effectively unique per priority group at fixture scales."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.every(F.col("o_totalprice") > 0).cast("int").alias("all_positive"),
+            F.some(F.col("o_orderstatus") == "P").cast("int").alias("any_pending"),
+            F.bit_and("o_custkey").alias("cust_bit_and"),
+            F.bit_or("o_custkey").alias("cust_bit_or"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -153,3 +153,74 @@ def q21_asof_join(spark, sf_dir):
         F.col("ts_signup").alias("signup_ts"),
         F.col("value_signup").alias("signup_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "q74_grouping_id",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    tags=("agg", "rollup"),
+)
+def q74_grouping_id(spark, sf_dir):
+    """grouping() markers on rollup output: distinguishes a NULL group
+    key in the data from the NULL a rollup subtotal synthesizes — the
+    only correct way to consume rollup output downstream."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count("*").alias("n_items"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n_items")
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q75_time_range_window",
+    oracle="""
+SELECT event_id, user_id, ts,
+       SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS hour_cents
+FROM events
+WHERE user_id < 10
+ORDER BY user_id, ts, event_id
+""",
+    tags=("window", "event_time"),
+)
+def q75_time_range_window(spark, sf_dir):
+    """Time-interval RANGE window frame: per-user rolling 1-hour sum —
+    the frame is bounded by event-time distance, not row count
+    (rangeBetween over epoch seconds). The sliding-aggregation shape
+    behind rate limiting and rolling feature windows."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    cents = F.round(F.col("value") * 100.0, 0).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(cents).over(w).alias("hour_cents"),
+    ).orderBy("user_id", "ts", "event_id")
