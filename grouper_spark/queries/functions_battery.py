@@ -275,3 +275,100 @@ def q76_agg_extras(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q77_histogram",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(ROUND(o_totalprice * 100)) AS BIGINT) AS lo_cents,
+       CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT) AS hi_cents
+FROM orders
+GROUP BY o_orderpriority, bucket
+ORDER BY o_orderpriority, bucket
+""",
+    tags=("agg", "histogram"),
+)
+def q77_histogram(spark, sf_dir):
+    """Fixed-width histogram per group: floor-bucketed totals with
+    bucket extrema — the distribution profile behind data-quality
+    dashboards. Pure arithmetic bucketing (no UDF), one shuffle on
+    (group, bucket)."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.select("o_orderpriority", bucket.alias("bucket"), cents.alias("c"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+        )
+        .orderBy("o_orderpriority", "bucket")
+    )
+
+
+@query(
+    "q78_null_fns",
+    oracle="""
+SELECT c_custkey,
+       coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+       CAST(c_acctbal < 0 AS INT) AS in_debt,
+       ifnull(NULLIF(c_nationkey, 0), -1) AS nation_or_sentinel,
+       CASE WHEN c_acctbal IS NULL THEN 'null'
+            WHEN c_acctbal = 0 THEN 'zero' ELSE 'set' END AS bal_class
+FROM customer
+ORDER BY c_custkey
+""",
+    tags=("functions", "null"),
+)
+def q78_null_fns(spark, sf_dir):
+    """Null-handling battery: coalesce / nullif / ifnull / CASE-null
+    classing — the canonicalization pass before joins treat sentinel
+    values as real keys."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_masked"),
+        (F.col("c_acctbal") < 0).cast("int").alias("in_debt"),
+        F.ifnull(F.nullif("c_nationkey", F.lit(0)), F.lit(-1)).alias(
+            "nation_or_sentinel"
+        ),
+        F.when(F.col("c_acctbal").isNull(), "null")
+        .when(F.col("c_acctbal") == 0, "zero")
+        .otherwise("set")
+        .alias("bal_class"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q79_posexplode",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE doc_id < 20
+)
+SELECT doc_id,
+       unnest(generate_series(1, len(toks))) - 1 AS pos,
+       unnest(toks) AS tok
+FROM t
+ORDER BY doc_id, pos
+""",
+    tags=("functions", "array"),
+)
+def q79_posexplode(spark, sf_dir):
+    """Positional explode: token stream with 0-based positions — the
+    lateral-unnest shape for sequence features (position-aware n-grams,
+    alignment labels)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    from ..functions.text import tokens
+
+    return d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    ).orderBy("doc_id", "pos")
