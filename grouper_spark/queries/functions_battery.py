@@ -243,14 +243,20 @@ def q65_map_fns(spark, sf_dir):
 @query(
     "q76_agg_extras",
     oracle="""
+WITH keyed AS (
+  SELECT *,
+         lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 14, '0')
+           || '-' || lpad(CAST(o_orderkey AS VARCHAR), 14, '0') AS price_key
+  FROM orders
+)
 SELECT o_orderpriority,
-       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       arg_min(o_orderkey, price_key) AS cheapest_order,
+       arg_max(o_orderkey, price_key) AS priciest_order,
        CAST(bool_and(o_totalprice > 0) AS INT) AS all_positive,
        CAST(bool_or(o_orderstatus = 'P') AS INT) AS any_pending,
        bit_and(o_custkey) AS cust_bit_and,
        bit_or(o_custkey) AS cust_bit_or
-FROM orders
+FROM keyed
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
@@ -259,15 +265,22 @@ ORDER BY o_orderpriority
 def q76_agg_extras(spark, sf_dir):
     """Aggregate extras: arg-min/max (min_by/max_by), boolean every/any,
     bitwise AND/OR — all single-pass hash aggregates with map-side
-    partials. min_by ties are broken identically in both engines only
-    when the extremum is unique; o_totalprice is (cents-valued, wide
-    range) effectively unique per priority group at fixture scales."""
+    partials. The min_by/max_by ordering key is (price, orderkey) as a
+    fixed-width string, so the extremum is UNIQUE and both engines must
+    pick the same order — ties would otherwise be engine-dependent."""
     o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    price_key = F.concat(
+        F.lpad(cents.cast("string"), 14, "0"),
+        F.lit("-"),
+        F.lpad(F.col("o_orderkey").cast("string"), 14, "0"),
+    )
+    o = o.withColumn("price_key", price_key)
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", "price_key").alias("cheapest_order"),
+            F.max_by("o_orderkey", "price_key").alias("priciest_order"),
             F.every(F.col("o_totalprice") > 0).cast("int").alias("all_positive"),
             F.some(F.col("o_orderstatus") == "P").cast("int").alias("any_pending"),
             F.bit_and("o_custkey").alias("cust_bit_and"),
@@ -350,7 +363,9 @@ def q78_null_fns(spark, sf_dir):
     "q79_posexplode",
     oracle="""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+           AS toks
   FROM documents
   WHERE doc_id < 20
 )

@@ -195,8 +195,9 @@ def q74_grouping_id(spark, sf_dir):
     oracle="""
 SELECT event_id, user_id, ts,
        SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
-         OVER (PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          AS hour_cents
 FROM events
 WHERE user_id < 10
@@ -206,21 +207,21 @@ ORDER BY user_id, ts, event_id
 )
 def q75_time_range_window(spark, sf_dir):
     """Time-interval RANGE window frame: per-user rolling 1-hour sum —
-    the frame is bounded by event-time distance, not row count
-    (rangeBetween over epoch seconds). The sliding-aggregation shape
-    behind rate limiting and rolling feature windows."""
-    from pyspark.sql import Window
-
+    the frame is bounded by event-time distance, not row count.
+    Frames are defined on WHOLE epoch seconds on BOTH sides
+    (unix_timestamp truncates; the oracle floors epoch()) — framing one
+    side on microsecond timestamps would silently disagree near the
+    window edge. The sliding-aggregation shape behind rate limiting and
+    rolling feature windows."""
     e = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-3600, 0)
     )
-    cents = F.round(F.col("value") * 100.0, 0).cast("bigint")
     return e.select(
         "event_id",
         "user_id",
         "ts",
-        F.sum(cents).over(w).alias("hour_cents"),
+        F.sum(money("value")).over(w).alias("hour_cents"),
     ).orderBy("user_id", "ts", "event_id")
