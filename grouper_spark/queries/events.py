@@ -255,3 +255,38 @@ def q67_funnel(spark, sf_dir):
         F.count("c_ts").alias("n_click_after"),
         F.count("p_ts").alias("n_purchase_after"),
     )
+
+
+@query(
+    "q80_date_arith",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       datediff('day', o_orderdate, DATE '2026-01-01') AS age_days,
+       round(datediff('day', o_orderdate, DATE '2026-01-01') / 30.4375, 2)
+         AS age_months_approx,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+    tags=("date",),
+)
+def q80_date_arith(spark, sf_dir):
+    """Date arithmetic battery: interval add, month-end, day diffs,
+    approximate month age (day-count based on BOTH sides — Spark's
+    months_between uses calendar months, DuckDB's datediff('month')
+    counts boundary crossings; a shared day-count formula sidesteps the
+    engine disagreement), ISO week truncation."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    day = F.col("o_orderdate").cast("date")
+    age_days = F.datediff(F.lit("2026-01-01").cast("date"), day)
+    return o.select(
+        "o_orderkey",
+        F.date_add(day, 30).alias("due_date"),
+        F.last_day(day).alias("month_end"),
+        age_days.cast("bigint").alias("age_days"),
+        F.round(age_days / 30.4375, 2).alias("age_months_approx"),
+        F.date_trunc("week", day).cast("date").alias("week_start"),
+    ).orderBy("o_orderkey")
