@@ -380,3 +380,114 @@ def q70_pii_scrub(spark, sf_dir):
         F.md5(clean).alias("clean_md5"),
         (~clean.contains("@example.com")).cast("int").alias("email_gone"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q81_context_windows",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+           AS toks
+  FROM documents
+  WHERE doc_id < 50
+)
+SELECT doc_id,
+       unnest(generate_series(0,
+           CAST(floor(greatest(len(toks) - 32, 0) / 16.0) AS BIGINT))) AS win_idx,
+       array_to_string(
+         list_slice(toks,
+             unnest(generate_series(0,
+                 CAST(floor(greatest(len(toks) - 32, 0) / 16.0) AS BIGINT))) * 16 + 1,
+             unnest(generate_series(0,
+                 CAST(floor(greatest(len(toks) - 32, 0) / 16.0) AS BIGINT))) * 16 + 32),
+         ' ') AS window_text
+FROM t
+ORDER BY doc_id, win_idx
+""",
+    tags=("text", "training"),
+)
+def q81_context_windows(spark, sf_dir):
+    """Sliding context windows: each document's token stream chunked
+    into windows of 32 tokens with stride 16 (the overlap-chunking every
+    LLM pretraining pipeline runs before tokenization). Window count is
+    floor(max(n-32,0)/16)+1, so short docs yield exactly one (possibly
+    partial) window. Pure sequence/slice/explode — no shuffle until the
+    final sort."""
+    W, S = 32, 16
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = tokens("text")
+    n_win = F.floor(F.greatest(F.size(toks) - W, F.lit(0)) / S).cast("bigint")
+    t = d.select("doc_id", toks.alias("toks"), n_win.alias("n_win"))
+    win = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_win"))).alias(
+            "win_idx"
+        ),
+    )
+    return win.select(
+        "doc_id",
+        "win_idx",
+        F.array_join(
+            F.slice(F.col("toks"), (F.col("win_idx") * S + 1).cast("int"), W), " "
+        ).alias("window_text"),
+    ).orderBy("doc_id", "win_idx")
+
+
+@query(
+    "q82_token_budget_packing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''))
+           AS n_tokens
+  FROM documents
+), binned AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor(
+           (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0
+         ) AS BIGINT) AS pack_id
+  FROM t
+)
+SELECT lang, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM binned
+GROUP BY lang, pack_id
+ORDER BY lang, pack_id
+""",
+    tags=("text", "training"),
+)
+def q82_token_budget_packing(spark, sf_dir):
+    """Token-budget packing: documents assigned to ~512-token packs per
+    language by running-total binning (pack = floor(prefix_sum/budget)).
+    The distributed stand-in for greedy sequence packing — one window
+    pass + one aggregate, deterministic, no sequential loop. Packs can
+    overflow by at most one document, the standard trade for
+    parallelism."""
+    BUDGET = 512
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = d.select(
+        "doc_id", "lang", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = t.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(BUDGET)).cast(
+            "bigint"
+        ),
+    )
+    return (
+        binned.groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
