@@ -94,4 +94,16 @@ def q42_multimodal_features(spark, sf_dir):
                 }
             )
 
-    return d.mapInPandas(extract, schema=_OUT_SCHEMA).orderBy("doc_id")
+    out = d.mapInPandas(extract, schema=_OUT_SCHEMA)
+    # The UDF emits a real array<double> column (the plumbing a decoder
+    # needs), but the driver's pandas canonicalizer cannot hash lists —
+    # serialize it at the boundary and keep a scalar reduction alongside.
+    return out.select(
+        "doc_id",
+        "payload_bytes",
+        F.to_json("features").alias("features_json"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+        "decoder",
+    ).orderBy("doc_id")

@@ -224,7 +224,8 @@ def q07_cube(spark, sf_dir):
 GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_items,
-       SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) / 100.0 AS sum_price
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) / 100.0
+            AS DOUBLE) AS sum_price
 FROM {lineitem}
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
