@@ -8,7 +8,7 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
-from .similarity import ann_topk_bruteforce, ivf_ann, lsh_bucket_ann
+from .similarity import ann_topk_bruteforce, ivf_ann, lsh_bucket_ann, lsh_neardup_pairs
 
 __all__ = [
     "asof_join",

@@ -94,3 +94,15 @@ def test_minhash_lsh_single_signature_pipeline(spark, sf_dir, registry):
     df = registry["q35_minhash_lsh"].fn(spark, sf_dir)
     plan = optimized_of(df)
     assert plan.count("xxhash64(concat(mh0|") == 1, plan
+
+
+def test_q83_neardup_no_allpairs_join(spark, sf_dir, registry):
+    # the scale path must generate candidates via bucket equi-joins —
+    # never a corpus×corpus nested-loop/cartesian product (q53 keeps the
+    # all-pairs formulation as the oracle; q83 is the one users run)
+    df = registry["q83_neardup_lsh_rerank"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # candidate→vector rerank joins are equi-joins
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
