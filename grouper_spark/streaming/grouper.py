@@ -10,18 +10,33 @@ Spark world. Preserved invariants (SURVEY.md §2.B):
 2.  Positional result identity (i-th result ↔ i-th submitted item).
 3.  Scalar broadcast: non-sequence proc result delivered to every item.
 4.  Pad & truncate: short results padded with None, long truncated.
-5.  Callback invoked before the future resolves.
+5.  Callback invoked before the future resolves. A callback that
+    *raises* falls into the batch failure path (reference body-fn's
+    outer catch, core.clj:68-83): errbacks fire for every request in
+    the batch and every not-yet-delivered future receives the
+    exception as its value (already-delivered futures keep their
+    results, mirroring Clojure ``deliver``'s no-op on re-delivery).
 6.  Batch-granular failure: one bad item fails its whole batch; the
     exception is delivered *as the result value* to every item (deref
     returns it, does not raise) and to every errback. No retry.
+    (Deviation, documented: a *raising errback* is swallowed rather
+    than aborting delivery to the remaining requests — the reference
+    would leave their promises undelivered forever.)
 7.  Two flush triggers: interval timer OR queue-full.
 8.  Producer backpressure: submit blocks while the queue is full.
 9.  Closed-state rejection: submit after close raises
     RuntimeError("Grouper is closed").
 10. Drain-on-shutdown: close() flushes everything already queued.
 11. No pool → batches process on the single dispatcher thread; pool=N →
-    up to N batches in flight (cross-batch completion order
-    nondeterministic, intra-batch order preserved).
+    at most N batches in the pool; when all N workers are busy the
+    *dispatcher runs the batch itself* (reference create-thread-pool's
+    SynchronousQueue + CallerRunsPolicy, core.clj:85-97), stalling the
+    drain loop so in-flight batches are bounded at N+1 and overload
+    backpressure propagates to producers. ``pool`` may also be an
+    existing executor instance (reference start! accepts an
+    ExecutorService, core.clj:108-122) — then submission is whatever
+    that executor does, and shutdown() still shuts it down
+    (core.clj:64-66 shuts the pool down unconditionally).
 
 Spark integration: ``proc_fn`` may be a plain ``seq -> seq`` function
 (reference-style, runs on the dispatcher/pool thread) or a
@@ -83,17 +98,34 @@ class Grouper:
             not isinstance(interval, (int, float)) or interval <= 0
         ):
             raise ValueError("interval must be a positive number of ms, or None")
-        if pool is not None and (
+        is_executor = pool is not None and callable(getattr(pool, "submit", None))
+        if pool is not None and not is_executor and (
             not isinstance(pool, int) or isinstance(pool, bool) or pool <= 0
         ):
-            raise ValueError("pool must be a positive int, or None")
+            raise ValueError(
+                "pool must be a positive int, an executor instance, or None"
+            )
         if dataframe_fn and spark is None:
             raise ValueError("dataframe_fn=True requires a SparkSession")
 
         self._proc_fn = proc_fn
         self._interval_s = None if interval is None else interval / 1000.0
         self._queue: _queue.Queue[Request] = _queue.Queue(maxsize=capacity)
-        self._executor = ThreadPoolExecutor(max_workers=pool) if pool else None
+        # pool=N → own a fixed pool with bounded submission: a semaphore
+        # sized to the pool emulates the reference's SynchronousQueue +
+        # CallerRunsPolicy (core.clj:85-97) — no idle worker means the
+        # dispatcher runs the batch itself instead of queueing it, so
+        # in-flight batches (and their buffers) never grow unboundedly.
+        # pool=<executor> → use it as-is (reference ExecutorService path).
+        if is_executor:
+            self._executor = pool
+            self._slots = None
+        elif pool:
+            self._executor = ThreadPoolExecutor(max_workers=pool)
+            self._slots = threading.Semaphore(pool)
+        else:
+            self._executor = None
+            self._slots = None
         self._spark = spark
         self._dataframe_fn = dataframe_fn
         self._running = True
@@ -142,7 +174,9 @@ class Grouper:
         while self._dispatcher.is_alive():
             self._wake_up()
             self._dispatcher.join(timeout=0.01)
-        if self._executor is not None:
+        if self._executor is not None and hasattr(self._executor, "shutdown"):
+            # Unconditional, even for a caller-supplied executor — the
+            # reference shuts the pool down either way (core.clj:64-66).
             self._executor.shutdown(wait=True)
 
     close = shutdown
@@ -189,9 +223,17 @@ class Grouper:
                     break
             if not batch:
                 continue
-            if self._executor is not None:
+            if self._executor is None:
+                self._process(batch)
+            elif self._slots is None:
+                # user-supplied executor: its own submission policy rules
                 self._executor.submit(self._process, batch)
+            elif self._slots.acquire(blocking=False):
+                self._executor.submit(self._process_release, batch)
             else:
+                # CallerRunsPolicy: all workers busy → the dispatcher runs
+                # the batch itself, stalling the drain loop (bounded
+                # in-flight; overload backpressure reaches submit()).
                 self._process(batch)
 
     # -- batch apply (body-fn, core.clj:68-83) ------------------------------
@@ -206,6 +248,12 @@ class Grouper:
             by_idx = {r["idx"]: r["result"] for r in rows}
             return [by_idx.get(i) for i in range(len(objs))]
         return self._proc_fn(objs)
+
+    def _process_release(self, batch: list[Request]) -> None:
+        try:
+            self._process(batch)
+        finally:
+            self._slots.release()
 
     def _process(self, batch: list[Request]) -> None:
         objs = [r.obj for r in batch]
@@ -222,22 +270,26 @@ class Grouper:
                 else:
                     results = results[: len(batch)]
             for req, res in zip(batch, results):
+                # A raising callback falls through to the outer catch —
+                # batch-granular errbacks, like the reference body-fn
+                # (core.clj:77-83) where the callback runs inside the try.
                 if req.callback is not None:
-                    try:
-                        req.callback(res)
-                    except Exception:
-                        pass  # callback errors never poison delivery
+                    req.callback(res)
                 req.future.set_result(res)
         except Exception as exc:
             # Batch-granular failure: exception delivered AS A VALUE to
             # every item (deref returns it), plus errbacks (core.clj:80-83).
+            # Already-delivered futures keep their results (Clojure
+            # `deliver` is a no-op on a realized promise); errback errors
+            # are swallowed so one bad errback can't strand the rest.
             for req in batch:
                 if req.errback is not None:
                     try:
                         req.errback(exc)
                     except Exception:
                         pass
-                req.future.set_result(exc)
+                if not req.future.done():
+                    req.future.set_result(exc)
 
 
 # -- functional API mirroring the reference (start!/submit!/shutdown!,

@@ -298,3 +298,94 @@ def test_property_pad_and_truncate(items, keep):
         got = [f.result(10) for f in futs]
     want = (list(items)[:keep] + [None] * len(items))[: len(items)]
     assert got == want
+
+
+# -- invariant 11: bounded in-flight batches (CallerRunsPolicy) -----------
+
+
+def test_pool_saturation_runs_on_dispatcher_and_bounds_inflight():
+    """With pool=2 and a slow proc, at most pool+1 batches execute
+    concurrently (2 workers + the dispatcher running one itself), and
+    the dispatcher stalls instead of queueing unbounded work — the
+    reference's SynchronousQueue + CallerRunsPolicy (core.clj:85-97,
+    concurrency pinned like core_test.clj:79-87)."""
+    lock = threading.Lock()
+    inflight = 0
+    high_water = 0
+    dispatcher_ran = threading.Event()
+    release = threading.Event()
+
+    def proc(xs):
+        nonlocal inflight, high_water
+        with lock:
+            inflight += 1
+            high_water = max(high_water, inflight)
+        if threading.current_thread().name == "grouper-dispatcher":
+            dispatcher_ran.set()
+        release.wait(5)
+        with lock:
+            inflight -= 1
+        return xs
+
+    g = Grouper(proc, capacity=100, interval=None, pool=2)
+    futs = []
+    for i in range(6):
+        futs.append(g.submit(i))
+        g.flush()  # one batch per item
+        time.sleep(0.05)
+    # 2 batches occupy the pool; batch 3 runs on the dispatcher, which
+    # therefore stalls — batches 4-6 are still in the queue, not in RAM
+    # as submitted-but-waiting pool work.
+    time.sleep(0.2)
+    with lock:
+        assert inflight <= 3
+    assert dispatcher_ran.is_set()
+    release.set()
+    assert [f.result(10) for f in futs] == list(range(6))
+    g.shutdown()
+    assert high_water <= 3  # never more than pool + dispatcher
+
+
+def test_pool_accepts_executor_instance():
+    """start! accepts an ExecutorService instance for :pool
+    (core.clj:108-122); shutdown() shuts it down (core.clj:64-66)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=2, thread_name_prefix="user-pool")
+    threads = set()
+    with make(lambda xs: [threads.add(threading.current_thread().name) or x for x in xs],
+              pool=ex) as g:
+        futs = [g.submit(i) for i in range(3)]
+        g.flush()
+        assert [f.result(5) for f in futs] == [0, 1, 2]
+    assert all(t.startswith("user-pool") for t in threads)
+    # grouper shutdown shut the caller's executor down too (reference parity)
+    with pytest.raises(RuntimeError):
+        ex.submit(lambda: None)
+
+
+# -- invariant 5/6: raising callback → batch-granular errbacks ------------
+
+
+def test_callback_exception_triggers_batch_errbacks():
+    """A callback that raises falls into the body-fn outer catch
+    (core.clj:68-83): errbacks fire for EVERY request in the batch,
+    not-yet-delivered futures get the exception as their value, and
+    already-delivered futures keep their results."""
+    errbacked = []
+    boom = ValueError("callback exploded")
+
+    def bad_callback(res):
+        raise boom
+
+    with make(lambda xs: [x * 10 for x in xs]) as g:
+        f1 = g.submit(1, errback=lambda e: errbacked.append(("a", e)))
+        f2 = g.submit(2, callback=bad_callback,
+                      errback=lambda e: errbacked.append(("b", e)))
+        f3 = g.submit(3, errback=lambda e: errbacked.append(("c", e)))
+        g.flush()
+        assert f1.result(5) == 10          # delivered before the explosion
+        assert f2.result(5) is boom        # exception as a value, not raised
+        assert f3.result(5) is boom
+    assert [tag for tag, _ in errbacked] == ["a", "b", "c"]
+    assert all(e is boom for _, e in errbacked)
