@@ -53,22 +53,29 @@ def grouper_process_stream(
         )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # The write action lives INSIDE the try: proc_fn only builds a
+        # lazy plan, so execution-time failures (a raising UDF, bad data)
+        # surface at out.write — catching them here is what actually
+        # keeps Spark's task-retry machinery from re-running user side
+        # effects, the reference's no-retry contract (core.clj:80-83).
         try:
             out = proc_fn(batch_df)
             out = out.withColumn("batch_id", F.lit(batch_id)).withColumn(
                 "status", F.lit("ok")
             ).withColumn("error", F.lit(None).cast("string"))
+            out.write.mode("append").parquet(result_dir)
         except Exception as exc:  # error-as-value: never let Spark retry
             # Dead-letter channel: same fate for the whole batch
-            # (batch-granular failure, core.clj:80-83), separate sink so
-            # the ok-result schema stays uniform.
+            # (batch-granular failure, core.clj:80-83). The failed rows'
+            # full payload rides along — like the reference errback,
+            # which hands each request's context to its errback — so
+            # failures are identifiable and replayable.
             batch_df.select(
+                "*",
                 F.lit(batch_id).alias("batch_id"),
                 F.lit("error").alias("status"),
                 F.lit(str(exc)).alias("error"),
             ).write.mode("append").parquet(result_dir + "-errors")
-            return
-        out.write.mode("append").parquet(result_dir)
 
     stream = (
         spark.readStream.schema(schema)
@@ -86,7 +93,12 @@ def grouper_process_stream(
         query = writer.trigger(processingTime=f"{interval_ms} milliseconds").start()
         query.processAllAvailable()
         query.stop()
-    if not os.path.exists(result_dir):
+    import glob as _glob
+
+    # A batch that failed mid-action leaves result_dir existing but with no
+    # committed part files (Spark's commit protocol aborts the task output),
+    # so test for committed data, not the directory.
+    if not _glob.glob(os.path.join(result_dir, "*.parquet")):
         # every batch failed → only the dead-letter sink has rows
         return spark.createDataFrame(
             [], "batch_id long, status string, error string"

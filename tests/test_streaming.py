@@ -56,6 +56,37 @@ def test_stream_error_as_value(spark, source_dir):
     assert all(e["status"] == "error" and "boom" in e["error"] for e in errs)
 
 
+def test_stream_execution_time_failure_dead_letters(spark, source_dir):
+    """proc_fn that builds a VALID lazy plan but fails only when executed
+    (a raising UDF) must still dead-letter, not raise
+    StreamingQueryException — the write action is inside the try."""
+    from pyspark.sql.types import StringType
+
+    result_dir = os.path.join(tempfile.gettempdir(), f"gs-test-res-{uuid.uuid4().hex}")
+
+    @F.udf(returnType=StringType())
+    def exploding(payload):
+        raise RuntimeError("runtime-boom")
+
+    grouper_process_stream(
+        spark,
+        source_dir,
+        lambda df: df.select("id", "payload", exploding("payload").alias("x")),
+        interval_ms=None,
+        max_files_per_trigger=2,
+        result_dir=result_dir,
+    )
+    errs = spark.read.parquet(result_dir + "-errors").collect()
+    assert len(errs) == 20  # every source row dead-lettered with payload
+    assert all(e["status"] == "error" and "runtime-boom" in e["error"] for e in errs)
+    # reference errback hands the request context along: payload rides too
+    assert {e["payload"] for e in errs} == {f"item{i}" for i in range(20)}
+    # no committed ok output — aborted writes leave no part files
+    import glob
+
+    assert glob.glob(os.path.join(result_dir, "*.parquet")) == []
+
+
 def test_stateful_running_sum_state_accumulates(spark):
     from grouper_spark.streaming import stateful_running_sum
 
