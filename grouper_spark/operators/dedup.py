@@ -10,7 +10,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, word_shingles
@@ -42,12 +42,25 @@ def shingle_jaccard_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard similarity over n-word shingles.
 
     Pair generation is an equi-join on the shingle value (not a cross
     join): docs sharing zero shingles never meet. Columns:
     ``doc_a, doc_b, inter, size_a, size_b, jaccard``.
+
+    ``max_df`` caps shingle document frequency: shingles appearing in
+    more than ``max_df`` docs are dropped *before* the posting lists are
+    collected, so one stop-shingle shared by the whole corpus can never
+    become a mega-bucket (its posting list alone would be O(corpus), and
+    its pair expansion O(corpus²)). The df count rides the same
+    shuffle-on-shingle the posting list needs (a window count — no extra
+    exchange; oversized groups spill, not OOM). Jaccard for surviving
+    pairs uses the *uncapped* shingle-set sizes, so scores of pairs that
+    shared a dropped stop-shingle are slight underestimates — standard
+    near-dup practice, preserves the top-pair ranking for any threshold
+    well above the true near-dup overlap.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
@@ -67,6 +80,15 @@ def shingle_jaccard_pairs(
         .filter(F.col("shingle").isNotNull())
         .select("doc", "sh_size", F.xxhash64("shingle").alias("sh"))
     )
+    if max_df is not None:
+        # Count df over the same hash-partitioning the posting-list
+        # groupBy needs: Catalyst reuses the exchange, so the cap costs
+        # zero extra shuffles, and high-df rows are filtered before any
+        # collect_list materializes them.
+        dfw = Window.partitionBy("sh")
+        exploded = exploded.withColumn("df", F.count("*").over(dfw)).filter(
+            F.col("df") <= max_df
+        ).drop("df")
     posting = exploded.groupBy("sh").agg(
         F.collect_list(F.struct("doc", "sh_size")).alias("members")
     )

@@ -95,6 +95,24 @@ def test_shingle_jaccard_identical_docs(spark):
     assert (row["doc_a"], row["doc_b"], row["jaccard"]) == (1, 2, 1.0)
 
 
+def test_shingle_jaccard_max_df_drops_stop_shingles(spark):
+    # Pathological corpus: every doc shares one sentence (a corpus-wide
+    # stop-shingle) plus unique content; two docs are true near-dups.
+    shared = "the quick brown fox jumps"
+    rows = [(i, f"{shared} unique{i} filler{i} tail{i}") for i in range(1, 21)]
+    rows.append((21, rows[0][1]))  # exact dup of doc 1
+    df = spark.createDataFrame(rows, ["id", "text"])
+    # Uncapped: the shared shingles put all 21 docs in one bucket → 210 pairs.
+    assert shingle_jaccard_pairs(df, "id", "text", n=3).count() == 21 * 20 // 2
+    # Capped at df<=2: corpus-wide shingles dropped before posting lists,
+    # only the true dup pair (sharing rare shingles) survives.
+    capped = shingle_jaccard_pairs(df, "id", "text", n=3, max_df=2).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in capped] == [(1, 21)]
+    # Sizes stay uncapped; inter counts only surviving shingles.
+    assert capped[0]["size_a"] == capped[0]["size_b"]
+    assert 0 < capped[0]["jaccard"] <= 1.0
+
+
 def test_word_shingles_short_text(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "a b c")], ["id", "text"])
     out = df.select("id", word_shingles("text", 3).alias("sh")).collect()
