@@ -44,6 +44,7 @@ _MODULES = (
     "microbatch",
     "multimodal",
     "pipeline",
+    "curation",
 )
 
 

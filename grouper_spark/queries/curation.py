@@ -1,0 +1,481 @@
+"""Training-data curation batteries: eval-set decontamination,
+repetition-based quality filtering (Gopher-style), deterministic hash
+splits, TF-IDF keyword extraction, URL parsing, embedding quantization,
+and robust outlier fencing.
+
+These extend the reference's proc-fn batch surface (core.clj:60-83 —
+"apply a function to a batch of items") to the corpus-level operations a
+100 TB pretraining pipeline runs. Everything is JVM-side codegen
+(split/explode/groupBy/window); the only shuffles are the per-key
+aggregations, and every join is either an equi-join on a derived
+posting key (decontamination) or a broadcast of a tiny stats side
+(outlier fences). No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from ..functions.text import tokens, word_shingles
+from ..sources import table
+from . import query
+
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _word_ngrams_all(col: Column | str, n: int) -> Column:
+    """ALL n-word grams (non-distinct, in order) — unlike
+    functions.text.word_shingles, repeats are kept so per-gram counts
+    measure repetition."""
+    toks = tokens(col)
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+@query(
+    "q84_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - 4),
+           i -> array_to_string(list_slice(t, i, i + 4), ' ')
+         )) AS grams
+  FROM toks
+), eval_grams AS (
+  SELECT DISTINCT unnest(grams) AS g FROM sh WHERE source = 'src0'
+), train AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+  FROM sh WHERE source <> 'src0'
+)
+SELECT t.doc_id,
+       CAST(MAX(t.n_grams) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       round(COUNT(*) * 1.0 / MAX(t.n_grams), 6) AS contamination
+FROM train t JOIN eval_grams e ON t.g = e.g
+GROUP BY t.doc_id
+ORDER BY contamination DESC, t.doc_id
+LIMIT 100
+""",
+    tags=("curation", "dedup"),
+)
+def q84_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: for every train document (source !=
+    'src0'), count distinct 5-gram overlaps with the eval corpus
+    (source == 'src0') via a posting-list equi-join on the gram — never
+    an all-pairs scan. At 100 TB: one shuffle to dedup the (small) eval
+    gram set, one equi-join shuffle on the gram key; AQE picks broadcast
+    when the eval set fits."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", word_shingles("text", 5).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    ex = sh.select(
+        "doc_id", "source", "n_grams", F.explode_outer("grams").alias("g")
+    ).filter(F.col("g").isNotNull())
+    eval_grams = ex.filter(F.col("source") == "src0").select("g").distinct()
+    train = ex.filter(F.col("source") != "src0")
+    hits = (
+        train.join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("bigint").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        hits.select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("contamination"),
+        )
+        .orderBy(F.col("contamination").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q85_repetition_quality",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+), tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+), tstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         MAX(c) AS top_tok
+  FROM tc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len({_TOKS_SQL}) - 1),
+           i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 1), ' ')
+         )) AS bigram
+  FROM documents
+), bc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+), bstats AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram
+  FROM bc GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens, t.n_distinct,
+       round(1.0 - t.n_distinct * 1.0 / t.n_tokens, 6) AS dup_token_frac,
+       round(t.top_tok * 1.0 / t.n_tokens, 6) AS top_token_frac,
+       round(b.top_bigram * 1.0 / b.n_bigrams, 6) AS top_bigram_frac,
+       CAST(round(b.top_bigram * 1.0 / b.n_bigrams, 6) > 0.18
+            OR round(1.0 - t.n_distinct * 1.0 / t.n_tokens, 6) > 0.6
+            AS INT) AS flag_repetitive
+FROM tstats t JOIN bstats b USING (doc_id)
+ORDER BY t.doc_id
+""",
+    tags=("curation", "text"),
+)
+def q85_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition quality filters: duplicate-token fraction,
+    most-frequent-token fraction, most-frequent-bigram fraction, and a
+    repetition flag. Map-side-combined groupBys on (doc, gram) — no
+    windows, no UDFs; flags computed from the ROUNDED fractions so both
+    engines threshold identical values."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    tstats = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+    bg = d.select("doc_id", F.explode(_word_ngrams_all("text", 2)).alias("bigram"))
+    bc = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    bstats = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+    dup_frac = F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6)
+    top_tok_frac = F.round(F.col("top_tok") / F.col("n_tokens"), 6)
+    top_bg_frac = F.round(F.col("top_bigram") / F.col("n_bigrams"), 6)
+    return (
+        tstats.join(bstats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            dup_frac.alias("dup_token_frac"),
+            top_tok_frac.alias("top_token_frac"),
+            top_bg_frac.alias("top_bigram_frac"),
+            ((top_bg_frac > 0.18) | (dup_frac > 0.6))
+            .cast("int")
+            .alias("flag_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q86_hash_split",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang, n_chars,
+         instr('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 12 THEN 'train'
+            WHEN bucket < 14 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM assigned
+GROUP BY 1
+ORDER BY split
+""",
+    tags=("curation",),
+)
+def q86_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by content hash: the last hex
+    nibble of md5(doc_id) buckets 0-15 → 75/12.5/12.5 split. Pure
+    map-side assignment (no shuffle until the tiny per-split rollup);
+    the same expression assigns identically on any cluster size, so
+    splits are stable across reruns and engines."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1),
+        )
+        - 1
+    )
+    split = (
+        F.when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q87_tfidf_keywords",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(n.n_docs * 1.0 / df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 6) AS tfidf
+FROM ranked
+WHERE rk <= 3
+ORDER BY doc_id, tfidf DESC, term
+""",
+    tags=("curation", "text"),
+)
+def q87_tfidf_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document. The corpus
+    size reaches the scorer as a broadcast 1-row aggregate (no
+    driver-side count()), document frequency is one map-side-combined
+    groupBy, ranking a per-doc window — three shuffles total, all on
+    bounded keys."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("score", 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
+
+
+@query(
+    "q88_url_parse",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         concat('https://', source, '.example.com/docs/', lang, '/',
+                CAST(doc_id AS VARCHAR), '?ref=', source, '&id=',
+                CAST(doc_id AS VARCHAR)) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, 'https://([^/?#]+)', 1) AS host,
+       regexp_extract(url, 'https://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param,
+       regexp_extract(regexp_extract(url, 'https://([^/?#]+)', 1),
+                      '([^.]+\\.[^.]+)$', 1) AS domain
+FROM urls
+ORDER BY doc_id
+""",
+    tags=("curation", "text"),
+)
+def q88_url_parse(spark, sf_dir):
+    """URL parsing battery over synthesized per-doc URLs: host, path,
+    query string, a single query parameter, and the registrable domain.
+    Spark's `parse_url` runs JVM-side; the oracle mirrors it with
+    regexps. A crawl-curation pipeline uses exactly this to group by
+    domain and dedup by canonical URL."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("source"),
+        F.lit("&id="),
+        F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.parse_url("url", F.lit("HOST"))
+    return u.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q89_embedding_quantize",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id, label, v,
+         len(v) AS dim,
+         list_min(v) AS lo,
+         (list_max(v) - list_min(v)) / 255.0 AS scale
+  FROM e
+), err AS (
+  SELECT vec_id, label, dim, lo, scale,
+         CASE WHEN scale = 0 THEN 0
+              ELSE list_sum(list_transform(v, x ->
+                CAST(round((x - (lo + round((x - lo) / scale) * scale))
+                           * (x - (lo + round((x - lo) / scale) * scale))
+                           * 1000000000000.0) AS BIGINT)))
+         END AS sse_fp
+  FROM q
+)
+SELECT vec_id, label, CAST(dim AS BIGINT) AS dim,
+       round(scale, 6) AS scale_r,
+       round(sse_fp / 1000000000000.0 / dim, 9) AS mse
+FROM err
+ORDER BY vec_id
+""",
+    tags=("curation", "similarity"),
+)
+def q89_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization round-trip error per embedding: per-vector
+    min/max → 255-step scale, quantize/dequantize, mean squared error.
+    Per-element squared errors are fixed-pointed to BIGINT before the
+    array sum so the reduction is order-independent and exact in both
+    engines — the q39 cross-engine float trick. All array work stays in
+    codegen (HOFs over small per-row arrays); zero shuffles."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    ev = e.select("vec_id", "label", v.alias("v"))
+    q = ev.select(
+        "vec_id",
+        "label",
+        "v",
+        F.size("v").alias("dim"),
+        F.array_min("v").alias("lo"),
+        ((F.array_max("v") - F.array_min("v")) / 255.0).alias("scale"),
+    )
+
+    def sq_err_fp(x):
+        deq = F.col("lo") + F.round((x - F.col("lo")) / F.col("scale"), 0) * F.col(
+            "scale"
+        )
+        return F.round((x - deq) * (x - deq) * 1000000000000.0, 0).cast("bigint")
+
+    sse = F.when(F.col("scale") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            F.transform("v", sq_err_fp),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        q.select(
+            "vec_id",
+            "label",
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("scale", 6).alias("scale_r"),
+            F.round(sse / 1000000000000.0 / F.col("dim"), 9).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q91_iqr_outliers",
+    oracle="""
+WITH fences AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS p25,
+         quantile_cont(value, 0.75) AS p75
+  FROM events GROUP BY event_type
+), f AS (
+  SELECT event_type, p25, p75,
+         p25 - 1.5 * (p75 - p25) AS lo_fence,
+         p75 + 1.5 * (p75 - p25) AS hi_fence
+  FROM fences
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(f.lo_fence, 6) AS lo_fence_r,
+       round(f.hi_fence, 6) AS hi_fence_r
+FROM events e JOIN f USING (event_type)
+GROUP BY e.event_type, f.lo_fence, f.hi_fence
+ORDER BY e.event_type
+""",
+    tags=("curation", "agg"),
+)
+def q91_iqr_outliers(spark, sf_dir):
+    """Robust outlier detection: Tukey IQR fences per event type, outlier
+    counts against them. Exact interpolated percentiles (cross-engine
+    deterministic, unlike float mean/stddev whose summation order
+    differs); the per-type fence table is tiny and broadcast back onto
+    the fact scan — at 100 TB this is one percentile shuffle plus a
+    map-side flagging pass."""
+    ev = table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+    )
+    f = fences.select(
+        "event_type",
+        (F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))).alias("lo_fence"),
+        (F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))).alias("hi_fence"),
+    )
+    joined = ev.join(F.broadcast(f), "event_type")
+    is_out = (F.col("value") < F.col("lo_fence")) | (
+        F.col("value") > F.col("hi_fence")
+    )
+    return (
+        joined.groupBy("event_type", "lo_fence", "hi_fence")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(is_out.cast("int")).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_outliers",
+            F.round("lo_fence", 6).alias("lo_fence_r"),
+            F.round("hi_fence", 6).alias("hi_fence_r"),
+        )
+        .orderBy("event_type")
+    )

@@ -33,6 +33,8 @@ PARITY_SUBSET = (
     "q27_session_window",
     "q34_ngram_jaccard",
     "q37_ann_bruteforce",
+    "q85_repetition_quality",
+    "q89_embedding_quantize",
 )
 
 
