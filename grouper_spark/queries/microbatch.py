@@ -329,3 +329,55 @@ def q71_incremental_matview(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.read.parquet(view_dir).orderBy("event_type")
+
+
+@query(
+    "q90_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(ROUND(e.value * 100.0, 0) AS BIGINT)) / 100.0 AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY segment, e.event_type
+ORDER BY segment, e.event_type
+""",
+    tags=("streaming", "join"),
+)
+def q90_stream_static_join(spark, sf_dir):
+    """Stream–static enrichment: a stream of events broadcast-joined to
+    the static customer dimension, aggregated per (segment, event_type)
+    in complete mode. The static side re-resolves per micro-batch but
+    never shuffles the stream (broadcast hash join below the stateful
+    agg) — at 100 TB the dim stays a broadcast and the only stateful
+    shuffle is the bounded (segment, type) key space. Complete-mode
+    totals equal the batch join+agg, giving an exact SQL oracle."""
+    src = stage_stream_source(table(spark, sf_dir, "events"), 4)
+    schema = spark.read.parquet(src).schema
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    name = f"ss_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint")) / 100.0
+            ).alias("total_value"),
+        )
+    )
+    with scoped_shuffle_partitions(spark, _STREAM_SHUFFLE):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).orderBy("segment", "event_type")
