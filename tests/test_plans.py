@@ -106,3 +106,36 @@ def test_q83_neardup_no_allpairs_join(spark, sf_dir, registry):
     assert "CartesianProduct" not in plan, plan
     # candidate→vector rerank joins are equi-joins
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q84_decontamination_is_posting_join(spark, sf_dir, registry):
+    # eval-vs-train contamination must meet on the gram equi-join key —
+    # a nested-loop "contains" formulation would be O(eval x train)
+    df = registry["q84_decontaminate"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q86_hash_split_single_exchange(spark, sf_dir, registry):
+    # split assignment is map-side; the only shuffle is the 3-key rollup
+    df = registry["q86_hash_split"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # partial+final distinct
+
+
+def test_q91_fence_join_is_broadcast(spark, sf_dir, registry):
+    # the per-type fence table is tiny: re-joining it onto the fact scan
+    # must broadcast, never shuffle the events side
+    df = registry["q91_iqr_outliers"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q87_corpus_count_is_broadcast(spark, sf_dir, registry):
+    # N reaches the scorer as a broadcast 1-row aggregate, and term
+    # scoring joins tf->df on the term equi-key
+    df = registry["q87_tfidf_keywords"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
