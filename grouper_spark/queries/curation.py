@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import token_count, tokens, word_shingles
 from ..sources import table
 from . import query
 
@@ -478,4 +478,185 @@ def q91_iqr_outliers(spark, sf_dir):
             F.round("hi_fence", 6).alias("hi_fence_r"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "q93_stratified_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 20
+ORDER BY lang, rk
+""",
+    tags=("curation",),
+)
+def q93_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling: 20 docs per language, chosen by
+    hash order (md5 of the key) so the sample is stable across reruns,
+    engines, and cluster sizes — unlike rand()-based sampling. One
+    shuffle on the stratum key; per-stratum top-k never materializes
+    the full stratum (rank + filter)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "q94_domain_mix",
+    oracle="""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_src
+)
+SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs, p.n_tokens,
+       round(p.n_tokens * 1.0 / t.total_tokens, 6) AS actual_frac,
+       round((t.total_tokens * 1.0 / t.n_sources) / p.n_tokens, 6)
+         AS resample_weight
+FROM per_src p CROSS JOIN tot t
+ORDER BY p.source
+""",
+    tags=("curation",),
+)
+def q94_domain_mix(spark, sf_dir):
+    """Domain-mix rebalancing: per-source token shares and the resampling
+    weight that would equalize the mix (target = uniform across sources).
+    The corpus totals come back as a broadcast 1-row aggregate over the
+    already-tiny per-source table — the pattern that prices a 100 TB
+    re-mix without a second corpus pass."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias(
+                "actual_frac"
+            ),
+            F.round(
+                (F.col("total_tokens") / F.col("n_sources")) / F.col("n_tokens"), 6
+            ).alias("resample_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q95_kmeans_iter",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), dist AS (
+  SELECT e.vec_id, cent.cid, e.v,
+         list_sum(list_transform(range(1, len(e.v) + 1), i ->
+           CAST(round((e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])
+                      * 1000000000000.0) AS BIGINT))) AS d_fp
+  FROM e CROSS JOIN cent
+), best AS (
+  SELECT vec_id, cid AS cell, v FROM (
+    SELECT vec_id, cid, v,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d_fp, cid) AS rk
+    FROM dist
+  ) WHERE rk = 1
+), ex AS (
+  SELECT cell,
+         unnest(range(1, len(v) + 1)) - 1 AS pos,
+         unnest(v) AS x
+  FROM best
+)
+SELECT cell, CAST(pos AS INT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(round(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) * 1.0
+                  / COUNT(*)) AS BIGINT) / 1000000000.0 AS centroid
+FROM ex
+GROUP BY cell, pos
+ORDER BY cell, pos
+""",
+    tags=("curation", "similarity"),
+)
+def q95_kmeans_iter(spark, sf_dir):
+    """One Lloyd iteration of k-means (k=8, centroids seeded from the
+    first 8 vectors): assign every embedding to its nearest centroid
+    (broadcast the 8-row codebook — the corpus is never shuffled for
+    assignment), then recompute centroids as per-dimension means.
+    Distances and means are fixed-pointed to BIGINT so the reduction is
+    order-independent and both engines agree bit-for-bit. Output stays
+    exploded (cell, pos, centroid) — canonicalizer-safe, no array
+    reassembly. Iterating this = full distributed k-means."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d_fp = F.aggregate(
+        F.zip_with(
+            "v",
+            "cv",
+            lambda x, c: F.round((x - c) * (x - c) * 1000000000000.0, 0).cast(
+                "bigint"
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dist = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", "v", d_fp.alias("d_fp")
+    )
+    best = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("d_fp", "cid")).alias("m"), F.first("v").alias("v"))
+        .select("vec_id", F.col("m.cid").alias("cell"), "v")
+    )
+    ex = best.select("cell", F.posexplode("v").alias("pos", "x"))
+    return (
+        ex.groupBy("cell", "pos")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            (
+                F.round(
+                    F.sum(F.round(F.col("x") * 1000000000.0, 0).cast("bigint"))
+                    / F.count("*"),
+                    0,
+                ).cast("bigint")
+                / 1000000000.0
+            ).alias("centroid"),
+        )
+        .select(
+            "cell",
+            F.col("pos").cast("int").alias("pos"),
+            "n_members",
+            "centroid",
+        )
+        .orderBy("cell", "pos")
     )

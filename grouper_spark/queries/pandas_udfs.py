@@ -83,3 +83,54 @@ def q51_pandas_scalar_udf(spark, sf_dir):
         token_count_pd("text").alias("n_tokens_udf"),
         F.length(F.trim("text")).alias("trimmed_len"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q92_batch_inference",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(1.0 / (1.0 + exp(-(0.05 * n_tokens - 2.0))), 6) AS score
+FROM t
+ORDER BY doc_id
+""",
+    tags=("udf", "curation"),
+)
+def q92_batch_inference(spark, sf_dir):
+    """Batch-inference plumbing: iterator-of-batches mapInPandas where the
+    "model" loads ONCE per partition and scores every Arrow batch — the
+    shape a real cross-encoder / classifier inference job needs (model
+    load amortized across batches, never per row or per batch). The stub
+    model is a deterministic logistic scorer so the whole path carries an
+    exact SQL oracle; swap `_load_model` for a torch checkpoint and the
+    Spark plumbing is unchanged."""
+    import numpy as np
+
+    from ..functions.text import token_count
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+
+    def infer(batches):
+        # per-partition init: a real implementation loads weights here
+        def _load_model():
+            return 0.05, -2.0  # STUB weights — replace with a checkpoint
+
+        w, b = _load_model()
+        for pdf in batches:
+            z = w * pdf["n_tokens"].to_numpy(dtype="float64") + b
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["n_tokens"],
+                    "score": np.round(1.0 / (1.0 + np.exp(-z)), 6),
+                }
+            )
+
+    out = d.mapInPandas(infer, "doc_id long, n_tokens long, score double")
+    return out.orderBy("doc_id")

@@ -73,3 +73,39 @@ def test_write_bucketed_join_skips_shuffle(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {n1}")
         spark.sql(f"DROP TABLE IF EXISTS {n2}")
+
+
+def test_text_source_roundtrip(spark):
+    path = _tmp("text")
+    spark.createDataFrame([("line one",), ("line two",)], ["value"]).write.text(path)
+    back = spark.read.text(path)
+    assert {r["value"] for r in back.collect()} == {"line one", "line two"}
+
+
+def test_jsonl_roundtrip_preserves_nested(spark):
+    # JSON-lines with a nested struct column — the interchange format a
+    # curation pipeline emits for downstream tokenizer jobs
+    path = _tmp("jsonl")
+    df = spark.createDataFrame(
+        [(1, {"lang": "en", "score": 0.5}), (2, {"lang": "fr", "score": 0.9})],
+        "doc_id long, meta struct<lang:string, score:double>",
+    )
+    df.write.json(path)
+    back = spark.read.json(path)
+    rows = {(r["doc_id"], r["meta"]["lang"]) for r in back.collect()}
+    assert rows == {(1, "en"), (2, "fr")}
+
+
+def test_binaryfile_source_reads_payloads(spark):
+    # binaryFile is the ingestion path for image/audio payloads: opaque
+    # bytes + metadata columns, no decode on read
+    import os as _os
+
+    path = _tmp("binary")
+    _os.makedirs(path)
+    for name, payload in [("a.bin", b"\x00\x01"), ("b.bin", b"\xff")]:
+        with open(_os.path.join(path, name), "wb") as fh:
+            fh.write(payload)
+    back = spark.read.format("binaryFile").load(path)
+    got = {(_os.path.basename(r["path"]), bytes(r["content"])) for r in back.collect()}
+    assert got == {("a.bin", b"\x00\x01"), ("b.bin", b"\xff")}
