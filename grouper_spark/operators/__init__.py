@@ -25,4 +25,5 @@ __all__ = [
     "ann_topk_bruteforce",
     "ivf_ann",
     "lsh_bucket_ann",
+    "lsh_neardup_pairs",
 ]

@@ -245,7 +245,12 @@ def lsh_neardup_pairs(
         .join(norm, F.col("vec_b") == norm["__nid"])
         .select("vec_a", "vec_b", dot("__va", "__nv").alias("cosine"))
     )
-    return scored.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(top_pairs)
+    # Top-N cutoff on the 6-dp ROUNDED cosine (ids as tie-break), matching
+    # how oracles rank: raw-float ordering would let a 1-ulp cross-engine
+    # difference pick a different pair at the limit boundary.
+    return scored.orderBy(
+        F.round("cosine", 6).desc(), "vec_a", "vec_b"
+    ).limit(top_pairs)
 
 
 def lsh_bucket_ann(

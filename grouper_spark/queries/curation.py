@@ -146,6 +146,11 @@ def q85_repetition_quality(spark, sf_dir):
     windows, no UDFs; flags computed from the ROUNDED fractions so both
     engines threshold identical values."""
     d = table(spark, sf_dir, "documents")
+    # The token branch and the bigram branch each scan+tokenize the text
+    # column (two map passes). Deliberate: sharing one exploded frame
+    # would need a per-doc sort shuffle (lead() window) that costs more
+    # than the second columnar scan; the explode->groupBy shuffles
+    # dominate either way.
     toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
     tstats = tc.groupBy("doc_id").agg(
@@ -246,7 +251,7 @@ WITH toks AS (
 ), ranked AS (
   SELECT doc_id, term, tf, df, score,
          row_number() OVER (PARTITION BY doc_id
-                            ORDER BY score DESC, term) AS rk
+                            ORDER BY round(score, 6) DESC, term) AS rk
   FROM scored
 )
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
@@ -275,7 +280,11 @@ def q87_tfidf_keywords(spark, sf_dir):
         .crossJoin(F.broadcast(n))
         .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    # rank on the ROUNDED score: distinct (tf, df) combos can produce
+    # mathematically equal scores (tf·ln(N/df) coincidences) that differ
+    # by 1 ulp between JVM log and DuckDB ln — raw-float ranking would
+    # then disagree at the rk=3 boundary
+    w = Window.partitionBy("doc_id").orderBy(F.round("score", 6).desc(), "term")
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
@@ -426,19 +435,18 @@ WITH fences AS (
          quantile_cont(value, 0.75) AS p75
   FROM events GROUP BY event_type
 ), f AS (
-  SELECT event_type, p25, p75,
-         p25 - 1.5 * (p75 - p25) AS lo_fence,
-         p75 + 1.5 * (p75 - p25) AS hi_fence
+  SELECT event_type,
+         round(p25 - 1.5 * (p75 - p25), 6) AS lo_fence_r,
+         round(p75 + 1.5 * (p75 - p25), 6) AS hi_fence_r
   FROM fences
 )
 SELECT e.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+       CAST(SUM(CASE WHEN e.value < f.lo_fence_r OR e.value > f.hi_fence_r
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-       round(f.lo_fence, 6) AS lo_fence_r,
-       round(f.hi_fence, 6) AS hi_fence_r
+       f.lo_fence_r, f.hi_fence_r
 FROM events e JOIN f USING (event_type)
-GROUP BY e.event_type, f.lo_fence, f.hi_fence
+GROUP BY e.event_type, f.lo_fence_r, f.hi_fence_r
 ORDER BY e.event_type
 """,
     tags=("curation", "agg"),
@@ -455,27 +463,31 @@ def q91_iqr_outliers(spark, sf_dir):
         F.percentile("value", F.lit(0.25)).alias("p25"),
         F.percentile("value", F.lit(0.75)).alias("p75"),
     )
+    # Fences are ROUNDED before the comparison: Spark percentile() and
+    # DuckDB quantile_cont interpolate with differently-associated
+    # formulas (1-ulp apart), so thresholding on the raw fence could
+    # flip a point sitting exactly on it in one engine only.
     f = fences.select(
         "event_type",
-        (F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))).alias("lo_fence"),
-        (F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))).alias("hi_fence"),
+        F.round(F.col("p25") - 1.5 * (F.col("p75") - F.col("p25")), 6).alias(
+            "lo_fence_r"
+        ),
+        F.round(F.col("p75") + 1.5 * (F.col("p75") - F.col("p25")), 6).alias(
+            "hi_fence_r"
+        ),
     )
     joined = ev.join(F.broadcast(f), "event_type")
-    is_out = (F.col("value") < F.col("lo_fence")) | (
-        F.col("value") > F.col("hi_fence")
+    is_out = (F.col("value") < F.col("lo_fence_r")) | (
+        F.col("value") > F.col("hi_fence_r")
     )
     return (
-        joined.groupBy("event_type", "lo_fence", "hi_fence")
+        joined.groupBy("event_type", "lo_fence_r", "hi_fence_r")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
             F.sum(is_out.cast("int")).cast("bigint").alias("n_outliers"),
         )
         .select(
-            "event_type",
-            "n_events",
-            "n_outliers",
-            F.round("lo_fence", 6).alias("lo_fence_r"),
-            F.round("hi_fence", 6).alias("hi_fence_r"),
+            "event_type", "n_events", "n_outliers", "lo_fence_r", "hi_fence_r"
         )
         .orderBy("event_type")
     )

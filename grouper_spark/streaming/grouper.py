@@ -226,10 +226,21 @@ class Grouper:
             if self._executor is None:
                 self._process(batch)
             elif self._slots is None:
-                # user-supplied executor: its own submission policy rules
-                self._executor.submit(self._process, batch)
+                # user-supplied executor: its own submission policy rules.
+                # It may also reject (e.g. its owner already shut it
+                # down) — deliver the rejection as a value instead of
+                # letting it kill the dispatcher thread (which would
+                # strand every in-flight future and block producers).
+                try:
+                    self._executor.submit(self._process, batch)
+                except Exception as exc:
+                    self._deliver_error(batch, exc)
             elif self._slots.acquire(blocking=False):
-                self._executor.submit(self._process_release, batch)
+                try:
+                    self._executor.submit(self._process_release, batch)
+                except Exception as exc:
+                    self._slots.release()
+                    self._deliver_error(batch, exc)
             else:
                 # CallerRunsPolicy: all workers busy → the dispatcher runs
                 # the batch itself, stalling the drain loop (bounded
@@ -277,19 +288,22 @@ class Grouper:
                     req.callback(res)
                 req.future.set_result(res)
         except Exception as exc:
-            # Batch-granular failure: exception delivered AS A VALUE to
-            # every item (deref returns it), plus errbacks (core.clj:80-83).
-            # Already-delivered futures keep their results (Clojure
-            # `deliver` is a no-op on a realized promise); errback errors
-            # are swallowed so one bad errback can't strand the rest.
-            for req in batch:
-                if req.errback is not None:
-                    try:
-                        req.errback(exc)
-                    except Exception:
-                        pass
-                if not req.future.done():
-                    req.future.set_result(exc)
+            self._deliver_error(batch, exc)
+
+    def _deliver_error(self, batch: list[Request], exc: Exception) -> None:
+        # Batch-granular failure: exception delivered AS A VALUE to
+        # every item (deref returns it), plus errbacks (core.clj:80-83).
+        # Already-delivered futures keep their results (Clojure
+        # `deliver` is a no-op on a realized promise); errback errors
+        # are swallowed so one bad errback can't strand the rest.
+        for req in batch:
+            if req.errback is not None:
+                try:
+                    req.errback(exc)
+                except Exception:
+                    pass
+            if not req.future.done():
+                req.future.set_result(exc)
 
 
 # -- functional API mirroring the reference (start!/submit!/shutdown!,

@@ -52,6 +52,12 @@ def grouper_process_stream(
             tempfile.gettempdir(), f"grouper-stream-{uuid.uuid4().hex}"
         )
 
+    # foreachBatch runs driver-side: the closure records the ok-path
+    # output schema so an all-batches-empty run (a filter that drops
+    # every row) can still return a correctly-typed empty result instead
+    # of being mistaken for an all-batches-failed run.
+    seen = {"ok_schema": None}
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         # The write action lives INSIDE the try: proc_fn only builds a
         # lazy plan, so execution-time failures (a raising UDF, bad data)
@@ -63,15 +69,23 @@ def grouper_process_stream(
             out = out.withColumn("batch_id", F.lit(batch_id)).withColumn(
                 "status", F.lit("ok")
             ).withColumn("error", F.lit(None).cast("string"))
+            seen["ok_schema"] = out.schema
             out.write.mode("append").parquet(result_dir)
         except Exception as exc:  # error-as-value: never let Spark retry
             # Dead-letter channel: same fate for the whole batch
             # (batch-granular failure, core.clj:80-83). The failed rows'
             # full payload rides along — like the reference errback,
             # which hands each request's context to its errback — so
-            # failures are identifiable and replayable.
+            # failures are identifiable and replayable. Payload columns
+            # that collide with the meta columns are prefixed so the
+            # dead-letter write can never itself fail on duplicates.
+            reserved = {"batch_id", "status", "error"}
+            payload = [
+                F.col(c).alias(f"src_{c}") if c in reserved else F.col(c)
+                for c in batch_df.columns
+            ]
             batch_df.select(
-                "*",
+                *payload,
                 F.lit(batch_id).alias("batch_id"),
                 F.lit("error").alias("status"),
                 F.lit(str(exc)).alias("error"),
@@ -99,6 +113,10 @@ def grouper_process_stream(
     # committed part files (Spark's commit protocol aborts the task output),
     # so test for committed data, not the directory.
     if not _glob.glob(os.path.join(result_dir, "*.parquet")):
+        if seen["ok_schema"] is not None:
+            # every batch succeeded but produced zero rows (empty
+            # partitions commit no part files) → typed empty result
+            return spark.createDataFrame([], seen["ok_schema"])
         # every batch failed → only the dead-letter sink has rows
         return spark.createDataFrame(
             [], "batch_id long, status string, error string"

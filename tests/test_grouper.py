@@ -389,3 +389,26 @@ def test_callback_exception_triggers_batch_errbacks():
         assert f3.result(5) is boom
     assert [tag for tag, _ in errbacked] == ["a", "b", "c"]
     assert all(e is boom for _, e in errbacked)
+
+
+def test_rejected_user_executor_delivers_error_not_hang():
+    """If a caller-supplied executor rejects submission (e.g. its owner
+    already shut it down), the rejection is delivered as a value to the
+    batch and the dispatcher thread survives — not a silent hang."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    ex.shutdown(wait=True)  # the owner shuts it down out from under us
+    g = make(lambda xs: [x * 2 for x in xs], pool=ex)
+    try:
+        fut = g.submit(5)
+        g.flush()
+        res = fut.result(5)  # error-as-value, never a timeout/hang
+        assert isinstance(res, RuntimeError)
+        # dispatcher is still alive and the grouper still accepts work
+        assert g.is_running()
+        fut2 = g.submit(6)
+        g.flush()
+        assert isinstance(fut2.result(5), RuntimeError)
+    finally:
+        g.shutdown()

@@ -173,3 +173,40 @@ def test_processing_time_trigger_drains(spark):
     rows = out.orderBy("id").collect()
     assert len(rows) == 6
     assert all(r["status"] == "ok" and r["doubled"] == r["v"] * 2 for r in rows)
+
+
+def test_dead_letter_survives_reserved_column_names(spark):
+    """A source whose payload already has a `status` column must still
+    dead-letter cleanly (colliding payload columns get prefixed) — the
+    error handler must never itself crash on duplicate columns."""
+    src = os.path.join(tempfile.gettempdir(), f"gs-test-src-{uuid.uuid4().hex}")
+    spark.createDataFrame(
+        [(i, "pending") for i in range(4)], ["id", "status"]
+    ).write.parquet(src)
+    result_dir = os.path.join(tempfile.gettempdir(), f"gs-test-res-{uuid.uuid4().hex}")
+
+    def bad_proc(df):
+        raise ValueError("boom")
+
+    grouper_process_stream(
+        spark, src, bad_proc, interval_ms=None, result_dir=result_dir
+    )
+    errs = spark.read.parquet(result_dir + "-errors").collect()
+    assert len(errs) == 4
+    assert all(e["status"] == "error" and e["src_status"] == "pending" for e in errs)
+
+
+def test_all_batches_empty_keeps_proc_schema(spark, source_dir):
+    """A proc_fn that legitimately filters out every row is NOT a
+    failure: the result must be an empty DataFrame with the proc-output
+    schema, not the dead-letter schema."""
+    out = grouper_process_stream(
+        spark,
+        source_dir,
+        lambda df: df.filter(F.col("id") < 0).select(
+            "id", F.upper("payload").alias("payload_upper")
+        ),
+        interval_ms=None,
+    )
+    assert out.count() == 0
+    assert "payload_upper" in out.columns  # proc schema, not dead-letter
