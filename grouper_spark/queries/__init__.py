@@ -45,6 +45,7 @@ _MODULES = (
     "multimodal",
     "pipeline",
     "curation",
+    "subqueries",
 )
 
 

@@ -1,0 +1,189 @@
+"""SQL subquery surface: correlated EXISTS / NOT EXISTS, correlated
+scalar subqueries, LATERAL joins, GROUP BY ALL, and VALUES inline
+dimension tables.
+
+The reference exposes its whole surface through `submit!`-style batch
+calls (core.clj:60-83); a SQL front end replacing it must also cover the
+subquery shapes an analyst writes. Catalyst decorrelates all of these
+into joins (EXISTS → left-semi, NOT EXISTS → left-anti, scalar subquery
+→ aggregate + equi-join, LATERAL top-k → ranked window or limited
+join), so every query here executes as a shuffle/broadcast join plan —
+nothing runs row-at-a-time, and all of them survive a 100 TB input the
+same way the explicit-join formulations do.
+
+Where the same text parses in both engines the oracle IS the Spark SQL
+(single source of truth); money-sum fixed-point rules from _sqlgen keep
+float aggregates hash-exact.
+"""
+
+from __future__ import annotations
+
+from ..sources import table
+from . import query
+
+# Same text runs in Spark (on prefixed temp views) and DuckDB (on the
+# pre-registered parquet views) — formatted per engine.
+EXISTS_SQL = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM {customer} c
+WHERE EXISTS (
+        SELECT 1 FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+      )
+ORDER BY c.c_custkey
+"""
+
+
+@query(
+    "q96_exists_subquery",
+    oracle=EXISTS_SQL.format(customer="customer", orders="orders"),
+    tags=("sql", "join"),
+)
+def q96_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS + NOT EXISTS (same SQL text as the oracle).
+
+    Catalyst decorrelates to a left-semi join and a left-anti join on
+    o_custkey — both shuffle hash joins at scale, broadcastable when the
+    filtered order side is small. No per-row subquery execution ever."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(EXISTS_SQL.format(customer="sq_customer", orders="sq_orders"))
+
+
+SCALAR_SUBQ_SQL = """
+SELECT o_orderkey, o_custkey, my_cents, cust_cents, cust_orders,
+       my_cents * cust_orders - cust_cents AS dev_cents_times_n
+FROM (
+  SELECT o.o_orderkey,
+         o.o_custkey,
+         CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT) AS my_cents,
+         (SELECT CAST(SUM(CAST(ROUND(o2.o_totalprice * 100.0, 0) AS BIGINT))
+                 AS BIGINT)
+          FROM {orders} o2 WHERE o2.o_custkey = o.o_custkey) AS cust_cents,
+         (SELECT COUNT(*) FROM {orders} o3
+          WHERE o3.o_custkey = o.o_custkey) AS cust_orders
+  FROM {orders} o
+  WHERE o.o_totalprice > 400000.0
+) base
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "q97_scalar_subquery",
+    oracle=SCALAR_SUBQ_SQL.format(orders="orders"),
+    tags=("sql", "agg"),
+)
+def q97_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subqueries (per-customer SUM and COUNT) consumed
+    by the outer row. All arithmetic stays in integer cents so the hash
+    is exact; `dev_cents_times_n = my*n - total` expresses "deviation
+    from the customer mean" without a non-integer division. The derived
+    expression reuses the subquery RESULT columns (each subquery appears
+    once textually) because Catalyst decorrelates per textual occurrence
+    — repeating a subquery expression would re-scan orders each time.
+
+    Catalyst rewrites each scalar subquery into one aggregate on
+    o_custkey left-joined back to the filtered outer — two aggregates,
+    two equi-joins, never per-row execution."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("ssq_orders")
+    return spark.sql(SCALAR_SUBQ_SQL.format(orders="ssq_orders"))
+
+
+LATERAL_SQL = """
+SELECT seg.c_mktsegment, top3.o_orderkey, top3.total_cents
+FROM (SELECT DISTINCT c_mktsegment FROM {customer}) seg,
+LATERAL (
+  SELECT o.o_orderkey,
+         CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT) AS total_cents
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = seg.c_mktsegment
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 3
+) top3
+ORDER BY seg.c_mktsegment, top3.total_cents DESC, top3.o_orderkey
+"""
+
+
+@query(
+    "q98_lateral_topk",
+    oracle=LATERAL_SQL.format(customer="customer", orders="orders"),
+    tags=("sql", "join", "window"),
+)
+def q98_lateral_topk(spark, sf_dir):
+    """LATERAL correlated subquery: top-3 orders per market segment,
+    written as a per-segment dependent subquery (the shape users write)
+    rather than a window function. Catalyst decorrelates the LIMIT-under-
+    LATERAL into a ranked join — executed once over the joined input,
+    never once per outer row. Ordering key (o_totalprice DESC,
+    o_orderkey) is unique, so the top-3 cut is deterministic in both
+    engines."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        LATERAL_SQL.format(customer="lat_customer", orders="lat_orders")
+    )
+
+
+GROUPBY_ALL_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+       COUNT(*) AS n_items,
+       SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) / 100.0
+         AS sum_price
+FROM {lineitem}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query(
+    "q99_groupby_all",
+    oracle=GROUPBY_ALL_SQL.format(lineitem="lineitem"),
+    tags=("sql", "agg"),
+)
+def q99_groupby_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL (dialect sugar both engines share):
+    groups by every non-aggregate select item including the computed
+    ship_year. Resolves at analysis time to an ordinary hash aggregate —
+    partial map-side combine, one exchange on the three keys."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("gba_lineitem")
+    return spark.sql(GROUPBY_ALL_SQL.format(lineitem="gba_lineitem"))
+
+
+VALUES_DIM_SQL = """
+WITH tiers AS (
+  SELECT * FROM (VALUES ('small', 0.0, 2000.0),
+                        ('mid', 2000.0, 6000.0),
+                        ('big', 6000.0, 1e12)) AS t(tier, lo, hi)
+)
+SELECT t.tier,
+       COUNT(*) AS n_customers,
+       SUM(CAST(ROUND(c.c_acctbal * 100.0, 0) AS BIGINT)) / 100.0
+         AS sum_acctbal
+FROM {customer} c
+JOIN tiers t ON c.c_acctbal >= t.lo AND c.c_acctbal < t.hi
+GROUP BY t.tier
+ORDER BY t.tier
+"""
+
+
+@query(
+    "q100_values_dim_join",
+    oracle=VALUES_DIM_SQL.format(customer="customer"),
+    tags=("sql", "join"),
+)
+def q100_values_dim_join(spark, sf_dir):
+    """Inline VALUES dimension (banding table) range-joined to a fact
+    column. The 3-row literal side broadcasts (BroadcastNestedLoopJoin
+    over a 3-row build is constant work per row — the correct plan for a
+    banding join); negative acctbals fall outside every band, which the
+    inner join drops identically in both engines."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("vd_customer")
+    return spark.sql(VALUES_DIM_SQL.format(customer="vd_customer"))

@@ -139,3 +139,31 @@ def test_q87_corpus_count_is_broadcast(spark, sf_dir, registry):
     plan = plan_of(df)
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q96_exists_decorrelates_to_semi_anti(spark, sf_dir, registry):
+    # EXISTS/NOT EXISTS must decorrelate into semi/anti joins — a
+    # per-outer-row subquery execution would be O(n) round trips
+    df = registry["q96_exists_subquery"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q97_scalar_subqueries_become_aggregate_joins(spark, sf_dir, registry):
+    # the four textual scalar subqueries must execute as aggregate+join,
+    # never per-row; Catalyst also dedups the repeated per-customer
+    # sum/count into shared subtrees (at most 2 distinct aggregations)
+    df = registry["q97_scalar_subquery"].fn(spark, sf_dir)
+    plan = optimized_of(df)
+    assert "Join" in plan, plan
+    n_aggs = plan.count("Aggregate [o_custkey")
+    assert n_aggs <= 2, plan
+
+
+def test_q98_lateral_executes_as_ranked_join(spark, sf_dir, registry):
+    # LIMIT under LATERAL must rewrite to a windowed rank over one join —
+    # not a nested-loop re-execution per segment
+    df = registry["q98_lateral_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" in plan, plan
