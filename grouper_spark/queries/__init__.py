@@ -46,6 +46,7 @@ _MODULES = (
     "pipeline",
     "curation",
     "subqueries",
+    "quality",
 )
 
 

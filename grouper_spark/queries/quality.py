@@ -1,0 +1,359 @@
+"""Corpus-quality and retrieval operators: Gopher-style rule filters,
+BM25 ranked retrieval, BPE merge-candidate counting, duplicated-span
+flagging, and incremental (cross-snapshot) dedup.
+
+Extends the curation battery (curation.py) with the remaining operators
+a pretraining data pipeline runs before tokenization. Everything is
+split/explode/groupBy/join on JVM built-ins; per-doc statistics are one
+explode + two hash aggregations, corpus constants (N, avgdl, df) ride a
+broadcast. All ratios are integer-count divisions (exact in IEEE double
+on both engines) or 6-dp-rounded before any threshold/rank, per the
+oracle-parity rules in _sqlgen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources import table
+from . import query
+
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+
+@query(
+    "q101_gopher_rules",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+), stats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+         CAST(SUM(len(tok)) AS BIGINT) AS sum_len,
+         CAST(SUM(CASE WHEN tok IN {_STOP_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stop
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       round(sum_len * 1.0 / n_words, 6) AS mean_word_len,
+       round(n_distinct * 1.0 / n_words, 6) AS distinct_frac,
+       round(n_stop * 1.0 / n_words, 6) AS stop_frac,
+       CAST(CASE WHEN n_words BETWEEN 30 AND 500
+                  AND sum_len * 1.0 / n_words BETWEEN 3.0 AND 10.0
+                  AND n_stop >= 2
+                  AND round(n_distinct * 1.0 / n_words, 6) >= 0.2
+             THEN 1 ELSE 0 END AS INT) AS passes
+FROM stats
+ORDER BY doc_id
+""",
+    tags=("curation", "text"),
+)
+def q101_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rules: word-count bounds, mean word length,
+    stopword floor, type-token ratio. One explode + one hash aggregation
+    per document — the corpus-sized path is a single shuffle on doc_id;
+    rules evaluate map-side on the aggregate row. Thresholds compare
+    integer-count divisions (exact) or 6-dp-rounded ratios so both
+    engines flag identical documents."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    stats = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.count_distinct("tok").cast("bigint").alias("n_distinct"),
+        F.sum(F.length("tok")).cast("bigint").alias("sum_len"),
+        F.sum(F.col("tok").isin(*_STOPWORDS).cast("int"))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    mean_len = F.col("sum_len") / F.col("n_words")
+    distinct_frac = F.round(F.col("n_distinct") / F.col("n_words"), 6)
+    passes = (
+        F.col("n_words").between(30, 500)
+        & mean_len.between(3.0, 10.0)
+        & (F.col("n_stop") >= 2)
+        & (distinct_frac >= 0.2)
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_len, 6).alias("mean_word_len"),
+        distinct_frac.alias("distinct_frac"),
+        F.round(F.col("n_stop") / F.col("n_words"), 6).alias("stop_frac"),
+        passes.cast("int").alias("passes"),
+    ).orderBy("doc_id")
+
+
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_TERMS_SQL = "('" + "','".join(_BM25_TERMS) + "')"
+_K1, _B = 1.2, 0.75
+
+
+@query(
+    "q102_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+), tf AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN {_BM25_TERMS_SQL} GROUP BY doc_id, tok
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         SUM(
+           ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (t.tf * ({_K1} + 1.0))
+           / (t.tf + {_K1} * (1.0 - {_B} + {_B} * l.dl * c.n_docs * 1.0
+                                            / c.sum_dl))
+         ) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM tf t
+  JOIN df d ON t.term = d.term
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN corpus c
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r, n_terms_hit
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 20
+""",
+    tags=("curation", "text", "agg"),
+)
+def q102_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed term set. The posting build is
+    one explode with the term filter applied BEFORE the shuffle (only
+    query-term postings move); corpus constants (N, Σdl) and the 3-row
+    df table ride broadcasts onto the posting aggregate, so the
+    corpus-sized path is exactly two shuffles (dl per doc, tf per
+    doc×term). `dl/avgdl` is computed as `dl*N/Σdl` — integer
+    multiplication first, one exact division — and the rank key is the
+    6-dp-rounded score so a 1-ulp `ln` difference can't reorder the
+    top-k cut."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm_dl = F.col("dl") * F.col("n_docs") * 1.0 / F.col("sum_dl")
+    contrib = idf * (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * norm_dl)
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round("score", 6).alias("score_r"),
+            "n_terms_hit",
+        )
+        .orderBy(F.col("score_r").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q103_bpe_pair_freq",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(tok) - 1),
+           i -> substring(tok, i, 2)
+         )) AS pair
+  FROM toks WHERE len(tok) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq
+FROM pairs
+GROUP BY pair
+ORDER BY freq DESC, pair
+LIMIT 50
+""",
+    tags=("curation", "text"),
+)
+def q103_bpe_pair_freq(spark, sf_dir):
+    """BPE merge-candidate counting: corpus-wide frequency of adjacent
+    character pairs (the statistic each BPE training iteration
+    maximizes). Pair generation is a per-token array transform (small,
+    bounded by token length — the safe HOF case per the perf notes);
+    the corpus-sized aggregation is one explode + hash count with
+    map-side partial aggregation. Top-50 cut is a TakeOrderedAndProject
+    on (freq DESC, pair) — exact integer ordering."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(50)
+    )
+
+
+@query(
+    "q104_span_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(t) - 7),
+           i -> array_to_string(list_slice(t, i, i + 7), ' ')
+         )) AS grams
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+  FROM sh WHERE len(grams) > 0
+), dupg AS (
+  SELECT g FROM ex GROUP BY g HAVING COUNT(*) > 1
+)
+SELECT e.doc_id,
+       CAST(MAX(e.n_grams) AS BIGINT) AS n_grams,
+       CAST(COUNT(d.g) AS BIGINT) AS n_dup,
+       round(COUNT(d.g) * 1.0 / MAX(e.n_grams), 6) AS dup_frac
+FROM ex e LEFT JOIN dupg d ON e.g = d.g
+GROUP BY e.doc_id
+ORDER BY dup_frac DESC, e.doc_id
+LIMIT 100
+""",
+    tags=("curation", "dedup"),
+)
+def q104_span_dedup(spark, sf_dir):
+    """Duplicated-span flagging (exact substring-level dedup signal):
+    fraction of each document's distinct 8-grams that appear in at least
+    one other document. The gram→count side is a hash aggregate with a
+    HAVING cut (duplicated grams only — typically a small fraction), met
+    by an equi-join on the gram key; never doc×doc. The same posting
+    shuffle the decontamination and Jaccard operators use, so the scale
+    ceiling is the gram aggregation, not pair expansion."""
+    from ..functions.text import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", word_shingles("text", 8).alias("grams")).withColumn(
+        "n_grams", F.size("grams")
+    )
+    ex = sh.filter(F.col("n_grams") > 0).select(
+        "doc_id", "n_grams", F.explode("grams").alias("g")
+    )
+    dupg = ex.groupBy("g").count().filter(F.col("count") > 1).select("g")
+    joined = ex.join(dupg.withColumn("__dup", F.lit(1)), "g", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("bigint").alias("n_grams"),
+            F.count("__dup").cast("bigint").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+        .orderBy(F.col("dup_frac").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+_STORE_SOURCES = ("src0", "src1", "src2", "src3")
+_STORE_SQL = "('" + "','".join(_STORE_SOURCES) + "')"
+
+
+@query(
+    "q105_incremental_dedup",
+    oracle=f"""
+WITH canon AS (
+  SELECT doc_id, source,
+         md5(array_to_string(
+           list_slice({_TOKS_SQL}, 1, 12), ' ')) AS fp
+  FROM documents
+), store AS (
+  SELECT DISTINCT fp FROM canon WHERE source IN {_STORE_SQL}
+), incoming AS (
+  SELECT * FROM canon WHERE source NOT IN {_STORE_SQL}
+), kept AS (
+  SELECT i.doc_id, i.source, CASE WHEN s.fp IS NULL THEN 1 ELSE 0 END AS keep
+  FROM incoming i LEFT JOIN store s ON i.fp = s.fp
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_incoming,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped
+FROM kept
+GROUP BY source
+ORDER BY source
+""",
+    tags=("curation", "dedup"),
+)
+def q105_incremental_dedup(spark, sf_dir):
+    """Incremental (cross-snapshot) dedup: an incoming snapshot is
+    anti-joined on canonical fingerprint against the fingerprints
+    already in the store — the shape a recurring crawl ingest runs,
+    where the store side is a fingerprint-only table orders of magnitude
+    narrower than the corpus. One equi-join shuffle on the 32-byte
+    fingerprint; the per-source tallies aggregate map-side first.
+    Fingerprint = md5 of the canonical 12-token prefix (a leading-content
+    fingerprint — catches re-crawls whose tail differs), identical in
+    both engines."""
+    d = table(spark, sf_dir, "documents")
+    canon = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(F.slice(tokens("text"), 1, 12), " ")).alias("fp"),
+    )
+    store = (
+        canon.filter(F.col("source").isin(*_STORE_SOURCES))
+        .select("fp")
+        .distinct()
+    )
+    incoming = canon.filter(~F.col("source").isin(*_STORE_SOURCES))
+    kept = incoming.join(
+        store.withColumn("__hit", F.lit(1)), "fp", "left"
+    ).select(
+        "source", F.when(F.col("__hit").isNull(), 1).otherwise(0).alias("keep")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_incoming"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            (F.count("*") - F.sum("keep")).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("source")
+    )

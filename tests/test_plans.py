@@ -167,3 +167,29 @@ def test_q98_lateral_executes_as_ranked_join(spark, sf_dir, registry):
     df = registry["q98_lateral_topk"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "Window" in plan, plan
+
+
+def test_q102_bm25_constants_broadcast(spark, sf_dir, registry):
+    # df (3 rows) and corpus constants (1 row) must ride broadcasts onto
+    # the posting aggregate — the corpus-sized side is never re-shuffled
+    # for them
+    df = registry["q102_bm25_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q104_span_dedup_is_posting_join(spark, sf_dir, registry):
+    # duplicated-gram detection must meet on the gram equi-key
+    df = registry["q104_span_dedup"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q105_incremental_dedup_prunes_store_columns(spark, sf_dir, registry):
+    # the store side must reduce to fingerprints only before the join —
+    # at scale it is a fingerprint store, not a second copy of the corpus
+    df = registry["q105_incremental_dedup"].fn(spark, sf_dir)
+    plan = optimized_of(df)
+    assert "text" not in plan.split("Join")[0], plan  # no text above the join
