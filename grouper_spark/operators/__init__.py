@@ -1,4 +1,11 @@
-from .core import asof_join, salted_join, sessionize, topk_per_group
+from .core import (
+    asof_join,
+    binned_range_join,
+    salted_join,
+    sessionize,
+    topk_per_group,
+)
+from .linalg import gramian_upper
 from .dedup import (
     canonicalize_exact,
     dedup_clusters,
@@ -12,6 +19,8 @@ from .similarity import ann_topk_bruteforce, ivf_ann, lsh_bucket_ann, lsh_neardu
 
 __all__ = [
     "asof_join",
+    "binned_range_join",
+    "gramian_upper",
     "salted_join",
     "sessionize",
     "topk_per_group",

@@ -187,3 +187,53 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return s.join(o, keys + ["__salt"], how).drop("__salt")
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    delta: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Band (range-predicate) join |left_val - right_val| <= delta as an
+    EQUI-join: identical results to the theta-join
+    ``left.join(right, abs(lv - rv) <= delta)``, which Catalyst can only
+    execute as a nested-loop/cartesian product.
+
+    Both sides are bucketed at width ``delta``; a right row in bucket b
+    can only match left rows in buckets {b-1, b, b+1}, so the right side
+    is exploded into those three buckets and the join runs on the bucket
+    key, followed by the exact range filter. Cost: 3x right-side shuffle
+    volume instead of |L| x |R| comparisons — the standard band-join
+    binning from the interval-join literature, and the same shape Spark's
+    own stream-stream interval join uses internally.
+
+    Column names must be disjoint (verified) — rename before calling.
+    """
+    if set(left.columns) & set(right.columns):
+        raise ValueError(
+            "binned_range_join: overlapping columns "
+            f"{sorted(set(left.columns) & set(right.columns))}"
+        )
+    if how != "inner":
+        raise ValueError("binned_range_join supports inner only")
+    bucket = lambda c: F.floor(F.col(c) / F.lit(delta)).cast("long")  # noqa: E731
+    l = left.withColumn("__bucket", bucket(left_val))
+    r = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                bucket(right_val) - 1, bucket(right_val), bucket(right_val) + 1
+            )
+        ),
+    )
+    return (
+        l.join(r, "__bucket")
+        .filter(
+            (F.col(left_val) - F.col(right_val) <= delta)
+            & (F.col(right_val) - F.col(left_val) <= delta)
+        )
+        .drop("__bucket")
+    )

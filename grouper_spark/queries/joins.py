@@ -272,3 +272,50 @@ def q58_salted_join(spark, sf_dir):
         .agg(F.count("*").alias("n_lineitems"), money_sum(rev, "revenue"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q108_binned_range_join",
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+       a.user_id AS click_user, b.user_id AS purchase_user,
+       round(a.value - b.value, 6) AS value_diff
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.value - b.value <= 0.05 AND b.value - a.value <= 0.05
+ORDER BY click_id, purchase_id
+""",
+    tags=("join",),
+)
+def q108_binned_range_join(spark, sf_dir):
+    """Pure band join (|v1 - v2| <= delta, NO equi key): the naive
+    theta-join is a nested-loop/cartesian product — O(|L| x |R|)
+    comparisons, fatal at scale. The operator buckets both sides at
+    width delta and equi-joins on the bucket (right side exploded into
+    its 3 candidate buckets), then applies the exact filter: identical
+    result, shuffle-join cost. The oracle runs the naive theta form."""
+    from ..operators import binned_range_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("value").alias("purchase_value"),
+    )
+    pairs = binned_range_join(
+        clicks, purchases, "click_value", "purchase_value", delta=0.05
+    )
+    return pairs.select(
+        "click_id",
+        "purchase_id",
+        "click_user",
+        "purchase_user",
+        F.round(F.col("click_value") - F.col("purchase_value"), 6).alias(
+            "value_diff"
+        ),
+    ).orderBy("click_id", "purchase_id")

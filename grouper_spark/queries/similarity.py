@@ -196,3 +196,109 @@ def q83_neardup_lsh_rerank(spark, sf_dir):
     return res.select(
         "vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r")
     ).orderBy(F.col("cosine_r").desc(), "vec_a", "vec_b")
+
+
+@query(
+    "q106_gramian",
+    oracle="""
+WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       SUM(CAST(ROUND(e[i] * e[j] * 1000000.0, 0) AS BIGINT)) / 1000000.0
+         AS sum_xy
+FROM v, generate_series(1, 64) s(i), generate_series(1, 64) t(j)
+WHERE j >= i
+GROUP BY i, j
+ORDER BY i, j
+""",
+    tags=("similarity", "linalg"),
+)
+def q106_gramian(spark, sf_dir):
+    """Distributed gramian X^T X over the embedding corpus (the input to
+    PCA/covariance/whitening). Per-partition numpy partial gramians via
+    mapInPandas, then one reduce of d^2 longs per partition — an
+    explode+groupBy formulation would shuffle d^2 rows per INPUT row.
+    Per-row products round to integer units before summation, so the
+    result is order-independent and hash-exact vs the oracle's
+    generate_series formulation."""
+    from ..operators import gramian_upper
+
+    e = table(spark, sf_dir, "embeddings")
+    g = gramian_upper(e, vec_col="embedding", scale=6)
+    return (
+        g.select(
+            "i", "j", (F.col("cents") / F.lit(1000000.0)).alias("sum_xy")
+        )
+        .orderBy("i", "j")
+    )
+
+
+@query(
+    "q107_centroid_outliers",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), ex AS (
+  SELECT vec_id, label, CAST(i AS INT) AS i, e[i] AS x
+  FROM v, generate_series(1, 64) s(i)
+), cent AS (
+  SELECT label, i,
+         SUM(CAST(ROUND(x * 1000000.0, 0) AS BIGINT))
+           / (1000000.0 * COUNT(*)) AS c
+  FROM ex GROUP BY label, i
+), dist AS (
+  SELECT e.vec_id, e.label,
+         SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000.0, 0) AS BIGINT))
+           / 1000000.0 AS dist2
+  FROM ex e JOIN cent c ON e.label = c.label AND e.i = c.i
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, round(dist2, 6) AS dist2_r
+FROM dist
+ORDER BY dist2 DESC, vec_id
+LIMIT 20
+""",
+    tags=("similarity", "curation"),
+)
+def q107_centroid_outliers(spark, sf_dir):
+    """Embedding outlier detection: squared L2 distance of each vector
+    to its label centroid, top-20. Centroids are exact fixed-point means
+    (integer-unit sums divided once — identical doubles in both
+    engines); the 640-row centroid table broadcasts back onto the
+    exploded corpus, and per-vector distances aggregate map-side. The
+    curation use: drop-or-review items far from their cluster, a
+    standard embedding-space quality gate."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    ).select(
+        "vec_id", "label", (F.col("i0") + 1).alias("i"), "x"
+    )
+    cent = ex.groupBy("label", "i").agg(
+        (
+            F.sum(F.round(F.col("x") * 1000000.0, 0).cast("bigint"))
+            / (F.lit(1000000.0) * F.count("*"))
+        ).alias("c")
+    )
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                        * 1000000.0,
+                        0,
+                    ).cast("bigint")
+                )
+                / F.lit(1000000.0)
+            ).alias("dist2")
+        )
+    )
+    return (
+        dist.select("vec_id", "label", F.round("dist2", 6).alias("dist2_r"))
+        .orderBy(F.col("dist2").desc(), "vec_id")
+        .limit(20)
+    )

@@ -193,3 +193,50 @@ def test_q105_incremental_dedup_prunes_store_columns(spark, sf_dir, registry):
     df = registry["q105_incremental_dedup"].fn(spark, sf_dir)
     plan = optimized_of(df)
     assert "text" not in plan.split("Join")[0], plan  # no text above the join
+
+
+def test_binned_range_join_matches_theta_join(spark):
+    from grouper_spark.operators import binned_range_join
+
+    left = spark.createDataFrame(
+        [(1, 0.10), (2, 0.14), (3, 0.99), (4, 5.00)], ["lid", "lv"]
+    )
+    right = spark.createDataFrame(
+        [(10, 0.11), (11, 0.20), (12, 1.04), (13, 4.90)], ["rid", "rv"]
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in binned_range_join(left, right, "lv", "rv", 0.05).collect()
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right, F.abs(F.col("lv") - F.col("rv")) <= 0.05
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_q108_band_join_is_equi_join(spark, sf_dir, registry):
+    # the band join must execute on the bucket equi-key — never the
+    # nested-loop plan the naive theta formulation produces
+    df = registry["q108_binned_range_join"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q106_gramian_shuffles_only_partials(spark, sf_dir, registry):
+    # the only exchange aggregates d^2 partial rows per partition — the
+    # corpus itself is consumed map-side inside mapInPandas
+    df = registry["q106_gramian"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_q107_centroids_broadcast_back(spark, sf_dir, registry):
+    # the 640-row centroid table must broadcast onto the exploded corpus
+    df = registry["q107_centroid_outliers"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
