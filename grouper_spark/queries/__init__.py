@@ -47,6 +47,7 @@ _MODULES = (
     "curation",
     "subqueries",
     "quality",
+    "analytics",
 )
 
 

@@ -1,0 +1,186 @@
+"""Product-analytics battery: distribution ranking stats, single-pass
+table profiling, event-transition matrices, and cohort retention.
+
+The sequence ops (transitions, retention) are the clickstream shapes a
+behavioral pipeline runs daily at full-event-log scale: each is one
+shuffle on the user key plus a small aggregate, no self-joins — the
+lag()-window formulation replaces the event⋈event "next event" join,
+which would shuffle the log twice and explode on hot users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..sources import table
+from . import query
+
+
+@query(
+    "q109_ranking_stats",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ntile(4) OVER w AS INT) AS price_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_totalprice > 400000.0
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+    tags=("window",),
+)
+def q109_ranking_stats(spark, sf_dir):
+    """Distribution ranking battery: ntile / percent_rank / cume_dist
+    over a unique total order (price, orderkey) so every rank is
+    deterministic. percent_rank and cume_dist are single divisions of
+    exact integers — identical doubles in both engines; rounding is
+    belt-and-braces. Global window = single-partition sort, so the
+    operator is gated on a selective filter; an unfiltered variant would
+    partition the window by a bucketing key first."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("int").alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.col("o_totalprice") * 100.0, 0)
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "q110_table_profile",
+    oracle="WITH s AS (\n  SELECT "
+    + ",\n         ".join(
+        f"CAST(COUNT({c}) AS BIGINT) AS n_{c}, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{c}, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}, "
+        f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}"
+        for c in _PROFILE_COLS
+    )
+    + "\n  FROM lineitem\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, n_{c} AS n_present, nn_{c} AS n_null, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_val, mx_{c} AS max_val FROM s"
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name",
+    tags=("agg", "profile"),
+)
+def q110_table_profile(spark, sf_dir):
+    """Single-pass column profiler (the ANALYZE TABLE shape): presence,
+    null count, exact distinct, min, max for each profiled column,
+    emitted long-format via stack() over ONE aggregate row — one scan,
+    one aggregation, no matter how many columns are profiled. The
+    multi-count_distinct aggregate plans through Spark's expand operator
+    (rows × n_profiled pre-shuffle), the standard cost of exact
+    multi-column distincts; swap to approx_count_distinct at lake scale
+    if exactness isn't required."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"n_{c}"),
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_present, n_null, n_distinct, min_val, max_val)"
+    ).orderBy("col_name")
+
+
+@query(
+    "q111_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY n_transitions DESC, prev_type, next_type
+""",
+    tags=("window", "events"),
+)
+def q111_event_transitions(spark, sf_dir):
+    """Event-transition matrix (behavioral bigrams): lag() per user over
+    (ts, event_id) — one shuffle on user_id — then a tiny type×type
+    aggregate. The self-join formulation ("next event of the same user")
+    would shuffle the log twice and blow up on hot users; the window
+    form is linear in the log."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+        .orderBy(F.col("n_transitions").desc(), "prev_type", "next_type")
+    )
+
+
+@query(
+    "q112_retention_cohorts",
+    oracle="""
+WITH weeks AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events GROUP BY ALL
+), cohorts AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM weeks GROUP BY user_id
+)
+SELECT CAST(c.cohort_wk AS TIMESTAMP) AS cohort_week,
+       CAST((epoch(w.wk) - epoch(c.cohort_wk)) / 604800 AS INT)
+         AS offset_weeks,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+GROUP BY cohort_week, offset_weeks
+ORDER BY cohort_week, offset_weeks
+""",
+    tags=("events", "agg"),
+)
+def q112_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-active week, counted in
+    each later week. distinct (user, week) first — collapsing the raw
+    log before any join — then the per-user cohort aggregate joins back
+    on user_id (one shuffle reused by both aggregates, user-partitioned
+    throughout). Week offsets are exact integer epoch arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    weeks = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = weeks.join(cohorts, "user_id")
+    offset = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort_wk")) / 604800
+    ).cast("int")
+    return (
+        joined.groupBy(
+            F.col("cohort_wk").alias("cohort_week"),
+            offset.alias("offset_weeks"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "offset_weeks")
+    )

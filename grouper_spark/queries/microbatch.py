@@ -381,3 +381,117 @@ def q90_stream_static_join(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name).orderBy("segment", "event_type")
+
+
+@query(
+    "q113_stream_outer_join",
+    oracle="""
+SELECT a.event_id AS purchase_id, b.event_id AS click_id,
+       a.user_id AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts <= a.ts
+ORDER BY purchase_id, click_id NULLS FIRST
+""",
+    tags=("streaming", "join"),
+)
+def q113_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: every purchase emits, with
+    NULL click columns when no same-user click preceded it by <=10min.
+    Outer rows are watermark-gated — Spark holds an unmatched purchase in
+    state until the click-side watermark proves no match can still
+    arrive, and EMITS it only in a later batch. A bounded replay
+    therefore appends two far-future sentinel batches after the real
+    data (a production stream gets watermark advancement for free from
+    ongoing traffic): the first moves the watermark past all real
+    events, the second triggers the eviction pass that emits the held
+    outer rows. Sentinel rows (negative event_id) are filtered from the
+    result, which then equals the batch LEFT JOIN — the SQL oracle."""
+    from ..streaming import append_stream_file
+
+    ev = table(spark, sf_dir, "events")
+    src = stage_stream_source(ev, 4, order_by="ts")
+
+    def sentinels(wave: int, ts_lit: str):
+        return spark.range(1).select(
+            F.lit(-2 * wave - 1).cast("long").alias("event_id"),
+            F.lit(ts_lit).cast("timestamp").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).unionByName(
+            spark.range(1).select(
+                F.lit(-2 * wave - 2).cast("long").alias("event_id"),
+                F.lit(ts_lit).cast("timestamp").alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("click").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+        )
+
+    staged_cols = spark.read.parquet(src).columns
+    append_stream_file(src, sentinels(0, "2030-01-01 00:00:00").select(*staged_cols))
+    append_stream_file(src, sentinels(1, "2031-01-01 00:00:00").select(*staged_cols))
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+        "leftOuter",
+    )
+    name = f"soj_{uuid.uuid4().hex[:12]}"
+    with scoped_shuffle_partitions(spark, _STREAM_SHUFFLE):
+        q = (
+            joined.select(
+                "purchase_id", "click_id", F.col("p_user").alias("user_id")
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # Sentinels are filtered AFTER the sink: a right-side predicate above
+    # a streaming left-outer join interferes with the null-emission path
+    # (observed: watermark-gated outer rows silently dropped), so the
+    # streaming plan stays a bare join and the batch read cleans up.
+    return (
+        spark.table(name)
+        .filter(F.col("purchase_id") >= 0)
+        .filter(F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        .orderBy("purchase_id", F.col("click_id").asc_nulls_first())
+    )

@@ -1,5 +1,10 @@
 from .grouper import Grouper, Request, shutdown, start, submit
-from .stream import grouper_process_stream, stage_stream_source, stateful_running_sum
+from .stream import (
+    append_stream_file,
+    grouper_process_stream,
+    stage_stream_source,
+    stateful_running_sum,
+)
 
 __all__ = [
     "Grouper",
@@ -8,6 +13,7 @@ __all__ = [
     "submit",
     "shutdown",
     "grouper_process_stream",
+    "append_stream_file",
     "stage_stream_source",
     "stateful_running_sum",
 ]

@@ -228,6 +228,31 @@ def stage_stream_source(
     return source_dir
 
 
+def append_stream_file(source_dir: str, df: DataFrame) -> None:
+    """Append one more file to a staged stream source, with an mtime
+    strictly after every existing file — FileStreamSource will process
+    it as a later micro-batch (its own batch under maxFilesPerTrigger=1).
+
+    Used to append watermark-advancing sentinel batches: outer joins and
+    other watermark-gated operators only EMIT held state when a later
+    batch moves the watermark past it, so a bounded replay needs
+    trailing batches after the real data (an unbounded production stream
+    gets them for free from ongoing traffic).
+    """
+    import glob
+    import shutil
+
+    existing = glob.glob(os.path.join(source_dir, "*.parquet"))
+    latest = max(os.path.getmtime(f) for f in existing)
+    tmp = os.path.join(tempfile.gettempdir(), f"grouper-app-{uuid.uuid4().hex}")
+    df.coalesce(1).write.parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+    dest = os.path.join(source_dir, f"zz-late-{uuid.uuid4().hex}.parquet")
+    shutil.move(part, dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.utime(dest, (latest + 10, latest + 10))
+
+
 @contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily lower spark.sql.shuffle.partitions for a streaming

@@ -210,3 +210,32 @@ def test_all_batches_empty_keeps_proc_schema(spark, source_dir):
     )
     assert out.count() == 0
     assert "payload_upper" in out.columns  # proc schema, not dead-letter
+
+
+def test_append_stream_file_becomes_later_batch(spark):
+    """A file appended via append_stream_file must arrive as its own,
+    LAST micro-batch (strictly later mtime), preserving replay order."""
+    from grouper_spark.streaming import append_stream_file, stage_stream_source
+
+    base = spark.createDataFrame([(i,) for i in range(6)], ["v"])
+    src = stage_stream_source(base, 2)
+    append_stream_file(src, spark.createDataFrame([(99,)], ["v"]))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"apf_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3  # 2 staged + 1 appended batch
+    last_with_rows = [p for p in q.recentProgress if p["numInputRows"] > 0][-1]
+    assert last_with_rows["numInputRows"] == 1
+    assert spark.table(name).count() == 7
