@@ -107,3 +107,121 @@ def q42_multimodal_features(spark, sf_dir):
         ),
         "decoder",
     ).orderBy("doc_id")
+
+
+@query(
+    "q114_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST(ceil(length(text) / 16.0) AS INT) - 1)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(length(substring(text, CAST(frame_idx AS INT) * 16 + 1, 16))
+            AS BIGINT) AS frame_len,
+       sha256(substring(text, CAST(frame_idx AS INT) * 16 + 1, 16)) AS frame_sha
+FROM f
+WHERE frame_idx % 4 = 0
+ORDER BY doc_id, frame_idx
+""",
+    tags=("multimodal",),
+)
+def q114_frame_sample(spark, sf_dir):
+    """Video-style frame sampling over an opaque payload: chunk the
+    payload into fixed 16-byte frames, keep every 4th, emit per-frame
+    length + content hash. The chunking is JVM-side (sequence +
+    posexplode + substring on the BINARY column — no Python in the
+    expansion path); a real codec would replace the byte-slice with a
+    frame decode inside a downstream mapInPandas, with this exact
+    explode shape feeding it. Payloads are ASCII here so the hash is
+    computed on the char slice — bit-identical to the oracle's
+    VARCHAR substring (DuckDB has no BLOB substring)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.encode("text", "UTF-8").alias("payload")
+    )
+    n_frames = F.ceil(F.octet_length("payload") / 16.0).cast("int")
+    ex = d.select(
+        "doc_id",
+        "text",
+        "payload",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_"),
+    ).filter(F.col("frame_idx") % 4 == 0)
+    start = F.col("frame_idx") * 16 + 1
+    return ex.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.octet_length(F.expr("substring(payload, frame_idx * 16 + 1, 16)"))
+        .cast("bigint")
+        .alias("frame_len"),
+        F.sha2(F.substring("text", start, F.lit(16)), 256).alias("frame_sha"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+_WIN = 32
+
+
+@query(
+    "q115_audio_energy",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST(floor(length(text) / {_WIN}.0) AS INT) - 1)) AS win_idx
+  FROM documents WHERE length(text) >= {_WIN}
+), s AS (
+  SELECT doc_id, win_idx,
+         list_transform(
+           generate_series(1, {_WIN}),
+           i -> ascii(substring(text, CAST(win_idx AS INT) * {_WIN} + i, 1))
+         ) AS samples
+  FROM w
+)
+SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+       round(sqrt(list_sum(list_transform(samples, x -> x * x)) / {_WIN}.0), 6)
+         AS rms
+FROM s
+ORDER BY doc_id, win_idx
+""",
+    tags=("multimodal",),
+)
+def q115_audio_energy(spark, sf_dir):
+    """Audio-style windowed RMS energy: treat payload bytes as PCM
+    samples (the deterministic stand-in for a real audio decode),
+    window into {_WIN}-sample hops, numpy RMS per window inside
+    mapInPandas — the Arrow-batched shape an audio featurizer uses
+    (decode → frame → vectorized DSP per batch). Window sums are exact
+    int64; /32 is a power-of-two division and sqrt is correctly rounded
+    in both engines, so the 6-dp values hash-match the SQL oracle's
+    ascii() formulation. Sign-aware floor rounding == SQL ROUND."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def rms_windows(batches):
+        for pdf in batches:
+            ids, widx, rms = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8)
+                n = (len(samples) // _WIN) * _WIN
+                if n == 0:
+                    continue
+                wins = samples[:n].astype(np.int64).reshape(-1, _WIN)
+                sumsq = (wins * wins).sum(axis=1)
+                r = np.sqrt(sumsq / float(_WIN))
+                r6 = np.floor(r * 1e6 + 0.5) / 1e6
+                ids.extend([doc_id] * len(r6))
+                widx.extend(range(len(r6)))
+                rms.extend(r6.tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_idx": widx, "rms": rms},
+            ).astype({"doc_id": "int64", "win_idx": "int32", "rms": "float64"})
+
+    out = d.mapInPandas(
+        rms_windows, schema="doc_id long, win_idx int, rms double"
+    )
+    return out.orderBy("doc_id", "win_idx")

@@ -240,3 +240,40 @@ def test_q107_centroids_broadcast_back(spark, sf_dir, registry):
     df = registry["q107_centroid_outliers"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Runtime bloom-filter join (row-level runtime filtering): with a
+    selective dim-side filter, Catalyst injects a bloom filter built
+    from the dim keys and applies might_contain() on the fact side
+    BEFORE the join shuffle — the 100 TB lever that keeps a fact⋈dim
+    join from shuffling unmatchable fact rows. Local demo needs the
+    application-side scan threshold lowered (default 10GB triggers
+    naturally at lake scale); conf is scoped and restored."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact_p = str(tmp_path / "fact")
+        dim_p = str(tmp_path / "dim")
+        spark.range(200_000).selectExpr("id", "id % 10000 AS k").write.parquet(
+            fact_p
+        )
+        spark.range(10_000).selectExpr(
+            "id AS k", "id % 97 AS tag"
+        ).write.parquet(dim_p)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("tag") == 5)
+        plan = plan_of(fact.join(dim, "k"))
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -40,9 +40,13 @@ def test_write_partitioned_prunes(spark, small_df):
     assert os.path.isdir(os.path.join(path, "day=2024-01-01"))
     back = read_any(spark, path).filter(F.col("day") == "2024-01-01")
     assert back.count() == 2
-    # partition pruning must reach the scan
+    # partition pruning must reach the scan: the partition filter appears
+    # in the scan node and the pruned partition's files are never listed
     plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or back.count() == 2
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [" in scan and "day" in scan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
 
 
 def test_functional_grouper_api():
@@ -109,3 +113,43 @@ def test_binaryfile_source_reads_payloads(spark):
     back = spark.read.format("binaryFile").load(path)
     got = {(_os.path.basename(r["path"]), bytes(r["content"])) for r in back.collect()}
     assert got == {("a.bin", b"\x00\x01"), ("b.bin", b"\xff")}
+
+
+def test_merge_schema_evolution(spark):
+    """Schema evolution across file generations: a later write adds a
+    column; mergeSchema reads the union schema with nulls backfilled."""
+    path = _tmp("evolve")
+    spark.createDataFrame([(1, "a")], ["id", "tag"]).write.parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "tag", "score"]).write.mode(
+        "append"
+    ).parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {"id", "tag", "score"}
+    rows = {r["id"]: r["score"] for r in back.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_max_records_per_file_bounds_file_size(spark):
+    """maxRecordsPerFile caps output file row counts — the knob that
+    keeps downstream scan parallelism healthy when a stage's output
+    partitioning would otherwise produce a few huge files."""
+    import glob
+
+    path = _tmp("maxrec")
+    spark.range(1000).coalesce(1).write.option(
+        "maxRecordsPerFile", 100
+    ).parquet(path)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) == 10
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_zstd_compression_roundtrip(spark):
+    path = _tmp("zstd")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.option(
+        "compression", "zstd"
+    ).parquet(path)
+    import glob
+
+    assert glob.glob(os.path.join(path, "*.zstd.parquet"))
+    assert spark.read.parquet(path).count() == 100
