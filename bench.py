@@ -74,6 +74,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Measure the in-process Grouper layer BEFORE the Spark JVM exists —
+    # its 32 executor threads + GC otherwise contend with the pool and
+    # add run-to-run noise to a pure-Python throughput figure.
+    grouper_items_s = round(grouper_throughput(), 1)
+
     registry = load_all()
     spark = get_spark("grouper-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -101,7 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "grouper_throughput_items_per_s": round(grouper_throughput(), 1),
+                "grouper_throughput_items_per_s": grouper_items_s,
                 "grouper_baseline_items_per_s": 909.0,
             }
         )

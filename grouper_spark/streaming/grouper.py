@@ -211,6 +211,15 @@ class Grouper:
                 self._wake.wait(timeout=self._interval_s)
             self._notified = False
 
+    # How long the dispatcher waits for a pool slot before falling back
+    # to running the batch itself. The reference's CallerRunsPolicy runs
+    # inline *immediately* (core.clj:85-97); a short bounded wait keeps
+    # the same invariants — in-flight ≤ pool+1, dispatcher stalls under
+    # overload, backpressure reaches submit() — but lets the pool stay
+    # saturated when batches finish quickly, instead of idling N workers
+    # for the duration of every inline run.
+    _SLOT_WAIT_S = 0.05
+
     def _loop(self) -> None:
         # "Should not terminate until queue is empty" (core.clj:124-126).
         while self._running or not self._queue.empty():
@@ -235,7 +244,7 @@ class Grouper:
                     self._executor.submit(self._process, batch)
                 except Exception as exc:
                     self._deliver_error(batch, exc)
-            elif self._slots.acquire(blocking=False):
+            elif self._slots.acquire(timeout=self._SLOT_WAIT_S):
                 try:
                     self._executor.submit(self._process_release, batch)
                 except Exception as exc:
