@@ -48,6 +48,8 @@ _MODULES = (
     "subqueries",
     "quality",
     "analytics",
+    "temporal",
+    "lm",
 )
 
 

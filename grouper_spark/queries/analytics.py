@@ -144,6 +144,40 @@ def q111_event_transitions(spark, sf_dir):
 
 
 @query(
+    "q123_hll_sketch_merge",
+    oracle=None,  # Datasketches HLL has no DuckDB twin — rows-only.
+    tags=("sketch", "agg"),
+)
+def q123_hll_sketch_merge(spark, sf_dir):
+    """HLL sketch mergeability — the property that makes distinct-count
+    roll-ups scale: per-nation hll_sketch_agg sketches, merged with
+    hll_union_agg, must estimate the same cardinality as one global
+    sketch (sketches are deterministic functions of the value set, so
+    est_union == est_global exactly). At 100 TB the per-partition
+    sketches are tiny mergeable state — a daily distinct-users rollup
+    becomes a union of stored sketches instead of a full re-scan.
+    Exact count_distinct rides along to show the estimate error."""
+    c = table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    merged = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("est_union")
+    )
+    direct = c.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey"))
+        .cast("bigint")
+        .alias("est_global"),
+        F.count_distinct("c_custkey").cast("bigint").alias("n_exact"),
+    )
+    return merged.crossJoin(direct).select(
+        "est_union", "est_global", "n_exact"
+    )
+
+
+@query(
     "q112_retention_cohorts",
     oracle="""
 WITH weeks AS (

@@ -1,0 +1,199 @@
+"""Language-model statistics battery: windowed PMI co-occurrence and
+bigram language-model scoring over the documents corpus.
+
+Both operators follow the posting-shape rule that governs every text
+operator in this engine: token positions are exploded once, joined on
+the doc_id key (never a cross join), and all counting happens in
+map-side-combined groupBys. Log-probabilities are fixed-pointed to
+micro-units before summing so the corpus-order-dependent double
+accumulation can't flip a rounding boundary between engines (same
+pattern as functions.text.money_sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources import table
+from . import query
+
+_PMI_WINDOW = 2  # co-occurrence distance: tokens within 2 positions
+_PMI_MIN_PAIRS = 5
+
+
+@query(
+    "q121_pmi_cooccurrence",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks))) AS pos,
+         unnest(toks) AS w
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+             AS toks
+    FROM documents
+  )
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos <= a.pos + {_PMI_WINDOW}
+  GROUP BY w1, w2
+), unig AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS t,
+         (SELECT CAST(SUM(c12) AS BIGINT) FROM pairs) AS p
+)
+SELECT w1, w2, c12,
+       round(ln(CAST(c12 * t * t AS DOUBLE) / CAST(p * u1.c * u2.c AS DOUBLE)),
+             6) AS pmi
+FROM pairs
+JOIN unig u1 ON u1.w = w1
+JOIN unig u2 ON u2.w = w2
+CROSS JOIN tot
+WHERE c12 >= {_PMI_MIN_PAIRS}
+ORDER BY w1, w2
+""",
+    tags=("lm", "text"),
+)
+def q121_pmi_cooccurrence(spark, sf_dir):
+    """Pointwise mutual information of token pairs co-occurring within
+    a 2-position window. The pair generator is a self-join on doc_id
+    (equi key) with a positional band filter — per-doc work is linear in
+    document length x window size, never all-pairs. PMI is computed from
+    exact integer counts with a single ln() at the end; the integer
+    products stay well inside int64 (T^2 * c12 ~ 1e13 at sf0.01)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") <= F.col("a.pos") + _PMI_WINDOW),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    unig = tok.groupBy(F.col("w").alias("u")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = tok.agg(F.count("*").cast("bigint").alias("t")).crossJoin(
+        pairs.agg(F.sum("c12").cast("bigint").alias("p"))
+    )
+    u1 = unig.withColumnRenamed("u", "w1").withColumnRenamed("c", "c1")
+    u2 = unig.withColumnRenamed("u", "w2").withColumnRenamed("c", "c2")
+    return (
+        pairs.filter(F.col("c12") >= _PMI_MIN_PAIRS)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") * F.col("t") * F.col("t")).cast("double")
+                    / (F.col("p") * F.col("c1") * F.col("c2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+@query(
+    "q122_bigram_lm_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks))) AS pos,
+         unnest(toks) AS w
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+             AS toks
+    FROM documents
+  )
+), nexted AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+), bigrams AS (
+  SELECT doc_id, w1, w2 FROM nexted WHERE w2 IS NOT NULL
+), bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bigrams GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1
+), scored AS (
+  SELECT d.doc_id,
+         CAST(ROUND(ln(CAST(bg.c12 AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS logp_micro
+  FROM bigrams d
+  JOIN bg ON bg.w1 = d.w1 AND bg.w2 = d.w2
+  JOIN ctx ON ctx.w1 = d.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(SUM(logp_micro) / 1000000.0 / COUNT(*), 6) AS avg_logp
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("lm", "text"),
+)
+def q122_bigram_lm_score(spark, sf_dir):
+    """Bigram language-model scoring: train maximum-likelihood bigram
+    probabilities P(w2|w1) = c(w1,w2)/c(w1·) on the corpus, then score
+    every document by its mean log-probability — the perplexity-filter
+    shape used to select training data against an in-domain LM. Counts
+    are two map-side-combined groupBys over a lead-window bigram stream;
+    each per-bigram ln() is fixed-pointed to integer micro-units before
+    the per-doc sum so both engines accumulate exactly."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        tok.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(wdoc).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    scored = (
+        bigrams.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+                * 1_000_000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("logp_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("logp_micro") / 1_000_000.0 / F.count("*"), 6
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )

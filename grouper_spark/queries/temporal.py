@@ -1,0 +1,334 @@
+"""Temporal battery: CDC changelog compaction, sweep-line concurrency,
+SCD2 validity intervals, PageRank over the transition graph, and
+equi-depth histograms.
+
+These are the time-ordered shapes a lakehouse pipeline runs on event
+logs. Every operator is one window-shuffle on its natural key (user_id /
+event_type) plus a small aggregate — no self-joins on the raw log, no
+driver-side collection. The PageRank query demonstrates the iterative-
+algorithm pattern (tiny rank state, distributed edge extraction) used by
+label propagation in operators/dedup.py:294.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..functions.text import money
+from ..sources import table
+from . import query
+
+
+@query(
+    "q116_cdc_upsert",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_type,
+       CAST(ROUND(value * 100.0, 0) AS BIGINT) AS value_cents,
+       CAST(ts AS TIMESTAMP) AS last_ts
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+""",
+    tags=("temporal", "window"),
+)
+def q116_cdc_upsert(spark, sf_dir):
+    """Changelog compaction (the CDC MERGE shape): treat events as an
+    upsert stream keyed by user_id — last writer by (ts, event_id) wins,
+    'error' rows act as deletes. One row_number window = one shuffle on
+    the key; at lake scale the same plan runs per key-bucket partition,
+    which is exactly how Delta/Iceberg MERGE compacts a changelog."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            money("value").alias("value_cents"),
+            F.col("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q117_sweep_concurrency",
+    oracle="""
+WITH deltas AS (
+  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS t, 1 AS d
+  FROM events
+  UNION ALL
+  SELECT event_type, event_id,
+         CAST(ts AS TIMESTAMP) + INTERVAL 300 SECOND, -1
+  FROM events
+), run AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d, event_id
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM deltas
+)
+SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent
+FROM run
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("temporal", "window"),
+)
+def q117_sweep_concurrency(spark, sf_dir):
+    """Sweep-line max concurrency: each event opens a half-open 5-minute
+    interval [ts, ts+300s); unpivot every interval into a +1/-1 delta,
+    running-sum in time order, take the max. Ends sort before starts at
+    the same instant (d ascending), so touching intervals don't count as
+    overlapping. The classic interval-overlap self-join is O(n·k); the
+    sweep is one window shuffle, linear in the log, and the window is
+    partitioned by event_type so no single-partition global sort."""
+    ev = table(spark, sf_dir, "events")
+    deltas = ev.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("x"),
+    ).select("event_type", "event_id", "x.t", "x.d")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.withColumn("c", F.sum("d").over(w))
+        .groupBy("event_type")
+        .agg(F.max("c").cast("bigint").alias("max_concurrent"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q118_scd2_intervals",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+), runs AS (
+  SELECT user_id, grp, event_type,
+         CAST(MIN(ts) AS TIMESTAMP) AS valid_from
+  FROM islands
+  GROUP BY user_id, grp, event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from) AS valid_to
+FROM runs
+ORDER BY user_id, valid_from
+""",
+    tags=("temporal", "window"),
+)
+def q118_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 interval build (gaps-and-islands): collapse each
+    user's consecutive runs of the same event_type into one row with
+    [valid_from, valid_to) validity; the current state has NULL
+    valid_to. Change markers + running sum assign island ids without any
+    self-join; both windows shuffle on the same user_id key, so Spark
+    reuses one exchange for the whole plan."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("event_type").over(w)
+    marked = ev.withColumn(
+        "chg",
+        F.when(lagged.isNull() | (lagged != F.col("event_type")), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "grp",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = islands.groupBy("user_id", "grp", "event_type").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select("user_id", "event_type", "valid_from", "valid_to")
+        .orderBy("user_id", "valid_from")
+    )
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Three unrolled power iterations as chained CTEs (DuckDB)."""
+    head = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), edges AS (
+  SELECT prev_type AS src, event_type AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY src, dst
+), outd AS (
+  SELECT src, SUM(cnt) AS tot FROM edges GROUP BY src
+), wedges AS (
+  SELECT e.src, e.dst, e.cnt / o.tot AS p
+  FROM edges e JOIN outd o USING (src)
+), nodes AS (
+  SELECT DISTINCT event_type AS node FROM events
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes
+)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f""", r{i} AS (
+  SELECT nd.node,
+         {1 - _PR_DAMP} / (SELECT n FROM nn)
+           + {_PR_DAMP} * COALESCE(SUM(pr.r * w.p), 0) AS r
+  FROM nodes nd
+  LEFT JOIN wedges w ON w.dst = nd.node
+  LEFT JOIN r{i - 1} pr ON pr.node = w.src
+  GROUP BY nd.node
+)"""
+        )
+    tail = f"""
+SELECT node, round(r, 6) AS rank
+FROM r{_PR_ITERS}
+ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+@query(
+    "q119_pagerank_transitions",
+    oracle=_pagerank_oracle(),
+    tags=("temporal", "iterative"),
+)
+def q119_pagerank_transitions(spark, sf_dir):
+    """PageRank (d=0.85, 3 power iterations) over the event-transition
+    graph: nodes = event types, edge weights = row-normalized transition
+    counts extracted with one lag() window over the full log. The
+    expensive part — edge extraction — is a single distributed shuffle;
+    the iteration state (one rank per node) is dimension-sized, so each
+    step is a broadcast join against the edge list. The same loop shape
+    scales to web-graph edges: ranks become a keyed table co-partitioned
+    with edges, and lineage is cut with localCheckpoint as in the
+    connected-components operator (operators/dedup.py:294)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    edges = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    outd = edges.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    wedges = edges.join(outd, "src").select(
+        "src", "dst", (F.col("cnt") / F.col("tot")).alias("p")
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            wedges.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(1 - _PR_DAMP) / F.col("n")
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.round("r", 6).alias("rank")).orderBy("node")
+
+
+@query(
+    "q120_equidepth_histogram",
+    oracle="""
+WITH tiled AS (
+  SELECT l_returnflag,
+         l_extendedprice,
+         ntile(8) OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS tile
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(tile AS INT) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(MIN(l_extendedprice) * 100.0, 0) AS BIGINT) AS lo_cents,
+       CAST(ROUND(MAX(l_extendedprice) * 100.0, 0) AS BIGINT) AS hi_cents
+FROM tiled
+GROUP BY l_returnflag, tile
+ORDER BY l_returnflag, tile
+""",
+    tags=("temporal", "window", "histogram"),
+)
+def q120_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (quantile) histogram: ntile(8) per return flag over a
+    unique total order, then per-bucket count and fenceposts. The
+    complement of q77's fixed-width histogram — equal mass instead of
+    equal width. ntile needs a per-partition sort; partitioning by
+    l_returnflag keeps the sort distributed rather than global."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.ntile(8).over(w).cast("int").alias("tile"),
+        )
+        .groupBy("l_returnflag", "tile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min(money("l_extendedprice")).alias("lo_cents"),
+            F.max(money("l_extendedprice")).alias("hi_cents"),
+        )
+        .orderBy("l_returnflag", "tile")
+    )

@@ -277,3 +277,43 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+def test_q121_pair_generator_is_doc_equi_join(spark, sf_dir, registry):
+    # PMI pair generation must meet on the doc_id equi-key with the
+    # positional band as a residual filter — never a token×token
+    # cartesian; the only nested-loop joins are 1-row constant
+    # broadcasts (corpus totals)
+    df = registry["q121_pmi_cooccurrence"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_q119_rank_state_joins_broadcast(spark, sf_dir, registry):
+    # every power-iteration step joins the dimension-sized rank state
+    # onto the edge list via broadcast — the edge list itself is never
+    # re-shuffled per iteration
+    df = registry["q119_pagerank_transitions"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q118_windows_share_one_exchange(spark, sf_dir, registry):
+    # the change-marker window and the island running-sum window use the
+    # same (user_id) partitioning: Catalyst must plan ONE exchange on
+    # user_id for both, plus one for the final interval window
+    df = registry["q118_scd2_intervals"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
+
+
+def test_q117_sweep_has_no_self_join(spark, sf_dir, registry):
+    # the sweep is explode + window + agg — a join-free linear plan
+    df = registry["q117_sweep_concurrency"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
