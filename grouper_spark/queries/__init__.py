@@ -50,6 +50,7 @@ _MODULES = (
     "analytics",
     "temporal",
     "lm",
+    "monitoring",
 )
 
 

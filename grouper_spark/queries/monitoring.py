@@ -1,0 +1,294 @@
+"""Data-quality monitoring battery: distribution drift (PSI), exact
+z-score anomaly flags, rolling medians, and merged-interval coverage.
+
+These are the freshness/health checks a production pipeline schedules
+next to every ingest. The shared design rule: aggregate the raw log to
+a small keyed summary FIRST (one map-side-combined shuffle), then do
+the statistical work on the summary — windows and joins touch thousands
+of rows, not the corpus. Statistics that feed comparisons (z-scores)
+are computed from exact integer sums in one closed-form double
+expression, so both engines evaluate bit-identical arithmetic with no
+accumulation-order dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..sources import table
+from . import query
+
+_PSI_BIN = 100  # n_chars bin width
+
+
+@query(
+    "q124_psi_drift",
+    oracle=f"""
+WITH binned AS (
+  SELECT source, CAST(n_chars // {_PSI_BIN} AS INT) AS bin FROM documents
+), bins AS (
+  SELECT DISTINCT bin FROM binned
+), per_source AS (
+  SELECT s.source, b.bin,
+         CAST(1 + COALESCE(cnt, 0) AS BIGINT) AS c   -- add-one smoothing
+  FROM (SELECT DISTINCT source FROM binned) s
+  CROSS JOIN bins b
+  LEFT JOIN (
+    SELECT source, bin, COUNT(*) AS cnt FROM binned GROUP BY source, bin
+  ) x ON x.source = s.source AND x.bin = b.bin
+), source_tot AS (
+  SELECT source, SUM(c) AS tot FROM per_source GROUP BY source
+), global_c AS (
+  SELECT bin, SUM(c) AS g FROM per_source GROUP BY bin
+), global_tot AS (
+  SELECT SUM(g) AS gtot FROM global_c
+)
+SELECT p.source,
+       round(SUM(
+         (CAST(p.c AS DOUBLE) / t.tot - CAST(g.g AS DOUBLE) / gt.gtot)
+         * ln((CAST(p.c AS DOUBLE) / t.tot) / (CAST(g.g AS DOUBLE) / gt.gtot))
+       ), 6) AS psi
+FROM per_source p
+JOIN source_tot t USING (source)
+JOIN global_c g USING (bin)
+CROSS JOIN global_tot gt
+GROUP BY p.source
+ORDER BY p.source
+""",
+    tags=("monitoring", "drift"),
+)
+def q124_psi_drift(spark, sf_dir):
+    """Population Stability Index of each source's document-length
+    distribution against the corpus-wide distribution — the standard
+    ingest drift alarm. Lengths are binned (width 100), add-one
+    smoothed so empty bins don't blow up the log term, and PSI is
+    summed over ~6 bins per source. The raw corpus collapses to
+    (source × bin) counts in one shuffle; everything after is
+    dimension-sized. The per-source PSI sum is over ≤ a handful of
+    doubles derived from exact integer counts, so rounding to 6 is
+    engine-stable."""
+    d = table(spark, sf_dir, "documents")
+    binned = d.select(
+        "source", (F.col("n_chars") / _PSI_BIN).cast("int").alias("bin")
+    )
+    counts = binned.groupBy("source", "bin").agg(F.count("*").alias("cnt"))
+    sources = binned.select("source").distinct()
+    bins = binned.select("bin").distinct()
+    dense = (
+        sources.crossJoin(F.broadcast(bins))
+        .join(counts, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            (F.lit(1) + F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    stot = dense.groupBy("source").agg(F.sum("c").alias("tot"))
+    gbin = dense.groupBy("bin").agg(F.sum("c").alias("g"))
+    gtot = gbin.agg(F.sum("g").alias("gtot"))
+    p_s = F.col("c").cast("double") / F.col("tot")
+    p_g = F.col("g").cast("double") / F.col("gtot")
+    return (
+        dense.join(stot, "source")
+        .join(F.broadcast(gbin), "bin")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source")
+        .agg(F.round(F.sum((p_s - p_g) * F.log(p_s / p_g)), 6).alias("psi"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "q125_zscore_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+), stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.c,
+       round((d.c - CAST(s AS DOUBLE) / n)
+             / sqrt((s2 - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4) AS z,
+       CAST(abs((d.c - CAST(s AS DOUBLE) / n)
+             / sqrt((s2 - CAST(s AS DOUBLE) * s / n) / (n - 1))) > 2.0
+            AS BOOLEAN) AS is_anomaly
+FROM daily d JOIN stats USING (event_type)
+ORDER BY event_type, day
+""",
+    tags=("monitoring", "anomaly"),
+)
+def q125_zscore_anomaly(spark, sf_dir):
+    """Daily-volume anomaly flags: z-score of each (type, day) count
+    against that type's 30-day mean/std. The mean and sample std are
+    derived from exact bigint sums (n, Σc, Σc²) in ONE closed-form
+    double expression — no stddev_samp accumulator whose summation
+    order differs between engines — so z is bit-reproducible and the
+    |z| > 2 flag can't flip across the oracle boundary."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "c",
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "q126_rolling_median",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, c,
+       round(median(c) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             1) AS med7
+FROM daily
+ORDER BY event_type, day
+""",
+    tags=("monitoring", "window"),
+)
+def q126_rolling_median(spark, sf_dir):
+    """Trailing 7-day median of daily volume per event type — the
+    robust smoother dashboards use where a mean would chase spikes.
+    Spark has no median window function; over the pre-aggregated daily
+    summary the trailing frame is collect_list'd (≤7 bigints), sorted,
+    and the middle element (or midpoint average, exactly .0/.5) taken.
+    The collect_list trick is only sane because the window rides the
+    SUMMARY (30 rows/type), never the raw log — the pre-aggregate is
+    what makes it scale."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("c").over(w))
+    n = F.size(arr)
+    mid_lo = F.element_at(arr, (n / 2).cast("int"))
+    mid_hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")).cast("double")
+    ).otherwise((mid_lo + mid_hi) / 2.0)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "c",
+            F.round(med, 1).alias("med7"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "q127_interval_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+         CAST(ts AS TIMESTAMP) + INTERVAL 300 SECOND AS e
+  FROM events
+), marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+                OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked
+), merged AS (
+  SELECT user_id, isl, MIN(s) AS ms, MAX(e) AS me
+  FROM islands GROUP BY user_id, isl
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(epoch_us(me) // 1000000 - epoch_us(ms) // 1000000)
+            AS BIGINT) AS covered_s
+FROM merged
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("monitoring", "temporal"),
+)
+def q127_interval_coverage(spark, sf_dir):
+    """Merged-interval coverage per user: each event opens a 5-minute
+    activity interval; overlapping intervals merge (classic
+    merge-intervals), and the output is islands + total covered
+    seconds — the sessionized-time metric billing/engagement pipelines
+    compute. A running MAX(end) over the start-ordered intervals marks
+    island boundaries without any self-join; all three windows and the
+    aggregate share the user_id partitioning, so the log shuffles
+    once."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn("isl", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum(F.unix_timestamp("me") - F.unix_timestamp("ms"))
+            .cast("bigint")
+            .alias("covered_s"),
+        )
+        .orderBy("user_id")
+    )
