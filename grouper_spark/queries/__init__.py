@@ -51,6 +51,7 @@ _MODULES = (
     "temporal",
     "lm",
     "monitoring",
+    "versioning",
 )
 
 

@@ -1,0 +1,174 @@
+"""Data-versioning battery: snapshot diff and Z-order layout clustering.
+
+Snapshot diff is the table-format primitive (Delta/Iceberg style) a
+lakehouse uses to audit what changed between two table versions; the
+implementation is one full-outer join on the primary key comparing
+payload fingerprints — never a row-by-row replay. Z-ordering is the
+layout optimization that makes multi-column range predicates prune
+files: interleaving the bits of two keys gives one sort key whose
+ranges are small in BOTH dimensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources import table
+from . import query
+
+# v1 = orders before 1997; v2 = orders before 1998 with urgent-priority
+# totals repriced +10%. Deterministic synthetic "versions" of one table.
+_V1_CUT = "1997-01-01"
+_V2_CUT = "1998-01-01"
+
+
+def _payload_hash_sql(price_expr: str) -> str:
+    return (
+        "md5(concat(o_orderstatus, '|', "
+        f"CAST(CAST(ROUND({price_expr} * 100.0, 0) AS BIGINT) AS VARCHAR)"
+        ", '|', o_orderpriority))"
+    )
+
+
+@query(
+    "q128_snapshot_diff",
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderkey, {_payload_hash_sql('o_totalprice')} AS h
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_V1_CUT}'
+), v2 AS (
+  SELECT o_orderkey,
+         {_payload_hash_sql("CASE WHEN o_orderpriority = '1-URGENT' "
+                            "THEN o_totalprice * 1.1 ELSE o_totalprice END")}
+           AS h
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_V2_CUT}'
+), diff AS (
+  SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+         CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+              WHEN v2.o_orderkey IS NULL THEN 'removed'
+              WHEN v1.h <> v2.h THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum
+FROM diff
+GROUP BY change_type
+ORDER BY change_type
+""",
+    tags=("versioning", "join"),
+)
+def q128_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between two table versions: one full-outer join on
+    the primary key, classifying each key as added / removed / changed /
+    unchanged by comparing an md5 payload fingerprint (fixed-point cents
+    inside the hash so both engines fingerprint identical bytes). The
+    key_sum column makes the per-class row SETS — not just counts —
+    part of the checked contract. At lake scale both sides are
+    key-bucketed so the outer join is co-partitioned, and the
+    fingerprint column is precomputed at write time."""
+    o = table(spark, sf_dir, "orders")
+
+    def fingerprint(price):
+        cents = F.round(price * 100.0, 0).cast("bigint").cast("string")
+        return F.md5(
+            F.concat_ws(
+                "|", F.col("o_orderstatus"), cents, F.col("o_orderpriority")
+            )
+        )
+
+    v1 = o.filter(F.col("o_orderdate") < _V1_CUT).select(
+        "o_orderkey", fingerprint(F.col("o_totalprice")).alias("h")
+    )
+    repriced = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 1.1
+    ).otherwise(F.col("o_totalprice"))
+    v2 = o.filter(F.col("o_orderdate") < _V2_CUT).select(
+        "o_orderkey", fingerprint(repriced).alias("h")
+    )
+    joined = v1.withColumnRenamed("h", "h1").join(
+        v2.withColumnRenamed("h", "h2"),
+        "o_orderkey",
+        "full_outer",
+        # full-outer on the key: USING-style join keeps one coalesced key col
+    )
+    classified = joined.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return (
+        classified.groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@query(
+    "q129_zorder_layout",
+    oracle="""
+WITH bits AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_partkey % 256 AS BIGINT) AS x,
+         CAST(l_suppkey % 256 AS BIGINT) AS y
+  FROM lineitem
+), z AS (
+  SELECT l_orderkey, l_linenumber, x, y,
+         (((x >> 0) & 1) << 0)  | (((y >> 0) & 1) << 1)  |
+         (((x >> 1) & 1) << 2)  | (((y >> 1) & 1) << 3)  |
+         (((x >> 2) & 1) << 4)  | (((y >> 2) & 1) << 5)  |
+         (((x >> 3) & 1) << 6)  | (((y >> 3) & 1) << 7)  |
+         (((x >> 4) & 1) << 8)  | (((y >> 4) & 1) << 9)  |
+         (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) |
+         (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13) |
+         (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15) AS zval
+  FROM bits
+)
+SELECT CAST(zval >> 10 AS INT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM z
+GROUP BY zbucket
+ORDER BY zbucket
+""",
+    tags=("versioning", "layout"),
+)
+def q129_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout clustering: interleave the low 8 bits of
+    two join keys into one sort key and bucket rows by its prefix —
+    every bucket's min/max envelope is then narrow in BOTH x and y (the
+    output proves it: per-bucket x/y ranges are ~1/32 of the domain),
+    which is exactly why a Z-sorted parquet lake prunes files for
+    predicates on either column. Pure bit arithmetic, whole-stage
+    codegen, one aggregate shuffle; at write time the same zval feeds
+    sortWithinPartitions to lay files out."""
+    li = table(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % 256).cast("bigint")
+    y = (F.col("l_suppkey") % 256).cast("bigint")
+    zval = F.lit(0).cast("bigint")
+    for i in range(8):
+        zval = zval.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+        )
+    z = li.select(x.alias("x"), y.alias("y"), zval.alias("zval"))
+    return (
+        z.groupBy(F.shiftright("zval", 10).cast("int").alias("zbucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("x").cast("bigint").alias("x_min"),
+            F.max("x").cast("bigint").alias("x_max"),
+            F.min("y").cast("bigint").alias("y_min"),
+            F.max("y").cast("bigint").alias("y_max"),
+        )
+        .orderBy("zbucket")
+    )
