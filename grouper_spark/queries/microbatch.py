@@ -14,6 +14,7 @@ from ..streaming import (
     stage_stream_source,
     stateful_running_sum,
 )
+from ..streaming.stream import append_stream_file, stateful_sessionize
 from ..streaming.stream import scoped_shuffle_partitions
 from . import query
 
@@ -494,4 +495,66 @@ def q113_stream_outer_join(spark, sf_dir):
         .filter(F.col("purchase_id") >= 0)
         .filter(F.col("click_id").isNull() | (F.col("click_id") >= 0))
         .orderBy("purchase_id", F.col("click_id").asc_nulls_first())
+    )
+
+@query(
+    "q130_stateful_sessions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), islands AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked
+)
+SELECT user_id,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, isl
+ORDER BY user_id, start_us
+""",
+    tags=("streaming", "stateful", "session"),
+)
+def q130_stateful_sessions(spark, sf_dir):
+    """Stateful session windows with event-time timeout eviction
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout):
+    per-user open sessions live in GroupState; a session is emitted when
+    a later event arrives past the 300 s gap, or when the watermark
+    passes its close point and the state TIMES OUT — bounded keyed
+    state on an unbounded stream, which NoTimeout running aggregates
+    (q57) don't give you. The replay stages events in event-time order,
+    then appends a far-future sentinel batch to advance the watermark
+    and time out every remaining open session, so the closed-session
+    set equals batch gaps-and-islands sessionization — the exact SQL
+    oracle."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    src = stage_stream_source(ev, 6, order_by="ts")
+    sentinel = ev.agg(
+        F.lit(-1).cast("bigint").alias("user_id"),
+        (F.max("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+    )
+    append_stream_file(src, sentinel)
+    with scoped_shuffle_partitions(spark, _STREAM_SHUFFLE):
+        out = stateful_sessionize(
+            spark, src, key_col="user_id", ts_col="ts", gap_s=300
+        )
+    return (
+        out.filter(F.col("key") >= 0)
+        .select(
+            F.col("key").alias("user_id"),
+            "start_us",
+            "last_us",
+            "n_events",
+        )
+        .orderBy("user_id", "start_us")
     )

@@ -4,6 +4,7 @@ from .stream import (
     grouper_process_stream,
     stage_stream_source,
     stateful_running_sum,
+    stateful_sessionize,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "append_stream_file",
     "stage_stream_source",
     "stateful_running_sum",
+    "stateful_sessionize",
 ]

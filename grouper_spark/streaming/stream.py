@@ -185,6 +185,113 @@ def stateful_running_sum(
     return spark.table(name)
 
 
+def stateful_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    key_col: str,
+    ts_col: str,
+    gap_s: int = 300,
+    schema=None,
+    max_files_per_trigger: int = 1,
+    watermark_delay: str = "1 second",
+) -> DataFrame:
+    """Custom stateful session windows with **event-time timeout
+    eviction**: per-key open sessions live in ``GroupState``; a session
+    closes (and is emitted, append-mode) either when a later event for
+    the key arrives more than ``gap_s`` after its last event, or when
+    the stream's watermark passes ``last_event + gap_s`` and the state
+    times out (``GroupStateTimeout.EventTimeTimeout``) — so abandoned
+    keys cannot accumulate state forever, which is what distinguishes
+    this from the NoTimeout running aggregate above and is the property
+    that makes keyed state bounded on an unbounded stream.
+
+    Timestamps are carried as integer epoch-micros in state and output,
+    so session identity is exact. Emissions happen only for CLOSED
+    sessions; correctness relies on the watermark contract (rows later
+    than the watermark are dropped by Spark before reaching the
+    operator). At scale the state store is RocksDB per key-partition;
+    state shuffles once on the key.
+
+    Returns ``key, start_us, last_us, n_events`` — one row per closed
+    session.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    gap_us = gap_s * 1_000_000
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "start_us": [start_us],
+                    "last_us": [last_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = pd.concat([pdf[ts_col] for pdf in pdfs])
+        # pandas datetime64[ns] → epoch micros (int64), sorted
+        us = sorted(int(v) for v in ts.astype("int64") // 1000)
+        closed: list[tuple[int, int, int]] = []
+        if state.exists:
+            cur_start, cur_last, cur_n = state.get
+        else:
+            cur_start, cur_last, cur_n = us[0], us[0], 0
+            cur_n = 1
+            us = us[1:]
+        for t in us:
+            if t - cur_last > gap_us:
+                closed.append((cur_start, cur_last, cur_n))
+                cur_start, cur_last, cur_n = t, t, 1
+            else:
+                cur_last = t
+                cur_n += 1
+        state.update((cur_start, cur_last, cur_n))
+        # evict when the watermark passes the open session's close point
+        state.setTimeoutTimestamp((cur_last + gap_us) // 1000 + 1)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "start_us": [c[0] for c in closed],
+                    "last_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    name = f"sess_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "key bigint, start_us bigint, last_us bigint, n_events bigint"
+            ),
+            stateStructType="start_us bigint, last_us bigint, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stage_stream_source(
     df: DataFrame,
     n_files: int,

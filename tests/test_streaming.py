@@ -239,3 +239,46 @@ def test_append_stream_file_becomes_later_batch(spark):
     last_with_rows = [p for p in q.recentProgress if p["numInputRows"] > 0][-1]
     assert last_with_rows["numInputRows"] == 1
     assert spark.table(name).count() == 7
+
+
+def test_stateful_sessionize_timeout_evicts_abandoned_keys(spark, tmp_path):
+    """A key that stops sending must still get its final session emitted
+    — via EventTimeTimeout when OTHER keys' traffic advances the
+    watermark — and in-batch gaps must split sessions. Bounded state on
+    an unbounded stream is the property under test."""
+    import datetime as dt
+
+    from grouper_spark.streaming.stream import (
+        append_stream_file,
+        stateful_sessionize,
+        stage_stream_source,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # user 1: two events 10s apart, then silence → one session, closed
+    #         only because user 2 keeps talking (timeout eviction).
+    # user 2: bursts at 0s and 2000s → the second burst closes the first
+    #         session on arrival (gap path), sentinel closes the last.
+    rows = [
+        (1, ts(0)), (1, ts(10)),
+        (2, ts(5)), (2, ts(2000)), (2, ts(2030)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    src = stage_stream_source(df, 2, order_by="ts")
+    sentinel = spark.createDataFrame(
+        [(-1, ts(100000))], "user_id bigint, ts timestamp"
+    )
+    append_stream_file(src, sentinel)
+
+    out = stateful_sessionize(
+        spark, src, key_col="user_id", ts_col="ts", gap_s=300
+    )
+    got = sorted(
+        (r["key"], r["n_events"]) for r in out.filter("key >= 0").collect()
+    )
+    # user 1: one 2-event session; user 2: 1-event then 2-event sessions
+    assert got == [(1, 2), (2, 1), (2, 2)]
