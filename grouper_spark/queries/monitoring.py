@@ -292,3 +292,70 @@ def q127_interval_coverage(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q131_winsorize",
+    oracle="""
+WITH fences AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+), clamped AS (
+  SELECT l.l_returnflag,
+         CASE WHEN l_extendedprice < p05 THEN p05
+              WHEN l_extendedprice > p95 THEN p95
+              ELSE l_extendedprice END AS w,
+         CAST(l_extendedprice < p05 AS INT) AS lo,
+         CAST(l_extendedprice > p95 AS INT) AS hi
+  FROM lineitem l JOIN fences f USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(lo) AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(hi) AS BIGINT) AS n_clamped_hi,
+       SUM(CAST(ROUND(w * 100.0, 0) AS BIGINT)) / 100.0 AS winsorized_sum
+FROM clamped
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("monitoring", "curation"),
+)
+def q131_winsorize(spark, sf_dir):
+    """Winsorization: clamp per-group outliers at the exact 5th/95th
+    percentile fences — the heavy-tail taming step quality pipelines run
+    before averaging scores. The fence table is group-cardinality-sized,
+    so re-joining it onto the fact scan broadcasts (same shape as q91's
+    IQR fences); interpolated percentiles are order-statistics, not
+    accumulations, so both engines compute identical doubles, and the
+    clamped sum is fixed-pointed to cents."""
+    li = table(spark, sf_dir, "lineitem")
+    fences = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    joined = li.join(F.broadcast(fences), "l_returnflag")
+    w = (
+        F.when(F.col("l_extendedprice") < F.col("p05"), F.col("p05"))
+        .when(F.col("l_extendedprice") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    return (
+        joined.select(
+            "l_returnflag",
+            w.alias("w"),
+            (F.col("l_extendedprice") < F.col("p05")).cast("int").alias("lo"),
+            (F.col("l_extendedprice") > F.col("p95")).cast("int").alias("hi"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("lo").cast("bigint").alias("n_clamped_lo"),
+            F.sum("hi").cast("bigint").alias("n_clamped_hi"),
+            (F.sum(F.round(F.col("w") * 100.0, 0).cast("bigint")) / 100.0).alias(
+                "winsorized_sum"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
