@@ -225,3 +225,111 @@ def q115_audio_energy(spark, sf_dir):
         rms_windows, schema="doc_id long, win_idx int, rms double"
     )
     return out.orderBy("doc_id", "win_idx")
+
+
+_IMG_W = 16  # fake image width (bytes per row)
+_PATCH = 8   # patch side
+
+
+@query(
+    "q132_image_patches",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         CAST(floor(length(text) / {_IMG_W}.0) AS INT) // {_PATCH} AS prows
+  FROM documents
+  WHERE length(text) >= {_IMG_W * _PATCH}
+), grid AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, prows - 1)) AS patch_row
+  FROM dims
+), pg AS (
+  SELECT doc_id, text, patch_row,
+         unnest(generate_series(0, {_IMG_W // _PATCH} - 1)) AS patch_col
+  FROM grid
+)
+SELECT doc_id,
+       CAST(patch_row AS INT) AS patch_row,
+       CAST(patch_col AS INT) AS patch_col,
+       CAST(list_sum(list_transform(
+         generate_series(0, {_PATCH * _PATCH} - 1),
+         k -> ascii(substring(text,
+                (CAST(patch_row AS INT) * {_PATCH} + k // {_PATCH}) * {_IMG_W}
+                  + CAST(patch_col AS INT) * {_PATCH} + (k % {_PATCH}) + 1,
+                1))
+       )) AS BIGINT) AS intensity_sum,
+       round(CAST(list_sum(list_transform(
+         generate_series(0, {_PATCH * _PATCH} - 1),
+         k -> ascii(substring(text,
+                (CAST(patch_row AS INT) * {_PATCH} + k // {_PATCH}) * {_IMG_W}
+                  + CAST(patch_col AS INT) * {_PATCH} + (k % {_PATCH}) + 1,
+                1))
+       )) AS DOUBLE) / {_PATCH * _PATCH}.0, 6) AS mean_intensity
+FROM pg
+ORDER BY doc_id, patch_row, patch_col
+""",
+    tags=("multimodal",),
+)
+def q132_image_patches(spark, sf_dir):
+    """ViT-style patchify plumbing: treat each payload as a fake
+    {_IMG_W}-byte-wide grayscale image, crop to whole {_PATCH}x{_PATCH}
+    patches, and emit per-patch integer intensity sums + means — the
+    numpy reshape/transpose inside mapInPandas is exactly the batch
+    shape a vision preprocessor (resize -> patchify -> embed) runs per
+    Arrow batch; a real decoder replaces np.frombuffer with an image
+    codec and nothing else changes. Patch sums are exact int64, mean is
+    a power-of-two-free division of exact ints rounded at 6 dp."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def patchify(batches):
+        for pdf in batches:
+            ids, prow, pcol, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                h = len(buf) // _IMG_W
+                ph, pw = h // _PATCH, _IMG_W // _PATCH
+                if ph == 0:
+                    continue
+                img = buf[: h * _IMG_W].reshape(h, _IMG_W)
+                img = img[: ph * _PATCH]
+                # (ph, PATCH, pw, PATCH) -> per-patch int sums
+                pat = img.reshape(ph, _PATCH, pw, _PATCH).astype(np.int64)
+                psum = pat.sum(axis=(1, 3))  # (ph, pw)
+                for i in range(ph):
+                    for j in range(pw):
+                        ids.append(doc_id)
+                        prow.append(i)
+                        pcol.append(j)
+                        sums.append(int(psum[i, j]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "patch_row": prow,
+                    "patch_col": pcol,
+                    "intensity_sum": sums,
+                }
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "patch_row": "int32",
+                    "patch_col": "int32",
+                    "intensity_sum": "int64",
+                }
+            )
+
+    out = d.mapInPandas(
+        patchify,
+        schema="doc_id long, patch_row int, patch_col int, intensity_sum long",
+    )
+    return out.select(
+        "doc_id",
+        "patch_row",
+        "patch_col",
+        "intensity_sum",
+        F.round(F.col("intensity_sum").cast("double") / (_PATCH * _PATCH), 6)
+        .alias("mean_intensity"),
+    ).orderBy("doc_id", "patch_row", "patch_col")
