@@ -52,6 +52,7 @@ _MODULES = (
     "lm",
     "monitoring",
     "versioning",
+    "indexing",
 )
 
 

@@ -1,0 +1,183 @@
+"""Corpus-organization battery: deterministic shuffle-sharding, inverted
+index construction, and n-gram diversity scoring.
+
+These are the steps between "curated corpus" and "training run": a
+reproducible global shuffle that any worker can recompute (no RNG state
+to ship), the retrieval index the data tooling queries, and the
+diversity metric that flags TEMPLATE-heavy sources. All hash ordering
+uses md5 hex strings compared lexicographically — engine-portable, no
+hex→int conversion, stable at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..functions.text import tokens
+from ..sources import table
+from . import query
+
+_N_POSTINGS = 5
+
+
+@query(
+    "q133_shuffle_shard",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5(concat('seed42|', CAST(doc_id AS VARCHAR))) AS hk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(position(substr(hk, 1, 1) IN '0123456789abcdef') - 1 AS INT)
+         AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY position(substr(hk, 1, 1) IN '0123456789abcdef')
+         ORDER BY hk, doc_id) AS BIGINT) AS shard_pos,
+       source
+FROM keyed
+ORDER BY shard, shard_pos
+""",
+    tags=("indexing", "shuffle"),
+)
+def q133_shuffle_shard(spark, sf_dir):
+    """Deterministic corpus shuffle + sharding: order by a seeded md5 of
+    the key, assign 16 shards by the first hex nibble, and number rows
+    within each shard — a reproducible global shuffle with no RNG state
+    (any worker recomputes its shard from the seed alone; epoch = new
+    seed). Shard assignment is pure map-side projection; the only
+    shuffle is the per-shard window, which at scale is
+    repartitionByRange on (shard, hash) feeding a sorted write."""
+    d = table(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.lit("seed42|"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", "source", hk.alias("hk")).withColumn(
+        "shard",
+        F.expr("CAST(instr('0123456789abcdef', substring(hk, 1, 1)) - 1 AS INT)"),
+    )
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("shard_pos"),
+            "source",
+        )
+        .orderBy("shard", "shard_pos")
+    )
+
+
+@query(
+    "q135_inverted_index",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+  ) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS tf_total,
+       array_to_string(
+         list_transform(
+           (list(DISTINCT doc_id ORDER BY doc_id))[1:{_N_POSTINGS}],
+           x -> CAST(x AS VARCHAR)),
+         ',') AS posting_head
+FROM tok
+GROUP BY term
+ORDER BY term
+""",
+    tags=("indexing", "text"),
+)
+def q135_inverted_index(spark, sf_dir):
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the head of the sorted posting list (serialized, so
+    the driver gate can hash it). One explode + one groupBy — the
+    posting list is bounded by slice() before serialization, so a
+    stop-word's mega-posting never materializes in the output row; at
+    scale the full postings would write to a term-bucketed sink instead
+    of a string column, same plan shape."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("df"),
+            F.count("*").cast("bigint").alias("tf_total"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.collect_set("doc_id")), 1, _N_POSTINGS
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("posting_head"),
+        )
+        .orderBy("term")
+    )
+
+
+@query(
+    "q136_ngram_diversity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(generate_series(1, len(toks))) AS pos,
+         unnest(toks) AS w
+  FROM (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+             AS toks
+    FROM documents
+  )
+), tri AS (
+  SELECT source,
+         concat(w, ' ', lead(w, 1) OVER win, ' ', lead(w, 2) OVER win)
+           AS gram,
+         lead(w, 2) OVER win AS w3
+  FROM tok
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS total_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+       round(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6)
+         AS distinct_ratio
+FROM tri
+WHERE w3 IS NOT NULL
+GROUP BY source
+ORDER BY source
+""",
+    tags=("indexing", "text", "quality"),
+)
+def q136_ngram_diversity(spark, sf_dir):
+    """Distinct-n diversity (distinct trigrams / total trigrams) per
+    source — the repetition metric that flags template-generated or
+    boilerplate-heavy sources before they dilute a training mix (low
+    ratio = low diversity). Trigrams stream out of two lead() windows
+    over the exploded token stream — one doc_id shuffle, no self-join —
+    and the ratio is a division of exact counts."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    tri = tok.select(
+        "source",
+        F.concat_ws(
+            " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+        ).alias("gram"),
+        F.lead("w", 2).over(win).alias("w3"),
+    ).filter(F.col("w3").isNotNull())
+    return (
+        tri.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("total_grams"),
+            F.count_distinct("gram").cast("bigint").alias("distinct_grams"),
+            F.round(
+                F.count_distinct("gram").cast("double") / F.count("*"), 6
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("source")
+    )
