@@ -155,3 +155,88 @@ def q63_dedup_clusters(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     out = dedup_clusters(d, "doc_id", "text", n=3, threshold=0.5)
     return out.select(F.col("doc").alias("doc"), "cluster_id").orderBy("doc")
+
+
+@query(
+    "q134_cluster_canonical",
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                           i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(shingles) AS sh_size, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh_size AS size_a, b.sh_size AS size_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  WHERE inter / (size_a + size_b - inter) >= 0.5
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+  WHERE inter / (size_a + size_b - inter) >= 0.5
+), reach(doc, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+), labels AS (
+  SELECT doc, MIN(label) AS cluster_id FROM reach GROUP BY doc
+), ranked AS (
+  SELECT l.cluster_id, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rk
+  FROM labels l JOIN documents d ON d.doc_id = l.doc
+)
+SELECT cluster_id,
+       CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+         AS canonical_doc,
+       CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+         AS canonical_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+    tags=("dedup", "iterative", "curation"),
+)
+def q134_cluster_canonical(spark, sf_dir):
+    """Canonical-document retention: after transitive near-dup
+    clustering (q63's connected components), keep ONE representative per
+    cluster — the longest document, doc_id tie-break — and report
+    cluster sizes. This is the retention policy step of a dedup
+    pipeline: cluster labels join back to the corpus on the doc key
+    (one shuffle), and the representative is a row_number pick over the
+    cluster partition. Composes the iterative operator with relational
+    selection end-to-end."""
+    from ..operators import dedup_clusters
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    labels = dedup_clusters(d, "doc_id", "text", n=3, threshold=0.5)
+    joined = labels.join(
+        d.select("doc_id", "n_chars"),
+        labels["doc"] == F.col("doc_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = joined.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("canonical_doc"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+            .cast("bigint")
+            .alias("canonical_chars"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
