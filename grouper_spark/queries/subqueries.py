@@ -187,3 +187,47 @@ def q100_values_dim_join(spark, sf_dir):
     inner join drops identically in both engines."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("vd_customer")
     return spark.sql(VALUES_DIM_SQL.format(customer="vd_customer"))
+
+
+# One SQL text for both engines (no dialect divergence): bounded-depth
+# BFS so the cyclic transition graph terminates under UNION ALL
+# semantics in both, with MIN(hop) collapsing the path fan-out.
+_BFS_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM {events}
+), edges AS (
+  SELECT DISTINCT prev_type AS src, event_type AS dst
+  FROM seq WHERE prev_type IS NOT NULL AND prev_type <> event_type
+), hops (node, hop) AS (
+  SELECT CAST('signup' AS {strtype}), 0
+  UNION ALL
+  SELECT e.dst, h.hop + 1
+  FROM hops h JOIN edges e ON e.src = h.node
+  WHERE h.hop < 4
+)
+SELECT node, CAST(MIN(hop) AS INT) AS hops
+FROM hops
+GROUP BY node
+ORDER BY node
+"""
+
+
+@query(
+    "q137_recursive_bfs",
+    oracle=_BFS_SQL.format(events="events", strtype="VARCHAR"),
+    tags=("sql", "recursive", "iterative"),
+)
+def q137_recursive_bfs(spark, sf_dir):
+    """Recursive CTE (WITH RECURSIVE, Spark 4 engine surface): BFS hop
+    counts from 'signup' over the event-transition graph. The recursion
+    is depth-bounded (hop < 4) so the cyclic graph terminates under
+    UNION ALL in both engines, and MIN(hop) collapses path fan-out to
+    shortest-hop labels. Edge extraction is the distributed part (lag
+    window + DISTINCT, one user_id shuffle); the recursion itself runs
+    on the dimension-sized edge set. Same SQL text runs on both engines
+    modulo the string-type cast."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("bfs_events")
+    return spark.sql(_BFS_SQL.format(events="bfs_events", strtype="STRING"))
