@@ -2,6 +2,7 @@ from .core import (
     asof_join,
     binned_range_join,
     salted_join,
+    merge_intervals,
     sessionize,
     topk_per_group,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "binned_range_join",
     "gramian_upper",
     "salted_join",
+    "merge_intervals",
     "sessionize",
     "topk_per_group",
     "canonicalize_exact",

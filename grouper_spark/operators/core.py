@@ -237,3 +237,51 @@ def binned_range_join(
         )
         .drop("__bucket")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Merge overlapping or touching intervals per key into islands: a
+    row starting at or before a prior interval's end (same key)
+    coalesces with it; a row starting strictly after every prior end
+    opens a new island. Returns one row per island:
+    ``key, island, island_start, island_end, n_intervals``.
+
+    The classic formulation is an interval self-join (O(n·k) pairs);
+    this is the sweep form — a running MAX(end) over the start-ordered
+    intervals marks boundaries, a running SUM numbers islands, and one
+    aggregate collapses them. All three windows and the aggregate share
+    the per-key partitioning, so the input shuffles exactly once at any
+    scale.
+    """
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy(start, end)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max(end).over(w_prev)
+    marked = df.withColumn(
+        "__new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col(start) > prev_max_end), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy(start, end)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.withColumn("__isl", F.sum("__new_island").over(w_run))
+    return (
+        numbered.groupBy(key, "__isl")
+        .agg(
+            F.min(start).alias("island_start"),
+            F.max(end).alias("island_end"),
+            F.count("*").alias("n_intervals"),
+        )
+        .withColumnRenamed("__isl", "island")
+    )

@@ -230,8 +230,14 @@ def lsh_neardup_pairs(
     posting = posting.filter(F.size("ids") >= 2)
     if max_bucket is not None:
         posting = posting.filter(F.size("ids") <= max_bucket)
+    # The posting table has only bands×buckets rows, so without a
+    # redistribution the second (heavy) explode would run in as few
+    # tasks as there are posting rows — repartition the first-level
+    # explosion on vec_a to spread the quadratic fan-out across the
+    # cluster before it happens.
     cand = (
         posting.select(F.explode("ids").alias("vec_a"), "ids")
+        .repartition(F.col("vec_a"))
         .select("vec_a", F.explode("ids").alias("vec_b"))
         .filter(F.col("vec_a") < F.col("vec_b"))
         .distinct()

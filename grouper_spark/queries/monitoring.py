@@ -257,36 +257,22 @@ def q127_interval_coverage(spark, sf_dir):
     island boundaries without any self-join; all three windows and the
     aggregate share the user_id partitioning, so the log shuffles
     once."""
+    from ..operators import merge_intervals
+
     ev = table(spark, sf_dir, "events")
     iv = ev.select(
         "user_id",
         F.col("ts").alias("s"),
         (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e"),
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prev_max_e = F.max("e").over(w_prev)
-    marked = iv.withColumn(
-        "new_island",
-        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
-    )
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    islands = marked.withColumn("isl", F.sum("new_island").over(w_run))
-    merged = islands.groupBy("user_id", "isl").agg(
-        F.min("s").alias("ms"), F.max("e").alias("me")
-    )
+    merged = merge_intervals(iv, "user_id", "s", "e")
     return (
         merged.groupBy("user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_islands"),
-            F.sum(F.unix_timestamp("me") - F.unix_timestamp("ms"))
+            F.sum(
+                F.unix_timestamp("island_end") - F.unix_timestamp("island_start")
+            )
             .cast("bigint")
             .alias("covered_s"),
         )

@@ -241,3 +241,40 @@ def test_dedup_clusters_long_chain_pointer_jumping(spark):
     out = dedup_clusters(df, "doc_id", "text", threshold=0.1, max_iters=6)
     labels = {r["doc"]: r["cluster_id"] for r in out.collect()}
     assert set(labels.values()) == {1}
+
+
+def test_merge_intervals_matches_bruteforce(spark):
+    """merge_intervals vs a python sweep over 100 seeded-random keys —
+    overlap, containment, touching (merges), duplicates, and singleton
+    cases all land in one comparison."""
+    import random
+
+    from grouper_spark.operators import merge_intervals
+
+    rng = random.Random(42)
+    rows = []
+    for k in range(100):
+        for _ in range(rng.randint(1, 12)):
+            s = rng.randint(0, 60)
+            rows.append((k, s, s + rng.randint(1, 15)))
+
+    def brute(intervals):
+        out = []
+        for s, e in sorted(intervals):
+            if out and s <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], e), out[-1][2] + 1)
+            else:
+                out.append((s, e, 1))
+        return out
+
+    expected = []
+    for k in sorted({r[0] for r in rows}):
+        for s, e, n in brute([(s, e) for kk, s, e in rows if kk == k]):
+            expected.append((k, s, e, n))
+
+    df = spark.createDataFrame(rows, "k int, s int, e int")
+    got = sorted(
+        (r["k"], r["island_start"], r["island_end"], r["n_intervals"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert got == sorted(expected)
