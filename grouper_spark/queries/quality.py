@@ -13,6 +13,7 @@ oracle-parity rules in _sqlgen.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -258,11 +259,14 @@ LIMIT 100
 def q104_span_dedup(spark, sf_dir):
     """Duplicated-span flagging (exact substring-level dedup signal):
     fraction of each document's distinct 8-grams that appear in at least
-    one other document. The gram→count side is a hash aggregate with a
-    HAVING cut (duplicated grams only — typically a small fraction), met
-    by an equi-join on the gram key; never doc×doc. The same posting
-    shuffle the decontamination and Jaccard operators use, so the scale
-    ceiling is the gram aggregation, not pair expansion."""
+    one other document. Grams are distinct per document, so a window
+    ``COUNT(*) OVER (PARTITION BY g)`` on the exploded gram table IS the
+    document frequency — one shuffle on the gram key and the shingle
+    pipeline computes once, vs the naive agg-then-self-join which runs
+    the tokenizer on both join branches (measured 2x slower at sf0.1);
+    never doc×doc. The same posting shuffle the decontamination and
+    Jaccard operators use, so the scale ceiling is the gram exchange,
+    not pair expansion."""
     from ..functions.text import word_shingles
 
     d = table(spark, sf_dir, "documents")
@@ -272,13 +276,16 @@ def q104_span_dedup(spark, sf_dir):
     ex = sh.filter(F.col("n_grams") > 0).select(
         "doc_id", "n_grams", F.explode("grams").alias("g")
     )
-    dupg = ex.groupBy("g").count().filter(F.col("count") > 1).select("g")
-    joined = ex.join(dupg.withColumn("__dup", F.lit(1)), "g", "left")
+    marked = ex.withColumn(
+        "__df", F.count("*").over(Window.partitionBy("g"))
+    )
     return (
-        joined.groupBy("doc_id")
+        marked.groupBy("doc_id")
         .agg(
             F.max("n_grams").cast("bigint").alias("n_grams"),
-            F.count("__dup").cast("bigint").alias("n_dup"),
+            F.sum(F.when(F.col("__df") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
         )
         .select(
             "doc_id",
