@@ -89,12 +89,14 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         run_one(spark, registry["q01_pricing_summary"], warm_dir)
 
-    # min of two runs per query: the second run reuses JIT'd codegen and
-    # warmed file listings, so min-of-2 reports steady-state compute
-    # rather than scheduler jitter
+    # min of three runs per query: later runs reuse JIT'd codegen and
+    # warmed file listings, so the min reports steady-state compute
+    # rather than scheduler jitter (the host's CPU clock is burstable —
+    # identical work varies several-fold run to run, so two samples
+    # under-estimate the floor)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t = min(run_one(spark, registry[name], sf_dir) for _ in range(2))
+        t = min(run_one(spark, registry[name], sf_dir) for _ in range(3))
         timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
