@@ -179,12 +179,15 @@ def test_q102_bm25_constants_broadcast(spark, sf_dir, registry):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_q104_span_dedup_is_posting_join(spark, sf_dir, registry):
-    # duplicated-gram detection must meet on the gram equi-key
+def test_q104_span_dedup_single_gram_pipeline(spark, sf_dir, registry):
+    # duplicated-gram detection is a window df-count over ONE exploded
+    # gram table: the expensive shingle tokenizer must run once (a
+    # single documents scan), not once per join branch, and never doc×doc
     df = registry["q104_span_dedup"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_q105_incremental_dedup_prunes_store_columns(spark, sf_dir, registry):
