@@ -218,3 +218,99 @@ def q112_retention_cohorts(spark, sf_dir):
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
         .orderBy("cohort_week", "offset_weeks")
     )
+
+
+@query(
+    "q138_groupwise_regression",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS n,
+       round(regr_slope(o_totalprice, o_custkey), 6) AS slope,
+       round(regr_intercept(o_totalprice, o_custkey), 2) AS intercept,
+       round(regr_r2(o_totalprice, o_custkey), 6) AS r2
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("agg", "stats"),
+)
+def q138_groupwise_regression(spark, sf_dir):
+    """Per-group closed-form OLS: slope / intercept / R² of total price
+    on customer key, one regression per priority class. The regr_*
+    family is a single-pass co-moment aggregate in both engines —
+    distributed it is one map-side-combined hash aggregate (the same
+    shape as SUM), never a per-group solver or a collect; rounding
+    absorbs last-ulp accumulation-order differences. The reference has
+    no aggregates at all (its only grouping is arrival-order batching,
+    core.clj:129-135); this is the model-fit-per-segment shape a
+    feature pipeline runs at full-corpus scale."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.regr_count("o_totalprice", "o_custkey")
+            .cast("bigint")
+            .alias("n"),
+            F.round(F.regr_slope("o_totalprice", "o_custkey"), 6).alias(
+                "slope"
+            ),
+            F.round(F.regr_intercept("o_totalprice", "o_custkey"), 2).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("o_totalprice", "o_custkey"), 6).alias("r2"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q139_share_of_total",
+    oracle="""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                  AS BIGINT)) AS rev_cents
+  FROM lineitem
+  GROUP BY l_suppkey
+), tot AS (
+  SELECT SUM(rev_cents) AS total_cents FROM per_supp
+)
+SELECT l_suppkey,
+       rev_cents / 100.0 AS revenue,
+       round(rev_cents / (1.0 * total_cents), 9) AS share
+FROM per_supp, tot
+ORDER BY rev_cents DESC, l_suppkey
+LIMIT 100
+""",
+    tags=("agg", "scale-pattern"),
+)
+def q139_share_of_total(spark, sf_dir):
+    """Percent-of-total per supplier, the scale-correct way: aggregate
+    to supplier grain first, reduce THAT to a 1-row grand total, and
+    broadcast the total back onto the per-supplier table. The tempting
+    one-liner — ``SUM(...) OVER ()`` on the detail rows — funnels the
+    whole fact table through a single window partition (one task at
+    100 TB); here the detail table is touched once by a map-side-combined
+    aggregate and the only join is against a broadcast single row.
+    Fixed-point cents make the shares exact-integer divisions."""
+    from ..functions.text import money
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(money(rev)).alias("rev_cents")
+    )
+    tot = per_supp.agg(F.sum("rev_cents").alias("total_cents"))
+    return (
+        per_supp.join(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            F.round(F.col("rev_cents") / (1.0 * F.col("total_cents")), 9)
+            .alias("share"),
+            "rev_cents",
+        )
+        .orderBy(F.col("rev_cents").desc(), "l_suppkey")
+        .limit(100)
+        .drop("rev_cents")
+    )

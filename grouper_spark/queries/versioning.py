@@ -172,3 +172,57 @@ def q129_zorder_layout(spark, sf_dir):
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "q140_table_checksum",
+    oracle="""
+WITH hashed AS (
+  SELECT source,
+         ('0x' || substr(md5(doc_id || '|' || md5(text)), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(h % 1000000007) AS BIGINT) AS checksum_sum,
+       CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+FROM hashed
+GROUP BY source
+ORDER BY source
+""",
+    tags=("versioning", "audit"),
+)
+def q140_table_checksum(spark, sf_dir):
+    """Order-independent per-shard content checksum — the audit
+    primitive for verifying a migration / replication / engine swap
+    moved every row intact, without ever sorting or transferring the
+    data: each row reduces to a 60-bit digest of its canonical string
+    (engine-portable md5, not engine-specific hash), and the shard
+    checksum is the commutative pair (modular sum, xor), so any row
+    mutation, loss, or duplication flips it. One map-side-combined
+    aggregate per shard; the 100 TB cost is a single scan, and two
+    tables can be compared by exchanging only their checksum rows."""
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("doc_id").cast("string"), F.md5("text")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("h") % 1000000007).cast("bigint").alias("checksum_sum"),
+            F.bit_xor("h").cast("bigint").alias("checksum_xor"),
+        )
+        .orderBy("source")
+    )

@@ -320,3 +320,22 @@ def test_q117_sweep_has_no_self_join(spark, sf_dir, registry):
     df = registry["q117_sweep_concurrency"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "Join" not in plan, plan
+
+
+def test_q139_share_is_broadcast_total_not_global_window(spark, sf_dir, registry):
+    # percent-of-total must NOT funnel the fact table through a single
+    # window partition: the grand total is a broadcast 1-row join onto
+    # the already-aggregated supplier table
+    df = registry["q139_share_of_total"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_q140_checksum_is_one_scan_partial_agg(spark, sf_dir, registry):
+    # the audit checksum is a single corpus scan with map-side combine —
+    # no sort, no join, nothing wide but the per-shard aggregate
+    df = registry["q140_table_checksum"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
