@@ -672,3 +672,91 @@ def q95_kmeans_iter(spark, sf_dir):
         )
         .orderBy("cell", "pos")
     )
+
+
+@query(
+    "q141_temperature_sample",
+    oracle="""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), ps AS (
+  SELECT source, n_docs,
+         CAST(ROUND(sqrt(n_docs) * 1000000.0, 0) AS BIGINT) AS sqrt_fp
+  FROM per_src
+), tot AS (
+  SELECT CAST(SUM(sqrt_fp) AS BIGINT) AS z_fp,
+         CAST(SUM(n_docs) AS BIGINT) AS total_docs
+  FROM ps
+), fences AS (
+  SELECT p.source, p.n_docs,
+         least(1.0, (FLOOR(t.total_docs / 2.0) * p.sqrt_fp)
+                    / (t.z_fp * p.n_docs)) AS keep_prob
+  FROM ps p CROSS JOIN tot t
+), coin AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT f.source, f.n_docs,
+       CAST(SUM(CASE WHEN c.u < f.keep_prob THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(f.keep_prob, 6) AS keep_prob
+FROM coin c JOIN fences f USING (source)
+GROUP BY f.source, f.n_docs, f.keep_prob
+ORDER BY f.source
+""",
+    tags=("curation", "sampling"),
+)
+def q141_temperature_sample(spark, sf_dir):
+    """Temperature resampling (α=0.5 over source sizes) actually
+    APPLIED — the step after q94's weight pricing: each document flips a
+    deterministic md5-uniform coin against its source's keep
+    probability, so the sample is reproducible run-to-run and
+    engine-to-engine (no RNG state, no seed plumbing). All thresholds
+    are ratios of exact fixed-point integers, so the float comparison is
+    bitwise identical in both engines. At 100 TB this is one corpus
+    scan + a 20-row broadcast fence join; the per-source counts and the
+    grand total are two tiny aggregates."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    ps = per_src.withColumn(
+        "sqrt_fp", F.round(F.sqrt("n_docs") * 1000000.0, 0).cast("bigint")
+    )
+    tot = ps.agg(
+        F.sum("sqrt_fp").alias("z_fp"), F.sum("n_docs").alias("total_docs")
+    )
+    fences = ps.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.floor(F.col("total_docs") / 2.0) * F.col("sqrt_fp"))
+            / (F.col("z_fp") * F.col("n_docs")),
+        ).alias("keep_prob"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / 4294967296.0
+    )
+    coin = d.select("source", u.alias("u"))
+    return (
+        coin.join(F.broadcast(fences), "source")
+        .groupBy("source", "n_docs", "keep_prob")
+        .agg(
+            F.sum(F.when(F.col("u") < F.col("keep_prob"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept")
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.round("keep_prob", 6).alias("keep_prob"),
+        )
+        .orderBy("source")
+    )

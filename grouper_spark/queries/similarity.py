@@ -302,3 +302,41 @@ def q107_centroid_outliers(spark, sf_dir):
         .orderBy(F.col("dist2").desc(), "vec_id")
         .limit(20)
     )
+
+
+@query(
+    "q142_arrow_vector_norms",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]))
+                  * 1000000.0, 0) AS BIGINT) / 1000000.0 AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+LIMIT 200
+""",
+    tags=("similarity", "arrow"),
+)
+def q142_arrow_vector_norms(spark, sf_dir):
+    """Arrow-native vector kernel: the same per-vector norms q39
+    computes with JVM higher-order functions, run through the
+    ``mapInArrow`` zero-copy path instead — each RecordBatch's list
+    column is one flat numpy view, the segmented square-sum is a single
+    vectorized pass, and no pandas objects are ever built. Registered
+    as the template for custom numeric kernels (quantizers, distance
+    sweeps) that outgrow SQL expressions; fixed-point output keeps the
+    cross-engine comparison exact."""
+    from ..operators.similarity import arrow_l2_norms
+
+    e = table(spark, sf_dir, "embeddings")
+    out = arrow_l2_norms(e, "vec_id", "embedding")
+    return (
+        out.select(
+            F.col("id").alias("vec_id"),
+            "dim",
+            (F.col("norm_fp") / 1000000.0).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )

@@ -278,3 +278,29 @@ def test_merge_intervals_matches_bruteforce(spark):
         for r in merge_intervals(df, "k", "s", "e").collect()
     )
     assert got == sorted(expected)
+
+
+def test_arrow_l2_norms_ragged_and_empty(spark):
+    """The Arrow kernel must handle ragged dims and empty vectors: the
+    reduceat segmented sum has a quirk where an empty segment yields the
+    neighboring element instead of 0."""
+    import math
+
+    from grouper_spark.operators.similarity import arrow_l2_norms
+
+    rows = [
+        (1, [3.0, 4.0]),          # norm 5
+        (2, []),                  # empty -> norm 0
+        (3, [1.0]),               # singleton
+        (4, [2.0, 2.0, 2.0, 2.0]),  # norm 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["id"]: (r["dim"], r["norm_fp"])
+        for r in arrow_l2_norms(df).collect()
+    }
+    assert got[1] == (2, 5_000_000)
+    assert got[2] == (0, 0)
+    assert got[3] == (1, 1_000_000)
+    assert got[4] == (4, 4_000_000)
+    assert math.isclose(got[1][1] / 1e6, 5.0)
