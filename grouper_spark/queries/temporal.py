@@ -332,3 +332,89 @@ def q120_equidepth_histogram(spark, sf_dir):
         )
         .orderBy("l_returnflag", "tile")
     )
+
+
+@query(
+    "q143_interval_overlap_join",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey AS sk,
+         l_orderkey * 10 + l_linenumber AS iid,
+         datediff('day', DATE '1992-01-01', l_shipdate::DATE) AS s,
+         datediff('day', DATE '1992-01-01', l_shipdate::DATE)
+           + CAST(l_quantity AS BIGINT) AS e
+  FROM lineitem
+)
+SELECT a.sk AS l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM iv a JOIN iv b
+  ON a.sk = b.sk AND a.iid < b.iid AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.sk
+ORDER BY n_overlaps DESC, l_suppkey
+LIMIT 50
+""",
+    tags=("join", "temporal"),
+)
+def q143_interval_overlap_join(spark, sf_dir):
+    """Interval-overlap SELF-join at scale: pairs of same-supplier
+    shipments whose transit windows [shipdate, shipdate+quantity days]
+    overlap. The theta formulation (s_a <= e_b AND s_b <= e_a) is a
+    nested loop per supplier; here both sides explode into the 64-day
+    grid cells their interval covers (<=2 cells for a <=50-day span), the
+    join runs as an EQUI-join on (supplier, cell), a distinct collapses
+    pairs that met in two cells, and the exact overlap predicate
+    re-verifies — the standard grid-blocking interval join, one shuffle
+    on the composite key, candidate volume bounded by per-cell density
+    instead of per-supplier O(n²)."""
+    li = table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1992-01-01").cast("date")
+    iv = li.select(
+        F.col("l_suppkey").alias("sk"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
+        F.datediff(F.col("l_shipdate").cast("date"), epoch)
+        .cast("bigint")
+        .alias("s"),
+        (
+            F.datediff(F.col("l_shipdate").cast("date"), epoch)
+            + F.col("l_quantity").cast("bigint")
+        ).alias("e"),
+    )
+    cells = iv.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / 64).cast("bigint"),
+                F.floor(F.col("e") / 64).cast("bigint"),
+            )
+        ),
+    )
+    a = cells.select(
+        F.col("sk"),
+        F.col("cell"),
+        F.col("iid").alias("iid_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = cells.select(
+        F.col("sk"),
+        F.col("cell"),
+        F.col("iid").alias("iid_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    pairs = (
+        a.join(b, ["sk", "cell"])
+        .filter(
+            (F.col("iid_a") < F.col("iid_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+        )
+        .select("sk", "iid_a", "iid_b")
+        .distinct()
+    )
+    return (
+        pairs.groupBy(F.col("sk").alias("l_suppkey"))
+        .agg(F.count("*").cast("bigint").alias("n_overlaps"))
+        .orderBy(F.col("n_overlaps").desc(), "l_suppkey")
+        .limit(50)
+    )
