@@ -337,18 +337,21 @@ def q120_equidepth_histogram(spark, sf_dir):
 @query(
     "q143_interval_overlap_join",
     oracle="""
-WITH iv AS (
+WITH iv0 AS (
   SELECT l_suppkey AS sk,
-         l_orderkey * 10 + l_linenumber AS iid,
          datediff('day', DATE '1992-01-01', l_shipdate::DATE) AS s,
          datediff('day', DATE '1992-01-01', l_shipdate::DATE)
            + CAST(l_quantity AS BIGINT) AS e
   FROM lineitem
+), iv AS (
+  SELECT sk, s, e,
+         ROW_NUMBER() OVER (PARTITION BY sk ORDER BY s, e) AS uid
+  FROM iv0
 )
 SELECT a.sk AS l_suppkey,
        CAST(COUNT(*) AS BIGINT) AS n_overlaps
 FROM iv a JOIN iv b
-  ON a.sk = b.sk AND a.iid < b.iid AND a.s <= b.e AND b.s <= a.e
+  ON a.sk = b.sk AND a.uid < b.uid AND a.s <= b.e AND b.s <= a.e
 GROUP BY a.sk
 ORDER BY n_overlaps DESC, l_suppkey
 LIMIT 50
@@ -365,12 +368,17 @@ def q143_interval_overlap_join(spark, sf_dir):
     pairs that met in two cells, and the exact overlap predicate
     re-verifies — the standard grid-blocking interval join, one shuffle
     on the composite key, candidate volume bounded by per-cell density
-    instead of per-supplier O(n²)."""
+    instead of per-supplier O(n²).
+
+    Interval ids are a per-supplier ROW_NUMBER (one partition-local sort
+    per supplier key, no global sort) rather than a natural key: the
+    fixtures carry duplicate (l_orderkey, l_linenumber) rows, so a
+    natural-key id would collapse distinct physical intervals and
+    undercount pairs."""
     li = table(spark, sf_dir, "lineitem")
     epoch = F.lit("1992-01-01").cast("date")
-    iv = li.select(
+    iv0 = li.select(
         F.col("l_suppkey").alias("sk"),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
         F.datediff(F.col("l_shipdate").cast("date"), epoch)
         .cast("bigint")
         .alias("s"),
@@ -378,6 +386,12 @@ def q143_interval_overlap_join(spark, sf_dir):
             F.datediff(F.col("l_shipdate").cast("date"), epoch)
             + F.col("l_quantity").cast("bigint")
         ).alias("e"),
+    )
+    iv = iv0.withColumn(
+        "uid",
+        F.row_number().over(
+            Window.partitionBy("sk").orderBy("s", "e")
+        ),
     )
     cells = iv.withColumn(
         "cell",
@@ -391,25 +405,25 @@ def q143_interval_overlap_join(spark, sf_dir):
     a = cells.select(
         F.col("sk"),
         F.col("cell"),
-        F.col("iid").alias("iid_a"),
+        F.col("uid").alias("uid_a"),
         F.col("s").alias("s_a"),
         F.col("e").alias("e_a"),
     )
     b = cells.select(
         F.col("sk"),
         F.col("cell"),
-        F.col("iid").alias("iid_b"),
+        F.col("uid").alias("uid_b"),
         F.col("s").alias("s_b"),
         F.col("e").alias("e_b"),
     )
     pairs = (
         a.join(b, ["sk", "cell"])
         .filter(
-            (F.col("iid_a") < F.col("iid_b"))
+            (F.col("uid_a") < F.col("uid_b"))
             & (F.col("s_a") <= F.col("e_b"))
             & (F.col("s_b") <= F.col("e_a"))
         )
-        .select("sk", "iid_a", "iid_b")
+        .select("sk", "uid_a", "uid_b")
         .distinct()
     )
     return (

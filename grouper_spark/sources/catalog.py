@@ -16,7 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -46,6 +46,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # spark.sql.legacy.parquet.nanosAsLong; truncate to micros —
         # the same truncation DuckDB applies reading the same file.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, TimestampNTZType)
+    ]
+    for col in ntz:
+        # Fixture generations vary between TIMESTAMP(NANOS) and plain
+        # micros-NTZ. Normalize NTZ to session-tz (LTZ) timestamps: with
+        # the session tz pinned to UTC this is the same instant and the
+        # same wall clock DuckDB sees, and LTZ is required by event-time
+        # operators (withWatermark rejects TIMESTAMP_NTZ).
+        df = df.withColumn(col, F.col(col).cast("timestamp_ltz"))
     return df
 
 
