@@ -314,3 +314,109 @@ def q139_share_of_total(spark, sf_dir):
         .limit(100)
         .drop("rev_cents")
     )
+
+
+@query(
+    "q146_triangle_count",
+    oracle="""
+WITH g AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS d
+  FROM events
+), sz AS (
+  SELECT user_id, COUNT(*) AS n FROM g GROUP BY user_id
+), co AS (
+  SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS i
+  FROM g a JOIN g b
+    ON a.event_type = b.event_type AND a.d = b.d AND a.user_id < b.user_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT u, v FROM co
+  JOIN sz sa ON sa.user_id = co.u
+  JOIN sz sb ON sb.user_id = co.v
+  WHERE i * 100 >= 30 * (sa.n + sb.n - i)
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), node_tri AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+), deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+)
+SELECT s.user_id,
+       CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles
+FROM sz s
+LEFT JOIN deg d ON d.node = s.user_id
+LEFT JOIN node_tri t ON t.node = s.user_id
+ORDER BY s.user_id
+""",
+    tags=("analytics", "graph"),
+)
+def q146_triangle_count(spark, sf_dir):
+    """Per-node triangle counting over a co-visitation graph.
+
+    Graph build is posting-list style: users sharing a (event_type, day)
+    activity bucket co-occur; an edge exists when the Jaccard of the two
+    users' activity-bucket sets >= 0.30 (integer cross-multiplication,
+    no float threshold). Triangles are the canonical two-path + closing
+    -edge plan on the oriented (u < v) edge list: join edges on the
+    middle vertex, then semi-close with a third equi-join — each stage
+    is an equi-join shuffle bounded by edge count, the standard
+    distributed triangle enumeration (orientation kills the 6x duplicate
+    factor). Zero-triangle users stay in the output via left joins, so
+    the result is non-empty at every SF."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id", "event_type", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    sz = g.groupBy("user_id").agg(F.count("*").alias("n"))
+    a = g.select(F.col("user_id").alias("u"), "event_type", "d")
+    b = g.select(F.col("user_id").alias("v"), "event_type", "d")
+    co = (
+        a.join(b, ["event_type", "d"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("i"))
+    )
+    edges = (
+        co.join(sz.select(F.col("user_id").alias("u"), F.col("n").alias("na")), "u")
+        .join(sz.select(F.col("user_id").alias("v"), F.col("n").alias("nb")), "v")
+        .filter(F.col("i") * 100 >= 30 * (F.col("na") + F.col("nb") - F.col("i")))
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    node_tri = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        sz.join(deg, sz.user_id == deg.node, "left")
+        .drop("node")
+        .join(node_tri, sz.user_id == node_tri.node, "left")
+        .select(
+            "user_id",
+            F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+        .orderBy("user_id")
+    )

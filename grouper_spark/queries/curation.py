@@ -760,3 +760,76 @@ def q141_temperature_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q147_systematic_pps_sample",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, n_chars AS wt,
+         SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS hi
+  FROM documents
+), tot AS (
+  SELECT SUM(n_chars) AS t FROM documents
+)
+SELECT doc_id, CAST(wt AS BIGINT) AS wt,
+       CAST(((hi * 25) // t) AS BIGINT) AS grid_bucket
+FROM w, tot
+WHERE (hi * 25) // t > ((hi - wt) * 25) // t
+ORDER BY doc_id
+""",
+    tags=("curation", "sampling"),
+)
+def q147_systematic_pps_sample(spark, sf_dir):
+    """Systematic probability-proportional-to-size sampling: lay every
+    document's char-count weight end to end on a number line, divide the
+    line into 25 equal strides, and take the document covering each
+    stride boundary — deterministic weighted sampling without
+    replacement, all BIGINT arithmetic (no RNG, no floats, identical in
+    both engines).
+
+    The prefix sum is the textbook two-phase distributed scan, not a
+    global window: docs fall into id-range shards, stage 1 computes
+    per-shard totals (map-side combine), stage 2 runs the cumsum window
+    over the tiny shard-totals relation only and broadcasts the shard
+    offsets back, stage 3 adds the in-shard running sum (window
+    partitioned BY shard). No single-partition sort of the corpus ever
+    happens — the only global ordering lives on the shard-count-sized
+    side."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("wt")
+    )
+    d = d.withColumn("shard", (F.col("doc_id") / 64).cast("bigint"))
+    shard_tot = d.groupBy("shard").agg(F.sum("wt").alias("stot"))
+    w_off = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = shard_tot.withColumn(
+        "off", F.coalesce(F.sum("stot").over(w_off), F.lit(0))
+    ).select("shard", "off")
+    tot = d.agg(F.sum("wt").alias("t"))
+    w_in = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        d.join(F.broadcast(offsets), "shard")
+        .withColumn("hi", F.col("off") + F.sum("wt").over(w_in))
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        cum.filter(
+            F.expr("CAST(hi * 25 AS BIGINT) DIV t")
+            > F.expr("CAST((hi - wt) * 25 AS BIGINT) DIV t")
+        )
+        .select(
+            "doc_id",
+            F.col("wt").cast("bigint").alias("wt"),
+            F.expr("CAST(hi * 25 AS BIGINT) DIV t").cast("bigint").alias(
+                "grid_bucket"
+            ),
+        )
+        .orderBy("doc_id")
+    )

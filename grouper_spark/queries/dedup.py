@@ -7,7 +7,7 @@ xxhash64 seed space has no DuckDB equivalent → rows-only checks).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..operators import (
     canonicalize_exact,
@@ -239,4 +239,99 @@ def q134_cluster_canonical(spark, sf_dir):
             F.count("*").cast("bigint").alias("n_members"),
         )
         .orderBy("cluster_id")
+    )
+
+
+@query(
+    "q145_prefix_filter_join",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+       i * 1.0 / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE i * 10 >= (sa.n + sb.n - i) * 9
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "join"),
+)
+def q145_prefix_filter_join(spark, sf_dir):
+    """Set-similarity self-join with PREFIX FILTERING (PPJoin-lite):
+    all document pairs whose token-set Jaccard >= 0.9.
+
+    The oracle brute-forces the full posting-list join; the Spark plan
+    is the published scale recipe: order each doc's tokens by global
+    document frequency (rare first — the ordering key is the (df, token)
+    tuple, so no global vocabulary sort is ever materialized), keep only
+    each doc's first n - ceil(0.9 n) + 1 tokens, and equi-join on those
+    prefix tokens only. Any pair with J >= 0.9 provably shares a prefix
+    token, while frequent tokens never generate candidates — the classic
+    mega-bucket ("of the and") blow-up disappears by construction rather
+    than by a df cap. Candidates then get an exact posting-list
+    intersection count and the J >= 0.9 verify. ceil is integer-exact
+    ((9n+9) div 10), never floating point."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+        ).alias("token"),
+    )
+    df_ = tok.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = tok.join(df_, "token")
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    wn = Window.partitionBy("doc_id")
+    pref = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - ((F.col("n") * 9 + 9) / 10).cast("bigint") + 1
+        )
+        .select("doc_id", "token", "n")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n")) * 10
+            >= F.greatest(F.col("a.n"), F.col("b.n")) * 9
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("i"))
+        .filter(F.col("i") * 10 >= (F.col("na") + F.col("nb") - F.col("i")) * 9)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("bigint").alias("inter"),
+            (
+                F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

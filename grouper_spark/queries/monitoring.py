@@ -345,3 +345,111 @@ def q131_winsorize(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q148_mad_robust",
+    oracle="""
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS m
+  FROM documents GROUP BY lang
+), dev AS (
+  SELECT d.lang, med.m, abs(d.n_chars - med.m) AS ad
+  FROM documents d JOIN med USING (lang)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(MAX(m), 6) AS median_r,
+       round(quantile_cont(ad, 0.5), 6) AS mad_r
+FROM dev
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("monitoring", "agg"),
+)
+def q148_mad_robust(spark, sf_dir):
+    """Median absolute deviation per language — the robust spread
+    estimator monitoring pipelines prefer over stddev (one wild outlier
+    moves stddev, not MAD). Two grouped exact-percentile passes on the
+    same lang key: median first, the per-lang medians broadcast back
+    onto the scan for |x - median|, then the median of deviations.
+    Both shuffles hash the same key, so the exchange is reused; exact
+    interpolated percentiles keep the two engines bit-comparable
+    (rounded to 1e-6 like q91's fences)."""
+    d = table(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("m")
+    )
+    dev = d.join(F.broadcast(med), "lang").select(
+        "lang", "m", F.abs(F.col("n_chars") - F.col("m")).alias("ad")
+    )
+    return (
+        dev.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.max("m"), 6).alias("median_r"),
+            F.round(F.percentile("ad", F.lit(0.5)), 6).alias("mad_r"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q149_ewma_smoother",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS day_value
+  FROM events GROUP BY user_id, d
+), series AS (
+  SELECT user_id,
+         list(day_value ORDER BY d) AS xs,
+         COUNT(*) AS n_days
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       round(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+         AS ewma_r
+FROM series
+ORDER BY user_id
+""",
+    tags=("monitoring", "temporal"),
+)
+def q149_ewma_smoother(spark, sf_dir):
+    """Per-user EWMA (alpha = 0.25) over the daily value series — the
+    classic monitoring smoother. EWMA is a sequential recurrence, not an
+    associative aggregate, so it folds over each user's day-ordered
+    series with a higher-order aggregate: daily fixed-point pre-agg
+    shrinks the log to one row per (user, day), sort_array orders each
+    user's bounded series, and F.aggregate runs the left fold JVM-side.
+    Both engines fold the identical double sequence left-to-right, so
+    the IEEE results match bit-for-bit before the 1e-6 display round.
+    At 100 TB the state per user is days-bounded, and the daily pre-agg
+    is map-side combined before the single user-key shuffle."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("day_value")
+    )
+    series = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("d", "day_value"))).alias("s"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    # DuckDB list_reduce seeds with element 1 and folds from element 2;
+    # mirror that exactly: seed = xs[1], fold over slice(xs, 2, ...).
+    xs = F.expr("transform(s, p -> p.day_value)")
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1).cast("double"),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return series.select(
+        "user_id", "n_days", F.round(ewma, 6).alias("ewma_r")
+    ).orderBy("user_id")

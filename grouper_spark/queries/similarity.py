@@ -340,3 +340,102 @@ def q142_arrow_vector_norms(spark, sf_dir):
         .orderBy("vec_id")
         .limit(200)
     )
+
+
+@query(
+    "q144_semantic_dedup",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), dist AS (
+  SELECT e.vec_id, cent.cid, e.v,
+         list_sum(list_transform(range(1, len(e.v) + 1), i ->
+           CAST(round((e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])
+                      * 1000000000000.0) AS BIGINT))) AS d_fp
+  FROM e CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, cid AS cell, v FROM (
+    SELECT vec_id, cid, v,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d_fp, cid) AS rk
+    FROM dist
+  ) WHERE rk = 1
+), dup_pairs AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS vec_id
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.60
+)
+SELECT s.vec_id, s.cell,
+       CAST(COALESCE(MIN(p.keep_id), s.vec_id) AS BIGINT) AS canonical_id,
+       CAST(MIN(p.keep_id) IS NOT NULL AS INT) AS is_dup
+FROM assign s LEFT JOIN dup_pairs p ON p.vec_id = s.vec_id
+GROUP BY s.vec_id, s.cell
+ORDER BY s.vec_id
+""",
+    tags=("similarity", "dedup"),
+)
+def q144_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: cluster embeddings with a k=8
+    broadcast codebook (seeded from the first 8 vectors, same quantizer
+    as q95), then compute cosine pairs ONLY within each cell and mark
+    every vector whose similarity to a lower-id cell-mate is >= 0.60 as
+    a duplicate of the smallest such id. The cluster-then-pairs shape is
+    the published SemDeDup recipe: the O(n^2) pair space collapses to
+    sum of per-cell squares, each cell's pair join is an equi-join on
+    cell id (one shuffle), and the codebook broadcast means the corpus
+    is never shuffled for assignment. Distances are fixed-point BIGINT
+    (order-independent), cosines rounded to 1e-6 in both engines."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d_fp = F.aggregate(
+        F.zip_with(
+            "v",
+            "cv",
+            lambda x, c: F.round((x - c) * (x - c) * 1000000000000.0, 0).cast(
+                "bigint"
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", "v", d_fp.alias("d_fp"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d_fp", "cid")).alias("m"), F.first("v").alias("v"))
+        .select("vec_id", F.col("m.cid").alias("cell"), "v")
+    )
+    a = assign.select(
+        F.col("cell"), F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
+    )
+    b = assign.select(
+        F.col("cell"), F.col("vec_id").alias("dup_id"), F.col("v").alias("vb")
+    )
+    dup_pairs = (
+        a.join(b, "cell")
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .filter(F.round(cosine_similarity("va", "vb"), 6) >= 0.60)
+        .select("dup_id", "keep_id")
+    )
+    return (
+        assign.join(
+            dup_pairs, assign.vec_id == dup_pairs.dup_id, "left"
+        )
+        .groupBy("vec_id", "cell")
+        .agg(F.min("keep_id").alias("mk"))
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("mk"), F.col("vec_id")).cast("bigint").alias(
+                "canonical_id"
+            ),
+            F.col("mk").isNotNull().cast("int").alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )

@@ -226,3 +226,61 @@ def q140_table_checksum(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q150_skipping_index",
+    oracle="""
+WITH stats AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS shard_month,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(round(MIN(l_quantity)) AS BIGINT) AS qty_min,
+         CAST(round(MAX(l_quantity)) AS BIGINT) AS qty_max,
+         CAST(round(MIN(l_extendedprice) * 100.0) AS BIGINT) AS price_min_cents,
+         CAST(round(MAX(l_extendedprice) * 100.0) AS BIGINT) AS price_max_cents
+  FROM lineitem
+  GROUP BY shard_month
+)
+SELECT shard_month, n_rows, qty_min, qty_max,
+       price_min_cents, price_max_cents,
+       CAST(qty_max < 45 OR qty_min > 50 AS INT) AS skip_q45_50
+FROM stats
+ORDER BY shard_month
+""",
+    tags=("versioning", "layout"),
+)
+def q150_skipping_index(spark, sf_dir):
+    """File-skipping statistics index — the min/max/count zone-map a
+    lakehouse (Delta/Iceberg/parquet row groups) keeps per data file.
+    Shards are shipdate months (the natural ingest partitioning); one
+    map-side-combined aggregate computes each shard's envelope, and the
+    skip flag evaluates the predicate `l_quantity BETWEEN 45 AND 50`
+    against the envelope alone — the exact pruning decision the scan
+    planner makes without opening the file. Envelopes are fixed-point
+    BIGINT so both engines agree exactly; the stats relation is
+    shard-count-sized, i.e. broadcastable back to any planner."""
+    li = table(spark, sf_dir, "lineitem")
+    stats = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("shard_month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.min("l_quantity"), 0).cast("bigint").alias("qty_min"),
+        F.round(F.max("l_quantity"), 0).cast("bigint").alias("qty_max"),
+        F.round(F.min("l_extendedprice") * 100.0, 0)
+        .cast("bigint")
+        .alias("price_min_cents"),
+        F.round(F.max("l_extendedprice") * 100.0, 0)
+        .cast("bigint")
+        .alias("price_max_cents"),
+    )
+    return stats.select(
+        "shard_month",
+        "n_rows",
+        "qty_min",
+        "qty_max",
+        "price_min_cents",
+        "price_max_cents",
+        ((F.col("qty_max") < 45) | (F.col("qty_min") > 50))
+        .cast("int")
+        .alias("skip_q45_50"),
+    ).orderBy("shard_month")
