@@ -339,3 +339,58 @@ def test_q140_checksum_is_one_scan_partial_agg(spark, sf_dir, registry):
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_q144_codebook_broadcast_no_corpus_shuffle_for_assign(
+    spark, sf_dir, registry
+):
+    df = registry["q144_semantic_dedup"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # every nested-loop join must be the 8-row codebook broadcast (one
+    # per use of the assignment subtree — deduped by ReuseExchange at
+    # runtime); the in-cell pair join itself must be an equi-join on
+    # cell, never a nested loop over corpus x corpus
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    n_tiny_broadcast = plan.count("BroadcastExchange IdentityBroadcastMode")
+    assert n_bnlj >= 1 and n_bnlj == n_tiny_broadcast, plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin [cell" in plan
+        or "ShuffledHashJoin [cell" in plan
+        or "BroadcastHashJoin [cell" in plan
+    ), plan
+
+
+def test_q145_prefix_join_is_equi_join(spark, sf_dir, registry):
+    df = registry["q145_prefix_filter_join"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # candidate generation must be an equi-join on the prefix token —
+    # a cartesian/nested-loop pair enumeration would be the O(n^2)
+    # anti-pattern prefix filtering exists to avoid
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q146_triangle_joins_are_equi(spark, sf_dir, registry):
+    df = registry["q146_triangle_count"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q147_no_corpus_sized_global_window(spark, sf_dir, registry):
+    from grouper_spark.sources import table as _table
+
+    df = registry["q147_systematic_pps_sample"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # the only single-partition exchange allowed is over the tiny
+    # shard-totals relation; the corpus window must be partitioned by
+    # shard (hashpartitioning on shard present)
+    assert "hashpartitioning(shard" in plan, plan
+
+
+def test_q150_zone_map_is_single_scan_partial_agg(spark, sf_dir, registry):
+    df = registry["q150_skipping_index"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan or "partial_min" in plan
