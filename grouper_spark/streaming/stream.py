@@ -377,3 +377,107 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def transform_with_state_extrema(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    key_col: str,
+    cents_col: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Per-key running (count, min, max) via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-state API (SPARK-49564), the successor to
+    ``applyInPandasWithState``: state lives in named, typed variables on
+    a ``StatefulProcessorHandle`` (ValueState here; ListState/MapState and
+    per-key timers are the same surface), so an operator can evolve its
+    state schema and register event-time timers without re-encoding a
+    monolithic state tuple.
+
+    The processor keeps one BIGINT triple per key in a ValueState and
+    re-emits the running triple every micro-batch (update mode). State
+    shuffles once on the key and lives in the per-partition state store;
+    the Arrow batch path keeps the Python hop vectorized. Integer cents
+    make the fold order-independent, so the final emission per key is
+    exactly the batch ``groupBy`` answer.
+
+    ENVIRONMENT GATE: the transformWithState state-server protocol
+    speaks protobuf from the Python side; without the ``protobuf``
+    package the TWS driver worker crashes at init. This operator raises
+    a clear ImportError up front instead (tests skip on it), and the
+    equivalent contract stays driver-checked through q57's
+    applyInPandasWithState path, which has no such dependency.
+    """
+    import pandas as pd
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its state-server protocol); not available in this "
+            "environment — use stateful_running_sum "
+            "(applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+
+    class ExtremaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, mn BIGINT, mx BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._agg.get() if self._agg.exists() else None
+            n, mn, mx = prev if prev is not None else (0, None, None)
+            for pdf in rows:
+                c = pdf[cents_col]
+                if len(c) == 0:
+                    continue
+                n += int(len(c))
+                bmn, bmx = int(c.min()), int(c.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            self._agg.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_seen": [n],
+                    "min_cents": [mn],
+                    "max_cents": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    name = f"tws_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=ExtremaProcessor(),
+            outputStructType=(
+                "key BIGINT, n_seen BIGINT, min_cents BIGINT, max_cents BIGINT"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

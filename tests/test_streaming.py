@@ -282,3 +282,54 @@ def test_stateful_sessionize_timeout_evicts_abandoned_keys(spark, tmp_path):
     )
     # user 1: one 2-event session; user 2: 1-event then 2-event sessions
     assert got == [(1, 2), (2, 1), (2, 2)]
+
+
+def test_transform_with_state_extrema_or_env_gate(spark, sf_dir):
+    """transformWithStateInPandas path: runs the per-key extrema
+    processor end-to-end when protobuf is available; otherwise asserts
+    the operator fails fast with the documented ImportError instead of
+    crashing the TWS driver worker mid-stream."""
+    import pytest
+
+    from grouper_spark.functions.text import money
+    from grouper_spark.queries.microbatch import stage_stream_source
+    from grouper_spark.sources import table
+    from grouper_spark.streaming.stream import transform_with_state_extrema
+
+    src = stage_stream_source(
+        table(spark, sf_dir, "events").select(
+            "user_id", money("value").alias("cents")
+        ),
+        2,
+    )
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            transform_with_state_extrema(
+                spark, src, key_col="user_id", cents_col="cents"
+            )
+        return
+    log = transform_with_state_extrema(
+        spark, src, key_col="user_id", cents_col="cents"
+    )
+    from pyspark.sql import functions as F
+
+    final = (
+        log.groupBy("key")
+        .agg(F.max(F.struct("n_seen", "min_cents", "max_cents")).alias("s"))
+        .select("key", "s.n_seen", "s.min_cents", "s.max_cents")
+    )
+    batch = (
+        table(spark, sf_dir, "events")
+        .select("user_id", money("value").alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_seen"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
