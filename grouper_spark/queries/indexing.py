@@ -181,3 +181,50 @@ def q136_ngram_diversity(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q151_approx_topk_merge",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok
+GROUP BY token
+ORDER BY cnt DESC, token
+""",
+    tags=("indexing", "sketch"),
+)
+def q151_approx_topk_merge(spark, sf_dir):
+    """Mergeable frequent-items sketch (approx_top_k family): each
+    source partition ACCUMULATEs its own sketch, the per-source sketches
+    COMBINE into one, and a final ESTIMATE reads the merged heavy
+    hitters — the two-level pattern that makes heavy-hitter detection a
+    map-side-combinable aggregate at 100 TB (per-shard sketches merge on
+    one tiny shuffle; the raw token stream never re-shuffles). Capacity
+    (64) exceeds the corpus NDV, so the sketch is provably exact here
+    and the exact GROUP BY is a true oracle; at scale you shrink
+    capacity and trade exactness for fixed memory — same plan shape."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    )
+    acc = tok.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(token, 64)").alias("acc")
+    )
+    est = acc.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(acc), 64)").alias(
+            "tk"
+        )
+    )
+    return (
+        est.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), "token")
+    )

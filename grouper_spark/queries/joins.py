@@ -319,3 +319,82 @@ def q108_binned_range_join(spark, sf_dir):
             "value_diff"
         ),
     ).orderBy("click_id", "purchase_id")
+
+
+@query(
+    "q153_gdpr_cascade_delete",
+    oracle="""
+WITH del_cust AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+), del_ord AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+)
+SELECT tbl, rows_before, rows_deleted,
+       rows_before - rows_deleted AS rows_after
+FROM (
+  SELECT 'customer' AS tbl,
+         CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS rows_before,
+         CAST((SELECT COUNT(*) FROM del_cust) AS BIGINT) AS rows_deleted
+  UNION ALL
+  SELECT 'orders',
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM del_ord) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem',
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM del_ord)) AS BIGINT)
+)
+ORDER BY tbl
+""",
+    tags=("join", "curation"),
+)
+def q153_gdpr_cascade_delete(spark, sf_dir):
+    """Right-to-be-forgotten cascade audit: a deterministic deletion
+    request list (custkey % 97 = 0) propagates customer → orders →
+    lineitem, and the audit reports per-table before/deleted/after
+    counts — the dry-run a lakehouse runs before a GDPR DELETE commit.
+    Each cascade hop is a LEFT SEMI join on the child's foreign key
+    with the (small) parent key set broadcast, so the fact tables are
+    counted in one pass each and never shuffled on a non-key; at 100 TB
+    the same plan drives the actual delete as an anti-join rewrite of
+    each table."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    del_cust = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_ord = orders.join(
+        F.broadcast(del_cust),
+        orders.o_custkey == del_cust.c_custkey,
+        "left_semi",
+    ).select("o_orderkey")
+
+    def audit(df, name, key_col, del_keys, del_key_col):
+        # rename the deletion-key column before joining: del_cust derives
+        # from the same scan as `cust`, and a lineage-shared column name
+        # would make the join condition ambiguous
+        keys = del_keys.select(
+            F.col(del_key_col).alias("__k"), F.lit(1).alias("__del")
+        )
+        flagged = df.join(
+            F.broadcast(keys), df[key_col] == keys["__k"], "left"
+        )
+        return flagged.agg(
+            F.lit(name).alias("tbl"),
+            F.count("*").cast("bigint").alias("rows_before"),
+            F.count("__del").cast("bigint").alias("rows_deleted"),
+        )
+
+    out = (
+        audit(cust, "customer", "c_custkey", del_cust, "c_custkey")
+        .unionAll(audit(orders, "orders", "o_custkey", del_cust, "c_custkey"))
+        .unionAll(audit(li, "lineitem", "l_orderkey", del_ord, "o_orderkey"))
+    )
+    return out.select(
+        "tbl",
+        "rows_before",
+        "rows_deleted",
+        (F.col("rows_before") - F.col("rows_deleted")).alias("rows_after"),
+    ).orderBy("tbl")

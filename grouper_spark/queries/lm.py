@@ -197,3 +197,108 @@ def q122_bigram_lm_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q152_dsir_importance",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(token), 1, 2)) AS BIGINT) AS bucket
+  FROM tok
+), tgt AS (
+  SELECT bucket, COUNT(*) AS ct FROM feat WHERE source = 'src18'
+  GROUP BY bucket
+), raw AS (
+  SELECT bucket, COUNT(*) AS cr FROM feat GROUP BY bucket
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM feat WHERE source = 'src18') AS t,
+         (SELECT COUNT(*) FROM feat) AS r
+), lr AS (
+  SELECT raw.bucket,
+         CAST(ROUND(ln(
+           CAST((COALESCE(tgt.ct, 0) + 1) * (tot.r + 256) AS DOUBLE)
+           / CAST((raw.cr + 1) * (tot.t + 256) AS DOUBLE)
+         ) * 1000000.0, 0) AS BIGINT) AS lr_micro
+  FROM raw LEFT JOIN tgt USING (bucket), tot
+)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(SUM(lr.lr_micro) / 1000000.0 / COUNT(*), 6) AS score_r
+FROM feat f JOIN lr ON lr.bucket = f.bucket
+GROUP BY f.doc_id
+ORDER BY score_r DESC, f.doc_id
+LIMIT 50
+""",
+    tags=("lm", "curation"),
+)
+def q152_dsir_importance(spark, sf_dir):
+    """DSIR-style importance scoring (data selection via importance
+    resampling, Xie et al. 2023): score every document by how much its
+    hashed-feature distribution looks like a target domain (source
+    'src18') versus the raw corpus. Features are md5-hashed token
+    buckets (256 of them — deterministic in both engines, the hashed
+    n-gram trick that caps feature cardinality at any corpus size);
+    bucket log-ratios use Laplace-smoothed counts, fixed-pointed to
+    integer micro-units BEFORE the per-document mean so the aggregate is
+    order-independent. The 256-row log-ratio table broadcasts back onto
+    the token stream — at 100 TB this is two count shuffles plus one
+    map-side join, and the top-50 is a TakeOrdered, never a global
+    sort."""
+    d = table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    ).select(
+        "doc_id",
+        "source",
+        F.conv(F.substring(F.md5("token"), 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    tgt = (
+        feat.filter(F.col("source") == "src18")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    raw = feat.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tot = feat.agg(
+        F.sum((F.col("source") == "src18").cast("bigint")).alias("t"),
+        F.count("*").alias("r"),
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("r") + 256)).cast(
+                        "double"
+                    )
+                    / ((F.col("cr") + 1) * (F.col("t") + 256)).cast("double")
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        feat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("lr_micro") / 1000000.0 / F.count("*"), 6
+            ).alias("score_r"),
+        )
+        .orderBy(F.col("score_r").desc(), "doc_id")
+        .limit(50)
+    )
