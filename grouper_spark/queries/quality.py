@@ -364,3 +364,64 @@ def q105_incremental_dedup(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q156_token_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), tc AS (
+  SELECT doc_id, token, COUNT(*) AS c
+  FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       round(
+         ln(CAST(SUM(c) AS DOUBLE))
+         - SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+           / 1000000.0 / SUM(c),
+         6
+       ) AS entropy_r
+FROM tc
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("quality", "text"),
+)
+def q156_token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution — the
+    quality signal that separates natural text (high entropy) from
+    boilerplate/repetition (low): H = ln(n) - (1/n) * sum(c_i ln c_i).
+    Per-token ln(c) is fixed-pointed to integer micro-units before the
+    per-doc sum, so the only floats are one final ln(n) and one
+    division — order-independent and identical across engines (q121/
+    q122's proven pattern). Two groupBys on the same doc_id-prefixed
+    key; at 100 TB both shuffles partial-aggregate map-side and the
+    token stream is scanned once."""
+    d = table(spark, sf_dir, "documents")
+    tc = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    ln_c_micro = F.round(F.log(F.col("c").cast("double")) * 1000000.0, 0).cast(
+        "bigint"
+    )
+    return (
+        tc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * ln_c_micro) / 1000000.0 / F.sum("c"),
+                6,
+            ).alias("entropy_r"),
+        )
+        .orderBy("doc_id")
+    )

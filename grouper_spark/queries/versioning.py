@@ -11,7 +11,7 @@ ranges are small in BOTH dimensions.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..sources import table
 from . import query
@@ -284,3 +284,143 @@ def q150_skipping_index(spark, sf_dir):
         .cast("int")
         .alias("skip_q45_50"),
     ).orderBy("shard_month")
+
+
+@query(
+    "q154_referential_integrity",
+    oracle="""
+SELECT 'orders->customer' AS fk,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem->part',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+            AS BIGINT)
+ORDER BY fk
+""",
+    tags=("versioning", "quality"),
+)
+def q154_referential_integrity(spark, sf_dir):
+    """Foreign-key integrity audit across the star schema: for each FK
+    edge, count child rows whose key has no parent — the constraint
+    check a lakehouse runs post-ingest (Spark enforces no FKs, so this
+    IS the enforcement). Each edge is one LEFT join against the parent
+    key set (broadcast when the parent is small) counted in a single
+    pass; orphan rows would feed a quarantine sink in production. One
+    declarative plan, three fact scans total, no driver-side actions."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part")
+
+    def audit(child, fk_name, key_col, parent, pkey_col):
+        keys = parent.select(
+            F.col(pkey_col).alias("__k")
+        ).distinct().withColumn("__hit", F.lit(1))
+        return (
+            child.join(
+                F.broadcast(keys), child[key_col] == keys["__k"], "left"
+            )
+            .agg(
+                F.lit(fk_name).alias("fk"),
+                F.count("*").cast("bigint").alias("n_child"),
+                (F.count("*") - F.count("__hit"))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+
+    return (
+        audit(orders, "orders->customer", "o_custkey", cust, "c_custkey")
+        .unionAll(audit(li, "lineitem->orders", "l_orderkey", orders, "o_orderkey"))
+        .unionAll(audit(li, "lineitem->part", "l_partkey", part, "p_partkey"))
+        .orderBy("fk")
+    )
+
+
+@query(
+    "q155_scd2_time_travel",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+), runs AS (
+  SELECT user_id, grp, event_type,
+         CAST(MIN(ts) AS TIMESTAMP) AS valid_from
+  FROM islands GROUP BY user_id, grp, event_type
+), scd AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from) AS valid_to
+  FROM runs
+)
+SELECT user_id, event_type AS state_at_cutoff, valid_from
+FROM scd
+WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+ORDER BY user_id
+""",
+    tags=("versioning", "temporal"),
+)
+def q155_scd2_time_travel(spark, sf_dir):
+    """Time travel over SCD Type-2 history: reconstruct every user's
+    state AS OF a cutoff instant by picking the validity interval that
+    contains it (valid_from <= T < valid_to, open current row = NULL
+    valid_to). Builds the same gaps-and-islands interval table as q118
+    (both windows share one user_id exchange), then the as-of filter is
+    a map-side predicate — at 100 TB time travel costs exactly one
+    partition-pruned scan of the interval table, no join. This is the
+    query shape behind Delta/Iceberg VERSION AS OF on a dimension."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("event_type").over(w)
+    marked = ev.withColumn(
+        "chg",
+        F.when(lagged.isNull() | (lagged != F.col("event_type")), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "grp",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = islands.groupBy("user_id", "grp", "event_type").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    scd = runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+    cutoff = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    return (
+        scd.filter(
+            (F.col("valid_from") <= cutoff)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > cutoff))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_at_cutoff"),
+            "valid_from",
+        )
+        .orderBy("user_id")
+    )
