@@ -78,3 +78,56 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table_name)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_rows_per_file: int,
+    order_by: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction — the OPTIMIZE pass every streaming sink
+    eventually needs: micro-batches leave thousands of KB-sized files,
+    and at 100 TB the NameNode/listing cost and per-file scan overhead
+    dominate. Rewrites ``src_path`` into ``ceil(n/target)`` files; with
+    ``order_by`` the rewrite range-partitions + sorts within files
+    (Z-order-lite clustering: range partitioning gives disjoint
+    envelopes per file, so zone maps actually prune).
+
+    Returns the number of output files requested. Counting rows costs
+    one scan; the rewrite is the second — same two-pass cost profile as
+    Delta's OPTIMIZE."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; have {FORMATS}")
+    df = spark.read.format(fmt).load(src_path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    if order_by:
+        df = df.repartitionByRange(n_files, *order_by).sortWithinPartitions(
+            *order_by
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.format(fmt).mode("overwrite").save(dst_path)
+    return n_files
+
+
+def read_merged_schema(
+    spark: SparkSession, path: str, fmt: str = "parquet", **options
+) -> DataFrame:
+    """Schema-evolution read: union the schemas of every file under
+    ``path`` (``mergeSchema``) so older files missing newer columns
+    surface them as NULL — the contract a long-lived ingest directory
+    needs once producers add fields. Parquet/ORC only (the formats
+    whose footers carry a schema)."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError("schema merge needs a self-describing format")
+    return (
+        spark.read.format(fmt)
+        .option("mergeSchema", "true")
+        .options(**options)
+        .load(path)
+    )

@@ -153,3 +153,73 @@ def test_zstd_compression_roundtrip(spark):
 
     assert glob.glob(os.path.join(path, "*.zstd.parquet"))
     assert spark.read.parquet(path).count() == 100
+
+
+def test_compact_small_files_reduces_file_count(spark, sf_dir, tmp_path):
+    from grouper_spark.sources import table
+    from grouper_spark.sources.sinks import compact_small_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # fragment: one file per partition x 64
+    ev.repartition(64).write.parquet(src)
+    import glob
+
+    n_src = len(glob.glob(f"{src}/part-*"))
+    assert n_src >= 32
+    n_rows = ev.count()
+    compact_small_files(
+        spark, src, dst, target_rows_per_file=n_rows, order_by=["user_id"]
+    )
+    n_dst = len(glob.glob(f"{dst}/part-*"))
+    assert n_dst == 1
+    out = spark.read.parquet(dst)
+    assert out.count() == n_rows
+    # same multiset of rows after the rewrite
+    assert out.exceptAll(ev).count() == 0 and ev.exceptAll(out).count() == 0
+
+
+def test_compact_range_layout_gives_disjoint_envelopes(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from grouper_spark.sources import table
+    from grouper_spark.sources.sinks import compact_small_files
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "compact2")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.repartition(16).write.parquet(src)
+    n = ev.count()
+    compact_small_files(
+        spark, src, dst, target_rows_per_file=-(-n // 4), order_by=["user_id"]
+    )
+    out = spark.read.parquet(dst).withColumn(
+        "f", F.input_file_name()
+    )
+    env = (
+        out.groupBy("f")
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(env) >= 2
+    # range partitioning => per-file user_id envelopes do not interleave
+    for a, b in zip(env, env[1:]):
+        assert a.hi <= b.lo
+
+
+def test_read_merged_schema_surfaces_new_columns(spark, tmp_path):
+    from grouper_spark.sources.sinks import read_merged_schema
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(
+        p + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(p + "/batch=2")
+    df = read_merged_schema(spark, p)
+    assert set(df.columns) >= {"id", "name", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
