@@ -453,3 +453,98 @@ def q149_ewma_smoother(spark, sf_dir):
     return series.select(
         "user_id", "n_days", F.round(ewma, 6).alias("ewma_r")
     ).orderBy("user_id")
+
+
+@query(
+    "q157_ks_drift",
+    oracle="""
+WITH s AS (
+  SELECT CAST(ROUND(value * 100.0, 0) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+  FROM events WHERE event_type IN ('click', 'purchase')
+), per_v AS (
+  SELECT v, SUM(is1) AS d1, SUM(1 - is1) AS d2 FROM s GROUP BY v
+), tot AS (
+  SELECT SUM(d1) AS n1, SUM(d2) AS n2 FROM per_v
+), cum AS (
+  SELECT v,
+         SUM(d1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(d2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+  FROM per_v
+), gaps AS (
+  SELECT v, abs(c1 * tot.n2 - c2 * tot.n1) AS gap_num, tot.n1, tot.n2
+  FROM cum, tot
+)
+SELECT CAST(MIN(v) FILTER (WHERE gap_num = m) AS BIGINT) AS argmax_cents,
+       round(CAST(MAX(gap_num) AS DOUBLE) / (MAX(n1) * MAX(n2)), 6) AS ks_r
+FROM (SELECT *, MAX(gap_num) OVER () AS m FROM gaps)
+""",
+    tags=("monitoring", "drift"),
+)
+def q157_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    'click' and 'purchase' value distributions — the distribution-drift
+    test that catches shape changes PSI's fixed bins smear out. The
+    supremum |F1 - F2| is computed in pure BIGINT: per-cents counts,
+    a cumulative sum, and cross-multiplied gaps |c1*n2 - c2*n1| (no
+    float CDFs until the single final division). The cumulative sum
+    uses the same two-phase distributed prefix-sum shape as q147 —
+    per-value-shard subtotals, a shard-count-sized offset window, and
+    in-shard windows — so no corpus-sized single-partition sort; the
+    arg-max value reports WHERE the distributions diverge most."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v"),
+        (F.col("event_type") == "click").cast("bigint").alias("is1"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum("is1").alias("d1"), F.sum(1 - F.col("is1")).alias("d2")
+    )
+    per_v = per_v.withColumn("shard", (F.col("v") / 1024).cast("bigint"))
+    shard_tot = per_v.groupBy("shard").agg(
+        F.sum("d1").alias("s1"), F.sum("d2").alias("s2")
+    )
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("s1").over(w_off), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("s2").over(w_off), F.lit(0)).alias("o2"),
+    )
+    tot = per_v.agg(
+        F.sum("d1").alias("n1"), F.sum("d2").alias("n2")
+    )
+    w_in = Window.partitionBy("shard").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        per_v.join(F.broadcast(offsets), "shard")
+        .select(
+            "v",
+            (F.col("o1") + F.sum("d1").over(w_in)).alias("c1"),
+            (F.col("o2") + F.sum("d2").over(w_in)).alias("c2"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    gaps = cum.select(
+        "v",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
+            "gap_num"
+        ),
+        "n1",
+        "n2",
+    )
+    m = gaps.agg(F.max("gap_num").alias("m"))
+    return (
+        gaps.crossJoin(F.broadcast(m))
+        .filter(F.col("gap_num") == F.col("m"))
+        .agg(
+            F.min("v").cast("bigint").alias("argmax_cents"),
+            F.round(
+                F.max("gap_num").cast("double")
+                / (F.max("n1") * F.max("n2")),
+                6,
+            ).alias("ks_r"),
+        )
+    )
