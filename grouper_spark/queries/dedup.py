@@ -245,56 +245,61 @@ def q134_cluster_canonical(spark, sf_dir):
 @query(
     "q145_prefix_filter_join",
     oracle="""
-WITH tok AS (
-  SELECT DISTINCT doc_id,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                           i, i + 2), ' ')
+         )) AS shingles
   FROM documents
-), sz AS (
-  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+), ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS token FROM sh
 ), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb,
+         COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
-       i * 1.0 / (sa.n + sb.n - i) AS jaccard
+       i * 1.0 / (na + nb - i) AS jaccard
 FROM inter
-JOIN sz sa ON sa.doc_id = doc_a
-JOIN sz sb ON sb.doc_id = doc_b
-WHERE i * 10 >= (sa.n + sb.n - i) * 9
+WHERE i * 10 >= (na + nb - i) * 9
 ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "join"),
 )
 def q145_prefix_filter_join(spark, sf_dir):
     """Set-similarity self-join with PREFIX FILTERING (PPJoin-lite):
-    all document pairs whose token-set Jaccard >= 0.9.
+    all document pairs whose 3-gram shingle-set Jaccard >= 0.9.
 
     The oracle brute-forces the full posting-list join; the Spark plan
-    is the published scale recipe: order each doc's tokens by global
-    document frequency (rare first — the ordering key is the (df, token)
-    tuple, so no global vocabulary sort is ever materialized), keep only
-    each doc's first n - ceil(0.9 n) + 1 tokens, and equi-join on those
-    prefix tokens only. Any pair with J >= 0.9 provably shares a prefix
-    token, while frequent tokens never generate candidates — the classic
-    mega-bucket ("of the and") blow-up disappears by construction rather
-    than by a df cap. Candidates then get an exact posting-list
-    intersection count and the J >= 0.9 verify. ceil is integer-exact
-    ((9n+9) div 10), never floating point."""
+    is the published scale recipe. Each doc's distinct shingles are
+    ordered by global document frequency (rare first — the ordering key
+    is the (df, shingle) tuple, so no global vocabulary sort is ever
+    materialized); only the first n - ceil(0.9 n) + 1 shingles per doc
+    enter the candidate equi-join. Any pair with J >= 0.9 provably
+    shares a prefix shingle, while frequent shingles rarely reach a
+    prefix — the classic mega-bucket blow-up disappears by construction
+    rather than by a df cap. Shingle sets (not unigram token sets) are
+    the right universe for prefix filtering: the fixture's 31-token
+    vocabulary makes every unigram frequent, but its ~20k shingle
+    universe has max df ~ tens, exactly the Zipf shape PPJoin exploits.
+    Candidates then get an exact posting-list intersection count and
+    the J >= 0.9 verify. ceil is integer-exact ((9n+9) div 10), never
+    floating point."""
+    from ..functions.text import word_shingles
+
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
+    sh = d.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
-        ).alias("token"),
-    )
+        word_shingles("text", 3).alias("shingles"),
+    ).withColumn("n", F.size("shingles"))
+    tok = sh.select("doc_id", "n", F.explode("shingles").alias("token"))
     df_ = tok.groupBy("token").agg(F.count("*").alias("df"))
-    ranked = tok.join(df_, "token")
     w = Window.partitionBy("doc_id").orderBy("df", "token")
-    wn = Window.partitionBy("doc_id")
     pref = (
-        ranked.withColumn("pos", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(wn))
+        tok.join(df_, "token")
+        .withColumn("pos", F.row_number().over(w))
         .filter(
             F.col("pos")
             <= F.col("n") - ((F.col("n") * 9 + 9) / 10).cast("bigint") + 1
@@ -312,18 +317,27 @@ def q145_prefix_filter_join(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
         )
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    # verify: candidates are few, so fetch both shingle ARRAYS and
+    # intersect in codegen — no second posting-list shuffle of the
+    # whole corpus for the handful of surviving pairs
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sha"),
+        F.col("n").alias("na"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("shb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
     return (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("i"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("i", inter)
         .filter(F.col("i") * 10 >= (F.col("na") + F.col("nb") - F.col("i")) * 9)
         .select(
             "doc_a",
