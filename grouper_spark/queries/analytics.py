@@ -420,3 +420,63 @@ def q146_triangle_count(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q158_robust_scaler",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) - 1 AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+), med AS (
+  SELECT pos, quantile_cont(x, 0.5) AS m FROM ex GROUP BY pos
+), mad AS (
+  SELECT ex.pos, quantile_cont(abs(ex.x - med.m), 0.5) AS s
+  FROM ex JOIN med USING (pos) GROUP BY ex.pos
+)
+SELECT ex.vec_id, CAST(ex.pos AS INT) AS pos,
+       round((ex.x - med.m) / NULLIF(mad.s, 0.0), 4) AS z_r
+FROM ex
+JOIN med USING (pos)
+JOIN mad USING (pos)
+WHERE ex.vec_id < 10
+ORDER BY ex.vec_id, pos
+""",
+    tags=("analytics", "similarity"),
+)
+def q158_robust_scaler(spark, sf_dir):
+    """Per-dimension robust standardization of the embedding matrix —
+    (x - median_d) / MAD_d per dimension d, the outlier-immune scaler
+    ML preprocessing prefers over mean/std when a few vectors are
+    corrupted. Two grouped exact-percentile passes keyed on the
+    dimension index (64 groups — the stats relation is tiny and
+    broadcast back onto the exploded matrix), mirroring q148's
+    median->deviation->median chain but over posexplode'd array
+    columns. Output is the exploded z-matrix for the first 10 vectors,
+    rounded to 1e-4; exact interpolated percentiles keep both engines
+    bit-comparable."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    ex = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    med = ex.groupBy("pos").agg(F.percentile("x", F.lit(0.5)).alias("m"))
+    dev = ex.join(F.broadcast(med), "pos")
+    mad = dev.groupBy("pos").agg(
+        F.percentile(F.abs(F.col("x") - F.col("m")), F.lit(0.5)).alias("s")
+    )
+    return (
+        ex.filter(F.col("vec_id") < 10)
+        .join(F.broadcast(med), "pos")
+        .join(F.broadcast(mad), "pos")
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.round(
+                (F.col("x") - F.col("m")) / F.nullif(F.col("s"), F.lit(0.0)), 4
+            ).alias("z_r"),
+        )
+        .orderBy("vec_id", "pos")
+    )

@@ -290,3 +290,61 @@ def q80_date_arith(spark, sf_dir):
         F.round(age_days / 30.4375, 2).alias("age_months_approx"),
         F.date_trunc("week", day).cast("date").alias("week_start"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q159_time_to_convert",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id,
+         MIN(epoch_us(CAST(e.ts AS TIMESTAMP))
+             - epoch_us(CAST(s.s_ts AS TIMESTAMP))) AS dt_us
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(dt_us, 0.5) / 1000000.0, 3) AS p50_s,
+       round(quantile_cont(dt_us, 0.9) / 1000000.0, 3) AS p90_s
+FROM p
+""",
+    tags=("events", "funnel"),
+)
+def q159_time_to_convert(spark, sf_dir):
+    """Funnel latency: for every user whose first purchase follows
+    their first signup, the signup→purchase delay, summarized as
+    exact p50/p90. Two per-user min-aggregations on the same user_id
+    key (one reused exchange), the delay carried as integer
+    epoch-micros so both engines interpolate percentiles over
+    identical BIGINTs; only the final display division is floating
+    point. The percentile input is one row per converted user — at
+    100 TB the raw log collapses before any percentile work."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("ts") - F.unix_micros("s_ts")
+            ).alias("dt_us")
+        )
+    )
+    return p.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.percentile("dt_us", F.lit(0.5)) / 1000000.0, 3).alias(
+            "p50_s"
+        ),
+        F.round(F.percentile("dt_us", F.lit(0.9)) / 1000000.0, 3).alias(
+            "p90_s"
+        ),
+    )
