@@ -480,3 +480,72 @@ def q158_robust_scaler(spark, sf_dir):
         )
         .orderBy("vec_id", "pos")
     )
+
+
+@query(
+    "q160_weighted_median",
+    oracle="""
+WITH rows_ AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS price_cents,
+         CAST(ROUND(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+), g AS (
+  SELECT flag, price_cents, SUM(w) AS w
+  FROM rows_ GROUP BY flag, price_cents
+), cum AS (
+  SELECT flag, price_cents, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY price_cents
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM g
+)
+SELECT flag,
+       CAST(MIN(price_cents) AS BIGINT) AS wmedian_cents,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM cum
+WHERE cw * 2 >= tw
+GROUP BY flag
+ORDER BY flag
+""",
+    tags=("analytics", "agg"),
+)
+def q160_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag — the weighted
+    quantile that answers 'at what price does half the VOLUME sit?'
+    (resource-accounting shape: bytes-weighted latency, token-weighted
+    loss). No engine has a weighted-percentile builtin, so it is built
+    from primitives, all BIGINT: collapse to per-(group, value) weight
+    sums first (one map-side-combined shuffle — the cumsum then rides
+    the collapsed distribution, not the raw rows), cumulative weight
+    per group in value order, and the answer is the smallest value
+    whose cumulative weight reaches half the group total. Both window
+    passes share the group-key exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100.0, 0)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.round("l_quantity", 0).cast("bigint").alias("w"),
+    )
+    g = rows_.groupBy("flag", "price_cents").agg(F.sum("w").alias("w"))
+    w_cum = Window.partitionBy("flag").orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("flag")
+    cum = g.select(
+        "flag",
+        "price_cents",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price_cents").cast("bigint").alias("wmedian_cents"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
