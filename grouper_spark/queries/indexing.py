@@ -228,3 +228,93 @@ def q151_approx_topk_merge(spark, sf_dir):
         )
         .orderBy(F.col("cnt").desc(), "token")
     )
+
+
+@query(
+    "q161_countmin_sketch",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), hashed AS (
+  SELECT token, r.r,
+         CAST(('0x' || substr(md5(token || '#' || r.r), 1, 4)) AS BIGINT)
+           % 64 AS bucket
+  FROM tok, (SELECT unnest(range(0, 4)) AS r) r
+), cells AS (
+  SELECT r, bucket, COUNT(*) AS c FROM hashed GROUP BY r, bucket
+), keys_ AS (
+  SELECT DISTINCT token FROM tok
+), probes AS (
+  SELECT k.token, r.r,
+         CAST(('0x' || substr(md5(k.token || '#' || r.r), 1, 4)) AS BIGINT)
+           % 64 AS bucket
+  FROM keys_ k, (SELECT unnest(range(0, 4)) AS r) r
+), est AS (
+  SELECT p.token, MIN(c.c) AS cms_est
+  FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+  GROUP BY p.token
+), exact_ AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token
+)
+SELECT e.token,
+       CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(e.cms_est - x.exact_cnt AS BIGINT) AS overcount
+FROM est e JOIN exact_ x USING (token)
+ORDER BY e.token
+""",
+    tags=("indexing", "sketch"),
+)
+def q161_countmin_sketch(spark, sf_dir):
+    """Count–Min sketch built from relational primitives: 4 hash rows
+    x 64 buckets, each cell a plain COUNT — so the whole sketch is one
+    map-side-combinable groupBy (cells merge by addition across shards,
+    the property that makes CMS THE streaming frequency sketch), and a
+    point query is min over the 4 cells the key hashes to. Hashes are
+    md5-derived, so both engines build bit-identical sketches; the
+    output cross-checks every key's estimate against its exact count —
+    CMS never undercounts (overcount >= 0 always) and collisions show
+    up as positive overcount. 4x64 BIGINTs summarize any corpus size:
+    the 100 TB frequency table in 2 KB of state."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    rs = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("token"), F.col("r"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 64
+    )
+    hashed = tok.crossJoin(F.broadcast(rs)).select(
+        "token", "r", bucket.alias("bucket")
+    )
+    cells = hashed.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+    keys_ = tok.select("token").distinct()
+    probes = keys_.crossJoin(F.broadcast(rs)).select(
+        "token", "r", bucket.alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    exact_ = tok.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    return (
+        est.join(exact_, "token")
+        .select(
+            "token",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy("token")
+    )

@@ -302,3 +302,74 @@ def q152_dsir_importance(spark, sf_dir):
         .orderBy(F.col("score_r").desc(), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "q162_span_corruption",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8
+), pick AS (
+  SELECT doc_id, toks, n,
+         2 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % (n - 4) AS s
+  FROM sized
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(s AS BIGINT) AS span_start,
+       array_to_string(list_slice(toks, 1, s - 1), ' ')
+         || ' <extra_id_0> '
+         || array_to_string(list_slice(toks, s + 3, n), ' ') AS input_text,
+       '<extra_id_0> ' || array_to_string(list_slice(toks, s, s + 2), ' ')
+         AS target_text
+FROM pick
+ORDER BY doc_id
+""",
+    tags=("lm", "multimodal"),
+)
+def q162_span_corruption(spark, sf_dir):
+    """T5-style span-corruption pair generation — the map-only
+    transform that turns a raw corpus into (input-with-sentinel,
+    target) denoising training examples. The masked 3-token span's
+    position is md5-derived from doc_id, so the 'random' corruption is
+    reproducible bit-for-bit in both engines and across re-runs (the
+    property a resumable 100 TB preprocessing job needs: re-executing a
+    failed partition regenerates identical examples). Pure token-array
+    slicing in codegen, no shuffle at all — the ideal Spark shape: at
+    any scale this runs scan-speed, embarrassingly parallel."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    sized = t.filter(F.col("n") >= 8)
+    s = 2 + (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % (F.col("n") - 4)
+    )
+    pick = sized.withColumn("s", s)
+    prefix = F.array_join(
+        F.slice(F.col("toks"), 1, (F.col("s") - 1).cast("int")), " "
+    )
+    suffix = F.array_join(
+        F.slice(
+            F.col("toks"),
+            (F.col("s") + 3).cast("int"),
+            (F.col("n") - F.col("s") - 2).cast("int"),
+        ),
+        " ",
+    )
+    span = F.array_join(
+        F.slice(F.col("toks"), F.col("s").cast("int"), 3), " "
+    )
+    return pick.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("s").cast("bigint").alias("span_start"),
+        F.concat(prefix, F.lit(" <extra_id_0> "), suffix).alias("input_text"),
+        F.concat(F.lit("<extra_id_0> "), span).alias("target_text"),
+    ).orderBy("doc_id")
