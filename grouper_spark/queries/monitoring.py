@@ -548,3 +548,61 @@ def q157_ks_drift(spark, sf_dir):
             ).alias("ks_r"),
         )
     )
+
+
+@query(
+    "q163_gini_inequality",
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS i
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(i * n_chars) AS BIGINT) AS ws
+  FROM ranked GROUP BY source
+)
+SELECT source, n, s,
+       round((2.0 * ws) / (n * CAST(s AS DOUBLE))
+             - (n + 1.0) / n, 6) AS gini_r
+FROM agg
+ORDER BY source
+""",
+    tags=("monitoring", "agg"),
+)
+def q163_gini_inequality(spark, sf_dir):
+    """Gini coefficient of document-length mass per source — the
+    inequality audit that tells a curation pipeline whether a source's
+    token budget is spread across documents or concentrated in a few
+    giants (a different failure mode than entropy or PSI catch). Uses
+    the rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    within-source sorted lengths: one window ranking partitioned by
+    source (deterministic doc_id tiebreak) and one integer aggregate —
+    everything BIGINT until the single closed-form double expression,
+    so both engines agree exactly. At 100 TB the sort is per-source
+    partition-local, never global."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("s"),
+            F.sum(F.col("i") * F.col("n_chars")).cast("bigint").alias("ws"),
+        )
+        .select(
+            "source",
+            "n",
+            "s",
+            F.round(
+                (2.0 * F.col("ws")) / (F.col("n") * F.col("s").cast("double"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini_r"),
+        )
+        .orderBy("source")
+    )
