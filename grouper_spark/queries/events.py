@@ -348,3 +348,53 @@ def q159_time_to_convert(spark, sf_dir):
             "p90_s"
         ),
     )
+
+
+@query(
+    "q164_rolling_distinct_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+), days AS (
+  SELECT DISTINCT d FROM ud
+), contrib AS (
+  SELECT ud.user_id, days.d AS target_day
+  FROM ud JOIN days
+    ON days.d >= ud.d AND days.d <= ud.d + INTERVAL 6 DAY
+)
+SELECT target_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM contrib
+GROUP BY target_day
+ORDER BY target_day
+""",
+    tags=("events", "window"),
+)
+def q164_rolling_distinct_users(spark, sf_dir):
+    """Rolling 7-day active users per day (the WAU curve). Sliding
+    COUNT DISTINCT has no window-function form — distinct doesn't
+    decompose over frames — so each (user, day) activity fact is
+    EXPANDED to the <= 7 target days it contributes to (one sequence
+    explode, map-side) and the answer is a plain distinct-count per
+    target day. The expansion factor is the window length, not the data
+    size: at 100 TB this is 7x the DISTINCT (user, day) summary — tiny
+    next to the raw log — and shuffles once on the target day. The
+    day-filter join in the oracle is the same contribution set built
+    relationally."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.withColumn(
+        "target_day",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ),
+    ).join(F.broadcast(days.withColumnRenamed("d", "target_day")), "target_day")
+    return (
+        contrib.groupBy("target_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .orderBy("target_day")
+    )
