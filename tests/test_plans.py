@@ -394,3 +394,28 @@ def test_q150_zone_map_is_single_scan_partial_agg(spark, sf_dir, registry):
     plan = plan_of(df)
     assert plan.count("FileScan parquet") == 1
     assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_q162_span_corruption_is_map_only(spark, sf_dir, registry):
+    df = registry["q162_span_corruption"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # pure per-row transform: the only exchange allowed is the final
+    # output ordering's rangepartitioning — no hash shuffle, no join
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_q161_cms_cells_partial_aggregate(spark, sf_dir, registry):
+    df = registry["q161_countmin_sketch"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # sketch cells must combine map-side (the mergeability that makes
+    # CMS a streaming sketch)
+    assert "partial_count" in plan
+
+
+def test_q160_weighted_median_collapses_before_window(spark, sf_dir, registry):
+    df = registry["q160_weighted_median"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # the cumsum window must ride the collapsed (group, value)
+    # distribution: a partial aggregate appears below the window
+    assert "partial_sum" in plan
