@@ -398,3 +398,65 @@ def q153_gdpr_cascade_delete(spark, sf_dir):
         "rows_deleted",
         (F.col("rows_before") - F.col("rows_deleted")).alias("rows_after"),
     ).orderBy("tbl")
+
+
+@query(
+    "q165_bucketed_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    tags=("join", "layout"),
+)
+def q165_bucketed_join(spark, sf_dir):
+    """Shuffle-free fact⋈fact join via bucketed layout: lineitem and
+    orders are written once as managed tables bucketed 16 ways on the
+    join key (sorted within buckets), and the join then reads both
+    sides pre-clustered — Spark plans a SortMergeJoin with NO exchange
+    under either side (pinned in tests/test_plans.py). This is the
+    one-time-layout-cost / every-query-benefit trade that defines fact
+    table design at 100 TB: the shuffle happens at write time, once,
+    instead of at every query. The oracle is the plain join — bucketing
+    is semantics-preserving."""
+    from ..functions.text import money
+    from ..sources.sinks import write_bucketed
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    lt, ot = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", money("l_extendedprice").alias("price_cents")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # idempotent layout step: rewrite only if absent (the "once" in
+    # one-time layout cost). The in-memory catalog dies with the
+    # session while the warehouse directory survives, so a stale
+    # location from an earlier session must be cleared first.
+    def ensure(df_side, name, key):
+        if spark.catalog.tableExists(name):
+            return
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+        write_bucketed(df_side, name, [key], 16, sort_by=[key])
+
+    ensure(li, lt, "l_orderkey")
+    ensure(orders, ot, "o_orderkey")
+    lb, ob = spark.table(lt), spark.table(ot)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("price_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -419,3 +419,15 @@ def test_q160_weighted_median_collapses_before_window(spark, sf_dir, registry):
     # the cumsum window must ride the collapsed (group, value)
     # distribution: a partial aggregate appears below the window
     assert "partial_sum" in plan
+
+
+def test_q165_bucketed_join_has_no_shuffle_under_join(spark, sf_dir, registry):
+    df = registry["q165_bucketed_join"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # both sides pre-clustered: the join reads bucketed scans with no
+    # hash exchange beneath (at tiny SFs the planner may pick a
+    # broadcast join over SMJ — equally shuffle-free); the only hash
+    # exchange allowed is the final groupBy's
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
