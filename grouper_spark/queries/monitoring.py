@@ -606,3 +606,84 @@ def q163_gini_inequality(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q166_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+), tot AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+), cusum AS (
+  SELECT d.event_type, d.day,
+         SUM(d.c * t.n - t.s) OVER (PARTITION BY d.event_type
+                                    ORDER BY d.day
+                                    ROWS UNBOUNDED PRECEDING) AS g,
+         t.n, t.s
+  FROM daily d JOIN tot t USING (event_type)
+), peak AS (
+  SELECT event_type, MAX(abs(g)) AS m, MAX(n) AS n, MAX(s) AS s
+  FROM cusum GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(MIN(c.day) FILTER (WHERE abs(c.g) = p.m) AS DATE)
+         AS change_day,
+       CAST(p.m AS BIGINT) AS peak_scaled,
+       round(CAST(p.m AS DOUBLE) / (p.n * p.n), 4) AS peak_per_day
+FROM cusum c JOIN peak p USING (event_type)
+GROUP BY c.event_type, p.m, p.n
+ORDER BY c.event_type
+""",
+    tags=("monitoring", "anomaly"),
+)
+def q166_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection on daily volumes: the cumulative
+    sum of deviations from each type's mean peaks AT the structural
+    break — localizing WHEN a distribution shifted, which z-score
+    (point outliers) and KS (two known samples) don't answer. The
+    running sum is kept integer-exact by cross-multiplication:
+    g_t = sum(c_i * n - S) avoids the fractional mean entirely, so
+    argmax day and peak are bit-identical across engines. One daily
+    pre-aggregate, windows partitioned per type over the tiny summary;
+    first-day tiebreak on equal peaks is deterministic."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        F.sum(F.col("c") * F.col("n") - F.col("s")).over(w).alias("g"),
+        "n",
+    )
+    peak = cusum.groupBy("event_type").agg(
+        F.max(F.abs("g")).alias("m"), F.max("n").alias("pn")
+    )
+    return (
+        cusum.join(F.broadcast(peak), "event_type")
+        .filter(F.abs(F.col("g")) == F.col("m"))
+        .groupBy("event_type", "m", "pn")
+        .agg(F.min("day").alias("change_day"))
+        .select(
+            "event_type",
+            "change_day",
+            F.col("m").cast("bigint").alias("peak_scaled"),
+            F.round(
+                F.col("m").cast("double") / (F.col("pn") * F.col("pn")), 4
+            ).alias("peak_per_day"),
+        )
+        .orderBy("event_type")
+    )
