@@ -432,3 +432,71 @@ def q143_interval_overlap_join(spark, sf_dir):
         .orderBy(F.col("n_overlaps").desc(), "l_suppkey")
         .limit(50)
     )
+
+
+@query(
+    "q167_burstiness",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+           - lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events
+), m AS (
+  SELECT user_id,
+         CAST(COUNT(g) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS s,
+         CAST(SUM(g * g) AS BIGINT) AS s2
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY user_id HAVING COUNT(g) >= 2
+)
+SELECT user_id, n,
+       round((sqrt((s2 - CAST(s AS DOUBLE) * s / n) / n)
+              - CAST(s AS DOUBLE) / n)
+             / (sqrt((s2 - CAST(s AS DOUBLE) * s / n) / n)
+                + CAST(s AS DOUBLE) / n), 4) AS burstiness_r
+FROM m
+ORDER BY user_id
+""",
+    tags=("temporal", "agg"),
+)
+def q167_burstiness(spark, sf_dir):
+    """Burstiness coefficient B = (sigma - mu)/(sigma + mu) of each
+    user's inter-event gaps — the temporal signature separating
+    Poisson-like activity (B ~ 0) from bursty sessions (B -> 1) and
+    metronomic bots (B -> -1). Gaps come from one lag window on the
+    user key; mean and population std derive from exact BIGINT moment
+    sums (n, sum g, sum g^2) in a single closed-form double expression
+    (q125's engine-stable pattern — no accumulation-order dependence),
+    so both engines agree bit-for-bit before the 1e-4 display round.
+    One shuffle on user_id; the moment aggregate is map-side
+    combined."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.expr("unix_micros(ts) div 1000000")
+            - F.lag(F.expr("unix_micros(ts) div 1000000")).over(w)
+        ).cast("bigint").alias("g"),
+    ).filter(F.col("g").isNotNull())
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("g").cast("bigint").alias("n"),
+            F.sum("g").cast("bigint").alias("s"),
+            F.sum(F.col("g") * F.col("g")).cast("bigint").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / F.col("n")
+    )
+    return m.select(
+        "user_id",
+        "n",
+        F.round((sigma - mu) / (sigma + mu), 4).alias("burstiness_r"),
+    ).orderBy("user_id")
