@@ -687,3 +687,72 @@ def q166_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q168_chi_square_independence",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, dow
+), rows_ AS (
+  SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY event_type
+), cols_ AS (
+  SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY dow
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs
+), cells AS (
+  SELECT obs.event_type, obs.dow,
+         CAST(ROUND(
+           CAST((obs.o * tot.n - rows_.r * cols_.c) AS DOUBLE)
+           * (obs.o * tot.n - rows_.r * cols_.c)
+           / (CAST(tot.n AS DOUBLE) * rows_.r * cols_.c)
+           * 1000000.0, 0) AS BIGINT) AS term_micro
+  FROM obs
+  JOIN rows_ USING (event_type)
+  JOIN cols_ USING (dow)
+  CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       round(SUM(term_micro) / 1000000.0, 4) AS chi2_r
+FROM cells
+""",
+    tags=("monitoring", "anomaly"),
+)
+def q168_chi_square_independence(spark, sf_dir):
+    """Pearson chi-square independence test: is event type independent
+    of day-of-week? The categorical counterpart to KS (continuous) and
+    CUSUM (temporal) in the monitoring battery. Each cell's statistic
+    uses the cross-multiplied form (O*N - R*C)^2 / (N*R*C) — exact
+    BIGINT numerator from the contingency table, one double division —
+    and is fixed-pointed to micro-units BEFORE the sum so the 35-cell
+    reduction is order-independent across engines. The contingency
+    table is one map-side-combined groupBy; margins are two tiny
+    re-aggregations of it, broadcast back. At 100 TB the raw log
+    collapses to (types x 7) cells before any statistics happen."""
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_ = obs.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    num = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    term = F.round(
+        num.cast("double")
+        * num
+        / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+        * 1000000.0,
+        0,
+    ).cast("bigint")
+    cells = (
+        obs.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term_micro"))
+    )
+    return cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(F.sum("term_micro") / 1000000.0, 4).alias("chi2_r"),
+    )
