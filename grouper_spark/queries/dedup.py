@@ -349,3 +349,75 @@ def q145_prefix_filter_join(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q169_golden_record",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(lower(trim(text)), '\\s+'))), ' '))
+           AS fingerprint
+  FROM documents
+)
+SELECT fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       CAST(MAX(n_chars) AS BIGINT) AS best_n_chars,
+       arg_min(source, doc_id) AS first_source,
+       arg_max(lang, n_chars || '-' || lpad(CAST(10000000000 - doc_id
+                                                AS VARCHAR), 11, '0'))
+         AS best_lang
+FROM fp
+GROUP BY fingerprint
+HAVING COUNT(*) > 1
+ORDER BY fingerprint
+""",
+    tags=("dedup", "curation"),
+)
+def q169_golden_record(spark, sf_dir):
+    """Golden-record survivorship over duplicate clusters — the MDM
+    merge step after dedup: for each cluster of identical-fingerprint
+    bag-of-words-identical documents (same distinct token set — the
+    word-order-insensitive dup family), build the best single record
+    field-by-field with
+    different survivorship rules per field (min-id canonical, longest
+    text length, source of the earliest member via arg_min, language of
+    the longest member with a deterministic min-doc_id tiebreak encoded
+    into the arg_max key). Everything is one map-side-combined groupBy
+    on the fingerprint — survivorship never needs a self-join or a
+    window, which is what keeps the merge a single shuffle at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.withColumn(
+        "fingerprint",
+        F.md5(
+            F.array_join(
+                F.sort_array(
+                    F.array_distinct(
+                        F.split(F.lower(F.trim("text")), r"\s+")
+                    )
+                ),
+                " ",
+            )
+        ),
+    )
+    # arg_max key: n_chars with an inverted doc_id tiebreak, encoded so
+    # lexicographic order matches the oracle's string key exactly
+    tie_key = F.concat(
+        F.col("n_chars").cast("string"),
+        F.lit("-"),
+        F.lpad((F.lit(10000000000) - F.col("doc_id")).cast("string"), 11, "0"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+            F.max("n_chars").cast("bigint").alias("best_n_chars"),
+            F.min_by("source", "doc_id").alias("first_source"),
+            F.max_by("lang", tie_key).alias("best_lang"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("fingerprint")
+    )
