@@ -756,3 +756,70 @@ def q168_chi_square_independence(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_cells"),
         F.round(F.sum("term_micro") / 1000000.0, 4).alias("chi2_r"),
     )
+
+
+@query(
+    "q170_higher_moments",
+    oracle="""
+WITH m AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s1,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2,
+         CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+         CAST(SUM(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+  FROM documents GROUP BY lang
+)
+SELECT lang, n,
+       round((CAST(s3 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+             / pow(CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                   1.5), 4) AS skewness_r,
+       round((CAST(s4 AS DOUBLE) / n
+              - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+              + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+              - 3.0 * pow(CAST(s1 AS DOUBLE) / n, 4.0))
+             / pow(CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                   2.0) - 3.0, 4) AS ex_kurtosis_r
+FROM m
+ORDER BY lang
+""",
+    tags=("monitoring", "agg"),
+)
+def q170_higher_moments(spark, sf_dir):
+    """Skewness and excess kurtosis of document lengths per language —
+    the distribution-shape alarms (long right tail of giant docs,
+    heavy-tailed vs near-normal) that mean/std miss. Spark's builtin
+    skewness()/kurtosis() accumulate doubles in partition order and are
+    NOT cross-engine reproducible; instead the four raw power sums are
+    exact BIGINTs (one map-side-combined groupBy) and the central
+    moments come from the closed-form expansion in one deterministic
+    double expression per group — the same engine-stability technique
+    as q125's z-scores, extended to 3rd and 4th order."""
+    d = table(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    m = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("s1"),
+        F.sum(x * x).cast("bigint").alias("s2"),
+        F.sum(x * x * x).cast("bigint").alias("s3"),
+        F.sum(x * x * x * x).cast("bigint").alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    m4 = F.col("s4").cast("double") / F.col("n")
+    var = m2 - m1 * m1
+    mu3 = m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1
+    mu4 = m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * F.pow(m1, 4.0)
+    return m.select(
+        "lang",
+        "n",
+        F.round(mu3 / F.pow(var, 1.5), 4).alias("skewness_r"),
+        F.round(mu4 / F.pow(var, 2.0) - 3.0, 4).alias("ex_kurtosis_r"),
+    ).orderBy("lang")
