@@ -549,3 +549,76 @@ def q160_weighted_median(spark, sf_dir):
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "q171_decile_lift",
+    oracle="""
+WITH scored AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(o_orderpriority LIKE '1-URGENT%' OR
+              o_orderpriority LIKE '2-HIGH%' AS INT) AS is_hot,
+         ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+  FROM orders
+), per AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(is_hot) AS BIGINT) AS hot
+  FROM scored GROUP BY decile
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(hot) AS BIGINT) AS th
+  FROM per
+)
+SELECT decile, n, hot,
+       round(CAST(hot AS DOUBLE) / n, 4) AS rate_r,
+       round((CAST(hot AS DOUBLE) / n) / (CAST(th AS DOUBLE) / tn), 4)
+         AS lift_r
+FROM per, tot
+ORDER BY decile
+""",
+    tags=("analytics", "window"),
+)
+def q171_decile_lift(spark, sf_dir):
+    """Decile lift table — the model-evaluation staple: bucket orders
+    into spend deciles (ntile over a deterministic (price, key) order)
+    and compare each decile's hot-priority rate to the base rate. If
+    spend 'scores' predicted urgency, top deciles show lift > 1. The
+    global ntile is the one legitimately-ordered step (rank over the
+    full relation); everything after rides the 10-row summary with the
+    base rate from a second tiny aggregate — both engines compute the
+    same exact integer counts, so rate and lift round identically. The
+    two-phase prefix-sum rewrite (q147) applies verbatim if the scored
+    relation is corpus-sized."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    scored = orders.select(
+        "o_orderkey",
+        (
+            F.col("o_orderpriority").startswith("1-URGENT")
+            | F.col("o_orderpriority").startswith("2-HIGH")
+        )
+        .cast("int")
+        .alias("is_hot"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("is_hot").cast("bigint").alias("hot"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("hot").cast("bigint").alias("th"),
+    )
+    rate = F.col("hot").cast("double") / F.col("n")
+    base = F.col("th").cast("double") / F.col("tn")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "hot",
+            F.round(rate, 4).alias("rate_r"),
+            F.round(rate / base, 4).alias("lift_r"),
+        )
+        .orderBy("decile")
+    )
