@@ -9,6 +9,7 @@ from .core import (
 from .linalg import gramian_upper
 from .dedup import (
     canonicalize_exact,
+    cooccurrence_pairs,
     dedup_clusters,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -27,6 +28,7 @@ __all__ = [
     "sessionize",
     "topk_per_group",
     "canonicalize_exact",
+    "cooccurrence_pairs",
     "dedup_clusters",
     "shingle_jaccard_pairs",
     "minhash_signatures",

@@ -111,6 +111,48 @@ def shingle_jaccard_pairs(
     )
 
 
+def cooccurrence_pairs(
+    items: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Co-occurrence pair counts from an (item, bucket) membership table.
+
+    Two items co-occur once per shared bucket; output is
+    ``(u, v, i)`` with ``u < v`` and ``i`` = number of shared buckets —
+    the intersection count a set-similarity (Jaccard) graph build needs.
+
+    ``max_bucket`` caps bucket size the same way ``max_df`` caps shingle
+    document frequency in :func:`shingle_jaccard_pairs`: buckets with
+    more than ``max_bucket`` members are dropped *before* the pair
+    self-join, because a ubiquitous bucket (every item present — e.g.
+    every user active on one (event_type, day) at 100x scale) would
+    expand to O(b²) candidate pairs while carrying no discriminative
+    signal for set similarity. The bucket-size count rides the same
+    shuffle the pair join needs (a window count over the bucket key — no
+    extra exchange), so the cap is free, and the pair stage is bounded
+    by ``max_bucket² × n_buckets`` instead of O(corpus²).
+    """
+    u = items.select(
+        F.col(id_col).alias("u"), *[F.col(c) for c in bucket_cols]
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy(*bucket_cols)
+        u = (
+            u.withColumn("__bn", F.count("*").over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+    v = u.select(F.col("u").alias("v"), *bucket_cols)
+    return (
+        u.join(v, bucket_cols)
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("i"))
+    )
+
+
 def _perm_hash(col, seed: int):
     """Deterministic per-permutation 64-bit hash of a shingle string."""
     return F.xxhash64(F.concat(F.lit(f"mh{seed}|"), col))

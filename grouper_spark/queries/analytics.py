@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..operators import cooccurrence_pairs
 from ..sources import table
 from . import query
 
@@ -276,8 +277,8 @@ WITH per_supp AS (
   SELECT SUM(rev_cents) AS total_cents FROM per_supp
 )
 SELECT l_suppkey,
-       rev_cents / 100.0 AS revenue,
-       round(rev_cents / (1.0 * total_cents), 9) AS share
+       CAST(rev_cents / 100.0 AS DOUBLE) AS revenue,
+       round(CAST(rev_cents AS DOUBLE) / (1.0 * total_cents), 9) AS share
 FROM per_supp, tot
 ORDER BY rev_cents DESC, l_suppkey
 LIMIT 100
@@ -316,17 +317,31 @@ def q139_share_of_total(spark, sf_dir):
     )
 
 
+# Co-visitation bucket cap for q146: (event_type, day) buckets larger
+# than this are dropped before pair expansion — see
+# operators.dedup.cooccurrence_pairs. 4096 never bites at the tested SFs
+# (max observed bucket: 67 at sf0.01, 587 at sf0.1) but bounds the pair
+# stage at 100x, where a ubiquitous bucket would otherwise expand O(n²).
+_COVIS_MAX_BUCKET = 4096
+
+
 @query(
     "q146_triangle_count",
-    oracle="""
+    oracle=f"""
 WITH g AS (
   SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS d
   FROM events
 ), sz AS (
   SELECT user_id, COUNT(*) AS n FROM g GROUP BY user_id
+), bs AS (
+  SELECT event_type, d, COUNT(*) AS bn FROM g GROUP BY 1, 2
+), gk AS (
+  SELECT g.user_id, g.event_type, g.d
+  FROM g JOIN bs ON g.event_type = bs.event_type AND g.d = bs.d
+  WHERE bs.bn <= {_COVIS_MAX_BUCKET}
 ), co AS (
   SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS i
-  FROM g a JOIN g b
+  FROM gk a JOIN gk b
     ON a.event_type = b.event_type AND a.d = b.d AND a.user_id < b.user_id
   GROUP BY 1, 2
 ), edges AS (
@@ -366,7 +381,15 @@ def q146_triangle_count(spark, sf_dir):
     Graph build is posting-list style: users sharing a (event_type, day)
     activity bucket co-occur; an edge exists when the Jaccard of the two
     users' activity-bucket sets >= 0.30 (integer cross-multiplication,
-    no float threshold). Triangles are the canonical two-path + closing
+    no float threshold). Pair generation goes through
+    ``operators.cooccurrence_pairs`` with ``max_bucket`` =
+    ``_COVIS_MAX_BUCKET``: a hot bucket (every user active on one
+    (event_type, day) — guaranteed at 100x on a skewed event mix) is
+    dropped before the self-join, so the candidate stage is bounded by
+    ``max_bucket² × n_buckets`` instead of O(users²); the oracle encodes
+    the identical cap. Jaccard denominators still use the uncapped
+    per-user bucket counts (same convention as shingle max_df).
+    Triangles are the canonical two-path + closing
     -edge plan on the oriented (u < v) edge list: join edges on the
     middle vertex, then semi-close with a third equi-join — each stage
     is an equi-join shuffle bounded by edge count, the standard
@@ -378,13 +401,8 @@ def q146_triangle_count(spark, sf_dir):
         "user_id", "event_type", F.date_trunc("day", "ts").alias("d")
     ).distinct()
     sz = g.groupBy("user_id").agg(F.count("*").alias("n"))
-    a = g.select(F.col("user_id").alias("u"), "event_type", "d")
-    b = g.select(F.col("user_id").alias("v"), "event_type", "d")
-    co = (
-        a.join(b, ["event_type", "d"])
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("i"))
+    co = cooccurrence_pairs(
+        g, "user_id", ["event_type", "d"], max_bucket=_COVIS_MAX_BUCKET
     )
     edges = (
         co.join(sz.select(F.col("user_id").alias("u"), F.col("n").alias("na")), "u")

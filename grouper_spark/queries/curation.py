@@ -376,7 +376,7 @@ WITH e AS (
 )
 SELECT vec_id, label, CAST(dim AS BIGINT) AS dim,
        round(scale, 6) AS scale_r,
-       round(sse_fp / 1000000000000.0 / dim, 9) AS mse
+       round(CAST(sse_fp AS DOUBLE) / 1000000000000.0 / dim, 9) AS mse
 FROM err
 ORDER BY vec_id
 """,
@@ -608,8 +608,8 @@ WITH e AS (
 )
 SELECT cell, CAST(pos AS INT) AS pos,
        CAST(COUNT(*) AS BIGINT) AS n_members,
-       CAST(round(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) * 1.0
-                  / COUNT(*)) AS BIGINT) / 1000000000.0 AS centroid
+       CAST(CAST(round(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) * 1.0
+                  / COUNT(*)) AS BIGINT) / 1000000000.0 AS DOUBLE) AS centroid
 FROM ex
 GROUP BY cell, pos
 ORDER BY cell, pos
@@ -695,8 +695,8 @@ WITH per_src AS (
   FROM ps p CROSS JOIN tot t
 ), coin AS (
   SELECT source,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-           / 4294967296.0 AS u
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS DOUBLE) AS u
   FROM documents
 )
 SELECT f.source, f.n_docs,

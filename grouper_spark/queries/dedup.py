@@ -366,8 +366,9 @@ SELECT fingerprint,
        CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
        CAST(MAX(n_chars) AS BIGINT) AS best_n_chars,
        arg_min(source, doc_id) AS first_source,
-       arg_max(lang, n_chars || '-' || lpad(CAST(10000000000 - doc_id
-                                                AS VARCHAR), 11, '0'))
+       arg_max(lang, lpad(CAST(n_chars AS VARCHAR), 10, '0') || '-'
+                     || lpad(CAST(10000000000 - doc_id
+                                  AS VARCHAR), 11, '0'))
          AS best_lang
 FROM fp
 GROUP BY fingerprint
@@ -402,10 +403,11 @@ def q169_golden_record(spark, sf_dir):
             )
         ),
     )
-    # arg_max key: n_chars with an inverted doc_id tiebreak, encoded so
-    # lexicographic order matches the oracle's string key exactly
+    # arg_max key: zero-padded n_chars (so '99' < '100' lexicographically)
+    # with an inverted doc_id tiebreak, encoded so lexicographic order
+    # matches the oracle's string key exactly
     tie_key = F.concat(
-        F.col("n_chars").cast("string"),
+        F.lpad(F.col("n_chars").cast("string"), 10, "0"),
         F.lit("-"),
         F.lpad((F.lit(10000000000) - F.col("doc_id")).cast("string"), 11, "0"),
     )

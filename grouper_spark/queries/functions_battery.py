@@ -88,12 +88,12 @@ def q44_conditional_fns(spark, sf_dir):
     oracle="""
 SELECT vec_id,
        len(embedding) AS dim,
-       embedding[1] AS first_coord,
-       embedding[-1] AS last_coord,
-       list_slice(embedding, 1, 3)[2] AS head_mid,
+       CAST(embedding[1] AS DOUBLE) AS first_coord,
+       CAST(embedding[-1] AS DOUBLE) AS last_coord,
+       CAST(list_slice(embedding, 1, 3)[2] AS DOUBLE) AS head_mid,
        len(list_slice(embedding, 1, 3)) AS head_len,
-       list_max(embedding) AS coord_max,
-       list_min(embedding) AS coord_min
+       CAST(list_max(embedding) AS DOUBLE) AS coord_max,
+       CAST(list_min(embedding) AS DOUBLE) AS coord_min
 FROM embeddings
 ORDER BY vec_id
 """,
@@ -112,12 +112,12 @@ def q45_array_fns(spark, sf_dir):
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).alias("first_coord"),
-        F.element_at("embedding", -1).alias("last_coord"),
-        F.element_at(head3, 2).alias("head_mid"),
+        F.element_at("embedding", 1).cast("double").alias("first_coord"),
+        F.element_at("embedding", -1).cast("double").alias("last_coord"),
+        F.element_at(head3, 2).cast("double").alias("head_mid"),
         F.size(head3).alias("head_len"),
-        F.array_max("embedding").alias("coord_max"),
-        F.array_min("embedding").alias("coord_min"),
+        F.array_max("embedding").cast("double").alias("coord_max"),
+        F.array_min("embedding").cast("double").alias("coord_min"),
     ).orderBy("vec_id")
 
 

@@ -364,12 +364,23 @@ def q153_gdpr_cascade_delete(spark, sf_dir):
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
 
-    del_cust = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
-    del_ord = orders.join(
-        F.broadcast(del_cust),
-        orders.o_custkey == del_cust.c_custkey,
-        "left_semi",
-    ).select("o_orderkey")
+    # .distinct() on both key sets: the audit left-join below has
+    # IN-subquery semantics, so a duplicate key row in the deletion set
+    # must not multiply matching child rows (q154 defends the same way)
+    del_cust = (
+        cust.filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+        .distinct()
+    )
+    del_ord = (
+        orders.join(
+            F.broadcast(del_cust),
+            orders.o_custkey == del_cust.c_custkey,
+            "left_semi",
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
 
     def audit(df, name, key_col, del_keys, del_key_col):
         # rename the deletion-key column before joining: del_cust derives

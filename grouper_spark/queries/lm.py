@@ -141,7 +141,8 @@ WITH tok AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       round(SUM(logp_micro) / 1000000.0 / COUNT(*), 6) AS avg_logp
+       round(CAST(SUM(logp_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS avg_logp
 FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
@@ -228,7 +229,8 @@ WITH tok AS (
 )
 SELECT f.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       round(SUM(lr.lr_micro) / 1000000.0 / COUNT(*), 6) AS score_r
+       round(CAST(SUM(lr.lr_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS score_r
 FROM feat f JOIN lr ON lr.bucket = f.bucket
 GROUP BY f.doc_id
 ORDER BY score_r DESC, f.doc_id

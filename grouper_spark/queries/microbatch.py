@@ -58,7 +58,8 @@ def q40_grouper_stream(spark, sf_dir):
     oracle=f"""
 SELECT date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) / 100.0 AS total_value
+       CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) / 100.0 AS DOUBLE)
+         AS total_value
 FROM events
 GROUP BY window_start
 ORDER BY window_start
@@ -109,7 +110,8 @@ def q52_stream_watermark_window(spark, sf_dir):
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_seen,
-       SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) / 100.0 AS total_value
+       CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) / 100.0 AS DOUBLE)
+         AS total_value
 FROM events
 GROUP BY user_id
 ORDER BY user_id
@@ -263,7 +265,8 @@ def q60_stream_stream_join(spark, sf_dir):
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -337,7 +340,8 @@ def q71_incremental_matview(spark, sf_dir):
     oracle="""
 SELECT c.c_mktsegment AS segment, e.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       SUM(CAST(ROUND(e.value * 100.0, 0) AS BIGINT)) / 100.0 AS total_value
+       CAST(SUM(CAST(ROUND(e.value * 100.0, 0) AS BIGINT)) / 100.0 AS DOUBLE)
+         AS total_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY segment, e.event_type

@@ -301,7 +301,8 @@ SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(lo) AS BIGINT) AS n_clamped_lo,
        CAST(SUM(hi) AS BIGINT) AS n_clamped_hi,
-       SUM(CAST(ROUND(w * 100.0, 0) AS BIGINT)) / 100.0 AS winsorized_sum
+       CAST(SUM(CAST(ROUND(w * 100.0, 0) AS BIGINT)) / 100.0 AS DOUBLE)
+         AS winsorized_sum
 FROM clamped
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -715,7 +716,7 @@ WITH obs AS (
   CROSS JOIN tot
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-       round(SUM(term_micro) / 1000000.0, 4) AS chi2_r
+       round(CAST(SUM(term_micro) AS DOUBLE) / 1000000.0, 4) AS chi2_r
 FROM cells
 """,
     tags=("monitoring", "anomaly"),

@@ -74,7 +74,7 @@ WITH RECURSIVE toksd AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
        CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
 FROM kept

@@ -381,7 +381,8 @@ SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
        round(
          ln(CAST(SUM(c) AS DOUBLE))
-         - SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+         - CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000.0, 0)
+                        AS BIGINT)) AS DOUBLE)
            / 1000000.0 / SUM(c),
          6
        ) AS entropy_r

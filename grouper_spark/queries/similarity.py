@@ -77,7 +77,7 @@ SELECT label,
        COUNT(*) AS n_vectors,
        CAST(MIN(dim) AS INT) AS min_dim,
        CAST(MAX(dim) AS INT) AS max_dim,
-       SUM(norm_fp) / 1000000.0 / COUNT(*) AS avg_norm
+       CAST(SUM(norm_fp) / 1000000.0 / COUNT(*) AS DOUBLE) AS avg_norm
 FROM v
 GROUP BY label
 ORDER BY label
@@ -203,7 +203,8 @@ def q83_neardup_lsh_rerank(spark, sf_dir):
     oracle="""
 WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings)
 SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-       SUM(CAST(ROUND(e[i] * e[j] * 1000000.0, 0) AS BIGINT)) / 1000000.0
+       CAST(SUM(CAST(ROUND(e[i] * e[j] * 1000000.0, 0) AS BIGINT))
+            / 1000000.0 AS DOUBLE)
          AS sum_xy
 FROM v, generate_series(1, 64) s(i), generate_series(1, 64) t(j)
 WHERE j >= i
@@ -247,8 +248,8 @@ WITH v AS (
   FROM ex GROUP BY label, i
 ), dist AS (
   SELECT e.vec_id, e.label,
-         SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000.0, 0) AS BIGINT))
-           / 1000000.0 AS dist2
+         CAST(SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * 1000000.0, 0)
+                       AS BIGINT)) / 1000000.0 AS DOUBLE) AS dist2
   FROM ex e JOIN cent c ON e.label = c.label AND e.i = c.i
   GROUP BY e.vec_id, e.label
 )
@@ -309,9 +310,10 @@ def q107_centroid_outliers(spark, sf_dir):
     oracle="""
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim,
-       CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
-                                        embedding::DOUBLE[]))
-                  * 1000000.0, 0) AS BIGINT) / 1000000.0 AS l2_norm
+       CAST(CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[]))
+                       * 1000000.0, 0) AS BIGINT) / 1000000.0 AS DOUBLE)
+         AS l2_norm
 FROM embeddings
 ORDER BY vec_id
 LIMIT 200

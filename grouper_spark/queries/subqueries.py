@@ -135,8 +135,8 @@ SELECT l_returnflag,
        l_linestatus,
        CAST(YEAR(l_shipdate) AS INT) AS ship_year,
        COUNT(*) AS n_items,
-       SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) / 100.0
-         AS sum_price
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS sum_price_cents
 FROM {lineitem}
 GROUP BY ALL
 ORDER BY ALL
@@ -165,8 +165,8 @@ WITH tiers AS (
 )
 SELECT t.tier,
        COUNT(*) AS n_customers,
-       SUM(CAST(ROUND(c.c_acctbal * 100.0, 0) AS BIGINT)) / 100.0
-         AS sum_acctbal
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS sum_acctbal_cents
 FROM {customer} c
 JOIN tiers t ON c.c_acctbal >= t.lo AND c.c_acctbal < t.hi
 GROUP BY t.tier

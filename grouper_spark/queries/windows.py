@@ -57,10 +57,10 @@ def q18_window_rank(spark, sf_dir):
     "q19_window_running",
     oracle="""
 SELECT event_id, user_id, ts, value,
-       SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
+       CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
-         AS running_value,
+         AS DOUBLE) AS running_value,
        LAG(event_id) OVER w AS prev_event_id,
        LEAD(event_id) OVER w AS next_event_id,
        FIRST_VALUE(event_id) OVER w AS first_event_id
@@ -194,11 +194,11 @@ def q74_grouping_id(spark, sf_dir):
     "q75_time_range_window",
     oracle="""
 SELECT event_id, user_id, ts,
-       SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
+       CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
          OVER (PARTITION BY user_id
                ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-         AS hour_cents
+         AS BIGINT) AS hour_cents
 FROM events
 WHERE user_id < 10
 ORDER BY user_id, ts, event_id

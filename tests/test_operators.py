@@ -304,3 +304,41 @@ def test_arrow_l2_norms_ragged_and_empty(spark):
     assert got[3] == (1, 1_000_000)
     assert got[4] == (4, 4_000_000)
     assert math.isclose(got[1][1] / 1e6, 5.0)
+
+
+def test_cooccurrence_pairs_basic(spark):
+    from grouper_spark.operators import cooccurrence_pairs
+
+    rows = [
+        (1, "a", "d1"), (2, "a", "d1"),          # pair (1,2) via (a,d1)
+        (1, "b", "d1"), (2, "b", "d1"),          # pair (1,2) again via (b,d1)
+        (3, "a", "d2"),                          # alone in its bucket
+    ]
+    df = spark.createDataFrame(rows, "uid long, et string, d string")
+    got = {
+        (r["u"], r["v"]): r["i"]
+        for r in cooccurrence_pairs(df, "uid", ["et", "d"]).collect()
+    }
+    assert got == {(1, 2): 2}
+
+
+def test_cooccurrence_pairs_hot_bucket_is_dropped(spark):
+    """One ubiquitous bucket (every user on one (event_type, day)) must
+    be excluded before the pair self-join: with max_bucket below the hot
+    bucket's size, zero candidate pairs come out of it, so the pair
+    stage is bounded instead of O(users²)."""
+    from grouper_spark.operators import cooccurrence_pairs
+
+    n = 500
+    hot = [(u, "click", "d1") for u in range(n)]          # one hot bucket
+    cold = [(1, "buy", "d2"), (2, "buy", "d2")]           # one small bucket
+    df = spark.createDataFrame(hot + cold, "uid long, et string, d string")
+
+    capped = cooccurrence_pairs(df, "uid", ["et", "d"], max_bucket=100)
+    got = {(r["u"], r["v"]): r["i"] for r in capped.collect()}
+    # the n*(n-1)/2 hot-bucket pairs are gone; only the cold pair remains
+    assert got == {(1, 2): 1}
+
+    # uncapped control: the hot bucket expands to n*(n-1)/2 pairs (the
+    # cold (1,2) pair groups into its hot-bucket row, not a new one)
+    assert cooccurrence_pairs(df, "uid", ["et", "d"]).count() == n * (n - 1) // 2

@@ -379,8 +379,6 @@ def test_q146_triangle_joins_are_equi(spark, sf_dir, registry):
 
 
 def test_q147_no_corpus_sized_global_window(spark, sf_dir, registry):
-    from grouper_spark.sources import table as _table
-
     df = registry["q147_systematic_pps_sample"].fn(spark, sf_dir)
     plan = plan_of(df)
     # the only single-partition exchange allowed is over the tiny
