@@ -21,6 +21,9 @@ from grouper_spark.queries import load_all  # noqa: E402
 from grouper_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family, weighted toward shuffle-heavy ops.
+# The first 11 are the round-1 continuity set (comparable across BENCH_r*
+# files); the second group covers the heaviest round-2 surface so its
+# wall-times are measured, not inferred from plan shape.
 HEADLINE = (
     "q01_pricing_summary",    # scan + hash agg
     "q05_group_count_distinct",
@@ -33,6 +36,13 @@ HEADLINE = (
     "q34_ngram_jaccard",      # shingle join dedup
     "q35_minhash_lsh",        # LSH dedup
     "q37_ann_bruteforce",     # similarity search
+    # round-2 surface
+    "q83_neardup_lsh_rerank",   # banded LSH + exact rerank
+    "q104_span_dedup",          # duplicated-span detection
+    "q144_semantic_dedup",      # SemDeDup cluster + in-cell cosine
+    "q145_prefix_filter_join",  # PPJoin-lite set-similarity join
+    "q146_triangle_count",      # bounded co-visitation triangles
+    "q165_bucketed_join",       # shuffle-free bucketed fact join
 )
 
 
@@ -100,12 +110,15 @@ def main() -> None:
         timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
+    # sum over the round-1 continuity set only, comparable to BENCH_r1/r2
+    continuity = round(sum(timings[n] for n in HEADLINE[:11]), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall",
                 "value": total,
                 "unit": "sec",
+                "value_r1_continuity_set": continuity,
                 "queries": timings,
                 "sf": sf,
                 "grouper_throughput_items_per_s": grouper_items_s,

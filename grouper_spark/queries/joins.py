@@ -452,11 +452,17 @@ def q165_bucketed_join(spark, sf_dir):
     def ensure(df_side, name, key):
         if spark.catalog.tableExists(name):
             return
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+        # Clear any stale layout through the catalog + Hadoop FS API
+        # (never the local filesystem: the warehouse may be an object
+        # store on a real cluster). DROP TABLE covers a catalog-known
+        # table; the fs.delete covers a directory orphaned by a dead
+        # session whose in-memory catalog no longer lists it.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        jvm = spark.sparkContext._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(wh, name)
+        fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        fs.delete(path, True)
         write_bucketed(df_side, name, [key], 16, sort_by=[key])
 
     ensure(li, lt, "l_orderkey")

@@ -500,3 +500,173 @@ def q167_burstiness(spark, sf_dir):
         "n",
         F.round((sigma - mu) / (sigma + mu), 4).alias("burstiness_r"),
     ).orderBy("user_id")
+
+
+@query(
+    "q172_point_in_time_join",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+), dim AS (
+  SELECT user_id, event_type AS state,
+         CAST(MIN(ts) AS TIMESTAMP) AS valid_from
+  FROM islands
+  GROUP BY user_id, grp, event_type
+), fact AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, d.state, d.valid_from AS state_since
+FROM fact f
+ASOF JOIN dim d ON f.user_id = d.user_id AND f.ts >= d.valid_from
+ORDER BY f.event_id
+""",
+    tags=("temporal", "join", "operator"),
+)
+def q172_point_in_time_join(spark, sf_dir):
+    """Point-in-time (PIT) dimension join — the warehouse-correctness
+    op behind every SCD2 lookup: each purchase fact is joined to the
+    version of the user's state dimension that was valid at the fact's
+    event time, never a later one (no lookahead leakage). The dimension
+    is the q118 gaps-and-islands SCD2 build (runs of equal event_type);
+    the interval predicate `valid_from <= ts < valid_to` is executed as
+    a backward as-of join on valid_from — contiguous intervals make the
+    two equivalent, and the union-merge asof_join operator does it in
+    one user_id shuffle + per-partition merge instead of a range-join
+    explosion. At 100 TB the dimension is orders of magnitude smaller
+    than the fact table, and the sort-merge pass touches each side
+    once; the oracle uses DuckDB's native ASOF JOIN."""
+    from ..operators import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("event_type").over(w)
+    marked = ev.withColumn(
+        "chg",
+        F.when(lagged.isNull() | (lagged != F.col("event_type")), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "grp",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    dim = (
+        islands.groupBy("user_id", "grp", "event_type")
+        .agg(F.min("ts").alias("valid_from"))
+        .select(
+            "user_id", F.col("event_type").alias("state"), "valid_from"
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        fact,
+        dim,
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_values=["state"],
+        suffix="_dim",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("state_dim").alias("state"),
+        F.col("valid_from_dim").alias("state_since"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q175_session_gaps",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), marked AS (
+  SELECT user_id, s,
+         CASE WHEN s - lag(s) OVER w > 1800 OR lag(s) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY s)
+), sess AS (
+  SELECT user_id, s,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), bounds AS (
+  SELECT user_id, sid,
+         MIN(s) AS sess_start, MAX(s) AS sess_end
+  FROM sess GROUP BY user_id, sid
+), gaps AS (
+  SELECT user_id,
+         sess_start - lag(sess_end) OVER (PARTITION BY user_id
+                                          ORDER BY sess_start) AS gap_s
+  FROM bounds
+)
+SELECT user_id,
+       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(MAX(gap_s), 0) AS BIGINT) AS max_gap_s,
+       CAST(COALESCE(SUM(gap_s), 0) AS BIGINT) AS total_gap_s
+FROM gaps
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("temporal", "window"),
+)
+def q175_session_gaps(spark, sf_dir):
+    """Inter-session idle gaps per user — the complement of q127's
+    merged-interval coverage: sessionize on a 30-minute inactivity
+    threshold (gaps-and-islands, whole-second epoch arithmetic so both
+    engines compare identical BIGINTs), then measure the silence
+    between consecutive sessions. Downtime/idle analysis is this exact
+    shape over heartbeat logs. All three windows and the final groupBy
+    key on user_id, so the whole plan is one exchange reused across
+    stages; session state per user is bounded by session count, not
+    event count."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 1000000").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s")
+    lag_s = F.lag("s").over(w)
+    marked = pts.withColumn(
+        "new_sess",
+        F.when(lag_s.isNull() | ((F.col("s") - lag_s) > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bounds = sess.groupBy("user_id", "sid").agg(
+        F.min("s").alias("sess_start"), F.max("s").alias("sess_end")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("sess_start")
+    gaps = bounds.select(
+        "user_id",
+        (F.col("sess_start") - F.lag("sess_end").over(w2)).alias("gap_s"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n_gaps"),
+            F.coalesce(F.max("gap_s"), F.lit(0)).cast("bigint").alias("max_gap_s"),
+            F.coalesce(F.sum("gap_s"), F.lit(0)).cast("bigint").alias("total_gap_s"),
+        )
+        .orderBy("user_id")
+    )

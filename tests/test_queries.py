@@ -91,3 +91,24 @@ def test_oracle_parity(spark, sf_dir, duck, name):
     )
     assert scols == dcols
     assert srows == drows
+
+
+def test_q123_hll_estimate_within_error_bound(spark, sf_dir):
+    """q123 is rows-only at the driver (Datasketches HLL has no DuckDB
+    twin), so the accuracy assertion lives here: the merged and global
+    estimates must agree exactly (sketches are deterministic functions
+    of the value set), and the estimate must sit within 3 standard
+    errors of the exact distinct count. Spark's default lgConfigK=12
+    gives RSE ~= 1.04/sqrt(2^12) ~= 1.63%."""
+    row = REGISTRY["q123_hll_sketch_merge"].fn(spark, sf_dir).collect()[0]
+    est_union, est_global, n_exact = (
+        row["est_union"],
+        row["est_global"],
+        row["n_exact"],
+    )
+    assert est_union == est_global
+    rse = 1.04 / math.sqrt(2**12)
+    assert abs(est_global - n_exact) <= 3 * rse * n_exact, (
+        est_global,
+        n_exact,
+    )
