@@ -138,11 +138,38 @@ def cooccurrence_pairs(
         F.col(id_col).alias("u"), *[F.col(c) for c in bucket_cols]
     )
     if max_bucket is not None:
-        w = Window.partitionBy(*bucket_cols)
-        u = (
-            u.withColumn("__bn", F.count("*").over(w))
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
+        # Posting-list path: one shuffle on the bucket key builds each
+        # bucket's member list (memory-bounded by the cap — the filter
+        # runs before any pair materializes), then pairs explode
+        # in-stage. Beats the equivalent self-join, which computes the
+        # upstream `items` lineage once per join side and shuffles it
+        # twice.
+        posting = (
+            u.groupBy(*bucket_cols)
+            .agg(F.sort_array(F.collect_list("u")).alias("members"))
+            .filter(F.size("members") <= max_bucket)
+        )
+        # members is sorted, so slicing past the first explode's
+        # position yields exactly the v > u half — the pair stream is
+        # half the naive explode² and no u<v post-filter runs.
+        return (
+            posting.select(
+                F.posexplode("members").alias("pos", "u"), "members"
+            )
+            .select(
+                "u",
+                F.explode(
+                    F.slice(
+                        "members",
+                        F.col("pos") + F.lit(2),
+                        F.greatest(
+                            F.size("members") - F.col("pos") - 1, F.lit(0)
+                        ),
+                    )
+                ).alias("v"),
+            )
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("i"))
         )
     v = u.select(F.col("u").alias("v"), *bucket_cols)
     return (

@@ -396,7 +396,9 @@ def q146_triangle_count(spark, sf_dir):
     distributed triangle enumeration (orientation kills the 6x duplicate
     factor). Zero-triangle users stay in the output via left joins, so
     the result is non-empty at every SF."""
-    ev = table(spark, sf_dir, "events")
+    from ..operators.core import ensure_parallelism
+
+    ev = ensure_parallelism(table(spark, sf_dir, "events"))
     g = ev.select(
         "user_id", "event_type", F.date_trunc("day", "ts").alias("d")
     ).distinct()

@@ -288,8 +288,11 @@ def q145_prefix_filter_join(spark, sf_dir):
     the J >= 0.9 verify. ceil is integer-exact ((9n+9) div 10), never
     floating point."""
     from ..functions.text import word_shingles
+    from ..operators.core import ensure_parallelism
 
-    d = table(spark, sf_dir, "documents")
+    # single-file fixture scans plan one task; fan the CPU-dense
+    # shingling out across cores (no-op on a many-split lake source)
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id",
         word_shingles("text", 3).alias("shingles"),

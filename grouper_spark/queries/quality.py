@@ -268,8 +268,11 @@ def q104_span_dedup(spark, sf_dir):
     Jaccard operators use, so the scale ceiling is the gram exchange,
     not pair expansion."""
     from ..functions.text import word_shingles
+    from ..operators.core import ensure_parallelism
 
-    d = table(spark, sf_dir, "documents")
+    # single-file fixture scans plan one task; fan the CPU-dense
+    # shingling out across cores (no-op on a many-split lake source)
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", word_shingles("text", 8).alias("grams")).withColumn(
         "n_grams", F.size("grams")
     )

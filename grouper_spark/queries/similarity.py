@@ -389,7 +389,11 @@ def q144_semantic_dedup(spark, sf_dir):
     cell id (one shuffle), and the codebook broadcast means the corpus
     is never shuffled for assignment. Distances are fixed-point BIGINT
     (order-independent), cosines rounded to 1e-6 in both engines."""
-    e = table(spark, sf_dir, "embeddings").select(
+    from ..operators.core import ensure_parallelism
+
+    # single-file fixture scans plan one task; fan the vector math out
+    # across cores (no-op on a many-split lake source)
+    e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     cent = e.filter(F.col("vec_id") < 8).select(
