@@ -642,3 +642,109 @@ def q171_decile_lift(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q176_revenue_proration",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS w,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_extendedprice,
+                                     l_partkey, l_suppkey) AS rn
+  FROM lineitem WHERE l_orderkey < 2000
+), o AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS t
+  FROM orders WHERE o_orderkey < 2000
+), j AS (
+  SELECT li.l_orderkey, li.rn, li.w, o.t,
+         SUM(li.w) OVER (PARTITION BY li.l_orderkey) AS tw
+  FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+), alloc AS (
+  SELECT l_orderkey, rn, w, t, tw,
+         (t * w) // tw AS base,
+         (t * w) % tw AS md
+  FROM j
+), ranked AS (
+  SELECT l_orderkey, rn, w, base,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY md DESC, rn) AS fr,
+         t - SUM(base) OVER (PARTITION BY l_orderkey) AS rem
+  FROM alloc
+)
+SELECT l_orderkey,
+       CAST(rn AS BIGINT) AS line_rn,
+       CAST(w AS BIGINT) AS weight_cents,
+       CAST(base + CASE WHEN fr <= rem THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents
+FROM ranked
+ORDER BY l_orderkey, line_rn
+""",
+    tags=("analytics", "window"),
+)
+def q176_revenue_proration(spark, sf_dir):
+    """Largest-remainder proration: each order's total (integer cents)
+    is allocated across its lineitems proportionally to item price,
+    with the rounding remainder distributed one cent at a time to the
+    largest fractional parts — so per-order allocations sum EXACTLY to
+    the order total, the invariant every billing/royalty/cost-center
+    split must hold. All arithmetic is BIGINT (products bounded well
+    under 2^63), so both engines agree bit-for-bit with no float in
+    sight. Every window partitions on l_orderkey — one shuffle reused
+    across the weight-sum, remainder-rank, and base-sum frames; line
+    identity is a ROW_NUMBER over a deterministic column tuple because
+    the fixture's (l_orderkey, l_linenumber) is not unique."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100.0, 0)
+            .cast("bigint")
+            .alias("w"),
+            F.row_number()
+            .over(
+                Window.partitionBy("l_orderkey").orderBy(
+                    "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint").alias("t"),
+        )
+    )
+    wo = Window.partitionBy("l_orderkey")
+    j = li.join(o, "l_orderkey").withColumn("tw", F.sum("w").over(wo))
+    alloc = j.select(
+        "l_orderkey",
+        "rn",
+        "w",
+        "t",
+        F.expr("(t * w) div tw").alias("base"),
+        ((F.col("t") * F.col("w")) % F.col("tw")).alias("md"),
+    )
+    ranked = alloc.select(
+        "l_orderkey",
+        "rn",
+        "w",
+        "base",
+        F.row_number()
+        .over(wo.orderBy(F.col("md").desc(), "rn"))
+        .alias("fr"),
+        (F.col("t") - F.sum("base").over(wo)).alias("rem"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        F.col("rn").cast("bigint").alias("line_rn"),
+        F.col("w").cast("bigint").alias("weight_cents"),
+        (F.col("base") + F.when(F.col("fr") <= F.col("rem"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("alloc_cents"),
+    ).orderBy("l_orderkey", "line_rn")

@@ -16,7 +16,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from ..functions.text import token_count, tokens, word_shingles
+from ..functions.text import (
+    normalized_text,
+    token_count,
+    tokens,
+    word_shingles,
+)
 from ..sources import table
 from . import query
 
@@ -832,4 +837,89 @@ def q147_systematic_pps_sample(spark, sf_dir):
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q174_leakage_safe_split",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS fingerprint
+  FROM documents
+), assigned AS (
+  SELECT doc_id, n_chars, fingerprint,
+         instr('0123456789abcdef', substr(md5(fingerprint), 32, 1)) - 1
+           AS bucket
+  FROM fp
+), labeled AS (
+  SELECT doc_id, n_chars, fingerprint,
+         CASE WHEN bucket < 12 THEN 'train'
+              WHEN bucket < 14 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+), spans AS (
+  SELECT fingerprint, COUNT(DISTINCT split) AS n_splits
+  FROM labeled GROUP BY fingerprint
+)
+SELECT l.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT l.fingerprint) AS BIGINT) AS n_clusters,
+       CAST(SUM(l.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN s.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked_docs
+FROM labeled l JOIN spans s ON s.fingerprint = l.fingerprint
+GROUP BY l.split
+ORDER BY l.split
+""",
+    tags=("curation", "dedup"),
+)
+def q174_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split key is the content
+    FINGERPRINT (md5 of whitespace-normalized text), not the doc id, so
+    every member of an exact-dup cluster lands in the same split — the
+    guard against train/test contamination that a doc_id hash split
+    (q86) does not give. The audit column n_leaked_docs counts docs
+    whose fingerprint spans >1 split; because split is a pure function
+    of the fingerprint it is structurally zero, and the query proves it
+    instead of asserting it. Assignment is map-side; the only shuffles
+    are the fingerprint rollup and the tiny per-split final agg."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(normalized_text("text")).alias("fingerprint"),
+    )
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5("fingerprint"), 32, 1),
+        )
+        - 1
+    )
+    labeled = fp.select(
+        "doc_id",
+        "n_chars",
+        "fingerprint",
+        F.when(bucket < 12, "train")
+        .when(bucket < 14, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    spans = labeled.groupBy("fingerprint").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    return (
+        labeled.join(spans, "fingerprint")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("fingerprint").cast("bigint").alias("n_clusters"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked_docs"),
+        )
+        .orderBy("split")
     )

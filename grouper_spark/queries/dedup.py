@@ -426,3 +426,76 @@ def q169_golden_record(spark, sf_dir):
         .filter(F.col("n_members") > 1)
         .orderBy("fingerprint")
     )
+
+
+@query(
+    "q179_record_linkage",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         length(c_name) AS name_len
+  FROM customer
+), pairs AS (
+  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+         CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 2 ELSE 0 END
+         + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN 2 ELSE 0 END
+         + CASE WHEN a.name_len = b.name_len THEN 1 ELSE 0 END
+           AS score
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.bal_band = b.bal_band
+   AND a.c_custkey < b.c_custkey
+)
+SELECT cust_a, cust_b, CAST(score AS BIGINT) AS score
+FROM pairs
+WHERE score >= 4
+ORDER BY score DESC, cust_a, cust_b
+LIMIT 100
+""",
+    tags=("dedup", "join"),
+)
+def q179_record_linkage(spark, sf_dir):
+    """Blocked record linkage (Fellegi–Sunter-lite): candidate customer
+    pairs come ONLY from a blocking equi-join on (nation, $1000 balance
+    band) — the classic linkage trick that replaces the O(n²) compare
+    with per-block squares — then each candidate is scored by weighted
+    field agreement (segment +2, balance within $100 +2, name length
+    +1) and thresholded. Blocks are (nation × band)-keyed so their size
+    grows with customer density per band, not corpus size; at 100 TB
+    you add a second blocking pass on another key union-ed in (standard
+    multi-pass blocking) rather than widening a block. One shuffle on
+    the block key; the score is pure codegen arithmetic."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        F.length("c_name").alias("name_len"),
+    )
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    score = (
+        F.when(F.col("a_c_mktsegment") == F.col("b_c_mktsegment"), 2).otherwise(0)
+        + F.when(
+            F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal")) < 100.0, 2
+        ).otherwise(0)
+        + F.when(F.col("a_name_len") == F.col("b_name_len"), 1).otherwise(0)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+            & (F.col("a_bal_band") == F.col("b_bal_band"))
+            & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+        )
+        .select(
+            F.col("a_c_custkey").alias("cust_a"),
+            F.col("b_c_custkey").alias("cust_b"),
+            score.cast("bigint").alias("score"),
+        )
+        .filter(F.col("score") >= 4)
+        .orderBy(F.col("score").desc(), "cust_a", "cust_b")
+        .limit(100)
+    )

@@ -398,3 +398,54 @@ def q164_rolling_distinct_users(spark, sf_dir):
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
         .orderBy("target_day")
     )
+
+
+@query(
+    "q177_sequence_trigrams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, event_type AS t3,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq
+WHERE t1 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n_occurrences DESC, t1, t2, t3
+LIMIT 20
+""",
+    tags=("events", "window"),
+)
+def q177_sequence_trigrams(spark, sf_dir):
+    """Sequential-pattern mining, order-3: the most frequent event-type
+    trigrams across user timelines, with user support counts — the
+    building block behind next-action prediction features and funnel
+    discovery. Two lag() frames on one (user_id)-partitioned window
+    replace the cubic event⋈event⋈event self-join a naive formulation
+    would run; the pattern aggregate after the window is type³-small.
+    Linear in the log, one user-key shuffle."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "t1", "t2", "t3")
+        .limit(20)
+    )

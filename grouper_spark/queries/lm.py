@@ -375,3 +375,71 @@ def q162_span_corruption(spark, sf_dir):
         F.concat(prefix, F.lit(" <extra_id_0> "), suffix).alias("input_text"),
         F.concat(F.lit("<extra_id_0> "), span).alias("target_text"),
     ).orderBy("doc_id")
+
+
+_VOCAB_K = 100
+
+
+@query(
+    "q173_vocab_oov_rate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+), vocab AS (
+  SELECT t FROM (
+    SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+    ORDER BY c DESC, t
+    LIMIT {_VOCAB_K}
+  )
+)
+SELECT k.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS oov_rate
+FROM tok k LEFT JOIN vocab v ON k.t = v.t
+GROUP BY k.doc_id
+ORDER BY k.doc_id
+""",
+    tags=("lm", "curation"),
+)
+def q173_vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    rate against the corpus's top-100 tokens by global frequency
+    (deterministic tie-break on the token string). The pipeline a
+    tokenizer-fit step runs before training: one token shuffle builds
+    the frequency table, the vocabulary is LIMIT-K small and
+    broadcasts, and the per-doc OOV aggregate rides the doc_id
+    partial-agg — the corpus is never joined to anything
+    non-broadcast. Low-coverage docs (high oov_rate) are the ones a
+    fixed vocab would shred into bytes, the standard exclusion signal
+    for vocab-sensitive training mixes."""
+    from ..operators.core import ensure_parallelism
+
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(_VOCAB_K)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

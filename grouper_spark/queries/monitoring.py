@@ -824,3 +824,101 @@ def q170_higher_moments(spark, sf_dir):
         F.round(mu3 / F.pow(var, 1.5), 4).alias("skewness_r"),
         F.round(mu4 / F.pow(var, 2.0) - 3.0, 4).alias("ex_kurtosis_r"),
     ).orderBy("lang")
+
+
+@query(
+    "q178_expectation_suite",
+    oracle="""
+SELECT check_name, n_checked, n_failed,
+       CAST(n_failed = 0 AS INT) AS passed
+FROM (
+  SELECT 'orders.o_orderkey.not_null' AS check_name,
+         CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_failed
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderkey.unique',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_totalprice.positive',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderstatus.in_domain',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_custkey.fk_customer',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+ORDER BY check_name
+""",
+    tags=("monitoring", "quality"),
+)
+def q178_expectation_suite(spark, sf_dir):
+    """Declarative data-quality expectation suite (the Great-
+    Expectations / dbt-test shape): five checks over orders —
+    completeness, key uniqueness, value range, domain membership, and
+    referential integrity against customer — emitted as one long-format
+    result with a pass flag per check. The four intra-table checks fold
+    into per-table aggregates (one scan each, map-side combined); the
+    FK check is a broadcast left join counting orphans. At 100 TB this
+    whole suite is two scans and one broadcast — the cheap nightly
+    gate before a table is published."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def check(name, n_checked, n_failed):
+        return (
+            F.lit(name).alias("check_name"),
+            n_checked.cast("bigint").alias("n_checked"),
+            n_failed.cast("bigint").alias("n_failed"),
+        )
+
+    intra = [
+        o.agg(*check(
+            "orders.o_orderkey.not_null",
+            F.count("*"),
+            F.sum(F.col("o_orderkey").isNull().cast("int")),
+        )),
+        o.agg(*check(
+            "orders.o_orderkey.unique",
+            F.count("*"),
+            F.count("*") - F.countDistinct("o_orderkey"),
+        )),
+        o.agg(*check(
+            "orders.o_totalprice.positive",
+            F.count("*"),
+            F.sum((F.col("o_totalprice") <= 0).cast("int")),
+        )),
+        o.agg(*check(
+            "orders.o_orderstatus.in_domain",
+            F.count("*"),
+            F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("int")),
+        )),
+    ]
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .agg(*check(
+            "orders.o_custkey.fk_customer",
+            F.count("*"),
+            F.sum(F.col("c_custkey").isNull().cast("int")),
+        ))
+    )
+    out = intra[0]
+    for part in intra[1:] + [fk]:
+        out = out.unionAll(part)
+    return out.select(
+        "check_name",
+        "n_checked",
+        "n_failed",
+        (F.col("n_failed") == 0).cast("int").alias("passed"),
+    ).orderBy("check_name")
