@@ -406,11 +406,17 @@ def q146_triangle_count(spark, sf_dir):
     co = cooccurrence_pairs(
         g, "user_id", ["event_type", "d"], max_bucket=_COVIS_MAX_BUCKET
     )
+    # sz and edges are small (user- and edge-count sized) but referenced
+    # repeatedly (sz: both edge sides + final joins; edges: e1/e2/e3 +
+    # degree); without checkpoints the scan→distinct→pair pipeline
+    # replans once per reference (34 duplicated scans, zero reuse)
+    sz = sz.localCheckpoint(eager=False)
     edges = (
         co.join(sz.select(F.col("user_id").alias("u"), F.col("n").alias("na")), "u")
         .join(sz.select(F.col("user_id").alias("v"), F.col("n").alias("nb")), "v")
         .filter(F.col("i") * 100 >= 30 * (F.col("na") + F.col("nb") - F.col("i")))
         .select("u", "v")
+        .localCheckpoint(eager=False)
     )
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))

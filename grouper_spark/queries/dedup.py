@@ -298,6 +298,10 @@ def q145_prefix_filter_join(spark, sf_dir):
         word_shingles("text", 3).alias("shingles"),
     ).withColumn("n", F.size("shingles"))
     tok = sh.select("doc_id", "n", F.explode("shingles").alias("token"))
+    # df via groupBy + join back (NOT a window over the token key): the
+    # aggregate map-side-combines 2.5M exploded rows to a vocabulary-
+    # sized table that AQE then broadcasts into the join, so the
+    # exploded table itself is never shuffled on the token.
     df_ = tok.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     pref = (
@@ -322,16 +326,34 @@ def q145_prefix_filter_join(spark, sf_dir):
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+        # candidate set is tiny and referenced three times downstream
+        # (both sides of cand_ids + the verify join); checkpoint it so
+        # the prefix pipeline — the expensive subtree — runs once
+        # instead of once per reference (22 duplicated scans without it)
+        .localCheckpoint(eager=False)
     )
     # verify: candidates are few, so fetch both shingle ARRAYS and
     # intersect in codegen — no second posting-list shuffle of the
-    # whole corpus for the handful of surviving pairs
-    sa = sh.select(
+    # whole corpus for the handful of surviving pairs. Re-shingle ONLY
+    # the candidate docs (left-semi against the candidate id set):
+    # without the filter each verify branch re-runs the full corpus
+    # shingling, the most expensive subtree in the plan.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shv = (
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", word_shingles("text", 3).alias("shingles"))
+        .withColumn("n", F.size("shingles"))
+    )
+    sa = shv.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sha"),
         F.col("n").alias("na"),
     )
-    sb = sh.select(
+    sb = shv.select(
         F.col("doc_id").alias("doc_b"),
         F.col("shingles").alias("shb"),
         F.col("n").alias("nb"),

@@ -429,3 +429,23 @@ def test_q165_bucketed_join_has_no_shuffle_under_join(spark, sf_dir, registry):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "Bucketed: true" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_q145_verify_does_not_reshingle_corpus(spark, sf_dir, registry):
+    """The candidate pipeline is checkpointed and the verify step
+    re-shingles only candidate docs: at most the two semi-join scans of
+    documents may appear — without the checkpoint the prefix pipeline
+    replans per reference (22 scans)."""
+    df = registry["q145_prefix_filter_join"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") <= 2, plan.count("FileScan parquet")
+
+
+def test_q146_triangle_assembly_reuses_checkpointed_edges(
+    spark, sf_dir, registry
+):
+    """sz/edges are checkpointed, so the triangle join + degree + final
+    assembly must not re-scan events at all."""
+    df = registry["q146_triangle_count"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 0, plan.count("FileScan parquet")
