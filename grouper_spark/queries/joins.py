@@ -367,10 +367,13 @@ def q153_gdpr_cascade_delete(spark, sf_dir):
     # .distinct() on both key sets: the audit left-join below has
     # IN-subquery semantics, so a duplicate key row in the deletion set
     # must not multiply matching child rows (q154 defends the same way)
+    # both key sets are request-list-sized and re-referenced by multiple
+    # audits; checkpoint them so each cascade hop computes once
     del_cust = (
         cust.filter(F.col("c_custkey") % 97 == 0)
         .select("c_custkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     del_ord = (
         orders.join(
@@ -380,6 +383,7 @@ def q153_gdpr_cascade_delete(spark, sf_dir):
         )
         .select("o_orderkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
     def audit(df, name, key_col, del_keys, del_key_col):

@@ -67,7 +67,13 @@ def q121_pmi_cooccurrence(spark, sf_dir):
     exact integer counts with a single ln() at the end; the integer
     products stay well inside int64 (T^2 * c12 ~ 1e13 at sf0.01)."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
+    # the exploded token table feeds the pair self-join (both sides),
+    # the unigram counts, and the totals — checkpoint it so the
+    # tokenizer runs once, not once per reference; pairs is vocab²-sized
+    # and referenced twice (scores + totals)
+    tok = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    ).localCheckpoint(eager=False)
     a, b = tok.alias("a"), tok.alias("b")
     pairs = (
         a.join(
@@ -78,6 +84,7 @@ def q121_pmi_cooccurrence(spark, sf_dir):
         )
         .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
         .agg(F.count("*").cast("bigint").alias("c12"))
+        .localCheckpoint(eager=False)
     )
     unig = tok.groupBy(F.col("w").alias("u")).agg(
         F.count("*").cast("bigint").alias("c")

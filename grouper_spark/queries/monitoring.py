@@ -84,6 +84,10 @@ def q124_psi_drift(spark, sf_dir):
             .cast("bigint")
             .alias("c"),
         )
+        # (source × bin)-sized and referenced by stot, gbin, and the
+        # final PSI aggregate; checkpoint so the corpus binning runs
+        # once instead of once per reference (12 duplicated scans)
+        .localCheckpoint(eager=False)
     )
     stot = dense.groupBy("source").agg(F.sum("c").alias("tot"))
     gbin = dense.groupBy("bin").agg(F.sum("c").alias("g"))

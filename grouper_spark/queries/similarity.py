@@ -416,6 +416,10 @@ def q144_semantic_dedup(spark, sf_dir):
         .groupBy("vec_id")
         .agg(F.min(F.struct("d_fp", "cid")).alias("m"), F.first("v").alias("v"))
         .select("vec_id", F.col("m.cid").alias("cell"), "v")
+        # referenced by both pair sides and the final left join;
+        # checkpoint so the codebook assignment runs once per query,
+        # not once per reference
+        .localCheckpoint(eager=False)
     )
     a = assign.select(
         F.col("cell"), F.col("vec_id").alias("keep_id"), F.col("v").alias("va")

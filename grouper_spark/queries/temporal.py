@@ -256,10 +256,20 @@ def q119_pagerank_transitions(spark, sf_dir):
         .agg(F.count("*").cast("double").alias("cnt"))
     )
     outd = edges.groupBy("src").agg(F.sum("cnt").alias("tot"))
-    wedges = edges.join(outd, "src").select(
-        "src", "dst", (F.col("cnt") / F.col("tot")).alias("p")
+    # wedges/nodes are type²-/type-sized but re-referenced every power
+    # iteration; without checkpoints the lag-window edge extraction —
+    # the only full-log pass — replans once per iteration (14 duplicated
+    # scans in the physical plan)
+    wedges = (
+        edges.join(outd, "src")
+        .select("src", "dst", (F.col("cnt") / F.col("tot")).alias("p"))
+        .localCheckpoint(eager=False)
     )
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nodes = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
