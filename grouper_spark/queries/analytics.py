@@ -754,3 +754,59 @@ def q176_revenue_proration(spark, sf_dir):
         .cast("bigint")
         .alias("alloc_cents"),
     ).orderBy("l_orderkey", "line_rn")
+
+
+@query(
+    "q182_join_skew_profile",
+    oracle="""
+WITH per_key AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem
+  GROUP BY l_orderkey
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(MAX(c) AS BIGINT) AS mx
+  FROM per_key
+)
+SELECT p.l_orderkey,
+       p.c AS n_rows,
+       round(p.c * 1.0 / t.t, 9) AS share,
+       round(p.c * t.nk * 1.0 / t.t, 6) AS skew_factor
+FROM per_key p CROSS JOIN tot t
+ORDER BY p.c DESC, p.l_orderkey
+LIMIT 25
+""",
+    tags=("analytics", "scale-pattern"),
+)
+def q182_join_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostics — the profiling pass you run BEFORE
+    choosing a salted join: per-key row counts for the prospective join
+    key, each heavy hitter's share of the table, and its skew factor
+    (count / mean count — 1.0 means perfectly uniform). One map-side-
+    combined groupBy on the key plus a broadcast 1-row total; top-25
+    heaviest keys out. At 100 TB this is the cheap scan that decides
+    whether q58's salting or AQE skew-join handling is needed, and
+    which keys to salt."""
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = per_key.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("nk"),
+        F.max("c").cast("bigint").alias("mx"),
+    )
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "l_orderkey",
+            F.col("c").alias("n_rows"),
+            F.round(F.col("c") / F.col("t"), 9).alias("share"),
+            F.round(F.col("c") * F.col("nk") / F.col("t"), 6).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), "l_orderkey")
+        .limit(25)
+    )

@@ -14,7 +14,7 @@ posting key (decontamination) or a broadcast of a tiny stats side
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, Window, functions as F
 
 from ..functions.text import (
     normalized_text,
@@ -922,4 +922,187 @@ def q174_leakage_safe_split(spark, sf_dir):
             .alias("n_leaked_docs"),
         )
         .orderBy("split")
+    )
+
+
+@query(
+    "q180_quantile_normalization",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), ref AS (
+  SELECT rk, n,
+         CAST(AVG(n_chars) AS DOUBLE) AS ref_val
+  FROM ranked
+  GROUP BY rk, n
+)
+SELECT r.doc_id, r.source, r.n_chars,
+       CAST(r.rk AS BIGINT) AS rank_in_source,
+       round(f.ref_val, 6) AS normalized
+FROM ranked r JOIN ref f ON f.rk = r.rk AND f.n = r.n
+ORDER BY r.doc_id
+""",
+    tags=("curation", "window"),
+)
+def q180_quantile_normalization(spark, sf_dir):
+    """Quantile normalization across sources (the microarray/feature-
+    prep recipe): rank each doc's length within its source, average the
+    values at each rank across sources, and remap every doc to its
+    rank's cross-source mean — after which every source has an
+    identical length distribution. Two shuffles total: the per-source
+    rank window and the per-rank averaging groupBy; the remap join is
+    rank-keyed and dimension-sized. The rank join carries n (group
+    size) so only equal-sized sources share a reference row — the
+    strict form of the method. Averages of exact integers round
+    identically in both engines."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    ref = ranked.groupBy("rk", "n").agg(
+        F.avg("n_chars").cast("double").alias("ref_val")
+    )
+    return (
+        ranked.join(ref, ["rk", "n"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("rk").cast("bigint").alias("rank_in_source"),
+            F.round("ref_val", 6).alias("normalized"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q181_dp_noisy_counts",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM events
+  GROUP BY event_type
+), noised AS (
+  SELECT event_type, true_count,
+         CAST(('0x' || substr(md5('dp-seed-' || event_type), 1, 8))::BIGINT
+              AS DOUBLE) / 4294967296.0 AS u
+  FROM counts
+)
+SELECT event_type, true_count,
+       CAST(round(true_count + CASE WHEN u < 0.5
+                       THEN 2.0 * ln(2.0 * u)
+                       ELSE -2.0 * ln(2.0 - 2.0 * u) END) AS BIGINT)
+         AS released_count
+FROM noised
+ORDER BY event_type
+""",
+    tags=("curation", "privacy"),
+)
+def q181_dp_noisy_counts(spark, sf_dir):
+    """Differentially-private count release (Laplace mechanism,
+    epsilon = 0.5, sensitivity 1): per-type event counts plus Laplace
+    noise drawn by inverse-CDF from a SEEDED md5 uniform, so the
+    released values are deterministic and byte-identical in both
+    engines — the reproducible-release discipline a DP pipeline needs
+    for auditability (same seed → same noise → same publication).
+    Noise scale b = sensitivity/epsilon = 2; inverse CDF is the
+    two-branch log form. One map-side-combined count shuffle; the
+    noise is per-group scalar arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp-seed-"), F.col("event_type"))), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    noise = F.when(
+        u < 0.5, 2.0 * F.log(2.0 * u)
+    ).otherwise(-2.0 * F.log(2.0 - 2.0 * u))
+    return (
+        counts.select(
+            "event_type",
+            "true_count",
+            F.round(F.col("true_count") + noise, 0)
+            .cast("bigint")
+            .alias("released_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q183_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROUND(
+           -ln((('0x' || substr(md5('ws-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT + 1.0) / 4294967297.0)
+           / n_chars * 1000000000.0) AS BIGINT) AS key_nano
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars, key_nano,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY key_nano, doc_id) AS rk
+  FROM keyed
+)
+SELECT source, CAST(rk AS BIGINT) AS sel_rank, doc_id, n_chars
+FROM ranked
+WHERE rk <= 5
+ORDER BY source, sel_rank
+""",
+    tags=("curation", "sampling"),
+)
+def q183_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    exponential-keys): per source, draw 5 docs with inclusion
+    probability proportional to length by ranking on
+    -ln(u)/weight with a SEEDED md5 uniform — fully deterministic, so
+    the draw is reproducible across engines, reruns, and cluster
+    sizes (the property grid-search data ablations need). The key is
+    fixed-pointed to integer nanos before ranking so both engines
+    compare identical BIGINTs (q122's ln-stability pattern). One rank
+    window per source partition; no global shuffle, no rejection
+    loop — the one-pass distributed form of weighted reservoir
+    sampling."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws-"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    key_nano = F.round(
+        -F.log(u) / F.col("n_chars") * 1000000000.0, 0
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy("key_nano", "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars", key_nano.alias("key_nano"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            F.col("rk").cast("bigint").alias("sel_rank"),
+            "doc_id",
+            "n_chars",
+        )
+        .orderBy("source", "sel_rank")
     )
