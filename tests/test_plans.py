@@ -346,13 +346,12 @@ def test_q144_codebook_broadcast_no_corpus_shuffle_for_assign(
 ):
     df = registry["q144_semantic_dedup"].fn(spark, sf_dir)
     plan = plan_of(df)
-    # every nested-loop join must be the 8-row codebook broadcast (one
-    # per use of the assignment subtree — deduped by ReuseExchange at
-    # runtime); the in-cell pair join itself must be an equi-join on
-    # cell, never a nested loop over corpus x corpus
-    n_bnlj = plan.count("BroadcastNestedLoopJoin")
-    n_tiny_broadcast = plan.count("BroadcastExchange IdentityBroadcastMode")
-    assert n_bnlj >= 1 and n_bnlj == n_tiny_broadcast, plan
+    # the assignment subtree (codebook broadcast crossJoin) is
+    # checkpointed and computed once, so the visible plan consumes the
+    # checkpoint; what must hold downstream: the in-cell pair join is an
+    # equi-join on cell — never a nested loop / cartesian over corpus²
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan
     assert (
         "SortMergeJoin [cell" in plan
