@@ -395,3 +395,68 @@ def q79_posexplode(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     ).orderBy("doc_id", "pos")
+
+
+@query(
+    "q186_vector_fns",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(e) AS INT) AS dim,
+       round(list_sum(list_transform(e, x -> abs(x))), 6) AS l1,
+       round(sqrt(list_dot_product(e, e)), 6) AS l2,
+       round(list_max(list_transform(e, x -> abs(x))), 6) AS linf,
+       round(list_sum(e) / len(e), 6) AS mean_r,
+       round(e[1] / sqrt(list_dot_product(e, e)), 6) AS unit_first
+FROM v
+ORDER BY vec_id
+LIMIT 200
+""",
+    tags=("functions", "similarity"),
+)
+def q186_vector_fns(spark, sf_dir):
+    """Vector-function battery over the embedding column: L1/L2/L∞
+    norms, mean, and the first coordinate of the unit-normalized
+    vector — the building blocks every embedding pipeline composes
+    (normalization before cosine, norm-based outlier gates). All math
+    runs on float64 (the oracle casts embedding::DOUBLE[] because
+    DuckDB list_* on FLOAT[] computes in float32); folds traverse the
+    same array left-to-right in both engines, and every output rounds
+    to 1e-6. Pure per-row codegen — no shuffle at all before the
+    LIMIT."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "e", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    l1 = F.aggregate(
+        F.transform("e", lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.size("e").alias("dim"),
+            F.round(l1, 6).alias("l1"),
+            F.round(F.sqrt(dot), 6).alias("l2"),
+            F.round(F.array_max(F.transform("e", lambda x: F.abs(x))), 6)
+            .alias("linf"),
+            F.round(
+                F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("e"),
+                6,
+            ).alias("mean_r"),
+            F.round(F.element_at("e", 1) / F.sqrt(dot), 6).alias(
+                "unit_first"
+            ),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )

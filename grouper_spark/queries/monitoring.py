@@ -926,3 +926,72 @@ def q178_expectation_suite(spark, sf_dir):
         "n_failed",
         (F.col("n_failed") == 0).cast("int").alias("passed"),
     ).orderBy("check_name")
+
+
+@query(
+    "q185_seasonal_baseline",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS hr,
+         CAST(dayofweek(ts) AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  GROUP BY 1, 2, 3, 4
+), baseline AS (
+  SELECT event_type, dow, hod,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(c) AS BIGINT) AS s
+  FROM hourly
+  GROUP BY 1, 2, 3
+)
+SELECT h.event_type, CAST(h.hr AS TIMESTAMP) AS hr, h.c,
+       round(b.s * 1.0 / b.n_obs, 6) AS seasonal_mean,
+       round(h.c - b.s * 1.0 / b.n_obs, 6) AS deviation,
+       CAST(h.c * b.n_obs > 2 * b.s AS INT) AS is_spike
+FROM hourly h
+JOIN baseline b
+  ON b.event_type = h.event_type AND b.dow = h.dow AND b.hod = h.hod
+WHERE b.n_obs >= 3
+ORDER BY h.event_type, h.hr
+""",
+    tags=("monitoring", "temporal"),
+)
+def q185_seasonal_baseline(spark, sf_dir):
+    """Seasonal-naive anomaly detection: each (type, hour) volume is
+    compared to the mean of the SAME hour-of-week across the whole
+    series — the baseline that catches a quiet-Sunday-3am spike a
+    global z-score (q125) would smooth over. The log collapses to
+    hourly counts in one map-side-combined shuffle; the seasonal
+    baseline is a (type × 168)-row aggregate that joins back
+    broadcast-sized. The spike flag cross-multiplies exact integers
+    (c·n > 2·s) so thresholding never touches a float."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    baseline = hourly.groupBy("event_type", "dow", "hod").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    return (
+        hourly.join(F.broadcast(baseline), ["event_type", "dow", "hod"])
+        .filter(F.col("n_obs") >= 3)
+        .select(
+            "event_type",
+            "hr",
+            "c",
+            F.round(F.col("s") / F.col("n_obs"), 6).alias("seasonal_mean"),
+            F.round(F.col("c") - F.col("s") / F.col("n_obs"), 6).alias(
+                "deviation"
+            ),
+            (F.col("c") * F.col("n_obs") > 2 * F.col("s"))
+            .cast("int")
+            .alias("is_spike"),
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -491,3 +491,49 @@ def q82_token_budget_packing(spark, sf_dir):
         )
         .orderBy("lang", "pack_id")
     )
+
+
+@query(
+    "q184_conversation_assembly",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence,
+       CAST(length(string_agg(event_type, '>' ORDER BY ts, event_id))
+            AS BIGINT) AS seq_chars
+FROM events
+WHERE user_id < 40
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("text", "lm"),
+)
+def q184_conversation_assembly(spark, sf_dir):
+    """Training-example assembly: collapse each user's event timeline
+    into ONE ordered serialized sequence string — the shape that turns
+    a raw log into LLM training examples (conversation turns → one
+    sample). Order inside the aggregate is made deterministic by
+    sorting structs of (ts, event_id, payload) — collect_list alone has
+    no order guarantee across Spark partitions, so the sort_array is
+    the load-bearing step. One shuffle on user_id; per-user state is
+    that user's events (bounded by the WHERE gate here; at 100 TB you'd
+    cap per-key sequence length the same way)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    assembled = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("sequence"),
+    )
+    return assembled.select(
+        "user_id",
+        "n_events",
+        "sequence",
+        F.length("sequence").cast("bigint").alias("seq_chars"),
+    ).orderBy("user_id")

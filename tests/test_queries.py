@@ -112,3 +112,36 @@ def test_q123_hll_estimate_within_error_bound(spark, sf_dir):
         est_global,
         n_exact,
     )
+
+
+def test_q68_approx_percentiles_within_accuracy_bound(spark, sf_dir):
+    """q68 is rows-only at the driver (sketch merges are arrival-order
+    dependent), so the accuracy assertion lives here: with accuracy
+    parameter 10000, percentile_approx guarantees rank error <=
+    n/10000, which at these group sizes means the estimate must land
+    within a tight quantile band of the exact distribution."""
+    from pyspark.sql import functions as F
+
+    from grouper_spark.sources import table as _table
+
+    got = {
+        r["o_orderpriority"]: (r["median_approx"], r["p90_approx"])
+        for r in REGISTRY["q68_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    o = _table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderpriority"]: (r["lo50"], r["hi50"], r["lo90"], r["hi90"])
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.48)").alias("lo50"),
+            F.expr("percentile(o_totalprice, 0.52)").alias("hi50"),
+            F.expr("percentile(o_totalprice, 0.88)").alias("lo90"),
+            F.expr("percentile(o_totalprice, 0.92)").alias("hi90"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, (m, p90) in got.items():
+        lo50, hi50, lo90, hi90 = exact[k]
+        assert lo50 <= m <= hi50, (k, m, lo50, hi50)
+        assert lo90 <= p90 <= hi90, (k, p90, lo90, hi90)
