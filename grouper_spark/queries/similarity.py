@@ -421,31 +421,51 @@ def q144_semantic_dedup(spark, sf_dir):
         # not once per reference
         .localCheckpoint(eager=False)
     )
-    a = assign.select(
-        F.col("cell"), F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
-    )
-    b = assign.select(
-        F.col("cell"), F.col("vec_id").alias("dup_id"), F.col("v").alias("vb")
-    )
-    dup_pairs = (
-        a.join(b, "cell")
-        .filter(F.col("keep_id") < F.col("dup_id"))
-        .filter(F.round(cosine_similarity("va", "vb"), 6) >= 0.60)
-        .select("dup_id", "keep_id")
-    )
-    return (
-        assign.join(
-            dup_pairs, assign.vec_id == dup_pairs.dup_id, "left"
+    # In-cell dedup as the published per-cluster matrix product: one
+    # shuffle groups each cell's vectors into an Arrow batch, numpy
+    # computes the cell's cosine gram in float64, and each vector maps
+    # to the smallest lower-id cell-mate above threshold. Replaces the
+    # pair equi-join + interpreted HOF cosine (Catalyst lambdas are
+    # interpreted): per-cell work is dense BLAS, cells bound the batch
+    # (SemDeDup scales k with n precisely so cells stay machine-sized).
+    def dedup_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        cos = np.round((X @ X.T) / np.outer(norms, norms), 6)
+        hit = cos >= 0.60
+        canon = ids.copy()
+        dup = np.zeros(len(ids), dtype=np.int32)
+        for i in range(1, len(ids)):
+            js = np.nonzero(hit[i, :i])[0]
+            if len(js):
+                canon[i] = ids[js[0]]  # ids sorted → smallest match
+                dup[i] = 1
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].iloc[0],
+                "canonical_id": canon,
+                "is_dup": dup,
+            }
         )
-        .groupBy("vec_id", "cell")
-        .agg(F.min("keep_id").alias("mk"))
+
+    return (
+        assign.groupBy("cell")
+        .applyInPandas(
+            dedup_cell,
+            "vec_id long, cell long, canonical_id long, is_dup int",
+        )
         .select(
             "vec_id",
             "cell",
-            F.coalesce(F.col("mk"), F.col("vec_id")).cast("bigint").alias(
-                "canonical_id"
-            ),
-            F.col("mk").isNotNull().cast("int").alias("is_dup"),
+            F.col("canonical_id").cast("bigint").alias("canonical_id"),
+            F.col("is_dup").cast("int").alias("is_dup"),
         )
         .orderBy("vec_id")
     )

@@ -348,16 +348,15 @@ def test_q144_codebook_broadcast_no_corpus_shuffle_for_assign(
     plan = plan_of(df)
     # the assignment subtree (codebook broadcast crossJoin) is
     # checkpointed and computed once, so the visible plan consumes the
-    # checkpoint; what must hold downstream: the in-cell pair join is an
-    # equi-join on cell — never a nested loop / cartesian over corpus²
+    # checkpoint; in-cell dedup is the per-cluster Arrow-batched matrix
+    # product — one hash exchange on the cell key into
+    # FlatMapGroupsInPandas, never a nested loop / cartesian over
+    # corpus²
     assert "Scan ExistingRDD" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan
-    assert (
-        "SortMergeJoin [cell" in plan
-        or "ShuffledHashJoin [cell" in plan
-        or "BroadcastHashJoin [cell" in plan
-    ), plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "hashpartitioning(cell" in plan, plan
 
 
 def test_q145_prefix_join_is_equi_join(spark, sf_dir, registry):
