@@ -4,6 +4,7 @@ schema are stable)."""
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 
 from pyspark.sql import functions as F
@@ -561,4 +562,93 @@ def q130_stateful_sessions(spark, sf_dir):
             "n_events",
         )
         .orderBy("user_id", "start_us")
+    )
+
+
+@query(
+    "q187_idempotent_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "exactly_once"),
+)
+def q187_idempotent_sink(spark, sf_dir):
+    """Exactly-once sink discipline under task retry: every micro-batch
+    is applied TWICE (simulating Spark re-invoking foreachBatch after a
+    failure) against a batch-id-versioned parquet sink — the write is
+    skipped when the sink has already committed that batch_id, which is
+    precisely the idempotent-upsert contract a transactional sink
+    (Delta/Iceberg MERGE keyed on batch id) gives at scale. If the
+    guard is correct, the doubled replay changes nothing and the final
+    state equals the plain batch aggregate — the exact SQL oracle. A
+    non-idempotent sink would double every count and fail the hash."""
+    import os
+
+    from ..functions.text import money
+
+    src = stage_stream_source(
+        table(spark, sf_dir, "events").select(
+            "event_type", money("value").alias("cents")
+        ),
+        4,
+    )
+    sink_dir = os.path.join(
+        tempfile.gettempdir(), f"idem-{uuid.uuid4().hex}"
+    )
+    committed: set[int] = set()
+
+    def apply_batch(batch_df, batch_id):
+        if batch_id in committed:
+            return  # already committed — the idempotency guard
+        part = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+        if os.path.exists(sink_dir):
+            prev = spark.read.parquet(sink_dir)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_cents").alias("total_cents"),
+                )
+            )
+        else:
+            merged = part
+        rows = merged.collect()  # group-key-sized by definition
+        spark.createDataFrame(rows, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(sink_dir)
+        committed.add(batch_id)
+
+    def apply_twice(batch_df, batch_id):
+        apply_batch(batch_df, batch_id)
+        apply_batch(batch_df, batch_id)  # simulated post-failure retry
+
+    schema = spark.read.parquet(src).schema
+    with scoped_shuffle_partitions(spark, _STREAM_SHUFFLE):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(apply_twice)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(sink_dir)
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("total_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("event_type")
     )
