@@ -521,3 +521,119 @@ def q179_record_linkage(spark, sf_dir):
         .orderBy(F.col("score").desc(), "cust_a", "cust_b")
         .limit(100)
     )
+
+
+@query(
+    "q188_multipass_blocking",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         length(c_name) AS name_len
+  FROM customer
+), p1 AS (
+  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.bal_band = b.bal_band
+   AND a.c_custkey < b.c_custkey
+), p2 AS (
+  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+  FROM c a JOIN c b
+    ON a.c_mktsegment = b.c_mktsegment AND a.name_len = b.name_len
+   AND a.bal_band = b.bal_band
+   AND a.c_custkey < b.c_custkey
+), cand AS (
+  SELECT cust_a, cust_b,
+         CAST(MAX(pass1) AS INT) AS in_pass1,
+         CAST(MAX(pass2) AS INT) AS in_pass2
+  FROM (
+    SELECT cust_a, cust_b, 1 AS pass1, 0 AS pass2 FROM p1
+    UNION ALL
+    SELECT cust_a, cust_b, 0, 1 FROM p2
+  )
+  GROUP BY cust_a, cust_b
+), scored AS (
+  SELECT k.cust_a, k.cust_b, k.in_pass1, k.in_pass2,
+         CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 2 ELSE 0 END
+         + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN 2 ELSE 0 END
+         + CASE WHEN a.name_len = b.name_len THEN 1 ELSE 0 END AS score
+  FROM cand k
+  JOIN c a ON a.c_custkey = k.cust_a
+  JOIN c b ON b.c_custkey = k.cust_b
+)
+SELECT cust_a, cust_b, CAST(score AS BIGINT) AS score, in_pass1, in_pass2
+FROM scored
+WHERE score >= 4
+ORDER BY score DESC, cust_a, cust_b
+LIMIT 100
+""",
+    tags=("dedup", "join"),
+)
+def q188_multipass_blocking(spark, sf_dir):
+    """Multi-pass blocking for record linkage — the standard recall
+    repair for q179's single blocking key: candidates are the UNION of
+    two independent blocking passes ((nation, balance band) and
+    (segment, name length, balance band)), deduped on the pair key with
+    per-pass provenance flags, then scored once. Each pass stays an
+    equi-join on its own block key (bounded per-block work); the union
+    + groupBy dedup is the only extra shuffle, and scoring joins the
+    deduped candidate set back to the record table by key. This is how
+    production linkage recovers pairs a single noisy key misses without
+    ever widening a block toward O(n²)."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        F.length("c_name").alias("name_len"),
+    ).localCheckpoint(eager=False)
+
+    def pairs(join_cond_cols, pass_flags):
+        a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+        b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+        cond = F.col("a_c_custkey") < F.col("b_c_custkey")
+        for col in join_cond_cols:
+            cond &= F.col(f"a_{col}") == F.col(f"b_{col}")
+        p1, p2 = pass_flags
+        return a.join(b, cond).select(
+            F.col("a_c_custkey").alias("cust_a"),
+            F.col("b_c_custkey").alias("cust_b"),
+            F.lit(p1).alias("pass1"),
+            F.lit(p2).alias("pass2"),
+        )
+
+    cand = (
+        pairs(["c_nationkey", "bal_band"], (1, 0))
+        .unionAll(
+            pairs(["c_mktsegment", "name_len", "bal_band"], (0, 1))
+        )
+        .groupBy("cust_a", "cust_b")
+        .agg(
+            F.max("pass1").cast("int").alias("in_pass1"),
+            F.max("pass2").cast("int").alias("in_pass2"),
+        )
+    )
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    score = (
+        F.when(F.col("a_c_mktsegment") == F.col("b_c_mktsegment"), 2).otherwise(0)
+        + F.when(
+            F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal")) < 100.0, 2
+        ).otherwise(0)
+        + F.when(F.col("a_name_len") == F.col("b_name_len"), 1).otherwise(0)
+    )
+    return (
+        cand.join(a, cand.cust_a == a.a_c_custkey)
+        .join(b, cand.cust_b == b.b_c_custkey)
+        .select(
+            "cust_a",
+            "cust_b",
+            score.cast("bigint").alias("score"),
+            "in_pass1",
+            "in_pass2",
+        )
+        .filter(F.col("score") >= 4)
+        .orderBy(F.col("score").desc(), "cust_a", "cust_b")
+        .limit(100)
+    )
