@@ -424,3 +424,126 @@ def q155_scd2_time_travel(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+def _partitioned_events_path(spark, sf_dir):
+    """One-time partitioned layout of events (partition column =
+    event_date): the write-once / prune-every-query trade that defines
+    time-series fact storage at 100 TB. mode('ignore') makes the
+    layout step idempotent; readers discover partitions from the
+    directory structure."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = f"{wh}/events_part_{tag}"
+    (
+        table(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .mode("ignore")
+        .parquet(path)
+    )
+    return path
+
+
+@query(
+    "q189_partition_pruned_scan",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+  AND CAST(ts AS DATE) <= DATE '2024-01-09'
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("layout", "scale-pattern"),
+)
+def q189_partition_pruned_scan(spark, sf_dir):
+    """Static partition pruning over a date-partitioned fact layout:
+    the two-day filter resolves against the partition DIRECTORY
+    listing, so the scan touches 2 of ~30 partitions and the other
+    ~93% of the table is never opened (PartitionFilters in the plan,
+    pinned in tests/test_plans.py). This is the single biggest lever
+    for time-range queries at 100 TB — the layout is written once
+    (idempotent mode('ignore')) and every subsequent query prunes for
+    free. The oracle runs the same filter over the unpartitioned
+    table, proving layout never changes semantics."""
+    path = _partitioned_events_path(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            (F.col("event_date") >= F.lit("2024-01-08").cast("date"))
+            & (F.col("event_date") <= F.lit("2024-01-09").cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q190_dynamic_partition_pruning",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY d
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily
+), busy_days AS (
+  SELECT d, c AS n_purchases FROM daily, tot WHERE c * nd > t
+)
+SELECT b.d AS event_date,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(b.n_purchases) AS n_purchases
+FROM events e
+JOIN busy_days b ON CAST(e.ts AS DATE) = b.d
+GROUP BY b.d
+ORDER BY b.d
+""",
+    tags=("layout", "scale-pattern", "join"),
+)
+def q190_dynamic_partition_pruning(spark, sf_dir):
+    """Dynamic partition pruning (DPP): the partition filter is not
+    known until runtime — it comes from the dimension side
+    (above-average purchase days, an integer cross-multiplied filter
+    that stays selective at every SF). Spark evaluates the broadcast
+    dim first and injects its day set into the fact scan as a
+    dynamicpruning partition filter, so only qualifying partitions of
+    the date-partitioned events layout are read (pinned in
+    tests/test_plans.py). This is THE star-schema scale feature: a
+    selective dim filter prunes a 100 TB fact without any static
+    predicate on it. The oracle is the plain join over the
+    unpartitioned table."""
+    path = _partitioned_events_path(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = daily.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("nd"),
+    )
+    busy = (
+        daily.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") * F.col("nd") > F.col("t"))
+        .select("d", F.col("c").alias("n_purchases"))
+    )
+    return (
+        ev.join(F.broadcast(busy), ev.event_date == busy.d)
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("n_purchases").alias("n_purchases"),
+        )
+        .select(F.col("d").alias("event_date"), "n_events", "n_purchases")
+        .orderBy("event_date")
+    )

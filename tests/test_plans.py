@@ -447,3 +447,22 @@ def test_q146_triangle_assembly_reuses_checkpointed_edges(
     df = registry["q146_triangle_count"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("FileScan parquet") == 0, plan.count("FileScan parquet")
+
+
+def test_q189_scan_has_partition_filters(spark, sf_dir, registry):
+    """The date filter must resolve against the partition directory
+    listing (PartitionFilters on event_date), not as a data filter over
+    a full scan."""
+    df = registry["q189_partition_pruned_scan"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("event_date" in l for l in lines), plan
+
+
+def test_q190_fact_scan_is_dynamically_pruned(spark, sf_dir, registry):
+    """The fact scan's partition filter must be injected at runtime
+    from the dim side (dynamicpruning expression in the scan) — the
+    DPP star-schema pattern."""
+    df = registry["q190_dynamic_partition_pruning"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower(), plan
