@@ -652,3 +652,76 @@ def q187_idempotent_sink(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q191_checkpoint_recovery",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+WHERE user_id < 30
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "exactly_once"),
+)
+def q191_checkpoint_recovery(spark, sf_dir):
+    """Checkpoint-based restart recovery — the exactly-once property
+    that matters most operationally: a streaming query is run, STOPPED,
+    more data arrives, and a second run with the SAME checkpoint
+    location resumes from the recorded offsets — re-processing nothing,
+    missing nothing. The append-mode sink therefore holds every input
+    row exactly once, and the per-user aggregate over it equals the
+    plain batch aggregate (the exact SQL oracle). A sink fed by a
+    restart WITHOUT offset tracking would double the first half and
+    fail the hash."""
+    import os
+
+    from pyspark.sql import functions as _F
+
+    from ..functions.text import money
+
+    base = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    keyed = base.select(
+        "event_id", "user_id", money("value").alias("cents")
+    ).localCheckpoint(eager=False)
+    first = keyed.filter(F.col("event_id") % 2 == 0)
+    second = keyed.filter(F.col("event_id") % 2 == 1)
+
+    src = stage_stream_source(first, 2)
+    run_id = uuid.uuid4().hex
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt-{run_id}")
+    sink = os.path.join(tempfile.gettempdir(), f"sink-{run_id}")
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        with scoped_shuffle_partitions(spark, _STREAM_SHUFFLE):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    drain()  # run 1: processes the first half, then stops
+    append_stream_file(src, second)  # data lands while "down"
+    drain()  # run 2: SAME checkpoint — resumes at recorded offsets
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(
+            _F.count("*").cast("bigint").alias("n_events"),
+            _F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )
