@@ -134,3 +134,59 @@ def q92_batch_inference(spark, sf_dir):
 
     out = d.mapInPandas(infer, "doc_id long, n_tokens long, score double")
     return out.orderBy("doc_id")
+
+
+@query(
+    "q193_python_udtf",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+           AS toks
+  FROM documents
+  WHERE doc_id < 10
+), ex AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks))) - 1 AS pos,
+         unnest(toks) AS tok
+  FROM t
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, tok,
+       CAST(length(tok) AS INT) AS tok_len,
+       CAST(pos % 2 = 0 AS INT) AS is_even_pos
+FROM ex
+ORDER BY doc_id, pos
+""",
+    tags=("udf", "udtf"),
+)
+def q193_python_udtf(spark, sf_dir):
+    """Python user-defined TABLE function (Spark 4 UDTF surface): a
+    tokenizer UDTF emits (pos, tok, tok_len, is_even_pos) rows per
+    document via LATERAL join — the row-expanding UDF shape (one input
+    row → many output rows) that scalar and grouped-map UDFs can't
+    express. The UDTF runs per-partition in a single Python worker
+    pass; it exists to exercise the API surface — the equivalent
+    posexplode plan (q79) stays JVM-side and is what you'd ship when
+    the logic fits built-ins, which is exactly what the shared oracle
+    proves."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, tok string, tok_len int, is_even_pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [t for t in text.strip().split() if t]
+            for pos, tok in enumerate(toks):
+                yield pos, tok, len(tok), int(pos % 2 == 0)
+
+    spark.udtf.register("q193_tokenize", Tokenize)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.tok, t.tok_len, t.is_even_pos
+        FROM udtf_docs d, LATERAL q193_tokenize(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )

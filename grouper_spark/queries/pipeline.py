@@ -114,3 +114,68 @@ def q64_pipeline_end2end(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q192_multiformat_federation",
+    oracle="""
+WITH tri AS (
+  SELECT event_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, event_type, value FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+       CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM tri
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("sources", "federation"),
+)
+def q192_multiformat_federation(spark, sf_dir):
+    """Federated multi-format read: the same event slice staged once as
+    parquet, once as CSV (header + explicit schema — never inference on
+    a known feed), once as JSON-lines, then UNION ALL'd and aggregated.
+    This is the lakehouse reality where one logical feed arrives in
+    three physical formats; the aggregate over the union must equal
+    exactly three copies of the source (the oracle), proving every
+    format round-trips values losslessly — including the money column,
+    which goes through CSV/JSON text serialization and back. Staging is
+    idempotent (mode ignore); each format scan is separately
+    column-pruned."""
+    import os
+    import tempfile
+
+    from ..functions.text import money
+
+    base = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), f"fed_{tag}")
+    pq_dir, csv_dir, json_dir = (
+        os.path.join(root, f) for f in ("pq", "csv", "json")
+    )
+    base.write.mode("ignore").parquet(pq_dir)
+    base.write.mode("ignore").option("header", True).csv(csv_dir)
+    base.write.mode("ignore").json(json_dir)
+
+    schema = "event_id bigint, event_type string, value double"
+    pq = spark.read.parquet(pq_dir)
+    csv = spark.read.schema(schema).option("header", True).csv(csv_dir)
+    js = spark.read.schema(schema).json(json_dir)
+    tri = pq.unionByName(csv).unionByName(js)
+    return (
+        tri.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("event_id").cast("bigint").alias("n_distinct_ids"),
+            F.sum(money("value")).cast("bigint").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
