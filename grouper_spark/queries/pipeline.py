@@ -156,8 +156,12 @@ def q192_multiformat_federation(spark, sf_dir):
     base = table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
+    from .versioning import _source_fingerprint
+
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    root = os.path.join(tempfile.gettempdir(), f"fed_{tag}")
+    # fingerprinted path: a regenerated fixture invalidates the staging
+    fp = _source_fingerprint(sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), f"fed_{tag}_{fp}")
     pq_dir, csv_dir, json_dir = (
         os.path.join(root, f) for f in ("pq", "csv", "json")
     )

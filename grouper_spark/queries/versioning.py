@@ -426,15 +426,27 @@ def q155_scd2_time_travel(spark, sf_dir):
     )
 
 
+def _source_fingerprint(sf_dir: str, name: str) -> str:
+    """mtime+size tag of a fixture file: staged derived layouts embed it
+    in their path so a regenerated fixture (the driver rewrites them
+    between rounds) can never be served from a stale staged copy."""
+    import os
+
+    st = os.stat(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    return f"{int(st.st_mtime)}_{st.st_size}"
+
+
 def _partitioned_events_path(spark, sf_dir):
     """One-time partitioned layout of events (partition column =
     event_date): the write-once / prune-every-query trade that defines
     time-series fact storage at 100 TB. mode('ignore') makes the
     layout step idempotent; readers discover partitions from the
-    directory structure."""
+    directory structure. The source fingerprint in the path invalidates
+    the layout whenever the fixture regenerates."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    fp = _source_fingerprint(sf_dir, "events")
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    path = f"{wh}/events_part_{tag}"
+    path = f"{wh}/events_part_{tag}_{fp}"
     (
         table(spark, sf_dir, "events")
         .withColumn("event_date", F.to_date("ts"))
