@@ -231,15 +231,28 @@ def lsh_neardup_pairs(
     if max_bucket is not None:
         posting = posting.filter(F.size("ids") <= max_bucket)
     # The posting table has only bands×buckets rows, so without a
-    # redistribution the second (heavy) explode would run in as few
-    # tasks as there are posting rows — repartition the first-level
-    # explosion on vec_a to spread the quadratic fan-out across the
-    # cluster before it happens.
+    # redistribution the quadratic pair explode would run in as few
+    # tasks as there are posting rows. Repartition the SMALL posting
+    # table (a user repartition — exempt from AQE coalescing), then
+    # double-explode in place: ids is sorted, so slicing past the first
+    # explode's position emits exactly the a < b half, and no id-array
+    # ever rides a shuffle (the old per-member repartition moved
+    # |bucket|-sized arrays once per member — ~1 GB at 2k vectors).
     cand = (
-        posting.select(F.explode("ids").alias("vec_a"), "ids")
-        .repartition(F.col("vec_a"))
-        .select("vec_a", F.explode("ids").alias("vec_b"))
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        posting.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism
+        )
+        .select(F.posexplode("ids").alias("pos", "vec_a"), "ids")
+        .select(
+            "vec_a",
+            F.explode(
+                F.slice(
+                    "ids",
+                    F.col("pos") + F.lit(2),
+                    F.greatest(F.size("ids") - F.col("pos") - 1, F.lit(0)),
+                )
+            ).alias("vec_b"),
+        )
         .distinct()
     )
     norm = corpus.select(

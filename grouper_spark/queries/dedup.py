@@ -293,10 +293,18 @@ def q145_prefix_filter_join(spark, sf_dir):
     # single-file fixture scans plan one task; fan the CPU-dense
     # shingling out across cores (no-op on a many-split lake source)
     d = ensure_parallelism(table(spark, sf_dir, "documents"))
-    sh = d.select(
-        "doc_id",
-        word_shingles("text", 3).alias("shingles"),
-    ).withColumn("n", F.size("shingles"))
+    # Materialize the per-doc shingle arrays ONCE. Two reasons, both
+    # load-bearing: (1) the array feeds two downstream branches (the df
+    # aggregate and the prefix join) — without a barrier each branch
+    # re-runs the regex shingling; (2) CollapseProject merges
+    # size(shingles) into the Generate's child projection, re-evaluating
+    # the full shingle expression per EXPLODED row instead of per doc
+    # (~w× the work; measured 5.6s -> 0.15s on the sf0.1 explode).
+    sh = (
+        d.select("doc_id", word_shingles("text", 3).alias("shingles"))
+        .localCheckpoint(eager=False)
+        .withColumn("n", F.size("shingles"))
+    )
     tok = sh.select("doc_id", "n", F.explode("shingles").alias("token"))
     # df via groupBy + join back (NOT a window over the token key): the
     # aggregate map-side-combines 2.5M exploded rows to a vocabulary-
@@ -334,20 +342,16 @@ def q145_prefix_filter_join(spark, sf_dir):
     )
     # verify: candidates are few, so fetch both shingle ARRAYS and
     # intersect in codegen — no second posting-list shuffle of the
-    # whole corpus for the handful of surviving pairs. Re-shingle ONLY
-    # the candidate docs (left-semi against the candidate id set):
-    # without the filter each verify branch re-runs the full corpus
-    # shingling, the most expensive subtree in the plan.
+    # whole corpus for the handful of surviving pairs. The checkpointed
+    # shingle table serves both verify sides for free (no re-shingling);
+    # the left-semi prune keeps the verify join build sides
+    # candidate-sized.
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    shv = (
-        d.join(cand_ids, "doc_id", "left_semi")
-        .select("doc_id", word_shingles("text", 3).alias("shingles"))
-        .withColumn("n", F.size("shingles"))
-    )
+    shv = sh.join(cand_ids, "doc_id", "left_semi")
     sa = shv.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sha"),

@@ -31,9 +31,15 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = default_parallelism()
+    # local[N] runs driver + executors in ONE JVM; the 1g driver default
+    # starves N concurrent task threads (measured: 32-way array fan-outs
+    # OOM a 1g heap). Sized for the test host; on a real cluster the
+    # submitter's --driver-memory/--executor-memory govern instead.
+    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.memory", heap)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
