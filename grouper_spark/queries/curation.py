@@ -1106,3 +1106,63 @@ def q183_weighted_sample(spark, sf_dir):
         )
         .orderBy("source", "sel_rank")
     )
+
+
+@query(
+    "q197_target_encoding",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS price_cents,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              OVER (PARTITION BY o_orderpriority) AS BIGINT) AS seg_sum,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS seg_n
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, price_cents,
+       round((seg_sum - price_cents) * 1.0 / (seg_n - 1) / 100.0, 4)
+         AS loo_mean_r
+FROM c
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+""",
+    tags=("curation", "ml"),
+)
+def q197_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding of a categorical column (the
+    standard high-cardinality-categorical feature transform): each
+    order's priority is encoded as the mean order value of its priority
+    class EXCLUDING the row itself — (sum - x) / (n - 1) — which is
+    what prevents target leakage in training data.
+
+    The per-class (sum, count) statistics table is class-count sized,
+    so it aggregates with one map-side-combining groupBy and BROADCASTS
+    back onto the fact rows — no window over the fact table, no second
+    fact shuffle (the oracle uses the window formulation; same
+    semantics). All sums are integer cents; the single division is
+    performed once per row on integer inputs and rounded, so the
+    encoding is engine-stable."""
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    fact = orders.select("o_orderkey", "o_orderpriority", cents.alias("price_cents"))
+    stats = fact.groupBy("o_orderpriority").agg(
+        F.sum("price_cents").alias("seg_sum"),
+        F.count("*").alias("seg_n"),
+    )
+    return (
+        fact.join(F.broadcast(stats), "o_orderpriority")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "price_cents",
+            F.round(
+                (F.col("seg_sum") - F.col("price_cents"))
+                * 1.0
+                / (F.col("seg_n") - 1)
+                / 100.0,
+                4,
+            ).alias("loo_mean_r"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -449,3 +449,73 @@ def q177_sequence_trigrams(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "t1", "t2", "t3")
         .limit(20)
     )
+
+
+@query(
+    "q200_watermark_lateness_audit",
+    oracle="""
+WITH batched AS (
+  SELECT event_id, event_type, ts, event_id // 1000 AS batch
+  FROM events
+), bmax AS (
+  SELECT batch, MAX(ts) AS bmax_ts FROM batched GROUP BY batch
+), wm AS (
+  SELECT batch,
+         MAX(bmax_ts) OVER (ORDER BY batch
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+           - INTERVAL 10 MINUTE AS wm_ts
+  FROM bmax
+)
+SELECT b.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN w.wm_ts IS NOT NULL AND b.ts < w.wm_ts
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM batched b JOIN wm w ON b.batch = w.batch
+GROUP BY b.event_type
+ORDER BY b.event_type
+""",
+    tags=("events", "streaming"),
+)
+def q200_watermark_lateness_audit(spark, sf_dir):
+    """Watermark lateness audit with Structured Streaming's ACTUAL
+    trigger semantics, batch-replayed: the watermark advances BETWEEN
+    micro-batches (max event time seen in prior triggers minus the
+    10-minute delay), never within one, and an event is late when its
+    event time is behind the watermark of its own batch. Arrival order
+    is event_id; 1000 events per trigger.
+
+    Scale shape: the only ordered computation is the running max over
+    the BATCH-LEVEL table (trigger-count sized — thousands of rows for
+    billions of events), built from a map-side-combining per-batch max;
+    the per-event lateness test is a broadcast join of that tiny
+    watermark table back onto the fact — no global ordered window over
+    the corpus, which is the naive formulation that cannot scale."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    batched = ev.select(
+        "event_id", "event_type", "ts", (F.col("event_id") / 1000).cast("bigint").alias("batch")
+    )
+    bmax = batched.groupBy("batch").agg(F.max("ts").alias("bmax_ts"))
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bmax.select(
+        "batch",
+        (F.max("bmax_ts").over(w) - F.expr("INTERVAL 10 MINUTES")).alias("wm_ts"),
+    )
+    return (
+        batched.join(F.broadcast(wm), "batch")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("wm_ts").isNotNull() & (F.col("ts") < F.col("wm_ts")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_late"),
+        )
+        .orderBy("event_type")
+    )

@@ -318,3 +318,119 @@ def q161_countmin_sketch(spark, sf_dir):
         )
         .orderBy("token")
     )
+
+
+@query(
+    "q198_tfidf_knn",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), idf AS (
+  SELECT tok, CAST(ROUND(ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                             / CAST(COUNT(*) AS DOUBLE)) * 1000000.0, 0)
+                   AS BIGINT) AS idf_micro
+  FROM tf GROUP BY tok
+), w AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * idf.idf_micro AS wm
+  FROM tf JOIN idf USING (tok)
+), norm2 AS (
+  SELECT doc_id, CAST(SUM(wm * wm) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.wm * b.wm) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_a, d.doc_b,
+         round(CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(na.n2 AS DOUBLE)) / sqrt(CAST(nb.n2 AS DOUBLE)),
+               4) AS cosine_r
+  FROM dots d
+  JOIN norm2 na ON na.doc_id = d.doc_a
+  JOIN norm2 nb ON nb.doc_id = d.doc_b
+), ranked AS (
+  SELECT doc_a, doc_b, cosine_r,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY cosine_r DESC, doc_b) AS rk
+  FROM scored WHERE doc_a < 20
+)
+SELECT doc_a, CAST(rk AS INT) AS rk, doc_b, cosine_r
+FROM ranked WHERE rk <= 3
+ORDER BY doc_a, rk
+""",
+    tags=("indexing", "similarity"),
+)
+def q198_tfidf_knn(spark, sf_dir):
+    """Sparse TF-IDF cosine k-nearest-neighbors — document similarity
+    without embeddings, the retrieval twin of the BM25 query. The dot
+    products come from a POSTING-LIST equi-join on the token (docs
+    sharing no token never meet — never doc x doc), weights are
+    fixed-pointed (tf x micro-idf as BIGINT) before any sum so the dot
+    and norm aggregations are order-independent and engine-exact, and
+    the only floats are the final sqrt/divide on exact integers (IEEE
+    correctly-rounded, deterministic cross-engine). Top-3 per query doc
+    via one window over the (bounded) scored candidates. At corpus
+    scale the token join IS the sparse-matrix product A·Aᵀ restricted
+    to nonzero-overlap pairs; stop-token df caps (q34's max_df) bound
+    the posting lists — the fixture vocabulary is small enough to skip
+    the cap here, so scores stay exactly comparable to the oracle."""
+    from ..operators.core import ensure_parallelism
+
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    n_docs = d.count()  # scalar, driver-side once; literal in the plan
+    idf = tf.groupBy("tok").agg(
+        F.round(
+            F.log(F.lit(float(n_docs)) / F.count("*").cast("double"))
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("idf_micro")
+    )
+    w = (
+        tf.join(idf, "tok")
+        .select("doc_id", "tok", (F.col("tf") * F.col("idf_micro")).alias("wm"))
+        .localCheckpoint(eager=False)  # reused by norms + both join sides
+    )
+    norm2 = w.groupBy("doc_id").agg(F.sum(F.col("wm") * F.col("wm")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("wm").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("wm").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norm2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norm2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    scored = (
+        dots.filter(F.col("doc_a") < 20)
+        .join(F.broadcast(na.filter(F.col("doc_a") < 20)), "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double"))
+                / F.sqrt(F.col("nb2").cast("double")),
+                4,
+            ).alias("cosine_r"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_a").orderBy(F.col("cosine_r").desc(), "doc_b")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("doc_a", F.col("rk").cast("int").alias("rk"), "doc_b", "cosine_r")
+        .orderBy("doc_a", "rk")
+    )

@@ -481,3 +481,90 @@ def q165_bucketed_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q194_bloom_prefiltered_join",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("join", "scale"),
+)
+def q194_bloom_prefiltered_join(spark, sf_dir):
+    """Bloom-filter runtime-prefiltered semi-join (the explicit form of
+    Spark's InjectRuntimeFilter): lineitems of URGENT orders.
+
+    The selective dim-side key set is folded into a fixed-size Bloom
+    bitmap (m = 2^16 bits as 1024 longs, k = 4 seeded xxhash64 probes)
+    with one bit_or aggregate; the bitmap — constant-size regardless of
+    corpus scale, like the IVF codebook — is collected once and embedded
+    as an array literal, so the FACT side is prefiltered entirely inside
+    whole-stage codegen with zero shuffle and no join. Survivors (the
+    selective subset + Bloom false positives) then take the exact
+    broadcast left-semi join, so the result is exact — the Bloom stage
+    only shrinks the rows that reach the join, which at 100 TB is the
+    difference between shuffling the whole fact table and shuffling the
+    matching ~fraction. The oracle is the plain IN-subquery semantics."""
+    m_bits = 1 << 16
+    n_words = m_bits // 64
+    k_seeds = 4
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+
+    def positions(col):
+        for s in range(k_seeds):
+            h = F.xxhash64(F.concat(F.lit(f"bf{s}|"), F.col(col).cast("string")))
+            yield F.pmod(h, F.lit(m_bits))
+
+    pos = keys.select(
+        F.explode(F.array(*positions("o_orderkey"))).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["w"]] = r["mask"]
+    blit = F.array(*[F.lit(x).cast("long") for x in bitmap])
+
+    probe = li.withColumn("__bf", blit)
+    cond = F.lit(True)
+    for s in range(k_seeds):
+        h = F.xxhash64(
+            F.concat(F.lit(f"bf{s}|"), F.col("l_orderkey").cast("string"))
+        )
+        p = F.pmod(h, F.lit(m_bits))
+        word = F.element_at("__bf", (p / 64).cast("int") + 1)
+        mask = F.expr(f"shiftleft(1L, CAST(pmod(xxhash64(concat('bf{s}|', CAST(l_orderkey AS STRING))), {m_bits}) % 64 AS INT))")
+        cond = cond & ((word.bitwiseAND(mask)) != 0)
+    prefiltered = probe.filter(cond).drop("__bf")
+
+    return (
+        prefiltered.join(F.broadcast(keys), prefiltered.l_orderkey == keys.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

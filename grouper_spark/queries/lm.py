@@ -450,3 +450,56 @@ def q173_vocab_oov_rate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q196_feature_hashing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+         CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(sgn) AS BIGINT) AS val,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM hashed
+WHERE doc_id < 100
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+""",
+    tags=("lm", "curation"),
+)
+def q196_feature_hashing(spark, sf_dir):
+    """Hashing-trick featurization (64-bucket signed feature vectors)
+    — the vocabulary-free text vectorizer for ML pipelines at corpus
+    scale: no vocab table, no broadcast dictionary, no OOV handling;
+    bucket and sign both derive from md5 of the token so the feature
+    map is stateless and identical on every executor. One explode +
+    one (doc, bucket) aggregate; signed sums (Weinberger et al.) make
+    collisions cancel in expectation rather than bias upward."""
+    from ..operators.core import ensure_parallelism
+
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    h8 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    h1 = F.conv(F.substring(F.md5("tok"), 9, 1), 16, 10).cast("bigint")
+    hashed = tok.select(
+        "doc_id",
+        (h8 % 64).alias("bucket"),
+        F.when(h1 % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    return (
+        hashed.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").cast("bigint").alias("val"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "bucket")
+    )

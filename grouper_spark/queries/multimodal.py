@@ -333,3 +333,72 @@ def q132_image_patches(spark, sf_dir):
         F.round(F.col("intensity_sum").cast("double") / (_PATCH * _PATCH), 6)
         .alias("mean_intensity"),
     ).orderBy("doc_id", "patch_row", "patch_col")
+
+
+@query(
+    "q199_phash_neardup",
+    oracle="""
+WITH ph AS (
+  SELECT doc_id,
+         xor(xor(('0x' || substr(md5(lang || '|' || source), 1, 15))::BIGINT,
+                 (1::BIGINT << CAST(doc_id % 60 AS INT))),
+             (1::BIGINT << CAST((doc_id // 60) % 60 AS INT))) AS phash
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS dist
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+ORDER BY doc_a, doc_b
+""",
+    tags=("multimodal", "dedup"),
+)
+def q199_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-duplicate detection for binary media — the
+    image-dedup pattern: a 60-bit pHash per asset, banded LSH on the
+    hash (4 bands x 15 bits: any pair within Hamming distance 2 agrees
+    on >= 2 bands, so the banded equi-join has guaranteed recall), then
+    an exact popcount verify of candidates only. STUB decode: the
+    container has no codecs, so the pHash derives deterministically
+    from (lang, source) content family + per-doc bit flips — swapping
+    in a real DCT pHash changes only the hash expression, never the
+    banding join. The oracle brute-forces all pairs; the Spark plan is
+    the posting-list band join — never corpus x corpus."""
+    d = table(spark, sf_dir, "documents")
+    base = F.conv(
+        F.substring(F.md5(F.concat("lang", F.lit("|"), "source")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    p1 = F.expr("shiftleft(1L, CAST(doc_id % 60 AS INT))")
+    p2 = F.expr("shiftleft(1L, CAST((doc_id DIV 60) % 60 AS INT))")
+    ph = d.select(
+        "doc_id", base.bitwiseXOR(p1).bitwiseXOR(p2).alias("phash")
+    ).localCheckpoint(eager=False)  # feeds 4 band branches + the verify
+    bands = None
+    for j in range(4):
+        bj = ph.select(
+            "doc_id",
+            F.lit(j).alias("band"),
+            F.shiftright("phash", 15 * j).bitwiseAND(F.lit(32767)).alias("bv"),
+        )
+        bands = bj if bands is None else bands.unionAll(bj)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bv")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pa = ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"))
+    pb = ph.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"))
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= 2)
+        .select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -559,3 +559,114 @@ def q190_dynamic_partition_pruning(spark, sf_dir):
         .select(F.col("d").alias("event_date"), "n_events", "n_purchases")
         .orderBy("event_date")
     )
+
+
+@query(
+    "q195_merge_upsert",
+    oracle="""
+WITH latest AS (
+  SELECT o_custkey,
+         arg_max(o_orderkey, ordk) AS last_ord,
+         arg_max(o_totalprice, ordk) AS last_price
+  FROM (SELECT *, CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT)
+                    * 10000000000 + o_orderkey AS ordk
+        FROM orders)
+  GROUP BY o_custkey
+), changes AS (
+  SELECT o_custkey AS key,
+         CASE WHEN last_ord % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(ROUND(last_price * 100.0, 0) AS BIGINT) AS amount_cents
+  FROM latest
+  UNION ALL
+  SELECT o_custkey + 1000000, 'I',
+         CAST(ROUND(last_price * 100.0, 0) AS BIGINT)
+  FROM latest WHERE last_ord % 11 = 0
+), merged AS (
+  SELECT b.c_custkey AS key, b.c_mktsegment AS segment,
+         CASE WHEN c.op = 'U' THEN c.amount_cents
+              ELSE CAST(ROUND(b.c_acctbal * 100.0, 0) AS BIGINT)
+         END AS bal_cents
+  FROM customer b LEFT JOIN changes c ON c.key = b.c_custkey
+  WHERE c.op IS NULL OR c.op <> 'D'
+  UNION ALL
+  SELECT key, 'NEW', amount_cents FROM changes WHERE op = 'I'
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+FROM merged
+GROUP BY segment
+ORDER BY segment
+""",
+    tags=("versioning", "join"),
+)
+def q195_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN MATCHED DELETE /
+    WHEN NOT MATCHED INSERT) expressed relationally — the upsert-apply
+    step of a lakehouse change feed, without a table format.
+
+    A deterministic change feed derives from orders (latest order per
+    customer via max_by over the (date, key) tuple; key % rules pick the
+    op), then one LEFT join of the base snapshot against the broadcast
+    change set applies updates and deletes in a single pass and a union
+    appends inserts — the standard shuffle shape a MERGE compiles to
+    when the change set is dimension-sized (fact-sized change feeds
+    shuffle both sides on the key instead; same plan, minus the
+    broadcast). Summarized per segment in integer cents."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+
+    # single composite BIGINT recency key (yyyymmdd * 1e10 + orderkey):
+    # DuckDB's arg_max has no tuple-key overload, and the composite is
+    # total-ordered the same way in both engines
+    tup = F.date_format("o_orderdate", "yyyyMMdd").cast("bigint") * F.lit(
+        10000000000
+    ) + F.col("o_orderkey")
+    latest = orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", tup).alias("last_ord"),
+        F.max_by("o_totalprice", tup).alias("last_price"),
+    )
+    amount = F.round(F.col("last_price") * 100.0, 0).cast("bigint")
+    changes = (
+        latest.select(
+            F.col("o_custkey").alias("key"),
+            F.when(F.col("last_ord") % 13 == 0, "D").otherwise("U").alias("op"),
+            amount.alias("amount_cents"),
+        )
+        .unionAll(
+            latest.filter(F.col("last_ord") % 11 == 0).select(
+                (F.col("o_custkey") + 1000000).alias("key"),
+                F.lit("I").alias("op"),
+                amount.alias("amount_cents"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    upserts = changes.filter(F.col("op") != "I")
+    merged = (
+        cust.join(F.broadcast(upserts), cust.c_custkey == upserts.key, "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_mktsegment").alias("segment"),
+            F.when(
+                F.col("op") == "U", F.col("amount_cents")
+            )
+            .otherwise(F.round(F.col("c_acctbal") * 100.0, 0).cast("bigint"))
+            .alias("bal_cents"),
+        )
+        .unionAll(
+            changes.filter(F.col("op") == "I").select(
+                "key", F.lit("NEW").alias("segment"),
+                F.col("amount_cents").alias("bal_cents"),
+            )
+        )
+    )
+    return (
+        merged.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+        )
+        .orderBy("segment")
+    )
