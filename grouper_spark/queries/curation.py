@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, Window, functions as F
 
+from ..operators.core import ensure_parallelism
 from ..functions.text import (
     normalized_text,
     token_count,
@@ -78,13 +79,20 @@ def q84_decontaminate(spark, sf_dir):
     an all-pairs scan. At 100 TB: one shuffle to dedup the (small) eval
     gram set, one equi-join shuffle on the gram key; AQE picks broadcast
     when the eval set fits."""
-    d = table(spark, sf_dir, "documents")
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id", "source", word_shingles("text", 5).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
-    ex = sh.select(
-        "doc_id", "source", "n_grams", F.explode_outer("grams").alias("g")
-    ).filter(F.col("g").isNotNull())
+    # both the eval-gram dedup branch and the train side consume the
+    # exploded gram table — checkpoint it so the CPU-dense shingling
+    # runs once, not once per branch
+    ex = (
+        sh.select(
+            "doc_id", "source", "n_grams", F.explode_outer("grams").alias("g")
+        )
+        .filter(F.col("g").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     eval_grams = ex.filter(F.col("source") == "src0").select("g").distinct()
     train = ex.filter(F.col("source") != "src0")
     hits = (
@@ -150,7 +158,7 @@ def q85_repetition_quality(spark, sf_dir):
     repetition flag. Map-side-combined groupBys on (doc, gram) — no
     windows, no UDFs; flags computed from the ROUNDED fractions so both
     engines threshold identical values."""
-    d = table(spark, sf_dir, "documents")
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
     # The token branch and the bigram branch each scan+tokenize the text
     # column (two map passes). Deliberate: sharing one exploded frame
     # would need a per-doc sort shuffle (lead() window) that costs more

@@ -291,11 +291,18 @@ def q66_fuzzy_join(spark, sf_dir):
     head = F.substring(
         F.regexp_replace("text", r"[^\x00-\x7F]", ""), 1, 40
     )
+    # The word-soup vocabulary yields only ~25 distinct 4-char blocks, so
+    # the blk shuffle is tiny and AQE coalesces it to ~1 partition RIGHT
+    # BEFORE the quadratic in-block verify — a user repartition (AQE-
+    # exempt) keeps the O(b²) Levenshtein stage spread across the
+    # cluster. The 3-arg thresholded levenshtein runs the banded
+    # O(len·k) algorithm and still returns the exact distance for every
+    # pair within the bound, which is the only set the query keeps.
     a = d.select(
         F.col("doc_id").alias("doc_a"),
         F.substring(head, 1, 4).alias("blk"),
         head.alias("head_a"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "blk")
     b = d.select(
         F.col("doc_id").alias("doc_b"),
         F.substring(head, 1, 4).alias("blk"),
@@ -307,9 +314,9 @@ def q66_fuzzy_join(spark, sf_dir):
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("head_a", "head_b").alias("edit_dist"),
+            F.levenshtein("head_a", "head_b", 10).alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 10)
+        .filter(F.col("edit_dist") >= 0)
         .orderBy("doc_a", "doc_b")
     )
 
