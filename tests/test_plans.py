@@ -466,3 +466,64 @@ def test_q190_fact_scan_is_dynamically_pruned(spark, sf_dir, registry):
     df = registry["q190_dynamic_partition_pruning"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_q194_fact_prefilter_has_no_exchange_before_join(
+    spark, sf_dir, registry
+):
+    """The Bloom bitmap is an embedded literal, so the lineitem side
+    must reach the probe filter with zero exchanges: scan -> filter ->
+    (broadcast semi-join). Only the aggregate's exchange may touch the
+    fact stream."""
+    df = registry["q194_bloom_prefiltered_join"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly one hash exchange: the final groupBy(l_returnflag)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_q198_token_join_is_equi_not_cartesian(spark, sf_dir, registry):
+    """TF-IDF kNN pairs come from the posting-list equi-join on the
+    token — a cartesian/BNLJ product would be the n^2 formulation."""
+    df = registry["q198_tfidf_knn"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q199_band_join_is_equi_not_cartesian(spark, sf_dir, registry):
+    """pHash candidates come from the banded equi-join, and the corpus
+    is checkpointed once for the four band branches + verify."""
+    df = registry["q199_phash_neardup"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # band branches + verify read the checkpointed pHash table, never
+    # the parquet source
+    assert plan.count("FileScan parquet") == 0, plan
+
+
+def test_q66_verify_stage_not_coalesced_to_one_partition(
+    spark, sf_dir, registry
+):
+    """The blocking key has ~25 distinct values, so without the user
+    repartition AQE shrinks the verify stage to ~1 task; the explicit
+    repartition must survive in the plan."""
+    df = registry["q66_fuzzy_join"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan or (
+        "hashpartitioning(blk" in plan
+    ), plan
+
+
+def test_cooccurrence_posting_fanout_is_repartitioned(spark):
+    """The posting table is bucket-count sized; the pair fan-out must
+    run on a redistributed stage, not the AQE-coalesced aggregate
+    output (the single-core fan-out regression)."""
+    from grouper_spark.operators.dedup import cooccurrence_pairs
+
+    rows = [(u, "t", d) for u in range(200) for d in ("d1", "d2")]
+    df = spark.createDataFrame(rows, ["uid", "et", "d"])
+    pairs = cooccurrence_pairs(df, "uid", ["et", "d"], max_bucket=4096)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan or "REPARTITION_BY_NUM" in plan, plan
