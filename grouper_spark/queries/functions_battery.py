@@ -460,3 +460,147 @@ def q186_vector_fns(spark, sf_dir):
         .orderBy("vec_id")
         .limit(200)
     )
+
+
+@query(
+    "q202_variant_shred",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(json_extract_string(props::JSON, '$.k')::BIGINT)
+            AS BIGINT) AS sum_k,
+       CAST(MIN(json_extract_string(props::JSON, '$.k')::BIGINT)
+            AS BIGINT) AS min_k,
+       CAST(MAX(json_extract_string(props::JSON, '$.k')::BIGINT)
+            AS BIGINT) AS max_k,
+       CAST(SUM(CASE WHEN json_extract_string(props::JSON, '$.missing')
+                          IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_extra
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("functions", "json"),
+)
+def q202_variant_shred(spark, sf_dir):
+    """Spark 4 VARIANT shredding: ``parse_json`` turns the JSON payload
+    column into the binary semi-structured VARIANT type once (the
+    open-format encoding Parquet shredding targets), then typed
+    ``variant_get`` paths extract fields WITHOUT a schema declaration —
+    the schema-on-read upgrade over from_json for payloads whose shape
+    drifts. Missing paths yield NULL (counted per group as the drift
+    audit). All extraction is codegen; one grouped aggregate."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "bigint")
+    missing = F.variant_get("v", "$.missing", "string")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.min(k).cast("bigint").alias("min_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+            F.sum(F.when(missing.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_no_extra"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q203_xml_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey < 5000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("functions", "formats"),
+)
+def q203_xml_roundtrip(spark, sf_dir):
+    """XML ingestion surface (Spark 4 native ``from_xml`` + xpath): the
+    order header is serialized to an XML fragment per row and parsed
+    BACK through a typed schema, and the aggregate runs entirely on the
+    parsed struct — a lossless round-trip proof for the XML reader path
+    (the federation twin of q192's CSV/JSON round trips; DuckDB has no
+    XML, so the oracle states the identity the round trip must
+    preserve). Status additionally re-extracted via xpath_string and
+    used as the group key, so both XML access paths are exercised."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</key><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><cents>"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint").cast("string"),
+        F.lit("</cents></order>"),
+    )
+    doc = o.select(xml.alias("doc"))
+    parsed = doc.select(
+        F.from_xml("doc", "key BIGINT, status STRING, cents BIGINT").alias("r"),
+        F.xpath_string("doc", F.lit("/order/status")).alias("status_xpath"),
+    )
+    return (
+        parsed.groupBy(F.col("status_xpath").alias("o_orderstatus"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("r.cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q204_try_arithmetic",
+    oracle="""
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN l_discount = 0.0 THEN NULL
+                     ELSE CAST(ROUND(l_extendedprice / l_discount, 0) AS BIGINT)
+                END) AS BIGINT) AS sum_ratio,
+       CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_null,
+       CAST(SUM(CASE WHEN l_quantity * 100000000000000000 >
+                          9223372036854775807 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mul_overflow
+FROM lineitem
+GROUP BY l_linenumber
+ORDER BY l_linenumber
+""",
+    tags=("functions",),
+)
+def q204_try_arithmetic(spark, sf_dir):
+    """ANSI-safe ``try_*`` arithmetic battery: ``try_divide`` yields
+    NULL on division by zero (never a job-killing exception under ANSI
+    mode) and ``try_multiply`` yields NULL on BIGINT overflow — the
+    error-as-value arithmetic a curation pipeline needs so one poisoned
+    row cannot fail a 100 TB job. The oracle states the same semantics
+    with explicit CASE guards; null-vs-overflow counts are aggregated
+    per line number so every branch is exercised."""
+    li = table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    big = F.try_multiply(
+        F.col("l_quantity").cast("bigint"), F.lit(100000000000000000).cast("bigint")
+    )
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.round(ratio, 0).cast("bigint")).cast("bigint").alias("sum_ratio"),
+            F.sum(F.when(ratio.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_div_null"),
+            F.sum(F.when(big.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_mul_overflow"),
+        )
+        .orderBy("l_linenumber")
+    )

@@ -190,3 +190,81 @@ def q193_python_udtf(spark, sf_dir):
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+@query(
+    "q201_cogroup_reconcile",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS ord_cents
+  FROM orders WHERE o_orderkey < 500
+), l AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS line_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem WHERE l_orderkey < 500
+  GROUP BY l_orderkey
+)
+SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+       o.ord_cents,
+       CAST(COALESCE(l.line_cents, 0) AS BIGINT) AS line_cents,
+       CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+       o.ord_cents - COALESCE(l.line_cents, 0) AS diff_cents
+FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+ORDER BY o_orderkey
+""",
+    tags=("udf", "join"),
+)
+def q201_cogroup_reconcile(spark, sf_dir):
+    """Cogrouped ``applyInPandas`` — Spark's two-sided Arrow batch UDF
+    surface: orders and their lineitems are co-partitioned on the order
+    key and handed to ONE pandas function per key as two aligned frames
+    (the reconciliation shape: header total vs sum of lines). Keys
+    present on either side still produce a row (full-outer cogroup
+    semantics), matching the oracle's FULL OUTER formulation. Scale:
+    one co-shuffle on the key, Arrow-batched transfer, and the pandas
+    body is per-key bounded — the documented pattern for custom
+    two-input per-key logic Catalyst can't express."""
+    cents = lambda c: F.round(F.col(c) * 100.0, 0).cast("bigint")  # noqa: E731
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", cents("o_totalprice").alias("ord_cents"))
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select("l_orderkey", cents("l_extendedprice").alias("line_cents"))
+    )
+
+    def recon(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        ord_cents = int(odf["ord_cents"].iloc[0]) if len(odf) else None
+        line_cents = int(ldf["line_cents"].sum()) if len(ldf) else 0
+        return pd.DataFrame(
+            [
+                {
+                    "o_orderkey": int(key[0]),
+                    "ord_cents": ord_cents,
+                    "line_cents": line_cents,
+                    "n_lines": len(ldf),
+                    "diff_cents": (
+                        ord_cents - line_cents if ord_cents is not None else None
+                    ),
+                }
+            ]
+        )
+
+    out = (
+        o.groupby("o_orderkey")
+        .cogroup(li.groupby("l_orderkey"))
+        .applyInPandas(
+            recon,
+            schema=(
+                "o_orderkey long, ord_cents long, line_cents long, "
+                "n_lines long, diff_cents long"
+            ),
+        )
+    )
+    return out.orderBy("o_orderkey")
