@@ -268,3 +268,111 @@ def q201_cogroup_reconcile(spark, sf_dir):
         )
     )
     return out.orderBy("o_orderkey")
+
+
+@query(
+    "q205_grouped_agg_udf",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(exp(CAST(SUM(CAST(ROUND(ln(CAST(ROUND(o_totalprice * 100.0, 0)
+                                          AS BIGINT)) * 1000000.0, 0)
+                               AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*)), 2) AS geomean_cents_r
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("udf", "agg"),
+)
+def q205_grouped_agg_udf(spark, sf_dir):
+    """GROUPED_AGG pandas UDF — the vectorized custom-aggregate surface
+    (one Arrow batch of group values in, one scalar out), here a
+    geometric mean of order value. The UDF accumulates per-value
+    ln() fixed-pointed to integer micro-units and sums in int64, so the
+    aggregate is order-independent and engine-exact despite the
+    distributed group partitioning; the single exp() runs on the exact
+    integer sum. Composes with built-in aggregates in the same
+    groupBy().agg() call (count rides along)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def ln_micro_sum(v: pd.Series) -> float:
+        ln = np.log(v.to_numpy(dtype=np.float64))
+        return float(np.round(ln * 1e6).astype(np.int64).sum())
+
+    # GROUPED_AGG UDFs cannot mix with built-in aggregates in one agg();
+    # the count therefore also runs as a (trivial) pandas aggregate
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    return (
+        orders.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            n_rows("cents").alias("n_orders"),
+            F.round(
+                F.exp(ln_micro_sum("cents") / 1e6 / n_rows("cents")), 2
+            ).alias("geomean_cents_r"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q206_mapinarrow_kernel",
+    oracle="""
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0, 0)
+                     AS BIGINT)) AS BIGINT) AS net_cents
+FROM lineitem
+GROUP BY l_linenumber
+ORDER BY l_linenumber
+""",
+    tags=("udf", "arrow"),
+)
+def q206_mapinarrow_kernel(spark, sf_dir):
+    """``mapInArrow`` — the zero-copy RecordBatch UDF surface: each
+    Arrow batch is transformed with pyarrow.compute kernels (no pandas
+    materialization, no per-row Python). The kernel emits integer net
+    cents per row (round mode pinned to half-away-from-zero to match
+    SQL ROUND); Spark then aggregates the kernel output with ordinary
+    built-ins — the hybrid shape for custom columnar math feeding a
+    relational tail. Scale: kernel cost is linear per batch, pipeline
+    stays Arrow end-to-end, one group exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            net = pc.multiply(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                ),
+                pa.scalar(100.0),
+            )
+            cents = pc.cast(
+                pc.round(net, ndigits=0, round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_linenumber"), cents], ["l_linenumber", "net_cents"]
+            )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    out = li.mapInArrow(kernel, "l_linenumber int, net_cents long")
+    return (
+        out.groupBy("l_linenumber")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("net_cents").cast("bigint").alias("net_cents"),
+        )
+        .orderBy("l_linenumber")
+    )
