@@ -154,3 +154,97 @@ def test_property_cooccurrence_pairs_matches_reference(spark, rows, cap):
                 p = (members[i], members[j])
                 want[p] = want.get(p, 0) + 1
     assert got == want
+
+
+@given(
+    dim_keys=st.lists(st.integers(0, 50), min_size=0, max_size=20),
+    fact_keys=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_property_bloom_prefilter_never_drops_a_match(spark, dim_keys, fact_keys):
+    """A Bloom filter has false positives but NEVER false negatives:
+    for any dim key set, prefilter(fact) ⊇ fact ⋉ dim, so the
+    prefilter + exact semi-join pipeline equals the plain semi-join
+    (the q194 construction, minimized)."""
+    from pyspark.sql import functions as F
+
+    m_bits, k_seeds = 1 << 10, 4
+    bitmap = [0] * (m_bits // 64)
+    # build bitmap with Spark's own xxhash64 so probe and build agree
+    dim = spark.createDataFrame([(k,) for k in dim_keys] or [], "k long")
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.concat(F.lit(f"bf{s}|"), F.col("k").cast("string"))),
+                        F.lit(m_bits),
+                    )
+                    for s in range(k_seeds)
+                ]
+            )
+        ).alias("pos")
+    )
+    for r in (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    ):
+        bitmap[r["w"]] = r["mask"]
+
+    blit = F.array(*[F.lit(x).cast("long") for x in bitmap])
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "k long")
+    probe = fact.withColumn("__bf", blit)
+    cond = F.lit(True)
+    for s in range(k_seeds):
+        p = F.pmod(
+            F.xxhash64(F.concat(F.lit(f"bf{s}|"), F.col("k").cast("string"))),
+            F.lit(m_bits),
+        )
+        word = F.element_at("__bf", (p / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(1L, CAST(pmod(xxhash64(concat('bf{s}|', CAST(k AS STRING))), {m_bits}) % 64 AS INT))"
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    surviving = sorted(r["k"] for r in probe.filter(cond).collect())
+    matches = sorted(k for k in fact_keys if k in set(dim_keys))
+    # no false negatives: every true match survives the prefilter
+    assert set(matches) <= set(surviving)
+    # end-to-end exactness: prefilter + exact semi-join == semi-join
+    exact = sorted(
+        r["k"]
+        for r in probe.filter(cond)
+        .join(dim.distinct(), "k", "left_semi")
+        .collect()
+    )
+    assert exact == matches
+
+
+@given(
+    members=st.lists(st.integers(0, 30), min_size=0, max_size=25, unique=True),
+)
+@settings(**_SETTINGS)
+def test_property_cooccurrence_pair_stream_is_exact_half(spark, members):
+    """One bucket of n distinct members must yield exactly C(n,2) pairs
+    with u < v and i = 1 — the sorted-slice explode must not duplicate
+    or drop pairs."""
+    from grouper_spark.operators.dedup import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        [(u, "b", "d") for u in members] or [], "uid long, et string, d string"
+    )
+    got = {
+        (r["u"], r["v"]): r["i"]
+        for r in cooccurrence_pairs(df, "uid", ["et", "d"], max_bucket=4096).collect()
+    }
+    want = {
+        (a, b): 1
+        for a in members
+        for b in members
+        if a < b
+    }
+    assert got == want
