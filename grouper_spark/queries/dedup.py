@@ -641,3 +641,79 @@ def q188_multipass_blocking(spark, sf_dir):
         .orderBy(F.col("score").desc(), "cust_a", "cust_b")
         .limit(100)
     )
+
+
+@query(
+    "q208_sorted_neighborhood",
+    oracle="""
+WITH s AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) AS bal_cents,
+         lead(c_custkey, 1) OVER w AS nk1,
+         lead(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT), 1) OVER w AS nb1,
+         lead(c_custkey, 2) OVER w AS nk2,
+         lead(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT), 2) OVER w AS nb2
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey
+               ORDER BY CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT),
+                        c_custkey)
+), pairs AS (
+  SELECT c_nationkey, c_custkey AS key_a, nk1 AS key_b,
+         abs(nb1 - bal_cents) AS gap_cents
+  FROM s WHERE nk1 IS NOT NULL
+  UNION ALL
+  SELECT c_nationkey, c_custkey, nk2, abs(nb2 - bal_cents)
+  FROM s WHERE nk2 IS NOT NULL
+)
+SELECT c_nationkey, key_a, key_b, CAST(gap_cents AS BIGINT) AS gap_cents,
+       CAST(gap_cents <= 500 AS INT) AS candidate
+FROM pairs
+ORDER BY c_nationkey, key_a, key_b
+""",
+    tags=("dedup", "linkage"),
+)
+def q208_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (the third blocking family next to
+    q179's key blocking and q188's multi-pass union): records sorted by
+    a proximity key — account balance within nation — are paired with
+    their w = 2 forward neighbors via lead() frames, so candidate count
+    is exactly w·n instead of the block-size-squared risk key blocking
+    carries. The sort is PARTITIONED (per-nation windows): one shuffle
+    on the partition key and each window sorts locally — never a global
+    total order. Near-zero balance gaps flag linkage candidates."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal") * 100.0, 0).cast("bigint")
+    s = c.select("c_custkey", "c_nationkey", bal.alias("bal_cents"))
+    w = Window.partitionBy("c_nationkey").orderBy("bal_cents", "c_custkey")
+    s = s.select(
+        "*",
+        F.lead("c_custkey", 1).over(w).alias("nk1"),
+        F.lead("bal_cents", 1).over(w).alias("nb1"),
+        F.lead("c_custkey", 2).over(w).alias("nk2"),
+        F.lead("bal_cents", 2).over(w).alias("nb2"),
+    )
+    p1 = s.filter(F.col("nk1").isNotNull()).select(
+        "c_nationkey",
+        F.col("c_custkey").alias("key_a"),
+        F.col("nk1").alias("key_b"),
+        F.abs(F.col("nb1") - F.col("bal_cents")).alias("gap_cents"),
+    )
+    p2 = s.filter(F.col("nk2").isNotNull()).select(
+        "c_nationkey",
+        F.col("c_custkey").alias("key_a"),
+        F.col("nk2").alias("key_b"),
+        F.abs(F.col("nb2") - F.col("bal_cents")).alias("gap_cents"),
+    )
+    return (
+        p1.unionAll(p2)
+        .select(
+            "c_nationkey",
+            "key_a",
+            "key_b",
+            F.col("gap_cents").cast("bigint").alias("gap_cents"),
+            (F.col("gap_cents") <= 500).cast("int").alias("candidate"),
+        )
+        .orderBy("c_nationkey", "key_a", "key_b")
+    )

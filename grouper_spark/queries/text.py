@@ -544,3 +544,61 @@ def q184_conversation_assembly(spark, sf_dir):
         "sequence",
         F.length("sequence").cast("bigint").alias("seq_chars"),
     ).orderBy("user_id")
+
+
+@query(
+    "q207_doc_chunking",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), chunks AS (
+  SELECT doc_id, len(t) AS n_tok,
+         unnest(generate_series(0, len(t) - 1, 24)) AS start_tok, t
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(start_tok // 24 AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least(32, n_tok - start_tok) AS BIGINT) AS n_tok,
+       md5(array_to_string(list_slice(t, start_tok + 1, start_tok + 32), ' '))
+         AS chunk_md5
+FROM chunks
+WHERE doc_id < 100
+ORDER BY doc_id, chunk_idx
+""",
+    tags=("text", "curation"),
+)
+def q207_doc_chunking(spark, sf_dir):
+    """RAG-prep document chunking: overlapping token windows (size 32,
+    stride 24 — 8 tokens of overlap) with stable (doc_id, chunk_idx)
+    identity and a content hash per chunk. The chunk boundary math is a
+    per-row ``sequence`` + ``slice`` in codegen — embarrassingly
+    parallel, no shuffle until the (bounded) output sort — and the md5
+    proves content equality against the oracle without shipping chunk
+    text through the comparison. The same shape feeds an embedding
+    UDF at 100 TB: chunks stream out of the explode straight into the
+    encoder's mapInPandas."""
+    from ..operators.core import ensure_parallelism
+
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    t = d.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(24))
+    ch = t.select(
+        "doc_id", F.size("t").alias("n_tok"), F.explode(starts).alias("start_tok"), "t"
+    )
+    return (
+        ch.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            (F.col("start_tok") / 24).cast("bigint").alias("chunk_idx"),
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            F.least(F.lit(32), F.col("n_tok") - F.col("start_tok"))
+            .cast("bigint")
+            .alias("n_tok"),
+            F.md5(
+                F.array_join(F.slice("t", F.col("start_tok") + 1, 32), " ")
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
