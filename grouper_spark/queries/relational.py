@@ -502,3 +502,98 @@ def q73_stats(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q209_global_row_numbering",
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+         AS global_idx
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("relational", "scale"),
+)
+def q209_global_row_numbering(spark, sf_dir):
+    """Stable global row ids WITHOUT a global sort — the distributed
+    zipWithIndex pattern: (1) per-group counts aggregate to a
+    group-count-sized table; (2) cumulative offsets over that tiny
+    table (the only ordered step — group-count rows, not corpus rows);
+    (3) offsets broadcast back and each group numbers itself
+    independently with a PARTITIONED window. The naive formulation —
+    row_number() over a global ORDER BY (the oracle's wording) — funnels
+    the corpus through one reducer; this plan's widest ordered
+    computation is group-count sized at any corpus scale."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    woff = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "source", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("offset")
+    )
+    wlocal = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(offsets), "source")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.row_number().over(wlocal) - 1)
+            .cast("bigint")
+            .alias("global_idx"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q210_null_safe_compare",
+    oracle="""
+WITH j AS (
+  SELECT props::JSON AS p, event_type, value,
+         CASE WHEN json_extract_string(props::JSON, '$.k')::BIGINT % 3 = 0
+              THEN NULL
+              ELSE json_extract_string(props::JSON, '$.k')::BIGINT % 5
+         END AS grp
+  FROM events
+)
+SELECT a.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM j a JOIN j b
+  ON a.grp IS NOT DISTINCT FROM b.grp
+ AND a.event_type = b.event_type
+GROUP BY a.event_type
+ORDER BY a.event_type
+""",
+    tags=("relational", "join"),
+)
+def q210_null_safe_compare(spark, sf_dir):
+    """Null-safe equality (``<=>`` / IS NOT DISTINCT FROM) as a JOIN
+    key: NULL matches NULL, so null-group rows pair with each other
+    instead of silently dropping — the semantics entity-resolution
+    joins on optional attributes need. Spark plans the null-safe
+    equi-condition as a hash join on a null-wrapped key (never a
+    nested-loop); counts per event type prove the NULL x NULL block
+    participates."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    j = ev.select(
+        "event_type",
+        F.when(k % 3 == 0, F.lit(None).cast("bigint")).otherwise(k % 5).alias(
+            "grp"
+        ),
+    )
+    a = j.alias("a")
+    b = j.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.grp").eqNullSafe(F.col("b.grp")))
+            & (F.col("a.event_type") == F.col("b.event_type")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("event_type")
+    )
