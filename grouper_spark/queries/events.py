@@ -230,10 +230,15 @@ def q67_funnel(spark, sf_dir):
     user_id, so at scale the shuffles co-locate and AQE can reuse the
     exchange."""
     e = table(spark, sf_dir, "events")
+    # s and c each feed BOTH the next stage and the final funnel join;
+    # checkpoint the (user-count sized) stage outputs so each stage's
+    # scan+aggregate subtree executes once, not once per reference
+    # (6 duplicated event scans without this)
     s = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("s_ts"))
+        .localCheckpoint(eager=False)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -241,6 +246,7 @@ def q67_funnel(spark, sf_dir):
         .filter(F.col("ts") >= F.col("s_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=False)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")

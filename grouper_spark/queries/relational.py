@@ -411,8 +411,18 @@ def q69_set_ops_all(spark, sf_dir):
     variants. Both compile to a single aggregate on the value with
     min/diff of per-side counts — one shuffle each."""
     o = table(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    # each side feeds BOTH set operators; checkpoint the single-column
+    # projections so the scan runs once per side, not once per operator
+    a = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .localCheckpoint(eager=False)
+    )
+    b = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .localCheckpoint(eager=False)
+    )
     inter = (
         a.intersectAll(b)
         .groupBy("o_custkey")
