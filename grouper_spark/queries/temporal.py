@@ -680,3 +680,150 @@ def q175_session_gaps(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q211_time_weighted_average",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS d,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS v_cents,
+         epoch_us(CAST(lead(ts) OVER (PARTITION BY event_type,
+                                                   date_trunc('day', ts)
+                                      ORDER BY ts, event_id) AS TIMESTAMP))
+           // 1000000
+           - epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS hold_s
+  FROM events
+)
+SELECT event_type, CAST(d AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(v_cents * hold_s) AS BIGINT) AS weighted_cents_s,
+       CAST(SUM(hold_s) AS BIGINT) AS total_s,
+       round(CAST(SUM(v_cents * hold_s) AS DOUBLE)
+             / NULLIF(SUM(hold_s), 0) / 100.0, 4) AS twap_r
+FROM seq
+WHERE hold_s IS NOT NULL
+GROUP BY event_type, d
+ORDER BY event_type, day
+""",
+    tags=("temporal", "analytics"),
+)
+def q211_time_weighted_average(spark, sf_dir):
+    """Time-weighted average (TWAP): each observation's value is
+    weighted by how long it HELD — the seconds until the next
+    observation of the same (event_type, day) series — so irregular
+    sampling doesn't bias the mean toward burst periods (the metric
+    convention for prices and gauges). One lead() frame per series
+    partition computes holds (single shuffle on the series key, which
+    the following aggregate reuses); weights are integer cents x
+    integer seconds, so the weighted sums are exact BIGINTs and the
+    single terminal division is engine-stable."""
+    ev = table(spark, sf_dir, "events")
+    d = F.date_trunc("day", "ts")
+    w = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        d.alias("d"),
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v_cents"),
+        "ts",
+        "event_id",
+    ).withColumn(
+        "hold_s",
+        (
+            F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp("ts")
+        ),
+    )
+    return (
+        seq.filter(F.col("hold_s").isNotNull())
+        .groupBy("event_type", F.col("d").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum(F.col("v_cents") * F.col("hold_s"))
+            .cast("bigint")
+            .alias("weighted_cents_s"),
+            F.sum("hold_s").cast("bigint").alias("total_s"),
+            F.round(
+                F.sum(F.col("v_cents") * F.col("hold_s")).cast("double")
+                / F.nullif(F.sum("hold_s"), F.lit(0))
+                / 100.0,
+                4,
+            ).alias("twap_r"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "q212_interval_day_split",
+    oracle="""
+WITH sess AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) AS s_start,
+         CAST(ts AS TIMESTAMP)
+           + to_seconds(CAST(1800 + (event_id % 7200) AS BIGINT)) AS s_end,
+         event_id
+  FROM events WHERE event_type = 'signup'
+), days AS (
+  SELECT user_id, event_id, s_start, s_end,
+         unnest(generate_series(date_trunc('day', s_start),
+                                date_trunc('day', s_end),
+                                INTERVAL 1 DAY)) AS day0
+  FROM sess
+)
+SELECT user_id, event_id, CAST(day0 AS DATE) AS day,
+       CAST(epoch_us(least(s_end, day0 + INTERVAL 1 DAY)) // 1000000
+            - epoch_us(greatest(s_start, day0)) // 1000000
+            AS BIGINT) AS seconds_in_day
+FROM days
+ORDER BY user_id, event_id, day
+""",
+    tags=("temporal",),
+)
+def q212_interval_day_split(spark, sf_dir):
+    """Interval splitting at day boundaries — the proration twin of
+    interval MERGING (q127): each synthetic session (deterministic
+    duration from the event id) is exploded into one fragment per
+    calendar day it touches, with exact per-day seconds
+    (clamp(end, next-midnight) - clamp(start, midnight)). The day list
+    is a per-row ``sequence`` over day-truncated bounds — explode
+    fan-out is bounded by session length in days, never corpus-sized;
+    the arithmetic is integer epoch seconds end-to-end. This is how
+    usage metering, SLA attribution, and billing proration distribute
+    a duration across accounting periods."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s_start"),
+        (
+            F.col("ts")
+            + (F.lit(1800) + F.col("event_id") % 7200).cast("long").cast(
+                "interval second"
+            )
+        ).alias("s_end"),
+    )
+    days = sess.withColumn(
+        "day0",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "s_start"),
+                F.date_trunc("day", "s_end"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    return days.select(
+        "user_id",
+        "event_id",
+        F.col("day0").cast("date").alias("day"),
+        (
+            F.unix_timestamp(
+                F.least(F.col("s_end"), F.col("day0") + F.expr("INTERVAL 1 DAY"))
+            )
+            - F.unix_timestamp(F.greatest(F.col("s_start"), F.col("day0")))
+        )
+        .cast("bigint")
+        .alias("seconds_in_day"),
+    ).orderBy("user_id", "event_id", "day")
