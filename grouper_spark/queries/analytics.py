@@ -810,3 +810,80 @@ def q182_join_skew_profile(spark, sf_dir):
         .orderBy(F.col("n_rows").desc(), "l_orderkey")
         .limit(25)
     )
+
+
+@query(
+    "q213_basket_lift",
+    oracle="""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 50 AS item FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+), freq AS (
+  SELECT item, COUNT(*) AS f FROM basket GROUP BY item
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS supp
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, CAST(p.supp AS BIGINT) AS support,
+       round(CAST(p.supp AS DOUBLE) * (SELECT n_orders FROM n)
+             / fa.f / fb.f, 4) AS lift_r
+FROM pairs p
+JOIN freq fa ON fa.item = p.item_a
+JOIN freq fb ON fb.item = p.item_b
+WHERE p.supp >= 3
+ORDER BY lift_r DESC, item_a, item_b
+LIMIT 50
+""",
+    tags=("analytics", "similarity"),
+)
+def q213_basket_lift(spark, sf_dir):
+    """Market-basket co-occurrence lift: item pairs that appear in the
+    same order more often than independence predicts
+    (lift = P(a,b) / P(a)P(b)). Pair generation is the posting-list
+    self-join ON THE ORDER KEY — candidates are bounded by
+    (basket size)² per order, never item-catalog², which is the
+    association-mining scale shape; item marginals are an item-count
+    sized aggregate broadcast into the lift join. A support floor
+    prunes noise pairs before ranking. Items are bucketed part keys so
+    baskets overlap at fixture scale; real catalogs plug in the raw
+    key."""
+    li = table(spark, sf_dir, "lineitem")
+    basket = (
+        li.select("l_orderkey", (F.col("l_partkey") % 50).alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds both join sides + marginals
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    freq = basket.groupBy("item").agg(F.count("*").alias("f"))
+    a = basket.select(F.col("l_orderkey").alias("k"), F.col("item").alias("item_a"))
+    b = basket.select(F.col("l_orderkey").alias("k"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("supp"))
+        .filter(F.col("supp") >= 3)
+    )
+    fa = freq.select(F.col("item").alias("item_a"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("f").alias("fb"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("supp").cast("bigint").alias("support"),
+            F.round(
+                F.col("supp").cast("double")
+                * F.lit(n_orders)
+                / F.col("fa")
+                / F.col("fb"),
+                4,
+            ).alias("lift_r"),
+        )
+        .orderBy(F.col("lift_r").desc(), "item_a", "item_b")
+        .limit(50)
+    )
