@@ -562,18 +562,20 @@ def q209_global_row_numbering(spark, sf_dir):
     "q210_null_safe_compare",
     oracle="""
 WITH j AS (
-  SELECT props::JSON AS p, event_type, value,
+  SELECT event_type,
          CASE WHEN json_extract_string(props::JSON, '$.k')::BIGINT % 3 = 0
               THEN NULL
               ELSE json_extract_string(props::JSON, '$.k')::BIGINT % 5
          END AS grp
   FROM events
+), g AS (
+  SELECT event_type, grp, COUNT(*) AS n FROM j GROUP BY event_type, grp
 )
 SELECT a.event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs
-FROM j a JOIN j b
-  ON a.grp IS NOT DISTINCT FROM b.grp
- AND a.event_type = b.event_type
+       CAST(SUM(g.n) AS BIGINT) AS n_pairs
+FROM j a JOIN g
+  ON a.grp IS NOT DISTINCT FROM g.grp
+ AND a.event_type = g.event_type
 GROUP BY a.event_type
 ORDER BY a.event_type
 """,
@@ -594,16 +596,20 @@ def q210_null_safe_compare(spark, sf_dir):
         F.when(k % 3 == 0, F.lit(None).cast("bigint")).otherwise(k % 5).alias(
             "grp"
         ),
-    )
+    ).localCheckpoint(eager=False)  # fact side + the aggregate derive from it
+    # the null-safe join runs fact-vs-AGGREGATE (group-count sized,
+    # broadcast), never fact-vs-fact: sum of per-group counts equals the
+    # row-pair count exactly, without materializing the quadratic pair
+    # stream (the row x row formulation is 300M+ rows at sf0.1)
+    g = j.groupBy("event_type", "grp").agg(F.count("*").alias("n"))
     a = j.alias("a")
-    b = j.alias("b")
     return (
         a.join(
-            b,
-            (F.col("a.grp").eqNullSafe(F.col("b.grp")))
-            & (F.col("a.event_type") == F.col("b.event_type")),
+            F.broadcast(g.alias("g")),
+            (F.col("a.grp").eqNullSafe(F.col("g.grp")))
+            & (F.col("a.event_type") == F.col("g.event_type")),
         )
         .groupBy(F.col("a.event_type").alias("event_type"))
-        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .agg(F.sum("n").cast("bigint").alias("n_pairs"))
         .orderBy("event_type")
     )
