@@ -887,3 +887,64 @@ def q213_basket_lift(spark, sf_dir):
         .orderBy(F.col("lift_r").desc(), "item_a", "item_b")
         .limit(50)
     )
+
+
+@query(
+    "q214_percent_of_parent",
+    oracle="""
+WITH base AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS bal_cents
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, bal_cents,
+       round(CAST(bal_cents AS DOUBLE)
+             / SUM(bal_cents) OVER (PARTITION BY r_name), 6) AS pct_of_region,
+       round(CAST(bal_cents AS DOUBLE)
+             / SUM(bal_cents) OVER (), 6) AS pct_of_total
+FROM base
+ORDER BY r_name, n_name
+""",
+    tags=("analytics", "window"),
+)
+def q214_percent_of_parent(spark, sf_dir):
+    """Percent-of-parent hierarchical shares: each nation's balance as
+    a share of its region and of the grand total — the drill-down
+    normalization every BI rollup needs. Shares are windows over the
+    AGGREGATE (nation-count sized), so the corpus is touched exactly
+    once by the base groupBy; the empty-frame total window is a
+    single-partition pass over ~25 rows, not over the fact table.
+    Numerators/denominators are exact integer cents; only the two
+    terminal divisions are floating."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    base = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("c_acctbal") * 100.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_cents")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy()
+    return base.select(
+        "r_name",
+        "n_name",
+        "bal_cents",
+        F.round(
+            F.col("bal_cents").cast("double") / F.sum("bal_cents").over(wr), 6
+        ).alias("pct_of_region"),
+        F.round(
+            F.col("bal_cents").cast("double") / F.sum("bal_cents").over(wt), 6
+        ).alias("pct_of_total"),
+    ).orderBy("r_name", "n_name")

@@ -827,3 +827,64 @@ def q212_interval_day_split(spark, sf_dir):
         .cast("bigint")
         .alias("seconds_in_day"),
     ).orderBy("user_id", "event_id", "day")
+
+
+@query(
+    "q215_calendar_gap_fill",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.event_type, s.day,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+       CAST(d.n IS NULL AS INT) AS gap_filled
+FROM spine s LEFT JOIN daily d
+  ON d.event_type = s.event_type AND d.day = s.day
+ORDER BY s.event_type, s.day
+""",
+    tags=("temporal",),
+)
+def q215_calendar_gap_fill(spark, sf_dir):
+    """Calendar-spine gap filling: densify each series to one row per
+    calendar day between its first and last observation, zero-filling
+    missing days — the preprocessing every window/forecast pass needs
+    so absent days read as 0, not as skipped frames. The spine
+    generates from the per-series [min, max] BOUNDS table (series-count
+    sized) via a per-row day sequence — days-per-series fan-out, never
+    a global calendar cross-join; the fill is one left join back onto
+    the daily aggregate, which reuses the same (type, day) shuffle."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # feeds bounds + the fill join
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().cast("int").alias("gap_filled"),
+        )
+        .orderBy("event_type", "day")
+    )
