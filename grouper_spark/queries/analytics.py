@@ -948,3 +948,115 @@ def q214_percent_of_parent(spark, sf_dir):
             F.col("bal_cents").cast("double") / F.sum("bal_cents").over(wt), 6
         ).alias("pct_of_total"),
     ).orderBy("r_name", "n_name")
+
+
+@query(
+    "q217_pareto_skyline",
+    oracle="""
+WITH pts AS (
+  SELECT p_partkey, p_size,
+         CAST(ROUND(p_retailprice * 100.0, 0) AS BIGINT) AS price_cents
+  FROM part
+), ranked AS (
+  SELECT p_partkey, p_size, price_cents,
+         MIN(price_cents) OVER (
+           ORDER BY p_size DESC, price_cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_price
+  FROM pts
+)
+SELECT p_partkey, CAST(p_size AS INT) AS p_size, price_cents
+FROM ranked
+WHERE best_price IS NULL OR price_cents < best_price
+ORDER BY p_size DESC, price_cents, p_partkey
+""",
+    tags=("analytics",),
+)
+def q217_pareto_skyline(spark, sf_dir):
+    """2-D Pareto skyline (maximize size, minimize price): the parts no
+    other part dominates on both dimensions. The classic sort-scan
+    algorithm expressed relationally — sort by size DESC then price,
+    and a point is on the frontier iff its price beats the running MIN
+    over everything sorted before it (anything earlier has >= size, so
+    a lower-or-equal earlier price dominates). One sort instead of the
+    O(n²) NOT EXISTS dominance join; at scale the single ordered window
+    becomes a range-partitioned sort, and a pre-aggregation to distinct
+    (size, min price) — dimension-bounded — would front the same scan.
+    Ties: equal-size equal-price duplicates all survive (none strictly
+    dominates), matching the oracle's strict inequality."""
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100.0, 0).cast("bigint").alias(
+            "price_cents"
+        ),
+    )
+    w = (
+        Window.orderBy(F.col("p_size").desc(), "price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = pts.withColumn("best_price", F.min("price_cents").over(w))
+    return (
+        ranked.filter(
+            F.col("best_price").isNull()
+            | (F.col("price_cents") < F.col("best_price"))
+        )
+        .select("p_partkey", F.col("p_size").cast("int").alias("p_size"), "price_cents")
+        .orderBy(F.col("p_size").desc(), "price_cents", "p_partkey")
+    )
+
+
+@query(
+    "q218_benford_digit_audit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), obs AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+), tot AS (SELECT SUM(n) AS t FROM obs)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / (SELECT t FROM tot), 6) AS observed_p,
+       round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p,
+       round(abs(CAST(n AS DOUBLE) / (SELECT t FROM tot)
+                 - ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS abs_dev
+FROM obs
+ORDER BY digit
+""",
+    tags=("analytics", "monitoring"),
+)
+def q218_benford_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit — the forensic screen for
+    fabricated or truncated numeric columns: leading-digit frequencies
+    of order values against log10(1 + 1/d). One map-side-combined
+    digit aggregate (9 groups) plus a broadcast total; deviations per
+    digit flag the digits to investigate. Digit extraction is string
+    head of the integer cents, identical in both engines; expected
+    probabilities are closed-form on literals."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("bigint")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(
+                F.abs(F.col("n").cast("double") / F.col("t") - benford), 6
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

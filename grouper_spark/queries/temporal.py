@@ -888,3 +888,122 @@ def q215_calendar_gap_fill(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "q216_linear_interpolation",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS v_cents
+  FROM events WHERE event_type IN ('signup', 'purchase')
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), joined AS (
+  SELECT s.event_type, s.day, d.v_cents FROM spine s
+  LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+), ctx AS (
+  SELECT event_type, day, v_cents,
+         last_value(v_cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+         last_value(CASE WHEN v_cents IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+         first_value(v_cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+         first_value(CASE WHEN v_cents IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+  FROM joined
+)
+SELECT event_type, day,
+       CAST(v_cents IS NULL AS INT) AS interpolated,
+       round(CASE WHEN v_cents IS NOT NULL THEN v_cents / 100.0
+                  ELSE (vp + (vn - vp) * CAST(day - dp AS BIGINT)
+                             / CAST(dn - dp AS BIGINT)) / 100.0
+             END, 4) AS value_r
+FROM ctx
+ORDER BY event_type, day
+""",
+    tags=("temporal", "window"),
+)
+def q216_linear_interpolation(spark, sf_dir):
+    """Linear interpolation of missing days: gap days (from the q215
+    calendar spine) get vp + (vn - vp)·(d - dp)/(dn - dp) from the
+    surrounding observations via IGNORE NULLS last/first frames — the
+    standard timeseries imputation. Two window passes share ONE
+    (event_type) partitioning shuffle; all interpolation inputs are
+    integer cents and integer day gaps, so the single division is
+    engine-stable. Interior gaps only by construction (the spine spans
+    [min, max]), so vp/dp/vn/dn are never NULL where interpolated."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v_cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v_cents").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "event_type",
+        "day",
+        "v_cents",
+        F.last("v_cents", ignorenulls=True).over(wb).alias("vp"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("dp"),
+        F.first("v_cents", ignorenulls=True).over(wf).alias("vn"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("dn"),
+    )
+    interp = (
+        F.col("vp")
+        + (F.col("vn") - F.col("vp"))
+        * F.datediff("day", "dp").cast("bigint")
+        / F.datediff("dn", "dp").cast("bigint")
+    ) / 100.0
+    return ctx.select(
+        "event_type",
+        "day",
+        F.col("v_cents").isNull().cast("int").alias("interpolated"),
+        F.round(
+            F.when(
+                F.col("v_cents").isNotNull(), F.col("v_cents") / 100.0
+            ).otherwise(interp),
+            4,
+        ).alias("value_r"),
+    ).orderBy("event_type", "day")
