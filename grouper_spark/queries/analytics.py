@@ -1060,3 +1060,156 @@ def q218_benford_digit_audit(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "q220_rfm_segmentation",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, frequency, monetary_cents,
+         ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+  FROM rfm
+)
+SELECT CASE
+         WHEN r_score = 4 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+         WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+         WHEN r_score <= 2 AND m_score >= 3 THEN 'at_risk_big'
+         WHEN r_score <= 2 THEN 'hibernating'
+         ELSE 'regular'
+       END AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents
+FROM scored
+GROUP BY 1
+ORDER BY segment
+""",
+    tags=("analytics",),
+)
+def q220_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency/frequency/monetary quartile
+    scores (deterministic ntile with the customer key as tie-break)
+    mapped through the classic segment rules. The per-customer RFM
+    table aggregates with one key shuffle; the three ntile windows run
+    over the CUSTOMER-count table, not the order fact — at 100 TB a
+    pre-computed quantile-boundary broadcast (q61's exact percentiles)
+    replaces the full-order global windows, same scores."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    r = F.ntile(4).over(Window.orderBy("last_order", "o_custkey"))
+    f = F.ntile(4).over(Window.orderBy("frequency", "o_custkey"))
+    m = F.ntile(4).over(Window.orderBy("monetary_cents", "o_custkey"))
+    scored = rfm.select(
+        "o_custkey",
+        "frequency",
+        "monetary_cents",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") == 4)
+            & (F.col("f_score") >= 3)
+            & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("m_score") >= 3), "at_risk_big")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("monetary_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "q221_cohort_ltv_curve",
+    oracle="""
+WITH first_order AS (
+  SELECT o_custkey, MIN(CAST(date_trunc('month', o_orderdate) AS DATE))
+           AS cohort
+  FROM orders GROUP BY o_custkey
+), rev AS (
+  SELECT f.cohort,
+         (CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) * 12
+          + CAST(strftime(o.o_orderdate, '%m') AS BIGINT))
+         - (CAST(strftime(f.cohort, '%Y') AS BIGINT) * 12
+            + CAST(strftime(f.cohort, '%m') AS BIGINT)) AS month_idx,
+         CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT) AS cents
+  FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+), m AS (
+  SELECT cohort, month_idx, SUM(cents) AS rev_cents
+  FROM rev GROUP BY cohort, month_idx
+)
+SELECT cohort, CAST(month_idx AS INT) AS month_idx,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY month_idx
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+         AS cum_rev_cents
+FROM m
+WHERE month_idx <= 11
+ORDER BY cohort, month_idx
+""",
+    tags=("analytics",),
+)
+def q221_cohort_ltv_curve(spark, sf_dir):
+    """Cohort LTV curves: customers cohorted by first-order month;
+    revenue bucketed by months-since-acquisition and accumulated into
+    the running lifetime value per cohort (the first-year curve).
+    Acquisition month comes from one customer-key aggregate joined
+    back onto orders (both shuffles share the customer key); the
+    cumulative window runs over the cohort x month matrix — a few
+    hundred rows at any corpus scale. Month arithmetic is integer
+    year*12+month, identical in both engines."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias("cohort")
+    )
+    mi = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    rev = o.join(first, "o_custkey").select(
+        "cohort",
+        (mi(F.col("o_orderdate")) - mi(F.col("cohort"))).alias("month_idx"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint").alias("cents"),
+    )
+    m = rev.groupBy("cohort", "month_idx").agg(F.sum("cents").alias("rev_cents"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        m.filter(F.col("month_idx") <= 11)
+        .select(
+            "cohort",
+            F.col("month_idx").cast("int").alias("month_idx"),
+            F.col("rev_cents").cast("bigint").alias("rev_cents"),
+            F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+        )
+        .orderBy("cohort", "month_idx")
+    )

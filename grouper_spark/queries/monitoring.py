@@ -995,3 +995,92 @@ def q185_seasonal_baseline(spark, sf_dir):
         )
         .orderBy("event_type", "hr")
     )
+
+
+@query(
+    "q219_ab_test_ztest",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 75.0
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events
+  GROUP BY 1, 2
+), arm AS (
+  SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+  FROM assigned GROUP BY variant
+), wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+    MAX(CASE WHEN variant = 'A' THEN conv END) AS ca,
+    MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+    MAX(CASE WHEN variant = 'B' THEN conv END) AS cb
+  FROM arm
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       round(CAST(ca AS DOUBLE) / na, 6) AS p_a,
+       round(CAST(cb AS DOUBLE) / nb, 6) AS p_b,
+       round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 4) AS z_r
+FROM wide
+""",
+    tags=("monitoring", "analytics"),
+)
+def q219_ab_test_ztest(spark, sf_dir):
+    """Two-proportion z-test over a deterministic hash-assigned A/B
+    split — the experimentation readout: users assign to variants by
+    md5 (stable across reruns and engines, the same idiom as the q86
+    split), converted = any high-value purchase (the rare-outcome
+    definition that keeps arm variance nonzero), and the pooled z
+    statistic compares arm conversion rates. Everything up to the
+    1-row wide pivot is integer counts from one user-key aggregate;
+    the closed-form z runs on exact integers, so the 4-dp statistic is
+    engine-stable. At 100 TB the per-user aggregate is the only
+    corpus-sized shuffle."""
+    ev = table(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assigned = ev.groupBy("user_id", variant.alias("variant")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 75.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arm = assigned.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arm.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("cb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    z = (pa - pb) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return wide.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, 4).alias("z_r"),
+    )
