@@ -604,3 +604,78 @@ def q204_try_arithmetic(spark, sf_dir):
         )
         .orderBy("l_linenumber")
     )
+
+
+@query(
+    "q224_malformed_csv_audit",
+    oracle="""
+WITH lines AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN concat(CAST(doc_id AS VARCHAR), ',"unclosed quote,',
+                          lang)
+              ELSE concat(CAST(doc_id AS VARCHAR), ',', lang, ',',
+                          CAST(n_chars AS VARCHAR))
+         END AS raw
+  FROM documents
+)
+SELECT CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_parsed,
+       CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS sum_chars_parsed
+FROM lines JOIN documents USING (doc_id)
+""",
+    tags=("functions", "formats"),
+)
+def q224_malformed_csv_audit(spark, sf_dir):
+    """PERMISSIVE CSV parsing with a corrupt-record column — the
+    resilience contract a 100 TB ingest needs: malformed rows (here a
+    deterministic subset serialized with an unclosed quote) must land
+    in ``_corrupt_record`` instead of failing the job, while
+    well-formed rows parse fully. ``from_csv`` parses per-row inside
+    codegen; the audit counts corrupt vs parsed and checksums a parsed
+    field, which only balances if no malformed row silently
+    half-parsed. The oracle rebuilds the same serialization and states
+    the expected split arithmetically (DuckDB has no per-row CSV
+    parser to misbehave)."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(',"unclosed quote,'),
+            F.col("lang"),
+        ),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            "lang",
+            F.col("n_chars").cast("string"),
+        )
+    )
+    schema = "id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING"
+    parsed = d.select(
+        F.from_csv(
+            raw,
+            F.lit(schema),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r")
+    )
+    return parsed.agg(
+        F.sum(F.when(F.col("r._corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("r._corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_parsed"),
+        F.sum(
+            F.when(F.col("r._corrupt_record").isNull(), F.col("r.n_chars")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("sum_chars_parsed"),
+    )

@@ -568,3 +568,89 @@ def q194_bloom_prefiltered_join(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q222_grid_spatial_join",
+    oracle="""
+WITH pts AS (
+  SELECT s_suppkey AS id,
+         ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 6))::BIGINT
+           % 1000 AS x,
+         ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 7, 6))::BIGINT
+           % 1000 AS y
+  FROM supplier
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            AS BIGINT) AS dist2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500
+ORDER BY id_a, id_b
+""",
+    tags=("join", "scale"),
+)
+def q222_grid_spatial_join(spark, sf_dir):
+    """Spatial radius self-join via GRID-CELL bucketing — the geohash
+    pattern: points (deterministic md5 coordinates on a 1000x1000
+    plane, standing in for projected lat/lon) land in 50-unit cells;
+    any pair within radius 50 lies in the same or an adjacent cell, so
+    each point replicates to its 3x3 cell neighborhood (constant
+    factor 9) and candidates come from the cell equi-join — never
+    point x point. An integer squared-distance verify finishes
+    exactly (no trig, engine-stable). The oracle brute-forces all
+    pairs. The replicate-to-neighborhood side keeps a < b dedup
+    implicit: each unordered pair meets exactly once per shared cell,
+    and .distinct() collapses multi-cell meets."""
+    s = table(spark, sf_dir, "supplier")
+    h = lambda a, b: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), a, b), 16, 10)
+        .cast("bigint")
+    )
+    pts = s.select(F.col("s_suppkey").alias("id")).select(
+        "id", (h(1, 6) % 1000).alias("x"), (h(7, 6) % 1000).alias("y")
+    ).localCheckpoint(eager=False)
+    cell = 50
+    home = pts.select(
+        "id", "x", "y",
+        (F.col("x") / cell).cast("int").alias("cx"),
+        (F.col("y") / cell).cast("int").alias("cy"),
+    )
+    # replicate each point to its 3x3 neighborhood on ONE side only
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    rep = home.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(offs).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "id_a", "xa", "ya",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    other = home.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        rep.join(other, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
+        .filter(F.col("dist2") <= 2500)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

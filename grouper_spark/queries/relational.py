@@ -613,3 +613,65 @@ def q210_null_safe_compare(spark, sf_dir):
         .agg(F.sum("n").cast("bigint").alias("n_pairs"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q223_topn_with_others",
+    oracle="""
+WITH agg AS (
+  SELECT p_brand, p_type,
+         CAST(SUM(CAST(ROUND(p_retailprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_brand, p_type
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+                               ORDER BY rev_cents DESC, p_type) AS rk
+  FROM agg
+)
+SELECT p_brand,
+       CASE WHEN rk <= 3 THEN p_type ELSE '(others)' END AS p_type,
+       CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+       CAST(SUM(n_parts) AS BIGINT) AS n_parts
+FROM ranked
+GROUP BY 1, 2
+ORDER BY p_brand, rev_cents DESC, p_type
+""",
+    tags=("relational", "window"),
+)
+def q223_topn_with_others(spark, sf_dir):
+    """Top-N per group with an '(others)' rollover bucket — the BI
+    presentation aggregate: each brand keeps its top-3 types by
+    revenue and folds the tail into one residual row, so totals are
+    preserved (sum of the output equals the input total, unlike a
+    plain top-N cut). Rank over the pre-aggregated (brand, type) table
+    — group-count sized — then a second fold aggregate on the bucketed
+    key; the part fact is touched once."""
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part")
+    agg = p.groupBy("p_brand", "p_type").agg(
+        F.sum(F.round(F.col("p_retailprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("p_brand").orderBy(F.col("rev_cents").desc(), "p_type")
+    )
+    bucketed = agg.withColumn("rk", rk).select(
+        "p_brand",
+        F.when(F.col("rk") <= 3, F.col("p_type"))
+        .otherwise("(others)")
+        .alias("p_type"),
+        "rev_cents",
+        "n_parts",
+    )
+    return (
+        bucketed.groupBy("p_brand", "p_type")
+        .agg(
+            F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+            F.sum("n_parts").cast("bigint").alias("n_parts"),
+        )
+        .orderBy("p_brand", F.col("rev_cents").desc(), "p_type")
+    )
