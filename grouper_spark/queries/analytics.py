@@ -1213,3 +1213,62 @@ def q221_cohort_ltv_curve(spark, sf_dir):
         )
         .orderBy("cohort", "month_idx")
     )
+
+
+@query(
+    "q225_period_over_period",
+    oracle="""
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT week, rev_cents, n_orders,
+       lag(rev_cents) OVER (ORDER BY week) AS prev_rev_cents,
+       round((rev_cents - lag(rev_cents) OVER (ORDER BY week)) * 1.0
+             / lag(rev_cents) OVER (ORDER BY week), 6) AS wow_growth_r,
+       round(rev_cents * 1.0
+             / avg(rev_cents) OVER (ORDER BY week
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND 1 PRECEDING), 6) AS vs_trailing3_r
+FROM weekly
+ORDER BY week
+""",
+    tags=("analytics", "window"),
+)
+def q225_period_over_period(spark, sf_dir):
+    """Period-over-period metrics: week-over-week growth and revenue
+    vs the trailing-3-week average — the standard KPI readout. The lag
+    and trailing-average frames run over the WEEK-count table (the
+    orders fact collapses in one map-side-combining aggregate first),
+    so the ordered windows touch hundreds of rows at any corpus scale.
+    Growth ratios divide exact integer cents; prev-less and
+    trailing-less rows yield NULL in both engines."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("week")
+    wt = Window.orderBy("week").rowsBetween(-3, -1)
+    prev = F.lag("rev_cents").over(w)
+    return weekly.select(
+        "week",
+        "rev_cents",
+        "n_orders",
+        prev.alias("prev_rev_cents"),
+        F.round((F.col("rev_cents") - prev) * 1.0 / prev, 6).alias(
+            "wow_growth_r"
+        ),
+        F.round(
+            F.col("rev_cents") * 1.0 / F.avg("rev_cents").over(wt), 6
+        ).alias("vs_trailing3_r"),
+    ).orderBy("week")

@@ -679,3 +679,66 @@ def q224_malformed_csv_audit(spark, sf_dir):
         .cast("bigint")
         .alias("sum_chars_parsed"),
     )
+
+
+@query(
+    "q226_struct_array_battery",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS v_cents
+  FROM events GROUP BY user_id, event_type
+), packed AS (
+  SELECT user_id,
+         list_sort(list({'cnt': cnt, 'event_type': event_type,
+                         'v_cents': v_cents})) AS arr
+  FROM per GROUP BY user_id
+)
+SELECT user_id,
+       len(arr) AS n_types,
+       arr[-1].event_type AS top_type,
+       CAST(arr[-1].cnt AS BIGINT) AS top_cnt,
+       CAST(arr[1].cnt AS BIGINT) AS bottom_cnt,
+       CAST(list_sum(list_transform(arr, s -> s.v_cents)) AS BIGINT)
+         AS total_cents
+FROM packed
+ORDER BY user_id
+""",
+    tags=("functions",),
+)
+def q226_struct_array_battery(spark, sf_dir):
+    """Array-of-struct manipulation: per-user (count, type, value)
+    structs collected and SORTED BY FIELD ORDER (count first — struct
+    ordering is lexicographic by field position in both engines), then
+    field access at both ends plus a transform/aggregate fold over a
+    struct field. This is the collect-then-manipulate shape used for
+    per-key payload assembly (q184's conversation packing) distilled
+    to the array-function surface; sort_array on structs gives a
+    deterministic order without a second window."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("v_cents"),
+    )
+    packed = per.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("cnt", "event_type", "v_cents"))
+        ).alias("arr")
+    )
+    last = F.element_at("arr", -1)
+    first = F.element_at("arr", 1)
+    return packed.select(
+        "user_id",
+        F.size("arr").alias("n_types"),
+        last.getField("event_type").alias("top_type"),
+        last.getField("cnt").cast("bigint").alias("top_cnt"),
+        first.getField("cnt").cast("bigint").alias("bottom_cnt"),
+        F.aggregate(
+            F.transform("arr", lambda s: s.getField("v_cents")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_cents"),
+    ).orderBy("user_id")
