@@ -525,3 +525,75 @@ def q200_watermark_lateness_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q227_bounce_rate",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                   >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM seq
+), numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS rn
+  FROM sess
+), per_session AS (
+  SELECT user_id, session_id,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+         COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS bounce_rate_r
+FROM per_session
+GROUP BY entry_type
+ORDER BY entry_type
+""",
+    tags=("events", "analytics"),
+)
+def q227_bounce_rate(spark, sf_dir):
+    """Bounce-rate by entry event type — the web-analytics readout:
+    sessionize (30-min gap), take each session's ENTRY event as the
+    landing dimension, and a bounce is a single-event session. The
+    sessionizer and the per-session rollup share one user-key shuffle;
+    entry extraction is min_by over the (ts, event_id) tuple (total
+    order, so deterministic); the final rate divides exact counts."""
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak="event_id")
+    tup = F.struct(F.col("ts"), F.col("event_id"))
+    per = s.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", tup).alias("entry_type"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        per.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+            F.round(
+                F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("bounce_rate_r"),
+        )
+        .orderBy("entry_type")
+    )

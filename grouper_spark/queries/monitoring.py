@@ -1084,3 +1084,76 @@ def q219_ab_test_ztest(spark, sf_dir):
         F.round(pb, 6).alias("p_b"),
         F.round(z, 4).alias("z_r"),
     )
+
+
+@query(
+    "q228_duplicate_payment_detect",
+    oracle="""
+WITH pay AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) // 1000000 AS amt_band,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day
+  FROM orders
+)
+SELECT a.o_custkey,
+       a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       CAST(a.amt_band AS BIGINT) AS amt_band,
+       CAST(b.day - a.day AS BIGINT) AS days_apart
+FROM pay a JOIN pay b
+  ON a.o_custkey = b.o_custkey AND a.amt_band = b.amt_band
+ AND a.o_orderkey < b.o_orderkey
+ AND b.day - a.day BETWEEN -90 AND 90
+ORDER BY a.o_custkey, order_a, order_b
+""",
+    tags=("monitoring", "join"),
+)
+def q228_duplicate_payment_detect(spark, sf_dir):
+    """Duplicate-payment detection — the fraud/reconciliation screen:
+    same customer, similar amount (same $10k band — the fixture's
+    continuous prices never collide exactly), within a 90-day window.
+    The candidate join is EQUI on (customer, amount-band) — the two
+    dimensions that must match exactly — with the day-proximity check
+    as a cheap residual predicate, so candidates are bounded by
+    per-(customer, amount) group sizes, never per-customer order
+    pairs. Day arithmetic is integer epoch-days; at 100 TB the same
+    key pair is also the natural bucketing for a pre-sorted layout."""
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint") / 1000000
+    ).cast("bigint")
+    pay = o.select(
+        "o_orderkey",
+        "o_custkey",
+        band.alias("amt_band"),
+        (F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("day"),
+    ).localCheckpoint(eager=False)
+    a = pay.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_a"),
+        "amt_band",
+        F.col("day").alias("day_a"),
+    )
+    b = pay.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_b"),
+        F.col("amt_band").alias("band_b"),
+        F.col("day").alias("day_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a["o_custkey"] == b["o_custkey"])
+            & (F.col("amt_band") == F.col("band_b")),
+        )
+        .drop(b["o_custkey"])
+        .filter(F.col("order_a") < F.col("order_b"))
+        .filter((F.col("day_b") - F.col("day_a")).between(-90, 90))
+        .select(
+            "o_custkey",
+            "order_a",
+            "order_b",
+            F.col("amt_band").cast("bigint").alias("amt_band"),
+            (F.col("day_b") - F.col("day_a")).cast("bigint").alias("days_apart"),
+        )
+        .orderBy("o_custkey", "order_a", "order_b")
+    )

@@ -1007,3 +1007,66 @@ def q216_linear_interpolation(spark, sf_dir):
             4,
         ).alias("value_r"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "q229_capped_running_balance",
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         {'ts': ts, 'event_id': event_id,
+          'delta': CAST(ROUND(value * 100.0, 0) AS BIGINT) - 5000} AS s
+  FROM events
+), packed AS (
+  SELECT user_id,
+         list_transform(list_sort(list(s)), x -> x.delta) AS deltas
+  FROM d GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(deltas) AS BIGINT) AS n_events,
+       CAST(list_sum(deltas) AS BIGINT) AS uncapped_sum,
+       CAST(list_reduce(list_prepend(0::BIGINT, deltas),
+                        (acc, x) -> greatest(0::BIGINT, acc + x))
+            AS BIGINT) AS capped_balance
+FROM packed
+ORDER BY user_id
+""",
+    tags=("temporal",),
+)
+def q229_capped_running_balance(spark, sf_dir):
+    """Floor-capped running balance — the inventory/wallet recurrence
+    balance_i = max(0, balance_{i-1} + delta_i), which NO window frame
+    can express (the cap makes each step depend on the clamped previous
+    step, not on any prefix aggregate). The scalable exact form: one
+    key shuffle collects each user's deltas in (ts, event_id) order and
+    a codegen ``aggregate`` lambda folds the recurrence left-to-right —
+    sequential per key as the math demands, parallel across keys, no
+    Python. The uncapped sum rides along to show when the cap bit.
+    Per-key state is bounded by the user's event count; streaming-wise
+    this is q57's stateful running aggregate with a clamp."""
+    ev = table(spark, sf_dir, "events")
+    delta = F.round(F.col("value") * 100.0, 0).cast("bigint") - 5000
+    packed = (
+        ev.select(
+            "user_id", F.struct("ts", "event_id", delta.alias("delta")).alias("s")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("s")), lambda x: x.getField("delta")
+            ).alias("deltas")
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return packed.select(
+        "user_id",
+        F.size("deltas").cast("bigint").alias("n_events"),
+        F.aggregate(
+            "deltas", zero, lambda acc, x: acc + x
+        ).cast("bigint").alias("uncapped_sum"),
+        F.aggregate(
+            "deltas", zero, lambda acc, x: F.greatest(zero, acc + x)
+        )
+        .cast("bigint")
+        .alias("capped_balance"),
+    ).orderBy("user_id")
