@@ -43,6 +43,13 @@ HEADLINE = (
     "q145_prefix_filter_join",  # PPJoin-lite set-similarity join
     "q146_triangle_count",      # bounded co-visitation triangles
     "q165_bucketed_join",       # shuffle-free bucketed fact join
+    # round-3 surface (baselined this round for r4 comparisons)
+    "q194_bloom_prefiltered_join",  # runtime-filter bitmap prefilter
+    "q198_tfidf_knn",               # sparse posting-list A·Aᵀ
+    "q201_cogroup_reconcile",       # cogrouped Arrow batch UDF
+    "q206_mapinarrow_kernel",       # pyarrow.compute columnar kernel
+    "q222_grid_spatial_join",       # grid-cell spatial radius join
+    "q229_capped_running_balance",  # ordered-collect recurrence fold
 )
 
 
