@@ -503,3 +503,68 @@ def q196_feature_hashing(spark, sf_dir):
         )
         .orderBy("doc_id", "bucket")
     )
+
+
+@query(
+    "q230_mixture_kl_audit",
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT SUM(n_tokens) AS t FROM tok),
+target AS (
+  SELECT unnest(['src0', 'src1', 'src2', 'src3']) AS source,
+         unnest([0.4, 0.3, 0.2, 0.1]::DOUBLE[]) AS p_target
+)
+SELECT k.source,
+       k.n_tokens,
+       round(CAST(k.n_tokens AS DOUBLE) / (SELECT t FROM tot), 6)
+         AS p_actual,
+       g.p_target,
+       round(CAST(k.n_tokens AS DOUBLE) / (SELECT t FROM tot)
+             * CAST(ROUND(ln(CAST(k.n_tokens AS DOUBLE) / (SELECT t FROM tot)
+                             / g.p_target) * 1000000.0, 0) AS BIGINT)
+             / 1000000.0, 6) AS kl_term_r
+FROM tok k JOIN target g USING (source)
+ORDER BY k.source
+""",
+    tags=("lm", "curation", "monitoring"),
+)
+def q230_mixture_kl_audit(spark, sf_dir):
+    """Training-mixture drift audit: actual per-source TOKEN share vs
+    the declared target mixture, with each source's KL-divergence term
+    p·ln(p/q) — the number a data-mixing pipeline alarms on when a
+    source's crawl volume drifts from the recipe (q94 REBALANCES to a
+    target; this AUDITS divergence from it). Token mass aggregates
+    map-side per source (source-count rows); the target mixture is an
+    inline literal dimension; the ln is fixed-pointed to micro units
+    before the final multiply so the 6-dp terms are engine-stable."""
+    from ..functions.text import token_count
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    target = spark.createDataFrame(
+        [("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1)],
+        "source string, p_target double",
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("t"))
+    p = F.col("n_tokens").cast("double") / F.col("t")
+    ln_micro = F.round(F.log(p / F.col("p_target")) * 1000000.0, 0).cast(
+        "bigint"
+    )
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(target), "source")
+        .select(
+            "source",
+            "n_tokens",
+            F.round(p, 6).alias("p_actual"),
+            "p_target",
+            F.round(p * ln_micro / 1000000.0, 6).alias("kl_term_r"),
+        )
+        .orderBy("source")
+    )
