@@ -597,3 +597,236 @@ def q227_bounce_rate(spark, sf_dir):
         )
         .orderBy("entry_type")
     )
+
+
+@query(
+    "q235_nearest_event_join",
+    oracle="""
+WITH tl AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'signup' THEN ts END AS s_ts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('purchase', 'signup')
+), w AS (
+  SELECT event_id, user_id, ts, is_p,
+         last_value(s_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_p, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+         first_value(s_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_p, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+  FROM tl
+), g AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - epoch_us(back_ts) AS gap_back,
+         epoch_us(fwd_ts) - epoch_us(ts) AS gap_fwd,
+         back_ts, fwd_ts
+  FROM w WHERE is_p = 1
+)
+SELECT event_id, user_id,
+       CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN 'none'
+            WHEN fwd_ts IS NULL
+                 OR (back_ts IS NOT NULL AND gap_back <= gap_fwd)
+              THEN 'back' ELSE 'fwd' END AS direction,
+       CASE WHEN fwd_ts IS NULL
+                 OR (back_ts IS NOT NULL AND gap_back <= gap_fwd)
+              THEN back_ts ELSE fwd_ts END AS nearest_signup_ts,
+       CAST(CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                 WHEN fwd_ts IS NULL
+                      OR (back_ts IS NOT NULL AND gap_back <= gap_fwd)
+                   THEN gap_back ELSE gap_fwd END AS BIGINT) AS gap_us
+FROM g ORDER BY event_id
+""",
+    tags=("join", "asof"),
+)
+def q235_nearest_event_join(spark, sf_dir):
+    """Nearest-in-time join (pandas merge_asof direction='nearest'):
+    each purchase matched to the user's closest signup in either
+    direction, ties to the earlier one. q21's backward as-of plus the
+    forward complement, both from ONE union-merge pass: tag signup
+    timestamps on the shared per-user timeline, take last-ignore-nulls
+    over the preceding frame and first-ignore-nulls over the following
+    frame, then pick the smaller exact-microsecond gap. One shuffle on
+    the user key, no range self-join, no candidate explosion — the
+    formulation survives any corpus size because each row looks at two
+    O(1) window states. Equal-timestamp signups sort before purchases,
+    so 'at-or-before' wins ties deterministically."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    tl = e.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("s_ts"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    order = [F.col("ts"), F.col("is_p"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    w = tl.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_p",
+        F.last("s_ts", ignorenulls=True).over(wb).alias("back_ts"),
+        F.first("s_ts", ignorenulls=True).over(wf).alias("fwd_ts"),
+    )
+    g = w.filter(F.col("is_p") == 1).select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros("back_ts")).alias("gap_back"),
+        (F.unix_micros("fwd_ts") - F.unix_micros("ts")).alias("gap_fwd"),
+        "back_ts",
+        "fwd_ts",
+    )
+    take_back = F.col("fwd_ts").isNull() | (
+        F.col("back_ts").isNotNull() & (F.col("gap_back") <= F.col("gap_fwd"))
+    )
+    none = F.col("back_ts").isNull() & F.col("fwd_ts").isNull()
+    return g.select(
+        "event_id",
+        "user_id",
+        F.when(none, "none")
+        .when(take_back, "back")
+        .otherwise("fwd")
+        .alias("direction"),
+        F.when(take_back, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+        .alias("nearest_signup_ts"),
+        F.when(none, F.lit(None))
+        .when(take_back, F.col("gap_back"))
+        .otherwise(F.col("gap_fwd"))
+        .cast("bigint")
+        .alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q236_multitouch_attribution",
+    oracle="""
+WITH tl AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS p_eid,
+         CASE WHEN event_type = 'purchase' THEN ts END AS p_ts,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100.0, 0) AS BIGINT) END AS p_cents
+  FROM events WHERE event_type IN ('purchase', 'view', 'click')
+), nxt AS (
+  SELECT event_id, user_id, ts, event_type,
+         first_value(p_eid IGNORE NULLS) OVER wf AS nxt_eid,
+         first_value(p_ts IGNORE NULLS) OVER wf AS nxt_ts,
+         first_value(p_cents IGNORE NULLS) OVER wf AS nxt_cents
+  FROM tl
+  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), touches AS (
+  SELECT * FROM nxt
+  WHERE event_type IN ('view', 'click') AND nxt_eid IS NOT NULL
+    AND epoch_us(nxt_ts) - epoch_us(ts) <= 604800000000
+), scored AS (
+  SELECT event_type, nxt_eid, nxt_cents,
+         CAST(COUNT(*) OVER (PARTITION BY nxt_eid) AS BIGINT) AS n_t,
+         row_number() OVER (PARTITION BY nxt_eid
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM touches
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT nxt_eid) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(ROUND(nxt_cents * 1000.0 / n_t, 0) AS BIGINT))
+            AS BIGINT) AS linear_milli,
+       CAST(SUM(CASE WHEN rn = 1 THEN nxt_cents ELSE 0 END)
+            AS BIGINT) AS last_touch_cents
+FROM scored GROUP BY event_type ORDER BY event_type
+""",
+    tags=("events", "attribution"),
+)
+def q236_multitouch_attribution(spark, sf_dir):
+    """Multi-touch conversion attribution: every view/click within 7
+    days before a user's purchase shares that purchase's value — linear
+    (equal split, exact milli-cents) and last-touch (winner takes all)
+    models side by side, reported per touch type. The "next purchase"
+    for every touch comes from ONE first-ignore-nulls window over the
+    per-user timeline (no event-to-purchase range join, which would
+    explode on hot users); the per-purchase touch count and last-touch
+    flag are two more windows keyed on the globally-unique purchase id.
+    Linear shares round once per (purchase, n) pair — an identical
+    double division in both engines — then aggregate as exact BIGINTs.
+    Two shuffles total (user key, purchase key), both on keys the data
+    is already concentrated around."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    tl = e.filter(
+        F.col("event_type").isin("purchase", "view", "click")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(is_p, F.col("event_id")).alias("p_eid"),
+        F.when(is_p, F.col("ts")).alias("p_ts"),
+        F.when(is_p, F.round(F.col("value") * 100.0, 0).cast("bigint")).alias(
+            "p_cents"
+        ),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = tl.select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.first("p_eid", ignorenulls=True).over(wf).alias("nxt_eid"),
+        F.first("p_ts", ignorenulls=True).over(wf).alias("nxt_ts"),
+        F.first("p_cents", ignorenulls=True).over(wf).alias("nxt_cents"),
+    )
+    touches = nxt.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("nxt_eid").isNotNull()
+        & (
+            (F.unix_micros("nxt_ts") - F.unix_micros("ts"))
+            <= 604800000000
+        )
+    )
+    wp = Window.partitionBy("nxt_eid")
+    wr = Window.partitionBy("nxt_eid").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    scored = touches.select(
+        "event_type",
+        "nxt_eid",
+        "nxt_cents",
+        F.count("*").over(wp).cast("bigint").alias("n_t"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.count_distinct("nxt_eid").cast("bigint").alias("n_purchases"),
+            F.sum(
+                F.round(F.col("nxt_cents") * 1000.0 / F.col("n_t"), 0).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("linear_milli"),
+            F.sum(F.when(F.col("rn") == 1, F.col("nxt_cents")).otherwise(0))
+            .cast("bigint")
+            .alias("last_touch_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -568,3 +568,99 @@ def q230_mixture_kl_audit(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q234_zipf_slope",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok WHERE token <> '' GROUP BY token
+), top AS (
+  SELECT token, freq FROM freq
+  ORDER BY freq DESC, token LIMIT 200
+), pts AS (
+  SELECT token, freq,
+         CAST(ROUND(ln(CAST(row_number() OVER (ORDER BY freq DESC, token)
+                            AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS lx,
+         CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS ly
+  FROM top
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+         CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+         CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+         MIN(CASE WHEN lx = 0 THEN token END) AS top_token,
+         CAST(MAX(freq) AS BIGINT) AS top_freq
+  FROM pts
+)
+SELECT n AS n_ranks, top_token, top_freq,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_r,
+       round((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             / n / 1000000.0, 4) AS intercept_r
+FROM s
+""",
+    tags=("lm", "text"),
+)
+def q234_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(freq) vs ln(rank) over the top-200 tokens — the standard corpus
+    health probe (natural text slopes near -1; templated or synthetic
+    spam bends the curve). One token-count shuffle collapses the corpus
+    to the vocabulary; the top-200 is a TakeOrdered with a deterministic
+    (freq DESC, token) total order, never a global sort. Both ln() calls
+    run on exact integers (rank, freq), are fixed-pointed to micro-units
+    per point (the q152/q156 recipe), and the OLS closed form is exact
+    BIGINT sums with one final double division — the 1e6 scales cancel
+    in the slope; the intercept divides once at the end. At 100 TB only
+    the vocabulary aggregate sees corpus-sized data."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    top = freq.orderBy(F.col("freq").desc(), "token").limit(200)
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.col("freq").desc(), "token"))
+    pts = top.select(
+        "token",
+        "freq",
+        F.round(F.log(rk.cast("double")) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("lx"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("ly"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("bigint").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("bigint").alias("sxx"),
+        F.min(F.when(F.col("lx") == 0, F.col("token"))).alias("top_token"),
+        F.max("freq").cast("bigint").alias("top_freq"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    return s.select(
+        n.alias("n_ranks"),
+        "top_token",
+        "top_freq",
+        F.round(num / den, 4).alias("slope_r"),
+        F.round(
+            (sy.cast("double") - num / den * sx) / n / 1000000.0, 4
+        ).alias("intercept_r"),
+    )

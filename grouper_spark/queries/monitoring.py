@@ -1157,3 +1157,279 @@ def q228_duplicate_payment_detect(spark, sf_dir):
         )
         .orderBy("o_custkey", "order_a", "order_b")
     )
+
+
+@query(
+    "q231_acf_daily_volume",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day
+), stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1
+  FROM daily GROUP BY event_type
+), den AS (
+  SELECT d.event_type,
+         CAST(SUM((s.n * d.x - s.s1) * (s.n * d.x - s.s1)) AS BIGINT) AS den
+  FROM daily d JOIN stats s USING (event_type)
+  GROUP BY d.event_type
+), lags AS (
+  SELECT * FROM (VALUES (1), (2), (3), (4), (5)) t(k)
+), pairs AS (
+  SELECT a.event_type, l.k,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM((s.n * a.x - s.s1) * (s.n * b.x - s.s1)) AS BIGINT) AS num
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.k
+  JOIN stats s ON s.event_type = a.event_type
+  GROUP BY a.event_type, l.k
+)
+SELECT p.event_type, CAST(p.k AS INT) AS lag_days, p.n_pairs,
+       round(CAST(p.num AS DOUBLE) / d.den, 6) AS acf_r
+FROM pairs p JOIN den d USING (event_type)
+ORDER BY event_type, lag_days
+""",
+    tags=("monitoring", "timeseries"),
+)
+def q231_acf_daily_volume(spark, sf_dir):
+    """Autocorrelation function (lags 1-5) of each event type's daily
+    volume series — the seasonality probe behind "does this metric have
+    a weekly pulse?". The corpus collapses to a (type x day) count
+    summary first (one map-side-combined shuffle); every later step
+    touches only that summary. ACF_k is the standard mean-centered
+    estimator; to keep it engine-exact the deviations are scaled by n
+    (n*x_t - s1 is an exact BIGINT since the n^2 factors cancel in the
+    ratio), so numerator and denominator are exact integer sums and the
+    only float op is the final division. Calendar alignment is an
+    explicit day+k equi-join on the summary, not a row-lag, so gap days
+    never mis-pair. At 100 TB: the summary is (types x days) rows —
+    KBs — regardless of log size."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s1")
+    den = (
+        daily.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(F.sum(dev * dev).cast("bigint").alias("den"))
+    )
+    lags = spark.range(1, 6).select(F.col("id").cast("int").alias("k"))
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("day_b"), F.col("x").alias("xb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b.withColumnRenamed("event_type", "et_b"),
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("day_b") == F.expr("date_add(day_a, k)")),
+        )
+        .join(stats, "event_type")
+        .groupBy("event_type", "k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("n") * F.col("xa") - F.col("s1"))
+                * (F.col("n") * F.col("xb") - F.col("s1"))
+            )
+            .cast("bigint")
+            .alias("num"),
+        )
+    )
+    return (
+        pairs.join(den, "event_type")
+        .select(
+            "event_type",
+            F.col("k").alias("lag_days"),
+            "n_pairs",
+            F.round(F.col("num") / F.col("den"), 6).alias("acf_r"),
+        )
+        .orderBy("event_type", "lag_days")
+    )
+
+
+@query(
+    "q232_rolling_correlation",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY day
+), roll AS (
+  SELECT day,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT day, n AS n_days,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_r
+FROM roll WHERE n = 14
+ORDER BY day
+""",
+    tags=("monitoring", "timeseries", "window"),
+)
+def q232_rolling_correlation(spark, sf_dir):
+    """Trailing 14-observation Pearson correlation between the daily
+    purchase and click volumes — the "did these two metrics decouple?"
+    drift monitor. Summary-first: one groupBy collapses the log to one
+    row per day with two integer counts; the rolling frame then runs
+    over that summary, so the window sort touches days, not events. All
+    six frame sums are exact BIGINTs and Pearson r is one closed-form
+    double expression per row (the q168/q170 engine-stability recipe
+    applied to a bivariate rolling frame). The single-partition window
+    over the day summary is gated by construction — days-per-year
+    cardinality; partition by month/metric-group if the spine ever got
+    large."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("x"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    roll = daily.select(
+        "day",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        roll.filter(F.col("n") == 14)
+        .select(
+            "day",
+            F.col("n").alias("n_days"),
+            F.round(num / F.sqrt(vx * vy), 6).alias("corr_r"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q233_mann_whitney_u",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(ROUND(value * 100.0, 0) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+), vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(grp) AS BIGINT) AS t1
+  FROM pts GROUP BY v
+), ranked AS (
+  SELECT v, t, t1,
+         CAST(COALESCE(SUM(t) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM vals
+), agg AS (
+  SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+         CAST(SUM(t - t1) AS BIGINT) AS n2,
+         CAST(SUM(t1 * (2 * cum_before + t + 1)) AS BIGINT) AS r1_x2,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS BIGINT) AS u1_x2,
+       round((CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1_x2 AS DOUBLE) / 2.0
+              - CAST(n1 AS DOUBLE) * n2 / 2.0)
+             / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                    * (CAST(n1 + n2 + 1 AS DOUBLE)
+                       - CAST(tie_sum AS DOUBLE)
+                         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))),
+             6) AS z_r
+FROM agg
+""",
+    tags=("monitoring", "stats"),
+)
+def q233_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U rank test: do purchase and click event values come
+    from the same distribution? The nonparametric sibling of q219's
+    z-test — no normality assumption, so it's the robust A/B gate for
+    skewed revenue-like metrics. Ranks never materialize per row:
+    values collapse to a (value -> count, group-1 count) summary (one
+    map-side-combined shuffle), a running count over the sorted summary
+    yields each value's doubled average rank (2*cum + t + 1, an exact
+    integer that absorbs the .5 tie ranks), and U, the tie correction
+    sum(t^3 - t), and the z-score all come from exact BIGINT sums with
+    floats only in the final expression. The ordered window runs over
+    distinct values, not rows — at 100 TB that's the cents-cardinality
+    of the metric, and the doubled-rank trick keeps everything integer.
+    BIGINT bounds: n1*n2 overflows past ~3e9 rows per side; switch the
+    final expression to DECIMAL(38) sums at that point."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("grp"),
+    )
+    vals = pts.groupBy("v").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum("grp").cast("bigint").alias("t1"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "t",
+        "t1",
+        F.coalesce(F.sum("t").over(wcum), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("t1") * (2 * F.col("cum_before") + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1_x2 = 2 * n1 * n2 + n1 * (n1 + 1) - F.col("r1_x2")
+    mean_diff = u1_x2.cast("double") / 2.0 - n1.cast("double") * n2 / 2.0
+    var = (n1.cast("double") * n2 / 12.0) * (
+        (n1 + n2 + 1).cast("double")
+        - F.col("tie_sum").cast("double")
+        / ((n1 + n2).cast("double") * (n1 + n2 - 1))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1_x2.cast("bigint").alias("u1_x2"),
+        F.round(mean_diff / F.sqrt(var), 6).alias("z_r"),
+    )

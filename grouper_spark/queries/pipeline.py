@@ -183,3 +183,56 @@ def q192_multiformat_federation(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q237_observation_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS qty_cents,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+FROM lineitem WHERE l_quantity > 25.0
+""",
+    tags=("pipeline", "observability"),
+)
+def q237_observation_metrics(spark, sf_dir):
+    """Pipeline instrumentation via Spark's Observation API: named
+    aggregate metrics (row count, fixed-point quantity mass, key
+    bounds) are attached to a pass with df.observe() and harvested
+    after ONE action — the zero-extra-scan way to emit data-quality
+    counters from a production job. At 100 TB this is the difference
+    between "the ETL job also reports its row counts" and "a second
+    full scan just for metrics": observe() piggybacks on the pass the
+    job already runs (here a noop-sink write), accumulating JVM-side
+    exactly like any aggregate. The harvested metrics come back as one
+    driver-side row — O(metrics), never O(data) — re-wrapped as a
+    DataFrame for the gate."""
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 25.0)
+    obs = Observation("q237_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_cents"),
+        F.min("l_orderkey").cast("bigint").alias("min_orderkey"),
+        F.max("l_orderkey").cast("bigint").alias("max_orderkey"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["qty_cents"],
+                m["min_orderkey"],
+                m["max_orderkey"],
+            )
+        ],
+        "n_rows bigint, qty_cents bigint, min_orderkey bigint, "
+        "max_orderkey bigint",
+    )
