@@ -717,3 +717,158 @@ def q208_sorted_neighborhood(spark, sf_dir):
         )
         .orderBy("c_nationkey", "key_a", "key_b")
     )
+
+
+_MH_PERMS = 8  # 4 bands x 2 rows
+_MH_HEX = 15  # 60-bit hash values — BIGINT-safe in both engines
+
+
+def _mh_sql_hash(p: int) -> str:
+    return (
+        f"('0x' || substr(md5('mh{p}|' || sh), 1, {_MH_HEX}))::BIGINT"
+    )
+
+
+@query(
+    "q238_minhash_oracled",
+    oracle="WITH sh0 AS (\n"
+    "  SELECT doc_id,\n"
+    "         list_distinct(list_transform(\n"
+    "           generate_series(1, len(string_split_regex(trim(text),"
+    " '\\s+')) - 2),\n"
+    "           i -> array_to_string(list_slice("
+    "string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')\n"
+    "         )) AS shingles\n"
+    "  FROM documents\n"
+    "), sh AS (\n"
+    "  SELECT doc_id, unnest(shingles) AS sh FROM sh0\n"
+    "), sigs AS (\n"
+    "  SELECT doc_id,\n"
+    + ",\n".join(
+        f"         MIN({_mh_sql_hash(p)}) AS s{p}" for p in range(_MH_PERMS)
+    )
+    + "\n  FROM sh GROUP BY doc_id\n"
+    "), bands AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, CAST(s{2 * b} AS VARCHAR) || ':' ||"
+        f" CAST(s{2 * b + 1} AS VARCHAR) AS key FROM sigs"
+        for b in range(_MH_PERMS // 2)
+    )
+    + "\n), bcnt AS (\n"
+    "  SELECT band, key, COUNT(*) AS bc FROM bands GROUP BY band, key\n"
+    "), cand AS (\n"
+    "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+    "         CAST(COUNT(*) AS BIGINT) AS n_shared_bands\n"
+    "  FROM bands a\n"
+    "  JOIN bands b ON a.band = b.band AND a.key = b.key\n"
+    "                  AND a.doc_id < b.doc_id\n"
+    "  JOIN bcnt ON bcnt.band = a.band AND bcnt.key = a.key\n"
+    "  WHERE bcnt.bc <= 64\n"
+    "  GROUP BY doc_a, doc_b\n"
+    ")\n"
+    "SELECT c.doc_a, c.doc_b, c.n_shared_bands,\n"
+    "       CAST("
+    + " + ".join(
+        f"(CASE WHEN ha.s{p} = hb.s{p} THEN 1 ELSE 0 END)"
+        for p in range(_MH_PERMS)
+    )
+    + " AS BIGINT) AS n_eq_sigs,\n"
+    "       CAST("
+    + " + ".join(
+        f"(CASE WHEN ha.s{p} = hb.s{p} THEN 1 ELSE 0 END)"
+        for p in range(_MH_PERMS)
+    )
+    + f" AS DOUBLE) / {_MH_PERMS}.0 AS est_jaccard\n"
+    "FROM cand c\n"
+    "JOIN sigs ha ON ha.doc_id = c.doc_a\n"
+    "JOIN sigs hb ON hb.doc_id = c.doc_b\n"
+    "ORDER BY doc_a, doc_b",
+    tags=("dedup", "lsh"),
+)
+def q238_minhash_oracled(spark, sf_dir):
+    """MinHash-LSH with a full exact-value oracle: the one LSH family
+    whose entire pipeline — signatures, banding, candidate pairs,
+    signature-agreement estimate — is reproduced value-for-value in
+    SQL, because the permutation hashes are md5-derived 60-bit integers
+    (the cross-engine-deterministic hash this repo already uses for
+    splits and sampling) instead of q35's faster engine-native
+    xxhash64. 8 permutations in 4 bands of 2: one shingle explode
+    computes all 8 mins in a single map-side-combined groupBy, band
+    keys fan out through the capped posting-list pair generator (shared
+    with q146 — buckets over 64 members are dropped before any pair
+    materializes, so a degenerate all-identical corpus cannot go
+    quadratic), and candidates join back to the doc-level signature
+    table for the estimated Jaccard. q35 stays the production path;
+    this twin exists so the driver can hash-check the LSH machinery
+    end-to-end rather than trusting rows-only evidence."""
+    d = table(spark, sf_dir, "documents")
+    from ..functions.text import word_shingles
+    from ..operators import cooccurrence_pairs
+    from ..operators.core import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(d)
+        .select(
+            "doc_id", F.explode_outer(word_shingles("text", 3)).alias("sh")
+        )
+        .filter(F.col("sh").isNotNull())
+    )
+
+    def perm_hash(p: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"mh{p}|"), F.col("sh"))), 1, _MH_HEX
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(perm_hash(p)).alias(f"s{p}") for p in range(_MH_PERMS)]
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    F.col(f"s{2 * b}").cast("string"),
+                    F.col(f"s{2 * b + 1}").cast("string"),
+                ).alias("key"),
+            )
+            for b in range(_MH_PERMS // 2)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_arr).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = cooccurrence_pairs(
+        bands, "doc_id", ["band", "key"], max_bucket=64
+    ).select(
+        F.col("u").alias("doc_a"),
+        F.col("v").alias("doc_b"),
+        F.col("i").cast("bigint").alias("n_shared_bands"),
+    )
+    ha = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{p}").alias(f"a{p}") for p in range(_MH_PERMS)],
+    )
+    hb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{p}").alias(f"b{p}") for p in range(_MH_PERMS)],
+    )
+    n_eq = sum(
+        (F.col(f"a{p}") == F.col(f"b{p}")).cast("int") for p in range(_MH_PERMS)
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            n_eq.cast("bigint").alias("n_eq_sigs"),
+            (n_eq.cast("double") / float(_MH_PERMS)).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
