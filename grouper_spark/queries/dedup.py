@@ -872,3 +872,151 @@ def q238_minhash_oracled(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_SH_BITS = 60  # signature width — BIGINT-safe in both engines
+_SH_BAND = 15  # 4 bands x 15 bits
+
+
+@query(
+    "q239_simhash_oracled",
+    oracle="WITH tok AS (\n"
+    "  SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)),"
+    " '\\s+')) AS token\n"
+    "  FROM documents\n"
+    "), hashed AS (\n"
+    "  SELECT doc_id,\n"
+    f"         ('0x' || substr(md5('sh|' || token), 1, {_MH_HEX}))::BIGINT"
+    " AS h\n"
+    "  FROM tok WHERE token <> ''\n"
+    "), sums AS (\n"
+    "  SELECT doc_id,\n"
+    + ",\n".join(
+        f"         SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}"
+        for b in range(_SH_BITS)
+    )
+    + "\n  FROM hashed GROUP BY doc_id\n"
+    "), sigs AS (\n"
+    "  SELECT doc_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(_SH_BITS)
+    )
+    + " AS BIGINT) AS sig FROM sums\n"
+    "), bands AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sig, {b} AS band,"
+        f" CAST((sig >> {b * _SH_BAND}) & {(1 << _SH_BAND) - 1} AS BIGINT)"
+        " AS key FROM sigs"
+        for b in range(_SH_BITS // _SH_BAND)
+    )
+    + "\n), bcnt AS (\n"
+    "  SELECT band, key, COUNT(*) AS bc FROM bands GROUP BY band, key\n"
+    "), cand AS (\n"
+    "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+    "         CAST(COUNT(*) AS BIGINT) AS n_shared_bands,\n"
+    "         MIN(a.sig) AS sig_a, MIN(b.sig) AS sig_b\n"
+    "  FROM bands a\n"
+    "  JOIN bands b ON a.band = b.band AND a.key = b.key\n"
+    "                  AND a.doc_id < b.doc_id\n"
+    "  JOIN bcnt ON bcnt.band = a.band AND bcnt.key = a.key\n"
+    "  WHERE bcnt.bc <= 256\n"
+    "  GROUP BY doc_a, doc_b\n"
+    ")\n"
+    "SELECT doc_a, doc_b, n_shared_bands,\n"
+    "       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming\n"
+    "FROM cand\n"
+    "WHERE bit_count(xor(sig_a, sig_b)) <= 12\n"
+    "ORDER BY doc_a, doc_b",
+    tags=("dedup", "lsh"),
+)
+def q239_simhash_oracled(spark, sf_dir):
+    """SimHash near-dup with a full exact-value oracle — q36's twin the
+    same way q238 twins q35. 60-bit signatures from md5-derived token
+    hashes: the per-bit +/-1 sums are 60 aggregate expressions in ONE
+    map-side-combined groupBy over the distinct (doc, token) stream (no
+    bit-explode — the row count never multiplies by signature width),
+    the signature assembles in codegen as a BIGINT, and 4 bands of 15
+    bits feed the capped posting-list pair generator, so a band bucket
+    can never go quadratic. Survivors popcount the XOR of the two
+    signatures (exact in both engines) and keep Hamming <= 12. At
+    100 TB: one token shuffle + one band shuffle, candidates bounded by
+    bucket cap x bucket count, signature table is docs x 8 bytes."""
+    d = table(spark, sf_dir, "documents")
+    from ..operators import cooccurrence_pairs
+    from ..operators.core import ensure_parallelism
+
+    tok = (
+        ensure_parallelism(d)
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.trim("text")), r"\s+"),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sh|"), F.col("token"))), 1, _MH_HEX
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = tok.select("doc_id", h.alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+                )
+            ).alias(f"s{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sig = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(_SH_BITS)
+    ).cast("bigint")
+    sigs = sums.select("doc_id", sig.alias("sig"))
+    mask = (1 << _SH_BAND) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * _SH_BAND)
+                .bitwiseAND(F.lit(mask))
+                .cast("bigint")
+                .alias("key"),
+            )
+            for b in range(_SH_BITS // _SH_BAND)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_arr).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = cooccurrence_pairs(
+        bands, "doc_id", ["band", "key"], max_bucket=256
+    ).select(
+        F.col("u").alias("doc_a"),
+        F.col("v").alias("doc_b"),
+        F.col("i").cast("bigint").alias("n_shared_bands"),
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 12)
+        .select("doc_a", "doc_b", "n_shared_bands", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
