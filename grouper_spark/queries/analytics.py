@@ -399,9 +399,16 @@ def q146_triangle_count(spark, sf_dir):
     from ..operators.core import ensure_parallelism
 
     ev = ensure_parallelism(table(spark, sf_dir, "events"))
-    g = ev.select(
-        "user_id", "event_type", F.date_trunc("day", "ts").alias("d")
-    ).distinct()
+    # g feeds three branches (sz, the posting build, and its bucket-size
+    # window); checkpoint the 80k-row distinct once so the scan+distinct
+    # shuffle doesn't replan per branch.
+    g = (
+        ev.select(
+            "user_id", "event_type", F.date_trunc("day", "ts").alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sz = g.groupBy("user_id").agg(F.count("*").alias("n"))
     co = cooccurrence_pairs(
         g, "user_id", ["event_type", "d"], max_bucket=_COVIS_MAX_BUCKET
