@@ -469,3 +469,122 @@ def q144_semantic_dedup(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+def _hyperplanes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — generated once
+    in Python and embedded as identical double literals in BOTH the
+    Spark plan and the oracle SQL, so the two engines agree bit-for-bit
+    on every component (repr round-trips doubles exactly)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"pl{p}|{d}".encode()).hexdigest()
+            row.append(int(h[:8], 16) / 4294967296.0 * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+_LSH_PLANES = _hyperplanes()
+_LSH_BAND_BITS = 8  # 2 bands x 8 hyperplanes
+
+
+@query(
+    "q240_lsh_hyperplane_index",
+    oracle="WITH v AS (\n"
+    "  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings\n"
+    "), dots AS (\n"
+    "  SELECT vec_id, label,\n"
+    + ",\n".join(
+        "         list_reduce(list_transform(generate_series(1, 64),"
+        f" i -> e[i] * [{', '.join(repr(x) for x in _LSH_PLANES[p])}][i]),"
+        f" (acc, x) -> acc + x) AS d{p}"
+        for p in range(16)
+    )
+    + "\n  FROM v\n), keys AS (\n"
+    "  SELECT vec_id, label,\n"
+    "         CAST("
+    + " + ".join(
+        f"(CASE WHEN d{p} > 0 THEN (1 << {p % 8}) ELSE 0 END)"
+        for p in range(8)
+    )
+    + " AS BIGINT) AS k0,\n"
+    "         CAST("
+    + " + ".join(
+        f"(CASE WHEN d{p} > 0 THEN (1 << {p % 8}) ELSE 0 END)"
+        for p in range(8, 16)
+    )
+    + " AS BIGINT) AS k1\n"
+    "  FROM dots\n"
+    "), bands AS (\n"
+    "  SELECT vec_id, label, 0 AS band, k0 AS key FROM keys\n"
+    "  UNION ALL\n"
+    "  SELECT vec_id, label, 1 AS band, k1 AS key FROM keys\n"
+    ")\n"
+    "SELECT CAST(band AS INT) AS band, key,\n"
+    "       CAST(COUNT(*) AS BIGINT) AS n_vecs,\n"
+    "       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,\n"
+    "       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs\n"
+    "FROM bands GROUP BY band, key\n"
+    "ORDER BY band, key",
+    tags=("similarity", "lsh"),
+)
+def q240_lsh_hyperplane_index(spark, sf_dir):
+    """Random-hyperplane LSH index build with a full exact-value oracle
+    — the q38 family's signature machinery proven value-for-value, the
+    way q238/q239 prove MinHash and SimHash. 16 hyperplanes are
+    md5-derived double literals embedded identically in both engines;
+    each vector's 16 sign bits come from sequential left-to-right dot
+    folds (identical operation order => bit-identical doubles => the
+    sign of a near-zero dot cannot diverge), packed into two 8-bit band
+    keys in codegen. The output is the index itself: per (band, bucket)
+    occupancy, label diversity, and the candidate-pair budget C(n,2)
+    the bucket would feed a rerank — the quantity a capacity planner
+    actually audits before running ANN at 100 TB. One narrow projection
+    over the corpus, one map-side-combined groupBy; the planes ride
+    along as constants, never a join."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+
+    def dot_plane(p: int):
+        plane = F.array(*[F.lit(x) for x in _LSH_PLANES[p]])
+        return F.aggregate(
+            F.zip_with(e, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dots = emb.select(
+        "vec_id",
+        "label",
+        *[dot_plane(p).alias(f"d{p}") for p in range(16)],
+    )
+    k0 = sum(
+        F.when(F.col(f"d{p}") > 0, F.lit(1 << (p % 8))).otherwise(0)
+        for p in range(8)
+    ).cast("bigint")
+    k1 = sum(
+        F.when(F.col(f"d{p}") > 0, F.lit(1 << (p % 8))).otherwise(0)
+        for p in range(8, 16)
+    ).cast("bigint")
+    keys = dots.select("vec_id", "label", k0.alias("k0"), k1.alias("k1"))
+    bands = keys.select(
+        "vec_id", "label", F.lit(0).alias("band"), F.col("k0").alias("key")
+    ).unionAll(
+        keys.select(
+            "vec_id", "label", F.lit(1).alias("band"), F.col("k1").alias("key")
+        )
+    )
+    n = F.count("*").cast("bigint")
+    return (
+        bands.groupBy("band", "key")
+        .agg(
+            n.alias("n_vecs"),
+            F.count_distinct("label").cast("bigint").alias("n_labels"),
+            (n * (n - 1) / 2).cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("band", "key")
+    )
