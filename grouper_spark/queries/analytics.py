@@ -1279,3 +1279,66 @@ def q225_period_over_period(spark, sf_dir):
             F.col("rev_cents") * 1.0 / F.avg("rev_cents").over(wt), 6
         ).alias("vs_trailing3_r"),
     ).orderBy("week")
+
+
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+)
+
+
+@query(
+    "q242_fd_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{t}.{a} -> {b}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_determinants,
+       CAST(SUM(nb) - COUNT(*) AS BIGINT) AS n_extra_pairs,
+       CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(MAX(nb) AS BIGINT) AS max_fanout
+FROM (SELECT {a}, COUNT(DISTINCT {b}) AS nb FROM {t} GROUP BY {a})"""
+        for t, a, b in _FD_CANDIDATES
+    )
+    + "\nORDER BY fd",
+    tags=("analytics", "profile"),
+)
+def q242_fd_audit(spark, sf_dir):
+    """Functional-dependency audit (profiling-for-keys): for each
+    candidate FD A -> B, how many determinant values exist, how many
+    extra (A, B) pairs beyond one-per-determinant, how many A values
+    violate the dependency, and the worst fanout. This is the
+    dependency-discovery primitive behind key inference, normalization
+    checks, and join-safety audits ("can I use A as a lookup key for
+    B?"). Each FD is one groupBy(A) with an exact count_distinct(B) —
+    map-side-combined, one shuffle per FD on different keys — and the
+    per-FD summaries (5 rows total) union at the end; no corpus-sized
+    intermediate survives the aggregate. o_orderkey -> o_orderstatus
+    audits a true key (violations = 0 certifies it), the others
+    measure real violation mass."""
+    parts = []
+    for t, a, b in _FD_CANDIDATES:
+        per_det = (
+            table(spark, sf_dir, t)
+            .groupBy(a)
+            .agg(F.count_distinct(F.col(b)).alias("nb"))
+        )
+        parts.append(
+            per_det.agg(
+                F.lit(f"{t}.{a} -> {b}").alias("fd"),
+                F.count("*").cast("bigint").alias("n_determinants"),
+                (F.sum("nb") - F.count("*"))
+                .cast("bigint")
+                .alias("n_extra_pairs"),
+                F.sum((F.col("nb") > 1).cast("int"))
+                .cast("bigint")
+                .alias("n_violating_keys"),
+                F.max("nb").cast("bigint").alias("max_fanout"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fd")

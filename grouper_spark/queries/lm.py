@@ -664,3 +664,93 @@ def q234_zipf_slope(spark, sf_dir):
             (sy.cast("double") - num / den * sx) / n / 1000000.0, 4
         ).alias("intercept_r"),
     )
+
+
+_HEAPS_BUCKET = 250  # docs per growth checkpoint
+
+
+@query(
+    "q243_heaps_law",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, text,
+         row_number() OVER (ORDER BY doc_id) AS r
+  FROM documents
+), tok AS (
+  SELECT r, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM ranked
+), occ AS (
+  SELECT r, token FROM tok WHERE token <> ''
+), firsts AS (
+  SELECT token, MIN(r) AS first_r FROM occ GROUP BY token
+), per_bucket AS (
+  SELECT CAST((r - 1) // {_HEAPS_BUCKET} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM occ GROUP BY bucket
+), new_vocab AS (
+  SELECT CAST((first_r - 1) // {_HEAPS_BUCKET} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY bucket
+)
+SELECT p.bucket,
+       CAST(SUM(p.n_tok) OVER w AS BIGINT) AS tokens_cum,
+       CAST(SUM(COALESCE(v.n_new, 0)) OVER w AS BIGINT) AS vocab_cum,
+       round(ln(CAST(SUM(COALESCE(v.n_new, 0)) OVER w AS DOUBLE))
+             / ln(CAST(SUM(p.n_tok) OVER w AS DOUBLE)), 6) AS beta_r
+FROM per_bucket p LEFT JOIN new_vocab v ON v.bucket = p.bucket
+WINDOW w AS (ORDER BY p.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY p.bucket
+""",
+    tags=("lm", "text"),
+)
+def q243_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve: cumulative distinct vocabulary
+    vs cumulative token count at every {_HEAPS_BUCKET}-document
+    checkpoint, plus the implied exponent ln(V)/ln(N) — q234's Zipf fit
+    is the frequency view, this is the growth view, and together they
+    are the standard corpus-naturalness pair. The "distinct so far"
+    series never runs a cumulative count_distinct (quadratic in any
+    engine): each token's FIRST occurrence rank (one min-aggregate over
+    the token stream) is the only row that increments vocabulary, so
+    cumulative vocab is a running sum of per-bucket first-occurrence
+    counts — two map-side-combined shuffles over the corpus, then
+    windows over the checkpoint summary only. Doc rank uses a global
+    row_number over doc_id; at lake scale swap in the q209 two-phase
+    numbering (per-partition counts + broadcast offsets) — the rest of
+    the plan is unchanged."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "text", F.row_number().over(Window.orderBy("doc_id")).alias("r")
+    )
+    occ = ranked.select(
+        "r",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    bucket = ((F.col("r") - 1) / _HEAPS_BUCKET).cast("bigint")
+    per_bucket = occ.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    firsts = occ.groupBy("token").agg(F.min("r").alias("first_r"))
+    new_vocab = firsts.groupBy(
+        ((F.col("first_r") - 1) / _HEAPS_BUCKET).cast("bigint").alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("n_new"))
+    joined = per_bucket.join(new_vocab, "bucket", "left").select(
+        "bucket",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tokens_cum = F.sum("n_tok").over(w).cast("bigint")
+    vocab_cum = F.sum("n_new").over(w).cast("bigint")
+    return joined.select(
+        "bucket",
+        tokens_cum.alias("tokens_cum"),
+        vocab_cum.alias("vocab_cum"),
+        F.round(
+            F.log(vocab_cum.cast("double")) / F.log(tokens_cum.cast("double")),
+            6,
+        ).alias("beta_r"),
+    ).orderBy("bucket")

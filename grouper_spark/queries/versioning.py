@@ -670,3 +670,125 @@ def q195_merge_upsert(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q241_fifo_allocation",
+    oracle="""
+WITH lots AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT) AS qty_cents,
+         CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                    CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS cum_before,
+         CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)) OVER (
+           PARTITION BY l_partkey) AS BIGINT) AS total_cents
+  FROM lineitem
+), alloc AS (
+  SELECT l_partkey, qty_cents, total_cents,
+         CAST(total_cents * 3 // 10 AS BIGINT) AS demand_cents,
+         GREATEST(CAST(0 AS BIGINT),
+                  LEAST(qty_cents,
+                        CAST(total_cents * 3 // 10 AS BIGINT)
+                        - COALESCE(cum_before, 0))) AS alloc_cents
+  FROM lots
+)
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lots,
+       CAST(MIN(demand_cents) AS BIGINT) AS demand_cents,
+       CAST(SUM(alloc_cents) AS BIGINT) AS alloc_cents,
+       CAST(SUM(CASE WHEN alloc_cents = qty_cents AND qty_cents > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+       CAST(SUM(CASE WHEN alloc_cents > 0 AND alloc_cents < qty_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+       CAST(SUM(CASE WHEN alloc_cents = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_untouched
+FROM alloc
+GROUP BY l_partkey
+ORDER BY l_partkey
+""",
+    tags=("versioning", "allocation"),
+)
+def q241_fifo_allocation(spark, sf_dir):
+    """FIFO lot allocation (the inventory-costing / order-matching
+    shape): each part's demand — 30% of its total supplied quantity,
+    integer-floored — consumes its supply lots in ship-date order;
+    every lot gets clamp(demand - consumed_before, 0, lot_qty). The
+    sequential "consume until exhausted" loop is NOT a loop: it's one
+    exclusive-prefix window sum per part plus a per-row clamp, so the
+    whole allocation runs in a single shuffle on the part key with
+    codegen arithmetic — the gaps-and-islands trick applied to
+    quantity mass instead of time. Quantities are fixed-point cents;
+    the per-part demand and both window sums are exact BIGINTs, so
+    full/partial/untouched lot classification is engine-exact. The
+    oracle mirrors the identical window formulation. Duplicate natural
+    keys (a fixture hazard) are harmless: identical rows swap places
+    in the tie order but produce the same per-part aggregate."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100.0, 0).cast("bigint")
+    base = li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        qty.alias("qty_cents"),
+    )
+    w_ord = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "qty_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("l_partkey")
+    lots = base.select(
+        "l_partkey",
+        "qty_cents",
+        F.sum("qty_cents").over(w_ord).cast("bigint").alias("cum_before"),
+        F.sum("qty_cents").over(w_all).cast("bigint").alias("total_cents"),
+    )
+    demand = F.expr("total_cents * 3 div 10").cast("bigint")
+    alloc = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.col("qty_cents"),
+            demand - F.coalesce(F.col("cum_before"), F.lit(0)),
+        ),
+    )
+    scored = lots.select(
+        "l_partkey",
+        "qty_cents",
+        demand.alias("demand_cents"),
+        alloc.alias("alloc_cents"),
+    )
+    return (
+        scored.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lots"),
+            F.min("demand_cents").cast("bigint").alias("demand_cents"),
+            F.sum("alloc_cents").cast("bigint").alias("alloc_cents"),
+            F.sum(
+                (
+                    (F.col("alloc_cents") == F.col("qty_cents"))
+                    & (F.col("qty_cents") > 0)
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_full"),
+            F.sum(
+                (
+                    (F.col("alloc_cents") > 0)
+                    & (F.col("alloc_cents") < F.col("qty_cents"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_partial"),
+            F.sum((F.col("alloc_cents") == 0).cast("int"))
+            .cast("bigint")
+            .alias("n_untouched"),
+        )
+        .orderBy("l_partkey")
+    )
