@@ -823,9 +823,11 @@ def q238_minhash_oracled(spark, sf_dir):
             10,
         ).cast("bigint")
 
+    # sigs feeds the band explode and both pair-side joins; checkpoint
+    # the doc-level signature table so the shingle+md5 pipeline runs once.
     sigs = sh.groupBy("doc_id").agg(
         *[F.min(perm_hash(p)).alias(f"s{p}") for p in range(_MH_PERMS)]
-    )
+    ).localCheckpoint(eager=False)
     band_arr = F.array(
         *[
             F.struct(
@@ -983,7 +985,9 @@ def q239_simhash_oracled(spark, sf_dir):
         F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         for b in range(_SH_BITS)
     ).cast("bigint")
-    sigs = sums.select("doc_id", sig.alias("sig"))
+    # three references (bands, sig_a, sig_b) — checkpoint so the token
+    # hash + 60-bit-sum pipeline computes once.
+    sigs = sums.select("doc_id", sig.alias("sig")).localCheckpoint(eager=False)
     mask = (1 << _SH_BAND) - 1
     band_arr = F.array(
         *[

@@ -1208,9 +1208,14 @@ def q231_acf_daily_volume(spark, sf_dir):
     never mis-pair. At 100 TB: the summary is (types x days) rows —
     KBs — regardless of log size."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count("*").cast("bigint").alias("x"))
+    # daily feeds four branches (stats, den, both pair sides); checkpoint
+    # the (type x day) summary so the log scan+groupBy doesn't replan per
+    # branch (5 duplicated scans without it).
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)
+    )
     stats = daily.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s1"),

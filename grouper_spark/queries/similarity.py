@@ -570,7 +570,11 @@ def q240_lsh_hyperplane_index(spark, sf_dir):
         F.when(F.col(f"d{p}") > 0, F.lit(1 << (p % 8))).otherwise(0)
         for p in range(8, 16)
     ).cast("bigint")
-    keys = dots.select("vec_id", "label", k0.alias("k0"), k1.alias("k1"))
+    # referenced by both halves of the band union — checkpoint so the
+    # 16 dot folds compute once.
+    keys = dots.select(
+        "vec_id", "label", k0.alias("k0"), k1.alias("k1")
+    ).localCheckpoint(eager=False)
     bands = keys.select(
         "vec_id", "label", F.lit(0).alias("band"), F.col("k0").alias("key")
     ).unionAll(
