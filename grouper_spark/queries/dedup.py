@@ -729,9 +729,11 @@ def _mh_sql_hash(p: int) -> str:
     )
 
 
-@query(
-    "q238_minhash_oracled",
-    oracle="WITH sh0 AS (\n"
+# Shared oracle-SQL prefix: shingles -> md5 signatures -> bands -> capped
+# candidate pairs. q238 (index + estimate) and q246 (accuracy audit) both
+# build on the identical candidate set.
+_MH_SQL_CAND = (
+    "WITH sh0 AS (\n"
     "  SELECT doc_id,\n"
     "         list_distinct(list_transform(\n"
     "           generate_series(1, len(string_split_regex(trim(text),"
@@ -766,52 +768,25 @@ def _mh_sql_hash(p: int) -> str:
     "  WHERE bcnt.bc <= 64\n"
     "  GROUP BY doc_a, doc_b\n"
     ")\n"
-    "SELECT c.doc_a, c.doc_b, c.n_shared_bands,\n"
-    "       CAST("
-    + " + ".join(
-        f"(CASE WHEN ha.s{p} = hb.s{p} THEN 1 ELSE 0 END)"
-        for p in range(_MH_PERMS)
-    )
-    + " AS BIGINT) AS n_eq_sigs,\n"
-    "       CAST("
-    + " + ".join(
-        f"(CASE WHEN ha.s{p} = hb.s{p} THEN 1 ELSE 0 END)"
-        for p in range(_MH_PERMS)
-    )
-    + f" AS DOUBLE) / {_MH_PERMS}.0 AS est_jaccard\n"
-    "FROM cand c\n"
-    "JOIN sigs ha ON ha.doc_id = c.doc_a\n"
-    "JOIN sigs hb ON hb.doc_id = c.doc_b\n"
-    "ORDER BY doc_a, doc_b",
-    tags=("dedup", "lsh"),
 )
-def q238_minhash_oracled(spark, sf_dir):
-    """MinHash-LSH with a full exact-value oracle: the one LSH family
-    whose entire pipeline — signatures, banding, candidate pairs,
-    signature-agreement estimate — is reproduced value-for-value in
-    SQL, because the permutation hashes are md5-derived 60-bit integers
-    (the cross-engine-deterministic hash this repo already uses for
-    splits and sampling) instead of q35's faster engine-native
-    xxhash64. 8 permutations in 4 bands of 2: one shingle explode
-    computes all 8 mins in a single map-side-combined groupBy, band
-    keys fan out through the capped posting-list pair generator (shared
-    with q146 — buckets over 64 members are dropped before any pair
-    materializes, so a degenerate all-identical corpus cannot go
-    quadratic), and candidates join back to the doc-level signature
-    table for the estimated Jaccard. q35 stays the production path;
-    this twin exists so the driver can hash-check the LSH machinery
-    end-to-end rather than trusting rows-only evidence."""
-    d = table(spark, sf_dir, "documents")
+
+
+def _minhash_components(spark, sf_dir):
+    """Spark half of the md5-MinHash pipeline: returns (sh, sigs, cand)
+    — the distinct (doc, shingle) stream, the checkpointed signature
+    table, and the banded candidate pairs (shared by q238/q246)."""
     from ..functions.text import word_shingles
     from ..operators import cooccurrence_pairs
     from ..operators.core import ensure_parallelism
 
+    d = table(spark, sf_dir, "documents")
     sh = (
         ensure_parallelism(d)
         .select(
             "doc_id", F.explode_outer(word_shingles("text", 3)).alias("sh")
         )
         .filter(F.col("sh").isNotNull())
+        .localCheckpoint(eager=False)
     )
 
     def perm_hash(p: int):
@@ -851,6 +826,48 @@ def q238_minhash_oracled(spark, sf_dir):
         F.col("v").alias("doc_b"),
         F.col("i").cast("bigint").alias("n_shared_bands"),
     )
+    return sh, sigs, cand
+
+
+@query(
+    "q238_minhash_oracled",
+    oracle=_MH_SQL_CAND
+    + "SELECT c.doc_a, c.doc_b, c.n_shared_bands,\n"
+    "       CAST("
+    + " + ".join(
+        f"(CASE WHEN ha.s{p} = hb.s{p} THEN 1 ELSE 0 END)"
+        for p in range(_MH_PERMS)
+    )
+    + " AS BIGINT) AS n_eq_sigs,\n"
+    "       CAST("
+    + " + ".join(
+        f"(CASE WHEN ha.s{p} = hb.s{p} THEN 1 ELSE 0 END)"
+        for p in range(_MH_PERMS)
+    )
+    + f" AS DOUBLE) / {_MH_PERMS}.0 AS est_jaccard\n"
+    "FROM cand c\n"
+    "JOIN sigs ha ON ha.doc_id = c.doc_a\n"
+    "JOIN sigs hb ON hb.doc_id = c.doc_b\n"
+    "ORDER BY doc_a, doc_b",
+    tags=("dedup", "lsh"),
+)
+def q238_minhash_oracled(spark, sf_dir):
+    """MinHash-LSH with a full exact-value oracle: the one LSH family
+    whose entire pipeline — signatures, banding, candidate pairs,
+    signature-agreement estimate — is reproduced value-for-value in
+    SQL, because the permutation hashes are md5-derived 60-bit integers
+    (the cross-engine-deterministic hash this repo already uses for
+    splits and sampling) instead of q35's faster engine-native
+    xxhash64. 8 permutations in 4 bands of 2: one shingle explode
+    computes all 8 mins in a single map-side-combined groupBy, band
+    keys fan out through the capped posting-list pair generator (shared
+    with q146 — buckets over 64 members are dropped before any pair
+    materializes, so a degenerate all-identical corpus cannot go
+    quadratic), and candidates join back to the doc-level signature
+    table for the estimated Jaccard. q35 stays the production path;
+    this twin exists so the driver can hash-check the LSH machinery
+    end-to-end rather than trusting rows-only evidence."""
+    _, sigs, cand = _minhash_components(spark, sf_dir)
     ha = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{p}").alias(f"a{p}") for p in range(_MH_PERMS)],
@@ -1022,5 +1039,107 @@ def q239_simhash_oracled(spark, sf_dir):
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 12)
         .select("doc_a", "doc_b", "n_shared_bands", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q246_minhash_accuracy_audit",
+    oracle=_MH_SQL_CAND.rstrip()
+    + """, szs AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh0
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(c.n_eq AS DOUBLE) / 8.0, 6) AS est_jaccard,
+       round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(i.inter, 0)), 6) AS true_jaccard,
+       CAST(ROUND((CAST(c.n_eq AS DOUBLE) / 8.0
+                   - CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                     / (sa.sz + sb.sz - COALESCE(i.inter, 0)))
+                  * 1000000.0, 0) AS BIGINT) AS err_micro
+FROM (
+  SELECT cand.doc_a, cand.doc_b,
+         """
+    + " + ".join(
+        f"(CASE WHEN ha.s{p} = hb.s{p} THEN 1 ELSE 0 END)"
+        for p in range(_MH_PERMS)
+    )
+    + """ AS n_eq
+  FROM cand
+  JOIN sigs ha ON ha.doc_id = cand.doc_a
+  JOIN sigs hb ON hb.doc_id = cand.doc_b
+) c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN szs sa ON sa.doc_id = c.doc_a
+JOIN szs sb ON sb.doc_id = c.doc_b
+ORDER BY c.doc_a, c.doc_b""",
+    tags=("dedup", "lsh", "eval"),
+)
+def q246_minhash_accuracy_audit(spark, sf_dir):
+    """Sketch-accuracy evaluation harness: for every q238 LSH candidate
+    pair, the signature-agreement Jaccard estimate next to the TRUE
+    shingle-set Jaccard and their signed micro-unit error — the audit a
+    pipeline owner runs before trusting a sketch family at corpus
+    scale. The true intersection is computed ONLY for candidate pairs
+    (the shingle stream equi-joins through the candidate set — never
+    the all-pairs Jaccard), so the audit costs candidates x overlap,
+    not corpus². Shares the signature/candidate machinery with q238
+    (one checkpointed pipeline, three reads) and the exact set sizes
+    come from the same shingle stream. Estimates at 8 permutations are
+    coarse by design — the audit quantifies exactly how coarse."""
+    sh, sigs, cand = _minhash_components(spark, sf_dir)
+    szs = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    xa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    xb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(xa, "doc_a")
+        .join(xb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    ha = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{p}").alias(f"a{p}") for p in range(_MH_PERMS)],
+    )
+    hb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{p}").alias(f"b{p}") for p in range(_MH_PERMS)],
+    )
+    n_eq = sum(
+        (F.col(f"a{p}") == F.col(f"b{p}")).cast("int")
+        for p in range(_MH_PERMS)
+    )
+    est = n_eq.cast("double") / 8.0
+    scored = (
+        cand.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est"))
+    )
+    sa = szs.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = szs.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    true_j = F.coalesce(F.col("inter"), F.lit(0)).cast("double") / (
+        F.col("sza") + F.col("szb") - F.coalesce(F.col("inter"), F.lit(0))
+    )
+    return (
+        scored.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("est"), 6).alias("est_jaccard"),
+            F.round(true_j, 6).alias("true_jaccard"),
+            F.round((F.col("est") - true_j) * 1000000.0, 0)
+            .cast("bigint")
+            .alias("err_micro"),
+        )
         .orderBy("doc_a", "doc_b")
     )

@@ -830,3 +830,167 @@ def q236_multitouch_attribution(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q245_kaplan_meier",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+), signed AS (
+  SELECT user_id, s_ts, last_ts FROM base WHERE s_ts IS NOT NULL
+), conv AS (
+  SELECT s.user_id, MIN(e.ts) AS p_ts
+  FROM signed s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+  GROUP BY s.user_id
+), subj AS (
+  SELECT s.user_id,
+         CAST(CASE WHEN c.p_ts IS NOT NULL
+              THEN (epoch_us(c.p_ts) - epoch_us(s.s_ts)) // 86400000000
+              ELSE (epoch_us(s.last_ts) - epoch_us(s.s_ts)) // 86400000000
+              END AS BIGINT) AS t_days,
+         CASE WHEN c.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM signed s LEFT JOIN conv c ON c.user_id = s.user_id
+), tt AS (
+  SELECT t_days,
+         CAST(SUM(ev) AS BIGINT) AS n_events,
+         CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+  FROM subj GROUP BY t_days
+), risk AS (
+  SELECT t_days, n_events, n_censored,
+         CAST(SUM(n_events + n_censored) OVER () 
+              - COALESCE(SUM(n_events + n_censored) OVER (
+                  ORDER BY t_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_at_risk
+  FROM tt
+), lnterms AS (
+  SELECT t_days, n_events, n_censored, n_at_risk,
+         CASE WHEN n_events > 0 AND n_events < n_at_risk
+              THEN CAST(ROUND(ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk)
+                              * 1000000.0, 0) AS BIGINT)
+              WHEN n_events > 0 THEN CAST(-99000000 AS BIGINT)
+              ELSE 0 END AS ln_micro
+  FROM risk
+)
+SELECT t_days, n_at_risk, n_events, n_censored,
+       CAST(SUM(ln_micro) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS surv_ln_micro,
+       round(exp(CAST(SUM(ln_micro) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 1000000.0), 4) AS survival_r
+FROM lnterms
+ORDER BY t_days
+""",
+    tags=("events", "stats"),
+)
+def q245_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-first-purchase after
+    signup, with right-censoring at each non-converting user's last
+    observed event — the churn/conversion estimator that handles "hasn't
+    converted YET" correctly, where a naive conversion-rate cut-off
+    can't. Subjects collapse to one (t_days, event) row each (two
+    user-keyed aggregations), the day-level risk table comes from
+    running sums over that tiny summary, and the product-limit estimator
+    is a running SUM of per-day ln(1 - d/n) terms fixed-pointed to
+    micro-units before accumulation (the q152/q156 recipe — products
+    become exact integer sums; deaths-before-censoring at ties, the
+    standard convention). surv_ln_micro is the engine-exact artifact;
+    survival_r is its 4-dp exp for humans. At 100 TB the event log never
+    survives past the per-user aggregate."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "s_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    signed = base.filter(F.col("s_ts").isNotNull()).localCheckpoint(
+        eager=False
+    )
+    conv = (
+        signed.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    day = 86400000000
+    subj = signed.join(conv, "user_id", "left").select(
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.expr(f"(unix_micros(p_ts) - unix_micros(s_ts)) div {day}"),
+        )
+        .otherwise(
+            F.expr(f"(unix_micros(last_ts) - unix_micros(s_ts)) div {day}")
+        )
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tt = subj.groupBy("t_days").agg(
+        F.sum("ev").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("n_censored"),
+    )
+    w_all = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prior = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    both = F.col("n_events") + F.col("n_censored")
+    risk = tt.select(
+        "t_days",
+        "n_events",
+        "n_censored",
+        (
+            F.sum(both).over(w_all)
+            - F.coalesce(F.sum(both).over(w_prior), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    # d == n at the final event time would be ln(0): the survival curve
+    # hits exactly zero there — encode it as a -99 ln sentinel (exp -> 0
+    # at any rounding) identically in both engines.
+    ln_micro = (
+        F.when(
+            (F.col("n_events") > 0)
+            & (F.col("n_events") < F.col("n_at_risk")),
+            F.round(
+                F.log(
+                    1.0
+                    - F.col("n_events").cast("double") / F.col("n_at_risk")
+                )
+                * 1000000.0,
+                0,
+            ).cast("bigint"),
+        )
+        .when(F.col("n_events") > 0, F.lit(-99000000).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    terms = risk.withColumn("ln_micro", ln_micro)
+    cum = F.sum("ln_micro").over(w_cum).cast("bigint")
+    return terms.select(
+        "t_days",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        cum.alias("surv_ln_micro"),
+        F.round(F.exp(cum.cast("double") / 1000000.0), 4).alias(
+            "survival_r"
+        ),
+    ).orderBy("t_days")

@@ -654,3 +654,88 @@ def q222_grid_spatial_join(spark, sf_dir):
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+_JOINABILITY = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+@query(
+    "q244_joinability_discovery",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{ta}.{ca} ~ {tb}.{cb}' AS pair,
+       CAST((SELECT COUNT(DISTINCT {ca}) FROM {ta}
+             WHERE {ca} IS NOT NULL) AS BIGINT) AS n_a,
+       CAST((SELECT COUNT(DISTINCT {cb}) FROM {tb}
+             WHERE {cb} IS NOT NULL) AS BIGINT) AS n_b,
+       CAST((SELECT COUNT(*) FROM
+              (SELECT DISTINCT {ca} AS k FROM {ta} WHERE {ca} IS NOT NULL)
+              JOIN (SELECT DISTINCT {cb} AS k FROM {tb}
+                    WHERE {cb} IS NOT NULL) USING (k)) AS BIGINT) AS n_inter,
+       round(CAST((SELECT COUNT(*) FROM
+              (SELECT DISTINCT {ca} AS k FROM {ta} WHERE {ca} IS NOT NULL)
+              JOIN (SELECT DISTINCT {cb} AS k FROM {tb}
+                    WHERE {cb} IS NOT NULL) USING (k)) AS DOUBLE)
+             / (SELECT COUNT(DISTINCT {ca}) FROM {ta}
+                WHERE {ca} IS NOT NULL), 6) AS containment_r"""
+        for ta, ca, tb, cb in _JOINABILITY
+    )
+    + "\nORDER BY pair",
+    tags=("join", "profile"),
+)
+def q244_joinability_discovery(spark, sf_dir):
+    """Join-key discovery (data-catalog joinability profiling): for each
+    candidate column pair across tables, the distinct cardinalities,
+    exact value-set intersection, and containment |A∩B|/|A| — the score
+    a discovery service uses to rank "this column probably joins to
+    that one". Each pair costs two distinct-collapses (map-side
+    combined, the only corpus-sized work) and one join between the
+    DISTINCT sets, which are key-cardinality sized; the five summaries
+    union into a catalog-shaped report. events.user_id ~ c_custkey
+    scores the cross-domain case discovery exists for: high containment
+    one way, low the other. At lake scale the distinct sets would feed
+    minhash set-sketches instead — the q238 machinery — but the exact
+    form is the calibration baseline."""
+    rows = []
+    for ta, ca, tb, cb in _JOINABILITY:
+        da = (
+            table(spark, sf_dir, ta)
+            .filter(F.col(ca).isNotNull())
+            .select(F.col(ca).alias("k"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        db = (
+            table(spark, sf_dir, tb)
+            .filter(F.col(cb).isNotNull())
+            .select(F.col(cb).alias("k"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        na = da.agg(F.count("*").cast("bigint").alias("n_a"))
+        nb = db.agg(F.count("*").cast("bigint").alias("n_b"))
+        ni = da.join(db, "k").agg(
+            F.count("*").cast("bigint").alias("n_inter")
+        )
+        rows.append(
+            na.crossJoin(nb)
+            .crossJoin(ni)
+            .select(
+                F.lit(f"{ta}.{ca} ~ {tb}.{cb}").alias("pair"),
+                "n_a",
+                "n_b",
+                "n_inter",
+                F.round(
+                    F.col("n_inter").cast("double") / F.col("n_a"), 6
+                ).alias("containment_r"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("pair")
