@@ -527,3 +527,62 @@ def test_cooccurrence_posting_fanout_is_repartitioned(spark):
     pairs = cooccurrence_pairs(df, "uid", ["et", "d"], max_bucket=4096)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "RoundRobinPartitioning" in plan or "REPARTITION_BY_NUM" in plan, plan
+
+
+# ---- round-3 additions (q231-q246) ----
+
+
+def test_q231_single_scan_after_checkpoint(spark, sf_dir, registry):
+    # daily summary feeds four branches; the checkpoint must collapse
+    # the log scan to one (ScanExistingRDD replaces the re-plans)
+    df = registry["q231_acf_daily_volume"].fn(spark, sf_dir)
+    assert plan_of(df).count("FileScan parquet") <= 1
+
+
+def test_q238_sigs_computed_once(spark, sf_dir, registry):
+    # the shingle+md5 signature pipeline feeds three consumers; the
+    # checkpoint must keep the corpus scan count at 1
+    df = registry["q238_minhash_oracled"].fn(spark, sf_dir)
+    assert plan_of(df).count("FileScan parquet") <= 1
+
+
+def test_q239_sigs_computed_once(spark, sf_dir, registry):
+    df = registry["q239_simhash_oracled"].fn(spark, sf_dir)
+    assert plan_of(df).count("FileScan parquet") <= 1
+
+
+def test_q240_planes_are_constants_no_join(spark, sf_dir, registry):
+    # hyperplanes ride as literals: exactly one scan of the embeddings
+    # (via the checkpointed key table), and no join anywhere
+    df = registry["q240_lsh_hyperplane_index"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") <= 1
+    assert "Join" not in plan
+
+
+def test_q241_single_shuffle_on_part_key(spark, sf_dir, registry):
+    # both windows and the final aggregate share the l_partkey
+    # partitioning: one hash exchange total
+    df = registry["q241_fifo_allocation"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_q236_no_event_self_join(spark, sf_dir, registry):
+    # next-purchase resolution must be the window formulation — a range
+    # self-join of events would explode on hot users
+    df = registry["q236_multitouch_attribution"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_q246_true_jaccard_only_for_candidates(spark, sf_dir, registry):
+    # the accuracy audit must never compute all-pairs Jaccard: the
+    # shingle stream joins through the candidate set (joins present),
+    # but no cartesian/cross product may appear
+    df = registry["q246_minhash_accuracy_audit"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
