@@ -994,3 +994,88 @@ def q245_kaplan_meier(spark, sf_dir):
             "survival_r"
         ),
     ).orderBy("t_days")
+
+
+@query(
+    "q247_event_pattern_match",
+    oracle="""
+WITH tl AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'purchase' THEN ts END AS p_ts,
+         CASE WHEN event_type = 'error' THEN ts END AS e_ts
+  FROM events
+), nxt AS (
+  SELECT event_id, user_id, ts, event_type,
+         first_value(p_ts IGNORE NULLS) OVER wf AS np_ts,
+         first_value(e_ts IGNORE NULLS) OVER wf AS ne_ts
+  FROM tl
+  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), matches AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN np_ts IS NOT NULL
+                   AND epoch_us(np_ts) - epoch_us(ts) <= 3600000000
+                   AND (ne_ts IS NULL OR ne_ts > np_ts)
+              THEN 1 ELSE 0 END AS hit
+  FROM nxt WHERE event_type = 'click'
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(hit) AS BIGINT) AS n_matched,
+       round(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS match_rate
+FROM matches GROUP BY day ORDER BY day
+""",
+    tags=("events", "cep"),
+)
+def q247_event_pattern_match(spark, sf_dir):
+    """Complex-event pattern matching (the MATCH_RECOGNIZE shape Spark
+    lacks): CLICK followed by PURCHASE within one hour with NO ERROR in
+    between, reported as a per-day match rate. The NFA formulation
+    collapses to two first-ignore-nulls windows over the per-user
+    timeline — next purchase and next error after each click — and the
+    pattern predicate becomes pure codegen arithmetic: matched iff the
+    purchase arrives inside the horizon and strictly precedes any
+    error. One shuffle on the user key, no self-joins, no state
+    machine; negation ("without C between") costs exactly one more
+    window column, where a join formulation would need an anti-join
+    per negated symbol. The q235/q236 timeline machinery applied to
+    sequence-pattern semantics."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    tl = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("e_ts"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = tl.select(
+        "ts",
+        "event_type",
+        F.first("p_ts", ignorenulls=True).over(wf).alias("np_ts"),
+        F.first("e_ts", ignorenulls=True).over(wf).alias("ne_ts"),
+    )
+    hit = (
+        F.col("np_ts").isNotNull()
+        & ((F.unix_micros("np_ts") - F.unix_micros("ts")) <= 3600000000)
+        & (F.col("ne_ts").isNull() | (F.col("ne_ts") > F.col("np_ts")))
+    ).cast("int")
+    matches = nxt.filter(F.col("event_type") == "click").select(
+        F.col("ts").cast("date").alias("day"), hit.alias("hit")
+    )
+    return (
+        matches.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clicks"),
+            F.sum("hit").cast("bigint").alias("n_matched"),
+            F.round(F.sum("hit") / F.count("*"), 6).alias("match_rate"),
+        )
+        .orderBy("day")
+    )

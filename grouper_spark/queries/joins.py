@@ -739,3 +739,73 @@ def q244_joinability_discovery(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("pair")
+
+
+@query(
+    "q248_volume_shipping",
+    oracle="""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100.0,
+                           0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+WHERE nc.n_nationkey < 5 AND ns.n_nationkey < 5
+  AND nc.n_nationkey != ns.n_nationkey
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+""",
+    tags=("join", "tpch"),
+)
+def q248_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-shaped volume shipping: cross-border revenue between
+    pairs of selected nations by ship year, through the full star —
+    lineitem⋈orders (the only fact⋈fact shuffle) with customer,
+    supplier, and both nation hops as broadcast joins. The nation
+    filters sit on the BROADCAST sides, so Catalyst prunes the fact
+    rows inside the join (runtime semi-filtering via the small hashed
+    relations), never shuffling non-qualifying lineitems to a second
+    stage; revenue is the standard fixed-point cents sum. The classic
+    plan-shape benchmark for join-order + broadcast decisions at
+    warehouse scale."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nc = n.filter(F.col("n_nationkey") < 5).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    ns = n.filter(F.col("n_nationkey") < 5).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("bigint")
+    joined = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate", rev_cents.alias("rc"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("c_nk") != F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("rc").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )

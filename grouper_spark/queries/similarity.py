@@ -592,3 +592,108 @@ def q240_lsh_hyperplane_index(spark, sf_dir):
         )
         .orderBy("band", "key")
     )
+
+
+def _pi_sql_iter(k: int) -> str:
+    prev = f"v{k - 1}"
+    return (
+        f"w{k} AS (\n"
+        f"  SELECT g.i AS i, CAST(SUM(g.m * v.v) AS BIGINT) AS w\n"
+        f"  FROM g JOIN {prev} v ON v.i = g.j GROUP BY g.i\n"
+        f"), m{k} AS (\n"
+        f"  SELECT CAST(MAX(ABS(w)) AS BIGINT) AS mx FROM w{k}\n"
+        f"), v{k} AS (\n"
+        f"  SELECT i, CAST(ROUND(CAST(w AS DOUBLE) * 1000000.0 / mx, 0)"
+        f" AS BIGINT) AS v\n"
+        f"  FROM w{k}, m{k}\n"
+        f")"
+    )
+
+
+@query(
+    "q249_power_iteration",
+    oracle="WITH emb AS (\n"
+    "  SELECT embedding::DOUBLE[] AS e FROM embeddings\n"
+    "), g AS (\n"
+    "  SELECT i, j,\n"
+    "         CAST(SUM(CAST(ROUND(e[i] * e[j] * 1000000.0, 0) AS BIGINT))\n"
+    "              AS BIGINT) AS m\n"
+    "  FROM emb, generate_series(1, 64) s(i), generate_series(1, 64) t(j)\n"
+    "  GROUP BY i, j\n"
+    "), v0 AS (\n"
+    "  SELECT i, CAST(1000000 AS BIGINT) AS v FROM generate_series(1, 64) s(i)\n"
+    "), "
+    + ",\n".join(_pi_sql_iter(k) for k in range(1, 6))
+    + "\nSELECT v5.i AS dim, v5.v AS v_micro,\n"
+    "       round(CAST(m5.mx AS DOUBLE) / 1000000000000.0, 6) AS lambda_r\n"
+    "FROM v5, m5 ORDER BY dim",
+    tags=("similarity", "linalg"),
+)
+def q249_power_iteration(spark, sf_dir):
+    """Distributed PCA top component: five power iterations over the
+    corpus gramian, engine-exact. The only corpus-sized work is q106's
+    Arrow-batched partial-gramian pass (per-partition numpy outer
+    products, one d²-row reduce — 100 TB of vectors becomes 4096 longs
+    on the wire); every iteration then runs on the d×d integer matrix.
+    Floats never accumulate: the gramian is exact micro-unit BIGINTs,
+    each matrix·vector product is an exact integer sum, and the
+    renormalization divides by the max-|component| (order-independent
+    and exact, unlike an L2 norm whose squared sum would both overflow
+    and float-drift) with ONE double division per component, rounded
+    back to micro — so both engines walk the identical integer
+    trajectory and the eigenvector hash-matches to the last bit.
+    lambda_r is the dominant-eigenvalue estimate from the final
+    pre-normalization scale. The all-ones start vector makes the
+    converged sign deterministic."""
+    from ..operators.linalg import gramian_upper
+
+    emb = table(spark, sf_dir, "embeddings")
+    upper = gramian_upper(emb, "embedding", scale=6)
+    g = (
+        upper.select("i", "j", F.col("cents").alias("m"))
+        .unionAll(
+            upper.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"),
+                F.col("i").alias("j"),
+                F.col("cents").alias("m"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(1000000).cast("bigint").alias("v"),
+    )
+    mx = None
+    for _ in range(5):
+        w = (
+            g.join(
+                F.broadcast(v.withColumnRenamed("i", "j")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("m") * F.col("v")).cast("bigint").alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).cast("bigint").alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                "i",
+                F.round(
+                    F.col("w").cast("double") * 1000000.0 / F.col("mx"), 0
+                )
+                .cast("bigint")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        v.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("i").alias("dim"),
+            F.col("v").alias("v_micro"),
+            F.round(
+                F.col("mx").cast("double") / 1000000000000.0, 6
+            ).alias("lambda_r"),
+        )
+        .orderBy("dim")
+    )
