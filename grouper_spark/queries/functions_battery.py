@@ -742,3 +742,92 @@ def q226_struct_array_battery(spark, sf_dir):
             lambda acc, x: acc + x,
         ).alias("total_cents"),
     ).orderBy("user_id")
+
+
+@query(
+    "q250_decimal_exact_money",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) * 100
+            AS BIGINT) AS gross_cents,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))
+                * CAST(l_discount AS DECIMAL(18, 2))) * 10000
+            AS BIGINT) AS disc_tenthmilli
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("functions", "decimal"),
+)
+def q250_decimal_exact_money(spark, sf_dir):
+    """DecimalType money pipeline: the engine's second exact-arithmetic
+    path next to the integer-cents idiom used everywhere else. Doubles
+    are cast to DECIMAL(18,2) at the scan boundary, summed under exact
+    decimal semantics (Spark widens the accumulator to precision 28 —
+    overflow-checked, order-independent), and the final decimals are
+    re-expressed as integer cents / tenth-milli units so the output
+    columns stay canonicalizer-safe BIGINTs. The product sum exercises
+    decimal multiplication scale rules (2+2 -> 4 fractional digits) —
+    the place naive float pipelines silently lose pennies. Same
+    map-side-combined single-shuffle aggregate shape as q01."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            (F.sum(price) * 100).cast("bigint").alias("gross_cents"),
+            (F.sum(price * disc) * 10000)
+            .cast("bigint")
+            .alias("disc_tenthmilli"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q251_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_bitmap
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("functions", "sketch"),
+)
+def q251_bitmap_distinct(spark, sf_dir):
+    """Bitmap-index distinct counting (Spark 3.5 bitmap_* family): user
+    ids land in fixed 32k-bit bucket bitmaps via bitmap_construct_agg,
+    bucket bitmaps OR-merge across groups, and bitmap_count reads the
+    cardinality — the roaring-bitmap pattern warehouses use when ids
+    are dense integers, giving EXACT distinct counts with mergeable
+    O(domain/8)-byte state instead of a distinct shuffle of the raw
+    rows (HLL's exact-count sibling: mergeable like a sketch, but no
+    error). Two-level plan: (type, bucket) partial bitmaps map-side,
+    then a per-type sum of bucket counts. The oracle states the
+    semantic contract — bitmap cardinality == COUNT(DISTINCT) — which
+    is exactly what the query must reproduce; the exact count rides
+    along from the same pipeline as proof."""
+    ev = table(spark, sf_dir, "events")
+    per_bucket = ev.select(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bkt"),
+        F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+    ).groupBy("event_type", "bkt").agg(
+        F.bitmap_construct_agg(F.col("pos")).alias("bm"),
+        F.count_distinct(F.col("pos")).cast("bigint").alias("nd_exact"),
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.sum(F.col("nd_exact")).cast("bigint").alias("n_users"),
+            F.sum(F.bitmap_count(F.col("bm")))
+            .cast("bigint")
+            .alias("n_users_bitmap"),
+        )
+        .orderBy("event_type")
+    )

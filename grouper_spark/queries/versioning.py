@@ -792,3 +792,126 @@ def q241_fifo_allocation(spark, sf_dir):
         )
         .orderBy("l_partkey")
     )
+
+
+_MERKLE_BUCKETS = 64
+
+
+@query(
+    "q252_merkle_range_diff",
+    oracle=f"""
+WITH replica_a AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders
+), replica_b AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 997 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders
+  WHERE o_orderkey % 9973 != 0
+), ha AS (
+  SELECT CAST(o_orderkey % {_MERKLE_BUCKETS} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(BIT_XOR(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS VARCHAR)
+           ), 1, 15))::BIGINT) AS BIGINT) AS sum_a
+  FROM replica_a GROUP BY bucket
+), hb AS (
+  SELECT CAST(o_orderkey % {_MERKLE_BUCKETS} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(BIT_XOR(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS VARCHAR)
+           ), 1, 15))::BIGINT) AS BIGINT) AS sum_b
+  FROM replica_b GROUP BY bucket
+)
+SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+       CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+       CAST(CASE WHEN COALESCE(sum_a, 0) != COALESCE(sum_b, 0)
+                 OR COALESCE(n_a, 0) != COALESCE(n_b, 0)
+            THEN 1 ELSE 0 END AS INT) AS divergent
+FROM ha FULL OUTER JOIN hb ON hb.bucket = ha.bucket
+ORDER BY bucket
+""",
+    tags=("versioning", "integrity"),
+)
+def q252_merkle_range_diff(spark, sf_dir):
+    """Anti-entropy range reconciliation (the Merkle-tree sweep Cassandra
+    and replicated lakes run): two replicas of the orders table — the
+    second with deterministic injected drift (one mutated status per
+    ~1k keys, one deleted row per ~10k) — reduce to per-key-range
+    fingerprints (row count + XOR of md5-derived row hashes —
+    order-independent, overflow-free under ANSI arithmetic; the count
+    column catches the even-multiplicity edits XOR alone would cancel),
+    and only ranges whose fingerprints disagree are flagged for
+    row-level repair. At 100 TB each replica
+    ships {_MERKLE_BUCKETS} (count, sum) pairs instead of the table —
+    divergence localization costs two aggregate scans and a
+    {_MERKLE_BUCKETS}-row join, and the flagged buckets bound the
+    expensive row-diff to 1/{_MERKLE_BUCKETS} of the keyspace per
+    divergent range. q140's global checksum answers "equal?"; this
+    answers "where not?"."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    replica_b = o.filter(F.col("o_orderkey") % 9973 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 997 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+
+    def fingerprints(df, n_col, s_col):
+        row_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.round(F.col("o_totalprice") * 100.0, 0)
+                        .cast("bigint")
+                        .cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.groupBy(
+            (F.col("o_orderkey") % _MERKLE_BUCKETS).alias("bucket")
+        ).agg(
+            F.count("*").cast("bigint").alias(n_col),
+            F.bit_xor(row_hash).cast("bigint").alias(s_col),
+        )
+
+    ha = fingerprints(o, "n_a", "sum_a")
+    hb = fingerprints(replica_b, "n_b", "sum_b")
+    divergent = (
+        (
+            F.coalesce(F.col("sum_a"), F.lit(0))
+            != F.coalesce(F.col("sum_b"), F.lit(0))
+        )
+        | (
+            F.coalesce(F.col("n_a"), F.lit(0))
+            != F.coalesce(F.col("n_b"), F.lit(0))
+        )
+    ).cast("int")
+    return (
+        ha.join(hb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+            divergent.alias("divergent"),
+        )
+        .orderBy("bucket")
+    )
