@@ -831,3 +831,57 @@ def q251_bitmap_distinct(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q253_python_datasource",
+    oracle="""
+WITH src AS (
+  SELECT t.i AS id, CAST(t.i % 16 AS BIGINT) AS bucket,
+         CAST(('0x' || substr(md5('syn|' || CAST(t.i AS VARCHAR)), 1, 8))
+              ::BIGINT % 100000 AS BIGINT) AS val_cents
+  FROM generate_series(0, 99999) t(i)
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(val_cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(id) AS BIGINT) AS min_id,
+       CAST(MAX(id) AS BIGINT) AS max_id
+FROM src GROUP BY bucket ORDER BY bucket
+""",
+    tags=("source", "connector"),
+)
+def q253_python_datasource(spark, sf_dir):
+    """Custom connector surface (Spark 4 Python DataSource API): a
+    registered `synthetic_series` source read through the standard
+    `spark.read.format(...)` path — schema declaration, option passing,
+    and REAL partition planning (8 InputPartitions, each generating its
+    id range worker-side, so the source parallelizes like any file
+    format and nothing funnels through the driver). Row content is a
+    pure md5 function of the id, which is what makes a custom
+    connector oracle-checkable: DuckDB regenerates the identical rows
+    from generate_series and the aggregate must hash-match. The
+    template for wrapping a feature store / internal API / simulator
+    as a first-class table at cluster scale."""
+    from ..sources.pydatasource import SyntheticSeriesDataSource
+
+    try:
+        spark.dataSource.register(SyntheticSeriesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    src = (
+        spark.read.format("synthetic_series")
+        .option("n", 100000)
+        .option("parts", 8)
+        .load()
+    )
+    return (
+        src.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("val_cents").cast("bigint").alias("sum_cents"),
+            F.min("id").cast("bigint").alias("min_id"),
+            F.max("id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("bucket")
+    )

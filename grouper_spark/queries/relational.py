@@ -675,3 +675,58 @@ def q223_topn_with_others(spark, sf_dir):
         )
         .orderBy("p_brand", F.col("rev_cents").desc(), "p_type")
     )
+
+
+@query(
+    "q254_rollup_cascade",
+    oracle="""
+SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+       CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+         AS n_months,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY quarter
+ORDER BY quarter
+""",
+    tags=("agg", "rollup"),
+)
+def q254_rollup_cascade(spark, sf_dir):
+    """Multi-granularity rollup cascade: day -> month -> quarter, each
+    level aggregated FROM THE LEVEL BELOW, never from the raw fact —
+    the incremental-maintenance shape a warehouse runs nightly (the day
+    partials are what you'd persist; month and quarter refreshes then
+    cost KBs instead of a fact scan). The oracle computes quarters
+    directly from raw orders, so the hash gate proves the cascade's
+    algebraic claim: counts and integer-cent sums are associative, so
+    re-aggregating partials is EXACTLY the direct answer (the property
+    that breaks for medians/distincts and is why those need sketches).
+    One corpus-sized shuffle (to days); everything above is
+    calendar-cardinality."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month")
+    ).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    return (
+        monthly.groupBy(
+            F.date_trunc("quarter", "month").cast("date").alias("quarter")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_months"),
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("quarter")
+    )
