@@ -1174,3 +1174,111 @@ def q197_target_encoding(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+_NEG_K = 4
+
+
+@query(
+    "q255_negative_sampling",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source FROM documents
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM base
+), anchors AS (
+  SELECT b.doc_id, b.source, k.k, n.n_docs,
+         ('0x' || substr(md5('neg|' || CAST(b.doc_id AS VARCHAR) || '|'
+                              || CAST(k.k AS VARCHAR)), 1, 8))::BIGINT
+           % n.n_docs AS raw_neg
+  FROM base b
+  CROSS JOIN (SELECT * FROM (VALUES (0), (1), (2), (3)) t(k)) k
+  CROSS JOIN n
+), picked AS (
+  SELECT doc_id, source, CAST(k AS INT) AS k,
+         CAST(CASE WHEN raw_neg = doc_id
+              THEN (raw_neg + 1) % n_docs ELSE raw_neg END AS BIGINT)
+           AS neg_id
+  FROM anchors
+)
+SELECT p.doc_id, p.k, p.neg_id,
+       CAST(CASE WHEN nb.source = p.source THEN 1 ELSE 0 END AS INT)
+         AS is_hard
+FROM picked p JOIN base nb ON nb.doc_id = p.neg_id
+ORDER BY p.doc_id, p.k
+""",
+    tags=("curation", "sampling"),
+)
+def q255_negative_sampling(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: every
+    anchor document draws {_NEG_K} pseudo-random negatives via
+    md5(anchor, k) mod corpus-size — reproducible across reruns and
+    engines (the repo's seeded-sampling idiom), with a rejection bump
+    when the draw hits the anchor itself. Negatives joining back to the
+    corpus on the drawn id is ONE equi-join (ids are dense here; at
+    lake scale the drawn ordinal goes through the q209 two-phase global
+    numbering to map ordinal -> row without a sort). The is_hard flag
+    marks same-source negatives — the in-batch "hard negative" signal a
+    contrastive data loader wants precomputed. Corpus touched twice
+    (anchor side, negative lookup), both map-side after the broadcast
+    count."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = d.localCheckpoint(eager=False)
+    n = base.agg(F.count("*").cast("bigint").alias("n_docs"))
+    ks = spark.range(_NEG_K).select(F.col("id").cast("int").alias("k"))
+    raw = (
+        base.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "k",
+            "n_docs",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit("neg"),
+                                F.col("doc_id").cast("string"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n_docs")
+            ).alias("raw_neg"),
+        )
+    )
+    picked = raw.select(
+        "doc_id",
+        "source",
+        "k",
+        F.when(
+            F.col("raw_neg") == F.col("doc_id"),
+            (F.col("raw_neg") + 1) % F.col("n_docs"),
+        )
+        .otherwise(F.col("raw_neg"))
+        .cast("bigint")
+        .alias("neg_id"),
+    )
+    nb = base.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return (
+        picked.join(nb, "neg_id")
+        .select(
+            "doc_id",
+            "k",
+            "neg_id",
+            (F.col("neg_source") == F.col("source")).cast("int").alias(
+                "is_hard"
+            ),
+        )
+        .orderBy("doc_id", "k")
+    )

@@ -730,3 +730,77 @@ def q254_rollup_cascade(spark, sf_dir):
         )
         .orderBy("quarter")
     )
+
+
+@query(
+    "q256_date_dimension",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders
+), dim0 AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM bounds
+), dim AS (
+  SELECT day,
+         -- Spark's dayofweek is 1=Sunday..7=Saturday; DuckDB's is
+         -- 0=Sunday..6=Saturday — derive Spark's numbering from isodow
+         CAST(isodow(day) % 7 + 1 AS INT) AS dow,
+         CAST(CASE WHEN isodow(day) IN (6, 7)
+              THEN 1 ELSE 0 END AS INT) AS is_weekend,
+         CAST(quarter(day) AS INT) AS qtr
+  FROM dim0
+)
+SELECT dim.qtr, dim.is_weekend,
+       CAST(COUNT(DISTINCT dim.day) AS BIGINT) AS n_days,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM dim LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = dim.day
+GROUP BY dim.qtr, dim.is_weekend
+ORDER BY dim.qtr, dim.is_weekend
+""",
+    tags=("agg", "dimension"),
+)
+def q256_date_dimension(spark, sf_dir):
+    """Generated date-dimension join (the Kimball calendar table): the
+    dimension is SYNTHESIZED in-plan with sequence() over the fact's
+    date bounds — day, day-of-week, weekend flag, quarter — then the
+    fact left-joins it so zero-order days still report. The dimension
+    is calendar-sized (broadcast, never shuffled) and generation is
+    pure codegen, so at 100 TB this costs one bounds aggregate + one
+    broadcast — the pattern that replaces hand-maintained calendar
+    parquet files. n_days counts dimension rows per group (including
+    orderless days), proving the left-join direction; revenue stays
+    fixed-point exact."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    dim = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    ).select(
+        "day",
+        F.dayofweek("day").cast("int").alias("dow"),
+        F.dayofweek("day").isin(1, 7).cast("int").alias("is_weekend"),
+        F.quarter("day").cast("int").alias("qtr"),
+    )
+    fact = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint").alias("rc"),
+    )
+    return (
+        F.broadcast(dim)
+        .join(fact, "day", "left")
+        .groupBy("qtr", "is_weekend")
+        .agg(
+            F.count_distinct("day").cast("bigint").alias("n_days"),
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+            F.sum("rc").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("qtr", "is_weekend")
+    )
