@@ -1342,3 +1342,119 @@ def q242_fd_audit(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("fd")
+
+
+@query(
+    "q258_multiple_regression",
+    oracle="""
+WITH feat AS (
+  SELECT o.o_orderpriority AS grp,
+         CAST(ROUND(o.o_totalprice, 0) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS x1,
+         CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS x2
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, grp, y
+), m AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS sx1,
+         CAST(SUM(x2) AS BIGINT) AS sx2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+         CAST(SUM(x2 * x2) AS BIGINT) AS sx2x2,
+         CAST(SUM(x1 * x2) AS BIGINT) AS sx1x2,
+         CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS sx2y,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM feat GROUP BY grp
+), c AS (
+  SELECT grp, n, sx1, sx2, sy,
+         CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1 AS c11,
+         CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2 AS c22,
+         CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2 AS c12,
+         CAST(n AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy AS c1y,
+         CAST(n AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy AS c2y,
+         CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS cyy
+  FROM m
+)
+SELECT grp, n,
+       round((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 6) AS b1_r,
+       round((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 6) AS b2_r,
+       round((sy - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * sx1
+                 - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * sx2)
+             / n, 6) AS intercept_r,
+       round(((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * c1y
+              + (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * c2y)
+             / cyy, 6) AS r2_r
+FROM c ORDER BY grp
+""",
+    tags=("analytics", "regression"),
+)
+def q258_multiple_regression(spark, sf_dir):
+    """Per-group multiple linear regression (two features + intercept)
+    in closed form: order totals regressed on line count and total
+    quantity, one model per order priority — q138's single-feature OLS
+    extended to the 2x2 normal-equations inverse. All nine raw moments
+    are exact BIGINT sums (two map-side-combined aggregations: per
+    order, then per group); the centered covariances, determinant,
+    coefficients, intercept, and R² are closed-form double expressions
+    over those integers, so both engines evaluate identical arithmetic
+    — no iterative solver, no float accumulation, no driver round
+    trips. The shape scales as: a fact-table shuffle per feature
+    extraction plus a groups-sized summary; adding features grows the
+    moment list quadratically but never adds a pass."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    feat = (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("grp"),
+            F.round(F.col("o_totalprice"), 0).cast("bigint").alias("y"),
+        )
+        .join(
+            li.select(
+                "l_orderkey",
+                F.round(F.col("l_quantity"), 0).cast("bigint").alias("q"),
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "grp", "y")
+        .agg(
+            F.count("*").cast("bigint").alias("x1"),
+            F.sum("q").cast("bigint").alias("x2"),
+        )
+    )
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    m = feat.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x1).cast("bigint").alias("sx1"),
+        F.sum(x2).cast("bigint").alias("sx2"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x1 * x1).cast("bigint").alias("sx1x1"),
+        F.sum(x2 * x2).cast("bigint").alias("sx2x2"),
+        F.sum(x1 * x2).cast("bigint").alias("sx1x2"),
+        F.sum(x1 * y).cast("bigint").alias("sx1y"),
+        F.sum(x2 * y).cast("bigint").alias("sx2y"),
+        F.sum(y * y).cast("bigint").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    c11 = n * F.col("sx1x1") - F.col("sx1").cast("double") * F.col("sx1")
+    c22 = n * F.col("sx2x2") - F.col("sx2").cast("double") * F.col("sx2")
+    c12 = n * F.col("sx1x2") - F.col("sx1").cast("double") * F.col("sx2")
+    c1y = n * F.col("sx1y") - F.col("sx1").cast("double") * F.col("sy")
+    c2y = n * F.col("sx2y") - F.col("sx2").cast("double") * F.col("sy")
+    cyy = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    return m.select(
+        "grp",
+        "n",
+        F.round(b1, 6).alias("b1_r"),
+        F.round(b2, 6).alias("b2_r"),
+        F.round(
+            (F.col("sy") - b1 * F.col("sx1") - b2 * F.col("sx2")) / F.col("n"),
+            6,
+        ).alias("intercept_r"),
+        F.round((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2_r"),
+    ).orderBy("grp")

@@ -885,3 +885,69 @@ def q253_python_datasource(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q257_python_datasink",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("source", "connector", "sink"),
+)
+def q257_python_datasink(spark, sf_dir):
+    """Custom connector WRITE path (Spark 4 Python DataSourceWriter):
+    orders project through a registered `jsonl_commit` sink whose tasks
+    each write a .tmp file and report it in a WriterCommitMessage; only
+    the driver-side commit() renames outputs into place and publishes a
+    _MANIFEST — the two-phase file-commit protocol that makes retried/
+    speculative tasks invisible (a failed job leaves only .tmp litter,
+    never half-visible data). The gate then reads back EXACTLY the
+    manifest-listed files with an explicit schema and re-aggregates;
+    hash-matching the direct oracle proves the round trip lost nothing.
+    Local paths stand in for object storage in this single-host
+    harness; the protocol is the portable part."""
+    import os
+    import shutil
+
+    from ..sources.pydatasource import JsonlCommitDataSource
+
+    try:
+        spark.dataSource.register(JsonlCommitDataSource)
+    except Exception:
+        pass
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    out_dir = os.path.join("/tmp", f"grouper_jsonl_sink_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint").alias("cents"),
+    )
+    o.write.format("jsonl_commit").option("path", out_dir).mode(
+        "append"
+    ).save()
+
+    with open(os.path.join(out_dir, "_MANIFEST")) as fh:
+        committed = [
+            os.path.join(out_dir, line.strip())
+            for line in fh
+            if line.strip()
+        ]
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, cents bigint"
+    ).json(committed)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -15,7 +15,13 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -57,3 +63,71 @@ class SyntheticSeriesDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticSeriesReader(self.options)
+
+
+class _JsonlCommitMessage(WriterCommitMessage):
+    def __init__(self, tmp_name: str, n_rows: int):
+        self.tmp_name = tmp_name
+        self.n_rows = n_rows
+
+
+class JsonlCommitWriter(DataSourceWriter):
+    """Two-phase-commit JSONL sink: each task writes a .tmp file and
+    reports it in its commit message; only the driver-side commit()
+    renames task output into place and publishes the _MANIFEST, so a
+    failed/partial job leaves nothing visible — the exactly-once file
+    layout protocol (same contract FileStreamSink implements in Scala),
+    here as the Python DataSourceWriter surface."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, rows):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"task-{uuid.uuid4().hex}.jsonl.tmp"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r.asDict()) + "\n")
+                n += 1
+        return _JsonlCommitMessage(tmp, n)
+
+    def commit(self, messages):
+        import os
+
+        final = []
+        for m in messages:
+            if m is None:
+                continue
+            dst = m.tmp_name[: -len(".tmp")]
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, dst),
+            )
+            final.append(dst)
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            fh.write("\n".join(sorted(final)) + "\n")
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except OSError:
+                pass
+
+
+class JsonlCommitDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return JsonlCommitWriter(self.options)
