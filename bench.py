@@ -50,6 +50,10 @@ HEADLINE = (
     "q206_mapinarrow_kernel",       # pyarrow.compute columnar kernel
     "q222_grid_spatial_join",       # grid-cell spatial radius join
     "q229_capped_running_balance",  # ordered-collect recurrence fold
+    # round-3b surface (oracle-checkable LSH + linalg + connector)
+    "q238_minhash_oracled",         # md5-MinHash signatures + banding
+    "q249_power_iteration",         # gramian + 5 exact integer iterations
+    "q253_python_datasource",       # Python DataSource partitioned read
 )
 
 
