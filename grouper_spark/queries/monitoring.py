@@ -1438,3 +1438,135 @@ def q233_mann_whitney_u(spark, sf_dir):
         u1_x2.cast("bigint").alias("u1_x2"),
         F.round(mean_diff / F.sqrt(var), 6).alias("z_r"),
     )
+
+
+@query(
+    "q259_cuped_adjustment",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('cuped|' || CAST(user_id AS VARCHAR)),
+                              1, 8))::BIGINT % 2 AS INT) AS variant,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                        AND event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100.0, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS pre_cents,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                        AND event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100.0, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS post_cents
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pre_cents) AS BIGINT) AS sp,
+         CAST(SUM(post_cents) AS BIGINT) AS sy,
+         CAST(SUM(pre_cents * pre_cents) AS BIGINT) AS spp,
+         CAST(SUM(pre_cents * post_cents) AS BIGINT) AS spy
+  FROM per_user
+), theta AS (
+  SELECT n, sp,
+         (CAST(n AS DOUBLE) * spy - CAST(sp AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp) AS th
+  FROM m
+)
+SELECT p.variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(CAST(SUM(p.post_cents) AS DOUBLE) / COUNT(*) / 100.0, 6)
+         AS mean_post_r,
+       round((CAST(SUM(p.post_cents) AS DOUBLE)
+              - t.th * (CAST(SUM(p.pre_cents) AS DOUBLE)
+                        - CAST(COUNT(*) AS DOUBLE) * t.sp / t.n))
+             / COUNT(*) / 100.0, 6) AS mean_cuped_r,
+       round(t.th, 6) AS theta_r
+FROM per_user p, theta t
+GROUP BY p.variant, t.th, t.sp, t.n
+ORDER BY p.variant
+""",
+    tags=("monitoring", "experimentation"),
+)
+def q259_cuped_adjustment(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (Deng et al. 2013, the
+    industry-standard A/B sensitivity boost): per-user pre-period spend
+    is the covariate, theta = cov(pre, post)/var(pre) fits GLOBALLY
+    (pooled across variants, as prescribed — fitting per-arm biases the
+    estimate), and each arm reports its raw and CUPED-adjusted mean.
+    The md5 variant split reuses q219's deterministic assignment. All
+    moments are exact BIGINT sums off ONE user-keyed aggregate of the
+    log; theta and the adjusted means are closed-form doubles over
+    those integers (the q258 recipe), so the whole readout is
+    engine-exact with two shuffles (user, then variant) regardless of
+    log size."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0, 0).cast("bigint")
+    is_pre = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_purchase & is_pre, cents).otherwise(0))
+        .cast("bigint")
+        .alias("pre_cents"),
+        F.sum(F.when(is_purchase & ~is_pre, cents).otherwise(0))
+        .cast("bigint")
+        .alias("post_cents"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cuped|"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+        .cast("int")
+        .alias("variant"),
+        "pre_cents",
+        "post_cents",
+    ).localCheckpoint(eager=False)
+    p, y = F.col("pre_cents"), F.col("post_cents")
+    m = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(p).cast("bigint").alias("sp"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(p * p).cast("bigint").alias("spp"),
+        F.sum(p * y).cast("bigint").alias("spy"),
+    )
+    nd = F.col("n").cast("double")
+    th = (nd * F.col("spy") - F.col("sp").cast("double") * F.col("sy")) / (
+        nd * F.col("spp") - F.col("sp").cast("double") * F.col("sp")
+    )
+    theta = m.select("n", "sp", th.alias("th"))
+    grouped = per_user.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("post_cents").cast("bigint").alias("s_post"),
+        F.sum("pre_cents").cast("bigint").alias("s_pre"),
+    )
+    return (
+        grouped.crossJoin(F.broadcast(theta))
+        .select(
+            "variant",
+            "n_users",
+            F.round(
+                F.col("s_post").cast("double") / F.col("n_users") / 100.0, 6
+            ).alias("mean_post_r"),
+            F.round(
+                (
+                    F.col("s_post").cast("double")
+                    - F.col("th")
+                    * (
+                        F.col("s_pre").cast("double")
+                        - F.col("n_users").cast("double")
+                        * F.col("sp")
+                        / F.col("n")
+                    )
+                )
+                / F.col("n_users")
+                / 100.0,
+                6,
+            ).alias("mean_cuped_r"),
+            F.round(F.col("th"), 6).alias("theta_r"),
+        )
+        .orderBy("variant")
+    )

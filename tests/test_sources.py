@@ -223,3 +223,88 @@ def test_read_merged_schema_surfaces_new_columns(spark, tmp_path):
     assert set(df.columns) >= {"id", "name", "score"}
     rows = {r.id: r for r in df.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_python_datasource_partitioned_read(spark):
+    from grouper_spark.sources.pydatasource import (
+        SyntheticSeriesDataSource,
+        synth_row,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticSeriesDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("synthetic_series")
+        .option("n", 1000)
+        .option("parts", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    # content is a pure function of the id
+    first = df.filter(F.col("id") == 7).first()
+    assert (first.id, first.bucket, first.val_cents) == synth_row(7)
+
+
+def test_jsonl_sink_commit_publishes_manifest(spark, tmp_path):
+    from grouper_spark.sources.pydatasource import JsonlCommitDataSource
+
+    try:
+        spark.dataSource.register(JsonlCommitDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "sink")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    df.write.format("jsonl_commit").option("path", out).mode("append").save()
+    manifest = (tmp_path / "sink" / "_MANIFEST").read_text().split()
+    assert manifest, "commit must publish a manifest"
+    # no uncommitted .tmp litter, every manifest entry exists
+    import os
+
+    names = os.listdir(out)
+    assert not [n for n in names if n.endswith(".tmp")]
+    assert all(m in names for m in manifest)
+    back = spark.read.schema("id bigint, v bigint").json(
+        [os.path.join(out, m) for m in manifest]
+    )
+    assert back.count() == 100
+
+
+def test_jsonl_sink_failed_job_leaves_nothing_visible(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from grouper_spark.sources.pydatasource import JsonlCommitDataSource
+
+    try:
+        spark.dataSource.register(JsonlCommitDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "sink_fail")
+
+    # force a mid-job task failure AFTER other tasks have written their
+    # .tmp files: a UDF that raises on the last id
+    from pyspark.sql.types import LongType
+    from pyspark.sql.functions import udf
+
+    @udf(LongType())
+    def boom(i):
+        if i == 99:
+            raise ValueError("synthetic task failure")
+        return i
+
+    bad = spark.range(100).select(boom(F.col("id")).alias("id"))
+    with _pytest.raises(Exception):
+        bad.write.format("jsonl_commit").option("path", out).mode(
+            "append"
+        ).save()
+    # two-phase commit: no manifest, no visible committed .jsonl files
+    if os.path.isdir(out):
+        names = os.listdir(out)
+        assert "_MANIFEST" not in names
+        assert not [n for n in names if n.endswith(".jsonl")]
