@@ -1282,3 +1282,65 @@ def q255_negative_sampling(spark, sf_dir):
         )
         .orderBy("doc_id", "k")
     )
+
+
+_KANON_K = 5
+
+
+@query(
+    "q260_k_anonymity_audit",
+    oracle=f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS n_sensitive
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violating_classes,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_records_at_risk,
+       CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+       CAST(MIN(n_sensitive) AS BIGINT) AS l_diversity,
+       CAST(SUM(class_size) AS BIGINT) AS n_records
+FROM classes
+""",
+    tags=("curation", "privacy"),
+)
+def q260_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity / l-diversity release audit: before publishing a
+    dataset keyed by quasi-identifiers (nation x market segment), how
+    re-identifiable is it? k-anonymity is the SMALLEST equivalence
+    class over the quasi-identifier tuple (a released row is hidden
+    among at least k lookalikes); l-diversity is the minimum count of
+    distinct sensitive values (account balance) within any class —
+    guarding against the homogeneity attack where a class is
+    k-anonymous but every member shares the secret. One
+    map-side-combined groupBy builds the class table; the audit is a
+    6-number summary of it, so the check costs one shuffle at any
+    scale. Classes under k={_KANON_K} are counted with their record
+    mass — the rows a generalization/suppression pass must fix before
+    release (the q70 scrubber's statistical sibling)."""
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("class_size"),
+        F.count_distinct(
+            F.round(F.col("c_acctbal") * 100.0, 0).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_sensitive"),
+    )
+    small = F.col("class_size") < _KANON_K
+    return classes.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(small.cast("int")).cast("bigint").alias("n_violating_classes"),
+        F.sum(F.when(small, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_records_at_risk"),
+        F.min("class_size").cast("bigint").alias("k_anonymity"),
+        F.min("n_sensitive").cast("bigint").alias("l_diversity"),
+        F.sum("class_size").cast("bigint").alias("n_records"),
+    )

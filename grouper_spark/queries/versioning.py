@@ -915,3 +915,83 @@ def q252_merkle_range_diff(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q261_partition_evolution",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-06-01'
+GROUP BY month
+ORDER BY month
+""",
+    tags=("versioning", "layout"),
+)
+def q261_partition_evolution(spark, sf_dir):
+    """Partition-evolution read (the Iceberg/Hive migration reality):
+    history lives in an UNPARTITIONED legacy parquet layout, recent
+    data in a month-partitioned layout, and one query must span both
+    without rewriting history. The union read applies the same date
+    predicate to both branches — on the partitioned branch it prunes
+    whole directories (PartitionFilters, zero I/O for pre-cutover
+    months that were re-laid-out), on the legacy branch it pushes down
+    to row groups — and the aggregate is layout-agnostic. The one-time
+    layout build is idempotent per fixture (a _DONE marker, local /tmp
+    standing in for object storage); at migration scale this is the
+    pattern that lets a 100 TB table cut over incrementally instead of
+    atomically."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = os.path.join("/tmp", f"grouper_hybrid_{tag}")
+    done = os.path.join(base, "_DONE")
+    cutover = "1998-01-01"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_date"),
+    )
+    if not os.path.exists(done):
+        legacy = o.filter(F.col("o_date") < F.lit(cutover).cast("date"))
+        modern = o.filter(F.col("o_date") >= F.lit(cutover).cast("date"))
+        legacy.write.mode("overwrite").parquet(os.path.join(base, "legacy"))
+        (
+            modern.withColumn(
+                "month", F.date_trunc("month", "o_date").cast("date")
+            )
+            .write.mode("overwrite")
+            .partitionBy("month")
+            .parquet(os.path.join(base, "modern"))
+        )
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    lo = F.lit("1997-06-01").cast("date")
+    legacy = (
+        spark.read.parquet(os.path.join(base, "legacy"))
+        .filter(F.col("o_date") >= lo)
+        .select("o_totalprice", "o_date")
+    )
+    modern = (
+        spark.read.parquet(os.path.join(base, "modern"))
+        .filter(F.col("o_date") >= lo)
+        .select("o_totalprice", "o_date")
+    )
+    both = legacy.unionAll(modern)
+    return (
+        both.groupBy(
+            F.date_trunc("month", "o_date").cast("date").alias("month")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("month")
+    )

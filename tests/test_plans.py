@@ -586,3 +586,13 @@ def test_q246_true_jaccard_only_for_candidates(spark, sf_dir, registry):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q261_partition_pruning_on_modern_branch(spark, sf_dir, registry):
+    # the month-partitioned branch must carry the date predicate as a
+    # PartitionFilter (directory pruning), not just a data filter
+    df = registry["q261_partition_evolution"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    # and pruning must actually bind to the month partition column
+    assert "month" in plan.split("PartitionFilters", 1)[1][:400]
