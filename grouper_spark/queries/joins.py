@@ -809,3 +809,154 @@ def q248_volume_shipping(spark, sf_dir):
         )
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+_BF_BITS = 1 << 16
+_BF_PROBES = 4
+
+
+def _bf_pos_sql(expr: str, s: int) -> str:
+    return (
+        f"('0x' || substr(md5('bfa{s}|' || CAST({expr} AS VARCHAR)),"
+        f" 1, 15))::BIGINT % {_BF_BITS}"
+    )
+
+
+@query(
+    "q262_bloom_fpr_audit",
+    oracle="WITH members AS (\n"
+    "  SELECT DISTINCT o_orderkey FROM orders\n"
+    "  WHERE o_orderpriority = '1-URGENT'\n"
+    "), bits AS (\n"
+    + "\n  UNION\n".join(
+        f"  SELECT DISTINCT {_bf_pos_sql('o_orderkey', s)} AS pos"
+        " FROM members"
+        for s in range(_BF_PROBES)
+    )
+    + "\n), probes AS (\n"
+    "  SELECT l.l_orderkey,\n"
+    "         MAX(CASE WHEN m.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)"
+    " AS is_member,\n"
+    + ",\n".join(
+        f"         {_bf_pos_sql('l.l_orderkey', s)} AS p{s}"
+        for s in range(_BF_PROBES)
+    )
+    + "\n  FROM lineitem l\n"
+    "  LEFT JOIN members m ON m.o_orderkey = l.l_orderkey\n"
+    "  GROUP BY l.l_orderkey\n"
+    "), tested AS (\n"
+    "  SELECT is_member,\n"
+    "         CASE WHEN "
+    + " AND ".join(
+        f"p{s} IN (SELECT pos FROM bits)" for s in range(_BF_PROBES)
+    )
+    + " THEN 1 ELSE 0 END AS bloom_pass\n"
+    "  FROM probes\n"
+    ")\n"
+    "SELECT CAST(SUM(is_member) AS BIGINT) AS n_members,\n"
+    "       CAST(SUM(1 - is_member) AS BIGINT) AS n_non_members,\n"
+    "       CAST(SUM(CASE WHEN is_member = 1 AND bloom_pass = 1\n"
+    "                THEN 1 ELSE 0 END) AS BIGINT) AS n_member_pass,\n"
+    "       CAST(SUM(CASE WHEN is_member = 0 AND bloom_pass = 1\n"
+    "                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,\n"
+    "       round(CAST(SUM(CASE WHEN is_member = 0 AND bloom_pass = 1\n"
+    "                      THEN 1 ELSE 0 END) AS DOUBLE)\n"
+    "             / SUM(1 - is_member), 6) AS fpr_observed\n"
+    "FROM tested",
+    tags=("join", "eval", "sketch"),
+)
+def q262_bloom_fpr_audit(spark, sf_dir):
+    """Bloom-filter quality audit — q194's runtime-prefilter machinery
+    under measurement instead of in the hot path: build the same
+    m=2^16-bit / k=4 filter over the URGENT order keys (md5 probes so
+    DuckDB reproduces every bit decision), probe EVERY distinct
+    lineitem key, and report the confusion counts. Two invariants the
+    hash gate proves: zero false negatives (n_member_pass ==
+    n_members — the property that makes Bloom prefiltering
+    semantics-preserving) and the observed FPR on true non-members,
+    the number you compare to (1-e^(-kn/m))^k before sizing a filter
+    for a 100 TB fact scan. The bit set stays a posting table joined
+    semi-style (positions-cardinality, broadcast); nothing quadratic.
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def pos(col, s):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"bfa{s}|"), F.col(col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BF_BITS
+        )
+
+    bits = None
+    for s in range(_BF_PROBES):
+        b = members.select(pos("o_orderkey", s).alias("pos"))
+        bits = b if bits is None else bits.unionAll(b)
+    bits = bits.distinct().localCheckpoint(eager=False)
+
+    probes = (
+        li.select("l_orderkey")
+        .join(
+            members.withColumnRenamed("o_orderkey", "l_orderkey").withColumn(
+                "m", F.lit(1)
+            ),
+            "l_orderkey",
+            "left",
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max(F.coalesce(F.col("m"), F.lit(0))).alias("is_member"))
+        .select(
+            "l_orderkey",
+            "is_member",
+            *[pos("l_orderkey", s).alias(f"p{s}") for s in range(_BF_PROBES)],
+        )
+    )
+    passed = None
+    cur = probes
+    for s in range(_BF_PROBES):
+        hit = bits.withColumnRenamed("pos", f"p{s}").withColumn(
+            f"h{s}", F.lit(1)
+        )
+        cur = cur.join(F.broadcast(hit), f"p{s}", "left")
+    bloom_pass = None
+    for s in range(_BF_PROBES):
+        c = F.coalesce(F.col(f"h{s}"), F.lit(0)) == 1
+        bloom_pass = c if bloom_pass is None else (bloom_pass & c)
+    tested = cur.select(
+        "is_member", bloom_pass.cast("int").alias("bloom_pass")
+    )
+    fp = (F.col("is_member") == 0) & (F.col("bloom_pass") == 1)
+    return tested.agg(
+        F.sum("is_member").cast("bigint").alias("n_members"),
+        F.sum(1 - F.col("is_member")).cast("bigint").alias("n_non_members"),
+        F.sum(
+            ((F.col("is_member") == 1) & (F.col("bloom_pass") == 1)).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("n_member_pass"),
+        F.sum(fp.cast("int")).cast("bigint").alias("n_false_pos"),
+        F.round(
+            F.sum(fp.cast("int")).cast("double")
+            / F.sum(1 - F.col("is_member")),
+            6,
+        ).alias("fpr_observed"),
+    )
