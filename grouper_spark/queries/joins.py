@@ -708,25 +708,32 @@ def q244_joinability_discovery(spark, sf_dir):
             .filter(F.col(ca).isNotNull())
             .select(F.col(ca).alias("k"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .withColumn("in_a", F.lit(1))
         )
         db = (
             table(spark, sf_dir, tb)
             .filter(F.col(cb).isNotNull())
             .select(F.col(cb).alias("k"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .withColumn("in_b", F.lit(1))
         )
-        na = da.agg(F.count("*").cast("bigint").alias("n_a"))
-        nb = db.agg(F.count("*").cast("bigint").alias("n_b"))
-        ni = da.join(db, "k").agg(
-            F.count("*").cast("bigint").alias("n_inter")
+        # one full-outer join of the distinct sets + one aggregate
+        # replaces three separate count jobs: every key carries its
+        # membership flags, so |A|, |B|, and |A∩B| come from one pass.
+        flags = da.join(db, "k", "full_outer").select(
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
         )
         rows.append(
-            na.crossJoin(nb)
-            .crossJoin(ni)
-            .select(
+            flags.agg(
                 F.lit(f"{ta}.{ca} ~ {tb}.{cb}").alias("pair"),
+                F.sum("in_a").cast("bigint").alias("n_a"),
+                F.sum("in_b").cast("bigint").alias("n_b"),
+                F.sum(F.col("in_a") * F.col("in_b"))
+                .cast("bigint")
+                .alias("n_inter"),
+            ).select(
+                "pair",
                 "n_a",
                 "n_b",
                 "n_inter",
