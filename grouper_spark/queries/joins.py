@@ -967,3 +967,91 @@ def q262_bloom_fpr_audit(spark, sf_dir):
             6,
         ).alias("fpr_observed"),
     )
+
+
+@query(
+    "q263_join_cardinality_estimate",
+    oracle="""
+WITH ha AS (
+  SELECT CAST(o_custkey % 64 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS na
+  FROM orders GROUP BY b
+), hb AS (
+  SELECT CAST(c_custkey % 64 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM customer GROUP BY b
+), act AS (
+  SELECT CAST(o.o_custkey % 64 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS actual
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY b
+), keys AS (
+  SELECT CAST(o_custkey % 64 AS BIGINT) AS b,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd
+  FROM orders GROUP BY b
+)
+SELECT ha.b AS bucket, ha.na AS n_orders, hb.nb AS n_customers,
+       CAST(ha.na * hb.nb AS BIGINT) AS est_independence,
+       CAST(COALESCE(act.actual, 0) AS BIGINT) AS actual_rows,
+       keys.nd AS n_distinct_keys,
+       CAST(ha.na * hb.nb - COALESCE(act.actual, 0) AS BIGINT)
+         AS overestimate
+FROM ha
+JOIN hb ON hb.b = ha.b
+JOIN keys ON keys.b = ha.b
+LEFT JOIN act ON act.b = ha.b
+ORDER BY bucket
+""",
+    tags=("join", "optimizer"),
+)
+def q263_join_cardinality_estimate(spark, sf_dir):
+    """Join-cardinality estimation audit — the optimizer-statistics
+    question made measurable: per key-hash bucket, the classic
+    independence estimate |A_b| x |B_b| next to the ACTUAL join output
+    and the bucket's distinct-key count, so the overestimate column
+    shows exactly where histogram-product estimation (what a CBO does
+    with equi-width histograms) diverges from reality — the signal
+    that drives runtime re-planning (AQE) instead of trusting static
+    stats. Three map-side-combined aggregates (two per-side histograms
+    + the true join, which this fixture's FK shape keeps linear) and a
+    64-row report join. The same audit at 100 TB samples the fact side
+    first; the bucket framework is unchanged."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    b_o = (F.col("o_custkey") % 64).cast("bigint")
+    b_c = (F.col("c_custkey") % 64).cast("bigint")
+    ha = o.groupBy(b_o.alias("b")).agg(
+        F.count("*").cast("bigint").alias("na")
+    )
+    hb = c.groupBy(b_c.alias("b")).agg(
+        F.count("*").cast("bigint").alias("nb")
+    )
+    act = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(b_o.alias("b"))
+        .agg(F.count("*").cast("bigint").alias("actual"))
+    )
+    keys = o.groupBy(b_o.alias("b")).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("nd")
+    )
+    return (
+        ha.join(hb, "b")
+        .join(keys, "b")
+        .join(act, "b", "left")
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("na").alias("n_orders"),
+            F.col("nb").alias("n_customers"),
+            (F.col("na") * F.col("nb")).cast("bigint").alias(
+                "est_independence"
+            ),
+            F.coalesce("actual", F.lit(0))
+            .cast("bigint")
+            .alias("actual_rows"),
+            F.col("nd").alias("n_distinct_keys"),
+            (F.col("na") * F.col("nb") - F.coalesce("actual", F.lit(0)))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy("bucket")
+    )
