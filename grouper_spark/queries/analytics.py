@@ -1458,3 +1458,77 @@ def q258_multiple_regression(spark, sf_dir):
         ).alias("intercept_r"),
         F.round((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2_r"),
     ).orderBy("grp")
+
+
+@query(
+    "q264_ranking_overlap",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS rev_cents,
+         CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey,
+         row_number() OVER (ORDER BY rev_cents DESC, l_partkey) AS ra,
+         row_number() OVER (ORDER BY qty_cents DESC, l_partkey) AS rb
+  FROM per_part
+), ks AS (
+  SELECT * FROM (VALUES (10), (25), (50), (100)) t(k)
+)
+SELECT CAST(ks.k AS INT) AS k,
+       CAST(SUM(CASE WHEN ra <= ks.k AND rb <= ks.k THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       round(CAST(SUM(CASE WHEN ra <= ks.k AND rb <= ks.k
+                      THEN 1 ELSE 0 END) AS DOUBLE) / ks.k, 6)
+         AS overlap_at_k
+FROM ranked CROSS JOIN ks
+GROUP BY ks.k ORDER BY k
+""",
+    tags=("analytics", "eval", "ranking"),
+)
+def q264_ranking_overlap(spark, sf_dir):
+    """Ranking-agreement audit (overlap@k, the recsys/model-eval
+    staple): how much do two rankings of the same items — parts by
+    revenue vs parts by unit volume — agree at the top? Both metrics
+    come from ONE grouped pass over the fact table (exact cents), both
+    rank columns from windows over the item summary with deterministic
+    (metric DESC, key) tie order, and every k-cutoff is evaluated from
+    the same ranked table via a broadcast k-list — no per-k re-sort,
+    no top-k materialization. Reading: overlap_at_k near 1 means the
+    cheap ranking is a safe proxy for the expensive one at that depth
+    — the question behind every offline-metric swap. Item-cardinality
+    windows only; the corpus is touched once."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.sum(F.round(F.col("l_quantity") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_cents"),
+    )
+    wa = Window.orderBy(F.col("rev_cents").desc(), "l_partkey")
+    wb = Window.orderBy(F.col("qty_cents").desc(), "l_partkey")
+    ranked = per_part.select(
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    ks = spark.createDataFrame([(10,), (25,), (50,), (100,)], "k int")
+    hit = (
+        (F.col("ra") <= F.col("k")) & (F.col("rb") <= F.col("k"))
+    ).cast("int")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_overlap"),
+            F.round(F.sum(hit).cast("double") / F.col("k").cast("double"), 6)
+            .alias("overlap_at_k"),
+        )
+        .orderBy("k")
+    )
