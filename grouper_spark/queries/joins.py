@@ -1020,8 +1020,11 @@ def q263_join_cardinality_estimate(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     b_o = (F.col("o_custkey") % 64).cast("bigint")
     b_c = (F.col("c_custkey") % 64).cast("bigint")
+    # row count and distinct-key count share the same groupBy key, so
+    # they ride one scan + one shuffle together
     ha = o.groupBy(b_o.alias("b")).agg(
-        F.count("*").cast("bigint").alias("na")
+        F.count("*").cast("bigint").alias("na"),
+        F.count_distinct("o_custkey").cast("bigint").alias("nd"),
     )
     hb = c.groupBy(b_c.alias("b")).agg(
         F.count("*").cast("bigint").alias("nb")
@@ -1031,12 +1034,8 @@ def q263_join_cardinality_estimate(spark, sf_dir):
         .groupBy(b_o.alias("b"))
         .agg(F.count("*").cast("bigint").alias("actual"))
     )
-    keys = o.groupBy(b_o.alias("b")).agg(
-        F.count_distinct("o_custkey").cast("bigint").alias("nd")
-    )
     return (
         ha.join(hb, "b")
-        .join(keys, "b")
         .join(act, "b", "left")
         .select(
             F.col("b").alias("bucket"),
