@@ -1344,3 +1344,140 @@ def q260_k_anonymity_audit(spark, sf_dir):
         F.min("n_sensitive").cast("bigint").alias("l_diversity"),
         F.sum("class_size").cast("bigint").alias("n_records"),
     )
+
+
+@query(
+    "q265_dataset_datasheet",
+    oracle="""
+WITH base AS (
+  SELECT source, lang, n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), stats AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+         round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM base GROUP BY source
+), lang_mix AS (
+  SELECT source,
+         CAST(SUM(term_micro) AS BIGINT) AS ent_micro
+  FROM (
+    SELECT source,
+           CAST(ROUND(
+             -1.0 * (CAST(c AS DOUBLE) / tot) * ln(CAST(c AS DOUBLE) / tot)
+             * 1000000.0, 0) AS BIGINT) AS term_micro
+    FROM (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS BIGINT) AS tot
+      FROM base GROUP BY source, lang
+    )
+  ) GROUP BY source
+), dups AS (
+  SELECT source,
+         CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_docs
+  FROM (
+    SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM base GROUP BY source, fp
+  ) GROUP BY source
+)
+SELECT s.source, s.n_docs, s.n_tokens, s.n_chars,
+       s.p50_chars, s.p90_chars, s.n_langs,
+       round(CAST(l.ent_micro AS DOUBLE) / 1000000.0, 4) AS lang_entropy_r,
+       d.n_dup_docs,
+       round(CAST(d.n_dup_docs AS DOUBLE) / s.n_docs, 6) AS dup_rate_r,
+       round(CAST(s.n_tokens AS DOUBLE) / s.n_docs, 4) AS tokens_per_doc_r
+FROM stats s
+JOIN lang_mix l ON l.source = s.source
+JOIN dups d ON d.source = s.source
+ORDER BY s.source
+""",
+    tags=("curation", "datasheet"),
+)
+def q265_dataset_datasheet(spark, sf_dir):
+    """Dataset datasheet (the Datasheets-for-Datasets card a 100 TB
+    corpus publishes with every release): per source, the volume
+    numbers (docs, tokens, chars), exact length percentiles, language
+    mix with its Shannon entropy (micro-ln fixed point, the q156
+    recipe), and the exact-duplicate rate from normalized-text md5
+    fingerprints — every number downstream consumers use to decide
+    mixing weights and dedup settings, in ONE query. The corpus is
+    scanned once into a slim (source, lang, lengths, fingerprint)
+    projection (checkpointed), then three branch aggregates — overall
+    stats, the language histogram, the fingerprint copy-count — join
+    on the source key, all source-cardinality after their first
+    shuffle. The exact percentile is the only sort-bearing piece;
+    swap to approx_percentile when chars-per-source cardinality makes
+    exactness not worth a sort at lake scale."""
+    from ..functions.text import normalized_text, token_count
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.md5(normalized_text("text")).alias("fp"),
+    ).localCheckpoint(eager=False)
+    stats = base.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+    )
+    lc = base.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("c").over(Window.partitionBy("source")).cast("bigint")
+    share = F.col("c").cast("double") / F.col("tot")
+    lang_mix = (
+        lc.withColumn("tot", tot)
+        .select(
+            "source",
+            F.round(-1.0 * share * F.log(share) * 1000000.0, 0)
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+        .groupBy("source")
+        .agg(F.sum("term_micro").cast("bigint").alias("ent_micro"))
+    )
+    dups = (
+        base.groupBy("source", "fp")
+        .agg(F.count("*").cast("bigint").alias("n_copies"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_dup_docs")
+        )
+    )
+    return (
+        stats.join(lang_mix, "source")
+        .join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "p50_chars",
+            "p90_chars",
+            "n_langs",
+            F.round(F.col("ent_micro").cast("double") / 1000000.0, 4).alias(
+                "lang_entropy_r"
+            ),
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate_r"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_docs"), 4
+            ).alias("tokens_per_doc_r"),
+        )
+        .orderBy("source")
+    )
