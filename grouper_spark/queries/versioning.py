@@ -947,7 +947,10 @@ def q261_partition_evolution(spark, sf_dir):
     import os
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    base = os.path.join("/tmp", f"grouper_hybrid_{tag}")
+    # the source fingerprint in the path invalidates the staged layout
+    # whenever the fixture regenerates between rounds (q189/q190 pattern)
+    fp = _source_fingerprint(sf_dir, "orders")
+    base = os.path.join("/tmp", f"grouper_hybrid_{tag}_{fp}")
     done = os.path.join(base, "_DONE")
     cutover = "1998-01-01"
     o = table(spark, sf_dir, "orders").select(
