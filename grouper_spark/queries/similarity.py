@@ -697,3 +697,163 @@ def q249_power_iteration(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+def _hyperplane_keys(emb):
+    """(vec_id, k0, k1) band keys from the shared md5-literal planes —
+    the Spark half of q240's signature machinery, reused by q266."""
+    e = F.col("embedding").cast("array<double>")
+
+    def dot_plane(p: int):
+        plane = F.array(*[F.lit(x) for x in _LSH_PLANES[p]])
+        return F.aggregate(
+            F.zip_with(e, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dots = emb.select(
+        "vec_id", *[dot_plane(p).alias(f"d{p}") for p in range(16)]
+    )
+    k0 = sum(
+        F.when(F.col(f"d{p}") > 0, F.lit(1 << (p % 8))).otherwise(0)
+        for p in range(8)
+    ).cast("bigint")
+    k1 = sum(
+        F.when(F.col(f"d{p}") > 0, F.lit(1 << (p % 8))).otherwise(0)
+        for p in range(8, 16)
+    ).cast("bigint")
+    return dots.select("vec_id", k0.alias("k0"), k1.alias("k1"))
+
+
+_RECALL_K = 10
+_RECALL_NQ = 20
+
+
+def _q266_dots_sql() -> str:
+    return ",\n".join(
+        "         list_reduce(list_transform(generate_series(1, 64),"
+        f" i -> e[i] * [{', '.join(repr(x) for x in _LSH_PLANES[p])}][i]),"
+        f" (acc, x) -> acc + x) AS d{p}"
+        for p in range(16)
+    )
+
+
+@query(
+    "q266_lsh_recall_audit",
+    oracle="WITH v AS (\n"
+    "  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings\n"
+    "), dots AS (\n"
+    "  SELECT vec_id,\n" + _q266_dots_sql() + "\n  FROM v\n"
+    "), keys AS (\n"
+    "  SELECT vec_id,\n"
+    "         CAST("
+    + " + ".join(
+        f"(CASE WHEN d{p} > 0 THEN (1 << {p % 8}) ELSE 0 END)"
+        for p in range(8)
+    )
+    + " AS BIGINT) AS k0,\n"
+    "         CAST("
+    + " + ".join(
+        f"(CASE WHEN d{p} > 0 THEN (1 << {p % 8}) ELSE 0 END)"
+        for p in range(8, 16)
+    )
+    + " AS BIGINT) AS k1\n"
+    "  FROM dots\n"
+    "), cand AS (\n"
+    f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
+    f"  FROM keys q JOIN keys c ON c.k0 = q.k0 AND c.vec_id != q.vec_id\n"
+    f"  WHERE q.vec_id < {_RECALL_NQ}\n"
+    "  UNION\n"
+    f"  SELECT q.vec_id, c.vec_id\n"
+    f"  FROM keys q JOIN keys c ON c.k1 = q.k1 AND c.vec_id != q.vec_id\n"
+    f"  WHERE q.vec_id < {_RECALL_NQ}\n"
+    "), exact AS (\n"
+    f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
+    f"  FROM (SELECT * FROM embeddings WHERE vec_id < {_RECALL_NQ}) q\n"
+    "  JOIN embeddings c ON c.vec_id != q.vec_id\n"
+    "  QUALIFY ROW_NUMBER() OVER (\n"
+    "    PARTITION BY q.vec_id\n"
+    "    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],"
+    " c.embedding::DOUBLE[]) DESC, c.vec_id\n"
+    f"  ) <= {_RECALL_K}\n"
+    "), nc AS (\n"
+    "  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates\n"
+    "  FROM cand GROUP BY query_id\n"
+    ")\n"
+    "SELECT e.query_id,\n"
+    "       COALESCE(nc.n_candidates, 0) AS n_candidates,\n"
+    "       CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)\n"
+    "            AS BIGINT) AS n_hit,\n"
+    "       round(CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL\n"
+    "                      THEN 1 ELSE 0 END) AS DOUBLE)"
+    f" / {_RECALL_K}.0, 6) AS recall_r\n"
+    "FROM exact e\n"
+    "LEFT JOIN cand c ON c.query_id = e.query_id\n"
+    "                AND c.neighbor_id = e.neighbor_id\n"
+    "LEFT JOIN nc ON nc.query_id = e.query_id\n"
+    "GROUP BY e.query_id, nc.n_candidates\n"
+    "ORDER BY e.query_id",
+    tags=("similarity", "lsh", "eval"),
+)
+def q266_lsh_recall_audit(spark, sf_dir):
+    """ANN candidate-generation recall audit, fully oracle-checked: for
+    each query vector, the exact cosine top-10 (the q37
+    brute-force path) intersected with the hyperplane-LSH candidate set
+    (same md5-literal planes and band keys as q240 — a neighbor is a
+    candidate if it shares EITHER 8-bit band), reporting candidate-set
+    size and recall@k per query. This is the number that bounds ANY
+    rerank: if candidate generation misses a true neighbor, no amount
+    of downstream exactness recovers it — so a capacity planner tunes
+    bands/planes against THIS curve, trading n_candidates (compute)
+    for recall (quality). q38 stays rows-only production ANN; this
+    audit is its measurable twin. Both sides stay bucket-joined —
+    never all-pairs except the deliberately-bounded 20-query
+    exact reference."""
+    emb = table(spark, sf_dir, "embeddings")
+    keys = _hyperplane_keys(emb).localCheckpoint(eager=False)
+    qk = keys.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("k0").alias("qk0"),
+        F.col("k1").alias("qk1"),
+    )
+    c0 = qk.join(
+        keys, F.col("k0") == F.col("qk0"), "inner"
+    ).filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    c1 = qk.join(
+        keys, F.col("k1") == F.col("qk1"), "inner"
+    ).filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    cand = c0.unionAll(c1).distinct().localCheckpoint(eager=False)
+    q = emb.filter(F.col("vec_id") < _RECALL_NQ)
+    exact = ann_topk_bruteforce(
+        emb, q, id_col="vec_id", vec_col="embedding", k=_RECALL_K
+    ).select("query_id", "neighbor_id")
+    nc = cand.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
+    hit = cand.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .join(nc, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / float(_RECALL_K), 6
+            ).alias("recall_r"),
+        )
+        .orderBy("query_id")
+    )
