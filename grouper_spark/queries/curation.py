@@ -1481,3 +1481,108 @@ def q265_dataset_datasheet(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q267_churn_labels",
+    oracle="""
+WITH feat AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events_pre,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases_pre,
+         CAST(DATE '2024-01-20' - CAST(MAX(ts) AS DATE) AS BIGINT)
+           AS recency_days,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-20'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks
+  FROM events
+  WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+  GROUP BY user_id
+), labels AS (
+  SELECT f.user_id, f.n_events_pre, f.n_purchases_pre, f.recency_days,
+         f.n_leaks,
+         CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS churned
+  FROM feat f
+  LEFT JOIN (
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) > DATE '2024-01-20'
+      AND CAST(ts AS DATE) <= DATE '2024-01-30'
+      AND event_type = 'purchase'
+  ) h ON h.user_id = f.user_id
+)
+SELECT CAST(churned AS INT) AS churned,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(CAST(SUM(n_events_pre) AS DOUBLE) / COUNT(*), 6)
+         AS mean_events_pre_r,
+       round(CAST(SUM(n_purchases_pre) AS DOUBLE) / COUNT(*), 6)
+         AS mean_purchases_pre_r,
+       round(CAST(SUM(recency_days) AS DOUBLE) / COUNT(*), 6)
+         AS mean_recency_r,
+       CAST(SUM(n_leaks) AS BIGINT) AS n_leaks
+FROM labels GROUP BY churned ORDER BY churned
+""",
+    tags=("curation", "mlops"),
+)
+def q267_churn_labels(spark, sf_dir):
+    """Horizon churn-label generation with an in-query leakage guard —
+    the training-set build every churn model starts from, and the
+    place label leakage silently ruins models: features come ONLY from
+    events at-or-before the cutoff (2024-01-20), the label is
+    no-activity in the following 10-day horizon, and the n_leaks
+    column re-counts feature rows past the cutoff INSIDE the feature
+    aggregate (structurally zero — the hash gate proves the temporal
+    wall held, the same structural-zero technique as the q174 split
+    audit). Two passes over the log (feature window, horizon activity
+    set), both collapsing to user-cardinality before the label join;
+    output is the per-class profile a modeler sanity-checks before
+    training."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("date")
+    horizon = F.lit("2024-01-30").cast("date")
+    day = F.col("ts").cast("date")
+    feat = (
+        ev.filter(day <= cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events_pre"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("bigint")
+            .alias("n_purchases_pre"),
+            F.datediff(cutoff, F.max(day)).cast("bigint").alias(
+                "recency_days"
+            ),
+            F.sum((day > cutoff).cast("int"))
+            .cast("bigint")
+            .alias("n_leaks"),
+        )
+    )
+    horizon_active = (
+        ev.filter(
+            (day > cutoff)
+            & (day <= horizon)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    labels = feat.join(horizon_active, "user_id", "left").withColumn(
+        "churned", F.col("active").isNull().cast("int")
+    )
+    return (
+        labels.groupBy("churned")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("n_events_pre").cast("double") / F.count("*"), 6
+            ).alias("mean_events_pre_r"),
+            F.round(
+                F.sum("n_purchases_pre").cast("double") / F.count("*"), 6
+            ).alias("mean_purchases_pre_r"),
+            F.round(
+                F.sum("recency_days").cast("double") / F.count("*"), 6
+            ).alias("mean_recency_r"),
+            F.sum("n_leaks").cast("bigint").alias("n_leaks"),
+        )
+        .orderBy("churned")
+    )

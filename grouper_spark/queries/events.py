@@ -1079,3 +1079,146 @@ def q247_event_pattern_match(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+_FUNNEL_STEPS = (("view", "click"), ("click", "purchase"))
+
+
+@query(
+    "q268_funnel_step_significance",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('fz|' || CAST(user_id AS VARCHAR)),
+                              1, 8))::BIGINT % 2 AS INT) AS variant,
+         CAST(CASE WHEN SUM(CASE WHEN event_type = 'view'
+                        THEN 1 ELSE 0 END) >= 10 THEN 1 ELSE 0 END
+              AS INT) AS did_view,
+         CAST(CASE WHEN SUM(CASE WHEN event_type = 'click'
+                        THEN 1 ELSE 0 END) >= 12 THEN 1 ELSE 0 END
+              AS INT) AS did_click,
+         CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END
+              AS INT) AS did_purchase
+  FROM events GROUP BY user_id
+), steps AS (
+  SELECT variant, 'view->click' AS step,
+         CAST(SUM(did_view) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN did_view = 1 AND did_click = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+  FROM per_user GROUP BY variant
+  UNION ALL
+  SELECT variant, 'click->purchase',
+         CAST(SUM(did_click) AS BIGINT),
+         CAST(SUM(CASE WHEN did_click = 1 AND did_purchase = 1
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM per_user GROUP BY variant
+), wide AS (
+  SELECT step,
+         MAX(CASE WHEN variant = 0 THEN n_base END) AS b0,
+         MAX(CASE WHEN variant = 0 THEN n_conv END) AS c0,
+         MAX(CASE WHEN variant = 1 THEN n_base END) AS b1,
+         MAX(CASE WHEN variant = 1 THEN n_conv END) AS c1
+  FROM steps GROUP BY step
+)
+SELECT step,
+       CAST(b0 AS BIGINT) AS n_base_a, CAST(c0 AS BIGINT) AS n_conv_a,
+       CAST(b1 AS BIGINT) AS n_base_b, CAST(c1 AS BIGINT) AS n_conv_b,
+       round(CAST(c0 AS DOUBLE) / b0, 6) AS rate_a,
+       round(CAST(c1 AS DOUBLE) / b1, 6) AS rate_b,
+       CASE WHEN c0 + c1 > 0 AND c0 + c1 < b0 + b1
+            THEN round((CAST(c0 AS DOUBLE) / b0 - CAST(c1 AS DOUBLE) / b1)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (b0 + b1))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (b0 + b1))
+                        * (1.0 / b0 + 1.0 / b1)), 6)
+            END AS z_r
+FROM wide ORDER BY step
+""",
+    tags=("events", "funnel", "experimentation"),
+)
+def q268_funnel_step_significance(spark, sf_dir):
+    """Per-step funnel significance: each funnel transition
+    (view→click, click→purchase) becomes its own two-proportion z-test
+    between deterministic md5 A/B arms — the readout that localizes
+    WHERE in the funnel a treatment moved behavior, instead of one
+    end-to-end rate that averages the effect away. One user-keyed
+    aggregate flattens the log to per-user step flags; step rates per
+    arm are sums over that summary; the pooled z is the q219 closed
+    form applied per step. Exact integer counts everywhere, doubles
+    only in the final expressions — two shuffles total regardless of
+    log size."""
+    ev = table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fz|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    # engagement-depth step flags (>= N events of the type): the flat
+    # did-it-ever flags are degenerate on this fixture (every user does
+    # everything), and a z-test over a zero-variance pool is undefined
+    thresholds = {"view": 10, "click": 12, "purchase": 14}
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            (
+                F.sum((F.col("event_type") == t).cast("int")) >= n
+            ).cast("int").alias(f"did_{t}")
+            for t, n in thresholds.items()
+        ]
+    ).select(variant.alias("variant"), "did_view", "did_click", "did_purchase")
+    parts = []
+    for a, b in _FUNNEL_STEPS:
+        parts.append(
+            per_user.groupBy("variant").agg(
+                F.lit(f"{a}->{b}").alias("step"),
+                F.sum(f"did_{a}").cast("bigint").alias("n_base"),
+                F.sum(
+                    (
+                        (F.col(f"did_{a}") == 1) & (F.col(f"did_{b}") == 1)
+                    ).cast("int")
+                )
+                .cast("bigint")
+                .alias("n_conv"),
+            )
+        )
+    steps = parts[0].unionAll(parts[1])
+    wide = steps.groupBy("step").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_base"))).alias("b0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_base"))).alias("b1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    r0 = F.col("c0").cast("double") / F.col("b0")
+    r1 = F.col("c1").cast("double") / F.col("b1")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("b0") + F.col("b1")
+    )
+    z = F.when(
+        ((F.col("c0") + F.col("c1")) > 0)
+        & ((F.col("c0") + F.col("c1")) < (F.col("b0") + F.col("b1"))),
+        F.round(
+            (r0 - r1)
+            / F.sqrt(
+                pool
+                * (1.0 - pool)
+                * (1.0 / F.col("b0") + 1.0 / F.col("b1"))
+            ),
+            6,
+        ),
+    )
+    return wide.select(
+        "step",
+        F.col("b0").cast("bigint").alias("n_base_a"),
+        F.col("c0").cast("bigint").alias("n_conv_a"),
+        F.col("b1").cast("bigint").alias("n_base_b"),
+        F.col("c1").cast("bigint").alias("n_conv_b"),
+        F.round(r0, 6).alias("rate_a"),
+        F.round(r1, 6).alias("rate_b"),
+        z.alias("z_r"),
+    ).orderBy("step")
