@@ -1532,3 +1532,104 @@ def q264_ranking_overlap(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@query(
+    "q269_median_confidence_interval",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(ROUND(o_totalprice * 100.0, 0)
+                                          AS BIGINT)) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM orders
+), ranks AS (
+  SELECT grp, cents, rn, n,
+         CAST((n + 1) // 2 AS BIGINT) AS med_rank,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(floor((CAST(n AS DOUBLE)
+                              - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+                       AS BIGINT)) AS lo_rank,
+         LEAST(n,
+               CAST(ceil(1.0 + (CAST(n AS DOUBLE)
+                                + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+                    AS BIGINT)) AS hi_rank
+  FROM pts
+)
+SELECT grp, CAST(MIN(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rn = med_rank THEN cents END) AS BIGINT)
+         AS median_cents,
+       CAST(MAX(CASE WHEN rn = lo_rank THEN cents END) AS BIGINT)
+         AS ci_lo_cents,
+       CAST(MAX(CASE WHEN rn = hi_rank THEN cents END) AS BIGINT)
+         AS ci_hi_cents
+FROM ranks GROUP BY grp ORDER BY grp
+""",
+    tags=("analytics", "stats"),
+)
+def q269_median_confidence_interval(spark, sf_dir):
+    """Distribution-free 95% confidence interval for the per-group
+    median (order-statistic method): the CI bounds are the values at
+    ranks (n ± 1.96√n)/2 — no normality assumption, no bootstrap, no
+    resampling, exact for any distribution. The lower median (rank
+    (n+1)//2) and both bound ranks come from ONE row_number window per
+    group over fixed-point cents (ties between equal values are
+    harmless: any tie order selects the same cents), and a conditional
+    aggregate plucks the three order statistics — so the whole CI
+    costs one partitioned sort plus a group summary. Integer ranks
+    derive from floor/ceil of identical double formulas in both
+    engines. The estimator behind "is this median shift real?" without
+    a z-test's assumptions."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    w = Window.partitionBy("grp").orderBy("cents")
+    wn = Window.partitionBy("grp")
+    pts = o.select(
+        F.col("o_orderpriority").alias("grp"), cents.alias("cents")
+    ).select(
+        "grp",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    med_rank = F.expr("(n + 1) div 2").cast("bigint")
+    lo_rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor((nd - 1.96 * F.sqrt(nd)) / 2.0).cast("bigint"),
+    )
+    hi_rank = F.least(
+        F.col("n"),
+        F.ceil(1.0 + (nd + 1.96 * F.sqrt(nd)) / 2.0).cast("bigint"),
+    )
+    ranks = pts.select(
+        "grp",
+        "cents",
+        "rn",
+        "n",
+        med_rank.alias("med_rank"),
+        lo_rank.alias("lo_rank"),
+        hi_rank.alias("hi_rank"),
+    )
+    return (
+        ranks.groupBy("grp")
+        .agg(
+            F.min("n").cast("bigint").alias("n"),
+            F.max(
+                F.when(F.col("rn") == F.col("med_rank"), F.col("cents"))
+            )
+            .cast("bigint")
+            .alias("median_cents"),
+            F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("cents")))
+            .cast("bigint")
+            .alias("ci_lo_cents"),
+            F.max(F.when(F.col("rn") == F.col("hi_rank"), F.col("cents")))
+            .cast("bigint")
+            .alias("ci_hi_cents"),
+        )
+        .orderBy("grp")
+    )

@@ -1586,3 +1586,98 @@ def q267_churn_labels(spark, sf_dir):
         )
         .orderBy("churned")
     )
+
+
+@query(
+    "q270_hierarchical_sampling",
+    oracle="""
+WITH src_kept AS (
+  SELECT DISTINCT source,
+         CAST(CASE WHEN ('0x' || substr(md5('hs1|' || source), 1, 8))
+                        ::BIGINT % 100 < 50 THEN 1 ELSE 0 END AS INT)
+           AS src_in
+  FROM documents
+), scored AS (
+  SELECT d.doc_id, d.source, s.src_in,
+         CAST(CASE WHEN ('0x' || substr(md5('hs2|'
+                           || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 100 < 50 THEN 1 ELSE 0 END AS INT)
+           AS doc_coin,
+         d.n_chars
+  FROM documents d JOIN src_kept s ON s.source = d.source
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(src_in) AS BIGINT) AS n_in_kept_sources,
+       CAST(SUM(src_in * doc_coin) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN src_in = 0 AND doc_coin = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_draws,
+       CAST(SUM(src_in * doc_coin * n_chars) AS BIGINT) AS sampled_chars,
+       CAST((SELECT SUM(src_in) FROM src_kept) AS BIGINT) AS n_kept_sources
+FROM scored
+""",
+    tags=("curation", "sampling"),
+)
+def q270_hierarchical_sampling(spark, sf_dir):
+    """Hierarchically consistent two-stage sampling (the sub-corpus
+    draw a 100 TB pipeline uses for ablations): stage 1 keeps ~50% of
+    SOURCES by an md5 coin on the source name, stage 2 keeps ~50% of
+    documents WITHIN kept sources by an independent md5 coin on the
+    doc id — so the ~25% sample is reproducible at both levels, any
+    source's inclusion can be answered without touching its documents,
+    and adding documents to a source never flips the source-level
+    decision (the consistency property rejection/reservoir sampling
+    lacks). n_orphan_draws counts doc-coin successes in DROPPED
+    sources — sampled-but-excluded mass that proves the two stages
+    compose by conjunction, not union. One broadcast join of the
+    source-decision table onto the corpus; coins are codegen md5s."""
+    d = table(spark, sf_dir, "documents")
+
+    def coin(prefix, col):
+        return (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(prefix), col)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 100
+            )
+            < 50
+        ).cast("int")
+
+    src_kept = (
+        d.select("source")
+        .distinct()
+        .select("source", coin("hs1|", F.col("source")).alias("src_in"))
+        .localCheckpoint(eager=False)
+    )
+    scored = d.join(F.broadcast(src_kept), "source").select(
+        "src_in",
+        coin("hs2|", F.col("doc_id").cast("string")).alias("doc_coin"),
+        "n_chars",
+    )
+    n_kept = src_kept.agg(
+        F.sum("src_in").cast("bigint").alias("n_kept_sources")
+    )
+    return (
+        scored.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("src_in").cast("bigint").alias("n_in_kept_sources"),
+            F.sum(F.col("src_in") * F.col("doc_coin"))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.sum(
+                ((F.col("src_in") == 0) & (F.col("doc_coin") == 1)).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_orphan_draws"),
+            F.sum(F.col("src_in") * F.col("doc_coin") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("sampled_chars"),
+        )
+        .crossJoin(F.broadcast(n_kept))
+    )
