@@ -596,3 +596,50 @@ def test_q261_partition_pruning_on_modern_branch(spark, sf_dir, registry):
     assert "PartitionFilters" in plan
     # and pruning must actually bind to the month partition column
     assert "month" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_q248_single_fact_shuffle_rest_broadcast(spark, sf_dir, registry):
+    # TPC-H Q7 shape: lineitem-orders may shuffle; customer/supplier/
+    # nation hops must all be broadcast
+    df = registry["q248_volume_shipping"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q254_cascade_single_scan(spark, sf_dir, registry):
+    # day -> month -> quarter each aggregate from the level below: one
+    # orders scan, three aggregation levels
+    df = registry["q254_rollup_cascade"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("HashAggregate") >= 5  # partial+final per level
+
+
+def test_q256_dimension_is_broadcast(spark, sf_dir, registry):
+    df = registry["q256_date_dimension"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q265_datasheet_single_corpus_scan(spark, sf_dir, registry):
+    # the slim projection is checkpointed; three branch aggregates must
+    # not replan the documents scan
+    df = registry["q265_dataset_datasheet"].fn(spark, sf_dir)
+    assert plan_of(df).count("FileScan parquet") <= 1
+
+
+def test_q266_recall_audit_no_unbounded_cartesian(spark, sf_dir, registry):
+    # candidate generation is bucket-joined; the only nested-loop side
+    # is the deliberately bounded 20-query exact reference
+    df = registry["q266_lsh_recall_audit"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_q269_order_stats_share_group_partitioning(spark, sf_dir, registry):
+    # the rank window and the final aggregate both key on grp: the sort
+    # exchange must be reused, not repeated
+    df = registry["q269_median_confidence_interval"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
