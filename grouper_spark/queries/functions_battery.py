@@ -951,3 +951,59 @@ def q257_python_datasink(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q271_orc_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+WHERE o_totalprice > 200000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("source", "format"),
+)
+def q271_orc_roundtrip(spark, sf_dir):
+    """ORC round-trip (the second columnar format a lake actually
+    runs): orders re-encode to ORC — fixed-point cents computed at
+    write time so the float column never round-trips — and the
+    read-back aggregates under a selective predicate that ORC serves
+    from its built-in min/max stripe statistics (PushedFilters on the
+    scan, same contract as parquet; the q150 zone-map query builds
+    this machinery by hand, ORC ships it). The staged copy embeds the
+    source fingerprint so fixture regeneration invalidates it. Proves
+    the engine is format-plural: same plan shape, same exactness, a
+    different storage codec."""
+    import os
+
+    from .versioning import _source_fingerprint
+
+    fp = _source_fingerprint(sf_dir, "orders")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = os.path.join("/tmp", f"grouper_orc_{tag}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "orders")
+            .select(
+                "o_orderpriority",
+                "o_totalprice",
+                F.round(F.col("o_totalprice") * 100.0, 0)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .write.mode("overwrite")
+            .orc(path)
+        )
+    back = spark.read.orc(path).filter(F.col("o_totalprice") > 200000.0)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -643,3 +643,12 @@ def test_q269_order_stats_share_group_partitioning(spark, sf_dir, registry):
     df = registry["q269_median_confidence_interval"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_q271_orc_scan_pushes_filter(spark, sf_dir, registry):
+    # ORC must serve the selective predicate from stripe statistics:
+    # the filter appears as PushedFilters on the ORC scan
+    df = registry["q271_orc_roundtrip"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    scan = next(l for l in plan.splitlines() if "FileScan orc" in l)
+    assert "PushedFilters" in scan and "GreaterThan(o_totalprice" in scan
