@@ -1570,3 +1570,198 @@ def q259_cuped_adjustment(spark, sf_dir):
         )
         .orderBy("variant")
     )
+
+
+@query(
+    "q272_anova_oneway",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)
+                  * CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS s2
+  FROM orders GROUP BY grp
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_all,
+         CAST(SUM(s1) AS BIGINT) AS s1_all,
+         CAST(SUM(s2) AS BIGINT) AS s2_all,
+         CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * s1 / n, 0)
+                       AS BIGINT)) AS BIGINT) AS ssb_raw
+  FROM g
+)
+SELECT k AS n_groups, n_all,
+       round((CAST(ssb_raw AS DOUBLE)
+              - CAST(s1_all AS DOUBLE) * s1_all / n_all) / (k - 1), 6)
+         AS msb_r,
+       round((CAST(s2_all AS DOUBLE) - CAST(ssb_raw AS DOUBLE))
+             / (n_all - k), 6) AS msw_r,
+       round(((CAST(ssb_raw AS DOUBLE)
+               - CAST(s1_all AS DOUBLE) * s1_all / n_all) / (k - 1))
+             / ((CAST(s2_all AS DOUBLE) - CAST(ssb_raw AS DOUBLE))
+                / (n_all - k)), 6) AS f_r
+FROM tot
+""",
+    tags=("monitoring", "stats"),
+)
+def q272_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F-test: does mean order value differ across
+    priorities? Completes the hypothesis-test battery (z, t-analog
+    CUPED, Mann-Whitney, chi-square, KS) with the k-group mean
+    comparison. Per-group n/sum/sum-of-squares are exact BIGINTs from
+    one map-side-combined aggregate; the only non-integer intermediate
+    is each group's s1²/n (a rational), which is fixed-pointed to
+    whole units per group BEFORE the cross-group sum — the one place a
+    naive implementation sums engine-ordered doubles — so
+    SSB/SSW/F evaluate as identical arithmetic in both engines.
+    Whole-dollar rounding keeps s2 inside BIGINT at this row count
+    (cents² would overflow ~100x sooner). Five summary rows do all
+    the statistics; the corpus is touched once."""
+    o = table(spark, sf_dir, "orders")
+    y = F.round(F.col("o_totalprice"), 0).cast("bigint")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(y).cast("bigint").alias("s1"),
+        F.sum(y * y).cast("bigint").alias("s2"),
+    )
+    # s1^2/n fixed-points to WHOLE units, not micro: group dollar sums
+    # are ~1e9, so s1^2/n is ~1e15 and a 1e6 scale would overflow
+    # BIGINT; unit precision (+-0.5 per group) is 12 orders below SSB
+    ssb_term = F.round(
+        F.col("s1").cast("double") * F.col("s1") / F.col("n"), 0
+    ).cast("bigint")
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s1").cast("bigint").alias("s1_all"),
+        F.sum("s2").cast("bigint").alias("s2_all"),
+        F.sum(ssb_term).cast("bigint").alias("ssb_raw"),
+    )
+    ssb = (
+        F.col("ssb_raw").cast("double")
+        - F.col("s1_all").cast("double") * F.col("s1_all") / F.col("n_all")
+    )
+    ssw = F.col("s2_all").cast("double") - F.col("ssb_raw").cast("double")
+    msb = ssb / (F.col("k") - 1)
+    msw = ssw / (F.col("n_all") - F.col("k"))
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        "n_all",
+        F.round(msb, 6).alias("msb_r"),
+        F.round(msw, 6).alias("msw_r"),
+        F.round(msb / msw, 6).alias("f_r"),
+    )
+
+
+@query(
+    "q273_mann_kendall_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day
+), pairs AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type AND b.day > a.day
+  GROUP BY a.event_type
+), ties AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+  FROM (
+    SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+    FROM daily GROUP BY event_type, x
+  ) GROUP BY event_type
+)
+SELECT p.event_type, t.n AS n_days, p.s,
+       round((CASE WHEN p.s > 0 THEN CAST(p.s - 1 AS DOUBLE)
+                   WHEN p.s < 0 THEN CAST(p.s + 1 AS DOUBLE)
+                   ELSE 0.0 END)
+             / sqrt((CAST(t.n AS DOUBLE) * (t.n - 1) * (2 * t.n + 5)
+                     - t.tie_sum) / 18.0), 6) AS z_r
+FROM pairs p JOIN ties t ON t.event_type = p.event_type
+ORDER BY p.event_type
+""",
+    tags=("monitoring", "stats", "timeseries"),
+)
+def q273_mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test per event type — the
+    nonparametric "is this metric drifting?" detector (no linearity or
+    normality assumption; robust to the spikes that wreck an OLS slope
+    test). S is the exact integer sum of pairwise sign comparisons
+    over the DAY SUMMARY — the O(days²) pair join runs on
+    calendar-cardinality rows, never the event log — and the
+    tie-corrected variance and continuity-adjusted z are closed-form
+    doubles over exact BIGINTs (ties grouped on the integer counts
+    themselves). Complements q166's CUSUM (localizes a changepoint)
+    with the global monotonicity verdict, and q231's ACF (correlation
+    structure) with a direction. One corpus shuffle to days; the
+    statistics touch (types x days) rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("x").alias("xb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("day_b") > F.col("day_a")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_sum"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    var = (nd * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_sum")) / 18.0
+    num = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double"))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        pairs.join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s",
+            F.round(num / F.sqrt(var), 6).alias("z_r"),
+        )
+        .orderBy("event_type")
+    )
