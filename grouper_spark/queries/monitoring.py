@@ -1765,3 +1765,75 @@ def q273_mann_kendall_trend(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q274_theil_sen_slope",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day
+), slopes AS (
+  SELECT a.event_type,
+         CAST(ROUND(CAST(b.x - a.x AS DOUBLE)
+                    / (b.day - a.day) * 1000000.0, 0) AS BIGINT)
+           AS slope_micro
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type AND b.day > a.day
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(quantile_cont(slope_micro, 0.5) / 1000000.0, 6)
+         AS sen_slope_r
+FROM slopes GROUP BY event_type ORDER BY event_type
+""",
+    tags=("monitoring", "stats", "timeseries"),
+)
+def q274_theil_sen_slope(spark, sf_dir):
+    """Theil-Sen slope — the robust trend MAGNITUDE to q273's
+    Mann-Kendall direction verdict: the median of all pairwise slopes
+    (Δcount/Δdays) of each type's daily series, unmoved by up to ~29%
+    outlier days where an OLS slope would chase a single spike. Pair
+    slopes are rationals of exact integers, fixed-pointed to
+    micro-units per pair BEFORE the median, so the only cross-engine
+    arithmetic is an exact interpolated percentile over BIGINTs (the
+    q61 contract). Like q273 the O(days²) pair stream is generated
+    from the calendar-sized day summary, never the log — 435 pairs per
+    type at a 30-day window, millions even at a decade of daily
+    history."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("x").alias("xb"),
+    )
+    slope_micro = F.round(
+        (F.col("xb") - F.col("xa")).cast("double")
+        / F.datediff("day_b", "day_a")
+        * 1000000.0,
+        0,
+    ).cast("bigint")
+    slopes = a.join(
+        b,
+        (F.col("et_b") == F.col("event_type"))
+        & (F.col("day_b") > F.col("day_a")),
+    ).select("event_type", slope_micro.alias("slope_micro"))
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.percentile("slope_micro", F.lit(0.5)) / 1000000.0, 6
+            ).alias("sen_slope_r"),
+        )
+        .orderBy("event_type")
+    )
