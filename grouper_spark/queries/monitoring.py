@@ -1837,3 +1837,68 @@ def q274_theil_sen_slope(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q275_pinball_loss",
+    oracle="""
+WITH q AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(quantile_cont(
+           CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT), 0.9), 0)
+              AS BIGINT) AS q90_cents
+  FROM orders GROUP BY grp
+), scored AS (
+  SELECT o.o_orderpriority AS grp, q.q90_cents,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS y
+  FROM orders o JOIN q ON q.grp = o.o_orderpriority
+)
+SELECT grp, CAST(MIN(q90_cents) AS BIGINT) AS q90_cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN y >= q90_cents
+                THEN 9 * (y - q90_cents)
+                ELSE 1 * (q90_cents - y) END) AS BIGINT)
+         AS pinball_decicents,
+       round(CAST(SUM(CASE WHEN y >= q90_cents THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS exceed_rate_r
+FROM scored GROUP BY grp ORDER BY grp
+""",
+    tags=("monitoring", "eval", "stats"),
+)
+def q275_pinball_loss(spark, sf_dir):
+    """Quantile-forecast evaluation (pinball / quantile loss at
+    tau=0.9): each group's own exact p90 is scored against its data —
+    the loss any p90 forecast must beat, and the metric that makes
+    quantile predictions comparable at all (MSE rewards the mean, not
+    the tail). With tau = 9/10 the loss terms are EXACT integers in
+    deci-cents (9*(y-q) above, 1*(q-y) below — the 1/10 factor is
+    deferred to the reader), so the aggregate is order-independent
+    without any fixed-point rounding; the exceedance rate alongside
+    checks calibration (should be ~0.10). One percentile pass + one
+    broadcast-join scoring pass; no per-row floats anywhere."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    q = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.round(F.percentile(cents, F.lit(0.9)), 0)
+        .cast("bigint")
+        .alias("q90_cents")
+    )
+    scored = o.select(
+        F.col("o_orderpriority").alias("grp"), cents.alias("y")
+    ).join(F.broadcast(q), "grp")
+    above = F.col("y") >= F.col("q90_cents")
+    loss = F.when(above, 9 * (F.col("y") - F.col("q90_cents"))).otherwise(
+        F.col("q90_cents") - F.col("y")
+    )
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.min("q90_cents").cast("bigint").alias("q90_cents"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(loss).cast("bigint").alias("pinball_decicents"),
+            F.round(
+                F.sum(above.cast("int")).cast("double") / F.count("*"), 6
+            ).alias("exceed_rate_r"),
+        )
+        .orderBy("grp")
+    )

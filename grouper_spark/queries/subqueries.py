@@ -231,3 +231,47 @@ def q137_recursive_bfs(spark, sf_dir):
     modulo the string-type cast."""
     table(spark, sf_dir, "events").createOrReplaceTempView("bfs_events")
     return spark.sql(_BFS_SQL.format(events="bfs_events", strtype="STRING"))
+
+
+@query(
+    "q276_parameterized_sql",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS balance_cents
+FROM customer
+WHERE c_acctbal > 1000.0 AND c_nationkey < 10
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("sql", "api"),
+)
+def q276_parameterized_sql(spark, sf_dir):
+    """Named-parameter SQL (Spark 3.4+ spark.sql(query, args)): the
+    injection-safe templating surface a query service builds on —
+    parameters bind as typed literals in the parser, never by string
+    concatenation, so a hostile or odd value cannot change the query
+    shape, and the SAME text compiles to the same plan cache entry
+    across parameter values. The query itself is a plain filtered
+    aggregate; what's under test is that the bound parameters reach
+    Catalyst as literals (the plan shows them constant-folded and
+    pushed into the scan like any literal filter)."""
+    from ..sources import table as _table
+
+    _table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_psql"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS balance_cents
+        FROM customer_psql
+        WHERE c_acctbal > :min_bal AND c_nationkey < :max_nation
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+        args={"min_bal": 1000.0, "max_nation": 10},
+    )
