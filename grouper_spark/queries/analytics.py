@@ -1633,3 +1633,126 @@ def q269_median_confidence_interval(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "q277_kendall_tau",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         ntile(10) OVER (ORDER BY SUM(CAST(ROUND(o_totalprice * 100.0, 0)
+                                           AS BIGINT)), o_custkey) AS y
+  FROM orders GROUP BY o_custkey
+), joint AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM per_cust GROUP BY x, y
+), pairs AS (
+  SELECT CAST(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+                       THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+                       THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+  FROM joint a CROSS JOIN joint b
+), mx AS (
+  SELECT CAST(SUM(tx * (tx - 1) // 2) AS BIGINT) AS tie_x,
+         CAST(SUM(tx) AS BIGINT) AS n
+  FROM (SELECT x, SUM(c) AS tx FROM joint GROUP BY x)
+), my AS (
+  SELECT CAST(SUM(ty * (ty - 1) // 2) AS BIGINT) AS tie_y
+  FROM (SELECT y, SUM(c) AS ty FROM joint GROUP BY y)
+), margins AS (
+  SELECT mx.n, mx.tie_x, my.tie_y FROM mx, my
+)
+SELECT m.n, p.conc, p.disc,
+       round(CAST(p.conc - p.disc AS DOUBLE)
+             / sqrt((CAST(m.n AS DOUBLE) * (m.n - 1) / 2.0 - m.tie_x)
+                    * (CAST(m.n AS DOUBLE) * (m.n - 1) / 2.0 - m.tie_y)),
+             6) AS tau_b_r
+FROM pairs p, margins m
+""",
+    tags=("analytics", "stats"),
+)
+def q277_kendall_tau(spark, sf_dir):
+    """Kendall tau-b association between a customer's order count and
+    their revenue decile — rank correlation that, like q233's
+    Mann-Whitney, never materializes per-row ranks: customers collapse
+    to a JOINT FREQUENCY TABLE over (order-count, revenue-decile), and
+    concordant/discordant mass comes from cell-pair products over that
+    table — cells² work, bounded by the two cardinalities (a few
+    hundred cells here), regardless of customer count. Tie corrections
+    come from the table's margins; everything is exact BIGINT until
+    the closing tau-b expression. The decile uses a deterministic
+    (revenue, custkey) ntile. This is how rank association scales to
+    100 TB: bucket one axis if it's continuous, then the joint table
+    IS the statistic's sufficient summary."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    rev = F.sum(
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    ).cast("bigint")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("x"), rev.alias("rev")
+    )
+    y = F.ntile(10).over(Window.orderBy("rev", "o_custkey"))
+    joint = (
+        per_cust.select("x", y.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = joint.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = joint.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    crossed = a.crossJoin(b)
+    pairs = crossed.agg(
+        F.sum(
+            F.when(
+                (F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("disc"),
+    )
+    # tie terms must count each margin VALUE once — aggregating the
+    # window-summed cells would count tx(tx-1)/2 once per cell instead
+    mx = (
+        joint.groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("tx"))
+        .agg(
+            F.sum(F.expr("tx * (tx - 1) div 2"))
+            .cast("bigint")
+            .alias("tie_x"),
+            F.sum("tx").cast("bigint").alias("n"),
+        )
+    )
+    my = (
+        joint.groupBy("y")
+        .agg(F.sum("c").cast("bigint").alias("ty"))
+        .agg(
+            F.sum(F.expr("ty * (ty - 1) div 2"))
+            .cast("bigint")
+            .alias("tie_y")
+        )
+    )
+    margins = mx.crossJoin(my)
+    nd = F.col("n").cast("double")
+    n0 = nd * (F.col("n") - 1) / 2.0
+    tau = (F.col("conc") - F.col("disc")).cast("double") / F.sqrt(
+        (n0 - F.col("tie_x")) * (n0 - F.col("tie_y"))
+    )
+    return pairs.crossJoin(margins).select(
+        "n", "conc", "disc", F.round(tau, 6).alias("tau_b_r")
+    )
