@@ -1143,3 +1143,81 @@ def q246_minhash_accuracy_audit(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q279_containment_dedup",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split_regex(trim(text),
+ '\\s+')) - 2),
+           i -> array_to_string(list_slice(
+string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sz AS sz_a, b.sz AS sz_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, inter,
+       CAST(sz_a AS BIGINT) AS sz_a,
+       round(CAST(inter AS DOUBLE) / sz_a, 6) AS containment_r
+FROM pairs
+WHERE inter * 10 >= sz_a * 8
+ORDER BY containment_r DESC, doc_a, doc_b
+LIMIT 30
+""",
+    tags=("dedup",),
+)
+def q279_containment_dedup(spark, sf_dir):
+    """Asymmetric containment dedup (excerpt / quotation detection):
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| >= 0.8 flags documents
+    MOSTLY CONTAINED in another — the near-dup class symmetric Jaccard
+    systematically misses, because a short excerpt inside a long
+    document has tiny Jaccard but containment ~1.0 (why dedup
+    pipelines run both: q34's symmetric pass and this directional
+    one). Same posting-list equi-join machinery as q34 — candidate
+    pairs only where shingles actually collide, never a cross join —
+    but ORDERED pairs (A!=B, both directions scored) with the
+    integer-exact 8/10 threshold applied by cross-multiplication
+    before any float division."""
+    from ..operators import shingle_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(d, "doc_id", "text", n=3)
+    # shingle_jaccard_pairs emits unordered a<b pairs; containment is
+    # directional, so score both orientations from the one pair table
+    fwd = pairs.select(
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("size_a").cast("bigint").alias("sz_a"),
+    )
+    rev = pairs.select(
+        F.col("doc_b").alias("doc_a"),
+        F.col("doc_a").alias("doc_b"),
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("size_b").cast("bigint").alias("sz_a"),
+    )
+    both = fwd.unionAll(rev)
+    return (
+        both.filter(F.col("inter") * 10 >= F.col("sz_a") * 8)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "sz_a",
+            F.round(
+                F.col("inter").cast("double") / F.col("sz_a"), 6
+            ).alias("containment_r"),
+        )
+        .orderBy(F.col("containment_r").desc(), "doc_a", "doc_b")
+        .limit(30)
+    )

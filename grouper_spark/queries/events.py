@@ -1222,3 +1222,77 @@ def q268_funnel_step_significance(spark, sf_dir):
         F.round(r1, 6).alias("rate_b"),
         z.alias("z_r"),
     ).orderBy("step")
+
+
+@query(
+    "q278_seasonal_index",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_dow,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100.0, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY day, iso_dow
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(cents) AS BIGINT) AS all_cents
+  FROM daily
+)
+SELECT d.iso_dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(d.cents) AS BIGINT) AS cents,
+       round((CAST(SUM(d.cents) AS DOUBLE) / COUNT(*))
+             / (CAST(t.all_cents AS DOUBLE) / t.n_days), 6) AS index_r
+FROM daily d CROSS JOIN tot t
+GROUP BY d.iso_dow, t.all_cents, t.n_days
+ORDER BY d.iso_dow
+""",
+    tags=("events", "timeseries"),
+)
+def q278_seasonal_index(spark, sf_dir):
+    """Multiplicative day-of-week seasonal index — the retail
+    seasonality table behind de-seasonalized targets and staffing
+    curves: each ISO weekday's mean daily purchase revenue divided by
+    the overall daily mean (index 1.0 = typical day). Summary-first as
+    ever: one shuffle to the (day, dow, cents) spine, a broadcast
+    1-row total, exact integer sums with two divisions in the final
+    expression. ISO day numbering on both sides (the q256 lesson:
+    engine-native dayofweek enumerations disagree)."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100.0, 0).cast("bigint"),
+    ).otherwise(0)
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.dayofweek(F.col("ts").cast("date")).alias("spark_dow"),
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    # Spark dayofweek: 1=Sun..7=Sat -> ISO 1=Mon..7=Sun
+    iso = F.when(F.col("spark_dow") == 1, 7).otherwise(
+        F.col("spark_dow") - 1
+    ).cast("int")
+    daily = daily.select("day", iso.alias("iso_dow"), "cents")
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("all_cents"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy("iso_dow", "all_cents", "n_days")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dow_days"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .select(
+            "iso_dow",
+            F.col("n_dow_days").alias("n_days"),
+            "cents",
+            F.round(
+                (F.col("cents").cast("double") / F.col("n_dow_days"))
+                / (F.col("all_cents").cast("double") / F.col("n_days")),
+                6,
+            ).alias("index_r"),
+        )
+        .orderBy("iso_dow")
+    )
