@@ -431,3 +431,94 @@ def q156_token_entropy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_BP_DF = 20  # shingle appears in > this many docs => boilerplate
+
+
+@query(
+    "q281_boilerplate_ratio",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split_regex(trim(text),
+ '\\s+')) - 2),
+           i -> array_to_string(list_slice(
+string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), df AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM ex GROUP BY shingle
+), scored AS (
+  SELECT e.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN df.n_docs > {_BP_DF} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_boiler
+  FROM ex e JOIN df ON df.shingle = e.shingle
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_shingles, n_boiler,
+       round(CAST(n_boiler AS DOUBLE) / n_shingles, 6) AS boiler_ratio_r
+FROM scored
+ORDER BY boiler_ratio_r DESC, doc_id
+LIMIT 50
+""",
+    tags=("quality", "text"),
+)
+def q281_boilerplate_ratio(spark, sf_dir):
+    """Boilerplate scoring (the CCNet/RefinedWeb-style cleanup signal):
+    a document whose 3-gram shingles mostly appear in MANY other
+    documents is template chrome — navigation, headers, licenses — not
+    content, and should be dropped or stripped before training. Each
+    shingle's document frequency comes from one shuffle on the shingle
+    (map-side combined); joining it back onto the per-doc shingle
+    stream scores every document's boilerplate mass in the same pass
+    shape as q34 — no pair joins at all, so this is strictly cheaper
+    than any dedup. The >50% gate is integer cross-multiplied. Where
+    q104 finds duplicated spans BETWEEN two docs and q279 finds
+    containment, this measures corpus-wide commonness per doc — the
+    three graduated responses to repeated text. Output is the top-50
+    most boilerplate-heavy docs (the review queue); a production run
+    would gate on a ratio threshold instead."""
+    from ..functions.text import word_shingles
+    from ..operators.core import ensure_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    ex = (
+        ensure_parallelism(d)
+        .select(
+            "doc_id", F.explode_outer(word_shingles("text", 3)).alias("shingle")
+        )
+        .filter(F.col("shingle").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    df = ex.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    scored = (
+        ex.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("n_docs") > _BP_DF).cast("int"))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )
+    return (
+        scored
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_shingles"), 6
+            ).alias("boiler_ratio_r"),
+        )
+        .orderBy(F.col("boiler_ratio_r").desc(), "doc_id")
+        .limit(50)
+    )

@@ -857,3 +857,111 @@ def q266_lsh_recall_audit(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "q280_embedding_drift",
+    oracle="""
+WITH tagged AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS e,
+         CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS half
+  FROM embeddings
+), comp AS (
+  SELECT label, half, i.i AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(e[i.i] * 1000000.0, 0) AS BIGINT))
+              AS BIGINT) AS s_micro
+  FROM tagged, generate_series(1, 64) i(i)
+  GROUP BY label, half, dim
+), cent AS (
+  SELECT label, half, dim,
+         CAST(ROUND(CAST(s_micro AS DOUBLE) / n, 0) AS BIGINT) AS c_micro
+  FROM comp
+), paired AS (
+  SELECT a.label, a.dim,
+         a.c_micro AS ca, b.c_micro AS cb
+  FROM cent a JOIN cent b
+    ON b.label = a.label AND b.dim = a.dim AND a.half = 0 AND b.half = 1
+), sums AS (
+  SELECT label,
+         CAST(SUM(ca * cb) AS BIGINT) AS dot_m2,
+         CAST(SUM(ca * ca) AS BIGINT) AS na_m2,
+         CAST(SUM(cb * cb) AS BIGINT) AS nb_m2,
+         CAST(SUM((ca - cb) * (ca - cb)) AS BIGINT) AS diff_m2
+  FROM paired GROUP BY label
+)
+SELECT label,
+       round(CAST(dot_m2 AS DOUBLE)
+             / sqrt(CAST(na_m2 AS DOUBLE) * nb_m2), 6) AS centroid_cos_r,
+       round(sqrt(CAST(diff_m2 AS DOUBLE)) / 1000000.0, 6) AS shift_l2_r
+FROM sums ORDER BY label
+""",
+    tags=("similarity", "monitoring"),
+)
+def q280_embedding_drift(spark, sf_dir):
+    """Embedding drift monitor: per label, the cosine between the
+    centroid of even-id vectors and odd-id vectors (a deterministic
+    stand-in for release-A vs release-B embeddings) plus the L2
+    centroid shift — the check that catches a silently retrained or
+    re-normalized encoder before it poisons ANN indexes built on the
+    old geometry. Each centroid component is an exact micro-unit
+    integer (fixed-point per element BEFORE the mean, then one rounded
+    division), so the cross-engine arithmetic on centroids is pure
+    BIGINT dot/norm sums with floats only in the last expression —
+    no ordered folds needed because the micro-rounding already
+    canonicalized the components. Corpus cost: one pass expanded by
+    dim (posexplode), two group levels; centroid tables are
+    (labels x dims) rows forever."""
+    emb = table(spark, sf_dir, "embeddings")
+    tagged = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    )
+    comp = tagged.groupBy(
+        "label", "half", (F.col("dim0") + 1).alias("dim")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("x") * 1000000.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    cent = comp.select(
+        "label",
+        "half",
+        "dim",
+        F.round(F.col("s_micro").cast("double") / F.col("n"), 0)
+        .cast("bigint")
+        .alias("c_micro"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c_micro").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c_micro").alias("cb")
+    )
+    sums = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot_m2"),
+            F.sum(F.col("ca") * F.col("ca")).cast("bigint").alias("na_m2"),
+            F.sum(F.col("cb") * F.col("cb")).cast("bigint").alias("nb_m2"),
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("bigint")
+            .alias("diff_m2"),
+        )
+    )
+    return sums.select(
+        "label",
+        F.round(
+            F.col("dot_m2").cast("double")
+            / F.sqrt(F.col("na_m2").cast("double") * F.col("nb_m2")),
+            6,
+        ).alias("centroid_cos_r"),
+        F.round(
+            F.sqrt(F.col("diff_m2").cast("double")) / 1000000.0, 6
+        ).alias("shift_l2_r"),
+    ).orderBy("label")
