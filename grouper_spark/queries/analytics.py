@@ -1756,3 +1756,101 @@ def q277_kendall_tau(spark, sf_dir):
     return pairs.crossJoin(margins).select(
         "n", "conc", "disc", F.round(tau, 6).alias("tau_b_r")
     )
+
+
+@query(
+    "q283_capture_recapture",
+    oracle="""
+WITH sampled AS (
+  SELECT o_custkey,
+         CAST(CASE WHEN ('0x' || substr(md5('crA|'
+                || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 30
+              THEN 1 ELSE 0 END AS INT) AS in_a,
+         CAST(CASE WHEN ('0x' || substr(md5('crB|'
+                || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 30
+              THEN 1 ELSE 0 END AS INT) AS in_b
+  FROM orders
+), marks AS (
+  SELECT o_custkey,
+         CAST(MAX(in_a) AS INT) AS seen_a,
+         CAST(MAX(in_b) AS INT) AS seen_b
+  FROM sampled GROUP BY o_custkey
+), counts AS (
+  SELECT CAST(SUM(seen_a) AS BIGINT) AS na,
+         CAST(SUM(seen_b) AS BIGINT) AS nb,
+         CAST(SUM(seen_a * seen_b) AS BIGINT) AS nboth,
+         CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM marks
+)
+SELECT na, nb, nboth, n_true,
+       CAST((na + 1) * (nb + 1) // (nboth + 1) - 1 AS BIGINT)
+         AS chapman_estimate,
+       round((CAST((na + 1) * (nb + 1) // (nboth + 1) - 1 AS DOUBLE)
+              - n_true) / n_true, 6) AS rel_error_r
+FROM counts
+""",
+    tags=("analytics", "stats", "estimation"),
+)
+def q283_capture_recapture(spark, sf_dir):
+    """Capture-recapture population estimation (Chapman estimator): how
+    many distinct customers exist, estimated from TWO independent 30%
+    order samples — the ecology technique data teams use to size an
+    entity population (dedup'd users, unique bugs, distinct SKUs) when
+    a full scan is impractical: N ≈ (nA+1)(nB+1)/(nAB+1) - 1 from just
+    the two sample marks and their overlap. Samples are independent
+    md5 coins on the order key, customer marks are one groupBy, the
+    estimate is exact integer division, and the true distinct count
+    rides along to expose the relative error — making the estimator
+    itself auditable, the same pattern as the q246/q262 sketch audits.
+    One shuffle, three numbers, no corpus-sized state."""
+    o = table(spark, sf_dir, "orders")
+
+    def coin(prefix):
+        return (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(prefix),
+                                F.col("o_orderkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 100
+            )
+            < 30
+        ).cast("int")
+
+    marks = (
+        o.select("o_custkey", coin("crA|").alias("in_a"), coin("crB|").alias("in_b"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max("in_a").alias("seen_a"),
+            F.max("in_b").alias("seen_b"),
+        )
+    )
+    counts = marks.agg(
+        F.sum("seen_a").cast("bigint").alias("na"),
+        F.sum("seen_b").cast("bigint").alias("nb"),
+        F.sum(F.col("seen_a") * F.col("seen_b")).cast("bigint").alias("nboth"),
+        F.count("*").cast("bigint").alias("n_true"),
+    )
+    chapman = F.expr("(na + 1) * (nb + 1) div (nboth + 1) - 1").cast(
+        "bigint"
+    )
+    return counts.select(
+        "na",
+        "nb",
+        "nboth",
+        "n_true",
+        chapman.alias("chapman_estimate"),
+        F.round(
+            (chapman.cast("double") - F.col("n_true")) / F.col("n_true"), 6
+        ).alias("rel_error_r"),
+    )

@@ -1902,3 +1902,121 @@ def q275_pinball_loss(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "q282_delta_method_ratio",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('dm|' || CAST(user_id AS VARCHAR)),
+                              1, 8))::BIGINT % 2 AS INT) AS variant,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100.0, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_user GROUP BY variant
+)
+SELECT variant, n,
+       round(CAST(sx AS DOUBLE) / sy / 100.0, 6) AS ratio_r,
+       round(sqrt(GREATEST(0.0,
+         (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx
+          - 2.0 * (CAST(sx AS DOUBLE) / sy)
+                * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         / CAST(n AS DOUBLE) / (n - 1)
+         / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+         / n)) / 100.0, 6) AS se_r
+FROM m ORDER BY variant
+""",
+    tags=("monitoring", "experimentation"),
+)
+def q282_delta_method_ratio(spark, sf_dir):
+    """Delta-method standard error for a RATIO metric (revenue per
+    view) per experiment arm — the statistics every serious A/B
+    platform implements, because the naive per-user-average SE is
+    simply wrong for ratio-of-sums metrics (users contribute unequal
+    denominators, so the ratio is a correlated quotient of two random
+    sums). The linearized variance (sigma_x^2 - 2R sigma_xy +
+    R^2 sigma_y^2) / ybar^2 / n comes entirely from six exact BIGINT
+    user-level moments per arm (one user shuffle + a 2-row summary);
+    the GREATEST(0, .) guards the tiny negative values floating-point
+    cancellation could produce at near-zero variance. Cents fixed
+    point throughout; outputs re-scale to currency units. Completes
+    the experimentation battery: q219 proportions, q259 CUPED means,
+    q268 funnel steps, this for ratios."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0, 0).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum((F.col("event_type") == "view").cast("int"))
+        .cast("bigint")
+        .alias("y"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("dm|"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+        .cast("int")
+        .alias("variant"),
+        "x",
+        "y",
+    )
+    x, y = F.col("x"), F.col("y")
+    m = per_user.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.sum(y * y).cast("bigint").alias("syy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    r = F.col("sx").cast("double") / F.col("sy")
+    cxx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    cyy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cxy = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ybar = F.col("sy").cast("double") / nd
+    var = (
+        F.greatest(
+            F.lit(0.0),
+            (cxx - 2.0 * r * cxy + r * r * cyy)
+            / nd
+            / (F.col("n") - 1)
+            / (ybar * ybar)
+            / nd,
+        )
+    )
+    return m.select(
+        "variant",
+        "n",
+        F.round(r / 100.0, 6).alias("ratio_r"),
+        F.round(F.sqrt(var) / 100.0, 6).alias("se_r"),
+    ).orderBy("variant")
