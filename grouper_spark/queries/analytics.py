@@ -1854,3 +1854,209 @@ def q283_capture_recapture(spark, sf_dir):
             (chapman.cast("double") - F.col("n_true")) / F.col("n_true"), 6
         ).alias("rel_error_r"),
     )
+
+
+@query(
+    "q284_markov_baseline_accuracy",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+), best AS (
+  SELECT prev_type, next_type AS predicted, c,
+         row_number() OVER (PARTITION BY prev_type
+                            ORDER BY c DESC, next_type) AS rk,
+         CAST(SUM(c) OVER (PARTITION BY prev_type) AS BIGINT) AS row_tot
+  FROM trans
+)
+SELECT prev_type, predicted,
+       CAST(c AS BIGINT) AS n_correct,
+       row_tot AS n_total,
+       round(CAST(c AS DOUBLE) / row_tot, 6) AS accuracy_r
+FROM best WHERE rk = 1
+ORDER BY prev_type
+""",
+    tags=("analytics", "eval", "sequence"),
+)
+def q284_markov_baseline_accuracy(spark, sf_dir):
+    """Markov next-event baseline accuracy — the floor every sequence
+    model must beat, computed from the data itself: for each current
+    event type, predict the historically most frequent next type
+    (deterministic argmax: count DESC, name ASC) and report how often
+    that prediction is right. Builds directly on q111's transition
+    matrix (lag window, one user shuffle, type x type aggregate); the
+    per-row argmax and row totals are one window pass over the tiny
+    matrix, so the evaluation costs nothing beyond the matrix build.
+    If a sequence model can't beat accuracy_r it has learned less than
+    a lookup table — the cheapest honest baseline there is."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wb = Window.partitionBy("prev_type").orderBy(
+        F.col("c").desc(), "next_type"
+    )
+    wt = Window.partitionBy("prev_type")
+    best = trans.select(
+        "prev_type",
+        F.col("next_type").alias("predicted"),
+        "c",
+        F.row_number().over(wb).alias("rk"),
+        F.sum("c").over(wt).cast("bigint").alias("row_tot"),
+    )
+    return (
+        best.filter(F.col("rk") == 1)
+        .select(
+            "prev_type",
+            "predicted",
+            F.col("c").cast("bigint").alias("n_correct"),
+            F.col("row_tot").alias("n_total"),
+            F.round(F.col("c").cast("double") / F.col("row_tot"), 6).alias(
+                "accuracy_r"
+            ),
+        )
+        .orderBy("prev_type")
+    )
+
+
+@query(
+    "q285_brier_decomposition",
+    oracle="""
+WITH subj AS (
+  SELECT f.user_id,
+         LEAST(CAST(10 AS BIGINT), f.recency) AS score_decile,
+         CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS churned
+  FROM (
+    SELECT user_id,
+           CAST(DATE '2024-01-20' - CAST(MAX(ts) AS DATE) AS BIGINT)
+             AS recency
+    FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+    GROUP BY user_id
+  ) f
+  LEFT JOIN (
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) > DATE '2024-01-20'
+      AND CAST(ts AS DATE) <= DATE '2024-01-30'
+      AND event_type = 'purchase'
+  ) h ON h.user_id = f.user_id
+), bins AS (
+  SELECT score_decile AS bin,
+         CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(churned) AS BIGINT) AS ok
+  FROM subj GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(ok) AS BIGINT) AS o
+  FROM bins
+), terms AS (
+  SELECT b.bin, b.nk, b.ok, t.n, t.o,
+         CAST(ROUND((CAST(b.bin AS DOUBLE) / 10.0
+                     - CAST(b.ok AS DOUBLE) / b.nk)
+                    * (CAST(b.bin AS DOUBLE) / 10.0
+                       - CAST(b.ok AS DOUBLE) / b.nk)
+                    * b.nk * 1000000.0, 0) AS BIGINT) AS rel_micro,
+         CAST(ROUND((CAST(b.ok AS DOUBLE) / b.nk
+                     - CAST(t.o AS DOUBLE) / t.n)
+                    * (CAST(b.ok AS DOUBLE) / b.nk
+                       - CAST(t.o AS DOUBLE) / t.n)
+                    * b.nk * 1000000.0, 0) AS BIGINT) AS res_micro
+  FROM bins b CROSS JOIN tot t
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_users,
+       round(CAST(SUM(rel_micro) AS DOUBLE) / 1000000.0 / MIN(n), 6)
+         AS reliability_r,
+       round(CAST(SUM(res_micro) AS DOUBLE) / 1000000.0 / MIN(n), 6)
+         AS resolution_r,
+       round((CAST(MIN(o) AS DOUBLE) / MIN(n))
+             * (1.0 - CAST(MIN(o) AS DOUBLE) / MIN(n)), 6)
+         AS uncertainty_r
+FROM terms
+""",
+    tags=("analytics", "eval", "mlops"),
+)
+def q285_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score — reliability (is the
+    forecast calibrated?), resolution (does it separate outcomes?),
+    uncertainty (base-rate entropy floor) — for a deterministic
+    recency-based churn score (recency days capped at 10, read as
+    probability deciles) against q267's no-purchase-in-horizon label.
+    This is how a forecast gets graded beyond a single loss number:
+    Brier = reliability - resolution + uncertainty, and the three
+    parts tell you whether to recalibrate (high reliability term) or
+    go find features (low resolution). Per-bin terms are fixed-pointed
+    to micro-units before the cross-bin sum (the shared-denominator
+    doubles are deterministic per bin; the SUM must not depend on bin
+    order); bins and totals are two tiny aggregates over the per-user
+    summary."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("date")
+    horizon = F.lit("2024-01-30").cast("date")
+    day = F.col("ts").cast("date")
+    feat = (
+        ev.filter(day <= cutoff)
+        .groupBy("user_id")
+        .agg(F.datediff(cutoff, F.max(day)).cast("bigint").alias("recency"))
+    )
+    horizon_active = (
+        ev.filter(
+            (day > cutoff)
+            & (day <= horizon)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    subj = feat.join(horizon_active, "user_id", "left").select(
+        F.least(F.lit(10).cast("bigint"), F.col("recency")).alias("bin"),
+        F.col("active").isNull().cast("int").alias("churned"),
+    )
+    bins = subj.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.sum("churned").cast("bigint").alias("ok"),
+    )
+    tot = bins.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("o"),
+    )
+    p_hat = F.col("bin").cast("double") / 10.0
+    o_rate = F.col("ok").cast("double") / F.col("nk")
+    base = F.col("o").cast("double") / F.col("n")
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "o",
+        F.round((p_hat - o_rate) * (p_hat - o_rate) * F.col("nk") * 1e6, 0)
+        .cast("bigint")
+        .alias("rel_micro"),
+        F.round((o_rate - base) * (o_rate - base) * F.col("nk") * 1e6, 0)
+        .cast("bigint")
+        .alias("res_micro"),
+    )
+    return terms.agg(
+        F.min("n").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum("rel_micro").cast("double") / 1e6 / F.min("n"), 6
+        ).alias("reliability_r"),
+        F.round(
+            F.sum("res_micro").cast("double") / 1e6 / F.min("n"), 6
+        ).alias("resolution_r"),
+        F.round(
+            (F.min("o").cast("double") / F.min("n"))
+            * (1.0 - F.min("o").cast("double") / F.min("n")),
+            6,
+        ).alias("uncertainty_r"),
+    )
