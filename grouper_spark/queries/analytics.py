@@ -2060,3 +2060,115 @@ def q285_brier_decomposition(spark, sf_dir):
             6,
         ).alias("uncertainty_r"),
     )
+
+
+@query(
+    "q286_roc_auc",
+    oracle="""
+WITH subj AS (
+  SELECT f.user_id,
+         LEAST(CAST(10 AS BIGINT), f.recency) AS score,
+         CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS y
+  FROM (
+    SELECT user_id,
+           CAST(DATE '2024-01-20' - CAST(MAX(ts) AS DATE) AS BIGINT)
+             AS recency
+    FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+    GROUP BY user_id
+  ) f
+  LEFT JOIN (
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) > DATE '2024-01-20'
+      AND CAST(ts AS DATE) <= DATE '2024-01-30'
+      AND event_type = 'purchase'
+  ) h ON h.user_id = f.user_id
+), vals AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(y) AS BIGINT) AS t1
+  FROM subj GROUP BY score
+), ranked AS (
+  SELECT t, t1,
+         CAST(COALESCE(SUM(t) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM vals
+), agg AS (
+  SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+         CAST(SUM(t - t1) AS BIGINT) AS n0,
+         CAST(SUM(t1 * (2 * cum_before + t + 1)) AS BIGINT) AS r1_x2
+  FROM ranked
+)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       round((CAST(r1_x2 AS DOUBLE) / 2.0
+              - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+             / (CAST(n1 AS DOUBLE) * n0), 6) AS auc_r
+FROM agg
+""",
+    tags=("analytics", "eval", "mlops"),
+)
+def q286_roc_auc(spark, sf_dir):
+    """ROC-AUC without sorting predictions per row — via the
+    Mann-Whitney identity AUC = (R1 - n1(n1+1)/2) / (n1 n0), computed
+    from the SAME doubled-average-rank machinery as q233: scores
+    collapse to a (score -> count, positives) summary (capped recency
+    deciles, churn label from q267's horizon), a running count over
+    the sorted summary yields tied-average ranks, and AUC is one
+    closed-form division of exact integers — ties handled exactly
+    (each contributes 1/2), which naive trapezoid implementations
+    get wrong. The ordered window runs over DISTINCT score values, so
+    a billion predictions with a 10-point score cost a 10-row window.
+    The companion to q285: that grades calibration, this grades pure
+    ranking skill."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("date")
+    horizon = F.lit("2024-01-30").cast("date")
+    day = F.col("ts").cast("date")
+    feat = (
+        ev.filter(day <= cutoff)
+        .groupBy("user_id")
+        .agg(F.datediff(cutoff, F.max(day)).cast("bigint").alias("recency"))
+    )
+    horizon_active = (
+        ev.filter(
+            (day > cutoff)
+            & (day <= horizon)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    subj = feat.join(horizon_active, "user_id", "left").select(
+        F.least(F.lit(10).cast("bigint"), F.col("recency")).alias("score"),
+        F.col("active").isNull().cast("int").alias("y"),
+    )
+    vals = subj.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum("y").cast("bigint").alias("t1"),
+    )
+    wcum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "t",
+        "t1",
+        F.coalesce(F.sum("t").over(wcum), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("bigint").alias("n0"),
+        F.sum(F.col("t1") * (2 * F.col("cum_before") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r1_x2"),
+    )
+    auc = (
+        F.col("r1_x2").cast("double") / 2.0
+        - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
+    ) / (F.col("n1").cast("double") * F.col("n0"))
+    return agg.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(auc, 6).alias("auc_r"),
+    )

@@ -1681,3 +1681,74 @@ def q270_hierarchical_sampling(spark, sf_dir):
         )
         .crossJoin(F.broadcast(n_kept))
     )
+
+
+@query(
+    "q287_fairness_audit",
+    oracle="""
+WITH scored AS (
+  SELECT c_mktsegment AS segment,
+         CAST(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END AS INT)
+           AS selected
+  FROM customer
+), per_seg AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(selected) AS BIGINT) AS n_selected
+  FROM scored GROUP BY segment
+), best AS (
+  SELECT MAX(CAST(n_selected AS DOUBLE) / n) AS best_rate FROM per_seg
+)
+SELECT p.segment, p.n, p.n_selected,
+       round(CAST(p.n_selected AS DOUBLE) / p.n, 6) AS selection_rate_r,
+       round((CAST(p.n_selected AS DOUBLE) / p.n) / b.best_rate, 6)
+         AS disparate_impact_r,
+       CAST(CASE WHEN (CAST(p.n_selected AS DOUBLE) / p.n)
+                      / b.best_rate < 0.8 THEN 1 ELSE 0 END AS INT)
+         AS four_fifths_flag
+FROM per_seg p CROSS JOIN best b
+ORDER BY p.segment
+""",
+    tags=("curation", "governance"),
+)
+def q287_fairness_audit(spark, sf_dir):
+    """Disparate-impact fairness audit (the four-fifths rule): a
+    selection policy (account balance above a threshold, standing in
+    for any model's accept decision) is measured per market segment —
+    selection rate, the ratio to the MOST-selected group, and the
+    regulatory 80% flag that triggers review when a group's rate falls
+    below four-fifths of the best group's. This is governance
+    machinery, not statistics tricks: one grouped aggregate, one
+    broadcast max, exact counts, and a flag auditors can re-derive by
+    hand. At 100 TB the policy column would come from a model-score
+    join; the audit shape — rates vs reference group per protected
+    segment — is unchanged, which is why it belongs in the engine's
+    standard battery rather than a notebook."""
+    c = table(spark, sf_dir, "customer")
+    scored = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal") > 5000.0).cast("int").alias("selected"),
+    )
+    per_seg = scored.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("selected").cast("bigint").alias("n_selected"),
+    )
+    best = per_seg.agg(
+        F.max(F.col("n_selected").cast("double") / F.col("n")).alias(
+            "best_rate"
+        )
+    )
+    rate = F.col("n_selected").cast("double") / F.col("n")
+    di = rate / F.col("best_rate")
+    return (
+        per_seg.crossJoin(F.broadcast(best))
+        .select(
+            "segment",
+            "n",
+            "n_selected",
+            F.round(rate, 6).alias("selection_rate_r"),
+            F.round(di, 6).alias("disparate_impact_r"),
+            (di < 0.8).cast("int").alias("four_fifths_flag"),
+        )
+        .orderBy("segment")
+    )
