@@ -2172,3 +2172,225 @@ def q286_roc_auc(spark, sf_dir):
         F.col("n0").alias("n_neg"),
         F.round(auc, 6).alias("auc_r"),
     )
+
+
+@query(
+    "q288_ndcg_at_k",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS rev_cents,
+         CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY l_partkey
+), graded AS (
+  SELECT l_partkey,
+         row_number() OVER (ORDER BY rev_cents DESC, l_partkey) AS pred_rank,
+         CAST(ntile(10) OVER (ORDER BY qty_cents, l_partkey) AS BIGINT)
+           AS rel
+  FROM per_part
+), dcg AS (
+  SELECT CAST(SUM(CAST(ROUND(CAST(rel AS DOUBLE)
+                / ln(pred_rank + 1.0) * ln(2.0) * 1000000.0, 0)
+                AS BIGINT)) AS BIGINT) AS dcg_micro
+  FROM graded WHERE pred_rank <= 20
+), ideal AS (
+  SELECT CAST(SUM(CAST(ROUND(CAST(rel AS DOUBLE)
+                / ln(ideal_rank + 1.0) * ln(2.0) * 1000000.0, 0)
+                AS BIGINT)) AS BIGINT) AS idcg_micro
+  FROM (
+    SELECT rel, row_number() OVER (ORDER BY rel DESC, l_partkey)
+             AS ideal_rank
+    FROM graded
+  ) WHERE ideal_rank <= 20
+)
+SELECT CAST(20 AS INT) AS k,
+       round(CAST(d.dcg_micro AS DOUBLE) / 1000000.0, 6) AS dcg_r,
+       round(CAST(i.idcg_micro AS DOUBLE) / 1000000.0, 6) AS idcg_r,
+       round(CAST(d.dcg_micro AS DOUBLE) / i.idcg_micro, 6) AS ndcg_r
+FROM dcg d CROSS JOIN ideal i
+""",
+    tags=("analytics", "eval", "ranking"),
+)
+def q288_ndcg_at_k(spark, sf_dir):
+    """NDCG@20 with graded relevance — the ranking-eval standard where
+    q264's overlap@k only counts membership: parts RANKED by revenue
+    (the prediction) are scored against their quantity decile (the
+    graded ground truth), normalized by the ideal ordering. Each DCG
+    term rel/log2(rank+1) is fixed-pointed to micro-units per rank
+    BEFORE summation (ranks and grades are exact integers, so the
+    per-term double is identical in both engines); deterministic
+    (metric, key) tie orders everywhere. Both rankings come from one
+    grouped pass + windows over the item summary; the @20 cutoff
+    means the DCG sums see 20 rows regardless of catalog size."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.sum(F.round(F.col("l_quantity") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_cents"),
+    )
+    wp = Window.orderBy(F.col("rev_cents").desc(), "l_partkey")
+    wr = Window.orderBy("qty_cents", "l_partkey")
+    graded = per_part.select(
+        "l_partkey",
+        F.row_number().over(wp).alias("pred_rank"),
+        F.ntile(10).over(wr).cast("bigint").alias("rel"),
+    ).localCheckpoint(eager=False)
+
+    def dcg_micro(rank_col):
+        return (
+            F.round(
+                F.col("rel").cast("double")
+                / F.log(F.col(rank_col) + 1.0)
+                * float(__import__("math").log(2.0))
+                * 1000000.0,
+                0,
+            )
+            .cast("bigint")
+        )
+
+    dcg = graded.filter(F.col("pred_rank") <= 20).agg(
+        F.sum(dcg_micro("pred_rank")).cast("bigint").alias("dcg_micro")
+    )
+    wi = Window.orderBy(F.col("rel").desc(), "l_partkey")
+    ideal = (
+        graded.select("l_partkey", "rel", F.row_number().over(wi).alias("ideal_rank"))
+        .filter(F.col("ideal_rank") <= 20)
+        .agg(F.sum(dcg_micro("ideal_rank")).cast("bigint").alias("idcg_micro"))
+    )
+    return dcg.crossJoin(ideal).select(
+        F.lit(20).cast("int").alias("k"),
+        F.round(F.col("dcg_micro").cast("double") / 1e6, 6).alias("dcg_r"),
+        F.round(F.col("idcg_micro").cast("double") / 1e6, 6).alias("idcg_r"),
+        F.round(
+            F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6
+        ).alias("ndcg_r"),
+    )
+
+
+@query(
+    "q289_threshold_sweep",
+    oracle="""
+WITH subj AS (
+  SELECT f.user_id,
+         LEAST(CAST(10 AS BIGINT), f.recency) AS score,
+         CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS y
+  FROM (
+    SELECT user_id,
+           CAST(DATE '2024-01-20' - CAST(MAX(ts) AS DATE) AS BIGINT)
+             AS recency
+    FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+    GROUP BY user_id
+  ) f
+  LEFT JOIN (
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) > DATE '2024-01-20'
+      AND CAST(ts AS DATE) <= DATE '2024-01-30'
+      AND event_type = 'purchase'
+  ) h ON h.user_id = f.user_id
+), ths AS (
+  SELECT CAST(t.t AS BIGINT) AS threshold
+  FROM generate_series(1, 10) t(t)
+), confusion AS (
+  SELECT th.threshold,
+         CAST(SUM(CASE WHEN s.score >= th.threshold AND s.y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN s.score >= th.threshold AND s.y = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN s.score < th.threshold AND s.y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM subj s CROSS JOIN ths th
+  GROUP BY th.threshold
+)
+SELECT threshold, tp, fp, fn,
+       round(CASE WHEN tp + fp > 0
+             THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision_r,
+       round(CASE WHEN tp + fn > 0
+             THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall_r,
+       CAST(fp * 100 + fn * 500 AS BIGINT) AS expected_cost_cents
+FROM confusion ORDER BY threshold
+""",
+    tags=("analytics", "eval", "mlops"),
+)
+def q289_threshold_sweep(spark, sf_dir):
+    """Operating-point selection table: the churn score swept across
+    every threshold, with the confusion counts, precision/recall, and
+    an asymmetric expected cost (a false negative — a churner we
+    didn't call — costs 5x a wasted outreach) at each cut. This is the
+    artifact that turns a model into a POLICY: the business picks the
+    cost-minimizing row, not the AUC. One broadcast cross join of the
+    10-row threshold spine against the per-user summary computes all
+    operating points in a single aggregate pass — no per-threshold
+    re-scans; precision guards its empty-selection edge with NULL
+    rather than a divide-by-zero. Completes the model-eval suite:
+    q285 calibration, q286 ranking, q288 graded ranking, this the
+    decision layer."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("date")
+    horizon = F.lit("2024-01-30").cast("date")
+    day = F.col("ts").cast("date")
+    feat = (
+        ev.filter(day <= cutoff)
+        .groupBy("user_id")
+        .agg(F.datediff(cutoff, F.max(day)).cast("bigint").alias("recency"))
+    )
+    horizon_active = (
+        ev.filter(
+            (day > cutoff)
+            & (day <= horizon)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    subj = feat.join(horizon_active, "user_id", "left").select(
+        F.least(F.lit(10).cast("bigint"), F.col("recency")).alias("score"),
+        F.col("active").isNull().cast("int").alias("y"),
+    )
+    ths = spark.range(1, 11).select(F.col("id").cast("bigint").alias("threshold"))
+    sel = F.col("score") >= F.col("threshold")
+    confusion = (
+        subj.crossJoin(F.broadcast(ths))
+        .groupBy("threshold")
+        .agg(
+            F.sum((sel & (F.col("y") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum((sel & (F.col("y") == 0)).cast("int"))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum((~sel & (F.col("y") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    return confusion.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(
+                (F.col("tp") + F.col("fp")) > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+            ),
+            6,
+        ).alias("precision_r"),
+        F.round(
+            F.when(
+                (F.col("tp") + F.col("fn")) > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+            ),
+            6,
+        ).alias("recall_r"),
+        (F.col("fp") * 100 + F.col("fn") * 500)
+        .cast("bigint")
+        .alias("expected_cost_cents"),
+    ).orderBy("threshold")
