@@ -1296,3 +1296,58 @@ def q278_seasonal_index(spark, sf_dir):
         )
         .orderBy("iso_dow")
     )
+
+
+@query(
+    "q291_activity_heatmap",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_dow,
+         CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY iso_dow, hod
+), tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS all_events FROM cells
+)
+SELECT c.iso_dow, c.hod, c.n_events, c.n_users,
+       round(CAST(c.n_events AS DOUBLE) / t.all_events, 6) AS share_r
+FROM cells c CROSS JOIN tot t
+ORDER BY c.iso_dow, c.hod
+""",
+    tags=("events", "analytics"),
+)
+def q291_activity_heatmap(spark, sf_dir):
+    """Day-of-week x hour-of-day activity heatmap — the ubiquitous ops
+    dashboard feed (when do users show up, when to schedule
+    maintenance, when does fraud spike). One map-side-combined groupBy
+    collapses any event volume to at most 168 cells with exact event
+    and distinct-user counts; shares come off a broadcast total. ISO
+    day numbering on both engines (q256/q278 lesson). The exact
+    per-cell COUNT DISTINCT is the one corpus-shuffle-bearing piece —
+    swap to approx_count_distinct when user cardinality per cell makes
+    exactness not worth it."""
+    ev = table(spark, sf_dir, "events")
+    iso = F.when(F.dayofweek(F.col("ts").cast("date")) == 1, 7).otherwise(
+        F.dayofweek(F.col("ts").cast("date")) - 1
+    ).cast("int")
+    cells = ev.groupBy(
+        iso.alias("iso_dow"), F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    tot = cells.agg(F.sum("n_events").cast("bigint").alias("all_events"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "iso_dow",
+            "hod",
+            "n_events",
+            "n_users",
+            F.round(
+                F.col("n_events").cast("double") / F.col("all_events"), 6
+            ).alias("share_r"),
+        )
+        .orderBy("iso_dow", "hod")
+    )

@@ -804,3 +804,82 @@ def q256_date_dimension(spark, sf_dir):
         )
         .orderBy("qtr", "is_weekend")
     )
+
+
+@query(
+    "q290_aging_waterfall",
+    oracle="""
+WITH aged AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST((DATE '2001-09-01' - CAST(o_orderdate AS DATE)) // 30
+              AS BIGINT) AS age_months
+  FROM orders WHERE o_orderstatus = 'O'
+), bucketed AS (
+  SELECT CASE WHEN age_months < 1 THEN '0-30d'
+              WHEN age_months < 3 THEN '31-90d'
+              WHEN age_months < 6 THEN '91-180d'
+              WHEN age_months < 12 THEN '181-365d'
+              ELSE '365d+' END AS age_bucket,
+         o_totalprice
+  FROM aged
+), tot AS (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS all_cents
+  FROM bucketed
+)
+SELECT b.age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(b.o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS cents,
+       round(CAST(SUM(CAST(ROUND(b.o_totalprice * 100.0, 0) AS BIGINT))
+                  AS DOUBLE) / t.all_cents, 6) AS share_r
+FROM bucketed b CROSS JOIN tot t
+GROUP BY b.age_bucket, t.all_cents
+ORDER BY b.age_bucket
+""",
+    tags=("agg", "finance"),
+)
+def q290_aging_waterfall(spark, sf_dir):
+    """Open-order aging waterfall (the AR/receivables report every
+    finance close runs): orders still open at the reference date
+    bucketed by age band, with order counts, exact cents, and share of
+    total exposure — the table that answers "how much value is stuck,
+    and how stale is it". Age bands derive from integer day/month
+    arithmetic (the same div semantics both engines), the share
+    denominators ride a broadcast 1-row total, and the whole report is
+    one filtered aggregate — at 100 TB the status filter prunes first
+    (pushed to the scan), so cost tracks open orders, not history."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    months = F.expr(
+        "datediff(CAST('2001-09-01' AS DATE), CAST(o_orderdate AS DATE))"
+        " div 30"
+    ).cast("bigint")
+    bucket = (
+        F.when(months < 1, "0-30d")
+        .when(months < 3, "31-90d")
+        .when(months < 6, "91-180d")
+        .when(months < 12, "181-365d")
+        .otherwise("365d+")
+    )
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    bucketed = o.select(bucket.alias("age_bucket"), cents.alias("cents"))
+    tot = bucketed.agg(F.sum("cents").cast("bigint").alias("all_cents"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("age_bucket", "all_cents")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .select(
+            "age_bucket",
+            "n_orders",
+            "cents",
+            F.round(
+                F.col("cents").cast("double") / F.col("all_cents"), 6
+            ).alias("share_r"),
+        )
+        .orderBy("age_bucket")
+    )
