@@ -1351,3 +1351,89 @@ def q291_activity_heatmap(spark, sf_dir):
         )
         .orderBy("iso_dow", "hod")
     )
+
+
+@query(
+    "q293_session_gap_sensitivity",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+), spine AS (
+  SELECT CAST(g.g AS BIGINT) AS gap_minutes
+  FROM (VALUES (5), (15), (30), (60), (120)) g(g)
+), users AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+), breaks AS (
+  SELECT s.gap_minutes,
+         CAST(SUM(CASE WHEN g.gap_us > s.gap_minutes * 60000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks
+  FROM gaps g CROSS JOIN spine s
+  WHERE g.gap_us IS NOT NULL
+  GROUP BY s.gap_minutes
+)
+SELECT b.gap_minutes,
+       CAST(b.n_breaks + u.n_users AS BIGINT) AS n_sessions,
+       round(CAST(b.n_breaks + u.n_users AS DOUBLE) / u.n_users, 6)
+         AS sessions_per_user_r
+FROM breaks b CROSS JOIN users u
+ORDER BY b.gap_minutes
+""",
+    tags=("events", "session"),
+)
+def q293_session_gap_sensitivity(spark, sf_dir):
+    """Session-timeout sensitivity curve: total session count under
+    five candidate inactivity gaps (5m-2h), from ONE pass — the
+    empirical basis for choosing the 30-minute default everyone
+    copies blindly. The identity doing the work: sessions(g) =
+    users + #(inter-event gaps > g), so instead of re-sessionizing
+    per candidate (five window passes over the log), one lag() pass
+    extracts every inter-event gap and a broadcast spine classifies
+    all five thresholds in the same aggregate. Where the curve stops
+    flattening is where the timeout belongs. Exact microsecond gaps,
+    exact counts; one user-keyed shuffle total."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        )
+    ).filter(F.col("gap_us").isNotNull())
+    spine = spark.createDataFrame(
+        [(5,), (15,), (30,), (60,), (120,)], "gap_minutes bigint"
+    )
+    users = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+    breaks = (
+        gaps.crossJoin(F.broadcast(spine))
+        .groupBy("gap_minutes")
+        .agg(
+            F.sum(
+                (
+                    F.col("gap_us") > F.col("gap_minutes") * 60000000
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_breaks")
+        )
+    )
+    return (
+        breaks.crossJoin(F.broadcast(users))
+        .select(
+            "gap_minutes",
+            (F.col("n_breaks") + F.col("n_users"))
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.round(
+                (F.col("n_breaks") + F.col("n_users")).cast("double")
+                / F.col("n_users"),
+                6,
+            ).alias("sessions_per_user_r"),
+        )
+        .orderBy("gap_minutes")
+    )

@@ -998,3 +998,100 @@ def q261_partition_evolution(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+@query(
+    "q292_trial_balance",
+    oracle="""
+WITH ledger AS (
+  SELECT o_orderkey AS txn_id, 'cash' AS account,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS debit_cents,
+         CAST(0 AS BIGINT) AS credit_cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'revenue',
+         CAST(0 AS BIGINT),
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'tax_payable',
+         CAST(0 AS BIGINT),
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) // 10
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'tax_expense',
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) // 10,
+         CAST(0 AS BIGINT)
+  FROM orders
+), per_txn AS (
+  SELECT txn_id,
+         CAST(SUM(debit_cents) - SUM(credit_cents) AS BIGINT) AS imbalance
+  FROM ledger GROUP BY txn_id
+)
+SELECT l.account,
+       CAST(SUM(l.debit_cents) AS BIGINT) AS debits_cents,
+       CAST(SUM(l.credit_cents) AS BIGINT) AS credits_cents,
+       CAST((SELECT SUM(CASE WHEN imbalance != 0 THEN 1 ELSE 0 END)
+             FROM per_txn) AS BIGINT) AS n_unbalanced_txns
+FROM ledger l
+GROUP BY l.account
+ORDER BY l.account
+""",
+    tags=("versioning", "finance", "integrity"),
+)
+def q292_trial_balance(spark, sf_dir):
+    """Double-entry trial balance validation: every order posts as
+    balanced journal entries (cash debit vs revenue credit, plus a
+    10% tax accrual pair in exact integer division so the entry
+    balances BY CONSTRUCTION in integer cents — the reason ledgers
+    are integers, never floats), and the audit proves (a) per-account
+    debit/credit totals for the trial balance and (b) zero transactions
+    whose entries don't sum to zero — the invariant that makes a
+    ledger a ledger. The per-transaction imbalance check is one
+    groupBy on the journal (map-side combined); the account rollup is
+    a 4-row aggregate. At 100 TB the journal is the fact table and
+    this query IS the nightly close control."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    tax = F.expr(
+        "CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) div 10"
+    ).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    legs = [
+        ("cash", cents, zero),
+        ("revenue", zero, cents),
+        ("tax_payable", zero, tax),
+        ("tax_expense", tax, zero),
+    ]
+    ledger = None
+    for account, debit, credit in legs:
+        leg = o.select(
+            F.col("o_orderkey").alias("txn_id"),
+            F.lit(account).alias("account"),
+            debit.alias("debit_cents"),
+            credit.alias("credit_cents"),
+        )
+        ledger = leg if ledger is None else ledger.unionAll(leg)
+    ledger = ledger.localCheckpoint(eager=False)
+    per_txn = ledger.groupBy("txn_id").agg(
+        (F.sum("debit_cents") - F.sum("credit_cents"))
+        .cast("bigint")
+        .alias("imbalance")
+    )
+    unbalanced = per_txn.agg(
+        F.sum((F.col("imbalance") != 0).cast("int"))
+        .cast("bigint")
+        .alias("n_unbalanced_txns")
+    )
+    return (
+        ledger.groupBy("account")
+        .agg(
+            F.sum("debit_cents").cast("bigint").alias("debits_cents"),
+            F.sum("credit_cents").cast("bigint").alias("credits_cents"),
+        )
+        .crossJoin(F.broadcast(unbalanced))
+        .select(
+            "account", "debits_cents", "credits_cents", "n_unbalanced_txns"
+        )
+        .orderBy("account")
+    )
