@@ -1054,3 +1054,129 @@ def q263_join_cardinality_estimate(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q294_hotspot_analysis",
+    oracle="""
+WITH pts AS (
+  SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT
+           % 1000 AS x,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))::BIGINT
+           % 1000 AS y
+  FROM customer
+), counts AS (
+  SELECT CAST(x // 100 AS INT) AS cx, CAST(y // 100 AS INT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY cx, cy
+), lattice AS (
+  SELECT CAST(a.a AS INT) AS cx, CAST(b.b AS INT) AS cy
+  FROM generate_series(0, 9) a(a), generate_series(0, 9) b(b)
+), filled AS (
+  SELECT l.cx, l.cy, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM lattice l LEFT JOIN counts c ON c.cx = l.cx AND c.cy = l.cy
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(n) AS BIGINT) AS s1,
+         CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM filled
+), nbhd AS (
+  SELECT f.cx, f.cy,
+         CAST(SUM(g.n) AS BIGINT) AS wsum,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM filled f
+  JOIN filled g ON abs(g.cx - f.cx) <= 1 AND abs(g.cy - f.cy) <= 1
+  GROUP BY f.cx, f.cy
+)
+SELECT n.cx, n.cy, f.n, n.wsum, n.k,
+       round((CAST(n.wsum AS DOUBLE) - n.k * (CAST(s.s1 AS DOUBLE) / s.m))
+             / (sqrt((CAST(s.s2 AS DOUBLE) / s.m)
+                     - (CAST(s.s1 AS DOUBLE) / s.m)
+                       * (CAST(s.s1 AS DOUBLE) / s.m))
+                * sqrt((CAST(s.m AS DOUBLE) * n.k - CAST(n.k AS DOUBLE)
+                        * n.k) / (s.m - 1))), 6) AS gi_z_r
+FROM nbhd n
+JOIN filled f ON f.cx = n.cx AND f.cy = n.cy
+CROSS JOIN stats s
+ORDER BY n.cx, n.cy
+""",
+    tags=("join", "spatial", "stats"),
+)
+def q294_hotspot_analysis(spark, sf_dir):
+    """Getis-Ord Gi* hotspot detection over the q222 grid: each cell's
+    3x3 neighborhood mass against the global distribution, the spatial
+    statistic behind "where is activity ANOMALOUSLY concentrated"
+    (crime maps, outage clusters, demand hotspots). The lattice is
+    zero-filled from a generated 10x10 spine so edge cells get exact
+    neighborhood sizes (k=4/6/9) instead of silently shrunken ones;
+    neighborhood sums are a lattice self-join — 100x~9 rows, nothing
+    corpus-sized — and the z denominator uses the standard Gi*
+    variance with exact integer moments from the filled lattice. One
+    corpus aggregate (cell counts), everything after is constant-size
+    regardless of point volume."""
+    c = table(spark, sf_dir, "customer")
+    h = lambda a, b: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), a, b),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    pts = c.select(
+        (h(1, 6) % 1000).alias("x"), (h(7, 6) % 1000).alias("y")
+    )
+    counts = pts.groupBy(
+        F.expr("x div 100").cast("int").alias("cx"),
+        F.expr("y div 100").cast("int").alias("cy"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    lat = spark.range(10).select(F.col("id").cast("int").alias("cx"))
+    lattice = lat.crossJoin(
+        spark.range(10).select(F.col("id").cast("int").alias("cy"))
+    )
+    filled = (
+        lattice.join(counts, ["cx", "cy"], "left")
+        .select(
+            "cx", "cy", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = filled.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    g = filled.select(
+        F.col("cx").alias("gx"), F.col("cy").alias("gy"), F.col("n").alias("gn")
+    )
+    nbhd = (
+        filled.join(
+            g,
+            (F.abs(F.col("gx") - F.col("cx")) <= 1)
+            & (F.abs(F.col("gy") - F.col("cy")) <= 1),
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum("gn").cast("bigint").alias("wsum"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+    )
+    md = F.col("m").cast("double")
+    mean = F.col("s1").cast("double") / md
+    sd = F.sqrt(F.col("s2").cast("double") / md - mean * mean)
+    kd = F.col("k").cast("double")
+    denom = sd * F.sqrt((md * kd - kd * kd) / (F.col("m") - 1))
+    return (
+        nbhd.join(filled, ["cx", "cy"])
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "cx",
+            "cy",
+            "n",
+            "wsum",
+            "k",
+            F.round(
+                (F.col("wsum").cast("double") - kd * mean) / denom, 6
+            ).alias("gi_z_r"),
+        )
+        .orderBy("cx", "cy")
+    )
