@@ -754,3 +754,193 @@ def q243_heaps_law(spark, sf_dir):
             6,
         ).alias("beta_r"),
     ).orderBy("bucket")
+
+
+@query(
+    "q296_naive_bayes_eval",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, CAST(doc_id % 2 AS INT) AS is_test,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), train AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE is_test = 0 AND token <> '' GROUP BY source, token
+), class_tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM train GROUP BY source
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+  FROM toks WHERE is_test = 0 AND token <> ''
+), priors AS (
+  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+  FROM toks WHERE is_test = 0 GROUP BY source
+), test_toks AS (
+  SELECT doc_id, source AS true_source, token
+  FROM toks WHERE is_test = 1 AND token <> ''
+), scored_tok AS (
+  SELECT tt.doc_id, tt.true_source, ct.source AS cls,
+         CAST(ROUND(ln((COALESCE(tr.c, 0) + 1.0) / (ct.tot + vb.v))
+                    * 1000000.0, 0) AS BIGINT) AS ll_micro
+  FROM test_toks tt
+  CROSS JOIN class_tot ct
+  CROSS JOIN vocab vb
+  LEFT JOIN train tr ON tr.source = ct.source AND tr.token = tt.token
+), doc_scores AS (
+  SELECT st.doc_id, st.true_source, st.cls,
+         CAST(SUM(st.ll_micro)
+              + (SELECT CAST(ROUND(ln(CAST(p.nd AS DOUBLE)
+                             / (SELECT SUM(nd) FROM priors))
+                             * 1000000.0, 0) AS BIGINT)
+                 FROM priors p WHERE p.source = st.cls) AS BIGINT)
+           AS score_micro
+  FROM scored_tok st
+  GROUP BY st.doc_id, st.true_source, st.cls
+), predicted AS (
+  SELECT doc_id, true_source, cls AS predicted,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, cls) AS rk
+  FROM doc_scores
+)
+SELECT true_source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN predicted = true_source THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(SUM(CASE WHEN predicted = true_source
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS accuracy_r
+FROM predicted WHERE rk = 1
+GROUP BY true_source
+ORDER BY true_source
+""",
+    tags=("lm", "eval", "mlops"),
+)
+def q296_naive_bayes_eval(spark, sf_dir):
+    """A complete ML train/evaluate loop INSIDE the engine: multinomial
+    Naive Bayes source classification — train on even doc ids, score
+    odd ones, report per-class holdout accuracy. Laplace-smoothed
+    per-token log-likelihoods are fixed-pointed to micro-units per
+    (token, class) term (the ln arguments are exact rationals of
+    integer counts, so both engines round identical doubles), summed
+    exactly per (doc, class), and argmax'd with a deterministic
+    (score DESC, class) tie order. The expensive stage — the test
+    token stream joined against the class-conditional count table —
+    is a posting-list LEFT join fanned out by |classes| (20), the
+    same cost shape as the q102 BM25 scorer; everything else is
+    class- or vocab-cardinality. No driver loops, no MLlib, no UDFs:
+    Bayes as four aggregates and a join."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % 2).cast("int").alias("is_test"),
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .localCheckpoint(eager=False)
+    )
+    train = (
+        toks.filter(F.col("is_test") == 0)
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    class_tot = train.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("tot")
+    )
+    vocab = train.agg(
+        F.count_distinct("token").cast("bigint").alias("v")
+    )
+    priors = (
+        toks.filter(F.col("is_test") == 0)
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("nd"))
+    )
+    prior_tot = priors.agg(F.sum("nd").cast("bigint").alias("nd_all"))
+    prior_ln = (
+        priors.crossJoin(F.broadcast(prior_tot))
+        .select(
+            F.col("source").alias("cls"),
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("nd_all"))
+                * 1000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("prior_micro"),
+        )
+    )
+    test_toks = toks.filter(F.col("is_test") == 1).select(
+        "doc_id", F.col("source").alias("true_source"), "token"
+    )
+    ct = class_tot.select(F.col("source").alias("cls"), "tot")
+    tr = train.select(
+        F.col("source").alias("cls"), "token", F.col("c").alias("c")
+    )
+    scored_tok = (
+        test_toks.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(vocab))
+        .join(tr, ["cls", "token"], "left")
+        .select(
+            "doc_id",
+            "true_source",
+            "cls",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("tot") + F.col("v"))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("ll_micro"),
+        )
+    )
+    doc_scores = (
+        scored_tok.groupBy("doc_id", "true_source", "cls")
+        .agg(F.sum("ll_micro").cast("bigint").alias("ll_sum"))
+        .join(F.broadcast(prior_ln), "cls")
+        .select(
+            "doc_id",
+            "true_source",
+            "cls",
+            (F.col("ll_sum") + F.col("prior_micro"))
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), "cls"
+    )
+    predicted = doc_scores.select(
+        "doc_id",
+        "true_source",
+        F.col("cls").alias("predicted"),
+        F.row_number().over(wr).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return (
+        predicted.groupBy("true_source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("predicted") == F.col("true_source")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    (F.col("predicted") == F.col("true_source")).cast(
+                        "int"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("accuracy_r"),
+        )
+        .orderBy("true_source")
+    )

@@ -1070,3 +1070,101 @@ def q229_capped_running_balance(spark, sf_dir):
         .cast("bigint")
         .alias("capped_balance"),
     ).orderBy("user_id")
+
+
+@query(
+    "q295_exponential_fit_gof",
+    oracle="""
+WITH gaps AS (
+  SELECT CAST((epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+         AS BIGINT) AS gap_s
+  FROM events
+), g AS (
+  SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL AND gap_s > 0
+), fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap_s) AS BIGINT) AS total_s
+  FROM g
+), dist AS (
+  SELECT gap_s, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY gap_s
+), cdf AS (
+  SELECT gap_s,
+         CAST(SUM(c) OVER (ORDER BY gap_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM dist
+), terms AS (
+  SELECT round(abs(CAST(cdf.cum AS DOUBLE) / fit.n
+               - (1.0 - exp(-(CAST(fit.n AS DOUBLE) / fit.total_s)
+                            * cdf.gap_s))), 6) AS d
+  FROM cdf CROSS JOIN fit
+)
+SELECT fit.n AS n_gaps,
+       round(CAST(fit.n AS DOUBLE) / fit.total_s * 1000.0, 6)
+         AS lambda_milli_r,
+       round(CAST(fit.total_s AS DOUBLE) / fit.n, 6) AS mean_gap_s_r,
+       (SELECT MAX(d) FROM terms) AS ks_distance_r
+FROM fit
+""",
+    tags=("temporal", "stats"),
+)
+def q295_exponential_fit_gof(spark, sf_dir):
+    """Exponential fit + goodness-of-fit for inter-event gaps — the
+    "is arrival really Poisson?" check that decides whether queueing
+    math (and the q167 burstiness interpretation) applies: the MLE
+    rate is the exact rational n/sum(gaps), and the KS distance
+    compares the empirical CDF (a running count over the DISTINCT-gap
+    summary — never per-event ranks) against the fitted exponential
+    CDF. Each |ECDF - model| term is rounded to 6dp BEFORE the max, so
+    the supremum selection cannot flip on a 1-ulp exp() disagreement
+    (the q83 rounded-rank lesson applied to a max instead of a sort).
+    One lag pass, one distinct-gap shuffle; the CDF window runs over
+    gap cardinality."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            F.expr(
+                "(unix_micros(ts) - unix_micros(lag(ts) OVER ("
+                "PARTITION BY user_id ORDER BY ts, event_id)))"
+                " div 1000000"
+            )
+            .cast("bigint")
+            .alias("gap_s")
+        )
+        .filter(F.col("gap_s").isNotNull() & (F.col("gap_s") > 0))
+        .localCheckpoint(eager=False)
+    )
+    fit = gaps.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap_s").cast("bigint").alias("total_s"),
+    )
+    dist = gaps.groupBy("gap_s").agg(F.count("*").cast("bigint").alias("c"))
+    wc = Window.orderBy("gap_s").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = dist.select(
+        "gap_s", F.sum("c").over(wc).cast("bigint").alias("cum")
+    )
+    lam = F.col("n").cast("double") / F.col("total_s")
+    term = F.round(
+        F.abs(
+            F.col("cum").cast("double") / F.col("n")
+            - (1.0 - F.exp(-lam * F.col("gap_s")))
+        ),
+        6,
+    )
+    ks = (
+        cdf.crossJoin(F.broadcast(fit))
+        .select(term.alias("d"))
+        .agg(F.max("d").alias("ks_distance_r"))
+    )
+    return fit.crossJoin(F.broadcast(ks)).select(
+        F.col("n").alias("n_gaps"),
+        F.round(lam * 1000.0, 6).alias("lambda_milli_r"),
+        F.round(
+            F.col("total_s").cast("double") / F.col("n"), 6
+        ).alias("mean_gap_s_r"),
+        "ks_distance_r",
+    )
