@@ -965,3 +965,113 @@ def q280_embedding_drift(spark, sf_dir):
             F.sqrt(F.col("diff_m2").cast("double")) / 1000000.0, 6
         ).alias("shift_l2_r"),
     ).orderBy("label")
+
+
+@query(
+    "q297_knn_classifier_eval",
+    oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS qid, a.label AS true_label, b.label AS nb_label,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                    DESC, b.vec_id) AS rk
+  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+), votes AS (
+  SELECT qid, true_label, nb_label,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM pairs WHERE rk <= 5
+  GROUP BY qid, true_label, nb_label
+), winner AS (
+  SELECT qid, true_label, nb_label AS predicted,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY v DESC, nb_label) AS wrk
+  FROM votes
+)
+SELECT true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(SUM(CASE WHEN predicted = true_label
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS accuracy_r
+FROM winner WHERE wrk = 1
+GROUP BY true_label
+ORDER BY true_label
+""",
+    tags=("similarity", "eval", "mlops"),
+)
+def q297_knn_classifier_eval(spark, sf_dir):
+    """Leave-one-out 5-NN label accuracy over the embedding corpus —
+    the zero-training classifier whose holdout accuracy IS a direct
+    measurement of embedding quality (if neighbors don't share labels,
+    the geometry is wrong and every downstream ANN/cluster use
+    inherits it). Neighbor ranking uses 6-dp ROUNDED cosine with id
+    tie-break (the q83 contract — raw-float ordering could flip a
+    boundary neighbor between engines), majority vote breaks ties
+    toward the smaller label deterministically. The all-pairs scoring
+    is the deliberate exact reference at this corpus size; the 100 TB
+    path swaps in q266's banded candidates and reuses the identical
+    vote/accuracy tail. Complements q296: that evaluates a parametric
+    model, this evaluates the representation itself."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import l2_normalize
+    from ..operators.core import ensure_parallelism
+
+    e = table(spark, sf_dir, "embeddings")
+    a = ensure_parallelism(e).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        l2_normalize("embedding").alias("__va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nb_label"),
+        l2_normalize("embedding").alias("__vb"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "nb_label",
+            "nid",
+            F.round(dot("__va", "__vb"), 6).alias("cos_r"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(), "nid")
+    votes = (
+        pairs.select("qid", "true_label", "nb_label", F.row_number().over(wk).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .groupBy("qid", "true_label", "nb_label")
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    ww = Window.partitionBy("qid").orderBy(F.col("v").desc(), "nb_label")
+    winner = votes.select(
+        "qid",
+        "true_label",
+        F.col("nb_label").alias("predicted"),
+        F.row_number().over(ww).alias("wrk"),
+    ).filter(F.col("wrk") == 1)
+    return (
+        winner.groupBy("true_label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum(
+                (F.col("predicted") == F.col("true_label")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    (F.col("predicted") == F.col("true_label")).cast("int")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("accuracy_r"),
+        )
+        .orderBy("true_label")
+    )

@@ -1168,3 +1168,95 @@ def q295_exponential_fit_gof(spark, sf_dir):
         ).alias("mean_gap_s_r"),
         "ks_distance_r",
     )
+
+
+@query(
+    "q298_backtest_mape",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY day
+), horizons AS (
+  SELECT CAST(h.h AS BIGINT) AS horizon
+  FROM (VALUES (1), (2), (3), (7)) h(h)
+), joined AS (
+  SELECT h.horizon, a.day AS forecast_day, a.x AS actual, f.x AS forecast
+  FROM daily a
+  CROSS JOIN horizons h
+  JOIN daily f ON f.day = a.day - CAST(7 AS INT)
+  WHERE EXISTS (SELECT 1 FROM daily p
+                WHERE p.day = a.day - CAST(h.horizon AS INT))
+), scored AS (
+  SELECT horizon,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(ROUND(abs(CAST(forecast - actual AS DOUBLE))
+                    / actual * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS ape_micro,
+         CAST(SUM(abs(forecast - actual)) AS BIGINT) AS abs_err
+  FROM joined GROUP BY horizon
+)
+SELECT horizon, n_days,
+       round(CAST(ape_micro AS DOUBLE) / 1000000.0 / n_days, 6) AS mape_r,
+       round(CAST(abs_err AS DOUBLE) / n_days, 6) AS mae_r
+FROM scored ORDER BY horizon
+""",
+    tags=("temporal", "eval", "timeseries"),
+)
+def q298_backtest_mape(spark, sf_dir):
+    """Forecast backtest: the seasonal-naive predictor ("same weekday
+    last week") scored with MAPE and MAE against actual daily volume,
+    evaluated only on days where the horizon's history exists — the
+    honest baseline every forecasting model must beat before it earns
+    a deployment (the q284 lookup-table principle applied to time
+    series). Per-day absolute percentage errors are micro-fixed before
+    the mean (exact integer counts in, one double division per day);
+    the whole backtest runs on the calendar-sized day summary with a
+    broadcast horizon spine — adding horizons or years of history
+    never touches the event log again. The deliberately-simple
+    forecast column swaps for any model's predictions table; the
+    scoring tail is the reusable part."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    horizons = spark.createDataFrame(
+        [(1,), (2,), (3,), (7,)], "horizon bigint"
+    )
+    f = daily.select(F.col("day").alias("fday"), F.col("x").alias("forecast"))
+    p = daily.select(F.col("day").alias("pday"))
+    joined = (
+        daily.crossJoin(F.broadcast(horizons))
+        .join(f, F.col("fday") == F.date_sub(F.col("day"), 7))
+        .join(
+            p,
+            F.col("pday")
+            == F.expr("date_sub(day, CAST(horizon AS INT))"),
+            "left_semi",
+        )
+        .select("horizon", F.col("x").alias("actual"), "forecast")
+    )
+    ape = F.round(
+        F.abs((F.col("forecast") - F.col("actual")).cast("double"))
+        / F.col("actual")
+        * 1000000.0,
+        0,
+    ).cast("bigint")
+    scored = joined.groupBy("horizon").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(ape).cast("bigint").alias("ape_micro"),
+        F.sum(F.abs(F.col("forecast") - F.col("actual")))
+        .cast("bigint")
+        .alias("abs_err"),
+    )
+    return scored.select(
+        "horizon",
+        "n_days",
+        F.round(
+            F.col("ape_micro").cast("double") / 1e6 / F.col("n_days"), 6
+        ).alias("mape_r"),
+        F.round(
+            F.col("abs_err").cast("double") / F.col("n_days"), 6
+        ).alias("mae_r"),
+    ).orderBy("horizon")
