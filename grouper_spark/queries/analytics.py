@@ -2394,3 +2394,85 @@ def q289_threshold_sweep(spark, sf_dir):
         .cast("bigint")
         .alias("expected_cost_cents"),
     ).orderBy("threshold")
+
+
+@query(
+    "q299_lorenz_concentration",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM per_cust
+), tot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS all_cents,
+         CAST(COUNT(*) AS BIGINT) AS n FROM ranked
+)
+SELECT CAST(r.decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(r.cents) AS BIGINT) AS cents,
+       round(CAST(SUM(r.cents) AS DOUBLE) / t.all_cents, 6) AS share_r,
+       round(CAST(SUM(SUM(r.cents)) OVER (ORDER BY r.decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / t.all_cents, 6) AS cum_share_r
+FROM ranked r CROSS JOIN tot t
+GROUP BY r.decile, t.all_cents
+ORDER BY decile
+""",
+    tags=("analytics", "finance"),
+)
+def q299_lorenz_concentration(spark, sf_dir):
+    """Lorenz concentration table: customer revenue deciles (poorest to
+    richest) with per-decile and cumulative revenue shares — the
+    business-readable companion to q163's Gini scalar, and the exact
+    "top decile carries X% of revenue" figure concentration-risk
+    reviews quote. Deterministic ntile over (cents, custkey); the
+    cumulative share is a 10-row running sum OVER THE AGGREGATE (a
+    window above groupBy — Catalyst plans it after the partial
+    aggregate, so the window sees deciles, not customers). One
+    customer-keyed shuffle; everything after is 10 rows."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("decile"),
+    )
+    tot = ranked.agg(
+        F.sum("cents").cast("bigint").alias("all_cents"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    grouped = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "all_cents")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return grouped.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        "cents",
+        F.round(
+            F.col("cents").cast("double") / F.col("all_cents"), 6
+        ).alias("share_r"),
+        F.round(
+            F.sum("cents").over(wcum).cast("double") / F.col("all_cents"),
+            6,
+        ).alias("cum_share_r"),
+    ).orderBy("decile")

@@ -944,3 +944,117 @@ def q296_naive_bayes_eval(spark, sf_dir):
         )
         .orderBy("true_source")
     )
+
+
+@query(
+    "q300_lm_perplexity_holdout",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, CAST(doc_id % 2 AS INT) AS is_test,
+         string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, is_test,
+         ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(ws) - 1)) t(i)
+  WHERE ws[i] <> '' AND ws[i + 1] <> ''
+), train_big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bigrams WHERE is_test = 0 GROUP BY w1, w2
+), train_uni AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM train_big GROUP BY w1
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM train_uni
+), scored AS (
+  SELECT CAST(ROUND(ln((COALESCE(tb.c12, 0) + 1.0)
+                       / (COALESCE(tu.c1, 0) + vb.v))
+                    * 1000000.0, 0) AS BIGINT) AS ll_micro
+  FROM bigrams b
+  CROSS JOIN vocab vb
+  LEFT JOIN train_uni tu ON tu.w1 = b.w1
+  LEFT JOIN train_big tb ON tb.w1 = b.w1 AND tb.w2 = b.w2
+  WHERE b.is_test = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(ll_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS avg_ll_r,
+       round(exp(-(CAST(SUM(ll_micro) AS DOUBLE) / 1000000.0
+                   / COUNT(*))), 4) AS perplexity_r
+FROM scored
+""",
+    tags=("lm", "eval"),
+)
+def q300_lm_perplexity_holdout(spark, sf_dir):
+    """Held-out perplexity of a Laplace-smoothed bigram LM — THE
+    language-modeling evaluation number, computed with a real
+    train/test split (even doc ids train, odd evaluate) instead of
+    q122's in-sample scoring: every held-out bigram's smoothed
+    conditional log-probability is micro-fixed (exact-rational ln
+    arguments — counts and vocab size), summed exactly, and
+    exponentiated once at 4dp for the human-readable figure while
+    avg_ll_r carries the engine-exact value. Unseen histories fall
+    back to the uniform 1/V smooth via the same formula (c1=0). Two
+    count shuffles for training, one posting join to score — the LM
+    pipeline end to end (q103 builds merges, q121/q122 statistics,
+    this the eval) without leaving the engine."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = d.select(
+        "doc_id", (F.col("doc_id") % 2).cast("int").alias("is_test"), ws.alias("ws")
+    )
+    bigrams = (
+        toks.select(
+            "is_test",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("is_test", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .localCheckpoint(eager=False)
+    )
+    train_big = (
+        bigrams.filter(F.col("is_test") == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    train_uni = train_big.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    vocab = train_uni.agg(
+        F.count_distinct("w1").cast("bigint").alias("v")
+    )
+    test = bigrams.filter(F.col("is_test") == 1)
+    scored = (
+        test.crossJoin(F.broadcast(vocab))
+        .join(train_uni, "w1", "left")
+        .join(train_big, ["w1", "w2"], "left")
+        .select(
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("ll_micro")
+        )
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("ll_micro").cast("double") / 1e6 / F.count("*"), 6
+        ).alias("avg_ll_r"),
+        F.round(
+            F.exp(
+                -(F.sum("ll_micro").cast("double") / 1e6 / F.count("*"))
+            ),
+            4,
+        ).alias("perplexity_r"),
+    )
