@@ -1752,3 +1752,117 @@ def q287_fairness_audit(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q302_qini_uplift",
+    oracle="""
+WITH subj AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('up|' || CAST(user_id AS VARCHAR)),
+                              1, 8))::BIGINT % 2 AS INT) AS treated,
+         LEAST(CAST(10 AS BIGINT),
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) // 3) AS score,
+         CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END
+              AS INT) AS converted
+  FROM events GROUP BY user_id
+), per_decile AS (
+  SELECT score,
+         CAST(SUM(treated) AS BIGINT) AS n_t,
+         CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+         CAST(SUM(treated * converted) AS BIGINT) AS conv_t,
+         CAST(SUM((1 - treated) * converted) AS BIGINT) AS conv_c
+  FROM subj GROUP BY score
+)
+SELECT score,
+       n_t, n_c, conv_t, conv_c,
+       round(CASE WHEN n_t > 0 AND n_c > 0
+             THEN CAST(conv_t AS DOUBLE) / n_t
+                  - CAST(conv_c AS DOUBLE) / n_c END, 6) AS uplift_r,
+       round(CAST(SUM(conv_t) OVER w AS DOUBLE)
+             - CAST(SUM(n_t) OVER w AS DOUBLE)
+               * SUM(conv_c) OVER w / NULLIF(SUM(n_c) OVER w, 0), 6)
+         AS qini_r
+FROM per_decile
+WINDOW w AS (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY score DESC
+""",
+    tags=("curation", "experimentation", "eval"),
+)
+def q302_qini_uplift(spark, sf_dir):
+    """Qini uplift curve: per score bucket (engagement-depth standing
+    in for an uplift model's score), the treated-minus-control
+    conversion lift and the cumulative Qini statistic — the evaluation
+    that answers "WHO should get the treatment", which a plain A/B
+    readout can't (it averages persuadables with lost causes). The
+    Qini running value is the classic conv_t - n_t * rate_c identity
+    over cumulative windows ordered score-descending, all from one
+    user-keyed aggregate + a bucket summary; empty-arm cells emit NULL
+    (guarded division) rather than fabricating a lift. Completes the
+    causal suite: q259 adjusts the estimate, q268/q282 test it, this
+    targets it."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("up|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    subj = ev.groupBy("user_id").agg(
+        F.least(
+            F.lit(10).cast("bigint"),
+            F.expr(
+                "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+                " div 3"
+            ).cast("bigint"),
+        ).alias("score"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        )
+        .cast("int")
+        .alias("converted"),
+    ).select(treated.alias("treated"), "score", "converted")
+    per_decile = subj.groupBy("score").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
+        F.sum(F.col("treated") * F.col("converted"))
+        .cast("bigint")
+        .alias("conv_t"),
+        F.sum((1 - F.col("treated")) * F.col("converted"))
+        .cast("bigint")
+        .alias("conv_c"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    uplift = F.when(
+        (F.col("n_t") > 0) & (F.col("n_c") > 0),
+        F.col("conv_t").cast("double") / F.col("n_t")
+        - F.col("conv_c").cast("double") / F.col("n_c"),
+    )
+    qini = (
+        F.sum("conv_t").over(w).cast("double")
+        - F.sum("n_t").over(w).cast("double")
+        * F.sum("conv_c").over(w)
+        / F.nullif(F.sum("n_c").over(w), F.lit(0))
+    )
+    return per_decile.select(
+        "score",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.round(uplift, 6).alias("uplift_r"),
+        F.round(qini, 6).alias("qini_r"),
+    ).orderBy(F.col("score").desc())

@@ -1437,3 +1437,189 @@ def q293_session_gap_sensitivity(spark, sf_dir):
         )
         .orderBy("gap_minutes")
     )
+
+
+@query(
+    "q301_logrank_test",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('lr|' || CAST(user_id AS VARCHAR)),
+                              1, 8))::BIGINT % 2 AS INT) AS arm,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+), signed AS (
+  SELECT user_id, arm, s_ts, last_ts FROM base WHERE s_ts IS NOT NULL
+), conv AS (
+  SELECT s.user_id, MIN(e.ts) AS p_ts
+  FROM signed s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+  GROUP BY s.user_id
+), subj AS (
+  SELECT s.arm,
+         CAST(CASE WHEN c.p_ts IS NOT NULL
+              THEN (epoch_us(c.p_ts) - epoch_us(s.s_ts)) // 86400000000
+              ELSE (epoch_us(s.last_ts) - epoch_us(s.s_ts)) // 86400000000
+              END AS BIGINT) AS t_days,
+         CASE WHEN c.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM signed s LEFT JOIN conv c ON c.user_id = s.user_id
+), tt AS (
+  SELECT t_days,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+         CAST(COUNT(*) AS BIGINT) AS leave_all,
+         CAST(SUM(arm) AS BIGINT) AS leave_1
+  FROM subj GROUP BY t_days
+), risk AS (
+  SELECT t_days, d, d1,
+         CAST(SUM(leave_all) OVER () - COALESCE(SUM(leave_all) OVER (
+           ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS n,
+         CAST(SUM(leave_1) OVER () - COALESCE(SUM(leave_1) OVER (
+           ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS n1
+  FROM tt
+), terms AS (
+  SELECT d1,
+         CAST(ROUND(CAST(d AS DOUBLE) * n1 / n * 1000000.0, 0)
+              AS BIGINT) AS e1_micro,
+         CASE WHEN n > 1 THEN
+           CAST(ROUND(CAST(d AS DOUBLE) * n1 / n * (n - n1) / n
+                      * (n - d) / (n - 1) * 1000000.0, 0) AS BIGINT)
+           ELSE 0 END AS v_micro
+  FROM risk WHERE d > 0
+)
+SELECT CAST(SUM(d1) AS BIGINT) AS observed_1,
+       round(CAST(SUM(e1_micro) AS DOUBLE) / 1000000.0, 6) AS expected_1_r,
+       round((CAST(SUM(d1) AS DOUBLE)
+              - CAST(SUM(e1_micro) AS DOUBLE) / 1000000.0)
+             * (CAST(SUM(d1) AS DOUBLE)
+                - CAST(SUM(e1_micro) AS DOUBLE) / 1000000.0)
+             / (CAST(SUM(v_micro) AS DOUBLE) / 1000000.0), 6)
+         AS chi2_r
+FROM terms
+""",
+    tags=("events", "stats", "survival"),
+)
+def q301_logrank_test(spark, sf_dir):
+    """Log-rank test: do the two md5 experiment arms have the SAME
+    time-to-first-purchase survival curve? The hypothesis test that
+    belongs to q245's Kaplan-Meier estimator — comparing entire
+    survival curves, not a point-in-time rate, so late-acting effects
+    aren't averaged away. Per event day: observed arm-1 conversions vs
+    the hypergeometric expectation d*n1/n and its variance, each term
+    micro-fixed before the cross-day sums (at-risk counts come from
+    the same exclusive-prefix windows as q245), then one chi-square.
+    All corpus-sized work is the two user-keyed aggregates; the test
+    itself runs on the day summary."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lr|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    base = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "s_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    signed = (
+        base.filter(F.col("s_ts").isNotNull())
+        .withColumn("arm", arm)
+        .localCheckpoint(eager=False)
+    )
+    conv = (
+        signed.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    day = 86400000000
+    subj = signed.join(conv, "user_id", "left").select(
+        "arm",
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.expr(f"(unix_micros(p_ts) - unix_micros(s_ts)) div {day}"),
+        )
+        .otherwise(
+            F.expr(f"(unix_micros(last_ts) - unix_micros(s_ts)) div {day}")
+        )
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tt = subj.groupBy("t_days").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.count("*").cast("bigint").alias("leave_all"),
+        F.sum("arm").cast("bigint").alias("leave_1"),
+    )
+    w_all = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prior = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = tt.select(
+        "t_days",
+        "d",
+        "d1",
+        (
+            F.sum("leave_all").over(w_all)
+            - F.coalesce(F.sum("leave_all").over(w_prior), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n"),
+        (
+            F.sum("leave_1").over(w_all)
+            - F.coalesce(F.sum("leave_1").over(w_prior), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n1"),
+    ).filter(F.col("d") > 0)
+    nd = F.col("n").cast("double")
+    e1 = F.col("d").cast("double") * F.col("n1") / nd
+    v = F.when(
+        F.col("n") > 1,
+        F.round(
+            e1
+            * (F.col("n") - F.col("n1"))
+            / nd
+            * (F.col("n") - F.col("d"))
+            / (F.col("n") - 1)
+            * 1000000.0,
+            0,
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    terms = risk.select(
+        "d1",
+        F.round(e1 * 1000000.0, 0).cast("bigint").alias("e1_micro"),
+        v.alias("v_micro"),
+    )
+    o1 = F.sum("d1").cast("double")
+    e1s = F.sum("e1_micro").cast("double") / 1e6
+    vs = F.sum("v_micro").cast("double") / 1e6
+    return terms.agg(
+        F.sum("d1").cast("bigint").alias("observed_1"),
+        F.round(e1s, 6).alias("expected_1_r"),
+        F.round((o1 - e1s) * (o1 - e1s) / vs, 6).alias("chi2_r"),
+    )
