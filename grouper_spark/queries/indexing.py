@@ -434,3 +434,70 @@ def q198_tfidf_knn(spark, sf_dir):
         .select("doc_a", F.col("rk").cast("int").alias("rk"), "doc_b", "cosine_r")
         .orderBy("doc_a", "rk")
     )
+
+
+@query(
+    "q303_consistent_hashing_audit",
+    oracle="""
+WITH keys AS (
+  SELECT o_orderkey AS k,
+         ('0x' || substr(md5('ring|' || CAST(o_orderkey AS VARCHAR)),
+                         1, 15))::BIGINT AS pos
+  FROM orders
+), ring_assign AS (
+  SELECT k,
+         CAST(pos % 1000 * 8 // 1000 AS BIGINT) AS ring8,
+         CAST(pos % 1000 * 9 // 1000 AS BIGINT) AS ring9,
+         CAST(pos % 8 AS BIGINT) AS mod8,
+         CAST(pos % 9 AS BIGINT) AS mod9
+  FROM keys
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN ring8 != ring9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS moved_ring,
+       CAST(SUM(CASE WHEN mod8 != mod9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS moved_mod,
+       round(CAST(SUM(CASE WHEN ring8 != ring9 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS ring_moved_frac_r,
+       round(CAST(SUM(CASE WHEN mod8 != mod9 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS mod_moved_frac_r
+FROM ring_assign
+""",
+    tags=("indexing", "systems"),
+)
+def q303_consistent_hashing_audit(spark, sf_dir):
+    """Consistent-hashing rebalance audit — the systems argument made
+    measurable on real keys: growing a cluster 8 -> 9 nodes, a
+    RANGE-partitioned hash ring (position scaled into equal arcs)
+    moves ~1/9 of keys, while naive mod-N placement reshuffles ~8/9 of
+    them — an order of magnitude more cache/state invalidation for the
+    same scale-out. Both placements are evaluated for every order key
+    in ONE projection pass (md5 ring positions, integer arc
+    arithmetic with // so both engines floor identically), and the
+    audit reports exact moved counts side by side. The number a
+    storage team shows whoever proposes hash(key) % N sharding."""
+    o = table(spark, sf_dir, "orders")
+    ring_assign = o.select(
+        F.expr(
+            "CAST(conv(substring(md5(concat('ring|',"
+            " CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("pos")
+    ).select(
+        F.expr("pos % 1000 * 8 div 1000").cast("bigint").alias("ring8"),
+        F.expr("pos % 1000 * 9 div 1000").cast("bigint").alias("ring9"),
+        (F.col("pos") % 8).cast("bigint").alias("mod8"),
+        (F.col("pos") % 9).cast("bigint").alias("mod9"),
+    )
+    moved_ring = (F.col("ring8") != F.col("ring9")).cast("int")
+    moved_mod = (F.col("mod8") != F.col("mod9")).cast("int")
+    return ring_assign.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum(moved_ring).cast("bigint").alias("moved_ring"),
+        F.sum(moved_mod).cast("bigint").alias("moved_mod"),
+        F.round(
+            F.sum(moved_ring).cast("double") / F.count("*"), 6
+        ).alias("ring_moved_frac_r"),
+        F.round(
+            F.sum(moved_mod).cast("double") / F.count("*"), 6
+        ).alias("mod_moved_frac_r"),
+    )

@@ -2020,3 +2020,50 @@ def q282_delta_method_ratio(spark, sf_dir):
         F.round(r / 100.0, 6).alias("ratio_r"),
         F.round(F.sqrt(var) / 100.0, 6).alias("se_r"),
     ).orderBy("variant")
+
+
+@query(
+    "q304_percentile_bands",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(quantile_cont(v, 0.1) / 100.0, 6) AS p10_r,
+       round(quantile_cont(v, 0.5) / 100.0, 6) AS p50_r,
+       round(quantile_cont(v, 0.9) / 100.0, 6) AS p90_r
+FROM daily GROUP BY day ORDER BY day
+""",
+    tags=("monitoring", "timeseries"),
+)
+def q304_percentile_bands(spark, sf_dir):
+    """Daily p10/p50/p90 percentile bands of purchase value — the
+    latency-chart shape applied to any metric, and the feed behind
+    every "shaded band" SLO dashboard: the median tracks the typical
+    case while the band width IS the dispersion alarm (a widening band
+    with a flat median is the failure mode averages hide completely).
+    Exact interpolated percentiles over fixed-point cents, grouped per
+    day — one shuffle, with the per-day sort bounded by that day's
+    row count. At lake scale this is the query you run on the
+    pre-aggregated (day, value-bucket) summary or swap to
+    approx_percentile; the band semantics are unchanged."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v"),
+    )
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.percentile("v", F.lit(0.1)) / 100.0, 6).alias("p10_r"),
+            F.round(F.percentile("v", F.lit(0.5)) / 100.0, 6).alias("p50_r"),
+            F.round(F.percentile("v", F.lit(0.9)) / 100.0, 6).alias("p90_r"),
+        )
+        .orderBy("day")
+    )
