@@ -1221,3 +1221,101 @@ def q279_containment_dedup(spark, sf_dir):
         .orderBy(F.col("containment_r").desc(), "doc_a", "doc_b")
         .limit(30)
     )
+
+
+@query(
+    "q305_lsh_scurve_audit",
+    oracle=_MH_SQL_CAND.rstrip()
+    + """, szs AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh0
+), allpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS inter,
+         MIN(sa.sz) AS sz_a, MIN(sb.sz) AS sz_b
+  FROM sh a
+  JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+  JOIN szs sa ON sa.doc_id = a.doc_id
+  JOIN szs sb ON sb.doc_id = b.doc_id
+  GROUP BY doc_a, doc_b
+), binned AS (
+  SELECT LEAST(CAST(9 AS BIGINT),
+               CAST(floor(CAST(ap.inter AS DOUBLE)
+                    / (ap.sz_a + ap.sz_b - ap.inter) * 10) AS BIGINT))
+           AS j_bin,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM allpairs ap
+  LEFT JOIN cand c ON c.doc_a = ap.doc_a AND c.doc_b = ap.doc_b
+)
+SELECT j_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+       round(CAST(SUM(is_cand) AS DOUBLE) / COUNT(*), 6) AS capture_r,
+       round(1.0 - pow(1.0 - pow((j_bin + 0.5) / 10.0, 2.0), 4.0), 6)
+         AS theory_r
+FROM binned GROUP BY j_bin ORDER BY j_bin
+""",
+    tags=("dedup", "lsh", "eval"),
+)
+def q305_lsh_scurve_audit(spark, sf_dir):
+    """The LSH S-curve, measured against theory: every shingle-sharing
+    pair's TRUE Jaccard is binned, and per bin the fraction captured
+    by q238's banded candidates sits next to the analytic capture
+    probability 1-(1-j^r)^b for r=2, b=4 — the tuning chart that turns
+    "how many bands do I need?" from folklore into a measured curve on
+    YOUR corpus (real shingle-set Jaccards violate the independence
+    the formula assumes; this audit shows by how much). Ground-truth
+    pairs come from the q34 posting-list join (pairs exist only where
+    shingles collide — the j=0 mass is irrelevant to recall and never
+    materializes); candidates reuse the checkpointed q238 pipeline.
+    Together with q246 (estimate accuracy) and q266 (ANN recall), the
+    sketch stack is now audited on all three axes: candidate recall,
+    estimate error, and threshold shape."""
+    sh, _, cand = _minhash_components(spark, sf_dir)
+    szs = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    allpairs = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+        .join(
+            szs.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            szs.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+    )
+    j = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    j_bin = F.least(F.lit(9).cast("bigint"), (j * 10).cast("bigint"))
+    flagged = allpairs.join(
+        cand.select("doc_a", "doc_b").withColumn("is_cand", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "left",
+    ).select(
+        j_bin.alias("j_bin"),
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+    )
+    theory = F.round(
+        1.0
+        - F.pow(
+            1.0 - F.pow((F.col("j_bin") + 0.5) / 10.0, 2.0), 4.0
+        ),
+        6,
+    )
+    return (
+        flagged.groupBy("j_bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("is_cand").cast("bigint").alias("n_candidates"),
+            F.round(
+                F.sum("is_cand").cast("double") / F.count("*"), 6
+            ).alias("capture_r"),
+        )
+        .withColumn("theory_r", theory)
+        .orderBy("j_bin")
+    )
