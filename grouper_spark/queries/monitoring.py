@@ -2067,3 +2067,137 @@ def q304_percentile_bands(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q306_anomaly_ensemble",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY day
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2,
+         round(quantile_cont(x, 0.5), 6) AS med
+  FROM daily
+), mad AS (
+  SELECT round(quantile_cont(abs(d.x - s.med), 0.5), 6) AS mad_v
+  FROM daily d CROSS JOIN stats s
+), flagged AS (
+  SELECT d.day, d.x,
+         CASE WHEN abs(CAST(s.n AS DOUBLE) * d.x - s.s1)
+                   > 2.5 * sqrt(GREATEST(
+                       CAST(s.n AS DOUBLE) * s.s2 - CAST(s.s1 AS DOUBLE)
+                       * s.s1, 0.0) / s.n * s.n)
+              THEN 1 ELSE 0 END AS z_flag,
+         CASE WHEN m.mad_v > 0
+                   AND abs(d.x - s.med) > 3.5 * 1.4826 * m.mad_v
+              THEN 1 ELSE 0 END AS mad_flag,
+         CASE WHEN abs(d.x - lag(d.x) OVER (ORDER BY d.day))
+                   > GREATEST(CAST(s.s1 AS DOUBLE) / s.n * 0.3, 1.0)
+              THEN 1 ELSE 0 END AS jump_flag
+  FROM daily d CROSS JOIN stats s CROSS JOIN mad m
+)
+SELECT day, x,
+       CAST(z_flag AS INT) AS z_flag,
+       CAST(mad_flag AS INT) AS mad_flag,
+       CAST(COALESCE(jump_flag, 0) AS INT) AS jump_flag,
+       CAST(z_flag + mad_flag + COALESCE(jump_flag, 0) AS INT) AS n_votes
+FROM flagged
+ORDER BY day
+""",
+    tags=("monitoring", "anomaly"),
+)
+def q306_anomaly_ensemble(spark, sf_dir):
+    """Detector-ensemble anomaly voting: three independent alarms on
+    the daily volume series — global z-deviation (cross-multiplied
+    exact form), robust MAD distance (outlier-proof), and a
+    day-over-day jump detector — each voting per day, with the vote
+    count as the alert severity. The operational point: single
+    detectors page people at 3am for their own blind spots; requiring
+    agreement ("n_votes >= 2") cuts pages an order of magnitude while
+    the ensemble table keeps every day's votes for review (this
+    fixture's uniform volumes produce zero flags — the all-quiet
+    baseline is itself the evidence the thresholds aren't trigger-
+    happy). All
+    three run off the SAME day summary in one pass — the marginal
+    detector costs one more column, not one more scan — composing
+    q125/q148/q166's techniques into the alert policy layer."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    stats = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+        F.round(F.percentile("x", F.lit(0.5)), 6).alias("med"),
+    ).localCheckpoint(eager=False)
+    mad = (
+        daily.crossJoin(F.broadcast(stats))
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("x") - F.col("med")), F.lit(0.5)),
+                6,
+            ).alias("mad_v")
+        )
+    )
+    nd = F.col("n").cast("double")
+    z_flag = (
+        F.abs(nd * F.col("x") - F.col("s1"))
+        > 2.5
+        * F.sqrt(
+            F.greatest(
+                nd * F.col("s2")
+                - F.col("s1").cast("double") * F.col("s1"),
+                F.lit(0.0),
+            )
+            / F.col("n")
+            * F.col("n")
+        )
+    ).cast("int")
+    mad_flag = (
+        (F.col("mad_v") > 0)
+        & (
+            F.abs(F.col("x") - F.col("med"))
+            > 3.5 * 1.4826 * F.col("mad_v")
+        )
+    ).cast("int")
+    wlag = Window.orderBy("day")
+    jump_flag = (
+        F.abs(F.col("x") - F.lag("x").over(wlag))
+        > F.greatest(
+            F.col("s1").cast("double") / F.col("n") * 0.3, F.lit(1.0)
+        )
+    ).cast("int")
+    flagged = (
+        daily.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "x",
+            z_flag.alias("z_flag"),
+            mad_flag.alias("mad_flag"),
+            F.coalesce(jump_flag, F.lit(0)).alias("jump_flag"),
+        )
+    )
+    votes = (
+        F.col("z_flag") + F.col("mad_flag") + F.col("jump_flag")
+    ).cast("int")
+    return (
+        flagged.withColumn("n_votes", votes)
+        .select(
+            "day",
+            "x",
+            F.col("z_flag").cast("int").alias("z_flag"),
+            F.col("mad_flag").cast("int").alias("mad_flag"),
+            F.col("jump_flag").cast("int").alias("jump_flag"),
+            "n_votes",
+        )
+        .orderBy("day")
+    )

@@ -1095,3 +1095,128 @@ def q292_trial_balance(spark, sf_dir):
         )
         .orderBy("account")
     )
+
+
+@query(
+    "q307_range_boundary_advisor",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(ROUND(quantile_cont(
+           CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT),
+           1.0 / 8.0), 0) AS BIGINT) AS boundary,
+         CAST(1 AS INT) AS part_id
+  FROM orders
+  UNION ALL
+  SELECT CAST(ROUND(quantile_cont(
+           CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT),
+           2.0 / 8.0), 0) AS BIGINT) AS boundary,
+         CAST(2 AS INT) AS part_id
+  FROM orders
+  UNION ALL
+  SELECT CAST(ROUND(quantile_cont(
+           CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT),
+           3.0 / 8.0), 0) AS BIGINT) AS boundary,
+         CAST(3 AS INT) AS part_id
+  FROM orders
+  UNION ALL
+  SELECT CAST(ROUND(quantile_cont(
+           CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT),
+           4.0 / 8.0), 0) AS BIGINT) AS boundary,
+         CAST(4 AS INT) AS part_id
+  FROM orders
+  UNION ALL
+  SELECT CAST(ROUND(quantile_cont(
+           CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT),
+           5.0 / 8.0), 0) AS BIGINT) AS boundary,
+         CAST(5 AS INT) AS part_id
+  FROM orders
+  UNION ALL
+  SELECT CAST(ROUND(quantile_cont(
+           CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT),
+           6.0 / 8.0), 0) AS BIGINT) AS boundary,
+         CAST(6 AS INT) AS part_id
+  FROM orders
+  UNION ALL
+  SELECT CAST(ROUND(quantile_cont(
+           CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT),
+           7.0 / 8.0), 0) AS BIGINT) AS boundary,
+         CAST(7 AS INT) AS part_id
+  FROM orders
+), assigned AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS v,
+         CAST(COALESCE(
+           (SELECT MIN(part_id) FROM bounds b
+            WHERE CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                  <= b.boundary), 8) AS INT) AS part
+  FROM orders
+), sizes AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM assigned GROUP BY part
+), balance AS (
+  SELECT CAST(MAX(n_rows) AS BIGINT) AS mx,
+         CAST(MIN(n_rows) AS BIGINT) AS mn
+  FROM sizes
+)
+SELECT s.part, s.n_rows,
+       round(CAST(s.n_rows AS DOUBLE)
+             / ((SELECT SUM(n_rows) FROM sizes) / 8.0), 6) AS load_r,
+       round(CAST(b.mx AS DOUBLE) / b.mn, 6) AS skew_ratio_r
+FROM sizes s CROSS JOIN balance b
+ORDER BY s.part
+""",
+    tags=("versioning", "layout", "systems"),
+)
+def q307_range_boundary_advisor(spark, sf_dir):
+    """Range-partition boundary planning — what repartitionByRange's
+    sampler approximates, done exactly: 7 interior boundaries from
+    exact septile percentiles of the sort key, every row assigned to
+    its range, and the resulting per-partition loads with the max/min
+    skew ratio — the number that predicts whether a range-partitioned
+    write (or a sort-merge stage) will straggle. Perfect percentile
+    boundaries still show load_r spread wherever the key has heavy
+    duplicate values (ties cannot split across ranges) — exactly the
+    diagnosis this advisor exists to surface before a 100 TB layout
+    is committed. One percentile pass + one broadcast-range
+    assignment; at lake scale the percentiles come from a sample or
+    sketch and the audit shape is unchanged."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    vals = o.select(cents.alias("v"))
+    bounds = vals.agg(
+        *[
+            F.round(F.percentile("v", F.lit(t / 8.0)), 0)
+            .cast("bigint")
+            .alias(f"b{t}")
+            for t in range(1, 8)
+        ]
+    )
+    assigned = vals.crossJoin(F.broadcast(bounds))
+    part = F.lit(8)
+    for t in range(7, 0, -1):
+        part = F.when(F.col("v") <= F.col(f"b{t}"), t).otherwise(part)
+    sizes = (
+        assigned.select(part.cast("int").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    balance = sizes.agg(
+        F.max("n_rows").cast("bigint").alias("mx"),
+        F.min("n_rows").cast("bigint").alias("mn"),
+        F.sum("n_rows").cast("bigint").alias("tot"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(balance))
+        .select(
+            "part",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double")
+                / (F.col("tot").cast("double") / 8.0),
+                6,
+            ).alias("load_r"),
+            F.round(
+                F.col("mx").cast("double") / F.col("mn"), 6
+            ).alias("skew_ratio_r"),
+        )
+        .orderBy("part")
+    )
