@@ -2201,3 +2201,97 @@ def q306_anomaly_ensemble(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q308_sprt_monitor",
+    oracle="""
+WITH subj AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+         CAST(('0x' || substr(md5('sp|' || CAST(user_id AS VARCHAR)),
+                              1, 8))::BIGINT % 2 AS INT) AS arm,
+         CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END
+              AS INT) AS converted
+  FROM events GROUP BY user_id
+), llr_terms AS (
+  SELECT first_day AS day,
+         CAST(SUM(CASE WHEN arm = 1 AND converted = 1
+                  THEN 223144 ELSE 0 END)
+              + SUM(CASE WHEN arm = 1 AND converted = 0
+                    THEN -182322 ELSE 0 END) AS BIGINT) AS llr_micro,
+         CAST(SUM(arm) AS BIGINT) AS n_treat
+  FROM subj GROUP BY first_day
+)
+SELECT day,
+       CAST(SUM(n_treat) OVER w AS BIGINT) AS n_treat_cum,
+       CAST(SUM(llr_micro) OVER w AS BIGINT) AS llr_cum_micro,
+       CAST(CASE WHEN SUM(llr_micro) OVER w > 2944439 THEN 1
+                 WHEN SUM(llr_micro) OVER w < -2944439 THEN -1
+                 ELSE 0 END AS INT) AS decision
+FROM llr_terms
+WINDOW w AS (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY day
+""",
+    tags=("monitoring", "experimentation"),
+)
+def q308_sprt_monitor(spark, sf_dir):
+    """Sequential probability ratio test monitor — the always-valid
+    "can we stop the experiment yet?" chart that replaces peeking at a
+    fixed-horizon p-value (which inflates false positives every time
+    someone looks): treated-arm conversions accumulate a
+    log-likelihood ratio for H1 (rate 0.5) vs H0 (rate 0.4), and the
+    running LLR against Wald's ln((1-b)/a) ≈ +-2.944 boundaries gives
+    the earliest decision day. The per-user LLR increments are
+    CONSTANT integers (micro-units of ln(0.5/0.4) and ln(0.5/0.6),
+    precomputed — no floats accumulate anywhere), so the entire
+    monitor is integer window sums over the daily enrollment summary.
+    Users enroll at their first event day; the decision column shows
+    accept-H1 (+1) / accept-H0 (-1) / continue (0) per day."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sp|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    subj = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        )
+        .cast("int")
+        .alias("converted"),
+    ).withColumn("arm", arm)
+    # conversions add ln(p1/p0) = ln(0.5/0.4) -> +223144 micro;
+    # misses add ln((1-p1)/(1-p0)) = ln(0.5/0.6) -> -182322 micro
+    llr = F.when(
+        (F.col("arm") == 1) & (F.col("converted") == 1), F.lit(223144)
+    ).when(
+        (F.col("arm") == 1) & (F.col("converted") == 0), F.lit(-182322)
+    ).otherwise(F.lit(0))
+    terms = subj.groupBy(F.col("first_day").alias("day")).agg(
+        F.sum(llr).cast("bigint").alias("llr_micro"),
+        F.sum("arm").cast("bigint").alias("n_treat"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("llr_micro").over(w).cast("bigint")
+    return terms.select(
+        "day",
+        F.sum("n_treat").over(w).cast("bigint").alias("n_treat_cum"),
+        cum.alias("llr_cum_micro"),
+        F.when(cum > 2944439, 1)
+        .when(cum < -2944439, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("decision"),
+    ).orderBy("day")
