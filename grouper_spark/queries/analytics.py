@@ -2476,3 +2476,93 @@ def q299_lorenz_concentration(spark, sf_dir):
             6,
         ).alias("cum_share_r"),
     ).orderBy("decile")
+
+
+@query(
+    "q309_graph_stability",
+    oracle="""
+WITH halves AS (
+  SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN 0 ELSE 1 END AS half
+  FROM events
+), e0 AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM halves a JOIN halves b
+    ON a.event_type = b.event_type AND a.d = b.d
+       AND a.user_id < b.user_id
+  WHERE a.half = 0 AND b.half = 0
+), e1 AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM halves a JOIN halves b
+    ON a.event_type = b.event_type AND a.d = b.d
+       AND a.user_id < b.user_id
+  WHERE a.half = 1 AND b.half = 1
+), flags AS (
+  SELECT COALESCE(e0.u, e1.u) AS u, COALESCE(e0.v, e1.v) AS v,
+         CASE WHEN e0.u IS NOT NULL THEN 1 ELSE 0 END AS in0,
+         CASE WHEN e1.u IS NOT NULL THEN 1 ELSE 0 END AS in1
+  FROM e0 FULL OUTER JOIN e1 ON e1.u = e0.u AND e1.v = e0.v
+)
+SELECT CAST(SUM(in0) AS BIGINT) AS n_edges_first,
+       CAST(SUM(in1) AS BIGINT) AS n_edges_second,
+       CAST(SUM(in0 * in1) AS BIGINT) AS n_shared,
+       round(CAST(SUM(in0 * in1) AS DOUBLE)
+             / (SUM(in0) + SUM(in1) - SUM(in0 * in1)), 6)
+         AS edge_jaccard_r
+FROM flags
+""",
+    tags=("analytics", "graph", "monitoring"),
+)
+def q309_graph_stability(spark, sf_dir):
+    """Co-visitation graph stability: the edge sets built from the
+    first and second halves of the month, compared by exact edge
+    Jaccard — the stationarity check that decides whether
+    graph-derived features (q146 triangles, q119 PageRank) can be
+    computed weekly and cached, or whether the structure churns too
+    fast to reuse. Both edge sets come from the capped posting-list
+    pair machinery (same-day-same-type co-occurrence, distinct
+    pairs), and the comparison is the q244 membership-flag full-outer
+    join — one aggregate over the unioned edge keys, no edge set ever
+    collected. A high Jaccard certifies cacheable structure; a low
+    one is itself the drift alarm."""
+    ev = table(spark, sf_dir, "events")
+    halves = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            (
+                F.col("ts").cast("date")
+                >= F.lit("2024-01-16").cast("date")
+            )
+            .cast("int")
+            .alias("half"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def edges(h):
+        side = halves.filter(F.col("half") == h)
+        return cooccurrence_pairs(
+            side, "user_id", ["event_type", "d"], max_bucket=4096
+        ).select("u", "v").distinct()
+
+    e0 = edges(0).withColumn("in0", F.lit(1))
+    e1 = edges(1).withColumn("in1", F.lit(1))
+    flags = e0.join(e1, ["u", "v"], "full_outer").select(
+        F.coalesce("in0", F.lit(0)).alias("in0"),
+        F.coalesce("in1", F.lit(0)).alias("in1"),
+    )
+    shared = F.sum(F.col("in0") * F.col("in1"))
+    return flags.agg(
+        F.sum("in0").cast("bigint").alias("n_edges_first"),
+        F.sum("in1").cast("bigint").alias("n_edges_second"),
+        shared.cast("bigint").alias("n_shared"),
+        F.round(
+            shared.cast("double")
+            / (F.sum("in0") + F.sum("in1") - shared),
+            6,
+        ).alias("edge_jaccard_r"),
+    )

@@ -236,3 +236,120 @@ def q237_observation_metrics(spark, sf_dir):
         "n_rows bigint, qty_cents bigint, min_orderkey bigint, "
         "max_orderkey bigint",
     )
+
+
+@query(
+    "q310_pipeline_loss_waterfall",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), s1 AS (
+  SELECT *, CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END AS pass_quality
+  FROM base
+), s2 AS (
+  SELECT s1.*,
+         CASE WHEN pass_quality = 1 AND doc_id = MIN(doc_id) OVER (
+                PARTITION BY fp, pass_quality)
+              THEN 1 ELSE 0 END AS pass_dedup
+  FROM s1
+), s3 AS (
+  SELECT s2.*,
+         CASE WHEN pass_dedup = 1 AND n_chars <= 2000
+              THEN 1 ELSE 0 END AS pass_length
+  FROM s2
+)
+SELECT stage, n_in, n_out,
+       CAST(n_in - n_out AS BIGINT) AS n_dropped,
+       round(CAST(n_out AS DOUBLE) / n_in, 6) AS survival_r
+FROM (
+  SELECT 1 AS ord, 'quality_gate' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_in,
+         CAST(SUM(pass_quality) AS BIGINT) AS n_out
+  FROM s3
+  UNION ALL
+  SELECT 2, 'exact_dedup',
+         CAST(SUM(pass_quality) AS BIGINT),
+         CAST(SUM(pass_dedup) AS BIGINT)
+  FROM s3
+  UNION ALL
+  SELECT 3, 'length_cap',
+         CAST(SUM(pass_dedup) AS BIGINT),
+         CAST(SUM(pass_length) AS BIGINT)
+  FROM s3
+)
+ORDER BY ord
+""",
+    tags=("pipeline", "observability"),
+)
+def q310_pipeline_loss_waterfall(spark, sf_dir):
+    """Pipeline loss waterfall — where did my corpus go? Each curation
+    stage (quality gate, exact dedup keep-first, length cap) is
+    evaluated as a FLAG COLUMN on one shared scan, so the waterfall's
+    in/out/dropped/survival numbers for all stages come from a single
+    aggregate over a single pass — not one job per stage, which is how
+    these reports are usually (expensively) produced. The conjunctive
+    flags also make the attribution exact: a doc dropped at dedup was,
+    by construction, a quality survivor, so stage losses sum to the
+    total loss with no double counting. The observability twin of
+    q64's end-to-end pipeline: that produces the corpus, this explains
+    the bill."""
+    from pyspark.sql import Window
+
+    from ..functions.text import normalized_text, token_count
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.md5(normalized_text("text")).alias("fp"),
+    )
+    pass_quality = (F.col("n_tokens") >= 10).cast("int")
+    s1 = base.withColumn("pass_quality", pass_quality)
+    w = Window.partitionBy("fp", "pass_quality")
+    pass_dedup = (
+        (F.col("pass_quality") == 1)
+        & (F.col("doc_id") == F.min("doc_id").over(w))
+    ).cast("int")
+    s2 = s1.withColumn("pass_dedup", pass_dedup)
+    pass_length = (
+        (F.col("pass_dedup") == 1) & (F.col("n_chars") <= 2000)
+    ).cast("int")
+    s3 = s2.withColumn("pass_length", pass_length).localCheckpoint(
+        eager=False
+    )
+    stages = [
+        (1, "quality_gate", F.count("*"), F.sum("pass_quality")),
+        (2, "exact_dedup", F.sum("pass_quality"), F.sum("pass_dedup")),
+        (3, "length_cap", F.sum("pass_dedup"), F.sum("pass_length")),
+    ]
+    rows = []
+    for ord_, name, n_in, n_out in stages:
+        rows.append(
+            s3.agg(
+                F.lit(ord_).alias("ord"),
+                F.lit(name).alias("stage"),
+                n_in.cast("bigint").alias("n_in"),
+                n_out.cast("bigint").alias("n_out"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return (
+        out.select(
+            "stage",
+            "n_in",
+            "n_out",
+            (F.col("n_in") - F.col("n_out")).cast("bigint").alias(
+                "n_dropped"
+            ),
+            F.round(
+                F.col("n_out").cast("double") / F.col("n_in"), 6
+            ).alias("survival_r"),
+        )
+        .orderBy(F.col("n_in").desc(), "stage")
+    )
