@@ -2295,3 +2295,171 @@ def q308_sprt_monitor(spark, sf_dir):
         .cast("int")
         .alias("decision"),
     ).orderBy("day")
+
+
+@query(
+    "q311_empirical_bayes_rates",
+    oracle="""
+WITH seg AS (
+  SELECT c_nationkey AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM customer GROUP BY segment
+), prior AS (
+  SELECT CAST(SUM(k) AS DOUBLE) / SUM(n) AS mu FROM seg
+)
+SELECT s.segment, s.n, s.k,
+       round(CAST(s.k AS DOUBLE) / s.n, 6) AS raw_rate_r,
+       round((CAST(s.k AS DOUBLE) + p.mu * 50.0)
+             / (s.n + 50.0), 6) AS shrunk_rate_r,
+       round(p.mu, 6) AS pooled_rate_r
+FROM seg s CROSS JOIN prior p
+ORDER BY s.segment
+""",
+    tags=("monitoring", "stats"),
+)
+def q311_empirical_bayes_rates(spark, sf_dir):
+    """Empirical-Bayes rate shrinkage: each nation segment's
+    high-balance rate pulled toward the pooled rate with a
+    pseudo-count prior (kappa = 50 — a Beta(mu*50, (1-mu)*50) prior,
+    posterior mean (k + mu*kappa)/(n + kappa)) — the fix for the
+    universal leaderboard pathology where a 7-customer segment posts a
+    "100% rate" and tops every ranking. Raw and shrunken rates sit
+    side by side so the shrinkage is auditable per segment (big
+    segments barely move, small ones move a lot — that asymmetry IS
+    the method). All inputs are exact integer counts and the pooled
+    rate is one exact division; a fuller empirical-Bayes fit would
+    tune kappa from the between-segment dispersion, but the fixed
+    pseudo-count keeps the estimator auditable. One groupBy + a
+    broadcast prior row."""
+    c = table(spark, sf_dir, "customer")
+    seg = c.groupBy(F.col("c_nationkey").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("c_acctbal") > 5000.0).cast("int"))
+        .cast("bigint")
+        .alias("k"),
+    )
+    prior = seg.agg(
+        (F.sum("k").cast("double") / F.sum("n")).alias("mu")
+    )
+    kappa = 50.0
+    return (
+        seg.crossJoin(F.broadcast(prior))
+        .select(
+            "segment",
+            "n",
+            "k",
+            F.round(F.col("k").cast("double") / F.col("n"), 6).alias(
+                "raw_rate_r"
+            ),
+            F.round(
+                (F.col("k").cast("double") + F.col("mu") * kappa)
+                / (F.col("n") + kappa),
+                6,
+            ).alias("shrunk_rate_r"),
+            F.round(F.col("mu"), 6).alias("pooled_rate_r"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "q312_seasonal_adjusted_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_dow,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY day, iso_dow
+), dows AS (
+  SELECT iso_dow,
+         CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(x) AS BIGINT) AS sx
+  FROM daily GROUP BY iso_dow
+), resid AS (
+  SELECT d.day, d.x,
+         CAST(ROUND(CAST(d.x AS DOUBLE)
+                    / (CAST(w.sx AS DOUBLE) / w.nd) * 1000000.0, 0)
+              AS BIGINT) AS ratio_micro
+  FROM daily d JOIN dows w ON w.iso_dow = d.iso_dow
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ratio_micro) AS BIGINT) AS s1,
+         CAST(SUM(ratio_micro * ratio_micro) AS BIGINT) AS s2
+  FROM resid
+)
+SELECT r.day, r.x,
+       round(CAST(r.ratio_micro AS DOUBLE) / 1000000.0, 6) AS ratio_r,
+       round((CAST(s.n AS DOUBLE) * r.ratio_micro - s.s1)
+             / sqrt(GREATEST(CAST(s.n AS DOUBLE) * s.s2
+                             - CAST(s.s1 AS DOUBLE) * s.s1, 1.0)), 6)
+         AS adj_z_r
+FROM resid r CROSS JOIN stats s
+ORDER BY r.day
+""",
+    tags=("monitoring", "anomaly", "timeseries"),
+)
+def q312_seasonal_adjusted_anomaly(spark, sf_dir):
+    """Seasonally-adjusted anomaly scoring: each day's volume divided
+    by its ISO-weekday mean (the q278 index) BEFORE z-scoring, so a
+    quiet Sunday doesn't page anyone and a Sunday-sized Tuesday does
+    — the deseasonalization step that separates real anomalies from
+    the calendar. Ratios are micro-fixed per day (exact integer
+    inputs, one double division each), then the z-statistic uses the
+    cross-multiplied exact form over those integers — the q125 recipe
+    applied to deseasonalized residuals. Two aggregates over the day
+    summary; nothing corpus-sized after the first groupBy."""
+    ev = table(spark, sf_dir, "events")
+    iso = F.when(F.dayofweek(F.col("ts").cast("date")) == 1, 7).otherwise(
+        F.dayofweek(F.col("ts").cast("date")) - 1
+    ).cast("int")
+    daily = (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"), iso.alias("iso_dow")
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    dows = daily.groupBy("iso_dow").agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    resid = daily.join(F.broadcast(dows), "iso_dow").select(
+        "day",
+        "x",
+        F.round(
+            F.col("x").cast("double")
+            / (F.col("sx").cast("double") / F.col("nd"))
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("ratio_micro"),
+    ).localCheckpoint(eager=False)
+    stats = resid.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("ratio_micro").cast("bigint").alias("s1"),
+        F.sum(F.col("ratio_micro") * F.col("ratio_micro"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    z = (nd * F.col("ratio_micro") - F.col("s1")) / F.sqrt(
+        F.greatest(
+            nd * F.col("s2") - F.col("s1").cast("double") * F.col("s1"),
+            F.lit(1.0),
+        )
+    )
+    return (
+        resid.crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            "x",
+            F.round(
+                F.col("ratio_micro").cast("double") / 1e6, 6
+            ).alias("ratio_r"),
+            F.round(z, 6).alias("adj_z_r"),
+        )
+        .orderBy("day")
+    )
