@@ -1866,3 +1866,103 @@ def q302_qini_uplift(spark, sf_dir):
         F.round(uplift, 6).alias("uplift_r"),
         F.round(qini, 6).alias("qini_r"),
     ).orderBy(F.col("score").desc())
+
+
+@query(
+    "q313_ips_offpolicy_eval",
+    oracle="""
+WITH subj AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('beh|' || CAST(user_id AS VARCHAR)),
+                              1, 8))::BIGINT % 2 AS INT) AS logged_arm,
+         LEAST(CAST(10 AS BIGINT),
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) // 3) AS score,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100.0, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS reward_cents
+  FROM events GROUP BY user_id
+), policy AS (
+  SELECT *, CAST(CASE WHEN score >= 4 THEN 1 ELSE 0 END AS INT)
+           AS target_arm
+  FROM subj
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(CAST(SUM(reward_cents) AS DOUBLE) / COUNT(*) / 100.0, 6)
+         AS logged_value_r,
+       round(CAST(SUM(CASE WHEN target_arm = logged_arm
+                      THEN reward_cents * 2 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) / 100.0, 6) AS ips_value_r,
+       CAST(SUM(CASE WHEN target_arm = logged_arm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched
+FROM policy
+""",
+    tags=("curation", "experimentation", "eval"),
+)
+def q313_ips_offpolicy_eval(spark, sf_dir):
+    """Off-policy evaluation via inverse propensity scoring: estimate
+    what a NEW targeting policy (treat engaged users, score >= 4)
+    would have earned from logs collected under a uniform random
+    policy — without running the new policy. Matched rows weight by
+    1/P(logged arm) = 2 exactly (the uniform logger makes the
+    propensity a constant integer, so the IPS estimate is exact
+    arithmetic, not a learned correction); unmatched rows contribute
+    zero. The counterfactual number next to the logged value is the
+    go/no-go for deploying the policy into a q308-style sequential
+    test. One user-keyed aggregate; rewards in exact cents."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0, 0).cast("bigint")
+    subj = ev.groupBy("user_id").agg(
+        F.least(
+            F.lit(10).cast("bigint"),
+            F.expr(
+                "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+                " div 3"
+            ).cast("bigint"),
+        ).alias("score"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("reward_cents"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("beh|"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+        .cast("int")
+        .alias("logged_arm"),
+        "score",
+        "reward_cents",
+    )
+    policy = subj.withColumn(
+        "target_arm", (F.col("score") >= 4).cast("int")
+    )
+    matched = F.col("target_arm") == F.col("logged_arm")
+    return policy.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum("reward_cents").cast("double") / F.count("*") / 100.0, 6
+        ).alias("logged_value_r"),
+        F.round(
+            F.sum(
+                F.when(matched, F.col("reward_cents") * 2).otherwise(0)
+            ).cast("double")
+            / F.count("*")
+            / 100.0,
+            6,
+        ).alias("ips_value_r"),
+        F.sum(matched.cast("int")).cast("bigint").alias("n_matched"),
+    )

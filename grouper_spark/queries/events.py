@@ -1623,3 +1623,72 @@ def q301_logrank_test(spark, sf_dir):
         F.round(e1s, 6).alias("expected_1_r"),
         F.round((o1 - e1s) * (o1 - e1s) / vs, 6).alias("chi2_r"),
     )
+
+
+@query(
+    "q314_novelty_rate",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM events GROUP BY day
+), novelty AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY first_day
+)
+SELECT d.day, d.n_active,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       round(CAST(COALESCE(n.n_new, 0) AS DOUBLE) / d.n_active, 6)
+         AS novelty_r,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS known_users_cum
+FROM daily d LEFT JOIN novelty n ON n.day = d.day
+ORDER BY d.day
+""",
+    tags=("events", "analytics"),
+)
+def q314_novelty_rate(spark, sf_dir):
+    """Daily novelty rate: what fraction of each day's active users is
+    seen for the FIRST time — the growth-vs-retention decomposition in
+    one column (novelty near 1 = acquisition-driven, near 0 = a
+    retained base), plus the cumulative known-user curve. First-seen
+    days come from one min-aggregate (the q243 Heaps technique on
+    users instead of tokens — never a cumulative distinct), daily
+    actives from one distinct count, and the join + running sum
+    operate on the calendar summary. Two shuffles on the user key,
+    windows over days."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_active")
+    )
+    novelty = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(novelty, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            F.round(
+                F.col("n_new").cast("double") / F.col("n_active"), 6
+            ).alias("novelty_r"),
+            F.sum("n_new").over(w).cast("bigint").alias("known_users_cum"),
+        )
+        .orderBy("day")
+    )
