@@ -1319,3 +1319,99 @@ def q305_lsh_scurve_audit(spark, sf_dir):
         .withColumn("theory_r", theory)
         .orderBy("j_bin")
     )
+
+
+@query(
+    "q317_normalization_ladder",
+    oracle="""
+WITH fps AS (
+  SELECT doc_id,
+         md5(text) AS fp_raw,
+         md5(lower(text)) AS fp_lower,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS fp_ws,
+         md5(regexp_replace(regexp_replace(lower(trim(text)),
+             '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')) AS fp_alnum
+  FROM documents
+), lv AS (
+  SELECT 1 AS ord, 'raw' AS level,
+         CAST(COUNT(*) - COUNT(DISTINCT fp_raw) AS BIGINT) AS n_dups
+  FROM fps
+  UNION ALL
+  SELECT 2, 'lowercase',
+         CAST(COUNT(*) - COUNT(DISTINCT fp_lower) AS BIGINT) FROM fps
+  UNION ALL
+  SELECT 3, 'collapse_ws',
+         CAST(COUNT(*) - COUNT(DISTINCT fp_ws) AS BIGINT) FROM fps
+  UNION ALL
+  SELECT 4, 'alnum_only',
+         CAST(COUNT(*) - COUNT(DISTINCT fp_alnum) AS BIGINT) FROM fps
+)
+SELECT level, n_dups,
+       CAST(n_dups - lag(n_dups, 1, 0) OVER (ORDER BY ord) AS BIGINT)
+         AS marginal_gain
+FROM lv ORDER BY ord
+""",
+    tags=("dedup", "eval"),
+)
+def q317_normalization_ladder(spark, sf_dir):
+    """Normalization-ladder dedup audit: duplicate counts under
+    progressively aggressive canonicalization — raw bytes, lowercase,
+    whitespace collapse, alphanumeric-only — with each rung's MARGINAL
+    gain, answering the question every dedup pipeline hardcodes an
+    answer to: which normalizations actually find duplicates on THIS
+    corpus, and which just burn CPU and risk false merges? All four
+    fingerprints compute in ONE projection over one scan (md5s of
+    nested regex rewrites, pure codegen) and the ladder is a 4-row
+    multi-distinct aggregate; the lag() gives marginal attribution in
+    order of aggressiveness. The evidence behind q33's choice of
+    lowercase+collapse as the canonical form."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    ws = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    alnum = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim("text")), r"[^a-z0-9 ]", ""),
+        r"\s+",
+        " ",
+    )
+    fps = d.select(
+        F.md5("text").alias("fp_raw"),
+        F.md5(lower).alias("fp_lower"),
+        F.md5(ws).alias("fp_ws"),
+        F.md5(alnum).alias("fp_alnum"),
+    ).localCheckpoint(eager=False)
+    levels = [
+        (1, "raw", "fp_raw"),
+        (2, "lowercase", "fp_lower"),
+        (3, "collapse_ws", "fp_ws"),
+        (4, "alnum_only", "fp_alnum"),
+    ]
+    rows = []
+    for ord_, name, col in levels:
+        rows.append(
+            fps.agg(
+                F.lit(ord_).alias("ord"),
+                F.lit(name).alias("level"),
+                (F.count("*") - F.count_distinct(F.col(col)))
+                .cast("bigint")
+                .alias("n_dups"),
+            )
+        )
+    lv = rows[0]
+    for r in rows[1:]:
+        lv = lv.unionAll(r)
+    w = Window.orderBy("ord")
+    return (
+        lv.select(
+            "level",
+            "n_dups",
+            (F.col("n_dups") - F.lag("n_dups", 1, 0).over(w))
+            .cast("bigint")
+            .alias("marginal_gain"),
+            "ord",
+        )
+        .orderBy("ord")
+        .drop("ord")
+    )

@@ -522,3 +522,80 @@ def q281_boilerplate_ratio(spark, sf_dir):
         .orderBy(F.col("boiler_ratio_r").desc(), "doc_id")
         .limit(50)
     )
+
+
+_BLOCK_WORDS = ("spill", "skew", "slow", "crash")
+
+
+_BLOCK_HITS_SQL = " + ".join(
+    "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+    f" t -> t = '{w}'))"
+    for w in _BLOCK_WORDS
+)
+
+
+@query(
+    "q315_lexicon_scan",
+    oracle="""
+WITH scanned AS (
+  SELECT doc_id, source,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+         """
+    + _BLOCK_HITS_SQL
+    + """ AS n_hits
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+       round(CAST(SUM(n_hits) AS DOUBLE) / SUM(n_tokens), 6)
+         AS hit_density_r
+FROM scanned GROUP BY source ORDER BY source
+""",
+    tags=("quality", "curation"),
+)
+def q315_lexicon_scan(spark, sf_dir):
+    """Blocklist-lexicon scan — the word-filter stage every production
+    corpus pipeline runs (safety terms, brand terms, contract-banned
+    strings), instrumented per source: flagged-document counts, total
+    hits, and hit density per token. The lexicon compiles into the
+    row expression (array_distinct-free exact token matches via
+    higher-order filter — whole-stage codegen, no join against a word
+    table until the list outgrows a literal), so the scan costs one
+    corpus pass and one small aggregate. Density rather than a bare
+    count is the actionable number: it normalizes away source size
+    and ranks WHERE the cleanup budget goes. Here the 'lexicon' is
+    four engine-domain words standing in for a real blocklist."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+
+    def word_hits(word):
+        # closure factory: a 2-arg lambda would bind Spark's
+        # (element, index) HOF signature, not the word
+        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+    hits = None
+    for w in _BLOCK_WORDS:
+        h = word_hits(w)
+        hits = h if hits is None else hits + h
+    scanned = d.select(
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        hits.cast("bigint").alias("n_hits"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("n_hits").cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum("n_hits").cast("double") / F.sum("n_tokens"), 6
+            ).alias("hit_density_r"),
+        )
+        .orderBy("source")
+    )

@@ -1260,3 +1260,66 @@ def q298_backtest_mape(spark, sf_dir):
             F.col("abs_err").cast("double") / F.col("n_days"), 6
         ).alias("mae_r"),
     ).orderBy("horizon")
+
+
+@query(
+    "q316_cycle_time_percentiles",
+    oracle="""
+WITH cycles AS (
+  SELECT o.o_orderpriority AS grp,
+         CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+              AS BIGINT) AS cycle_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       round(quantile_cont(cycle_days, 0.5), 6) AS p50_days_r,
+       round(quantile_cont(cycle_days, 0.9), 6) AS p90_days_r,
+       round(quantile_cont(cycle_days, 0.99), 6) AS p99_days_r,
+       CAST(MAX(cycle_days) AS BIGINT) AS max_days
+FROM cycles GROUP BY grp ORDER BY grp
+""",
+    tags=("temporal", "ops"),
+)
+def q316_cycle_time_percentiles(spark, sf_dir):
+    """Order-to-ship cycle-time percentiles per priority — the
+    operational SLA view of a process spanning two tables: exact
+    integer day differences from the order⋈lineitem join (negative
+    artifacts excluded explicitly rather than silently absorbed),
+    exact interpolated p50/p90/p99 plus the max straggler. The p99-p50
+    spread per priority is the number an ops review reads: a fat tail
+    on URGENT orders is a broken expedite path even when the median
+    looks healthy. One fact join (the priority column broadcasts from
+    orders' slim projection), one grouped percentile pass."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    cycles = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("sd") >= F.col("od"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.datediff("sd", "od").cast("bigint").alias("cycle_days"),
+        )
+    )
+    return (
+        cycles.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(F.percentile("cycle_days", F.lit(0.5)), 6).alias(
+                "p50_days_r"
+            ),
+            F.round(F.percentile("cycle_days", F.lit(0.9)), 6).alias(
+                "p90_days_r"
+            ),
+            F.round(F.percentile("cycle_days", F.lit(0.99)), 6).alias(
+                "p99_days_r"
+            ),
+            F.max("cycle_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("grp")
+    )
