@@ -2463,3 +2463,180 @@ def q312_seasonal_adjusted_anomaly(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q318_srm_check",
+    oracle="""
+WITH arms AS (
+  SELECT CAST(('0x' || substr(md5('fz|' || CAST(user_id AS VARCHAR)),
+                              1, 8))::BIGINT % 2 AS INT) AS variant,
+         COUNT(*) AS _dummy
+  FROM events GROUP BY user_id,
+       CAST(('0x' || substr(md5('fz|' || CAST(user_id AS VARCHAR)),
+                            1, 8))::BIGINT % 2 AS INT)
+), counts AS (
+  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1
+  FROM arms
+)
+SELECT n0, n1,
+       round((CAST(n0 - n1 AS DOUBLE) * (n0 - n1))
+             / (n0 + n1), 6) AS chi2_r,
+       CAST(CASE WHEN (CAST(n0 - n1 AS DOUBLE) * (n0 - n1))
+                      / (n0 + n1) > 3.841 THEN 1 ELSE 0 END AS INT)
+         AS srm_flag
+FROM counts
+""",
+    tags=("monitoring", "experimentation"),
+)
+def q318_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check — the FIRST thing a trustworthy
+    experiment platform validates, before anyone reads a treatment
+    effect: are the arm sizes consistent with the intended 50/50
+    split? The chi-square against equal allocation reduces to
+    (n0-n1)²/(n0+n1) — exact integers, one division — and the flag
+    fires at the 95% critical value. An SRM means the assignment or
+    logging pipeline is dropping users NON-randomly, which silently
+    biases every downstream metric; q219/q259/q268/q282 all assume
+    this gate passed. Reuses q268's md5 assignment so the arms under
+    test are the arms the other readouts use."""
+    ev = table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fz|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    arms = ev.select("user_id").distinct().select(variant.alias("variant"))
+    counts = arms.agg(
+        F.sum((F.col("variant") == 0).cast("int")).cast("bigint").alias("n0"),
+        F.sum((F.col("variant") == 1).cast("int")).cast("bigint").alias("n1"),
+    )
+    chi2 = (
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n1"))
+        / (F.col("n0") + F.col("n1"))
+    )
+    return counts.select(
+        "n0",
+        "n1",
+        F.round(chi2, 6).alias("chi2_r"),
+        (chi2 > 3.841).cast("int").alias("srm_flag"),
+    )
+
+
+@query(
+    "q319_wilson_intervals",
+    oracle="""
+WITH seg AS (
+  SELECT c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM customer GROUP BY segment
+)
+SELECT segment, n, k,
+       round(CAST(k AS DOUBLE) / n, 6) AS rate_r,
+       round((CAST(k AS DOUBLE) / n + 3.8416 / (2 * n)
+              - 1.96 * sqrt((CAST(k AS DOUBLE) / n
+                             * (1.0 - CAST(k AS DOUBLE) / n)
+                             + 3.8416 / (4 * n)) / n))
+             / (1.0 + 3.8416 / n), 6) AS wilson_lo_r,
+       round((CAST(k AS DOUBLE) / n + 3.8416 / (2 * n)
+              + 1.96 * sqrt((CAST(k AS DOUBLE) / n
+                             * (1.0 - CAST(k AS DOUBLE) / n)
+                             + 3.8416 / (4 * n)) / n))
+             / (1.0 + 3.8416 / n), 6) AS wilson_hi_r
+FROM seg ORDER BY segment
+""",
+    tags=("monitoring", "stats"),
+)
+def q319_wilson_intervals(spark, sf_dir):
+    """Wilson score intervals for per-segment proportions — the
+    proportion CI that behaves at the boundaries where the naive
+    Wald interval fails embarrassingly (k=0 gives Wald a [0,0]
+    interval; Wilson correctly keeps uncertainty), which is exactly
+    the small-segment regime q311's shrinkage also targets: shrinkage
+    fixes the point estimate, Wilson fixes the error bars. The closed
+    form is deterministic double arithmetic over exact integer (n, k)
+    per segment with z²=3.8416 folded in as a literal; one grouped
+    aggregate, a constant-width output per segment."""
+    c = table(spark, sf_dir, "customer")
+    seg = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("c_acctbal") > 5000.0).cast("int"))
+        .cast("bigint")
+        .alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z2 = 3.8416
+    center = p + z2 / (2 * F.col("n"))
+    halfw = 1.96 * F.sqrt((p * (1.0 - p) + z2 / (4 * F.col("n"))) / F.col("n"))
+    denom = 1.0 + z2 / F.col("n")
+    return seg.select(
+        "segment",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate_r"),
+        F.round((center - halfw) / denom, 6).alias("wilson_lo_r"),
+        F.round((center + halfw) / denom, 6).alias("wilson_hi_r"),
+    ).orderBy("segment")
+
+
+@query(
+    "q320_effective_sample_size",
+    oracle="""
+WITH weights AS (
+  SELECT source,
+         CAST(ROUND(1000000.0 / (1.0 + CAST(n_chars AS DOUBLE) / 500.0),
+                    0) AS BIGINT) AS w_micro
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(w_micro) AS DOUBLE) * SUM(w_micro)
+             / SUM(w_micro * w_micro) / 1.0, 6) AS ess_r,
+       round(CAST(SUM(w_micro) AS DOUBLE) * SUM(w_micro)
+             / SUM(w_micro * w_micro) / COUNT(*), 6) AS efficiency_r
+FROM weights GROUP BY source ORDER BY source
+""",
+    tags=("monitoring", "sampling", "stats"),
+)
+def q320_effective_sample_size(spark, sf_dir):
+    """Effective sample size of an importance-weighted corpus — the
+    Kish formula ESS = (Σw)²/Σw², the number that tells you whether a
+    reweighting scheme (q94's domain mix, q152's DSIR scores, q313's
+    IPS weights) has quietly collapsed your million documents onto a
+    few heavy rows: efficiency near 1 means weights are benign, near
+    1/n means one row dominates and every weighted estimate is noise.
+    Weights (an inverse-length scheme here) are micro-fixed per row so
+    both sums are exact BIGINTs — the 1e6 scales cancel in the ratio —
+    and ESS per source is one grouped aggregate. The mandatory
+    companion to ANY weighted pipeline stage."""
+    d = table(spark, sf_dir, "documents")
+    w = F.round(
+        1000000.0 / (1.0 + F.col("n_chars").cast("double") / 500.0), 0
+    ).cast("bigint")
+    weights = d.select("source", w.alias("w_micro"))
+    sw = F.sum("w_micro").cast("double")
+    sww = F.sum(F.col("w_micro") * F.col("w_micro")).cast("double")
+    return (
+        weights.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(sw * F.sum("w_micro") / sww / 1.0, 6).alias("ess_r"),
+            F.round(
+                sw * F.sum("w_micro") / sww / F.count("*"), 6
+            ).alias("efficiency_r"),
+        )
+        .orderBy("source")
+    )
