@@ -2604,9 +2604,10 @@ WITH weights AS (
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n,
        round(CAST(SUM(w_micro) AS DOUBLE) * SUM(w_micro)
-             / SUM(w_micro * w_micro) / 1.0, 6) AS ess_r,
+             / CAST(SUM(w_micro * w_micro) AS DOUBLE), 6) AS ess_r,
        round(CAST(SUM(w_micro) AS DOUBLE) * SUM(w_micro)
-             / SUM(w_micro * w_micro) / COUNT(*), 6) AS efficiency_r
+             / CAST(SUM(w_micro * w_micro) AS DOUBLE) / COUNT(*), 6)
+         AS efficiency_r
 FROM weights GROUP BY source ORDER BY source
 """,
     tags=("monitoring", "sampling", "stats"),
@@ -2633,7 +2634,7 @@ def q320_effective_sample_size(spark, sf_dir):
         weights.groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(sw * F.sum("w_micro") / sww / 1.0, 6).alias("ess_r"),
+            F.round(sw * F.sum("w_micro") / sww, 6).alias("ess_r"),
             F.round(
                 sw * F.sum("w_micro") / sww / F.count("*"), 6
             ).alias("efficiency_r"),
