@@ -2566,3 +2566,196 @@ def q309_graph_stability(spark, sf_dir):
             6,
         ).alias("edge_jaccard_r"),
     )
+
+
+@query(
+    "q321_jackknife_variance",
+    oracle="""
+WITH seg AS (
+  SELECT c_nationkey AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM customer GROUP BY segment
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(SUM(n) AS BIGINT) AS n_all,
+         CAST(SUM(cents) AS BIGINT) AS cents_all
+  FROM seg
+), pseudo AS (
+  SELECT s.segment,
+         CAST(ROUND((CAST(t.cents_all - s.cents AS DOUBLE)
+                     / (t.n_all - s.n)) * 100.0, 0) AS BIGINT)
+           AS loo_mean_centi
+  FROM seg s CROSS JOIN tot t
+), jk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(SUM(loo_mean_centi) AS BIGINT) AS s1,
+         CAST(SUM(loo_mean_centi * loo_mean_centi) AS BIGINT) AS s2
+  FROM pseudo
+)
+SELECT t.g AS n_groups,
+       round(CAST(t.cents_all AS DOUBLE) / t.n_all / 100.0, 6) AS mean_r,
+       round(sqrt((CAST(j.g - 1 AS DOUBLE) / j.g)
+                  * (CAST(j.s2 AS DOUBLE) / 100.0 / 100.0
+                     - (CAST(j.s1 AS DOUBLE) / 100.0)
+                       * (CAST(j.s1 AS DOUBLE) / 100.0) / j.g))
+             / 100.0, 6) AS jackknife_se_r
+FROM tot t CROSS JOIN jk j
+""",
+    tags=("analytics", "stats"),
+)
+def q321_jackknife_variance(spark, sf_dir):
+    """Delete-one-group jackknife standard error for the mean account
+    balance — the resampling-family variance estimator that works when
+    observations CLUSTER (deleting whole nations captures
+    between-group correlation a per-row formula ignores; this is the
+    grouped/cluster-robust jackknife survey statisticians use). Every
+    leave-one-out mean is closed-form from the group sums (no
+    re-scans: (total - group)/(n - group_n)), centi-fixed per group so
+    the pseudo-value moments are exact BIGINTs (micro would square
+    past BIGINT), and the SE combines
+    them in one final expression. One grouped pass + a groups-sized
+    summary, however many rows."""
+    c = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100.0, 0).cast("bigint")
+    seg = c.groupBy(F.col("c_nationkey").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("cents"),
+    ).localCheckpoint(eager=False)
+    tot = seg.agg(
+        F.count("*").cast("bigint").alias("g"),
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("cents").cast("bigint").alias("cents_all"),
+    )
+    # centi fixed point: micro-scaled pseudo-values square past BIGINT
+    pseudo = seg.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (F.col("cents_all") - F.col("cents")).cast("double")
+            / (F.col("n_all") - F.col("n"))
+            * 100.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("loo_mean_centi")
+    )
+    jk = pseudo.agg(
+        F.count("*").cast("bigint").alias("gj"),
+        F.sum("loo_mean_centi").cast("bigint").alias("s1"),
+        F.sum(F.col("loo_mean_centi") * F.col("loo_mean_centi"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    gj = F.col("gj").cast("double")
+    var_loo = (
+        F.col("s2").cast("double") / 100.0 / 100.0
+        - (F.col("s1").cast("double") / 100.0)
+        * (F.col("s1").cast("double") / 100.0)
+        / F.col("gj")
+    )
+    return (
+        tot.crossJoin(F.broadcast(jk))
+        .select(
+            F.col("g").alias("n_groups"),
+            F.round(
+                F.col("cents_all").cast("double") / F.col("n_all") / 100.0,
+                6,
+            ).alias("mean_r"),
+            F.round(
+                F.sqrt((gj - 1) / gj * var_loo) / 100.0, 6
+            ).alias("jackknife_se_r"),
+        )
+    )
+
+
+@query(
+    "q322_shift_share",
+    oracle="""
+WITH seg AS (
+  SELECT c_mktsegment AS segment,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS cents0,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+                  THEN CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS cents1
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY segment
+), tot AS (
+  SELECT CAST(SUM(n0) AS BIGINT) AS tn0, CAST(SUM(n1) AS BIGINT) AS tn1
+  FROM seg
+)
+SELECT s.segment, s.n0, s.n1,
+       round((CAST(s.n1 AS DOUBLE) / t.tn1 - CAST(s.n0 AS DOUBLE) / t.tn0)
+             * (CAST(s.cents0 AS DOUBLE) / s.n0) / 100.0, 6)
+         AS mix_effect_r,
+       round((CAST(s.cents1 AS DOUBLE) / s.n1
+              - CAST(s.cents0 AS DOUBLE) / s.n0)
+             * (CAST(s.n1 AS DOUBLE) / t.tn1) / 100.0, 6)
+         AS rate_effect_r,
+       round((CAST(s.cents1 AS DOUBLE) / s.n1) * (CAST(s.n1 AS DOUBLE)
+              / t.tn1) / 100.0
+             - (CAST(s.cents0 AS DOUBLE) / s.n0) * (CAST(s.n0 AS DOUBLE)
+                / t.tn0) / 100.0, 6) AS total_effect_r
+FROM seg s CROSS JOIN tot t
+ORDER BY s.segment
+""",
+    tags=("analytics", "finance"),
+)
+def q322_shift_share(spark, sf_dir):
+    """Shift-share decomposition of average order value between two
+    periods (pre/post 1998): each segment's contribution splits into a
+    MIX effect (its share of orders changed, valued at old prices) and
+    a RATE effect (its average order value changed, weighted by new
+    share) — the decomposition that ends "revenue per order fell, who
+    is to blame?" arguments by separating behavior change from
+    composition change (Simpson's-paradox cases show a positive rate
+    effect in every segment while mix drags the total down). One fact
+    join + one grouped pass produces all eight integer sums; the
+    effects are closed-form doubles per segment, and mix+rate sums to
+    the total by construction."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    is0 = F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")
+    seg = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(is0.cast("int")).cast("bigint").alias("n0"),
+            F.sum(F.when(is0, cents).otherwise(0))
+            .cast("bigint")
+            .alias("cents0"),
+            F.sum((~is0).cast("int")).cast("bigint").alias("n1"),
+            F.sum(F.when(~is0, cents).otherwise(0))
+            .cast("bigint")
+            .alias("cents1"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = seg.agg(
+        F.sum("n0").cast("bigint").alias("tn0"),
+        F.sum("n1").cast("bigint").alias("tn1"),
+    )
+    sh0 = F.col("n0").cast("double") / F.col("tn0")
+    sh1 = F.col("n1").cast("double") / F.col("tn1")
+    r0 = F.col("cents0").cast("double") / F.col("n0")
+    r1 = F.col("cents1").cast("double") / F.col("n1")
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "n0",
+            "n1",
+            F.round((sh1 - sh0) * r0 / 100.0, 6).alias("mix_effect_r"),
+            F.round((r1 - r0) * sh1 / 100.0, 6).alias("rate_effect_r"),
+            F.round(r1 * sh1 / 100.0 - r0 * sh0 / 100.0, 6).alias(
+                "total_effect_r"
+            ),
+        )
+        .orderBy("segment")
+    )
