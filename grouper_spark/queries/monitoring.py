@@ -2641,3 +2641,124 @@ def q320_effective_sample_size(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q323_difference_in_differences",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)),
+                              1, 8))::BIGINT % 2 AS INT) AS treated,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                        AND event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100.0, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS pre_cents,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                        AND event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100.0, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS post_cents
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT treated,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(post_cents - pre_cents) AS BIGINT) AS sd,
+         CAST(SUM((post_cents - pre_cents) * (post_cents - pre_cents))
+              AS BIGINT) AS sdd
+  FROM per_user GROUP BY treated
+), wide AS (
+  SELECT MAX(CASE WHEN treated = 1 THEN n END) AS nt,
+         MAX(CASE WHEN treated = 1 THEN sd END) AS sdt,
+         MAX(CASE WHEN treated = 1 THEN sdd END) AS sddt,
+         MAX(CASE WHEN treated = 0 THEN n END) AS nc,
+         MAX(CASE WHEN treated = 0 THEN sd END) AS sdc,
+         MAX(CASE WHEN treated = 0 THEN sdd END) AS sddc
+  FROM arms
+)
+SELECT CAST(nt AS BIGINT) AS n_treated, CAST(nc AS BIGINT) AS n_control,
+       round((CAST(sdt AS DOUBLE) / nt - CAST(sdc AS DOUBLE) / nc)
+             / 100.0, 6) AS did_r,
+       round(sqrt(
+         (CAST(nt AS DOUBLE) * sddt - CAST(sdt AS DOUBLE) * sdt)
+           / nt / (nt - 1) / nt
+         + (CAST(nc AS DOUBLE) * sddc - CAST(sdc AS DOUBLE) * sdc)
+           / nc / (nc - 1) / nc) / 100.0, 6) AS se_r
+FROM wide
+""",
+    tags=("monitoring", "experimentation", "causal"),
+)
+def q323_difference_in_differences(spark, sf_dir):
+    """Difference-in-differences with user-level differencing: each
+    user's post-minus-pre purchase spend is the unit of analysis, so
+    the DiD estimate is simply the treated-vs-control mean difference
+    of those deltas and its two-sample SE — the panel formulation that
+    absorbs every time-invariant user effect by construction (no
+    fixed-effects solver needed when you HAVE the panel). Deltas are
+    exact integer cents; per-arm n/sum/sum-of-squares are the only
+    aggregates; the variance uses the exact cross-multiplied form.
+    This is the observational sibling of q259's CUPED (same pre/post
+    data, different estimand: CUPED reduces variance of a randomized
+    effect, DiD identifies an effect when assignment wasn't random
+    but trends were parallel)."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0, 0).cast("bigint")
+    is_pre = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_purchase & is_pre, cents).otherwise(0))
+        .cast("bigint")
+        .alias("pre_cents"),
+        F.sum(F.when(is_purchase & ~is_pre, cents).otherwise(0))
+        .cast("bigint")
+        .alias("post_cents"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("did|"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+        .cast("int")
+        .alias("treated"),
+        (F.col("post_cents") - F.col("pre_cents")).alias("delta"),
+    )
+    arms = per_user.groupBy("treated").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("delta").cast("bigint").alias("sd"),
+        F.sum(F.col("delta") * F.col("delta")).cast("bigint").alias("sdd"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("nt"),
+        F.max(F.when(F.col("treated") == 1, F.col("sd"))).alias("sdt"),
+        F.max(F.when(F.col("treated") == 1, F.col("sdd"))).alias("sddt"),
+        F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("nc"),
+        F.max(F.when(F.col("treated") == 0, F.col("sd"))).alias("sdc"),
+        F.max(F.when(F.col("treated") == 0, F.col("sdd"))).alias("sddc"),
+    )
+    nt, nc = F.col("nt").cast("double"), F.col("nc").cast("double")
+    var_t = (nt * F.col("sddt") - F.col("sdt").cast("double") * F.col("sdt")) / nt / (
+        F.col("nt") - 1
+    )
+    var_c = (nc * F.col("sddc") - F.col("sdc").cast("double") * F.col("sdc")) / nc / (
+        F.col("nc") - 1
+    )
+    return wide.select(
+        F.col("nt").cast("bigint").alias("n_treated"),
+        F.col("nc").cast("bigint").alias("n_control"),
+        F.round(
+            (F.col("sdt").cast("double") / nt - F.col("sdc").cast("double") / nc)
+            / 100.0,
+            6,
+        ).alias("did_r"),
+        F.round(F.sqrt(var_t / nt + var_c / nc) / 100.0, 6).alias("se_r"),
+    )
