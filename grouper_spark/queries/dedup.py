@@ -1415,3 +1415,87 @@ def q317_normalization_ladder(spark, sf_dir):
         .orderBy("ord")
         .drop("ord")
     )
+
+
+@query(
+    "q325_dedup_threshold_curve",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split_regex(trim(text),
+ '\\s+')) - 2),
+           i -> array_to_string(list_slice(
+string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+         )) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS inter,
+         MIN(a.sz) AS sz_a, MIN(b.sz) AS sz_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), spine AS (
+  SELECT CAST(t.t AS BIGINT) AS thr_pct
+  FROM (VALUES (50), (60), (70), (80), (90)) t(t)
+), ndocs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+)
+SELECT s.thr_pct,
+       CAST(SUM(CASE WHEN p.inter * 100 >=
+                s.thr_pct * (p.sz_a + p.sz_b - p.inter)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+       round(CAST(SUM(CASE WHEN p.inter * 100 >=
+                   s.thr_pct * (p.sz_a + p.sz_b - p.inter)
+                   THEN 1 ELSE 0 END) AS DOUBLE) / d.n, 6)
+         AS pairs_per_doc_r
+FROM pairs p CROSS JOIN spine s CROSS JOIN ndocs d
+GROUP BY s.thr_pct, d.n
+ORDER BY s.thr_pct
+""",
+    tags=("dedup", "eval"),
+)
+def q325_dedup_threshold_curve(spark, sf_dir):
+    """Dedup threshold sensitivity: duplicate-pair counts at five
+    Jaccard cutoffs from ONE pair materialization — the curve that
+    turns "we dedup at 0.8" from dogma into a decision (a cliff
+    between 70 and 80 means the corpus has a natural near-dup band; a
+    flat curve means the threshold barely matters). Thresholds apply
+    by integer cross-multiplication (inter*100 >= t*(union)) against
+    a broadcast spine, so all five cutoffs ride the same q34
+    posting-list pair table with zero re-scans; pairs_per_doc
+    normalizes for corpus size so curves compare across releases.
+    The policy-layer companion to q305's recall S-curve: that tunes
+    the SKETCH, this tunes the THRESHOLD."""
+    from ..operators import shingle_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(d, "doc_id", "text", n=3).select(
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("size_a").cast("bigint").alias("sz_a"),
+        F.col("size_b").cast("bigint").alias("sz_b"),
+    ).localCheckpoint(eager=False)
+    spine = spark.createDataFrame(
+        [(50,), (60,), (70,), (80,), (90,)], "thr_pct bigint"
+    )
+    ndocs = d.agg(F.count("*").cast("bigint").alias("n"))
+    is_dup = (
+        F.col("inter") * 100
+        >= F.col("thr_pct") * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    ).cast("int")
+    return (
+        pairs.crossJoin(F.broadcast(spine))
+        .crossJoin(F.broadcast(ndocs))
+        .groupBy("thr_pct", "n")
+        .agg(F.sum(is_dup).cast("bigint").alias("n_dup_pairs"))
+        .select(
+            "thr_pct",
+            "n_dup_pairs",
+            F.round(
+                F.col("n_dup_pairs").cast("double") / F.col("n"), 6
+            ).alias("pairs_per_doc_r"),
+        )
+        .orderBy("thr_pct")
+    )

@@ -1692,3 +1692,108 @@ def q314_novelty_rate(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q324_growth_accounting",
+    oracle="""
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk
+  FROM events
+), flags AS (
+  SELECT user_id, wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+         MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+  FROM weekly
+), classified AS (
+  SELECT wk,
+         CASE WHEN wk = first_wk THEN 'new'
+              WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM flags
+), churn AS (
+  SELECT wk + INTERVAL 7 DAY AS wk, 'churned' AS state
+  FROM flags f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM weekly w
+    WHERE w.user_id = f.user_id AND w.wk = f.wk + INTERVAL 7 DAY)
+    AND f.wk + INTERVAL 7 DAY <= (SELECT MAX(wk) FROM weekly)
+)
+SELECT CAST(wk AS DATE) AS week, state,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT wk, state FROM classified
+      UNION ALL SELECT wk, state FROM churn)
+GROUP BY week, state
+ORDER BY week, state
+""",
+    tags=("events", "analytics", "growth"),
+)
+def q324_growth_accounting(spark, sf_dir):
+    """Growth accounting (the new/retained/resurrected/churned
+    decomposition): every weekly active user is classified by whether
+    this is their first week, a consecutive week, or a comeback, and
+    churn rows count users active in week w but absent in w+1 — the
+    identity actives(w) = new + retained + resurrected and
+    actives(w) - actives(w+1) + new(w+1) + resurrected(w+1) =
+    churned(w+1) that turns a flat MAU chart into an explanation. One
+    distinct (user, week) collapse, lag/min windows per user, and the
+    churn anti-condition is a per-user lead check — no self-join of
+    the activity log. The final week emits no churn (unknowable
+    yet)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts").cast("date")).alias("wk"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    wall = Window.partitionBy("user_id")
+    flags = weekly.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+        F.min("wk").over(wall).alias("first_wk"),
+    )
+    classified = flags.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(
+            F.col("prev_wk") == F.col("wk") - F.expr("INTERVAL 7 DAY"),
+            "retained",
+        )
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    max_wk = weekly.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        flags.crossJoin(F.broadcast(max_wk))
+        .filter(
+            (
+                F.col("next_wk").isNull()
+                | (
+                    F.col("next_wk")
+                    != F.col("wk") + F.expr("INTERVAL 7 DAY")
+                )
+            )
+            & (
+                F.col("wk") + F.expr("INTERVAL 7 DAY")
+                <= F.col("max_wk")
+            )
+        )
+        .select(
+            (F.col("wk") + F.expr("INTERVAL 7 DAY")).alias("wk"),
+            F.lit("churned").alias("state"),
+        )
+    )
+    return (
+        classified.unionAll(churn)
+        .groupBy(F.col("wk").cast("date").alias("week"), "state")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("week", "state")
+    )
