@@ -2759,3 +2759,75 @@ def q322_shift_share(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q326_hhi_concentration",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY month, o_custkey
+), tot AS (
+  SELECT month, CAST(SUM(cents) AS BIGINT) AS all_cents
+  FROM monthly GROUP BY month
+), shares AS (
+  SELECT m.month,
+         CAST(ROUND(CAST(m.cents AS DOUBLE) / t.all_cents
+                    * 1000000.0, 0) AS BIGINT) AS share_micro
+  FROM monthly m JOIN tot t ON t.month = m.month
+)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(SUM(share_micro * share_micro) AS DOUBLE)
+             / 1000000.0 / 1000000.0 * 10000.0, 6) AS hhi_r
+FROM shares GROUP BY month ORDER BY month
+""",
+    tags=("analytics", "finance"),
+)
+def q326_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index per month — the
+    antitrust-grade concentration number (0-10000 scale; >2500 reads
+    "highly concentrated") tracking whether revenue is consolidating
+    onto few customers over time: the trend q299's static Lorenz
+    table can't show. Monthly customer shares are micro-fixed once
+    (one rounded division each, share sums canceled by construction),
+    so the Σshare² reduction is an exact BIGINT sum per month —
+    order-independent where naive float share-squaring would drift.
+    Two grouped passes (customer-month, month), calendar-sized
+    output."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_custkey",
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    tot = monthly.groupBy("month").agg(
+        F.sum("cents").cast("bigint").alias("all_cents")
+    )
+    shares = monthly.join(tot, "month").select(
+        "month",
+        F.round(
+            F.col("cents").cast("double") / F.col("all_cents") * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("share_micro"),
+    )
+    return (
+        shares.groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.col("share_micro") * F.col("share_micro"))
+                .cast("double")
+                / 1e6
+                / 1e6
+                * 10000.0,
+                6,
+            ).alias("hhi_r"),
+        )
+        .orderBy("month")
+    )

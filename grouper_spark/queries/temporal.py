@@ -1323,3 +1323,117 @@ def q316_cycle_time_percentiles(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+_TB_CAP = 60000000  # 10 tokens, 1 token = 6e6 units (1 unit/us refill)
+_TB_COST = 6000000
+
+
+@query(
+    "q327_token_bucket_replay",
+    oracle=f"""
+WITH d AS (
+  SELECT user_id,
+         {{'ts': ts, 'event_id': event_id, 'u': epoch_us(ts)}} AS s
+  FROM events
+), packed AS (
+  SELECT user_id,
+         list_transform(list_sort(list(s)), x -> x.u) AS times
+  FROM d GROUP BY user_id
+), folded AS (
+  SELECT user_id, len(times) AS n_events,
+         list_reduce(
+           list_prepend(
+             {{'t': CAST({_TB_CAP} AS BIGINT),
+               'last': CAST(-1 AS BIGINT),
+               'thr': CAST(0 AS BIGINT)}},
+             list_transform(times, u ->
+               {{'t': u, 'last': CAST(0 AS BIGINT),
+                 'thr': CAST(0 AS BIGINT)}})),
+           (acc, x) -> {{
+             't': CASE WHEN (CASE WHEN acc.last < 0 THEN {_TB_CAP}
+                        ELSE least({_TB_CAP}, acc.t + (x.t - acc.last))
+                        END) >= {_TB_COST}
+                   THEN (CASE WHEN acc.last < 0 THEN {_TB_CAP}
+                         ELSE least({_TB_CAP}, acc.t + (x.t - acc.last))
+                         END) - {_TB_COST}
+                   ELSE (CASE WHEN acc.last < 0 THEN {_TB_CAP}
+                         ELSE least({_TB_CAP}, acc.t + (x.t - acc.last))
+                         END) END,
+             'last': x.t,
+             'thr': acc.thr + CASE WHEN (CASE WHEN acc.last < 0
+                        THEN {_TB_CAP}
+                        ELSE least({_TB_CAP}, acc.t + (x.t - acc.last))
+                        END) >= {_TB_COST} THEN 0 ELSE 1 END}}) AS st
+  FROM packed
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(st.thr AS BIGINT) AS n_throttled,
+       round(CAST(st.thr AS DOUBLE) / n_events, 6) AS throttle_rate_r
+FROM folded
+ORDER BY user_id
+""",
+    tags=("temporal", "systems"),
+)
+def q327_token_bucket_replay(spark, sf_dir):
+    """Token-bucket rate-limit replay: how many of each user's events
+    WOULD a 10-per-minute limiter (burst 10) have throttled? The
+    capacity-planning question every API team answers before turning a
+    limiter on — replayed exactly, because the bucket recurrence
+    (tokens = min(cap, tokens + refill·gap) − cost, clamped) is the
+    q229 fold pattern with STRUCT state: one key shuffle collects each
+    user's event times in order, and a codegen aggregate lambda
+    threads (tokens, last_ts, throttled) through the sequence —
+    sequential per user as the semantics demand, parallel across
+    users, integer token-units throughout (1 unit = 1 µs of refill at
+    10/min). DuckDB's list_reduce needs acc and element types to
+    match, so the oracle carries timestamps inside the same struct
+    shape — representation differs, the folded answer doesn't."""
+    ev = table(spark, sf_dir, "events")
+    packed = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.unix_micros("ts").alias("u")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("s")),
+                lambda x: x.getField("u"),
+            ).alias("times")
+        )
+    )
+    cap = F.lit(_TB_CAP).cast("bigint")
+    cost = F.lit(_TB_COST).cast("bigint")
+    init = F.struct(
+        cap.alias("t"),
+        F.lit(-1).cast("bigint").alias("last"),
+        F.lit(0).cast("bigint").alias("thr"),
+    )
+
+    def step(acc, u):
+        tt = F.when(acc.getField("last") < 0, cap).otherwise(
+            F.least(cap, acc.getField("t") + (u - acc.getField("last")))
+        )
+        allowed = tt >= cost
+        return F.struct(
+            F.when(allowed, tt - cost).otherwise(tt).alias("t"),
+            u.alias("last"),
+            (
+                acc.getField("thr")
+                + F.when(allowed, F.lit(0)).otherwise(F.lit(1))
+            ).alias("thr"),
+        )
+
+    st = F.aggregate("times", init, step)
+    return packed.select(
+        "user_id",
+        F.size("times").cast("bigint").alias("n_events"),
+        st.getField("thr").cast("bigint").alias("n_throttled"),
+        F.round(
+            st.getField("thr").cast("double") / F.size("times"), 6
+        ).alias("throttle_rate_r"),
+    ).orderBy("user_id")
