@@ -2831,3 +2831,83 @@ def q326_hhi_concentration(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+@query(
+    "q328_cache_coverage_curve",
+    oracle="""
+WITH pop AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT hits,
+         row_number() OVER (ORDER BY hits DESC, l_partkey) AS rk,
+         CAST(SUM(hits) OVER () AS BIGINT) AS total
+  FROM pop
+), spine AS (
+  SELECT CAST(k.k AS BIGINT) AS cache_size
+  FROM (VALUES (10), (50), (100), (500), (1000)) k(k)
+)
+SELECT s.cache_size,
+       CAST(SUM(CASE WHEN r.rk <= s.cache_size THEN r.hits ELSE 0 END)
+            AS BIGINT) AS covered_hits,
+       CAST(MIN(r.total) AS BIGINT) AS total_hits,
+       round(CAST(SUM(CASE WHEN r.rk <= s.cache_size
+                      THEN r.hits ELSE 0 END) AS DOUBLE)
+             / MIN(r.total), 6) AS hit_rate_r
+FROM ranked r CROSS JOIN spine s
+GROUP BY s.cache_size
+ORDER BY s.cache_size
+""",
+    tags=("analytics", "systems"),
+)
+def q328_cache_coverage_curve(spark, sf_dir):
+    """Cache-coverage planning curve: the best possible hit rate of a
+    k-entry cache that pins the k most-accessed parts, for five
+    candidate sizes — the stationary upper bound (perfect LFU) every
+    cache sizing discussion should start from, because if the top-500
+    items only cover 40% of accesses, no eviction policy saves you and
+    the budget belongs elsewhere. Popularity ranks come from one
+    grouped pass + a deterministic rank window over the item summary;
+    all five cache sizes evaluate against the same ranked table via a
+    broadcast spine (the q289/q293 one-pass-many-cutoffs pattern). The
+    knee of this curve is the cache size worth paying for."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    pop = li.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("hits")
+    )
+    w = Window.orderBy(F.col("hits").desc(), "l_partkey")
+    wt = Window.partitionBy()
+    ranked = pop.select(
+        "hits",
+        F.row_number().over(w).alias("rk"),
+        F.sum("hits").over(wt).cast("bigint").alias("total"),
+    )
+    spine = spark.createDataFrame(
+        [(10,), (50,), (100,), (500,), (1000,)], "cache_size bigint"
+    )
+    covered = F.sum(
+        F.when(F.col("rk") <= F.col("cache_size"), F.col("hits")).otherwise(
+            0
+        )
+    ).cast("bigint")
+    return (
+        ranked.crossJoin(F.broadcast(spine))
+        .groupBy("cache_size")
+        .agg(
+            covered.alias("covered_hits"),
+            F.min("total").cast("bigint").alias("total_hits"),
+        )
+        .select(
+            "cache_size",
+            "covered_hits",
+            "total_hits",
+            F.round(
+                F.col("covered_hits").cast("double") / F.col("total_hits"),
+                6,
+            ).alias("hit_rate_r"),
+        )
+        .orderBy("cache_size")
+    )

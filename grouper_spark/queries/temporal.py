@@ -1437,3 +1437,116 @@ def q327_token_bucket_replay(spark, sf_dir):
             st.getField("thr").cast("double") / F.size("times"), 6
         ).alias("throttle_rate_r"),
     ).orderBy("user_id")
+
+
+@query(
+    "q329_poisson_fit_gof",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+  FROM lineitem GROUP BY l_orderkey
+), fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(k) AS BIGINT) AS sk
+  FROM per_order
+), obs AS (
+  SELECT LEAST(k, CAST(9 AS BIGINT)) AS kbin,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM per_order GROUP BY kbin
+), expected AS (
+  SELECT g.g AS kbin,
+         CAST(ROUND(
+           exp(-(CAST(f.sk AS DOUBLE) / f.n))
+           * pow(CAST(f.sk AS DOUBLE) / f.n, g.g)
+           / (CASE g.g WHEN 0 THEN 1.0 WHEN 1 THEN 1.0 WHEN 2 THEN 2.0
+              WHEN 3 THEN 6.0 WHEN 4 THEN 24.0 WHEN 5 THEN 120.0
+              WHEN 6 THEN 720.0 WHEN 7 THEN 5040.0
+              WHEN 8 THEN 40320.0 ELSE 362880.0 END)
+           * f.n * 1000000.0, 0) AS BIGINT) AS e_micro
+  FROM generate_series(0, 9) g(g) CROSS JOIN fit f
+), terms AS (
+  SELECT e.kbin,
+         CAST(COALESCE(o.o, 0) AS BIGINT) AS o,
+         e.e_micro,
+         CAST(ROUND(
+           (CAST(COALESCE(o.o, 0) AS DOUBLE)
+            - CAST(e.e_micro AS DOUBLE) / 1000000.0)
+           * (CAST(COALESCE(o.o, 0) AS DOUBLE)
+              - CAST(e.e_micro AS DOUBLE) / 1000000.0)
+           / (CAST(e.e_micro AS DOUBLE) / 1000000.0)
+           * 1000000.0, 0) AS BIGINT) AS chi_micro
+  FROM expected e LEFT JOIN obs o ON o.kbin = e.kbin
+)
+SELECT CAST((SELECT n FROM fit) AS BIGINT) AS n_orders,
+       round(CAST((SELECT sk FROM fit) AS DOUBLE)
+             / (SELECT n FROM fit), 6) AS lambda_r,
+       round(CAST(SUM(chi_micro) AS DOUBLE) / 1000000.0, 4) AS chi2_r
+FROM terms
+""",
+    tags=("temporal", "stats"),
+)
+def q329_poisson_fit_gof(spark, sf_dir):
+    """Poisson fit + chi-square goodness-of-fit for lines-per-order —
+    q295's exponential check for COUNT data: the MLE rate is the exact
+    mean, expected bin masses e^-λ λ^k/k! use hardcoded factorials
+    (k <= 9, tail collapsed into the last bin so expectations stay
+    comparable) and round to micro-units per bin, and the Pearson
+    statistic sums micro-fixed per-bin terms — zero-observation bins
+    included via the left join, exactly where a naive inner join would
+    silently understate the discrepancy. Verdict reading: lines per
+    order is NOT Poisson if chi2 blows past ~16.9 (df=8) — the check
+    that stops teams from using Poisson math on clearly non-Poisson
+    order sizes. One grouped pass; statistics on a 10-row bin table."""
+    li = table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("k")
+    ).localCheckpoint(eager=False)
+    fit = per_order.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+    )
+    obs = per_order.groupBy(
+        F.least(F.col("k"), F.lit(9).cast("bigint")).alias("kbin")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    facts = [1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0, 40320.0, 362880.0]
+    spine = spark.createDataFrame([(k,) for k in range(10)], "kbin bigint")
+    lam = F.col("sk").cast("double") / F.col("n")
+    fact = None
+    for k, fv in enumerate(facts):
+        c = F.when(F.col("kbin") == k, F.lit(fv))
+        fact = c if fact is None else fact.when(F.col("kbin") == k, F.lit(fv))
+    fact = fact.otherwise(F.lit(362880.0))
+    expected = (
+        spine.crossJoin(F.broadcast(fit))
+        .select(
+            "kbin",
+            F.round(
+                F.exp(-lam)
+                * F.pow(lam, F.col("kbin").cast("double"))
+                / fact
+                * F.col("n")
+                * 1000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("e_micro"),
+        )
+    )
+    e_val = F.col("e_micro").cast("double") / 1e6
+    o_val = F.coalesce(F.col("o"), F.lit(0)).cast("double")
+    terms = expected.join(obs, "kbin", "left").select(
+        F.round((o_val - e_val) * (o_val - e_val) / e_val * 1e6, 0)
+        .cast("bigint")
+        .alias("chi_micro")
+    )
+    chi = terms.agg(
+        F.round(F.sum("chi_micro").cast("double") / 1e6, 4).alias("chi2_r")
+    )
+    return (
+        fit.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.round(lam, 6).alias("lambda_r"),
+            "chi2_r",
+        )
+    )
