@@ -501,3 +501,128 @@ def q303_consistent_hashing_audit(spark, sf_dir):
             F.sum(moved_mod).cast("double") / F.count("*"), 6
         ).alias("mod_moved_frac_r"),
     )
+
+
+_KMV_K = 64
+
+
+@query(
+    "q330_bottomk_distinct_sketch",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5('kmv|' || array_to_string(list_slice(
+            string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')),
+            1, 15))::BIGINT AS h
+  FROM documents,
+       unnest(generate_series(1, len(string_split_regex(trim(text),
+              '\\s+')) - 2)) t(i)
+), exact AS (
+  SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact FROM sh
+), direct_k AS (
+  SELECT h FROM (SELECT DISTINCT h FROM sh) ORDER BY h LIMIT {_KMV_K}
+), direct AS (
+  SELECT CAST(MAX(h) AS BIGINT) AS kth FROM direct_k
+), per_source_k AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+  FROM (SELECT DISTINCT source, h FROM sh)
+), merged_k AS (
+  SELECT h FROM (SELECT DISTINCT h FROM per_source_k
+                 WHERE rk <= {_KMV_K})
+  ORDER BY h LIMIT {_KMV_K}
+), merged AS (
+  SELECT CAST(MAX(h) AS BIGINT) AS kth FROM merged_k
+)
+SELECT e.n_exact,
+       CAST(d.kth AS BIGINT) AS kth_direct,
+       CAST(m.kth AS BIGINT) AS kth_merged,
+       CAST(CASE WHEN d.kth = m.kth THEN 1 ELSE 0 END AS INT)
+         AS merge_exactness,
+       round(({_KMV_K} - 1.0)
+             / (CAST(d.kth AS DOUBLE) / 1152921504606846976.0), 6)
+         AS est_distinct_r,
+       round((({_KMV_K} - 1.0)
+              / (CAST(d.kth AS DOUBLE) / 1152921504606846976.0)
+              - e.n_exact) / e.n_exact, 6) AS rel_err_r
+FROM exact e CROSS JOIN direct d CROSS JOIN merged m
+""",
+    tags=("indexing", "sketch", "eval"),
+)
+def q330_bottomk_distinct_sketch(spark, sf_dir):
+    """Bottom-k (KMV) distinct-count sketch — the mergeable
+    cardinality sketch that, unlike HLL (q123, rows-only forever), IS
+    oracle-checkable, because its state is just the k smallest hash
+    values: deterministic integers any engine reproduces. Three
+    claims proven in one query: the estimate (k-1)/normalized-kth-min
+    lands near the exact distinct shingle count (rel_err shown); the
+    sketch MERGES exactly — per-source bottom-64 lists unioned and
+    re-truncated yield bit-identically the direct global bottom-64
+    (merge_exactness = 1, the property that makes per-partition
+    sketches roll up losslessly); and all of it costs one distinct
+    shuffle + k-row windows. At 100 TB this is the
+    distinct-count-with-audit-trail alternative to HLL when you need
+    to EXPLAIN the estimate to someone."""
+    from pyspark.sql import Window
+
+    from ..functions.text import word_shingles
+    from ..operators.core import ensure_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        ensure_parallelism(d)
+        .select(
+            "source",
+            F.explode_outer(word_shingles("text", 3)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .select(
+            "source",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv|"), F.col("shingle"))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hs = sh.select("h").distinct().localCheckpoint(eager=False)
+    exact = hs.agg(F.count("*").cast("bigint").alias("n_exact"))
+    direct = (
+        hs.orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").cast("bigint").alias("kth_direct"))
+    )
+    wsrc = Window.partitionBy("source").orderBy("h")
+    merged = (
+        sh.withColumn("rk", F.row_number().over(wsrc))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").cast("bigint").alias("kth_merged"))
+    )
+    scale = float(1 << 60)
+    est = (_KMV_K - 1.0) / (F.col("kth_direct").cast("double") / scale)
+    return (
+        exact.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "n_exact",
+            "kth_direct",
+            "kth_merged",
+            (F.col("kth_direct") == F.col("kth_merged"))
+            .cast("int")
+            .alias("merge_exactness"),
+            F.round(est, 6).alias("est_distinct_r"),
+            F.round(
+                (est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err_r"),
+        )
+    )
