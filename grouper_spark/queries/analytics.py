@@ -2911,3 +2911,143 @@ def q328_cache_coverage_curve(spark, sf_dir):
         )
         .orderBy("cache_size")
     )
+
+
+@query(
+    "q333_qq_comparison",
+    oracle="""
+WITH subj AS (
+  SELECT CAST(('0x' || substr(md5('qq|' || CAST(user_id AS VARCHAR)),
+                              1, 8))::BIGINT % 2 AS INT) AS arm,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), qs AS (
+  SELECT CAST(1 AS INT) AS decile,
+         round(quantile_cont(CASE WHEN arm = 0 THEN v END,
+                             0.1) / 100.0, 6) AS q_a_r,
+         round(quantile_cont(CASE WHEN arm = 1 THEN v END,
+                             0.1) / 100.0, 6) AS q_b_r
+  FROM subj
+  UNION ALL
+  SELECT CAST(2 AS INT) AS decile,
+         round(quantile_cont(CASE WHEN arm = 0 THEN v END,
+                             0.2) / 100.0, 6) AS q_a_r,
+         round(quantile_cont(CASE WHEN arm = 1 THEN v END,
+                             0.2) / 100.0, 6) AS q_b_r
+  FROM subj
+  UNION ALL
+  SELECT CAST(3 AS INT) AS decile,
+         round(quantile_cont(CASE WHEN arm = 0 THEN v END,
+                             0.3) / 100.0, 6) AS q_a_r,
+         round(quantile_cont(CASE WHEN arm = 1 THEN v END,
+                             0.3) / 100.0, 6) AS q_b_r
+  FROM subj
+  UNION ALL
+  SELECT CAST(4 AS INT) AS decile,
+         round(quantile_cont(CASE WHEN arm = 0 THEN v END,
+                             0.4) / 100.0, 6) AS q_a_r,
+         round(quantile_cont(CASE WHEN arm = 1 THEN v END,
+                             0.4) / 100.0, 6) AS q_b_r
+  FROM subj
+  UNION ALL
+  SELECT CAST(5 AS INT) AS decile,
+         round(quantile_cont(CASE WHEN arm = 0 THEN v END,
+                             0.5) / 100.0, 6) AS q_a_r,
+         round(quantile_cont(CASE WHEN arm = 1 THEN v END,
+                             0.5) / 100.0, 6) AS q_b_r
+  FROM subj
+  UNION ALL
+  SELECT CAST(6 AS INT) AS decile,
+         round(quantile_cont(CASE WHEN arm = 0 THEN v END,
+                             0.6) / 100.0, 6) AS q_a_r,
+         round(quantile_cont(CASE WHEN arm = 1 THEN v END,
+                             0.6) / 100.0, 6) AS q_b_r
+  FROM subj
+  UNION ALL
+  SELECT CAST(7 AS INT) AS decile,
+         round(quantile_cont(CASE WHEN arm = 0 THEN v END,
+                             0.7) / 100.0, 6) AS q_a_r,
+         round(quantile_cont(CASE WHEN arm = 1 THEN v END,
+                             0.7) / 100.0, 6) AS q_b_r
+  FROM subj
+  UNION ALL
+  SELECT CAST(8 AS INT) AS decile,
+         round(quantile_cont(CASE WHEN arm = 0 THEN v END,
+                             0.8) / 100.0, 6) AS q_a_r,
+         round(quantile_cont(CASE WHEN arm = 1 THEN v END,
+                             0.8) / 100.0, 6) AS q_b_r
+  FROM subj
+  UNION ALL
+  SELECT CAST(9 AS INT) AS decile,
+         round(quantile_cont(CASE WHEN arm = 0 THEN v END,
+                             0.9) / 100.0, 6) AS q_a_r,
+         round(quantile_cont(CASE WHEN arm = 1 THEN v END,
+                             0.9) / 100.0, 6) AS q_b_r
+  FROM subj
+)
+SELECT decile, q_a_r, q_b_r,
+       round(q_b_r - q_a_r, 6) AS shift_r
+FROM qs ORDER BY decile
+""",
+    tags=("analytics", "stats", "eval"),
+)
+def q333_qq_comparison(spark, sf_dir):
+    """Quantile-quantile comparison table between two md5 arms'
+    purchase values — the distribution-level treatment readout that
+    shows WHERE an effect lives (a uniform shift_r column is a level
+    effect; growth only in the top deciles is a whales-only effect
+    that the mean would misattribute to everyone; crossing signs are
+    the heterogeneity alarm). Nine matched exact interpolated deciles
+    per arm from one grouped pass over fixed-point cents (conditional
+    quantiles share the scan — no per-arm re-read), with per-decile
+    shift as the deliverable column. Complements q233's Mann-Whitney:
+    that tests IF distributions differ, this table shows HOW."""
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qq|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    subj = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        arm.alias("arm"),
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v"),
+    )
+    va = F.when(F.col("arm") == 0, F.col("v"))
+    vb = F.when(F.col("arm") == 1, F.col("v"))
+    aggs = []
+    for d in range(1, 10):
+        aggs.append(
+            F.round(F.percentile(va, F.lit(d / 10.0)) / 100.0, 6).alias(
+                f"qa{d}"
+            )
+        )
+        aggs.append(
+            F.round(F.percentile(vb, F.lit(d / 10.0)) / 100.0, 6).alias(
+                f"qb{d}"
+            )
+        )
+    one = subj.agg(*aggs)
+    stack = ", ".join(
+        f"{d}, qa{d}, qb{d}" for d in range(1, 10)
+    )
+    return (
+        one.selectExpr(
+            f"stack(9, {stack}) AS (decile, q_a_r, q_b_r)"
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "q_a_r",
+            "q_b_r",
+            F.round(F.col("q_b_r") - F.col("q_a_r"), 6).alias("shift_r"),
+        )
+        .orderBy("decile")
+    )

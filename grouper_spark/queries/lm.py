@@ -1058,3 +1058,74 @@ def q300_lm_perplexity_holdout(spark, sf_dir):
             4,
         ).alias("perplexity_r"),
     )
+
+
+@query(
+    "q331_vocab_churn",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT
+         CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS half,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), flags AS (
+  SELECT token,
+         MAX(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS in0,
+         MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in1
+  FROM tok WHERE token <> '' GROUP BY token
+)
+SELECT CAST(SUM(in0) AS BIGINT) AS vocab_a,
+       CAST(SUM(in1) AS BIGINT) AS vocab_b,
+       CAST(SUM(in0 * in1) AS BIGINT) AS n_retained,
+       CAST(SUM(in1 * (1 - in0)) AS BIGINT) AS n_gained,
+       CAST(SUM(in0 * (1 - in1)) AS BIGINT) AS n_lost,
+       round(CAST(SUM(in0 * in1) AS DOUBLE)
+             / (SUM(in0) + SUM(in1) - SUM(in0 * in1)), 6)
+         AS vocab_jaccard_r
+FROM flags
+""",
+    tags=("lm", "monitoring"),
+)
+def q331_vocab_churn(spark, sf_dir):
+    """Vocabulary churn between two corpus slices (even vs odd doc
+    ids, standing in for release N vs N+1): retained, gained, and
+    lost token counts plus the vocabulary Jaccard — the cheap early
+    alarm for distribution drift that token-level statistics catch
+    before any model metric moves (a tokenizer's OOV rate next
+    release is exactly this query's n_gained mass). One distinct
+    (half, token) collapse, one membership-flag aggregate — the q244
+    full-outer flag pattern done with conditional MAX on a single
+    grouped pass instead of a join, because both sides live in one
+    stream. Pure counts, nothing float until the final ratio."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            (F.col("doc_id") % 2).cast("int").alias("half"),
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    flags = tok.groupBy("token").agg(
+        F.max(F.when(F.col("half") == 0, 1).otherwise(0)).alias("in0"),
+        F.max(F.when(F.col("half") == 1, 1).otherwise(0)).alias("in1"),
+    )
+    shared = F.sum(F.col("in0") * F.col("in1"))
+    return flags.agg(
+        F.sum("in0").cast("bigint").alias("vocab_a"),
+        F.sum("in1").cast("bigint").alias("vocab_b"),
+        shared.cast("bigint").alias("n_retained"),
+        F.sum(F.col("in1") * (1 - F.col("in0")))
+        .cast("bigint")
+        .alias("n_gained"),
+        F.sum(F.col("in0") * (1 - F.col("in1")))
+        .cast("bigint")
+        .alias("n_lost"),
+        F.round(
+            shared.cast("double")
+            / (F.sum("in0") + F.sum("in1") - shared),
+            6,
+        ).alias("vocab_jaccard_r"),
+    )

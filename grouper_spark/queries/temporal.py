@@ -1550,3 +1550,77 @@ def q329_poisson_fit_gof(spark, sf_dir):
             "chi2_r",
         )
     )
+
+
+@query(
+    "q332_backlog_simulation",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS arrivals
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01'
+  GROUP BY day
+), packed AS (
+  SELECT list_transform(list_sort(list({'d': day, 'a': arrivals})),
+                        x -> x.a) AS arr,
+         list_transform(list_sort(list({'d': day, 'a': arrivals})),
+                        x -> x.d) AS days
+  FROM daily
+), folded AS (
+  SELECT days, arr,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+           (acc, x) -> greatest(CAST(0 AS BIGINT),
+                                acc + x - 95)) AS final_backlog,
+         len(arr) AS n_days
+  FROM packed
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(list_sum(arr) AS BIGINT) AS total_arrivals,
+       CAST(final_backlog AS BIGINT) AS final_backlog,
+       CAST(CASE WHEN final_backlog > 0 THEN 1 ELSE 0 END AS INT)
+         AS under_capacity
+FROM folded
+""",
+    tags=("temporal", "systems", "ops"),
+)
+def q332_backlog_simulation(spark, sf_dir):
+    """Capacity backlog replay: feed the real daily order arrivals
+    through a fixed service capacity (95 orders/day) and fold the
+    Lindley recurrence backlog = max(0, backlog + arrivals − capacity)
+    across the calendar — the queueing question ("does this capacity
+    ever drown?") answered on actual demand instead of an M/M/1
+    assumption. Same codegen fold machinery as q229/q327, applied to
+    the DAY SUMMARY, so the sequential part is 240-odd elements no
+    matter how many orders arrived; capacity sweeps would broadcast a
+    spine exactly like q293. A non-zero final backlog is the
+    under-provisioning verdict."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            F.col("o_orderdate").cast("date")
+            >= F.lit("2001-01-01").cast("date")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("arrivals"))
+    )
+    packed = daily.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("day", F.col("arrivals").alias("a")))
+            ),
+            lambda x: x.getField("a"),
+        ).alias("arr")
+    )
+    zero = F.lit(0).cast("bigint")
+    backlog = F.aggregate(
+        "arr", zero, lambda acc, x: F.greatest(zero, acc + x - 95)
+    )
+    return packed.select(
+        F.size("arr").cast("bigint").alias("n_days"),
+        F.aggregate("arr", zero, lambda a, x: a + x)
+        .cast("bigint")
+        .alias("total_arrivals"),
+        backlog.cast("bigint").alias("final_backlog"),
+        (backlog > 0).cast("int").alias("under_capacity"),
+    )
