@@ -3051,3 +3051,74 @@ def q333_qq_comparison(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q335_trending_scores",
+    oracle="""
+WITH hits AS (
+  SELECT l.l_partkey,
+         CAST(DATE '2001-09-01' - CAST(o.o_orderdate AS DATE) AS BIGINT)
+           AS age_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE CAST(o.o_orderdate AS DATE) >= DATE '2001-06-01'
+), scored AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(SUM(CAST(ROUND(exp(-CAST(age_days AS DOUBLE) / 14.0
+                                 * 0.693147)
+                             * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS score_micro
+  FROM hits GROUP BY l_partkey
+)
+SELECT l_partkey, n_hits,
+       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score_r
+FROM scored
+ORDER BY score_micro DESC, l_partkey
+LIMIT 25
+""",
+    tags=("analytics", "ranking"),
+)
+def q335_trending_scores(spark, sf_dir):
+    """Half-life trending ranking: each part's recent order lines
+    weighted by exp(-age·ln2/14) — a 14-day half-life, the decay that
+    makes "trending" mean ACCELERATING rather than merely popular (a
+    steady seller and a spiking item with equal 90-day volume diverge
+    immediately; compare q328's static popularity ranks). Decay
+    weights are deterministic per integer age-day and micro-fixed
+    BEFORE the per-item sum, so the ranking key is an exact BIGINT —
+    no float-accumulation ranking instability at the top-25 cutoff.
+    One fact join restricted by the recency filter (pushed to the
+    scan), one grouped pass, TakeOrdered for the leaderboard."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    ref = F.lit("2001-09-01").cast("date")
+    hits = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("od") >= F.lit("2001-06-01").cast("date"))
+        .select(
+            "l_partkey", F.datediff(ref, F.col("od")).cast("bigint").alias("age_days")
+        )
+    )
+    w = F.round(
+        F.exp(-F.col("age_days").cast("double") / 14.0 * 0.693147)
+        * 1000000.0,
+        0,
+    ).cast("bigint")
+    scored = hits.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.sum(w).cast("bigint").alias("score_micro"),
+    )
+    return (
+        scored.select(
+            "l_partkey",
+            "n_hits",
+            F.round(
+                F.col("score_micro").cast("double") / 1e6, 6
+            ).alias("score_r"),
+        )
+        .orderBy(F.col("score_r").desc(), "l_partkey")
+        .limit(25)
+    )

@@ -2762,3 +2762,72 @@ def q323_difference_in_differences(spark, sf_dir):
         ).alias("did_r"),
         F.round(F.sqrt(var_t / nt + var_c / nc) / 100.0, 6).alias("se_r"),
     )
+
+
+_DRIFT_COLS = ("o_totalprice", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "q334_profile_drift",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(COUNT(DISTINCT CASE WHEN CAST(o_orderdate AS DATE)
+                < DATE '1998-01-01' THEN {c} END) AS BIGINT) AS nd_a,
+       CAST(COUNT(DISTINCT CASE WHEN CAST(o_orderdate AS DATE)
+                >= DATE '1998-01-01' THEN {c} END) AS BIGINT) AS nd_b,
+       CAST(SUM(CASE WHEN {c} IS NULL
+                 AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT) AS nulls_a,
+       CAST(SUM(CASE WHEN {c} IS NULL
+                 AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT) AS nulls_b
+FROM orders"""
+        for c in _DRIFT_COLS
+    )
+    + "\nORDER BY col_name",
+    tags=("monitoring", "profile"),
+)
+def q334_profile_drift(spark, sf_dir):
+    """Column-profile drift between two periods — the schema-health
+    diff a pipeline runs on every release boundary: per column, row
+    counts, exact distinct cardinalities, and null counts for the
+    before/after slices side by side, so a silently-narrowed enum
+    (nd_b << nd_a), a null-rate regression, or a cardinality explosion
+    surfaces as a one-line diff instead of a downstream model mystery.
+    All three columns profile in conditional aggregates over ONE
+    orders scan per column-row (q110's single-pass profiler split
+    across a time boundary); at lake scale the distinct counts swap to
+    the q330 bottom-k sketch with the same report shape."""
+    o = table(spark, sf_dir, "orders")
+    is_a = F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast(
+        "date"
+    )
+    rows = []
+    for c in _DRIFT_COLS:
+        rows.append(
+            o.agg(
+                F.lit(c).alias("col_name"),
+                F.sum(is_a.cast("int")).cast("bigint").alias("n_a"),
+                F.sum((~is_a).cast("int")).cast("bigint").alias("n_b"),
+                F.count_distinct(F.when(is_a, F.col(c)))
+                .cast("bigint")
+                .alias("nd_a"),
+                F.count_distinct(F.when(~is_a, F.col(c)))
+                .cast("bigint")
+                .alias("nd_b"),
+                F.sum((F.col(c).isNull() & is_a).cast("int"))
+                .cast("bigint")
+                .alias("nulls_a"),
+                F.sum((F.col(c).isNull() & ~is_a).cast("int"))
+                .cast("bigint")
+                .alias("nulls_b"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("col_name")
