@@ -3122,3 +3122,85 @@ def q335_trending_scores(spark, sf_dir):
         .orderBy(F.col("score_r").desc(), "l_partkey")
         .limit(25)
     )
+
+
+@query(
+    "q336_decile_migration",
+    oracle="""
+WITH monthly AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01'
+  GROUP BY o_custkey, month
+), tiered AS (
+  SELECT o_custkey, month,
+         ntile(4) OVER (PARTITION BY month
+                        ORDER BY cents, o_custkey) AS tier
+  FROM monthly
+), moves AS (
+  SELECT a.tier AS tier_from, b.tier AS tier_to
+  FROM tiered a
+  JOIN tiered b ON b.o_custkey = a.o_custkey
+                AND b.month = a.month + INTERVAL 1 MONTH
+)
+SELECT CAST(tier_from AS INT) AS tier_from,
+       CAST(tier_to AS INT) AS tier_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM moves GROUP BY tier_from, tier_to
+ORDER BY tier_from, tier_to
+""",
+    tags=("analytics", "crm"),
+)
+def q336_decile_migration(spark, sf_dir):
+    """Value-tier migration matrix: customers bucketed into monthly
+    spend quartiles, counted by (tier this month → tier next month) —
+    the CRM mobility table that distinguishes a healthy base (heavy
+    diagonal) from churn-and-burn (mass flowing off the top tier).
+    Deterministic ntile per month over (cents, custkey); the
+    month-to-month self-join runs on the customer-month SUMMARY (one
+    row per active customer per month), so the matrix costs one
+    grouped pass, one windowed tiering, and a summary-sized join —
+    never touching the order log twice. Customers absent next month
+    simply don't pair (q324's growth accounting counts those)."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.filter(
+            F.col("o_orderdate").cast("date")
+            >= F.lit("2001-01-01").cast("date")
+        )
+        .groupBy(
+            "o_custkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("month").orderBy("cents", "o_custkey")
+    tiered = monthly.select(
+        "o_custkey", "month", F.ntile(4).over(w).alias("tier")
+    ).localCheckpoint(eager=False)
+    a = tiered.select(
+        "o_custkey", "month", F.col("tier").alias("tier_from")
+    )
+    b = tiered.select(
+        "o_custkey",
+        F.add_months(F.col("month"), -1).alias("month"),
+        F.col("tier").alias("tier_to"),
+    )
+    return (
+        a.join(b, ["o_custkey", "month"])
+        .groupBy(
+            F.col("tier_from").cast("int").alias("tier_from"),
+            F.col("tier_to").cast("int").alias("tier_to"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("tier_from", "tier_to")
+    )

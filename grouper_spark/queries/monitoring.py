@@ -2831,3 +2831,137 @@ def q334_profile_drift(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("col_name")
+
+
+@query(
+    "q337_bunching_audit",
+    oracle="""
+WITH binned AS (
+  SELECT CAST(ROUND(o_totalprice, 0) AS BIGINT) // 1000 AS kbin
+  FROM orders
+  WHERE o_totalprice >= 90000.0 AND o_totalprice < 110000.0
+), counts AS (
+  SELECT kbin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY kbin
+), sides AS (
+  SELECT CAST(SUM(CASE WHEN kbin < 100 THEN c ELSE 0 END) AS BIGINT)
+           AS below,
+         CAST(SUM(CASE WHEN kbin >= 100 THEN c ELSE 0 END) AS BIGINT)
+           AS above
+  FROM counts
+)
+SELECT below, above,
+       round(CAST(below - above AS DOUBLE)
+             / sqrt(CAST(below + above AS DOUBLE)), 6) AS z_r,
+       CAST(CASE WHEN abs(CAST(below - above AS DOUBLE)
+                          / sqrt(CAST(below + above AS DOUBLE))) > 1.96
+            THEN 1 ELSE 0 END AS INT) AS bunching_flag
+FROM sides
+""",
+    tags=("monitoring", "forensics"),
+)
+def q337_bunching_audit(spark, sf_dir):
+    """Threshold-bunching audit (the McCrary density test's discrete
+    core): are order totals piling up just BELOW a round 100k
+    threshold — the signature of values being manipulated to stay
+    under an approval limit, a discount cliff, or a reporting trigger?
+    Compare mass in the window just below vs just above; under the
+    no-manipulation null the split is symmetric and (below-above)/
+    sqrt(n) is a standard normal. Pure integer bin counts (q218's
+    Benford forensic cousin, localized to a known policy threshold);
+    the window filter pushes to the scan, so the audit reads only the
+    rows near the threshold at any scale."""
+    o = table(spark, sf_dir, "orders")
+    near = o.filter(
+        (F.col("o_totalprice") >= 90000.0)
+        & (F.col("o_totalprice") < 110000.0)
+    )
+    below = F.sum(
+        (F.round(F.col("o_totalprice"), 0) < 100000).cast("int")
+    ).cast("bigint")
+    above = F.sum(
+        (F.round(F.col("o_totalprice"), 0) >= 100000).cast("int")
+    ).cast("bigint")
+    sides = near.agg(below.alias("below"), above.alias("above"))
+    z = (F.col("below") - F.col("above")).cast("double") / F.sqrt(
+        (F.col("below") + F.col("above")).cast("double")
+    )
+    return sides.select(
+        "below",
+        "above",
+        F.round(z, 6).alias("z_r"),
+        (F.abs(z) > 1.96).cast("int").alias("bunching_flag"),
+    )
+
+
+@query(
+    "q338_p_chart",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors
+  FROM events GROUP BY day
+), center AS (
+  SELECT CAST(SUM(errors) AS BIGINT) AS te,
+         CAST(SUM(n) AS BIGINT) AS tn
+  FROM daily
+)
+SELECT d.day, d.n, d.errors,
+       round(CAST(d.errors AS DOUBLE) / d.n, 6) AS p_r,
+       round(CAST(c.te AS DOUBLE) / c.tn, 6) AS pbar_r,
+       round(CAST(c.te AS DOUBLE) / c.tn
+             + 3.0 * sqrt((CAST(c.te AS DOUBLE) / c.tn)
+                          * (1.0 - CAST(c.te AS DOUBLE) / c.tn)
+                          / d.n), 6) AS ucl_r,
+       CAST(CASE WHEN CAST(d.errors AS DOUBLE) / d.n
+                 > CAST(c.te AS DOUBLE) / c.tn
+                   + 3.0 * sqrt((CAST(c.te AS DOUBLE) / c.tn)
+                                * (1.0 - CAST(c.te AS DOUBLE) / c.tn)
+                                / d.n)
+            THEN 1 ELSE 0 END AS INT) AS ooc_flag
+FROM daily d CROSS JOIN center c
+ORDER BY d.day
+""",
+    tags=("monitoring", "spc"),
+)
+def q338_p_chart(spark, sf_dir):
+    """Shewhart p-chart for the daily error rate — classical SPC
+    (statistical process control) joining the monitoring battery:
+    each day's error PROPORTION against binomial 3-sigma control
+    limits around the pooled center line, with per-day limits that
+    correctly WIDEN on low-volume days (the thing a fixed-threshold
+    alert gets wrong, paging on quiet-day noise while missing
+    busy-day shifts). Exact integer counts in; the center line and
+    limits are closed-form doubles from two aggregates over the day
+    summary. Where q125's z-scores flag VOLUME anomalies and q166's
+    CUSUM localizes a drift, the p-chart governs a RATE with
+    volume-aware limits — the third classic chart, completing the
+    set."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("bigint")
+        .alias("errors"),
+    )
+    center = daily.agg(
+        F.sum("errors").cast("bigint").alias("te"),
+        F.sum("n").cast("bigint").alias("tn"),
+    )
+    pbar = F.col("te").cast("double") / F.col("tn")
+    p = F.col("errors").cast("double") / F.col("n")
+    ucl = pbar + 3.0 * F.sqrt(pbar * (1.0 - pbar) / F.col("n"))
+    return (
+        daily.crossJoin(F.broadcast(center))
+        .select(
+            "day",
+            "n",
+            "errors",
+            F.round(p, 6).alias("p_r"),
+            F.round(pbar, 6).alias("pbar_r"),
+            F.round(ucl, 6).alias("ucl_r"),
+            (p > ucl).cast("int").alias("ooc_flag"),
+        )
+        .orderBy("day")
+    )
