@@ -3204,3 +3204,90 @@ def q336_decile_migration(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_customers"))
         .orderBy("tier_from", "tier_to")
     )
+
+
+@query(
+    "q339_budget_pacing",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01'
+  GROUP BY day
+), spine AS (
+  SELECT day, cents,
+         row_number() OVER (ORDER BY day) AS day_no,
+         CAST(SUM(cents) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents,
+         CAST(SUM(cents) OVER () AS BIGINT) AS total_cents,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+  FROM daily
+)
+SELECT day, cum_cents,
+       CAST(total_cents * day_no // n_days AS BIGINT) AS budget_cents,
+       CAST(cum_cents - total_cents * day_no // n_days AS BIGINT)
+         AS variance_cents,
+       round(CAST(cum_cents AS DOUBLE)
+             / (CAST(total_cents AS DOUBLE) * day_no / n_days), 6)
+         AS pacing_r
+FROM spine ORDER BY day
+""",
+    tags=("analytics", "finance", "ops"),
+)
+def q339_budget_pacing(spark, sf_dir):
+    """Budget burn-down pacing: cumulative spend against a
+    straight-line budget that exhausts the period total on the last
+    day — the FinOps/marketing pacing chart whose pacing_r > 1 means
+    "burning hot, will exhaust early". Using the realized total as
+    the budget makes the chart self-normalizing (the END is on-pace
+    by construction; the PATH shows front- or back-loading), which is
+    how pacing reviews actually read it. Running sums and the linear
+    benchmark are windows over the day summary; integer division for
+    the budget line so both engines floor identically. One grouped
+    pass, calendar-sized windows."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            F.col("o_orderdate").cast("date")
+            >= F.lit("2001-01-01").cast("date")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    spine = daily.select(
+        "day",
+        F.row_number().over(w).alias("day_no"),
+        F.sum("cents").over(wc).cast("bigint").alias("cum_cents"),
+        F.sum("cents").over(wall).cast("bigint").alias("total_cents"),
+        F.count("*").over(wall).cast("bigint").alias("n_days"),
+    )
+    budget = F.expr("total_cents * day_no div n_days").cast("bigint")
+    return spine.select(
+        "day",
+        "cum_cents",
+        budget.alias("budget_cents"),
+        (F.col("cum_cents") - budget).cast("bigint").alias("variance_cents"),
+        F.round(
+            F.col("cum_cents").cast("double")
+            / (
+                F.col("total_cents").cast("double")
+                * F.col("day_no")
+                / F.col("n_days")
+            ),
+            6,
+        ).alias("pacing_r"),
+    ).orderBy("day")

@@ -1075,3 +1075,94 @@ def q297_knn_classifier_eval(spark, sf_dir):
         )
         .orderBy("true_label")
     )
+
+
+@query(
+    "q340_first_relevant_rank",
+    oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS nlabel,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                    DESC, b.vec_id) AS rk
+  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < 50
+), firsts AS (
+  SELECT qid, qlabel, MIN(rk) AS first_rank
+  FROM pairs WHERE nlabel = qlabel
+  GROUP BY qid, qlabel
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(CAST(SUM(CAST(ROUND(1000000.0 / first_rank, 0) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mrr_r,
+       round(quantile_cont(first_rank, 0.5), 6) AS median_rank_r,
+       CAST(SUM(CASE WHEN first_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top1
+FROM firsts
+""",
+    tags=("similarity", "eval", "ranking"),
+)
+def q340_first_relevant_rank(spark, sf_dir):
+    """Mean reciprocal rank of the first same-label neighbor — the IR
+    evaluation (MRR, median first-relevant rank, top-1 hit count) for
+    the embedding retrieval stack, with label agreement as relevance:
+    where q297 grades the MAJORITY of the neighborhood, MRR grades
+    how FAST the first relevant result arrives — the metric that
+    matches a user who stops at the first good hit. Neighbor order
+    uses the 6-dp rounded-cosine contract with id tie-break;
+    reciprocal ranks are micro-fixed per query before the mean (exact
+    rationals of integer ranks), so MRR is engine-exact. 50 query
+    vectors against the exact broadcast reference; the q266 banded
+    candidates slot in unchanged at scale."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import l2_normalize
+    from ..operators.core import ensure_parallelism
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        l2_normalize("embedding").alias("__vq"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        l2_normalize("embedding").alias("__vc"),
+    )
+    pairs = (
+        ensure_parallelism(q)
+        .crossJoin(F.broadcast(c))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "nlabel",
+            "nid",
+            F.round(dot("__vq", "__vc"), 6).alias("cos_r"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cos_r").desc(), "nid")
+    firsts = (
+        pairs.select(
+            "qid", "qlabel", "nlabel", F.row_number().over(wk).alias("rk")
+        )
+        .filter(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.min("rk").cast("bigint").alias("first_rank"))
+    )
+    rr_micro = F.round(1000000.0 / F.col("first_rank"), 0).cast("bigint")
+    return firsts.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(
+            F.sum(rr_micro).cast("double") / 1e6 / F.count("*"), 6
+        ).alias("mrr_r"),
+        F.round(F.percentile("first_rank", F.lit(0.5)), 6).alias(
+            "median_rank_r"
+        ),
+        F.sum((F.col("first_rank") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_top1"),
+    )
