@@ -1129,3 +1129,101 @@ def q331_vocab_churn(spark, sf_dir):
             6,
         ).alias("vocab_jaccard_r"),
     )
+
+
+@query(
+    "q342_vocab_coverage_curve",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tok WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, token) AS rk,
+         CAST(SUM(f) OVER () AS BIGINT) AS total
+  FROM freq
+), spine AS (
+  SELECT CAST(k.k AS BIGINT) AS vocab_size
+  FROM (VALUES (100), (500), (1000), (5000), (20000)) k(k)
+)
+SELECT s.vocab_size,
+       CAST(SUM(CASE WHEN r.rk <= s.vocab_size THEN r.f ELSE 0 END)
+            AS BIGINT) AS covered_tokens,
+       CAST(MIN(r.total) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CASE WHEN r.rk <= s.vocab_size
+                      THEN r.f ELSE 0 END) AS DOUBLE)
+             / MIN(r.total), 6) AS coverage_r,
+       round(1.0 - CAST(SUM(CASE WHEN r.rk <= s.vocab_size
+                            THEN r.f ELSE 0 END) AS DOUBLE)
+             / MIN(r.total), 6) AS oov_rate_r
+FROM ranked r CROSS JOIN spine s
+GROUP BY s.vocab_size
+ORDER BY s.vocab_size
+""",
+    tags=("lm", "eval"),
+)
+def q342_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-sizing decision as a
+    table: what share of all token OCCURRENCES does a top-k vocabulary
+    cover, for five candidate sizes, with the complement as the OOV
+    rate a word-level vocab of that size would eat. The q328 cache
+    curve applied to language (both are Zipf coverage problems, which
+    is WHY vocabularies saturate: q234 measured the exponent, this
+    prices its consequence). One token-count shuffle, a deterministic
+    frequency ranking, and the five cutoffs evaluated against the one
+    ranked table via a broadcast spine. The knee of this curve is
+    where subword methods take over from whole words — measurable per
+    corpus, not folklore."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "token"
+            )
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), "token")
+    wt = Window.partitionBy()
+    ranked = freq.select(
+        "f",
+        F.row_number().over(w).alias("rk"),
+        F.sum("f").over(wt).cast("bigint").alias("total"),
+    )
+    spine = spark.createDataFrame(
+        [(100,), (500,), (1000,), (5000,), (20000,)], "vocab_size bigint"
+    )
+    covered = F.sum(
+        F.when(F.col("rk") <= F.col("vocab_size"), F.col("f")).otherwise(0)
+    ).cast("bigint")
+    return (
+        ranked.crossJoin(F.broadcast(spine))
+        .groupBy("vocab_size")
+        .agg(
+            covered.alias("covered_tokens"),
+            F.min("total").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            "total_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("coverage_r"),
+            F.round(
+                1.0
+                - F.col("covered_tokens").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("oov_rate_r"),
+        )
+        .orderBy("vocab_size")
+    )

@@ -2965,3 +2965,75 @@ def q338_p_chart(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q341_cohort_quality_drift",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+), weekly AS (
+  SELECT c.user_id,
+         CAST(date_trunc('week', c.first_day) AS DATE) AS cohort_week
+  FROM cohorts c
+), engagement AS (
+  SELECT w.cohort_week,
+         CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+  FROM weekly w JOIN events e ON e.user_id = w.user_id
+  GROUP BY w.cohort_week
+)
+SELECT cohort_week, n_users,
+       round(CAST(n_events AS DOUBLE) / n_users, 6) AS events_per_user_r,
+       round(CAST(n_purchases AS DOUBLE) / n_users, 6)
+         AS purchases_per_user_r,
+       round(CAST(n_purchases AS DOUBLE) / n_events, 6)
+         AS purchase_share_r
+FROM engagement ORDER BY cohort_week
+""",
+    tags=("monitoring", "growth"),
+)
+def q341_cohort_quality_drift(spark, sf_dir):
+    """Acquisition-cohort quality drift: per signup-week cohort, the
+    lifetime engagement intensity (events and purchases per user,
+    purchase share) — the early-warning readout that new-user QUALITY
+    is sliding even while acquisition VOLUME looks fine (the classic
+    paid-growth failure mode: each successive cohort converts worse).
+    First-touch cohorting is one min-aggregate; the engagement join
+    runs user-keyed against the log and collapses to cohort-week
+    rows. Reading across columns separates activity dilution (events
+    flat, purchases down) from engagement collapse (both down). Pure
+    exact counts until the final ratios."""
+    ev = table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.col("ts").cast("date")))
+        .cast("date")
+        .alias("cohort_week")
+    )
+    engagement = (
+        ev.join(cohorts, "user_id")
+        .groupBy("cohort_week")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+    )
+    return engagement.select(
+        "cohort_week",
+        "n_users",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_users"), 6
+        ).alias("events_per_user_r"),
+        F.round(
+            F.col("n_purchases").cast("double") / F.col("n_users"), 6
+        ).alias("purchases_per_user_r"),
+        F.round(
+            F.col("n_purchases").cast("double") / F.col("n_events"), 6
+        ).alias("purchase_share_r"),
+    ).orderBy("cohort_week")
