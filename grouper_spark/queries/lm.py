@@ -1006,9 +1006,15 @@ def q300_lm_perplexity_holdout(spark, sf_dir):
         toks.select(
             "is_test",
             F.explode(
+                # sequence(1, 0) counts DOWN in Spark, so a <2-token doc
+                # would index ws[1] out of bounds under ANSI — emit an
+                # empty array for those docs instead (same guard as
+                # functions/text.word_shingles).
                 F.expr(
-                    "transform(sequence(1, greatest(size(ws) - 1, 0)),"
-                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                    "CASE WHEN size(ws) < 2 THEN"
+                    " CAST(array() AS array<struct<w1:string,w2:string>>) ELSE"
+                    " transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2)) END"
                 )
             ).alias("bg"),
         )

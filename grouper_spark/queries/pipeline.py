@@ -341,6 +341,7 @@ def q310_pipeline_loss_waterfall(spark, sf_dir):
         out = out.unionAll(r)
     return (
         out.select(
+            "ord",
             "stage",
             "n_in",
             "n_out",
@@ -351,5 +352,10 @@ def q310_pipeline_loss_waterfall(spark, sf_dir):
                 F.col("n_out").cast("double") / F.col("n_in"), 6
             ).alias("survival_r"),
         )
-        .orderBy(F.col("n_in").desc(), "stage")
+        # Order by the stage ORDINAL exactly as the oracle does: ordering
+        # by n_in would tie when a stage drops zero rows and the
+        # alphabetical tiebreak could then diverge from the oracle
+        # (ADVICE r3).
+        .orderBy("ord")
+        .drop("ord")
     )

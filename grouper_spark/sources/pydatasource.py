@@ -79,8 +79,17 @@ class JsonlCommitWriter(DataSourceWriter):
     layout protocol (same contract FileStreamSink implements in Scala),
     here as the Python DataSourceWriter surface."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = True):
+        import uuid
+
         self.path = options["path"]
+        self.overwrite = overwrite
+        # Job-unique prefix, minted driver-side and shipped to every
+        # task via pickling: commit()/abort() can then glob this job's
+        # leftover .tmp litter (failed-before-message tasks, lost
+        # speculative attempts) without touching a concurrent job's
+        # in-flight files.
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, rows):
         import json
@@ -88,13 +97,28 @@ class JsonlCommitWriter(DataSourceWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        tmp = f"task-{uuid.uuid4().hex}.jsonl.tmp"
+        tmp = f"task-{self.job_id}-{uuid.uuid4().hex}.jsonl.tmp"
         n = 0
         with open(os.path.join(self.path, tmp), "w") as fh:
             for r in rows:
                 fh.write(json.dumps(r.asDict()) + "\n")
                 n += 1
         return _JsonlCommitMessage(tmp, n)
+
+    def _sweep_tmp(self):
+        """Remove every .tmp file this job created that was never
+        promoted by commit() — tasks that died before returning a
+        commit message leave these behind with no message to name them."""
+        import glob
+        import os
+
+        for p in glob.glob(
+            os.path.join(self.path, f"task-{self.job_id}-*.jsonl.tmp")
+        ):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
     def commit(self, messages):
         import os
@@ -109,8 +133,19 @@ class JsonlCommitWriter(DataSourceWriter):
                 os.path.join(self.path, dst),
             )
             final.append(dst)
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
-            fh.write("\n".join(sorted(final)) + "\n")
+        self._sweep_tmp()
+        manifest = os.path.join(self.path, "_MANIFEST")
+        if not self.overwrite and os.path.exists(manifest):
+            # mode('append'): the manifest is the reader-visible table
+            # state, so a second append must UNION its files with the
+            # earlier commits' — rewriting it with only this job's files
+            # would silently unpublish prior appends.
+            with open(manifest) as fh:
+                final.extend(
+                    line.strip() for line in fh if line.strip()
+                )
+        with open(manifest, "w") as fh:
+            fh.write("\n".join(sorted(set(final))) + "\n")
 
     def abort(self, messages):
         import os
@@ -122,6 +157,7 @@ class JsonlCommitWriter(DataSourceWriter):
                 os.remove(os.path.join(self.path, m.tmp_name))
             except OSError:
                 pass
+        self._sweep_tmp()
 
 
 class JsonlCommitDataSource(DataSource):
@@ -130,4 +166,4 @@ class JsonlCommitDataSource(DataSource):
         return "jsonl_commit"
 
     def writer(self, schema: StructType, overwrite: bool):
-        return JsonlCommitWriter(self.options)
+        return JsonlCommitWriter(self.options, overwrite=overwrite)

@@ -145,3 +145,29 @@ def test_q68_approx_percentiles_within_accuracy_bound(spark, sf_dir):
         lo50, hi50, lo90, hi90 = exact[k]
         assert lo50 <= m <= hi50, (k, m, lo50, hi50)
         assert lo90 <= p90 <= hi90, (k, p90, lo90, hi90)
+
+
+def test_q300_short_docs_do_not_crash_ansi(spark, tmp_path):
+    """ADVICE r3 (medium): sequence(1, greatest(size-1, 0)) counts DOWN
+    to [1, 0] for <=1-token docs, so ws[1] indexed out of bounds under
+    the session's ANSI mode. The query must emit zero bigrams for such
+    docs instead of raising INVALID_ARRAY_INDEX."""
+    rows = [
+        (0, "alpha beta alpha beta", "en", "web", 21),
+        (1, "alpha", "en", "web", 5),  # single token, held-out split
+        (2, "", "en", "web", 0),  # empty, train split
+        (3, "beta alpha beta", "en", "web", 15),
+    ]
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = REGISTRY["q300_lm_perplexity_holdout"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_bigrams"] == 2  # doc 3's two bigrams only
+    assert out[0]["perplexity_r"] > 0

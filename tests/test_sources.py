@@ -308,3 +308,32 @@ def test_jsonl_sink_failed_job_leaves_nothing_visible(spark, tmp_path):
         names = os.listdir(out)
         assert "_MANIFEST" not in names
         assert not [n for n in names if n.endswith(".jsonl")]
+        # ADVICE r3: abort must also sweep .tmp files from tasks that
+        # died BEFORE returning a commit message (their message is None,
+        # so they are invisible to the per-message cleanup).
+        assert not [n for n in names if n.endswith(".tmp")]
+
+
+def test_jsonl_sink_second_append_merges_manifest(spark, tmp_path):
+    """ADVICE r3: a second mode('append') job must UNION its files into
+    _MANIFEST, not rewrite it with only its own — readers trust the
+    manifest, so the earlier append's rows would silently vanish."""
+    import os
+
+    from grouper_spark.sources.pydatasource import JsonlCommitDataSource
+
+    try:
+        spark.dataSource.register(JsonlCommitDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "sink_append")
+    a = spark.range(0, 50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    b = spark.range(50, 120).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    a.write.format("jsonl_commit").option("path", out).mode("append").save()
+    b.write.format("jsonl_commit").option("path", out).mode("append").save()
+    manifest = (tmp_path / "sink_append" / "_MANIFEST").read_text().split()
+    back = spark.read.schema("id bigint, v bigint").json(
+        [os.path.join(out, m) for m in manifest]
+    )
+    assert back.count() == 120
+    assert back.select(F.count_distinct("id")).first()[0] == 120
