@@ -18,7 +18,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from grouper_spark.queries import load_all  # noqa: E402
-from grouper_spark.session import get_spark  # noqa: E402
+from grouper_spark.session import (  # noqa: E402
+    get_spark,
+    silence_accumulator_spam,
+)
 
 # Headline set: one per operator family, weighted toward shuffle-heavy ops.
 # The first 11 are the round-1 continuity set (comparable across BENCH_r*
@@ -90,6 +93,32 @@ def grouper_throughput(n_items: int = 50_000) -> float:
     return n_items / dt
 
 
+def jvm_calibration(spark) -> float:
+    """Fixed-work, data-independent JVM probe: hash + fold 8e9 longs over
+    a pinned partition count, min-of-3 seconds (~2 s on a healthy host —
+    large enough that scheduler jitter is <5% of the reading).
+
+    The host's CPU clock is burstable (r3: a +37% continuity swing on
+    byte-identical query code), so absolute wall times are not comparable
+    across rounds. This probe does the same work every round on the same
+    partition layout — its wall time moves ONLY with host speed, making
+    ``continuity / calib`` the round-over-round comparable figure.
+    """
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 8_000_000_000, 1, 64)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.bit_xor("h"))
+            .collect()
+        )
+        return time.time() - t0
+
+    return min(once() for _ in range(3))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -103,6 +132,11 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("grouper-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    silence_accumulator_spam(spark)
+
+    # Host-speed calibration BEFORE the query loop (steady JVM, no page
+    # cache effects — the probe reads no files).
+    calib_jvm_sec = round(jvm_calibration(spark), 3)
 
     # JVM/codegen warmup on the smallest fixture so measured times are
     # steady-state compute, not first-query JIT.
@@ -130,6 +164,21 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "value_r1_continuity_set": continuity,
+                "calib": {
+                    # fixed-work JVM probe (xxhash64+bit_xor over 2e9 ids,
+                    # 64 pinned partitions, min-of-3): moves only with
+                    # host speed. r4 reference on a healthy host: record
+                    # alongside continuity each round.
+                    "jvm_fixed_work_sec": calib_jvm_sec,
+                    # pure-Python probe (Grouper micro-batch layer):
+                    # second, JVM-free witness of host speed.
+                    "python_grouper_items_per_s": grouper_items_s,
+                },
+                # THE round-over-round comparable: continuity wall time in
+                # units of the fixed-work probe. Host slowdown cancels.
+                "continuity_normalized": round(
+                    continuity / calib_jvm_sec, 3
+                ),
                 "queries": timings,
                 "sf": sf,
                 "grouper_throughput_items_per_s": grouper_items_s,

@@ -17,7 +17,13 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
-from .similarity import ann_topk_bruteforce, ivf_ann, lsh_bucket_ann, lsh_neardup_pairs
+from .similarity import (
+    ann_topk_bruteforce,
+    ivf_ann,
+    lsh_bucket_ann,
+    lsh_neardup_pairs,
+    tfidf_knn,
+)
 
 __all__ = [
     "asof_join",
@@ -36,6 +42,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "ann_topk_bruteforce",
+    "tfidf_knn",
     "ivf_ann",
     "lsh_bucket_ann",
     "lsh_neardup_pairs",

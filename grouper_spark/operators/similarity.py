@@ -367,3 +367,102 @@ def arrow_l2_norms(
 
     src = df.select(F.col(id_col), F.col(vec_col))
     return src.mapInArrow(kernel, schema="id long, dim int, norm_fp long")
+
+
+def tfidf_knn(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    query_max_id: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF cosine k-nearest-neighbors via a posting-list
+    equi-join on the token — the sparse-matrix product A·Aᵀ restricted
+    to nonzero-overlap pairs, never doc × doc.
+
+    ``max_df`` is the scale guard: a stop token appearing in ``d`` docs
+    generates O(d²) candidate pairs in the token join, so on real web
+    text ("the" ≈ every doc) the uncapped general path is quadratic in
+    the corpus. Tokens with document frequency > ``max_df`` are dropped
+    from the weight table BEFORE the join (zero extra shuffles — the cap
+    rides the existing per-token idf aggregate). Their idf is near zero,
+    so dropping them barely moves cosines; norms consistently exclude
+    them on both sides of every pair (same convention as
+    ``shingle_jaccard_pairs``'s max_df).
+
+    ``query_max_id`` restricts the query side (doc_a) BELOW the
+    aggregate so candidate fan-out is query×corpus, not corpus².
+    Weights are fixed-pointed (tf × micro-idf as BIGINT) so dot and
+    norm aggregations are order-independent and engine-exact.
+    """
+    from ..functions.text import tokens
+
+    d = ensure_parallelism(docs)
+    tok = d.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    n_docs = d.count()  # scalar, driver-side once; literal in the plan
+    idf = tf.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.round(
+            F.log(F.lit(float(n_docs)) / F.count("*").cast("double"))
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+    if max_df is not None:
+        idf = idf.filter(F.col("df") <= max_df)
+    w = (
+        tf.join(idf.drop("df"), "tok")
+        .select("doc_id", "tok", (F.col("tf") * F.col("idf_micro")).alias("wm"))
+        .localCheckpoint(eager=False)  # reused by norms + both join sides
+    )
+    norm2 = w.groupBy("doc_id").agg(F.sum(F.col("wm") * F.col("wm")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("wm").alias("wa"))
+    if query_max_id is not None:
+        # Pushed below the aggregate into the join input: candidates are
+        # query×corpus, linear in the corpus.
+        a = a.filter(F.col("doc_a") < query_max_id)
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("wm").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norm2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    if query_max_id is not None:
+        na = na.filter(F.col("doc_a") < query_max_id)
+    nb = norm2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    # Broadcast the query-side norms only when the query set is bounded;
+    # in all-pairs mode norm2 is corpus-sized (one row per doc) and must
+    # shuffle-join like any fact table.
+    if query_max_id is not None:
+        na = F.broadcast(na)
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double"))
+                / F.sqrt(F.col("nb2").cast("double")),
+                4,
+            ).alias("cosine_r"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_a").orderBy(F.col("cosine_r").desc(), "doc_b")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select("doc_a", F.col("rk").cast("int").alias("rk"), "doc_b", "cosine_r")
+        .orderBy("doc_a", "rk")
+    )

@@ -376,63 +376,21 @@ def q198_tfidf_knn(spark, sf_dir):
     correctly-rounded, deterministic cross-engine). Top-3 per query doc
     via one window over the (bounded) scored candidates. At corpus
     scale the token join IS the sparse-matrix product A·Aᵀ restricted
-    to nonzero-overlap pairs; stop-token df caps (q34's max_df) bound
-    the posting lists — the fixture vocabulary is small enough to skip
-    the cap here, so scores stay exactly comparable to the oracle."""
-    from ..operators.core import ensure_parallelism
+    to nonzero-overlap pairs. Delegates to ``operators.similarity.
+    tfidf_knn``, whose ``max_df`` stop-token cap bounds the posting
+    lists in the general (all-pairs) path — the fixture vocabulary is
+    small enough to skip the cap HERE, so scores stay exactly
+    comparable to the oracle (the cap's behavior is unit-tested on a
+    synthetic hot-token corpus instead)."""
+    from ..operators.similarity import tfidf_knn
 
-    d = ensure_parallelism(table(spark, sf_dir, "documents"))
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    n_docs = d.count()  # scalar, driver-side once; literal in the plan
-    idf = tf.groupBy("tok").agg(
-        F.round(
-            F.log(F.lit(float(n_docs)) / F.count("*").cast("double"))
-            * 1000000.0,
-            0,
-        )
-        .cast("bigint")
-        .alias("idf_micro")
-    )
-    w = (
-        tf.join(idf, "tok")
-        .select("doc_id", "tok", (F.col("tf") * F.col("idf_micro")).alias("wm"))
-        .localCheckpoint(eager=False)  # reused by norms + both join sides
-    )
-    norm2 = w.groupBy("doc_id").agg(F.sum(F.col("wm") * F.col("wm")).alias("n2"))
-    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("wm").alias("wa"))
-    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("wm").alias("wb"))
-    dots = (
-        a.join(b, "tok")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    na = norm2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
-    nb = norm2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
-    scored = (
-        dots.filter(F.col("doc_a") < 20)
-        .join(F.broadcast(na.filter(F.col("doc_a") < 20)), "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("dot").cast("double")
-                / F.sqrt(F.col("na2").cast("double"))
-                / F.sqrt(F.col("nb2").cast("double")),
-                4,
-            ).alias("cosine_r"),
-        )
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("doc_a").orderBy(F.col("cosine_r").desc(), "doc_b")
-    )
-    return (
-        scored.withColumn("rk", rk)
-        .filter(F.col("rk") <= 3)
-        .select("doc_a", F.col("rk").cast("int").alias("rk"), "doc_b", "cosine_r")
-        .orderBy("doc_a", "rk")
+    return tfidf_knn(
+        table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        k=3,
+        query_max_id=20,
+        max_df=None,  # fixture vocab is small; cap engages in the general path
     )
 
 

@@ -57,6 +57,27 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def silence_accumulator_spam(spark: SparkSession) -> None:
+    """Mute DAGScheduler's benign post-GC accumulator errors.
+
+    ``localCheckpoint`` + AQE job cleanup GCs accumulators while straggler
+    tasks are still completing; each late update then logs a full
+    ``SparkException: attempted to access non-existent accumulator`` stack
+    trace at ERROR (hundreds per bench run), burying any real failure.
+    The update is harmless — results are already in — so raise that one
+    logger to FATAL. Real errors still surface through TaskSetManager
+    logs and the raised job exception.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:  # log4j internals moved — degrade to noisy logs
+        pass
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to an externally-created session.
 

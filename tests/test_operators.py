@@ -342,3 +342,50 @@ def test_cooccurrence_pairs_hot_bucket_is_dropped(spark):
     # uncapped control: the hot bucket expands to n*(n-1)/2 pairs (the
     # cold (1,2) pair groups into its hot-bucket row, not a new one)
     assert cooccurrence_pairs(df, "uid", ["et", "d"]).count() == n * (n - 1) // 2
+
+
+def test_tfidf_knn_hot_token_is_dropped(spark):
+    """VERDICT r3: one stop token in every doc makes the uncapped token
+    join O(docs²) — with max_df below the hot token's df, zero candidate
+    pairs come from it, so the pair stage is bounded. Sub-cap tokens
+    still pair their docs, with the hot token excluded from norms on
+    both sides (so same-group cosines are exactly 1.0)."""
+    from grouper_spark.operators import tfidf_knn
+
+    n = 60
+    docs = [(i, f"hot t{i % 3}") for i in range(n)]  # 'hot' df=60, t* df=20
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = tfidf_knn(df, k=3, max_df=20)
+    rows = capped.collect()
+    # every surviving pair shares its t-group token and nothing else:
+    # vectors are the single token t_g, so cosine is exactly 1.0
+    assert rows, "sub-cap tokens must still produce neighbors"
+    assert all(r["cosine_r"] == 1.0 for r in rows)
+    pair_groups = {(r["doc_a"] % 3, r["doc_b"] % 3) for r in rows}
+    assert all(a == b for a, b in pair_groups)
+
+    # uncapped control: the hot token alone connects EVERY doc pair
+    # (n*(n-1), quadratic in the corpus) on top of the t-group pairs
+    uncapped_candidates = n * (n - 1) + 3 * 20 * 19
+    assert _tfidf_candidate_count(spark, df) == uncapped_candidates
+    # with the cap, candidates come only from the three t-groups
+    assert _tfidf_candidate_count(spark, df, max_df=20) == 3 * 20 * 19
+
+
+def _tfidf_candidate_count(spark, df, max_df=None):
+    """Count pre-topk candidate pairs the token join generates (the
+    quantity max_df exists to bound)."""
+    from pyspark.sql import functions as F
+
+    from grouper_spark.functions.text import tokens as _tokens
+
+    tok = df.select("doc_id", F.explode(_tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        idf = idf.filter(F.col("df") <= max_df)
+    w = tf.join(idf, "tok")
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok")
+    return a.join(b, "tok").filter(F.col("doc_a") != F.col("doc_b")).count()
