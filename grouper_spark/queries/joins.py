@@ -543,19 +543,35 @@ def q194_bloom_prefiltered_join(spark, sf_dir):
     bitmap = [0] * n_words
     for r in words:
         bitmap[r["w"]] = r["mask"]
-    blit = F.array(*[F.lit(x).cast("long") for x in bitmap])
+    # F.lit of the whole list is a single Literal(ArrayData) — already a
+    # constant in the plan, no per-row CreateArray (OSS Spark has no
+    # public bloom_filter_agg/might_contain; this literal + element_at
+    # is the same probe the runtime filter does internally).
+    blit = F.lit(bitmap)
 
-    probe = li.withColumn("__bf", blit)
+    # Each of the k probe positions is computed ONCE in a projection and
+    # reused by both the word index and the bit mask (previously the
+    # mask expression re-derived the identical xxhash64 inside F.expr —
+    # 2x the hash work per row).
+    pos_cols = {
+        f"__p{s}": F.pmod(
+            F.xxhash64(
+                F.concat(F.lit(f"bf{s}|"), F.col("l_orderkey").cast("string"))
+            ),
+            F.lit(m_bits),
+        )
+        for s in range(k_seeds)
+    }
+    probe = li.withColumns(pos_cols)
     cond = F.lit(True)
     for s in range(k_seeds):
-        h = F.xxhash64(
-            F.concat(F.lit(f"bf{s}|"), F.col("l_orderkey").cast("string"))
-        )
-        p = F.pmod(h, F.lit(m_bits))
-        word = F.element_at("__bf", (p / 64).cast("int") + 1)
-        mask = F.expr(f"shiftleft(1L, CAST(pmod(xxhash64(concat('bf{s}|', CAST(l_orderkey AS STRING))), {m_bits}) % 64 AS INT))")
-        cond = cond & ((word.bitwiseAND(mask)) != 0)
-    prefiltered = probe.filter(cond).drop("__bf")
+        p = F.col(f"__p{s}")
+        word = F.element_at(blit, (p / 64).cast("int") + 1)
+        # SQL expr because pyspark's F.shiftleft only takes a Python int
+        # shift; the column reference reuses the projected position.
+        mask = F.expr(f"shiftleft(1L, CAST(__p{s} % 64 AS INT))")
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    prefiltered = probe.filter(cond).drop(*pos_cols)
 
     return (
         prefiltered.join(F.broadcast(keys), prefiltered.l_orderkey == keys.o_orderkey, "left_semi")

@@ -3,8 +3,10 @@ from .stream import (
     append_stream_file,
     grouper_process_stream,
     stage_stream_source,
+    stateful_extrema,
     stateful_running_sum,
     stateful_sessionize,
+    transform_with_state_extrema,
 )
 
 __all__ = [
@@ -16,6 +18,8 @@ __all__ = [
     "grouper_process_stream",
     "append_stream_file",
     "stage_stream_source",
+    "stateful_extrema",
     "stateful_running_sum",
     "stateful_sessionize",
+    "transform_with_state_extrema",
 ]

@@ -481,3 +481,71 @@ def transform_with_state_extrema(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stateful_extrema(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    key_col: str,
+    cents_col: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Per-key running (count, min, max) via ``applyInPandasWithState`` —
+    the dependency-free twin of ``transform_with_state_extrema`` with the
+    IDENTICAL emission contract (``key, n_seen, min_cents, max_cents``
+    re-emitted every micro-batch, update mode), so callers can fall back
+    to it when the TWS protobuf gate fails and downstream reductions /
+    oracles are unaffected.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+
+    def update(key, pdfs, state):
+        n, mn, mx = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            c = pdf[cents_col]
+            if len(c) == 0:
+                continue
+            n += int(len(c))
+            bmn, bmx = int(c.min()), int(c.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n],
+                "min_cents": [mn],
+                "max_cents": [mx],
+            }
+        )
+
+    name = f"extrema_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "key bigint, n_seen bigint, min_cents bigint, "
+                "max_cents bigint"
+            ),
+            stateStructType="n bigint, mn bigint, mx bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
