@@ -3291,3 +3291,175 @@ def q339_budget_pacing(spark, sf_dir):
             6,
         ).alias("pacing_r"),
     ).orderBy("day")
+
+
+@query(
+    "a346_spearman_corr",
+    oracle="""
+WITH joined AS (
+  SELECT o.o_orderkey,
+         CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT) AS x,
+         CAST(COUNT(l.l_orderkey) AS BIGINT) AS y
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, x
+), rk AS (
+  SELECT
+    CAST(rank() OVER (ORDER BY x) * 2
+         + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+    CAST(rank() OVER (ORDER BY y) * 2
+         + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+  FROM joined
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS BIGINT) AS sx,
+         CAST(SUM(ry2) AS BIGINT) AS sy,
+         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+  FROM rk
+)
+SELECT n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS spearman_rho_r
+FROM sums
+""",
+    tags=("stats",),
+)
+def a346_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between order value and line count —
+    the robust (monotone, outlier-immune) companion to q232's rolling
+    Pearson and q277's Kendall tau. Tie handling is exact and
+    integer-only: the average rank of a tie group of size m starting at
+    rank r is r + (m-1)/2, so DOUBLED ranks rank()*2 + tiecount - 1 are
+    exact BIGINTs, and Pearson's formula on ranks is invariant under
+    that *2 scaling. Every moment (Σx, Σx², Σxy) is therefore an exact
+    integer — one doubling cast to DOUBLE happens inside the final
+    closed form, rounded once at 6dp. Plan: one join+agg for the
+    (x, y) pairs, two global rank windows over the ORDER-count table
+    (orders-sized, not lineitem-sized), one moment aggregate."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    joined = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100.0, 0)
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count("l_orderkey").cast("bigint").alias("y"))
+    )
+    rx2 = (
+        F.rank().over(Window.orderBy("x")) * 2
+        + F.count("*").over(Window.partitionBy("x"))
+        - 1
+    ).cast("bigint")
+    ry2 = (
+        F.rank().over(Window.orderBy("y")) * 2
+        + F.count("*").over(Window.partitionBy("y"))
+        - 1
+    ).cast("bigint")
+    rk = joined.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    sums = rk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+    )
+    return sums.select(
+        "n",
+        F.round(
+            (F.col("n").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(
+                    F.col("n").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * F.sqrt(
+                    F.col("n").cast("double") * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("spearman_rho_r"),
+    )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_TOP = 25
+
+
+@query(
+    "a347_rrf_fusion",
+    oracle=f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS spend_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey,
+         CAST(rank() OVER (ORDER BY spend_cents DESC, o_custkey)
+              AS BIGINT) AS rank_spend,
+         CAST(rank() OVER (ORDER BY n_orders DESC, o_custkey)
+              AS BIGINT) AS rank_freq
+  FROM spend
+)
+SELECT o_custkey, rank_spend, rank_freq,
+       round(1.0 / ({_RRF_K} + rank_spend)
+             + 1.0 / ({_RRF_K} + rank_freq), 6) AS rrf_r
+FROM ranked
+ORDER BY rrf_r DESC, o_custkey
+LIMIT {_RRF_TOP}
+""",
+    tags=("ranking", "retrieval"),
+)
+def a347_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion — the standard way to combine
+    heterogeneous retrieval rankings (BM25 + dense ANN, or here: spend
+    rank + frequency rank) without calibrating their scores:
+    RRF(d) = Σ 1/(k + rank_i(d)) with k=60. Ranks are integers from
+    deterministic tie-broken windows, so the only floats are two exact
+    1/(k+r) divisions summed in fixed order and rounded once. One
+    aggregate shuffle + two global rank windows over the per-customer
+    summary (dimension-sized); at 100 TB the summary is the thing you
+    rank — the event log never reaches a global window. Top-25 output
+    is bounded at any scale."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_cents"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    ranked = spend.select(
+        "o_custkey",
+        F.rank()
+        .over(Window.orderBy(F.col("spend_cents").desc(), "o_custkey"))
+        .cast("bigint")
+        .alias("rank_spend"),
+        F.rank()
+        .over(Window.orderBy(F.col("n_orders").desc(), "o_custkey"))
+        .cast("bigint")
+        .alias("rank_freq"),
+    )
+    return (
+        ranked.select(
+            "o_custkey",
+            "rank_spend",
+            "rank_freq",
+            F.round(
+                1.0 / (F.lit(_RRF_K) + F.col("rank_spend"))
+                + 1.0 / (F.lit(_RRF_K) + F.col("rank_freq")),
+                6,
+            ).alias("rrf_r"),
+        )
+        .orderBy(F.col("rrf_r").desc(), "o_custkey")
+        .limit(_RRF_TOP)
+    )

@@ -1007,3 +1007,116 @@ def q271_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "a348_filter_clause_battery",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS BIGINT)
+         AS n_bulk,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+            FILTER (WHERE l_discount > 0.05) AS BIGINT)
+         AS discounted_cents,
+       CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04)
+            AS BIGINT) AS n_taxed_supps,
+       CAST(MIN(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+            FILTER (WHERE l_quantity > 25.0) AS BIGINT)
+         AS min_bulk_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("sql", "aggregate"),
+)
+def a348_filter_clause_battery(spark, sf_dir):
+    """ANSI aggregate FILTER clause battery — conditional aggregation
+    without the sum(CASE WHEN …) rewrite: count / sum / distinct-count /
+    min each with its own independent predicate, evaluated in ONE
+    hash-aggregate pass over the fact table (the engine keeps one
+    accumulator per (aggregate, filter) pair — never one scan per
+    predicate). Exercises the parser/codegen path for FILTER on plain,
+    DISTINCT, and extremal aggregates; money stays integer-cents so
+    every accumulator is order-independent. Identical syntax runs on
+    both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = 'CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)'
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+            F.expr(
+                "CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS BIGINT)"
+            ).alias("n_bulk"),
+            F.expr(
+                f"CAST(SUM({cents}) FILTER (WHERE l_discount > 0.05)"
+                " AS BIGINT)"
+            ).alias("discounted_cents"),
+            F.expr(
+                "CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04)"
+                " AS BIGINT)"
+            ).alias("n_taxed_supps"),
+            F.expr(
+                f"CAST(MIN({cents}) FILTER (WHERE l_quantity > 25.0)"
+                " AS BIGINT)"
+            ).alias("min_bulk_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "a349_listagg_battery",
+    oracle="""
+WITH supp AS (
+  SELECT n.n_regionkey, n.n_name,
+         CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_supp
+  FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_name
+)
+SELECT r.r_name,
+       string_agg(p.n_name, ',' ORDER BY p.n_name) AS nations_csv,
+       string_agg(CAST(p.n_supp AS VARCHAR), ','
+                  ORDER BY p.n_supp DESC, p.n_name) AS supp_counts_csv,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM supp p JOIN region r ON r.r_regionkey = p.n_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+    tags=("sql", "aggregate"),
+)
+def a349_listagg_battery(spark, sf_dir):
+    """LISTAGG / string_agg ordered string aggregation (SQL:2016,
+    Spark 4's listagg … WITHIN GROUP, DuckDB's string_agg … ORDER BY) —
+    the report-friendly "roll the group up into one CSV cell" aggregate,
+    with DETERMINISTIC intra-group order (the part naive collect_list +
+    array_join gets wrong under parallel merge: WITHIN GROUP sorts
+    inside the aggregate, so the result is stable under any partition
+    arrival order). Two orderings exercised: alphabetical and
+    count-descending with a name tiebreak. Group keys are the broadcast
+    dim tables; the only fact-table touch is the one supplier count
+    aggregate."""
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    r = table(spark, sf_dir, "region")
+    supp = (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.count("s_suppkey").cast("bigint").alias("n_supp"))
+    )
+    return (
+        supp.join(F.broadcast(r), supp.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations_csv"),
+            F.expr(
+                "listagg(CAST(n_supp AS STRING), ',')"
+                " WITHIN GROUP (ORDER BY n_supp DESC, n_name)"
+            ).alias("supp_counts_csv"),
+            F.count("*").cast("bigint").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )

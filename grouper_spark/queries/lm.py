@@ -1233,3 +1233,164 @@ def q342_vocab_coverage_curve(spark, sf_dir):
         )
         .orderBy("vocab_size")
     )
+
+
+@query(
+    "a344_good_turing",
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), occ AS (
+  SELECT source, token FROM tok WHERE token <> ''
+), cnt AS (
+  SELECT source, token, COUNT(*) AS c FROM occ GROUP BY source, token
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS p0_unseen_r,
+       CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0 THEN
+         round(2.0 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+               / SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 6)
+       END AS r1_star_r
+FROM cnt
+GROUP BY source
+ORDER BY source
+""",
+    tags=("lm", "quality"),
+)
+def a344_good_turing(spark, sf_dir):
+    """Good-Turing unseen-mass estimate per source — the standard answer
+    to "how much probability mass belongs to words this corpus has never
+    seen", which is both an LM-smoothing input and a corpus-coverage
+    health metric (a source whose singleton mass N1/N stays high as it
+    grows is still mid-discovery; one near zero is saturated). Reports
+    the frequency-of-frequencies head (N1, N2), the Turing unseen mass
+    P0 = N1/N, and the Good-Turing adjusted count for singletons
+    r1* = 2·N2/N1. Two map-side-combined shuffles — (source, token)
+    counts, then the per-source frequency-of-frequency rollup over the
+    TYPE table (vocabulary-sized, not corpus-sized); all ratios are
+    exact-rational divisions of BIGINT counts rounded once, so the hash
+    gate is deterministic at any scale."""
+    d = table(spark, sf_dir, "documents")
+    occ = d.select(
+        "source",
+        F.explode(tokens(F.lower(F.trim("text")))).alias("token"),
+    )
+    cnt = occ.groupBy("source", "token").agg(F.count("*").alias("c"))
+    n1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    n2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint")
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            n1.alias("n1"),
+            n2.alias("n2"),
+            F.round(
+                n1.cast("double") / F.sum("c"), 6
+            ).alias("p0_unseen_r"),
+            F.when(
+                n1 > 0, F.round(2.0 * n2 / n1, 6)
+            ).alias("r1_star_r"),
+        )
+        .orderBy("source")
+    )
+
+
+_KN_DISCOUNT = 0.75  # fixed absolute discount; exact in binary floating point
+_KN_TOP = 30
+
+
+@query(
+    "a345_kneser_ney",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+), big AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS c12
+  FROM tok, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE ws[i] <> '' AND ws[i + 1] <> ''
+  GROUP BY w1, w2
+), uni AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS fol1 FROM big GROUP BY w1
+), cont AS (
+  SELECT w2, COUNT(*) AS npre2 FROM big GROUP BY w2
+), tot AS (
+  SELECT COUNT(*) AS b FROM big
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       round((greatest(c12 - {_KN_DISCOUNT}, 0) / c1)
+             + (({_KN_DISCOUNT} * fol1 / c1)
+                * (CAST(npre2 AS DOUBLE) / b)), 6) AS pkn_r
+FROM big JOIN uni USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+ORDER BY c12 DESC, w1, w2
+LIMIT {_KN_TOP}
+""",
+    tags=("lm",),
+)
+def a345_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities (fixed absolute
+    discount D=0.75) — the smoothing that actually ships in n-gram LMs,
+    built on CONTINUATION counts: the backoff weight for w2 is "how many
+    distinct contexts w2 completes" over the total bigram-type count,
+    not its raw frequency, which is exactly the statistic that demotes
+    high-frequency-but-single-context tokens. One corpus-wide bigram
+    count shuffle; the unigram, follower, and continuation tables are
+    all aggregates OVER the bigram-type table (vocabulary-scale), and
+    the type total rides in as a broadcast 1-row cross join. D=0.75 is
+    exact in binary, counts are BIGINT, and the probability expression
+    is evaluated in the same left-to-right shape in both engines, so
+    round(·, 6) hashes identically. Top-30 by raw count keeps the
+    output bounded at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = d.select(ws.alias("ws"))
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) < 2 THEN"
+                    " CAST(array() AS array<struct<w1:string,w2:string>>)"
+                    " ELSE transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2)) END"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)  # reused by uni + cont + tot + probe
+    )
+    uni = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("fol1")
+    )
+    cont = big.groupBy("w2").agg(F.count("*").alias("npre2"))
+    tot = big.agg(F.count("*").alias("b"))
+    d_lit = F.lit(_KN_DISCOUNT)
+    pkn = F.round(
+        (F.greatest(F.col("c12") - d_lit, F.lit(0.0)) / F.col("c1"))
+        + (
+            (d_lit * F.col("fol1") / F.col("c1"))
+            * (F.col("npre2").cast("double") / F.col("b"))
+        ),
+        6,
+    )
+    return (
+        big.join(uni, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", F.col("c12").cast("bigint").alias("c12"),
+            pkn.alias("pkn_r"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(_KN_TOP)
+    )

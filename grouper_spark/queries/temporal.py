@@ -1624,3 +1624,70 @@ def q332_backlog_simulation(spark, sf_dir):
         backlog.cast("bigint").alias("final_backlog"),
         (backlog > 0).cast("int").alias("under_capacity"),
     )
+
+
+@query(
+    "a350_business_day_cycle",
+    oracle="""
+WITH gaps AS (
+  SELECT o.o_orderpriority,
+         ((CAST(l.l_shipdate AS DATE) - DATE '1970-01-05') // 7) * 5
+           + least((CAST(l.l_shipdate AS DATE) - DATE '1970-01-05') % 7, 5)
+           - (((CAST(o.o_orderdate AS DATE) - DATE '1970-01-05') // 7) * 5
+              + least((CAST(o.o_orderdate AS DATE) - DATE '1970-01-05') % 7,
+                      5)) AS bd
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       round(CAST(SUM(bd) AS DOUBLE) / COUNT(*), 6) AS avg_bdays_r,
+       CAST(MIN(bd) AS BIGINT) AS min_bdays,
+       CAST(MAX(bd) AS BIGINT) AS max_bdays
+FROM gaps
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("temporal", "calendar"),
+)
+def a350_business_day_cycle(spark, sf_dir):
+    """Order-to-ship cycle time in BUSINESS days (weekends excluded) —
+    the calendar arithmetic every ops report needs, in closed form
+    instead of exploding a date spine per row: f(d) = (days/7)*5 +
+    min(days mod 7, 5) counts weekdays from a fixed Monday epoch
+    (1970-01-05), so the gap is just f(ship) − f(order) — pure integer
+    arithmetic in whole-stage codegen, O(1) per row at any scale (the
+    explode-a-date-sequence alternative is O(gap) rows per line item
+    and was rejected; see also the DuckDB lateral generate_series
+    limitation). Weekend-to-weekend edges come out right because both
+    endpoints clamp at 5; the difference counts weekdays in the
+    half-open [order, ship) interval (unit-tested against a day-by-day
+    brute force, not just the oracle twin). The join is the standard orders⋈lineitem
+    equi-join; the aggregate is map-side combined; avg is an exact
+    integer-sum ratio rounded once. No dayofweek() call — the mod-7
+    epoch trick sidesteps the Spark-vs-DuckDB dow numbering hazard
+    entirely."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def f(col):
+        days = F.datediff(F.col(col).cast("date"), F.lit("1970-01-05").cast("date"))
+        return (days - F.pmod(days, 7)) / 7 * 5 + F.least(
+            F.pmod(days, 7), F.lit(5)
+        )
+
+    gaps = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        (f("l_shipdate") - f("o_orderdate")).cast("bigint").alias("bd"),
+    )
+    return (
+        gaps.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum("bd").cast("double") / F.count("*"), 6
+            ).alias("avg_bdays_r"),
+            F.min("bd").cast("bigint").alias("min_bdays"),
+            F.max("bd").cast("bigint").alias("max_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )

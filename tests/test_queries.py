@@ -171,3 +171,46 @@ def test_q300_short_docs_do_not_crash_ansi(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["n_bigrams"] == 2  # doc 3's two bigrams only
     assert out[0]["perplexity_r"] > 0
+
+
+def test_a350_business_day_closed_form_matches_bruteforce(spark):
+    """The Monday-epoch closed form f(d)=(days//7)*5+min(days%7,5) must
+    equal a brute-force weekday count for every day-pair in a window
+    spanning month and weekend boundaries (independent re-derivation,
+    not the oracle twin)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    def f_py(d):
+        days = (d - _dt.date(1970, 1, 5)).days
+        return (days // 7) * 5 + min(days % 7, 5)
+
+    def brute(a, b):
+        # f(b)-f(a) counts weekdays in the half-open interval [a, b):
+        # the order day itself is a business day spent, the ship day is
+        # not yet complete. Any consistent convention works for the
+        # cycle-time aggregate; this pins WHICH one the formula encodes.
+        n, d = 0, a
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += _dt.timedelta(days=1)
+        return n
+
+    base = _dt.date(2024, 2, 20)
+    pairs = [
+        (base + _dt.timedelta(days=i), base + _dt.timedelta(days=i + g))
+        for i in range(14)
+        for g in (0, 1, 2, 3, 5, 7, 11, 30)
+    ]
+    for a, b in pairs:
+        assert f_py(b) - f_py(a) == brute(a, b), (a, b)
+
+    # and the Spark expression computes the same f as f_py
+    df = spark.createDataFrame([(a,) for a, _ in pairs], "d date")
+    days = F.datediff(F.col("d"), F.lit("1970-01-05").cast("date"))
+    fcol = (days - F.pmod(days, 7)) / 7 * 5 + F.least(F.pmod(days, 7), F.lit(5))
+    got = {r["d"]: r["f"] for r in df.select("d", fcol.cast("bigint").alias("f")).collect()}
+    for a, _ in pairs:
+        assert got[a] == f_py(a), a
