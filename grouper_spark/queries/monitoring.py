@@ -3037,3 +3037,321 @@ def q341_cohort_quality_drift(spark, sf_dir):
             F.col("n_purchases").cast("double") / F.col("n_events"), 6
         ).alias("purchase_share_r"),
     ).orderBy("cohort_week")
+
+
+@query(
+    "a351_levene_test",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice, 0) AS BIGINT) AS y
+  FROM orders
+), med AS (
+  SELECT grp, CAST(ROUND(2.0 * quantile_cont(y, 0.5), 0) AS BIGINT) AS med2
+  FROM base GROUP BY grp
+), z AS (
+  SELECT b.grp, abs(2 * b.y - m.med2) AS z2
+  FROM base b JOIN med m ON m.grp = b.grp
+), g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(z2) AS BIGINT) AS s1,
+         CAST(SUM(z2 * z2) AS BIGINT) AS s2
+  FROM z GROUP BY grp
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_all,
+         CAST(SUM(s1) AS BIGINT) AS s1_all,
+         CAST(SUM(s2) AS BIGINT) AS s2_all,
+         CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * s1 / n, 0)
+                       AS BIGINT)) AS BIGINT) AS ssb_raw
+  FROM g
+)
+SELECT k AS n_groups, n_all,
+       round(((CAST(ssb_raw AS DOUBLE)
+               - CAST(s1_all AS DOUBLE) * s1_all / n_all) / (k - 1))
+             / ((CAST(s2_all AS DOUBLE) - CAST(ssb_raw AS DOUBLE))
+                / (n_all - k)), 6) AS w_r
+FROM tot
+""",
+    tags=("monitoring", "stats"),
+)
+def a351_levene_test(spark, sf_dir):
+    """Brown-Forsythe (median-centered Levene) test for variance
+    homogeneity across order priorities — the diagnostic that must pass
+    BEFORE q272's ANOVA mean comparison is trustworthy, and the robust
+    variant (median, not mean, centering) that survives heavy tails.
+    Integer-exactness trick: group medians of integer dollars are
+    either k or k+0.5, so DOUBLED deviations |2y − 2·median| are exact
+    BIGINTs, and the W statistic (the ANOVA F computed on deviations)
+    is scale-invariant, so running it on 2z changes nothing. From there
+    the plan IS q272's: one aggregate for (n, Σz, Σz²) per group, each
+    group's s1²/n fixed-pointed before the cross-group sum, five
+    summary rows do all the statistics. Two corpus passes (median,
+    then deviations) — the unavoidable cost of median centering."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice"), 0).cast("bigint").alias("y"),
+    )
+    med = base.groupBy("grp").agg(
+        F.round(2.0 * F.expr("percentile(y, 0.5)"), 0)
+        .cast("bigint")
+        .alias("med2")
+    )
+    z = base.join(med, "grp").select(
+        "grp", F.abs(2 * F.col("y") - F.col("med2")).alias("z2")
+    )
+    g = z.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("z2").cast("bigint").alias("s1"),
+        F.sum(F.col("z2") * F.col("z2")).cast("bigint").alias("s2"),
+    )
+    ssb_term = F.round(
+        F.col("s1").cast("double") * F.col("s1") / F.col("n"), 0
+    ).cast("bigint")
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s1").cast("bigint").alias("s1_all"),
+        F.sum("s2").cast("bigint").alias("s2_all"),
+        F.sum(ssb_term).cast("bigint").alias("ssb_raw"),
+    )
+    ssb = (
+        F.col("ssb_raw").cast("double")
+        - F.col("s1_all").cast("double") * F.col("s1_all") / F.col("n_all")
+    )
+    ssw = F.col("s2_all").cast("double") - F.col("ssb_raw").cast("double")
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        "n_all",
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_all") - F.col("k"))),
+            6,
+        ).alias("w_r"),
+    )
+
+
+_KAPPA_CENTS = 25_000_000  # $250k in cents: rater A's "high-value" line
+
+
+@query(
+    "a352_cohens_kappa",
+    oracle=f"""
+WITH rated AS (
+  SELECT CASE WHEN CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                   > {_KAPPA_CENTS} THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS b
+  FROM orders
+), cm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM rated
+)
+SELECT n, n11, n10, n01, n00,
+       round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po_r,
+       round((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+              + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+             / (CAST(n AS DOUBLE) * n), 6) AS pe_r,
+       round((CAST(n11 + n00 AS DOUBLE) / n
+              - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                 + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                / (CAST(n AS DOUBLE) * n))
+             / (1.0 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                       + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                      / (CAST(n AS DOUBLE) * n)), 6) AS kappa_r
+FROM cm
+""",
+    tags=("monitoring", "stats", "labeling"),
+)
+def a352_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa inter-rater agreement — the labeling-QA statistic
+    for training-data pipelines (two annotators, or a model judge vs a
+    heuristic): chance-corrected agreement κ = (pₒ − pₑ)/(1 − pₑ).
+    Raters here are two deterministic binary labelers on the same
+    orders (value > $250k vs priority ∈ {{URGENT, HIGH}}). The whole
+    2×2 confusion matrix is ONE map-side-combined aggregate of 0/1
+    products (no join of rater tables — both labels are projections of
+    the same row, the common case for model-vs-heuristic audits);
+    pₒ/pₑ/κ evaluate on the 5-integer summary with one rounding each.
+    Scales as a single scan at any corpus size."""
+    o = table(spark, sf_dir, "orders")
+    a = (
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+        > _KAPPA_CENTS
+    ).cast("int")
+    b = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    cm = o.select(a.alias("a"), b.alias("b")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return cm.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("po_r"),
+        F.round(pe, 6).alias("pe_r"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa_r"),
+    )
+
+
+_PERM_K = 20  # deterministic pseudo-permutations of the label vector
+
+
+@query(
+    "a353_permutation_test",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), obs AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS na,
+         CAST(SUM(1 - is_a) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN is_a = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS sa,
+         CAST(SUM(CASE WHEN is_a = 0 THEN cents ELSE 0 END) AS BIGINT)
+           AS sb
+  FROM ev
+), perms AS (
+  SELECT k.k, e.cents,
+         row_number() OVER (
+           PARTITION BY k.k
+           ORDER BY md5('perm' || CAST(k.k AS VARCHAR) || '|'
+                        || CAST(e.event_id AS VARCHAR)), e.event_id
+         ) AS rn
+  FROM ev e CROSS JOIN (SELECT unnest(generate_series(0, {_PERM_K} - 1))
+                        AS k) k
+), pstat AS (
+  SELECT p.k,
+         CAST(SUM(CASE WHEN p.rn <= o.na THEN p.cents ELSE 0 END)
+              AS BIGINT) AS sa_k,
+         CAST(SUM(CASE WHEN p.rn > o.na THEN p.cents ELSE 0 END)
+              AS BIGINT) AS sb_k
+  FROM perms p CROSS JOIN obs o
+  GROUP BY p.k
+)
+SELECT o.na, o.nb,
+       round(CAST(o.sa AS DOUBLE) / o.na - CAST(o.sb AS DOUBLE) / o.nb, 6)
+         AS obs_diff_r,
+       CAST({_PERM_K} AS BIGINT) AS n_perms,
+       CAST(SUM(CASE WHEN abs(CAST(p.sa_k AS DOUBLE) / o.na
+                              - CAST(p.sb_k AS DOUBLE) / o.nb)
+                          >= abs(CAST(o.sa AS DOUBLE) / o.na
+                                 - CAST(o.sb AS DOUBLE) / o.nb)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       round((SUM(CASE WHEN abs(CAST(p.sa_k AS DOUBLE) / o.na
+                              - CAST(p.sb_k AS DOUBLE) / o.nb)
+                          >= abs(CAST(o.sa AS DOUBLE) / o.na
+                                 - CAST(o.sb AS DOUBLE) / o.nb)
+                     THEN 1.0 ELSE 0.0 END) + 1.0)
+             / ({_PERM_K} + 1.0), 6) AS p_value_r
+FROM pstat p CROSS JOIN obs o
+GROUP BY o.na, o.nb, o.sa, o.sb
+""",
+    tags=("monitoring", "stats"),
+)
+def a353_permutation_test(spark, sf_dir):
+    """Distribution-free permutation test for a difference in mean spend
+    (click vs purchase events) with DETERMINISTIC pseudo-permutations:
+    permutation k relabels rows by ranking them on md5('perm'‖k‖id) and
+    handing the first n_A ranks to group A — an exchangeable relabeling
+    both engines reproduce bit-for-bit, where a seeded RNG would not
+    be portable. Each permutation statistic is a ratio of exact BIGINT
+    cent-sums, so the |stat_k| ≥ |observed| comparison is on
+    identically-computed doubles. p uses the standard (b+1)/(K+1)
+    correction. Plan: one scan for the observed split, one K-way
+    replicated rank-and-sum (K×n rows, K=20 — linear, tunable); the
+    rank windows are per-permutation partitions, so the shuffle
+    parallelizes across permutations."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("cents"),
+        (F.col("event_type") == "click").cast("int").alias("is_a"),
+    )
+    obs = ev.agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+    )
+    perms = ev.select(
+        "event_id", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_K - 1))).alias("k"),
+    ).select(
+        "k", "cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("k").orderBy(
+                F.md5(
+                    F.concat(
+                        F.lit("perm"),
+                        F.col("k").cast("string"),
+                        F.lit("|"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                "event_id",
+            )
+        )
+        .alias("rn"),
+    )
+    pstat = (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("na"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("sa_k"),
+            F.sum(F.when(F.col("rn") > F.col("na"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("sb_k"),
+        )
+    )
+    joined = pstat.crossJoin(F.broadcast(obs))
+    obs_diff = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    perm_diff = (
+        F.col("sa_k").cast("double") / F.col("na")
+        - F.col("sb_k").cast("double") / F.col("nb")
+    )
+    extreme = F.when(F.abs(perm_diff) >= F.abs(obs_diff), 1).otherwise(0)
+    return (
+        joined.groupBy("na", "nb", "sa", "sb")
+        .agg(
+            F.sum(extreme).cast("bigint").alias("n_extreme_i"),
+            F.sum(extreme.cast("double")).alias("n_extreme_d"),
+        )
+        .select(
+            "na", "nb",
+            F.round(obs_diff, 6).alias("obs_diff_r"),
+            F.lit(_PERM_K).cast("bigint").alias("n_perms"),
+            F.col("n_extreme_i").alias("n_extreme"),
+            F.round(
+                (F.col("n_extreme_d") + 1.0) / (_PERM_K + 1.0), 6
+            ).alias("p_value_r"),
+        )
+    )

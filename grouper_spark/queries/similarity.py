@@ -1166,3 +1166,158 @@ def q340_first_relevant_rank(spark, sf_dir):
         .cast("bigint")
         .alias("n_top1"),
     )
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_NQ = 10  # bounded query set
+
+
+@query(
+    "a355_mrl_truncation_audit",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qa, embedding::DOUBLE[] AS ea
+  FROM embeddings WHERE vec_id < {_MRL_NQ}
+), c AS (
+  SELECT vec_id AS qb, embedding::DOUBLE[] AS eb FROM embeddings
+), pairs AS (
+  SELECT qa, qb,
+         {", ".join(
+           f"round(list_cosine_similarity(list_slice(ea, 1, {d}), "
+           f"list_slice(eb, 1, {d})), 6) AS c{d}"
+           for d in _MRL_DIMS
+         )}
+  FROM q JOIN c ON qa <> qb
+), long AS (
+  SELECT qa, qb, d.dim,
+         CASE d.dim {" ".join(f"WHEN {d} THEN c{d}" for d in _MRL_DIMS)}
+         END AS cos,
+         c64
+  FROM pairs CROSS JOIN (VALUES {", ".join(f"({d})" for d in _MRL_DIMS)})
+       AS d(dim)
+), deltas AS (
+  SELECT dim, qa, qb, cos,
+         CAST(ROUND(abs(cos - c64) * 1000000.0, 0) AS BIGINT)
+           AS delta_micro
+  FROM long
+), top1 AS (
+  SELECT dim, qa, qb AS b_top
+  FROM (SELECT dim, qa, qb,
+               row_number() OVER (PARTITION BY dim, qa
+                                  ORDER BY cos DESC, qb) AS rn
+        FROM long)
+  WHERE rn = 1
+), ref AS (
+  SELECT qa, b_top AS b_ref FROM top1 WHERE dim = 64
+), agree AS (
+  SELECT t.dim,
+         CAST(SUM(CASE WHEN t.b_top = r.b_ref THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_top1_agree
+  FROM top1 t JOIN ref r ON r.qa = t.qa
+  GROUP BY t.dim
+)
+SELECT d.dim,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(SUM(d.delta_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS avg_abs_delta_r,
+       a.n_top1_agree
+FROM deltas d JOIN agree a ON a.dim = d.dim
+GROUP BY d.dim, a.n_top1_agree
+ORDER BY d.dim
+""",
+    tags=("similarity", "embedding"),
+)
+def a355_mrl_truncation_audit(spark, sf_dir):
+    """Matryoshka-truncation fidelity audit — the measurement behind
+    "can I run ANN at 8/16/32 of the 64 dims and keep the neighbors?":
+    for each truncation width, the cosine of every (query, candidate)
+    pair under the truncated prefix vs the full vector, rolled up to
+    (a) mean |Δcosine| — per-pair deltas fixed-pointed to micro units
+    BEFORE the sum, so the average is an exact-integer ratio — and
+    (b) top-1 neighbor agreement with the full-width ranking. All
+    widths are computed in ONE projection over the bounded
+    query×corpus pair table (slice-then-normalize per width, no
+    re-join per width); the dim-64 row is the built-in sanity check
+    (Δ≡0, agreement≡n_queries). The 100 TB read: pick the smallest
+    width whose agreement holds and run lsh_bucket_ann there,
+    reranking at full width."""
+    from ..functions.vector import l2_normalize
+    from ..operators.core import ensure_parallelism
+
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("qa"), F.col("embedding").alias("ea")
+    )
+    cs = ensure_parallelism(e).select(
+        F.col("vec_id").alias("qb"), F.col("embedding").alias("eb")
+    )
+    pairs = cs.crossJoin(F.broadcast(qs)).filter(F.col("qa") != F.col("qb"))
+    cos_cols = [
+        F.round(
+            dot(
+                l2_normalize(F.slice("ea", 1, d)),
+                l2_normalize(F.slice("eb", 1, d)),
+            ),
+            6,
+        ).alias(f"c{d}")
+        for d in _MRL_DIMS
+    ]
+    wide = pairs.select("qa", "qb", *cos_cols).localCheckpoint(eager=False)
+    long = wide.select(
+        "qa", "qb", F.col("c64").alias("c_full"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"), F.col(f"c{d}").alias("cos")
+                    )
+                    for d in _MRL_DIMS
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "qa", "qb", F.col("e.dim").alias("dim"), F.col("e.cos").alias("cos"),
+        "c_full",
+    )
+    deltas = long.withColumn(
+        "delta_micro",
+        F.round(F.abs(F.col("cos") - F.col("c_full")) * 1e6, 0).cast("bigint"),
+    )
+    from pyspark.sql import Window
+
+    top1 = (
+        long.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("dim", "qa").orderBy(
+                    F.col("cos").desc(), "qb"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("dim", "qa", F.col("qb").alias("b_top"))
+    )
+    ref = top1.filter(F.col("dim") == 64).select(
+        "qa", F.col("b_top").alias("b_ref")
+    )
+    agree = (
+        top1.join(F.broadcast(ref), "qa")
+        .groupBy("dim")
+        .agg(
+            F.sum((F.col("b_top") == F.col("b_ref")).cast("int"))
+            .cast("bigint")
+            .alias("n_top1_agree")
+        )
+    )
+    return (
+        deltas.groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("delta_micro").cast("double") / 1e6 / F.count("*"), 6
+            ).alias("avg_abs_delta_r"),
+        )
+        .join(F.broadcast(agree), "dim")
+        .select("dim", "n_pairs", "avg_abs_delta_r", "n_top1_agree")
+        .orderBy("dim")
+    )

@@ -602,3 +602,68 @@ def q207_doc_chunking(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "a354_regex_battery",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\\bs[a-z]+')) AS n_s_words,
+         CASE WHEN regexp_matches(text, 'join [a-z]+ filter')
+              THEN 1 ELSE 0 END AS has_jf,
+         regexp_extract(text, 'b[a-z]+') AS first_b_word,
+         CAST(len(regexp_replace(text, '\\bthe\\b', '', 'g'))
+              AS BIGINT) AS len_no_the
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_s_words) AS BIGINT) AS total_s_words,
+       CAST(SUM(has_jf) AS BIGINT) AS docs_join_filter,
+       CAST(COUNT(DISTINCT CASE WHEN first_b_word <> ''
+                                THEN first_b_word END) AS BIGINT)
+         AS distinct_first_b,
+       CAST(SUM(len_no_the) AS BIGINT) AS chars_no_the
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "regex"),
+)
+def a354_regex_battery(spark, sf_dir):
+    """Regex function battery — count / match / extract / global-replace
+    in one projection pass: per-doc match counts (regexp_extract_all
+    length), boolean pattern containment (rlike), first-match
+    extraction, and the post-replacement length of a \\b-anchored global
+    substitution. All four run in whole-stage codegen over one scan;
+    the per-source rollup is a single map-side-combined aggregate.
+    Patterns stick to the syntax subset where Java regex (Spark) and
+    RE2 (DuckDB) agree — character classes, word boundaries,
+    literals — so the oracle is exact; lookarounds and backreferences
+    are deliberately out of scope (RE2 has neither)."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(r"\bs[a-z]+"), 0))
+        .alias("n_s_words"),
+        F.col("text").rlike("join [a-z]+ filter").cast("int").alias("has_jf"),
+        F.regexp_extract("text", "b[a-z]+", 0).alias("first_b_word"),
+        F.length(F.regexp_replace("text", r"\bthe\b", "")).cast("bigint")
+        .alias("len_no_the"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_s_words").cast("bigint").alias("total_s_words"),
+            F.sum("has_jf").cast("bigint").alias("docs_join_filter"),
+            F.count_distinct(
+                F.when(F.col("first_b_word") != "", F.col("first_b_word"))
+            )
+            .cast("bigint")
+            .alias("distinct_first_b"),
+            F.sum("len_no_the").cast("bigint").alias("chars_no_the"),
+        )
+        .orderBy("source")
+    )
