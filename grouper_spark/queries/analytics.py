@@ -2781,8 +2781,8 @@ WITH monthly AS (
 )
 SELECT month,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       round(CAST(SUM(share_micro * share_micro) AS DOUBLE)
-             / 1000000.0 / 1000000.0 * 10000.0, 6) AS hhi_r
+       CAST((SUM(share_micro * share_micro) + 50) // 100 AS DOUBLE)
+         / 1000000.0 AS hhi_r
 FROM shares GROUP BY month ORDER BY month
 """,
     tags=("analytics", "finance"),
@@ -2820,13 +2820,18 @@ def q326_hhi_concentration(spark, sf_dir):
         shares.groupBy("month")
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),
-            F.round(
-                F.sum(F.col("share_micro") * F.col("share_micro"))
-                .cast("double")
-                / 1e6
-                / 1e6
-                * 10000.0,
-                6,
+            # On the 0-10000 scale, hhi = S/1e8 for the exact integer
+            # S = Σ share_micro²; round to 6dp IN INTEGERS
+            # ((S+50) div 100) — a final round(double, 6) sat exactly on
+            # a half boundary at sf0.1 and Spark/DuckDB broke the tie
+            # differently (1-ulp FAIL caught by the full-scale parity
+            # gate, r4).
+            (
+                F.expr(
+                    "CAST((sum(share_micro * share_micro) + 50) div 100"
+                    " AS DOUBLE)"
+                )
+                / 1000000.0
             ).alias("hhi_r"),
         )
         .orderBy("month")
