@@ -3468,3 +3468,103 @@ def a347_rrf_fusion(spark, sf_dir):
         .orderBy(F.col("rrf_r").desc(), "o_custkey")
         .limit(_RRF_TOP)
     )
+
+
+@query(
+    "a357_label_propagation",
+    oracle="""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb
+), edges AS (
+  SELECT pa AS node, pb AS nbr, w FROM pairs
+  UNION ALL
+  SELECT pb AS node, pa AS nbr, w FROM pairs
+), votes AS (
+  SELECT e.node, p.p_brand AS nbr_brand, CAST(SUM(e.w) AS BIGINT) AS v
+  FROM edges e JOIN part p ON p.p_partkey = e.nbr
+  GROUP BY e.node, nbr_brand
+), winner AS (
+  SELECT node, nbr_brand AS new_brand
+  FROM (SELECT node, nbr_brand, row_number() OVER (
+          PARTITION BY node ORDER BY v DESC, nbr_brand) AS rn
+        FROM votes)
+  WHERE rn = 1
+)
+SELECT p.p_brand AS old_brand, w.new_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM winner w JOIN part p ON p.p_partkey = w.node
+GROUP BY old_brand, new_brand
+ORDER BY old_brand, new_brand
+""",
+    tags=("graph", "ml"),
+)
+def a357_label_propagation(spark, sf_dir):
+    """One label-propagation round over the co-purchase graph — the
+    cheap community/label smoother (LPA) that complements PageRank
+    (q119), connected components (q63), and triangles (q146): each
+    part adopts the brand carrying the largest co-occurrence weight
+    among its neighbors (deterministic tiebreak: weight DESC, brand
+    ASC), and the output is the bounded brand×brand transition matrix.
+    Pair generation is the within-order self-join — safe UNCAPPED here
+    because TPC-H order size is bounded (≤7 lines), which is exactly
+    the condition to check before skipping the q146-style hot-bucket
+    cap on real carts. One pair shuffle, one vote shuffle, windows per
+    node; every table after the pair stage is graph-sized, not
+    fact-sized."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = lp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr"), "w"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("node"), F.col("pa").alias("nbr"), "w"
+        )
+    )
+    brands = part.select("p_partkey", "p_brand")
+    votes = (
+        edges.join(
+            F.broadcast(brands.withColumnRenamed("p_partkey", "nbr")), "nbr"
+        )
+        .groupBy("node", F.col("p_brand").alias("nbr_brand"))
+        .agg(F.sum("w").cast("bigint").alias("v"))
+    )
+    winner = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("node").orderBy(
+                    F.col("v").desc(), "nbr_brand"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("node", F.col("nbr_brand").alias("new_brand"))
+    )
+    return (
+        winner.join(
+            F.broadcast(brands.withColumnRenamed("p_partkey", "node")),
+            "node",
+        )
+        .groupBy(F.col("p_brand").alias("old_brand"), "new_brand")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .orderBy("old_brand", "new_brand")
+    )

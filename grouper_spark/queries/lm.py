@@ -1394,3 +1394,77 @@ def a345_kneser_ney(spark, sf_dir):
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(_KN_TOP)
     )
+
+
+@query(
+    "a359_token_fertility",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST(length(text) AS BIGINT) AS n_chars_txt,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST(COALESCE(list_sum(list_transform(
+                list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> ''),
+                x -> length(x))), 0) AS BIGINT) AS tok_chars
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(n_chars_txt) AS DOUBLE) / SUM(n_tok), 6)
+         AS chars_per_token_r,
+       round(CAST(SUM(tok_chars) AS DOUBLE) / SUM(n_tok), 6)
+         AS avg_token_len_r,
+       round(CAST(SUM(n_tok) AS DOUBLE) * 100.0 / SUM(n_chars_txt), 6)
+         AS tokens_per_100_chars_r
+FROM per_doc
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+    tags=("lm", "tokenizer"),
+)
+def a359_token_fertility(spark, sf_dir):
+    """Tokenizer fertility by (lang, source) — the budgeting number
+    behind context-length and cost planning: how many tokens a unit of
+    raw text becomes (tokens per 100 chars), plus mean token length
+    and the chars-per-token inverse. High fertility for a language
+    means its documents eat disproportionate context — the signal that
+    drives per-language vocab allocation (q342's coverage curves pick
+    the vocab; this prices the corpus). All three ratios are exact
+    BIGINT-sum divisions rounded once; per-doc token stats come from
+    one codegen projection (size + aggregate over the token array — no
+    explode, the array never leaves the row), one aggregate shuffle
+    total."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars_txt"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("tok_chars"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars_txt").cast("double") / F.sum("n_tok"), 6
+            ).alias("chars_per_token_r"),
+            F.round(
+                F.sum("tok_chars").cast("double") / F.sum("n_tok"), 6
+            ).alias("avg_token_len_r"),
+            F.round(
+                F.sum("n_tok").cast("double") * 100.0 / F.sum("n_chars_txt"),
+                6,
+            ).alias("tokens_per_100_chars_r"),
+        )
+        .orderBy("lang", "source")
+    )

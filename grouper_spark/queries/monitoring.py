@@ -3355,3 +3355,101 @@ def a353_permutation_test(spark, sf_dir):
             ).alias("p_value_r"),
         )
     )
+
+
+@query(
+    "a358_binary_segmentation",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY day
+), pre AS (
+  SELECT day, rev,
+         CAST(SUM(rev) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s_k,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+         CAST(SUM(rev) OVER () AS BIGINT) AS s_n,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM daily
+), scored AS (
+  SELECT day, k, n, s_k, s_n,
+         (CAST(s_k AS DOUBLE) * n - CAST(k AS DOUBLE) * s_n)
+         * (CAST(s_k AS DOUBLE) * n - CAST(k AS DOUBLE) * s_n)
+         / (CAST(n AS DOUBLE) * k * (n - k)) AS score
+  FROM pre WHERE k < n
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY score DESC, day) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT day AS split_day,
+       CAST(k AS BIGINT) AS n_left,
+       CAST(n - k AS BIGINT) AS n_right,
+       round(CAST(s_k AS DOUBLE) / k, 6) AS mean_left_r,
+       round(CAST(s_n - s_k AS DOUBLE) / (n - k), 6) AS mean_right_r,
+       round(score, 6) AS score_r
+FROM best
+""",
+    tags=("monitoring", "changepoint"),
+)
+def a358_binary_segmentation(spark, sf_dir):
+    """Binary-segmentation change-point: the single split of the daily
+    revenue series that maximizes between-segment sum of squares —
+    the batch (retrospective, global-argmax) complement of q166's
+    sequential CUSUM monitor. The whole search is O(n) on prefix sums:
+    G(k) = (S_k·n − k·S_n)² / (n·k·(n−k)), where S_k is an EXACT
+    BIGINT prefix sum of whole-dollar revenue, so the only doubles are
+    the per-k score (identical arithmetic both engines) and the argmax
+    tiebreak is deterministic (score DESC, day ASC). The windows run
+    over the DAILY summary (calendar-sized) — the fact table is
+    touched once by the grouped aggregate; at 100 TB the summary is
+    thousands of rows regardless of corpus size."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice"), 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    pre = daily.select(
+        "day",
+        F.sum("rev").over(wcum).cast("bigint").alias("s_k"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k"),
+        F.sum("rev").over(wall).cast("bigint").alias("s_n"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+    )
+    u = (
+        F.col("s_k").cast("double") * F.col("n")
+        - F.col("k").cast("double") * F.col("s_n")
+    )
+    scored = pre.filter(F.col("k") < F.col("n")).withColumn(
+        "score",
+        u * u / (F.col("n").cast("double") * F.col("k") * (F.col("n") - F.col("k"))),
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), "day")),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("day").alias("split_day"),
+        F.col("k").alias("n_left"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("n_right"),
+        F.round(F.col("s_k").cast("double") / F.col("k"), 6).alias(
+            "mean_left_r"
+        ),
+        F.round(
+            (F.col("s_n") - F.col("s_k")).cast("double")
+            / (F.col("n") - F.col("k")),
+            6,
+        ).alias("mean_right_r"),
+        F.round(F.col("score"), 6).alias("score_r"),
+    )

@@ -275,3 +275,56 @@ def q276_parameterized_sql(spark, sf_dir):
         """,
         args={"min_bal": 1000.0, "max_nation": 10},
     )
+
+
+@query(
+    "a356_sql_udf",
+    oracle="""
+SELECT CASE WHEN c_acctbal < 0.0 THEN 'neg'
+            WHEN c_acctbal < 5000.0 THEN 'mid'
+            ELSE 'high' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS balance_cents
+FROM customer
+GROUP BY band
+ORDER BY band
+""",
+    tags=("sql", "api", "udf"),
+)
+def a356_sql_udf(spark, sf_dir):
+    """SQL-defined scalar functions (Spark 4 CREATE FUNCTION … RETURN
+    expr, SPARK-46246) — the UDF surface with ZERO engine cost: the
+    analyzer inlines the RETURN expression at every call site, so
+    `cents(x)` and `bal_band(x)` compile into the same whole-stage
+    codegen the hand-inlined expression would, with none of a Python
+    UDF's serialization hop. This is the right default for shared
+    business logic at 100 TB (define once, reuse everywhere, still
+    vectorized JVM execution); the oracle is the same query with the
+    bodies inlined by hand — identical results prove the inlining is
+    semantic identity. Session-scoped temporary functions; catalog
+    registration would persist them for every reader."""
+    from ..sources import table as _table
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents(p DOUBLE)"
+        " RETURNS BIGINT RETURN CAST(ROUND(p * 100.0, 0) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bal_band(b DOUBLE)"
+        " RETURNS STRING RETURN CASE WHEN b < 0.0 THEN 'neg'"
+        " WHEN b < 5000.0 THEN 'mid' ELSE 'high' END"
+    )
+    _table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_sqludf"
+    )
+    return spark.sql(
+        """
+        SELECT bal_band(c_acctbal) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents(c_acctbal)) AS BIGINT) AS balance_cents
+        FROM customer_sqludf
+        GROUP BY band
+        ORDER BY band
+        """
+    )
