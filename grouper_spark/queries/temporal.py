@@ -1691,3 +1691,118 @@ def a350_business_day_cycle(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "a360_holt_linear",
+    oracle="""
+WITH RECURSIVE monthly AS (
+  SELECT o_orderpriority AS grp,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) AS rev
+  FROM orders GROUP BY grp, month
+), ordered AS (
+  SELECT grp, rev,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY month)
+              AS BIGINT) AS k,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM monthly
+), state AS (
+  SELECT grp, CAST(2 AS BIGINT) AS k, n,
+         MAX(CASE WHEN k = 1 THEN rev END) AS l,
+         MAX(CASE WHEN k = 2 THEN rev END)
+           - MAX(CASE WHEN k = 1 THEN rev END) AS t
+  FROM ordered
+  GROUP BY grp, n
+  HAVING n >= 3
+  UNION ALL
+  SELECT s.grp, s.k + 1, s.n,
+         0.5 * o.rev + 0.5 * (s.l + s.t),
+         0.25 * ((0.5 * o.rev + 0.5 * (s.l + s.t)) - s.l) + 0.75 * s.t
+  FROM state s JOIN ordered o ON o.grp = s.grp AND o.k = s.k + 1
+  WHERE s.k < s.n
+)
+SELECT grp,
+       CAST(n AS BIGINT) AS n_months,
+       round(l, 6) AS level_r,
+       round(t, 6) AS trend_r,
+       round(l + 3.0 * t, 6) AS forecast_3_r
+FROM state
+WHERE k = n
+ORDER BY grp
+""",
+    tags=("temporal", "forecast"),
+)
+def a360_holt_linear(spark, sf_dir):
+    """Holt double exponential smoothing (level + linear trend,
+    α=0.5, β=0.25) per order priority — the coupled recurrence
+    l' = αy + (1−α)(l+t); t' = β(l'−l) + (1−β)t that NO window frame
+    expresses (each step needs the previous SMOOTHED state, not a
+    prefix aggregate), folded exactly like q229: one key shuffle
+    collects each group's monthly series in order, a codegen
+    ``aggregate`` lambda runs the recurrence left-to-right —
+    sequential per group as the math demands, parallel across groups.
+    Cross-engine float discipline: the smoothing constants are
+    binary-exact (0.5/0.25/0.75), the series values are whole-dollar
+    integers cast to double, and BOTH engines evaluate the recurrence
+    with the identical expression tree (l' is literally recomputed
+    inside the t' expression on both sides), so every intermediate
+    double is bit-identical and round(·,6) hashes match. Forecast is
+    the 3-months-ahead linear extrapolation l + 3t. The oracle runs
+    the identical recurrence as a RECURSIVE CTE: DuckDB 1.0's
+    list_reduce mis-evaluates lambdas whose struct accumulator has a
+    field referencing another field's subexpression (verified with a
+    minimal repro), so the fold-based oracle twin was unusable."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice"), 0).cast("bigint"))
+        .cast("bigint")
+        .cast("double")
+        .alias("rev")
+    )
+    packed = (
+        monthly.select("grp", F.struct("month", "rev").alias("s"))
+        .groupBy("grp")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("s")),
+                lambda x: x.getField("rev"),
+            ).alias("series")
+        )
+        .filter(F.size("series") >= 3)
+    )
+    l0 = F.element_at("series", 1)
+    t0 = F.element_at("series", 2) - F.element_at("series", 1)
+    rest = F.slice(F.col("series"), 3, F.size("series") - 2)
+    half = F.lit(0.5)
+
+    def step(acc, y):
+        new_l = half * y + half * (acc.getField("l") + acc.getField("t"))
+        new_t = (
+            F.lit(0.25)
+            * ((half * y + half * (acc.getField("l") + acc.getField("t")))
+               - acc.getField("l"))
+            + F.lit(0.75) * acc.getField("t")
+        )
+        return F.struct(new_l.alias("l"), new_t.alias("t"))
+
+    folded = packed.select(
+        "grp",
+        F.size("series").cast("bigint").alias("n_months"),
+        F.aggregate(
+            rest, F.struct(l0.alias("l"), t0.alias("t")), step
+        ).alias("st"),
+    )
+    return folded.select(
+        "grp",
+        "n_months",
+        F.round(F.col("st.l"), 6).alias("level_r"),
+        F.round(F.col("st.t"), 6).alias("trend_r"),
+        F.round(F.col("st.l") + 3.0 * F.col("st.t"), 6).alias(
+            "forecast_3_r"
+        ),
+    ).orderBy("grp")
