@@ -56,6 +56,7 @@ def asof_join(
     right_ts: str = "ts",
     right_values: Sequence[str] = (),
     suffix: str = "_asof",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """As-of (backward) join: for each left row, the right row with the
     greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key.
@@ -69,6 +70,11 @@ def asof_join(
 
     Returns all left columns plus ``{val}{suffix}`` for each requested
     right value column and ``{right_ts}{suffix}`` (null when no match).
+
+    ``tolerance_s`` (pandas merge_asof semantics): a backward match
+    older than this many seconds is treated as NO match — every carried
+    column is nulled together, post-carry, so the stale-data guard adds
+    zero shuffles to the union-merge plan.
     """
     carry = [right_ts, *right_values]
     lhs = left.select(
@@ -97,9 +103,22 @@ def asof_join(
         merged = merged.withColumn(
             f"__r_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
         )
+    keep = F.lit(True)
+    if tolerance_s is not None:
+        # microsecond-exact: flooring each endpoint to seconds would
+        # admit matches up to 1s staler than the bound at sub-second
+        # timestamps, diverging from interval arithmetic
+        keep = F.col(f"__r_{right_ts}").isNotNull() & (
+            F.unix_micros("__ts")
+            - F.unix_micros(F.col(f"__r_{right_ts}"))
+            <= F.lit(int(tolerance_s) * 1_000_000)
+        )
     out = merged.filter(F.col("__is_left") == 1).select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__r_{c}").alias(f"{c}{suffix}") for c in carry],
+        *[
+            F.when(keep, F.col(f"__r_{c}")).alias(f"{c}{suffix}")
+            for c in carry
+        ],
     )
     return out
 

@@ -3568,3 +3568,133 @@ def a357_label_propagation(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_parts"))
         .orderBy("old_brand", "new_brand")
     )
+
+
+@query(
+    "a361_clustering_coefficient",
+    oracle="""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges
+        UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+), tcount AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri)
+  GROUP BY node
+), coef AS (
+  SELECT d.node, d.d, COALESCE(t.t, 0) AS t,
+         CASE WHEN d.d >= 2 THEN
+           CAST(ROUND(2.0 * COALESCE(t.t, 0)
+                      / (d.d * (d.d - 1)) * 1000000.0, 0) AS BIGINT)
+         END AS c_micro
+  FROM deg d LEFT JOIN tcount t ON t.node = d.node
+)
+SELECT CAST(least(c_micro // 100000, 9) AS BIGINT) AS c_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(t) AS BIGINT) AS triangles_x3,
+       round(CAST(SUM(c_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS avg_c_r
+FROM coef
+WHERE c_micro IS NOT NULL
+GROUP BY c_bin
+ORDER BY c_bin
+""",
+    tags=("graph",),
+)
+def a361_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient distribution over the co-purchase
+    graph — C(i) = 2·T(i)/(deg(i)(deg(i)−1)), the "how cliquish is
+    each node's neighborhood" number that completes the graph battery
+    (global triangles q146, components q63, PageRank q119, LPA a357).
+    Triangles enumerate once per unordered triple via the oriented
+    two-path + closing-edge join (u<v<w), then explode to their three
+    corners for per-node counts; degrees come from the undirected edge
+    list. Per-node coefficients are micro-fixed BEFORE the histogram
+    aggregate, so bin membership and the bin means hash exactly.
+    Output is a fixed 10-bin distribution — bounded at any graph size.
+    Pair generation is order-bounded (≤7 lines/order, see a357); real
+    carts need the q146 hot-bucket cap first."""
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by deg + three triangle sides
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    e1 = edges.select(F.col("u").alias("tu"), F.col("v").alias("tv"))
+    e2 = edges.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
+    e3 = edges.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    tri = (
+        e1.join(e2, "tu")
+        .filter(F.col("tw") > F.col("tv"))
+        .join(
+            e3,
+            (F.col("cu") == F.col("tv")) & (F.col("cv") == F.col("tw")),
+        )
+        .select(
+            F.col("tu").alias("a"), F.col("tv").alias("b"),
+            F.col("tw").alias("c"),
+        )
+    )
+    tcount = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    coef = deg.join(tcount, "node", "left").select(
+        "node",
+        "d",
+        F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("t"),
+        F.when(
+            F.col("d") >= 2,
+            F.round(
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1))
+                * 1000000.0,
+                0,
+            ).cast("bigint"),
+        ).alias("c_micro"),
+    )
+    return (
+        coef.filter(F.col("c_micro").isNotNull())
+        .groupBy(
+            F.least(F.expr("c_micro div 100000"), F.lit(9))
+            .cast("bigint")
+            .alias("c_bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("t").cast("bigint").alias("triangles_x3"),
+            F.round(
+                F.sum("c_micro").cast("double") / 1e6 / F.count("*"), 6
+            ).alias("avg_c_r"),
+        )
+        .orderBy("c_bin")
+    )

@@ -883,3 +883,60 @@ def q290_aging_waterfall(spark, sf_dir):
         )
         .orderBy("age_bucket")
     )
+
+
+@query(
+    "a362_union_by_name",
+    oracle="""
+WITH unioned AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+         o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+)
+SELECT COALESCE(o_orderpriority, '(legacy)') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM unioned
+GROUP BY priority
+ORDER BY priority
+""",
+    tags=("sql", "schema-evolution"),
+)
+def a362_union_by_name(spark, sf_dir):
+    """Schema-drift union (unionByName + allowMissingColumns ≍ DuckDB
+    UNION ALL BY NAME) — the append that survives a release adding a
+    column: the legacy extract lacks ``o_orderpriority``, the new one
+    carries it, and the by-NAME union aligns shared columns and
+    null-fills the missing one instead of the silent positional
+    mismatch plain UNION ALL produces when widths drift. The rollup
+    then treats the null-filled rows as a '(legacy)' cohort — the
+    standard backfill-read shape for a table whose schema evolved
+    mid-history (the file-level twin is the mergeSchema read, q192/
+    test_sources). One scan per side, one aggregate shuffle."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    new = o.filter(F.col("o_orderdate") >= cut).select(
+        "o_orderkey", "o_custkey", cents.alias("cents"), "o_orderpriority"
+    )
+    legacy = o.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    unioned = new.unionByName(legacy, allowMissingColumns=True)
+    return (
+        unioned.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(legacy)")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("priority")
+    )

@@ -225,3 +225,76 @@ def q75_time_range_window(spark, sf_dir):
         "ts",
         F.sum(money("value")).over(w).alias("hour_cents"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "a363_asof_tolerance",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), matched AS (
+  SELECT p.event_id,
+         (SELECT max(c.ts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts
+            AND c.ts >= p.ts - INTERVAL 30 MINUTE) AS click_ts,
+         p.ts
+  FROM purchases p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(click_ts) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN
+             (epoch_us(ts) - epoch_us(click_ts)) // 1000000 END)
+            AS BIGINT) AS total_gap_s,
+       round(CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN
+               (epoch_us(ts) - epoch_us(click_ts)) // 1000000 END)
+             AS DOUBLE) / COUNT(click_ts), 6) AS avg_gap_s_r
+FROM matched
+""",
+    tags=("window", "asof"),
+)
+def a363_asof_tolerance(spark, sf_dir):
+    """As-of join WITH a staleness tolerance (pandas merge_asof
+    ``tolerance``): each purchase is attributed to the user's most
+    recent click only if it happened within 30 minutes — older context
+    is treated as no match, the guard every feature-store lookup needs
+    so a join never silently serves hours-stale features. Same
+    union-merge single-sort plan as q21 (no range cross-join); the
+    tolerance check is a post-carry filter on the carried timestamp,
+    zero extra shuffles. The oracle is the correlated bounded-argmax
+    subquery. Gaps aggregate as exact integer seconds."""
+    from ..operators import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    m = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        tolerance_s=1800,
+    )
+    # microsecond-exact gap floored to whole seconds as ONE division —
+    # flooring each endpoint separately (unix_timestamp) disagrees with
+    # the oracle's epoch_us difference whenever the fractional parts
+    # straddle a second boundary
+    gap = (
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")) / F.lit(1000000)
+    ).cast("bigint")
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.count("ts_asof").cast("bigint").alias("n_matched"),
+        F.sum(F.when(F.col("ts_asof").isNotNull(), gap))
+        .cast("bigint")
+        .alias("total_gap_s"),
+        F.round(
+            F.sum(F.when(F.col("ts_asof").isNotNull(), gap)).cast("double")
+            / F.count("ts_asof"),
+            6,
+        ).alias("avg_gap_s_r"),
+    )

@@ -389,3 +389,27 @@ def _tfidf_candidate_count(spark, df, max_df=None):
     a = w.select(F.col("doc_id").alias("doc_a"), "tok")
     b = w.select(F.col("doc_id").alias("doc_b"), "tok")
     return a.join(b, "tok").filter(F.col("doc_a") != F.col("doc_b")).count()
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """tolerance_s: a backward match older than the bound is treated as
+    no match (all carried columns null together)."""
+    from datetime import datetime as ts
+
+    from grouper_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, ts(2024, 1, 1, 10, 0), "fresh"), (1, ts(2024, 1, 1, 12, 0), "stale")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(2024, 1, 1, 9, 59), 7.0)], ["k", "ts", "val"]
+    )
+    got = {
+        r["tag"]: (r["ts_asof"], r["val_asof"])
+        for r in asof_join(
+            left, right, on="k", right_values=["val"], tolerance_s=600
+        ).collect()
+    }
+    assert got["fresh"] == (ts(2024, 1, 1, 9, 59), 7.0)
+    assert got["stale"] == (None, None)
