@@ -57,6 +57,11 @@ HEADLINE = (
     "q238_minhash_oracled",         # md5-MinHash signatures + banding
     "q249_power_iteration",         # gramian + 5 exact integer iterations
     "q253_python_datasource",       # Python DataSource partitioned read
+    # round-4 surface (baselined this round for r5 comparisons)
+    "a345_kneser_ney",              # bigram shuffle + vocab-scale KN smoothing
+    "a353_permutation_test",        # 20-way replicated rank-and-sum
+    "a355_mrl_truncation_audit",    # 4-width cosine audit, one projection
+    "a357_label_propagation",       # co-purchase pair join + vote windows
 )
 
 
@@ -165,7 +170,7 @@ def main() -> None:
                 "unit": "sec",
                 "value_r1_continuity_set": continuity,
                 "calib": {
-                    # fixed-work JVM probe (xxhash64+bit_xor over 2e9 ids,
+                    # fixed-work JVM probe (xxhash64+bit_xor over 8e9 ids,
                     # 64 pinned partitions, min-of-3): moves only with
                     # host speed. r4 reference on a healthy host: record
                     # alongside continuity each round.

@@ -3295,7 +3295,7 @@ def a353_permutation_test(spark, sf_dir):
         F.sum(F.when(F.col("is_a") == 0, F.col("cents")).otherwise(0))
         .cast("bigint")
         .alias("sb"),
-    )
+    ).localCheckpoint(eager=False)  # 1 row, referenced by pstat AND the readout
     perms = ev.select(
         "event_id", "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_PERM_K - 1))).alias("k"),

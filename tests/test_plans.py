@@ -652,3 +652,51 @@ def test_q271_orc_scan_pushes_filter(spark, sf_dir, registry):
     plan = plan_of(df)
     scan = next(l for l in plan.splitlines() if "FileScan orc" in l)
     assert "PushedFilters" in scan and "GreaterThan(o_totalprice" in scan
+
+
+def test_a345_bigram_table_planned_once(spark, sf_dir, registry):
+    """a345 references the bigram-count table four ways (probe + uni +
+    cont + tot); the localCheckpoint must keep the corpus tokenize→
+    explode→count pipeline to a single planning, not one per branch."""
+    df = registry["a345_kneser_ney"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_a355_single_pair_projection_all_widths(spark, sf_dir, registry):
+    """a355 computes all four truncation widths in ONE projection over
+    the pair table: exactly one broadcast join builds the pairs (plus
+    the checkpoint'd wide table feeding both branches), never one
+    join per width."""
+    df = registry["a355_mrl_truncation_audit"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_a357_vote_join_is_equi_and_brands_broadcast(spark, sf_dir, registry):
+    """a357's pair generation must be the within-order equi-join (no
+    cartesian), and the part-brand dimension must ride in broadcast."""
+    df = registry["a357_label_propagation"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_a353_obs_scalar_is_broadcast_not_reshuffled(spark, sf_dir, registry):
+    """a353 attaches the 1-row observed-split aggregate to every
+    permutation row; it must arrive via broadcast, and the events scan
+    must not exceed the two passes the design states (observed +
+    replicated ranks)."""
+    df = registry["a353_permutation_test"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("FileScan parquet") <= 2, plan
+
+
+def test_a363_asof_tolerance_single_sort_pass(spark, sf_dir, registry):
+    """The tolerance variant must keep q21's union-merge shape: one
+    shuffle on the key for the as-of window, no range join."""
+    df = registry["a363_asof_tolerance"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
