@@ -3453,3 +3453,178 @@ def a358_binary_segmentation(spark, sf_dir):
         ).alias("mean_right_r"),
         F.round(F.col("score"), 6).alias("score_r"),
     )
+
+
+@query(
+    "a366_wilcoxon_signed_rank",
+    oracle="""
+WITH halves AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                  THEN CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS early,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                  THEN CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS late
+  FROM orders GROUP BY o_custkey
+), paired AS (
+  SELECT late - early AS d FROM halves
+  WHERE early > 0 AND late > 0 AND late <> early
+), rk AS (
+  SELECT d,
+         CAST(rank() OVER (ORDER BY abs(d)) * 2
+              + COUNT(*) OVER (PARTITION BY abs(d)) - 1 AS BIGINT) AS r2
+  FROM paired
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2p,
+         CAST(SUM(CASE WHEN d < 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2m
+  FROM rk
+)
+SELECT n, w2p AS w_plus_x2, w2m AS w_minus_x2,
+       round((CAST(w2p AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2.0)
+             / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2.0 * n + 1) / 6.0),
+             6) AS z_r
+FROM sums
+""",
+    tags=("monitoring", "stats"),
+)
+def a366_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test — the PAIRED companion to q233's
+    Mann-Whitney: did per-customer spend shift between the early and
+    late era, judged on within-customer differences so cross-customer
+    scale variation cancels. Tie handling reuses a346's doubled-
+    average-rank trick (2·avg-rank is an exact BIGINT), so both rank
+    sums are exact integers; on the ×2 scale the normal approximation
+    becomes z = (W₂⁺ − n(n+1)/2) / √(n(n+1)(2n+1)/6), evaluated once
+    in doubles from exact integers (no per-tie variance correction;
+    both engines omit it identically). One aggregate pairs the eras,
+    one global rank window over the CUSTOMER summary, one moment
+    row."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    halves = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < cut, cents).otherwise(0))
+        .cast("bigint")
+        .alias("early"),
+        F.sum(F.when(F.col("o_orderdate") >= cut, cents).otherwise(0))
+        .cast("bigint")
+        .alias("late"),
+    )
+    paired = halves.filter(
+        (F.col("early") > 0)
+        & (F.col("late") > 0)
+        & (F.col("late") != F.col("early"))
+    ).select((F.col("late") - F.col("early")).alias("d"))
+    r2 = (
+        F.rank().over(Window.orderBy(F.abs("d"))) * 2
+        + F.count("*").over(Window.partitionBy(F.abs("d")))
+        - 1
+    ).cast("bigint")
+    rk = paired.select("d", r2.alias("r2"))
+    sums = rk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0))
+        .cast("bigint")
+        .alias("w2p"),
+        F.sum(F.when(F.col("d") < 0, F.col("r2")).otherwise(0))
+        .cast("bigint")
+        .alias("w2m"),
+    )
+    return sums.select(
+        "n",
+        F.col("w2p").alias("w_plus_x2"),
+        F.col("w2m").alias("w_minus_x2"),
+        F.round(
+            (F.col("w2p").cast("double")
+             - F.col("n").cast("double") * (F.col("n") + 1) / 2.0)
+            / F.sqrt(
+                F.col("n").cast("double")
+                * (F.col("n") + 1)
+                * (2.0 * F.col("n") + 1)
+                / 6.0
+            ),
+            6,
+        ).alias("z_r"),
+    )
+
+
+_CA_CENTS = 15_000_000  # $150k high-value line
+
+
+@query(
+    "a367_cochran_armitage",
+    oracle=f"""
+WITH g AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                            > {_CA_CENTS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS x_i
+  FROM orders GROUP BY s
+), sums AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(x_i) AS BIGINT) AS x,
+         CAST(SUM(s * x_i) AS BIGINT) AS sx,
+         CAST(SUM(s * n_i) AS BIGINT) AS sn,
+         CAST(SUM(s * s * n_i) AS BIGINT) AS ssn
+  FROM g
+)
+SELECT n, x,
+       round((CAST(n AS DOUBLE) * sx - CAST(x AS DOUBLE) * sn)
+             / sqrt(CAST(x AS DOUBLE) * (n - x)
+                    * (CAST(n AS DOUBLE) * ssn
+                       - CAST(sn AS DOUBLE) * sn) / n),
+             6) AS z_r
+FROM sums
+""",
+    tags=("monitoring", "stats"),
+)
+def a367_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test — is the high-value-order PROPORTION
+    monotonically associated with the ORDERED priority levels (scores
+    1..5 parsed from the priority label)? The ordered-alternative
+    complement to q168's unordered chi-square: CA concentrates power
+    on the trend instead of spreading it over all deviations. The
+    statistic is computed entirely from five exact BIGINT cross-sums
+    (N·Σsx − X·Σsn over the variance's matching integer form), so z is
+    one double expression over exact integers, identical in both
+    engines. One fact-table aggregate, five summary rows, one readout
+    row."""
+    o = table(spark, sf_dir, "orders")
+    hv = (
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+        > _CA_CENTS
+    ).cast("int")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.sum(hv).cast("bigint").alias("x_i"),
+    )
+    sums = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("x_i").cast("bigint").alias("x"),
+        F.sum(F.col("s") * F.col("x_i")).cast("bigint").alias("sx"),
+        F.sum(F.col("s") * F.col("n_i")).cast("bigint").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i"))
+        .cast("bigint")
+        .alias("ssn"),
+    )
+    return sums.select(
+        "n",
+        "x",
+        F.round(
+            (F.col("n").cast("double") * F.col("sx")
+             - F.col("x").cast("double") * F.col("sn"))
+            / F.sqrt(
+                F.col("x").cast("double")
+                * (F.col("n") - F.col("x"))
+                * (F.col("n").cast("double") * F.col("ssn")
+                   - F.col("sn").cast("double") * F.col("sn"))
+                / F.col("n")
+            ),
+            6,
+        ).alias("z_r"),
+    )

@@ -599,3 +599,117 @@ def q315_lexicon_scan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_SBLEU_NREF = 8  # bounded reference panel
+
+
+@query(
+    "a364_self_bleu",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS ws
+  FROM documents
+), big AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM tok, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+), bcnt AS (
+  SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+  FROM big GROUP BY doc_id, bg
+), refs AS (
+  SELECT doc_id AS ref_id, bg, c AS c_ref FROM bcnt
+  WHERE doc_id < {_SBLEU_NREF}
+), hyps AS (
+  SELECT doc_id AS hyp_id, bg, c AS c_hyp FROM bcnt
+), overlap AS (
+  SELECT h.hyp_id, r.ref_id,
+         CAST(SUM(least(h.c_hyp, r.c_ref)) AS BIGINT) AS clipped
+  FROM hyps h JOIN refs r ON r.bg = h.bg AND r.ref_id <> h.hyp_id
+  GROUP BY h.hyp_id, r.ref_id
+), totals AS (
+  SELECT doc_id AS hyp_id, CAST(SUM(c) AS BIGINT) AS n_big
+  FROM bcnt GROUP BY doc_id
+), scored AS (
+  SELECT o.ref_id,
+         CAST(ROUND(CAST(o.clipped AS DOUBLE) / t.n_big * 1000000.0, 0)
+              AS BIGINT) AS p_micro
+  FROM overlap o JOIN totals t ON t.hyp_id = o.hyp_id
+)
+SELECT ref_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hyps,
+       round(CAST(SUM(p_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS self_bleu2_r
+FROM scored
+GROUP BY ref_id
+ORDER BY ref_id
+""",
+    tags=("quality", "diversity"),
+)
+def a364_self_bleu(spark, sf_dir):
+    """Self-BLEU-2 corpus-diversity score against a bounded reference
+    panel — the generation-diversity metric (low = diverse corpus,
+    high = mode collapse) made tractable at corpus scale: instead of
+    all-pairs BLEU (O(n²)), every document's CLIPPED bigram precision
+    is computed against {_SBLEU_NREF} fixed reference docs via a
+    posting-list join on the bigram (docs sharing no bigram never
+    meet), so the candidate table is reference-panel × overlapping
+    docs — linear. Modified precision uses exact multiset clipping
+    (Σ min(c_hyp, c_ref)) on BIGINT counts; per-pair precisions are
+    micro-fixed before the per-reference mean. One bigram-count
+    shuffle feeds references, hypotheses, AND length totals."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = d.select("doc_id", ws.alias("ws"))
+    big = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) < 2 THEN"
+                    " CAST(array() AS array<string>)"
+                    " ELSE transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i - 1], ' ', ws[i])) END"
+                )
+            ).alias("bg"),
+        )
+        .filter(~F.col("bg").startswith(" ") & ~F.col("bg").endswith(" "))
+    )
+    bcnt = big.groupBy("doc_id", "bg").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)  # feeds refs + hyps + totals
+    refs = bcnt.filter(F.col("doc_id") < _SBLEU_NREF).select(
+        F.col("doc_id").alias("ref_id"), "bg", F.col("c").alias("c_ref")
+    )
+    hyps = bcnt.select(
+        F.col("doc_id").alias("hyp_id"), "bg", F.col("c").alias("c_hyp")
+    )
+    overlap = (
+        hyps.join(F.broadcast(refs), "bg")
+        .filter(F.col("ref_id") != F.col("hyp_id"))
+        .groupBy("hyp_id", "ref_id")
+        .agg(
+            F.sum(F.least("c_hyp", "c_ref")).cast("bigint").alias("clipped")
+        )
+    )
+    totals = bcnt.groupBy(F.col("doc_id").alias("hyp_id")).agg(
+        F.sum("c").cast("bigint").alias("n_big")
+    )
+    scored = overlap.join(totals, "hyp_id").select(
+        "ref_id",
+        F.round(
+            F.col("clipped").cast("double") / F.col("n_big") * 1e6, 0
+        )
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+    return (
+        scored.groupBy("ref_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hyps"),
+            F.round(
+                F.sum("p_micro").cast("double") / 1e6 / F.count("*"), 6
+            ).alias("self_bleu2_r"),
+        )
+        .orderBy("ref_id")
+    )

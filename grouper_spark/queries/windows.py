@@ -298,3 +298,67 @@ def a363_asof_tolerance(spark, sf_dir):
             6,
         ).alias("avg_gap_s_r"),
     )
+
+
+@query(
+    "a365_numeric_range_frame",
+    oracle="""
+WITH priced AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice, 0) AS BIGINT) AS dollars
+  FROM orders
+)
+SELECT * FROM (
+  SELECT o_orderkey, o_orderpriority, dollars,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_peers,
+         CAST(SUM(dollars) OVER w AS BIGINT) AS peer_dollars,
+         round(CAST(AVG(dollars) OVER w AS DOUBLE), 6) AS peer_avg_r
+  FROM priced
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY dollars
+               RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+)
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+    tags=("window", "range-frame"),
+)
+def a365_numeric_range_frame(spark, sf_dir):
+    """VALUE-based RANGE window frames on a NUMERIC ordering — each
+    order's peer group is every same-priority order within ±$10k of
+    its own price (q75 is the time-interval cousin; this is the price-
+    neighborhood one: local density and local averages without
+    binning, the exact form of 'compare me to my price band'). The
+    frame is resolved by the engine's range-frame machinery in one
+    sort per partition — no self-join on a band predicate, which is
+    the O(n·band) trap this operator exists to avoid. AVG over BIGINT
+    returns engine-specific types (Spark DOUBLE, DuckDB DOUBLE via
+    explicit CAST) but identical values: it is the exact-integer
+    SUM/COUNT ratio, rounded once. The o_orderkey filter bounds the
+    OUTPUT rows; the window still sees every order — which forces the
+    filter into an OUTER query in the oracle, because SQL WHERE runs
+    BEFORE window functions."""
+    o = table(spark, sf_dir, "orders")
+    priced = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice"), 0).cast("bigint").alias("dollars"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("dollars")
+        .rangeBetween(-10000, 10000)
+    )
+    return (
+        priced.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "dollars",
+            F.count("*").over(w).cast("bigint").alias("n_peers"),
+            F.sum("dollars").over(w).cast("bigint").alias("peer_dollars"),
+            F.round(F.avg("dollars").over(w).cast("double"), 6).alias(
+                "peer_avg_r"
+            ),
+        )
+        .filter(F.col("o_orderkey") < 500)
+        .orderBy("o_orderkey")
+    )

@@ -214,3 +214,89 @@ def test_a350_business_day_closed_form_matches_bruteforce(spark):
     got = {r["d"]: r["f"] for r in df.select("d", fcol.cast("bigint").alias("f")).collect()}
     for a, _ in pairs:
         assert got[a] == f_py(a), a
+
+
+def _stage_orders(spark, tmp_path, rows):
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_a366_wilcoxon_matches_textbook(spark, tmp_path):
+    """Independent re-derivation (not the oracle twin): average ranks of
+    |d| with ties, W+ on the x2 scale, and the normal z."""
+    import datetime as _dt
+
+    early, late = _dt.datetime(1993, 1, 1), _dt.datetime(1996, 1, 1)
+    # customer -> (early_dollars, late_dollars); includes a |d| tie
+    pairs = {1: (100.0, 150.0), 2: (200.0, 150.0), 3: (100.0, 180.0),
+             4: (500.0, 450.0), 5: (300.0, 340.0)}
+    rows = []
+    k = 0
+    for c, (e, l) in pairs.items():
+        rows.append((k := k + 1, c, "F", e, early, "3-MEDIUM"))
+        rows.append((k := k + 1, c, "F", l, late, "3-MEDIUM"))
+    out = REGISTRY["a366_wilcoxon_signed_rank"].fn(
+        spark, _stage_orders(spark, tmp_path, rows)
+    ).first()
+
+    ds = [(l - e) * 100 for e, l in pairs.values()]  # cents
+    absd = sorted(range(len(ds)), key=lambda i: abs(ds[i]))
+    # average ranks with ties, x2 scale
+    r2 = [0] * len(ds)
+    i = 0
+    while i < len(absd):
+        j = i
+        while j < len(absd) and abs(ds[absd[j]]) == abs(ds[absd[i]]):
+            j += 1
+        for t in range(i, j):
+            r2[absd[t]] = (i + 1) + j  # 2*avg of ranks i+1..j
+        i = j
+    n = len(ds)
+    w2p = sum(r for r, d in zip(r2, ds) if d > 0)
+    z = (w2p - n * (n + 1) / 2.0) / (
+        (n * (n + 1) * (2 * n + 1) / 6.0) ** 0.5
+    )
+    assert out["n"] == n
+    assert out["w_plus_x2"] == w2p
+    assert abs(out["z_r"] - round(z, 6)) < 1e-9
+
+
+def test_a367_cochran_armitage_matches_textbook(spark, tmp_path):
+    """Independent re-derivation: T = Σ s(x - n·p̄), Var = p̄(1-p̄)·
+    (Σs²n − (Σsn)²/N), z = T/√Var — against the integer cross-sum
+    form the query uses."""
+    import datetime as _dt
+
+    d0 = _dt.datetime(1995, 6, 1)
+    # (priority, n_total, n_high): rising high-value share with level
+    spec = [("1-URGENT", 10, 1), ("2-HIGH", 10, 3), ("3-MEDIUM", 10, 4),
+            ("4-NOT SPECIFIED", 10, 6), ("5-LOW", 10, 9)]
+    rows, k = [], 0
+    for pr, n_i, x_i in spec:
+        for j in range(n_i):
+            price = 200000.0 if j < x_i else 1000.0  # > / < $150k line
+            rows.append((k := k + 1, k, "F", price, d0, pr))
+    out = REGISTRY["a367_cochran_armitage"].fn(
+        spark, _stage_orders(spark, tmp_path, rows)
+    ).first()
+
+    import math
+
+    N = sum(n for _, n, _ in spec)
+    X = sum(x for _, _, x in spec)
+    pbar = X / N
+    T = sum((i + 1) * (x - n * pbar) for i, (_, n, x) in enumerate(spec))
+    var = (
+        pbar * (1 - pbar)
+        * (sum((i + 1) ** 2 * n for i, (_, n, _) in enumerate(spec))
+           - sum((i + 1) * n for i, (_, n, _) in enumerate(spec)) ** 2 / N)
+    )
+    z = T / math.sqrt(var)
+    assert out["n"] == N and out["x"] == X
+    assert abs(out["z_r"] - round(z, 6)) < 1e-6
