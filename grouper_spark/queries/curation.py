@@ -1966,3 +1966,91 @@ def q313_ips_offpolicy_eval(spark, sf_dir):
         ).alias("ips_value_r"),
         F.sum(matched.cast("int")).cast("bigint").alias("n_matched"),
     )
+
+
+_MI_CENTS = 20_000_000  # $200k binary target line
+
+
+@query(
+    "a368_mutual_information",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority AS f,
+         CASE WHEN CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                   > {_MI_CENTS} THEN 1 ELSE 0 END AS y
+  FROM orders
+), joint AS (
+  SELECT f, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY f, y
+), marg_f AS (
+  SELECT f, CAST(SUM(c) AS BIGINT) AS cf FROM joint GROUP BY f
+), marg_y AS (
+  SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM joint GROUP BY y
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM joint
+), terms AS (
+  SELECT j.f, j.y,
+         CAST(ROUND(CAST(j.c AS DOUBLE) / t.n
+                    * ln(CAST(j.c AS DOUBLE) * t.n
+                         / (CAST(f.cf AS DOUBLE) * y.cy))
+                    * 1000000000.0, 0) AS BIGINT) AS mi_nano
+  FROM joint j
+  JOIN marg_f f ON f.f = j.f
+  JOIN marg_y y ON y.y = j.y
+  CROSS JOIN tot t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       round(CAST(SUM(mi_nano) AS DOUBLE) / 1000000000.0, 6) AS mi_nats_r
+FROM terms
+""",
+    tags=("curation", "feature-selection"),
+)
+def a368_mutual_information(spark, sf_dir):
+    """Mutual information I(F; Y) between a categorical feature
+    (priority) and a binary target (high-value order) — the
+    feature-selection statistic that catches non-linear association
+    where correlation reads zero. Computed entirely from the
+    joint-count contingency table: each cell's p·ln(p/(pₓp_y)) uses
+    EXACT integer counts inside the ln (c·N / (c_f·c_y), an exact
+    rational — the q121 PMI discipline), is nano-fixed per cell, and
+    summed exactly, so the double accumulation order can't flip a
+    rounding boundary. One fact-table aggregate; everything after is
+    contingency-table-sized (|F|×2 cells) at any corpus size."""
+    o = table(spark, sf_dir, "orders")
+    y = (
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+        > _MI_CENTS
+    ).cast("int")
+    joint = o.select(
+        F.col("o_orderpriority").alias("f"), y.alias("y")
+    ).groupBy("f", "y").agg(F.count("*").cast("bigint").alias("c")).localCheckpoint(
+        eager=False
+    )  # contingency table feeds both marginals + total + terms
+    marg_f = joint.groupBy("f").agg(F.sum("c").cast("bigint").alias("cf"))
+    marg_y = joint.groupBy("y").agg(F.sum("c").cast("bigint").alias("cy"))
+    tot = joint.agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        joint.join(marg_f, "f")
+        .join(F.broadcast(marg_y), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("c").cast("double")
+                / F.col("n")
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("n")
+                    / (F.col("cf").cast("double") * F.col("cy"))
+                )
+                * 1e9,
+                0,
+            )
+            .cast("bigint")
+            .alias("mi_nano")
+        )
+    )
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(F.sum("mi_nano").cast("double") / 1e9, 6).alias(
+            "mi_nats_r"
+        ),
+    )

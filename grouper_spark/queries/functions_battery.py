@@ -1120,3 +1120,93 @@ def a349_listagg_battery(spark, sf_dir):
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "a369_csv_escape_roundtrip",
+    oracle="""
+WITH tricky AS (
+  SELECT doc_id,
+         'v"' || CAST(doc_id AS VARCHAR) || '",' || chr(10)
+           || substr(text, 1, 20) AS payload
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(length(payload)) AS BIGINT) AS total_chars,
+       CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                    || payload), 1, 15))::BIGINT)
+            AS BIGINT) AS content_hash
+FROM tricky
+""",
+    tags=("formats", "csv"),
+)
+def a369_csv_escape_roundtrip(spark, sf_dir):
+    """CSV quoting/escaping round-trip proof: payloads are deliberately
+    hostile (embedded double quotes, the delimiter itself, and literal
+    newlines), written to CSV and read back with multiLine + escaped
+    quoting, and the ORDER-INDEPENDENT content hash (bit_xor of md5
+    per row, the q140 checksum shape) must equal the hash the oracle
+    computes straight from the source rows — a bitwise proof that the
+    writer/reader pair preserved every byte, the property CSV
+    pipelines silently violate first. The round-trip file is staged
+    under the fixture fingerprint (regenerates with the fixtures);
+    reading uses multiLine=true, which at 100 TB trades per-file
+    splittability for correctness — exactly the trade the docstring
+    exists to flag (prefer parquet; this query is the auditor for
+    when CSV is imposed)."""
+    import os
+
+    from .versioning import _source_fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    tricky = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('v"'),
+            F.col("doc_id").cast("string"),
+            F.lit('",\n'),
+            F.substring("text", 1, 20),
+        ).alias("payload"),
+    )
+    fp = _source_fingerprint(sf_dir, "documents")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = os.path.join("/tmp", f"grouper_csvrt_{tag}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            tricky.write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)
+            # Spark's CSV WRITER trims leading/trailing whitespace by
+            # DEFAULT (univocity ignoreLeading/TrailingWhiteSpace=true)
+            # even inside quotes — silently lossy; this query exists to
+            # catch exactly this class of mangling.
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(path)
+        )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .schema("doc_id bigint, payload string")
+        .csv(path)
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("|"), "payload"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_chars"),
+        F.bit_xor(h).cast("bigint").alias("content_hash"),
+    )
