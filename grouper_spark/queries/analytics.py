@@ -3698,3 +3698,102 @@ def a361_clustering_coefficient(spark, sf_dir):
         )
         .orderBy("c_bin")
     )
+
+
+@query(
+    "a372_water_filling",
+    oracle="""
+WITH demand AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS d
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS total,
+         CAST(SUM(d) // 10 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM demand
+), ranked AS (
+  SELECT d.d, t.b, t.n, t.total,
+         CAST(row_number() OVER (ORDER BY d.d, d.o_custkey) AS BIGINT)
+           AS i,
+         CAST(SUM(d.d) OVER (ORDER BY d.d, d.o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pre
+  FROM demand d CROSS JOIN tot t
+), feasible AS (
+  SELECT * FROM ranked WHERE pre + (n - i) * d <= b
+), k AS (
+  SELECT COALESCE(MAX(i), 0) AS k,
+         COALESCE(MAX(pre), 0) AS pre_k
+  FROM (SELECT i, pre FROM feasible
+        ORDER BY i DESC LIMIT 1)
+)
+SELECT t.n, t.b AS budget_cents,
+       CAST(k.k AS BIGINT) AS n_fully_funded,
+       round((CAST(t.b AS DOUBLE) - k.pre_k) / (t.n - k.k), 6)
+         AS cap_cents_r,
+       round(CAST(t.b AS DOUBLE) / t.total, 6) AS budget_frac_r
+FROM tot t CROSS JOIN k
+""",
+    tags=("allocation", "optimization"),
+)
+def a372_water_filling(spark, sf_dir):
+    """Water-filling budget allocation — distribute a budget (10% of
+    total demand) across customers as allocation_i = min(dᵢ, c) with
+    the cap c chosen so allocations exactly exhaust the budget: the
+    canonical fair-division/rate-limit solution (same math as
+    bandwidth sharing and token-bucket provisioning). The textbook
+    iterative algorithm is replaced by the closed sorted form: with
+    demands sorted ascending and exact prefix sums, the fully-funded
+    count k is the largest i whose demand could be met under a cap at
+    its own level (preᵢ + (n−i)·dᵢ ≤ B), and c = (B − pre_k)/(n−k) —
+    one sort window over the per-customer summary, one argmax, one
+    readout. Everything before the final division is exact BIGINT, so
+    the hash gate is deterministic; by construction
+    pre_k + (n−k)·c = B exactly."""
+    o = table(spark, sf_dir, "orders")
+    demand = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("d")
+    )
+    tot = demand.agg(
+        F.sum("d").cast("bigint").alias("total"),
+        F.expr("CAST(sum(d) div 10 AS BIGINT)").alias("b"),
+        F.count("*").cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)  # 1 row, referenced by ranked + readout
+    wsort = Window.orderBy("d", "o_custkey")
+    ranked = demand.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "b",
+        "n",
+        F.row_number().over(wsort).cast("bigint").alias("i"),
+        F.sum("d")
+        .over(wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("pre"),
+    )
+    feasible = ranked.filter(
+        F.col("pre") + (F.col("n") - F.col("i")) * F.col("d") <= F.col("b")
+    )
+    k = feasible.orderBy(F.col("i").desc()).limit(1).select(
+        F.col("i").alias("k"), F.col("pre").alias("pre_k")
+    )
+    # COALESCE to 0 when nothing is fully fundable (empty feasible set)
+    k0 = k.unionAll(
+        tot.select(F.lit(0).cast("bigint"), F.lit(0).cast("bigint"))
+    ).orderBy(F.col("k").desc()).limit(1)
+    return tot.crossJoin(F.broadcast(k0)).select(
+        "n",
+        F.col("b").alias("budget_cents"),
+        F.col("k").alias("n_fully_funded"),
+        F.round(
+            (F.col("b").cast("double") - F.col("pre_k"))
+            / (F.col("n") - F.col("k")),
+            6,
+        ).alias("cap_cents_r"),
+        F.round(F.col("b").cast("double") / F.col("total"), 6).alias(
+            "budget_frac_r"
+        ),
+    )

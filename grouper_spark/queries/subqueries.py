@@ -328,3 +328,46 @@ def a356_sql_udf(spark, sf_dir):
         ORDER BY band
         """
     )
+
+
+@query(
+    "a370_sql_pipe_syntax",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_quantity > 10.0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("sql", "api"),
+)
+def a370_sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4, SPARK-49555: `FROM t |> WHERE … |>
+    AGGREGATE …`) — the linear, top-to-bottom query dialect where each
+    |> stage transforms the previous result, eliminating the
+    inside-out reading order of nested SQL. Semantically IDENTICAL to
+    the classic form (the parser lowers pipes to the same logical
+    plan, so Catalyst optimizes both identically — filter still pushes
+    to the scan); the oracle is the classic-syntax twin, and the hash
+    match is the proof of plan equivalence. Engine-surface coverage:
+    a user of pipe-dialect queries can run them unchanged."""
+    from ..sources import table as _table
+
+    _table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_quantity > 10.0
+        |> EXTEND CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)
+             AS cents
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+             GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )

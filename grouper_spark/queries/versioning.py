@@ -1220,3 +1220,81 @@ def q307_range_boundary_advisor(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+@query(
+    "a371_rle_layout_audit",
+    oracle="""
+WITH ordered AS (
+  SELECT o_orderpriority AS v,
+         CASE WHEN lag(o_orderpriority) OVER (ORDER BY o_orderkey)
+                   IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END
+           AS run_start
+  FROM orders
+), by_col AS (
+  SELECT 'o_orderpriority' AS col,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+         CAST(SUM(run_start) AS BIGINT) AS n_runs
+  FROM ordered
+), ordered2 AS (
+  SELECT o_orderstatus AS v,
+         CASE WHEN lag(o_orderstatus) OVER (ORDER BY o_orderkey)
+                   IS DISTINCT FROM o_orderstatus THEN 1 ELSE 0 END
+           AS run_start
+  FROM orders
+), by_col2 AS (
+  SELECT 'o_orderstatus' AS col,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+         CAST(SUM(run_start) AS BIGINT) AS n_runs
+  FROM ordered2
+)
+SELECT col, n_rows, n_distinct, n_runs,
+       round(CAST(n_rows AS DOUBLE) / n_runs, 6) AS avg_run_len_r,
+       round(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS distinct_ratio_r
+FROM (SELECT * FROM by_col UNION ALL SELECT * FROM by_col2)
+ORDER BY col
+""",
+    tags=("storage", "layout"),
+)
+def a371_rle_layout_audit(spark, sf_dir):
+    """Encoding-advisor audit: for candidate sort orders, how
+    RLE/dictionary-friendly is each column? Run count under the
+    o_orderkey physical order (lag boundary detection), distinct
+    cardinality, and the derived avg-run-length / distinct-ratio — the
+    two numbers that decide parquet encoding wins (long runs → RLE,
+    low distinct ratio → dictionary) and whether a q129-style Z-order
+    or q307 range layout is worth the rewrite. The row order is pinned
+    by an explicit ORDER BY key because 'current physical order' is
+    not a cross-engine (or even cross-run) invariant — the audit
+    evaluates a DECLARED candidate layout. One window pass per audited
+    column over the same scan; output is column-count sized."""
+    o = table(spark, sf_dir, "orders")
+
+    def audit(col):
+        w = Window.orderBy("o_orderkey")
+        run_start = (
+            ~F.lag(col).over(w).eqNullSafe(F.col(col))
+        ).cast("int")
+        d = o.select(F.col(col).alias("v"), run_start.alias("run_start"))
+        return d.agg(
+            F.lit(col).alias("col"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count_distinct("v").cast("bigint").alias("n_distinct"),
+            F.sum("run_start").cast("bigint").alias("n_runs"),
+        )
+
+    both = audit("o_orderpriority").unionAll(audit("o_orderstatus"))
+    return both.select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_runs"), 6
+        ).alias("avg_run_len_r"),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_rows"), 6
+        ).alias("distinct_ratio_r"),
+    ).orderBy("col")
