@@ -713,3 +713,91 @@ def a364_self_bleu(spark, sf_dir):
         )
         .orderBy("ref_id")
     )
+
+
+_POS_MAX = 12  # audit the first 12 token positions
+
+
+@query(
+    "a373_positional_entropy",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(generate_series(1, least(len(ws), {_POS_MAX}))) AS pos,
+         ws AS ws
+  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents)
+), occ AS (
+  SELECT pos, ws[pos] AS token FROM tok
+), cnt AS (
+  SELECT pos, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM occ GROUP BY pos, token
+), tot AS (
+  SELECT pos, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY pos
+), terms AS (
+  SELECT c.pos,
+         CAST(ROUND(-(CAST(c.c AS DOUBLE) / t.n)
+                    * ln(CAST(c.c AS DOUBLE) / t.n)
+                    * 1000000000.0, 0) AS BIGINT) AS h_nano
+  FROM cnt c JOIN tot t ON t.pos = c.pos
+)
+SELECT t.pos AS pos,
+       t.n AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       round(CAST(SUM(h_nano) AS DOUBLE) / 1000000000.0, 6)
+         AS entropy_nats_r
+FROM terms x JOIN tot t ON t.pos = x.pos
+GROUP BY t.pos, t.n
+ORDER BY pos
+""",
+    tags=("quality", "template"),
+)
+def a373_positional_entropy(spark, sf_dir):
+    """Positional token entropy — template/boilerplate detection by
+    POSITION: a natural corpus has near-flat entropy across token
+    positions, while templated text ("Copyright …", "Chapter N: …")
+    collapses entropy at the fixed slots, which is the signature the
+    per-document repetition filters (q85, q281) cannot see because it
+    only exists ACROSS documents. H(pos) = −Σ p·ln p over the
+    position's token distribution, each term nano-fixed from exact
+    (c, n) integer pairs before the sum (q121 discipline). The
+    explode is bounded to the first {_POS_MAX} positions per doc —
+    corpus-linear with a constant factor, one count shuffle, and the
+    entropy aggregate runs over the (pos, token) TYPE table."""
+    d = table(spark, sf_dir, "documents")
+    ws = tokens(F.lower(F.trim("text")))
+    occ = d.select(
+        F.posexplode(F.slice(ws, 1, _POS_MAX)).alias("pos0", "token")
+    ).select((F.col("pos0") + 1).alias("pos"), "token")
+    cnt = occ.groupBy("pos", "token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("pos").agg(F.sum("c").cast("bigint").alias("n"))
+    terms = cnt.join(F.broadcast(tot), "pos").select(
+        "pos",
+        F.round(
+            -(F.col("c").cast("double") / F.col("n"))
+            * F.log(F.col("c").cast("double") / F.col("n"))
+            * 1e9,
+            0,
+        )
+        .cast("bigint")
+        .alias("h_nano"),
+    )
+    return (
+        terms.groupBy("pos")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.round(
+                F.sum("h_nano").cast("double") / 1e9, 6
+            ).alias("entropy_nats_r"),
+        )
+        .join(F.broadcast(tot), "pos")
+        .select(
+            "pos",
+            F.col("n").alias("n_docs"),
+            "n_distinct",
+            "entropy_nats_r",
+        )
+        .orderBy("pos")
+    )

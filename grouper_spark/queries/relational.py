@@ -12,7 +12,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..functions.text import money, money_avg, money_sum
 from ..sources import table
@@ -939,4 +939,64 @@ def a362_union_by_name(spark, sf_dir):
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
         .orderBy("priority")
+    )
+
+
+@query(
+    "a374_diversified_topk",
+    oracle="""
+WITH per_brand AS (
+  SELECT p_partkey, p_brand, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey)
+           AS brand_rank
+  FROM part
+), capped AS (
+  SELECT * FROM per_brand WHERE brand_rank <= 2
+)
+SELECT CAST(row_number() OVER (ORDER BY p_retailprice DESC, p_partkey)
+            AS BIGINT) AS rk,
+       p_partkey, p_brand,
+       CAST(ROUND(p_retailprice * 100.0, 0) AS BIGINT) AS price_cents,
+       CAST(brand_rank AS BIGINT) AS brand_rank
+FROM capped
+ORDER BY rk
+LIMIT 20
+""",
+    tags=("ranking", "window"),
+)
+def a374_diversified_topk(spark, sf_dir):
+    """Diversified top-k — the search/recommendation ranking constraint
+    "best 20 overall, but no brand may occupy more than 2 slots":
+    a per-group window caps each brand's contribution FIRST (so the
+    global ranking never sees a brand's third-best item), then one
+    global ranking window orders the survivors. Two windows, no joins;
+    the global window runs over the capped table, which is at most
+    2·|brands| rows — summary-sized regardless of catalog size, which
+    is what makes the single-partition global sort acceptable at
+    scale. Deterministic tiebreaks (price DESC, partkey) pin both
+    windows cross-engine."""
+    p = table(spark, sf_dir, "part")
+    wb = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), "p_partkey"
+    )
+    capped = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.row_number().over(wb).alias("brand_rank"),
+    ).filter(F.col("brand_rank") <= 2)
+    wg = Window.orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        capped.select(
+            F.row_number().over(wg).cast("bigint").alias("rk"),
+            "p_partkey",
+            "p_brand",
+            F.round(F.col("p_retailprice") * 100.0, 0)
+            .cast("bigint")
+            .alias("price_cents"),
+            F.col("brand_rank").cast("bigint").alias("brand_rank"),
+        )
+        .orderBy("rk")
+        .limit(20)
     )
