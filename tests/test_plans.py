@@ -700,3 +700,22 @@ def test_a363_asof_tolerance_single_sort_pass(spark, sf_dir, registry):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_a361_edge_list_planned_once(spark, sf_dir, registry):
+    """a361's distinct edge list feeds degree counting plus all three
+    triangle join sides; the checkpoint must hold the lineitem scan to
+    one planning."""
+    df = registry["a361_clustering_coefficient"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_a364_bigram_counts_planned_once(spark, sf_dir, registry):
+    """a364's per-doc bigram counts feed references, hypotheses, and
+    length totals; one checkpointed planning, and the reference panel
+    must ride in broadcast."""
+    df = registry["a364_self_bleu"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") <= 1, plan
+    assert "BroadcastHashJoin" in plan
