@@ -1000,3 +1000,38 @@ def a374_diversified_topk(spark, sf_dir):
         .orderBy("rk")
         .limit(20)
     )
+
+
+@query(
+    "a375_crosstab_api",
+    oracle="""
+SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS "F",
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS "O",
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+            AS BIGINT) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority_o_orderstatus
+""",
+    tags=("api", "stats"),
+)
+def a375_crosstab_api(spark, sf_dir):
+    """DataFrameStatFunctions.crosstab — the pair-frequency contingency
+    API (df.stat.crosstab), which builds the full category×category
+    count matrix in one pass (internally a pivot on the concatenated
+    pair counts). The API returns one column per distinct value of the
+    second key; the fixture's status domain {F, O, P} is stable across
+    scale factors, so the schema is stable and the oracle mirrors it
+    as conditional aggregates. This is the exploratory twin of q168's
+    chi-square (same table, statistic vs counts). Output is
+    |priorities|×|statuses| — bounded."""
+    o = table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderpriority", "o_orderstatus")
+    cols = [c for c in ct.columns if c != "o_orderpriority_o_orderstatus"]
+    return ct.select(
+        "o_orderpriority_o_orderstatus",
+        *[F.col(f"`{c}`").cast("bigint").alias(c) for c in sorted(cols)],
+    ).orderBy("o_orderpriority_o_orderstatus")
