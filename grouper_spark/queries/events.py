@@ -9,7 +9,7 @@ directly liftable onto readStream + watermark — see
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..functions.text import money_sum
 from ..operators import sessionize
@@ -1796,4 +1796,66 @@ def q324_growth_accounting(spark, sf_dir):
         .groupBy(F.col("wk").cast("date").alias("week"), "state")
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("week", "state")
+    )
+
+
+@query(
+    "a376_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), islands AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY day) AS INT) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+  FROM islands GROUP BY user_id, island
+), best AS (
+  SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+  FROM streaks GROUP BY user_id
+)
+SELECT max_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM best
+GROUP BY max_streak
+ORDER BY max_streak
+""",
+    tags=("events", "sessionization"),
+)
+def a376_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user, rolled into a streak-length distribution — the engagement
+    number behind "7-day streak" product mechanics, and the canonical
+    islands idiom: on distinct (user, day) rows, day − row_number is
+    CONSTANT within a consecutive run, so one window + one groupBy
+    finds every island with no self-join and no date spine. One
+    user-key shuffle (window), two summary aggregates; the
+    distribution output is bounded by the calendar length at any user
+    count."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            "day",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("day"))
+            .cast("int"),
+        ).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("max_streak")
+    )
+    return (
+        best.groupBy("max_streak")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("max_streak")
     )

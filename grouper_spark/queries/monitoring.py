@@ -3628,3 +3628,95 @@ def a367_cochran_armitage(spark, sf_dir):
             6,
         ).alias("z_r"),
     )
+
+
+@query(
+    "a377_intraclass_correlation",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+           AS s1,
+         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)
+                  * CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+           AS s2
+  FROM orders GROUP BY grp HAVING COUNT(*) >= 2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_all,
+         CAST(SUM(s1) AS BIGINT) AS s1_all,
+         CAST(SUM(s2) AS BIGINT) AS s2_all,
+         CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * s1 / n, 0)
+                       AS BIGINT)) AS BIGINT) AS ssb_raw,
+         CAST(SUM(n * n) AS BIGINT) AS nn
+  FROM g
+), ms AS (
+  SELECT k, n_all,
+         (CAST(ssb_raw AS DOUBLE)
+          - CAST(s1_all AS DOUBLE) * s1_all / n_all) / (k - 1) AS msb,
+         (CAST(s2_all AS DOUBLE) - CAST(ssb_raw AS DOUBLE))
+           / (n_all - k) AS msw,
+         (CAST(n_all AS DOUBLE) - CAST(nn AS DOUBLE) / n_all) / (k - 1)
+           AS n0
+  FROM tot
+)
+SELECT k AS n_groups, n_all,
+       round(n0, 6) AS n0_r,
+       round((msb - msw) / (msb + (n0 - 1.0) * msw), 6) AS icc1_r
+FROM ms
+""",
+    tags=("monitoring", "stats"),
+)
+def a377_intraclass_correlation(spark, sf_dir):
+    """ICC(1) — intraclass correlation of order value within customer:
+    how much of order-to-order variance is explained by WHO is
+    ordering, the clustering-strength number that decides whether
+    cluster-robust errors (q321's jackknife) are needed and drives
+    design effects in sampling. Built on the q272 ANOVA machinery
+    applied to customer groups (≥2 orders): exact BIGINT group
+    moments, per-group s1²/n fixed-pointed before the cross-group
+    sum, unbalanced-design group size n₀ = (N − Σn²/N)/(k−1), and
+    ICC(1) = (MSB − MSW)/(MSB + (n₀−1)MSW) evaluated once on the
+    summary row. One fact aggregate, k-row summary, single readout."""
+    o = table(spark, sf_dir, "orders")
+    y = F.round(F.col("o_totalprice"), 0).cast("bigint")
+    g = (
+        o.groupBy(F.col("o_custkey").alias("grp"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(y).cast("bigint").alias("s1"),
+            F.sum(y * y).cast("bigint").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    ssb_term = F.round(
+        F.col("s1").cast("double") * F.col("s1") / F.col("n"), 0
+    ).cast("bigint")
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s1").cast("bigint").alias("s1_all"),
+        F.sum("s2").cast("bigint").alias("s2_all"),
+        F.sum(ssb_term).cast("bigint").alias("ssb_raw"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("nn"),
+    )
+    msb = (
+        F.col("ssb_raw").cast("double")
+        - F.col("s1_all").cast("double") * F.col("s1_all") / F.col("n_all")
+    ) / (F.col("k") - 1)
+    msw = (
+        F.col("s2_all").cast("double") - F.col("ssb_raw").cast("double")
+    ) / (F.col("n_all") - F.col("k"))
+    n0 = (
+        F.col("n_all").cast("double")
+        - F.col("nn").cast("double") / F.col("n_all")
+    ) / (F.col("k") - 1)
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        "n_all",
+        F.round(n0, 6).alias("n0_r"),
+        F.round(
+            (msb - msw) / (msb + (n0 - F.lit(1.0)) * msw), 6
+        ).alias("icc1_r"),
+    )
