@@ -2054,3 +2054,137 @@ def a368_mutual_information(spark, sf_dir):
             "mi_nats_r"
         ),
     )
+
+
+_CHI2_TOP = 3  # distinctive terms kept per source
+
+
+@query(
+    "a378_distinctive_terms",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         list_distinct(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'),
+           x -> x <> '')) AS toks
+  FROM documents
+), present AS (
+  SELECT source, unnest(toks) AS term FROM docs
+), cnt AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+  FROM present GROUP BY source, term
+), src_tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM docs
+  GROUP BY source
+), term_tot AS (
+  SELECT term, CAST(SUM(a) AS BIGINT) AS df FROM cnt GROUP BY term
+), n_all AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs
+), chi AS (
+  SELECT c.source, c.term, c.a,
+         (s.n_src - c.a) AS b,
+         (t.df - c.a) AS cc,
+         (n.n - s.n_src - t.df + c.a) AS d,
+         n.n AS n
+  FROM cnt c
+  JOIN src_tot s ON s.source = c.source
+  JOIN term_tot t ON t.term = c.term
+  CROSS JOIN n_all n
+), scored AS (
+  SELECT source, term, a,
+         round(CAST(n AS DOUBLE)
+               * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * cc)
+               * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * cc)
+               / (CAST(a + b AS DOUBLE) * (cc + d) * (a + cc) * (b + d)),
+               6) AS chi2_r
+  FROM chi
+  WHERE (a + b) > 0 AND (cc + d) > 0 AND (a + cc) > 0 AND (b + d) > 0
+)
+SELECT source, term, a AS df_in_source, chi2_r
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY chi2_r DESC, term) AS rn
+      FROM scored)
+WHERE rn <= {_CHI2_TOP}
+ORDER BY source, chi2_r DESC, term
+""",
+    tags=("curation", "text"),
+)
+def a378_distinctive_terms(spark, sf_dir):
+    """Per-source distinctive vocabulary — the χ² (one-degree) keyword
+    profile that answers "which words characterize THIS source versus
+    the rest of the corpus": for each (source, term), the 2×2
+    presence table (term-in-source / term-elsewhere / absent…) scored
+    by n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), top-{_CHI2_TOP} per source.
+    The q87 TF-IDF keywords are per-DOCUMENT; this is the corpus-
+    level domain profile used for mixture auditing and source
+    fingerprinting. Document-presence counts (distinct terms per doc)
+    keep a ≤ n_docs so every product stays far inside BIGINT; χ² is
+    one double expression over five exact integers. One posting
+    shuffle; source totals and the doc count ride in as broadcast
+    summaries."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(tokens(F.lower(F.trim("text")))).alias("toks"),
+    ).localCheckpoint(eager=False)  # feeds presence counts + doc totals
+    present = docs.select("source", F.explode("toks").alias("term"))
+    cnt = present.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    src_tot = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_src")
+    )
+    term_tot = cnt.groupBy("term").agg(F.sum("a").cast("bigint").alias("df"))
+    n_all = docs.agg(F.count("*").cast("bigint").alias("n"))
+    chi = (
+        cnt.join(F.broadcast(src_tot), "source")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "term",
+            "a",
+            (F.col("n_src") - F.col("a")).alias("b"),
+            (F.col("df") - F.col("a")).alias("cc"),
+            (F.col("n") - F.col("n_src") - F.col("df") + F.col("a")).alias(
+                "d"
+            ),
+            "n",
+        )
+    )
+    ad_bc = (
+        F.col("a").cast("double") * F.col("d")
+        - F.col("b").cast("double") * F.col("cc")
+    )
+    scored = chi.filter(
+        ((F.col("a") + F.col("b")) > 0)
+        & ((F.col("cc") + F.col("d")) > 0)
+        & ((F.col("a") + F.col("cc")) > 0)
+        & ((F.col("b") + F.col("d")) > 0)
+    ).select(
+        "source",
+        "term",
+        F.col("a").alias("df_in_source"),
+        F.round(
+            F.col("n").cast("double")
+            * ad_bc
+            * ad_bc
+            / (
+                (F.col("a") + F.col("b")).cast("double")
+                * (F.col("cc") + F.col("d"))
+                * (F.col("a") + F.col("cc"))
+                * (F.col("b") + F.col("d"))
+            ),
+            6,
+        ).alias("chi2_r"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("chi2_r").desc(), "term")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= _CHI2_TOP)
+        .drop("rn")
+        .orderBy("source", F.col("chi2_r").desc(), "term")
+    )
