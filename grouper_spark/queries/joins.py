@@ -1196,3 +1196,43 @@ def q294_hotspot_analysis(spark, sf_dir):
         )
         .orderBy("cx", "cy")
     )
+
+
+@query(
+    "a379_join_hints",
+    oracle="""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(ROUND(s.s_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS balance_cents
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+    tags=("join", "hints"),
+)
+def a379_join_hints(spark, sf_dir):
+    """Join-strategy HINTS (DataFrame .hint API ≍ SQL /*+ MERGE */):
+    the same supplier⋈nation join FORCED onto sort-merge via
+    .hint("merge") — overriding the planner's broadcast choice. Hints
+    are the escape hatch when statistics mislead the CBO (a
+    dimension that is small on disk but explodes after a filter-less
+    scan of a wide type, or a broadcast that OOMs the driver); the
+    result is identical by construction (the oracle doesn't know the
+    plan), and tests/test_plans.py pins that the hint actually took
+    effect (SortMergeJoin in the physical plan where the unhinted twin
+    q11 shows BroadcastHashJoin). Hints propagate through Catalyst
+    without blocking other rewrites — filters still push down."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").hint("merge")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("balance_cents"),
+        )
+        .orderBy("n_name")
+    )

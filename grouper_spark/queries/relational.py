@@ -1035,3 +1035,60 @@ def a375_crosstab_api(spark, sf_dir):
         "o_orderpriority_o_orderstatus",
         *[F.col(f"`{c}`").cast("bigint").alias(c) for c in sorted(cols)],
     ).orderBy("o_orderpriority_o_orderstatus")
+
+
+@query(
+    "a380_null_ordering",
+    oracle="""
+WITH flagged AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0.0 THEN NULL
+              ELSE CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) END
+           AS bal_cents
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment, bal_cents,
+       CAST(row_number() OVER (ORDER BY bal_cents ASC NULLS FIRST,
+                               c_custkey) AS BIGINT) AS rk_nulls_first,
+       CAST(row_number() OVER (ORDER BY bal_cents DESC NULLS LAST,
+                               c_custkey) AS BIGINT) AS rk_nulls_last
+FROM flagged
+ORDER BY rk_nulls_first
+LIMIT 50
+""",
+    tags=("sql", "sort"),
+)
+def a380_null_ordering(spark, sf_dir):
+    """Explicit NULL-ordering battery — the cross-engine landmine made
+    safe: Spark's default for ascending sorts is NULLS FIRST while
+    DuckDB's is NULLS LAST, so any ORDER BY over a nullable key that
+    doesn't SPELL OUT the null position is silently engine-dependent
+    (and hash-gate-unstable). Both rankings here pin the position
+    explicitly (asc_nulls_first / desc_nulls_last), with a
+    deterministic key tiebreak, and the oracle uses the identical
+    explicit syntax — the portability discipline every ranked export
+    should follow. Negative balances map to NULL to guarantee nulls
+    exist in the sort domain at every scale factor."""
+    c = table(spark, sf_dir, "customer")
+    bal = F.when(
+        F.col("c_acctbal") >= 0.0,
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("bigint"),
+    ).alias("bal_cents")
+    flagged = c.select("c_custkey", "c_mktsegment", bal)
+    w1 = Window.orderBy(
+        F.col("bal_cents").asc_nulls_first(), F.col("c_custkey")
+    )
+    w2 = Window.orderBy(
+        F.col("bal_cents").desc_nulls_last(), F.col("c_custkey")
+    )
+    return (
+        flagged.select(
+            "c_custkey",
+            "c_mktsegment",
+            "bal_cents",
+            F.row_number().over(w1).cast("bigint").alias("rk_nulls_first"),
+            F.row_number().over(w2).cast("bigint").alias("rk_nulls_last"),
+        )
+        .orderBy("rk_nulls_first")
+        .limit(50)
+    )

@@ -719,3 +719,11 @@ def test_a364_bigram_counts_planned_once(spark, sf_dir, registry):
     plan = plan_of(df)
     assert plan.count("FileScan parquet") <= 1, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_a379_merge_hint_forces_sort_merge_join(spark, sf_dir, registry):
+    """The .hint('merge') must actually override the planner's
+    broadcast preference for the dimension join."""
+    df = registry["a379_join_hints"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan, plan
