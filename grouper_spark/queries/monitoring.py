@@ -3720,3 +3720,99 @@ def a377_intraclass_correlation(spark, sf_dir):
             (msb - msw) / (msb + (n0 - F.lit(1.0)) * msw), 6
         ).alias("icc1_r"),
     )
+
+
+_XCORR_MAX_LAG = 7
+
+
+@query(
+    "a382_lead_lag_xcorr",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY day
+), lagged AS (
+  SELECT l.lag, a.x, b.y
+  FROM (SELECT unnest(generate_series(0, {_XCORR_MAX_LAG})) AS lag) l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+), moments AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM lagged GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6) AS xcorr_r
+FROM moments
+ORDER BY lag
+""",
+    tags=("monitoring", "timeseries"),
+)
+def a382_lead_lag_xcorr(spark, sf_dir):
+    """Lead/lag cross-correlation — at which delay does click volume
+    best predict purchase volume? Pearson r between the daily click
+    series and the purchase series shifted by 0..{_XCORR_MAX_LAG}
+    days: the lag-scan behind attribution windows, marketing-mix
+    delays, and pipeline cause→effect tracing (q231's ACF is the
+    univariate version; this is the bivariate one). The series are
+    DAILY summaries (calendar-sized), so the lag join is a
+    summary×summary equi-join on the shifted day, and all moments per
+    lag are exact BIGINTs with one closed-form r per lag. The fact
+    table is touched once by the daily aggregate."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("bigint")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint(eager=False)  # both sides of the lag join
+    lags = spark.range(0, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select("day", "x")
+    b = daily.select(F.col("day").alias("bday"), "y")
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("bday = date_add(day, lag)"))
+        .select("lag", "x", "y")
+    )
+    moments = lagged.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return moments.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.round(
+            (F.col("n").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(
+                    F.col("n").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * F.sqrt(
+                    F.col("n").cast("double") * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("xcorr_r"),
+    ).orderBy("lag")

@@ -1321,3 +1321,157 @@ def a355_mrl_truncation_audit(spark, sf_dir):
         .select("dim", "n_pairs", "avg_abs_delta_r", "n_top1_agree")
         .orderBy("dim")
     )
+
+
+def _pq_codebook():
+    """Deterministic PQ codebook: 4 subspaces x 4 centroids x 16 dims,
+    md5-derived and rounded to 6dp so the repr() literals parse to the
+    identical doubles in both engines (the q240 hyperplane recipe)."""
+    import hashlib
+
+    book = {}
+    for m in range(4):
+        for k in range(4):
+            c = []
+            for i in range(16):
+                h = int(
+                    hashlib.md5(f"pq|{m}|{k}|{i}".encode()).hexdigest()[:8],
+                    16,
+                )
+                c.append(round(h / 0xFFFFFFFF * 2.0 - 1.0, 6))
+            book[(m, k)] = c
+    return book
+
+
+def _pq_oracle_sql():
+    book = _pq_codebook()
+    dist_defs = []
+    for m in range(4):
+        for k in range(4):
+            terms = " + ".join(
+                f"(e[{m * 16 + i + 1}] - ({book[(m, k)][i]!r}))"
+                f" * (e[{m * 16 + i + 1}] - ({book[(m, k)][i]!r}))"
+                for i in range(16)
+            )
+            dist_defs.append(f"{terms} AS d{m}_{k}")
+    assign = []
+    for m in range(4):
+        d = [f"d{m}_{k}" for k in range(4)]
+        assign.append(
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]}"
+            f" AND {d[0]} <= {d[3]} THEN 0"
+            f" WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1"
+            f" WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END AS k{m}, "
+            f"least({d[0]}, {d[1]}, {d[2]}, {d[3]}) AS best{m}"
+        )
+    arms = "\n  UNION ALL\n".join(
+        f"SELECT vec_id, {m} AS m, k{m} AS k,"
+        f" CAST(ROUND(best{m} * 1000000.0, 0) AS BIGINT) AS e_micro"
+        f" FROM assigned"
+        for m in range(4)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), dists AS (
+  SELECT vec_id, {", ".join(dist_defs)} FROM vecs
+), assigned AS (
+  SELECT vec_id, {", ".join(assign)} FROM dists
+), long AS (
+  {arms}
+)
+SELECT m, k,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       round(CAST(SUM(e_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS avg_err_r
+FROM long
+GROUP BY m, k
+ORDER BY m, k
+"""
+
+
+@query(
+    "a381_product_quantization",
+    oracle=_pq_oracle_sql(),
+    tags=("similarity", "embedding", "ann"),
+)
+def a381_product_quantization(spark, sf_dir):
+    """Product quantization (PQ) — the compression behind
+    billion-scale ANN (IVF-PQ): the 64-dim vector splits into 4
+    subvectors, each snapped to its nearest of 4 codebook centroids,
+    so a vector stores in 4 small codes (here 8 bits total vs 256
+    bytes) and distances evaluate against tiny per-subspace lookup
+    tables. The codebook is DETERMINISTIC (md5-derived 6dp literals
+    embedded in both plans — the q240 recipe; production would run
+    q95's Lloyd iterations per subspace instead), every distance is
+    the same left-associated sum of squared diffs in both engines, so
+    assignments AND the argmin tie-break (explicit CASE, lowest index
+    wins) match exactly. Output: the 16-cell (subspace, centroid)
+    assignment census with micro-fixed mean quantization error — the
+    codebook-balance/distortion diagnostic that decides whether a
+    codebook needs retraining. One projection pass over the corpus;
+    zero joins, zero shuffles before the 16-group aggregate."""
+    from ..operators.core import ensure_parallelism
+
+    book = _pq_codebook()
+    e = ensure_parallelism(table(spark, sf_dir, "embeddings"))
+
+    def dist(m, k):
+        terms = None
+        for i in range(16):
+            x = F.col("embedding").getItem(m * 16 + i).cast("double")
+            t = (x - F.lit(book[(m, k)][i])) * (
+                x - F.lit(book[(m, k)][i])
+            )
+            terms = t if terms is None else terms + t
+        return terms
+
+    dists = e.select(
+        "vec_id",
+        *[
+            dist(m, k).alias(f"d{m}_{k}")
+            for m in range(4)
+            for k in range(4)
+        ],
+    )
+
+    def argmin(m):
+        d = [F.col(f"d{m}_{k}") for k in range(4)]
+        return (
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+            .when(d[2] <= d[3], 2)
+            .otherwise(3)
+        )
+
+    assigned = dists.select(
+        "vec_id",
+        *[argmin(m).alias(f"k{m}") for m in range(4)],
+        *[
+            F.least(*[F.col(f"d{m}_{k}") for k in range(4)]).alias(
+                f"best{m}"
+            )
+            for m in range(4)
+        ],
+    )
+    long = None
+    for m in range(4):
+        arm = assigned.select(
+            "vec_id",
+            F.lit(m).alias("m"),
+            F.col(f"k{m}").alias("k"),
+            F.round(F.col(f"best{m}") * 1e6, 0)
+            .cast("bigint")
+            .alias("e_micro"),
+        )
+        long = arm if long is None else long.unionAll(arm)
+    return (
+        long.groupBy("m", "k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_assigned"),
+            F.round(
+                F.sum("e_micro").cast("double") / 1e6 / F.count("*"), 6
+            ).alias("avg_err_r"),
+        )
+        .orderBy("m", "k")
+    )
