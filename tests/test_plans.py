@@ -727,3 +727,12 @@ def test_a379_merge_hint_forces_sort_merge_join(spark, sf_dir, registry):
     df = registry["a379_join_hints"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "SortMergeJoin" in plan, plan
+
+
+def test_a381_pq_no_shuffle_before_census(spark, sf_dir, registry):
+    """PQ assignment is a pure projection: the only exchange in the
+    plan is the final 16-group census aggregate (plus AQE reads); no
+    join appears at all."""
+    df = registry["a381_product_quantization"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
