@@ -376,3 +376,69 @@ def q206_mapinarrow_kernel(spark, sf_dir):
         )
         .orderBy("l_linenumber")
     )
+
+
+@query(
+    "a383_apply_in_arrow",
+    oracle="""
+SELECT o_orderpriority AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS cents,
+       CAST(MIN(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS max_cents
+FROM orders
+GROUP BY grp
+ORDER BY grp
+""",
+    tags=("udf", "arrow"),
+)
+def a383_apply_in_arrow(spark, sf_dir):
+    """Grouped ``applyInArrow`` — the zero-pandas grouped batch UDF
+    (Spark 4): each group arrives as a pyarrow.Table and the kernel
+    answers with a pyarrow.Table, so custom per-group logic runs on
+    Arrow buffers with no pandas materialization (the cheapest Python
+    hop there is; q201/q205 are the pandas-frame cousins, q206 the
+    ungrouped map twin). The kernel computes count/sum/min/max over
+    integer cents with pyarrow.compute — exact, so the plain SQL
+    aggregate is the oracle. One shuffle on the group key; Arrow
+    batches bound per-group memory."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    # NOTE: no type annotations — pyspark inspects applyInArrow
+    # function hints to infer the eval type, and unresolvable string
+    # annotations crash that inference (UnboundLocalError: eval_type).
+    def kernel(key, tbl):
+        c = tbl.column("cents")
+        return pa.table(
+            {
+                "grp": pa.array([key[0]], pa.string()),
+                "n_orders": pa.array([tbl.num_rows], pa.int64()),
+                "cents": pa.array([pc.sum(c).as_py()], pa.int64()),
+                "min_cents": pa.array([pc.min(c).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(c).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        cents.groupBy("o_orderpriority")
+        .applyInArrow(
+            kernel,
+            schema=(
+                "grp string, n_orders bigint, cents bigint, "
+                "min_cents bigint, max_cents bigint"
+            ),
+        )
+        .orderBy("grp")
+    )
