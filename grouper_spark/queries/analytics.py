@@ -3797,3 +3797,104 @@ def a372_water_filling(spark, sf_dir):
             "budget_frac_r"
         ),
     )
+
+
+@query(
+    "a385_markov_entropy_rate",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), trans AS (
+  SELECT event_type AS s, nxt AS t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY s, t
+), row_tot AS (
+  SELECT s, CAST(SUM(c) AS BIGINT) AS cs FROM trans GROUP BY s
+), n_all AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM trans
+), terms AS (
+  SELECT tr.s,
+         CAST(ROUND(-(CAST(tr.c AS DOUBLE) / rt.cs)
+                    * ln(CAST(tr.c AS DOUBLE) / rt.cs)
+                    * 1000000000.0, 0) AS BIGINT) AS h_nano,
+         rt.cs, na.n
+  FROM trans tr
+  JOIN row_tot rt ON rt.s = tr.s
+  CROSS JOIN n_all na
+), per_state AS (
+  SELECT s, cs, n,
+         CAST(SUM(h_nano) AS BIGINT) AS h_state_nano
+  FROM terms GROUP BY s, cs, n
+)
+SELECT s AS state,
+       cs AS n_transitions,
+       round(CAST(h_state_nano AS DOUBLE) / 1000000000.0, 6)
+         AS h_state_r,
+       round(CAST(cs AS DOUBLE) / n
+             * (CAST(h_state_nano AS DOUBLE) / 1000000000.0), 6)
+         AS h_weighted_r
+FROM per_state
+ORDER BY state
+""",
+    tags=("analytics", "markov"),
+)
+def a385_markov_entropy_rate(spark, sf_dir):
+    """Markov entropy rate by state — how PREDICTABLE is the next
+    event given the current one: H(T|S=s) = −Σ p(t|s)·ln p(t|s) per
+    state, plus its stationary-weighted contribution p(s)·H(T|S=s)
+    (summing the last column gives the chain's entropy rate — the
+    number that separates scripted bot traffic, near zero, from
+    organic browsing). Builds on q111's transition counts: one
+    lead-window shuffle on the user key, then everything runs on the
+    |states|² transition table with the q121 discipline (exact counts
+    inside ln, nano-fixed terms before sums). Complements q284's
+    next-event ACCURACY with the full-distribution uncertainty."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("s"), F.col("nxt").alias("t")
+    ).agg(F.count("*").cast("bigint").alias("c")).localCheckpoint(
+        eager=False
+    )  # |states|^2 table feeds row totals + grand total + terms
+    row_tot = trans.groupBy("s").agg(F.sum("c").cast("bigint").alias("cs"))
+    n_all = trans.agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        trans.join(F.broadcast(row_tot), "s")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "s",
+            "cs",
+            "n",
+            F.round(
+                -(F.col("c").cast("double") / F.col("cs"))
+                * F.log(F.col("c").cast("double") / F.col("cs"))
+                * 1e9,
+                0,
+            )
+            .cast("bigint")
+            .alias("h_nano"),
+        )
+    )
+    per_state = terms.groupBy("s", "cs", "n").agg(
+        F.sum("h_nano").cast("bigint").alias("h_state_nano")
+    )
+    return per_state.select(
+        F.col("s").alias("state"),
+        F.col("cs").alias("n_transitions"),
+        F.round(
+            F.col("h_state_nano").cast("double") / 1e9, 6
+        ).alias("h_state_r"),
+        F.round(
+            F.col("cs").cast("double")
+            / F.col("n")
+            * (F.col("h_state_nano").cast("double") / 1e9),
+            6,
+        ).alias("h_weighted_r"),
+    ).orderBy("state")

@@ -1210,3 +1210,77 @@ def a369_csv_escape_roundtrip(spark, sf_dir):
         F.sum(F.length("payload")).cast("bigint").alias("total_chars"),
         F.bit_xor(h).cast("bigint").alias("content_hash"),
     )
+
+
+@query(
+    "a384_json_group_export",
+    oracle="""
+WITH supp AS (
+  SELECT n.n_regionkey, n.n_name,
+         CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_supp,
+         CAST(COALESCE(SUM(CAST(ROUND(s.s_acctbal * 100.0, 0)
+                                AS BIGINT)), 0) AS BIGINT) AS cents
+  FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_name
+)
+SELECT r.r_name,
+       '[' || string_agg(
+         json_object('nation', p.n_name, 'n_supp', p.n_supp,
+                     'cents', p.cents)::VARCHAR,
+         ',' ORDER BY p.n_name) || ']' AS nations_json,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM supp p JOIN region r ON r.r_regionkey = p.n_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+    tags=("json", "export"),
+)
+def a384_json_group_export(spark, sf_dir):
+    """Grouped JSON export — roll each region's nations up into ONE
+    JSON-array cell (`to_json(sort_array(collect_list(struct(…))))`),
+    the document-per-group shape APIs and feature stores ingest. The
+    parity claim is strict: the JSON STRING hashes byte-identical
+    across engines, which holds because (a) intra-group order is
+    pinned by sorting on the leading struct field, (b) all values are
+    strings or BIGINTs (double formatting is NOT portable — the one
+    rule for exportable JSON), and (c) both engines emit compact
+    `{"k":v}` formatting. Aggregation is one shuffle; array cells are
+    group-sized (bounded by the dimension here — cap with slice() for
+    unbounded groups)."""
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    r = table(spark, sf_dir, "region")
+    supp = (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_regionkey", "n_name")
+        .agg(
+            F.count("s_suppkey").cast("bigint").alias("n_supp"),
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("s_acctbal") * 100.0, 0).cast("bigint")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    return (
+        supp.join(F.broadcast(r), supp.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.to_json(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("n_name").alias("nation"),
+                            F.col("n_supp").alias("n_supp"),
+                            F.col("cents").alias("cents"),
+                        )
+                    )
+                )
+            ).alias("nations_json"),
+            F.count("*").cast("bigint").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
