@@ -3898,3 +3898,118 @@ def a385_markov_entropy_rate(spark, sf_dir):
             6,
         ).alias("h_weighted_r"),
     ).orderBy("state")
+
+
+@query(
+    "a387_partial_correlation",
+    oracle="""
+WITH per_order AS (
+  SELECT o.o_orderkey,
+         CAST(ROUND(o.o_totalprice, 0) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y,
+         CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS z
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, x
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(z * z) AS BIGINT) AS szz,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * z) AS BIGINT) AS sxz,
+         CAST(SUM(y * z) AS BIGINT) AS syz
+  FROM per_order
+), r AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS rxy,
+         (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+           AS rxz,
+         (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+         / (sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+            * sqrt(CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+           AS ryz
+  FROM m
+)
+SELECT n,
+       round(rxy, 6) AS r_price_lines_r,
+       round(rxz, 6) AS r_price_supps_r,
+       round((rxz - rxy * ryz)
+             / sqrt((1.0 - rxy * rxy) * (1.0 - ryz * ryz)), 6)
+         AS partial_r_price_supps_given_lines_r
+FROM r
+""",
+    tags=("stats",),
+)
+def a387_partial_correlation(spark, sf_dir):
+    """First-order partial correlation — does supplier diversity relate
+    to order value BEYOND what basket size already explains?
+    r_xz·y = (r_xz − r_xy·r_yz)/√((1−r_xy²)(1−r_yz²)), the simplest
+    confounder control and the gateway to any regression-adjusted
+    readout (q258's closed-form regression is the k-feature
+    generalization). All nine raw moments are exact BIGINTs from ONE
+    join+aggregate pass; the three pairwise r's and the partial are
+    pure double expressions over them, written identically in both
+    engines. Single summary row at any scale."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 0).cast("bigint").alias("x"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("y"),
+            F.count_distinct("l_suppkey").cast("bigint").alias("z"),
+        )
+    )
+    m = per_order.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("bigint").alias("syz"),
+    )
+
+    def pearson(sab, sa, sb, saa, sbb):
+        return (
+            F.col("n").cast("double") * F.col(sab)
+            - F.col(sa).cast("double") * F.col(sb)
+        ) / (
+            F.sqrt(
+                F.col("n").cast("double") * F.col(saa)
+                - F.col(sa).cast("double") * F.col(sa)
+            )
+            * F.sqrt(
+                F.col("n").cast("double") * F.col(sbb)
+                - F.col(sb).cast("double") * F.col(sb)
+            )
+        )
+
+    rxy = pearson("sxy", "sx", "sy", "sxx", "syy")
+    rxz = pearson("sxz", "sx", "sz", "sxx", "szz")
+    ryz = pearson("syz", "sy", "sz", "syy", "szz")
+    return m.select(
+        "n",
+        F.round(rxy, 6).alias("r_price_lines_r"),
+        F.round(rxz, 6).alias("r_price_supps_r"),
+        F.round(
+            (rxz - rxy * ryz)
+            / F.sqrt(
+                (F.lit(1.0) - rxy * rxy) * (F.lit(1.0) - ryz * ryz)
+            ),
+            6,
+        ).alias("partial_r_price_supps_given_lines_r"),
+    )

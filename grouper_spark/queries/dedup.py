@@ -1499,3 +1499,109 @@ def q325_dedup_threshold_curve(spark, sf_dir):
         )
         .orderBy("thr_pct")
     )
+
+
+_OVL_N = 5  # shingle width for the source-overlap audit
+
+
+@query(
+    "a386_source_overlap_matrix",
+    oracle=f"""
+WITH grams AS (
+  SELECT DISTINCT source,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+           || ' ' || ws[i+4] AS g
+  FROM (SELECT source,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws) - {_OVL_N - 1})) AS t(i)
+  WHERE len(ws) >= {_OVL_N}
+), src_tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams
+  GROUP BY source
+), posting AS (
+  SELECT g, list(source ORDER BY source) AS sources FROM grams GROUP BY g
+), pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT)
+           AS shared
+  FROM posting, unnest(sources) AS a(src), unnest(sources) AS b(src)
+  WHERE a.src < b.src
+  GROUP BY src_a, src_b
+)
+SELECT p.src_a, p.src_b, p.shared,
+       round(CAST(p.shared AS DOUBLE) / ta.n_grams, 6) AS frac_of_a_r,
+       round(CAST(p.shared AS DOUBLE) / tb.n_grams, 6) AS frac_of_b_r
+FROM pairs p
+JOIN src_tot ta ON ta.source = p.src_a
+JOIN src_tot tb ON tb.source = p.src_b
+WHERE p.shared >= 2
+ORDER BY p.src_a, p.src_b
+""",
+    tags=("dedup", "governance"),
+)
+def a386_source_overlap_matrix(spark, sf_dir):
+    """Inter-source contamination matrix — which SOURCES share verbatim
+    {_OVL_N}-gram content (mirror sites, syndication, scraped copies):
+    the corpus-governance view that q84's eval-decontamination and
+    q104's span dedup don't give, because their unit is the document.
+    Distinct (source, gram) postings group by gram; each gram's source
+    list is bounded by the SOURCE COUNT (not document frequency!), so
+    the pair explode is ≤ |S|²/2 per gram with no cap needed — the
+    rare case where the quadratic is over an intrinsically small
+    domain. Directional fractions (shared/|grams(a)|, /|grams(b)|)
+    expose asymmetric copying (a small source wholly contained in a
+    big one). One gram shuffle; output ≤ |S|² rows."""
+    d = table(spark, sf_dir, "documents")
+    from ..functions.text import word_shingles
+    from ..operators.core import ensure_parallelism
+
+    grams = (
+        ensure_parallelism(d)
+        .select(
+            "source",
+            F.explode(
+                word_shingles(F.lower(F.trim("text")), _OVL_N)
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds totals + postings
+    )
+    src_tot = grams.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    posting = grams.groupBy("g").agg(
+        F.sort_array(F.collect_list("source")).alias("sources")
+    )
+    pairs = (
+        posting.select(
+            F.explode("sources").alias("src_a"), "sources"
+        )
+        .select("src_a", F.explode("sources").alias("src_b"))
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    ta = src_tot.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("na")
+    )
+    tb = src_tot.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("nb")
+    )
+    return (
+        pairs.filter(F.col("shared") >= 2)
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            F.round(
+                F.col("shared").cast("double") / F.col("na"), 6
+            ).alias("frac_of_a_r"),
+            F.round(
+                F.col("shared").cast("double") / F.col("nb"), 6
+            ).alias("frac_of_b_r"),
+        )
+        .orderBy("src_a", "src_b")
+    )
