@@ -3816,3 +3816,96 @@ def a382_lead_lag_xcorr(spark, sf_dir):
             6,
         ).alias("xcorr_r"),
     ).orderBy("lag")
+
+
+@query(
+    "a388_fleiss_kappa",
+    oracle="""
+WITH rated AS (
+  SELECT CAST(CASE WHEN CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                        > 25000000 THEN 1 ELSE 0 END
+            + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END
+            + CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+         AS BIGINT) AS pos
+  FROM orders
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS tot_pos,
+         CAST(SUM(pos * pos) AS BIGINT) AS sum_pos2
+  FROM rated
+), parts AS (
+  SELECT n, tot_pos,
+         -- per item: sum over categories of n_ij^2 = pos^2 + (3-pos)^2
+         --   = 2*pos^2 - 6*pos + 9; P_i = (that - 3)/(3*2)
+         CAST(2 * sum_pos2 - 6 * tot_pos + 9 * n AS BIGINT) AS sum_nij2,
+         CAST(3 * n AS BIGINT) AS ratings
+  FROM agg
+)
+SELECT n,
+       round((CAST(sum_nij2 AS DOUBLE) - ratings) / (CAST(n AS DOUBLE) * 6.0),
+             6) AS p_bar_r,
+       round((CAST(tot_pos AS DOUBLE) / ratings)
+             * (CAST(tot_pos AS DOUBLE) / ratings)
+             + (1.0 - CAST(tot_pos AS DOUBLE) / ratings)
+             * (1.0 - CAST(tot_pos AS DOUBLE) / ratings), 6) AS p_e_r,
+       round(((CAST(sum_nij2 AS DOUBLE) - ratings)
+              / (CAST(n AS DOUBLE) * 6.0)
+              - ((CAST(tot_pos AS DOUBLE) / ratings)
+                 * (CAST(tot_pos AS DOUBLE) / ratings)
+                 + (1.0 - CAST(tot_pos AS DOUBLE) / ratings)
+                 * (1.0 - CAST(tot_pos AS DOUBLE) / ratings)))
+             / (1.0 - ((CAST(tot_pos AS DOUBLE) / ratings)
+                       * (CAST(tot_pos AS DOUBLE) / ratings)
+                       + (1.0 - CAST(tot_pos AS DOUBLE) / ratings)
+                       * (1.0 - CAST(tot_pos AS DOUBLE) / ratings))),
+             6) AS fleiss_kappa_r
+FROM parts
+""",
+    tags=("monitoring", "stats", "labeling"),
+)
+def a388_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa for THREE raters — the multi-annotator agreement
+    statistic (a352's Cohen kappa only handles two): three
+    deterministic binary labelers (value, priority, status) rate every
+    order, per-item agreement P_i comes from Σ n_ij², and with m=3,
+    K=2 the whole computation collapses to THREE integer sums
+    (n, Σpos, Σpos²) because Σn_ij² = 2·pos² − 6·pos + 9 per item —
+    one aggregate pass, closed-form readout, no per-item table
+    survives the fold. The labeling-QA number for consensus pipelines
+    (3-way model/heuristic/human voting) at any corpus size."""
+    o = table(spark, sf_dir, "orders")
+    pos = (
+        (
+            F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+            > 25_000_000
+        ).cast("int")
+        + F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+        + (F.col("o_orderstatus") == "F").cast("int")
+    ).cast("bigint")
+    agg = o.select(pos.alias("pos")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("tot_pos"),
+        F.sum(F.col("pos") * F.col("pos")).cast("bigint").alias("sum_pos2"),
+    )
+    parts = agg.select(
+        "n",
+        "tot_pos",
+        (2 * F.col("sum_pos2") - 6 * F.col("tot_pos") + 9 * F.col("n"))
+        .cast("bigint")
+        .alias("sum_nij2"),
+        (3 * F.col("n")).cast("bigint").alias("ratings"),
+    )
+    p_bar = (F.col("sum_nij2").cast("double") - F.col("ratings")) / (
+        F.col("n").cast("double") * 6.0
+    )
+    p1 = F.col("tot_pos").cast("double") / F.col("ratings")
+    p_e = p1 * p1 + (F.lit(1.0) - p1) * (F.lit(1.0) - p1)
+    return parts.select(
+        "n",
+        F.round(p_bar, 6).alias("p_bar_r"),
+        F.round(p_e, 6).alias("p_e_r"),
+        F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 6).alias(
+            "fleiss_kappa_r"
+        ),
+    )

@@ -801,3 +801,58 @@ def a373_positional_entropy(spark, sf_dir):
         )
         .orderBy("pos")
     )
+
+
+@query(
+    "a389_compressibility",
+    oracle=None,  # zlib has no DuckDB twin — rows-only; accuracy unit-tested
+    tags=("quality", "rows_only"),
+)
+def a389_compressibility(spark, sf_dir):
+    """Compression-ratio quality signal — zlib-compressed size over raw
+    size per document, rolled up by source: highly compressible text is
+    repetitive/templated (the CCNet-style filter the n-gram rules
+    approximate, computed exactly here by an actual codec). Runs as an
+    Arrow-batched ``mapInPandas`` kernel (zlib level 6 is deterministic
+    for a given input, so results are stable run to run — but no SQL
+    engine can reproduce DEFLATE, hence rows-only at the driver; the
+    monotonicity property 'repetitive compresses smaller' is pinned by
+    a unit test). Python touches each doc once with no groupBy inside
+    the kernel — the per-source aggregate stays JVM-side after the
+    kernel emits (source, raw, comp) rows."""
+    import pandas as pd  # noqa: F401
+
+    d = table(spark, sf_dir, "documents")
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "raw_bytes": raw.str.len().astype("int64"),
+                    "comp_bytes": raw.map(
+                        lambda b: len(zlib.compress(b, 6))
+                    ).astype("int64"),
+                }
+            )
+
+    scored = d.select("source", "text").mapInPandas(
+        kernel, schema="source string, raw_bytes long, comp_bytes long"
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("raw_bytes").cast("bigint").alias("raw_bytes"),
+            F.sum("comp_bytes").cast("bigint").alias("comp_bytes"),
+            F.round(
+                F.sum("comp_bytes").cast("double") / F.sum("raw_bytes"), 6
+            ).alias("ratio_r"),
+        )
+        .orderBy("source")
+    )

@@ -300,3 +300,69 @@ def test_a367_cochran_armitage_matches_textbook(spark, tmp_path):
     z = T / math.sqrt(var)
     assert out["n"] == N and out["x"] == X
     assert abs(out["z_r"] - round(z, 6)) < 1e-6
+
+
+def test_a388_fleiss_kappa_matches_textbook(spark, tmp_path):
+    """Independent re-derivation via the generic Fleiss formula (full
+    n_ij table, no algebraic collapse) on staged orders."""
+    import datetime as _dt
+
+    d0 = _dt.datetime(1995, 6, 1)
+    # (price, priority, status) -> rater votes (>250k, urgent/high, F)
+    spec = [
+        (300000.0, "1-URGENT", "F"),  # pos=3
+        (300000.0, "3-MEDIUM", "O"),  # pos=1
+        (1000.0, "2-HIGH", "F"),      # pos=2
+        (1000.0, "5-LOW", "O"),       # pos=0
+        (260000.0, "1-URGENT", "O"),  # pos=2
+        (1000.0, "4-NOT SPECIFIED", "F"),  # pos=1
+    ]
+    rows = [
+        (i + 1, i + 1, st, price, d0, pr)
+        for i, (price, pr, st) in enumerate(spec)
+    ]
+    out = REGISTRY["a388_fleiss_kappa"].fn(
+        spark, _stage_orders(spark, tmp_path, rows)
+    ).first()
+
+    m = 3
+    pos = [3, 1, 2, 0, 2, 1]
+    n = len(pos)
+    p_i = [
+        (p * p + (m - p) * (m - p) - m) / (m * (m - 1)) for p in pos
+    ]
+    p_bar = sum(p_i) / n
+    p1 = sum(pos) / (n * m)
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert out["n"] == n
+    assert abs(out["p_bar_r"] - round(p_bar, 6)) < 1e-9
+    assert abs(out["fleiss_kappa_r"] - round(kappa, 6)) < 1e-6
+
+
+def test_a389_compressibility_orders_repetitive_below_diverse(spark, tmp_path):
+    """rows-only accuracy pin: a repetitive source must compress to a
+    strictly smaller ratio than a diverse one, and ratios lie in
+    (0, ~1.1]."""
+    rows = [
+        (1, "spam spam spam " * 50, "en", "tmpl", 750),
+        (2, "ham ham ham ham " * 50, "en", "tmpl", 800),
+        (3, " ".join(f"w{i}x{i * 7 % 97}" for i in range(200)), "en",
+         "organic", 1500),
+        (4, " ".join(f"z{i * 13 % 89}q{i}" for i in range(200)), "en",
+         "organic", 1500),
+    ]
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["source"]: r["ratio_r"]
+        for r in REGISTRY["a389_compressibility"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert 0 < got["tmpl"] < got["organic"] <= 1.1, got
