@@ -371,3 +371,107 @@ def a370_sql_pipe_syntax(spark, sf_dir):
         |> ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "a390_sql_scripting",
+    oracle="""
+WITH RECURSIVE s AS (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS DOUBLE) AS v
+  FROM orders
+), it AS (
+  SELECT 0 AS i, v AS x, v FROM s
+  UNION ALL
+  SELECT i + 1, (x + v / x) / 2.0, v FROM it WHERE i < 40
+)
+SELECT CAST(v AS BIGINT) AS total_cents,
+       round(x, 6) AS scripted_sqrt_r,
+       round(sqrt(v), 6) AS builtin_sqrt_r
+FROM it WHERE i = 40
+""",
+    tags=("sql", "scripting"),
+)
+def a390_sql_scripting(spark, sf_dir):
+    """SQL scripting (Spark 4, SQL/PSM BEGIN…END with DECLARE and
+    WHILE) — procedural control flow INSIDE the SQL surface, no driver
+    round-trips per iteration: the script reads the revenue total from
+    a table, then runs 40 Babylonian iterations x ← (x + S/x)/2 as a
+    WHILE loop over session variables. The oracle replays the
+    IDENTICAL iteration as a recursive CTE (same arithmetic, same
+    count, seeded x₀ = S), so the scripted and relational control
+    flows must agree to the bit — and both land on the builtin sqrt
+    at 6dp, the convergence sanity check. This is the surface
+    migration tooling needs for stored-procedure-shaped workloads."""
+    from ..sources import table as _table
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_script"
+    )
+    return spark.sql(
+        """
+BEGIN
+  DECLARE v DOUBLE;
+  DECLARE x DOUBLE;
+  DECLARE i INT = 0;
+  SET v = (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0)
+                              AS BIGINT)) AS DOUBLE)
+           FROM orders_script);
+  SET x = v;
+  WHILE i < 40 DO
+    SET x = (x + v / x) / 2.0;
+    SET i = i + 1;
+  END WHILE;
+  SELECT CAST(v AS BIGINT) AS total_cents,
+         round(x, 6) AS scripted_sqrt_r,
+         round(sqrt(v), 6) AS builtin_sqrt_r;
+END
+"""
+    )
+
+
+@query(
+    "a391_identifier_clause",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("sql", "api"),
+)
+def a391_identifier_clause(spark, sf_dir):
+    """IDENTIFIER() clause — injection-safe DYNAMIC table and column
+    names (the q276 parameter story extended to identifiers, which
+    plain parameters cannot name): the table, group column, and
+    measure column all arrive as bound string parameters resolved
+    through IDENTIFIER(), so a query service can template over
+    physical names without string concatenation — the identifier is
+    validated as a name, never spliced as SQL text. The plan is
+    byte-identical to the static query (resolution happens at
+    analysis), which the oracle hash-match proves."""
+    from ..sources import table as _table
+
+    _table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_ident"
+    )
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:g) AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(IDENTIFIER(:m) * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM IDENTIFIER(:t)
+        GROUP BY IDENTIFIER(:g)
+        ORDER BY IDENTIFIER(:g)
+        """,
+        args={
+            "t": "orders_ident",
+            "g": "o_orderpriority",
+            "m": "o_totalprice",
+        },
+    )
