@@ -1284,3 +1284,67 @@ def a384_json_group_export(spark, sf_dir):
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "a392_binary_codec_battery",
+    oracle="""
+WITH enc AS (
+  SELECT doc_id,
+         substr(text, 1, 12) AS frag,
+         to_base64(substr(text, 1, 12)::BLOB) AS b64,
+         upper(hex(substr(text, 1, 12)::BLOB)) AS hx
+  FROM documents
+), verified AS (
+  SELECT doc_id, b64, hx,
+         CASE WHEN from_base64(b64)::VARCHAR = frag
+               AND unhex(hx)::VARCHAR = frag THEN 1 ELSE 0 END AS ok
+  FROM enc
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_roundtrip_ok,
+       CAST(SUM(length(b64)) AS BIGINT) AS b64_chars,
+       CAST(bit_xor(('0x' || substr(md5(b64 || '|' || hx), 1, 15))::BIGINT)
+            AS BIGINT) AS codec_hash
+FROM verified
+""",
+    tags=("functions", "binary"),
+)
+def a392_binary_codec_battery(spark, sf_dir):
+    """Binary codec battery — base64 and hex ENCODE, their inverse
+    decodes proven on every row (round-trip flag), and an
+    order-independent checksum over the encoded forms so the oracle
+    certifies byte-identical codec output across engines. The one
+    portability trap is normalized explicitly: hex-digit CASE differs
+    in places (upper() pins it), while base64 (RFC 4648, with
+    padding) agrees byte-for-byte. All in one codegen projection +
+    one aggregate; this is the plumbing under every
+    binary-in-varchar column (q41's multimodal payloads, wire-format
+    exports)."""
+    d = table(spark, sf_dir, "documents")
+    frag = F.substring("text", 1, 12)
+    enc = d.select(
+        "doc_id",
+        frag.alias("frag"),
+        F.base64(F.encode(frag, "UTF-8")).alias("b64"),
+        F.upper(F.hex(F.encode(frag, "UTF-8"))).alias("hx"),
+    )
+    verified = enc.select(
+        "b64",
+        "hx",
+        (
+            (F.decode(F.unbase64("b64"), "UTF-8") == F.col("frag"))
+            & (F.decode(F.unhex("hx"), "UTF-8") == F.col("frag"))
+        )
+        .cast("int")
+        .alias("ok"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat("b64", F.lit("|"), "hx")), 1, 15), 16, 10
+    ).cast("bigint")
+    return verified.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ok").cast("bigint").alias("n_roundtrip_ok"),
+        F.sum(F.length("b64")).cast("bigint").alias("b64_chars"),
+        F.bit_xor(h).cast("bigint").alias("codec_hash"),
+    )
