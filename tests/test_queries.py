@@ -366,3 +366,87 @@ def test_a389_compressibility_orders_repetitive_below_diverse(spark, tmp_path):
         ).collect()
     }
     assert 0 < got["tmpl"] < got["organic"] <= 1.1, got
+
+
+def test_a372_water_filling_matches_iterative(spark, tmp_path):
+    """Independent re-derivation: the closed sorted form must equal the
+    textbook iterative water-filling (raise the cap until the budget
+    is exhausted) on a synthetic demand profile."""
+    import datetime as _dt
+
+    d0 = _dt.datetime(1995, 6, 1)
+    # one order per customer; price = demand dollars
+    demands = [10.0, 10.0, 20.0, 40.0, 100.0, 400.0]
+    rows = [
+        (i + 1, i + 1, "F", d, d0, "3-MEDIUM")
+        for i, d in enumerate(demands)
+    ]
+    out = REGISTRY["a372_water_filling"].fn(
+        spark, _stage_orders(spark, tmp_path, rows)
+    ).first()
+
+    cents = sorted(int(round(d * 100)) for d in demands)
+    b = sum(cents) // 10
+    # iterative: fully fund the smallest while the remaining budget
+    # spread over the rest still exceeds its demand
+    funded, rem, n_left = 0, b, len(cents)
+    for d in cents:
+        if d <= rem / n_left:
+            # d is below the flat split of what's left → fully funded
+            rem -= d
+            n_left -= 1
+            funded += 1
+        else:
+            break
+    cap = rem / n_left
+    assert out["budget_cents"] == b
+    assert out["n_fully_funded"] == funded
+    assert abs(out["cap_cents_r"] - round(cap, 6)) < 1e-6
+    # allocations exhaust the budget exactly
+    total_alloc = sum(cents[:funded]) + cap * (len(cents) - funded)
+    assert abs(total_alloc - b) < 1e-6
+
+
+def test_a345_kneser_ney_matches_hand_computation(spark, tmp_path):
+    """Independent re-derivation of interpolated KN on a corpus small
+    enough to verify by hand: counts, continuation counts, and the
+    D=0.75 formula computed in pure Python."""
+    docs = [
+        (0, "a b a b", "en", "t", 7),
+        (1, "a c", "en", "t", 3),
+        (2, "b a", "en", "t", 3),
+    ]
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    spark.createDataFrame(docs, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = REGISTRY["a345_kneser_ney"].fn(spark, str(tmp_path)).collect()
+
+    # bigrams: (a,b)x2, (b,a)x2, (a,c)x1  [doc0: ab,ba,ab; doc1: ac; doc2: ba]
+    from collections import Counter
+
+    big = Counter(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("a", "c"), ("b", "a")]
+    )
+    c1 = Counter()
+    fol = Counter()
+    npre = Counter()
+    for (w1, w2), c in big.items():
+        c1[w1] += c
+        fol[w1] += 1
+        npre[w2] += 1
+    B = len(big)
+    D = 0.75
+
+    def pkn(w1, w2):
+        return (max(big[(w1, w2)] - D, 0) / c1[w1]) + (
+            (D * fol[w1] / c1[w1]) * (npre[w2] / B)
+        )
+
+    got = {(r["w1"], r["w2"]): (r["c12"], r["pkn_r"]) for r in rows}
+    for (w1, w2), c in big.items():
+        assert got[(w1, w2)][0] == c
+        assert abs(got[(w1, w2)][1] - round(pkn(w1, w2), 6)) < 1e-9
