@@ -2188,3 +2188,92 @@ def a378_distinctive_terms(spark, sf_dir):
         .drop("rn")
         .orderBy("source", F.col("chi2_r").desc(), "term")
     )
+
+
+@query(
+    "a393_woe_information_value",
+    oracle="""
+WITH base AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+), binned AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY cents, y) AS BIGINT) AS bin, y
+  FROM base
+), cnt AS (
+  SELECT bin,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS tp, CAST(SUM(neg) AS BIGINT) AS tn
+  FROM cnt
+)
+SELECT c.bin, c.pos, c.neg,
+       round(ln((CAST(c.pos AS DOUBLE) * t.tn)
+                / (CAST(c.neg AS DOUBLE) * t.tp)), 6) AS woe_r,
+       round((CAST(c.pos AS DOUBLE) / t.tp
+              - CAST(c.neg AS DOUBLE) / t.tn)
+             * ln((CAST(c.pos AS DOUBLE) * t.tn)
+                  / (CAST(c.neg AS DOUBLE) * t.tp)), 6) AS iv_term_r
+FROM cnt c CROSS JOIN tot t
+ORDER BY c.bin
+""",
+    tags=("curation", "feature-selection"),
+)
+def a393_woe_information_value(spark, sf_dir):
+    """Weight-of-evidence / information-value binning — the
+    credit-scoring feature transform and its predictive-power summary:
+    price deciles (deterministic ntile with a full tiebreak) get
+    WoE = ln((pos_i/Σpos)/(neg_i/Σneg)), algebraically rearranged to
+    ln(pos·TN / (neg·TP)) so the ln argument is an exact integer
+    RATIO (the q121 discipline — no intermediate rounded rates), and
+    IV = Σ(%pos − %neg)·WoE accumulates per-bin terms the reader can
+    sum. Complements a368's MI (IV is the binned, sign-carrying
+    cousin) and q171's lift (rank view). One global ntile over the
+    fact projection, ten-row output."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100.0, 0)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("y"),
+    )
+    binned = base.select(
+        F.ntile(10).over(Window.orderBy("cents", "y")).cast("bigint").alias("bin"),
+        "y",
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    ).localCheckpoint(eager=False)  # 10 rows, feeds totals + readout
+    tot = cnt.agg(
+        F.sum("pos").cast("bigint").alias("tp"),
+        F.sum("neg").cast("bigint").alias("tn"),
+    )
+    woe = F.log(
+        (F.col("pos").cast("double") * F.col("tn"))
+        / (F.col("neg").cast("double") * F.col("tp"))
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "pos",
+            "neg",
+            F.round(woe, 6).alias("woe_r"),
+            F.round(
+                (
+                    F.col("pos").cast("double") / F.col("tp")
+                    - F.col("neg").cast("double") / F.col("tn")
+                )
+                * woe,
+                6,
+            ).alias("iv_term_r"),
+        )
+        .orderBy("bin")
+    )
