@@ -4013,3 +4013,91 @@ def a387_partial_correlation(spark, sf_dir):
             6,
         ).alias("partial_r_price_supps_given_lines_r"),
     )
+
+
+@query(
+    "a397_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(cents) OVER () AS BIGINT) AS total
+  FROM rev
+), classed AS (
+  SELECT l_partkey, cents,
+         CASE WHEN CAST(cum AS DOUBLE) / total <= 0.8 THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / total <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       round(CAST(SUM(cents) AS DOUBLE)
+             / (SELECT CAST(SUM(cents) AS BIGINT) FROM rev), 6)
+         AS revenue_share_r
+FROM classed
+GROUP BY abc
+ORDER BY abc
+""",
+    tags=("analytics", "inventory"),
+)
+def a397_abc_classification(spark, sf_dir):
+    """ABC (Pareto) classification — parts bucketed by cumulative
+    revenue share (A ≤ 80%, B ≤ 95%, C the tail): the inventory-
+    management operationalization of q299's Lorenz curve, turning the
+    concentration CURVE into the three action classes planners
+    actually use (count A-parts tightly, spot-check B, bulk-handle
+    C). The cumulative window runs over the per-part SUMMARY
+    (part-dimension sized, deterministic cents-then-key order); class
+    boundaries compare exact integer cumsums against the exact total.
+    Bounded 3-row output."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    ).localCheckpoint(eager=False)  # summary feeds window + share total
+    wcum = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cents").over(Window.partitionBy()).cast("bigint").alias(
+            "total"
+        ),
+    )
+    share = F.col("cum").cast("double") / F.col("total")
+    classed = ranked.select(
+        "cents",
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        "total",
+    )
+    return (
+        classed.groupBy("abc", "total")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .select(
+            "abc",
+            "n_parts",
+            "cents",
+            F.round(
+                F.col("cents").cast("double") / F.col("total"), 6
+            ).alias("revenue_share_r"),
+        )
+        .orderBy("abc")
+    )

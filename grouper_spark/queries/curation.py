@@ -2277,3 +2277,110 @@ def a393_woe_information_value(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "a395_gain_ratio",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS f,
+         CASE WHEN CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                   > 20000000 THEN 1 ELSE 0 END AS y
+  FROM orders
+), joint AS (
+  SELECT f, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY f, y
+), marg_f AS (
+  SELECT f, CAST(SUM(c) AS BIGINT) AS cf FROM joint GROUP BY f
+), marg_y AS (
+  SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM joint GROUP BY y
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM joint
+), mi AS (
+  SELECT CAST(SUM(CAST(ROUND(CAST(j.c AS DOUBLE) / t.n
+                 * ln(CAST(j.c AS DOUBLE) * t.n
+                      / (CAST(f.cf AS DOUBLE) * y.cy))
+                 * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS mi_nano
+  FROM joint j JOIN marg_f f ON f.f = j.f
+  JOIN marg_y y ON y.y = j.y CROSS JOIN tot t
+), hf AS (
+  SELECT CAST(SUM(CAST(ROUND(-(CAST(cf AS DOUBLE) / t.n)
+                 * ln(CAST(cf AS DOUBLE) / t.n)
+                 * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS hf_nano
+  FROM marg_f CROSS JOIN tot t
+)
+SELECT round(CAST(mi_nano AS DOUBLE) / 1000000000.0, 6) AS mi_nats_r,
+       round(CAST(hf_nano AS DOUBLE) / 1000000000.0, 6) AS h_feature_r,
+       round(CAST(mi_nano AS DOUBLE) / hf_nano, 6) AS gain_ratio_r
+FROM mi CROSS JOIN hf
+""",
+    tags=("curation", "feature-selection"),
+)
+def a395_gain_ratio(spark, sf_dir):
+    """Gain ratio — a368's mutual information normalized by the
+    FEATURE's own entropy (C4.5's split criterion): raw MI
+    systematically favors high-cardinality features because a
+    many-valued key can memorize the target; dividing by H(F) removes
+    that bias, which is why tree learners and feature-selection
+    pipelines rank on the ratio. Both numerator (MI) and denominator
+    (H(F)) are nano-fixed sums of exact-rational ln terms over the
+    contingency marginals — everything after the one fact aggregate
+    is |F|-sized."""
+    o = table(spark, sf_dir, "orders")
+    y = (
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+        > 20_000_000
+    ).cast("int")
+    joint = (
+        o.select(F.col("o_orderpriority").alias("f"), y.alias("y"))
+        .groupBy("f", "y")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    marg_f = joint.groupBy("f").agg(F.sum("c").cast("bigint").alias("cf"))
+    marg_y = joint.groupBy("y").agg(F.sum("c").cast("bigint").alias("cy"))
+    tot = joint.agg(F.sum("c").cast("bigint").alias("n"))
+    mi = (
+        joint.join(marg_f, "f")
+        .join(F.broadcast(marg_y), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("c").cast("double")
+                    / F.col("n")
+                    * F.log(
+                        F.col("c").cast("double")
+                        * F.col("n")
+                        / (F.col("cf").cast("double") * F.col("cy"))
+                    )
+                    * 1e9,
+                    0,
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("mi_nano")
+        )
+    )
+    hf = marg_f.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                -(F.col("cf").cast("double") / F.col("n"))
+                * F.log(F.col("cf").cast("double") / F.col("n"))
+                * 1e9,
+                0,
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("hf_nano")
+    )
+    return mi.crossJoin(F.broadcast(hf)).select(
+        F.round(F.col("mi_nano").cast("double") / 1e9, 6).alias(
+            "mi_nats_r"
+        ),
+        F.round(F.col("hf_nano").cast("double") / 1e9, 6).alias(
+            "h_feature_r"
+        ),
+        F.round(
+            F.col("mi_nano").cast("double") / F.col("hf_nano"), 6
+        ).alias("gain_ratio_r"),
+    )

@@ -1605,3 +1605,87 @@ def a386_source_overlap_matrix(spark, sf_dir):
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "a394_set_similarity_battery",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'),
+           x -> x <> '')) AS toks
+  FROM documents WHERE doc_id < 40
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+         CAST(len(a.toks) AS BIGINT) AS na,
+         CAST(len(b.toks) AS BIGINT) AS nb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, inter,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard_r,
+       round(2.0 * inter / (na + nb), 6) AS dice_r,
+       round(CAST(inter AS DOUBLE) / least(na, nb), 6) AS overlap_r
+FROM pairs
+WHERE inter > 0
+ORDER BY jaccard_r DESC, doc_a, doc_b
+LIMIT 25
+""",
+    tags=("dedup", "similarity"),
+)
+def a394_set_similarity_battery(spark, sf_dir):
+    """Set-similarity measure battery — Jaccard, Dice, and the overlap
+    (containment) coefficient computed side by side on the SAME
+    intersection counts: the three thresholds dedup policies actually
+    choose between (Jaccard punishes size mismatch, Dice softens it,
+    overlap catches a small doc embedded in a big one — the a386/q279
+    containment story at pair level). One bounded token-set self-join
+    (doc_id < 40 keeps the pair table explicit; the scale path is the
+    q34 posting-list generator feeding these same formulas), exact
+    integer set sizes, three rounded ratios per pair."""
+    from ..functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.array_distinct(tokens(F.lower(F.trim("text")))).alias("toks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint").alias("inter"),
+            F.size("ta").cast("bigint").alias("na"),
+            F.size("tb").cast("bigint").alias("nb"),
+        )
+    )
+    return (
+        pairs.filter(F.col("inter") > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard_r"),
+            F.round(
+                2.0 * F.col("inter") / (F.col("na") + F.col("nb")), 6
+            ).alias("dice_r"),
+            F.round(
+                F.col("inter").cast("double") / F.least("na", "nb"), 6
+            ).alias("overlap_r"),
+        )
+        .orderBy(F.col("jaccard_r").desc(), "doc_a", "doc_b")
+        .limit(25)
+    )

@@ -3909,3 +3909,100 @@ def a388_fleiss_kappa(spark, sf_dir):
             "fleiss_kappa_r"
         ),
     )
+
+
+@query(
+    "a396_bimodality_coefficient",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice / 1000.0, 0) AS BIGINT) AS y
+  FROM orders
+), m AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s1,
+         CAST(SUM(y * y) AS BIGINT) AS s2,
+         CAST(SUM(y * y * y) AS BIGINT) AS s3,
+         CAST(SUM(y * y * y * y) AS BIGINT) AS s4
+  FROM base GROUP BY grp
+), cm AS (
+  SELECT grp, n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n) AS m3,
+         CAST(s4 AS DOUBLE) / n
+           - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+           + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s2 AS DOUBLE) / n)
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+  FROM m
+)
+SELECT grp, n,
+       round(m3 / sqrt(m2 * m2 * m2), 6) AS skew_r,
+       round(m4 / (m2 * m2), 6) AS kurt_r,
+       round((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2)) + 1.0,
+             6) AS g2p1_r,
+       round(((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2)) + 1.0)
+             / (m4 / (m2 * m2)
+                + 3.0 * (CAST(n - 1 AS DOUBLE) * (n - 1))
+                  / (CAST(n - 2 AS DOUBLE) * (n - 3))), 6) AS bc_r
+FROM cm
+ORDER BY grp
+""",
+    tags=("monitoring", "stats"),
+)
+def a396_bimodality_coefficient(spark, sf_dir):
+    """Sarle's bimodality coefficient — BC = (γ²+1)/(κ + correction):
+    the single-pass screen for MIXED distributions (two customer
+    populations hiding in one price histogram; BC > 5/9 flags
+    bimodality) that q170's raw skew/kurtosis battery feeds but never
+    interprets. All four raw power sums are exact BIGINTs from one
+    aggregate; central moments and the coefficient evaluate as
+    identical double expressions on the 5-row summary. Whole-dollar
+    values keep Σy⁴ inside BIGINT at fixture scales (~1e20/1e19 margin
+    at sf1; beyond that, shift to q170's scaled-moment form)."""
+    o = table(spark, sf_dir, "orders")
+    # KILO-dollar units: skew/kurt/BC are scale-invariant, and y^4 on
+    # raw dollars overflows BIGINT under ANSI (5.5e5^4 ~ 9e22)
+    y = F.round(F.col("o_totalprice") / 1000.0, 0).cast("bigint")
+    m = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(y).cast("bigint").alias("s1"),
+        F.sum(y * y).cast("bigint").alias("s2"),
+        F.sum(y * y * y).cast("bigint").alias("s3"),
+        F.sum(y * y * y * y).cast("bigint").alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3.0 * mu * (F.col("s2").cast("double") / F.col("n"))
+        + 2.0 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / F.col("n")
+        - 4.0 * mu * (F.col("s3").cast("double") / F.col("n"))
+        + 6.0 * mu * mu * (F.col("s2").cast("double") / F.col("n"))
+        - 3.0 * mu * mu * mu * mu
+    )
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2)
+    corr = (
+        3.0
+        * ((F.col("n") - 1).cast("double") * (F.col("n") - 1))
+        / ((F.col("n") - 2).cast("double") * (F.col("n") - 3))
+    )
+    return m.select(
+        "grp",
+        "n",
+        F.round(skew, 6).alias("skew_r"),
+        F.round(kurt, 6).alias("kurt_r"),
+        F.round(skew * skew + 1.0, 6).alias("g2p1_r"),
+        F.round((skew * skew + 1.0) / (kurt + corr), 6).alias("bc_r"),
+    ).orderBy("grp")
