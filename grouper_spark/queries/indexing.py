@@ -584,3 +584,61 @@ def q330_bottomk_distinct_sketch(spark, sf_dir):
             ).alias("rel_err_r"),
         )
     )
+
+
+@query(
+    "a399_lsh_band_optimizer",
+    oracle="""
+WITH grid AS (
+  SELECT b, r FROM (VALUES (4, 2), (4, 4), (8, 2), (8, 4), (8, 8),
+                           (16, 2), (16, 4), (32, 2), (32, 4), (64, 2))
+       AS t(b, r)
+), scored AS (
+  SELECT b, r, b * r AS n_hashes,
+         -- capture probability 1-(1-j^r)^b at j=threshold and at the
+         -- near-miss level, from exact integer (b, r) literals
+         1.0 - pow(1.0 - pow(0.8, r), b) AS p_at_t,
+         1.0 - pow(1.0 - pow(0.5, r), b) AS p_at_miss
+  FROM grid
+)
+SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+       CAST(n_hashes AS BIGINT) AS n_hashes,
+       round(p_at_t, 6) AS recall_at_080_r,
+       round(p_at_miss, 6) AS fp_at_050_r,
+       round(p_at_t - p_at_miss, 6) AS separation_r
+FROM scored
+ORDER BY separation_r DESC, n_hashes, b
+""",
+    tags=("indexing", "lsh", "planning"),
+)
+def a399_lsh_band_optimizer(spark, sf_dir):
+    """LSH banding-parameter optimizer — the planning table that picks
+    (bands b, rows r) BEFORE running a q35/q238 dedup job: for each
+    candidate configuration, the analytic S-curve capture probability
+    1−(1−jʳ)ᵇ evaluated at the dedup threshold (j=0.8, want ≈1) and
+    at the near-miss level (j=0.5, want ≈0), ranked by separation
+    with hash budget b·r as the tiebreak cost. q305 MEASURES the
+    S-curve a chosen config produced; this chooses the config — the
+    before/after pair of LSH tuning. pow on exact integer-literal
+    exponents is deterministic cross-engine (both delegate to libm
+    pow on identical inputs; verified by the hash gate). Ten-row
+    compute-only output; sf_dir is accepted for signature parity."""
+    grid = spark.createDataFrame(
+        [(4, 2), (4, 4), (8, 2), (8, 4), (8, 8),
+         (16, 2), (16, 4), (32, 2), (32, 4), (64, 2)],
+        "b int, r int",
+    )
+    p = lambda j: 1.0 - F.pow(  # noqa: E731
+        1.0 - F.pow(F.lit(j), F.col("r")), F.col("b")
+    )
+    return (
+        grid.select(
+            F.col("b").cast("bigint").alias("b"),
+            F.col("r").cast("bigint").alias("r"),
+            (F.col("b") * F.col("r")).cast("bigint").alias("n_hashes"),
+            F.round(p(0.8), 6).alias("recall_at_080_r"),
+            F.round(p(0.5), 6).alias("fp_at_050_r"),
+            F.round(p(0.8) - p(0.5), 6).alias("separation_r"),
+        )
+        .orderBy(F.col("separation_r").desc(), "n_hashes", "b")
+    )

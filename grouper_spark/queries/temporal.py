@@ -1806,3 +1806,64 @@ def a360_holt_linear(spark, sf_dir):
             "forecast_3_r"
         ),
     ).orderBy("grp")
+
+
+@query(
+    "a398_mm1_queueing_estimates",
+    oracle="""
+WITH arrivals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+              AS BIGINT) AS span_s
+  FROM events
+), params AS (
+  SELECT n, span_s,
+         CAST(n - 1 AS DOUBLE) / span_s AS lam,
+         -- service rate: modeled fixed 50 ms per event => mu = 20/s
+         20.0 AS mu
+  FROM arrivals
+)
+SELECT n, span_s,
+       round(lam, 6) AS lambda_r,
+       round(lam / mu, 6) AS rho_r,
+       round((lam / mu) / (1.0 - lam / mu), 6) AS l_system_r,
+       round((lam / mu) * (lam / mu) / (1.0 - lam / mu), 6) AS lq_r,
+       round(1.0 / (mu - lam), 6) AS w_system_s_r
+FROM params
+""",
+    tags=("temporal", "queueing"),
+)
+def a398_mm1_queueing_estimates(spark, sf_dir):
+    """M/M/1 closed-form capacity estimates — the analytic counterpart
+    of q332's exact Lindley replay: from the measured arrival rate
+    λ = (n−1)/span (exact integer micros → one division) and a modeled
+    service rate μ = 20/s, the steady-state utilization ρ = λ/μ,
+    queue lengths L = ρ/(1−ρ), Lq = ρ²/(1−ρ), and waiting time
+    W = 1/(μ−λ). The replay says what DID happen at this capacity;
+    these formulas say what WILL happen at any other λ — together they
+    are the capacity-planning pair. All inputs are exact integers; the
+    five readouts are single double expressions. One min/max/count
+    aggregate — the cheapest query in the inventory, by design: the
+    point is the formula surface, not the scan."""
+    ev = table(spark, sf_dir, "events")
+    arr = ev.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("span_s"),
+    )
+    lam = (F.col("n") - 1).cast("double") / F.col("span_s")
+    mu = F.lit(20.0)
+    rho = lam / mu
+    return arr.select(
+        "n",
+        "span_s",
+        F.round(lam, 6).alias("lambda_r"),
+        F.round(rho, 6).alias("rho_r"),
+        F.round(rho / (F.lit(1.0) - rho), 6).alias("l_system_r"),
+        F.round(rho * rho / (F.lit(1.0) - rho), 6).alias("lq_r"),
+        F.round(F.lit(1.0) / (mu - lam), 6).alias("w_system_s_r"),
+    )

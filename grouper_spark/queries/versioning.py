@@ -1298,3 +1298,55 @@ def a371_rle_layout_audit(spark, sf_dir):
             F.col("n_distinct").cast("double") / F.col("n_rows"), 6
         ).alias("distinct_ratio_r"),
     ).orderBy("col")
+
+
+@query(
+    "a400_format_footprint_advisor",
+    oracle=None,  # byte sizes are writer-implementation facts — rows-only
+    tags=("storage", "formats", "rows_only"),
+)
+def a400_format_footprint_advisor(spark, sf_dir):
+    """Storage-format footprint advisor — the SAME projection written as
+    parquet, ORC, CSV, and JSONL, measured in actual bytes per row via
+    the filesystem API (works on any Hadoop FS, not just local disk):
+    the number that settles 'why is the landing zone 8× the warehouse'
+    conversations and prices a format migration before running it.
+    Columnar formats win on encoding+compression (a371's RLE audit
+    explains WHICH columns pay); row formats pay per-value syntax
+    overhead. Rows-only at the driver (byte counts are facts about
+    the writer, not the data), with the parquet<CSV ordering pinned
+    by a unit test. Output is 4 rows at any corpus size; staged files
+    key on the fixture fingerprint."""
+    import os
+
+    d = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    fp = _source_fingerprint(sf_dir, "orders")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = os.path.join("/tmp", f"grouper_fmtadv_{tag}_{fp}")
+    n_rows = d.count()
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def fs_bytes(path):
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(hconf)
+        return int(fs.getContentSummary(p).getLength())
+
+    rows = []
+    for fmt in ("parquet", "orc", "csv", "json"):
+        path = os.path.join(base, fmt)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            w = d.coalesce(4).write.mode("overwrite")
+            if fmt == "csv":
+                w = w.option("header", True)
+            getattr(w, fmt)(path)
+        b = fs_bytes(path)
+        rows.append((fmt, n_rows, b, round(b / n_rows, 2)))
+    return spark.createDataFrame(
+        rows, "format string, n_rows bigint, total_bytes bigint, "
+        "bytes_per_row double"
+    ).orderBy("format")

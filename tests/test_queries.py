@@ -450,3 +450,16 @@ def test_a345_kneser_ney_matches_hand_computation(spark, tmp_path):
     for (w1, w2), c in big.items():
         assert got[(w1, w2)][0] == c
         assert abs(got[(w1, w2)][1] - round(pkn(w1, w2), 6)) < 1e-9
+
+
+def test_a400_columnar_beats_row_formats(spark, sf_dir):
+    """rows-only pin: parquet and ORC must use fewer bytes/row than CSV
+    and JSON on the same projection."""
+    got = {
+        r["format"]: r["bytes_per_row"]
+        for r in REGISTRY["a400_format_footprint_advisor"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == {"parquet", "orc", "csv", "json"}
+    assert max(got["parquet"], got["orc"]) < min(got["csv"], got["json"]), got
