@@ -4101,3 +4101,90 @@ def a397_abc_classification(spark, sf_dir):
         )
         .orderBy("abc")
     )
+
+
+@query(
+    "a403_l_moments",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice / 1000.0, 0) AS BIGINT) AS x
+  FROM orders
+), ranked AS (
+  SELECT grp, x,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY x) AS BIGINT)
+           AS i,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM base
+), sums AS (
+  SELECT grp, n,
+         CAST(SUM(x) AS BIGINT) AS s0,
+         CAST(SUM((i - 1) * x) AS BIGINT) AS s1,
+         CAST(SUM((i - 1) * (i - 2) * x) AS BIGINT) AS s2
+  FROM ranked GROUP BY grp, n
+), pwm AS (
+  SELECT grp, n,
+         CAST(s0 AS DOUBLE) / n AS b0,
+         CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) AS b1,
+         CAST(s2 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (n - 1) * (n - 2)) AS b2
+  FROM sums
+)
+SELECT grp, n,
+       round(b0, 6) AS l1_r,
+       round(2.0 * b1 - b0, 6) AS l2_r,
+       round((2.0 * b1 - b0) / b0, 6) AS l_cv_r,
+       round((6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0), 6)
+         AS l_skew_r
+FROM pwm
+ORDER BY grp
+""",
+    tags=("stats", "robust"),
+)
+def a403_l_moments(spark, sf_dir):
+    """L-moments (λ₁, λ₂, L-CV, L-skewness) per priority — the
+    order-statistics moment system hydrology standardized on because
+    every L-moment is LINEAR in the data: they exist whenever the
+    mean does, and a single outlier moves them boundedly where
+    classical skewness (q170, cubed deviations) explodes. Computed
+    from probability-weighted moments b_r with exact BIGINT
+    numerators Σ(i−1)x and Σ(i−1)(i−2)x (deterministic ranks; equal
+    values make the weighted sums tie-order invariant), one rank
+    window per group, one moment aggregate. Kilodollar units keep the
+    (i²·x) sums inside BIGINT through ~sf1 — beyond that, switch the
+    two weighted sums to doubles (the estimator is already a ratio)."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") / 1000.0, 0).cast("bigint").alias("x"),
+    )
+    wr = Window.partitionBy("grp").orderBy("x")
+    ranked = base.select(
+        "grp",
+        "x",
+        F.row_number().over(wr).cast("bigint").alias("i"),
+        F.count("*").over(Window.partitionBy("grp")).cast("bigint").alias("n"),
+    )
+    sums = ranked.groupBy("grp", "n").agg(
+        F.sum("x").cast("bigint").alias("s0"),
+        F.sum((F.col("i") - 1) * F.col("x")).cast("bigint").alias("s1"),
+        F.sum((F.col("i") - 1) * (F.col("i") - 2) * F.col("x"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    b0 = F.col("s0").cast("double") / F.col("n")
+    b1 = F.col("s1").cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    b2 = F.col("s2").cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1) * (F.col("n") - 2)
+    )
+    l2 = 2.0 * b1 - b0
+    return sums.select(
+        "grp",
+        "n",
+        F.round(b0, 6).alias("l1_r"),
+        F.round(l2, 6).alias("l2_r"),
+        F.round(l2 / b0, 6).alias("l_cv_r"),
+        F.round((6.0 * b2 - 6.0 * b1 + b0) / l2, 6).alias("l_skew_r"),
+    ).orderBy("grp")

@@ -4006,3 +4006,68 @@ def a396_bimodality_coefficient(spark, sf_dir):
         F.round(skew * skew + 1.0, 6).alias("g2p1_r"),
         F.round((skew * skew + 1.0) / (kurt + corr), 6).alias("bc_r"),
     ).orderBy("grp")
+
+
+@query(
+    "a401_fano_dispersion",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, h
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2,
+         CAST(MAX(c) AS BIGINT) AS peak
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, n_hours, peak,
+       round(CAST(s1 AS DOUBLE) / n_hours, 6) AS mean_r,
+       round((CAST(s2 AS DOUBLE) / n_hours
+              - (CAST(s1 AS DOUBLE) / n_hours)
+                * (CAST(s1 AS DOUBLE) / n_hours))
+             / (CAST(s1 AS DOUBLE) / n_hours), 6) AS fano_r,
+       round(CAST(peak AS DOUBLE) / (CAST(s1 AS DOUBLE) / n_hours), 6)
+         AS peak_to_mean_r
+FROM m
+ORDER BY event_type
+""",
+    tags=("monitoring", "capacity"),
+)
+def a401_fano_dispersion(spark, sf_dir):
+    """Fano factor (index of dispersion) + peak-to-mean per event type
+    over hourly bins — the two capacity numbers q167's inter-event
+    burstiness doesn't give: Fano = Var/Mean of COUNTS (1 = Poisson,
+    >1 = clustered arrivals that break naive capacity math), and
+    peak-to-mean is the provisioning headroom multiplier. Hourly
+    counts are one grouped pass; moments are exact BIGINTs over the
+    calendar-sized bin table; population variance and both ratios
+    evaluate identically on the summary. Feeds a398's M/M/1 readouts
+    with the evidence for/against their Poisson assumption."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    m = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.max("c").cast("bigint").alias("peak"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    return m.select(
+        "event_type",
+        "n_hours",
+        "peak",
+        F.round(mean, 6).alias("mean_r"),
+        F.round(
+            (F.col("s2").cast("double") / F.col("n_hours") - mean * mean)
+            / mean,
+            6,
+        ).alias("fano_r"),
+        F.round(F.col("peak").cast("double") / mean, 6).alias(
+            "peak_to_mean_r"
+        ),
+    ).orderBy("event_type")

@@ -1867,3 +1867,143 @@ def a398_mm1_queueing_estimates(spark, sf_dir):
         F.round(rho * rho / (F.lit(1.0) - rho), 6).alias("lq_r"),
         F.round(F.lit(1.0) / (mu - lam), 6).alias("w_system_s_r"),
     )
+
+
+@query(
+    "a402_hurst_exponent",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY day
+), ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+  FROM daily
+), chunked AS (
+  SELECT m.m, (r.k - 1) // m.m AS chunk,
+         ((r.k - 1) % m.m) + 1 AS j, r.x
+  FROM ranked r CROSS JOIN (SELECT unnest([8, 16, 32]) AS m) m
+), full_chunks AS (
+  SELECT m, chunk FROM chunked GROUP BY m, chunk HAVING COUNT(*) = m
+), stats AS (
+  SELECT c.m, c.chunk, c.j, c.x,
+         CAST(SUM(c.x) OVER w AS BIGINT) AS prefix,
+         CAST(SUM(c.x) OVER (PARTITION BY c.m, c.chunk) AS BIGINT) AS s,
+         CAST(SUM(c.x * c.x) OVER (PARTITION BY c.m, c.chunk) AS BIGINT)
+           AS q
+  FROM chunked c JOIN full_chunks f ON f.m = c.m AND f.chunk = c.chunk
+  WINDOW w AS (PARTITION BY c.m, c.chunk ORDER BY c.j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), per_chunk AS (
+  SELECT m, chunk,
+         CAST(MAX(m * prefix - j * s) AS BIGINT) AS umax,
+         CAST(MIN(m * prefix - j * s) AS BIGINT) AS umin,
+         CAST(MAX(m * q - s * s) AS BIGINT) AS var_m2
+  FROM stats GROUP BY m, chunk
+), rs AS (
+  SELECT m,
+         CAST(ROUND(ln(CAST(umax - umin AS DOUBLE)
+                       / sqrt(CAST(var_m2 AS DOUBLE)))
+                    * 1000000000.0, 0) AS BIGINT) AS lnrs_nano
+  FROM per_chunk WHERE var_m2 > 0 AND umax > umin
+), per_m AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         round(CAST(SUM(lnrs_nano) AS DOUBLE) / 1000000000.0
+               / COUNT(*), 6) AS y
+  FROM rs GROUP BY m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks_total,
+       round((COUNT(*) * SUM(ln(CAST(m AS DOUBLE)) * y)
+              - SUM(ln(CAST(m AS DOUBLE))) * SUM(y))
+             / (COUNT(*) * SUM(ln(CAST(m AS DOUBLE))
+                               * ln(CAST(m AS DOUBLE)))
+                - SUM(ln(CAST(m AS DOUBLE)))
+                  * SUM(ln(CAST(m AS DOUBLE)))), 6) AS hurst_r
+FROM per_m
+""",
+    tags=("temporal", "timeseries"),
+)
+def a402_hurst_exponent(spark, sf_dir):
+    """Hurst exponent via rescaled-range (R/S) analysis of daily event
+    volume — long-range dependence in one number: H≈0.5 is memoryless,
+    H→1 means trends persist (and every naive forecast interval is too
+    narrow — the deep reason q298's backtest can beat its nominal
+    error bars). Integer-exactness: within each size-m chunk the
+    cumulative deviation is U_j = m·prefix_j − j·S (exact BIGINT), so
+    R/S = (maxU−minU)/√(m·Q−S²) is one double ratio of exact integer
+    arguments per chunk, ln'd and nano-fixed before the per-size mean
+    (q121 discipline). H is the closed-form regression slope of
+    mean ln(R/S) on ln(m) over sizes {8,16,32}. Windows run on the
+    calendar-sized daily summary; the fact table is scanned once."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    ranked = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k")
+    )
+    ms = spark.createDataFrame([(8,), (16,), (32,)], "m long")
+    chunked = ranked.crossJoin(F.broadcast(ms)).select(
+        "m",
+        F.expr("(k - 1) div m").alias("chunk"),
+        (F.pmod(F.col("k") - 1, F.col("m")) + 1).alias("j"),
+        "x",
+    ).localCheckpoint(eager=False)  # feeds full-chunk filter + stats
+    wchunk = Window.partitionBy("m", "chunk")
+    wpre = wchunk.orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stats = chunked.select(
+        "m",
+        "chunk",
+        "j",
+        F.count("*").over(wchunk).alias("chunk_n"),
+        F.sum("x").over(wpre).cast("bigint").alias("prefix"),
+        F.sum("x").over(wchunk).cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wchunk).cast("bigint").alias("q"),
+    ).filter(F.col("chunk_n") == F.col("m"))
+    u = F.col("m") * F.col("prefix") - F.col("j") * F.col("s")
+    per_chunk = stats.groupBy("m", "chunk").agg(
+        F.max(u).cast("bigint").alias("umax"),
+        F.min(u).cast("bigint").alias("umin"),
+        F.max(F.col("m") * F.col("q") - F.col("s") * F.col("s"))
+        .cast("bigint")
+        .alias("var_m2"),
+    )
+    rs = per_chunk.filter(
+        (F.col("var_m2") > 0) & (F.col("umax") > F.col("umin"))
+    ).select(
+        "m",
+        F.round(
+            F.log(
+                (F.col("umax") - F.col("umin")).cast("double")
+                / F.sqrt(F.col("var_m2").cast("double"))
+            )
+            * 1e9,
+            0,
+        )
+        .cast("bigint")
+        .alias("lnrs_nano"),
+    )
+    per_m = rs.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.round(
+            F.sum("lnrs_nano").cast("double") / 1e9 / F.count("*"), 6
+        ).alias("y"),
+    )
+    lnm = F.log(F.col("m").cast("double"))
+    return per_m.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("n_chunks").cast("bigint").alias("n_chunks_total"),
+        F.round(
+            (
+                F.count("*") * F.sum(lnm * F.col("y"))
+                - F.sum(lnm) * F.sum("y")
+            )
+            / (
+                F.count("*") * F.sum(lnm * lnm)
+                - F.sum(lnm) * F.sum(lnm)
+            ),
+            6,
+        ).alias("hurst_r"),
+    )
