@@ -1689,3 +1689,102 @@ def a394_set_similarity_battery(spark, sf_dir):
         .orderBy(F.col("jaccard_r").desc(), "doc_a", "doc_b")
         .limit(25)
     )
+
+
+_PRF_T = 0.4  # true near-dup threshold for the evaluation
+
+
+@query(
+    "a404_lsh_prf_eval",
+    oracle=_MH_SQL_CAND.rstrip()
+    + f""", szs AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh0
+), tp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), truth AS (
+  SELECT t.doc_a, t.doc_b
+  FROM tp t JOIN szs x ON x.doc_id = t.doc_a
+            JOIN szs y ON y.doc_id = t.doc_b
+  WHERE CAST(t.inter AS DOUBLE) / (x.sz + y.sz - t.inter) >= {_PRF_T}
+), pred AS (
+  SELECT DISTINCT doc_a, doc_b FROM cand
+), counts AS (
+  SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+         CAST((SELECT COUNT(*) FROM pred) AS BIGINT) AS n_pred,
+         CAST((SELECT COUNT(*) FROM pred p JOIN truth t
+               ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b) AS BIGINT)
+           AS n_tp
+)
+SELECT n_true, n_pred, n_tp,
+       round(CAST(n_tp AS DOUBLE) / n_pred, 6) AS precision_r,
+       round(CAST(n_tp AS DOUBLE) / n_true, 6) AS recall_r,
+       round(2.0 * n_tp / (n_pred + n_true), 6) AS f1_r
+FROM counts
+""",
+    tags=("dedup", "eval"),
+)
+def a404_lsh_prf_eval(spark, sf_dir):
+    """Precision / recall / F1 of the MinHash-LSH dedup pipeline as a
+    PAIR CLASSIFIER against exact truth — the method-acceptance test a
+    dedup rollout needs (q246 audits the sketch's Jaccard ERROR, q305
+    its capture curve; this scores the end decision): truth = pairs
+    with exact shingle Jaccard ≥ {_PRF_T} (generated through the
+    posting-list join, so truth costs colliding-pairs, never corpus²),
+    prediction = q238's banded candidates. All three counts are exact
+    integers from one shared shingle stream (the checkpointed q238
+    machinery, read three ways); P/R/F1 are single divisions. The
+    banding params (4 bands × 2 rows) come from a399's planning
+    table — this query is its empirical receipt."""
+    sh, sigs, cand = _minhash_components(spark, sf_dir)
+    szs = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    xa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    xb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    tp = (
+        xa.join(xb, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sa = szs.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = szs.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    truth = (
+        tp.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter"))
+            >= _PRF_T
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # referenced by n_true + the TP join
+    )
+    pred = cand.select("doc_a", "doc_b").distinct().localCheckpoint(
+        eager=False
+    )
+    n_true = truth.count()
+    n_pred = pred.count()
+    n_tp = pred.join(truth, ["doc_a", "doc_b"]).count()
+    # ratios rounded ENGINE-side: Python round() is banker's rounding,
+    # the oracle's round() is half-away — compute them where the oracle
+    # does
+    base = spark.createDataFrame(
+        [(n_true, n_pred, n_tp)],
+        "n_true bigint, n_pred bigint, n_tp bigint",
+    )
+    return base.select(
+        "n_true",
+        "n_pred",
+        "n_tp",
+        F.round(F.col("n_tp").cast("double") / F.col("n_pred"), 6).alias(
+            "precision_r"
+        ),
+        F.round(F.col("n_tp").cast("double") / F.col("n_true"), 6).alias(
+            "recall_r"
+        ),
+        F.round(
+            2.0 * F.col("n_tp") / (F.col("n_pred") + F.col("n_true")), 6
+        ).alias("f1_r"),
+    )

@@ -4071,3 +4071,89 @@ def a401_fano_dispersion(spark, sf_dir):
             "peak_to_mean_r"
         ),
     ).orderBy("event_type")
+
+
+# Standard normal quantiles, embedded as exact 6dp literals in BOTH
+# plans (no engine has an inverse normal CDF): z_{0.975}, z_{0.80},
+# z_{0.90}.
+_Z_ALPHA2 = 1.959964
+_Z_POW80 = 0.841621
+_Z_POW90 = 1.281552
+
+
+@query(
+    "a405_power_analysis",
+    oracle=f"""
+WITH base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events WHERE event_type IN ('purchase', 'view')
+), rate AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS k,
+         CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS p
+  FROM base
+), grid AS (
+  SELECT mde FROM (VALUES (0.01), (0.02), (0.05), (0.10)) t(mde)
+)
+SELECT g.mde AS mde_abs,
+       round(r.p, 6) AS baseline_p_r,
+       CAST(ceil(({_Z_ALPHA2} + {_Z_POW80}) * ({_Z_ALPHA2} + {_Z_POW80})
+                 * 2.0 * r.p * (1.0 - r.p) / (g.mde * g.mde))
+            AS BIGINT) AS n_per_arm_80,
+       CAST(ceil(({_Z_ALPHA2} + {_Z_POW90}) * ({_Z_ALPHA2} + {_Z_POW90})
+                 * 2.0 * r.p * (1.0 - r.p) / (g.mde * g.mde))
+            AS BIGINT) AS n_per_arm_90
+FROM grid g CROSS JOIN rate r
+ORDER BY mde_abs
+""",
+    tags=("monitoring", "experimentation"),
+)
+def a405_power_analysis(spark, sf_dir):
+    """A/B sample-size planning table — n per arm =
+    (z_{{α/2}}+z_{{power}})²·2p(1−p)/δ² for a grid of absolute MDEs at
+    80% and 90% power, seeded by the MEASURED baseline conversion rate
+    (purchase|view): the experiment-design step that comes BEFORE every
+    readout in the battery (z-test q219, CUPED q259, SRM q318, SPRT
+    q308). Normal quantiles are embedded as identical 6dp literals in
+    both plans — neither engine has an inverse CDF, and fixed literals
+    are exactly the q240 determinism recipe. One aggregate for the
+    baseline; the planning grid is constant-sized; ceil on
+    identically-computed doubles matches exactly."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    rate = ev.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("k"),
+    ).select(
+        "n",
+        "k",
+        (F.col("k").cast("double") / F.col("n")).alias("p"),
+    )
+    grid = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.05,), (0.10,)], "mde double"
+    )
+
+    def n_arm(zb):
+        za = F.lit(_Z_ALPHA2)
+        return F.ceil(
+            (za + F.lit(zb))
+            * (za + F.lit(zb))
+            * 2.0
+            * F.col("p")
+            * (F.lit(1.0) - F.col("p"))
+            / (F.col("mde") * F.col("mde"))
+        ).cast("bigint")
+
+    return (
+        grid.crossJoin(F.broadcast(rate))
+        .select(
+            F.col("mde").alias("mde_abs"),
+            F.round(F.col("p"), 6).alias("baseline_p_r"),
+            n_arm(_Z_POW80).alias("n_per_arm_80"),
+            n_arm(_Z_POW90).alias("n_per_arm_90"),
+        )
+        .orderBy("mde_abs")
+    )
