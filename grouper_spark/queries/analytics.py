@@ -4188,3 +4188,110 @@ def a403_l_moments(spark, sf_dir):
         F.round(l2 / b0, 6).alias("l_cv_r"),
         F.round((6.0 * b2 - 6.0 * b1 + b0) / l2, 6).alias("l_skew_r"),
     ).orderBy("grp")
+
+
+@query(
+    "a407_simpsons_paradox",
+    oracle="""
+WITH base AS (
+  SELECT c.c_mktsegment AS seg,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS grp,
+         CASE WHEN CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)
+                   > 20000000 THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), per_seg AS (
+  SELECT seg,
+         CAST(SUM(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT) AS k0,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM base GROUP BY seg
+), pooled AS (
+  SELECT CAST(SUM(k1) AS BIGINT) AS k1, CAST(SUM(n1) AS BIGINT) AS n1,
+         CAST(SUM(k0) AS BIGINT) AS k0, CAST(SUM(n0) AS BIGINT) AS n0
+  FROM per_seg
+)
+SELECT s.seg,
+       round(CAST(s.k1 AS DOUBLE) / s.n1
+             - CAST(s.k0 AS DOUBLE) / s.n0, 6) AS seg_delta_r,
+       round(CAST(p.k1 AS DOUBLE) / p.n1
+             - CAST(p.k0 AS DOUBLE) / p.n0, 6) AS pooled_delta_r,
+       CAST(CASE WHEN sign(CAST(s.k1 AS DOUBLE) / s.n1
+                           - CAST(s.k0 AS DOUBLE) / s.n0)
+                      * sign(CAST(p.k1 AS DOUBLE) / p.n1
+                             - CAST(p.k0 AS DOUBLE) / p.n0) < 0
+                 THEN 1 ELSE 0 END AS INT) AS sign_reversal
+FROM per_seg s CROSS JOIN pooled p
+ORDER BY s.seg
+""",
+    tags=("analytics", "stats"),
+)
+def a407_simpsons_paradox(spark, sf_dir):
+    """Simpson's-paradox detector — per-segment treatment effects next
+    to the pooled effect, with an explicit sign-reversal flag: the
+    aggregation foot-gun audit (a pooled "urgent orders convert
+    better" can invert inside every segment when segment mix is
+    confounded — q322's shift-share quantifies the mix, this flags
+    the reversal). One join+aggregate builds the segment 2×2 counts;
+    the pooled row is their exact integer sum cross-joined back; the
+    deltas and sign product are identical double expressions.
+    Segment-count-sized output."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = o.join(c, c.c_custkey == o.o_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("grp"),
+        (
+            F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+            > 20_000_000
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    per_seg = base.groupBy("seg").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("k1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("k0"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+    ).localCheckpoint(eager=False)  # feeds the pooled sum + readout
+    pooled = per_seg.agg(
+        F.sum("k1").cast("bigint").alias("pk1"),
+        F.sum("n1").cast("bigint").alias("pn1"),
+        F.sum("k0").cast("bigint").alias("pk0"),
+        F.sum("n0").cast("bigint").alias("pn0"),
+    )
+    seg_delta = (
+        F.col("k1").cast("double") / F.col("n1")
+        - F.col("k0").cast("double") / F.col("n0")
+    )
+    pooled_delta = (
+        F.col("pk1").cast("double") / F.col("pn1")
+        - F.col("pk0").cast("double") / F.col("pn0")
+    )
+    return (
+        per_seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "seg",
+            F.round(seg_delta, 6).alias("seg_delta_r"),
+            F.round(pooled_delta, 6).alias("pooled_delta_r"),
+            F.when(
+                F.signum(seg_delta) * F.signum(pooled_delta) < 0, 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("sign_reversal"),
+        )
+        .orderBy("seg")
+    )

@@ -4157,3 +4157,87 @@ def a405_power_analysis(spark, sf_dir):
         )
         .orderBy("mde_abs")
     )
+
+
+_SLO_TARGET = 0.75  # modeled availability SLO for the error-rate feed
+
+
+@query(
+    "a406_slo_burn_rate",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errs
+  FROM events GROUP BY day
+), windowed AS (
+  SELECT day, n, errs,
+         CAST(SUM(n) OVER w7 AS BIGINT) AS n7,
+         CAST(SUM(errs) OVER w7 AS BIGINT) AS e7,
+         CAST(SUM(n) OVER w1 AS BIGINT) AS n1,
+         CAST(SUM(errs) OVER w1 AS BIGINT) AS e1
+  FROM daily
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         w1 AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND CURRENT ROW)
+)
+SELECT day, n, errs,
+       round(CAST(e1 AS DOUBLE) / n1 / (1.0 - {_SLO_TARGET}), 6)
+         AS burn_1d_r,
+       round(CAST(e7 AS DOUBLE) / n7 / (1.0 - {_SLO_TARGET}), 6)
+         AS burn_7d_r,
+       CAST(CASE WHEN CAST(e1 AS DOUBLE) / n1 / (1.0 - {_SLO_TARGET})
+                      > 1.0
+                  AND CAST(e7 AS DOUBLE) / n7 / (1.0 - {_SLO_TARGET})
+                      > 1.0
+                 THEN 1 ELSE 0 END AS INT) AS page_alert
+FROM windowed
+ORDER BY day
+""",
+    tags=("monitoring", "slo"),
+)
+def a406_slo_burn_rate(spark, sf_dir):
+    """Multi-window SLO burn rate — the SRE error-budget alert: burn =
+    observed error rate / budgeted rate (1 − SLO), evaluated over a
+    short (1-day) AND a long (7-day) window, paging only when BOTH
+    exceed 1× — the standard multi-window construction that suppresses
+    both blips (short-only) and stale alerts (long-only). Everything
+    runs on the daily summary (calendar-sized windows over exact
+    integer counts); the two burn ratios and the alert flag are
+    identical expressions in both engines. Completes the ops battery
+    around q304's percentile SLO feed and q338's p-chart with the
+    budget-consumption view."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("bigint")
+        .alias("errs"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    burn1 = (
+        F.col("errs").cast("double")
+        / F.col("n")
+        / (1.0 - _SLO_TARGET)
+    )
+    windowed = daily.select(
+        "day",
+        "n",
+        "errs",
+        (
+            F.sum("errs").over(w7).cast("double")
+            / F.sum("n").over(w7)
+            / (1.0 - _SLO_TARGET)
+        ).alias("burn7"),
+    )
+    return windowed.select(
+        "day",
+        "n",
+        "errs",
+        F.round(burn1, 6).alias("burn_1d_r"),
+        F.round(F.col("burn7"), 6).alias("burn_7d_r"),
+        F.when((burn1 > 1.0) & (F.col("burn7") > 1.0), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("page_alert"),
+    ).orderBy("day")
