@@ -4241,3 +4241,141 @@ def a406_slo_burn_rate(spark, sf_dir):
         .cast("int")
         .alias("page_alert"),
     ).orderBy("day")
+
+
+@query(
+    "a408_two_way_anova",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         CAST(ROUND(o_totalprice, 0) AS BIGINT) AS y
+  FROM orders
+), cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s1,
+         CAST(SUM(y * y) AS BIGINT) AS s2
+  FROM base GROUP BY a, b
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+         CAST(SUM(s1) AS BIGINT) AS s1_all,
+         CAST(SUM(s2) AS BIGINT) AS s2_all,
+         CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * s1 / n, 0)
+                       AS BIGINT)) AS BIGINT) AS ss_cells_raw,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS kb
+  FROM cells
+), ma AS (
+  SELECT CAST(SUM(CAST(ROUND(CAST(sa AS DOUBLE) * sa / na, 0)
+                       AS BIGINT)) AS BIGINT) AS ss_a_raw
+  FROM (SELECT a, CAST(SUM(s1) AS BIGINT) AS sa,
+               CAST(SUM(n) AS BIGINT) AS na FROM cells GROUP BY a)
+), mb AS (
+  SELECT CAST(SUM(CAST(ROUND(CAST(sb AS DOUBLE) * sb / nb, 0)
+                       AS BIGINT)) AS BIGINT) AS ss_b_raw
+  FROM (SELECT b, CAST(SUM(s1) AS BIGINT) AS sb,
+               CAST(SUM(n) AS BIGINT) AS nb FROM cells GROUP BY b)
+)
+SELECT t.n_all, t.n_cells,
+       round(((CAST(a.ss_a_raw AS DOUBLE)
+               - CAST(t.s1_all AS DOUBLE) * t.s1_all / t.n_all)
+              / (t.ka - 1))
+             / ((CAST(t.s2_all AS DOUBLE) - t.ss_cells_raw)
+                / (t.n_all - t.n_cells)), 6) AS f_a_r,
+       round(((CAST(b.ss_b_raw AS DOUBLE)
+               - CAST(t.s1_all AS DOUBLE) * t.s1_all / t.n_all)
+              / (t.kb - 1))
+             / ((CAST(t.s2_all AS DOUBLE) - t.ss_cells_raw)
+                / (t.n_all - t.n_cells)), 6) AS f_b_r,
+       round(((CAST(t.ss_cells_raw AS DOUBLE)
+               - a.ss_a_raw - b.ss_b_raw
+               + CAST(t.s1_all AS DOUBLE) * t.s1_all / t.n_all)
+              / ((t.ka - 1) * (t.kb - 1)))
+             / ((CAST(t.s2_all AS DOUBLE) - t.ss_cells_raw)
+                / (t.n_all - t.n_cells)), 6) AS f_ab_r
+FROM tot t CROSS JOIN ma a CROSS JOIN mb b
+""",
+    tags=("monitoring", "stats"),
+)
+def a408_two_way_anova(spark, sf_dir):
+    """Two-way ANOVA with interaction (priority × status on order
+    value) — the factorial extension of q272: main-effect F's for each
+    factor plus the INTERACTION F, the term that says "the priority
+    effect depends on status" and that no pair of one-way ANOVAs can
+    see. Sums-of-squares come entirely from exact BIGINT cell moments
+    (each margin's s²/n fixed-pointed before its cross-group sum, the
+    q272 discipline applied at cell, row-margin, and column-margin
+    level); SS_AB falls out by subtraction, and all three F ratios
+    share the within-cell MSW. On unbalanced cells this classical
+    weighted-margin decomposition is non-orthogonal (components need
+    not sum to SS_cells) — both engines evaluate the IDENTICAL
+    definition, and the balanced-design interpretation applies to the
+    near-balanced fixture. One fact aggregate; everything after is
+    cell-table-sized."""
+    o = table(spark, sf_dir, "orders")
+    y = F.round(F.col("o_totalprice"), 0).cast("bigint")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(y).cast("bigint").alias("s1"),
+        F.sum(y * y).cast("bigint").alias("s2"),
+    ).localCheckpoint(eager=False)  # feeds tot + both margins
+
+    def raw(col, s, n):
+        return F.round(
+            F.col(s).cast("double") * F.col(s) / F.col(n), 0
+        ).cast("bigint")
+
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s1").cast("bigint").alias("s1_all"),
+        F.sum("s2").cast("bigint").alias("s2_all"),
+        F.sum(raw("cells", "s1", "n")).cast("bigint").alias("ss_cells_raw"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.count_distinct("a").cast("bigint").alias("ka"),
+        F.count_distinct("b").cast("bigint").alias("kb"),
+    )
+    ma = (
+        cells.groupBy("a")
+        .agg(
+            F.sum("s1").cast("bigint").alias("sa"),
+            F.sum("n").cast("bigint").alias("na"),
+        )
+        .agg(
+            F.sum(raw("ma", "sa", "na")).cast("bigint").alias("ss_a_raw")
+        )
+    )
+    mb = (
+        cells.groupBy("b")
+        .agg(
+            F.sum("s1").cast("bigint").alias("sb"),
+            F.sum("n").cast("bigint").alias("nb"),
+        )
+        .agg(
+            F.sum(raw("mb", "sb", "nb")).cast("bigint").alias("ss_b_raw")
+        )
+    )
+    j = tot.crossJoin(F.broadcast(ma)).crossJoin(F.broadcast(mb))
+    cf = F.col("s1_all").cast("double") * F.col("s1_all") / F.col("n_all")
+    msw = (F.col("s2_all").cast("double") - F.col("ss_cells_raw")) / (
+        F.col("n_all") - F.col("n_cells")
+    )
+    ss_a = F.col("ss_a_raw").cast("double") - cf
+    ss_b = F.col("ss_b_raw").cast("double") - cf
+    ss_ab = (
+        F.col("ss_cells_raw").cast("double")
+        - F.col("ss_a_raw")
+        - F.col("ss_b_raw")
+        + cf
+    )
+    return j.select(
+        "n_all",
+        "n_cells",
+        F.round((ss_a / (F.col("ka") - 1)) / msw, 6).alias("f_a_r"),
+        F.round((ss_b / (F.col("kb") - 1)) / msw, 6).alias("f_b_r"),
+        F.round(
+            (ss_ab / ((F.col("ka") - 1) * (F.col("kb") - 1))) / msw, 6
+        ).alias("f_ab_r"),
+    )
