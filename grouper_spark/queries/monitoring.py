@@ -4093,7 +4093,8 @@ WITH base AS (
          CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS p
   FROM base
 ), grid AS (
-  SELECT mde FROM (VALUES (0.01), (0.02), (0.05), (0.10)) t(mde)
+  SELECT CAST(mde AS DOUBLE) AS mde
+  FROM (VALUES (0.01), (0.02), (0.05), (0.10)) t(mde)
 )
 SELECT g.mde AS mde_abs,
        round(r.p, 6) AS baseline_p_r,
