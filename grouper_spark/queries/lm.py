@@ -1468,3 +1468,87 @@ def a359_token_fertility(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+_FH_BUCKETS = 256
+
+
+@query(
+    "a409_hash_collision_audit",
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+         AS token
+  FROM documents
+), clean AS (
+  SELECT token FROM vocab WHERE token <> ''
+), hashed AS (
+  SELECT token,
+         ('0x' || substr(md5('fh|' || token), 1, 8))::BIGINT
+           % {_FH_BUCKETS} AS bucket
+  FROM clean
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_occupied
+  FROM hashed
+)
+SELECT n_tokens, n_occupied,
+       round({_FH_BUCKETS}.0
+             * (1.0 - pow(1.0 - 1.0 / {_FH_BUCKETS}, n_tokens)), 6)
+         AS expected_occupied_r,
+       round(CAST(n_tokens - n_occupied AS DOUBLE) / n_tokens, 6)
+         AS collision_frac_r
+FROM m
+""",
+    tags=("lm", "hashing"),
+)
+def a409_hash_collision_audit(spark, sf_dir):
+    """Feature-hashing collision audit — before trusting q196's
+    hashing-trick vectors, measure what the trick costs: the distinct
+    vocabulary hashed into {_FH_BUCKETS} buckets, observed occupied
+    buckets vs the analytic birthday expectation m(1−(1−1/m)ⁿ), and
+    the fraction of tokens sharing a bucket (each collision aliases
+    two features onto one weight). Observed counts are exact integers
+    off one vocabulary aggregate; the expectation is one pow() on an
+    integer-valued exponent — deterministic cross-engine (the a399
+    recipe). When observed occupancy lands far BELOW expectation the
+    hash is biased, which is the audit's second job."""
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(tokens(F.lower(F.trim("text")))).alias("token")
+        )
+        .distinct()
+    )
+    hashed = vocab.select(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fh|"), "token")), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    ).select(F.pmod("h", F.lit(_FH_BUCKETS)).alias("bucket"))
+    m = hashed.agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count_distinct("bucket").cast("bigint").alias("n_occupied"),
+    )
+    return m.select(
+        "n_tokens",
+        "n_occupied",
+        F.round(
+            F.lit(float(_FH_BUCKETS))
+            * (
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0 - 1.0 / _FH_BUCKETS), F.col("n_tokens")
+                )
+            ),
+            6,
+        ).alias("expected_occupied_r"),
+        F.round(
+            (F.col("n_tokens") - F.col("n_occupied")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("collision_frac_r"),
+    )
