@@ -736,3 +736,19 @@ def test_a381_pq_no_shuffle_before_census(spark, sf_dir, registry):
     df = registry["a381_product_quantization"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "Join" not in plan, plan
+
+
+def test_a386_gram_stream_planned_once(spark, sf_dir, registry):
+    """a386's distinct (source, gram) stream feeds totals and postings;
+    the checkpoint must hold the shingling scan to one planning."""
+    df = registry["a386_source_overlap_matrix"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_a404_truth_join_is_equi_not_cartesian(spark, sf_dir, registry):
+    """a404's truth pairs must come from the posting-list equi-join —
+    no cartesian anywhere in the PRF evaluation plan."""
+    df = registry["a404_lsh_prf_eval"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan

@@ -463,3 +463,61 @@ def test_a400_columnar_beats_row_formats(spark, sf_dir):
     }
     assert set(got) == {"parquet", "orc", "csv", "json"}
     assert max(got["parquet"], got["orc"]) < min(got["csv"], got["json"]), got
+
+
+def test_a399_scurve_values_match_python_math(spark, sf_dir):
+    """Independent re-derivation: the analytic capture probabilities
+    must equal 1-(1-j^r)^b computed in pure Python for every grid row."""
+    rows = REGISTRY["a399_lsh_band_optimizer"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        for j, col in ((0.8, "recall_at_080_r"), (0.5, "fp_at_050_r")):
+            expect = 1.0 - (1.0 - j ** r["r"]) ** r["b"]
+            assert abs(r[col] - round(expect, 6)) < 1e-9, (r, col)
+        assert r["n_hashes"] == r["b"] * r["r"]
+
+
+def test_a381_pq_assignment_matches_numpy(spark, sf_dir):
+    """Independent re-derivation: PQ cell assignments and mean
+    distortion recomputed with NumPy from the same md5 codebook over
+    the real embeddings must match the query's census exactly."""
+    import numpy as np
+
+    from grouper_spark.queries.similarity import _pq_codebook
+    from grouper_spark.sources import table as _table
+
+    book = _pq_codebook()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in _table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cents = {
+        m: np.array([book[(m, k)] for k in range(4)]) for m in range(4)
+    }
+    census = {}
+    for v in emb.values():
+        for m in range(4):
+            sub = v[m * 16 : (m + 1) * 16]
+            d = ((cents[m] - sub) ** 2).sum(axis=1)
+            # argmin with lowest-index tiebreak == np.argmin
+            k = int(np.argmin(d))
+            e_micro = int(round(d[k] * 1e6))
+            n, s = census.get((m, k), (0, 0))
+            census[(m, k)] = (n + 1, s + e_micro)
+
+    got = {
+        (r["m"], r["k"]): (r["n_assigned"], r["avg_err_r"])
+        for r in REGISTRY["a381_product_quantization"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(census)
+    for key, (n, s) in census.items():
+        assert got[key][0] == n, key
+        # compare against the UNROUNDED reference: Python round() is
+        # banker's and diverges from the engines' half-up at exact
+        # 6dp ties; the engine value must sit within half a rounding
+        # step of the true ratio
+        assert abs(got[key][1] - s / 1e6 / n) <= 5.1e-7, key
