@@ -4295,3 +4295,132 @@ def a407_simpsons_paradox(spark, sf_dir):
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "a410_theil_decomposition",
+    oracle="""
+WITH cust AS (
+  SELECT o.o_custkey, c.c_mktsegment AS seg,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey, seg
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+  FROM cust
+), terms AS (
+  SELECT cu.seg,
+         CAST(ROUND((CAST(cu.x AS DOUBLE) * t.n / t.s)
+                    * ln(CAST(cu.x AS DOUBLE) * t.n / t.s)
+                    * 1000000000.0, 0) AS BIGINT) AS t_nano,
+         cu.x
+  FROM cust cu CROSS JOIN tot t
+), per_seg AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(x) AS BIGINT) AS s_g,
+         CAST(SUM(t_nano) AS BIGINT) AS tsum_nano
+  FROM terms GROUP BY seg
+), within AS (
+  SELECT p.seg, p.n_g, p.s_g,
+         CAST(SUM(CAST(ROUND((CAST(cu.x AS DOUBLE) * p.n_g / p.s_g)
+                    * ln(CAST(cu.x AS DOUBLE) * p.n_g / p.s_g)
+                    * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS w_nano
+  FROM cust cu JOIN per_seg p ON p.seg = cu.seg
+  GROUP BY p.seg, p.n_g, p.s_g
+)
+SELECT w.seg, w.n_g,
+       round(CAST(w.s_g AS DOUBLE) / t.s, 6) AS revenue_share_r,
+       round(CAST(w.w_nano AS DOUBLE) / 1000000000.0 / w.n_g, 6)
+         AS theil_within_r,
+       round((CAST(w.s_g AS DOUBLE) / t.s)
+             * ln((CAST(w.s_g AS DOUBLE) * t.n)
+                  / (CAST(w.n_g AS DOUBLE) * t.s)), 6)
+         AS between_term_r,
+       round(CAST(p.tsum_nano AS DOUBLE) / 1000000000.0 / t.n, 6)
+         AS theil_total_contrib_r
+FROM within w
+JOIN per_seg p ON p.seg = w.seg
+CROSS JOIN tot t
+ORDER BY w.seg
+""",
+    tags=("analytics", "inequality"),
+)
+def a410_theil_decomposition(spark, sf_dir):
+    """Theil T inequality with its EXACT within/between decomposition
+    by market segment — the property that makes Theil the governance
+    inequality measure over Gini (q299/q326 show concentration; only
+    Theil answers "is the inequality INSIDE segments or BETWEEN
+    them", and the two parts sum to the total by identity:
+    T = Σ s_g·T_g + Σ s_g·ln(μ_g/μ)). Every ln argument is an exact
+    integer rational (x·N/S — the q121 discipline), each term
+    nano-fixed before its sum, so within-terms, between-terms, and
+    total contributions all hash exactly. One join+aggregate for the
+    per-customer revenue, one cross-join of the 2-value total, one
+    segment rollup; segment-count-sized output."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .localCheckpoint(eager=False)  # feeds totals + terms + within
+    )
+    tot = cust.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+
+    def nano_term(n_col, s_col):
+        ratio = F.col("x").cast("double") * F.col(n_col) / F.col(s_col)
+        return F.round(ratio * F.log(ratio) * 1e9, 0).cast("bigint")
+
+    terms = cust.crossJoin(F.broadcast(tot)).select(
+        "seg", "x", nano_term("n", "s").alias("t_nano")
+    )
+    per_seg = terms.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("s_g"),
+        F.sum("t_nano").cast("bigint").alias("tsum_nano"),
+    ).localCheckpoint(eager=False)  # feeds the within join + readout
+    within = (
+        cust.join(F.broadcast(per_seg), "seg")
+        .select("seg", "n_g", "s_g", nano_term("n_g", "s_g").alias("w"))
+        .groupBy("seg", "n_g", "s_g")
+        .agg(F.sum("w").cast("bigint").alias("w_nano"))
+    )
+    return (
+        within.join(
+            F.broadcast(per_seg.select("seg", "tsum_nano")), "seg"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "n_g",
+            F.round(
+                F.col("s_g").cast("double") / F.col("s"), 6
+            ).alias("revenue_share_r"),
+            F.round(
+                F.col("w_nano").cast("double") / 1e9 / F.col("n_g"), 6
+            ).alias("theil_within_r"),
+            F.round(
+                (F.col("s_g").cast("double") / F.col("s"))
+                * F.log(
+                    (F.col("s_g").cast("double") * F.col("n"))
+                    / (F.col("n_g").cast("double") * F.col("s"))
+                ),
+                6,
+            ).alias("between_term_r"),
+            F.round(
+                F.col("tsum_nano").cast("double") / 1e9 / F.col("n"), 6
+            ).alias("theil_total_contrib_r"),
+        )
+        .orderBy("seg")
+    )
