@@ -3539,11 +3539,12 @@ def a357_label_propagation(spark, sf_dir):
             F.col("pb").alias("node"), F.col("pa").alias("nbr"), "w"
         )
     )
+    # brands is a projection of `part`, which grows with sf — no forced
+    # broadcast hint (a driver OOM risk at the 100 TB design point); AQE
+    # picks broadcast at small sf and shuffle-hash beyond its threshold.
     brands = part.select("p_partkey", "p_brand")
     votes = (
-        edges.join(
-            F.broadcast(brands.withColumnRenamed("p_partkey", "nbr")), "nbr"
-        )
+        edges.join(brands.withColumnRenamed("p_partkey", "nbr"), "nbr")
         .groupBy("node", F.col("p_brand").alias("nbr_brand"))
         .agg(F.sum("w").cast("bigint").alias("v"))
     )
@@ -3560,10 +3561,7 @@ def a357_label_propagation(spark, sf_dir):
         .select("node", F.col("nbr_brand").alias("new_brand"))
     )
     return (
-        winner.join(
-            F.broadcast(brands.withColumnRenamed("p_partkey", "node")),
-            "node",
-        )
+        winner.join(brands.withColumnRenamed("p_partkey", "node"), "node")
         .groupBy(F.col("p_brand").alias("old_brand"), "new_brand")
         .agg(F.count("*").cast("bigint").alias("n_parts"))
         .orderBy("old_brand", "new_brand")

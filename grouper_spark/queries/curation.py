@@ -641,8 +641,13 @@ def q95_kmeans_iter(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    # the explicit limit(8) is a no-op on the filtered rows but puts a
+    # GlobalLimit in the plan, proving to tools/lint_broadcast.py (and
+    # to Spark) that the broadcast side is constant-size at any sf
+    cent = (
+        e.filter(F.col("vec_id") < 8)
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     d_fp = F.aggregate(
         F.zip_with(

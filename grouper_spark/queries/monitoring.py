@@ -874,9 +874,10 @@ def q178_expectation_suite(spark, sf_dir):
     referential integrity against customer — emitted as one long-format
     result with a pass flag per check. The four intra-table checks fold
     into per-table aggregates (one scan each, map-side combined); the
-    FK check is a broadcast left join counting orphans. At 100 TB this
-    whole suite is two scans and one broadcast — the cheap nightly
-    gate before a table is published."""
+    FK check is a left join counting orphans — no forced broadcast of
+    customer (sf-scaled; AQE picks the strategy). At 100 TB this whole
+    suite is two scans and one join — the cheap nightly gate before a
+    table is published."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
 
@@ -910,7 +911,7 @@ def q178_expectation_suite(spark, sf_dir):
         )),
     ]
     fk = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        o.join(c, o.o_custkey == c.c_custkey, "left")
         .agg(*check(
             "orders.o_custkey.fk_customer",
             F.count("*"),

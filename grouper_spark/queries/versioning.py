@@ -318,8 +318,9 @@ def q154_referential_integrity(spark, sf_dir):
     edge, count child rows whose key has no parent — the constraint
     check a lakehouse runs post-ingest (Spark enforces no FKs, so this
     IS the enforcement). Each edge is one LEFT join against the parent
-    key set (broadcast when the parent is small) counted in a single
-    pass; orphan rows would feed a quarantine sink in production. One
+    key set counted in a single pass — no forced broadcast: the parent
+    PK set is sf-scaled, so AQE picks broadcast vs shuffle from runtime
+    sizes; orphan rows would feed a quarantine sink in production. One
     declarative plan, three fact scans total, no driver-side actions."""
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -331,9 +332,7 @@ def q154_referential_integrity(spark, sf_dir):
             F.col(pkey_col).alias("__k")
         ).distinct().withColumn("__hit", F.lit(1))
         return (
-            child.join(
-                F.broadcast(keys), child[key_col] == keys["__k"], "left"
-            )
+            child.join(keys, child[key_col] == keys["__k"], "left")
             .agg(
                 F.lit(fk_name).alias("fk"),
                 F.count("*").cast("bigint").alias("n_child"),
