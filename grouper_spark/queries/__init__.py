@@ -53,6 +53,9 @@ _MODULES = (
     "monitoring",
     "versioning",
     "indexing",
+    # keep last: re-registers existing queries under driver-sampler
+    # alias names (depends on every other module being loaded)
+    "aliases",
 )
 
 
