@@ -53,6 +53,7 @@ _MODULES = (
     "monitoring",
     "versioning",
     "indexing",
+    "skew",
     # keep last: re-registers existing queries under driver-sampler
     # alias names (depends on every other module being loaded)
     "aliases",
