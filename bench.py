@@ -62,6 +62,10 @@ HEADLINE = (
     "a353_permutation_test",        # 20-way replicated rank-and-sum
     "a355_mrl_truncation_audit",    # 4-width cosine audit, one projection
     "a357_label_propagation",       # co-purchase pair join + vote windows
+    # round-5 surface (heaviest never-benched r4 queries, r4 verdict #6)
+    "a381_product_quantization",    # PQ codes + distortion census
+    "a386_source_overlap_matrix",   # inter-source n-gram contamination
+    "a404_lsh_prf_eval",            # LSH P/R/F1 vs exact posting truth
 )
 
 
