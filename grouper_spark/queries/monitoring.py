@@ -4381,3 +4381,636 @@ def a408_two_way_anova(spark, sf_dir):
             (ss_ab / ((F.col("ka") - 1) * (F.col("kb") - 1))) / msw, 6
         ).alias("f_ab_r"),
     )
+
+
+@query(
+    "a106_kruskal_wallis",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sc,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY grp, d
+), obs AS (
+  SELECT grp, CAST(sc AS DOUBLE) / n AS mean_v FROM daily
+), ranked AS (
+  SELECT grp, mean_v,
+         2 * rank() OVER (ORDER BY mean_v)
+           + COUNT(*) OVER (PARTITION BY mean_v) - 1 AS rank2
+  FROM obs
+), per_grp0 AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(rank2) AS BIGINT) AS rank_sum2
+  FROM ranked GROUP BY grp
+), per_grp AS (
+  SELECT grp, n_obs, rank_sum2,
+         CAST(ROUND(CAST(rank_sum2 AS DOUBLE) * rank_sum2
+                    / (4.0 * n_obs) * 1e6, 0) AS BIGINT) AS term_micro
+  FROM per_grp0
+), ties AS (
+  SELECT CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3
+  FROM (SELECT COUNT(*) AS tc FROM obs GROUP BY mean_v)
+), tot AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS nn,
+         CAST(SUM(term_micro) AS BIGINT) AS sum_micro
+  FROM per_grp
+)
+SELECT g.grp, g.n_obs, g.rank_sum2,
+       round(CAST(g.rank_sum2 AS DOUBLE) / (2.0 * g.n_obs), 6) AS rbar_r,
+       round((12.0 / (t.nn * (t.nn + 1.0)) * (t.sum_micro / 1e6)
+              - 3.0 * (t.nn + 1.0))
+             / (1.0 - CAST(ti.tie3 AS DOUBLE)
+                      / (CAST(t.nn AS DOUBLE) * t.nn * t.nn - t.nn)),
+             6) AS h_adj_r
+FROM per_grp g CROSS JOIN tot t CROSS JOIN ties ti
+ORDER BY g.grp
+""",
+    tags=("monitoring", "stats"),
+)
+def a106_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis rank ANOVA across event types — the
+    nonparametric k-group location test completing the battery next to
+    Mann-Whitney (2 groups), Levene (a351), and two-way ANOVA (a408).
+    Summary-first: the raw log folds to per-(type, day) fixed-point
+    mean values (one map-side-combined shuffle; the statistical work
+    touches ~150 summary rows, never the corpus). Tie-safe average
+    ranks use the exact INTEGER doubled-rank identity
+    2·r̄ = 2·rank + tie_count − 1, so per-group rank sums are BIGINTs;
+    the H statistic folds each group's S²/(4n) term to a rounded micro
+    BIGINT before the cross-group sum (order-independent), applies the
+    exact integer tie correction 1 − Σ(t³−t)/(N³−N), and evaluates one
+    closed-form double expression both engines share bit-for-bit. At
+    100 TB only the first aggregate sees the data; everything after is
+    calendar-sized."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sc"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    obs = daily.select(
+        "grp", (F.col("sc").cast("double") / F.col("n")).alias("mean_v")
+    )
+    ranked = obs.withColumn(
+        "rank2",
+        2 * F.rank().over(Window.orderBy("mean_v"))
+        + F.count("*").over(Window.partitionBy("mean_v"))
+        - 1,
+    )
+    per_grp = (
+        ranked.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum("rank2").cast("bigint").alias("rank_sum2"),
+        )
+        .withColumn(
+            "term_micro",
+            F.round(
+                F.col("rank_sum2").cast("double")
+                * F.col("rank_sum2")
+                / (4.0 * F.col("n_obs"))
+                * 1e6,
+                0,
+            ).cast("bigint"),
+        )
+    )
+    ties = (
+        obs.groupBy("mean_v")
+        .agg(F.count("*").alias("tc"))
+        .agg(
+            F.sum(
+                F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc")
+            )
+            .cast("bigint")
+            .alias("tie3")
+        )
+    )
+    tot = per_grp.agg(
+        F.sum("n_obs").cast("bigint").alias("nn"),
+        F.sum("term_micro").cast("bigint").alias("sum_micro"),
+    )
+    h_adj = (
+        12.0
+        / (F.col("nn") * (F.col("nn") + 1.0))
+        * (F.col("sum_micro") / 1e6)
+        - 3.0 * (F.col("nn") + 1.0)
+    ) / (
+        1.0
+        - F.col("tie3").cast("double")
+        / (
+            F.col("nn").cast("double") * F.col("nn") * F.col("nn")
+            - F.col("nn")
+        )
+    )
+    return (
+        per_grp.join(F.broadcast(tot))
+        .join(F.broadcast(ties))
+        .select(
+            "grp",
+            "n_obs",
+            "rank_sum2",
+            F.round(
+                F.col("rank_sum2").cast("double") / (2.0 * F.col("n_obs")), 6
+            ).alias("rbar_r"),
+            F.round(h_adj, 6).alias("h_adj_r"),
+        )
+        .orderBy("grp")
+    )
+
+
+# BH step-up thresholds on the chi-square(df=1)-statistic scale:
+# p = exp(-stat/2) <= i*alpha/m  <=>  stat >= -2*ln(i*alpha/m).
+# Precomputed in Python and embedded as LITERALS in both plans, so no
+# engine evaluates ln/exp at runtime (libm results are not guaranteed
+# bit-identical across engines; literals are).
+_BH_M = 7
+_BH_THR = (9.883285, 8.49699, 7.68606, 7.110696, 6.664409, 6.299766, 5.991465)
+
+
+@query(
+    "a107_benjamini_hochberg",
+    oracle=f"""
+WITH ev AS (
+  SELECT isodow(CAST(ts AS DATE)) % 7 + 1 AS dow FROM events
+), per_dow AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_events FROM ev GROUP BY dow
+), tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS n FROM per_dow
+), stats AS (
+  SELECT dow, n_events,
+         round((n_events - t.n / 7.0) * (n_events - t.n / 7.0)
+               / (t.n / 7.0), 6) AS stat_r
+  FROM per_dow CROSS JOIN tot t
+), ranked AS (
+  SELECT dow, n_events, stat_r,
+         row_number() OVER (ORDER BY stat_r DESC, dow) AS bh_rank
+  FROM stats
+), thr AS (
+  SELECT *, [{", ".join(str(t) for t in _BH_THR)}][bh_rank] AS thr
+  FROM ranked
+), cut AS (
+  SELECT COALESCE(MAX(CASE WHEN stat_r >= thr THEN bh_rank END), 0) AS istar
+  FROM thr
+)
+SELECT t.dow, t.n_events, t.stat_r, CAST(t.bh_rank AS BIGINT) AS bh_rank,
+       t.thr AS thr_r,
+       CAST(t.bh_rank <= c.istar AS INT) AS rejected
+FROM thr t CROSS JOIN cut c
+ORDER BY t.bh_rank
+""",
+    tags=("monitoring", "stats"),
+)
+def a107_benjamini_hochberg(spark, sf_dir):
+    """Benjamini-Hochberg FDR step-up over a fixed 7-hypothesis family
+    (one per day-of-week: is that day's event volume off its uniform
+    share?) — the multiple-testing controller every per-segment
+    monitoring battery needs before it pages anyone. The per-dow
+    chi-square cell statistic (O−E)²/E comes from exact integer counts
+    and one closed-form double; the BH comparison runs on the
+    STATISTIC scale against thresholds −2·ln(iα/m) precomputed in
+    Python and embedded as literals in both plans, so neither engine
+    evaluates a transcendental at runtime (cross-engine libm is the
+    one nondeterminism this repo's float discipline bans). Step-up
+    cutoff i* = max{{i : stat₍ᵢ₎ ≥ thrᵢ}} rides a 1-row aggregate
+    broadcast back onto the 7 rows. Everything after the first
+    count-by-dow aggregate is constant-size at any sf."""
+    ev = table(spark, sf_dir, "events")
+    per_dow = ev.select(
+        F.dayofweek(F.col("ts").cast("date")).alias("dow")
+    ).groupBy("dow").agg(F.count("*").cast("bigint").alias("n_events"))
+    tot = per_dow.agg(F.sum("n_events").cast("bigint").alias("n"))
+    e = F.col("n") / 7.0
+    stats = per_dow.join(F.broadcast(tot)).select(
+        "dow",
+        "n_events",
+        F.round(
+            (F.col("n_events") - e) * (F.col("n_events") - e) / e, 6
+        ).alias("stat_r"),
+    )
+    ranked = stats.withColumn(
+        "bh_rank",
+        F.row_number().over(Window.orderBy(F.col("stat_r").desc(), "dow")),
+    ).withColumn(
+        "thr", F.element_at(F.lit(list(_BH_THR)), F.col("bh_rank"))
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("stat_r") >= F.col("thr"), F.col("bh_rank"))
+            ),
+            F.lit(0),
+        ).alias("istar")
+    )
+    return (
+        ranked.join(F.broadcast(cut))
+        .select(
+            "dow",
+            "n_events",
+            "stat_r",
+            F.col("bh_rank").cast("bigint").alias("bh_rank"),
+            F.col("thr").alias("thr_r"),
+            (F.col("bh_rank") <= F.col("istar")).cast("int").alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+@query(
+    "a109_jarque_bera",
+    oracle="""
+WITH v AS (
+  SELECT event_type AS grp, CAST(ROUND(value, 0) AS BIGINT) AS x FROM events
+), mom AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2,
+         CAST(SUM(x * x * x) AS BIGINT) AS s3,
+         CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+  FROM v GROUP BY grp
+), cm AS (
+  SELECT grp, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) AS m3,
+         CAST(s4 AS DOUBLE) / n
+           - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+           + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s2 AS DOUBLE) / n)
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+  FROM mom
+)
+SELECT grp, n,
+       round(mean, 6) AS mean_r,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skew_r,
+       round(m4 / (m2 * m2) - 3.0, 6) AS exkurt_r,
+       round(n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+             + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0),
+             6) AS jb_r
+FROM cm
+ORDER BY grp
+""",
+    tags=("monitoring", "stats"),
+)
+def a109_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test per event type — the
+    moments-based gate (skewness² + excess-kurtosis²/4, scaled by n/6)
+    that decides whether a z-score monitor's normal assumption is even
+    admissible. One map-side-combined aggregate collects the four raw
+    power sums of unit-rounded values as exact BIGINTs (600⁴ · n stays
+    under 2⁶³ through sf1); central moments, skewness (m₃/m₂^1.5 with
+    m₂·√m₂ — sqrt is IEEE-correctly-rounded, pow() is not), kurtosis,
+    and JB evaluate as one closed-form double expression written with
+    IDENTICAL structure in both engines, so every intermediate is
+    bit-equal and round(·,6) hashes match. The corpus is touched once;
+    the statistics run on 5 summary rows."""
+    ev = table(spark, sf_dir, "events")
+    x = F.round("value", 0).cast("bigint")
+    mom = ev.select(
+        F.col("event_type").alias("grp"), x.alias("x")
+    ).groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x"))
+        .cast("bigint")
+        .alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("bigint")
+        .alias("s4"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mean * mean
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3.0 * mean * (F.col("s2").cast("double") / F.col("n"))
+        + 2.0 * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4").cast("double") / F.col("n")
+        - 4.0 * mean * (F.col("s3").cast("double") / F.col("n"))
+        + 6.0 * mean * mean * (F.col("s2").cast("double") / F.col("n"))
+        - 3.0 * mean * mean * mean * mean
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - 3.0
+    return mom.select(
+        "grp",
+        "n",
+        F.round(mean, 6).alias("mean_r"),
+        F.round(skew, 6).alias("skew_r"),
+        F.round(exk, 6).alias("exkurt_r"),
+        F.round(
+            F.col("n") / 6.0 * (skew * skew + exk * exk / 4.0), 6
+        ).alias("jb_r"),
+    ).orderBy("grp")
+
+
+@query(
+    "a125_runs_test",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY grp, d
+), diffs AS (
+  SELECT grp, d, c - lag(c) OVER (PARTITION BY grp ORDER BY d) AS dx
+  FROM daily
+), signs AS (
+  SELECT grp, d, CASE WHEN dx > 0 THEN 1 ELSE -1 END AS s
+  FROM diffs WHERE dx IS NOT NULL AND dx <> 0
+), runs AS (
+  SELECT grp, s,
+         CASE WHEN lag(s) OVER (PARTITION BY grp ORDER BY d) IS NULL
+                OR lag(s) OVER (PARTITION BY grp ORDER BY d) <> s
+              THEN 1 ELSE 0 END AS new_run
+  FROM signs
+), agg AS (
+  SELECT grp,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+  FROM runs GROUP BY grp
+)
+SELECT grp, n_runs, n_up, n_down,
+       round((n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+             / sqrt(2.0 * n_up * n_down
+                    * (2.0 * n_up * n_down - n_up - n_down)
+                    / ((CAST(n_up + n_down AS DOUBLE))
+                       * (n_up + n_down) * (n_up + n_down - 1.0))),
+             6) AS z_r
+FROM agg
+ORDER BY grp
+""",
+    tags=("monitoring", "stats"),
+)
+def a125_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the up/down sequence of daily event
+    counts per type — the randomness check that catches oscillating or
+    trending load (too few runs = momentum, too many = ringing) that a
+    mean-based monitor can't see. Summary-first: one count aggregate to
+    the ~30-day series, a lag window for day-over-day signs (zeros
+    dropped, the standard convention), a second lag to count run
+    boundaries as exact integers, and the closed-form normal
+    approximation z = (R−μ)/σ evaluated once per group from exact
+    integer (R, n₊, n₋). Both windows ride the same per-type partition
+    — the statistical stages shuffle calendar-sized data only."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy("grp").orderBy("d")
+    diffs = daily.withColumn("dx", F.col("c") - F.lag("c").over(w))
+    signs = diffs.filter(
+        F.col("dx").isNotNull() & (F.col("dx") != 0)
+    ).select(
+        "grp", "d", F.when(F.col("dx") > 0, 1).otherwise(-1).alias("s")
+    )
+    runs = signs.withColumn(
+        "new_run",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("grp").agg(
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+        F.sum((F.col("s") == 1).cast("int")).cast("bigint").alias("n_up"),
+        F.sum((F.col("s") == -1).cast("int")).cast("bigint").alias("n_down"),
+    )
+    nu, nd = F.col("n_up"), F.col("n_down")
+    mu = 2.0 * nu * nd / (nu + nd) + 1.0
+    var = (
+        2.0
+        * nu
+        * nd
+        * (2.0 * nu * nd - nu - nd)
+        / ((nu + nd).cast("double") * (nu + nd) * (nu + nd - 1.0))
+    )
+    return agg.select(
+        "grp",
+        "n_runs",
+        "n_up",
+        "n_down",
+        F.round((F.col("n_runs") - mu) / F.sqrt(var), 6).alias("z_r"),
+    ).orderBy("grp")
+
+
+@query(
+    "a117_page_hinkley",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS x
+  FROM events GROUP BY grp, d
+), ordered AS (
+  SELECT grp, x,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY d) AS BIGINT)
+           AS k,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM daily
+), state AS (
+  SELECT grp, CAST(0 AS BIGINT) AS k, n,
+         CAST(0.0 AS DOUBLE) AS sx, CAST(0.0 AS DOUBLE) AS cum,
+         CAST(0.0 AS DOUBLE) AS mn, CAST(0.0 AS DOUBLE) AS ph
+  FROM (SELECT DISTINCT grp, n FROM ordered)
+  UNION ALL
+  SELECT s.grp, s.k + 1, s.n,
+         s.sx + o.x,
+         s.cum + (o.x - (s.sx + o.x) / (s.k + 1.0) - 5.0),
+         LEAST(s.mn, s.cum + (o.x - (s.sx + o.x) / (s.k + 1.0) - 5.0)),
+         GREATEST(s.ph,
+           (s.cum + (o.x - (s.sx + o.x) / (s.k + 1.0) - 5.0))
+           - LEAST(s.mn, s.cum + (o.x - (s.sx + o.x) / (s.k + 1.0) - 5.0)))
+  FROM state s JOIN ordered o ON o.grp = s.grp AND o.k = s.k + 1
+  WHERE s.k < s.n
+)
+SELECT grp, CAST(n AS BIGINT) AS n_days,
+       round(ph, 6) AS ph_r,
+       round(cum, 6) AS cum_r,
+       CAST(ph > 50.0 AS INT) AS drift
+FROM state WHERE k = n
+ORDER BY grp
+""",
+    tags=("monitoring", "drift"),
+)
+def a117_page_hinkley(spark, sf_dir):
+    """Page-Hinkley upward-drift detector over each event type's daily
+    volume — the sequential change monitor that complements CUSUM
+    (fixed reference) and binary segmentation (a358, offline): PH
+    tracks the cumulative deviation of each observation from the
+    RUNNING mean (cum += x − x̄ₜ − δ, δ=5) and alarms when cum rises
+    λ=50 above its historical minimum. The running mean makes every
+    step depend on the previous state — a coupled recurrence no window
+    frame expresses — so the a360 fold discipline applies: one shuffle
+    collects each group's ordered daily series, a codegen
+    ``aggregate`` lambda folds (k, Σx, cum, min, ph) left-to-right
+    with cum' recomputed textually inside the min'/ph' expressions,
+    and the oracle runs the IDENTICAL recurrence as a RECURSIVE CTE
+    (DuckDB's list_reduce multi-field-struct bug rules out the fold
+    twin) — bit-identical doubles, round(·,6) hash-stable. The corpus
+    is touched by one count aggregate; the fold sees 30 values per
+    group."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count("*").cast("bigint").cast("double").alias("x"))
+    packed = (
+        daily.select("grp", F.struct("d", "x").alias("s"))
+        .groupBy("grp")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("s")),
+                lambda s: s.getField("x"),
+            ).alias("series")
+        )
+    )
+
+    def step(acc, x):
+        k1 = acc.getField("k") + F.lit(1).cast("bigint")
+        sx1 = acc.getField("sx") + x
+        cum1 = acc.getField("cum") + (
+            x - (acc.getField("sx") + x) / (acc.getField("k") + 1.0) - 5.0
+        )
+        mn1 = F.least(
+            acc.getField("mn"),
+            acc.getField("cum")
+            + (
+                x
+                - (acc.getField("sx") + x) / (acc.getField("k") + 1.0)
+                - 5.0
+            ),
+        )
+        ph1 = F.greatest(
+            acc.getField("ph"),
+            (
+                acc.getField("cum")
+                + (
+                    x
+                    - (acc.getField("sx") + x) / (acc.getField("k") + 1.0)
+                    - 5.0
+                )
+            )
+            - F.least(
+                acc.getField("mn"),
+                acc.getField("cum")
+                + (
+                    x
+                    - (acc.getField("sx") + x) / (acc.getField("k") + 1.0)
+                    - 5.0
+                ),
+            ),
+        )
+        return F.struct(
+            k1.alias("k"),
+            sx1.alias("sx"),
+            cum1.alias("cum"),
+            mn1.alias("mn"),
+            ph1.alias("ph"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("k"),
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("cum"),
+        F.lit(0.0).alias("mn"),
+        F.lit(0.0).alias("ph"),
+    )
+    folded = packed.select(
+        "grp",
+        F.size("series").cast("bigint").alias("n_days"),
+        F.aggregate("series", init, step).alias("st"),
+    )
+    return folded.select(
+        "grp",
+        "n_days",
+        F.round(F.col("st.ph"), 6).alias("ph_r"),
+        F.round(F.col("st.cum"), 6).alias("cum_r"),
+        (F.col("st.ph") > 50.0).cast("int").alias("drift"),
+    ).orderBy("grp")
+
+
+@query(
+    "a119_hot_key_skew_audit",
+    oracle="""
+WITH keyed AS (
+  SELECT CASE WHEN l_partkey % 4 < 2 THEN 0 ELSE l_partkey END AS jk
+  FROM lineitem
+), per_key AS (
+  SELECT jk, CAST(COUNT(*) AS BIGINT) AS key_rows FROM keyed GROUP BY jk
+), gstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(key_rows) AS BIGINT) AS total_rows,
+         CAST(MAX(key_rows) AS BIGINT) AS max_rows
+  FROM per_key
+)
+SELECT p.jk, p.key_rows, g.n_keys, g.total_rows,
+       round(CAST(g.total_rows AS DOUBLE) / g.n_keys, 6) AS avg_rows_r,
+       round(CAST(g.max_rows AS DOUBLE)
+             / (CAST(g.total_rows AS DOUBLE) / g.n_keys), 6)
+         AS skew_factor_r,
+       CAST(CEIL(CAST(g.max_rows AS DOUBLE)
+                 / (CAST(g.total_rows AS DOUBLE) / g.n_keys)) AS BIGINT)
+         AS salts_recommended
+FROM per_key p CROSS JOIN gstats g
+ORDER BY p.key_rows DESC, p.jk
+LIMIT 5
+""",
+    tags=("monitoring", "skew"),
+)
+def a119_hot_key_skew_audit(spark, sf_dir):
+    """Join-key skew diagnostics — the measurement that DECIDES when
+    a105's salted join (or AQE's skew split) is worth its replication
+    cost: per-key row counts over the deliberately collapsed lineitem
+    key (the a105 hot key holding ~half the fact table), the skew
+    factor max/avg, and the recommended salt count ⌈max/avg⌉ — the
+    number of shuffle partitions the hot key must be spread over to
+    look average. One map-side-combined count per key, a 3-number
+    global aggregate broadcast back onto the top-5 hot keys. At 100 TB
+    this is the cheap pre-flight every big join should run; its output
+    IS the n_salts parameter."""
+    li = table(spark, sf_dir, "lineitem")
+    per_key = (
+        li.select(
+            F.when(F.col("l_partkey") % 4 < 2, F.lit(0))
+            .otherwise(F.col("l_partkey"))
+            .cast("bigint")
+            .alias("jk")
+        )
+        .groupBy("jk")
+        .agg(F.count("*").cast("bigint").alias("key_rows"))
+    )
+    glob = per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("key_rows").cast("bigint").alias("total_rows"),
+        F.max("key_rows").cast("bigint").alias("max_rows"),
+    )
+    avg = F.col("total_rows").cast("double") / F.col("n_keys")
+    return (
+        per_key.join(F.broadcast(glob))
+        .select(
+            "jk",
+            "key_rows",
+            "n_keys",
+            "total_rows",
+            F.round(avg, 6).alias("avg_rows_r"),
+            F.round(F.col("max_rows").cast("double") / avg, 6).alias(
+                "skew_factor_r"
+            ),
+            F.ceil(F.col("max_rows").cast("double") / avg)
+            .cast("bigint")
+            .alias("salts_recommended"),
+        )
+        .orderBy(F.col("key_rows").desc(), "jk")
+        .limit(5)
+    )
