@@ -4422,3 +4422,416 @@ def a410_theil_decomposition(spark, sf_dir):
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "a111_degree_assortativity",
+    oracle="""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges
+        UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+), ed AS (
+  SELECT du.d AS dj, dv.d AS dk
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(dj * dk) AS BIGINT) AS s_jk,
+         CAST(SUM(dj + dk) AS BIGINT) AS s_sum,
+         CAST(SUM(dj * dj + dk * dk) AS BIGINT) AS s_sq
+  FROM ed
+)
+SELECT m AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       round((CAST(s_jk AS DOUBLE) / m
+              - (CAST(s_sum AS DOUBLE) / (2.0 * m))
+                * (CAST(s_sum AS DOUBLE) / (2.0 * m)))
+             / (CAST(s_sq AS DOUBLE) / (2.0 * m)
+                - (CAST(s_sum AS DOUBLE) / (2.0 * m))
+                  * (CAST(s_sum AS DOUBLE) / (2.0 * m))),
+             6) AS assortativity_r
+FROM sums
+""",
+    tags=("graph", "analytics"),
+)
+def a111_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph — Newman's r, the
+    Pearson correlation of endpoint degrees over edges, completing the
+    graph-science battery (PageRank q119, components q63, triangles
+    q146, LPA a357, clustering a361): r > 0 means hubs buy with hubs
+    (a single dense community — LSH-style blocking won't split it),
+    r < 0 means hub-leaf structure (degree-based partitioning works).
+    Plan: the within-order equi-join pair stream (never part×part),
+    one degree aggregate, two degree lookups back onto edges, then
+    FOUR exact integer sums (Σjk, Σ(j+k), Σ(j²+k²), M) feed the whole
+    correlation as one closed-form double — no variance accumulated in
+    floating point, no ordering dependence. Everything after the pair
+    stage is graph-sized."""
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("d", "dj")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dk")), "v"
+        )
+    )
+    sums = ed.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("dj") * F.col("dk")).cast("bigint").alias("s_jk"),
+        F.sum(F.col("dj") + F.col("dk")).cast("bigint").alias("s_sum"),
+        F.sum(F.col("dj") * F.col("dj") + F.col("dk") * F.col("dk"))
+        .cast("bigint")
+        .alias("s_sq"),
+    )
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    mean = F.col("s_sum").cast("double") / (2.0 * F.col("m"))
+    r = (F.col("s_jk").cast("double") / F.col("m") - mean * mean) / (
+        F.col("s_sq").cast("double") / (2.0 * F.col("m")) - mean * mean
+    )
+    return (
+        sums.join(F.broadcast(n_nodes))
+        .select(
+            F.col("m").alias("n_edges"),
+            "n_nodes",
+            F.round(r, 6).alias("assortativity_r"),
+        )
+    )
+
+
+@query(
+    "a112_link_prediction",
+    oracle="""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+), adj AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nbr FROM edges
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
+), two_path AS (
+  SELECT a.node AS u, b.node AS v, a.nbr AS z
+  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+), scored AS (
+  SELECT t.u, t.v,
+         CAST(COUNT(*) AS BIGINT) AS common_nbrs,
+         CAST(SUM(CAST(ROUND(1000000.0 / dz.d, 0) AS BIGINT)) AS BIGINT)
+           AS ra_micro
+  FROM two_path t JOIN deg dz ON dz.node = t.z
+  GROUP BY t.u, t.v
+), non_edges AS (
+  SELECT s.u, s.v, s.common_nbrs, s.ra_micro
+  FROM scored s LEFT JOIN edges e ON e.u = s.u AND e.v = s.v
+  WHERE e.u IS NULL
+)
+SELECT u, v, common_nbrs, ra_micro
+FROM non_edges
+ORDER BY ra_micro DESC, u, v
+LIMIT 30
+""",
+    tags=("graph", "ml"),
+)
+def a112_link_prediction(spark, sf_dir):
+    """Link prediction over the co-purchase graph: common-neighbor
+    count and the Resource-Allocation index Σ_z 1/deg(z) for candidate
+    (non-adjacent) pairs — the classic graph-completion scorer, and
+    the missing recommender next to a357's LPA (which labels nodes;
+    this proposes EDGES). RA beats Adamic-Adar here by design: 1/deg
+    is an exact rational, so each term micro-fixes to a BIGINT with no
+    runtime logarithm (cross-engine libm being the one float source
+    this repo bans), and the per-pair sum is order-independent.
+    Candidates come from the two-path equi-join on the shared neighbor
+    (never node×node), scored pairs anti-join the edge set to keep
+    only NEW links, top-30 by RA. Σdeg(z)² bounds the two-path volume
+    — same shape the triangle count (q146/a361) already carries at
+    scale."""
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    ).localCheckpoint(eager=False)
+    deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
+    ta = adj.select(F.col("node").alias("u"), F.col("nbr").alias("z"))
+    tb = adj.select(F.col("node").alias("v"), F.col("nbr").alias("z"))
+    two_path = ta.join(tb, "z").filter(F.col("u") < F.col("v"))
+    scored = (
+        two_path.join(deg.withColumnRenamed("node", "z"), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("bigint").alias("common_nbrs"),
+            F.sum(F.round(1000000.0 / F.col("d"), 0).cast("bigint"))
+            .cast("bigint")
+            .alias("ra_micro"),
+        )
+    )
+    non_edges = scored.join(edges, ["u", "v"], "left_anti")
+    return non_edges.select(
+        "u", "v", "common_nbrs", "ra_micro"
+    ).orderBy(F.col("ra_micro").desc(), "u", "v").limit(30)
+
+
+@query(
+    "a118_kendall_tau_b",
+    oracle="""
+WITH samp AS (
+  SELECT c_custkey AS id,
+         CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) AS x
+  FROM customer WHERE c_custkey < 200
+), spend AS (
+  SELECT o_custkey AS id,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+), pts AS (
+  SELECT s.id, s.x, COALESCE(sp.y, 0) AS y
+  FROM samp s LEFT JOIN spend sp ON sp.id = s.id
+), pairs AS (
+  SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nd
+  FROM pts a JOIN pts b ON a.id < b.id
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts
+), tx AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) / 2), 0) AS BIGINT) AS n1
+  FROM (SELECT COUNT(*) AS t FROM pts GROUP BY x HAVING COUNT(*) > 1)
+), ty AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) / 2), 0) AS BIGINT) AS n2
+  FROM (SELECT COUNT(*) AS t FROM pts GROUP BY y HAVING COUNT(*) > 1)
+)
+SELECT nn.n, p.nc, p.nd, tx.n1 AS ties_x, ty.n2 AS ties_y,
+       round((CAST(p.nc AS DOUBLE) - p.nd)
+             / sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1) / 2.0 - tx.n1)
+                    * (CAST(nn.n AS DOUBLE) * (nn.n - 1) / 2.0 - ty.n2)),
+             6) AS tau_b_r
+FROM pairs p CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty
+""",
+    tags=("analytics", "stats"),
+)
+def a118_kendall_tau_b(spark, sf_dir):
+    """Kendall tau-b rank correlation between account balance and
+    realized order spend over a FIXED 200-customer panel — the
+    tie-corrected concordance twin of Spearman (a346): Spearman
+    correlates rank values, tau counts pairwise order agreements, and
+    tau-b's denominator discounts ties on either margin. The panel cap
+    (c_custkey < 200, constant at every sf) is the design point: the
+    O(n²) pair join is exact because it is BOUNDED — 19,900 pairs
+    forever — while both inputs are corpus-scale aggregates (spend
+    folds orders with one map-side-combined sum before any pair
+    work). Concordant/discordant counts and both tie corrections are
+    exact BIGINTs; tau-b is one closed-form double at the end.
+    Customers with no orders enter at spend 0 (a real tie mass the
+    correction must handle, not a dropped row)."""
+    cents = lambda c: F.round(F.col(c) * 100.0, 0).cast("bigint")  # noqa: E731
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    samp = cust.filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("id"), cents("c_acctbal").alias("x")
+    )
+    spend = (
+        orders.filter(F.col("o_custkey") < 200)
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("y"))
+    )
+    pts = (
+        samp.join(spend, "id", "left")
+        .select("id", "x", F.coalesce("y", F.lit(0)).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    a = pts.select(
+        F.col("id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = pts.select(
+        F.col("id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .agg(
+            F.sum((prod > 0).cast("int")).cast("bigint").alias("nc"),
+            F.sum((prod < 0).cast("int")).cast("bigint").alias("nd"),
+        )
+    )
+    nn = pts.agg(F.count("*").cast("bigint").alias("n"))
+    tx = (
+        pts.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("t") * (F.col("t") - 1) / 2), F.lit(0))
+            .cast("bigint")
+            .alias("ties_x")
+        )
+    )
+    ty = (
+        pts.groupBy("y")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("t") * (F.col("t") - 1) / 2), F.lit(0))
+            .cast("bigint")
+            .alias("ties_y")
+        )
+    )
+    half = F.col("n").cast("double") * (F.col("n") - 1) / 2.0
+    tau = (F.col("nc").cast("double") - F.col("nd")) / F.sqrt(
+        (half - F.col("ties_x")) * (half - F.col("ties_y"))
+    )
+    return (
+        pairs.join(F.broadcast(nn))
+        .join(F.broadcast(tx))
+        .join(F.broadcast(ty))
+        .select(
+            "n", "nc", "nd", "ties_x", "ties_y",
+            F.round(tau, 6).alias("tau_b_r"),
+        )
+    )
+
+
+_KCORE_K = 4
+
+
+@query(
+    "a120_kcore_peel",
+    oracle=f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+), deg0 AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges0 UNION ALL SELECT v AS node FROM edges0)
+  GROUP BY node
+), keep1 AS (
+  SELECT node FROM deg0 WHERE d >= {_KCORE_K}
+), edges1 AS (
+  SELECT e.u, e.v FROM edges0 e
+  JOIN keep1 ku ON ku.node = e.u
+  JOIN keep1 kv ON kv.node = e.v
+), deg1 AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges1 UNION ALL SELECT v AS node FROM edges1)
+  GROUP BY node
+), keep2 AS (
+  SELECT node FROM deg1 WHERE d >= {_KCORE_K}
+), edges2 AS (
+  SELECT e.u, e.v FROM edges1 e
+  JOIN keep2 ku ON ku.node = e.u
+  JOIN keep2 kv ON kv.node = e.v
+)
+SELECT 0 AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM deg0) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges0) AS n_edges
+UNION ALL
+SELECT 1, (SELECT CAST(COUNT(*) AS BIGINT) FROM keep1),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges1)
+UNION ALL
+SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM keep2),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges2)
+ORDER BY round
+""",
+    tags=("graph", "analytics"),
+)
+def a120_kcore_peel(spark, sf_dir):
+    """Two peel rounds toward the 4-core of the co-purchase
+    graph — the degeneracy-ordering primitive behind community
+    detection and dense-subgraph mining, and the graph-side analogue
+    of the dedup caps: peeling removes low-degree periphery so the
+    expensive downstream algorithms run on the dense core only. Each
+    round is a degree aggregate + two semi-join-shaped filters of the
+    edge list (never rebuilt from the fact table — the base pair
+    stream is checkpointed once and reused by every round), and the
+    per-round (nodes, edges) trajectory is the convergence telemetry a
+    scheduler would watch. Fixed two rounds keeps the plan static; the
+    full fixpoint is this stage iterated driver-side, exactly like
+    q249's power iteration."""
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges0 = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(edges):
+        return (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("d"))
+        )
+
+    def peel(edges, deg):
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        kept = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        return keep, kept
+
+    deg0 = degrees(edges0).localCheckpoint(eager=False)
+    keep1, edges1 = peel(edges0, deg0)
+    deg1 = degrees(edges1).localCheckpoint(eager=False)
+    keep2, edges2 = peel(edges1, deg1)
+
+    def row(rnd, nodes_df, edges_df):
+        n = nodes_df.agg(F.count("*").cast("bigint").alias("n_nodes"))
+        e = edges_df.agg(F.count("*").cast("bigint").alias("n_edges"))
+        return n.join(F.broadcast(e)).select(
+            F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges"
+        )
+    return (
+        row(0, deg0, edges0)
+        .unionAll(row(1, keep1, edges1))
+        .unionAll(row(2, keep2, edges2))
+        .orderBy("round")
+    )
