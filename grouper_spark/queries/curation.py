@@ -2389,3 +2389,131 @@ def a395_gain_ratio(spark, sf_dir):
             F.col("mi_nano").cast("double") / F.col("hf_nano"), 6
         ).alias("gain_ratio_r"),
     )
+
+
+_LN2 = 0.6931471805599453
+
+
+@query(
+    "a108_jensen_shannon",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), dist AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+  GROUP BY source, tok
+), tots AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM dist GROUP BY source
+), common AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common_tokens,
+         CAST(SUM(a.cnt) AS BIGINT) AS common_a,
+         CAST(SUM(b.cnt) AS BIGINT) AS common_b,
+         CAST(SUM(CAST(ROUND(1000000.0 * 0.5 *
+           ((CAST(a.cnt AS DOUBLE) / ta.tot)
+              * ln(2.0 * (CAST(a.cnt AS DOUBLE) / ta.tot)
+                   / ((CAST(a.cnt AS DOUBLE) / ta.tot)
+                      + (CAST(b.cnt AS DOUBLE) / tb.tot)))
+            + (CAST(b.cnt AS DOUBLE) / tb.tot)
+              * ln(2.0 * (CAST(b.cnt AS DOUBLE) / tb.tot)
+                   / ((CAST(a.cnt AS DOUBLE) / ta.tot)
+                      + (CAST(b.cnt AS DOUBLE) / tb.tot)))),
+           0) AS BIGINT)) AS BIGINT) AS term_micro
+  FROM dist a
+  JOIN dist b ON a.tok = b.tok AND a.source < b.source
+  JOIN tots ta ON ta.source = a.source
+  JOIN tots tb ON tb.source = b.source
+  GROUP BY src_a, src_b
+)
+SELECT c.src_a, c.src_b, c.n_common_tokens,
+       round(c.term_micro / 1e6
+             + 0.5 * {_LN2}
+               * ((1.0 - CAST(c.common_a AS DOUBLE) / ta.tot)
+                  + (1.0 - CAST(c.common_b AS DOUBLE) / tb.tot)),
+             6) AS js_r
+FROM common c
+JOIN tots ta ON ta.source = c.src_a
+JOIN tots tb ON tb.source = c.src_b
+ORDER BY c.src_a, c.src_b
+""",
+    tags=("curation", "stats"),
+)
+def a108_jensen_shannon(spark, sf_dir):
+    """Jensen-Shannon divergence between every source pair's unigram
+    distribution — the bounded symmetric divergence (0 ≤ JS ≤ ln 2)
+    that drives source-mixture curation decisions, completing the
+    inter-source battery next to mutual information (a368),
+    distinctive vocabulary (a378), and n-gram contamination (a386).
+    Split form keeps it ONE equi-join: tokens common to both sources
+    contribute ½[p·ln(2p/(p+q)) + q·ln(2q/(p+q))] (each term
+    micro-rounded to BIGINT before the order-independent sum — the
+    q198 idf discipline for the single ln in the expression), and
+    one-sided mass contributes exactly ½·ln2·(1−coverage), with ln 2 a
+    Python-embedded literal, so no full-outer join over the vocabulary
+    union is ever built. Probabilities are exact rationals from
+    integer counts. Distributions are vocabulary-sized after the first
+    aggregate; the pair join is vocab × source-pairs, independent of
+    corpus row count."""
+    d = table(spark, sf_dir, "documents")
+    dist = (
+        ensure_parallelism(d)
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tots = dist.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("tot")
+    ).localCheckpoint(eager=False)
+    a = dist.select(
+        F.col("source").alias("src_a"), "tok", F.col("cnt").alias("cnt_a")
+    )
+    b = dist.select(
+        F.col("source").alias("src_b"), "tok", F.col("cnt").alias("cnt_b")
+    )
+    ta = tots.select(
+        F.col("source").alias("src_a"), F.col("tot").alias("tot_a")
+    )
+    tb = tots.select(
+        F.col("source").alias("src_b"), F.col("tot").alias("tot_b")
+    )
+    joined = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+    )
+    p = F.col("cnt_a").cast("double") / F.col("tot_a")
+    q = F.col("cnt_b").cast("double") / F.col("tot_b")
+    term = 0.5 * (
+        p * F.log(2.0 * p / (p + q)) + q * F.log(2.0 * q / (p + q))
+    )
+    common = joined.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("bigint").alias("n_common_tokens"),
+        F.sum("cnt_a").cast("bigint").alias("common_a"),
+        F.sum("cnt_b").cast("bigint").alias("common_b"),
+        F.sum(F.round(1000000.0 * term, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    js = (
+        F.col("term_micro") / 1e6
+        + 0.5
+        * _LN2
+        * (
+            (1.0 - F.col("common_a").cast("double") / F.col("tot_a"))
+            + (1.0 - F.col("common_b").cast("double") / F.col("tot_b"))
+        )
+    )
+    return (
+        common.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common_tokens",
+            F.round(js, 6).alias("js_r"),
+        )
+        .orderBy("src_a", "src_b")
+    )

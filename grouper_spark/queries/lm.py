@@ -1552,3 +1552,175 @@ def a409_hash_collision_audit(spark, sf_dir):
             6,
         ).alias("collision_frac_r"),
     )
+
+
+@query(
+    "a115_textrank_keywords",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+), bigrams AS (
+  SELECT doc_id, ts[i] AS t1, ts[i + 1] AS t2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 2
+), ew AS (
+  SELECT LEAST(t1, t2) AS a, GREATEST(t1, t2) AS b,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM bigrams WHERE t1 <> t2
+  GROUP BY a, b
+), adj AS (
+  SELECT a AS node, b AS nbr, w FROM ew
+  UNION ALL
+  SELECT b AS node, a AS nbr, w FROM ew
+), wdeg AS (
+  SELECT node, CAST(SUM(w) AS BIGINT) AS wd FROM adj GROUP BY node
+), contrib AS (
+  SELECT adj.nbr AS token,
+         CAST(ROUND(1000000.0 * adj.w / d.wd, 0) AS BIGINT) AS c_micro
+  FROM adj JOIN wdeg d ON d.node = adj.node
+), score AS (
+  SELECT token, CAST(SUM(c_micro) AS BIGINT) AS in_micro
+  FROM contrib GROUP BY token
+)
+SELECT s.token, d.wd AS weighted_degree,
+       round(0.15 + 0.85 * (s.in_micro / 1e6), 6) AS textrank_r
+FROM score s JOIN wdeg d ON d.node = s.token
+ORDER BY textrank_r DESC, s.token
+LIMIT 20
+""",
+    tags=("lm", "graph"),
+)
+def a115_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction — one damped PageRank step over the
+    token co-occurrence graph (adjacent-token edges, weight = corpus
+    bigram count), from the uniform initial score: s(t) = 0.15 +
+    0.85·Σ_nbr w(nbr,t)/wdeg(nbr). This is the graph-centrality
+    keyword scorer that complements frequency-based TF-IDF (q87) and
+    BM25 (q102): a token ranks high when its NEIGHBORS spread their
+    mass to it, not when it is merely common. Iterating the step =
+    full TextRank (the q249 driver-side pattern). Determinism: each
+    neighbor contribution w/wdeg is an exact rational micro-rounded to
+    BIGINT before the order-independent sum; the only doubles are the
+    final damped affine map. Plan: one bigram explode (map-side), one
+    edge aggregate, one degree aggregate, one contribution join —
+    vocabulary-sized tables after the first shuffle at any corpus
+    scale."""
+    d = table(spark, sf_dir, "documents")
+    from ..operators.core import ensure_parallelism
+
+    toks = ensure_parallelism(d).select(
+        "doc_id", tokens("text").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    bigrams = toks.select(
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(element_at(ts, i) AS t1,"
+                "             element_at(ts, i + 1) AS t2))"
+            )
+        ).alias("p", "bg")
+    ).select(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    ew = (
+        bigrams.filter(F.col("t1") != F.col("t2"))
+        .groupBy(
+            F.least("t1", "t2").alias("a"),
+            F.greatest("t1", "t2").alias("b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    adj = ew.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr"), "w"
+    ).unionAll(
+        ew.select(F.col("b").alias("node"), F.col("a").alias("nbr"), "w")
+    ).localCheckpoint(eager=False)
+    wdeg = adj.groupBy("node").agg(
+        F.sum("w").cast("bigint").alias("wd")
+    ).localCheckpoint(eager=False)
+    contrib = adj.join(wdeg, "node").select(
+        F.col("nbr").alias("token"),
+        F.round(1000000.0 * F.col("w") / F.col("wd"), 0)
+        .cast("bigint")
+        .alias("c_micro"),
+    )
+    score = contrib.groupBy("token").agg(
+        F.sum("c_micro").cast("bigint").alias("in_micro")
+    )
+    return (
+        score.join(wdeg.withColumnRenamed("node", "token"), "token")
+        .select(
+            "token",
+            F.col("wd").alias("weighted_degree"),
+            F.round(0.15 + 0.85 * (F.col("in_micro") / 1e6), 6).alias(
+                "textrank_r"
+            ),
+        )
+        .orderBy(F.col("textrank_r").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "a123_bpe_merge_step",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), words AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks WHERE len(tok) >= 2 GROUP BY tok
+), pairs AS (
+  SELECT substr(tok, i, 2) AS pair, freq
+  FROM words, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+), counts AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(*) AS BIGINT) AS n_word_types
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences, n_word_types
+FROM counts
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+""",
+    tags=("lm", "tokenizer"),
+)
+def a123_bpe_merge_step(spark, sf_dir):
+    """One BPE vocabulary-learning step: the corpus-wide frequency of
+    every adjacent character pair inside word types, weighted by word
+    frequency — the argmax of this table IS the next merge a byte-pair
+    encoder would learn, making this the training-side complement of
+    the BPE-ish TOKENIZER queries (q54 applies a vocab; a359 measures
+    fertility; this derives the vocab). The aggregate-first shape is
+    the scalability point: pairs explode over word TYPES (vocabulary),
+    not word occurrences — the corpus is folded to (type, freq) by one
+    map-side-combined count, after which the pair fan-out is
+    vocabulary × word-length regardless of corpus size (the identical
+    summary-first trick a full BPE trainer uses between merges). Pure
+    integer counts; top-20 with deterministic tiebreak."""
+    d = table(spark, sf_dir, "documents")
+    from ..operators.core import ensure_parallelism
+
+    words = (
+        ensure_parallelism(d)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_occurrences"),
+            F.count("*").cast("bigint").alias("n_word_types"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )

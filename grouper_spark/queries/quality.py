@@ -856,3 +856,84 @@ def a389_compressibility(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "a116_readability_scores",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+           AS n_vgroups,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS total_words,
+         CAST(SUM(n_vgroups) AS BIGINT) AS total_vgroups,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, total_words,
+       round(CAST(total_words AS DOUBLE) / n_docs, 6) AS words_per_doc_r,
+       round(CAST(total_vgroups AS DOUBLE) / total_words, 6)
+         AS syllables_per_word_r,
+       round(CAST(total_chars AS DOUBLE) / total_words, 6)
+         AS chars_per_word_r,
+       round(206.835
+             - 1.015 * (CAST(total_words AS DOUBLE) / n_docs)
+             - 84.6 * (CAST(total_vgroups AS DOUBLE) / total_words),
+             6) AS flesch_like_r
+FROM agg
+ORDER BY source
+""",
+    tags=("quality", "text"),
+)
+def a116_readability_scores(spark, sf_dir):
+    """Readability scoring per source — the Flesch reading-ease shape
+    (206.835 − 1.015·ASL − 84.6·ASW) with documents as the sentence
+    unit and vowel-group runs as the deterministic syllable proxy (a
+    real syllabifier is language-specific; vowel-run counting is the
+    standard portable approximation, and regexp_extract_all evaluates
+    identically in both engines). Completes the quality-signal battery
+    (length/punct/stopword ratios, compressibility a389, entropy a373)
+    with the classic legibility axis used for corpus filtering. All
+    inputs are exact integer counts folded map-side per source; the
+    three ratios and the Flesch formula are closed-form doubles from
+    those integers — one corpus scan, source-count-sized output at any
+    sf."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_vgroups"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("n_chars"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_vgroups").cast("bigint").alias("total_vgroups"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    wpd = F.col("total_words").cast("double") / F.col("n_docs")
+    spw = F.col("total_vgroups").cast("double") / F.col("total_words")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_words",
+        F.round(wpd, 6).alias("words_per_doc_r"),
+        F.round(spw, 6).alias("syllables_per_word_r"),
+        F.round(
+            F.col("total_chars").cast("double") / F.col("total_words"), 6
+        ).alias("chars_per_word_r"),
+        F.round(206.835 - 1.015 * wpd - 84.6 * spw, 6).alias(
+            "flesch_like_r"
+        ),
+    ).orderBy("source")

@@ -667,3 +667,115 @@ def a354_regex_battery(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_WINNOW_K = 3  # k-gram size
+_WINNOW_W = 4  # winnowing window (guarantee: every w-run yields a print)
+_WN_HEX = 15  # 60-bit md5 hashes, BIGINT-safe both engines
+
+
+@query(
+    "a110_winnowing_fingerprint",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+), grams AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5('wn|' || array_to_string(
+            list_slice(ts, i, i + {_WINNOW_K - 1}), ' ')), 1, {_WN_HEX}))::BIGINT
+           AS h
+  FROM toks,
+       unnest(generate_series(1, len(ts) - {_WINNOW_K - 1})) AS t(i)
+  WHERE len(ts) >= {_WINNOW_K}
+), wins AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                               AND {_WINNOW_W - 1} FOLLOWING) AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                                 AND {_WINNOW_W - 1} FOLLOWING) AS wn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams
+), sel AS (
+  SELECT DISTINCT doc_id, n_grams, wmin
+  FROM wins WHERE wn = {_WINNOW_W}
+)
+SELECT doc_id,
+       CAST(MIN(n_grams) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(bit_xor(wmin) AS BIGINT) AS fp_sig
+FROM sel
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("text", "fingerprint"),
+)
+def a110_winnowing_fingerprint(spark, sf_dir):
+    """Robust winnowing (the MOSS fingerprinting algorithm): positional
+    {k}-gram hashes, a sliding window of {w} grams, the window MINIMUM
+    selected as a fingerprint — guaranteeing every {w}-gram run of a
+    document contributes at least one print, so any shared substring of
+    ≥ k+w−1 tokens is detectable from fingerprints alone at a ~2/(w+1)
+    storage fraction. That guarantee is what q31's full rolling-hash
+    fingerprint lacks and what sampling every j-th gram cannot give.
+    Dedup-by-hash-VALUE makes the tie rule irrelevant (tied minima are
+    identical grams, hence identical prints — documented deliberately),
+    so both engines need only MIN over an identical ROWS frame.
+    md5-derived 60-bit hashes keep the oracle value-exact; output is
+    the per-doc print count + order-independent bit_xor signature. One
+    explode, two windows over the same per-doc partitioning, one
+    aggregate — linear in corpus tokens at any scale.""".replace(
+        "{k}", str(_WINNOW_K)
+    ).replace("{w}", str(_WINNOW_W))
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    from ..operators.core import ensure_parallelism
+
+    toks = ensure_parallelism(d).select(
+        "doc_id", tokens("text").alias("ts")
+    ).filter(F.size("ts") >= _WINNOW_K)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - (_WINNOW_K - 1)),
+                lambda i: F.array_join(F.slice("ts", i, _WINNOW_K), " "),
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("bigint").alias("pos"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wn|"), F.col("gram"))), 1, _WN_HEX),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    frame = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, _WINNOW_W - 1)
+    )
+    wins = grams.select(
+        "doc_id",
+        F.min("h").over(frame).alias("wmin"),
+        F.count("*").over(frame).alias("wn"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n_grams"),
+    )
+    sel = wins.filter(F.col("wn") == _WINNOW_W).select(
+        "doc_id", "n_grams", "wmin"
+    ).distinct()
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.min("n_grams").cast("bigint").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_fingerprints"),
+            F.bit_xor("wmin").cast("bigint").alias("fp_sig"),
+        )
+        .orderBy("doc_id")
+    )
