@@ -4541,7 +4541,8 @@ WITH lp AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
 ), two_path AS (
   SELECT a.node AS u, b.node AS v, a.nbr AS z
-  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+  FROM adj a JOIN adj b ON a.nbr = b.nbr AND b.node <> a.node
+  WHERE a.node < 100
 ), scored AS (
   SELECT t.u, t.v,
          CAST(COUNT(*) AS BIGINT) AS common_nbrs,
@@ -4551,7 +4552,8 @@ WITH lp AS (
   GROUP BY t.u, t.v
 ), non_edges AS (
   SELECT s.u, s.v, s.common_nbrs, s.ra_micro
-  FROM scored s LEFT JOIN edges e ON e.u = s.u AND e.v = s.v
+  FROM scored s
+  LEFT JOIN edges e ON e.u = LEAST(s.u, s.v) AND e.v = GREATEST(s.u, s.v)
   WHERE e.u IS NULL
 )
 SELECT u, v, common_nbrs, ra_micro
@@ -4570,11 +4572,13 @@ def a112_link_prediction(spark, sf_dir):
     is an exact rational, so each term micro-fixes to a BIGINT with no
     runtime logarithm (cross-engine libm being the one float source
     this repo bans), and the per-pair sum is order-independent.
-    Candidates come from the two-path equi-join on the shared neighbor
-    (never node×node), scored pairs anti-join the edge set to keep
-    only NEW links, top-30 by RA. Σdeg(z)² bounds the two-path volume
-    — same shape the triangle count (q146/a361) already carries at
-    scale."""
+    Candidates come from the two-path equi-join on the shared
+    neighbor seeded by a FIXED 100-node query panel (the q198
+    query_max_id discipline: the co-purchase graph is DENSE — median
+    degree >100 — so unseeded two-paths are Σdeg², quadratic-ish in
+    the graph; the panel makes the volume panel×deg², constant in sf),
+    scored pairs anti-join the canonical (least, greatest) edge set to
+    keep only NEW links, top-30 by RA."""
     li = table(spark, sf_dir, "lineitem")
     lp = li.select("l_orderkey", "l_partkey").distinct()
     a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
@@ -4592,9 +4596,11 @@ def a112_link_prediction(spark, sf_dir):
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     ).localCheckpoint(eager=False)
     deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
-    ta = adj.select(F.col("node").alias("u"), F.col("nbr").alias("z"))
+    ta = adj.filter(F.col("node") < 100).select(
+        F.col("node").alias("u"), F.col("nbr").alias("z")
+    )
     tb = adj.select(F.col("node").alias("v"), F.col("nbr").alias("z"))
-    two_path = ta.join(tb, "z").filter(F.col("u") < F.col("v"))
+    two_path = ta.join(tb, "z").filter(F.col("v") != F.col("u"))
     scored = (
         two_path.join(deg.withColumnRenamed("node", "z"), "z")
         .groupBy("u", "v")
@@ -4605,7 +4611,14 @@ def a112_link_prediction(spark, sf_dir):
             .alias("ra_micro"),
         )
     )
-    non_edges = scored.join(edges, ["u", "v"], "left_anti")
+    non_edges = scored.join(
+        edges.select(
+            F.col("u").alias("eu"), F.col("v").alias("ev")
+        ),
+        (F.least("u", "v") == F.col("eu"))
+        & (F.greatest("u", "v") == F.col("ev")),
+        "left_anti",
+    )
     return non_edges.select(
         "u", "v", "common_nbrs", "ra_micro"
     ).orderBy(F.col("ra_micro").desc(), "u", "v").limit(30)

@@ -642,3 +642,113 @@ def a399_lsh_band_optimizer(spark, sf_dir):
         )
         .orderBy(F.col("separation_r").desc(), "n_hashes", "b")
     )
+
+
+_HLL_M = 256  # registers
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256)  # alpha_256, embedded literal
+
+
+@query(
+    "a121_hll_oracled",
+    oracle=f"""
+WITH vals AS (
+  SELECT DISTINCT l_orderkey AS v FROM lineitem
+), hashed AS (
+  SELECT v,
+         ('0x' || substr(md5('hll|' || CAST(v AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM vals
+), reg AS (
+  SELECT h % {_HLL_M} AS bucket,
+         CASE WHEN h // {_HLL_M} = 0 THEN 53
+              ELSE 53 - len(bin(h // {_HLL_M})) END AS rank
+  FROM hashed
+), regs AS (
+  SELECT bucket, CAST(MAX(rank) AS BIGINT) AS m_j FROM reg GROUP BY bucket
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
+         CAST(SUM(1::BIGINT << CAST(53 - m_j AS INT)) AS BIGINT) AS sum_fp
+  FROM regs
+), exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM vals
+)
+SELECT e.n_exact, s.n_filled,
+       CAST({_HLL_M} - s.n_filled AS BIGINT) AS n_empty,
+       CAST(ROUND(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M}.0 * {_HLL_M}.0
+                  * (1::BIGINT << 53)
+                  / (s.sum_fp + ({_HLL_M} - s.n_filled)
+                                 * (1::BIGINT << 53)), 0) AS BIGINT)
+         AS hll_estimate,
+       round((CAST(ROUND(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M}.0 * {_HLL_M}.0
+                         * (1::BIGINT << 53)
+                         / (s.sum_fp + ({_HLL_M} - s.n_filled)
+                                        * (1::BIGINT << 53)), 0) AS BIGINT)
+              - e.n_exact) / CAST(e.n_exact AS DOUBLE), 6) AS rel_err_r
+FROM sums s CROSS JOIN exact e
+""",
+    tags=("indexing", "sketch"),
+)
+def a121_hll_oracled(spark, sf_dir):
+    """HyperLogLog with a full exact-value oracle — the oracled twin of
+    q123's native hll_sketch_agg (rows-only by necessity: Spark's
+    sketch bytes aren't reproducible in SQL). md5-derived 60-bit
+    hashes split into 256 bucket bits + a 52-bit window whose
+    leading-zero rank comes from the BINARY-STRING length (bin() is
+    exact in both engines; floor(log2) is libm and banned), registers
+    are a plain max-per-bucket aggregate, and the harmonic sum
+    Σ2^(−Mⱼ) is computed in EXACT fixed point as Σ2^(53−Mⱼ) BIGINTs —
+    empty registers contribute 2⁵³ each — so the raw HLL estimate is
+    bit-identical cross-engine (α₂₅₆ is a Python-embedded literal; the
+    input cardinality ≥ 2.5m at every sf, so the small-range
+    correction branch never applies, documented here). This is the
+    100 TB COUNT DISTINCT workhorse: one shuffle to 256 registers,
+    mergeable across any partitioning — the estimate's error vs exact
+    is part of the output."""
+    li = table(spark, sf_dir, "lineitem")
+    vals = li.select(F.col("l_orderkey").alias("v")).distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll|"), F.col("v").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = vals.select(h.alias("h")).localCheckpoint(eager=False)
+    reg = hashed.select(
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.when(F.expr(f"h div {_HLL_M}") == 0, F.lit(53))
+        .otherwise(53 - F.length(F.expr(f"bin(h div {_HLL_M})")))
+        .alias("rank"),
+    )
+    regs = reg.groupBy("bucket").agg(F.max("rank").cast("bigint").alias("m_j"))
+    sums = regs.agg(
+        F.count("*").cast("bigint").alias("n_filled"),
+        F.sum(F.expr("shiftleft(1L, CAST(53 - m_j AS INT))"))
+        .cast("bigint")
+        .alias("sum_fp"),
+    )
+    exact = vals.agg(F.count("*").cast("bigint").alias("n_exact"))
+    two53 = float(1 << 53)
+    est = F.round(
+        _HLL_ALPHA
+        * float(_HLL_M)
+        * float(_HLL_M)
+        * two53
+        / (
+            F.col("sum_fp")
+            + (_HLL_M - F.col("n_filled")) * F.lit(1 << 53)
+        ),
+        0,
+    ).cast("bigint")
+    return (
+        sums.join(F.broadcast(exact))
+        .select(
+            "n_exact",
+            "n_filled",
+            (_HLL_M - F.col("n_filled")).cast("bigint").alias("n_empty"),
+            est.alias("hll_estimate"),
+            F.round(
+                (est - F.col("n_exact")) / F.col("n_exact").cast("double"), 6
+            ).alias("rel_err_r"),
+        )
+    )

@@ -1475,3 +1475,95 @@ def a381_product_quantization(spark, sf_dir):
         )
         .orderBy("m", "k")
     )
+
+
+@query(
+    "a124_isotropy_audit",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), u AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(ROUND(1000.0 * x
+           / sqrt(list_dot_product(v, v)), 0) AS BIGINT)) AS uf
+  FROM e
+), comp AS (
+  SELECT vec_id, i AS dim, uf[i] AS c
+  FROM u, unnest(generate_series(1, len(uf))) AS t(i)
+), per_vec AS (
+  SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS nsq FROM comp GROUP BY vec_id
+), per_dim AS (
+  SELECT dim, CAST(SUM(c) AS BIGINT) AS s FROM comp GROUP BY dim
+), agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_vec) AS n_vecs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM per_dim) AS n_dims,
+         (SELECT CAST(SUM(nsq) AS BIGINT) FROM per_vec) AS t_norm,
+         (SELECT CAST(SUM(s * s) AS BIGINT) FROM per_dim) AS s_sq
+)
+SELECT n_vecs, n_dims,
+       round(t_norm / 1e6 / n_vecs, 6) AS avg_norm_sq_r,
+       round((s_sq - t_norm) / 1e6
+             / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6)
+         AS mean_pairwise_cosine_r
+FROM agg
+""",
+    tags=("similarity", "audit"),
+)
+def a124_isotropy_audit(spark, sf_dir):
+    """Embedding isotropy audit — the EXACT mean pairwise cosine of
+    the whole corpus WITHOUT any pair enumeration, via the Gram
+    identity Σᵢ≠ⱼ⟨uᵢ,uⱼ⟩ = ‖Σᵢuᵢ‖² − Σᵢ‖uᵢ‖²: one component explode,
+    one per-dimension sum, one per-vector sum — O(n·d) where the naive
+    audit is O(n²·d). A mean cosine far above 0 is the anisotropy /
+    "narrow cone" pathology that silently inflates every similarity
+    score downstream (ANN q37/q83, SemDeDup q144, kNN-eval q297), so
+    this is the go/no-go check before trusting any of them. Unit
+    vectors are milli-fixed (round(1000·x/‖v‖) — the norm via the
+    q39-proven sqrt∘dot fold), making every sum an exact BIGINT
+    (|S_d| ≤ 1000·n so S² fits 2⁶³ through sf10) and the two output
+    ratios closed-form doubles. At 100 TB this is one pass and a
+    64-row reduction."""
+    from ..functions.vector import l2_norm
+    from ..operators.core import ensure_parallelism
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = l2_norm(F.col("v"))
+    u = ensure_parallelism(e).select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.round(1000.0 * x / norm, 0).cast("bigint")
+        ).alias("uf"),
+    )
+    comp = u.select(
+        "vec_id", F.posexplode("uf").alias("dim0", "c")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "c")
+    per_vec = comp.groupBy("vec_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("nsq")
+    )
+    per_dim = comp.groupBy("dim").agg(
+        F.sum("c").cast("bigint").alias("s")
+    )
+    nv = per_vec.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("nsq").cast("bigint").alias("t_norm"),
+    )
+    nd = per_dim.agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("s_sq"),
+    )
+    return nv.join(F.broadcast(nd)).select(
+        "n_vecs",
+        "n_dims",
+        F.round(F.col("t_norm") / 1e6 / F.col("n_vecs"), 6).alias(
+            "avg_norm_sq_r"
+        ),
+        F.round(
+            (F.col("s_sq") - F.col("t_norm"))
+            / 1e6
+            / (F.col("n_vecs").cast("double") * (F.col("n_vecs") - 1)),
+            6,
+        ).alias("mean_pairwise_cosine_r"),
+    )

@@ -1349,3 +1349,108 @@ def a400_format_footprint_advisor(spark, sf_dir):
         rows, "format string, n_rows bigint, total_bytes bigint, "
         "bytes_per_row double"
     ).orderBy("format")
+
+
+@query(
+    "a122_cdc_upsert_apply",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS price_cents,
+         CAST(o_orderkey * 2 AS BIGINT) AS lsn,
+         'upsert' AS op
+  FROM orders
+), changes AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 110.0, 0) AS BIGINT) AS price_cents,
+         CAST(o_orderkey * 2 + 1 AS BIGINT) AS lsn,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM orders
+  WHERE o_orderkey % 7 = 0 OR o_orderkey % 3 = 0
+), log AS (
+  SELECT * FROM base UNION ALL SELECT * FROM changes
+), latest AS (
+  SELECT key, status, price_cents, op
+  FROM (SELECT *, row_number() OVER (PARTITION BY key
+                                     ORDER BY lsn DESC) AS rn
+        FROM log)
+  WHERE rn = 1
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(CASE WHEN price_cents
+                 != (SELECT CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)
+                     FROM orders o WHERE o.o_orderkey = latest.key)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(SUM(price_cents) AS BIGINT) AS live_cents
+FROM latest
+WHERE op <> 'delete'
+GROUP BY status
+ORDER BY status
+""",
+    tags=("versioning", "cdc"),
+)
+def a122_cdc_upsert_apply(spark, sf_dir):
+    """CDC changelog apply — last-LSN-wins upsert/delete merge, the
+    batch half of every lakehouse MERGE INTO and the keyed-table twin
+    of q155's SCD2 (which keeps history; this materializes current
+    state): a deterministic changelog derived from orders (base
+    snapshot at LSN 2k; an update wave at LSN 2k+1 repricing every
+    key ≡ 0 mod 3; a delete wave tombstoning every key ≡ 0 mod 7,
+    deletes taking precedence where both match) collapses to final
+    state with ONE row_number window over the per-key LSN order —
+    the exact plan a 100 TB compaction job runs: shuffle the log once
+    on the key, keep rn = 1, drop tombstones. Output folds live rows
+    per status with update counts (price differs from snapshot) and
+    exact cents totals, so the hash certifies precedence, tombstone
+    semantics, and arithmetic at once."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    cents110 = F.round(F.col("o_totalprice") * 110.0, 0).cast("bigint")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("price_cents"),
+        (F.col("o_orderkey") * 2).cast("bigint").alias("lsn"),
+        F.lit("upsert").alias("op"),
+    )
+    changes = o.filter(
+        (F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        cents110.alias("price_cents"),
+        (F.col("o_orderkey") * 2 + 1).cast("bigint").alias("lsn"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    log = base.unionAll(changes)
+    latest = (
+        log.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(F.col("lsn").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    snapshot = o.select(
+        F.col("o_orderkey").alias("key"), cents.alias("snap_cents")
+    )
+    return (
+        latest.filter(F.col("op") != "delete")
+        .join(snapshot, "key")
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_live"),
+            F.sum(
+                (F.col("price_cents") != F.col("snap_cents")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_updated"),
+            F.sum("price_cents").cast("bigint").alias("live_cents"),
+        )
+        .orderBy("status")
+    )
