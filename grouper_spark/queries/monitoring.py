@@ -5014,3 +5014,443 @@ def a119_hot_key_skew_audit(spark, sf_dir):
         .orderBy(F.col("key_rows").desc(), "jk")
         .limit(5)
     )
+
+
+@query(
+    "a411_friedman_test",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type AS grp,
+         CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sc,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY d, grp
+), obs AS (
+  SELECT d, grp, CAST(sc AS DOUBLE) / n AS mean_v FROM daily
+), ranked AS (
+  SELECT d, grp,
+         2 * rank() OVER (PARTITION BY d ORDER BY mean_v)
+           + COUNT(*) OVER (PARTITION BY d, mean_v) - 1 AS rank2
+  FROM obs
+), per_grp AS (
+  SELECT grp, CAST(SUM(rank2) AS BIGINT) AS rank_sum2,
+         CAST(SUM(rank2 * rank2) AS BIGINT) AS rs2_used
+  FROM ranked GROUP BY grp
+), dims AS (
+  SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n_blocks,
+         CAST(COUNT(DISTINCT grp) AS BIGINT) AS k FROM obs
+), chi AS (
+  SELECT 12.0 / (d.n_blocks * d.k * (d.k + 1.0))
+           * (SELECT SUM(CAST(rank_sum2 AS DOUBLE) * rank_sum2 / 4.0)
+              FROM per_grp)
+         - 3.0 * d.n_blocks * (d.k + 1.0) AS chi2,
+         d.n_blocks, d.k
+  FROM dims d
+)
+SELECT p.grp, p.rank_sum2,
+       round(CAST(p.rank_sum2 AS DOUBLE) / (2.0 * c.n_blocks), 6)
+         AS mean_rank_r,
+       round(c.chi2, 6) AS chi2_r,
+       round(c.chi2 / (c.n_blocks * (c.k - 1.0)), 6) AS kendall_w_r
+FROM per_grp p CROSS JOIN chi c
+ORDER BY p.grp
+""",
+    tags=("monitoring", "stats"),
+)
+def a411_friedman_test(spark, sf_dir):
+    """Friedman rank test — the repeated-measures ANOVA over complete
+    blocks (each day ranks the 5 event types by mean value), closing
+    the k-group battery's third cell: Kruskal-Wallis (a106) compares
+    independent groups, two-way ANOVA (a408) needs normality, Friedman
+    handles the matched-block design. Ranks use the exact
+    doubled-rank integer identity within each day, the χ² statistic
+    12/(nk(k+1))·ΣRⱼ² − 3n(k+1) comes from exact BIGINT rank sums
+    (ΣRⱼ² folds as Σrank2²/4 over a 5-row summary), and Kendall's W =
+    χ²/(n(k−1)) falls out as the effect size. The corpus is touched by
+    one (day,type) aggregate; everything else is 150 summary rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.col("event_type").alias("grp"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sc"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    obs = daily.select(
+        "d", "grp", (F.col("sc").cast("double") / F.col("n")).alias("mean_v")
+    ).localCheckpoint(eager=False)
+    ranked = obs.withColumn(
+        "rank2",
+        2 * F.rank().over(Window.partitionBy("d").orderBy("mean_v"))
+        + F.count("*").over(Window.partitionBy("d", "mean_v"))
+        - 1,
+    )
+    per_grp = ranked.groupBy("grp").agg(
+        F.sum("rank2").cast("bigint").alias("rank_sum2")
+    )
+    dims = obs.agg(
+        F.countDistinct("d").cast("bigint").alias("n_blocks"),
+        F.countDistinct("grp").cast("bigint").alias("k"),
+    )
+    ssum = per_grp.agg(
+        F.sum(
+            F.col("rank_sum2").cast("double") * F.col("rank_sum2") / 4.0
+        ).alias("sum_rj2")
+    )
+    chi = dims.join(F.broadcast(ssum)).select(
+        "n_blocks",
+        "k",
+        (
+            12.0
+            / (F.col("n_blocks") * F.col("k") * (F.col("k") + 1.0))
+            * F.col("sum_rj2")
+            - 3.0 * F.col("n_blocks") * (F.col("k") + 1.0)
+        ).alias("chi2"),
+    )
+    return (
+        per_grp.join(F.broadcast(chi))
+        .select(
+            "grp",
+            "rank_sum2",
+            F.round(
+                F.col("rank_sum2").cast("double") / (2.0 * F.col("n_blocks")),
+                6,
+            ).alias("mean_rank_r"),
+            F.round(F.col("chi2"), 6).alias("chi2_r"),
+            F.round(
+                F.col("chi2") / (F.col("n_blocks") * (F.col("k") - 1.0)), 6
+            ).alias("kendall_w_r"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "a412_mcnemar_test",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   >= 12 THEN 1 ELSE 0 END AS has_a,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 12 THEN 1 ELSE 0 END AS has_b
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN has_a = 1 AND has_b = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN has_a = 0 AND has_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN has_a = 1 AND has_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS both_n
+  FROM per_user
+)
+SELECT n_users, b, c, both_n,
+       round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6) AS chi2_r,
+       round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6)
+         AS chi2_cc_r
+FROM cells
+""",
+    tags=("monitoring", "stats"),
+)
+def a412_mcnemar_test(spark, sf_dir):
+    """McNemar's test for paired binary outcomes — heavy-clicker vs
+    heavy-purchaser per user (≥12 events of the type: the fixture is
+    degenerate at did-X-EVER level — every user does every type, the
+    q268 lesson — so the paired booleans use engagement-depth
+    thresholds sitting at the per-user mean, which yields nonempty
+    discordant cells at every sf). The within-subject 2×2 test the
+    battery lacked: chi-square association assumes independent
+    samples; these are the SAME users measured twice, and only the
+    discordant cells matter: χ² = (b−c)²/(b+c), plus Edwards'
+    continuity-corrected variant. One map-side-combined per-user fold to two booleans, one
+    4-integer global cell count, two closed-form doubles — the whole
+    test after the first aggregate is one row of integers at any
+    scale."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "click").cast("int")) >= 12
+        )
+        .cast("int")
+        .alias("has_a"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 12
+        )
+        .cast("int")
+        .alias("has_b"),
+    )
+    cells = per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(((F.col("has_a") == 1) & (F.col("has_b") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(((F.col("has_a") == 0) & (F.col("has_b") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(((F.col("has_a") == 1) & (F.col("has_b") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("both_n"),
+    )
+    diff = F.col("b") - F.col("c")
+    return cells.select(
+        "n_users",
+        "b",
+        "c",
+        "both_n",
+        F.round(
+            (diff * diff).cast("double") / (F.col("b") + F.col("c")), 6
+        ).alias("chi2_r"),
+        F.round(
+            (F.abs(diff) - 1.0)
+            * (F.abs(diff) - 1.0)
+            / (F.col("b") + F.col("c")),
+            6,
+        ).alias("chi2_cc_r"),
+    )
+
+
+@query(
+    "a413_cramers_v",
+    oracle="""
+WITH cells AS (
+  SELECT event_type AS r, isodow(CAST(ts AS DATE)) % 7 + 1 AS c,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY r, c
+), margins AS (
+  SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY r
+), colm AS (
+  SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY c
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT r) AS BIGINT) AS n_r,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS n_c
+  FROM cells
+), terms AS (
+  SELECT CAST(SUM(CAST(ROUND(1000000.0
+           * (o - CAST(m.rt AS DOUBLE) * cm.ct / t.n)
+           * (o - CAST(m.rt AS DOUBLE) * cm.ct / t.n)
+           / (CAST(m.rt AS DOUBLE) * cm.ct / t.n), 0) AS BIGINT))
+         AS BIGINT) AS chi2_micro
+  FROM cells
+  JOIN margins m ON m.r = cells.r
+  JOIN colm cm ON cm.c = cells.c
+  CROSS JOIN tot t
+)
+SELECT t.n, t.n_r AS r_levels, t.n_c AS c_levels,
+       round(te.chi2_micro / 1e6, 6) AS chi2_r,
+       round(sqrt(te.chi2_micro / 1e6
+                  / (t.n * (LEAST(t.n_r, t.n_c) - 1.0))), 6)
+         AS cramers_v_r
+FROM tot t CROSS JOIN terms te
+""",
+    tags=("monitoring", "stats"),
+)
+def a413_cramers_v(spark, sf_dir):
+    """Cramér's V for the event-type × day-of-week contingency — the
+    NORMALIZED association strength ([0,1], comparable across tables)
+    that the raw chi-square drift monitors can't give: V =
+    √(χ²/(N·(min(r,c)−1))). Each cell's (O−E)²/E term uses exact
+    integer margins in one double expression and micro-fixes to a
+    BIGINT before the order-independent 35-cell sum (the house rule
+    for cross-group float sums); day numbering derives Spark's
+    1=Sunday convention on both engines (isodow%7+1 — the q256
+    lesson). One count aggregate touches the corpus; margins, total,
+    and both statistics are contingency-sized."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("r"),
+        F.dayofweek(F.col("ts").cast("date")).alias("c"),
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    margins = cells.groupBy("r").agg(F.sum("o").cast("bigint").alias("rt"))
+    colm = cells.groupBy("c").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("r").cast("bigint").alias("r_levels"),
+        F.countDistinct("c").cast("bigint").alias("c_levels"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(margins), "r")
+        .join(F.broadcast(colm), "c")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    1000000.0 * (F.col("o") - e) * (F.col("o") - e) / e, 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("chi2_micro")
+        )
+    )
+    return (
+        tot.join(F.broadcast(terms))
+        .select(
+            "n",
+            "r_levels",
+            "c_levels",
+            F.round(F.col("chi2_micro") / 1e6, 6).alias("chi2_r"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_micro")
+                    / 1e6
+                    / (
+                        F.col("n")
+                        * (F.least("r_levels", "c_levels") - F.lit(1.0))
+                    )
+                ),
+                6,
+            ).alias("cramers_v_r"),
+        )
+    )
+
+
+_BS_B = 200  # bootstrap replicates (md5-seeded, deterministic)
+
+
+@query(
+    "a414_bootstrap_ci",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sc,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY d
+), obs AS (
+  SELECT row_number() OVER (ORDER BY d) AS i,
+         CAST(ROUND(sc * 10000.0 / n, 0) AS BIGINT) AS m
+  FROM daily
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM obs
+), grid AS (
+  SELECT b.b, o.i AS slot
+  FROM (SELECT unnest(generate_series(1, {_BS_B})) AS b) b
+  CROSS JOIN obs o
+), picks AS (
+  SELECT g.b,
+         ('0x' || substr(md5('bs|' || CAST(g.b AS VARCHAR) || '|'
+                             || CAST(g.slot AS VARCHAR)), 1, 15))::BIGINT
+           % (SELECT n_days FROM nn) + 1 AS idx
+  FROM grid g
+), means AS (
+  SELECT p.b,
+         CAST(ROUND(SUM(o.m) / CAST((SELECT n_days FROM nn) AS DOUBLE), 0)
+              AS BIGINT) AS mean_micro
+  FROM picks p JOIN obs o ON o.i = p.idx
+  GROUP BY p.b
+), ranked AS (
+  SELECT mean_micro, row_number() OVER (ORDER BY mean_micro, b) AS rk
+  FROM means
+), point AS (
+  SELECT CAST(ROUND(SUM(m) / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)
+           AS point_micro
+  FROM obs
+)
+SELECT (SELECT n_days FROM nn) AS n_days,
+       CAST({_BS_B} AS BIGINT) AS n_replicates,
+       round(p.point_micro / 1e6, 6) AS point_r,
+       round((SELECT mean_micro FROM ranked WHERE rk = 5) / 1e6, 6)
+         AS ci_lo_r,
+       round((SELECT mean_micro FROM ranked WHERE rk = {_BS_B - 4}) / 1e6, 6)
+         AS ci_hi_r
+FROM point p
+""",
+    tags=("monitoring", "stats"),
+)
+def a414_bootstrap_ci(spark, sf_dir):
+    """Percentile-bootstrap 95% confidence interval for the mean daily
+    event value — the distribution-free uncertainty quantifier
+    completing the inference battery (a353's permutation test answers
+    "is there a difference"; the bootstrap answers "how precise is the
+    estimate"), with the SAME determinism trick: resample indices are
+    md5-derived from (replicate, slot), so both engines draw the
+    IDENTICAL 200 resamples and the CI is exact-value oracled — no
+    rand() anywhere. Observations are the ~30 micro-fixed daily means;
+    each replicate's mean is an exact integer sum with one rounded
+    division; the CI endpoints are rank 5 / rank 196 order statistics
+    (2.5%/97.5% of B=200) under a deterministic tiebreak. The corpus
+    is touched by one aggregate; the resampling universe is B×days ≈
+    6000 tiny rows at any sf."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sc"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    obs = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.round(F.col("sc") * 10000.0 / F.col("n"), 0)
+        .cast("bigint")
+        .alias("m"),
+    ).localCheckpoint(eager=False)
+    nn = obs.agg(F.count("*").cast("bigint").alias("n_days"))
+    bs = spark.range(1, _BS_B + 1).select(F.col("id").alias("b"))
+    grid = bs.crossJoin(obs.select(F.col("i").alias("slot"))).join(
+        F.broadcast(nn)
+    )
+    picks = grid.select(
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bs|"),
+                            F.col("b").cast("string"),
+                            F.lit("|"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("n_days")
+            + 1
+        ).alias("idx"),
+        "n_days",
+    )
+    means = (
+        picks.join(obs.withColumnRenamed("i", "idx"), "idx")
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum("m") / F.first("n_days").cast("double"), 0
+            )
+            .cast("bigint")
+            .alias("mean_micro")
+        )
+    )
+    ranked = means.withColumn(
+        "rk", F.row_number().over(Window.orderBy("mean_micro", "b"))
+    )
+    lo = ranked.filter(F.col("rk") == 5).select(
+        F.round(F.col("mean_micro") / 1e6, 6).alias("ci_lo_r")
+    )
+    hi = ranked.filter(F.col("rk") == _BS_B - 4).select(
+        F.round(F.col("mean_micro") / 1e6, 6).alias("ci_hi_r")
+    )
+    point = obs.agg(
+        F.round(F.sum("m") / F.count("*").cast("double"), 0)
+        .cast("bigint")
+        .alias("pm")
+    )
+    return (
+        nn.join(F.broadcast(point))
+        .join(F.broadcast(lo))
+        .join(F.broadcast(hi))
+        .select(
+            "n_days",
+            F.lit(_BS_B).cast("bigint").alias("n_replicates"),
+            F.round(F.col("pm") / 1e6, 6).alias("point_r"),
+            "ci_lo_r",
+            "ci_hi_r",
+        )
+    )
