@@ -4848,3 +4848,107 @@ def a120_kcore_peel(spark, sf_dir):
         .unionAll(row(2, keep2, edges2))
         .orderBy("round")
     )
+
+
+@query(
+    "a415_markov_power_step",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), trans AS (
+  SELECT prev AS s, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE prev IS NOT NULL GROUP BY s, t
+), row_tot AS (
+  SELECT s, CAST(SUM(c) AS BIGINT) AS tot FROM trans GROUP BY s
+), k AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k FROM row_tot
+), contrib AS (
+  SELECT tr.t,
+         CAST(ROUND(1000000.0 * tr.c
+                    / ((SELECT k FROM k) * CAST(rt.tot AS DOUBLE)), 0)
+              AS BIGINT) AS c_micro
+  FROM trans tr JOIN row_tot rt ON rt.s = tr.s
+), pi1 AS (
+  SELECT t, CAST(SUM(c_micro) AS BIGINT) AS pi_micro
+  FROM contrib GROUP BY t
+), self_loop AS (
+  SELECT tr.s AS t,
+         round(CAST(tr.c AS DOUBLE) / rt.tot, 6) AS self_p_r
+  FROM trans tr JOIN row_tot rt ON rt.s = tr.s
+  WHERE tr.s = tr.t
+)
+SELECT p.t AS state, p.pi_micro,
+       round(p.pi_micro / 1e6, 6) AS pi1_r,
+       COALESCE(s.self_p_r, 0.0) AS self_p_r
+FROM pi1 p LEFT JOIN self_loop s ON s.t = p.t
+ORDER BY state
+""",
+    tags=("analytics", "markov"),
+)
+def a415_markov_power_step(spark, sf_dir):
+    """One power-iteration step of the user-journey Markov chain from
+    the uniform distribution — π₁ = π₀·P over the empirical
+    event-type transition matrix, the dynamics layer on top of the
+    static transition counts (q111 family) and the entropy-rate view
+    (a385): iterating this step driver-side (the q249 pattern) yields
+    the stationary distribution that answers "where do journeys spend
+    their time". Each contribution c_st/(k·totₛ) is an exact rational
+    micro-fixed to BIGINT before the per-target order-independent sum;
+    the self-loop probability rides along as the stickiness
+    diagnostic. One lag window over the per-user event order builds
+    the transitions (the only corpus-scale stage); the chain algebra
+    runs on a k×k table."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    trans = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("s"), F.col("event_type").alias("t"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    row_tot = trans.groupBy("s").agg(F.sum("c").cast("bigint").alias("tot"))
+    k = row_tot.agg(F.count("*").cast("bigint").alias("k"))
+    contrib = (
+        trans.join(row_tot, "s")
+        .join(F.broadcast(k))
+        .select(
+            "t",
+            F.round(
+                1000000.0
+                * F.col("c")
+                / (F.col("k") * F.col("tot").cast("double")),
+                0,
+            )
+            .cast("bigint")
+            .alias("c_micro"),
+        )
+    )
+    pi1 = contrib.groupBy("t").agg(
+        F.sum("c_micro").cast("bigint").alias("pi_micro")
+    )
+    self_loop = (
+        trans.filter(F.col("s") == F.col("t"))
+        .join(row_tot, "s")
+        .select(
+            "t",
+            F.round(F.col("c").cast("double") / F.col("tot"), 6).alias(
+                "self_p_r"
+            ),
+        )
+    )
+    return (
+        pi1.join(self_loop, "t", "left")
+        .select(
+            F.col("t").alias("state"),
+            "pi_micro",
+            F.round(F.col("pi_micro") / 1e6, 6).alias("pi1_r"),
+            F.coalesce("self_p_r", F.lit(0.0)).alias("self_p_r"),
+        )
+        .orderBy("state")
+    )

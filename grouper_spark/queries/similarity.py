@@ -1567,3 +1567,246 @@ def a124_isotropy_audit(spark, sf_dir):
             6,
         ).alias("mean_pairwise_cosine_r"),
     )
+
+
+@query(
+    "a419_triplet_violations",
+    oracle="""
+WITH n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM embeddings
+), pos AS (
+  SELECT vec_id,
+         COALESCE(lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id),
+                  MIN(vec_id) OVER (PARTITION BY label)) AS p_id
+  FROM embeddings
+), trip AS (
+  SELECT a.vec_id, a.label,
+         p.p_id,
+         (a.vec_id + 1) % (SELECT nv FROM n) AS n_id
+  FROM embeddings a JOIN pos p ON p.vec_id = a.vec_id
+  WHERE p.p_id <> a.vec_id
+), valid AS (
+  SELECT t.vec_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      pp.embedding::DOUBLE[]), 6) AS cos_ap,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      nn.embedding::DOUBLE[]), 6) AS cos_an
+  FROM trip t
+  JOIN embeddings a ON a.vec_id = t.vec_id
+  JOIN embeddings pp ON pp.vec_id = t.p_id
+  JOIN embeddings nn ON nn.vec_id = t.n_id
+  WHERE nn.label <> t.label
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triplets,
+       CAST(SUM(CASE WHEN cos_ap < cos_an THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       round(CAST(SUM(CASE WHEN cos_ap < cos_an THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS violation_rate_r,
+       round(SUM(CAST(ROUND((cos_ap - cos_an) * 1000000.0, 0) AS BIGINT))
+             / 1e6 / COUNT(*), 6) AS mean_margin_r
+FROM valid
+""",
+    tags=("similarity", "eval"),
+)
+def a419_triplet_violations(spark, sf_dir):
+    """Triplet-violation rate of the embedding space — for every
+    anchor, one DETERMINISTIC same-label positive (the cyclic
+    successor within the label, via one lead window) and one
+    deterministic negative (the id-successor mod N, kept when its
+    label differs), count how often cos(a,p) < cos(a,n). This is the
+    metric-learning loss surface measured directly — the
+    triplet-margin complement of q297 (majority vote) and q340 (first
+    relevant rank): those grade retrieval, this grades the GEOMETRY'S
+    margin, and the mean margin (micro-fixed from the 6dp rounded
+    cosine contract) says how much slack ANN quantization (a381/q89)
+    can spend before violations flip. O(n) triplets — two cosines per
+    anchor via three id equi-joins, never a pairwise sweep — so the
+    audit is corpus-linear at any sf."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import l2_normalize
+    from ..operators.core import ensure_parallelism
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", l2_normalize("embedding").alias("__v")
+    ).localCheckpoint(eager=False)
+    n = e.agg(F.count("*").cast("bigint").alias("nv"))
+    wl = Window.partitionBy("label").orderBy("vec_id")
+    pos = e.select(
+        "vec_id",
+        F.coalesce(
+            F.lead("vec_id").over(wl),
+            F.min("vec_id").over(Window.partitionBy("label")),
+        ).alias("p_id"),
+    )
+    trip = (
+        ensure_parallelism(e)
+        .join(pos, "vec_id")
+        .join(F.broadcast(n))
+        .filter(F.col("p_id") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            "label",
+            "__v",
+            "p_id",
+            ((F.col("vec_id") + 1) % F.col("nv")).alias("n_id"),
+        )
+    )
+    pp = e.select(
+        F.col("vec_id").alias("p_id"), F.col("__v").alias("__vp")
+    )
+    nn = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("__v").alias("__vn"),
+    )
+    valid = (
+        trip.join(pp, "p_id")
+        .join(nn, "n_id")
+        .filter(F.col("n_label") != F.col("label"))
+        .select(
+            F.round(dot("__v", "__vp"), 6).alias("cos_ap"),
+            F.round(dot("__v", "__vn"), 6).alias("cos_an"),
+        )
+    )
+    viol = (F.col("cos_ap") < F.col("cos_an")).cast("int")
+    return valid.agg(
+        F.count("*").cast("bigint").alias("n_triplets"),
+        F.sum(viol).cast("bigint").alias("n_violations"),
+        F.round(
+            F.sum(viol).cast("double") / F.count("*"), 6
+        ).alias("violation_rate_r"),
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("cos_ap") - F.col("cos_an")) * 1000000.0, 0
+                ).cast("bigint")
+            )
+            / 1e6
+            / F.count("*"),
+            6,
+        ).alias("mean_margin_r"),
+    )
+
+
+@query(
+    "a420_centroid_classifier",
+    oracle="""
+WITH comp AS (
+  SELECT vec_id, label, i AS pos,
+         CAST(ROUND(embedding[i] * 1000000.0, 0) AS BIGINT) AS x_fp
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), cent AS (
+  SELECT label AS clabel, pos,
+         CAST(ROUND(SUM(x_fp) / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)
+           AS c_fp
+  FROM comp GROUP BY clabel, pos
+), dist AS (
+  SELECT c.vec_id, c.label, ce.clabel,
+         CAST(SUM((c.x_fp - ce.c_fp) * (c.x_fp - ce.c_fp)) AS BIGINT)
+           AS d_fp
+  FROM comp c JOIN cent ce ON ce.pos = c.pos
+  GROUP BY c.vec_id, c.label, ce.clabel
+), assign AS (
+  SELECT vec_id, label, clabel AS predicted
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d_fp, clabel) AS rk
+        FROM dist)
+  WHERE rk = 1
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS accuracy_r
+FROM assign
+GROUP BY label
+ORDER BY label
+""",
+    tags=("similarity", "ml"),
+)
+def a420_centroid_classifier(spark, sf_dir):
+    """Nearest-class-centroid classification accuracy per label — the
+    Rocchio classifier, the PARAMETRIC yardstick between q297's
+    instance-based LOO-kNN (O(n²) scoring) and a full model: k
+    centroids from one pass, assignment from n·k·d distance terms —
+    the evaluation that says whether class structure is LINEARLY
+    separated by centroids or only locally (kNN ≫ centroid accuracy ⇒
+    multi-modal classes, and SemDeDup-style cells are the better
+    unit). Fixed-point end-to-end: micro-scaled components sum to
+    exact centroid BIGINTs (ROUND(sum/n) — one rounded division),
+    squared distances are exact integer sums via the per-dimension
+    equi-join on position (never an array broadcast), argmin breaks
+    ties toward the smaller label. The per-dimension join is n·d×k
+    rows — corpus-linear — and every aggregate is
+    map-side-combinable."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    from ..operators.core import ensure_parallelism
+
+    comp = (
+        ensure_parallelism(e)
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 1000000.0, 0).cast(
+                        "bigint"
+                    ),
+                )
+            ).alias("pos0", "x_fp"),
+        )
+        .select(
+            "vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x_fp"
+        )
+        .localCheckpoint(eager=False)
+    )
+    cent = comp.groupBy(
+        F.col("label").alias("clabel"), "pos"
+    ).agg(
+        F.round(F.sum("x_fp") / F.count("*").cast("double"), 0)
+        .cast("bigint")
+        .alias("c_fp")
+    )
+    dist = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("x_fp") - F.col("c_fp"))
+                * (F.col("x_fp") - F.col("c_fp"))
+            )
+            .cast("bigint")
+            .alias("d_fp")
+        )
+    )
+    assign = (
+        dist.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d_fp", "clabel")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("label", F.col("clabel").alias("predicted"))
+    )
+    return (
+        assign.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum((F.col("predicted") == F.col("label")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum((F.col("predicted") == F.col("label")).cast("int"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("accuracy_r"),
+        )
+        .orderBy("label")
+    )

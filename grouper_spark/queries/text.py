@@ -779,3 +779,73 @@ def a110_winnowing_fingerprint(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "a418_kwic_concordance",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+), hits AS (
+  SELECT doc_id, i AS pos, len(ts) AS n,
+         list_slice(ts, GREATEST(i - 2, 1), LEAST(i + 2, len(ts))) AS ctx
+  FROM toks, unnest(generate_series(1, len(ts))) AS t(i)
+  WHERE ts[i] = 'spark'
+)
+SELECT array_to_string(ctx, ' ') AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM hits
+GROUP BY context
+ORDER BY n_occurrences DESC, context
+LIMIT 20
+""",
+    tags=("text", "search"),
+)
+def a418_kwic_concordance(spark, sf_dir):
+    """Keyword-in-context concordance — the corpus linguist's (and
+    data-curator's) view of HOW a term is used: every occurrence of
+    'spark' with its ±2-token window, grouped into the top recurring
+    contexts. Recurring identical contexts are template/boilerplate
+    fingerprints (the curation signal: a phrase that repeats verbatim
+    thousands of times is machine-generated), making this the
+    token-level cousin of positional entropy (a373) and the
+    contamination matrix (a386). One positional explode with the
+    match filter applied in the SAME projection (tokens materialize
+    once), boundary-clamped slices built from identical
+    GREATEST/LEAST index arithmetic in both engines (DuckDB
+    list_slice is end-INDEXED, Spark slice takes a LENGTH — the
+    clamped endpoints reconcile them), one count aggregate.
+    Occurrence volume is corpus-linear; the context table is bounded
+    by distinct-context cardinality."""
+    d = table(spark, sf_dir, "documents")
+    from ..operators.core import ensure_parallelism
+
+    toks = ensure_parallelism(d).select(
+        "doc_id", tokens("text").alias("ts")
+    )
+    hits = (
+        toks.select(
+            "doc_id",
+            "ts",
+            F.size("ts").alias("n"),
+            F.posexplode("ts").alias("p0", "tok"),
+        )
+        .filter(F.col("tok") == "spark")
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(slice(ts, GREATEST(p0 + 1 - 2, 1),"
+                " LEAST(p0 + 1 + 2, n) - GREATEST(p0 + 1 - 2, 1) + 1), ' ')"
+            ).alias("context"),
+        )
+    )
+    return (
+        hits.groupBy("context")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "context")
+        .limit(20)
+    )

@@ -1454,3 +1454,115 @@ def a122_cdc_upsert_apply(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+@query(
+    "a417_nextfit_binpack",
+    oracle="""
+WITH RECURSIVE items AS (
+  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY source, lang
+), cap AS (
+  SELECT CAST((SUM(bytes) + 7) // 8 AS BIGINT) AS cap FROM items
+), ordered AS (
+  SELECT bytes,
+         CAST(row_number() OVER (ORDER BY bytes DESC, source, lang)
+              AS BIGINT) AS k,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM items
+), state AS (
+  SELECT CAST(0 AS BIGINT) AS k, n, CAST(0 AS BIGINT) AS n_bins,
+         CAST(0 AS BIGINT) AS cur_load
+  FROM (SELECT DISTINCT n FROM ordered)
+  UNION ALL
+  SELECT s.k + 1, s.n,
+         CASE WHEN s.n_bins = 0
+                   OR s.cur_load + o.bytes > (SELECT cap FROM cap)
+              THEN s.n_bins + 1 ELSE s.n_bins END,
+         CASE WHEN s.n_bins = 0
+                   OR s.cur_load + o.bytes > (SELECT cap FROM cap)
+              THEN o.bytes ELSE s.cur_load + o.bytes END
+  FROM state s JOIN ordered o ON o.k = s.k + 1
+  WHERE s.k < s.n
+)
+SELECT s.n AS n_items, c.cap AS bin_capacity, s.n_bins,
+       round((SELECT CAST(SUM(bytes) AS DOUBLE) FROM items)
+             / (s.n_bins * c.cap), 6) AS utilization_r
+FROM state s CROSS JOIN cap c
+WHERE s.k = s.n
+""",
+    tags=("versioning", "layout"),
+)
+def a417_nextfit_binpack(spark, sf_dir):
+    """Next-fit-decreasing bin packing of (source, lang) partition
+    sizes into compaction targets — the small-files compaction PLANNER
+    that completes the layout battery (a371 says how to encode, a400
+    what the footprint is, q129 how to order; this says how many
+    output files a compaction job should write and how full they run).
+    Capacity is total/8 rounded up — sf-relative, so the plan shape is
+    scale-invariant. The greedy scan is inherently sequential (bin
+    state depends on every earlier item), so it folds like
+    a360/a117: items sorted by size DESC with deterministic tiebreak,
+    one codegen ``aggregate`` lambda threads (n_bins, cur_load), and
+    the oracle runs the IDENTICAL recurrence as a RECURSIVE CTE. The
+    item list is partition-count-sized — the corpus is touched only by
+    the size aggregate — which is exactly why a real lakehouse
+    compaction planner is cheap at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    items = d.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("bigint").alias("bytes")
+    )
+    cap = items.agg(
+        ((F.sum("bytes") + 7) / 8).cast("bigint").alias("cap"),
+        F.sum("bytes").cast("bigint").alias("total"),
+    )
+    packed = (
+        items.select(F.struct(
+            (-F.col("bytes")).alias("neg"), "source", "lang", "bytes"
+        ).alias("s"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("s")),
+                lambda s: s.getField("bytes"),
+            ).alias("series")
+        )
+    )
+
+    def step(acc, b):
+        new_bin = (acc.getField("n_bins") == 0) | (
+            acc.getField("cur_load") + b > acc.getField("cap")
+        )
+        return F.struct(
+            F.when(new_bin, acc.getField("n_bins") + 1)
+            .otherwise(acc.getField("n_bins"))
+            .alias("n_bins"),
+            F.when(new_bin, b)
+            .otherwise(acc.getField("cur_load") + b)
+            .alias("cur_load"),
+            acc.getField("cap").alias("cap"),
+        )
+
+    folded = packed.join(F.broadcast(cap)).select(
+        F.size("series").cast("bigint").alias("n_items"),
+        F.col("cap").alias("bin_capacity"),
+        F.col("total"),
+        F.aggregate(
+            "series",
+            F.struct(
+                F.lit(0).cast("bigint").alias("n_bins"),
+                F.lit(0).cast("bigint").alias("cur_load"),
+                F.col("cap").alias("cap"),
+            ),
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_items",
+        "bin_capacity",
+        F.col("st.n_bins").alias("n_bins"),
+        F.round(
+            F.col("total").cast("double")
+            / (F.col("st.n_bins") * F.col("bin_capacity")),
+            6,
+        ).alias("utilization_r"),
+    )
