@@ -4952,3 +4952,218 @@ def a415_markov_power_step(spark, sf_dir):
         )
         .orderBy("state")
     )
+
+
+@query(
+    "a422_association_rules",
+    oracle="""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_orders AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lp
+), item AS (
+  SELECT l_partkey AS it, CAST(COUNT(*) AS BIGINT) AS n_it FROM lp
+  GROUP BY it
+), pair AS (
+  SELECT a.l_partkey AS ant, b.l_partkey AS cons,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey
+  GROUP BY ant, cons
+), rules AS (
+  SELECT p.ant, p.cons, p.n_ab,
+         round(CAST(p.n_ab AS DOUBLE) / (SELECT n FROM n_orders), 6)
+           AS support_r,
+         round(CAST(p.n_ab AS DOUBLE) / ia.n_it, 6) AS confidence_r,
+         round(CAST(p.n_ab AS DOUBLE) * (SELECT n FROM n_orders)
+               / (CAST(ia.n_it AS DOUBLE) * ic.n_it), 6) AS lift_r
+  FROM pair p
+  JOIN item ia ON ia.it = p.ant
+  JOIN item ic ON ic.it = p.cons
+  WHERE p.n_ab >= 3
+)
+SELECT ant, cons, n_ab, support_r, confidence_r, lift_r
+FROM rules
+ORDER BY lift_r DESC, ant, cons
+LIMIT 20
+""",
+    tags=("analytics", "mining"),
+)
+def a422_association_rules(spark, sf_dir):
+    """Market-basket association rules — support, confidence, and
+    lift for directed part pairs mined from within-order
+    co-occurrence, the classic Apriori-style recommender primitive
+    that completes the co-purchase family: a112 predicts edges by
+    graph structure, this scores RULES by exceedance over
+    independence (lift = P(ab)/(P(a)P(b))). Pair generation is the
+    same bounded within-order equi-join every sibling uses (order
+    size ≤7, never part×part); a minimum-support floor (n_ab ≥ 3)
+    prunes noise rules BEFORE the metric joins, exactly the pruning
+    that makes Apriori tractable at 100 TB. All three metrics are
+    exact rationals from BIGINT counts rounded once; top-20 by lift
+    with full deterministic tiebreak."""
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )
+    n_orders = lp.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    item = lp.groupBy(F.col("l_partkey").alias("it")).agg(
+        F.count("*").cast("bigint").alias("n_it")
+    )
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ant"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("cons"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    rules = (
+        pair.join(item.withColumnRenamed("it", "ant"), "ant")
+        .withColumnRenamed("n_it", "n_ant")
+        .join(
+            item.select(F.col("it").alias("cons"), F.col("n_it").alias("n_cons")),
+            "cons",
+        )
+        .join(F.broadcast(n_orders))
+    )
+    return (
+        rules.select(
+            "ant",
+            "cons",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n"), 6).alias(
+                "support_r"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_ant"), 6).alias(
+                "confidence_r"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n")
+                / (F.col("n_ant").cast("double") * F.col("n_cons")),
+                6,
+            ).alias("lift_r"),
+        )
+        .orderBy(F.col("lift_r").desc(), "ant", "cons")
+        .limit(20)
+    )
+
+
+_PL_MIN_DEG = 1
+
+
+@query(
+    "a426_powerlaw_fit",
+    oracle="""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+), hist AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_d FROM deg GROUP BY d
+), pts AS (
+  SELECT CAST(ROUND(ln(CAST(d AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(n_d AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+  FROM hist
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts
+)
+SELECT n AS n_points,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+             6) AS slope_r,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                * sx) / n / 1000000.0, 6) AS intercept_r,
+       round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS r2_r
+FROM sums
+""",
+    tags=("analytics", "graph", "stats"),
+)
+def a426_powerlaw_fit(spark, sf_dir):
+    """Log-log least-squares fit of the co-purchase degree
+    distribution — the heavy-tail diagnostic: a straight log-log line
+    (R² near 1) with slope −α means scale-free structure (hub caps
+    and salting are mandatory at scale), while a bent line means
+    degrees are homogeneous and plain hash partitioning is safe — the
+    MEASUREMENT behind a111/a119's skew decisions. The degree
+    histogram is a two-aggregate reduction of the pair stream; each
+    (ln d, ln n_d) point micro-fixes to BIGINTs (the histogram is a
+    bounded value set, and the q198 idf precedent covers single-ln
+    micro-rounding), so all five regression sums are exact integers
+    and slope/intercept/R² are closed-form doubles. Nothing after the
+    degree aggregate scales with the corpus."""
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count("*").cast("bigint").alias("n_d"))
+    pts = hist.select(
+        F.round(F.log(F.col("d").cast("double")) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("n_d").cast("double")) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    deny = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    slope = num / den
+    return sums.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope_r"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n")
+            / 1000000.0,
+            6,
+        ).alias("intercept_r"),
+        F.round(num * num / (den * deny), 6).alias("r2_r"),
+    )

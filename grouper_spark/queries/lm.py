@@ -1724,3 +1724,71 @@ def a123_bpe_merge_step(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "a425_chao1_richness",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tok GROUP BY source, tok
+), cls AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freq GROUP BY source
+)
+SELECT source, vocab, f1, f2,
+       round(vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+         AS chao1_r,
+       round(CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1))
+             / (vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1))),
+             6) AS unseen_frac_r
+FROM cls
+ORDER BY source
+""",
+    tags=("lm", "stats"),
+)
+def a425_chao1_richness(spark, sf_dir):
+    """Chao1 species-richness estimate of each source's vocabulary —
+    the lower bound on TRUE vocabulary size from singleton/doubleton
+    counts (Chao's bias-corrected V + f₁(f₁−1)/(2(f₂+1))), answering
+    the curation question Good-Turing (a344) dualizes: a344 estimates
+    the probability mass of unseen TOKENS, Chao1 estimates how many
+    unseen TYPES remain — i.e. how much more vocabulary another crawl
+    of this source would surface. All inputs are exact integer
+    frequency-of-frequency counts off one (source, token) aggregate;
+    the estimator is a single closed-form double per source. The
+    frequency table is vocabulary-sized — corpus row count never
+    reaches the statistics."""
+    d = table(spark, sf_dir, "documents")
+    from ..operators.core import ensure_parallelism
+
+    freq = (
+        ensure_parallelism(d)
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    cls = freq.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum((F.col("f") == 1).cast("int")).cast("bigint").alias("f1"),
+        F.sum((F.col("f") == 2).cast("int")).cast("bigint").alias("f2"),
+    )
+    extra = (
+        F.col("f1").cast("double")
+        * (F.col("f1") - 1)
+        / (2.0 * (F.col("f2") + 1))
+    )
+    return cls.select(
+        "source",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(F.col("vocab") + extra, 6).alias("chao1_r"),
+        F.round(extra / (F.col("vocab") + extra), 6).alias("unseen_frac_r"),
+    ).orderBy("source")

@@ -2106,3 +2106,138 @@ def a114_seasonal_naive_mase(spark, sf_dir):
             F.col("smape_micro_sum") / 1e6 / F.col("n_seasonal"), 6
         ).alias("smape_r"),
     ).orderBy("grp")
+
+
+@query(
+    "a421_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         isodow(CAST(date_trunc('day', ts) AS DATE)) % 7 + 1 AS dow,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY d
+), tr AS (
+  SELECT d, dow, c,
+         SUM(c) OVER w AS s7, COUNT(*) OVER w AS k7
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT d, dow,
+         CAST(ROUND((c - s7 / 7.0) * 1000000.0, 0) AS BIGINT) AS det_micro
+  FROM tr WHERE k7 = 7
+), sidx AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(ROUND(SUM(det_micro) / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT)
+           AS raw_micro
+  FROM det GROUP BY dow
+), norm AS (
+  SELECT dow, n_days,
+         raw_micro - CAST(ROUND((SELECT SUM(raw_micro)
+                                 / CAST(COUNT(*) AS DOUBLE) FROM sidx), 0)
+                          AS BIGINT) AS seasonal_micro
+  FROM sidx
+), resid AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dm) AS BIGINT) AS s1, CAST(SUM(dm * dm) AS BIGINT) AS s2,
+         CAST(SUM(rm) AS BIGINT) AS r1, CAST(SUM(rm * rm) AS BIGINT) AS r2
+  FROM (SELECT det_micro AS dm,
+               det_micro - (SELECT seasonal_micro FROM norm
+                            WHERE norm.dow = det.dow) AS rm
+        FROM det)
+)
+SELECT n.dow, n.n_days, n.seasonal_micro,
+       round(n.seasonal_micro / 1e6, 6) AS seasonal_r,
+       round(1.0 - (CAST(r.r2 AS DOUBLE) / r.n
+                    - (CAST(r.r1 AS DOUBLE) / r.n)
+                      * (CAST(r.r1 AS DOUBLE) / r.n))
+                   / (CAST(r.s2 AS DOUBLE) / r.n
+                      - (CAST(r.s1 AS DOUBLE) / r.n)
+                        * (CAST(r.s1 AS DOUBLE) / r.n)),
+             6) AS seasonal_strength_r
+FROM norm n CROSS JOIN resid r
+ORDER BY n.dow
+""",
+    tags=("temporal", "forecast"),
+)
+def a421_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of the daily event
+    series — centered 7-day moving-average trend, zero-mean weekly
+    seasonal indices from the detrended means, and the
+    seasonality-strength statistic 1 − Var(resid)/Var(detrended) that
+    says how much of the non-trend variation the weekly cycle
+    explains (the decision input for a114's seasonal-naive choice and
+    a411's blocked design). Determinism: the trend is an exact
+    integer-sum/7 single division, every detrended value micro-fixes
+    to BIGINT before any cross-row mean, seasonal indices are rounded
+    integer means re-centered by an integer subtraction, and both
+    variances come from exact Σx/Σx² micro sums — the house
+    summary-first float discipline end to end. One corpus aggregate;
+    everything else is calendar-sized."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c")).select(
+        "d", F.dayofweek("d").alias("dow"), "c"
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "dow",
+        "c",
+        F.sum("c").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("k7"),
+    )
+    det = tr.filter(F.col("k7") == 7).select(
+        "d",
+        "dow",
+        F.round((F.col("c") - F.col("s7") / 7.0) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("det_micro"),
+    ).localCheckpoint(eager=False)
+    sidx = det.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.sum("det_micro") / F.count("*").cast("double"), 0)
+        .cast("bigint")
+        .alias("raw_micro"),
+    )
+    gmean = sidx.agg(
+        F.round(F.sum("raw_micro") / F.count("*").cast("double"), 0)
+        .cast("bigint")
+        .alias("gm")
+    )
+    norm = sidx.join(F.broadcast(gmean)).select(
+        "dow",
+        "n_days",
+        (F.col("raw_micro") - F.col("gm")).alias("seasonal_micro"),
+    ).localCheckpoint(eager=False)
+    resid = (
+        det.join(F.broadcast(norm.select("dow", "seasonal_micro")), "dow")
+        .select(
+            F.col("det_micro").alias("dm"),
+            (F.col("det_micro") - F.col("seasonal_micro")).alias("rm"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("dm").cast("bigint").alias("s1"),
+            F.sum(F.col("dm") * F.col("dm")).cast("bigint").alias("s2"),
+            F.sum("rm").cast("bigint").alias("r1"),
+            F.sum(F.col("rm") * F.col("rm")).cast("bigint").alias("r2"),
+        )
+    )
+    var_d = F.col("s2").cast("double") / F.col("n") - (
+        F.col("s1").cast("double") / F.col("n")
+    ) * (F.col("s1").cast("double") / F.col("n"))
+    var_r = F.col("r2").cast("double") / F.col("n") - (
+        F.col("r1").cast("double") / F.col("n")
+    ) * (F.col("r1").cast("double") / F.col("n"))
+    return (
+        norm.join(F.broadcast(resid))
+        .select(
+            "dow",
+            "n_days",
+            "seasonal_micro",
+            F.round(F.col("seasonal_micro") / 1e6, 6).alias("seasonal_r"),
+            F.round(1.0 - var_r / var_d, 6).alias("seasonal_strength_r"),
+        )
+        .orderBy("dow")
+    )
