@@ -1348,3 +1348,90 @@ def a392_binary_codec_battery(spark, sf_dir):
         F.sum(F.length("b64")).cast("bigint").alias("b64_chars"),
         F.bit_xor(h).cast("bigint").alias("codec_hash"),
     )
+
+
+@query(
+    "a428_array_hof_battery",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ts
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         CASE WHEN list_contains(ts, 'spark') THEN 1 ELSE 0 END AS has_kw,
+         CASE WHEN len(list_filter(ts, t -> len(t) > 2)) = len(ts)
+              THEN 1 ELSE 0 END AS all_gt2,
+         CAST(len(list_filter(ts, t -> len(t) = 5)) AS BIGINT) AS n_len5,
+         CAST(list_sum(list_transform(ts, t -> len(t))) AS BIGINT)
+           AS sum_len,
+         CAST(list_sum(list_transform(
+           list_zip(ts, list_reverse(ts)),
+           p -> CAST(len(p[1]) * len(p[2]) AS BIGINT))) AS BIGINT)
+           AS zip_fp
+  FROM toks
+)
+SELECT source,
+       CAST(SUM(has_kw) AS BIGINT) AS n_docs_with_kw,
+       CAST(SUM(all_gt2) AS BIGINT) AS n_docs_all_gt2,
+       CAST(SUM(n_len5) AS BIGINT) AS total_len5_tokens,
+       CAST(SUM(sum_len) AS BIGINT) AS total_token_chars,
+       CAST(SUM(zip_fp) AS BIGINT) AS zip_checksum
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+    tags=("functions", "battery"),
+)
+def a428_array_hof_battery(spark, sf_dir):
+    """Array higher-order-function battery — exists / forall / filter
+    / transform+aggregate / zip_with exercised in ONE projection over
+    the token arrays and folded per source, completing the
+    functions-battery coverage (map HOFs live in q65; these are the
+    ARRAY lambdas a curation pipeline leans on daily). Every lambda
+    stays in whole-stage codegen (no UDF), every per-doc result is an
+    exact integer, and the zip_with term pairs each token with its
+    mirror (length product) so element ORDER is part of the checked
+    contract, not just multiset content. DuckDB's list_* family
+    mirrors each construct (list_contains / list_filter /
+    list_transform+list_sum / list_zip) — the oracle is the same
+    algebra in the other dialect. One scan, one aggregate."""
+    d = table(spark, sf_dir, "documents")
+    from ..functions.text import tokens as toks_fn
+    from ..operators.core import ensure_parallelism
+
+    ts = toks_fn("text")
+    per_doc = ensure_parallelism(d).select(
+        "source",
+        F.exists(ts, lambda t: t == "spark").cast("int").alias("has_kw"),
+        F.forall(ts, lambda t: F.length(t) > 2).cast("int").alias("all_gt2"),
+        F.size(F.filter(ts, lambda t: F.length(t) == 5))
+        .cast("bigint")
+        .alias("n_len5"),
+        F.aggregate(
+            F.transform(ts, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.aggregate(
+            F.zip_with(
+                ts,
+                F.reverse(ts),
+                lambda a, b: (
+                    F.length(a).cast("bigint") * F.length(b)
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("zip_fp"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("has_kw").cast("bigint").alias("n_docs_with_kw"),
+            F.sum("all_gt2").cast("bigint").alias("n_docs_all_gt2"),
+            F.sum("n_len5").cast("bigint").alias("total_len5_tokens"),
+            F.sum("sum_len").cast("bigint").alias("total_token_chars"),
+            F.sum("zip_fp").cast("bigint").alias("zip_checksum"),
+        )
+        .orderBy("source")
+    )

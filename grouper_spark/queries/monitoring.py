@@ -4550,7 +4550,8 @@ WITH ev AS (
          row_number() OVER (ORDER BY stat_r DESC, dow) AS bh_rank
   FROM stats
 ), thr AS (
-  SELECT *, [{", ".join(str(t) for t in _BH_THR)}][bh_rank] AS thr
+  SELECT *, CAST([{", ".join(str(t) for t in _BH_THR)}][bh_rank]
+                 AS DOUBLE) AS thr
   FROM ranked
 ), cut AS (
   SELECT COALESCE(MAX(CASE WHEN stat_r >= thr THEN bh_rank END), 0) AS istar
@@ -5453,4 +5454,154 @@ def a414_bootstrap_ci(spark, sf_dir):
             "ci_lo_r",
             "ci_hi_r",
         )
+    )
+
+
+@query(
+    "a427_western_electric_rules",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sc,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY grp, d
+), obs AS (
+  SELECT grp, d, CAST(ROUND(sc * 10000.0 / n, 0) AS BIGINT) AS m
+  FROM daily
+), base AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(m) AS BIGINT) AS s1, CAST(SUM(m * m) AS BIGINT) AS s2
+  FROM obs GROUP BY grp
+), z AS (
+  SELECT o.grp, o.d,
+         (o.m - CAST(b.s1 AS DOUBLE) / b.nd)
+           / sqrt(CAST(b.s2 AS DOUBLE) / b.nd
+                  - (CAST(b.s1 AS DOUBLE) / b.nd)
+                    * (CAST(b.s1 AS DOUBLE) / b.nd)) AS zv
+  FROM obs o JOIN base b ON b.grp = o.grp
+), flags AS (
+  SELECT grp, d,
+         CASE WHEN abs(zv) > 3.0 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN COUNT(*) OVER w3 = 3
+               AND (SUM(CASE WHEN zv > 2.0 THEN 1 ELSE 0 END) OVER w3 >= 2
+                 OR SUM(CASE WHEN zv < -2.0 THEN 1 ELSE 0 END) OVER w3 >= 2)
+              THEN 1 ELSE 0 END AS r2,
+         CASE WHEN COUNT(*) OVER w5 = 5
+               AND (SUM(CASE WHEN zv > 1.0 THEN 1 ELSE 0 END) OVER w5 >= 4
+                 OR SUM(CASE WHEN zv < -1.0 THEN 1 ELSE 0 END) OVER w5 >= 4)
+              THEN 1 ELSE 0 END AS r3,
+         CASE WHEN COUNT(*) OVER w8 = 8
+               AND (SUM(CASE WHEN zv > 0.0 THEN 1 ELSE 0 END) OVER w8 = 8
+                 OR SUM(CASE WHEN zv < 0.0 THEN 1 ELSE 0 END) OVER w8 = 8)
+              THEN 1 ELSE 0 END AS r4
+  FROM z
+  WINDOW w3 AS (PARTITION BY grp ORDER BY d
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w5 AS (PARTITION BY grp ORDER BY d
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w8 AS (PARTITION BY grp ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(r1) AS BIGINT) AS rule1_days,
+       CAST(SUM(r2) AS BIGINT) AS rule2_days,
+       CAST(SUM(r3) AS BIGINT) AS rule3_days,
+       CAST(SUM(r4) AS BIGINT) AS rule4_days,
+       CAST(SUM(CASE WHEN r1 + r2 + r3 + r4 > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS any_rule_days
+FROM flags
+GROUP BY grp
+ORDER BY grp
+""",
+    tags=("monitoring", "spc"),
+)
+def a427_western_electric_rules(spark, sf_dir):
+    """Western Electric control-chart rules over each event type's
+    daily mean value — the four classic SPC zone tests (1 beyond 3σ;
+    2-of-3 beyond 2σ same side; 4-of-5 beyond 1σ same side; 8
+    consecutive same side) that catch shifts a plain 3σ monitor
+    misses, upgrading the z-score family (q-series anomaly flags,
+    a125 runs test, a117 Page-Hinkley) to the full rule battery an
+    SRE chart runs. Daily means micro-fix to BIGINTs; μ/σ come from
+    exact Σ/Σ² per group in one closed-form z expression; each rule
+    is a COUNT/SUM over a trailing ROWS frame (3/5/8) on the same
+    per-type ordering — four frames, one logical sort, flags summed
+    per type. Boundary behavior is exact because both engines compare
+    the IDENTICAL z doubles against binary-exact limits (3.0/2.0/1.0/
+    0.0). Calendar-sized after the first aggregate."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sc"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    obs = daily.select(
+        "grp",
+        "d",
+        F.round(F.col("sc") * 10000.0 / F.col("n"), 0)
+        .cast("bigint")
+        .alias("m"),
+    )
+    base = obs.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("m").cast("bigint").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nd")
+    z = obs.join(base, "grp").select(
+        "grp",
+        "d",
+        (
+            (F.col("m") - mean)
+            / F.sqrt(F.col("s2").cast("double") / F.col("nd") - mean * mean)
+        ).alias("zv"),
+    )
+    w3 = Window.partitionBy("grp").orderBy("d").rowsBetween(-2, 0)
+    w5 = Window.partitionBy("grp").orderBy("d").rowsBetween(-4, 0)
+    w8 = Window.partitionBy("grp").orderBy("d").rowsBetween(-7, 0)
+
+    def side(wf, lim, need, full):
+        pos = F.sum((F.col("zv") > lim).cast("int")).over(wf) >= need
+        neg = F.sum((F.col("zv") < -lim).cast("int")).over(wf) >= need
+        return (
+            (F.count("*").over(wf) == full) & (pos | neg)
+        ).cast("int")
+
+    flags = z.select(
+        "grp",
+        (F.abs("zv") > 3.0).cast("int").alias("r1"),
+        side(w3, F.lit(2.0), 2, 3).alias("r2"),
+        side(w5, F.lit(1.0), 4, 5).alias("r3"),
+        (
+            (F.count("*").over(w8) == 8)
+            & (
+                (F.sum((F.col("zv") > 0.0).cast("int")).over(w8) == 8)
+                | (F.sum((F.col("zv") < 0.0).cast("int")).over(w8) == 8)
+            )
+        )
+        .cast("int")
+        .alias("r4"),
+    )
+    return (
+        flags.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("r1").cast("bigint").alias("rule1_days"),
+            F.sum("r2").cast("bigint").alias("rule2_days"),
+            F.sum("r3").cast("bigint").alias("rule3_days"),
+            F.sum("r4").cast("bigint").alias("rule4_days"),
+            F.sum(
+                (
+                    F.col("r1") + F.col("r2") + F.col("r3") + F.col("r4") > 0
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("any_rule_days"),
+        )
+        .orderBy("grp")
     )

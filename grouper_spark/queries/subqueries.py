@@ -475,3 +475,54 @@ def a391_identifier_clause(spark, sf_dir):
             "m": "o_totalprice",
         },
     )
+
+
+@query(
+    "a429_lateral_column_alias",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(total_cents) AS BIGINT) AS billed_cents
+FROM (
+  SELECT o_orderstatus,
+         CAST(ROUND(o_totalprice * 90.0, 0) AS BIGINT) AS disc_cents,
+         CAST(ROUND(disc_cents * 0.07, 0) AS BIGINT) AS tax_cents,
+         disc_cents + tax_cents AS total_cents
+  FROM orders
+)
+GROUP BY status
+ORDER BY status
+""",
+    tags=("sql", "battery"),
+)
+def a429_lateral_column_alias(spark, sf_dir):
+    """Lateral column aliases (Spark 3.4+/SPARK-27561; DuckDB shares
+    the dialect): a SELECT item referencing an alias defined EARLIER
+    in the same SELECT list — `disc AS d, d*0.07 AS tax, d+tax` —
+    the ergonomic chain that otherwise forces nested subqueries or
+    repeated expressions. The analyzer inlines each alias (the plan is
+    identical to the expanded form, so nothing is evaluated twice),
+    and because BOTH engines support the surface, the oracle is the
+    LITERAL SAME SQL text — the strongest possible dialect-parity
+    check. The chain computes a fixed-point billing cascade
+    (discounted cents → 7% tax → total) so every step is exact
+    integer arithmetic; folded per order status."""
+    from ..sources import table as _table
+
+    _table(spark, sf_dir, "orders").createOrReplaceTempView("lca_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(total_cents) AS BIGINT) AS billed_cents
+        FROM (
+          SELECT o_orderstatus,
+                 CAST(ROUND(o_totalprice * 90.0, 0) AS BIGINT) AS disc_cents,
+                 CAST(ROUND(disc_cents * 0.07, 0) AS BIGINT) AS tax_cents,
+                 disc_cents + tax_cents AS total_cents
+          FROM lca_orders
+        )
+        GROUP BY status
+        ORDER BY status
+        """
+    )
