@@ -442,3 +442,61 @@ def a383_apply_in_arrow(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "a430_scalar_iter_udf",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+[0-9]+'))) AS BIGINT)
+         AS n_alnum_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("udf", "text"),
+)
+def a430_scalar_iter_udf(spark, sf_dir):
+    """Iterator-of-Series scalar Pandas UDF — the SCALAR_ITER eval
+    type that completes the Python-UDF surface (q51 covers
+    series→series, q92 mapInPandas, q205 grouped-agg, q201 cogroup,
+    q206/a383 Arrow): the iterator form exists precisely to amortize
+    EXPENSIVE per-worker setup (model load, regex compilation, GPU
+    context) ONCE across all Arrow batches of a partition instead of
+    once per batch — the difference between paying initialization
+    n_batches times and once, which at 100 TB batch counts is the
+    whole inference bill. Here the amortized state is a compiled
+    regex counting letter+digit tokens; the oracle is DuckDB's
+    regexp_extract_all of the same pattern, so the hash certifies the
+    Python path against a pure-SQL reimplementation. Folded per
+    source to keep the checked output compact."""
+    from collections.abc import Iterator
+    import re
+
+    def _alnum(batches):
+        pat = re.compile(r"[a-z]+[0-9]+")  # compiled once per worker
+        for texts in batches:
+            yield texts.map(lambda t: len(pat.findall(t))).astype("int64")
+
+    # real type objects (the module's postponed annotations would leave
+    # pyspark's hint inspection with unresolvable strings)
+    _alnum.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    alnum_count = pandas_udf(_alnum, "long")
+
+    d = table(spark, sf_dir, "documents")
+    from ..operators.core import ensure_parallelism
+
+    return (
+        ensure_parallelism(d)
+        .select("source", alnum_count("text").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("c").cast("bigint").alias("n_alnum_tokens"),
+        )
+        .orderBy("source")
+    )
