@@ -4851,110 +4851,6 @@ def a120_kcore_peel(spark, sf_dir):
 
 
 @query(
-    "a415_markov_power_step",
-    oracle="""
-WITH seq AS (
-  SELECT user_id, event_type,
-         lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev
-  FROM events
-), trans AS (
-  SELECT prev AS s, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
-  FROM seq WHERE prev IS NOT NULL GROUP BY s, t
-), row_tot AS (
-  SELECT s, CAST(SUM(c) AS BIGINT) AS tot FROM trans GROUP BY s
-), k AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k FROM row_tot
-), contrib AS (
-  SELECT tr.t,
-         CAST(ROUND(1000000.0 * tr.c
-                    / ((SELECT k FROM k) * CAST(rt.tot AS DOUBLE)), 0)
-              AS BIGINT) AS c_micro
-  FROM trans tr JOIN row_tot rt ON rt.s = tr.s
-), pi1 AS (
-  SELECT t, CAST(SUM(c_micro) AS BIGINT) AS pi_micro
-  FROM contrib GROUP BY t
-), self_loop AS (
-  SELECT tr.s AS t,
-         round(CAST(tr.c AS DOUBLE) / rt.tot, 6) AS self_p_r
-  FROM trans tr JOIN row_tot rt ON rt.s = tr.s
-  WHERE tr.s = tr.t
-)
-SELECT p.t AS state, p.pi_micro,
-       round(p.pi_micro / 1e6, 6) AS pi1_r,
-       COALESCE(s.self_p_r, 0.0) AS self_p_r
-FROM pi1 p LEFT JOIN self_loop s ON s.t = p.t
-ORDER BY state
-""",
-    tags=("analytics", "markov"),
-)
-def a415_markov_power_step(spark, sf_dir):
-    """One power-iteration step of the user-journey Markov chain from
-    the uniform distribution — π₁ = π₀·P over the empirical
-    event-type transition matrix, the dynamics layer on top of the
-    static transition counts (q111 family) and the entropy-rate view
-    (a385): iterating this step driver-side (the q249 pattern) yields
-    the stationary distribution that answers "where do journeys spend
-    their time". Each contribution c_st/(k·totₛ) is an exact rational
-    micro-fixed to BIGINT before the per-target order-independent sum;
-    the self-loop probability rides along as the stickiness
-    diagnostic. One lag window over the per-user event order builds
-    the transitions (the only corpus-scale stage); the chain algebra
-    runs on a k×k table."""
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev")
-    )
-    trans = (
-        seq.filter(F.col("prev").isNotNull())
-        .groupBy(F.col("prev").alias("s"), F.col("event_type").alias("t"))
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    row_tot = trans.groupBy("s").agg(F.sum("c").cast("bigint").alias("tot"))
-    k = row_tot.agg(F.count("*").cast("bigint").alias("k"))
-    contrib = (
-        trans.join(row_tot, "s")
-        .join(F.broadcast(k))
-        .select(
-            "t",
-            F.round(
-                1000000.0
-                * F.col("c")
-                / (F.col("k") * F.col("tot").cast("double")),
-                0,
-            )
-            .cast("bigint")
-            .alias("c_micro"),
-        )
-    )
-    pi1 = contrib.groupBy("t").agg(
-        F.sum("c_micro").cast("bigint").alias("pi_micro")
-    )
-    self_loop = (
-        trans.filter(F.col("s") == F.col("t"))
-        .join(row_tot, "s")
-        .select(
-            "t",
-            F.round(F.col("c").cast("double") / F.col("tot"), 6).alias(
-                "self_p_r"
-            ),
-        )
-    )
-    return (
-        pi1.join(self_loop, "t", "left")
-        .select(
-            F.col("t").alias("state"),
-            "pi_micro",
-            F.round(F.col("pi_micro") / 1e6, 6).alias("pi1_r"),
-            F.coalesce("self_p_r", F.lit(0.0)).alias("self_p_r"),
-        )
-        .orderBy("state")
-    )
-
-
-@query(
     "a422_association_rules",
     oracle="""
 WITH lp AS (
@@ -4994,8 +4890,9 @@ def a422_association_rules(spark, sf_dir):
     lift for directed part pairs mined from within-order
     co-occurrence, the classic Apriori-style recommender primitive
     that completes the co-purchase family: a112 predicts edges by
-    graph structure, this scores RULES by exceedance over
-    independence (lift = P(ab)/(P(a)P(b))). Pair generation is the
+    graph structure, q213 ranks symmetric pair lift, and this adds the
+    DIRECTED rule layer q213 lacks — per-direction confidence plus
+    support, the actual Apriori rule-emission contract. Pair generation is the
     same bounded within-order equi-join every sibling uses (order
     size ≤7, never part×part); a minimum-support floor (n_ab ≥ 3)
     prunes noise rules BEFORE the metric joins, exactly the pruning
@@ -5106,7 +5003,9 @@ def a426_powerlaw_fit(spark, sf_dir):
     (R² near 1) with slope −α means scale-free structure (hub caps
     and salting are mandatory at scale), while a bent line means
     degrees are homogeneous and plain hash partitioning is safe — the
-    MEASUREMENT behind a111/a119's skew decisions. The degree
+    MEASUREMENT behind a111's and q182's skew decisions (q234 runs
+    the same log-log OLS on token frequency vs RANK; this fits the
+    degree HISTOGRAM, the graph-partitioning decision input). The degree
     histogram is a two-aggregate reduction of the pair stream; each
     (ln d, ln n_d) point micro-fixes to BIGINTs (the histogram is a
     bounded value set, and the q198 idf precedent covers single-ln

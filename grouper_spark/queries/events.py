@@ -1863,99 +1863,3 @@ def a376_activity_streaks(spark, sf_dir):
         .orderBy("max_streak")
     )
 
-
-@query(
-    "a113_touch_attribution",
-    oracle="""
-WITH conv AS (
-  SELECT user_id, ts AS conv_ts, event_id AS conv_id
-  FROM (SELECT user_id, ts, event_id,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS rn
-        FROM events WHERE event_type = 'purchase')
-  WHERE rn = 1
-), touches AS (
-  SELECT e.user_id, e.event_type, e.ts, e.event_id
-  FROM events e JOIN conv c ON c.user_id = e.user_id
-  WHERE e.event_type <> 'purchase'
-    AND (e.ts < c.conv_ts OR (e.ts = c.conv_ts AND e.event_id < c.conv_id))
-), ranked AS (
-  SELECT user_id, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS rn,
-         COUNT(*) OVER (PARTITION BY user_id) AS n_touches
-  FROM touches
-)
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_touches,
-       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS first_touch_convs,
-       CAST(SUM(CASE WHEN rn = n_touches THEN 1 ELSE 0 END) AS BIGINT)
-         AS last_touch_convs,
-       CAST(SUM(CAST(ROUND(1000000.0 / n_touches, 0) AS BIGINT)) AS BIGINT)
-         AS linear_credit_micro
-FROM ranked
-GROUP BY event_type
-ORDER BY event_type
-""",
-    tags=("events", "attribution"),
-)
-def a113_touch_attribution(spark, sf_dir):
-    """Multi-touch conversion attribution — first-touch, last-touch,
-    and linear credit per event type for each user's FIRST purchase,
-    the marketing-analytics shape missing next to funnels (q67) and
-    retention (q112): which pre-conversion interactions get the
-    credit, under the three standard models at once. One window picks
-    each user's first purchase (ts, event_id deterministic tiebreak),
-    touches are the strictly-earlier non-purchase events of converting
-    users (an equi-join on user plus a composite time predicate —
-    never a cross join), and a second per-user window ranks them so
-    first/last flags and the exact 1/n linear shares (micro-fixed
-    BIGINT before the order-independent sum) all come from the SAME
-    pass. Both windows and the join share the user_id partitioning —
-    one logical shuffle of the touch stream at any scale."""
-    ev = table(spark, sf_dir, "events")
-    wconv = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    conv = (
-        ev.filter(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(wconv))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("ts").alias("conv_ts"),
-            F.col("event_id").alias("conv_id"),
-        )
-    )
-    touches = (
-        ev.filter(F.col("event_type") != "purchase")
-        .join(conv, "user_id")
-        .filter(
-            (F.col("ts") < F.col("conv_ts"))
-            | (
-                (F.col("ts") == F.col("conv_ts"))
-                & (F.col("event_id") < F.col("conv_id"))
-            )
-        )
-    )
-    ranked = touches.select(
-        "user_id",
-        "event_type",
-        F.row_number().over(wconv).alias("rn"),
-        F.count("*").over(Window.partitionBy("user_id")).alias("n_touches"),
-    )
-    return (
-        ranked.groupBy("event_type")
-        .agg(
-            F.count("*").cast("bigint").alias("n_touches"),
-            F.sum((F.col("rn") == 1).cast("int"))
-            .cast("bigint")
-            .alias("first_touch_convs"),
-            F.sum((F.col("rn") == F.col("n_touches")).cast("int"))
-            .cast("bigint")
-            .alias("last_touch_convs"),
-            F.sum(F.round(1000000.0 / F.col("n_touches"), 0).cast("bigint"))
-            .cast("bigint")
-            .alias("linear_credit_micro"),
-        )
-        .orderBy("event_type")
-    )

@@ -1660,73 +1660,6 @@ def a115_textrank_keywords(spark, sf_dir):
 
 
 @query(
-    "a123_bpe_merge_step",
-    oracle="""
-WITH toks AS (
-  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
-  FROM documents
-), words AS (
-  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
-  FROM toks WHERE len(tok) >= 2 GROUP BY tok
-), pairs AS (
-  SELECT substr(tok, i, 2) AS pair, freq
-  FROM words, unnest(generate_series(1, len(tok) - 1)) AS u(i)
-), counts AS (
-  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences,
-         CAST(COUNT(*) AS BIGINT) AS n_word_types
-  FROM pairs GROUP BY pair
-)
-SELECT pair, n_occurrences, n_word_types
-FROM counts
-ORDER BY n_occurrences DESC, pair
-LIMIT 20
-""",
-    tags=("lm", "tokenizer"),
-)
-def a123_bpe_merge_step(spark, sf_dir):
-    """One BPE vocabulary-learning step: the corpus-wide frequency of
-    every adjacent character pair inside word types, weighted by word
-    frequency — the argmax of this table IS the next merge a byte-pair
-    encoder would learn, making this the training-side complement of
-    the BPE-ish TOKENIZER queries (q54 applies a vocab; a359 measures
-    fertility; this derives the vocab). The aggregate-first shape is
-    the scalability point: pairs explode over word TYPES (vocabulary),
-    not word occurrences — the corpus is folded to (type, freq) by one
-    map-side-combined count, after which the pair fan-out is
-    vocabulary × word-length regardless of corpus size (the identical
-    summary-first trick a full BPE trainer uses between merges). Pure
-    integer counts; top-20 with deterministic tiebreak."""
-    d = table(spark, sf_dir, "documents")
-    from ..operators.core import ensure_parallelism
-
-    words = (
-        ensure_parallelism(d)
-        .select(F.explode(tokens("text")).alias("tok"))
-        .filter(F.length("tok") >= 2)
-        .groupBy("tok")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-    )
-    pairs = words.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(tok) - 1),"
-                " i -> substring(tok, i, 2))"
-            )
-        ).alias("pair"),
-        "freq",
-    )
-    return (
-        pairs.groupBy("pair")
-        .agg(
-            F.sum("freq").cast("bigint").alias("n_occurrences"),
-            F.count("*").cast("bigint").alias("n_word_types"),
-        )
-        .orderBy(F.col("n_occurrences").desc(), "pair")
-        .limit(20)
-    )
-
-
-@query(
     "a425_chao1_richness",
     oracle="""
 WITH tok AS (

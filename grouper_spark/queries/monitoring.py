@@ -4665,7 +4665,9 @@ def a109_jarque_bera(spark, sf_dir):
     """Jarque-Bera normality test per event type — the
     moments-based gate (skewness² + excess-kurtosis²/4, scaled by n/6)
     that decides whether a z-score monitor's normal assumption is even
-    admissible. One map-side-combined aggregate collects the four raw
+    admissible. q170 computes the same engine-stable moments as SHAPE
+    descriptors (per-language doc lengths); this derives the TEST
+    STATISTIC from them over event values. One map-side-combined aggregate collects the four raw
     power sums of unit-rounded values as exact BIGINTs (600⁴ · n stays
     under 2⁶³ through sf1); central moments, skewness (m₃/m₂^1.5 with
     m₂·√m₂ — sqrt is IEEE-correctly-rounded, pow() is not), kurtosis,
@@ -4939,82 +4941,6 @@ def a117_page_hinkley(spark, sf_dir):
         F.round(F.col("st.cum"), 6).alias("cum_r"),
         (F.col("st.ph") > 50.0).cast("int").alias("drift"),
     ).orderBy("grp")
-
-
-@query(
-    "a119_hot_key_skew_audit",
-    oracle="""
-WITH keyed AS (
-  SELECT CASE WHEN l_partkey % 4 < 2 THEN 0 ELSE l_partkey END AS jk
-  FROM lineitem
-), per_key AS (
-  SELECT jk, CAST(COUNT(*) AS BIGINT) AS key_rows FROM keyed GROUP BY jk
-), gstats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-         CAST(SUM(key_rows) AS BIGINT) AS total_rows,
-         CAST(MAX(key_rows) AS BIGINT) AS max_rows
-  FROM per_key
-)
-SELECT p.jk, p.key_rows, g.n_keys, g.total_rows,
-       round(CAST(g.total_rows AS DOUBLE) / g.n_keys, 6) AS avg_rows_r,
-       round(CAST(g.max_rows AS DOUBLE)
-             / (CAST(g.total_rows AS DOUBLE) / g.n_keys), 6)
-         AS skew_factor_r,
-       CAST(CEIL(CAST(g.max_rows AS DOUBLE)
-                 / (CAST(g.total_rows AS DOUBLE) / g.n_keys)) AS BIGINT)
-         AS salts_recommended
-FROM per_key p CROSS JOIN gstats g
-ORDER BY p.key_rows DESC, p.jk
-LIMIT 5
-""",
-    tags=("monitoring", "skew"),
-)
-def a119_hot_key_skew_audit(spark, sf_dir):
-    """Join-key skew diagnostics — the measurement that DECIDES when
-    a105's salted join (or AQE's skew split) is worth its replication
-    cost: per-key row counts over the deliberately collapsed lineitem
-    key (the a105 hot key holding ~half the fact table), the skew
-    factor max/avg, and the recommended salt count ⌈max/avg⌉ — the
-    number of shuffle partitions the hot key must be spread over to
-    look average. One map-side-combined count per key, a 3-number
-    global aggregate broadcast back onto the top-5 hot keys. At 100 TB
-    this is the cheap pre-flight every big join should run; its output
-    IS the n_salts parameter."""
-    li = table(spark, sf_dir, "lineitem")
-    per_key = (
-        li.select(
-            F.when(F.col("l_partkey") % 4 < 2, F.lit(0))
-            .otherwise(F.col("l_partkey"))
-            .cast("bigint")
-            .alias("jk")
-        )
-        .groupBy("jk")
-        .agg(F.count("*").cast("bigint").alias("key_rows"))
-    )
-    glob = per_key.agg(
-        F.count("*").cast("bigint").alias("n_keys"),
-        F.sum("key_rows").cast("bigint").alias("total_rows"),
-        F.max("key_rows").cast("bigint").alias("max_rows"),
-    )
-    avg = F.col("total_rows").cast("double") / F.col("n_keys")
-    return (
-        per_key.join(F.broadcast(glob))
-        .select(
-            "jk",
-            "key_rows",
-            "n_keys",
-            "total_rows",
-            F.round(avg, 6).alias("avg_rows_r"),
-            F.round(F.col("max_rows").cast("double") / avg, 6).alias(
-                "skew_factor_r"
-            ),
-            F.ceil(F.col("max_rows").cast("double") / avg)
-            .cast("bigint")
-            .alias("salts_recommended"),
-        )
-        .orderBy(F.col("key_rows").desc(), "jk")
-        .limit(5)
-    )
 
 
 @query(
@@ -5604,4 +5530,228 @@ def a427_western_electric_rules(spark, sf_dir):
             .alias("any_rule_days"),
         )
         .orderBy("grp")
+    )
+
+
+@query(
+    "a119_theil_sen_slope",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY grp, d
+), idx AS (
+  SELECT grp, c,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY d) AS BIGINT)
+           AS k
+  FROM daily
+), slopes AS (
+  SELECT a.grp,
+         CAST(ROUND(1000000.0 * (b.c - a.c) / (b.k - a.k), 0) AS BIGINT)
+           AS s_micro
+  FROM idx a JOIN idx b ON a.grp = b.grp AND b.k > a.k
+), ranked AS (
+  SELECT grp, s_micro,
+         row_number() OVER (PARTITION BY grp ORDER BY s_micro) AS rk,
+         COUNT(*) OVER (PARTITION BY grp) AS np
+  FROM slopes
+), med AS (
+  SELECT grp, CAST(MIN(np) AS BIGINT) AS n_pairs,
+         AVG(CASE WHEN rk IN ((np + 1) // 2, (np + 2) // 2)
+                  THEN CAST(s_micro AS DOUBLE) END) AS med_micro
+  FROM ranked GROUP BY grp
+)
+SELECT grp, n_pairs,
+       round(med_micro / 1e6, 6) AS sen_slope_r,
+       CAST(CASE WHEN med_micro > 0 THEN 1
+                 WHEN med_micro < 0 THEN -1 ELSE 0 END AS INT) AS trend_sign
+FROM med
+ORDER BY grp
+""",
+    tags=("monitoring", "stats"),
+)
+def a119_theil_sen_slope(spark, sf_dir):
+    """Theil-Sen robust trend slope of each event type's daily volume
+    — the median of all pairwise slopes, the ESTIMATOR companion to
+    q273's Mann-Kendall trend TEST (MK says whether a monotone trend
+    exists; Theil-Sen says how steep it is, with a 29% breakdown point
+    that one outage spike cannot drag the way OLS's single-point
+    leverage can). The O(n²) pair set is exact because the series is
+    the ~30-day calendar summary — 435 pairs per type at any sf, the
+    same bounded-panel discipline as a118. Each pairwise slope is an
+    exact rational micro-fixed to BIGINT; the median is the mean of
+    the two middle order statistics under an explicit rank window, so
+    both engines read identical integers. One corpus aggregate, then
+    calendar-sized algebra."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    idx = daily.select(
+        "grp",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("d"))
+        .cast("bigint")
+        .alias("k"),
+    ).localCheckpoint(eager=False)
+    a = idx.select("grp", F.col("c").alias("ca"), F.col("k").alias("ka"))
+    b = idx.select("grp", F.col("c").alias("cb"), F.col("k").alias("kb"))
+    slopes = (
+        a.join(b, "grp")
+        .filter(F.col("kb") > F.col("ka"))
+        .select(
+            "grp",
+            F.round(
+                1000000.0
+                * (F.col("cb") - F.col("ca"))
+                / (F.col("kb") - F.col("ka")),
+                0,
+            )
+            .cast("bigint")
+            .alias("s_micro"),
+        )
+    )
+    ranked = slopes.select(
+        "grp",
+        "s_micro",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("s_micro"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy("grp")).alias("np"),
+    )
+    med = ranked.groupBy("grp").agg(
+        F.min("np").cast("bigint").alias("n_pairs"),
+        F.avg(
+            F.when(
+                (F.col("rk") == F.expr("(np + 1) div 2"))
+                | (F.col("rk") == F.expr("(np + 2) div 2")),
+                F.col("s_micro").cast("double"),
+            )
+        ).alias("med_micro"),
+    )
+    return med.select(
+        "grp",
+        "n_pairs",
+        F.round(F.col("med_micro") / 1e6, 6).alias("sen_slope_r"),
+        F.when(F.col("med_micro") > 0, 1)
+        .when(F.col("med_micro") < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("trend_sign"),
+    ).orderBy("grp")
+
+
+@query(
+    "a113_effect_sizes",
+    oracle="""
+WITH v AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'treat' ELSE 'ctrl' END
+           AS arm,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS xc
+  FROM events WHERE event_type IN ('purchase', 'view')
+), mom AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS BIGINT) AS s1,
+         CAST(SUM(xc * xc) AS BIGINT) AS s2
+  FROM v GROUP BY arm
+), wide AS (
+  SELECT
+    (SELECT n FROM mom WHERE arm = 'treat') AS n1,
+    (SELECT s1 FROM mom WHERE arm = 'treat') AS t_s1,
+    (SELECT s2 FROM mom WHERE arm = 'treat') AS t_s2,
+    (SELECT n FROM mom WHERE arm = 'ctrl') AS n2,
+    (SELECT s1 FROM mom WHERE arm = 'ctrl') AS c_s1,
+    (SELECT s2 FROM mom WHERE arm = 'ctrl') AS c_s2
+), stats AS (
+  SELECT n1, n2,
+         CAST(t_s1 AS DOUBLE) / n1 / 100.0 AS m1,
+         CAST(c_s1 AS DOUBLE) / n2 / 100.0 AS m2,
+         (CAST(t_s2 AS DOUBLE) - CAST(t_s1 AS DOUBLE) * t_s1 / n1)
+           / (n1 - 1) / 10000.0 AS v1,
+         (CAST(c_s2 AS DOUBLE) - CAST(c_s1 AS DOUBLE) * c_s1 / n2)
+           / (n2 - 1) / 10000.0 AS v2
+  FROM wide
+)
+SELECT n1, n2,
+       round(m1 - m2, 6) AS mean_diff_r,
+       round((m1 - m2)
+             / sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0)),
+             6) AS cohens_d_r,
+       round((m1 - m2)
+             / sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0))
+             * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g_r,
+       round((m1 - m2) / sqrt(v2), 6) AS glass_delta_r
+FROM stats
+""",
+    tags=("monitoring", "stats"),
+)
+def a113_effect_sizes(spark, sf_dir):
+    """Standardized effect sizes between two event populations —
+    Cohen's d (pooled SD), Hedges' g (small-sample bias correction
+    1 − 3/(4N−9)), and Glass's Δ (control-only SD) on purchase-vs-view
+    values: the magnitude layer the testing battery lacked — a405's
+    power analysis CONSUMES an assumed effect size, the z/U/t tests
+    decide significance, and this MEASURES the standardized effect the
+    data actually shows, which is what survives between experiments
+    with different n. Two exact (n, Σx, Σx²) triples from one
+    map-side-combined aggregate; sample variances, the pooled SD, and
+    all three ratios evaluate as one closed-form double expression
+    written identically in both engines. Corpus touched once."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.when(F.col("event_type") == "purchase", "treat")
+        .otherwise("ctrl")
+        .alias("arm"),
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("xc"),
+    )
+    mom = v.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("s1"),
+        F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("s2"),
+    )
+    t = mom.filter(F.col("arm") == "treat").select(
+        F.col("n").alias("n1"),
+        F.col("s1").alias("t_s1"),
+        F.col("s2").alias("t_s2"),
+    )
+    c = mom.filter(F.col("arm") == "ctrl").select(
+        F.col("n").alias("n2"),
+        F.col("s1").alias("c_s1"),
+        F.col("s2").alias("c_s2"),
+    )
+    wide = t.join(F.broadcast(c))
+    m1 = F.col("t_s1").cast("double") / F.col("n1") / 100.0
+    m2 = F.col("c_s1").cast("double") / F.col("n2") / 100.0
+    v1 = (
+        (
+            F.col("t_s2").cast("double")
+            - F.col("t_s1").cast("double") * F.col("t_s1") / F.col("n1")
+        )
+        / (F.col("n1") - 1)
+        / 10000.0
+    )
+    v2 = (
+        (
+            F.col("c_s2").cast("double")
+            - F.col("c_s1").cast("double") * F.col("c_s1") / F.col("n2")
+        )
+        / (F.col("n2") - 1)
+        / 10000.0
+    )
+    pooled = F.sqrt(
+        ((F.col("n1") - 1.0) * v1 + (F.col("n2") - 1.0) * v2)
+        / (F.col("n1") + F.col("n2") - 2.0)
+    )
+    d = (m1 - m2) / pooled
+    return wide.select(
+        "n1",
+        "n2",
+        F.round(m1 - m2, 6).alias("mean_diff_r"),
+        F.round(d, 6).alias("cohens_d_r"),
+        F.round(
+            d * (1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)), 6
+        ).alias("hedges_g_r"),
+        F.round((m1 - m2) / F.sqrt(v2), 6).alias("glass_delta_r"),
     )

@@ -2045,7 +2045,8 @@ def a114_seasonal_naive_mase(spark, sf_dir):
     """Seasonal-naive forecast evaluation — MASE and sMAPE of the
     lag-7 ("same weekday last week") predictor of daily event volume,
     per type. This is the FORECAST-SCORING half the battery lacked:
-    a360 fits a model, this grades one against the scale-free
+    a360 fits a model and q185 uses the seasonal-naive baseline for
+    anomaly flags; this GRADES that baseline against the scale-free
     benchmark every forecasting paper reports (MASE = seasonal MAE
     over one-step-naive MAE; <1 beats naive). Summary-first as always:
     the corpus folds to the ~30-day count series, two lag windows on
@@ -2165,8 +2166,8 @@ def a421_seasonal_decompose(spark, sf_dir):
     seasonal indices from the detrended means, and the
     seasonality-strength statistic 1 − Var(resid)/Var(detrended) that
     says how much of the non-trend variation the weekly cycle
-    explains (the decision input for a114's seasonal-naive choice and
-    a411's blocked design). Determinism: the trend is an exact
+    explains (the decision input for a114's seasonal-naive choice, q185's
+    baseline, and a411's blocked design). Determinism: the trend is an exact
     integer-sum/7 single division, every detrended value micro-fixes
     to BIGINT before any cross-row mean, seasonal indices are rounded
     integer means re-centered by an integer subtraction, and both
@@ -2241,3 +2242,75 @@ def a421_seasonal_decompose(spark, sf_dir):
         )
         .orderBy("dow")
     )
+
+
+@query(
+    "a123_fulfillment_lead_time",
+    oracle="""
+WITH lt AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+              AS BIGINT) AS lead_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), stats AS (
+  SELECT priority,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(lead_days) AS BIGINT) AS total_days,
+         CAST(MIN(lead_days) AS BIGINT) AS min_days,
+         CAST(MAX(lead_days) AS BIGINT) AS max_days,
+         CAST(SUM(CASE WHEN lead_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_over_90
+  FROM lt GROUP BY priority
+)
+SELECT priority, n_lines,
+       round(CAST(total_days AS DOUBLE) / n_lines, 6) AS avg_lead_days_r,
+       min_days, max_days,
+       round(CAST(n_over_90 AS DOUBLE) / n_lines, 6) AS sla_breach_rate_r
+FROM stats
+ORDER BY priority
+""",
+    tags=("temporal", "ops"),
+)
+def a123_fulfillment_lead_time(spark, sf_dir):
+    """Order-to-ship fulfillment lead time per priority class — the
+    operations KPI (mean/min/max lead days + the 90-day SLA breach
+    rate) that joins the order header's commitment date to every
+    line's actual ship date: the one fact⋈fact shuffle the analysis
+    needs, with all statistics as exact integer day-count aggregates
+    (DATE subtraction is exact in both engines) folded map-side after
+    the join. The SLA breach rate per priority is the contract
+    question a warehouse dashboard refreshes hourly; at 100 TB the
+    join shuffles on the order key both tables are already
+    concentrated around, and AQE picks the strategy (no forced
+    broadcast of the sf-scaled orders side)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias(
+            "lead_days"
+        ),
+    )
+    stats = lt.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum("lead_days").cast("bigint").alias("total_days"),
+        F.min("lead_days").cast("bigint").alias("min_days"),
+        F.max("lead_days").cast("bigint").alias("max_days"),
+        F.sum((F.col("lead_days") > 90).cast("int"))
+        .cast("bigint")
+        .alias("n_over_90"),
+    )
+    return stats.select(
+        "priority",
+        "n_lines",
+        F.round(
+            F.col("total_days").cast("double") / F.col("n_lines"), 6
+        ).alias("avg_lead_days_r"),
+        "min_days",
+        "max_days",
+        F.round(
+            F.col("n_over_90").cast("double") / F.col("n_lines"), 6
+        ).alias("sla_breach_rate_r"),
+    ).orderBy("priority")

@@ -363,107 +363,3 @@ def a365_numeric_range_frame(spark, sf_dir):
         .orderBy("o_orderkey")
     )
 
-
-@query(
-    "a416_nearest_event_join",
-    oracle="""
-WITH stream AS (
-  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
-         CAST(date_trunc('day', ts) AS DATE) AS d
-  FROM events WHERE event_type IN ('click', 'purchase')
-), marked AS (
-  SELECT *,
-         MAX(CASE WHEN event_type = 'click' THEN us END)
-           OVER (PARTITION BY user_id ORDER BY us, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS back_us,
-         MIN(CASE WHEN event_type = 'click' THEN us END)
-           OVER (PARTITION BY user_id ORDER BY us, event_id
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-           AS fwd_us
-  FROM stream
-), purchases AS (
-  SELECT d,
-         CASE WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
-              WHEN back_us IS NULL THEN fwd_us - us
-              WHEN fwd_us IS NULL THEN us - back_us
-              ELSE LEAST(us - back_us, fwd_us - us) END AS dt_us
-  FROM marked WHERE event_type = 'purchase'
-)
-SELECT d,
-       CAST(COUNT(*) AS BIGINT) AS n_purchases,
-       CAST(COUNT(dt_us) AS BIGINT) AS n_matched,
-       CAST(COALESCE(SUM(dt_us), 0) AS BIGINT) AS sum_nearest_us,
-       CAST(COALESCE(MAX(dt_us), 0) AS BIGINT) AS max_nearest_us
-FROM purchases
-GROUP BY d
-ORDER BY d
-""",
-    tags=("windows", "asof"),
-)
-def a416_nearest_event_join(spark, sf_dir):
-    """Bidirectional nearest-event join — every purchase matched to
-    its temporally CLOSEST click (before or after), generalizing q21's
-    backward-only as-of join to the |Δt|-minimizing variant used for
-    sensor alignment and ad-to-conversion matching when causality can
-    run either way. Same union-merge discipline as q21: ONE shuffle on
-    the user key orders the merged click+purchase stream, a
-    running-max frame carries the latest click backward and a
-    running-min frame carries the next click forward, and the nearest
-    distance is a LEAST of the two exact microsecond gaps (unix_micros
-    on both engines, single subtraction — the a363 sub-second
-    lesson). Output folds per day so the hash certifies match
-    existence, sums, and the worst gap. No range join, no per-row
-    subquery — two frames over one sort."""
-    ev = table(spark, sf_dir, "events")
-    stream = ev.filter(
-        F.col("event_type").isin("click", "purchase")
-    ).select(
-        "user_id",
-        "event_type",
-        "event_id",
-        F.unix_micros("ts").alias("us"),
-        F.date_trunc("day", "ts").cast("date").alias("d"),
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    click_us = F.when(F.col("event_type") == "click", F.col("us"))
-    marked = stream.select(
-        "event_type",
-        "us",
-        "d",
-        F.max(click_us)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("back_us"),
-        F.min(click_us)
-        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-        .alias("fwd_us"),
-    )
-    dt = (
-        F.when(
-            F.col("back_us").isNull() & F.col("fwd_us").isNull(), F.lit(None)
-        )
-        .when(F.col("back_us").isNull(), F.col("fwd_us") - F.col("us"))
-        .when(F.col("fwd_us").isNull(), F.col("us") - F.col("back_us"))
-        .otherwise(
-            F.least(
-                F.col("us") - F.col("back_us"), F.col("fwd_us") - F.col("us")
-            )
-        )
-    )
-    purchases = marked.filter(F.col("event_type") == "purchase").select(
-        "d", dt.alias("dt_us")
-    )
-    return (
-        purchases.groupBy("d")
-        .agg(
-            F.count("*").cast("bigint").alias("n_purchases"),
-            F.count("dt_us").cast("bigint").alias("n_matched"),
-            F.coalesce(F.sum("dt_us"), F.lit(0))
-            .cast("bigint")
-            .alias("sum_nearest_us"),
-            F.coalesce(F.max("dt_us"), F.lit(0))
-            .cast("bigint")
-            .alias("max_nearest_us"),
-        )
-        .orderBy("d")
-    )
