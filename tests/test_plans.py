@@ -779,3 +779,61 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark, sf_dir, registry):
         )
         bad.extend(f"{name}: {v}" for v in broadcast_violations(plan))
     assert not bad, bad
+
+
+def test_a103_skew_capped_pairs_no_cartesian(spark, sf_dir, registry):
+    """The capped shingle-Jaccard path over the skewed corpus must stay
+    a posting-list equi-join — the cap must not change the plan shape,
+    only the posting volume."""
+    df = registry["a103_skew_shingle_capped"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_a112_two_path_is_equi_join(spark, sf_dir, registry):
+    """Link-prediction candidates come from the panel-seeded two-path
+    equi-join on the shared neighbor — never node×node."""
+    df = registry["a112_link_prediction"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_a124_isotropy_no_pair_join(spark, sf_dir, registry):
+    """The Gram-identity isotropy audit must contain NO join at all —
+    the whole point is O(n·d) instead of the O(n²) pairwise sweep.
+    (The only joins allowed are the two final 1-row aggregates.)"""
+    df = registry["a124_isotropy_audit"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_a121_hll_single_scan(spark, sf_dir, registry):
+    """The HLL twin folds the fact scan to 256 registers: one parquet
+    scan feeds both the register build and the exact count (via the
+    checkpointed distinct), never a re-read per branch."""
+    df = registry["a121_hll_oracled"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_a420_centroid_join_is_broadcast(spark, sf_dir, registry):
+    """Centroid assignment joins the n·d component stream to a k·d
+    centroid table — the small side must ride broadcast, the corpus
+    side must never shuffle for it."""
+    df = registry["a420_centroid_classifier"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_a427_spc_rules_single_window_sort(spark, sf_dir, registry):
+    """All four Western Electric rule frames share the per-type date
+    ordering: the plan must contain at most one sort per window
+    lineage, not one shuffle per rule."""
+    df = registry["a427_western_electric_rules"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # all frames ride one hashpartitioning(grp) exchange for the window
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
