@@ -4688,9 +4688,13 @@ def a118_kendall_tau_b(spark, sf_dir):
         .groupBy(F.col("o_custkey").alias("id"))
         .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("y"))
     )
+    # limit(200) is a no-op on the c_custkey<200 panel but pins the
+    # GlobalLimit that proves the broadcast side is constant-size at
+    # any sf (tools/lint_broadcast.py contract, the q95 pattern)
     pts = (
         samp.join(spend, "id", "left")
         .select("id", "x", F.coalesce("y", F.lit(0)).alias("y"))
+        .limit(200)
         .localCheckpoint(eager=False)
     )
     a = pts.select(
