@@ -1788,3 +1788,96 @@ def a404_lsh_prf_eval(spark, sf_dir):
             2.0 * F.col("n_tp") / (F.col("n_pred") + F.col("n_true")), 6
         ).alias("f1_r"),
     )
+
+
+@query(
+    "a435_weighted_jaccard",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, tok
+), tot AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total FROM tf GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS sum_min
+  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE a.doc_id < 20
+  GROUP BY doc_a, doc_b
+)
+SELECT i.doc_a, i.doc_b, i.sum_min,
+       round(CAST(i.sum_min AS DOUBLE)
+             / (ta.total + tb.total - i.sum_min), 6) AS weighted_jaccard_r
+FROM inter i
+JOIN tot ta ON ta.doc_id = i.doc_a
+JOIN tot tb ON tb.doc_id = i.doc_b
+ORDER BY weighted_jaccard_r DESC, doc_a, doc_b
+LIMIT 25
+""",
+    tags=("dedup", "similarity"),
+)
+def a435_weighted_jaccard(spark, sf_dir):
+    """Weighted (multiset / min-max) Jaccard similarity —
+    Σmin(tfₐ,tf_b)/Σmax(tfₐ,tf_b), the bag-of-words generalization the
+    set-similarity battery (a394: Jaccard/Dice/overlap on SETS) and
+    the shingle pipeline can't express: two documents repeating the
+    same token 50× vs once are very different bags but identical
+    sets, and near-dup detection on templated/spammy text needs the
+    multiset view. The union mass needs NO union join —
+    Σmax = totalₐ + total_b − Σmin, so one posting-list equi-join on
+    the token (query panel doc_a < 20 bounds candidates exactly like
+    q198 — this fixture's 31-token vocabulary makes every doc pair
+    collide, the worst case) plus two per-doc totals gives the exact
+    rational score from BIGINT term frequencies. Consistent-weighted-
+    sampling sketches slot into the same contract at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    from ..functions.text import tokens
+    from ..operators.core import ensure_parallelism
+
+    tf = (
+        ensure_parallelism(d)
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    tot = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("total")
+    )
+    a = tf.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("tf").alias("tfa")
+    )
+    b = tf.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("tf").alias("tfb")
+    )
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("tfa", "tfb")).cast("bigint").alias("sum_min"))
+    )
+    ta = tot.select(
+        F.col("doc_id").alias("doc_a"), F.col("total").alias("total_a")
+    )
+    tb = tot.select(
+        F.col("doc_id").alias("doc_b"), F.col("total").alias("total_b")
+    )
+    return (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sum_min",
+            F.round(
+                F.col("sum_min").cast("double")
+                / (F.col("total_a") + F.col("total_b") - F.col("sum_min")),
+                6,
+            ).alias("weighted_jaccard_r"),
+        )
+        .orderBy(F.col("weighted_jaccard_r").desc(), "doc_a", "doc_b")
+        .limit(25)
+    )

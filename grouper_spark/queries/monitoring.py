@@ -5755,3 +5755,310 @@ def a113_effect_sizes(spark, sf_dir):
         ).alias("hedges_g_r"),
         F.round((m1 - m2) / F.sqrt(v2), 6).alias("glass_delta_r"),
     )
+
+
+# Studentized-range critical value q(k=5 groups, df=inf, alpha=.05),
+# embedded literal (both engines compare against the same constant).
+_HSD_QCRIT = 3.858
+
+
+@query(
+    "a432_tukey_hsd",
+    oracle=f"""
+WITH v AS (
+  SELECT event_type AS grp,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS xc
+  FROM events
+), mom AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS BIGINT) AS s1,
+         CAST(SUM(xc * xc) AS BIGINT) AS s2
+  FROM v GROUP BY grp
+), msw AS (
+  SELECT CAST(SUM(s2 - CAST(s1 AS DOUBLE) * s1 / n) AS DOUBLE)
+           / CAST(SUM(n - 1) AS BIGINT) AS w,
+         CAST(SUM(n) AS BIGINT) AS n_total
+  FROM mom
+), pairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b,
+         CAST(a.s1 AS DOUBLE) / a.n / 100.0
+           - CAST(b.s1 AS DOUBLE) / b.n / 100.0 AS diff,
+         sqrt(m.w / 2.0 * (1.0 / a.n + 1.0 / b.n)) / 100.0 AS se
+  FROM mom a JOIN mom b ON a.grp < b.grp
+  CROSS JOIN msw m
+)
+SELECT grp_a, grp_b,
+       round(diff, 6) AS mean_diff_r,
+       round(abs(diff) / se, 6) AS q_stat_r,
+       CAST(abs(diff) / se > {_HSD_QCRIT} AS INT) AS significant
+FROM pairs
+ORDER BY grp_a, grp_b
+""",
+    tags=("monitoring", "stats"),
+)
+def a432_tukey_hsd(spark, sf_dir):
+    """Tukey-Kramer HSD post-hoc pairwise comparisons — the step AFTER
+    an omnibus ANOVA (a408) or Kruskal-Wallis (a106) says "some group
+    differs": WHICH pairs differ, with the studentized-range statistic
+    whose familywise error control is exactly what a battery of naive
+    t-tests (the thing a107's FDR exists to repair) lacks. Every
+    pair's q = |mᵢ−mⱼ| / √(MSW/2·(1/nᵢ+1/nⱼ)) uses the one pooled
+    within-group variance from exact (n, Σx, Σx²) BIGINT triples (the
+    a408 MSW discipline); the critical value q(k=5, df≈∞) is a
+    Python-embedded literal so no engine evaluates a distribution
+    function. The 10-pair 'join' is group-count sized; the corpus is
+    touched once."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("xc"),
+    )
+    mom = v.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("s1"),
+        F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("s2"),
+    ).localCheckpoint(eager=False)
+    msw = mom.agg(
+        (
+            F.sum(
+                F.col("s2")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            ).cast("double")
+            / F.sum(F.col("n") - 1).cast("bigint")
+        ).alias("w")
+    )
+    a = mom.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("na"),
+        F.col("s1").alias("sa"),
+    )
+    b = mom.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("nb"),
+        F.col("s1").alias("sb"),
+    )
+    pairs = (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .join(F.broadcast(msw))
+        .select(
+            "grp_a",
+            "grp_b",
+            (
+                F.col("sa").cast("double") / F.col("na") / 100.0
+                - F.col("sb").cast("double") / F.col("nb") / 100.0
+            ).alias("diff"),
+            (
+                F.sqrt(
+                    F.col("w")
+                    / 2.0
+                    * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+                )
+                / 100.0
+            ).alias("se"),
+        )
+    )
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        F.round(F.col("diff"), 6).alias("mean_diff_r"),
+        F.round(F.abs("diff") / F.col("se"), 6).alias("q_stat_r"),
+        (F.abs("diff") / F.col("se") > _HSD_QCRIT)
+        .cast("int")
+        .alias("significant"),
+    ).orderBy("grp_a", "grp_b")
+
+
+_GRUBBS_CRIT = 4.0  # |z|max flag threshold for n~1e4 (documented literal)
+
+
+@query(
+    "a433_grubbs_test",
+    oracle=f"""
+WITH v AS (
+  SELECT event_type AS grp,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS xc
+  FROM events
+), mom AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS BIGINT) AS s1,
+         CAST(SUM(xc * xc) AS BIGINT) AS s2,
+         CAST(MAX(xc) AS BIGINT) AS xmax,
+         CAST(MIN(xc) AS BIGINT) AS xmin
+  FROM v GROUP BY grp
+), stats AS (
+  SELECT grp, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+              / (n - 1)) AS sd,
+         CAST(xmax AS BIGINT) AS xmax, CAST(xmin AS BIGINT) AS xmin
+  FROM mom
+)
+SELECT grp, n,
+       round(mean / 100.0, 6) AS mean_r,
+       round(sd / 100.0, 6) AS sd_r,
+       round(GREATEST(xmax - mean, mean - xmin) / sd, 6) AS g_stat_r,
+       CAST(GREATEST(xmax - mean, mean - xmin) / sd > {_GRUBBS_CRIT}
+            AS INT) AS outlier_flag
+FROM stats
+ORDER BY grp
+""",
+    tags=("monitoring", "stats"),
+)
+def a433_grubbs_test(spark, sf_dir):
+    """Grubbs' maximum-studentized-deviate test per event type — the
+    single-outlier detector that formalizes "is the most extreme value
+    too extreme": G = max(x̄−min, max−x̄)/s, the parametric cousin of
+    the IQR fences (q91) and robust-z (MAD) checks, and the test you
+    report when one value must be formally excluded. The whole
+    statistic needs only (n, Σx, Σx², min, max) — one
+    map-side-combined aggregate of exact BIGINTs — with mean/sd/G as
+    one closed-form double expression and the n≈10⁴-appropriate
+    critical value embedded as a literal. The corpus is touched once;
+    the comparison runs on 5 summary rows."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("xc"),
+    )
+    mom = v.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("s1"),
+        F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("s2"),
+        F.max("xc").cast("bigint").alias("xmax"),
+        F.min("xc").cast("bigint").alias("xmin"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    g = F.greatest(F.col("xmax") - mean, mean - F.col("xmin")) / sd
+    return mom.select(
+        "grp",
+        "n",
+        F.round(mean / 100.0, 6).alias("mean_r"),
+        F.round(sd / 100.0, 6).alias("sd_r"),
+        F.round(g, 6).alias("g_stat_r"),
+        (g > _GRUBBS_CRIT).cast("int").alias("outlier_flag"),
+    ).orderBy("grp")
+
+
+_LB_LAGS = 5
+
+
+@query(
+    "a434_ljung_box",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY grp, d
+), base AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM daily GROUP BY grp
+), dev AS (
+  SELECT daily.grp, d, b.n, b.s,
+         b.n * c - b.s AS nd
+  FROM daily JOIN base b ON b.grp = daily.grp
+), lagged AS (
+  SELECT grp, n, nd,
+         {", ".join(
+           f"lag(nd, {k}) OVER (PARTITION BY grp ORDER BY d) AS nd{k}"
+           for k in range(1, _LB_LAGS + 1)
+         )}
+  FROM dev
+), sums AS (
+  SELECT grp, CAST(MIN(n) AS BIGINT) AS n,
+         CAST(SUM(nd * nd) AS BIGINT) AS s0,
+         {", ".join(
+           f"CAST(COALESCE(SUM(nd * nd{k}), 0) AS BIGINT) AS s{k}"
+           for k in range(1, _LB_LAGS + 1)
+         )}
+  FROM lagged GROUP BY grp
+), terms AS (
+  SELECT grp, n,
+         {", ".join(
+           f"round(CAST(s{k} AS DOUBLE) / s0, 6) AS rho{k}_r"
+           for k in range(1, 4)
+         )},
+         {" + ".join(
+           f"CAST(ROUND(1000000.0 * (CAST(s{k} AS DOUBLE) / s0)"
+           f" * (CAST(s{k} AS DOUBLE) / s0) / (n - {k}), 0) AS BIGINT)"
+           for k in range(1, _LB_LAGS + 1)
+         )} AS term_micro
+  FROM sums
+)
+SELECT grp, n, rho1_r, rho2_r, rho3_r,
+       round(n * (n + 2.0) * (term_micro / 1e6), 6) AS q_lb_r
+FROM terms
+ORDER BY grp
+""",
+    tags=("monitoring", "stats"),
+)
+def a434_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test (lags 1–5) on each event type's
+    daily volume — the JOINT "is there ANY autocorrelation left"
+    statistic that turns q231's per-lag ACF readings into one
+    whiteness decision: Q = n(n+2)Σρ̂ₖ²/(n−k), the standard residual
+    gate after any forecast fit (a360/a431/a114). Exactness via the
+    q231 trick taken further: deviations are scaled by n (n·x−S, exact
+    BIGINT), so every autocovariance Σndₜ·ndₜ₊ₖ and the lag-0 energy
+    are exact integers whose scale cancels in ρ̂ₖ; each of the 5
+    Q-terms micro-fixes to a BIGINT before the cross-lag sum. Five lag
+    windows ride one per-type ordering; the corpus is gone after the
+    first count aggregate."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    base = daily.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    dev = daily.join(base, "grp").select(
+        "grp",
+        "d",
+        "n",
+        (F.col("n") * F.col("c") - F.col("s")).alias("nd"),
+    )
+    w = Window.partitionBy("grp").orderBy("d")
+    lagged = dev.select(
+        "grp",
+        "n",
+        "nd",
+        *[F.lag("nd", k).over(w).alias(f"nd{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    sums = lagged.groupBy("grp").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.sum(F.col("nd") * F.col("nd")).cast("bigint").alias("s0"),
+        *[
+            F.coalesce(F.sum(F.col("nd") * F.col(f"nd{k}")), F.lit(0))
+            .cast("bigint")
+            .alias(f"s{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    rho = {
+        k: F.col(f"s{k}").cast("double") / F.col("s0")
+        for k in range(1, _LB_LAGS + 1)
+    }
+    term_micro = None
+    for k in range(1, _LB_LAGS + 1):
+        t = F.round(
+            1000000.0 * rho[k] * rho[k] / (F.col("n") - k), 0
+        ).cast("bigint")
+        term_micro = t if term_micro is None else term_micro + t
+    return sums.select(
+        "grp",
+        "n",
+        F.round(rho[1], 6).alias("rho1_r"),
+        F.round(rho[2], 6).alias("rho2_r"),
+        F.round(rho[3], 6).alias("rho3_r"),
+        F.round(
+            F.col("n") * (F.col("n") + 2.0) * (term_micro / 1e6), 6
+        ).alias("q_lb_r"),
+    ).orderBy("grp")

@@ -2314,3 +2314,157 @@ def a123_fulfillment_lead_time(spark, sf_dir):
             F.col("n_over_90").cast("double") / F.col("n_lines"), 6
         ).alias("sla_breach_rate_r"),
     ).orderBy("priority")
+
+
+@query(
+    "a431_holt_winters",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY d
+), series AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+         CAST(c AS DOUBLE) AS x,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM daily
+), init AS (
+  SELECT CAST(SUM(CASE WHEN k BETWEEN 1 AND 7 THEN x END) AS DOUBLE) AS a7,
+         CAST(SUM(CASE WHEN k BETWEEN 8 AND 14 THEN x END) AS DOUBLE) AS b7,
+         MAX(CASE WHEN k = 1 THEN x END) AS x1,
+         MAX(CASE WHEN k = 2 THEN x END) AS x2,
+         MAX(CASE WHEN k = 3 THEN x END) AS x3,
+         MAX(CASE WHEN k = 4 THEN x END) AS x4,
+         MAX(CASE WHEN k = 5 THEN x END) AS x5,
+         MAX(CASE WHEN k = 6 THEN x END) AS x6,
+         MAX(CASE WHEN k = 7 THEN x END) AS x7,
+         CAST(MIN(n) AS BIGINT) AS n
+  FROM series
+), state AS (
+  SELECT CAST(7 AS BIGINT) AS k, n,
+         CAST(a7 / 7.0 AS DOUBLE) AS l,
+         CAST((b7 - a7) / 49.0 AS DOUBLE) AS b,
+         CAST(x1 - a7 / 7.0 AS DOUBLE) AS s1,
+         CAST(x2 - a7 / 7.0 AS DOUBLE) AS s2,
+         CAST(x3 - a7 / 7.0 AS DOUBLE) AS s3,
+         CAST(x4 - a7 / 7.0 AS DOUBLE) AS s4,
+         CAST(x5 - a7 / 7.0 AS DOUBLE) AS s5,
+         CAST(x6 - a7 / 7.0 AS DOUBLE) AS s6,
+         CAST(x7 - a7 / 7.0 AS DOUBLE) AS s7
+  FROM init
+  UNION ALL
+  SELECT st.k + 1, st.n,
+         0.5 * (sr.x - st.s1) + 0.5 * (st.l + st.b),
+         0.25 * ((0.5 * (sr.x - st.s1) + 0.5 * (st.l + st.b)) - st.l)
+           + 0.75 * st.b,
+         st.s2, st.s3, st.s4, st.s5, st.s6, st.s7,
+         0.25 * (sr.x - (0.5 * (sr.x - st.s1) + 0.5 * (st.l + st.b)))
+           + 0.75 * st.s1
+  FROM state st JOIN series sr ON sr.k = st.k + 1
+  WHERE st.k < st.n
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(l, 6) AS level_r,
+       round(b, 6) AS trend_r,
+       round(l + 1.0 * b + s1, 6) AS forecast_1_r,
+       round(l + 2.0 * b + s2, 6) AS forecast_2_r,
+       round(l + 3.0 * b + s3, 6) AS forecast_3_r
+FROM state WHERE k = n
+""",
+    tags=("temporal", "forecast"),
+)
+def a431_holt_winters(spark, sf_dir):
+    """Holt-Winters additive triple exponential smoothing (level +
+    trend + weekly seasonal state, α=0.5 β=0.25 γ=0.25 — all
+    binary-exact) over the daily event total: the seasonal upgrade of
+    a360's Holt (which a421's decomposition measures the NEED for —
+    its seasonality strength says whether the γ state earns its
+    keep). The 9-field state (l, b, 7 rotating seasonals) makes this
+    the hardest recurrence in the battery: each step consumes the
+    seasonal computed 7 steps ago (tuple rotation s₂..s₇,s_new — no
+    window frame expresses state feeding state), folded left-to-right
+    by one codegen ``aggregate`` lambda with l′ recomputed TEXTUALLY
+    inside the b′ and s′ expressions (the a360 bit-identity
+    discipline), init from the first two weeks' exact integer sums.
+    The oracle is the identical recurrence as a RECURSIVE CTE with
+    every base column CAST AS DOUBLE (the a117 DECIMAL trap).
+    Forecasts f_h = l + h·b + s_h fall out of the final state. One
+    count aggregate touches the corpus; the fold sees ~30 doubles."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    packed = (
+        daily.select(F.struct("d", F.col("c").cast("double").alias("x")).alias("s"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("s")), lambda s: s.getField("x")
+            ).alias("xs")
+        )
+    )
+    x = lambda i: F.element_at("xs", i)  # noqa: E731
+    a7 = x(1) + x(2) + x(3) + x(4) + x(5) + x(6) + x(7)
+    b7 = x(8) + x(9) + x(10) + x(11) + x(12) + x(13) + x(14)
+    init = F.struct(
+        (a7 / 7.0).alias("l"),
+        ((b7 - a7) / 49.0).alias("b"),
+        *[(x(i) - a7 / 7.0).alias(f"s{i}") for i in range(1, 8)],
+    )
+    rest = F.slice(F.col("xs"), 8, F.size("xs") - 7)
+
+    def step(acc, xv):
+        lp = 0.5 * (xv - acc.getField("s1")) + 0.5 * (
+            acc.getField("l") + acc.getField("b")
+        )
+        bp = (
+            0.25
+            * (
+                (
+                    0.5 * (xv - acc.getField("s1"))
+                    + 0.5 * (acc.getField("l") + acc.getField("b"))
+                )
+                - acc.getField("l")
+            )
+            + 0.75 * acc.getField("b")
+        )
+        snew = (
+            0.25
+            * (
+                xv
+                - (
+                    0.5 * (xv - acc.getField("s1"))
+                    + 0.5 * (acc.getField("l") + acc.getField("b"))
+                )
+            )
+            + 0.75 * acc.getField("s1")
+        )
+        return F.struct(
+            lp.alias("l"),
+            bp.alias("b"),
+            acc.getField("s2").alias("s1"),
+            acc.getField("s3").alias("s2"),
+            acc.getField("s4").alias("s3"),
+            acc.getField("s5").alias("s4"),
+            acc.getField("s6").alias("s5"),
+            acc.getField("s7").alias("s6"),
+            snew.alias("s7"),
+        )
+
+    folded = packed.select(
+        F.size("xs").cast("bigint").alias("n_days"),
+        F.aggregate(rest, init, step).alias("st"),
+    )
+    return folded.select(
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level_r"),
+        F.round(F.col("st.b"), 6).alias("trend_r"),
+        F.round(F.col("st.l") + 1.0 * F.col("st.b") + F.col("st.s1"), 6).alias(
+            "forecast_1_r"
+        ),
+        F.round(F.col("st.l") + 2.0 * F.col("st.b") + F.col("st.s2"), 6).alias(
+            "forecast_2_r"
+        ),
+        F.round(F.col("st.l") + 3.0 * F.col("st.b") + F.col("st.s3"), 6).alias(
+            "forecast_3_r"
+        ),
+    )
