@@ -5070,3 +5070,226 @@ def a426_powerlaw_fit(spark, sf_dir):
         ).alias("intercept_r"),
         F.round(num * num / (den * deny), 6).alias("r2_r"),
     )
+
+
+@query(
+    "a436_bradley_terry",
+    oracle="""
+WITH RECURSIVE li AS (
+  SELECT l.l_orderkey AS ok, p.p_brand AS brand,
+         l.l_extendedprice / l.l_quantity AS unit
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), duels AS (
+  SELECT CASE WHEN a.unit < b.unit THEN a.brand ELSE b.brand END AS winner,
+         CASE WHEN a.unit < b.unit THEN b.brand ELSE a.brand END AS loser
+  FROM li a JOIN li b ON a.ok = b.ok AND a.brand < b.brand
+), idx AS (
+  SELECT brand, CAST(row_number() OVER (ORDER BY brand) - 1 AS BIGINT) AS i
+  FROM (SELECT DISTINCT brand FROM li)
+), wins AS (
+  SELECT wi.i AS i, lj.i AS j, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM duels d JOIN idx wi ON wi.brand = d.winner
+               JOIN idx lj ON lj.brand = d.loser
+  GROUP BY wi.i, lj.i
+), games AS (
+  SELECT i, j, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT i, j, cnt FROM wins
+    UNION ALL
+    SELECT j AS i, i AS j, cnt FROM wins
+  ) GROUP BY i, j
+), wtot AS (
+  SELECT i, CAST(SUM(cnt) AS BIGINT) AS w FROM wins GROUP BY i
+), mrows AS (
+  SELECT a.i,
+         list(CAST(coalesce(g.cnt, 0) AS DOUBLE) ORDER BY b.i) AS mrow
+  FROM idx a CROSS JOIN idx b
+  LEFT JOIN games g ON g.i = a.i AND g.j = b.i
+  GROUP BY a.i
+), base AS (
+  SELECT (SELECT list(mrow ORDER BY i) FROM mrows) AS m,
+         (SELECT list(CAST(coalesce(w.w, 0) AS DOUBLE) ORDER BY idx.i)
+          FROM idx LEFT JOIN wtot w ON w.i = idx.i) AS w,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n
+), it(k, s, m, w, n) AS (
+  SELECT 0, list_transform(range(n), x -> CAST(1.0 AS DOUBLE)), m, w, n
+  FROM base
+  UNION ALL
+  SELECT k + 1,
+         list_transform(range(n), i ->
+           w[i + 1] / list_reduce(
+             list_transform(range(n), j ->
+               m[i + 1][j + 1] / (s[i + 1] + s[j + 1])),
+             (acc, x) -> acc + x)),
+         m, w, n
+  FROM it WHERE k < 20
+), fin AS (
+  SELECT s, n, list_reduce(s, (acc, x) -> acc + x) AS ssum
+  FROM it WHERE k = 20
+)
+SELECT idx.brand,
+       CAST(coalesce(w.w, 0) AS BIGINT) AS n_wins,
+       CAST((SELECT SUM(cnt) FROM games g WHERE g.i = idx.i) AS BIGINT)
+         AS n_games,
+       round(f.s[idx.i + 1] * f.n / f.ssum, 6) AS rating_r
+FROM idx CROSS JOIN fin f
+LEFT JOIN wtot w ON w.i = idx.i
+ORDER BY idx.brand
+""",
+    tags=("analytics", "ranking"),
+)
+def a436_bradley_terry(spark, sf_dir):
+    """Bradley-Terry pairwise-preference ratings via Hunter's MM
+    iteration — the model behind LLM preference leaderboards (Chatbot-
+    Arena-style) and RLHF reward shaping: pairwise "duels" (two brands
+    priced in the same order; the cheaper unit price wins — 0 exact
+    ties in this fixture, ties awarded to the later brand by explicit
+    CASE so both engines agree) aggregate to a 25×25 win matrix, and
+    s_i ← W_i / Σ_j n_ij/(s_i+s_j) iterated 20× from all-ones recovers
+    latent strengths. The expensive parts are relational and scale
+    free: one within-order self-join bounded by order size (never
+    brand×brand over the fact table), one groupBy to the 25²-entry
+    matrix. The iteration itself runs on a SINGLE dense-matrix row via
+    JVM higher-order functions (F.aggregate over a 20-step sequence,
+    nested index folds — no Python, no driver loop, no extra jobs);
+    the oracle replays the identical float program as a WITH RECURSIVE
+    step (the a360 recipe: same left-to-right fold order gives
+    bit-identical doubles, list_reduce's first-element seed being the
+    additive identity). Ratings are mean-normalized once at output.
+    At 100 TB the duel aggregation is the only data-scale stage; the
+    matrix row stays O(players²) regardless of row count."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("p_brand").alias("brand"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = li.select(
+        "ok", F.col("brand").alias("brand_a"), F.col("unit").alias("unit_a")
+    )
+    b = li.select(
+        "ok", F.col("brand").alias("brand_b"), F.col("unit").alias("unit_b")
+    )
+    duels = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .select(
+            F.when(F.col("unit_a") < F.col("unit_b"), F.col("brand_a"))
+            .otherwise(F.col("brand_b"))
+            .alias("winner"),
+            F.when(F.col("unit_a") < F.col("unit_b"), F.col("brand_b"))
+            .otherwise(F.col("brand_a"))
+            .alias("loser"),
+        )
+    )
+    idx = (
+        li.select("brand")
+        .distinct()
+        .select(
+            "brand",
+            (
+                F.row_number().over(Window.orderBy("brand")) - 1
+            ).cast("bigint").alias("i"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wi = idx.select(F.col("brand").alias("winner"), F.col("i").alias("i"))
+    lj = idx.select(F.col("brand").alias("loser"), F.col("i").alias("j"))
+    wins = (
+        duels.join(F.broadcast(wi), "winner")
+        .join(F.broadcast(lj), "loser")
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    games = (
+        wins.select("i", "j", "cnt")
+        .unionAll(
+            wins.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "cnt"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    wtot = wins.groupBy("i").agg(F.sum("cnt").cast("bigint").alias("w"))
+    n_row = idx.agg(F.count("*").cast("bigint").alias("n"))
+    # dense win-matrix rows: every (i, j) cell, zero-filled
+    cells = (
+        idx.select(F.col("i"))
+        .crossJoin(F.broadcast(idx.select(F.col("i").alias("j"))))
+        .join(games, ["i", "j"], "left")
+        .select("i", "j", F.coalesce("cnt", F.lit(0)).cast("double").alias("g"))
+    )
+    mrows = cells.groupBy("i").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "g"))), lambda x: x["g"]
+        ).alias("mrow")
+    )
+    mat = mrows.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "mrow"))),
+            lambda x: x["mrow"],
+        ).alias("m")
+    )
+    wvec = (
+        idx.join(wtot, "i", "left")
+        .select("i", F.coalesce("w", F.lit(0)).cast("double").alias("wd"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "wd"))),
+                lambda x: x["wd"],
+            ).alias("w")
+        )
+    )
+    one = mat.crossJoin(wvec).crossJoin(F.broadcast(n_row))
+    zero_to_n = F.sequence(F.lit(0), (F.col("n") - 1).cast("int"))
+    s_final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(20)),
+        F.transform(zero_to_n, lambda _: F.lit(1.0)),
+        lambda acc, _: F.transform(
+            zero_to_n,
+            lambda i: F.get(F.col("w"), i)
+            / F.aggregate(
+                zero_to_n,
+                F.lit(0.0),
+                lambda d, j: d
+                + F.get(F.get(F.col("m"), i), j)
+                / (F.get(acc, i) + F.get(acc, j)),
+            ),
+        ),
+    )
+    rated = one.select(
+        F.col("n"),
+        s_final.alias("s"),
+    ).select(
+        "n",
+        "s",
+        F.aggregate("s", F.lit(0.0), lambda a_, x: a_ + x).alias("ssum"),
+    )
+    expl = rated.select(
+        "n", "ssum", F.posexplode("s").alias("i", "si")
+    ).select(F.col("i").cast("bigint").alias("i"), "n", "ssum", "si")
+    gtot = games.groupBy("i").agg(F.sum("cnt").cast("bigint").alias("n_games"))
+    return (
+        idx.join(expl, "i")
+        .join(wtot, "i", "left")
+        .join(gtot, "i", "left")
+        .select(
+            "brand",
+            F.coalesce("w", F.lit(0)).cast("bigint").alias("n_wins"),
+            F.col("n_games").cast("bigint").alias("n_games"),
+            F.round(
+                F.col("si") * F.col("n") / F.col("ssum"), 6
+            ).alias("rating_r"),
+        )
+        .orderBy("brand")
+    )

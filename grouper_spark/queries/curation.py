@@ -2517,3 +2517,263 @@ def a108_jensen_shannon(spark, sf_dir):
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "a437_silhouette",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), dist AS (
+  SELECT e.vec_id, c.cid,
+         CAST(ROUND(list_reduce(
+           list_transform(range(64), p ->
+             (e.v[p + 1] - c.cv[p + 1]) * (e.v[p + 1] - c.cv[p + 1])),
+           (acc, x) -> acc + x) * 1000000000000.0, 0) AS BIGINT) AS d_fp
+  FROM e CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, cid, d_fp,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY d_fp, cid) AS rn
+  FROM dist
+), ab AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN cid END) AS cell,
+         MAX(CASE WHEN rn = 1 THEN d_fp END) AS a_fp,
+         MAX(CASE WHEN rn = 2 THEN d_fp END) AS b_fp
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id
+), sil AS (
+  SELECT cell,
+         CAST(ROUND(CASE WHEN b_fp = 0 THEN 0.0 ELSE
+           (sqrt(b_fp / 1000000000000.0) - sqrt(a_fp / 1000000000000.0))
+           / greatest(sqrt(a_fp / 1000000000000.0),
+                      sqrt(b_fp / 1000000000000.0)) END
+           * 1000000000.0, 0) AS BIGINT) AS s_fp
+  FROM ab
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(ROUND(SUM(s_fp) / COUNT(*), 0) AS BIGINT) / 1000000000.0
+         AS mean_silhouette
+FROM sil GROUP BY cell ORDER BY cell
+""",
+    tags=("curation", "similarity"),
+)
+def a437_silhouette(spark, sf_dir):
+    """Simplified silhouette score for the q95 k-means clustering —
+    the standard cluster-quality diagnostic, in its O(n·k) centroid
+    form (a = distance to own centroid, b = distance to the nearest
+    OTHER centroid, s = (b−a)/max(a,b)) rather than the O(n²)
+    pairwise textbook form, which is the only version that survives
+    100 TB: the corpus is never self-joined, only cross-joined against
+    the broadcast 8-row codebook (same plan as q95's assignment pass,
+    one shuffle to the per-cell rollup). Squared distances are
+    fixed-pointed to BIGINT (deterministic index-order fold on both
+    engines), the two smallest per vector are picked by an exact
+    integer (d_fp, cid) ranking — since each centroid contributes one
+    row per vector, the global second-smallest IS the nearest-other —
+    and sqrt of an identical integer ratio is correctly rounded IEEE
+    on both engines, so per-cell means hash-match bit-for-bit.
+    Seed vectors (vec_id<8) sit exactly on their centroid: a=0, s=1."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = (
+        e.filter(F.col("vec_id") < 8)
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    d_fp = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * 1000000000000.0,
+        0,
+    ).cast("bigint")
+    dist = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", d_fp.alias("d_fp")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d_fp", "cid")
+    ab = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("cell"),
+            F.max(F.when(F.col("rn") == 1, F.col("d_fp"))).alias("a_fp"),
+            F.max(F.when(F.col("rn") == 2, F.col("d_fp"))).alias("b_fp"),
+        )
+    )
+    a_d = F.sqrt(F.col("a_fp") / 1000000000000.0)
+    b_d = F.sqrt(F.col("b_fp") / 1000000000000.0)
+    sil = ab.select(
+        "cell",
+        F.round(
+            F.when(F.col("b_fp") == 0, F.lit(0.0)).otherwise(
+                (b_d - a_d) / F.greatest(a_d, b_d)
+            )
+            * 1000000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("s_fp"),
+    )
+    return (
+        sil.groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            (
+                F.round(F.sum("s_fp") / F.count("*"), 0).cast("bigint")
+                / 1000000000.0
+            ).alias("mean_silhouette"),
+        )
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_members",
+            "mean_silhouette",
+        )
+        .orderBy("cell")
+    )
+
+
+_GMC_GAINS = """list_transform(range(n), i -> {
+        'ng': CASE WHEN list_contains(picked, ids[i + 1]) THEN 1
+                   ELSE -len(list_filter(sets[i + 1],
+                             t -> NOT list_contains(covered, t))) END,
+        'id': ids[i + 1]})"""
+
+
+@query(
+    "a439_greedy_max_coverage",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                           i, i + 2), ' ')
+         )) AS shingles
+  FROM documents WHERE doc_id < 25
+), panel AS (
+  SELECT list(doc_id ORDER BY doc_id) AS ids,
+         list(shingles ORDER BY doc_id) AS sets,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM sh
+), it(k, picked, covered, ids, sets, n) AS (
+  SELECT 0, []::BIGINT[], []::VARCHAR[], ids, sets, n FROM panel
+  UNION ALL
+  SELECT k + 1,
+         list_append(picked, struct_extract(list_min({_GMC_GAINS}), 'id')),
+         list_distinct(covered ||
+           sets[CAST(list_position(ids,
+             struct_extract(list_min({_GMC_GAINS}), 'id')) AS INT)]),
+         ids, sets, n
+  FROM it WHERE k < 6
+)
+SELECT a.k AS step, a.picked[a.k] AS doc_id,
+       CAST(len(a.covered) - len(b.covered) AS BIGINT) AS gain_sz,
+       CAST(len(a.covered) AS BIGINT) AS covered_sz
+FROM it a JOIN it b ON b.k = a.k - 1
+ORDER BY step
+""",
+    tags=("curation", "selection"),
+)
+def a439_greedy_max_coverage(spark, sf_dir):
+    """Greedy maximum-coverage data selection — the (1−1/e)-optimal
+    submodular baseline for "pick k documents that cover the most
+    distinct content", the workhorse behind coverage-driven corpus
+    subsetting and dedup-aware sampling: 6 greedy rounds pick the doc
+    whose 3-gram shingle set adds the most NOT-yet-covered shingles
+    (ties → lowest doc_id, encoded as an exact lexicographic
+    (−gain, id) struct-min so both engines agree). The candidate
+    panel is bounded (doc_id < 25 + explicit limit, the a118
+    discipline) and collapses to ONE row of id/shingle-set arrays;
+    the greedy recursion then runs entirely in JVM higher-order
+    functions (F.aggregate over the 6-step sequence, array_except /
+    array_union set algebra — no Python, no driver loop), with the
+    oracle replaying identical set arithmetic in a WITH RECURSIVE
+    step. Output is pure integers (ids, gains, coverage sizes) — no
+    float surface at all. At 100 TB the panel stage is where scale
+    lives (a distributed top-N by df or stratified candidate pull);
+    the greedy core stays O(k·panel), independent of corpus size."""
+    from ..functions.text import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    panel = (
+        d.filter(F.col("doc_id") < 25)
+        .limit(25)
+        .select("doc_id", word_shingles("text", 3).alias("sh"))
+    )
+    one = panel.agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("arr")
+    ).select(
+        F.transform("arr", lambda x: x["doc_id"]).alias("ids"),
+        F.transform("arr", lambda x: x["sh"]).alias("sets"),
+        F.size("arr").alias("n"),
+    )
+
+    def step(acc, k):
+        idxs = F.sequence(F.lit(0), F.col("n") - 1)
+        g = F.transform(
+            idxs,
+            lambda i: F.struct(
+                F.when(
+                    F.array_contains(acc["picked"], F.get(F.col("ids"), i)),
+                    F.lit(1),
+                )
+                .otherwise(
+                    -F.size(
+                        F.array_except(
+                            F.get(F.col("sets"), i), acc["covered"]
+                        )
+                    )
+                )
+                .alias("ng"),
+                F.get(F.col("ids"), i).alias("id"),
+            ),
+        )
+        best = F.array_min(g)
+        pos = F.array_position(F.col("ids"), best["id"]).cast("int")
+        chosen = F.element_at(F.col("sets"), pos)
+        new_covered = F.array_union(acc["covered"], chosen)
+        return F.struct(
+            F.array_append(acc["picked"], best["id"]).alias("picked"),
+            new_covered.alias("covered"),
+            F.array_append(
+                acc["steps"],
+                F.struct(
+                    k.alias("step"),
+                    best["id"].alias("doc_id"),
+                    (-best["ng"]).alias("gain"),
+                    F.size(new_covered).alias("covered_sz"),
+                ),
+            ).alias("steps"),
+        )
+
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("picked"),
+        F.array().cast("array<string>").alias("covered"),
+        F.array().cast(
+            "array<struct<step:int,doc_id:bigint,gain:int,covered_sz:int>>"
+        ).alias("steps"),
+    )
+    res = one.select(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(6)), init, step
+        )["steps"].alias("steps")
+    )
+    return (
+        res.select(F.explode("steps").alias("s"))
+        .select(
+            F.col("s.step").alias("step"),
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.gain").cast("bigint").alias("gain_sz"),
+            F.col("s.covered_sz").cast("bigint").alias("covered_sz"),
+        )
+        .orderBy("step")
+    )

@@ -1435,3 +1435,72 @@ def a428_array_hof_battery(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "a441_collation_battery",
+    oracle="""
+WITH mangled AS (
+  SELECT CASE WHEN substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1) < '6'
+              THEN upper(p_brand)
+              WHEN substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1) < 'b'
+              THEN lower(p_brand)
+              ELSE p_brand END AS brand_any
+  FROM part
+)
+SELECT lower(brand_any) AS brand_lc,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT brand_any) AS BIGINT) AS n_case_variants
+FROM mangled
+GROUP BY lower(brand_any)
+ORDER BY brand_lc
+""",
+    tags=("functions", "sql-feature"),
+)
+def a441_collation_battery(spark, sf_dir):
+    """Spark 4 string collation: grouping under the UTF8_LCASE
+    collation folds case variants into one group WITHOUT rewriting
+    the expression as lower(x) — the collation rides the type, so
+    every comparison, join, and hash the column flows through is
+    case-insensitive, and (critically for scale) the collation-aware
+    hash is computed JVM-side at shuffle time rather than via a
+    normalizing projection the optimizer can't see through. Case
+    variants are staged deterministically (md5(partkey) picks
+    upper/lower/original per row — the skew.py CASE/md5 staging
+    discipline, so the oracle re-derives identical bytes in SQL).
+    The group key VALUE under a collated groupBy is whichever variant
+    Spark picks first, so output normalizes it with lower() — while
+    n_case_variants counts DISTINCT binary spellings inside each
+    collated group from an uncollated twin column, proving binary and
+    collated equality genuinely differ (3 variants vs 1 group). The
+    oracle emulates with lower() grouping: same partition, same
+    counts. DuckDB has no UTF8_LCASE; value-level lower() is the
+    faithful cross-engine contract."""
+    p = table(spark, sf_dir, "part")
+    hexc = F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 1)
+    mangled = p.select(
+        F.when(hexc < "6", F.upper("p_brand"))
+        .when(hexc < "b", F.lower("p_brand"))
+        .otherwise(F.col("p_brand"))
+        .alias("brand_any")
+    )
+    return (
+        mangled.select(
+            F.collate(F.col("brand_any"), "UTF8_LCASE").alias("brand_ci"),
+            "brand_any",
+        )
+        .groupBy("brand_ci")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("brand_any")
+            .cast("bigint")
+            .alias("n_case_variants"),
+        )
+        .select(
+            # strip the collation for a stable, engine-neutral value
+            F.lower(F.col("brand_ci")).cast("string").alias("brand_lc"),
+            "n_rows",
+            "n_case_variants",
+        )
+        .orderBy("brand_lc")
+    )

@@ -6062,3 +6062,153 @@ def a434_ljung_box(spark, sf_dir):
             F.col("n") * (F.col("n") + 2.0) * (term_micro / 1e6), 6
         ).alias("q_lb_r"),
     ).orderBy("grp")
+
+
+@query(
+    "a438_conformal_interval",
+    oracle="""
+WITH split AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS y_cents,
+         CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                   BETWEEN '0' AND '5' THEN 'train'
+              WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                   BETWEEN '6' AND 'a' THEN 'cal'
+              ELSE 'test' END AS fold,
+         o_orderkey
+  FROM orders
+), fit AS (
+  SELECT grp, CAST(SUM(y_cents) AS BIGINT) // COUNT(*) AS pred_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_train
+  FROM split WHERE fold = 'train' GROUP BY grp
+), cal AS (
+  SELECT s.grp, abs(s.y_cents - f.pred_cents) AS r_cents, s.o_orderkey
+  FROM split s JOIN fit f ON f.grp = s.grp
+  WHERE s.fold = 'cal'
+), ranked AS (
+  SELECT grp, r_cents,
+         row_number() OVER (
+           PARTITION BY grp ORDER BY r_cents, o_orderkey) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_cal
+  FROM cal
+), qhat AS (
+  SELECT grp, n_cal, r_cents AS qhat_cents
+  FROM ranked
+  WHERE rn = least((9 * (n_cal + 1) + 9) // 10, n_cal)
+), test AS (
+  SELECT s.grp,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN abs(s.y_cents - f.pred_cents) <= q.qhat_cents
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM split s
+  JOIN fit f ON f.grp = s.grp
+  JOIN qhat q ON q.grp = s.grp
+  WHERE s.fold = 'test'
+  GROUP BY s.grp
+)
+SELECT f.grp, f.n_train, q.n_cal, t.n_test, f.pred_cents,
+       q.qhat_cents, t.n_covered,
+       round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) AS coverage_r
+FROM fit f JOIN qhat q ON q.grp = f.grp JOIN test t ON t.grp = f.grp
+ORDER BY f.grp
+""",
+    tags=("monitoring", "ml"),
+)
+def a438_conformal_interval(spark, sf_dir):
+    """Split conformal prediction — the distribution-free interval
+    recipe modern ML monitoring uses to wrap ANY point predictor with
+    a finite-sample coverage guarantee. Three disjoint md5(orderkey)
+    folds (the q86 deterministic-split discipline): a per-priority
+    mean-price baseline is fit on 'train' (exact integer cents,
+    floor-div mean so both engines agree), the conformal radius q̂ is
+    the ⌈0.9·(n+1)⌉-th smallest absolute calibration residual — the
+    order statistic is picked by an exact integer rank over BIGINT
+    cents (ceil done in integer arithmetic, (9(n+1)+9) div 10, so no
+    float boundary can flip the index) — and empirical coverage of
+    pred ± q̂ is scored on 'test'. Everything is two group-aggregates
+    plus one per-group rank: at 100 TB the split predicate prunes at
+    the scan, the rank is a per-group sort on the cal fold only, and
+    no stage ever joins fact-to-fact. Theory says coverage ≥ 90%
+    regardless of how wrong the baseline model is — visible here."""
+    o = table(spark, sf_dir, "orders")
+    hexc = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    split = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100.0, 0)
+        .cast("bigint")
+        .alias("y_cents"),
+        F.when(hexc.between("0", "5"), F.lit("train"))
+        .when(hexc.between("6", "a"), F.lit("cal"))
+        .otherwise(F.lit("test"))
+        .alias("fold"),
+        "o_orderkey",
+    ).localCheckpoint(eager=False)
+    fit = (
+        split.filter(F.col("fold") == "train")
+        .groupBy("grp")
+        .agg(
+            F.expr("sum(y_cents) div count(*)").alias("pred_cents"),
+            F.count("*").cast("bigint").alias("n_train"),
+        )
+    )
+    cal = (
+        split.filter(F.col("fold") == "cal")
+        .join(F.broadcast(fit), "grp")
+        .select(
+            "grp",
+            F.abs(F.col("y_cents") - F.col("pred_cents")).alias("r_cents"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("r_cents", "o_orderkey")
+    wc = Window.partitionBy("grp")
+    qhat = (
+        cal.select(
+            "grp",
+            "r_cents",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).cast("bigint").alias("n_cal"),
+        )
+        .filter(
+            F.col("rn")
+            == F.least(
+                F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")
+            )
+        )
+        .select("grp", "n_cal", F.col("r_cents").alias("qhat_cents"))
+    )
+    test = (
+        split.filter(F.col("fold") == "test")
+        .join(F.broadcast(fit), "grp")
+        .join(F.broadcast(qhat), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("y_cents") - F.col("pred_cents"))
+                    <= F.col("qhat_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        fit.join(qhat, "grp")
+        .join(test, "grp")
+        .select(
+            "grp",
+            "n_train",
+            "n_cal",
+            "n_test",
+            "pred_cents",
+            "qhat_cents",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage_r"),
+        )
+        .orderBy("grp")
+    )

@@ -1810,3 +1810,175 @@ def a420_centroid_classifier(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+def _weiszfeld_oracle(iters: int = 6, dim: int = 64) -> str:
+    """Unrolled Weiszfeld iterations as chained CTEs (one relational
+    aggregation pass per step — same shape the Spark side plans), so
+    the oracle never needs aggregates inside a recursive term."""
+    head = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), dims AS (
+  SELECT CAST(p AS INT) AS p FROM range({dim}) t(p)
+), ex AS (
+  SELECT e.label, d.p, e.v[d.p + 1] AS x FROM e CROSS JOIN dims d
+), m0 AS (
+  SELECT label, p,
+         CAST(ROUND(SUM(CAST(ROUND(x * 1000000000.0, 0) AS BIGINT))
+                    / COUNT(*), 0) AS BIGINT) / 1000000000.0 AS y
+  FROM ex GROUP BY label, p
+), y0 AS (
+  SELECT label, list(y ORDER BY p) AS y FROM m0 GROUP BY label
+)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""", d{k} AS (
+  SELECT e.label, e.v,
+         sqrt(list_reduce(list_transform(range({dim}), q ->
+           (e.v[q + 1] - y.y[q + 1]) * (e.v[q + 1] - y.y[q + 1])),
+           (acc, t) -> acc + t)) AS dist
+  FROM e JOIN y{k - 1} y USING (label)
+), num{k} AS (
+  SELECT d.label, dm.p,
+         CAST(SUM(CAST(ROUND(d.v[dm.p + 1] / d.dist * 1000000000.0, 0)
+                       AS BIGINT)) AS BIGINT) AS num_fp
+  FROM d{k} d CROSS JOIN dims dm WHERE d.dist > 0
+  GROUP BY d.label, dm.p
+), den{k} AS (
+  SELECT label,
+         CAST(SUM(CAST(ROUND(1000000000000.0 / dist, 0) AS BIGINT))
+              AS BIGINT) AS den_fp
+  FROM d{k} WHERE dist > 0 GROUP BY label
+), y{k} AS (
+  SELECT n.label,
+         list(CAST(n.num_fp AS DOUBLE) * 1000.0 / de.den_fp
+              ORDER BY n.p) AS y
+  FROM num{k} n JOIN den{k} de ON de.label = n.label
+  GROUP BY n.label
+)""")
+    tail = f"""
+SELECT y.label, d.p, round(y.y[d.p + 1], 6) AS coord_r,
+       c.n_members
+FROM y{iters} y
+CROSS JOIN dims d
+JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM e GROUP BY label) c ON c.label = y.label
+ORDER BY y.label, d.p"""
+    return head + "".join(steps) + tail
+
+
+@query(
+    "a440_geometric_median",
+    oracle=_weiszfeld_oracle(),
+    tags=("similarity", "robust"),
+)
+def a440_geometric_median(spark, sf_dir):
+    """Per-label geometric median of the embedding cloud via
+    Weiszfeld's algorithm (y ← Σxᵢ/dᵢ / Σ1/dᵢ, dᵢ = ‖xᵢ−y‖), the
+    robust centroid that a single poisoned/outlier vector cannot drag
+    the way the k-means mean can — the aggregation rule behind robust
+    federated averaging and outlier-proof class prototypes. Six fixed
+    iterations from the fixed-point per-dimension mean; every
+    iteration is ONE distributed pass: broadcast the 10-row current
+    estimate, one row-local distance fold (index order), then two
+    shuffle-free-side aggregates (per-(label,dim) numerator and
+    per-label denominator) whose terms are fixed-pointed to BIGINT —
+    so the reduction is order-independent and a 1000-executor sum
+    bit-matches DuckDB's serial one. The next estimate is a ratio of
+    exact integers: deterministic doubles on both engines. Points
+    exactly at the estimate (dist=0) are skipped per the classical
+    rule. The oracle unrolls the same six relational passes as
+    chained CTEs. At 100 TB: 6 linear scans, no self-join, state is
+    O(labels × dim)."""
+    from ..operators.core import ensure_parallelism
+
+    e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=False)
+    # y0: fixed-point per-dimension mean
+    ex = e.select("label", F.posexplode("v").alias("p", "x"))
+    m0 = ex.groupBy("label", "p").agg(
+        (
+            F.round(
+                F.sum(F.round(F.col("x") * 1000000000.0, 0).cast("bigint"))
+                / F.count("*"),
+                0,
+            ).cast("bigint")
+            / 1000000000.0
+        ).alias("y")
+    )
+    y_df = m0.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("p", "y"))),
+            lambda s: s["y"],
+        ).alias("y")
+    )
+    dist_fold = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "y", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    for _ in range(6):
+        d = (
+            e.join(F.broadcast(y_df), "label")
+            .select("label", "v", dist_fold.alias("dist"))
+            .filter(F.col("dist") > 0)
+            .localCheckpoint(eager=False)
+        )
+        num = (
+            d.select("label", "dist", F.posexplode("v").alias("p", "x"))
+            .groupBy("label", "p")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("x") / F.col("dist") * 1000000000.0, 0
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("num_fp")
+            )
+        )
+        den = d.groupBy("label").agg(
+            F.sum(
+                F.round(1000000000000.0 / F.col("dist"), 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("den_fp")
+        )
+        y_df = (
+            num.join(den, "label")
+            .select(
+                "label",
+                "p",
+                (
+                    F.col("num_fp").cast("double")
+                    * 1000.0
+                    / F.col("den_fp")
+                ).alias("yv"),
+            )
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "yv"))),
+                    lambda s: s["yv"],
+                ).alias("y")
+            )
+        )
+    counts = e.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return (
+        y_df.select("label", F.posexplode("y").alias("p", "coord"))
+        .join(counts, "label")
+        .select(
+            "label",
+            F.col("p").cast("int").alias("p"),
+            F.round(F.col("coord"), 6).alias("coord_r"),
+            "n_members",
+        )
+        .orderBy("label", "p")
+    )

@@ -2468,3 +2468,99 @@ def a431_holt_winters(spark, sf_dir):
             "forecast_3_r"
         ),
     )
+
+
+@query(
+    "a442_allen_interval_relations",
+    oracle="""
+WITH span AS (
+  SELECT o.o_custkey AS cust, o.o_orderkey AS ok,
+         CAST(o.o_orderdate AS DATE) AS s,
+         CAST(MAX(l.l_shipdate) AS DATE) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY cust, ok, s
+), seq AS (
+  SELECT cust, s AS a_s, e AS a_e,
+         lead(s) OVER w AS b_s, lead(e) OVER w AS b_e
+  FROM span WINDOW w AS (PARTITION BY cust ORDER BY s, ok)
+), rel AS (
+  SELECT CASE
+           WHEN a_e < b_s THEN 'precedes'
+           WHEN a_e = b_s THEN 'meets'
+           WHEN a_s < b_s AND b_s < a_e AND a_e < b_e THEN 'overlaps'
+           WHEN a_s < b_s AND a_e = b_e THEN 'finished_by'
+           WHEN a_s < b_s AND b_e < a_e THEN 'contains'
+           WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+           WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+           ELSE 'started_by'
+         END AS relation
+  FROM seq WHERE b_s IS NOT NULL
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rel
+)
+SELECT r.relation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(CAST(COUNT(*) AS DOUBLE) / MAX(t.n), 6) AS share_r
+FROM rel r CROSS JOIN tot t
+GROUP BY r.relation
+ORDER BY r.relation
+""",
+    tags=("temporal",),
+)
+def a442_allen_interval_relations(spark, sf_dir):
+    """Allen's interval algebra census over per-customer order
+    lifecycles — the 13-relation taxonomy (precedes/meets/overlaps/
+    finished-by/contains/starts/equals/started-by + inverses) that
+    temporal reasoning, process mining, and conflict detection are
+    built on. Each order's interval is [orderdate, max shipdate]
+    (one group-aggregate over lineitem); CONSECUTIVE intervals per
+    customer come from a lag-free lead() window — never an
+    interval×interval self-join, which is the q143 overlap-JOIN's
+    job; this operator instead CLASSIFIES ordered neighbor pairs, so
+    only the 8 relations consistent with a_s ≤ b_s can occur and the
+    window ordering (start, orderkey) makes the pair set exact. Pure
+    date comparisons and integer counts — no float surface except
+    the final share. One shuffle on the customer key at any scale."""
+    span = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").cast("date").alias("s"),
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("e"))
+    )
+    w = Window.partitionBy("cust").orderBy("s", "ok")
+    seq = span.select(
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+        F.lead("s").over(w).alias("b_s"),
+        F.lead("e").over(w).alias("b_e"),
+    ).filter(F.col("b_s").isNotNull())
+    a_s, a_e, b_s, b_e = (F.col(c) for c in ("a_s", "a_e", "b_s", "b_e"))
+    rel = seq.select(
+        F.when(a_e < b_s, "precedes")
+        .when(a_e == b_s, "meets")
+        .when((a_s < b_s) & (b_s < a_e) & (a_e < b_e), "overlaps")
+        .when((a_s < b_s) & (a_e == b_e), "finished_by")
+        .when((a_s < b_s) & (b_e < a_e), "contains")
+        .when((a_s == b_s) & (a_e < b_e), "starts")
+        .when((a_s == b_s) & (a_e == b_e), "equals")
+        .otherwise("started_by")
+        .alias("relation")
+    )
+    tot = rel.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        rel.crossJoin(F.broadcast(tot))
+        .groupBy("relation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.count("*").cast("double") / F.max("n"), 6
+            ).alias("share_r"),
+        )
+        .orderBy("relation")
+    )
