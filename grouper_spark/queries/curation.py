@@ -2777,3 +2777,260 @@ def a439_greedy_max_coverage(spark, sf_dir):
         )
         .orderBy("step")
     )
+
+
+@query(
+    "a444_wasserstein_1d",
+    oracle="""
+WITH vals AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, n_chars
+), ns AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_total FROM vals GROUP BY source
+), grid AS (
+  SELECT DISTINCT n_chars AS v FROM documents
+), gaps AS (
+  SELECT v, lead(v) OVER (ORDER BY v) - v AS gap FROM grid
+), cdf AS (
+  SELECT s.source, g.v,
+         CAST(SUM(COALESCE(c.n, 0)) OVER (
+           PARTITION BY s.source ORDER BY g.v) AS BIGINT) AS f
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN grid g
+  LEFT JOIN vals c ON c.source = s.source AND c.v = g.v
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       na.n_total AS n_a, nb.n_total AS n_b,
+       round(CAST(SUM(abs(a.f * nb.n_total - b.f * na.n_total) * gp.gap)
+                  AS DOUBLE) / (na.n_total * nb.n_total), 6) AS w1_r
+FROM cdf a
+JOIN cdf b ON b.v = a.v AND a.source < b.source
+JOIN gaps gp ON gp.v = a.v AND gp.gap IS NOT NULL
+JOIN ns na ON na.source = a.source
+JOIN ns nb ON nb.source = b.source
+GROUP BY src_a, src_b, n_a, n_b
+ORDER BY src_a, src_b
+""",
+    tags=("curation", "drift"),
+)
+def a444_wasserstein_1d(spark, sf_dir):
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between every
+    pair of sources' document-length distributions — the drift metric
+    that, unlike the PSI/KS/JS family already in the registry, is
+    sensitive to HOW FAR mass moved, not just whether bins differ:
+    W1 = ∫|F_a − F_b| dv over the merged support. Computed exactly in
+    integers: per-source CDF counts F on the global distinct-value
+    grid (one cumulative window per source over grouped counts — the
+    distinct-value compression is what keeps this linear, the raw
+    rows are never sorted globally), then
+    Σ|F_a·n_b − F_b·n_a|·gap is an exact BIGINT (cross-multiplied
+    CDFs avoid any rational intermediate) divided once at the end.
+    All 190 source pairs ride ONE equi-join on the grid value — the
+    pair explosion is |grid|×pairs, bounded by the value domain, not
+    the corpus. At 100 TB the same plan holds with a quantile-sketch
+    grid (t-digest cut points) instead of exact distinct values."""
+    d = table(spark, sf_dir, "documents")
+    vals = (
+        d.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    ns = vals.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_total")
+    )
+    # groupBy-agg (not .distinct()): the lint needs a true Aggregate to
+    # certify the broadcast side is bounded by the value domain
+    grid = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("_cnt"))
+        .select("v")
+    )
+    gaps = grid.select(
+        "v", (F.lead("v").over(Window.orderBy("v")) - F.col("v")).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    srcs = d.select("source").distinct()
+    cdf = (
+        srcs.crossJoin(grid)
+        .join(vals, ["source", "v"], "left")
+        .select(
+            "source",
+            "v",
+            F.sum(F.coalesce("n", F.lit(0)))
+            .over(
+                Window.partitionBy("source")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("bigint")
+            .alias("f"),
+        )
+    )
+    a = cdf.select(
+        F.col("source").alias("src_a"), "v", F.col("f").alias("fa")
+    )
+    b = cdf.select(
+        F.col("source").alias("src_b"), "v", F.col("f").alias("fb")
+    )
+    na = ns.select(
+        F.col("source").alias("src_a"), F.col("n_total").alias("n_a")
+    )
+    nb = ns.select(
+        F.col("source").alias("src_b"), F.col("n_total").alias("n_b")
+    )
+    return (
+        a.join(b, "v")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(gaps), "v")
+        .join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .groupBy("src_a", "src_b", "n_a", "n_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("fa") * F.col("n_b")
+                        - F.col("fb") * F.col("n_a")
+                    )
+                    * F.col("gap")
+                ).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("w1_r")
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "a445_decision_stump",
+    oracle="""
+WITH lab AS (
+  SELECT CAST(FLOOR(o_totalprice / 100.0) AS BIGINT) AS bin,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+), bins AS (
+  SELECT bin, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM lab GROUP BY bin
+), pre AS (
+  SELECT bin,
+         CAST(SUM(pos) OVER w AS BIGINT) AS pos_l,
+         CAST(SUM(neg) OVER w AS BIGINT) AS neg_l,
+         CAST(SUM(pos) OVER () AS BIGINT) AS pos_t,
+         CAST(SUM(neg) OVER () AS BIGINT) AS neg_t
+  FROM bins WINDOW w AS (ORDER BY bin)
+), cand AS (
+  SELECT bin, pos_l, neg_l,
+         pos_t - pos_l AS pos_r, neg_t - neg_l AS neg_r,
+         pos_l + neg_l AS n_l, (pos_t + neg_t) - (pos_l + neg_l) AS n_r,
+         pos_t + neg_t AS n_tot, pos_t, neg_t
+  FROM pre WHERE (pos_t + neg_t) - (pos_l + neg_l) > 0
+), scored AS (
+  SELECT bin, n_l, n_r, pos_l, pos_r,
+         ((n_l - (pos_l * pos_l + neg_l * neg_l) / CAST(n_l AS DOUBLE))
+          + (n_r - (pos_r * pos_r + neg_r * neg_r) / CAST(n_r AS DOUBLE)))
+         / n_tot AS g,
+         1.0 - (pos_t * pos_t + neg_t * neg_t)
+             / (CAST(n_tot AS DOUBLE) * n_tot) AS g_root
+  FROM cand
+)
+SELECT (bin + 1) * 100 AS threshold_usd, n_l AS n_left, n_r AS n_right,
+       pos_l AS pos_left, pos_r AS pos_right,
+       round(g, 6) AS gini_split_r, round(g_root, 6) AS gini_root_r
+FROM scored
+ORDER BY CAST(ROUND(g * 1000000000000.0, 0) AS BIGINT), bin
+LIMIT 1
+""",
+    tags=("curation", "ml"),
+)
+def a445_decision_stump(spark, sf_dir):
+    """Exact best-split decision stump — the innermost kernel of
+    distributed tree learners (and of threshold-pickers for quality-
+    classifier data filtering): find the price threshold that best
+    separates urgent/high-priority orders by weighted Gini impurity.
+    Uses the histogram trick every scalable GBDT uses: rows collapse
+    to $100 bins FIRST (one groupBy — candidate set bounded by the
+    value domain, not the row count), then one ordered window over
+    the bins yields prefix class counts, and the weighted impurity of
+    every split is a closed form of exact integers — IEEE division is
+    correctly rounded, so the doubles agree across engines and the
+    argmin is taken on a 1e-12 fixed-point key with the bin as
+    deterministic tie-break. Output: the winning threshold with its
+    class counts, split impurity, and the root impurity it improves
+    on. The global bin window is ~5k rows at any sf — the fact scan
+    never sorts."""
+    o = table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.floor(F.col("o_totalprice") / 100.0).cast("bigint").alias("bin"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    bins = lab.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    pre = bins.select(
+        "bin",
+        F.sum("pos").over(w).cast("bigint").alias("pos_l"),
+        F.sum("neg").over(w).cast("bigint").alias("neg_l"),
+        F.sum("pos").over(wt).cast("bigint").alias("pos_t"),
+        F.sum("neg").over(wt).cast("bigint").alias("neg_t"),
+    )
+    cand = pre.select(
+        "bin",
+        "pos_l",
+        "neg_l",
+        (F.col("pos_t") - F.col("pos_l")).alias("pos_r"),
+        (F.col("neg_t") - F.col("neg_l")).alias("neg_r"),
+        (F.col("pos_l") + F.col("neg_l")).alias("n_l"),
+        (
+            (F.col("pos_t") + F.col("neg_t"))
+            - (F.col("pos_l") + F.col("neg_l"))
+        ).alias("n_r"),
+        (F.col("pos_t") + F.col("neg_t")).alias("n_tot"),
+        "pos_t",
+        "neg_t",
+    ).filter(F.col("n_r") > 0)
+    g = (
+        (
+            F.col("n_l")
+            - (
+                F.col("pos_l") * F.col("pos_l")
+                + F.col("neg_l") * F.col("neg_l")
+            )
+            / F.col("n_l").cast("double")
+        )
+        + (
+            F.col("n_r")
+            - (
+                F.col("pos_r") * F.col("pos_r")
+                + F.col("neg_r") * F.col("neg_r")
+            )
+            / F.col("n_r").cast("double")
+        )
+    ) / F.col("n_tot")
+    g_root = 1.0 - (
+        F.col("pos_t") * F.col("pos_t") + F.col("neg_t") * F.col("neg_t")
+    ) / (F.col("n_tot").cast("double") * F.col("n_tot"))
+    return (
+        cand.select(
+            ((F.col("bin") + 1) * 100).alias("threshold_usd"),
+            F.col("n_l").alias("n_left"),
+            F.col("n_r").alias("n_right"),
+            F.col("pos_l").alias("pos_left"),
+            F.col("pos_r").alias("pos_right"),
+            F.round(g, 6).alias("gini_split_r"),
+            F.round(g_root, 6).alias("gini_root_r"),
+            F.round(g * 1000000000000.0, 0).cast("bigint").alias("_g_fp"),
+            F.col("bin").alias("_bin"),
+        )
+        .orderBy("_g_fp", "_bin")
+        .limit(1)
+        .drop("_g_fp", "_bin")
+    )

@@ -6212,3 +6212,125 @@ def a438_conformal_interval(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+# round(cos(2*pi*h/24) * 1e9) / round(sin(...)*1e9) for h = 0..23,
+# generated once with Python's math and embedded as identical integer
+# literals in both engines (the q240 hyperplane-literal recipe) so no
+# engine ever evaluates a transcendental in the hot path.
+_COS_FP_24 = (
+    1000000000, 965925826, 866025404, 707106781, 500000000, 258819045,
+    0, -258819045, -500000000, -707106781, -866025404, -965925826,
+    -1000000000, -965925826, -866025404, -707106781, -500000000,
+    -258819045, 0, 258819045, 500000000, 707106781, 866025404, 965925826,
+)
+_SIN_FP_24 = (
+    0, 258819045, 500000000, 707106781, 866025404, 965925826,
+    1000000000, 965925826, 866025404, 707106781, 500000000, 258819045,
+    0, -258819045, -500000000, -707106781, -866025404, -965925826,
+    -1000000000, -965925826, -866025404, -707106781, -500000000,
+    -258819045,
+)
+
+
+@query(
+    "a443_circular_stats",
+    oracle=f"""
+WITH trig AS (
+  SELECT CAST(h AS INT) AS hod,
+         [{', '.join(str(c) for c in _COS_FP_24)}][CAST(h AS INT) + 1]
+           ::BIGINT AS cos_fp,
+         [{', '.join(str(s) for s in _SIN_FP_24)}][CAST(h AS INT) + 1]
+           ::BIGINT AS sin_fp
+  FROM range(24) t(h)
+), cells AS (
+  SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hod
+), sums AS (
+  SELECT c.event_type,
+         CAST(SUM(c.n) AS BIGINT) AS n,
+         CAST(SUM(c.n * t.cos_fp) AS BIGINT) AS c_fp,
+         CAST(SUM(c.n * t.sin_fp) AS BIGINT) AS s_fp
+  FROM cells c JOIN trig t ON t.hod = c.hod
+  GROUP BY c.event_type
+)
+SELECT event_type, n,
+       round(sqrt(CAST(c_fp AS DOUBLE) * c_fp + CAST(s_fp AS DOUBLE) * s_fp)
+             / (n * 1000000000.0), 6) AS resultant_r,
+       round(n * (CAST(c_fp AS DOUBLE) * c_fp + CAST(s_fp AS DOUBLE) * s_fp)
+             / (n * 1000000000.0) / (n * 1000000000.0), 6) AS rayleigh_z_r,
+       round(exp(-(n * (CAST(c_fp AS DOUBLE) * c_fp
+                        + CAST(s_fp AS DOUBLE) * s_fp)
+             / (n * 1000000000.0) / (n * 1000000000.0))), 6) AS p_approx_r,
+       round(((atan2(CAST(s_fp AS DOUBLE), CAST(c_fp AS DOUBLE))
+               / 6.283185307179586) * 24.0 + 24.0) % 24.0, 6)
+         AS mean_hour_r
+FROM sums ORDER BY event_type
+""",
+    tags=("monitoring", "stats"),
+)
+def a443_circular_stats(spark, sf_dir):
+    """Circular (directional) statistics on hour-of-day — time-of-day
+    is an angle, not a line: 23:00 and 01:00 are two hours apart, so
+    arithmetic means and variances on the raw hour are wrong and the
+    right machinery is the mean resultant vector. Per event type:
+    R̄ = |Σe^{iθ}|/n, the Rayleigh uniformity test z = nR̄² with its
+    large-n p ≈ exp(−z), and the circular mean hour via atan2. The
+    24 cos/sin values are PRE-GENERATED integer literals embedded in
+    both engines (the q240 hyperplane recipe), so C and S are exact
+    BIGINT dot products of hour-bucket counts against a constant
+    table — a 24-row broadcast join, one shuffle to per-type sums,
+    and no transcendental is ever evaluated per event row. sqrt /
+    atan2 / exp run once per GROUP on identical integers (their
+    sub-ulp engine differences sit far below the 6dp rounding).
+    Flat-profile fixture → R̄≈0, p≈1: the test correctly refuses to
+    see a peak hour. At 100 TB: the bucket rollup is the only
+    data-scale stage."""
+    trig = spark.createDataFrame(
+        [(h, _COS_FP_24[h], _SIN_FP_24[h]) for h in range(24)],
+        "hod int, cos_fp long, sin_fp long",
+    )
+    cells = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.hour("ts").cast("int").alias("hod")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    sums = (
+        cells.join(F.broadcast(trig), "hod")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum(F.col("n") * F.col("cos_fp")).cast("bigint").alias("c_fp"),
+            F.sum(F.col("n") * F.col("sin_fp")).cast("bigint").alias("s_fp"),
+        )
+    )
+    r2 = F.col("c_fp").cast("double") * F.col("c_fp") + F.col(
+        "s_fp"
+    ).cast("double") * F.col("s_fp")
+    denom = F.col("n") * 1000000000.0
+    z = F.col("n") * r2 / denom / denom
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(F.sqrt(r2) / denom, 6).alias("resultant_r"),
+        F.round(z, 6).alias("rayleigh_z_r"),
+        F.round(F.exp(-z), 6).alias("p_approx_r"),
+        F.round(
+            (
+                (
+                    F.atan2(
+                        F.col("s_fp").cast("double"),
+                        F.col("c_fp").cast("double"),
+                    )
+                    / 6.283185307179586
+                )
+                * 24.0
+                + 24.0
+            )
+            % 24.0,
+            6,
+        ).alias("mean_hour_r"),
+    ).orderBy("event_type")

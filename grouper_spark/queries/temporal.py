@@ -2564,3 +2564,138 @@ def a442_allen_interval_relations(spark, sf_dir):
         )
         .orderBy("relation")
     )
+
+
+@query(
+    "a446_isotonic_regression",
+    oracle="""
+WITH wk AS (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS sum_cents
+  FROM orders GROUP BY week
+), ser AS (
+  SELECT week, n_orders,
+         (sum_cents * 10000) // n_orders AS y_micro,
+         CAST(row_number() OVER (ORDER BY week) AS BIGINT) AS i
+  FROM wk
+), pre AS (
+  SELECT i, week, n_orders, y_micro,
+         CAST(SUM(y_micro) OVER (ORDER BY i) AS BIGINT) AS p
+  FROM ser
+), pairs AS (
+  SELECT j.i AS j, k.i AS k,
+         (k.p - (j.p - j.y_micro)) // (k.i - j.i + 1) AS a_micro
+  FROM pre j JOIN pre k ON j.i <= k.i
+), suffix_min AS (
+  SELECT j, k,
+         CAST(MIN(a_micro) OVER (
+           PARTITION BY j ORDER BY k DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS m
+  FROM pairs
+), fit AS (
+  SELECT k AS i,
+         CAST(MAX(m) OVER (
+           PARTITION BY k ORDER BY j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS fit_micro,
+         j
+  FROM suffix_min
+)
+SELECT s.week, s.n_orders, s.y_micro, f.fit_micro
+FROM fit f JOIN pre s ON s.i = f.i
+WHERE f.j = f.i
+ORDER BY s.week
+""",
+    tags=("temporal", "ml"),
+)
+def a446_isotonic_regression(spark, sf_dir):
+    """Isotonic (monotone nondecreasing) regression of weekly mean
+    order value — the shape-constrained fit behind probability
+    calibration, dose-response curves, and monotone trend extraction
+    — via the classical min-max characterization
+    f_i = max_{j≤i} min_{k≥i} mean(y[j..k]), which replaces the
+    inherently sequential pool-adjacent-violators algorithm with
+    three data-parallel window passes: interval means from prefix
+    sums, a suffix-min per start index, a prefix-max per end index.
+    The O(w²) interval table is quadratic in WEEKS (~350 at every
+    sf — the weekly rollup is the only stage that sees the fact
+    table), so the fit core is scale-free. All arithmetic is integer
+    micro-units with explicit floor division (Spark `div` ≡ DuckDB
+    `//`): monotonicity of the result is a structural property of
+    the max-of-min formula, so flooring cannot break it, and there
+    is no float anywhere."""
+    o = table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("week")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    ser = wk.select(
+        "week",
+        "n_orders",
+        F.expr("(sum_cents * 10000) div n_orders").alias("y_micro"),
+        F.row_number().over(Window.orderBy("week")).cast("bigint").alias("i"),
+    )
+    pre = ser.select(
+        "i",
+        "week",
+        "n_orders",
+        "y_micro",
+        F.sum("y_micro")
+        .over(
+            Window.orderBy("i").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("p"),
+    ).localCheckpoint(eager=False)
+    j = pre.select(
+        F.col("i").alias("j"), F.col("p").alias("pj"), F.col("y_micro").alias("yj")
+    )
+    k = pre.select(F.col("i").alias("k"), F.col("p").alias("pk"))
+    pairs = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            F.expr("(pk - (pj - yj)) div (k - j + 1)").alias("a_micro"),
+        )
+    )
+    suffix_min = pairs.select(
+        "j",
+        "k",
+        F.min("a_micro")
+        .over(
+            Window.partitionBy("j")
+            .orderBy(F.col("k").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint")
+        .alias("m"),
+    )
+    fit = suffix_min.select(
+        F.col("k").alias("i"),
+        "j",
+        F.max("m")
+        .over(
+            Window.partitionBy("k")
+            .orderBy("j")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint")
+        .alias("fit_micro"),
+    ).filter(F.col("j") == F.col("i"))
+    return (
+        fit.join(pre, "i")
+        .select("week", "n_orders", "y_micro", "fit_micro")
+        .orderBy("week")
+    )
