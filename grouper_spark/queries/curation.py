@@ -3034,3 +3034,127 @@ def a445_decision_stump(spark, sf_dir):
         .limit(1)
         .drop("_g_fp", "_bin")
     )
+
+
+def _ipf_oracle(iters: int = 10) -> str:
+    """Unrolled IPF: each iteration scales weights to the equal-share
+    source margin, then back to the observed language margin, in
+    fixed-point micro-units so every margin sum is an exact BIGINT."""
+    parts = ["""
+WITH w0 AS MATERIALIZED (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) * 1000000 AS BIGINT) AS w
+  FROM documents GROUP BY source, lang
+), tgt AS (
+  SELECT CAST(ROUND(CAST(SUM(n) AS DOUBLE) * 1000000.0
+                    / COUNT(DISTINCT source), 0) AS BIGINT) AS t_row
+  FROM w0
+), langt AS (
+  SELECT lang, CAST(SUM(n) * 1000000 AS BIGINT) AS t_lang
+  FROM w0 GROUP BY lang
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", r{k} AS (
+  SELECT source, CAST(SUM(w) AS BIGINT) AS s FROM w{k - 1} GROUP BY source
+), m{k} AS MATERIALIZED (
+  SELECT c.source, c.lang, c.n,
+         CAST(ROUND(CAST(c.w AS DOUBLE) * t.t_row / r.s, 0) AS BIGINT) AS w
+  FROM w{k - 1} c JOIN r{k} r ON r.source = c.source CROSS JOIN tgt t
+), c{k} AS (
+  SELECT lang, CAST(SUM(w) AS BIGINT) AS s FROM m{k} GROUP BY lang
+), w{k} AS MATERIALIZED (
+  SELECT a.source, a.lang, a.n,
+         CAST(ROUND(CAST(a.w AS DOUBLE) * t.t_lang / c.s, 0) AS BIGINT) AS w
+  FROM m{k} a JOIN c{k} c ON c.lang = a.lang
+  JOIN langt t ON t.lang = a.lang
+)""")
+    parts.append(f"""
+SELECT source, lang, n, w AS w_micro
+FROM w{iters}
+ORDER BY source, lang""")
+    return "".join(parts)
+
+
+@query(
+    "a448_ipf_raking",
+    oracle=_ipf_oracle(),
+    tags=("curation", "sampling"),
+)
+def a448_ipf_raking(spark, sf_dir):
+    """Iterative proportional fitting (raking) — the survey-weighting
+    algorithm a data-mixing pipeline uses to reweight a corpus toward
+    target margins without destroying its joint structure: here, give
+    every SOURCE an equal share while keeping the observed LANGUAGE
+    mix, by alternately scaling the (source × lang) weight table to
+    each margin for 10 rounds. Weights live in fixed-point
+    micro-units: every margin sum is an exact BIGINT (so a
+    1000-executor shuffle sum bit-matches DuckDB's serial fold) and
+    each scaling is one ROUND of a double ratio of exact integers —
+    deterministic on both engines, replayed by an unrolled-CTE
+    oracle. Each round is two groupBy-join passes over the ~100-cell
+    weight table; the corpus is touched ONCE to build cell counts.
+    Zero-count cells never exist (only observed cells carry weight),
+    so no scaling step can divide by zero. The output weight-to-count
+    ratio per cell is the sampling rate a downstream mixer applies."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        d.groupBy("source", "lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "source", "lang", "n", (F.col("n") * 1000000).alias("w")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tgt = w.agg(
+        F.round(
+            F.sum("n").cast("double")
+            * 1000000.0
+            / F.countDistinct("source"),
+            0,
+        )
+        .cast("bigint")
+        .alias("t_row")
+    )
+    langt = w.groupBy("lang").agg(
+        (F.sum("n") * 1000000).cast("bigint").alias("t_lang")
+    )
+    for _ in range(10):
+        # each step references w twice (margin sum + scale join):
+        # checkpoint per half-step or the logical plan doubles per round
+        r = w.groupBy("source").agg(F.sum("w").cast("bigint").alias("s"))
+        w = (
+            w.join(F.broadcast(r), "source")
+            .crossJoin(F.broadcast(tgt))
+            .select(
+                "source",
+                "lang",
+                "n",
+                F.round(
+                    F.col("w").cast("double") * F.col("t_row") / F.col("s"),
+                    0,
+                )
+                .cast("bigint")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        c = w.groupBy("lang").agg(F.sum("w").cast("bigint").alias("s"))
+        w = (
+            w.join(F.broadcast(c), "lang")
+            .join(F.broadcast(langt), "lang")
+            .select(
+                "source",
+                "lang",
+                "n",
+                F.round(
+                    F.col("w").cast("double") * F.col("t_lang") / F.col("s"),
+                    0,
+                )
+                .cast("bigint")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return w.select(
+        "source", "lang", "n", F.col("w").alias("w_micro")
+    ).orderBy("source", "lang")

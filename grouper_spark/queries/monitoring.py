@@ -6334,3 +6334,130 @@ def a443_circular_stats(spark, sf_dir):
             6,
         ).alias("mean_hour_r"),
     ).orderBy("event_type")
+
+
+@query(
+    "a449_gumbel_block_maxima",
+    oracle="""
+WITH wk AS (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week,
+         CAST(MAX(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS mx
+  FROM orders GROUP BY week
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(mx) AS BIGINT) AS s1,
+         CAST(SUM(mx * mx) AS BIGINT) AS s2
+  FROM wk
+), fit AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / n AS mean_c,
+         sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+              / (CAST(n AS DOUBLE) * (n - 1.0))) AS sd_c
+  FROM mom
+), par AS (
+  SELECT n, mean_c, sd_c,
+         sd_c * 0.7796968012336293 AS beta_c,
+         mean_c - 0.5772156649015329 * (sd_c * 0.7796968012336293) AS mu_c
+  FROM fit
+)
+SELECT n AS n_blocks,
+       round(mean_c / 100.0, 4) AS mean_usd_r,
+       round(sd_c / 100.0, 4) AS sd_usd_r,
+       round(mu_c / 100.0, 4) AS mu_usd_r,
+       round(beta_c / 100.0, 4) AS beta_usd_r,
+       round((mu_c - beta_c * ln(-ln(1.0 - 1.0 / 10.0))) / 100.0, 4)
+         AS rl10_usd_r,
+       round((mu_c - beta_c * ln(-ln(1.0 - 1.0 / 52.0))) / 100.0, 4)
+         AS rl52_usd_r,
+       round((mu_c - beta_c * ln(-ln(1.0 - 1.0 / 104.0))) / 100.0, 4)
+         AS rl104_usd_r
+FROM par
+""",
+    tags=("monitoring", "stats"),
+)
+def a449_gumbel_block_maxima(spark, sf_dir):
+    """Extreme-value analysis via Gumbel block maxima — capacity
+    planning's answer to "how big is the 2-year spike?": weekly
+    maxima of order value form the block-maxima sample, the Gumbel
+    parameters come from the closed-form method of moments
+    (β = s·√6/π, μ = m − γβ, with √6/π and Euler's γ embedded as
+    identical literals in both engines), and return levels
+    x_T = μ − β·ln(−ln(1−1/T)) are read off for 10/52/104-week
+    horizons. The fact table is touched once for the weekly MAX
+    rollup in exact integer cents; moments are one aggregate of
+    (n, Σ, Σx²) — the n·Σx² − Σ² variance form is evaluated in
+    doubles (each IEEE op correctly rounded, so both engines agree
+    bit-for-bit) because Σ² overflows BIGINT by design, and the
+    per-row transcendentals are zero: ln runs six times total on
+    one row. Scales as one shuffle at any corpus size."""
+    o = table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("week")
+    ).agg(
+        F.max(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("mx")
+    )
+    mom = wk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("mx").cast("bigint").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("bigint").alias("s2"),
+    )
+    fit = mom.select(
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_c"),
+        F.sqrt(
+            (
+                F.col("n").cast("double") * F.col("s2")
+                - F.col("s1").cast("double") * F.col("s1")
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1.0))
+        ).alias("sd_c"),
+    )
+    par = fit.select(
+        "n",
+        "mean_c",
+        "sd_c",
+        (F.col("sd_c") * 0.7796968012336293).alias("beta_c"),
+        (
+            F.col("mean_c")
+            - 0.5772156649015329 * (F.col("sd_c") * 0.7796968012336293)
+        ).alias("mu_c"),
+    )
+
+    # ln(-ln(1-1/T)) per horizon is computed IN SQL on both sides (not
+    # pre-folded in Python) so the two engines run the same program text
+    return par.select(
+        F.col("n").alias("n_blocks"),
+        F.round(F.col("mean_c") / 100.0, 4).alias("mean_usd_r"),
+        F.round(F.col("sd_c") / 100.0, 4).alias("sd_usd_r"),
+        F.round(F.col("mu_c") / 100.0, 4).alias("mu_usd_r"),
+        F.round(F.col("beta_c") / 100.0, 4).alias("beta_usd_r"),
+        F.round(
+            (
+                F.col("mu_c")
+                - F.col("beta_c") * F.log(-F.log(F.lit(1.0 - 1.0 / 10.0)))
+            )
+            / 100.0,
+            4,
+        ).alias("rl10_usd_r"),
+        F.round(
+            (
+                F.col("mu_c")
+                - F.col("beta_c") * F.log(-F.log(F.lit(1.0 - 1.0 / 52.0)))
+            )
+            / 100.0,
+            4,
+        ).alias("rl52_usd_r"),
+        F.round(
+            (
+                F.col("mu_c")
+                - F.col("beta_c") * F.log(-F.log(F.lit(1.0 - 1.0 / 104.0)))
+            )
+            / 100.0,
+            4,
+        ).alias("rl104_usd_r"),
+    )

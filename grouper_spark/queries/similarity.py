@@ -7,7 +7,7 @@ q39 is the array-function battery (norms / dot products) used by both.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..functions.vector import cosine_similarity, dot, l2_norm
 from ..operators import ann_topk_bruteforce, ivf_ann, lsh_bucket_ann, lsh_neardup_pairs
@@ -1981,4 +1981,208 @@ def a440_geometric_median(spark, sf_dir):
             "n_members",
         )
         .orderBy("label", "p")
+    )
+
+
+_LOF_DIST_FP = """CAST(ROUND(sqrt(list_reduce(list_transform(range(64), q ->
+    (p.v[q + 1] - c.v[q + 1]) * (p.v[q + 1] - c.v[q + 1])),
+    (acc, t) -> acc + t)) * 1000000000.0, 0) AS BIGINT)"""
+
+
+@query(
+    "a450_lof_panel",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), tp AS (
+  SELECT p.vec_id AS src, c.vec_id AS cand, {_LOF_DIST_FP} AS r_fp,
+         row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY {_LOF_DIST_FP}, c.vec_id) AS rn
+  FROM e p JOIN e c ON c.vec_id != p.vec_id
+  WHERE p.vec_id < 30
+  QUALIFY rn <= 5
+), nbr AS (
+  SELECT DISTINCT cand AS id FROM tp
+), tn AS (
+  SELECT p.vec_id AS src, c.vec_id AS cand, {_LOF_DIST_FP} AS r_fp,
+         row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY {_LOF_DIST_FP}, c.vec_id) AS rn
+  FROM e p JOIN nbr ON nbr.id = p.vec_id
+  JOIN e c ON c.vec_id != p.vec_id
+  QUALIFY rn <= 5
+), hop AS (
+  SELECT DISTINCT cand AS id FROM tn
+), th AS (
+  SELECT p.vec_id AS src, {_LOF_DIST_FP} AS r_fp,
+         row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY {_LOF_DIST_FP}, c.vec_id) AS rn
+  FROM e p JOIN hop ON hop.id = p.vec_id
+  JOIN e c ON c.vec_id != p.vec_id
+  QUALIFY rn = 5
+), kd_n AS (
+  SELECT src AS id, r_fp FROM tn WHERE rn = 5
+), kd_h AS (
+  SELECT src AS id, r_fp FROM th
+), lrd_o AS (
+  SELECT t.src AS id,
+         CAST(ROUND(5000000000000000000.0
+           / SUM(greatest(t.r_fp, k.r_fp)), 0) AS BIGINT) AS lrd_fp
+  FROM tn t JOIN kd_h k ON k.id = t.cand
+  GROUP BY t.src
+), lrd_p AS (
+  SELECT t.src AS id,
+         CAST(ROUND(5000000000000000000.0
+           / SUM(greatest(t.r_fp, k.r_fp)), 0) AS BIGINT) AS lrd_fp
+  FROM tp t JOIN kd_n k ON k.id = t.cand
+  GROUP BY t.src
+), kd_p AS (
+  SELECT src AS id, r_fp FROM tp WHERE rn = 5
+)
+SELECT p.id AS vec_id,
+       round(kp.r_fp / 1000000000.0, 6) AS kdist_r,
+       round(CAST(SUM(lo.lrd_fp) AS DOUBLE) / (5.0 * p.lrd_fp), 6)
+         AS lof_r
+FROM lrd_p p
+JOIN tp t ON t.src = p.id
+JOIN lrd_o lo ON lo.id = t.cand
+JOIN kd_p kp ON kp.id = p.id
+GROUP BY p.id, p.lrd_fp, kp.r_fp
+ORDER BY vec_id
+""",
+    tags=("similarity", "anomaly"),
+)
+def a450_lof_panel(spark, sf_dir):
+    """Local Outlier Factor (k=5) for a bounded 30-vector panel — the
+    density-ratio anomaly score that flags points whose neighborhood
+    is SPARSER than their neighbors' neighborhoods (LOF ≈ 1 inlier,
+    ≫ 1 outlier), complementing the registry's series-based anomaly
+    stack (q306 votes on time, this votes on embedding-space
+    density). Exact LOF needs 2-hop neighborhoods, so the plan is
+    three bounded-side × corpus sweeps, never corpus × corpus: panel
+    (30, limit-pinned) → its neighbors (≤150) → their neighbors
+    (≤750), each broadcast against the scan, each top-5 by an exact
+    integer (r_fp, id) ranking. Reachability distances are greatest()
+    of fixed-point BIGINTs, local reachability densities are rounded
+    back to fixed point so the final LOF mean is a sum of exact
+    integers — order-independent across 1000 executors and
+    bit-identical to DuckDB's QUALIFY-based replay. At 100 TB the
+    panel sweeps ride the same plan; the corpus-wide variant swaps
+    the brute-force sweep for the LSH/IVF candidate generators
+    (q38/q56) feeding identical reach/lrd algebra."""
+    from ..operators.core import ensure_parallelism
+
+    e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=False)
+
+    r_fp = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("pv", "v", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+        * 1000000000.0,
+        0,
+    ).cast("bigint")
+
+    def top5(src, keep_all):
+        """src: bounded (id, pv) side, broadcast against the corpus."""
+        w = Window.partitionBy("src").orderBy("r_fp", "cand")
+        d = (
+            e.crossJoin(F.broadcast(src))
+            .filter(F.col("vec_id") != F.col("src"))
+            .select(
+                "src", F.col("vec_id").alias("cand"), r_fp.alias("r_fp")
+            )
+            .withColumn("rn", F.row_number().over(w))
+        )
+        return (
+            d.filter(F.col("rn") <= 5) if keep_all else d.filter(F.col("rn") == 5)
+        ).localCheckpoint(eager=False)
+
+    pan = (
+        e.filter(F.col("vec_id") < 30)
+        .limit(30)
+        .select(F.col("vec_id").alias("src"), F.col("v").alias("pv"))
+    )
+    tp = top5(pan, keep_all=True)
+    nbr_ids = (
+        tp.groupBy(F.col("cand").alias("id")).agg(F.count("*").alias("_c"))
+        .select("id")
+        .limit(150)
+    )
+    nsrc = (
+        e.join(F.broadcast(nbr_ids), e.vec_id == nbr_ids.id)
+        .select(F.col("id").alias("src"), F.col("v").alias("pv"))
+        .limit(150)
+    )
+    tn = top5(nsrc, keep_all=True)
+    hop_ids = (
+        tn.groupBy(F.col("cand").alias("id")).agg(F.count("*").alias("_c"))
+        .select("id")
+        .limit(750)
+    )
+    hsrc = (
+        e.join(F.broadcast(hop_ids), e.vec_id == hop_ids.id)
+        .select(F.col("id").alias("src"), F.col("v").alias("pv"))
+        .limit(750)
+    )
+    th = top5(hsrc, keep_all=False)
+
+    kd_n = tn.filter(F.col("rn") == 5).select(
+        F.col("src").alias("id"), F.col("r_fp").alias("kd_fp")
+    )
+    kd_h = th.select(F.col("src").alias("id"), F.col("r_fp").alias("kd_fp"))
+    kd_p = tp.filter(F.col("rn") == 5).select(
+        F.col("src").alias("id"), F.col("r_fp").alias("kd_fp")
+    )
+
+    def lrd(t5, kd):
+        return (
+            t5.join(kd, t5.cand == kd.id)
+            .groupBy("src")
+            .agg(
+                F.round(
+                    F.lit(5.0e18)
+                    / F.sum(F.greatest("r_fp", "kd_fp")),
+                    0,
+                )
+                .cast("bigint")
+                .alias("lrd_fp")
+            )
+            .select(F.col("src").alias("id"), "lrd_fp")
+        )
+
+    lrd_o = lrd(tn, kd_h)
+    lrd_p = lrd(tp, kd_n)
+    return (
+        lrd_p.join(tp, lrd_p.id == tp.src)
+        .join(
+            lrd_o.select(
+                F.col("id").alias("oid"), F.col("lrd_fp").alias("olrd_fp")
+            ),
+            F.col("cand") == F.col("oid"),
+        )
+        .join(
+            kd_p.select(F.col("id").alias("kid"), "kd_fp"),
+            F.col("kid") == lrd_p.id,
+        )
+        .groupBy(
+            lrd_p.id.alias("vec_id"),
+            F.col("lrd_fp"),
+            F.col("kd_fp"),
+        )
+        .agg(
+            F.round(F.col("kd_fp") / 1000000000.0, 6).alias("kdist_r"),
+            F.round(
+                F.sum("olrd_fp").cast("double")
+                / (5.0 * F.col("lrd_fp")),
+                6,
+            ).alias("lof_r"),
+        )
+        .select("vec_id", "kdist_r", "lof_r")
+        .orderBy("vec_id")
     )

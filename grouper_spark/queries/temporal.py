@@ -2699,3 +2699,117 @@ def a446_isotonic_regression(spark, sf_dir):
         .select("week", "n_orders", "y_micro", "fit_micro")
         .orderBy("week")
     )
+
+
+def _haar_oracle(levels: int = 8) -> str:
+    """Unrolled Haar pyramid: level ℓ halves the series by pairwise
+    integer sums and emits (A−B)²/2^ℓ detail energies (orthonormal
+    scaling applied as an exact power-of-two division at the end)."""
+    parts = ["""
+WITH day0 AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY d ORDER BY d LIMIT 256
+), lv0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i, y AS s
+  FROM day0
+)"""]
+    for k in range(1, levels + 1):
+        src = "lv0" if k == 1 else f"s{k - 1}"
+        parts.append(f""", lv{k} AS (
+  SELECT i // 2 AS i,
+         CAST(SUM(CASE WHEN i % 2 = 0 THEN s ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN i % 2 = 1 THEN s ELSE 0 END) AS BIGINT) AS b
+  FROM {src} GROUP BY i // 2
+), en{k} AS (
+  SELECT {k} AS level, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+         SUM(CAST((a - b) AS DOUBLE) * (a - b)) / {2 ** k} AS energy
+  FROM lv{k}
+), s{k} AS (
+  SELECT i, a + b AS s FROM lv{k}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT level, n_coeffs, energy FROM en{k}" for k in range(1, levels + 1)
+    )
+    parts.append(f""", all_lv AS (
+  {union}
+), tot AS (
+  SELECT SUM(energy) AS e_detail FROM all_lv
+)
+SELECT a.level, a.n_coeffs, round(a.energy, 6) AS energy_r,
+       round(a.energy / t.e_detail, 6) AS share_r
+FROM all_lv a CROSS JOIN tot t
+ORDER BY a.level""")
+    return "".join(parts)
+
+
+@query(
+    "a447_haar_wavelet_energy",
+    oracle=_haar_oracle(),
+    tags=("temporal", "signal"),
+)
+def a447_haar_wavelet_energy(spark, sf_dir):
+    """Haar wavelet multi-resolution energy decomposition of the
+    daily order-volume series (first 256 observed days) — the
+    signal-processing complement to the ACF/seasonal operators:
+    energy at level ℓ measures variability at the 2^ℓ-day scale, so
+    a weekly rhythm lights up levels 2–3 and a drifting trend piles
+    into the coarse levels. Everything is INTEGER arithmetic: each
+    level halves the series by pairwise sums (A, B of sibling
+    blocks), the orthonormal detail coefficient (A−B)/√(2^ℓ) enters
+    only as its squared energy (A−B)²/2^ℓ — an exact power-of-two
+    division of an exact integer square, bit-identical on any
+    engine and any summation order. Eight unrolled levels = eight
+    tiny groupBys on a 256-row series; the only data-scale stage is
+    the daily rollup. Parseval ties Σ level energies + coarse² /256
+    to Σy² as a free audit."""
+    o = table(spark, sf_dir, "orders")
+    day = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .orderBy("d")
+        .limit(256)
+    )
+    lv = day.select(
+        (F.row_number().over(Window.orderBy("d")) - 1)
+        .cast("bigint")
+        .alias("i"),
+        F.col("y").alias("s"),
+    ).localCheckpoint(eager=False)
+    energies = []
+    for k in range(1, 9):
+        g = lv.groupBy(F.expr("i div 2").alias("i")).agg(
+            F.sum(F.when(F.col("i") % 2 == 0, F.col("s")).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(F.col("i") % 2 == 1, F.col("s")).otherwise(0))
+            .cast("bigint")
+            .alias("b"),
+        ).localCheckpoint(eager=False)
+        energies.append(
+            g.agg(
+                F.lit(k).alias("level"),
+                F.count("*").cast("bigint").alias("n_coeffs"),
+                (
+                    F.sum(
+                        (F.col("a") - F.col("b")).cast("double")
+                        * (F.col("a") - F.col("b"))
+                    )
+                    / float(2 ** k)
+                ).alias("energy"),
+            )
+        )
+        lv = g.select("i", (F.col("a") + F.col("b")).alias("s"))
+    all_lv = energies[0]
+    for e in energies[1:]:
+        all_lv = all_lv.unionAll(e)
+    tot = all_lv.agg(F.sum("energy").alias("e_detail"))
+    return (
+        all_lv.crossJoin(F.broadcast(tot))
+        .select(
+            "level",
+            "n_coeffs",
+            F.round(F.col("energy"), 6).alias("energy_r"),
+            F.round(F.col("energy") / F.col("e_detail"), 6).alias("share_r"),
+        )
+        .orderBy("level")
+    )
