@@ -66,6 +66,10 @@ HEADLINE = (
     "a381_product_quantization",    # PQ codes + distortion census
     "a386_source_overlap_matrix",   # inter-source n-gram contamination
     "a404_lsh_prf_eval",            # LSH P/R/F1 vs exact posting truth
+    # round-5b surface (heaviest new r5 operators)
+    "a436_bradley_terry",           # duel self-join + 20-step MM matrix fold
+    "a440_geometric_median",        # 6 Weiszfeld passes, fixed-point sums
+    "a450_lof_panel",               # three bounded×corpus 2-hop LOF sweeps
 )
 
 

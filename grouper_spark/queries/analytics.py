@@ -5293,3 +5293,121 @@ def a436_bradley_terry(spark, sf_dir):
         )
         .orderBy("brand")
     )
+
+
+def _median_polish_oracle(sweeps: int = 2) -> str:
+    """Unrolled alternating row/col median sweeps on the
+    source × lang cell table; effects accumulate per sweep."""
+    parts = ["""
+WITH r0 AS (
+  SELECT source, lang,
+         CAST((SUM(n_chars) * 1000000) // COUNT(*) AS DOUBLE) AS resid
+  FROM documents GROUP BY source, lang
+), re0 AS (
+  SELECT source, CAST(0.0 AS DOUBLE) AS eff
+  FROM (SELECT DISTINCT source FROM documents)
+), ce0 AS (
+  SELECT lang, CAST(0.0 AS DOUBLE) AS eff
+  FROM (SELECT DISTINCT lang FROM documents)
+)"""]
+    for k in range(1, sweeps + 1):
+        parts.append(f""", rm{k} AS (
+  SELECT source, median(resid) AS med FROM r{k - 1} GROUP BY source
+), rr{k} AS (
+  SELECT r.source, r.lang, r.resid - m.med AS resid
+  FROM r{k - 1} r JOIN rm{k} m ON m.source = r.source
+), re{k} AS (
+  SELECT e.source, e.eff + m.med AS eff
+  FROM re{k - 1} e JOIN rm{k} m ON m.source = e.source
+), cm{k} AS (
+  SELECT lang, median(resid) AS med FROM rr{k} GROUP BY lang
+), r{k} AS (
+  SELECT r.source, r.lang, r.resid - m.med AS resid
+  FROM rr{k} r JOIN cm{k} m ON m.lang = r.lang
+), ce{k} AS (
+  SELECT e.lang, e.eff + m.med AS eff
+  FROM ce{k - 1} e JOIN cm{k} m ON m.lang = e.lang
+)""")
+    parts.append(f"""
+SELECT r.source, r.lang,
+       r.resid AS resid_micro,
+       re.eff AS row_eff_micro,
+       ce.eff AS col_eff_micro
+FROM r{sweeps} r
+JOIN re{sweeps} re ON re.source = r.source
+JOIN ce{sweeps} ce ON ce.lang = r.lang
+ORDER BY r.source, r.lang""")
+    return "".join(parts)
+
+
+@query(
+    "a452_median_polish",
+    oracle=_median_polish_oracle(),
+    tags=("analytics", "robust"),
+)
+def a452_median_polish(spark, sf_dir):
+    """Tukey's median polish of the source × language mean-length
+    table — the robust alternative to two-way ANOVA (a408 fits means;
+    a single weird cell drags every marginal mean, while medians
+    shrug it off): alternately subtract row medians then column
+    medians from the residual table for two sweeps, accumulating
+    additive row/column effects. Cell values start as exact integer
+    micro-means (floor-div), and every median is of ≤20 dyadic
+    rationals — medians interpolate midpoints, so residuals stay on
+    an exact binary grid and both engines' `median` (exact
+    interpolated middle) agree bit-for-bit; no fixed-point re-round
+    is ever needed. Each sweep is two tiny groupBy-medians plus two
+    broadcast-joins on the ~100-cell table; the corpus is scanned
+    once. The decomposition reads: row effect = how long this
+    source's docs run, column effect = the language's contribution,
+    residual = the cell's own surprise — the robust QC view of any
+    two-factor data census."""
+    d = table(spark, sf_dir, "documents")
+    r = (
+        d.groupBy("source", "lang")
+        .agg(
+            F.expr("(sum(n_chars) * 1000000) div count(*)")
+            .cast("double")
+            .alias("resid")
+        )
+        .localCheckpoint(eager=False)
+    )
+    re_ = r.groupBy("source").agg(F.lit(0.0).alias("eff"))
+    ce = r.groupBy("lang").agg(F.lit(0.0).alias("eff"))
+    for _ in range(2):
+        rm = r.groupBy("source").agg(F.median("resid").alias("med"))
+        r = (
+            r.join(F.broadcast(rm), "source")
+            .select(
+                "source", "lang", (F.col("resid") - F.col("med")).alias("resid")
+            )
+            .localCheckpoint(eager=False)
+        )
+        re_ = re_.join(F.broadcast(rm), "source").select(
+            "source", (F.col("eff") + F.col("med")).alias("eff")
+        )
+        cm = r.groupBy("lang").agg(F.median("resid").alias("med"))
+        r = (
+            r.join(F.broadcast(cm), "lang")
+            .select(
+                "source", "lang", (F.col("resid") - F.col("med")).alias("resid")
+            )
+            .localCheckpoint(eager=False)
+        )
+        ce = ce.join(F.broadcast(cm), "lang").select(
+            "lang", (F.col("eff") + F.col("med")).alias("eff")
+        )
+    return (
+        r.join(re_.select("source", F.col("eff").alias("row_eff")), "source")
+        .join(ce.select("lang", F.col("eff").alias("col_eff")), "lang")
+        .select(
+            "source",
+            "lang",
+            # dyadic-exact doubles in micro units: no rounding, no
+            # half-boundary tie risk (the q326 class)
+            F.col("resid").alias("resid_micro"),
+            F.col("row_eff").alias("row_eff_micro"),
+            F.col("col_eff").alias("col_eff_micro"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -1725,3 +1725,120 @@ def a425_chao1_richness(spark, sf_dir):
         F.round(F.col("vocab") + extra, 6).alias("chao1_r"),
         F.round(extra / (F.col("vocab") + extra), 6).alias("unseen_frac_r"),
     ).orderBy("source")
+
+
+@query(
+    "a453_huffman_code_audit",
+    oracle="""
+WITH RECURSIVE tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+), freq AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS w FROM tok WHERE t != ''
+  GROUP BY t
+), base AS (
+  SELECT list_sort(list(w)) AS ws,
+         CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(w) AS BIGINT) AS n
+  FROM freq
+), it(k, ws, acc, v, n) AS (
+  SELECT 0, ws, CAST(0 AS BIGINT), v, n FROM base
+  UNION ALL
+  SELECT k + 1,
+         list_sort(list_append(ws[3:], ws[1] + ws[2])),
+         acc + ws[1] + ws[2],
+         v, n
+  FROM it WHERE k < v - 1
+), fin AS (
+  SELECT acc, v, n FROM it WHERE k = v - 1
+), ent AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           -(CAST(f.w AS DOUBLE) / b.n)
+             * log2(CAST(f.w AS DOUBLE) / b.n) * 1000000000000.0, 0)
+           AS BIGINT)) AS BIGINT) AS h_fp
+  FROM freq f CROSS JOIN base b
+)
+SELECT f.v AS vocab_size, f.n AS total_tokens,
+       f.acc AS huffman_total_bits,
+       round(CAST(f.acc AS DOUBLE) / f.n, 6) AS huffman_bits_per_tok_r,
+       round(e.h_fp / 1000000000000.0, 6) AS entropy_bits_r,
+       round((e.h_fp / 1000000000000.0)
+             / (CAST(f.acc AS DOUBLE) / f.n), 6) AS efficiency_r
+FROM fin f CROSS JOIN ent e
+""",
+    tags=("lm", "coding"),
+)
+def a453_huffman_code_audit(spark, sf_dir):
+    """Optimal prefix-code (Huffman) audit of the token distribution
+    — how many bits/token would the optimal symbol code spend, versus
+    the Shannon entropy lower bound? The gap (efficiency < 1) is the
+    integer-bit-length overhead, the source-coding companion to the
+    zlib compressibility signal (a389 measures one concrete coder;
+    this measures the best possible symbol coder). The classic trick
+    makes tree bookkeeping vanish: total Huffman cost = Σ of merged
+    weights over the n−1 merges, so the whole build is a fold on the
+    SORTED weight list — merge the two smallest, re-insert the sum,
+    accumulate. That loop runs in JVM higher-order functions over one
+    collected frequency row (exact BIGINT weights, bounded by the
+    vocabulary — cap vocab at top-K for web-scale corpora, as the LM
+    estimators do), with the oracle replaying identical integer
+    merges in a WITH RECURSIVE step. Entropy terms are per-token
+    fixed-pointed before the vocab-scale sum. Corpus is touched once
+    for term frequencies; everything after is O(vocab log vocab)."""
+    from ..functions.text import tokens
+    from ..operators.core import ensure_parallelism
+
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
+    freq = (
+        d.select(F.explode(tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    base = freq.agg(
+        F.array_sort(F.collect_list("w")).alias("ws"),
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("w").cast("bigint").alias("n"),
+    )
+    # n-1 merges: acc accumulates the merged weight at every step ==
+    # total weighted code length of the optimal prefix code
+    merged = F.aggregate(
+        F.sequence(F.lit(1), (F.col("v") - 1).cast("int")),
+        F.struct(
+            F.col("ws").alias("ws"), F.lit(0).cast("bigint").alias("acc")
+        ),
+        lambda st, _: F.struct(
+            F.array_sort(
+                F.array_append(
+                    F.slice(st["ws"], 3, F.greatest(F.size(st["ws"]) - 2, F.lit(0))),
+                    F.get(st["ws"], 0) + F.get(st["ws"], 1),
+                )
+            ).alias("ws"),
+            (st["acc"] + F.get(st["ws"], 0) + F.get(st["ws"], 1)).alias("acc"),
+        ),
+    )
+    fin = base.select("v", "n", merged["acc"].alias("acc"))
+    p = F.col("w").cast("double") / F.col("n")
+    ent = (
+        freq.crossJoin(F.broadcast(base.select("n")))
+        .select(
+            F.round(-p * F.log2(p) * 1000000000000.0, 0)
+            .cast("bigint")
+            .alias("term_fp")
+        )
+        .agg(F.sum("term_fp").cast("bigint").alias("h_fp"))
+    )
+    return fin.crossJoin(F.broadcast(ent)).select(
+        F.col("v").alias("vocab_size"),
+        F.col("n").alias("total_tokens"),
+        F.col("acc").alias("huffman_total_bits"),
+        F.round(F.col("acc").cast("double") / F.col("n"), 6).alias(
+            "huffman_bits_per_tok_r"
+        ),
+        F.round(F.col("h_fp") / 1000000000000.0, 6).alias("entropy_bits_r"),
+        F.round(
+            (F.col("h_fp") / 1000000000000.0)
+            / (F.col("acc").cast("double") / F.col("n")),
+            6,
+        ).alias("efficiency_r"),
+    )

@@ -1092,3 +1092,76 @@ def a380_null_ordering(spark, sf_dir):
         .orderBy("rk_nulls_first")
         .limit(50)
     )
+
+
+@query(
+    "a451_transpose_api",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS sum_cents,
+         CAST(MAX(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS max_cents,
+         CAST(MIN(o_custkey) AS BIGINT) AS min_custkey
+  FROM orders GROUP BY grp
+), m AS (
+  SELECT 'max_cents' AS key, 1 AS ord FROM (VALUES (1)) t(x)
+  UNION ALL SELECT 'min_custkey', 2
+  UNION ALL SELECT 'n_orders', 3
+  UNION ALL SELECT 'sum_cents', 4
+)
+SELECT m.key,
+       MAX(CASE m.key WHEN 'n_orders' THEN (SELECT n_orders FROM agg WHERE grp = '1-URGENT')
+                      WHEN 'sum_cents' THEN (SELECT sum_cents FROM agg WHERE grp = '1-URGENT')
+                      WHEN 'max_cents' THEN (SELECT max_cents FROM agg WHERE grp = '1-URGENT')
+                      ELSE (SELECT min_custkey FROM agg WHERE grp = '1-URGENT') END)
+         AS "1-URGENT",
+       MAX(CASE m.key WHEN 'n_orders' THEN (SELECT n_orders FROM agg WHERE grp = '2-HIGH')
+                      WHEN 'sum_cents' THEN (SELECT sum_cents FROM agg WHERE grp = '2-HIGH')
+                      WHEN 'max_cents' THEN (SELECT max_cents FROM agg WHERE grp = '2-HIGH')
+                      ELSE (SELECT min_custkey FROM agg WHERE grp = '2-HIGH') END)
+         AS "2-HIGH",
+       MAX(CASE m.key WHEN 'n_orders' THEN (SELECT n_orders FROM agg WHERE grp = '3-MEDIUM')
+                      WHEN 'sum_cents' THEN (SELECT sum_cents FROM agg WHERE grp = '3-MEDIUM')
+                      WHEN 'max_cents' THEN (SELECT max_cents FROM agg WHERE grp = '3-MEDIUM')
+                      ELSE (SELECT min_custkey FROM agg WHERE grp = '3-MEDIUM') END)
+         AS "3-MEDIUM",
+       MAX(CASE m.key WHEN 'n_orders' THEN (SELECT n_orders FROM agg WHERE grp = '4-NOT SPECIFIED')
+                      WHEN 'sum_cents' THEN (SELECT sum_cents FROM agg WHERE grp = '4-NOT SPECIFIED')
+                      WHEN 'max_cents' THEN (SELECT max_cents FROM agg WHERE grp = '4-NOT SPECIFIED')
+                      ELSE (SELECT min_custkey FROM agg WHERE grp = '4-NOT SPECIFIED') END)
+         AS "4-NOT SPECIFIED",
+       MAX(CASE m.key WHEN 'n_orders' THEN (SELECT n_orders FROM agg WHERE grp = '5-LOW')
+                      WHEN 'sum_cents' THEN (SELECT sum_cents FROM agg WHERE grp = '5-LOW')
+                      WHEN 'max_cents' THEN (SELECT max_cents FROM agg WHERE grp = '5-LOW')
+                      ELSE (SELECT min_custkey FROM agg WHERE grp = '5-LOW') END)
+         AS "5-LOW"
+FROM m GROUP BY m.key, m.ord ORDER BY m.key
+""",
+    tags=("relational", "sql-feature"),
+)
+def a451_transpose_api(spark, sf_dir):
+    """Spark 4.0 DataFrame.transpose — the native rows↔columns flip
+    (measure names become rows, index-column VALUES become columns,
+    ascending), which replaces the stack()/pivot two-step every
+    metrics dashboard used to hand-write. A 5-row per-priority
+    aggregate of uniform BIGINT measures (transpose requires a least
+    common type across value columns — the sharp edge this battery
+    pins) flips to a 4-row × 5-priority-column table. The oracle
+    reconstructs the exact transposed shape with a manual
+    conditional-aggregation pivot, including the default "key"
+    column and the ascending column order. Transpose collects the
+    index values to the driver to name columns — bounded here by the
+    5-value priority domain, the documented contract for using it at
+    scale (transpose an AGGREGATE, never a fact table)."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    agg = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+        F.max(cents).cast("bigint").alias("max_cents"),
+        F.min("o_custkey").cast("bigint").alias("min_custkey"),
+    )
+    return agg.transpose().orderBy("key")

@@ -837,3 +837,83 @@ def test_a427_spc_rules_single_window_sort(spark, sf_dir, registry):
     plan = plan_of(df)
     # all frames ride one hashpartitioning(grp) exchange for the window
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_a436_duels_equi_join_matrix_single_row(spark, sf_dir, registry):
+    """Bradley-Terry duels come from the within-order equi self-join —
+    never brand×brand over the fact table. The only nested-loop joins
+    are the 1-row matrix/weight/count crosses feeding the MM fold."""
+    df = registry["a436_bradley_terry"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+
+
+def test_a437_codebook_broadcast_cross_only(spark, sf_dir, registry):
+    """Silhouette scoring crosses the corpus against the broadcast
+    8-row codebook (limit-pinned) exactly once; the corpus is never
+    self-joined."""
+    df = registry["a437_silhouette"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "GlobalLimit" in plan or "CollectLimit" in plan, plan
+
+
+def test_a439_panel_bounded_no_joins(spark, sf_dir, registry):
+    """Greedy max-coverage collapses the limit-pinned panel to one
+    array row and runs the whole selection in HOFs: the plan has a
+    GlobalLimit bound and no join of any kind."""
+    df = registry["a439_greedy_max_coverage"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert "GlobalLimit" in plan or "CollectLimit" in plan, plan
+
+
+def test_a440_weiszfeld_broadcast_estimates(spark, sf_dir, registry):
+    """Every Weiszfeld iteration joins the corpus to the 10-row
+    current estimate via broadcast-hash — no sort-merge shuffle of
+    the corpus for a 10-row dimension, no cartesian anywhere."""
+    df = registry["a440_geometric_median"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_a444_cdf_pair_join_is_equi(spark, sf_dir, registry):
+    """The 190 source pairs ride the equi-join on the grid value —
+    never a cartesian pair fan-out of the corpus. (The deliberate
+    sources×grid completion cross is bounded by domain sizes and
+    rides broadcast.)"""
+    df = registry["a444_wasserstein_1d"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_a446_interval_table_is_bounded_nested_loop(spark, sf_dir, registry):
+    """Isotonic's O(weeks²) interval table is ONE nested-loop join of
+    the ~350-row weekly series with itself — the fact table is rolled
+    up before any pairing, so no cartesian of raw rows exists."""
+    df = registry["a446_isotonic_regression"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_a448_margin_joins_are_broadcast(spark, sf_dir, registry):
+    """All 20 IPF scaling joins hit the ~100-cell weight table with
+    broadcast margins — a sort-merge exchange for a 20-row margin
+    would be 20 needless shuffles."""
+    df = registry["a448_ipf_raking"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_a450_lof_sweeps_never_cartesian(spark, sf_dir, registry):
+    """LOF's three neighborhood sweeps broadcast the bounded side
+    against the corpus scan; nothing in the 2-hop pipeline is a
+    cartesian product."""
+    df = registry["a450_lof_panel"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
