@@ -2186,3 +2186,294 @@ def a450_lof_panel(spark, sf_dir):
         .select("vec_id", "kdist_r", "lof_r")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "a454_hopkins_statistic",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), dims AS (
+  SELECT CAST(p AS INT) AS p FROM range(64) t(p)
+), bounds AS (
+  SELECT d.p, MIN(e.v[d.p + 1]) AS lo, MAX(e.v[d.p + 1]) AS hi
+  FROM e CROSS JOIN dims d GROUP BY d.p
+), barr AS (
+  SELECT list(lo ORDER BY p) AS lo, list(hi ORDER BY p) AS hi
+  FROM bounds
+), probes AS (
+  SELECT CAST(pid AS BIGINT) AS pid,
+         list_transform(range(64), p ->
+           b.lo[p + 1]
+           + (CAST(('0x' || substr(md5(CAST(pid AS VARCHAR) || '_'
+               || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)
+             * (b.hi[p + 1] - b.lo[p + 1])) AS pv
+  FROM range(25) t(pid) CROSS JOIN barr b
+), udist AS (
+  SELECT pr.pid,
+         MIN(CAST(ROUND(sqrt(list_reduce(list_transform(range(64), q ->
+           (pr.pv[q + 1] - c.v[q + 1]) * (pr.pv[q + 1] - c.v[q + 1])),
+           (acc, x) -> acc + x)) * 1000000000.0, 0) AS BIGINT)) AS u_fp
+  FROM probes pr CROSS JOIN e c
+  GROUP BY pr.pid
+), wdist AS (
+  SELECT p.vec_id,
+         MIN(CAST(ROUND(sqrt(list_reduce(list_transform(range(64), q ->
+           (p.v[q + 1] - c.v[q + 1]) * (p.v[q + 1] - c.v[q + 1])),
+           (acc, x) -> acc + x)) * 1000000000.0, 0) AS BIGINT)) AS w_fp
+  FROM e p JOIN e c ON c.vec_id != p.vec_id
+  WHERE p.vec_id >= 100 AND p.vec_id < 125
+  GROUP BY p.vec_id
+), sums AS (
+  SELECT (SELECT CAST(SUM(u_fp) AS BIGINT) FROM udist) AS su,
+         (SELECT CAST(SUM(w_fp) AS BIGINT) FROM wdist) AS sw
+)
+SELECT CAST(25 AS BIGINT) AS m, su AS sum_u_fp, sw AS sum_w_fp,
+       round(CAST(su AS DOUBLE) / (su + sw), 6) AS hopkins_r
+FROM sums
+""",
+    tags=("similarity", "clustering"),
+)
+def a454_hopkins_statistic(spark, sf_dir):
+    """Hopkins statistic — the clusterability pre-test that answers
+    "is there ANY cluster structure worth finding?" BEFORE spending a
+    k-means/HDBSCAN run (H ≈ 0.5 → indistinguishable from uniform
+    noise; → 1 → strongly clustered). 25 synthetic probes are placed
+    hash-uniformly inside the per-dimension bounding box (md5-derived
+    u ∈ [0,1) — the q141 deterministic-coin discipline, so both
+    engines generate IDENTICAL probe coordinates), 25 real panel
+    points (vec_id 100–124, limit-pinned) are drawn from the data,
+    and H = Σu/(Σu+Σw) compares nearest-neighbor distances of probes
+    vs real points (the d=1 practical variant). Both NN sweeps are
+    bounded-side×corpus broadcasts with fixed-point MINs — exact
+    BIGINT sums, one scan each. At 100 TB the same two sweeps ride
+    the ANN candidate generators instead of brute force; the bounding
+    box comes from the same per-dim aggregate."""
+    from ..operators.core import ensure_parallelism
+
+    e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=False)
+    bounds = (
+        e.select(F.posexplode("v").alias("p", "x"))
+        .groupBy("p")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    barr = bounds.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("p", "lo"))), lambda s: s["lo"]
+        ).alias("lo"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("p", "hi"))), lambda s: s["hi"]
+        ).alias("hi"),
+    )
+    pid = spark.range(25).select(F.col("id").cast("bigint").alias("pid"))
+    probes = (
+        pid.crossJoin(F.broadcast(barr))
+        .select(
+            "pid",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda p: F.get(F.col("lo"), p)
+                + (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("pid").cast("string"),
+                                    F.lit("_"),
+                                    p.cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    / 4294967296.0
+                )
+                * (F.get(F.col("hi"), p) - F.get(F.col("lo"), p)),
+            ).alias("pv"),
+        )
+        .limit(25)
+    )
+    d_fp = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("pv", "v", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * 1000000000.0,
+        0,
+    ).cast("bigint")
+    udist = (
+        e.crossJoin(F.broadcast(probes))
+        .select("pid", d_fp.alias("fp"))
+        .groupBy("pid")
+        .agg(F.min("fp").alias("u_fp"))
+    )
+    panel = (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 125))
+        .limit(25)
+        .select(F.col("vec_id").alias("pid"), F.col("v").alias("pv"))
+    )
+    wdist = (
+        e.crossJoin(F.broadcast(panel))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", d_fp.alias("fp"))
+        .groupBy("pid")
+        .agg(F.min("fp").alias("w_fp"))
+    )
+    su = udist.agg(F.sum("u_fp").cast("bigint").alias("su"))
+    sw = wdist.agg(F.sum("w_fp").cast("bigint").alias("sw"))
+    return (
+        su.crossJoin(F.broadcast(sw))
+        .select(
+            F.lit(25).cast("bigint").alias("m"),
+            F.col("su").alias("sum_u_fp"),
+            F.col("sw").alias("sum_w_fp"),
+            F.round(
+                F.col("su").cast("double") / (F.col("su") + F.col("sw")), 6
+            ).alias("hopkins_r"),
+        )
+    )
+
+
+@query(
+    "a455_energy_distance",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         CAST(vec_id % 2 AS INT) AS par
+  FROM embeddings
+), pairs AS (
+  SELECT a.label,
+         CASE WHEN a.par = 0 AND b.par = 0 THEN 'ee'
+              WHEN a.par = 1 AND b.par = 1 THEN 'oo'
+              ELSE 'eo' END AS pt,
+         CAST(ROUND(sqrt(list_reduce(list_transform(range(64), q ->
+           (a.v[q + 1] - b.v[q + 1]) * (a.v[q + 1] - b.v[q + 1])),
+           (acc, x) -> acc + x)) * 1000000000.0, 0) AS BIGINT) AS r_fp
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+), agg AS (
+  SELECT label, pt, CAST(SUM(r_fp) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY label, pt
+), wide AS (
+  SELECT label,
+         MAX(CASE WHEN pt = 'eo' THEN s END) AS s_eo,
+         MAX(CASE WHEN pt = 'eo' THEN c END) AS c_eo,
+         MAX(CASE WHEN pt = 'ee' THEN s END) AS s_ee,
+         MAX(CASE WHEN pt = 'ee' THEN c END) AS c_ee,
+         MAX(CASE WHEN pt = 'oo' THEN s END) AS s_oo,
+         MAX(CASE WHEN pt = 'oo' THEN c END) AS c_oo
+  FROM agg GROUP BY label
+)
+SELECT label, c_eo AS n_cross_pairs,
+       round(2.0 * (CAST(s_eo AS DOUBLE) / c_eo) / 1000000000.0
+             - (CAST(s_ee AS DOUBLE) / c_ee) / 1000000000.0
+             - (CAST(s_oo AS DOUBLE) / c_oo) / 1000000000.0, 6)
+         AS energy_dist_r,
+       round((CAST(s_eo AS DOUBLE) / c_eo) / 1000000000.0, 6)
+         AS mean_cross_r,
+       round((CAST(s_ee AS DOUBLE) / c_ee) / 1000000000.0, 6)
+         AS mean_even_r,
+       round((CAST(s_oo AS DOUBLE) / c_oo) / 1000000000.0, 6)
+         AS mean_odd_r
+FROM wide ORDER BY label
+""",
+    tags=("similarity", "drift"),
+)
+def a455_energy_distance(spark, sf_dir):
+    """Energy-distance two-sample test per label, even vs odd vec_ids
+    (the deterministic stand-in for encoder release A vs B):
+    E = 2·E‖X−Y‖ − E‖X−X'‖ − E‖Y−Y'‖, zero iff the two DISTRIBUTIONS
+    coincide — which is exactly what the centroid-based drift monitor
+    (q280) cannot see: two clouds with identical centroids but
+    different spread give q280 a clean bill and light this metric up.
+    One within-label self-join generates every unordered pair ONCE
+    (label-bounded — never corpus×corpus; at 100 TB the split panels
+    are subsampled per label first), with the pair type (even-even /
+    odd-odd / cross) classified inline so all three means come from a
+    single shuffle. Distances are fixed-pointed per pair, so the
+    three sums are exact BIGINTs and the final combination is a
+    deterministic double of exact integers on both engines."""
+    from ..operators.core import ensure_parallelism
+
+    e = (
+        ensure_parallelism(table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            (F.col("vec_id") % 2).cast("int").alias("par"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = e.select(
+        "label",
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("par").alias("pa"),
+    )
+    b = e.select(
+        "label",
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("par").alias("pb"),
+    )
+    r_fp = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * 1000000000.0,
+        0,
+    ).cast("bigint")
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            "label",
+            F.when((F.col("pa") == 0) & (F.col("pb") == 0), "ee")
+            .when((F.col("pa") == 1) & (F.col("pb") == 1), "oo")
+            .otherwise("eo")
+            .alias("pt"),
+            r_fp.alias("r_fp"),
+        )
+    )
+    agg = pairs.groupBy("label", "pt").agg(
+        F.sum("r_fp").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    def pick(pt, col):
+        return F.max(F.when(F.col("pt") == pt, F.col(col)))
+    wide = agg.groupBy("label").agg(
+        pick("eo", "s").alias("s_eo"),
+        pick("eo", "c").alias("c_eo"),
+        pick("ee", "s").alias("s_ee"),
+        pick("ee", "c").alias("c_ee"),
+        pick("oo", "s").alias("s_oo"),
+        pick("oo", "c").alias("c_oo"),
+    )
+    mean = lambda s, c: (F.col(s).cast("double") / F.col(c)) / 1000000000.0
+    return wide.select(
+        "label",
+        F.col("c_eo").alias("n_cross_pairs"),
+        F.round(
+            2.0 * mean("s_eo", "c_eo")
+            - mean("s_ee", "c_ee")
+            - mean("s_oo", "c_oo"),
+            6,
+        ).alias("energy_dist_r"),
+        F.round(mean("s_eo", "c_eo"), 6).alias("mean_cross_r"),
+        F.round(mean("s_ee", "c_ee"), 6).alias("mean_even_r"),
+        F.round(mean("s_oo", "c_oo"), 6).alias("mean_odd_r"),
+    ).orderBy("label")
