@@ -2813,3 +2813,248 @@ def a447_haar_wavelet_energy(spark, sf_dir):
         )
         .orderBy("level")
     )
+
+
+@query(
+    "a456_matrix_profile_discords",
+    oracle="""
+WITH wk AS (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY week
+), ser AS (
+  SELECT week, y, CAST(row_number() OVER (ORDER BY week) AS BIGINT) AS i
+  FROM wk
+), win AS (
+  SELECT i, week,
+         list(CAST(y AS DOUBLE)) OVER w AS arr,
+         CAST(SUM(y) OVER w AS BIGINT) AS s1,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS s2,
+         CAST(COUNT(*) OVER w AS BIGINT) AS m
+  FROM ser
+  WINDOW w AS (ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+), zed AS (
+  SELECT i, week,
+         list_transform(arr, x ->
+           (x - s1 / 8.0)
+           / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / 8.0)
+                  / 8.0)) AS z
+  FROM win
+  WHERE m = 8 AND CAST(s2 AS DOUBLE) * 8.0 > CAST(s1 AS DOUBLE) * s1
+), pairs AS (
+  SELECT a.i, a.week,
+         CAST(ROUND(sqrt(list_reduce(list_transform(range(8), q ->
+           (a.z[q + 1] - b.z[q + 1]) * (a.z[q + 1] - b.z[q + 1])),
+           (acc, x) -> acc + x)) * 1000000000.0, 0) AS BIGINT) AS d_fp
+  FROM zed a JOIN zed b ON abs(a.i - b.i) >= 8
+), mp AS (
+  SELECT i, week, CAST(MIN(d_fp) AS BIGINT) AS mp_fp
+  FROM pairs GROUP BY i, week
+)
+SELECT i, week, round(mp_fp / 1000000000.0, 6) AS mp_r
+FROM mp
+ORDER BY mp_fp DESC, i
+LIMIT 10
+""",
+    tags=("temporal", "anomaly"),
+)
+def a456_matrix_profile_discords(spark, sf_dir):
+    """Matrix-profile discord discovery on the weekly volume series —
+    the shape-based anomaly detector the z-score family (q125/q306)
+    cannot replicate: a week whose VALUE is normal but whose
+    8-week-window SHAPE matches nothing else in the history gets the
+    largest profile value MP_i = min_j d(z_i, z_j) (z-normalized
+    subsequence distance, |i−j| ≥ 8 exclusion so a window never
+    matches its own overlap). Window means and variances come from
+    exact integer frame sums (μ = S/8 and σ² are dyadic rationals, so
+    the z-normalizations are deterministic IEEE doubles on both
+    engines), pair distances are fixed-pointed, and the profile MIN is
+    an exact BIGINT. The O(windows²) pair table is quadratic in WEEKS
+    (~340 at every sf — the weekly rollup is the only stage that sees
+    the fact table), the same scale-freedom argument as isotonic
+    a446. Flat-variance windows are excluded (σ = 0 has no z-shape).
+    Output: the top-10 discord windows."""
+    o = table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("week")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    ser = wk.select(
+        "week",
+        "y",
+        F.row_number().over(Window.orderBy("week")).cast("bigint").alias("i"),
+    )
+    w = (
+        Window.orderBy("i").rowsBetween(Window.currentRow, 7)
+    )
+    win = ser.select(
+        "i",
+        "week",
+        F.collect_list(F.col("y").cast("double")).over(w).alias("arr"),
+        F.sum("y").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("s2"),
+        F.count("*").over(w).cast("bigint").alias("m"),
+    )
+    sigma = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / 8.0
+        )
+        / 8.0
+    )
+    zed = (
+        win.filter(
+            (F.col("m") == 8)
+            & (
+                F.col("s2").cast("double") * 8.0
+                > F.col("s1").cast("double") * F.col("s1")
+            )
+        )
+        .select(
+            "i",
+            "week",
+            F.transform(
+                "arr", lambda x: (x - F.col("s1") / 8.0) / sigma
+            ).alias("z"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = zed.select("i", "week", F.col("z").alias("za"))
+    b = zed.select(F.col("i").alias("j"), F.col("z").alias("zb"))
+    d_fp = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("za", "zb", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * 1000000000.0,
+        0,
+    ).cast("bigint")
+    mp = (
+        a.join(b, F.abs(F.col("i") - F.col("j")) >= 8)
+        .select("i", "week", d_fp.alias("d_fp"))
+        .groupBy("i", "week")
+        .agg(F.min("d_fp").cast("bigint").alias("mp_fp"))
+    )
+    return (
+        mp.select(
+            "i", "week", F.round(F.col("mp_fp") / 1000000000.0, 6).alias("mp_r"),
+            F.col("mp_fp").alias("_fp"),
+        )
+        .orderBy(F.col("_fp").desc(), "i")
+        .limit(10)
+        .drop("_fp")
+    )
+
+
+@query(
+    "a457_sax_symbolization",
+    oracle="""
+WITH wk AS (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY week
+), ser AS (
+  SELECT week, y,
+         CAST(row_number() OVER (ORDER BY week) - 1 AS BIGINT) AS i
+  FROM wk
+), gmom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s1,
+         CAST(SUM(y * y) AS BIGINT) AS s2
+  FROM ser
+), paa AS (
+  SELECT i // 8 AS seg,
+         CAST(MIN(week) AS DATE) AS week_start,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM ser GROUP BY i // 8 HAVING COUNT(*) = 8
+), sym AS (
+  SELECT p.seg, p.week_start,
+         (CAST(p.s AS DOUBLE) / 8.0 - CAST(g.s1 AS DOUBLE) / g.n)
+         / sqrt((CAST(g.s2 AS DOUBLE) - CAST(g.s1 AS DOUBLE) * g.s1 / g.n)
+                / g.n) AS znorm
+  FROM paa p CROSS JOIN gmom g
+)
+SELECT seg, week_start, round(znorm, 6) AS paa_znorm_r,
+       CASE WHEN znorm < -0.6744897501960817 THEN 'a'
+            WHEN znorm < 0.0 THEN 'b'
+            WHEN znorm < 0.6744897501960817 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM sym
+ORDER BY seg
+""",
+    tags=("temporal", "indexing"),
+)
+def a457_sax_symbolization(spark, sf_dir):
+    """SAX (Symbolic Aggregate approXimation) of the weekly volume
+    series — the representation that turns a numeric time series into
+    a short word over a small alphabet so similarity search,
+    frequent-motif counting, and grep-style pattern matching run on
+    SYMBOLS (the indexing companion to a456's exact discord sweep):
+    piecewise-aggregate means over 8-week segments, global
+    z-normalization, then quartile breakpoints of the standard normal
+    (±0.6744897501960817, embedded as identical literals — the q240
+    recipe) map each segment to {a,b,c,d}. Segment means and the
+    global moments are exact integer sums (the only divisions are
+    IEEE-deterministic), so the symbol for a value sitting exactly ON
+    a breakpoint is still decided identically by both engines. One
+    weekly rollup touches the fact table; everything after is
+    O(weeks). The breakpoint CASE ladder IS the SAX lower-bounding
+    contract: equal symbols guarantee bounded true distance."""
+    o = table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("week")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    ser = wk.select(
+        "week",
+        "y",
+        (F.row_number().over(Window.orderBy("week")) - 1)
+        .cast("bigint")
+        .alias("i"),
+    ).localCheckpoint(eager=False)
+    glob = ser.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
+    )
+    paa = (
+        ser.groupBy(F.expr("i div 8").alias("seg"))
+        .agg(
+            F.min("week").cast("date").alias("week_start"),
+            F.sum("y").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("m"),
+        )
+        .filter(F.col("m") == 8)
+    )
+    znorm = (
+        F.col("s").cast("double") / 8.0
+        - F.col("s1").cast("double") / F.col("n")
+    ) / F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        / F.col("n")
+    )
+    bp = 0.6744897501960817
+    return (
+        paa.crossJoin(F.broadcast(glob))
+        .select("seg", "week_start", znorm.alias("znorm"))
+        .select(
+            "seg",
+            "week_start",
+            F.round(F.col("znorm"), 6).alias("paa_znorm_r"),
+            F.when(F.col("znorm") < -bp, "a")
+            .when(F.col("znorm") < 0.0, "b")
+            .when(F.col("znorm") < bp, "c")
+            .otherwise("d")
+            .alias("symbol"),
+        )
+        .orderBy("seg")
+    )
