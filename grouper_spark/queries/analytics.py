@@ -5411,3 +5411,124 @@ def a452_median_polish(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "a458_modularity",
+    oracle="""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY pa, pb
+), comm AS (
+  SELECT p_partkey AS pk, p_brand AS brand FROM part
+), m AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS m_tot FROM pairs
+), deg AS (
+  SELECT pk, CAST(SUM(w) AS BIGINT) AS d FROM (
+    SELECT pa AS pk, w FROM pairs
+    UNION ALL
+    SELECT pb AS pk, w FROM pairs
+  ) GROUP BY pk
+), dcomm AS (
+  SELECT c.brand, CAST(SUM(d.d) AS BIGINT) AS d_c,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg d JOIN comm c ON c.pk = d.pk
+  GROUP BY c.brand
+), ecomm AS (
+  SELECT ca.brand, CAST(SUM(p.w) AS BIGINT) AS e_c
+  FROM pairs p
+  JOIN comm ca ON ca.pk = p.pa
+  JOIN comm cb ON cb.pk = p.pb AND cb.brand = ca.brand
+  GROUP BY ca.brand
+)
+SELECT d.brand, d.n_nodes,
+       CAST(COALESCE(e.e_c, 0) AS BIGINT) AS intra_w,
+       d.d_c AS degree_w,
+       round(CAST(COALESCE(e.e_c, 0) AS DOUBLE) / m.m_tot
+             - (CAST(d.d_c AS DOUBLE) / (2 * m.m_tot))
+               * (CAST(d.d_c AS DOUBLE) / (2 * m.m_tot)), 6)
+         AS q_contrib_r
+FROM dcomm d LEFT JOIN ecomm e ON e.brand = d.brand
+CROSS JOIN m
+ORDER BY d.brand
+""",
+    tags=("analytics", "graph"),
+)
+def a458_modularity(spark, sf_dir):
+    """Newman modularity of the brand partition over the co-purchase
+    graph — the metric that EVALUATES a community assignment (here:
+    do brands form real co-purchase communities?), closing the loop
+    the graph stack opened: LPA (a357) proposes labels, this scores
+    any labeling via Q = Σ_c [e_c/m − (d_c/2m)²]. Everything is exact
+    integers until the final per-community division: intra-community
+    edge weight e_c, weighted degree mass d_c, and total edge weight
+    m come from the same bounded within-order pair generation as
+    a357 (order size ≤7 — never part×part) plus two graph-sized
+    aggregates. Near-zero contributions per brand = brands are NOT
+    purchase communities (TPC-H orders mix brands uniformly) — the
+    metric correctly refusing to see structure, same evidentiary
+    role as a443's flat-profile Rayleigh. One pair shuffle + two
+    group-bys at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    lp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = lp.select("ok", F.col("pk").alias("pa"))
+    b = lp.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    comm = part.select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
+    )
+    m = pairs.agg(F.sum("w").cast("bigint").alias("m_tot"))
+    deg = (
+        pairs.select(F.col("pa").alias("pk"), "w")
+        .unionAll(pairs.select(F.col("pb").alias("pk"), "w"))
+        .groupBy("pk")
+        .agg(F.sum("w").cast("bigint").alias("d"))
+    )
+    dcomm = (
+        deg.join(comm, "pk")
+        .groupBy("brand")
+        .agg(
+            F.sum("d").cast("bigint").alias("d_c"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+        )
+    )
+    ca = comm.select(F.col("pk").alias("pa"), F.col("brand").alias("ba"))
+    cb = comm.select(F.col("pk").alias("pb"), F.col("brand").alias("bb"))
+    ecomm = (
+        # no forced broadcast: comm derives from sf-scaled `part`
+        # (the a357 brands class) — AQE picks the strategy at runtime
+        pairs.join(ca, "pa")
+        .join(cb, "pb")
+        .filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.sum("w").cast("bigint").alias("e_c"))
+    )
+    dm = F.col("d_c").cast("double") / (2 * F.col("m_tot"))
+    return (
+        dcomm.join(ecomm, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            "n_nodes",
+            F.coalesce("e_c", F.lit(0)).cast("bigint").alias("intra_w"),
+            F.col("d_c").alias("degree_w"),
+            F.round(
+                F.coalesce("e_c", F.lit(0)).cast("double") / F.col("m_tot")
+                - dm * dm,
+                6,
+            ).alias("q_contrib_r"),
+        )
+        .orderBy("brand")
+    )

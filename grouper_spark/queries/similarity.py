@@ -2477,3 +2477,125 @@ def a455_energy_distance(spark, sf_dir):
         F.round(mean("s_ee", "c_ee"), 6).alias("mean_even_r"),
         F.round(mean("s_oo", "c_oo"), 6).alias("mean_odd_r"),
     ).orderBy("label")
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled Gonzalez farthest-point sweeps: step j computes every
+    point's min distance to the chosen set and picks the argmax
+    (ties → lowest vec_id)."""
+    parts = ["""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s1 AS MATERIALIZED (
+  SELECT CAST(1 AS INT) AS step, vec_id, v,
+         CAST(0 AS BIGINT) AS radius_fp
+  FROM e WHERE vec_id = 0
+)"""]
+    for j in range(2, k + 1):
+        parts.append(f""", d{j} AS (
+  SELECT c.vec_id, c.v,
+         MIN(CAST(ROUND(sqrt(list_reduce(list_transform(range(64), q ->
+           (c.v[q + 1] - s.v[q + 1]) * (c.v[q + 1] - s.v[q + 1])),
+           (acc, x) -> acc + x)) * 1000000000.0, 0) AS BIGINT)) AS mn_fp
+  FROM e c CROSS JOIN s{j - 1} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM s{j - 1})
+  GROUP BY c.vec_id, c.v
+), pick{j} AS (
+  SELECT CAST({j} AS INT) AS step, vec_id, v, mn_fp AS radius_fp
+  FROM d{j} ORDER BY mn_fp DESC, vec_id LIMIT 1
+), s{j} AS MATERIALIZED (
+  SELECT step, vec_id, v, radius_fp FROM s{j - 1}
+  UNION ALL
+  SELECT step, vec_id, v, radius_fp FROM pick{j}
+)""")
+    parts.append(f"""
+SELECT step, vec_id, round(radius_fp / 1000000000.0, 6) AS radius_r
+FROM s{k} ORDER BY step""")
+    return "".join(parts)
+
+
+@query(
+    "a459_kcenter_seeding",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "selection"),
+)
+def a459_kcenter_seeding(spark, sf_dir):
+    """Greedy k-center (Gonzalez farthest-point) seeding — the
+    2-approximation for picking k maximally-SPREAD representatives,
+    the diversity complement to a439's coverage greedy (that
+    maximizes what the picks contain; this maximizes how far apart
+    they sit — the seeding that fixes k-means' first-8-rows codebook
+    (q95) and the standard coreset/diverse-eval-set selector): start
+    from vec 0, then 7 sweeps each broadcasting the ≤8 chosen
+    vectors against the corpus, taking per-point MIN distance to the
+    set (exact fixed-point BIGINT) and picking the argmax with
+    (radius DESC, vec_id) determinism. The radius column IS the
+    covering-radius curve: radius at step k bounds every point's
+    distance to its nearest center by that value — the quantity the
+    2-approx guarantee speaks about. Each sweep is one scan + one
+    aggregate; the chosen set never exceeds k rows, so 100 TB costs
+    k linear passes (or one pass of the streaming variant)."""
+    from ..operators.core import ensure_parallelism
+
+    e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=False)
+    chosen = (
+        e.filter(F.col("vec_id") == 0)
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("step"),
+            "vec_id",
+            "v",
+            F.lit(0).cast("bigint").alias("radius_fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    d_fp = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "sv", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * 1000000000.0,
+        0,
+    ).cast("bigint")
+    for j in range(2, 9):
+        s = chosen.select(
+            F.col("vec_id").alias("sid"), F.col("v").alias("sv")
+        ).limit(8)
+        mins = (
+            e.crossJoin(F.broadcast(s))
+            .filter(F.col("vec_id") != F.col("sid"))
+            .select("vec_id", "v", d_fp.alias("fp"))
+            .groupBy("vec_id")
+            .agg(
+                F.min("fp").alias("mn_fp"),
+                F.first("v").alias("v"),
+                F.count("*").cast("int").alias("n_seen"),
+            )
+            # a point already chosen joins fewer set rows than |S|
+            # after the != filter; requiring all |S| rows excludes it
+            .filter(F.col("n_seen") == j - 1)
+        )
+        pick = (
+            mins.orderBy(F.col("mn_fp").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(j).cast("int").alias("step"),
+                "vec_id",
+                "v",
+                F.col("mn_fp").alias("radius_fp"),
+            )
+        )
+        # eager: the chosen set is <=8 rows; materializing it per sweep
+        # truncates the union lineage so sweep j never replans sweep j-1
+        chosen = chosen.unionAll(pick).localCheckpoint(eager=True)
+    return chosen.select(
+        "step",
+        "vec_id",
+        F.round(F.col("radius_fp") / 1000000000.0, 6).alias("radius_r"),
+    ).orderBy("step")
