@@ -6461,3 +6461,111 @@ def a449_gumbel_block_maxima(spark, sf_dir):
             4,
         ).alias("rl104_usd_r"),
     )
+
+
+@query(
+    "a460_krippendorff_alpha",
+    oracle="""
+WITH ratings AS (
+  SELECT l_orderkey AS u, l_returnflag AS c FROM lineitem
+), unit_cat AS (
+  SELECT u, c, CAST(COUNT(*) AS BIGINT) AS n_uc FROM ratings GROUP BY u, c
+), unit AS (
+  SELECT u, CAST(SUM(n_uc) AS BIGINT) AS m_u FROM unit_cat GROUP BY u
+), pairable AS (
+  SELECT u, m_u FROM unit WHERE m_u >= 2
+), do_num AS (
+  -- 60 is divisible by every m_u-1 (order size <= 7), so each unit
+  -- term 60*n_uc*(m_u-n_uc)/(m_u-1) is an exact integer
+  SELECT CAST(SUM((60 * uc.n_uc * (p.m_u - uc.n_uc)) // (p.m_u - 1))
+              AS BIGINT) AS do60
+  FROM unit_cat uc JOIN pairable p ON p.u = uc.u
+), marg AS (
+  SELECT CAST(SUM(uc.n_uc) AS BIGINT) AS n_c
+  FROM unit_cat uc JOIN pairable p ON p.u = uc.u
+  GROUP BY uc.c
+), tot AS (
+  SELECT CAST(SUM(n_c) AS BIGINT) AS n_tot,
+         CAST(SUM(n_c * n_c) AS BIGINT) AS s2
+  FROM marg
+), fin AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairable) AS n_units,
+         t.n_tot,
+         CAST(d.do60 AS DOUBLE) / (60.0 * t.n_tot) AS do_,
+         CAST(t.n_tot * (t.n_tot - 1) - (t.s2 - t.n_tot) AS DOUBLE)
+           / (CAST(t.n_tot AS DOUBLE) * (t.n_tot - 1)) AS de_
+  FROM do_num d CROSS JOIN tot t
+)
+SELECT n_units, n_tot AS n_ratings,
+       round(do_, 6) AS do_r, round(de_, 6) AS de_r,
+       round(1.0 - do_ / de_, 6) AS alpha_r
+FROM fin
+""",
+    tags=("monitoring", "agreement"),
+)
+def a460_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha (nominal metric) — the inter-annotator
+    agreement coefficient LLM annotation pipelines standardize on
+    precisely because, unlike Cohen's kappa (a352, exactly 2 raters)
+    and Fleiss' kappa (a388, fixed panel size), it digests VARIABLE
+    raters per unit and missing ratings natively: here each order is
+    a unit, its lineitems are interchangeable raters, and the return
+    flag is the rating category. The whole statistic is exact
+    integer arithmetic: the observed-disagreement numerator scales
+    each unit term by 60 (divisible by every possible m_u−1 with
+    order size ≤ 7 — so the floor-div is exact, never truncating),
+    expected disagreement comes from global category margins via
+    n_tot(n_tot−1) − Σn_c(n_c−1), and the two divisions happen once
+    at the end on identical integers. Plan: two groupBys and two
+    1-row aggregates — single-digit shuffles regardless of corpus
+    size; single-rating units drop out exactly as the coefficient
+    prescribes. Alpha ≈ 0 on this fixture (flags are assigned
+    independently of orders) — the honest no-agreement baseline."""
+    li = table(spark, sf_dir, "lineitem")
+    unit_cat = (
+        li.select(
+            F.col("l_orderkey").alias("u"), F.col("l_returnflag").alias("c")
+        )
+        .groupBy("u", "c")
+        .agg(F.count("*").cast("bigint").alias("n_uc"))
+        .localCheckpoint(eager=False)
+    )
+    unit = unit_cat.groupBy("u").agg(
+        F.sum("n_uc").cast("bigint").alias("m_u")
+    )
+    pairable = unit.filter(F.col("m_u") >= 2)
+    joined = unit_cat.join(pairable, "u").localCheckpoint(eager=False)
+    do_num = joined.agg(
+        F.sum(
+            F.expr("(60 * n_uc * (m_u - n_uc)) div (m_u - 1)")
+        )
+        .cast("bigint")
+        .alias("do60")
+    )
+    marg = joined.groupBy("c").agg(
+        F.sum("n_uc").cast("bigint").alias("n_c")
+    )
+    tot = marg.agg(
+        F.sum("n_c").cast("bigint").alias("n_tot"),
+        F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias("s2"),
+    )
+    n_units = pairable.agg(F.count("*").cast("bigint").alias("n_units"))
+    do_ = F.col("do60").cast("double") / (60.0 * F.col("n_tot"))
+    de_ = (
+        (
+            F.col("n_tot") * (F.col("n_tot") - 1)
+            - (F.col("s2") - F.col("n_tot"))
+        ).cast("double")
+        / (F.col("n_tot").cast("double") * (F.col("n_tot") - 1))
+    )
+    return (
+        do_num.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_units))
+        .select(
+            "n_units",
+            F.col("n_tot").alias("n_ratings"),
+            F.round(do_, 6).alias("do_r"),
+            F.round(de_, 6).alias("de_r"),
+            F.round(1.0 - do_ / de_, 6).alias("alpha_r"),
+        )
+    )
