@@ -2599,3 +2599,116 @@ def a459_kcenter_seeding(spark, sf_dir):
         "vec_id",
         F.round(F.col("radius_fp") / 1000000000.0, 6).alias("radius_r"),
     ).orderBy("step")
+
+
+@query(
+    "a462_effective_rank",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ex AS (
+  SELECT e.vec_id, CAST(d.p AS INT) AS p, e.v[d.p + 1] AS x
+  FROM e CROSS JOIN (SELECT CAST(p AS INT) AS p FROM range(64) t(p)) d
+), mu AS (
+  SELECT p,
+         CAST(ROUND(SUM(CAST(ROUND(x * 1000000000.0, 0) AS BIGINT))
+                    / COUNT(*), 0) AS BIGINT) / 1000000000.0 AS m
+  FROM ex GROUP BY p
+), cen AS (
+  SELECT ex.vec_id, ex.p, ex.x - mu.m AS x
+  FROM ex JOIN mu ON mu.p = ex.p
+), gram AS (
+  SELECT a.p AS pa, b.p AS pb,
+         CAST(SUM(CAST(ROUND(a.x * b.x * 1000.0, 0) AS BIGINT))
+              AS BIGINT) AS c_milli
+  FROM cen a JOIN cen b ON b.vec_id = a.vec_id
+  GROUP BY a.p, b.p
+), traces AS (
+  SELECT CAST(SUM(CASE WHEN pa = pb THEN c_milli ELSE 0 END) AS BIGINT)
+           AS tr_c,
+         CAST(SUM(c_milli * c_milli) AS BIGINT) AS tr_c2
+  FROM gram
+), nrow AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
+)
+SELECT n.n, CAST(64 AS BIGINT) AS dim,
+       round(t.tr_c / 1000.0, 6) AS trace_r,
+       round(CAST(t.tr_c AS DOUBLE) * t.tr_c / t.tr_c2, 6)
+         AS effective_rank_r,
+       round(CAST(t.tr_c AS DOUBLE) * t.tr_c / t.tr_c2 / 64.0, 6)
+         AS rank_ratio_r
+FROM traces t CROSS JOIN nrow n
+""",
+    tags=("similarity", "diagnostics"),
+)
+def a462_effective_rank(spark, sf_dir):
+    """Effective rank (participation ratio) of the embedding
+    covariance — PR = tr(C)²/tr(C²) = (Σλ)²/Σλ², the full-spectrum
+    dimensionality diagnostic that needs NO eigensolve: where q249's
+    power iteration extracts the top eigenvalue and a124's isotropy
+    audit tests the Gram identity, PR summarizes how many directions
+    the embedding cloud ACTUALLY uses (64 = isotropic, ≪64 =
+    rank-collapsed encoder — the classic representation-collapse
+    alarm). Both traces come from the exact fixed-point Gram matrix:
+    per-dimension means (q95 discipline), centered per-row products
+    rounded to milli-units before the BIGINT sum (order-independent
+    across 1000 executors), then tr(C²) = Σ C_pq² stays inside int64
+    because the milli scale caps each entry. Plan: one d²-explode
+    self-join per row — O(n·d²) work, one shuffle to the 4096-cell
+    Gram — the same shape as the q106 gramian operator, feeding two
+    1-row trace aggregates."""
+    from ..operators.core import ensure_parallelism
+
+    e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    ex = e.select("vec_id", F.posexplode("v").alias("p", "x"))
+    mu = ex.groupBy("p").agg(
+        (
+            F.round(
+                F.sum(F.round(F.col("x") * 1000000000.0, 0).cast("bigint"))
+                / F.count("*"),
+                0,
+            ).cast("bigint")
+            / 1000000000.0
+        ).alias("m")
+    )
+    cen = (
+        ex.join(F.broadcast(mu), "p")
+        .select("vec_id", "p", (F.col("x") - F.col("m")).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = cen.select("vec_id", F.col("p").alias("pa"), F.col("x").alias("xa"))
+    b = cen.select("vec_id", F.col("p").alias("pb"), F.col("x").alias("xb"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("pa", "pb")
+        .agg(
+            F.sum(
+                F.round(F.col("xa") * F.col("xb") * 1000.0, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("c_milli")
+        )
+    )
+    traces = gram.agg(
+        F.sum(F.when(F.col("pa") == F.col("pb"), F.col("c_milli")).otherwise(0))
+        .cast("bigint")
+        .alias("tr_c"),
+        F.sum(F.col("c_milli") * F.col("c_milli"))
+        .cast("bigint")
+        .alias("tr_c2"),
+    )
+    nrow = e.agg(F.count("*").cast("bigint").alias("n"))
+    pr = F.col("tr_c").cast("double") * F.col("tr_c") / F.col("tr_c2")
+    return (
+        traces.crossJoin(F.broadcast(nrow))
+        .select(
+            "n",
+            F.lit(64).cast("bigint").alias("dim"),
+            F.round(F.col("tr_c") / 1000.0, 6).alias("trace_r"),
+            F.round(pr, 6).alias("effective_rank_r"),
+            F.round(pr / 64.0, 6).alias("rank_ratio_r"),
+        )
+    )

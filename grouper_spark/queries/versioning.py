@@ -1566,3 +1566,172 @@ def a417_nextfit_binpack(spark, sf_dir):
             6,
         ).alias("utilization_r"),
     )
+
+
+def _voptimal_oracle(n: int = 200, kmax: int = 6) -> str:
+    """Unrolled v-optimal DP layers: E(i,k) = min_j E(j,k-1) +
+    SSE(j+1,i), with SSE from prefix sums in fixed micro-units."""
+    head = f"""
+WITH day0 AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY d ORDER BY d LIMIT {n}
+), ser AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, y
+  FROM day0
+), pre0 AS (
+  SELECT i,
+         CAST(SUM(y) OVER (ORDER BY i) AS BIGINT) AS p1,
+         CAST(SUM(y * y) OVER (ORDER BY i) AS BIGINT) AS p2
+  FROM ser
+), pre AS (
+  SELECT i, p1, p2 FROM pre0
+  UNION ALL SELECT 0, 0, 0
+), nmax AS (
+  SELECT CAST(MAX(i) AS BIGINT) AS n FROM pre
+), sse AS MATERIALIZED (
+  SELECT j.i AS j, k.i AS i,
+         CAST(ROUND((CAST(k.p2 - j.p2 AS DOUBLE)
+           - CAST(k.p1 - j.p1 AS DOUBLE) * (k.p1 - j.p1) / (k.i - j.i))
+           * 1000000.0, 0) AS BIGINT) AS sse_micro
+  FROM pre j JOIN pre k ON j.i < k.i
+), e1 AS MATERIALIZED (
+  SELECT i, sse_micro AS e FROM sse WHERE j = 0
+)"""
+    layers = []
+    for k in range(2, kmax + 1):
+        layers.append(f""", e{k} AS MATERIALIZED (
+  SELECT s.i, CAST(MIN(p.e + s.sse_micro) AS BIGINT) AS e
+  FROM e{k - 1} p JOIN sse s ON s.j = p.i
+  GROUP BY s.i
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS n_buckets, e AS total_sse_micro "
+        f"FROM e{k} JOIN nmax ON i = n"
+        for k in range(1, kmax + 1)
+    )
+    return head + "".join(layers) + f"""
+SELECT n_buckets, total_sse_micro,
+       total_sse_micro
+         - lead(total_sse_micro) OVER (ORDER BY n_buckets)
+         AS gain_vs_next_micro
+FROM ({finals})
+ORDER BY n_buckets"""
+
+
+@query(
+    "a461_voptimal_histogram",
+    oracle=_voptimal_oracle(),
+    tags=("versioning", "optimizer"),
+)
+def a461_voptimal_histogram(spark, sf_dir):
+    """V-optimal histogram planning — the dynamic program every
+    cost-based optimizer's statistics module rests on: for k buckets
+    over the daily-volume series, the minimum total within-bucket
+    SSE, E(i,k) = min_j E(j,k−1) + SSE(j+1,i). Where the equi-depth
+    histogram (q120) fixes bucket POPULATIONS, v-optimal places
+    boundaries where the data actually changes — the output elbow
+    curve (optimal SSE for k=1..6, with the marginal gain of each
+    extra bucket) is the evidence for how many buckets a column
+    needs. SSE comes from exact integer prefix sums (SSE(a,b) =
+    ΣY² − (ΣY)²/m, an IEEE-deterministic double fixed-pointed to
+    micro BIGINTs), so every DP cell is an exact integer MIN — no
+    float ordering anywhere. The O(n²) interval table and five DP
+    layers are quadratic in the 200-day series, not the fact table
+    (the a446/a456 scale-freedom argument); the oracle unrolls the
+    same layers with MATERIALIZED CTEs."""
+    o = table(spark, sf_dir, "orders")
+    day = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .orderBy("d")
+        .limit(200)
+    )
+    ser = day.select(
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
+        "y",
+    )
+    pre0 = ser.select(
+        "i",
+        F.sum("y")
+        .over(
+            Window.orderBy("i").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("p1"),
+        F.sum(F.col("y") * F.col("y"))
+        .over(
+            Window.orderBy("i").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("p2"),
+    )
+    zero = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("i"),
+        F.lit(0).cast("bigint").alias("p1"),
+        F.lit(0).cast("bigint").alias("p2"),
+    )
+    pre = pre0.unionAll(zero).localCheckpoint(eager=False)
+    nmax = pre.agg(F.max("i").cast("bigint").alias("n"))
+    j = pre.select(
+        F.col("i").alias("j"), F.col("p1").alias("pj1"), F.col("p2").alias("pj2")
+    )
+    k = pre.select("i", "p1", "p2")
+    sse = (
+        j.join(k, F.col("j") < F.col("i"))
+        .select(
+            "j",
+            "i",
+            F.round(
+                (
+                    (F.col("p2") - F.col("pj2")).cast("double")
+                    - (F.col("p1") - F.col("pj1")).cast("double")
+                    * (F.col("p1") - F.col("pj1"))
+                    / (F.col("i") - F.col("j"))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("sse_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e = sse.filter(F.col("j") == 0).select("i", F.col("sse_micro").alias("e"))
+    finals = [
+        e.join(nmax, e.i == nmax.n).select(
+            F.lit(1).alias("n_buckets"), F.col("e").alias("total_sse_micro")
+        )
+    ]
+    for kk in range(2, 7):
+        prev = e.select(F.col("i").alias("j"), F.col("e").alias("pe"))
+        e = (
+            prev.join(sse, "j")
+            .groupBy("i")
+            .agg(
+                F.min(F.col("pe") + F.col("sse_micro"))
+                .cast("bigint")
+                .alias("e")
+            )
+            .localCheckpoint(eager=False)
+        )
+        finals.append(
+            e.join(nmax, e.i == nmax.n).select(
+                F.lit(kk).alias("n_buckets"),
+                F.col("e").alias("total_sse_micro"),
+            )
+        )
+    allk = finals[0]
+    for f_ in finals[1:]:
+        allk = allk.unionAll(f_)
+    return allk.select(
+        "n_buckets",
+        "total_sse_micro",
+        (
+            F.col("total_sse_micro")
+            - F.lead("total_sse_micro").over(Window.orderBy("n_buckets"))
+        ).alias("gain_vs_next_micro"),
+    ).orderBy("n_buckets")
