@@ -1239,3 +1239,161 @@ def a379_join_hints(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "a463_tpch_q5_local_supplier",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100.0,
+                           0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY nation
+ORDER BY revenue_cents DESC, nation
+""",
+    tags=("join", "tpch"),
+)
+def a463_tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume) — the classic 6-table
+    join-order stress: revenue where the supplier and the customer
+    sit in the SAME nation of one region, over one order year. The
+    make-or-break plan property is that s_nationkey = c_nationkey is
+    an extra equi-condition on the lineitem⋈supplier join, NOT a
+    post-join filter — Catalyst keeps it in the join condition, so
+    mismatched-nation rows die inside the join instead of surviving
+    to a filter; the region/nation dims broadcast (constant 5/25
+    rows), the date range prunes orders at the scan, and the single
+    fact⋈fact shuffle is lineitem⋈orders with AQE free to broadcast
+    the filtered order side at runtime. Exact-cents revenue, count
+    both engines. Q7's cousin (q248) crosses borders; this one stays
+    home — together they pin both polarities of the nation-pair
+    predicate."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("bigint")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            s,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(rev).cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), "nation")
+    )
+
+
+@query(
+    "a464_tpch_q8_market_share",
+    oracle="""
+WITH all_rev AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100.0, 0)
+              AS BIGINT) AS rev_cents,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+  JOIN region rc  ON rc.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  WHERE rc.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+)
+SELECT yr,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev_cents
+                     ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev_cents
+                           ELSE 0 END) AS DOUBLE)
+             / SUM(rev_cents), 6) AS mkt_share_r
+FROM all_rev
+GROUP BY yr
+ORDER BY yr
+""",
+    tags=("join", "tpch"),
+)
+def a464_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share) — the deepest classic star:
+    eight tables, with the target nation's revenue share of ALL
+    revenue sold into one region for one part type, by year. The
+    plan discipline Q8 exists to test: the share is a CONDITIONAL
+    aggregate over one joined stream (CASE WHEN supplier-nation),
+    never two separate join trees diffed at the end — one
+    lineitem⋈orders shuffle total; part/nation/region filters reach
+    their scans; both nation hops and region broadcast (constant
+    dims); and the supplier join stays unfiltered because the
+    candidate nation must NOT prune rows (the denominator needs
+    everyone). Numerator and denominator are exact integer cents
+    from the same rows, so the share is a deterministic double on
+    both engines."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    nc = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_reg")
+    )
+    ns = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("bigint")
+    joined = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("nc_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("nc_reg"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            rev.alias("rev_cents"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_1", F.col("rev_cents")).otherwise(
+        0
+    )
+    return (
+        joined.groupBy("yr")
+        .agg(
+            F.sum(nat).cast("bigint").alias("nation_cents"),
+            F.sum("rev_cents").cast("bigint").alias("total_cents"),
+            F.round(
+                F.sum(nat).cast("double") / F.sum("rev_cents"), 6
+            ).alias("mkt_share_r"),
+        )
+        .orderBy("yr")
+    )
