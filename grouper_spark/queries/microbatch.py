@@ -791,3 +791,99 @@ def a343_tws_extrema(spark, sf_dir):
         )
     )
     return final.orderBy("user_id")
+
+
+@query(
+    "a465_join_view_maintenance",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT))
+            AS BIGINT) AS rev_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY segment
+ORDER BY segment
+""",
+    tags=("streaming", "ivm"),
+)
+def a465_join_view_maintenance(spark, sf_dir):
+    """Incremental maintenance of a JOIN view — the delta algebra
+    (dV = dA⋈B + A⋈dB + dA⋈dB) that every streaming materialized-
+    view engine implements, extending q71's aggregate-only matview to
+    the two-sided-join case: both orders AND customers arrive in
+    three md5-deterministic batches, and the per-segment revenue view
+    is maintained by joining each delta ONLY against the prior
+    accumulated state plus the concurrent delta — the full A⋈B is
+    never recomputed after the first batch, which at 100 TB is the
+    whole point (work per step is |delta|-proportional). The oracle
+    is the direct join-aggregate over the complete tables: the hash
+    match PROVES the incremental algebra reaches the same view (the
+    q58 rewrite-equivalence discipline). All revenue math is exact
+    integer cents, so merge order across batches cannot matter."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100.0, 0)
+        .cast("bigint")
+        .alias("cents"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 3
+        ).alias("b"),
+    ).localCheckpoint(eager=False)
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 3
+        ).alias("b"),
+    ).localCheckpoint(eager=False)
+
+    def agg_join(orders_df, cust_df):
+        return (
+            orders_df.join(
+                cust_df, F.col("o_custkey") == F.col("c_custkey")
+            )
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("rev_cents"),
+            )
+        )
+
+    view = None
+    a_state = None
+    b_state = None
+    for k in range(3):
+        da = o.filter(F.col("b") == k).drop("b")
+        db = c.filter(F.col("b") == k).drop("b")
+        if view is None:
+            delta = agg_join(da, db)
+        else:
+            # dV = dA⋈B_prev  ∪  A_prev⋈dB  ∪  dA⋈dB — state is only
+            # joined against deltas, never re-joined with itself
+            delta = (
+                agg_join(da, b_state)
+                .unionAll(agg_join(a_state, db))
+                .unionAll(agg_join(da, db))
+            )
+        view = delta if view is None else view.unionAll(delta)
+        view = (
+            view.groupBy("segment")
+            .agg(
+                F.sum("n_orders").cast("bigint").alias("n_orders"),
+                F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        a_state = da if a_state is None else a_state.unionAll(da).localCheckpoint(eager=False)
+        b_state = db if b_state is None else b_state.unionAll(db).localCheckpoint(eager=False)
+    return view.select("segment", "n_orders", "rev_cents").orderBy("segment")

@@ -6569,3 +6569,126 @@ def a460_krippendorff_alpha(spark, sf_dir):
             F.round(1.0 - do_ / de_, 6).alias("alpha_r"),
         )
     )
+
+
+@query(
+    "a466_deming_regression",
+    oracle="""
+WITH pair AS (
+  SELECT p.p_partkey,
+         CAST(ROUND(p.p_retailprice * 100.0, 0) AS BIGINT) AS x_cents,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS sum_ep,
+         CAST(SUM(CAST(ROUND(l.l_quantity * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS sum_q
+  FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_partkey, x_cents
+), xy AS (
+  SELECT x_cents,
+         CAST(ROUND(CAST(sum_ep AS DOUBLE) * 100.0 / sum_q, 0) AS BIGINT)
+           AS y_cents
+  FROM pair WHERE sum_q > 0
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_cents) AS BIGINT) AS sx,
+         CAST(SUM(y_cents) AS BIGINT) AS sy,
+         SUM(CAST(x_cents AS DOUBLE) * x_cents) AS sxx,
+         SUM(CAST(y_cents AS DOUBLE) * y_cents) AS syy,
+         SUM(CAST(x_cents AS DOUBLE) * y_cents) AS sxy
+  FROM xy
+), cen AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         sxx / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+           AS vxx,
+         syy / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+           AS vyy,
+         sxy / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+           AS vxy
+  FROM mom
+)
+SELECT n,
+       round((vyy - vxx + sqrt((vyy - vxx) * (vyy - vxx)
+              + 4.0 * vxy * vxy)) / (2.0 * vxy), 6) AS slope_r,
+       round((my - ((vyy - vxx + sqrt((vyy - vxx) * (vyy - vxx)
+              + 4.0 * vxy * vxy)) / (2.0 * vxy)) * mx) / 100.0, 4)
+         AS intercept_usd_r,
+       round(vxy / sqrt(vxx * vyy), 6) AS pearson_r
+FROM cen
+""",
+    tags=("monitoring", "stats"),
+)
+def a466_deming_regression(spark, sf_dir):
+    """Deming (errors-in-variables) regression between two ways of
+    measuring a part's price — catalog retail price vs realized mean
+    unit sale price: OLS (q258) assumes x is error-free and biases
+    the slope toward zero when it isn't; Deming (δ=1) treats BOTH
+    axes as noisy, with the closed form β = (Syy−Sxx +
+    √((Syy−Sxx)²+4Sxy²))/2Sxy — the method-comparison standard in
+    measurement QA. All moments come from exact integer cents (the
+    per-part mean unit price is itself a ROUNDed integer, so the
+    second moments are deterministic IEEE doubles of identical
+    inputs on both engines), one fact-table aggregate per part plus
+    one 1-row moment aggregate — two shuffles at any scale. The
+    intercept lands in dollars; Pearson r rides along from the same
+    moments for the bias-vs-OLS reading."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    pair = (
+        p.join(li, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100.0, 0)
+            .cast("bigint")
+            .alias("x_cents"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_ep"),
+            F.sum(F.round(F.col("l_quantity") * 100.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_q"),
+        )
+    )
+    xy = pair.filter(F.col("sum_q") > 0).select(
+        "x_cents",
+        F.round(F.col("sum_ep").cast("double") * 100.0 / F.col("sum_q"), 0)
+        .cast("bigint")
+        .alias("y_cents"),
+    )
+    mom = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x_cents").cast("bigint").alias("sx"),
+        F.sum("y_cents").cast("bigint").alias("sy"),
+        F.sum(F.col("x_cents").cast("double") * F.col("x_cents")).alias("sxx"),
+        F.sum(F.col("y_cents").cast("double") * F.col("y_cents")).alias("syy"),
+        F.sum(F.col("x_cents").cast("double") * F.col("y_cents")).alias("sxy"),
+    )
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    cen = mom.select(
+        "n",
+        mx.alias("mx"),
+        my.alias("my"),
+        (F.col("sxx") / F.col("n") - mx * mx).alias("vxx"),
+        (F.col("syy") / F.col("n") - my * my).alias("vyy"),
+        (F.col("sxy") / F.col("n") - mx * my).alias("vxy"),
+    )
+    disc = F.sqrt(
+        (F.col("vyy") - F.col("vxx")) * (F.col("vyy") - F.col("vxx"))
+        + 4.0 * F.col("vxy") * F.col("vxy")
+    )
+    slope = (F.col("vyy") - F.col("vxx") + disc) / (2.0 * F.col("vxy"))
+    return cen.select(
+        "n",
+        F.round(slope, 6).alias("slope_r"),
+        F.round((F.col("my") - slope * F.col("mx")) / 100.0, 4).alias(
+            "intercept_usd_r"
+        ),
+        F.round(
+            F.col("vxy") / F.sqrt(F.col("vxx") * F.col("vyy")), 6
+        ).alias("pearson_r"),
+    )
