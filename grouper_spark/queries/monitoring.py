@@ -6692,3 +6692,265 @@ def a466_deming_regression(spark, sf_dir):
             F.col("vxy") / F.sqrt(F.col("vxx") * F.col("vyy")), 6
         ).alias("pearson_r"),
     )
+
+
+@query(
+    "a467_matching_estimator",
+    oracle="""
+WITH lead_t AS (
+  SELECT o.o_orderkey AS ok, o.o_orderpriority AS pri,
+         CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT) AS price_c,
+         CAST(CAST(MAX(l.l_shipdate) AS DATE)
+              - CAST(o.o_orderdate AS DATE) AS BIGINT) AS lead_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY ok, pri, price_c, CAST(o.o_orderdate AS DATE)
+), t AS (
+  SELECT ok, price_c, lead_days, price_c // 100000 AS bkt
+  FROM lead_t WHERE pri = '1-URGENT'
+), c AS (
+  SELECT ok, price_c, lead_days, price_c // 100000 AS bkt
+  FROM lead_t WHERE pri = '5-LOW'
+), cand AS (
+  SELECT t.ok AS t_ok, t.lead_days AS t_y, c.ok AS c_ok,
+         c.lead_days AS c_y, abs(t.price_c - c.price_c) AS gap,
+         row_number() OVER (PARTITION BY t.ok
+           ORDER BY abs(t.price_c - c.price_c), c.ok) AS rn
+  FROM t JOIN c ON c.bkt BETWEEN t.bkt - 1 AND t.bkt + 1
+  WHERE abs(t.price_c - c.price_c) <= 100000
+  QUALIFY rn = 1
+), agg AS (
+  SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_treated,
+         CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM(t_y) AS BIGINT) AS sum_t,
+         CAST(SUM(c_y) AS BIGINT) AS sum_c
+  FROM cand
+)
+SELECT n_treated, n_matched,
+       round(CAST(n_matched AS DOUBLE) / n_treated, 6) AS match_rate_r,
+       round(CAST(sum_t AS DOUBLE) / n_matched, 6) AS mean_treated_r,
+       round(CAST(sum_c AS DOUBLE) / n_matched, 6) AS mean_control_r,
+       round(CAST(sum_t - sum_c AS DOUBLE) / n_matched, 6) AS att_days_r
+FROM agg
+""",
+    tags=("monitoring", "causal"),
+)
+def a467_matching_estimator(spark, sf_dir):
+    """Nearest-neighbor matching estimator (ATT) — the third leg of
+    the causal stack beside CUPED (q259) and diff-in-diff (q323):
+    does URGENT priority actually ship faster than LOW, comparing
+    each urgent order only against the low-priority order with the
+    CLOSEST total price (caliper ±$1000, matching with replacement)?
+    Candidate pairs come from the q108 banded-bucket join — treated
+    rows only meet controls in their own or adjacent $1000 price
+    bucket, never the full treated×control cross — and the match is
+    an exact integer argmin (|price gap|, control key). Outcomes are
+    exact day counts, so ATT is a ratio of exact integers. The
+    match-rate column is the overlap diagnostic every matching study
+    must report (unmatched treated = off-support). One fact join for
+    outcomes, one bounded band join, one rank — scales like the
+    as-of join family."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    lead = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100.0, 0)
+            .cast("bigint")
+            .alias("price_c"),
+            F.col("o_orderdate").cast("date").alias("od"),
+        )
+        .agg(
+            F.datediff(F.max(F.col("l_shipdate").cast("date")), F.col("od"))
+            .cast("bigint")
+            .alias("lead_days")
+        )
+        .localCheckpoint(eager=False)
+    )
+    t = lead.filter(F.col("pri") == "1-URGENT").select(
+        F.col("ok").alias("t_ok"),
+        F.col("price_c").alias("t_price"),
+        F.col("lead_days").alias("t_y"),
+        F.expr("price_c div 100000").alias("t_bkt"),
+    )
+    c = lead.filter(F.col("pri") == "5-LOW").select(
+        F.col("ok").alias("c_ok"),
+        F.col("price_c").alias("c_price"),
+        F.col("lead_days").alias("c_y"),
+        F.expr("price_c div 100000").alias("c_bkt"),
+    )
+    w = Window.partitionBy("t_ok").orderBy("gap", "c_ok")
+    cand = (
+        t.join(
+            c,
+            (F.col("c_bkt") >= F.col("t_bkt") - 1)
+            & (F.col("c_bkt") <= F.col("t_bkt") + 1),
+        )
+        .select(
+            "t_ok",
+            "t_y",
+            "c_ok",
+            "c_y",
+            F.abs(F.col("t_price") - F.col("c_price")).alias("gap"),
+        )
+        .filter(F.col("gap") <= 100000)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    n_t = t.agg(F.count("*").cast("bigint").alias("n_treated"))
+    agg = cand.agg(
+        F.count("*").cast("bigint").alias("n_matched"),
+        F.sum("t_y").cast("bigint").alias("sum_t"),
+        F.sum("c_y").cast("bigint").alias("sum_c"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_t))
+        .select(
+            "n_treated",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_treated"), 6
+            ).alias("match_rate_r"),
+            F.round(
+                F.col("sum_t").cast("double") / F.col("n_matched"), 6
+            ).alias("mean_treated_r"),
+            F.round(
+                F.col("sum_c").cast("double") / F.col("n_matched"), 6
+            ).alias("mean_control_r"),
+            F.round(
+                (F.col("sum_t") - F.col("sum_c")).cast("double")
+                / F.col("n_matched"),
+                6,
+            ).alias("att_days_r"),
+        )
+    )
+
+
+@query(
+    "a468_regression_discontinuity",
+    oracle="""
+WITH lead_t AS (
+  SELECT o.o_orderkey AS ok,
+         CAST(ROUND(o.o_totalprice, 0) AS BIGINT) AS price_usd,
+         CAST(CAST(MAX(l.l_shipdate) AS DATE)
+              - CAST(o.o_orderdate AS DATE) AS BIGINT) AS y
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY ok, price_usd, CAST(o.o_orderdate AS DATE)
+), band AS (
+  SELECT price_usd - 200000 AS d, y,
+         CASE WHEN price_usd >= 200000 THEN 'R' ELSE 'L' END AS side
+  FROM lead_t
+  WHERE price_usd >= 100000 AND price_usd < 300000
+), mom AS (
+  SELECT side,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS sd,
+         CAST(SUM(d * d) AS BIGINT) AS sdd,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(d * y) AS BIGINT) AS sdy
+  FROM band GROUP BY side
+), fit AS (
+  SELECT side, n,
+         (CAST(n AS DOUBLE) * sdy - CAST(sd AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd) AS slope,
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sdy - CAST(sd AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)) * sd)
+           / n AS icept
+  FROM mom
+)
+SELECT MAX(CASE WHEN side = 'L' THEN n END) AS n_left,
+       MAX(CASE WHEN side = 'R' THEN n END) AS n_right,
+       round(MAX(CASE WHEN side = 'L' THEN icept END), 6) AS icept_left_r,
+       round(MAX(CASE WHEN side = 'R' THEN icept END), 6) AS icept_right_r,
+       round(MAX(CASE WHEN side = 'L' THEN slope END) * 100000.0, 6)
+         AS slope_left_per100k_r,
+       round(MAX(CASE WHEN side = 'R' THEN slope END) * 100000.0, 6)
+         AS slope_right_per100k_r,
+       round(MAX(CASE WHEN side = 'R' THEN icept END)
+             - MAX(CASE WHEN side = 'L' THEN icept END), 6)
+         AS rd_effect_days_r
+FROM fit
+""",
+    tags=("monitoring", "causal"),
+)
+def a468_regression_discontinuity(spark, sf_dir):
+    """Sharp regression discontinuity at the $200k order-value
+    cutoff — the causal design for threshold-triggered treatments
+    (expedited handling above a value line, rate limits, free
+    shipping): fit separate OLS lines of lead time on (price −
+    cutoff) within a ±$100k bandwidth on each side; the gap between
+    the two intercepts AT the cutoff is the treatment-effect
+    estimate, and the two slopes are the specification check (wildly
+    different slopes = the 'effect' is curvature, not a jump). All
+    regression moments are exact BIGINT sums of dollar-scaled
+    integers (cents would push Σd² past int64 at larger SFs — the
+    scale choice IS the overflow budget, stated here), so the
+    closed-form slope/intercept doubles agree bit-for-bit across
+    engines. One fact join for outcomes, one bandwidth-pruned scan,
+    one 2-row moment aggregate. TPC-H assigns priority independently
+    of value, so the estimated jump ≈ 0 — the placebo-test reading."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    lead = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_orderkey").alias("ok"),
+            F.round(F.col("o_totalprice"), 0).cast("bigint").alias("price_usd"),
+            F.col("o_orderdate").cast("date").alias("od"),
+        )
+        .agg(
+            F.datediff(F.max(F.col("l_shipdate").cast("date")), F.col("od"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    band = lead.filter(
+        (F.col("price_usd") >= 100000) & (F.col("price_usd") < 300000)
+    ).select(
+        (F.col("price_usd") - 200000).alias("d"),
+        "y",
+        F.when(F.col("price_usd") >= 200000, "R").otherwise("L").alias("side"),
+    )
+    mom = band.groupBy("side").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).cast("bigint").alias("sdy"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sdy")
+        - F.col("sd").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sdd")
+        - F.col("sd").cast("double") * F.col("sd")
+    )
+    fit = mom.select(
+        "side",
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sd")) / F.col("n")
+        ).alias("icept"),
+    )
+
+    def pick(side, col):
+        return F.max(F.when(F.col("side") == side, F.col(col)))
+
+    return fit.agg(
+        pick("L", "n").alias("n_left"),
+        pick("R", "n").alias("n_right"),
+        F.round(pick("L", "icept"), 6).alias("icept_left_r"),
+        F.round(pick("R", "icept"), 6).alias("icept_right_r"),
+        F.round(pick("L", "slope") * 100000.0, 6).alias(
+            "slope_left_per100k_r"
+        ),
+        F.round(pick("R", "slope") * 100000.0, 6).alias(
+            "slope_right_per100k_r"
+        ),
+        F.round(
+            pick("R", "icept") - pick("L", "icept"), 6
+        ).alias("rd_effect_days_r"),
+    )
