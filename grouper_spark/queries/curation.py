@@ -2844,6 +2844,7 @@ def a444_wasserstein_1d(spark, sf_dir):
         d.groupBy(F.col("n_chars").alias("v"))
         .agg(F.count("*").alias("_cnt"))
         .select("v")
+        .localCheckpoint(eager=False)  # grid feeds gaps AND the cdf cross
     )
     gaps = grid.select(
         "v", (F.lead("v").over(Window.orderBy("v")) - F.col("v")).alias("gap")

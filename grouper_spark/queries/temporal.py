@@ -2551,7 +2551,7 @@ def a442_allen_interval_relations(spark, sf_dir):
         .when((a_s == b_s) & (a_e == b_e), "equals")
         .otherwise("started_by")
         .alias("relation")
-    )
+    ).localCheckpoint(eager=False)  # rel feeds the total AND the census
     tot = rel.agg(F.count("*").cast("bigint").alias("n"))
     return (
         rel.crossJoin(F.broadcast(tot))
