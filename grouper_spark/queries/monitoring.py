@@ -6954,3 +6954,151 @@ def a468_regression_discontinuity(spark, sf_dir):
             pick("R", "icept") - pick("L", "icept"), 6
         ).alias("rd_effect_days_r"),
     )
+
+
+@query(
+    "a469_covariate_balance_smd",
+    oracle="""
+WITH pool AS (
+  SELECT o_orderkey AS ok, o_orderpriority AS pri,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS price_c,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) // 100000 AS bkt
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), t AS (SELECT * FROM pool WHERE pri = '1-URGENT'),
+c AS (SELECT * FROM pool WHERE pri = '5-LOW'),
+matched AS (
+  SELECT t.ok AS t_ok, t.price_c AS t_price, c.price_c AS c_price,
+         row_number() OVER (PARTITION BY t.ok
+           ORDER BY abs(t.price_c - c.price_c), c.ok) AS rn
+  FROM t JOIN c ON c.bkt BETWEEN t.bkt - 1 AND t.bkt + 1
+  WHERE abs(t.price_c - c.price_c) <= 100000
+  QUALIFY rn = 1
+), pre AS (
+  SELECT 'pre_matching' AS stage,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_t,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_c,
+         (SELECT CAST(SUM(price_c) AS BIGINT) FROM t) AS s_t,
+         (SELECT CAST(SUM(price_c) AS BIGINT) FROM c) AS s_c,
+         (SELECT SUM(CAST(price_c AS DOUBLE) * price_c) FROM t) AS q_t,
+         (SELECT SUM(CAST(price_c AS DOUBLE) * price_c) FROM c) AS q_c
+), post AS (
+  SELECT 'post_matching' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_t, CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(t_price) AS BIGINT) AS s_t,
+         CAST(SUM(c_price) AS BIGINT) AS s_c,
+         SUM(CAST(t_price AS DOUBLE) * t_price) AS q_t,
+         SUM(CAST(c_price AS DOUBLE) * c_price) AS q_c
+  FROM matched
+), both_ AS (
+  SELECT * FROM pre UNION ALL SELECT * FROM post
+)
+SELECT stage, n_t, n_c,
+       round((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+             / sqrt(((q_t / n_t
+                      - (CAST(s_t AS DOUBLE) / n_t)
+                        * (CAST(s_t AS DOUBLE) / n_t))
+                     + (q_c / n_c
+                        - (CAST(s_c AS DOUBLE) / n_c)
+                          * (CAST(s_c AS DOUBLE) / n_c))) / 2.0)
+             , 6) AS smd_price_r
+FROM both_ ORDER BY stage
+""",
+    tags=("monitoring", "causal"),
+)
+def a469_covariate_balance_smd(spark, sf_dir):
+    """Covariate-balance audit via standardized mean differences —
+    the table a matching study (a467) must publish before anyone
+    believes its ATT: SMD = (x̄_t − x̄_c)/√((s²_t+s²_c)/2) for the
+    matching covariate, BEFORE matching (raw treated vs control
+    pools) and AFTER (treated vs their caliper-matched partners).
+    |SMD| < 0.1 is the conventional balance bar; matching on price
+    should crush the post-matching row toward 0 — and because TPC-H
+    assigns priority independently of price, even the pre row sits
+    near 0, which is itself the design diagnostic (already-balanced
+    data ⇒ matching can't hurt). Both stages are exact-integer
+    moment aggregates (the matched pairs reuse the q108 banded-
+    bucket join + integer argmin from a467); pooled variances are
+    IEEE-deterministic doubles of identical sums. Two shuffles and
+    one rank at any scale."""
+    o = table(spark, sf_dir, "orders")
+    pool = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100.0, 0)
+        .cast("bigint")
+        .alias("price_c"),
+        F.expr(
+            "cast(round(o_totalprice * 100.0, 0) as bigint) div 100000"
+        ).alias("bkt"),
+    ).localCheckpoint(eager=False)
+    t = pool.filter(F.col("pri") == "1-URGENT").select(
+        F.col("ok").alias("t_ok"),
+        F.col("price_c").alias("t_price"),
+        F.col("bkt").alias("t_bkt"),
+    )
+    c = pool.filter(F.col("pri") == "5-LOW").select(
+        F.col("ok").alias("c_ok"),
+        F.col("price_c").alias("c_price"),
+        F.col("bkt").alias("c_bkt"),
+    )
+    w = Window.partitionBy("t_ok").orderBy("gap", "c_ok")
+    matched = (
+        t.join(
+            c,
+            (F.col("c_bkt") >= F.col("t_bkt") - 1)
+            & (F.col("c_bkt") <= F.col("t_bkt") + 1),
+        )
+        .select(
+            "t_ok",
+            "t_price",
+            "c_ok",
+            "c_price",
+            F.abs(F.col("t_price") - F.col("c_price")).alias("gap"),
+        )
+        .filter(F.col("gap") <= 100000)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+
+    def moments(df, col):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(col).cast("bigint").alias("s"),
+            F.sum(F.col(col).cast("double") * F.col(col)).alias("q"),
+        )
+
+    mt = moments(t, "t_price").select(
+        F.col("n").alias("n_t"), F.col("s").alias("s_t"), F.col("q").alias("q_t")
+    )
+    mc = moments(c, "c_price").select(
+        F.col("n").alias("n_c"), F.col("s").alias("s_c"), F.col("q").alias("q_c")
+    )
+    pre = (
+        mt.crossJoin(F.broadcast(mc))
+        .select(F.lit("pre_matching").alias("stage"), "n_t", "n_c", "s_t",
+                "s_c", "q_t", "q_c")
+    )
+    post = matched.agg(
+        F.lit("post_matching").alias("stage"),
+        F.count("*").cast("bigint").alias("n_t"),
+        F.count("*").cast("bigint").alias("n_c"),
+        F.sum("t_price").cast("bigint").alias("s_t"),
+        F.sum("c_price").cast("bigint").alias("s_c"),
+        F.sum(F.col("t_price").cast("double") * F.col("t_price")).alias("q_t"),
+        F.sum(F.col("c_price").cast("double") * F.col("c_price")).alias("q_c"),
+    )
+    both = pre.unionAll(post)
+    mean_t = F.col("s_t").cast("double") / F.col("n_t")
+    mean_c = F.col("s_c").cast("double") / F.col("n_c")
+    var_t = F.col("q_t") / F.col("n_t") - mean_t * mean_t
+    var_c = F.col("q_c") / F.col("n_c") - mean_c * mean_c
+    return both.select(
+        "stage",
+        "n_t",
+        "n_c",
+        F.round(
+            (mean_t - mean_c) / F.sqrt((var_t + var_c) / 2.0), 6
+        ).alias("smd_price_r"),
+    ).orderBy("stage")
