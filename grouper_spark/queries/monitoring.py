@@ -6773,7 +6773,7 @@ def a467_matching_estimator(spark, sf_dir):
         F.col("price_c").alias("t_price"),
         F.col("lead_days").alias("t_y"),
         F.expr("price_c div 100000").alias("t_bkt"),
-    )
+    ).localCheckpoint(eager=False)
     c = lead.filter(F.col("pri") == "5-LOW").select(
         F.col("ok").alias("c_ok"),
         F.col("price_c").alias("c_price"),
@@ -6781,12 +6781,21 @@ def a467_matching_estimator(spark, sf_dir):
         F.expr("price_c div 100000").alias("c_bkt"),
     )
     w = Window.partitionBy("t_ok").orderBy("gap", "c_ok")
+    # q108 discipline: the +/-1-bucket band becomes an EQUI join by
+    # exploding each treated row to its 3 candidate buckets — Spark
+    # would otherwise plan the BETWEEN condition as a cartesian
+    t3 = t.select(
+        "t_ok",
+        "t_price",
+        "t_y",
+        F.explode(
+            F.array(
+                F.col("t_bkt") - 1, F.col("t_bkt"), F.col("t_bkt") + 1
+            )
+        ).alias("c_bkt"),
+    )
     cand = (
-        t.join(
-            c,
-            (F.col("c_bkt") >= F.col("t_bkt") - 1)
-            & (F.col("c_bkt") <= F.col("t_bkt") + 1),
-        )
+        t3.join(c, "c_bkt")
         .select(
             "t_ok",
             "t_y",
@@ -7037,19 +7046,25 @@ def a469_covariate_balance_smd(spark, sf_dir):
         F.col("ok").alias("t_ok"),
         F.col("price_c").alias("t_price"),
         F.col("bkt").alias("t_bkt"),
-    )
+    ).localCheckpoint(eager=False)
     c = pool.filter(F.col("pri") == "5-LOW").select(
         F.col("ok").alias("c_ok"),
         F.col("price_c").alias("c_price"),
         F.col("bkt").alias("c_bkt"),
     )
     w = Window.partitionBy("t_ok").orderBy("gap", "c_ok")
+    # q108 discipline: band -> equi join via 3-bucket explode (see a467)
+    t3 = t.select(
+        "t_ok",
+        "t_price",
+        F.explode(
+            F.array(
+                F.col("t_bkt") - 1, F.col("t_bkt"), F.col("t_bkt") + 1
+            )
+        ).alias("c_bkt"),
+    )
     matched = (
-        t.join(
-            c,
-            (F.col("c_bkt") >= F.col("t_bkt") - 1)
-            & (F.col("c_bkt") <= F.col("t_bkt") + 1),
-        )
+        t3.join(c, "c_bkt")
         .select(
             "t_ok",
             "t_price",

@@ -917,3 +917,33 @@ def test_a450_lof_sweeps_never_cartesian(spark, sf_dir, registry):
     df = registry["a450_lof_panel"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_a463_q5_dims_broadcast_no_cartesian(spark, sf_dir, registry):
+    """TPC-H Q5: nation/region ride broadcast joins; the same-nation
+    equality lives in a join condition, so no cartesian and no
+    nested-loop join appears anywhere in the 6-table plan."""
+    df = registry["a463_tpch_q5_local_supplier"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_a464_q8_single_join_tree(spark, sf_dir, registry):
+    """TPC-H Q8: numerator and denominator come from ONE joined
+    stream (CASE-conditional aggregate) — each of the 8 tables is
+    scanned exactly once, so 8 FileScans, not 16."""
+    df = registry["a464_tpch_q8_market_share"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") <= 8, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_a467_matching_band_join_not_cartesian(spark, sf_dir, registry):
+    """The matching estimator's candidate pairs ride the bucket band
+    join (non-equi but band-bounded nested loop is acceptable only
+    via the bucket predicate; a full cartesian is not)."""
+    df = registry["a467_matching_estimator"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
