@@ -947,3 +947,48 @@ def test_a467_matching_band_join_not_cartesian(spark, sf_dir, registry):
     df = registry["a467_matching_estimator"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_a443_trig_table_is_broadcast(spark, sf_dir, registry):
+    """Circular stats: the 24-row cos/sin literal table joins the
+    hour-bucket counts via broadcast — the event scan is aggregated
+    to 24×types cells before any join."""
+    df = registry["a443_circular_stats"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_a453_huffman_corpus_single_scan(spark, sf_dir, registry):
+    """Huffman audit: the corpus is scanned once for term
+    frequencies; the merge fold and entropy sum both ride the
+    checkpointed frequency table."""
+    df = registry["a453_huffman_code_audit"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_a455_pairs_are_label_bounded(spark, sf_dir, registry):
+    """Energy distance: every pair comes from the within-label
+    equi-join — no cartesian, no nested loop over the corpus."""
+    df = registry["a455_energy_distance"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_a460_alpha_two_groupbys_no_joins_of_facts(spark, sf_dir, registry):
+    """Krippendorff: one lineitem scan feeds the unit-category
+    counts; everything downstream is group-key-sized."""
+    df = registry["a460_krippendorff_alpha"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_a462_gram_join_is_row_equi(spark, sf_dir, registry):
+    """Effective rank: the d²-fan-out is the per-row equi self-join
+    on vec_id — never a corpus×corpus cartesian."""
+    df = registry["a462_effective_rank"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
