@@ -1831,9 +1831,13 @@ WITH e AS (
 ), y0 AS (
   SELECT label, list(y ORDER BY p) AS y FROM m0 GROUP BY label
 )"""
+    # MATERIALIZED is load-bearing: DuckDB inlines a CTE once per
+    # reference, and d{k} is referenced twice (num{k} + den{k}) while
+    # y{k} feeds the next d — without it the distance chain re-inlines
+    # ~2^k times (~40 s parity wall at sf0.01 vs Spark's ~1 s).
     steps = []
     for k in range(1, iters + 1):
-        steps.append(f""", d{k} AS (
+        steps.append(f""", d{k} AS MATERIALIZED (
   SELECT e.label, e.v,
          sqrt(list_reduce(list_transform(range({dim}), q ->
            (e.v[q + 1] - y.y[q + 1]) * (e.v[q + 1] - y.y[q + 1])),
@@ -1850,7 +1854,7 @@ WITH e AS (
          CAST(SUM(CAST(ROUND(1000000000000.0 / dist, 0) AS BIGINT))
               AS BIGINT) AS den_fp
   FROM d{k} WHERE dist > 0 GROUP BY label
-), y{k} AS (
+), y{k} AS MATERIALIZED (
   SELECT n.label,
          list(CAST(n.num_fp AS DOUBLE) * 1000.0 / de.den_fp
               ORDER BY n.p) AS y
