@@ -1,53 +1,60 @@
-"""Driver-sampler rotation aliases (round-5 verdict item #1).
+"""Driver-sampler rotation aliases (round-6 verdict item #1).
 
 The driver's correctness gate hash-checks only the alphabetically-first
-50 registered query names each round.  q51–q99 have NEVER received a
-driver row in any round (r1 sampled q01–q50; later windows were filled
-by q1NN and a343+ names that sort ahead of "q5").  These thin aliases —
-same callable, same oracle SQL, ``a2NN`` names that sort into the r5
-window — put 25 of those queries under the driver's exact-value hash
-check for the first time, without duplicating any implementation.
+50 registered query names each round.  Round 5's ``a2NN`` aliases put 25
+of q51–q99 under the driver hash for the first time; those originals are
+now driver-certified (CORRECTNESS_r05.json), so the a2NN block is
+retired here and the freed window slots re-point at the biggest
+never-sampled block: q138–q342 (205 queries with zero driver rows in any
+round).  These thin aliases — same callable, same oracle SQL, ``a0NNN``
+names that sort into the r6 window ahead of a1NN — put 25 of them
+(the heavy LLM-pipeline family first: SemDeDup, PPJoin, MinHash/SimHash
+oracled twins, hyperplane LSH, TF-IDF kNN, power iteration, sketches,
+contamination/recall audits) under the driver's exact-value hash check
+for the first time, without duplicating any implementation.
 
-Alias naming: ``q<NN>_suffix`` → ``a2<NN>_suffix`` so the mapping is
-self-evident in CORRECTNESS_r05.json.
+Alias naming: ``q<NNN>_suffix`` → ``a0<NNN>_suffix`` so the mapping is
+self-evident in CORRECTNESS_r06.json.  Round 6's new implementations
+are named ``a0NN_*`` (a001–a025), so the first-50 window is exactly
+{25 new ops} ∪ {these 25 aliases} — all first-time driver rows.
 """
 
 from __future__ import annotations
 
 from . import REGISTRY, QueryDef
 
-# 25 never-driver-checked q51–q99 queries, all oracled.
+# 25 never-driver-checked q138–q342 queries, all oracled.
 _ALIASED = (
-    "q51_pandas_scalar_udf",
-    "q52_stream_watermark_window",
-    "q54_bpe_tokens",
-    "q55_rolling_hash",
-    "q57_stateful_running_sum",
-    "q58_salted_join",
-    "q59_stream_dedup_watermark",
-    "q61_percentiles",
-    "q63_dedup_clusters",
-    "q64_pipeline_end2end",
-    "q66_fuzzy_join",
-    "q67_funnel",
-    "q71_incremental_matview",
-    "q74_grouping_id",
-    "q76_agg_extras",
-    "q81_context_windows",
-    "q82_token_budget_packing",
-    "q84_decontaminate",
-    "q86_hash_split",
-    "q89_embedding_quantize",
-    "q92_batch_inference",
-    "q93_stratified_sample",
-    "q96_exists_subquery",
-    "q97_scalar_subquery",
-    "q98_lateral_topk",
+    "q144_semantic_dedup",
+    "q145_prefix_filter_join",
+    "q146_triangle_count",
+    "q152_dsir_importance",
+    "q157_ks_drift",
+    "q161_countmin_sketch",
+    "q179_record_linkage",
+    "q188_multipass_blocking",
+    "q194_bloom_prefiltered_join",
+    "q196_feature_hashing",
+    "q198_tfidf_knn",
+    "q199_phash_neardup",
+    "q207_doc_chunking",
+    "q208_sorted_neighborhood",
+    "q238_minhash_oracled",
+    "q239_simhash_oracled",
+    "q240_lsh_hyperplane_index",
+    "q249_power_iteration",
+    "q253_python_datasource",
+    "q255_negative_sampling",
+    "q266_lsh_recall_audit",
+    "q279_containment_dedup",
+    "q280_embedding_drift",
+    "q300_lm_perplexity_holdout",
+    "q330_bottomk_distinct_sketch",
 )
 
 for _orig in _ALIASED:
     _qd = REGISTRY[_orig]
-    _alias = "a2" + _orig[1:]
+    _alias = "a0" + _orig[1:]
     if _alias in REGISTRY:  # pragma: no cover - double-import guard
         continue
     REGISTRY[_alias] = QueryDef(
