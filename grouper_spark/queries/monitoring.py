@@ -7117,3 +7117,257 @@ def a469_covariate_balance_smd(spark, sf_dir):
             (mean_t - mean_c) / F.sqrt((var_t + var_c) / 2.0), 6
         ).alias("smd_price_r"),
     ).orderBy("stage")
+
+
+@query(
+    "a002_cochran_q",
+    oracle="""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), nu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM users
+), cnt AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'error', 'purchase')
+  GROUP BY user_id, event_type
+), tot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY event_type
+), grid AS (
+  SELECT u.user_id, t.event_type, t.t, COALESCE(c.c, 0) AS c
+  FROM users u
+  CROSS JOIN tot t
+  LEFT JOIN cnt c ON c.user_id = u.user_id AND c.event_type = t.event_type
+), x AS (
+  SELECT g.user_id, g.event_type,
+         CASE WHEN g.c * n.n > g.t THEN 1 ELSE 0 END AS x
+  FROM grid g CROSS JOIN nu n
+), rows_ AS (
+  SELECT user_id, CAST(SUM(x) AS BIGINT) AS r FROM x GROUP BY user_id
+), cols_ AS (
+  SELECT event_type, CAST(SUM(x) AS BIGINT) AS cj FROM x GROUP BY event_type
+), agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_) AS n_subjects,
+         (SELECT CAST(SUM(cj * cj) AS BIGINT) FROM cols_) AS sc2,
+         (SELECT CAST(SUM(cj) AS BIGINT) FROM cols_) AS sc,
+         (SELECT CAST(SUM(r) AS BIGINT) FROM rows_) AS sr,
+         (SELECT CAST(SUM(r * r) AS BIGINT) FROM rows_) AS sr2,
+         (SELECT CAST(MAX(cj) FILTER (WHERE event_type = 'click')
+                 AS BIGINT) FROM cols_) AS c_click,
+         (SELECT CAST(MAX(cj) FILTER (WHERE event_type = 'error')
+                 AS BIGINT) FROM cols_) AS c_error,
+         (SELECT CAST(MAX(cj) FILTER (WHERE event_type = 'purchase')
+                 AS BIGINT) FROM cols_) AS c_purchase
+)
+SELECT n_subjects, c_click, c_error, c_purchase,
+       CAST(2 AS BIGINT) AS df,
+       round(2.0 * (3.0 * sc2 - CAST(sc AS DOUBLE) * sc)
+             / (3.0 * sr - sr2), 6) AS q_r
+FROM agg
+""",
+    tags=("monitoring", "stats"),
+)
+def a002_cochran_q(spark, sf_dir):
+    """Cochran's Q test for k=3 related binary treatments — the
+    repeated-measures extension of McNemar (a412, k=2 paired) that asks
+    whether click / error / purchase "heavy-usage" indicators differ in
+    marginal rate across the SAME subjects; distinct from
+    a367_cochran_armitage, which tests a dose-response TREND in
+    independent proportions, not within-subject homogeneity. Binarized
+    scale-invariantly with the a412 recipe for this dense fixture
+    (every user does every event type): x_ij = 1 iff the user's count
+    of type j exceeds the per-type mean, decided by exact integer
+    cross-multiplication (c·N > total — no float threshold at any sf).
+    Q = (k−1)(k·ΣCj² − (ΣCj)²) / (k·ΣRi − ΣRi²) evaluates once from
+    exact BIGINT row/column totals, so a 1000-executor partial-sum
+    order can never move the statistic: the corpus is touched by ONE
+    map-side-combined (user,type) count; everything after runs on a
+    150-row summary."""
+    ev = table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    nu = users.count()
+    cnt = (
+        ev.filter(F.col("event_type").isin("click", "error", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    grid = (
+        users.crossJoin(F.broadcast(tot))
+        .join(cnt, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            ((F.coalesce(F.col("c"), F.lit(0)) * F.lit(nu)) > F.col("t"))
+            .cast("int")
+            .alias("x"),
+        )
+    )
+    rows_ = grid.groupBy("user_id").agg(
+        F.sum("x").cast("bigint").alias("r")
+    )
+    cols_ = grid.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("cj")
+    )
+    ragg = rows_.agg(
+        F.count("*").cast("bigint").alias("n_subjects"),
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"),
+    )
+    cagg = cols_.agg(
+        F.sum(F.col("cj") * F.col("cj")).cast("bigint").alias("sc2"),
+        F.sum("cj").cast("bigint").alias("sc"),
+        F.max(F.when(F.col("event_type") == "click", F.col("cj")))
+        .cast("bigint")
+        .alias("c_click"),
+        F.max(F.when(F.col("event_type") == "error", F.col("cj")))
+        .cast("bigint")
+        .alias("c_error"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("cj")))
+        .cast("bigint")
+        .alias("c_purchase"),
+    )
+    agg = ragg.crossJoin(cagg)
+    return agg.select(
+        "n_subjects",
+        "c_click",
+        "c_error",
+        "c_purchase",
+        F.lit(2).cast("bigint").alias("df"),
+        F.round(
+            2.0
+            * (3.0 * F.col("sc2") - F.col("sc").cast("double") * F.col("sc"))
+            / (3.0 * F.col("sr") - F.col("sr2")),
+            6,
+        ).alias("q_r"),
+    )
+
+
+@query(
+    "a003_mantel_haenszel",
+    oracle="""
+WITH cells AS (
+  SELECT r.r_name AS region,
+         CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                        AND c.c_acctbal > 5000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                        AND c.c_acctbal <= 5000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN c.c_mktsegment <> 'BUILDING'
+                        AND c.c_acctbal > 5000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS cc,
+         CAST(SUM(CASE WHEN c.c_mktsegment <> 'BUILDING'
+                        AND c.c_acctbal <= 5000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name
+), terms AS (
+  SELECT region, a, b, cc, d, a + b + cc + d AS n,
+         CAST(ROUND(CAST(a AS DOUBLE) * d * 1000000000.0
+                    / (a + b + cc + d), 0) AS BIGINT) AS ad_fp,
+         CAST(ROUND(CAST(b AS DOUBLE) * cc * 1000000000.0
+                    / (a + b + cc + d), 0) AS BIGINT) AS bc_fp,
+         CAST(ROUND(CAST(a + b AS DOUBLE) * (a + cc) * 1000000000.0
+                    / (a + b + cc + d), 0) AS BIGINT) AS e_fp,
+         CAST(ROUND(CAST(a + b AS DOUBLE) * (cc + d) * (a + cc) * (b + d)
+                    * 1000000000.0
+                    / (CAST(a + b + cc + d AS DOUBLE)
+                       * (a + b + cc + d) * (a + b + cc + d - 1)), 0)
+              AS BIGINT) AS v_fp
+  FROM cells
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+       CAST(SUM(a) AS BIGINT) AS sum_a,
+       round(CAST(SUM(ad_fp) AS DOUBLE) / SUM(bc_fp), 6) AS mh_or_r,
+       round((abs(CAST(SUM(a) AS DOUBLE) - SUM(e_fp) / 1000000000.0) - 0.5)
+             * (abs(CAST(SUM(a) AS DOUBLE) - SUM(e_fp) / 1000000000.0) - 0.5)
+             / (SUM(v_fp) / 1000000000.0), 6) AS cmh_r
+FROM terms
+""",
+    tags=("monitoring", "stats"),
+)
+def a003_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel pooled odds ratio + continuity-corrected CMH
+    test across region strata — the stratified 2×2 estimator that
+    answers "is the BUILDING-segment / high-balance association real
+    once region is controlled for", the guard against the Simpson
+    reversals a407 only DETECTS. Exposure = market segment, outcome =
+    account balance > 5000; each stratum collapses to one exact 2×2
+    (a,b,c,d) row, per-stratum terms a·d/n, b·c/n, E[a], Var[a] are
+    fixed-pointed to nano-units as BIGINTs (each a ratio of exact
+    integers — bit-identical cross-engine), and the 5-term sums are
+    order-independent integer adds. MH-OR = Σad/n ÷ Σbc/n; CMH =
+    (|Σa−ΣE|−½)²/ΣV with the standard 0.5 continuity correction. The
+    customer table is touched once by a map-side-combined aggregate;
+    the pooled statistics run on 5 summary rows."""
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    exp_ = F.col("c_mktsegment") == "BUILDING"
+    out_ = F.col("c_acctbal") > 5000.0
+    cells = (
+        cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        )
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum((exp_ & out_).cast("int")).cast("bigint").alias("a"),
+            F.sum((exp_ & ~out_).cast("int")).cast("bigint").alias("b"),
+            F.sum((~exp_ & out_).cast("int")).cast("bigint").alias("cc"),
+            F.sum((~exp_ & ~out_).cast("int")).cast("bigint").alias("d"),
+        )
+    )
+    n = F.col("a") + F.col("b") + F.col("cc") + F.col("d")
+    terms = cells.select(
+        "a",
+        F.round(F.col("a").cast("double") * F.col("d") * 1e9 / n, 0)
+        .cast("bigint")
+        .alias("ad_fp"),
+        F.round(F.col("b").cast("double") * F.col("cc") * 1e9 / n, 0)
+        .cast("bigint")
+        .alias("bc_fp"),
+        F.round(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("a") + F.col("cc"))
+            * 1e9
+            / n,
+            0,
+        )
+        .cast("bigint")
+        .alias("e_fp"),
+        F.round(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("cc") + F.col("d"))
+            * (F.col("a") + F.col("cc"))
+            * (F.col("b") + F.col("d"))
+            * 1e9
+            / (n.cast("double") * n * (n - 1)),
+            0,
+        )
+        .cast("bigint")
+        .alias("v_fp"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum("ad_fp").cast("bigint").alias("s_ad"),
+        F.sum("bc_fp").cast("bigint").alias("s_bc"),
+        F.sum("e_fp").cast("bigint").alias("s_e"),
+        F.sum("v_fp").cast("bigint").alias("s_v"),
+    )
+    dev = F.abs(
+        F.col("sum_a").cast("double") - F.col("s_e") / 1e9
+    ) - 0.5
+    return agg.select(
+        "n_strata",
+        "sum_a",
+        F.round(F.col("s_ad").cast("double") / F.col("s_bc"), 6).alias(
+            "mh_or_r"
+        ),
+        F.round(dev * dev / (F.col("s_v") / 1e9), 6).alias("cmh_r"),
+    )
