@@ -7161,7 +7161,7 @@ WITH users AS (
 SELECT n_subjects, c_click, c_error, c_purchase,
        CAST(2 AS BIGINT) AS df,
        round(2.0 * (3.0 * sc2 - CAST(sc AS DOUBLE) * sc)
-             / (3.0 * sr - sr2), 6) AS q_r
+             / NULLIF(3.0 * sr - sr2, 0.0), 6) AS q_r
 FROM agg
 """,
     tags=("monitoring", "stats"),
@@ -7179,12 +7179,16 @@ def a002_cochran_q(spark, sf_dir):
     cross-multiplication (c·N > total — no float threshold at any sf).
     Q = (k−1)(k·ΣCj² − (ΣCj)²) / (k·ΣRi − ΣRi²) evaluates once from
     exact BIGINT row/column totals, so a 1000-executor partial-sum
-    order can never move the statistic: the corpus is touched by ONE
-    map-side-combined (user,type) count; everything after runs on a
-    150-row summary."""
+    order can never move the statistic; the user count N enters the
+    DAG as a lazy 1-row broadcast aggregate (no eager driver action —
+    building this DataFrame triggers zero Spark jobs), and the
+    denominator is NULLIF-guarded so a degenerate all-0/all-3
+    binarization yields an explicit NULL Q in both engines; everything
+    after the map-side-combined (user,type) count runs on a 150-row
+    summary."""
     ev = table(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
-    nu = users.count()
+    nu = users.agg(F.count("*").cast("bigint").alias("n_users"))
     cnt = (
         ev.filter(F.col("event_type").isin("click", "error", "purchase"))
         .groupBy("user_id", "event_type")
@@ -7195,11 +7199,15 @@ def a002_cochran_q(spark, sf_dir):
     )
     grid = (
         users.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nu))
         .join(cnt, ["user_id", "event_type"], "left")
         .select(
             "user_id",
             "event_type",
-            ((F.coalesce(F.col("c"), F.lit(0)) * F.lit(nu)) > F.col("t"))
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) * F.col("n_users"))
+                > F.col("t")
+            )
             .cast("int")
             .alias("x"),
         )
@@ -7238,7 +7246,9 @@ def a002_cochran_q(spark, sf_dir):
         F.round(
             2.0
             * (3.0 * F.col("sc2") - F.col("sc").cast("double") * F.col("sc"))
-            / (3.0 * F.col("sr") - F.col("sr2")),
+            / F.nullif(
+                3.0 * F.col("sr") - F.col("sr2"), F.lit(0.0)
+            ),
             6,
         ).alias("q_r"),
     )
@@ -7283,9 +7293,13 @@ WITH cells AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
        CAST(SUM(a) AS BIGINT) AS sum_a,
        round(CAST(SUM(ad_fp) AS DOUBLE) / SUM(bc_fp), 6) AS mh_or_r,
-       round((abs(CAST(SUM(a) AS DOUBLE) - SUM(e_fp) / 1000000000.0) - 0.5)
-             * (abs(CAST(SUM(a) AS DOUBLE) - SUM(e_fp) / 1000000000.0) - 0.5)
-             / (SUM(v_fp) / 1000000000.0), 6) AS cmh_r
+       round(GREATEST(abs(CAST(SUM(a) AS DOUBLE)
+                          - CAST(SUM(e_fp) AS DOUBLE) / 1000000000.0)
+                      - 0.5, 0.0)
+             * GREATEST(abs(CAST(SUM(a) AS DOUBLE)
+                            - CAST(SUM(e_fp) AS DOUBLE) / 1000000000.0)
+                        - 0.5, 0.0)
+             / (CAST(SUM(v_fp) AS DOUBLE) / 1000000000.0), 6) AS cmh_r
 FROM terms
 """,
     tags=("monitoring", "stats"),
@@ -7301,7 +7315,9 @@ def a003_mantel_haenszel(spark, sf_dir):
     fixed-pointed to nano-units as BIGINTs (each a ratio of exact
     integers — bit-identical cross-engine), and the 5-term sums are
     order-independent integer adds. MH-OR = Σad/n ÷ Σbc/n; CMH =
-    (|Σa−ΣE|−½)²/ΣV with the standard 0.5 continuity correction. The
+    max(|Σa−ΣE|−½, 0)²/ΣV with the 0.5 continuity
+    correction clamped at zero (a deviation under ½ scores ~0 rather
+    than inflating the statistic). The
     customer table is touched once by a map-side-combined aggregate;
     the pooled statistics run on 5 summary rows."""
     cust = table(spark, sf_dir, "customer")
@@ -7360,9 +7376,10 @@ def a003_mantel_haenszel(spark, sf_dir):
         F.sum("e_fp").cast("bigint").alias("s_e"),
         F.sum("v_fp").cast("bigint").alias("s_v"),
     )
-    dev = F.abs(
-        F.col("sum_a").cast("double") - F.col("s_e") / 1e9
-    ) - 0.5
+    dev = F.greatest(
+        F.abs(F.col("sum_a").cast("double") - F.col("s_e") / 1e9) - 0.5,
+        F.lit(0.0),
+    )
     return agg.select(
         "n_strata",
         "sum_a",
