@@ -54,6 +54,7 @@ _MODULES = (
     "versioning",
     "indexing",
     "skew",
+    "inference",
     # keep last: re-registers existing queries under driver-sampler
     # alias names (depends on every other module being loaded)
     "aliases",

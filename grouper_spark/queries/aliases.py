@@ -1,22 +1,24 @@
-"""Driver-sampler rotation aliases (round-6 verdict item #1).
+"""Driver-sampler rotation aliases (round 7).
 
 The driver's correctness gate hash-checks only the alphabetically-first
-50 registered query names each round.  Round 5's ``a2NN`` aliases put 25
-of q51–q99 under the driver hash for the first time; those originals are
-now driver-certified (CORRECTNESS_r05.json), so the a2NN block is
-retired here and the freed window slots re-point at the biggest
-never-sampled block: q138–q342 (205 queries with zero driver rows in any
-round).  These thin aliases — same callable, same oracle SQL, ``a0NNN``
-names that sort into the r6 window ahead of a1NN — put 25 of them
-(the heavy LLM-pipeline family first: SemDeDup, PPJoin, MinHash/SimHash
-oracled twins, hyperplane LSH, TF-IDF kNN, power iteration, sketches,
-contamination/recall audits) under the driver's exact-value hash check
-for the first time, without duplicating any implementation.
+50 registered query names each round.  Round 6's ``a0NNN`` block put 25
+of the q138–q342 never-sampled block under the driver hash for the
+first time (CORRECTNESS_r06.json, all green); those originals are now
+driver-certified, so that alias block is retired here and the freed
+window slots re-point at the NEXT never-sampled tranche of q138–q342
+(179 queries remained with zero driver rows after round 6).
+
+This round's window is exactly {25 new a004–a028 implementations} ∪
+{these 25 aliases} = 50 names, all first-time driver rows, zero
+re-hashes.  To keep that window tight, the round-6 extra-survey ops
+a002/a003 were renamed a470_cochran_q / a471_mantel_haenszel AFTER
+their r6 driver certification (numbers a002/a003 retired, never
+reused — same convention as a415/a416/a423/a424, see README).
 
 Alias naming: ``q<NNN>_suffix`` → ``a0<NNN>_suffix`` so the mapping is
-self-evident in CORRECTNESS_r06.json.  Round 6's new implementations
-are named ``a0NN_*`` (a001–a025), so the first-50 window is exactly
-{25 new ops} ∪ {these 25 aliases} — all first-time driver rows.
+self-evident in CORRECTNESS_r07.json.  Heavy/stateful queries first per
+the r6 verdict: PPS sampling, FK audit, bucketed join, idempotent sink,
+MERGE upsert, cogroup, mapInArrow, grid spatial, running balance.
 """
 
 from __future__ import annotations
@@ -25,31 +27,31 @@ from . import REGISTRY, QueryDef
 
 # 25 never-driver-checked q138–q342 queries, all oracled.
 _ALIASED = (
-    "q144_semantic_dedup",
-    "q145_prefix_filter_join",
-    "q146_triangle_count",
-    "q152_dsir_importance",
-    "q157_ks_drift",
-    "q161_countmin_sketch",
-    "q179_record_linkage",
-    "q188_multipass_blocking",
-    "q194_bloom_prefiltered_join",
-    "q196_feature_hashing",
-    "q198_tfidf_knn",
-    "q199_phash_neardup",
-    "q207_doc_chunking",
-    "q208_sorted_neighborhood",
-    "q238_minhash_oracled",
-    "q239_simhash_oracled",
-    "q240_lsh_hyperplane_index",
-    "q249_power_iteration",
-    "q253_python_datasource",
-    "q255_negative_sampling",
-    "q266_lsh_recall_audit",
-    "q279_containment_dedup",
-    "q280_embedding_drift",
-    "q300_lm_perplexity_holdout",
-    "q330_bottomk_distinct_sketch",
+    "q143_interval_overlap_join",
+    "q147_systematic_pps_sample",
+    "q153_gdpr_cascade_delete",
+    "q154_referential_integrity",
+    "q155_scd2_time_travel",
+    "q165_bucketed_join",
+    "q166_cusum_changepoint",
+    "q168_chi_square_independence",
+    "q172_point_in_time_join",
+    "q174_leakage_safe_split",
+    "q178_expectation_suite",
+    "q180_quantile_normalization",
+    "q184_conversation_assembly",
+    "q187_idempotent_sink",
+    "q189_partition_pruned_scan",
+    "q190_dynamic_partition_pruning",
+    "q193_python_udtf",
+    "q195_merge_upsert",
+    "q197_target_encoding",
+    "q200_watermark_lateness_audit",
+    "q201_cogroup_reconcile",
+    "q202_variant_shred",
+    "q206_mapinarrow_kernel",
+    "q222_grid_spatial_join",
+    "q229_capped_running_balance",
 )
 
 for _orig in _ALIASED:

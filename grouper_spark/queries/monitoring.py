@@ -7120,7 +7120,7 @@ def a469_covariate_balance_smd(spark, sf_dir):
 
 
 @query(
-    "a002_cochran_q",
+    "a470_cochran_q",
     oracle="""
 WITH users AS (
   SELECT DISTINCT user_id FROM events
@@ -7166,7 +7166,7 @@ FROM agg
 """,
     tags=("monitoring", "stats"),
 )
-def a002_cochran_q(spark, sf_dir):
+def a470_cochran_q(spark, sf_dir):
     """Cochran's Q test for k=3 related binary treatments — the
     repeated-measures extension of McNemar (a412, k=2 paired) that asks
     whether click / error / purchase "heavy-usage" indicators differ in
@@ -7255,7 +7255,7 @@ def a002_cochran_q(spark, sf_dir):
 
 
 @query(
-    "a003_mantel_haenszel",
+    "a471_mantel_haenszel",
     oracle="""
 WITH cells AS (
   SELECT r.r_name AS region,
@@ -7304,7 +7304,7 @@ FROM terms
 """,
     tags=("monitoring", "stats"),
 )
-def a003_mantel_haenszel(spark, sf_dir):
+def a471_mantel_haenszel(spark, sf_dir):
     """Mantel-Haenszel pooled odds ratio + continuity-corrected CMH
     test across region strata — the stratified 2×2 estimator that
     answers "is the BUILDING-segment / high-balance association real
