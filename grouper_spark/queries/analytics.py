@@ -2099,9 +2099,11 @@ WITH subj AS (
   FROM ranked
 )
 SELECT n1 AS n_pos, n0 AS n_neg,
-       round((CAST(r1_x2 AS DOUBLE) / 2.0
-              - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
-             / (CAST(n1 AS DOUBLE) * n0), 6) AS auc_r
+       CASE WHEN n1 > 0 AND n0 > 0 THEN
+         round((CAST(r1_x2 AS DOUBLE) / 2.0
+                - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+               / (CAST(n1 AS DOUBLE) * n0), 6)
+       END AS auc_r
 FROM agg
 """,
     tags=("analytics", "eval", "mlops"),
@@ -2170,7 +2172,12 @@ def q286_roc_auc(spark, sf_dir):
     return agg.select(
         F.col("n1").alias("n_pos"),
         F.col("n0").alias("n_neg"),
-        F.round(auc, 6).alias("auc_r"),
+        # degenerate single-class splits (seen at sf0.001 after a
+        # fixture drift: every subject converts in the horizon) yield
+        # NULL instead of tripping ANSI divide-by-zero
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0), F.round(auc, 6)
+        ).alias("auc_r"),
     )
 
 

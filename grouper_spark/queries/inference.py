@@ -681,3 +681,2071 @@ def a008_moods_median(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+_LGAMMA_SMALL = (
+    "0.0",
+    "0.0",
+    "0.693147180559945",
+    "1.7917594692280554",
+    "3.178053830347945",
+    "4.787491742782047",
+    "6.579251212010102",
+    "8.525161361065415",
+    "10.604602902745249",
+    "12.801827480081467",
+    "15.104412573075514",
+    "17.502307845873887",
+    "19.987214495661885",
+    "22.55216385312342",
+    "25.191221182738683",
+)
+
+
+def _lf(x: str) -> str:
+    """ln(x!) as SQL text valid in BOTH Spark SQL and DuckDB.
+
+    Exact literals (Python math.lgamma) below 15; the 2-term Stirling
+    series above (abs error < 1e-11 at x>=15). Embedding ONE shared
+    expression string in both plans is the q240/a443 determinism
+    recipe: identical text + identical exact integer inputs give
+    bit-identical doubles up to libm's 1-ulp, far below the terminal
+    6dp rounding."""
+    small = " ".join(
+        f"WHEN {x} = {i} THEN CAST({v} AS DOUBLE)"
+        for i, v in enumerate(_LGAMMA_SMALL)
+    )
+    xd = f"CAST({x} AS DOUBLE)"
+    stir = (
+        f"(({xd} + 0.5) * ln({xd}) - {xd}"
+        f" + CAST(0.9189385332046727 AS DOUBLE)"
+        f" + 1.0 / (12.0 * {xd})"
+        f" - 1.0 / (360.0 * {xd} * {xd} * {xd}))"
+    )
+    return f"(CASE {small} ELSE {stir} END)"
+
+
+def _fisher_lp(k: str) -> str:
+    """Hypergeometric log-pmf ln P(K=k | nn, r1, c1), shared SQL text."""
+    return (
+        f"({_lf('r1')} + {_lf('(nn - r1)')} + {_lf('c1')}"
+        f" + {_lf('(nn - c1)')} - {_lf('nn')} - {_lf(k)}"
+        f" - {_lf(f'(r1 - {k})')} - {_lf(f'(c1 - {k})')}"
+        f" - {_lf(f'(nn - r1 - c1 + {k})')})"
+    )
+
+
+_FISHER_MARGINS_SQL = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                            THEN 1 END), 0) AS BIGINT) AS r1,
+         CAST(COALESCE(SUM(CASE WHEN c_acctbal > 0
+                            THEN 1 END), 0) AS BIGINT) AS c1,
+         CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                            AND c_acctbal > 0 THEN 1 END), 0)
+              AS BIGINT) AS a_obs
+  FROM customer
+"""
+
+
+@query(
+    "a009_fisher_exact",
+    oracle=f"""
+WITH margins AS ({_FISHER_MARGINS_SQL}
+), terms AS (
+  SELECT nn, r1, c1, a_obs,
+         unnest(generate_series(GREATEST(CAST(0 AS BIGINT), r1 + c1 - nn),
+                                LEAST(r1, c1))) AS k
+  FROM margins
+), probs AS (
+  SELECT nn, r1, c1, a_obs, k,
+         exp({_fisher_lp('k')}) AS p,
+         exp({_fisher_lp('a_obs')}) AS pa
+  FROM terms
+)
+SELECT nn, a_obs, r1, c1,
+       round((CAST(a_obs AS DOUBLE) + 0.5)
+             * (CAST(nn - r1 - c1 + a_obs AS DOUBLE) + 0.5)
+             / ((CAST(r1 - a_obs AS DOUBLE) + 0.5)
+                * (CAST(c1 - a_obs AS DOUBLE) + 0.5)), 6)
+         AS odds_haldane_r,
+       round(CAST(SUM(CASE WHEN k <= a_obs THEN p ELSE 0.0 END)
+                  AS DOUBLE), 6) AS p_left_r,
+       round(CAST(SUM(CASE WHEN k >= a_obs THEN p ELSE 0.0 END)
+                  AS DOUBLE), 6) AS p_right_r,
+       round(CAST(SUM(CASE WHEN p <= pa * (1.0 + 1e-7)
+                       THEN p ELSE 0.0 END) AS DOUBLE), 6) AS p_two_r
+FROM probs GROUP BY nn, a_obs, r1, c1
+""",
+    tags=("inference", "stats"),
+)
+def a009_fisher_exact(spark, sf_dir):
+    """Fisher's EXACT 2x2 test (market segment x positive balance) —
+    the small-margin companion to q168's asymptotic chi-square: valid
+    at any cell count because it sums the hypergeometric pmf directly
+    instead of trusting a large-N approximation. The pmf terms use ONE
+    shared ln-factorial SQL expression embedded verbatim in both plans
+    (exact lgamma literals < 15, 2-term Stirling above — the q240
+    constant-embedding recipe), so each of the ~min(r1,c1) terms is
+    bit-identical across engines up to libm's ulp, orders of magnitude
+    below the 6dp rounding. Two-sided p uses R's convention (sum of
+    all k with P(k) <= P(obs)*(1+1e-7)). The corpus is touched by one
+    counting aggregate; the term list is margin-sized (never
+    corpus-sized), generated lazily from the margins row — at 100 TB
+    this is one map-side-combined count plus a bounded sequence."""
+    c = table(spark, sf_dir, "customer")
+    margins = c.agg(
+        F.count("*").cast("bigint").alias("nn"),
+        F.coalesce(
+            F.sum(F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("r1"),
+        F.coalesce(
+            F.sum(F.when(F.col("c_acctbal") > 0, 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("c1"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("c_mktsegment") == "AUTOMOBILE")
+                    & (F.col("c_acctbal") > 0),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("a_obs"),
+    )
+    terms = margins.select(
+        "nn",
+        "r1",
+        "c1",
+        "a_obs",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    F.col("r1") + F.col("c1") - F.col("nn"),
+                ),
+                F.least(F.col("r1"), F.col("c1")),
+            )
+        ).alias("k"),
+    )
+    probs = terms.select(
+        "nn",
+        "r1",
+        "c1",
+        "a_obs",
+        "k",
+        F.expr(f"exp({_fisher_lp('k')})").alias("p"),
+        F.expr(f"exp({_fisher_lp('a_obs')})").alias("pa"),
+    )
+    return probs.groupBy("nn", "a_obs", "r1", "c1").agg(
+        F.round(
+            (F.col("a_obs").cast("double") + 0.5)
+            * (
+                (
+                    F.col("nn") - F.col("r1") - F.col("c1") + F.col("a_obs")
+                ).cast("double")
+                + 0.5
+            )
+            / (
+                ((F.col("r1") - F.col("a_obs")).cast("double") + 0.5)
+                * ((F.col("c1") - F.col("a_obs")).cast("double") + 0.5)
+            ),
+            6,
+        ).alias("odds_haldane_r"),
+        F.round(
+            F.sum(
+                F.when(F.col("k") <= F.col("a_obs"), F.col("p")).otherwise(
+                    F.lit(0.0)
+                )
+            ).cast("double"),
+            6,
+        ).alias("p_left_r"),
+        F.round(
+            F.sum(
+                F.when(F.col("k") >= F.col("a_obs"), F.col("p")).otherwise(
+                    F.lit(0.0)
+                )
+            ).cast("double"),
+            6,
+        ).alias("p_right_r"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("p") <= F.col("pa") * (1.0 + 1e-7), F.col("p")
+                ).otherwise(F.lit(0.0))
+            ).cast("double"),
+            6,
+        ).alias("p_two_r"),
+    )
+
+
+@query(
+    "a010_g_test",
+    oracle="""
+WITH cells AS (
+  SELECT event_type AS x, CAST(isodow(ts) % 7 + 1 AS INT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY x, w
+), rx AS (
+  SELECT x, CAST(SUM(c) AS BIGINT) AS nx FROM cells GROUP BY x
+), cw AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS nw FROM cells GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS nn,
+         CAST(COUNT(DISTINCT x) AS BIGINT) AS kx,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS kw
+  FROM cells
+), terms AS (
+  SELECT CAST(ROUND(2.0 * ce.c
+                    * ln(CAST(ce.c AS DOUBLE) * t.nn
+                         / (CAST(r.nx AS DOUBLE) * c2.nw)) * 1e9, 0)
+              AS BIGINT) AS g_nano
+  FROM cells ce
+  JOIN rx r ON r.x = ce.x
+  JOIN cw c2 ON c2.w = ce.w
+  CROSS JOIN tot t
+)
+SELECT t.nn AS n_rows,
+       CAST((t.kx - 1) * (t.kw - 1) AS BIGINT) AS df,
+       round(CAST((SELECT SUM(g_nano) FROM terms) AS DOUBLE) / 1e9, 6)
+         AS g_stat_r
+FROM tot t
+""",
+    tags=("inference", "stats"),
+)
+def a010_g_test(spark, sf_dir):
+    """G-test (likelihood-ratio chi-square) of event-type x weekday
+    independence — the information-theoretic twin of q168's Pearson
+    statistic: G = 2ΣO·ln(O·N/(R·C)) is additive across partitions of
+    the table and equals 2N times the mutual information a368
+    estimates, so it composes with entropy-based diagnostics. Each
+    cell's ln sees an exact integer rational (c·N / (nx·nw) — the q121
+    PMI discipline), runs once per cell (≤35 cells), is nano-fixed to
+    a BIGINT, and the cross-cell sum is exact. Weekday uses the
+    cross-engine-stable isodow%7+1 numbering (the q256 gotcha). One
+    map-side-combined corpus aggregate; the test itself touches ≤35
+    summary rows at any scale."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.dayofweek("ts").cast("int").alias("w"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    rx = cells.groupBy("x").agg(F.sum("c").cast("bigint").alias("nx"))
+    cw = cells.groupBy("w").agg(F.sum("c").cast("bigint").alias("nw"))
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("nn"),
+        F.countDistinct("x").cast("bigint").alias("kx"),
+        F.countDistinct("w").cast("bigint").alias("kw"),
+    )
+    terms = (
+        cells.join(rx, "x")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                2.0
+                * F.col("c")
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("nn")
+                    / (F.col("nx").cast("double") * F.col("nw"))
+                )
+                * 1e9,
+                0,
+            )
+            .cast("bigint")
+            .alias("g_nano")
+        )
+        .agg(F.sum("g_nano").cast("bigint").alias("g_nano"))
+    )
+    return tot.crossJoin(F.broadcast(terms)).select(
+        F.col("nn").alias("n_rows"),
+        ((F.col("kx") - 1) * (F.col("kw") - 1)).cast("bigint").alias("df"),
+        F.round(F.col("g_nano").cast("double") / 1e9, 6).alias(
+            "g_stat_r"
+        ),
+    )
+
+
+_DAILY_OLS_SQL = """
+daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM orders GROUP BY d
+), ts_ AS (
+  SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t FROM daily
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS st2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM ts_
+), fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * st2 - CAST(st AS DOUBLE) * st) AS b
+  FROM sums
+), fit2 AS (
+  SELECT s.n, f.b,
+         (CAST(s.sy AS DOUBLE) - f.b * s.st) / s.n AS a
+  FROM sums s CROSS JOIN fit f
+), resid AS (
+  SELECT t.t,
+         CAST(ROUND(t.y - f.a - f.b * t.t, 0) AS BIGINT) AS ec
+  FROM ts_ t CROSS JOIN fit2 f
+)"""
+
+
+@query(
+    "a011_durbin_watson",
+    oracle=f"""
+WITH {_DAILY_OLS_SQL}, lagd AS (
+  SELECT ec,
+         ec - LAG(ec) OVER (ORDER BY t) AS de
+  FROM resid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(CAST(COALESCE(SUM(de * de), 0) AS DOUBLE)
+             / CAST(SUM(ec * ec) AS DOUBLE), 6) AS dw_r,
+       round(1.0 - CAST(COALESCE(SUM(de * de), 0) AS DOUBLE)
+                   / CAST(SUM(ec * ec) AS DOUBLE) / 2.0, 6) AS rho1_r
+FROM lagd
+""",
+    tags=("inference", "stats"),
+)
+def a011_durbin_watson(spark, sf_dir):
+    """Durbin–Watson lag-1 autocorrelation test on the residuals of a
+    daily-revenue-vs-time OLS fit — the classic "is the trend model
+    missing serial structure" diagnostic that complements a434's
+    Ljung–Box portmanteau (DW localizes lag 1; LB pools many lags).
+    The corpus folds to one per-day fixed-point revenue row; the OLS
+    slope/intercept are closed-form doubles from exact BIGINT sums
+    evaluated once; residuals are QUANTIZED to whole currency units
+    (exact BIGINTs), so both Σ(Δe)² and Σe² are exact integer sums and
+    DW is one division. The lag window runs over the calendar-sized
+    summary (~2400 rows), never the corpus — at 100 TB only the daily
+    aggregate sees data."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    ts = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
+    )
+    sums = ts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("st2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    )
+    b = (
+        F.col("n").cast("double") * F.col("sty")
+        - F.col("st").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("st2")
+        - F.col("st").cast("double") * F.col("st")
+    )
+    fit = sums.select(
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("st")) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    resid = ts.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.round(
+            F.col("y") - F.col("a") - F.col("b") * F.col("t"), 0
+        )
+        .cast("bigint")
+        .alias("ec"),
+    )
+    lagd = resid.select(
+        "ec",
+        (F.col("ec") - F.lag("ec").over(Window.orderBy("t"))).alias("de"),
+    )
+    dw = F.coalesce(
+        F.sum(F.col("de") * F.col("de")), F.lit(0)
+    ).cast("double") / F.sum(F.col("ec") * F.col("ec"))
+    return lagd.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(dw, 6).alias("dw_r"),
+        F.round(1.0 - dw / 2.0, 6).alias("rho1_r"),
+    )
+
+
+@query(
+    "a012_breusch_pagan",
+    oracle=f"""
+WITH {_DAILY_OLS_SQL}, aux AS (
+  SELECT t, (ec // 1000) * (ec // 1000) AS u2 FROM resid
+), asums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS st2,
+         CAST(SUM(u2) AS BIGINT) AS su,
+         CAST(SUM(u2 * u2) AS BIGINT) AS su2,
+         CAST(SUM(t * u2) AS BIGINT) AS stu
+  FROM aux
+)
+SELECT n AS n_days,
+       round((CAST(n AS DOUBLE) * stu - CAST(st AS DOUBLE) * su)
+             * (CAST(n AS DOUBLE) * stu - CAST(st AS DOUBLE) * su)
+             / ((CAST(n AS DOUBLE) * st2 - CAST(st AS DOUBLE) * st)
+                * (CAST(n AS DOUBLE) * su2 - CAST(su AS DOUBLE) * su)),
+             6) AS r2_aux_r,
+       round(CAST(n AS DOUBLE)
+             * (CAST(n AS DOUBLE) * stu - CAST(st AS DOUBLE) * su)
+             * (CAST(n AS DOUBLE) * stu - CAST(st AS DOUBLE) * su)
+             / ((CAST(n AS DOUBLE) * st2 - CAST(st AS DOUBLE) * st)
+                * (CAST(n AS DOUBLE) * su2 - CAST(su AS DOUBLE) * su)),
+             6) AS bp_lm_r
+FROM asums
+""",
+    tags=("inference", "stats"),
+)
+def a012_breusch_pagan(spark, sf_dir):
+    """Breusch–Pagan heteroscedasticity test on the same daily-revenue
+    OLS: regress squared residuals on time and report the auxiliary R²
+    and the LM statistic n·R² — the "is the variance itself trending"
+    check that invalidates naive OLS standard errors, sitting next to
+    a011's serial-correlation diagnostic. Residuals quantize to whole
+    currency units, then to thousands before squaring so Σt·u² stays
+    far inside BIGINT range at any fixture scale; every cross-row sum
+    is exact, and both outputs are one closed-form double expression
+    from six exact integers. Corpus touched once by the daily
+    aggregate; the auxiliary regression runs on the calendar summary."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    ts = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
+    )
+    sums = ts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("st2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    )
+    b = (
+        F.col("n").cast("double") * F.col("sty")
+        - F.col("st").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("st2")
+        - F.col("st").cast("double") * F.col("st")
+    )
+    fit = sums.select(
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("st")) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    aux = (
+        ts.crossJoin(F.broadcast(fit))
+        .select(
+            "t",
+            F.round(
+                F.col("y") - F.col("a") - F.col("b") * F.col("t"), 0
+            )
+            .cast("bigint")
+            .alias("ec"),
+        )
+        .select(
+            "t",
+            (
+                F.expr("ec div 1000") * F.expr("ec div 1000")
+            ).alias("u2"),
+        )
+    )
+    asums = aux.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("st2"),
+        F.sum("u2").cast("bigint").alias("su"),
+        F.sum(F.col("u2") * F.col("u2")).cast("bigint").alias("su2"),
+        F.sum(F.col("t") * F.col("u2")).cast("bigint").alias("stu"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("stu")
+        - F.col("st").cast("double") * F.col("su")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("st2")
+        - F.col("st").cast("double") * F.col("st")
+    ) * (
+        F.col("n").cast("double") * F.col("su2")
+        - F.col("su").cast("double") * F.col("su")
+    )
+    return asums.select(
+        F.col("n").alias("n_days"),
+        F.round(num * num / den, 6).alias("r2_aux_r"),
+        F.round(F.col("n").cast("double") * num * num / den, 6).alias(
+            "bp_lm_r"
+        ),
+    )
+
+
+@query(
+    "a013_chow_test",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM orders GROUP BY d
+), ts_ AS (
+  SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_all
+  FROM daily
+), seg AS (
+  SELECT CASE WHEN t <= n_all // 2 THEN 1 ELSE 2 END AS s,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS st2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS sy2,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM ts_ GROUP BY s
+), sse AS (
+  SELECT s, n,
+         (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+         - (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+           * (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+           / (CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * st / n) AS e
+  FROM seg
+), pooled AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(st) AS BIGINT) AS st,
+         CAST(SUM(st2) AS BIGINT) AS st2,
+         CAST(SUM(sy) AS BIGINT) AS sy,
+         CAST(SUM(sy2) AS BIGINT) AS sy2,
+         CAST(SUM(sty) AS BIGINT) AS sty
+  FROM seg
+), psse AS (
+  SELECT n,
+         (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+         - (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+           * (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+           / (CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * st / n) AS ep
+  FROM pooled
+)
+SELECT p.n AS n_days,
+       CAST((SELECT n FROM seg WHERE s = 1) AS BIGINT) AS n1,
+       CAST((SELECT n FROM seg WHERE s = 2) AS BIGINT) AS n2,
+       round(((p.ep - (SELECT SUM(e) FROM sse)) / 2.0)
+             / ((SELECT SUM(e) FROM sse) / (p.n - 4.0)), 6) AS f_chow_r
+FROM psse p
+""",
+    tags=("inference", "stats"),
+)
+def a013_chow_test(spark, sf_dir):
+    """Chow structural-break F-test on the daily revenue trend, break
+    at the calendar midpoint — the hypothesis-test complement to
+    a358's binary segmentation (that one FINDS a breakpoint; this one
+    TESTS a designated one): F = ((SSE_p − SSE₁ − SSE₂)/k) /
+    ((SSE₁+SSE₂)/(n−2k)) for the k=2 parameter linear fit. Each
+    segment's SSE is the closed-form centered-moments expression from
+    six exact BIGINT sums (y in whole currency units so Σy² stays in
+    range), evaluated once per segment — the only doubles are three
+    SSE values and the final ratio. One corpus aggregate to the daily
+    summary; segment sums are one more pass over ~2400 rows."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    ts = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias(
+            "n_all"
+        ),
+    )
+    seg = ts.groupBy(
+        F.when(F.col("t") <= F.expr("n_all div 2"), 1)
+        .otherwise(2)
+        .alias("s")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("st2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    ).localCheckpoint(eager=False)
+
+    def sse_expr(df):
+        sxy = F.col("sty").cast("double") - F.col("st").cast(
+            "double"
+        ) * F.col("sy") / F.col("n")
+        sxx = F.col("st2").cast("double") - F.col("st").cast(
+            "double"
+        ) * F.col("st") / F.col("n")
+        syy = F.col("sy2").cast("double") - F.col("sy").cast(
+            "double"
+        ) * F.col("sy") / F.col("n")
+        return syy - sxy * sxy / sxx
+
+    sses = seg.select(
+        "s", "n", sse_expr(seg).alias("e")
+    )
+    pooled = seg.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("st").cast("bigint").alias("st"),
+        F.sum("st2").cast("bigint").alias("st2"),
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("sy2").cast("bigint").alias("sy2"),
+        F.sum("sty").cast("bigint").alias("sty"),
+    )
+    psse = pooled.select("n", sse_expr(pooled).alias("ep"))
+    segt = sses.agg(
+        F.sum("e").alias("e_sum"),
+        F.sum(F.when(F.col("s") == 1, F.col("n"))).cast("bigint").alias(
+            "n1"
+        ),
+        F.sum(F.when(F.col("s") == 2, F.col("n"))).cast("bigint").alias(
+            "n2"
+        ),
+    )
+    return psse.crossJoin(F.broadcast(segt)).select(
+        F.col("n").alias("n_days"),
+        "n1",
+        "n2",
+        F.round(
+            ((F.col("ep") - F.col("e_sum")) / 2.0)
+            / (F.col("e_sum") / (F.col("n") - 4.0)),
+            6,
+        ).alias("f_chow_r"),
+    )
+
+
+@query(
+    "a014_vif",
+    oracle="""
+WITH x AS (
+  SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100.0, 0) AS BIGINT) AS x2,
+         CAST(ROUND(l_tax * 100.0, 0) AS BIGINT) AS x3
+  FROM lineitem
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x3) AS BIGINT) AS s3,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x3 * x3) AS BIGINT) AS s33,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x1 * x3) AS BIGINT) AS s13,
+         CAST(SUM(x2 * x3) AS BIGINT) AS s23
+  FROM x
+), r AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2)
+           / sqrt((CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+                  * (CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2))
+           AS r12,
+         (CAST(n AS DOUBLE) * s13 - CAST(s1 AS DOUBLE) * s3)
+           / sqrt((CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+                  * (CAST(n AS DOUBLE) * s33 - CAST(s3 AS DOUBLE) * s3))
+           AS r13,
+         (CAST(n AS DOUBLE) * s23 - CAST(s2 AS DOUBLE) * s3)
+           / sqrt((CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)
+                  * (CAST(n AS DOUBLE) * s33 - CAST(s3 AS DOUBLE) * s3))
+           AS r23
+  FROM s
+)
+SELECT n,
+       round(r12, 6) AS r12_r, round(r13, 6) AS r13_r,
+       round(r23, 6) AS r23_r,
+       round(1.0 / (1.0 - (r12 * r12 + r13 * r13
+                           - 2.0 * r12 * r13 * r23)
+                          / (1.0 - r23 * r23)), 6) AS vif_quantity_r,
+       round(1.0 / (1.0 - (r12 * r12 + r23 * r23
+                           - 2.0 * r12 * r23 * r13)
+                          / (1.0 - r13 * r13)), 6) AS vif_discount_r,
+       round(1.0 / (1.0 - (r13 * r13 + r23 * r23
+                           - 2.0 * r13 * r23 * r12)
+                          / (1.0 - r12 * r12)), 6) AS vif_tax_r
+FROM r
+""",
+    tags=("inference", "stats"),
+)
+def a014_vif(spark, sf_dir):
+    """Variance inflation factors for the (quantity, discount, tax)
+    predictor block of a lineitem price model — the multicollinearity
+    diagnostic that completes the a012/a013 regression-diagnostics
+    suite. For 3 predictors each auxiliary R-squared is closed-form in
+    the pairwise correlations (R1² = (r12²+r13²−2·r12·r13·r23)/(1−r23²)),
+    so NO matrix inversion and no iterative fit: the corpus folds to
+    ONE map-side-combined aggregate of 10 exact BIGINT cross-moments
+    over integer-quantized predictors (quantity is whole units,
+    discount/tax are exact percent points), and the three VIFs are a
+    handful of once-per-query double ops feeding the terminal 6dp
+    round. Scan reads 3 columns; at 100 TB it is one pass, one 1-row
+    shuffle. (Integer cross-moments bound: n·Σx1² ≤ 9e18 holds through
+    ~sf10 with x1 ≤ 50; larger corpora re-scale the quantization.)"""
+    li = table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.round("l_quantity", 0).cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100.0, 0).cast("bigint").alias("x2"),
+        F.round(F.col("l_tax") * 100.0, 0).cast("bigint").alias("x3"),
+    )
+    s = x.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("x3").cast("bigint").alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x3") * F.col("x3")).cast("bigint").alias("s33"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).cast("bigint").alias("s13"),
+        F.sum(F.col("x2") * F.col("x3")).cast("bigint").alias("s23"),
+    )
+
+    def corr(sij, si, sj, sii, sjj):
+        nd = F.col("n").cast("double")
+        num = nd * F.col(sij) - F.col(si).cast("double") * F.col(sj)
+        den = F.sqrt(
+            (nd * F.col(sii) - F.col(si).cast("double") * F.col(si))
+            * (nd * F.col(sjj) - F.col(sj).cast("double") * F.col(sj))
+        )
+        return num / den
+
+    r = s.select(
+        "n",
+        corr("s12", "s1", "s2", "s11", "s22").alias("r12"),
+        corr("s13", "s1", "s3", "s11", "s33").alias("r13"),
+        corr("s23", "s2", "s3", "s22", "s33").alias("r23"),
+    )
+
+    def vif(ra, rb, rc):
+        # auxiliary R^2 of the predictor whose two correlations with
+        # the others are ra/rb and whose others' mutual corr is rc
+        r2 = (
+            F.col(ra) * F.col(ra)
+            + F.col(rb) * F.col(rb)
+            - 2.0 * F.col(ra) * F.col(rb) * F.col(rc)
+        ) / (1.0 - F.col(rc) * F.col(rc))
+        return 1.0 / (1.0 - r2)
+
+    return r.select(
+        "n",
+        F.round("r12", 6).alias("r12_r"),
+        F.round("r13", 6).alias("r13_r"),
+        F.round("r23", 6).alias("r23_r"),
+        F.round(vif("r12", "r13", "r23"), 6).alias("vif_quantity_r"),
+        F.round(vif("r12", "r23", "r13"), 6).alias("vif_discount_r"),
+        F.round(vif("r13", "r23", "r12"), 6).alias("vif_tax_r"),
+    )
+
+
+# Durbin–Levinson unroll for PACF lags 1..5: ONE set of expression
+# strings evaluated by BOTH engines (Spark selectExpr / oracle CTE
+# projections), so every double op runs in the same order on the same
+# exact inputs — the q240/a443 determinism recipe applied to a scalar
+# recursion instead of a fold.
+_DL_LEVELS = (
+    ("p11", "r1"),
+    ("p22", "(r2 - p11 * r1) / (1.0 - p11 * r1)"),
+    ("p21", "p11 - p22 * p11"),
+    ("p33", "(r3 - p21 * r2 - p22 * r1)"
+            " / (1.0 - p21 * r1 - p22 * r2)"),
+    ("p31", "p21 - p33 * p22"),
+    ("p32", "p22 - p33 * p21"),
+    ("p44", "(r4 - p31 * r3 - p32 * r2 - p33 * r1)"
+            " / (1.0 - p31 * r1 - p32 * r2 - p33 * r3)"),
+    ("p41", "p31 - p44 * p33"),
+    ("p42", "p32 - p44 * p32"),
+    ("p43", "p33 - p44 * p31"),
+    ("p55", "(r5 - p41 * r4 - p42 * r3 - p43 * r2 - p44 * r1)"
+            " / (1.0 - p41 * r1 - p42 * r2 - p43 * r3 - p44 * r4)"),
+)
+
+
+def _dl_sql_chain(inner: str) -> str:
+    """Chain the DL levels as nested SELECTs over ``inner``."""
+    sql = inner
+    for name, expr in _DL_LEVELS:
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return sql
+
+
+@query(
+    "a015_pacf",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 100 AS BIGINT) AS y
+  FROM orders GROUP BY d
+), ts_ AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily
+), mu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         (2 * CAST(SUM(y) AS BIGINT) + COUNT(*))
+           // (2 * COUNT(*)) AS ym
+  FROM ts_
+), dev AS (
+  SELECT t.t, CAST(t.y - m.ym AS BIGINT) AS dv, m.n
+  FROM ts_ t CROSS JOIN mu m
+), led AS (
+  SELECT dv, n,
+         lead(dv, 1) OVER (ORDER BY t) AS d1,
+         lead(dv, 2) OVER (ORDER BY t) AS d2,
+         lead(dv, 3) OVER (ORDER BY t) AS d3,
+         lead(dv, 4) OVER (ORDER BY t) AS d4,
+         lead(dv, 5) OVER (ORDER BY t) AS d5
+  FROM dev
+), cov AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(dv * dv) AS BIGINT) AS c0,
+         CAST(COALESCE(SUM(dv * d1), 0) AS BIGINT) AS c1,
+         CAST(COALESCE(SUM(dv * d2), 0) AS BIGINT) AS c2,
+         CAST(COALESCE(SUM(dv * d3), 0) AS BIGINT) AS c3,
+         CAST(COALESCE(SUM(dv * d4), 0) AS BIGINT) AS c4,
+         CAST(COALESCE(SUM(dv * d5), 0) AS BIGINT) AS c5
+  FROM led
+), rho AS (
+  SELECT n,
+         CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+         CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+         CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3,
+         CAST(c4 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r4,
+         CAST(c5 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r5
+  FROM cov
+)
+SELECT n AS n_days,
+       round(r1, 6) AS acf1_r,
+       round(p11, 6) AS pacf1_r,
+       round(p22, 6) AS pacf2_r,
+       round(p33, 6) AS pacf3_r,
+       round(p44, 6) AS pacf4_r,
+       round(p55, 6) AS pacf5_r
+FROM ({_dl_sql_chain("SELECT * FROM rho")}) q
+""",
+    tags=("inference", "timeseries"),
+)
+def a015_pacf(spark, sf_dir):
+    """Partial autocorrelation function (lags 1–5) of daily order
+    revenue via the Durbin–Levinson recursion — the AR-order
+    diagnostic that a011's DW (lag 1 only) and q231's raw ACF cannot
+    give: PACF at k nets out the intervening lags, so an AR(p) series
+    cuts off sharply after p. The corpus folds to one per-day dollar
+    aggregate (~2400 rows); deviations are taken against the
+    integer-rounded mean ((2S+n) div 2n — exact in both engines), so
+    every autocovariance is an exact BIGINT lag-product sum from ONE
+    summary-sized window pass. The DL recursion runs once on that
+    1-row summary through _DL_LEVELS — the SAME expression text
+    Spark-side (selectExpr) and oracle-side (nested CTE projections),
+    giving bit-identical doubles. At 100 TB only the daily groupBy
+    sees data; everything after is a 1-row plan."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    ts = daily.select(
+        "y", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    mu = ts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "(2 * CAST(SUM(y) AS BIGINT) + COUNT(*))"
+            " div (2 * COUNT(*))"
+        ).alias("ym"),
+    )
+    dev = ts.crossJoin(F.broadcast(mu)).select(
+        "t", (F.col("y") - F.col("ym")).cast("bigint").alias("dv"), "n"
+    )
+    w = Window.orderBy("t")
+    led = dev.select(
+        "dv",
+        "n",
+        *[F.lead("dv", k).over(w).alias(f"d{k}") for k in range(1, 6)],
+    )
+    cov = led.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("c0"),
+        *[
+            F.coalesce(F.sum(F.col("dv") * F.col(f"d{k}")), F.lit(0))
+            .cast("bigint")
+            .alias(f"c{k}")
+            for k in range(1, 6)
+        ],
+    )
+    rho = cov.select(
+        "n",
+        *[
+            (F.col(f"c{k}").cast("double") / F.col("c0").cast("double"))
+            .alias(f"r{k}")
+            for k in range(1, 6)
+        ],
+    )
+    out = rho
+    for name, expr in _DL_LEVELS:
+        out = out.selectExpr("*", f"{expr} AS {name}")
+    return out.select(
+        F.col("n").alias("n_days"),
+        F.round("r1", 6).alias("acf1_r"),
+        F.round("p11", 6).alias("pacf1_r"),
+        F.round("p22", 6).alias("pacf2_r"),
+        F.round("p33", 6).alias("pacf3_r"),
+        F.round("p44", 6).alias("pacf4_r"),
+        F.round("p55", 6).alias("pacf5_r"),
+    )
+
+
+def _trig_rows():
+    """Fixed-point DFT basis for periods 7/14/30: (p, j, cos_fp,
+    sin_fp) at 1e6 scale, generated ONCE in Python (math.cos on exact
+    rationals) and embedded as identical integer literals in both the
+    Spark plan and the oracle SQL — the a443 constant-table recipe, so
+    neither engine evaluates a transcendental per data row."""
+    import math
+
+    rows = []
+    for p in (7, 14, 30):
+        for j in range(p):
+            ang = 2.0 * math.pi * j / p
+            rows.append(
+                (
+                    p,
+                    j,
+                    int(round(math.cos(ang) * 1000000.0)),
+                    int(round(math.sin(ang) * 1000000.0)),
+                )
+            )
+    return rows
+
+
+_TRIG_ROWS = _trig_rows()
+_TRIG_VALUES = ", ".join(
+    f"({p}, {j}, {c}, {s})" for p, j, c, s in _TRIG_ROWS
+)
+
+
+@query(
+    "a016_goertzel_periodogram",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 100 AS BIGINT) AS y
+  FROM orders GROUP BY d
+), ts_ AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily
+), mu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         (2 * CAST(SUM(y) AS BIGINT) + COUNT(*))
+           // (2 * COUNT(*)) AS ym
+  FROM ts_
+), dev AS (
+  SELECT t.t, CAST(t.y - m.ym AS BIGINT) AS dv, m.n
+  FROM ts_ t CROSS JOIN mu m
+), trig(p, j, c_fp, s_fp) AS (
+  VALUES {_TRIG_VALUES}
+), terms AS (
+  SELECT g.p, d.n, d.dv, g.c_fp, g.s_fp
+  FROM dev d JOIN trig g
+    ON g.j = (d.t - 1) % g.p
+), sums AS (
+  SELECT p, MAX(n) AS n,
+         CAST(SUM(dv * c_fp) AS BIGINT) AS a_fp,
+         CAST(SUM(dv * s_fp) AS BIGINT) AS b_fp
+  FROM terms GROUP BY p
+)
+SELECT p AS period_days, n AS n_days, a_fp, b_fp,
+       round((CAST(a_fp AS DOUBLE) / 1000000.0
+              * (CAST(a_fp AS DOUBLE) / 1000000.0)
+              + CAST(b_fp AS DOUBLE) / 1000000.0
+                * (CAST(b_fp AS DOUBLE) / 1000000.0))
+             / CAST(n AS DOUBLE), 6) AS power_r
+FROM sums ORDER BY period_days
+""",
+    tags=("inference", "timeseries"),
+)
+def a016_goertzel_periodogram(spark, sf_dir):
+    """Single-frequency periodogram power of daily revenue at the
+    calendar periods 7/14/30 days — the Goertzel-style "evaluate the
+    DFT at the few frequencies you care about" seasonality detector
+    (weekly/biweekly/monthly), complementing a421's full seasonal
+    decompose with an O(n·m) spectral probe. Because t mod p takes
+    only p distinct values, the cos/sin basis is a 51-row fixed-point
+    INTEGER table generated once in Python and embedded identically in
+    both plans (a443 recipe) — so A = Σ d·cos and B = Σ d·sin are
+    EXACT BIGINT sums over the mean-rounded-demeaned daily dollar
+    series, order-independent, and the power (A²+B²)/n is a
+    once-per-period double. At 100 TB the corpus is touched once by
+    the daily groupBy; the basis join is a broadcast against a ~2400
+    row summary."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    ts = daily.select(
+        "y", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    mu = ts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "(2 * CAST(SUM(y) AS BIGINT) + COUNT(*))"
+            " div (2 * COUNT(*))"
+        ).alias("ym"),
+    )
+    dev = ts.crossJoin(F.broadcast(mu)).select(
+        "t", (F.col("y") - F.col("ym")).cast("bigint").alias("dv"), "n"
+    )
+    trig = spark.createDataFrame(
+        _TRIG_ROWS, "p int, j int, c_fp bigint, s_fp bigint"
+    )
+    terms = dev.join(
+        F.broadcast(trig), F.col("j") == (F.col("t") - 1) % F.col("p")
+    )
+    sums = terms.groupBy("p").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dv") * F.col("c_fp")).cast("bigint").alias("a_fp"),
+        F.sum(F.col("dv") * F.col("s_fp")).cast("bigint").alias("b_fp"),
+    )
+    ad = F.col("a_fp").cast("double") / 1000000.0
+    bd = F.col("b_fp").cast("double") / 1000000.0
+    return sums.select(
+        F.col("p").alias("period_days"),
+        F.col("n").alias("n_days"),
+        "a_fp",
+        "b_fp",
+        F.round((ad * ad + bd * bd) / F.col("n").cast("double"), 6).alias(
+            "power_r"
+        ),
+    ).orderBy("period_days")
+
+
+@query(
+    "a017_permutation_entropy",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY d
+), ts_ AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily
+), tri AS (
+  SELECT y AS a,
+         lead(y, 1) OVER (ORDER BY t) AS b,
+         lead(y, 2) OVER (ORDER BY t) AS c
+  FROM ts_
+), pat AS (
+  SELECT (CASE WHEN a <= b THEN 4 ELSE 0 END
+          + CASE WHEN a <= c THEN 2 ELSE 0 END
+          + CASE WHEN b <= c THEN 1 ELSE 0 END) AS code,
+         COUNT(*) AS cnt
+  FROM tri WHERE c IS NOT NULL
+  GROUP BY code
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_patterns,
+       CAST(SUM(cnt) AS BIGINT) AS n_windows,
+       round(
+         (ln(CAST(SUM(cnt) AS DOUBLE))
+          - CAST(SUM(cnt * CAST(ROUND(ln(CAST(cnt AS DOUBLE))
+                                      * 1000000.0, 0) AS BIGINT))
+                 AS DOUBLE) / 1000000.0 / SUM(cnt))
+         / ln(CAST(6 AS DOUBLE)), 6) AS h_norm_r
+FROM pat
+""",
+    tags=("inference", "timeseries"),
+)
+def a017_permutation_entropy(spark, sf_dir):
+    """Normalized permutation entropy (embedding dimension 3) of the
+    daily order-count series — the Bandt–Pompe complexity measure that
+    separates deterministic structure (low H) from noise (H → 1)
+    using only ORDINAL patterns, so it is immune to monotone
+    transforms and heavy tails (the same robustness argument as
+    a004's Cliff's delta, applied to dynamics). Each length-3 window
+    maps to one of 6 ordinal patterns via stable-argsort comparisons
+    (ties break by position: a<=b iff (a,t)<(b,t+1) lexicographically
+    — the identical CASE text in both engines); pattern counts are
+    exact, and H uses the q156 quantized-ln trick (per-pattern ln on
+    ≤6 groups, micro-unit BIGINT before the sum) normalized by ln 6.
+    At 100 TB the corpus is touched once by the daily count; the
+    window pass runs on the ~2400-row summary."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    ts = daily.select(
+        "y", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    w = Window.orderBy("t")
+    tri = ts.select(
+        F.col("y").alias("a"),
+        F.lead("y", 1).over(w).alias("b"),
+        F.lead("y", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    code = (
+        F.when(F.col("a") <= F.col("b"), 4).otherwise(0)
+        + F.when(F.col("a") <= F.col("c"), 2).otherwise(0)
+        + F.when(F.col("b") <= F.col("c"), 1).otherwise(0)
+    )
+    pat = tri.groupBy(code.alias("code")).agg(F.count("*").alias("cnt"))
+    ln_cnt_micro = F.round(
+        F.log(F.col("cnt").cast("double")) * 1000000.0, 0
+    ).cast("bigint")
+    return pat.agg(
+        F.count("*").cast("bigint").alias("n_patterns"),
+        F.sum("cnt").cast("bigint").alias("n_windows"),
+        F.round(
+            (
+                F.log(F.sum("cnt").cast("double"))
+                - F.sum(F.col("cnt") * ln_cnt_micro).cast("double")
+                / 1000000.0
+                / F.sum("cnt")
+            )
+            / F.log(F.lit(6).cast("double")),
+            6,
+        ).alias("h_norm_r"),
+    )
+
+
+@query(
+    "a018_cronbach_alpha",
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END),
+                       0) AS BIGINT) AS x1,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END),
+                       0) AS BIGINT) AS x2,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                           END), 0) AS BIGINT) AS x3,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1
+                           END), 0) AS BIGINT) AS x4,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1
+                           END), 0) AS BIGINT) AS x5
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1,
+         CAST(SUM(x1 * x1) AS BIGINT) AS q1,
+         CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x2 * x2) AS BIGINT) AS q2,
+         CAST(SUM(x3) AS BIGINT) AS s3,
+         CAST(SUM(x3 * x3) AS BIGINT) AS q3,
+         CAST(SUM(x4) AS BIGINT) AS s4,
+         CAST(SUM(x4 * x4) AS BIGINT) AS q4,
+         CAST(SUM(x5) AS BIGINT) AS s5,
+         CAST(SUM(x5 * x5) AS BIGINT) AS q5,
+         CAST(SUM(x1 + x2 + x3 + x4 + x5) AS BIGINT) AS st,
+         CAST(SUM((x1 + x2 + x3 + x4 + x5)
+                  * (x1 + x2 + x3 + x4 + x5)) AS BIGINT) AS qt
+  FROM m
+)
+SELECT n AS n_users, CAST(5 AS BIGINT) AS k_items,
+       CAST((n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+            + (n * q3 - s3 * s3) + (n * q4 - s4 * s4)
+            + (n * q5 - s5 * s5) AS BIGINT) AS item_var_num,
+       CAST(n * qt - st * st AS BIGINT) AS total_var_num,
+       round((5.0 / 4.0)
+             * (1.0 - CAST((n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+                           + (n * q3 - s3 * s3) + (n * q4 - s4 * s4)
+                           + (n * q5 - s5 * s5) AS DOUBLE)
+                      / CAST(n * qt - st * st AS DOUBLE)), 6)
+         AS alpha_r
+FROM s
+""",
+    tags=("inference", "stats"),
+)
+def a018_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha internal-consistency coefficient treating the
+    5 event types as test items and per-user event counts as item
+    scores — the classic reliability statistic for "do these activity
+    signals measure one underlying engagement trait". Since alpha =
+    k/(k−1)·(1 − Σvar_i/var_total) is scale-free in the variances,
+    both sides use the EXACT integer variance numerators n·Σx²−S²
+    (the n(n−1) denominators cancel), so the whole query is ONE
+    map-side-combined per-user pivot aggregate, one 1-row moment
+    fold, and a single double division before the 6dp round. At
+    100 TB: one corpus scan, one user-keyed shuffle, 1-row result."""
+    ev = table(spark, sf_dir, "events")
+    types = ("view", "click", "purchase", "signup", "error")
+    m = ev.groupBy("user_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"x{i+1}")
+            for i, t in enumerate(types)
+        ]
+    )
+    tot = (
+        F.col("x1") + F.col("x2") + F.col("x3") + F.col("x4") + F.col("x5")
+    )
+    s = m.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            agg
+            for i in range(1, 6)
+            for agg in (
+                F.sum(f"x{i}").cast("bigint").alias(f"s{i}"),
+                F.sum(F.col(f"x{i}") * F.col(f"x{i}"))
+                .cast("bigint")
+                .alias(f"q{i}"),
+            )
+        ],
+        F.sum(tot).cast("bigint").alias("st"),
+        F.sum(tot * tot).cast("bigint").alias("qt"),
+    )
+    item_num = sum(
+        (
+            F.col("n") * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+            for i in range(2, 6)
+        ),
+        F.col("n") * F.col("q1") - F.col("s1") * F.col("s1"),
+    )
+    tot_num = F.col("n") * F.col("qt") - F.col("st") * F.col("st")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.lit(5).cast("bigint").alias("k_items"),
+        item_num.cast("bigint").alias("item_var_num"),
+        tot_num.cast("bigint").alias("total_var_num"),
+        F.round(
+            (5.0 / 4.0)
+            * (1.0 - item_num.cast("double") / tot_num.cast("double")),
+            6,
+        ).alias("alpha_r"),
+    )
+
+
+@query(
+    "a019_ece_calibration",
+    oracle="""
+WITH rng AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+), mid AS (
+  SELECT lo + (hi - lo) // 2 AS m FROM rng
+), u AS (
+  SELECT e.user_id,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) < d.m
+                           THEN 1 END), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) < d.m
+                           AND e.event_type = 'purchase'
+                           THEN 1 END), 0) AS BIGINT) AS p1,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) >= d.m
+                           THEN 1 END), 0) AS BIGINT) AS n2,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) >= d.m
+                           AND e.event_type = 'purchase'
+                           THEN 1 END), 0) AS BIGINT) AS p2
+  FROM events e CROSS JOIN mid d
+  GROUP BY e.user_id
+), scored AS (
+  SELECT (2000000000 * p1 + n1) // (2 * n1) AS p_fp,
+         CASE WHEN p2 > 0 THEN 1 ELSE 0 END AS y
+  FROM u WHERE n1 > 0 AND n2 > 0
+), binned AS (
+  SELECT LEAST(9, p_fp * 10 // 1000000000) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS o1,
+         CAST(SUM(p_fp) AS BIGINT) AS e_fp
+  FROM scored GROUP BY bin
+)
+SELECT CAST(SUM(n_b) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       round(CAST(SUM(abs(1000000000 * o1 - e_fp)) AS DOUBLE)
+             / (1000000000.0 * CAST(SUM(n_b) AS DOUBLE)), 6) AS ece_r,
+       round(CAST(SUM(CAST(ROUND(
+         (CAST(o1 AS DOUBLE) - CAST(e_fp AS DOUBLE) / 1000000000.0)
+         * (CAST(o1 AS DOUBLE) - CAST(e_fp AS DOUBLE) / 1000000000.0)
+         / ((CAST(e_fp AS DOUBLE) / 1000000000.0)
+            * (1.0 - CAST(e_fp AS DOUBLE) / 1000000000.0
+                     / CAST(n_b AS DOUBLE)))
+         * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+         / 1000000000.0, 6) AS hl_chi2_r
+FROM binned
+""",
+    tags=("inference", "stats"),
+)
+def a019_ece_calibration(spark, sf_dir):
+    """Expected calibration error + Hosmer–Lemeshow chi-square for a
+    base-rate forecaster: each user's first-half purchase share
+    predicts their second-half purchase propensity. The predicted
+    probability is fixed-pointed EXACTLY via integer round-half-up
+    ((2·10⁹·p+n) div 2n — no float division per user, so no half-ulp
+    tie hazard), bins are integer decile buckets of that fp score,
+    and ECE reduces to Σ|10⁹·O_b − Σp_fp|/(10⁹·N) — exact integers
+    until ONE terminal division. The HL statistic runs its doubles
+    once per bin (≤10). The split point is the corpus midpoint
+    timestamp (exact integer epoch-µs arithmetic). At 100 TB: one
+    corpus scan into a per-user aggregate, a broadcast 1-row
+    midpoint, then decile-sized folds."""
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    mid = rng.select(
+        (F.col("lo") + F.expr("(hi - lo) div 2")).alias("m")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.unix_micros("ts") < F.col("m"), 1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n1"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.unix_micros("ts") < F.col("m"))
+                        & (F.col("event_type") == "purchase"),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("p1"),
+            F.coalesce(
+                F.sum(F.when(F.unix_micros("ts") >= F.col("m"), 1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n2"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.unix_micros("ts") >= F.col("m"))
+                        & (F.col("event_type") == "purchase"),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("p2"),
+        )
+    )
+    scored = u.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.expr("(2000000000 * p1 + n1) div (2 * n1)").alias("p_fp"),
+        F.when(F.col("p2") > 0, 1).otherwise(0).alias("y"),
+    )
+    binned = scored.groupBy(
+        F.least(F.lit(9), F.expr("p_fp * 10 div 1000000000")).alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("o1"),
+        F.sum("p_fp").cast("bigint").alias("e_fp"),
+    )
+    e_mean = F.col("e_fp").cast("double") / 1000000000.0
+    hl_term = (
+        (F.col("o1").cast("double") - e_mean)
+        * (F.col("o1").cast("double") - e_mean)
+        / (e_mean * (1.0 - e_mean / F.col("n_b").cast("double")))
+    )
+    return binned.agg(
+        F.sum("n_b").cast("bigint").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.round(
+            F.sum(
+                F.abs(F.lit(1000000000).cast("bigint") * F.col("o1") - F.col("e_fp"))
+            ).cast("double")
+            / (1000000000.0 * F.sum("n_b").cast("double")),
+            6,
+        ).alias("ece_r"),
+        F.round(
+            F.sum(
+                F.round(hl_term * 1000000000.0, 0).cast("bigint")
+            ).cast("double")
+            / 1000000000.0,
+            6,
+        ).alias("hl_chi2_r"),
+    )
+
+
+@query(
+    "a020_nelson_aalen_rmst",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+), signed AS (
+  SELECT user_id, s_ts, last_ts FROM base WHERE s_ts IS NOT NULL
+), conv AS (
+  SELECT s.user_id, MIN(e.ts) AS p_ts
+  FROM signed s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+  GROUP BY s.user_id
+), subj AS (
+  SELECT CAST(CASE WHEN c.p_ts IS NOT NULL
+              THEN (epoch_us(c.p_ts) - epoch_us(s.s_ts)) // 86400000000
+              ELSE (epoch_us(s.last_ts) - epoch_us(s.s_ts))
+                   // 86400000000
+              END AS BIGINT) AS t_days,
+         CASE WHEN c.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM signed s LEFT JOIN conv c ON c.user_id = s.user_id
+), tt AS (
+  SELECT t_days,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM subj GROUP BY t_days
+), risk AS (
+  SELECT t_days, d,
+         CAST(SUM(m) OVER ()
+              - COALESCE(SUM(m) OVER (ORDER BY t_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_at_risk
+  FROM tt
+), haz AS (
+  SELECT t_days,
+         (2000000 * d + n_at_risk) // (2 * n_at_risk) AS h_micro
+  FROM risk WHERE d > 0
+), cum AS (
+  SELECT t_days,
+         CAST(SUM(h_micro) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ch_micro,
+         lead(t_days) OVER (ORDER BY t_days) AS nt
+  FROM haz
+), surv AS (
+  SELECT t_days, ch_micro, nt,
+         CAST(ROUND(exp(-CAST(ch_micro AS DOUBLE) / 1000000.0)
+                    * 1000000.0, 0) AS BIGINT) AS s_micro
+  FROM cum
+)
+SELECT CAST((SELECT COUNT(*) FROM subj) AS BIGINT) AS n_subjects,
+       CAST(COUNT(*) AS BIGINT) AS n_event_times,
+       round(CAST(MAX(ch_micro) AS DOUBLE) / 1000000.0, 6)
+         AS h_final_r,
+       round((CAST(1000000 * LEAST(MIN(t_days), 90) AS DOUBLE)
+              + CAST(SUM(CASE WHEN t_days < 90
+                         THEN s_micro
+                              * (LEAST(COALESCE(nt, 90), 90) - t_days)
+                         ELSE 0 END) AS DOUBLE))
+             / 1000000.0, 6) AS rmst90_r
+FROM surv
+""",
+    tags=("inference", "survival"),
+)
+def a020_nelson_aalen_rmst(spark, sf_dir):
+    """Nelson–Aalen cumulative hazard + 90-day restricted mean
+    survival time for signup→first-purchase conversion — the additive
+    counterpart of q245's Kaplan–Meier product (NA's Σd/n is the
+    canonical estimator when hazards, not survival products, are the
+    modelling target) plus RMST, the censoring-robust "average days to
+    convert, capped at 90" effect measure. Each per-time hazard
+    increment d/n is fixed-pointed EXACTLY via integer round-half-up
+    ((2·10⁶·d+n) div 2n), the cumulative hazard is an exact BIGINT
+    window sum, exp(−H) runs once per event time on those exact
+    integers (micro-quantized, the q245 ln_micro discipline), and the
+    RMST step integral Σ S·Δt is again exact integer arithmetic. At
+    100 TB the corpus is touched by the per-user fold + one
+    purchase-events semi-aggregate; all windows run on the
+    event-time summary (hundreds of rows)."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("s_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    signed = base.filter(F.col("s_ts").isNotNull())
+    conv = (
+        signed.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_raw")
+            ),
+            "user_id",
+        )
+        .filter(F.col("p_raw") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_raw").alias("p_ts"))
+    )
+    subj = signed.join(conv, "user_id", "left").select(
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.expr(
+                "(unix_micros(p_ts) - unix_micros(s_ts))"
+                " div 86400000000"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "(unix_micros(last_ts) - unix_micros(s_ts))"
+                " div 86400000000"
+            )
+        )
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tt = subj.groupBy("t_days").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    wall = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = tt.select(
+        "t_days",
+        "d",
+        (
+            F.sum("m").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.coalesce(F.sum("m").over(wall), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    haz = risk.filter(F.col("d") > 0).select(
+        "t_days",
+        F.expr(
+            "(2000000 * d + n_at_risk) div (2 * n_at_risk)"
+        ).alias("h_micro"),
+    )
+    wc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = haz.select(
+        "t_days",
+        F.sum("h_micro").over(wc).cast("bigint").alias("ch_micro"),
+        F.lead("t_days").over(Window.orderBy("t_days")).alias("nt"),
+    )
+    surv = cum.select(
+        "t_days",
+        "ch_micro",
+        "nt",
+        F.round(
+            F.exp(-F.col("ch_micro").cast("double") / 1000000.0)
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    n_subjects = subj.agg(
+        F.count("*").cast("bigint").alias("n_subjects")
+    )
+    return surv.agg(
+        F.count("*").cast("bigint").alias("n_event_times"),
+        F.round(F.max("ch_micro").cast("double") / 1000000.0, 6).alias(
+            "h_final_r"
+        ),
+        F.round(
+            (
+                (
+                    F.lit(1000000).cast("bigint")
+                    * F.least(F.min("t_days"), F.lit(90).cast("bigint"))
+                ).cast("double")
+                + F.sum(
+                    F.when(
+                        F.col("t_days") < 90,
+                        F.col("s_micro")
+                        * (
+                            F.least(
+                                F.coalesce(
+                                    F.col("nt"),
+                                    F.lit(90).cast("bigint"),
+                                ),
+                                F.lit(90).cast("bigint"),
+                            )
+                            - F.col("t_days")
+                        ),
+                    ).otherwise(0)
+                ).cast("double")
+            )
+            / 1000000.0,
+            6,
+        ).alias("rmst90_r"),
+    ).crossJoin(F.broadcast(n_subjects)).select(
+        "n_subjects", "n_event_times", "h_final_r", "rmst90_r"
+    )
+
+
+@query(
+    "a021_yuen_trimmed_t",
+    oracle="""
+WITH obs AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS xc
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), sized AS (
+  SELECT g, xc,
+         row_number() OVER (PARTITION BY g ORDER BY xc) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM obs
+), lim AS (
+  SELECT g, xc, rn, n, n * 20 // 100 AS tg FROM sized
+), bounds AS (
+  SELECT g, MAX(n) AS n, MAX(tg) AS tg,
+         MAX(CASE WHEN rn = tg + 1 THEN xc END) AS lo,
+         MAX(CASE WHEN rn = n - tg THEN xc END) AS hi
+  FROM lim GROUP BY g
+), stats AS (
+  SELECT l.g, b.n, b.tg, b.n - 2 * b.tg AS h,
+         CAST(SUM(CASE WHEN l.rn > b.tg AND l.rn <= b.n - b.tg
+                  THEN l.xc ELSE 0 END) AS BIGINT) AS st,
+         CAST(SUM(LEAST(GREATEST(l.xc, b.lo), b.hi)) AS BIGINT) AS sw,
+         CAST(SUM(LEAST(GREATEST(l.xc, b.lo), b.hi)
+                  * LEAST(GREATEST(l.xc, b.lo), b.hi)) AS BIGINT)
+           AS qw
+  FROM lim l JOIN bounds b ON b.g = l.g
+  GROUP BY l.g, b.n, b.tg
+), d AS (
+  SELECT g, n, h,
+         CAST(st AS DOUBLE) / 100.0 / h AS tm,
+         (CAST(n AS DOUBLE)
+          * (CAST(qw AS DOUBLE) / 10000.0)
+          - (CAST(sw AS DOUBLE) / 100.0)
+            * (CAST(sw AS DOUBLE) / 100.0))
+         / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)
+         * (CAST(n AS DOUBLE) - 1.0)
+         / (CAST(h AS DOUBLE) * (CAST(h AS DOUBLE) - 1.0)) AS dj
+  FROM stats
+)
+SELECT d1.n AS n_urgent, d2.n AS n_low,
+       CAST(d1.h AS BIGINT) AS h_urgent, CAST(d2.h AS BIGINT) AS h_low,
+       round(d1.tm - d2.tm, 6) AS trimmed_diff_r,
+       round((d1.tm - d2.tm) / sqrt(d1.dj + d2.dj), 6) AS t_yuen_r,
+       round((d1.dj + d2.dj) * (d1.dj + d2.dj)
+             / (d1.dj * d1.dj / (CAST(d1.h AS DOUBLE) - 1.0)
+                + d2.dj * d2.dj / (CAST(d2.h AS DOUBLE) - 1.0)), 6)
+         AS df_r
+FROM d d1 CROSS JOIN d d2
+WHERE d1.g = 1 AND d2.g = 2
+""",
+    tags=("inference", "stats"),
+)
+def a021_yuen_trimmed_t(spark, sf_dir):
+    """Yuen's 20%-trimmed-mean t-test comparing URGENT vs LOW order
+    values — the robust two-sample location test that q219's plain
+    z-test is not: trimming clips both tails so heavy-tailed price
+    distributions cannot swamp the comparison, and the variance comes
+    from the WINSORIZED sample (Yuen 1974). Trim counts are integer
+    positions (g = ⌊0.2n⌋) over a per-group rank window on exact cent
+    values; trimmed sums, winsorized sums and sum-squares are exact
+    BIGINTs (ties are interchangeable under positional trimming, so
+    the rank tie-break cannot change any sum); the t statistic and
+    Welch–Satterthwaite df run once on the two 1-row group summaries.
+    At 100 TB the rank window shuffles once per group partition and
+    everything downstream is 2 rows."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("g"),
+        F.round(F.col("o_totalprice") * 100.0, 0)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    wg = Window.partitionBy("g")
+    sized = obs.select(
+        "g",
+        "xc",
+        F.row_number().over(wg.orderBy("xc")).alias("rn"),
+        F.count("*").over(wg).alias("n"),
+    )
+    lim = sized.withColumn("tg", F.expr("n * 20 div 100"))
+    bounds = lim.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max("tg").alias("tg"),
+        F.max(
+            F.when(F.col("rn") == F.col("tg") + 1, F.col("xc"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("tg"), F.col("xc"))
+        ).alias("hi"),
+    )
+    wx = F.least(F.greatest(F.col("xc"), F.col("lo")), F.col("hi"))
+    stats = (
+        lim.drop("n", "tg")
+        .join(F.broadcast(bounds), "g")
+        .groupBy("g", "n", "tg")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rn") > F.col("tg"))
+                    & (F.col("rn") <= F.col("n") - F.col("tg")),
+                    F.col("xc"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("st"),
+            F.sum(wx).cast("bigint").alias("sw"),
+            F.sum(wx * wx).cast("bigint").alias("qw"),
+        )
+        .withColumn("h", F.col("n") - 2 * F.col("tg"))
+    )
+    nd = F.col("n").cast("double")
+    hd = F.col("h").cast("double")
+    d = stats.select(
+        "g",
+        "n",
+        "h",
+        (F.col("st").cast("double") / 100.0 / F.col("h")).alias("tm"),
+        (
+            (
+                nd * (F.col("qw").cast("double") / 10000.0)
+                - (F.col("sw").cast("double") / 100.0)
+                * (F.col("sw").cast("double") / 100.0)
+            )
+            / nd
+            / (nd - 1.0)
+            * (nd - 1.0)
+            / (hd * (hd - 1.0))
+        ).alias("dj"),
+    )
+    d1 = d.filter(F.col("g") == 1).select(
+        F.col("n").alias("n_urgent"),
+        F.col("h").cast("bigint").alias("h_urgent"),
+        F.col("tm").alias("tm1"),
+        F.col("dj").alias("dj1"),
+    )
+    d2 = d.filter(F.col("g") == 2).select(
+        F.col("n").alias("n_low"),
+        F.col("h").cast("bigint").alias("h_low"),
+        F.col("tm").alias("tm2"),
+        F.col("dj").alias("dj2"),
+    )
+    dsum = F.col("dj1") + F.col("dj2")
+    return d1.crossJoin(F.broadcast(d2)).select(
+        "n_urgent",
+        "n_low",
+        "h_urgent",
+        "h_low",
+        F.round(F.col("tm1") - F.col("tm2"), 6).alias("trimmed_diff_r"),
+        F.round(
+            (F.col("tm1") - F.col("tm2")) / F.sqrt(dsum), 6
+        ).alias("t_yuen_r"),
+        F.round(
+            dsum
+            * dsum
+            / (
+                F.col("dj1")
+                * F.col("dj1")
+                / (F.col("h_urgent").cast("double") - 1.0)
+                + F.col("dj2")
+                * F.col("dj2")
+                / (F.col("h_low").cast("double") - 1.0)
+            ),
+            6,
+        ).alias("df_r"),
+    )
+
+
+@query(
+    "a022_hodges_lehmann",
+    oracle="""
+WITH obs AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS g,
+         LEAST(CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
+                    // 1000 AS BIGINT), 5000) AS v
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY user_id, g
+), h1 AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM obs WHERE g = 1
+  GROUP BY v
+), h2 AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM obs WHERE g = 2
+  GROUP BY v
+), conv AS (
+  SELECT h1.v - h2.v AS d, CAST(SUM(h1.c * h2.c) AS BIGINT) AS w
+  FROM h1 CROSS JOIN h2
+  GROUP BY h1.v - h2.v
+), cum AS (
+  SELECT d, w,
+         CAST(SUM(w) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw,
+         CAST(SUM(w) OVER () AS BIGINT) AS tot
+  FROM conv
+)
+SELECT CAST((SELECT SUM(c) FROM h1) AS BIGINT) AS n_purchase,
+       CAST((SELECT SUM(c) FROM h2) AS BIGINT) AS n_view,
+       MAX(tot) AS n_pairs,
+       CAST(MIN(CASE WHEN cw * 2 >= tot + 1 THEN d END) * 10
+            AS BIGINT) AS hl_shift_dollars
+FROM cum
+""",
+    tags=("inference", "stats"),
+)
+def a022_hodges_lehmann(spark, sf_dir):
+    """Two-sample Hodges–Lehmann location shift (the median of all
+    n1·n2 pairwise differences) between per-user purchase and view
+    spend — the robust effect-size ESTIMATE that pairs with a004's
+    Cliff's delta (which only signs the pairs) and q233's
+    Mann–Whitney (which only tests). The O(n²) difference set never
+    materializes per-pair: spends are quantized to a capped $10 grid
+    (≤5001 levels — the cap is the 100 TB guard, same discipline as
+    max_df), the two value HISTOGRAMS are convolved (grid² ≤ 25M
+    weighted cells, independent of corpus size), and the weighted
+    lower median comes off one cumulative window. Every count and the
+    median selection are exact integers end-to-end. At 100 TB the
+    corpus is touched once by the per-user fold; the convolution is
+    bounded by the grid, not the data."""
+    ev = table(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(2)
+            .alias("g"),
+        )
+        .agg(
+            F.least(
+                F.expr(
+                    "CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))"
+                    " div 1000 AS BIGINT)"
+                ),
+                F.lit(5000).cast("bigint"),
+            ).alias("v")
+        )
+    )
+    h1 = (
+        obs.filter(F.col("g") == 1)
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    h2 = (
+        obs.filter(F.col("g") == 2)
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    conv = (
+        h1.select(F.col("v").alias("v1"), F.col("c").alias("c1"))
+        .crossJoin(
+            h2.select(F.col("v").alias("v2"), F.col("c").alias("c2"))
+        )
+        .groupBy((F.col("v1") - F.col("v2")).alias("d"))
+        .agg(F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("w"))
+    )
+    wc = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = conv.select(
+        "d",
+        "w",
+        F.sum("w").over(wc).cast("bigint").alias("cw"),
+        F.sum("w").over(wall).cast("bigint").alias("tot"),
+    )
+    n1 = h1.agg(F.sum("c").cast("bigint").alias("n_purchase"))
+    n2 = h2.agg(F.sum("c").cast("bigint").alias("n_view"))
+    med = cum.agg(
+        F.max("tot").alias("n_pairs"),
+        (
+            F.min(
+                F.when(
+                    F.col("cw") * 2 >= F.col("tot") + 1, F.col("d")
+                )
+            )
+            * 10
+        )
+        .cast("bigint")
+        .alias("hl_shift_dollars"),
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(med))
+        .select("n_purchase", "n_view", "n_pairs", "hl_shift_dollars")
+    )
+
+
+@query(
+    "a023_adjusted_rand",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), dist AS (
+  SELECT e.vec_id, e.label, c.cid,
+         CAST(ROUND(list_reduce(
+           list_transform(range(64), p ->
+             (e.v[p + 1] - c.cv[p + 1]) * (e.v[p + 1] - c.cv[p + 1])),
+           (acc, x) -> acc + x) * 1000000000000.0, 0) AS BIGINT) AS d_fp
+  FROM e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, label, cid
+  FROM (SELECT vec_id, label, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d_fp, cid) AS rn
+        FROM dist)
+  WHERE rn = 1
+), ct AS (
+  SELECT label, cid, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM assigned GROUP BY label, cid
+), sums AS (
+  SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS s_index,
+         CAST(SUM(nij) AS BIGINT) AS n
+  FROM ct
+), arow AS (
+  SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS s_a
+  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM ct GROUP BY label)
+), brow AS (
+  SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS s_b
+  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM ct GROUP BY cid)
+)
+SELECT n, s_index, s_a, s_b,
+       round((CAST(s_index AS DOUBLE)
+              - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (n - 1) / 2.0))
+             / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
+                - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1) / 2.0)), 6)
+         AS ari_r
+FROM sums CROSS JOIN arow CROSS JOIN brow
+""",
+    tags=("inference", "similarity"),
+)
+def a023_adjusted_rand(spark, sf_dir):
+    """Adjusted Rand index between the embeddings' ground-truth
+    labels and the a437-convention nearest-seed-centroid clustering
+    (seeds = vec_id < 8) — the chance-corrected external-validity
+    score that tells a pipeline whether its cheap geometric clusters
+    recover the annotated classes, completing the clustering-quality
+    pair with a437's internal silhouette. Assignment is the proven
+    O(n·k) fixed-point argmin (ties break on centroid id); every
+    Rand pair count is an exact BIGINT binomial C(n,2) from the
+    contingency fold, and the ARI is ONE expected-index formula
+    evaluated on a 1-row summary. At 100 TB: one broadcast of 8
+    centroids, one corpus pass, one label×cluster contingency
+    shuffle (≤ labels·k cells)."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .limit(8)
+    )
+    d_fp = F.round(
+        F.aggregate(
+            F.zip_with(
+                "v", "cv", lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * 1000000000000.0,
+        0,
+    ).cast("bigint")
+    dist = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "cid", d_fp.alias("d_fp")
+    )
+    assigned = (
+        dist.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d_fp", "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cid")
+    )
+    ct = assigned.groupBy("label", "cid").agg(
+        F.count("*").cast("bigint").alias("nij")
+    )
+    sums = ct.agg(
+        F.sum(F.expr("nij * (nij - 1) div 2"))
+        .cast("bigint")
+        .alias("s_index"),
+        F.sum("nij").cast("bigint").alias("n"),
+    )
+    arow = (
+        ct.groupBy("label")
+        .agg(F.sum("nij").cast("bigint").alias("ai"))
+        .agg(
+            F.sum(F.expr("ai * (ai - 1) div 2"))
+            .cast("bigint")
+            .alias("s_a")
+        )
+    )
+    brow = (
+        ct.groupBy("cid")
+        .agg(F.sum("nij").cast("bigint").alias("bj"))
+        .agg(
+            F.sum(F.expr("bj * (bj - 1) div 2"))
+            .cast("bigint")
+            .alias("s_b")
+        )
+    )
+    nd = F.col("n").cast("double")
+    exp_idx = (
+        F.col("s_a").cast("double")
+        * F.col("s_b").cast("double")
+        / (nd * (F.col("n") - 1) / 2.0)
+    )
+    return (
+        sums.crossJoin(F.broadcast(arow))
+        .crossJoin(F.broadcast(brow))
+        .select(
+            "n",
+            "s_index",
+            "s_a",
+            "s_b",
+            F.round(
+                (F.col("s_index").cast("double") - exp_idx)
+                / (
+                    (
+                        F.col("s_a").cast("double")
+                        + F.col("s_b").cast("double")
+                    )
+                    / 2.0
+                    - exp_idx
+                ),
+                6,
+            ).alias("ari_r"),
+        )
+    )
