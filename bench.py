@@ -70,6 +70,12 @@ HEADLINE = (
     "a436_bradley_terry",           # duel self-join + 20-step MM matrix fold
     "a440_geometric_median",        # 6 Weiszfeld passes, fixed-point sums
     "a450_lof_panel",               # three bounded×corpus 2-hop LOF sweeps
+    # round-7 surface (heaviest never-benched r5 queries, r5 verdict #4,
+    # r6 verdict #5)
+    "a444_wasserstein_1d",          # per-source exact 1-D transport distances
+    "a447_haar_wavelet_energy",     # log2-depth pairwise averaging cascade
+    "a448_ipf_raking",              # 4-pass IPF margin/scale iteration
+    "a459_kcenter_seeding",         # 8 greedy max-min corpus sweeps
 )
 
 

@@ -2310,7 +2310,7 @@ def a020_nelson_aalen_rmst(spark, sf_dir):
     oracle="""
 WITH obs AS (
   SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
-         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS xc
+         CAST(ROUND(o_totalprice, 0) AS BIGINT) AS xc
   FROM orders
   WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
 ), sized AS (
@@ -2337,11 +2337,10 @@ WITH obs AS (
   GROUP BY l.g, b.n, b.tg
 ), d AS (
   SELECT g, n, h,
-         CAST(st AS DOUBLE) / 100.0 / h AS tm,
+         CAST(st AS DOUBLE) / h AS tm,
          (CAST(n AS DOUBLE)
-          * (CAST(qw AS DOUBLE) / 10000.0)
-          - (CAST(sw AS DOUBLE) / 100.0)
-            * (CAST(sw AS DOUBLE) / 100.0))
+          * CAST(qw AS DOUBLE)
+          - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
          / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)
          * (CAST(n AS DOUBLE) - 1.0)
          / (CAST(h AS DOUBLE) * (CAST(h AS DOUBLE) - 1.0)) AS dj
@@ -2366,8 +2365,8 @@ def a021_yuen_trimmed_t(spark, sf_dir):
     z-test is not: trimming clips both tails so heavy-tailed price
     distributions cannot swamp the comparison, and the variance comes
     from the WINSORIZED sample (Yuen 1974). Trim counts are integer
-    positions (g = ⌊0.2n⌋) over a per-group rank window on exact cent
-    values; trimmed sums, winsorized sums and sum-squares are exact
+    positions (g = ⌊0.2n⌋) over a per-group rank window on exact whole-dollar
+    values (dollar quantization keeps n·Σw² inside BIGINT to ~sf100); trimmed sums, winsorized sums and sum-squares are exact
     BIGINTs (ties are interchangeable under positional trimming, so
     the rank tie-break cannot change any sum); the t statistic and
     Welch–Satterthwaite df run once on the two 1-row group summaries.
@@ -2380,7 +2379,7 @@ def a021_yuen_trimmed_t(spark, sf_dir):
         F.when(F.col("o_orderpriority") == "1-URGENT", 1)
         .otherwise(2)
         .alias("g"),
-        F.round(F.col("o_totalprice") * 100.0, 0)
+        F.round(F.col("o_totalprice"), 0)
         .cast("bigint")
         .alias("xc"),
     )
@@ -2428,12 +2427,12 @@ def a021_yuen_trimmed_t(spark, sf_dir):
         "g",
         "n",
         "h",
-        (F.col("st").cast("double") / 100.0 / F.col("h")).alias("tm"),
+        (F.col("st").cast("double") / F.col("h")).alias("tm"),
         (
             (
-                nd * (F.col("qw").cast("double") / 10000.0)
-                - (F.col("sw").cast("double") / 100.0)
-                * (F.col("sw").cast("double") / 100.0)
+                nd * F.col("qw").cast("double")
+                - F.col("sw").cast("double")
+                * F.col("sw").cast("double")
             )
             / nd
             / (nd - 1.0)
@@ -2748,4 +2747,916 @@ def a023_adjusted_rand(spark, sf_dir):
                 6,
             ).alias("ari_r"),
         )
+    )
+
+
+@query(
+    "a024_davies_bouldin_ch",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), dist AS (
+  SELECT e.vec_id, c.cid,
+         CAST(ROUND(list_reduce(
+           list_transform(range(64), p ->
+             (e.v[p + 1] - c.cv[p + 1]) * (e.v[p + 1] - c.cv[p + 1])),
+           (acc, x) -> acc + x) * 1000000000000.0, 0) AS BIGINT) AS d_fp
+  FROM e CROSS JOIN cent c
+), own AS (
+  SELECT vec_id, cid, d_fp
+  FROM (SELECT vec_id, cid, d_fp,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d_fp, cid) AS rn
+        FROM dist)
+  WHERE rn = 1
+), clus AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(d_fp) AS BIGINT) AS w_i
+  FROM own GROUP BY cid
+), cbar AS (
+  SELECT list(cb ORDER BY pos) AS cb FROM (
+    SELECT pos,
+           CAST(SUM(CAST(ROUND(cv[pos + 1] * 1000000000.0, 0)
+                    AS BIGINT)) AS BIGINT) // 8 AS cb
+    FROM cent CROSS JOIN (SELECT unnest(range(64)) AS pos)
+    GROUP BY pos)
+), tq AS (
+  SELECT CAST(SUM(list_reduce(
+           list_transform(range(64), p ->
+             CAST(ROUND((e.v[p + 1] - CAST(b.cb[p + 1] AS DOUBLE)
+                         / 1000000000.0)
+                        * (e.v[p + 1] - CAST(b.cb[p + 1] AS DOUBLE)
+                           / 1000000000.0)
+                        * 1000000000000.0, 0) AS BIGINT)),
+           (acc, x) -> acc + x)) AS BIGINT) AS t_fp,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e CROSS JOIN cbar b
+), cd AS (
+  SELECT a.cid AS i, b.cid AS j,
+         sqrt(CAST(ROUND(list_reduce(
+           list_transform(range(64), p ->
+             (a.cv[p + 1] - b.cv[p + 1]) * (a.cv[p + 1] - b.cv[p + 1])),
+           (acc, x) -> acc + x) * 1000000000000.0, 0) AS BIGINT)
+              / 1000000000000.0) AS m
+  FROM cent a JOIN cent b ON a.cid <> b.cid
+), sc AS (
+  SELECT cid, n_i, w_i,
+         sqrt(CAST(w_i AS DOUBLE) / 1000000000000.0
+              / CAST(n_i AS DOUBLE)) AS s
+  FROM clus
+), rmax AS (
+  SELECT c1.cid,
+         CAST(MAX(CAST(ROUND((c1.s + c2.s) / cd.m * 1000000000.0, 0)
+                       AS BIGINT)) AS BIGINT) AS r_fp
+  FROM sc c1
+  JOIN cd ON cd.i = c1.cid
+  JOIN sc c2 ON c2.cid = cd.j
+  GROUP BY c1.cid
+)
+SELECT (SELECT n FROM tq) AS n_points,
+       CAST(8 AS BIGINT) AS k_clusters,
+       round(CAST(SUM(r_fp) AS DOUBLE) / 8000000000.0, 6)
+         AS db_index_r,
+       round(((CAST((SELECT t_fp FROM tq) AS DOUBLE)
+               - CAST((SELECT SUM(w_i) FROM clus) AS DOUBLE)) / 7.0)
+             / (CAST((SELECT SUM(w_i) FROM clus) AS DOUBLE)
+                / (CAST((SELECT n FROM tq) AS DOUBLE) - 8.0)), 6)
+         AS ch_index_r
+FROM rmax
+""",
+    tags=("inference", "similarity"),
+)
+def a024_davies_bouldin_ch(spark, sf_dir):
+    """Davies–Bouldin and Calinski–Harabasz indices for the
+    a437-convention seed-centroid clustering — the two internal
+    validity scores (worst-pair overlap and between/within variance
+    ratio) that complete the silhouette/ARI panel with the classic
+    sklearn-parity diagnostics, in their fixed-center form: scatter
+    S_i = √(W_i/n_i) with W_i the EXACT fixed-point squared-distance
+    sum to the assigned seed (a437 machinery), CH's between-scatter is
+    B = T − W with T the exact per-dimension-quantized scatter around
+    the integer-averaged seed mean (c̄ = (Σ round(c·10⁹)) div 8 —
+    exact in both engines), and DB's per-cluster max ratio is an
+    integer MAX over nano-quantized R_ij (≤56 pairs), so no float
+    aggregation order ever matters. At 100 TB: one corpus pass
+    against 8 broadcast centroids + one against the 1-row mean;
+    everything after is 8 rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .limit(8)
+        .localCheckpoint(eager=False)
+    )
+    sqd = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(sqd(F.col("v"), F.col("cv")) * 1000000000000.0, 0)
+        .cast("bigint")
+        .alias("d_fp"),
+    )
+    own = (
+        dist.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d_fp", "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "d_fp")
+    )
+    clus = own.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.sum("d_fp").cast("bigint").alias("w_i"),
+    )
+    cbar = (
+        cent.select(F.posexplode("cv").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(x * 1000000000.0, 0) AS BIGINT))"
+                " AS BIGINT) div 8"
+            ).alias("cb")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cb"))),
+                lambda s: s["cb"],
+            ).alias("cb")
+        )
+    )
+    tq = e.crossJoin(F.broadcast(cbar)).agg(
+        F.sum(
+            F.aggregate(
+                F.zip_with(
+                    "v",
+                    "cb",
+                    lambda x, c: F.round(
+                        (x - c.cast("double") / 1000000000.0)
+                        * (x - c.cast("double") / 1000000000.0)
+                        * 1000000000000.0,
+                        0,
+                    ).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+        )
+        .cast("bigint")
+        .alias("t_fp"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    cd = (
+        cent.select(F.col("cid").alias("i"), F.col("cv").alias("va"))
+        .crossJoin(
+            F.broadcast(
+                cent.select(
+                    F.col("cid").alias("j"), F.col("cv").alias("vb")
+                )
+            )
+        )
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.sqrt(
+                F.round(
+                    sqd(F.col("va"), F.col("vb")) * 1000000000000.0, 0
+                ).cast("bigint")
+                / 1000000000000.0
+            ).alias("m"),
+        )
+    )
+    sc = clus.select(
+        "cid",
+        "n_i",
+        "w_i",
+        F.sqrt(
+            F.col("w_i").cast("double")
+            / 1000000000000.0
+            / F.col("n_i").cast("double")
+        ).alias("s"),
+    )
+    rmax = (
+        sc.select(F.col("cid"), F.col("s").alias("s1"))
+        .join(F.broadcast(cd), F.col("cid") == F.col("i"))
+        .join(
+            F.broadcast(
+                sc.select(F.col("cid").alias("j2"), F.col("s").alias("s2"))
+            ),
+            F.col("j") == F.col("j2"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.max(
+                F.round(
+                    (F.col("s1") + F.col("s2"))
+                    / F.col("m")
+                    * 1000000000.0,
+                    0,
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r_fp")
+        )
+    )
+    w_tot = clus.agg(F.sum("w_i").cast("bigint").alias("w"))
+    db = rmax.agg(
+        F.round(
+            F.sum("r_fp").cast("double") / 8000000000.0, 6
+        ).alias("db_index_r")
+    )
+    return (
+        tq.crossJoin(F.broadcast(w_tot))
+        .crossJoin(F.broadcast(db))
+        .select(
+            F.col("n").alias("n_points"),
+            F.lit(8).cast("bigint").alias("k_clusters"),
+            "db_index_r",
+            F.round(
+                (
+                    (
+                        F.col("t_fp").cast("double")
+                        - F.col("w").cast("double")
+                    )
+                    / 7.0
+                )
+                / (
+                    F.col("w").cast("double")
+                    / (F.col("n").cast("double") - 8.0)
+                ),
+                6,
+            ).alias("ch_index_r"),
+        )
+    )
+
+
+@query(
+    "a027_yules_k",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), tc AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS m
+  FROM tok WHERE token <> '' GROUP BY token
+)
+SELECT CAST(SUM(m) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS v_types,
+       CAST(SUM(m * m) AS BIGINT) AS s2,
+       round(10000.0 * (CAST(SUM(m * m) AS DOUBLE) - SUM(m))
+             / (CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE)), 6)
+         AS yules_k_r,
+       round(1.0 - (CAST(COUNT(*) AS DOUBLE) - 1.0)
+                   / CAST(SUM(m) AS DOUBLE), 6) AS simpson_ttr_gap_r
+FROM tc
+""",
+    tags=("inference", "text"),
+)
+def a027_yules_k(spark, sf_dir):
+    """Yule's K lexical-richness characteristic over the whole corpus
+    vocabulary — the repeat-rate statistic (10⁴·(Σm²−N)/N²) that is
+    text-LENGTH-INVARIANT, unlike raw type/token ratio, so it can
+    compare corpora of different sizes; the complement of q156's
+    per-document entropy (this is one global number from the same
+    token stream). Tokenization is the q156 house tokenizer
+    (lower+trim, whitespace split); the frequency spectrum moments
+    Σm and Σm² are exact BIGINTs off ONE token-keyed fold, and K is
+    a single division. At 100 TB: one corpus scan, one map-side-
+    combined token shuffle, 1-row output."""
+    d = table(spark, sf_dir, "documents")
+    tc = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("m"))
+    )
+    return tc.agg(
+        F.sum("m").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("v_types"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("s2"),
+        F.round(
+            10000.0
+            * (
+                F.sum(F.col("m") * F.col("m")).cast("double")
+                - F.sum("m")
+            )
+            / (
+                F.sum("m").cast("double") * F.sum("m").cast("double")
+            ),
+            6,
+        ).alias("yules_k_r"),
+        F.round(
+            1.0
+            - (F.count("*").cast("double") - 1.0)
+            / F.sum("m").cast("double"),
+            6,
+        ).alias("simpson_ttr_gap_r"),
+    )
+
+
+_HITS_ITERS = 8
+_HITS_NODES = "('click'), ('error'), ('purchase'), ('signup'), ('view')"
+
+
+def _hits_oracle() -> str:
+    """Generate the unrolled HITS iteration as MATERIALIZED CTEs.
+
+    Each level is exact BIGINT arithmetic: edge weights are
+    round-half-up 10⁶ shares of the total transition count, scores are
+    renormalized each half-step by the floor division
+    raw div (total div 10⁹) — no float ever enters the recursion, so
+    DuckDB and Spark agree bit-for-bit regardless of sum order."""
+    parts = [
+        f"""
+nodes(node) AS (VALUES {_HITS_NODES}),
+edges AS MATERIALIZED (
+  SELECT src, dst,
+         (2000000 * w + tw) // (2 * tw) AS w_fp
+  FROM (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS tw
+    FROM (
+      SELECT user_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events)
+    WHERE src IS NOT NULL
+    GROUP BY src, dst)
+),
+h0 AS MATERIALIZED (
+  SELECT node, CAST(1000000000 AS BIGINT) AS s FROM nodes
+)"""
+    ]
+    for k in range(1, _HITS_ITERS + 1):
+        parts.append(f"""
+araw{k} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(e.w_fp * h.s) AS BIGINT) AS raw
+  FROM edges e JOIN h{k - 1} h ON h.node = e.src
+  GROUP BY e.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT n.node,
+         COALESCE(ar.raw, 0) // (t.tot // 1000000000) AS s
+  FROM nodes n
+  LEFT JOIN araw{k} ar ON ar.node = n.node
+  CROSS JOIN (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM araw{k}) t
+),
+hraw{k} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(SUM(e.w_fp * a.s) AS BIGINT) AS raw
+  FROM edges e JOIN a{k} a ON a.node = e.dst
+  GROUP BY e.src
+),
+h{k} AS MATERIALIZED (
+  SELECT n.node,
+         COALESCE(hr.raw, 0) // (t.tot // 1000000000) AS s
+  FROM nodes n
+  LEFT JOIN hraw{k} hr ON hr.node = n.node
+  CROSS JOIN (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM hraw{k}) t
+)""")
+    k = _HITS_ITERS
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT h.node AS event_type,
+       round(CAST(h.s AS DOUBLE) / 1000000000.0, 6) AS hub_r,
+       round(CAST(a.s AS DOUBLE) / 1000000000.0, 6) AS auth_r
+FROM h{k} h JOIN a{k} a ON a.node = h.node
+ORDER BY event_type
+"""
+    )
+
+
+@query(
+    "a025_hits",
+    oracle=_hits_oracle(),
+    tags=("inference", "graph"),
+)
+def a025_hits(spark, sf_dir):
+    """HITS hubs & authorities on the event-type transition graph —
+    the link-analysis dual of q119's PageRank on the same 5-node
+    Markov structure: authorities are types that high-hub types lead
+    INTO (conversion sinks), hubs are types that route into high
+    authorities (navigation sources). The corpus is touched once by
+    the per-user lag + (src,dst) count; the 8 power iterations then
+    run ENTIRELY in exact integer arithmetic — edge weights become
+    round-half-up 10⁶ shares, each half-step is an exact BIGINT
+    mat-vec over ≤25 edges, and L1 renormalization is the floor
+    division raw div (total div 10⁹) — so no float summation order
+    exists anywhere (the a459 eager-checkpoint loop keeps the Spark
+    plan bounded; the oracle mirrors with MATERIALIZED CTEs). At
+    100 TB only the lag window and first count see data."""
+    ev = table(spark, sf_dir, "events")
+    trans = (
+        ev.select(
+            "user_id",
+            F.lag("event_type")
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    edges = (
+        trans.withColumn(
+            "tw", F.sum("w").over(wall).cast("bigint")
+        )
+        .select(
+            "src",
+            "dst",
+            F.expr("(2000000 * w + tw) div (2 * tw)").alias("w_fp"),
+        )
+        .coalesce(1).localCheckpoint(eager=True)
+    )
+    nodes = spark.createDataFrame(
+        [("click",), ("error",), ("purchase",), ("signup",), ("view",)],
+        "node string",
+    )
+    h = nodes.select("node", F.lit(1000000000).cast("bigint").alias("s"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w_fp") * F.col("s")).cast("bigint").alias("raw"))
+            .withColumnRenamed("dst", "node")
+        )
+        atot = araw.agg(F.sum("raw").cast("bigint").alias("tot"))
+        a = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(atot))
+            .select(
+                "node",
+                F.expr(
+                    "COALESCE(raw, 0) div (tot div 1000000000)"
+                ).alias("s"),
+            )
+            .coalesce(1).localCheckpoint(eager=True)
+        )
+        hraw = (
+            edges.join(
+                a.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "s", "sa"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(
+                F.sum(F.col("w_fp") * F.col("sa"))
+                .cast("bigint")
+                .alias("raw")
+            )
+            .withColumnRenamed("src", "node")
+        )
+        htot = hraw.agg(F.sum("raw").cast("bigint").alias("tot"))
+        h = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(htot))
+            .select(
+                "node",
+                F.expr(
+                    "COALESCE(raw, 0) div (tot div 1000000000)"
+                ).alias("s"),
+            )
+            .coalesce(1).localCheckpoint(eager=True)
+        )
+    return (
+        h.withColumnRenamed("s", "hs")
+        .join(a.withColumnRenamed("s", "as_"), "node")
+        .select(
+            F.col("node").alias("event_type"),
+            F.round(F.col("hs").cast("double") / 1000000000.0, 6).alias(
+                "hub_r"
+            ),
+            F.round(F.col("as_").cast("double") / 1000000000.0, 6).alias(
+                "auth_r"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RC_KS = (1, 2, 4, 8, 16, 32)
+
+
+@query(
+    "a026_rich_club",
+    oracle=f"""
+WITH g AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS d
+  FROM events
+), sz AS (
+  SELECT user_id, COUNT(*) AS n FROM g GROUP BY user_id
+), bs AS (
+  SELECT event_type, d, COUNT(*) AS bn FROM g GROUP BY 1, 2
+), gk AS (
+  SELECT g.user_id, g.event_type, g.d
+  FROM g JOIN bs ON g.event_type = bs.event_type AND g.d = bs.d
+  WHERE bs.bn <= 4096
+), co AS (
+  SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS i
+  FROM gk a JOIN gk b
+    ON a.event_type = b.event_type AND a.d = b.d
+       AND a.user_id < b.user_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT u, v FROM co
+  JOIN sz sa ON sa.user_id = co.u
+  JOIN sz sb ON sb.user_id = co.v
+  WHERE i * 100 >= 30 * (sa.n + sb.n - i)
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+), de AS (
+  SELECT e.u, e.v, du.degree AS dgu, dv.degree AS dgv
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+), ks(k) AS (VALUES {", ".join(f"({k})" for k in _RC_KS)})
+SELECT k,
+       CAST(COALESCE((SELECT COUNT(*) FROM deg
+                      WHERE degree > k), 0) AS BIGINT) AS n_rich,
+       CAST(COALESCE((SELECT COUNT(*) FROM de
+                      WHERE dgu > k AND dgv > k), 0) AS BIGINT)
+         AS e_rich,
+       CASE WHEN (SELECT COUNT(*) FROM deg WHERE degree > k) >= 2
+         THEN round(
+           2.0 * CAST((SELECT COUNT(*) FROM de
+                       WHERE dgu > k AND dgv > k) AS DOUBLE)
+           / (CAST((SELECT COUNT(*) FROM deg
+                    WHERE degree > k) AS DOUBLE)
+              * (CAST((SELECT COUNT(*) FROM deg
+                       WHERE degree > k) AS DOUBLE) - 1.0)), 6)
+       END AS phi_r
+FROM ks ORDER BY k
+""",
+    tags=("inference", "graph"),
+)
+def a026_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) of the q146 co-visitation graph at
+    degree thresholds 1..32 — the "do the hubs talk to each other"
+    topology probe that complements q146's triangle census and a111's
+    assortativity: φ(k) is the realized edge density among nodes of
+    degree > k, so a rising φ(k) curve means high-activity users form
+    a densely interlinked core. The graph build is byte-for-byte the
+    q146 convention (capped (event_type, day) co-visitation buckets,
+    Jaccard ≥ 0.30 with uncapped denominators) so the edge stage
+    stays bounded by max_bucket²·n_buckets at any scale; degrees,
+    per-threshold rich-node and rich-edge counts are exact integer
+    folds of the edge list against a 6-row broadcast threshold
+    table. Cites q146 (analytics.py) for the shared build."""
+    from ..operators.core import ensure_parallelism
+    from ..operators.dedup import cooccurrence_pairs
+
+    ev = ensure_parallelism(table(spark, sf_dir, "events"))
+    g = (
+        ev.select(
+            "user_id", "event_type", F.date_trunc("day", "ts").alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sz = g.groupBy("user_id").agg(F.count("*").alias("n"))
+    co = cooccurrence_pairs(
+        g, "user_id", ["event_type", "d"], max_bucket=4096
+    )
+    edges = (
+        co.join(sz.withColumnRenamed("user_id", "u"), "u")
+        .withColumnRenamed("n", "na")
+        .join(
+            sz.withColumnRenamed("user_id", "v").withColumnRenamed(
+                "n", "nb"
+            ),
+            "v",
+        )
+        .filter(
+            F.col("i") * 100
+            >= 30 * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    de = (
+        edges.join(
+            deg.withColumnRenamed("node", "u").withColumnRenamed(
+                "degree", "dgu"
+            ),
+            "u",
+        )
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed(
+                "degree", "dgv"
+            ),
+            "v",
+        )
+        .select("dgu", "dgv")
+    )
+    ks = spark.createDataFrame([(k,) for k in _RC_KS], "k int")
+    nr = (
+        deg.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("degree") > F.col("k"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_rich")
+        )
+    )
+    er = (
+        de.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("dgu") > F.col("k"))
+                        & (F.col("dgv") > F.col("k")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("e_rich")
+        )
+    )
+    nrd = F.col("n_rich").cast("double")
+    return (
+        ks.join(F.broadcast(nr), "k", "left")
+        .join(F.broadcast(er), "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_rich", F.lit(0).cast("bigint")).alias("n_rich"),
+            F.coalesce("e_rich", F.lit(0).cast("bigint")).alias("e_rich"),
+            F.when(
+                F.coalesce("n_rich", F.lit(0)) >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("e_rich", F.lit(0)).cast("double")
+                    / (nrd * (nrd - 1.0)),
+                    6,
+                ),
+            ).alias("phi_r"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "a028_dersimonian_laird",
+    oracle="""
+WITH cells AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(COALESCE(SUM(CASE WHEN c.c_acctbal > 0
+                           AND o.o_custkey IS NOT NULL
+                           THEN 1 END), 0) AS BIGINT) AS a,
+         CAST(COALESCE(SUM(CASE WHEN c.c_acctbal > 0
+                           AND o.o_custkey IS NULL
+                           THEN 1 END), 0) AS BIGINT) AS b,
+         CAST(COALESCE(SUM(CASE WHEN c.c_acctbal <= 0
+                           AND o.o_custkey IS NOT NULL
+                           THEN 1 END), 0) AS BIGINT) AS cc,
+         CAST(COALESCE(SUM(CASE WHEN c.c_acctbal <= 0
+                           AND o.o_custkey IS NULL
+                           THEN 1 END), 0) AS BIGINT) AS dd
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+    ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+), eff AS (
+  SELECT seg,
+         CAST(ROUND(ln(((CAST(a AS DOUBLE) + 0.5)
+                        * (CAST(dd AS DOUBLE) + 0.5))
+                       / ((CAST(b AS DOUBLE) + 0.5)
+                          * (CAST(cc AS DOUBLE) + 0.5)))
+                    * 1000000000.0, 0) AS BIGINT) AS y_fp,
+         CAST(ROUND((1.0 / (CAST(a AS DOUBLE) + 0.5)
+                     + 1.0 / (CAST(b AS DOUBLE) + 0.5)
+                     + 1.0 / (CAST(cc AS DOUBLE) + 0.5)
+                     + 1.0 / (CAST(dd AS DOUBLE) + 0.5))
+                    * 1000000000.0, 0) AS BIGINT) AS v_fp
+  FROM cells
+), fixed AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(ROUND(1000000000.0
+                  / (CAST(v_fp AS DOUBLE) / 1000000000.0), 0)
+                  AS BIGINT)) AS BIGINT) AS sw_fp,
+         CAST(SUM(CAST(ROUND(CAST(y_fp AS DOUBLE) / 1000000000.0
+                  * (1000000000.0
+                     / (CAST(v_fp AS DOUBLE) / 1000000000.0)), 0)
+                  AS BIGINT)) AS BIGINT) AS swy_fp,
+         CAST(SUM(CAST(ROUND((1000000000.0
+                  / (CAST(v_fp AS DOUBLE) / 1000000000.0))
+                  * (1.0 / (CAST(v_fp AS DOUBLE) / 1000000000.0)), 0)
+                  AS BIGINT)) AS BIGINT) AS sw2_fp
+  FROM eff
+), q AS (
+  SELECT k, sw_fp, swy_fp, sw2_fp,
+         (SELECT CAST(SUM(CAST(ROUND(
+             (1000000000.0 / (CAST(e.v_fp AS DOUBLE) / 1000000000.0))
+             * (CAST(e.y_fp AS DOUBLE) / 1000000000.0
+                - CAST(f.swy_fp AS DOUBLE) / f.sw_fp)
+             * (CAST(e.y_fp AS DOUBLE) / 1000000000.0
+                - CAST(f.swy_fp AS DOUBLE) / f.sw_fp), 0) AS BIGINT))
+             AS BIGINT)
+          FROM eff e CROSS JOIN fixed f) AS q_fp
+  FROM fixed
+), tau AS (
+  SELECT k, q_fp,
+         GREATEST(0.0,
+           (CAST(q_fp AS DOUBLE) / 1000000000.0
+            - (CAST(k AS DOUBLE) - 1.0))
+           / (CAST(sw_fp AS DOUBLE) / 1000000000.0
+              - (CAST(sw2_fp AS DOUBLE) / 1000000000.0)
+                / (CAST(sw_fp AS DOUBLE) / 1000000000.0))) AS tau2
+  FROM q
+), pooled AS (
+  SELECT t.k, t.q_fp, t.tau2,
+         CAST(SUM(CAST(ROUND(1000000000.0
+              / (CAST(e.v_fp AS DOUBLE) / 1000000000.0 + t.tau2), 0)
+              AS BIGINT)) AS BIGINT) AS sws_fp,
+         CAST(SUM(CAST(ROUND(CAST(e.y_fp AS DOUBLE) / 1000000000.0
+              * (1000000000.0
+                 / (CAST(e.v_fp AS DOUBLE) / 1000000000.0 + t.tau2)),
+              0) AS BIGINT)) AS BIGINT) AS swsy_fp
+  FROM eff e CROSS JOIN tau t
+  GROUP BY t.k, t.q_fp, t.tau2
+)
+SELECT k AS k_strata,
+       round(CAST(q_fp AS DOUBLE) / 1000000000.0, 6) AS q_r,
+       round(tau2, 6) AS tau2_r,
+       round(CAST(swsy_fp AS DOUBLE) / CAST(sws_fp AS DOUBLE), 6)
+         AS pooled_lor_r,
+       round(exp(CAST(swsy_fp AS DOUBLE) / CAST(sws_fp AS DOUBLE)), 6)
+         AS pooled_or_r
+FROM pooled
+""",
+    tags=("inference", "stats"),
+)
+def a028_dersimonian_laird(spark, sf_dir):
+    """DerSimonian–Laird random-effects meta-analysis pooling the
+    per-segment (acctbal>0 → has-orders) log-odds-ratios — the
+    heterogeneity-aware counterpart of a471's Mantel–Haenszel fixed
+    pooling: Cochran's Q estimates between-stratum variance τ², and
+    the pooled effect reweights each stratum by 1/(v_i+τ²), which is
+    what a meta-monitor should report when segment effects genuinely
+    differ. Per-stratum ln-OR (Haldane 0.5) and its variance run ONCE
+    per segment (5 strata) on exact 2×2 counts; every cross-stratum
+    sum (Σw, Σwy, Σw², Q terms, final reweighted sums) is
+    nano-quantized to BIGINT before aggregation, so no float
+    summation order exists in either engine. At 100 TB the corpus is
+    touched by one distinct-buyer semi-join + one segment fold;
+    everything after is 5 rows."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    buyers = orders.select("o_custkey").distinct()
+    cells = (
+        cust.join(
+            buyers.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+                "bought", F.lit(1)
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            *[
+                F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+                .cast("bigint")
+                .alias(nm)
+                for nm, cond in (
+                    (
+                        "a",
+                        (F.col("c_acctbal") > 0)
+                        & F.col("bought").isNotNull(),
+                    ),
+                    (
+                        "b",
+                        (F.col("c_acctbal") > 0)
+                        & F.col("bought").isNull(),
+                    ),
+                    (
+                        "cc",
+                        (F.col("c_acctbal") <= 0)
+                        & F.col("bought").isNotNull(),
+                    ),
+                    (
+                        "dd",
+                        (F.col("c_acctbal") <= 0)
+                        & F.col("bought").isNull(),
+                    ),
+                )
+            ]
+        )
+    )
+    h = lambda c: F.col(c).cast("double") + 0.5  # noqa: E731
+    eff = cells.select(
+        "seg",
+        F.round(
+            F.log((h("a") * h("dd")) / (h("b") * h("cc")))
+            * 1000000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("y_fp"),
+        F.round(
+            (1.0 / h("a") + 1.0 / h("b") + 1.0 / h("cc") + 1.0 / h("dd"))
+            * 1000000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("v_fp"),
+    ).localCheckpoint(eager=False)
+    vd = F.col("v_fp").cast("double") / 1000000000.0
+    yd = F.col("y_fp").cast("double") / 1000000000.0
+    w = 1000000000.0 / vd
+    fixed = eff.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.round(w, 0).cast("bigint")).cast("bigint").alias("sw_fp"),
+        F.sum(F.round(yd * w, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("swy_fp"),
+        F.sum(F.round(w * (1.0 / vd), 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sw2_fp"),
+    )
+    qterm = eff.crossJoin(F.broadcast(fixed)).agg(
+        F.sum(
+            F.round(
+                w
+                * (yd - F.col("swy_fp").cast("double") / F.col("sw_fp"))
+                * (yd - F.col("swy_fp").cast("double") / F.col("sw_fp")),
+                0,
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("q_fp")
+    )
+    tau = fixed.crossJoin(F.broadcast(qterm)).select(
+        "k",
+        "q_fp",
+        F.greatest(
+            F.lit(0.0),
+            (
+                F.col("q_fp").cast("double") / 1000000000.0
+                - (F.col("k").cast("double") - 1.0)
+            )
+            / (
+                F.col("sw_fp").cast("double") / 1000000000.0
+                - (F.col("sw2_fp").cast("double") / 1000000000.0)
+                / (F.col("sw_fp").cast("double") / 1000000000.0)
+            ),
+        ).alias("tau2"),
+    )
+    ws = 1000000000.0 / (vd + F.col("tau2"))
+    pooled = (
+        eff.crossJoin(F.broadcast(tau))
+        .groupBy("k", "q_fp", "tau2")
+        .agg(
+            F.sum(F.round(ws, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sws_fp"),
+            F.sum(F.round(yd * ws, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("swsy_fp"),
+        )
+    )
+    mu = F.col("swsy_fp").cast("double") / F.col("sws_fp").cast("double")
+    return pooled.select(
+        F.col("k").alias("k_strata"),
+        F.round(F.col("q_fp").cast("double") / 1000000000.0, 6).alias(
+            "q_r"
+        ),
+        F.round("tau2", 6).alias("tau2_r"),
+        F.round(mu, 6).alias("pooled_lor_r"),
+        F.round(F.exp(mu), 6).alias("pooled_or_r"),
     )
