@@ -3660,3 +3660,2531 @@ def a028_dersimonian_laird(spark, sf_dir):
         F.round(mu, 6).alias("pooled_lor_r"),
         F.round(F.exp(mu), 6).alias("pooled_or_r"),
     )
+
+
+@query(
+    "a029_weighted_reservoir",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, source, n_chars,
+         (CAST(('0x' || substr(md5('wr|' || CAST(doc_id AS VARCHAR)),
+                               1, 13)) AS BIGINT) + 1.0)
+           / 4503599627370497.0 AS uni
+  FROM documents WHERE n_chars > 0
+), keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln(uni) / CAST(n_chars AS DOUBLE) AS k
+  FROM u
+), ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_sampled,
+       CAST(bit_xor(doc_id) AS BIGINT) AS sample_xor,
+       CAST(SUM(n_chars) AS BIGINT) AS sample_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM ranked WHERE rn <= 100
+""",
+    tags=("inference", "curation"),
+)
+def a029_weighted_reservoir(spark, sf_dir):
+    """Efraimidis–Spirakis weighted reservoir sample: 100 documents
+    drawn WITHOUT replacement with probability proportional to length
+    — the distributed one-pass equivalent of weighted reservoir
+    sampling (rank every item by ln(u)/w for a per-item uniform u and
+    keep the top k), which q93's uniform hash sample and q147's PPS
+    systematic sample cannot express (ES is exactly
+    probability-proportional WITHOUT replacement). The uniform comes
+    from a 52-bit md5 slice of the doc id, so the draw is
+    deterministic and both engines rank the SAME (u, w) pairs — the
+    selection depends only on key ORDER, never on key magnitude
+    (q240 sign-determinism argument), and the reported aggregates are
+    exact integers. At 100 TB this is one scan + one top-k (the rank
+    window never materializes beyond the scan; a TopK rewrite or
+    per-partition heap serves it)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    uni = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("wr|"), F.col("doc_id").cast("string"))), 1, 13), 16, 10).cast("bigint")
+        + 1.0
+    ) / 4503599627370497.0
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.log(uni) / F.col("n_chars").cast("double")).alias("k"),
+    )
+    ranked = keyed.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy(F.col("k").desc(), "doc_id"))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= 100).agg(
+        F.count("*").cast("bigint").alias("k_sampled"),
+        F.bit_xor("doc_id").cast("bigint").alias("sample_xor"),
+        F.sum("n_chars").cast("bigint").alias("sample_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
+_ABS_ITERS = 24
+_ABS_STATES = ("click", "error", "signup", "view")  # transient; purchase absorbs
+
+
+def _absorbing_oracle() -> str:
+    states = ", ".join(f"('{s}')" for s in _ABS_STATES)
+    parts = [
+        f"""
+tstates(s) AS (VALUES {states}),
+trans AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM (
+    SELECT lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS src,
+           event_type AS dst
+    FROM events)
+  WHERE src IS NOT NULL AND src <> 'purchase'
+  GROUP BY src, dst
+), rows_ AS MATERIALIZED (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS tot FROM trans GROUP BY src
+), q AS MATERIALIZED (
+  SELECT t.src, t.dst,
+         (2000000 * t.w + r.tot) // (2 * r.tot) AS p_fp
+  FROM trans t JOIN rows_ r ON r.src = t.src
+  WHERE t.dst <> 'purchase'
+),
+v0 AS MATERIALIZED (SELECT s, CAST(0 AS BIGINT) AS v FROM tstates)"""
+    ]
+    for k in range(1, _ABS_ITERS + 1):
+        parts.append(f"""
+v{k} AS MATERIALIZED (
+  SELECT n.s,
+         1000000 + COALESCE(
+           (SELECT CAST(SUM(q.p_fp * p.v) AS BIGINT) // 1000000
+            FROM q JOIN v{k - 1} p ON p.s = q.dst
+            WHERE q.src = n.s), 0) AS v
+  FROM tstates n
+)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT s AS start_state,
+       round(CAST(v AS DOUBLE) / 1000000.0, 6) AS exp_steps_r
+FROM v{_ABS_ITERS} ORDER BY start_state
+"""
+    )
+
+
+@query(
+    "a030_absorbing_markov",
+    oracle=_absorbing_oracle(),
+    tags=("inference", "graph"),
+)
+def a030_absorbing_markov(spark, sf_dir):
+    """Expected steps to 'purchase' absorption from each transient
+    event state, by 24 rounds of exact value iteration v ← 1 + Q·v on
+    the row-normalized transient transition matrix — the absorbing-
+    chain companion to q119's PageRank and a025's HITS on the same
+    5-state structure (the fundamental-matrix quantity N·1, computed
+    as its geometric series truncated at 24 terms, which both engines
+    evaluate IDENTICALLY: row shares are round-half-up 10⁶ integers,
+    each iteration is an exact BIGINT mat-vec with a floor div, so
+    parity is exact by construction; the truncation residual ~ρ²⁴ is
+    a documented property of the statistic, not an engine artifact).
+    At 100 TB only the lag window and the (src,dst) count see the
+    corpus; the iteration runs on a 4-row frame (a459 eager-
+    checkpoint loop / MATERIALIZED-CTE oracle)."""
+    ev = table(spark, sf_dir, "events")
+    trans = (
+        ev.select(
+            F.lag("event_type")
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & (F.col("src") != "purchase"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    rows_ = trans.groupBy("src").agg(
+        F.sum("w").cast("bigint").alias("tot")
+    )
+    q = (
+        trans.filter(F.col("dst") != "purchase")
+        .join(F.broadcast(rows_), "src")
+        .select(
+            "src",
+            "dst",
+            F.expr("(2000000 * w + tot) div (2 * tot)").alias("p_fp"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    tstates = spark.createDataFrame(
+        [(s,) for s in _ABS_STATES], "s string"
+    )
+    v = tstates.select("s", F.lit(0).cast("bigint").alias("v"))
+    for it in range(_ABS_ITERS):
+        stepped = (
+            q.join(
+                v.withColumnRenamed("s", "dst").withColumnRenamed(
+                    "v", "pv"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(
+                F.expr(
+                    "CAST(SUM(p_fp * pv) AS BIGINT) div 1000000"
+                ).alias("inc")
+            )
+            .withColumnRenamed("src", "s")
+        )
+        v = tstates.join(stepped, "s", "left").select(
+            "s",
+            (
+                F.lit(1000000).cast("bigint")
+                + F.coalesce("inc", F.lit(0).cast("bigint"))
+            ).alias("v"),
+        )
+        # eager checkpoint every 4th step: bounds the replanned chain
+        # at depth 4 while paying 6 jobs instead of 24 (each eager
+        # checkpoint is a full job; the frame is 4 rows)
+        if (it + 1) % 4 == 0:
+            v = v.coalesce(1).localCheckpoint(eager=True)
+    return v.select(
+        F.col("s").alias("start_state"),
+        F.round(F.col("v").cast("double") / 1000000.0, 6).alias(
+            "exp_steps_r"
+        ),
+    ).orderBy("start_state")
+
+
+# Erlang B recurrence B_k = a·B_{k−1}/(k + a·B_{k−1}) unrolled for
+# c = 1..8 as ONE shared expression-text table (the _DL_LEVELS recipe):
+# both engines chain the identical double ops on the identical offered
+# load, so every B_c and C_c matches bit-for-bit.
+_ERLANG_LEVELS = tuple(
+    (f"b{k}", f"(a * b{k - 1}) / ({k}.0 + a * b{k - 1})")
+    for k in range(1, 9)
+)
+
+
+def _erlang_sql_chain(inner: str) -> str:
+    sql = inner
+    for name, expr in _ERLANG_LEVELS:
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return sql
+
+
+@query(
+    "a031_erlang_c",
+    oracle=f"""
+WITH span AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS us
+  FROM events
+), load AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * 3600000000.0 / CAST(us AS DOUBLE)
+           / CAST(50 AS DOUBLE) AS a,
+         CAST(1.0 AS DOUBLE) AS b0
+  FROM span
+)
+SELECT n AS n_events,
+       round(a, 6) AS offered_load_r,
+       round(b8, 6) AS erlang_b8_r,
+       CASE WHEN 4.0 > a THEN
+         round((b4) / (1.0 - (a / 4.0) * (1.0 - b4)), 6) END
+         AS erlang_c4_r,
+       CASE WHEN 8.0 > a THEN
+         round((b8) / (1.0 - (a / 8.0) * (1.0 - b8)), 6) END
+         AS erlang_c8_r
+FROM ({_erlang_sql_chain("SELECT * FROM load")}) q
+""",
+    tags=("inference", "stats"),
+)
+def a031_erlang_c(spark, sf_dir):
+    """Erlang B blocking and Erlang C wait probabilities for the event
+    stream treated as an arrival process against a 50-jobs/hour
+    service rate — the staffing closed forms that extend a398's M/M/1
+    single-server estimates to the c-server case operations teams
+    actually size for. The offered load a = λ/μ comes from exact
+    integer arrival counts over the exact µs span; the Erlang B
+    recurrence B_k = a·B_{k−1}/(k + a·B_{k−1}) runs once on that
+    1-row summary through _ERLANG_LEVELS — the SAME expression text
+    on both sides (the _DL_LEVELS determinism recipe) — and Erlang C
+    converts B at c = 4 and 8 (NULL when the load exceeds the servers
+    and no steady state exists). At 100 TB the corpus is touched by
+    one count/min/max fold; everything else is one row."""
+    ev = table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "us"
+        ),
+    )
+    load = span.select(
+        "n",
+        (
+            F.col("n").cast("double")
+            * 3600000000.0
+            / F.col("us").cast("double")
+            / F.lit(50).cast("double")
+        ).alias("a"),
+        F.lit(1.0).cast("double").alias("b0"),
+    )
+    out = load
+    for name, expr in _ERLANG_LEVELS:
+        out = out.selectExpr("*", f"{expr} AS {name}")
+    return out.select(
+        F.col("n").alias("n_events"),
+        F.round("a", 6).alias("offered_load_r"),
+        F.round("b8", 6).alias("erlang_b8_r"),
+        F.when(
+            F.lit(4.0) > F.col("a"),
+            F.round(
+                F.col("b4")
+                / (1.0 - (F.col("a") / 4.0) * (1.0 - F.col("b4"))),
+                6,
+            ),
+        ).alias("erlang_c4_r"),
+        F.when(
+            F.lit(8.0) > F.col("a"),
+            F.round(
+                F.col("b8")
+                / (1.0 - (F.col("a") / 8.0) * (1.0 - F.col("b8"))),
+                6,
+            ),
+        ).alias("erlang_c8_r"),
+    )
+
+
+def _decay_rows():
+    """Half-life-7-day decay factors for integer ages 0..30, at 1e9
+    fixed point — Python-generated literals embedded in both plans
+    (the a443/a016 constant-table recipe), so the decayed sum is an
+    exact BIGINT in both engines."""
+    rows = []
+    for d in range(31):
+        rows.append((d, int(round(2.0 ** (-d / 7.0) * 1000000000.0))))
+    return rows
+
+
+_DECAY_ROWS = _decay_rows()
+_DECAY_VALUES = ", ".join(f"({d}, {w})" for d, w in _DECAY_ROWS)
+
+
+@query(
+    "a032_decay_weighted_engagement",
+    oracle=f"""
+WITH mx AS (
+  SELECT MAX(epoch_us(ts)) AS m FROM events
+), aged AS (
+  SELECT e.user_id,
+         LEAST(CAST((x.m - epoch_us(e.ts)) // 86400000000 AS BIGINT),
+               30) AS age,
+         CAST(ROUND(e.value * 100.0, 0) AS BIGINT) AS vc
+  FROM events e CROSS JOIN mx x
+), decay(age, w_fp) AS (VALUES {_DECAY_VALUES}),
+scored AS (
+  SELECT a.user_id,
+         CAST(SUM(a.vc * d.w_fp) AS BIGINT) AS s_fp
+  FROM aged a JOIN decay d ON d.age = a.age
+  GROUP BY a.user_id
+), hist AS (
+  SELECT LEAST(s_fp // 100000000000, 5000) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(s_fp) AS BIGINT) AS s
+  FROM scored GROUP BY b
+), cum AS (
+  SELECT b, cnt, s,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM hist
+)
+SELECT LEAST(CAST(9 AS BIGINT), cb * 10 // n) AS decile,
+       CAST(SUM(cnt) AS BIGINT) AS n_users,
+       round(CAST(SUM(s) AS DOUBLE) / 100000000000.0 / SUM(cnt), 6)
+         AS avg_decayed_dollars_r
+FROM cum GROUP BY decile ORDER BY decile
+""",
+    tags=("inference", "events"),
+)
+def a032_decay_weighted_engagement(spark, sf_dir):
+    """Half-life-decayed engagement value per user (7-day half-life,
+    ages capped at 30 days), summarized as a decile profile — the
+    recency-weighted LTV signal that q149's EWMA (a sequential series
+    smoother) and q220's RFM (hard recency buckets) don't give: every
+    event contributes value·2^(−age/7), so yesterday counts ~90% and
+    last month ~5%. The decay curve is a 31-entry fixed-point integer
+    literal table generated once in Python (a016/a443 recipe), ages
+    are exact integer day floors against the corpus max timestamp, so
+    every per-user score is an exact BIGINT — no per-row
+    transcendental, no float sum order. The decile split runs on a CAPPED whole-dollar
+    histogram of the scores (≤5001 cells) — a bounded cumulative
+    window, never a global per-user sort — so boundaries land on grid
+    cells and whole cells stay together (documented grid-decile
+    semantics), deterministic at any corpus scale. At 100 TB: one
+    corpus scan, a broadcast 1-row max + 31-row decay join, one
+    user-keyed fold."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("m"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.least(
+            F.expr("(m - unix_micros(ts)) div 86400000000").cast(
+                "bigint"
+            ),
+            F.lit(30).cast("bigint"),
+        ).alias("age"),
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("vc"),
+    )
+    decay = spark.createDataFrame(_DECAY_ROWS, "age bigint, w_fp bigint")
+    scored = (
+        aged.join(F.broadcast(decay), "age")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("vc") * F.col("w_fp"))
+            .cast("bigint")
+            .alias("s_fp")
+        )
+    )
+    hist = scored.groupBy(
+        F.least(
+            F.expr("s_fp div 100000000000"), F.lit(5000).cast("bigint")
+        ).alias("b")
+    ).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("s_fp").cast("bigint").alias("s"),
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "cnt",
+        "s",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("cb"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"),
+    )
+    return (
+        cum.groupBy(
+            F.least(
+                F.lit(9).cast("bigint"), F.expr("cb * 10 div n")
+            ).alias("decile")
+        )
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("s").cast("double")
+                / 100000000000.0
+                / F.sum("cnt"),
+                6,
+            ).alias("avg_decayed_dollars_r"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "a033_intersect_except",
+    oracle="""
+WITH vd AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events WHERE event_type = 'view'
+), pd AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+), vm AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events WHERE event_type = 'view'
+), pm AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+), i_set AS (SELECT * FROM vd INTERSECT SELECT * FROM pd),
+e_set AS (SELECT * FROM vd EXCEPT SELECT * FROM pd),
+i_all AS (SELECT * FROM vm INTERSECT ALL SELECT * FROM pm),
+e_all AS (SELECT * FROM vm EXCEPT ALL SELECT * FROM pm)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM i_set) AS n_intersect,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e_set) AS n_except,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM i_all)
+         AS n_intersect_all,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e_all) AS n_except_all,
+       (SELECT CAST(COALESCE(bit_xor(user_id * 1000 + CAST(
+           date_part('day', d) AS BIGINT)), 0) AS BIGINT)
+        FROM i_set) AS intersect_xor,
+       (SELECT CAST(COALESCE(bit_xor(user_id * 1000 + CAST(
+           date_part('day', d) AS BIGINT)), 0) AS BIGINT)
+        FROM e_set) AS except_xor
+""",
+    tags=("inference", "sql"),
+)
+def a033_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT / INTERSECT ALL / EXCEPT ALL over the
+    (user, day) view-vs-purchase activity sets — the four ANSI set
+    operators, the one relational-surface family the inventory had
+    not yet exercised (q61 covers UNION/distinct). The DISTINCT
+    variants run on deduplicated day-sets, the ALL variants on the
+    raw multisets (bag semantics: EXCEPT ALL subtracts
+    multiplicities), and the result is pinned by exact counts plus an
+    order-independent bit_xor checksum of the distinct rows. Spark
+    plans these as aggregate+join rewrites — at 100 TB each is one
+    shuffle on the compared key, same cost class as the equivalent
+    groupBy, with partial aggregation map-side."""
+    ev = table(spark, sf_dir, "events")
+
+    def side(t):
+        return ev.filter(F.col("event_type") == t).select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+
+    vm, pm = side("view"), side("purchase")
+    vd, pd_ = vm.distinct(), pm.distinct()
+    i_set = vd.intersect(pd_)
+    e_set = vd.subtract(pd_)
+    i_all = vm.intersectAll(pm)
+    e_all = vm.exceptAll(pm)
+    chk = F.coalesce(
+        F.bit_xor(
+            F.col("user_id") * 1000
+            + F.dayofmonth("d").cast("bigint")
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    parts = [
+        i_set.agg(
+            F.count("*").cast("bigint").alias("n_intersect"),
+            chk.alias("intersect_xor"),
+        ),
+        e_set.agg(
+            F.count("*").cast("bigint").alias("n_except"),
+            chk.alias("except_xor"),
+        ),
+        i_all.agg(F.count("*").cast("bigint").alias("n_intersect_all")),
+        e_all.agg(F.count("*").cast("bigint").alias("n_except_all")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(F.broadcast(p))
+    return out.select(
+        "n_intersect",
+        "n_except",
+        "n_intersect_all",
+        "n_except_all",
+        "intersect_xor",
+        "except_xor",
+    )
+
+
+_PERIOD_CASE = (
+    "CASE WHEN d <= 10 THEN 1 WHEN d <= 20 THEN 2 ELSE 3 END"
+)
+
+
+@query(
+    "a034_page_trend",
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+         CAST(date_part('day', ts) AS BIGINT) AS d
+  FROM events
+), per AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN d <= 10 THEN 1 END), 0)
+              AS BIGINT) AS x1,
+         CAST(COALESCE(SUM(CASE WHEN d > 10 AND d <= 20 THEN 1 END),
+                       0) AS BIGINT) AS x2,
+         CAST(COALESCE(SUM(CASE WHEN d > 20 THEN 1 END), 0)
+              AS BIGINT) AS x3
+  FROM m GROUP BY user_id
+), rk AS (
+  SELECT user_id,
+         2 + 2 * (CASE WHEN x2 < x1 THEN 1 ELSE 0 END
+                  + CASE WHEN x3 < x1 THEN 1 ELSE 0 END)
+           + (CASE WHEN x2 = x1 THEN 1 ELSE 0 END
+              + CASE WHEN x3 = x1 THEN 1 ELSE 0 END) AS r1,
+         2 + 2 * (CASE WHEN x1 <  x2 THEN 1 ELSE 0 END
+                  + CASE WHEN x3 < x2 THEN 1 ELSE 0 END)
+           + (CASE WHEN x1 = x2 THEN 1 ELSE 0 END
+              + CASE WHEN x3 = x2 THEN 1 ELSE 0 END) AS r2,
+         2 + 2 * (CASE WHEN x1 < x3 THEN 1 ELSE 0 END
+                  + CASE WHEN x2 < x3 THEN 1 ELSE 0 END)
+           + (CASE WHEN x1 = x3 THEN 1 ELSE 0 END
+              + CASE WHEN x2 = x3 THEN 1 ELSE 0 END) AS r3
+  FROM per
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(1 * r1 + 2 * r2 + 3 * r3) AS BIGINT) AS l2_stat,
+       round((CAST(SUM(1 * r1 + 2 * r2 + 3 * r3) AS DOUBLE)
+              - 24.0 * COUNT(*))
+             / (2.0 * sqrt(2.0 * CAST(COUNT(*) AS DOUBLE))), 6)
+         AS z_page_r
+FROM rk
+""",
+    tags=("inference", "stats"),
+)
+def a034_page_trend(spark, sf_dir):
+    """Page's L trend test for ordered repeated measures — does
+    per-user activity MONOTONICALLY rise across the month's three
+    decades? — the ordered-alternative sharpening of a411's Friedman
+    (which only detects SOME difference; Page weights the within-user
+    ranks by the hypothesized order, so a consistent drift shows up
+    at far smaller samples). Within-user midranks of the 3 period
+    counts are exact DOUBLED integers from pairwise CASE comparisons
+    (no sort), L is one exact BIGINT fold, and the z readout uses the
+    classical null moments E[L]=12n, Var[L]=2n for k=3 (midranks
+    under ties, documented). One corpus scan, one user fold, 1-row
+    output at any scale."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        *[
+            F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+            .cast("bigint")
+            .alias(f"x{i}")
+            for i, cond in (
+                (1, F.dayofmonth("ts") <= 10),
+                (
+                    2,
+                    (F.dayofmonth("ts") > 10)
+                    & (F.dayofmonth("ts") <= 20),
+                ),
+                (3, F.dayofmonth("ts") > 20),
+            )
+        ]
+    )
+
+    def r2(j, a, b):
+        xj, xa, xb = F.col(j), F.col(a), F.col(b)
+        less = F.when(xa < xj, 1).otherwise(0) + F.when(
+            xb < xj, 1
+        ).otherwise(0)
+        eq = F.when(xa == xj, 1).otherwise(0) + F.when(
+            xb == xj, 1
+        ).otherwise(0)
+        return 2 + 2 * less + eq
+
+    rk = per.select(
+        r2("x1", "x2", "x3").alias("r1"),
+        r2("x2", "x1", "x3").alias("r2"),
+        r2("x3", "x1", "x2").alias("r3"),
+    )
+    l2 = F.sum(
+        1 * F.col("r1") + 2 * F.col("r2") + 3 * F.col("r3")
+    ).cast("bigint")
+    return rk.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        l2.alias("l2_stat"),
+        F.round(
+            (l2.cast("double") - 24.0 * F.count("*"))
+            / (2.0 * F.sqrt(2.0 * F.count("*").cast("double"))),
+            6,
+        ).alias("z_page_r"),
+    )
+
+
+@query(
+    "a035_quade_test",
+    oracle="""
+WITH per AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN date_part('day', ts) <= 10
+                           THEN 1 END), 0) AS BIGINT) AS x1,
+         CAST(COALESCE(SUM(CASE WHEN date_part('day', ts) > 10
+                           AND date_part('day', ts) <= 20
+                           THEN 1 END), 0) AS BIGINT) AS x2,
+         CAST(COALESCE(SUM(CASE WHEN date_part('day', ts) > 20
+                           THEN 1 END), 0) AS BIGINT) AS x3
+  FROM events GROUP BY user_id
+), rng AS (
+  SELECT user_id, x1, x2, x3,
+         LEAST(GREATEST(x1, x2, x3) - LEAST(x1, x2, x3), 5000) AS dv
+  FROM per
+), dh AS (
+  SELECT dv, CAST(COUNT(*) AS BIGINT) AS cnt FROM rng GROUP BY dv
+), dq AS (
+  SELECT dv,
+         2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY dv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + cnt + 1 AS q2
+  FROM dh
+), rk AS (
+  SELECT r.user_id, d.q2,
+         2 + 2 * (CASE WHEN x2 < x1 THEN 1 ELSE 0 END
+                  + CASE WHEN x3 < x1 THEN 1 ELSE 0 END)
+           + (CASE WHEN x2 = x1 THEN 1 ELSE 0 END
+              + CASE WHEN x3 = x1 THEN 1 ELSE 0 END) AS r1,
+         2 + 2 * (CASE WHEN x1 < x2 THEN 1 ELSE 0 END
+                  + CASE WHEN x3 < x2 THEN 1 ELSE 0 END)
+           + (CASE WHEN x1 = x2 THEN 1 ELSE 0 END
+              + CASE WHEN x3 = x2 THEN 1 ELSE 0 END) AS r2,
+         2 + 2 * (CASE WHEN x1 < x3 THEN 1 ELSE 0 END
+                  + CASE WHEN x2 < x3 THEN 1 ELSE 0 END)
+           + (CASE WHEN x1 = x3 THEN 1 ELSE 0 END
+              + CASE WHEN x2 = x3 THEN 1 ELSE 0 END) AS r3
+  FROM rng r JOIN dq d ON d.dv = r.dv
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q2 * (r1 - 4)) AS BIGINT) AS s1,
+         CAST(SUM(q2 * (r2 - 4)) AS BIGINT) AS s2,
+         CAST(SUM(q2 * (r3 - 4)) AS BIGINT) AS s3,
+         CAST(SUM(q2 * (r1 - 4) * q2 * (r1 - 4))
+              + SUM(q2 * (r2 - 4) * q2 * (r2 - 4))
+              + SUM(q2 * (r3 - 4) * q2 * (r3 - 4)) AS BIGINT) AS a16
+  FROM rk
+)
+SELECT n AS n_users,
+       round((CAST(s1 AS DOUBLE) * s1 + CAST(s2 AS DOUBLE) * s2
+              + CAST(s3 AS DOUBLE) * s3) / n, 2) AS b16_r,
+       round((CAST(n AS DOUBLE) - 1.0)
+             * ((CAST(s1 AS DOUBLE) * s1 + CAST(s2 AS DOUBLE) * s2
+                 + CAST(s3 AS DOUBLE) * s3) / n)
+             / (CAST(a16 AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) * s1 + CAST(s2 AS DOUBLE) * s2
+                   + CAST(s3 AS DOUBLE) * s3) / n), 6) AS f_quade_r
+FROM s
+""",
+    tags=("inference", "stats"),
+)
+def a035_quade_test(spark, sf_dir):
+    """Quade test on the user × month-decade activity matrix — the
+    repeated-measures test that WEIGHTS each user (block) by how much
+    their activity actually varies, so high-signal users dominate
+    where a411's Friedman counts every block equally (Conover's
+    recommendation for k ≤ 4). Block weights are midranks of the
+    capped block RANGE taken from a bounded value histogram + one
+    cumulative window (never a global per-user sort — same grid
+    discipline as a032), within-user midranks are doubled-integer
+    CASE comparisons, so every S_ij = Q_i(r_ij − (k+1)/2) is an exact
+    scaled BIGINT and the F statistic is one closed-form readout.
+    One corpus scan, one user fold, grid-sized window at any
+    scale."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        *[
+            F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+            .cast("bigint")
+            .alias(f"x{i}")
+            for i, cond in (
+                (1, F.dayofmonth("ts") <= 10),
+                (
+                    2,
+                    (F.dayofmonth("ts") > 10)
+                    & (F.dayofmonth("ts") <= 20),
+                ),
+                (3, F.dayofmonth("ts") > 20),
+            )
+        ]
+    )
+    rng = per.select(
+        "user_id",
+        "x1",
+        "x2",
+        "x3",
+        F.least(
+            F.greatest("x1", "x2", "x3") - F.least("x1", "x2", "x3"),
+            F.lit(5000).cast("bigint"),
+        ).alias("dv"),
+    )
+    dh = rng.groupBy("dv").agg(F.count("*").cast("bigint").alias("cnt"))
+    wb = Window.orderBy("dv").rowsBetween(Window.unboundedPreceding, -1)
+    dq = dh.select(
+        "dv",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("bigint")
+            + F.col("cnt")
+            + 1
+        ).alias("q2"),
+    )
+
+    def r2(j, a, b):
+        xj, xa, xb = F.col(j), F.col(a), F.col(b)
+        less = F.when(xa < xj, 1).otherwise(0) + F.when(
+            xb < xj, 1
+        ).otherwise(0)
+        eq = F.when(xa == xj, 1).otherwise(0) + F.when(
+            xb == xj, 1
+        ).otherwise(0)
+        return 2 + 2 * less + eq
+
+    rk = rng.join(F.broadcast(dq), "dv").select(
+        "q2",
+        r2("x1", "x2", "x3").alias("r1"),
+        r2("x2", "x1", "x3").alias("r2"),
+        r2("x3", "x1", "x2").alias("r3"),
+    )
+    s = rk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.sum(F.col("q2") * (F.col(f"r{j}") - 4))
+            .cast("bigint")
+            .alias(f"s{j}")
+            for j in (1, 2, 3)
+        ],
+        sum(
+            (
+                F.sum(
+                    F.col("q2")
+                    * (F.col(f"r{j}") - 4)
+                    * F.col("q2")
+                    * (F.col(f"r{j}") - 4)
+                )
+                for j in (2, 3)
+            ),
+            F.sum(
+                F.col("q2")
+                * (F.col("r1") - 4)
+                * F.col("q2")
+                * (F.col("r1") - 4)
+            ),
+        )
+        .cast("bigint")
+        .alias("a16"),
+    )
+    b16 = (
+        F.col("s1").cast("double") * F.col("s1")
+        + F.col("s2").cast("double") * F.col("s2")
+        + F.col("s3").cast("double") * F.col("s3")
+    ) / F.col("n")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(b16, 2).alias("b16_r"),
+        F.round(
+            (F.col("n").cast("double") - 1.0)
+            * b16
+            / (F.col("a16").cast("double") - b16),
+            6,
+        ).alias("f_quade_r"),
+    )
+
+
+@query(
+    "a036_cox_stuart",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 100 AS BIGINT) AS y
+  FROM orders GROUP BY d
+), ts_ AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily
+), nn_ AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         (CAST(COUNT(*) AS BIGINT) + 1) // 2 AS h
+  FROM ts_
+), pairs AS (
+  SELECT a.y AS y1, b.y AS y2
+  FROM ts_ a CROSS JOIN nn_ n JOIN ts_ b ON b.t = a.t + n.h
+  WHERE a.t <= n.n // 2
+), signs AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN y2 > y1 THEN 1 END), 0)
+              AS BIGINT) AS pos,
+         CAST(COALESCE(SUM(CASE WHEN y2 < y1 THEN 1 END), 0)
+              AS BIGINT) AS neg
+  FROM pairs
+), st AS (
+  SELECT pos, neg, pos + neg AS nn,
+         LEAST(pos, neg) AS tt
+  FROM signs
+), terms AS (
+  SELECT nn, pos, neg, tt,
+         unnest(generate_series(CAST(0 AS BIGINT), tt)) AS k
+  FROM st
+), probs AS (
+  SELECT nn, pos, neg, tt,
+         CAST(ROUND(exp({_lf('nn')} - {_lf('k')} - {_lf('(nn - k)')}
+                        - CAST(nn AS DOUBLE)
+                          * CAST(0.6931471805599453 AS DOUBLE))
+                    * 1000000000000.0, 0) AS BIGINT) AS p_fp
+  FROM terms
+)
+SELECT MAX(pos) AS n_up, MAX(neg) AS n_down,
+       round(LEAST(CAST(1.0 AS DOUBLE),
+                   2.0 * CAST(SUM(p_fp) AS DOUBLE)
+                   / 1000000000000.0), 6) AS p_two_sided_r
+FROM probs
+""",
+    tags=("inference", "timeseries"),
+)
+def a036_cox_stuart(spark, sf_dir):
+    """Cox–Stuart sign test for monotone trend in daily revenue —
+    the distribution-free trend detector that pairs the series' first
+    half against its second half (x_i vs x_{i+h}) and asks whether
+    the up-signs are binomially plausible; the EXACT-p complement of
+    q273's asymptotic Mann–Kendall z (Cox–Stuart is the classic
+    "quick and valid under any distribution" check). The sign counts
+    are exact integer folds of a summary-sized self-join; the exact
+    binomial tail Σ C(N,k)/2^N reuses a009's shared lgamma SQL text
+    with every term PICO-QUANTIZED to BIGINT before the sum, so no
+    float summation order exists. One corpus touch (daily groupBy);
+    the tail unroll is ≤ N/2 ≈ 600 rows off a 1-row bound."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    ts = daily.select(
+        "y", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    nn_ = ts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("(CAST(COUNT(*) AS BIGINT) + 1) div 2").alias("h"),
+    )
+    a = ts.select(F.col("y").alias("y1"), F.col("t").alias("t1"))
+    b = ts.select(F.col("y").alias("y2"), F.col("t").alias("t2"))
+    pairs = (
+        a.crossJoin(F.broadcast(nn_))
+        .filter(F.col("t1") <= F.expr("n div 2"))
+        .join(b, F.col("t2") == F.col("t1") + F.col("h"))
+    )
+    signs = pairs.agg(
+        F.coalesce(F.sum(F.when(F.col("y2") > F.col("y1"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.coalesce(F.sum(F.when(F.col("y2") < F.col("y1"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    st = signs.select(
+        "pos",
+        "neg",
+        (F.col("pos") + F.col("neg")).alias("nn"),
+        F.least("pos", "neg").alias("tt"),
+    )
+    terms = st.select(
+        "pos",
+        "neg",
+        "nn",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("tt"))
+        ).alias("k"),
+    )
+    p_fp = F.round(
+        F.expr(
+            f"exp({_lf('nn')} - {_lf('k')} - {_lf('(nn - k)')}"
+            " - CAST(nn AS DOUBLE)"
+            " * CAST(0.6931471805599453 AS DOUBLE))"
+        )
+        * 1000000000000.0,
+        0,
+    ).cast("bigint")
+    return terms.select("pos", "neg", p_fp.alias("p_fp")).agg(
+        F.max("pos").alias("n_up"),
+        F.max("neg").alias("n_down"),
+        F.round(
+            F.least(
+                F.lit(1.0).cast("double"),
+                2.0 * F.sum("p_fp").cast("double") / 1000000000000.0,
+            ),
+            6,
+        ).alias("p_two_sided_r"),
+    )
+
+
+@query(
+    "a037_kpss",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 10000 AS BIGINT) AS y
+  FROM orders GROUP BY d
+), ts_ AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily
+), mu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         (2 * CAST(SUM(y) AS BIGINT) + COUNT(*))
+           // (2 * COUNT(*)) AS ym
+  FROM ts_
+), dev AS (
+  SELECT t.t, CAST(t.y - m.ym AS BIGINT) AS dv, m.n
+  FROM ts_ t CROSS JOIN mu m
+), ps AS (
+  SELECT t, dv, n,
+         CAST(SUM(dv) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s,
+         lead(dv, 1) OVER (ORDER BY t) AS d1,
+         lead(dv, 2) OVER (ORDER BY t) AS d2,
+         lead(dv, 3) OVER (ORDER BY t) AS d3,
+         lead(dv, 4) OVER (ORDER BY t) AS d4
+  FROM dev
+), agg_ AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(s * s) AS BIGINT) AS ss2,
+         CAST(SUM(dv * dv) AS BIGINT) AS c0,
+         CAST(COALESCE(SUM(dv * d1), 0) AS BIGINT) AS c1,
+         CAST(COALESCE(SUM(dv * d2), 0) AS BIGINT) AS c2,
+         CAST(COALESCE(SUM(dv * d3), 0) AS BIGINT) AS c3,
+         CAST(COALESCE(SUM(dv * d4), 0) AS BIGINT) AS c4
+  FROM ps
+)
+SELECT n AS n_days,
+       round(CAST(5 * ss2 AS DOUBLE)
+             / (CAST(n AS DOUBLE)
+                * CAST(5 * c0 + 2 * (4 * c1 + 3 * c2 + 2 * c3 + c4)
+                       AS DOUBLE)), 6) AS kpss_eta_r,
+       CASE WHEN CAST(5 * ss2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * CAST(5 * c0 + 2 * (4 * c1 + 3 * c2 + 2 * c3
+                           + c4) AS DOUBLE)) > 0.463
+            THEN 'reject_level_stationarity'
+            ELSE 'consistent_with_stationarity' END AS verdict_5pct
+FROM agg_
+""",
+    tags=("inference", "timeseries"),
+)
+def a037_kpss(spark, sf_dir):
+    """KPSS level-stationarity test on daily revenue — the
+    null-reversed partner of trend tests: KPSS takes STATIONARITY as
+    the null (a437-family drift monitors ask "did it move"; KPSS asks
+    "is treating it as stationary even defensible"), via the scaled
+    partial-sum statistic η = Σ S_t²/(n²·lrv) with a Bartlett-window
+    (l=4) long-run variance. The series is quantized to $100 units so
+    worst-case Σ S_t² stays inside BIGINT; deviations are taken
+    against the integer-rounded mean (a015 machinery), partial sums
+    and all five lag products are exact BIGINT window folds, and η is
+    ONE division of exact integers (the rational Bartlett weights
+    (5−j)/5 are cleared into the integers: η = 5ΣS²/(n(5c₀+2Σ(5−j)c_j))).
+    The 0.463 flag is the 5% asymptotic critical value. One corpus
+    touch; all windows run on the ~2400-row daily summary."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 10000 AS BIGINT)"
+        ).alias("y")
+    )
+    ts = daily.select(
+        "y", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    mu = ts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "(2 * CAST(SUM(y) AS BIGINT) + COUNT(*))"
+            " div (2 * COUNT(*))"
+        ).alias("ym"),
+    )
+    dev = ts.crossJoin(F.broadcast(mu)).select(
+        "t", (F.col("y") - F.col("ym")).cast("bigint").alias("dv"), "n"
+    )
+    w = Window.orderBy("t")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ps = dev.select(
+        "dv",
+        "n",
+        F.sum("dv").over(wc).cast("bigint").alias("s"),
+        *[F.lead("dv", k).over(w).alias(f"d{k}") for k in range(1, 5)],
+    )
+    agg_ = ps.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("ss2"),
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("c0"),
+        *[
+            F.coalesce(F.sum(F.col("dv") * F.col(f"d{k}")), F.lit(0))
+            .cast("bigint")
+            .alias(f"c{k}")
+            for k in range(1, 5)
+        ],
+    )
+    eta = (5 * F.col("ss2")).cast("double") / (
+        F.col("n").cast("double")
+        * (
+            5 * F.col("c0")
+            + 2
+            * (
+                4 * F.col("c1")
+                + 3 * F.col("c2")
+                + 2 * F.col("c3")
+                + F.col("c4")
+            )
+        ).cast("double")
+    )
+    return agg_.select(
+        F.col("n").alias("n_days"),
+        F.round(eta, 6).alias("kpss_eta_r"),
+        F.when(eta > 0.463, "reject_level_stationarity")
+        .otherwise("consistent_with_stationarity")
+        .alias("verdict_5pct"),
+    )
+
+
+@query(
+    "a038_adf",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 100 AS BIGINT) AS y
+  FROM orders GROUP BY d
+), ts_ AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily
+), dd AS (
+  SELECT lag(y) OVER (ORDER BY t) AS x,
+         y - lag(y) OVER (ORDER BY t) AS dy
+  FROM ts_
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(dy) AS BIGINT) AS sd,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * dy) AS BIGINT) AS sxd,
+         CAST(SUM(dy * dy) AS BIGINT) AS sdd
+  FROM dd WHERE x IS NOT NULL
+), c AS (
+  SELECT n,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS cxx,
+         CAST(sxd AS DOUBLE) - CAST(sx AS DOUBLE) * sd / n AS cxd,
+         CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n AS cdd
+  FROM m
+)
+SELECT n AS n_obs,
+       round(cxd / cxx, 6) AS rho_r,
+       round((cxd / cxx)
+             / sqrt((cdd - (cxd / cxx) * cxd)
+                    / (CAST(n AS DOUBLE) - 2.0) / cxx), 6)
+         AS adf_t_r,
+       CASE WHEN (cxd / cxx)
+                 / sqrt((cdd - (cxd / cxx) * cxd)
+                        / (CAST(n AS DOUBLE) - 2.0) / cxx) < -2.86
+            THEN 'reject_unit_root'
+            ELSE 'consistent_with_unit_root' END AS verdict_5pct
+FROM c
+""",
+    tags=("inference", "timeseries"),
+)
+def a038_adf(spark, sf_dir):
+    """Dickey–Fuller unit-root test (constant, no augmentation
+    lags) on daily revenue — the null-complement of a037's KPSS: DF
+    takes the unit root as the null, so running both classifies the
+    series into stationary / unit-root / inconclusive, the standard
+    pre-modelling gate. Δy_t is regressed on y_{t−1} with exact
+    BIGINT moments off the dollar-quantized daily summary; ρ̂, its
+    standard error, and the DF t-ratio are once-per-query doubles
+    with the IDENTICAL centered-moment expression text in both
+    engines; −2.86 is the 5% Dickey–Fuller critical value (τ_μ). One
+    corpus touch; ~2400-row summary windows."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    ts = daily.select(
+        "y", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    w = Window.orderBy("t")
+    dd = ts.select(
+        F.lag("y").over(w).alias("x"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+    ).filter(F.col("x").isNotNull())
+    m = dd.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sd"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("dy")).cast("bigint").alias("sxd"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("sdd"),
+    )
+    c = m.selectExpr(
+        "n",
+        "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS cxx",
+        "CAST(sxd AS DOUBLE) - CAST(sx AS DOUBLE) * sd / n AS cxd",
+        "CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n AS cdd",
+    )
+    rho = F.col("cxd") / F.col("cxx")
+    tstat = rho / F.sqrt(
+        (F.col("cdd") - rho * F.col("cxd"))
+        / (F.col("n").cast("double") - 2.0)
+        / F.col("cxx")
+    )
+    return c.select(
+        F.col("n").alias("n_obs"),
+        F.round(rho, 6).alias("rho_r"),
+        F.round(tstat, 6).alias("adf_t_r"),
+        F.when(tstat < -2.86, "reject_unit_root")
+        .otherwise("consistent_with_unit_root")
+        .alias("verdict_5pct"),
+    )
+
+
+# Centered 2-predictor OLS solved in closed form — ONE shared
+# expression-text table (the _DL_LEVELS recipe) consumed by the
+# Granger / Breusch-Godfrey / White queries below. Inputs: a 1-row
+# frame with DOUBLE columns n, sy, s1, s2, s11, s22, s12, sy1, sy2,
+# syy (raw moments of response y and predictors x1, x2).
+_OLS2_LEVELS = (
+    ("c11", "s11 - s1 * s1 / n"),
+    ("c22", "s22 - s2 * s2 / n"),
+    ("c12", "s12 - s1 * s2 / n"),
+    ("cy1", "sy1 - s1 * sy / n"),
+    ("cy2", "sy2 - s2 * sy / n"),
+    ("cyy", "syy - sy * sy / n"),
+    ("det", "c11 * c22 - c12 * c12"),
+    ("b1", "(cy1 * c22 - cy2 * c12) / det"),
+    ("b2", "(cy2 * c11 - cy1 * c12) / det"),
+    ("sse", "cyy - b1 * cy1 - b2 * cy2"),
+    ("r2", "1.0 - sse / cyy"),
+)
+
+
+def _sql_chain(levels, inner: str) -> str:
+    sql = inner
+    for name, expr in levels:
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return sql
+
+
+def _apply_levels(df, levels):
+    out = df
+    for name, expr in levels:
+        out = out.selectExpr("*", f"{expr} AS {name}")
+    return out
+
+
+_GRANGER_MOMENTS_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 100 AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY d
+), ts_ AS (
+  SELECT y, x, row_number() OVER (ORDER BY d) AS t FROM daily
+), lagged AS (
+  SELECT y,
+         lag(y) OVER (ORDER BY t) AS y1,
+         lag(x) OVER (ORDER BY t) AS x1
+  FROM ts_
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(y1) AS BIGINT) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(x1) AS BIGINT) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(y1 * y1) AS BIGINT) AS DOUBLE) AS s11,
+         CAST(CAST(SUM(x1 * x1) AS BIGINT) AS DOUBLE) AS s22,
+         CAST(CAST(SUM(y1 * x1) AS BIGINT) AS DOUBLE) AS s12,
+         CAST(CAST(SUM(y * y1) AS BIGINT) AS DOUBLE) AS sy1,
+         CAST(CAST(SUM(y * x1) AS BIGINT) AS DOUBLE) AS sy2,
+         CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+  FROM lagged WHERE y1 IS NOT NULL
+)"""
+
+
+@query(
+    "a039_granger_causality",
+    oracle=f"""{_GRANGER_MOMENTS_SQL}
+SELECT CAST(n AS BIGINT) AS n_obs,
+       round(b2, 6) AS beta_orders_r,
+       round(((cyy - cy1 * cy1 / c11) - sse)
+             / (sse / (n - 3.0)), 6) AS f_granger_r
+FROM ({_sql_chain(_OLS2_LEVELS, "SELECT * FROM m")}) q
+""",
+    tags=("inference", "timeseries"),
+)
+def a039_granger_causality(spark, sf_dir):
+    """Granger causality (one lag): do yesterday's ORDER COUNTS carry
+    predictive information about today's REVENUE beyond revenue's own
+    lag? The unrestricted OLS y_t ~ (1, y_{{t-1}}, x_{{t-1}}) is solved in
+    closed form through _OLS2_LEVELS — one shared expression-text
+    table both engines evaluate on the IDENTICAL exact-integer
+    moments — and the restricted model's SSE falls out of the same
+    centered moments (SSE_r = cyy − cy1²/c11), so the F statistic
+    costs nothing extra. The corpus folds once into the (revenue,
+    count) daily pair series; every cross-moment is an exact BIGINT.
+    At 100 TB: one groupBy touch, ~2400-row lag window, 1-row
+    algebra."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y"),
+        F.count("*").cast("bigint").alias("x"),
+    )
+    ts = daily.select(
+        "y", "x", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    w = Window.orderBy("t")
+    lagged = ts.select(
+        "y",
+        F.lag("y").over(w).alias("y1"),
+        F.lag("x").over(w).alias("x1"),
+    ).filter(F.col("y1").isNotNull())
+    m = lagged.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("y").cast("bigint").cast("double").alias("sy"),
+        F.sum("y1").cast("bigint").cast("double").alias("s1"),
+        F.sum("x1").cast("bigint").cast("double").alias("s2"),
+        F.sum(F.col("y1") * F.col("y1"))
+        .cast("bigint")
+        .cast("double")
+        .alias("s11"),
+        F.sum(F.col("x1") * F.col("x1"))
+        .cast("bigint")
+        .cast("double")
+        .alias("s22"),
+        F.sum(F.col("y1") * F.col("x1"))
+        .cast("bigint")
+        .cast("double")
+        .alias("s12"),
+        F.sum(F.col("y") * F.col("y1"))
+        .cast("bigint")
+        .cast("double")
+        .alias("sy1"),
+        F.sum(F.col("y") * F.col("x1"))
+        .cast("bigint")
+        .cast("double")
+        .alias("sy2"),
+        F.sum(F.col("y") * F.col("y"))
+        .cast("bigint")
+        .cast("double")
+        .alias("syy"),
+    )
+    q = _apply_levels(m, _OLS2_LEVELS)
+    return q.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round("b2", 6).alias("beta_orders_r"),
+        F.round(
+            (
+                (
+                    F.col("cyy")
+                    - F.col("cy1") * F.col("cy1") / F.col("c11")
+                )
+                - F.col("sse")
+            )
+            / (F.col("sse") / (F.col("n") - 3.0)),
+            6,
+        ).alias("f_granger_r"),
+    )
+
+
+_RESID_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 100 AS BIGINT) AS y
+  FROM orders GROUP BY d
+), ts_ AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS st2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM ts_
+), fit AS (
+  SELECT (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * st2 - CAST(st AS DOUBLE) * st) AS b,
+         n, st, sy
+  FROM sums
+), fit2 AS (
+  SELECT b, (CAST(sy AS DOUBLE) - b * st) / n AS a FROM fit
+), resid AS (
+  SELECT t.t,
+         CAST(ROUND(t.y - f.a - f.b * t.t, 0) AS BIGINT) AS ec
+  FROM ts_ t CROSS JOIN fit2 f
+)"""
+
+
+@query(
+    "a040_breusch_godfrey",
+    oracle=f"""{_RESID_SQL}, lagged AS (
+  SELECT t, ec,
+         lag(ec) OVER (ORDER BY t) AS e1
+  FROM resid
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(ec) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(e1) AS BIGINT) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(t * t) AS BIGINT) AS DOUBLE) AS s11,
+         CAST(CAST(SUM(e1 * e1) AS BIGINT) AS DOUBLE) AS s22,
+         CAST(CAST(SUM(t * e1) AS BIGINT) AS DOUBLE) AS s12,
+         CAST(CAST(SUM(ec * t) AS BIGINT) AS DOUBLE) AS sy1,
+         CAST(CAST(SUM(ec * e1) AS BIGINT) AS DOUBLE) AS sy2,
+         CAST(CAST(SUM(ec * ec) AS BIGINT) AS DOUBLE) AS syy
+  FROM lagged WHERE e1 IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       round(b2, 6) AS rho_resid_r,
+       round(n * r2, 6) AS lm_bg_r
+FROM ({_sql_chain(_OLS2_LEVELS, "SELECT * FROM m")}) q
+""",
+    tags=("inference", "timeseries"),
+)
+def a040_breusch_godfrey(spark, sf_dir):
+    """Breusch–Godfrey LM test for first-order serial correlation in
+    the daily-revenue trend residuals — the regression-based
+    generalization of a011's Durbin–Watson (BG stays valid with
+    lagged regressors and extends to any lag order; DW does not).
+    Residuals come from the SAME quantized-to-whole-units OLS as
+    a011 (exact BIGINTs), the auxiliary regression e_t ~ (1, t,
+    e_{{t-1}}) is the shared _OLS2_LEVELS closed form on exact integer
+    moments, and LM = n·R² is one readout. One corpus touch;
+    summary-sized windows."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    ts = daily.select(
+        "y", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    sums = ts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("st2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    )
+    b = (
+        F.col("n").cast("double") * F.col("sty")
+        - F.col("st").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("st2")
+        - F.col("st").cast("double") * F.col("st")
+    )
+    fit = sums.select(
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("st")) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    resid = ts.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.round(F.col("y") - F.col("a") - F.col("b") * F.col("t"), 0)
+        .cast("bigint")
+        .alias("ec"),
+    )
+    w = Window.orderBy("t")
+    lagged = resid.select(
+        "t", "ec", F.lag("ec").over(w).alias("e1")
+    ).filter(F.col("e1").isNotNull())
+    m = lagged.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("ec").cast("bigint").cast("double").alias("sy"),
+        F.sum("t").cast("bigint").cast("double").alias("s1"),
+        F.sum("e1").cast("bigint").cast("double").alias("s2"),
+        F.sum(F.col("t") * F.col("t"))
+        .cast("bigint")
+        .cast("double")
+        .alias("s11"),
+        F.sum(F.col("e1") * F.col("e1"))
+        .cast("bigint")
+        .cast("double")
+        .alias("s22"),
+        F.sum(F.col("t") * F.col("e1"))
+        .cast("bigint")
+        .cast("double")
+        .alias("s12"),
+        F.sum(F.col("ec") * F.col("t"))
+        .cast("bigint")
+        .cast("double")
+        .alias("sy1"),
+        F.sum(F.col("ec") * F.col("e1"))
+        .cast("bigint")
+        .cast("double")
+        .alias("sy2"),
+        F.sum(F.col("ec") * F.col("ec"))
+        .cast("bigint")
+        .cast("double")
+        .alias("syy"),
+    )
+    q = _apply_levels(m, _OLS2_LEVELS)
+    return q.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round("b2", 6).alias("rho_resid_r"),
+        F.round(F.col("n") * F.col("r2"), 6).alias("lm_bg_r"),
+    )
+
+
+@query(
+    "a041_white_test",
+    oracle=f"""{_RESID_SQL}, sq AS (
+  SELECT t, (ec // 1000) * (ec // 1000) AS u FROM resid
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(u) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(t * t) AS BIGINT) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(t * t) AS BIGINT) AS DOUBLE) AS s11,
+         CAST(CAST(SUM(t * t * t * t) AS BIGINT) AS DOUBLE) AS s22,
+         CAST(CAST(SUM(t * t * t) AS BIGINT) AS DOUBLE) AS s12,
+         CAST(CAST(SUM(u * t) AS BIGINT) AS DOUBLE) AS sy1,
+         CAST(CAST(SUM(u * t * t) AS BIGINT) AS DOUBLE) AS sy2,
+         CAST(CAST(SUM(u * u) AS BIGINT) AS DOUBLE) AS syy
+  FROM sq
+)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       round(r2, 6) AS r2_aux_r,
+       round(n * r2, 6) AS lm_white_r
+FROM ({_sql_chain(_OLS2_LEVELS, "SELECT * FROM m")}) q
+""",
+    tags=("inference", "timeseries"),
+)
+def a041_white_test(spark, sf_dir):
+    """White's heteroskedasticity test on the daily-revenue trend
+    residuals — the specification-free partner of a012's
+    Breusch–Pagan: the auxiliary regression of SQUARED residuals on
+    (t, t²) needs no assumed variance model, so it catches any
+    smooth variance drift over the calendar. Residuals are the a011
+    exact integers QUANTIZED to $1000 units before squaring (the
+    documented overflow budget: Σu·t² then stays inside BIGINT
+    through ~sf10 at t ≤ 2400), all ten moments are exact BIGINTs,
+    and the _OLS2_LEVELS shared text yields R² and LM = n·R²
+    bit-identically in both engines. One corpus touch; 1-row
+    algebra."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    ts = daily.select(
+        "y", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    sums = ts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("st2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    )
+    b = (
+        F.col("n").cast("double") * F.col("sty")
+        - F.col("st").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("st2")
+        - F.col("st").cast("double") * F.col("st")
+    )
+    fit = sums.select(
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("st")) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    resid = ts.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.round(F.col("y") - F.col("a") - F.col("b") * F.col("t"), 0)
+        .cast("bigint")
+        .alias("ec"),
+    )
+    sq = resid.select(
+        F.col("t").cast("bigint").alias("t"),
+        (F.expr("ec div 1000") * F.expr("ec div 1000")).alias("u"),
+    )
+    tt = F.col("t") * F.col("t")
+    m = sq.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("u").cast("bigint").cast("double").alias("sy"),
+        F.sum("t").cast("bigint").cast("double").alias("s1"),
+        F.sum(tt).cast("bigint").cast("double").alias("s2"),
+        F.sum(tt).cast("bigint").cast("double").alias("s11"),
+        F.sum(tt * tt).cast("bigint").cast("double").alias("s22"),
+        F.sum(F.col("t") * tt).cast("bigint").cast("double").alias("s12"),
+        F.sum(F.col("u") * F.col("t"))
+        .cast("bigint")
+        .cast("double")
+        .alias("sy1"),
+        F.sum(F.col("u") * tt)
+        .cast("bigint")
+        .cast("double")
+        .alias("sy2"),
+        F.sum(F.col("u") * F.col("u"))
+        .cast("bigint")
+        .cast("double")
+        .alias("syy"),
+    )
+    q = _apply_levels(m, _OLS2_LEVELS)
+    return q.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round("r2", 6).alias("r2_aux_r"),
+        F.round(F.col("n") * F.col("r2"), 6).alias("lm_white_r"),
+    )
+
+
+def _phi(x: str) -> str:
+    """Standard normal CDF Φ as SQL text valid in BOTH engines —
+    Abramowitz–Stegun 26.2.17 (|ε| < 7.5e-8), reflected for x < 0.
+    ONE shared string (the _lf recipe) so both engines run the same
+    polynomial on the same doubles; downstream consumers quantize
+    before any aggregation."""
+    t = f"(1.0 / (1.0 + 0.2316419 * abs({x})))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} *"
+        f" (1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    tail = (
+        f"(exp(-0.5 * {x} * {x}) * CAST(0.3989422804014327 AS DOUBLE)"
+        f" * {poly})"
+    )
+    return (
+        f"(CASE WHEN {x} >= 0.0 THEN 1.0 - {tail} ELSE {tail} END)"
+    )
+
+
+@query(
+    "a042_lilliefors",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 100 AS BIGINT) AS y
+  FROM orders GROUP BY d
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily
+), fit AS (
+  SELECT n,
+         CAST(sy AS DOUBLE) / n AS mu,
+         sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+              / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) AS sd
+  FROM m
+), hist AS (
+  SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY y
+), cum AS (
+  SELECT v, c,
+         CAST(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ch,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cl
+  FROM hist
+), dterm AS (
+  SELECT f.n,
+         CAST(ROUND(GREATEST(
+           abs(CAST(c.ch AS DOUBLE) / f.n
+               - {_phi('((CAST(c.v AS DOUBLE) - f.mu) / f.sd)')}),
+           abs({_phi('((CAST(c.v AS DOUBLE) - f.mu) / f.sd)')}
+               - CAST(c.cl AS DOUBLE) / f.n))
+           * 1000000000.0, 0) AS BIGINT) AS d_fp
+  FROM cum c CROSS JOIN fit f
+)
+SELECT MAX(n) AS n_days,
+       round(CAST(MAX(d_fp) AS DOUBLE) / 1000000000.0, 6) AS d_stat_r,
+       CASE WHEN CAST(MAX(d_fp) AS DOUBLE) / 1000000000.0
+                 > 0.886 / sqrt(CAST(MAX(n) AS DOUBLE))
+            THEN 'reject_normality'
+            ELSE 'consistent_with_normal' END AS verdict_5pct
+FROM dterm
+""",
+    tags=("inference", "stats"),
+)
+def a042_lilliefors(spark, sf_dir):
+    """Lilliefors normality test on daily revenue — the KS distance
+    against a normal with ESTIMATED (μ̂, σ̂), which is the test q157's
+    two-sample KS and a109's Jarque–Bera moments do not give (JB sees
+    only skew/kurtosis; Lilliefors sees the whole CDF, and naive KS
+    critical values are wrong once parameters are fitted — hence the
+    0.886/√n Lilliefors 5% line). Φ is the shared A&S-26.2.17
+    expression text evaluated once per DISTINCT daily value (≤2400),
+    each D-contribution is nano-quantized to BIGINT before the MAX
+    (integer max, no float aggregation), and μ̂/σ̂ come from exact
+    BIGINT moments. One corpus touch; summary-sized windows."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    m = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    fit = m.select(
+        "n",
+        (F.col("sy").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (
+                F.col("n").cast("double") * F.col("syy")
+                - F.col("sy").cast("double") * F.col("sy")
+            )
+            / F.col("n").cast("double")
+            / (F.col("n").cast("double") - 1.0)
+        ).alias("sd"),
+    )
+    hist = daily.groupBy(F.col("y").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "v",
+        F.sum("c").over(wc).cast("bigint").alias("ch"),
+        F.coalesce(F.sum("c").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("cl"),
+    )
+    z = "((CAST(v AS DOUBLE) - mu) / sd)"
+    dterm = cum.crossJoin(F.broadcast(fit)).selectExpr(
+        "n",
+        f"""CAST(ROUND(GREATEST(
+          abs(CAST(ch AS DOUBLE) / n - {_phi(z)}),
+          abs({_phi(z)} - CAST(cl AS DOUBLE) / n))
+          * 1000000000.0, 0) AS BIGINT) AS d_fp""",
+    )
+    dmax = F.max("d_fp").cast("double") / 1000000000.0
+    return dterm.agg(
+        F.max("n").alias("n_days"),
+        F.round(dmax, 6).alias("d_stat_r"),
+        F.when(
+            dmax > 0.886 / F.sqrt(F.max("n").cast("double")),
+            "reject_normality",
+        )
+        .otherwise("consistent_with_normal")
+        .alias("verdict_5pct"),
+    )
+
+
+@query(
+    "a043_brunner_munzel",
+    oracle="""
+WITH obs AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
+         CAST(ROUND(o_totalprice, 0) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), hist AS (
+  SELECT v,
+         CAST(COALESCE(SUM(CASE WHEN g = 1 THEN 1 END), 0) AS BIGINT)
+           AS c1,
+         CAST(COALESCE(SUM(CASE WHEN g = 2 THEN 1 END), 0) AS BIGINT)
+           AS c2
+  FROM obs GROUP BY v
+), cum AS (
+  SELECT v, c1, c2,
+         CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb,
+         CAST(COALESCE(SUM(c1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb1,
+         CAST(COALESCE(SUM(c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb2
+  FROM hist
+), pl AS (
+  -- doubled pooled midrank R2, doubled internal midrank I2, and the
+  -- doubled placement x2 = R2 - I2 for each (value, group)
+  SELECT c1 AS c, 2 * cb + (c1 + c2) + 1 AS r2,
+         2 * cb1 + c1 + 1 AS i2, 1 AS g
+  FROM cum WHERE c1 > 0
+  UNION ALL
+  SELECT c2 AS c, 2 * cb + (c1 + c2) + 1 AS r2,
+         2 * cb2 + c2 + 1 AS i2, 2 AS g
+  FROM cum WHERE c2 > 0
+), s AS (
+  SELECT g,
+         CAST(SUM(c) AS BIGINT) AS n_i,
+         CAST(SUM(c * (r2 - i2)) AS BIGINT) AS sx,
+         CAST(SUM(c * (r2 - i2) * (r2 - i2)) AS BIGINT) AS sxx
+  FROM pl GROUP BY g
+), d AS (
+  SELECT g, n_i,
+         CAST(sx AS DOUBLE) / 2.0 / n_i AS xbar,
+         (CAST(sxx AS DOUBLE) / 4.0
+          - (CAST(sx AS DOUBLE) / 2.0) * (CAST(sx AS DOUBLE) / 2.0)
+            / n_i) / (CAST(n_i AS DOUBLE) - 1.0) AS s2
+  FROM s
+)
+SELECT d1.n_i AS n_urgent, d2.n_i AS n_low,
+       round(d2.xbar / d1.n_i, 6) AS p_hat_r,
+       round((d2.xbar / d1.n_i - 0.5)
+             / sqrt(d1.s2 / (CAST(d1.n_i AS DOUBLE)
+                             * d2.n_i * d2.n_i)
+                    + d2.s2 / (CAST(d2.n_i AS DOUBLE)
+                               * d1.n_i * d1.n_i)), 6) AS w_bm_r
+FROM d d1 CROSS JOIN d d2
+WHERE d1.g = 1 AND d2.g = 2
+""",
+    tags=("inference", "stats"),
+)
+def a043_brunner_munzel(spark, sf_dir):
+    """Brunner–Munzel test (URGENT vs LOW order values) — the
+    nonparametric Behrens–Fisher solution: unlike q233's
+    Mann–Whitney it does NOT assume equal variances/shapes under the
+    null, estimating instead the placement probability
+    p̂ = P(X₂ > X₁) + ½P(=) with a per-group placement variance. All
+    rank machinery is DOUBLED-integer midranks off ONE pooled value
+    histogram (placements x = pooled − internal midrank are exact
+    integers per distinct value; no per-row ranking), the two
+    placement variances come from exact Σx/Σx² folds, and the W
+    statistic is one closed-form readout. One corpus fold, bounded
+    histogram, 1-row output."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("g"),
+        F.round(F.col("o_totalprice"), 0).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("v").agg(
+        F.coalesce(F.sum(F.when(F.col("g") == 1, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.coalesce(F.sum(F.when(F.col("g") == 2, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("cb"),
+        F.coalesce(F.sum("c1").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("cb1"),
+        F.coalesce(F.sum("c2").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("cb2"),
+    )
+    r2 = 2 * F.col("cb") + (F.col("c1") + F.col("c2")) + 1
+    pl = (
+        cum.filter(F.col("c1") > 0)
+        .select(
+            F.col("c1").alias("c"),
+            r2.alias("r2"),
+            (2 * F.col("cb1") + F.col("c1") + 1).alias("i2"),
+            F.lit(1).alias("g"),
+        )
+        .unionAll(
+            cum.filter(F.col("c2") > 0).select(
+                F.col("c2").alias("c"),
+                r2.alias("r2"),
+                (2 * F.col("cb2") + F.col("c2") + 1).alias("i2"),
+                F.lit(2).alias("g"),
+            )
+        )
+    )
+    x = F.col("r2") - F.col("i2")
+    s = pl.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("n_i"),
+        F.sum(F.col("c") * x).cast("bigint").alias("sx"),
+        F.sum(F.col("c") * x * x).cast("bigint").alias("sxx"),
+    )
+    d = s.select(
+        "g",
+        "n_i",
+        (F.col("sx").cast("double") / 2.0 / F.col("n_i")).alias("xbar"),
+        (
+            (
+                F.col("sxx").cast("double") / 4.0
+                - (F.col("sx").cast("double") / 2.0)
+                * (F.col("sx").cast("double") / 2.0)
+                / F.col("n_i")
+            )
+            / (F.col("n_i").cast("double") - 1.0)
+        ).alias("s2"),
+    )
+    d1 = d.filter(F.col("g") == 1).select(
+        F.col("n_i").alias("n_urgent"),
+        F.col("xbar").alias("xb1"),
+        F.col("s2").alias("v1"),
+    )
+    d2 = d.filter(F.col("g") == 2).select(
+        F.col("n_i").alias("n_low"),
+        F.col("xbar").alias("xb2"),
+        F.col("s2").alias("v2"),
+    )
+    p_hat = F.col("xb2") / F.col("n_urgent")
+    se = F.sqrt(
+        F.col("v1")
+        / (
+            F.col("n_urgent").cast("double")
+            * F.col("n_low")
+            * F.col("n_low")
+        )
+        + F.col("v2")
+        / (
+            F.col("n_low").cast("double")
+            * F.col("n_urgent")
+            * F.col("n_urgent")
+        )
+    )
+    return d1.crossJoin(F.broadcast(d2)).select(
+        "n_urgent",
+        "n_low",
+        F.round(p_hat, 6).alias("p_hat_r"),
+        F.round((p_hat - 0.5) / se, 6).alias("w_bm_r"),
+    )
+
+
+@query(
+    "a044_conover_squared_ranks",
+    oracle="""
+WITH obs AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
+         CAST(ROUND(o_totalprice, 0) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), gm AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_i,
+         (2 * CAST(SUM(v) AS BIGINT) + COUNT(*))
+           // (2 * COUNT(*)) AS vm
+  FROM obs GROUP BY g
+), dev AS (
+  SELECT o.g, abs(o.v - m.vm) AS a
+  FROM obs o JOIN gm m ON m.g = o.g
+), hist AS (
+  SELECT a,
+         CAST(COALESCE(SUM(CASE WHEN g = 1 THEN 1 END), 0) AS BIGINT)
+           AS c1,
+         CAST(COALESCE(SUM(CASE WHEN g = 2 THEN 1 END), 0) AS BIGINT)
+           AS c2
+  FROM dev GROUP BY a
+), cum AS (
+  SELECT c1, c2,
+         2 * CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY a
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + (c1 + c2) + 1 AS r2,
+         CAST(SUM(c1 + c2) OVER () AS BIGINT) AS nn
+  FROM hist
+), terms AS (
+  SELECT c1, c2, nn,
+         CAST(ROUND((CAST(r2 AS DOUBLE) / (2.0 * nn))
+                    * (CAST(r2 AS DOUBLE) / (2.0 * nn))
+                    * 1000000000000.0, 0) AS BIGINT) AS u2_fp,
+         CAST(ROUND((CAST(r2 AS DOUBLE) / (2.0 * nn))
+                    * (CAST(r2 AS DOUBLE) / (2.0 * nn))
+                    * (CAST(r2 AS DOUBLE) / (2.0 * nn))
+                    * (CAST(r2 AS DOUBLE) / (2.0 * nn))
+                    * 1000000000000.0, 0) AS BIGINT) AS u4_fp
+  FROM cum
+), s AS (
+  SELECT MAX(nn) AS nn,
+         CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c1 * u2_fp) AS BIGINT) AS t1,
+         CAST(SUM((c1 + c2) * u2_fp) AS BIGINT) AS s2,
+         CAST(SUM((c1 + c2) * u4_fp) AS BIGINT) AS s4
+  FROM terms
+)
+SELECT n1 AS n_urgent, n2 AS n_low,
+       round(CAST(t1 AS DOUBLE) / 1000000000000.0, 6) AS t_norm_r,
+       round((CAST(t1 AS DOUBLE) / 1000000000000.0
+              - CAST(n1 AS DOUBLE)
+                * (CAST(s2 AS DOUBLE) / 1000000000000.0) / nn)
+             / sqrt(CAST(n1 AS DOUBLE) * n2
+                    / (CAST(nn AS DOUBLE) * (nn - 1.0))
+                    * (CAST(s4 AS DOUBLE) / 1000000000000.0
+                       - (CAST(s2 AS DOUBLE) / 1000000000000.0)
+                         * (CAST(s2 AS DOUBLE) / 1000000000000.0)
+                         / nn)), 6) AS z_conover_r
+FROM s
+""",
+    tags=("inference", "stats"),
+)
+def a044_conover_squared_ranks(spark, sf_dir):
+    """Conover squared-ranks test for equal variances (URGENT vs LOW
+    order values) — the RANK-based scale test that stays valid when
+    a007's Bartlett (normality-dependent) and a351's Levene
+    (mean-based) are not: squared midranks of |x − group center|
+    have a known null mean/variance, so the statistic needs no
+    distributional assumption. Group centers are integer-rounded
+    means (exact), |deviations| fold to ONE pooled histogram,
+    doubled midranks come from a cumulative window, and because
+    Σrank⁴ overflows BIGINT at scale the ranks are NORMALIZED to
+    u = R/N and pico-quantized per DISTINCT value before the exact
+    integer weighted sums (documented: the statistic is defined on
+    the quantized u², u⁴ — identical in both engines). One corpus
+    fold, bounded histogram, 1-row readout."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("g"),
+        F.round(F.col("o_totalprice"), 0).cast("bigint").alias("v"),
+    )
+    gm = obs.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.expr(
+            "(2 * CAST(SUM(v) AS BIGINT) + COUNT(*))"
+            " div (2 * COUNT(*))"
+        ).alias("vm"),
+    )
+    dev = obs.join(F.broadcast(gm), "g").select(
+        "g", F.abs(F.col("v") - F.col("vm")).alias("a")
+    )
+    hist = dev.groupBy("a").agg(
+        F.coalesce(F.sum(F.when(F.col("g") == 1, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.coalesce(F.sum(F.when(F.col("g") == 2, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wb = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "c1",
+        "c2",
+        (
+            2
+            * F.coalesce(
+                F.sum(F.col("c1") + F.col("c2")).over(wb), F.lit(0)
+            ).cast("bigint")
+            + (F.col("c1") + F.col("c2"))
+            + 1
+        ).alias("r2"),
+        F.sum(F.col("c1") + F.col("c2"))
+        .over(wall)
+        .cast("bigint")
+        .alias("nn"),
+    )
+    u = F.col("r2").cast("double") / (2.0 * F.col("nn"))
+    terms = cum.select(
+        "c1",
+        "c2",
+        "nn",
+        F.round(u * u * 1000000000000.0, 0)
+        .cast("bigint")
+        .alias("u2_fp"),
+        F.round(u * u * u * u * 1000000000000.0, 0)
+        .cast("bigint")
+        .alias("u4_fp"),
+    )
+    s = terms.agg(
+        F.max("nn").alias("nn"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("u2_fp")).cast("bigint").alias("t1"),
+        F.sum((F.col("c1") + F.col("c2")) * F.col("u2_fp"))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum((F.col("c1") + F.col("c2")) * F.col("u4_fp"))
+        .cast("bigint")
+        .alias("s4"),
+    )
+    t1d = F.col("t1").cast("double") / 1000000000000.0
+    s2d = F.col("s2").cast("double") / 1000000000000.0
+    s4d = F.col("s4").cast("double") / 1000000000000.0
+    nnd = F.col("nn").cast("double")
+    return s.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_low"),
+        F.round(t1d, 6).alias("t_norm_r"),
+        F.round(
+            (t1d - F.col("n1").cast("double") * s2d / F.col("nn"))
+            / F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (nnd * (nnd - 1.0))
+                * (s4d - s2d * s2d / F.col("nn"))
+            ),
+            6,
+        ).alias("z_conover_r"),
+    )
+
+
+_MODAL_SQL = """
+WITH rng AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+), mid AS (
+  SELECT lo + (hi - lo) // 2 AS m FROM rng
+), halves AS (
+  SELECT e.user_id,
+         CASE WHEN epoch_us(e.ts) < d.m THEN 1 ELSE 2 END AS h,
+         e.event_type, COUNT(*) AS c
+  FROM events e CROSS JOIN mid d
+  GROUP BY 1, 2, 3
+), modal AS (
+  SELECT user_id, h, event_type
+  FROM (SELECT user_id, h, event_type,
+               row_number() OVER (PARTITION BY user_id, h
+                 ORDER BY c DESC, event_type) AS rn
+        FROM halves)
+  WHERE rn = 1
+), paired AS (
+  SELECT a.user_id, a.event_type AS t1, b.event_type AS t2
+  FROM modal a JOIN modal b
+    ON b.user_id = a.user_id AND a.h = 1 AND b.h = 2
+)"""
+
+
+@query(
+    "a045_bowker_symmetry",
+    oracle=f"""{_MODAL_SQL}, ct AS (
+  SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n FROM paired
+  GROUP BY t1, t2
+), pairs AS (
+  SELECT a.t1 AS i, a.t2 AS j,
+         a.n AS nij, COALESCE(b.n, 0) AS nji
+  FROM ct a LEFT JOIN ct b ON b.t1 = a.t2 AND b.t2 = a.t1
+  WHERE a.t1 < a.t2
+  UNION ALL
+  SELECT b.t2 AS i, b.t1 AS j, 0 AS nij, b.n AS nji
+  FROM ct b LEFT JOIN ct a ON a.t1 = b.t2 AND a.t2 = b.t1
+  WHERE b.t1 > b.t2 AND a.t1 IS NULL
+), terms AS (
+  SELECT i, j, nij, nji,
+         CASE WHEN nij + nji > 0
+              THEN CAST(ROUND(CAST((nij - nji) * (nij - nji)
+                              AS DOUBLE) / (nij + nji)
+                              * 1000000000.0, 0) AS BIGINT)
+              ELSE NULL END AS t_fp
+  FROM pairs
+)
+SELECT CAST(COUNT(t_fp) AS BIGINT) AS df_used,
+       CAST(SUM(nij + nji) AS BIGINT) AS n_off_diag,
+       round(CAST(COALESCE(SUM(t_fp), 0) AS DOUBLE) / 1000000000.0, 6)
+         AS chi2_bowker_r
+FROM terms
+""",
+    tags=("inference", "stats"),
+)
+def a045_bowker_symmetry(spark, sf_dir):
+    """Bowker's test of symmetry on the 5×5 paired transition table
+    of each user's MODAL event type, first half vs second half of the
+    corpus window — the k×k generalization of a412's McNemar: under
+    symmetry the flows i→j and j→i should balance, so
+    Σ(n_ij−n_ji)²/(n_ij+n_ji) over unordered pairs is χ² with one df
+    per non-empty pair (zero-sum pairs are excluded and df_used
+    reported, the standard convention). Modal types use a
+    deterministic (count DESC, type) tie-break; every cell count is
+    exact, and each pair's term is nano-quantized before the exact
+    integer sum. One corpus fold + per-user argmax window; the
+    contingency is ≤25 cells at any scale."""
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    mid = rng.select((F.col("lo") + F.expr("(hi - lo) div 2")).alias("m"))
+    halves = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "user_id",
+            F.when(F.unix_micros("ts") < F.col("m"), 1)
+            .otherwise(2)
+            .alias("h"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    modal = (
+        halves.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "h").orderBy(
+                    F.col("c").desc(), "event_type"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", "event_type")
+    )
+    paired = (
+        modal.filter(F.col("h") == 1)
+        .select("user_id", F.col("event_type").alias("t1"))
+        .join(
+            modal.filter(F.col("h") == 2).select(
+                "user_id", F.col("event_type").alias("t2")
+            ),
+            "user_id",
+        )
+    )
+    ct = paired.groupBy("t1", "t2").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = ct.select(
+        F.col("t1").alias("i"), F.col("t2").alias("j"), F.col("n")
+    )
+    b = ct.select(
+        F.col("t2").alias("i"), F.col("t1").alias("j"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), ["i", "j"], "full")
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("nij"),
+            F.coalesce("nb", F.lit(0).cast("bigint")).alias("nji"),
+        )
+    )
+    t_fp = F.when(
+        F.col("nij") + F.col("nji") > 0,
+        F.round(
+            ((F.col("nij") - F.col("nji")) * (F.col("nij") - F.col("nji")))
+            .cast("double")
+            / (F.col("nij") + F.col("nji"))
+            * 1000000000.0,
+            0,
+        ).cast("bigint"),
+    )
+    return pairs.select("nij", "nji", t_fp.alias("t_fp")).agg(
+        F.count("t_fp").cast("bigint").alias("df_used"),
+        F.sum(F.col("nij") + F.col("nji"))
+        .cast("bigint")
+        .alias("n_off_diag"),
+        F.round(
+            F.coalesce(F.sum("t_fp"), F.lit(0)).cast("double")
+            / 1000000000.0,
+            6,
+        ).alias("chi2_bowker_r"),
+    )
+
+
+@query(
+    "a046_stuart_maxwell",
+    oracle=f"""{_MODAL_SQL}, coll AS (
+  SELECT CASE WHEN t1 = 'purchase' THEN 'purchase'
+              WHEN t1 = 'click' THEN 'click' ELSE 'other' END AS c1,
+         CASE WHEN t2 = 'purchase' THEN 'purchase'
+              WHEN t2 = 'click' THEN 'click' ELSE 'other' END AS c2
+  FROM paired
+), ct AS (
+  SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS n FROM coll GROUP BY 1, 2
+), cell AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN c1 = 'purchase' AND c2 = 'click'
+                       THEN n END), 0)
+         + COALESCE(SUM(CASE WHEN c1 = 'click' AND c2 = 'purchase'
+                         THEN n END), 0) AS BIGINT) AS m12,
+    CAST(COALESCE(SUM(CASE WHEN c1 = 'purchase' AND c2 = 'other'
+                       THEN n END), 0)
+         + COALESCE(SUM(CASE WHEN c1 = 'other' AND c2 = 'purchase'
+                         THEN n END), 0) AS BIGINT) AS m13,
+    CAST(COALESCE(SUM(CASE WHEN c1 = 'click' AND c2 = 'other'
+                       THEN n END), 0)
+         + COALESCE(SUM(CASE WHEN c1 = 'other' AND c2 = 'click'
+                         THEN n END), 0) AS BIGINT) AS m23,
+    CAST(COALESCE(SUM(CASE WHEN c1 = 'purchase' THEN n END), 0)
+         - COALESCE(SUM(CASE WHEN c2 = 'purchase' THEN n END), 0)
+         AS BIGINT) AS d1,
+    CAST(COALESCE(SUM(CASE WHEN c1 = 'click' THEN n END), 0)
+         - COALESCE(SUM(CASE WHEN c2 = 'click' THEN n END), 0)
+         AS BIGINT) AS d2,
+    CAST(COALESCE(SUM(CASE WHEN c1 = 'other' THEN n END), 0)
+         - COALESCE(SUM(CASE WHEN c2 = 'other' THEN n END), 0)
+         AS BIGINT) AS d3,
+    CAST(SUM(n) AS BIGINT) AS nu
+  FROM ct
+)
+SELECT nu AS n_users, d1 AS d_purchase, d2 AS d_click, d3 AS d_other,
+       CASE WHEN m12 * m13 + m12 * m23 + m13 * m23 > 0 THEN
+         round(CAST(m23 * d1 * d1 + m13 * d2 * d2 + m12 * d3 * d3
+                    AS DOUBLE)
+               / CAST(m12 * m13 + m12 * m23 + m13 * m23 AS DOUBLE), 6)
+       END AS chi2_sm_r
+FROM cell
+""",
+    tags=("inference", "stats"),
+)
+def a046_stuart_maxwell(spark, sf_dir):
+    """Stuart–Maxwell marginal-homogeneity test on the 3-category
+    (purchase / click / other) modal-behavior transition — the
+    complement of a045's Bowker: Bowker asks whether individual
+    flows are symmetric, Stuart–Maxwell asks whether the MARGINS
+    moved (did the population's modal mix shift between halves, even
+    if individual cells trade asymmetrically). For k=3 the statistic
+    has the classic closed form χ² = (n̄₂₃d₁² + n̄₁₃d₂² + n̄₁₂d₃²) /
+    (2Σn̄n̄) — evaluated here with DOUBLED pair sums m_ij = n_ij+n_ji
+    so every term is an exact BIGINT (the 2s cancel), one division,
+    NULL when all off-diagonal traffic is empty. Shares the modal
+    derivation with a045 (same fold, same tie-break); ≤9 cells at
+    any scale."""
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    mid = rng.select((F.col("lo") + F.expr("(hi - lo) div 2")).alias("m"))
+    halves = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "user_id",
+            F.when(F.unix_micros("ts") < F.col("m"), 1)
+            .otherwise(2)
+            .alias("h"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    modal = (
+        halves.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "h").orderBy(
+                    F.col("c").desc(), "event_type"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", "event_type")
+    )
+    coll = F.when(
+        F.col("event_type") == "purchase", "purchase"
+    ).when(F.col("event_type") == "click", "click").otherwise("other")
+    paired = (
+        modal.filter(F.col("h") == 1)
+        .select("user_id", coll.alias("c1"))
+        .join(
+            modal.filter(F.col("h") == 2).select(
+                "user_id", coll.alias("c2")
+            ),
+            "user_id",
+        )
+    )
+    ct = paired.groupBy("c1", "c2").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+    def m(a, b):
+        return (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("c1") == a) & (F.col("c2") == b),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("c1") == b) & (F.col("c2") == a),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            )
+        ).cast("bigint")
+
+    def d(a):
+        return (
+            F.coalesce(F.sum(F.when(F.col("c1") == a, F.col("n"))), F.lit(0))
+            - F.coalesce(
+                F.sum(F.when(F.col("c2") == a, F.col("n"))), F.lit(0)
+            )
+        ).cast("bigint")
+
+    cell = ct.agg(
+        m("purchase", "click").alias("m12"),
+        m("purchase", "other").alias("m13"),
+        m("click", "other").alias("m23"),
+        d("purchase").alias("d1"),
+        d("click").alias("d2"),
+        d("other").alias("d3"),
+        F.sum("n").cast("bigint").alias("nu"),
+    )
+    den = (
+        F.col("m12") * F.col("m13")
+        + F.col("m12") * F.col("m23")
+        + F.col("m13") * F.col("m23")
+    )
+    num = (
+        F.col("m23") * F.col("d1") * F.col("d1")
+        + F.col("m13") * F.col("d2") * F.col("d2")
+        + F.col("m12") * F.col("d3") * F.col("d3")
+    )
+    return cell.select(
+        F.col("nu").alias("n_users"),
+        F.col("d1").alias("d_purchase"),
+        F.col("d2").alias("d_click"),
+        F.col("d3").alias("d_other"),
+        F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+        ).alias("chi2_sm_r"),
+    )
+
+
+@query(
+    "a047_anderson_darling_ksample",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderpriority AS g,
+         CAST(ROUND(o_totalprice, 0) AS BIGINT) AS v
+  FROM orders
+), hist AS (
+  SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM obs GROUP BY v, g
+), pool AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS l FROM hist GROUP BY v
+), pcum AS (
+  SELECT v, l,
+         2 * CAST(SUM(l) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) - l AS b2,
+         CAST(SUM(l) OVER () AS BIGINT) AS nn
+  FROM pool
+), gsz AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_i FROM hist GROUP BY g
+), grid AS (
+  SELECT p.v, p.l, p.b2, p.nn, z.g, z.n_i,
+         COALESCE(h.c, 0) AS c
+  FROM pcum p CROSS JOIN gsz z
+  LEFT JOIN hist h ON h.v = p.v AND h.g = z.g
+), mcum AS (
+  SELECT v, l, b2, nn, g, n_i,
+         2 * CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) - c AS m2
+  FROM grid
+), terms AS (
+  SELECT g, n_i, nn,
+         CASE WHEN b2 * (2 * nn - b2) - nn * l > 0 THEN
+           CAST(ROUND(
+             (CAST(l AS DOUBLE) / nn)
+             * (CAST(nn AS DOUBLE) * m2 - CAST(n_i AS DOUBLE) * b2)
+             * (CAST(nn AS DOUBLE) * m2 - CAST(n_i AS DOUBLE) * b2)
+             / (CAST(b2 AS DOUBLE) * (2.0 * nn - b2)
+                - CAST(nn AS DOUBLE) * l)
+             * 1000000.0, 0) AS BIGINT)
+         END AS t_fp
+  FROM mcum
+), gterm AS (
+  SELECT g, MAX(nn) AS nn,
+         CAST(ROUND(CAST(SUM(t_fp) AS DOUBLE) / MAX(n_i), 0)
+              AS BIGINT) AS s_fp
+  FROM terms GROUP BY g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+       MAX(nn) AS n_total,
+       round((CAST(MAX(nn) AS DOUBLE) - 1.0) / MAX(nn)
+             * CAST(SUM(s_fp) AS DOUBLE) / 1000000.0, 6) AS a2_akn_r
+FROM gterm
+""",
+    tags=("inference", "stats"),
+)
+def a047_anderson_darling_ksample(spark, sf_dir):
+    """k-sample Anderson–Darling test (Scholz–Stephens A²ₐₖₙ, midrank
+    version) across the 5 order priorities — the tail-sensitive
+    k-sample distribution-equality test that q157's two-sample KS and
+    a106's Kruskal–Wallis (location-only) cannot replace: AD weights
+    discrepancies by 1/(F(1−F)), so tail divergence between priority
+    classes registers where KS's sup-norm misses it. The pooled and
+    per-group CDFs live on a value-DOMAIN-bounded grid (distinct
+    rounded dollar values × 5 groups — independent of row count) as
+    DOUBLED midrank masses (exact integers off two cumulative
+    windows); each grid term runs its doubles once and is
+    micro-quantized before the exact per-group sums (degenerate
+    single-value pools yield NULL terms, excluded, the standard
+    convention). One corpus fold; everything after is domain-sized."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice"), 0).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("v", "g").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    pool = hist.groupBy("v").agg(F.sum("c").cast("bigint").alias("l"))
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pcum = pool.select(
+        "v",
+        "l",
+        (2 * F.sum("l").over(wv).cast("bigint") - F.col("l")).alias("b2"),
+        F.sum("l").over(wall).cast("bigint").alias("nn"),
+    )
+    gsz = hist.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_i"))
+    grid = (
+        pcum.crossJoin(F.broadcast(gsz))
+        .join(hist, ["v", "g"], "left")
+        .select(
+            "v",
+            "l",
+            "b2",
+            "nn",
+            "g",
+            "n_i",
+            F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
+        )
+    )
+    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mcum = grid.select(
+        "l",
+        "b2",
+        "nn",
+        "g",
+        "n_i",
+        (2 * F.sum("c").over(wg).cast("bigint") - F.col("c")).alias("m2"),
+    )
+    dev = F.col("nn").cast("double") * F.col("m2") - F.col(
+        "n_i"
+    ).cast("double") * F.col("b2")
+    den = F.col("b2").cast("double") * (
+        2.0 * F.col("nn") - F.col("b2")
+    ) - F.col("nn").cast("double") * F.col("l")
+    t_fp = F.when(
+        F.col("b2") * (2 * F.col("nn") - F.col("b2"))
+        - F.col("nn") * F.col("l")
+        > 0,
+        F.round(
+            (F.col("l").cast("double") / F.col("nn"))
+            * dev
+            * dev
+            / den
+            * 1000000.0,
+            0,
+        ).cast("bigint"),
+    )
+    terms = mcum.select("g", "n_i", "nn", t_fp.alias("t_fp"))
+    gterm = terms.groupBy("g").agg(
+        F.max("nn").alias("nn"),
+        F.round(F.sum("t_fp").cast("double") / F.max("n_i"), 0)
+        .cast("bigint")
+        .alias("s_fp"),
+    )
+    return gterm.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.max("nn").alias("n_total"),
+        F.round(
+            (F.max("nn").cast("double") - 1.0)
+            / F.max("nn")
+            * F.sum("s_fp").cast("double")
+            / 1000000.0,
+            6,
+        ).alias("a2_akn_r"),
+    )

@@ -2030,13 +2030,15 @@ WITH e AS (
 ), lrd_o AS (
   SELECT t.src AS id,
          CAST(ROUND(5000000000000000000.0
-           / SUM(greatest(t.r_fp, k.r_fp)), 0) AS BIGINT) AS lrd_fp
+           / greatest(SUM(greatest(t.r_fp, k.r_fp)), 5), 0)
+           AS BIGINT) AS lrd_fp
   FROM tn t JOIN kd_h k ON k.id = t.cand
   GROUP BY t.src
 ), lrd_p AS (
   SELECT t.src AS id,
          CAST(ROUND(5000000000000000000.0
-           / SUM(greatest(t.r_fp, k.r_fp)), 0) AS BIGINT) AS lrd_fp
+           / greatest(SUM(greatest(t.r_fp, k.r_fp)), 5), 0)
+           AS BIGINT) AS lrd_fp
   FROM tp t JOIN kd_n k ON k.id = t.cand
   GROUP BY t.src
 ), kd_p AS (
@@ -2149,9 +2151,18 @@ def a450_lof_panel(spark, sf_dir):
             t5.join(kd, t5.cand == kd.id)
             .groupBy("src")
             .agg(
+                # exact-duplicate neighborhoods sum to 0 reach
+                # distance (every copy at distance 0 — the 10x
+                # amplified corpus does this for real); floor at one
+                # fp unit per neighbor (5 total) so lrd caps at 1e18
+                # (5 summed stay inside BIGINT) instead of dividing by
+                # zero,
+                # and co-duplicate clusters score LOF = 1
                 F.round(
                     F.lit(5.0e18)
-                    / F.sum(F.greatest("r_fp", "kd_fp")),
+                    / F.greatest(
+                        F.sum(F.greatest("r_fp", "kd_fp")), F.lit(5)
+                    ),
                     0,
                 )
                 .cast("bigint")
