@@ -2782,17 +2782,19 @@ WITH e AS (
                     AS BIGINT)) AS BIGINT) // 8 AS cb
     FROM cent CROSS JOIN (SELECT unnest(range(64)) AS pos)
     GROUP BY pos)
-), tq AS (
-  SELECT CAST(SUM(list_reduce(
+), bc AS (
+  SELECT CAST(SUM(cl.n_i * CAST(ROUND(list_reduce(
            list_transform(range(64), p ->
-             CAST(ROUND((e.v[p + 1] - CAST(b.cb[p + 1] AS DOUBLE)
-                         / 1000000000.0)
-                        * (e.v[p + 1] - CAST(b.cb[p + 1] AS DOUBLE)
-                           / 1000000000.0)
-                        * 1000000000000.0, 0) AS BIGINT)),
-           (acc, x) -> acc + x)) AS BIGINT) AS t_fp,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM e CROSS JOIN cbar b
+             (c.cv[p + 1] - CAST(b.cb[p + 1] AS DOUBLE)
+              / 1000000000.0)
+             * (c.cv[p + 1] - CAST(b.cb[p + 1] AS DOUBLE)
+                / 1000000000.0)),
+           (acc, x) -> acc + x) * 1000000000000.0, 0) AS BIGINT))
+         AS BIGINT) AS b_fp
+  FROM cent c CROSS JOIN cbar b
+  JOIN clus cl ON cl.cid = c.cid
+), nt AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n FROM clus
 ), cd AS (
   SELECT a.cid AS i, b.cid AS j,
          sqrt(CAST(ROUND(list_reduce(
@@ -2815,14 +2817,13 @@ WITH e AS (
   JOIN sc c2 ON c2.cid = cd.j
   GROUP BY c1.cid
 )
-SELECT (SELECT n FROM tq) AS n_points,
+SELECT (SELECT n FROM nt) AS n_points,
        CAST(8 AS BIGINT) AS k_clusters,
        round(CAST(SUM(r_fp) AS DOUBLE) / 8000000000.0, 6)
          AS db_index_r,
-       round(((CAST((SELECT t_fp FROM tq) AS DOUBLE)
-               - CAST((SELECT SUM(w_i) FROM clus) AS DOUBLE)) / 7.0)
+       round((CAST((SELECT b_fp FROM bc) AS DOUBLE) / 7.0)
              / (CAST((SELECT SUM(w_i) FROM clus) AS DOUBLE)
-                / (CAST((SELECT n FROM tq) AS DOUBLE) - 8.0)), 6)
+                / (CAST((SELECT n FROM nt) AS DOUBLE) - 8.0)), 6)
          AS ch_index_r
 FROM rmax
 """,
@@ -2836,9 +2837,11 @@ def a024_davies_bouldin_ch(spark, sf_dir):
     sklearn-parity diagnostics, in their fixed-center form: scatter
     S_i = √(W_i/n_i) with W_i the EXACT fixed-point squared-distance
     sum to the assigned seed (a437 machinery), CH's between-scatter is
-    B = T − W with T the exact per-dimension-quantized scatter around
-    the integer-averaged seed mean (c̄ = (Σ round(c·10⁹)) div 8 —
-    exact in both engines), and DB's per-cluster max ratio is an
+    the DEFINITIONAL B = Σᵢ nᵢ‖cᵢ − c̄‖² around the integer-averaged
+    seed mean (c̄ = (Σ round(c·10⁹)) div 8 — exact in both engines;
+    the textbook shortcut B = T − W is only valid when centers are
+    the actual cluster means and goes NEGATIVE for fixed seeds —
+    caught by the property suite, tests/test_inference_props.py), and DB's per-cluster max ratio is an
     integer MAX over nano-quantized R_ij (≤56 pairs), so no float
     aggregation order ever matters. At 100 TB: one corpus pass
     against 8 broadcast centroids + one against the 1-row mean;
@@ -2895,27 +2898,37 @@ def a024_davies_bouldin_ch(spark, sf_dir):
             ).alias("cb")
         )
     )
-    tq = e.crossJoin(F.broadcast(cbar)).agg(
-        F.sum(
-            F.aggregate(
-                F.zip_with(
-                    "v",
-                    "cb",
-                    lambda x, c: F.round(
-                        (x - c.cast("double") / 1000000000.0)
-                        * (x - c.cast("double") / 1000000000.0)
-                        * 1000000000000.0,
-                        0,
-                    ).cast("bigint"),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
+    bc = (
+        cent.crossJoin(F.broadcast(cbar))
+        .select(
+            "cid",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "cv",
+                        "cb",
+                        lambda x, c: (
+                            x - c.cast("double") / 1000000000.0
+                        )
+                        * (x - c.cast("double") / 1000000000.0),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * 1000000000000.0,
+                0,
             )
+            .cast("bigint")
+            .alias("d_fp"),
         )
-        .cast("bigint")
-        .alias("t_fp"),
-        F.count("*").cast("bigint").alias("n"),
+        .join(F.broadcast(clus), "cid")
+        .agg(
+            F.sum(F.col("n_i") * F.col("d_fp"))
+            .cast("bigint")
+            .alias("b_fp")
+        )
     )
+    nt = clus.agg(F.sum("n_i").cast("bigint").alias("n"))
     cd = (
         cent.select(F.col("cid").alias("i"), F.col("cv").alias("va"))
         .crossJoin(
@@ -2977,20 +2990,15 @@ def a024_davies_bouldin_ch(spark, sf_dir):
         ).alias("db_index_r")
     )
     return (
-        tq.crossJoin(F.broadcast(w_tot))
+        nt.crossJoin(F.broadcast(bc))
+        .crossJoin(F.broadcast(w_tot))
         .crossJoin(F.broadcast(db))
         .select(
             F.col("n").alias("n_points"),
             F.lit(8).cast("bigint").alias("k_clusters"),
             "db_index_r",
             F.round(
-                (
-                    (
-                        F.col("t_fp").cast("double")
-                        - F.col("w").cast("double")
-                    )
-                    / 7.0
-                )
+                (F.col("b_fp").cast("double") / 7.0)
                 / (
                     F.col("w").cast("double")
                     / (F.col("n").cast("double") - 8.0)
@@ -6187,4 +6195,108 @@ def a047_anderson_darling_ksample(spark, sf_dir):
             / 1000000.0,
             6,
         ).alias("a2_akn_r"),
+    )
+
+
+@query(
+    "a048_theil_u2",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 100 AS BIGINT) AS y
+  FROM orders GROUP BY d
+), ts_ AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily
+), fc AS (
+  SELECT y,
+         lag(y, 7) OVER (ORDER BY t) AS snaive,
+         lag(y, 1) OVER (ORDER BY t) AS naive
+  FROM ts_
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((y - snaive) * (y - snaive)) AS BIGINT) AS sse_s,
+         CAST(SUM((y - naive) * (y - naive)) AS BIGINT) AS sse_n,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(snaive * snaive) AS BIGINT) AS sff
+  FROM fc WHERE snaive IS NOT NULL
+)
+SELECT n AS n_obs,
+       round(sqrt(CAST(sse_s AS DOUBLE)) / sqrt(CAST(sse_n AS DOUBLE)),
+             6) AS theil_u2_r,
+       round(sqrt(CAST(sse_s AS DOUBLE) / n)
+             / (sqrt(CAST(sff AS DOUBLE) / n)
+                + sqrt(CAST(syy AS DOUBLE) / n)), 6) AS theil_u1_r,
+       CASE WHEN sse_s < sse_n THEN 'seasonal_beats_naive'
+            ELSE 'naive_wins' END AS verdict
+FROM m
+""",
+    tags=("inference", "timeseries"),
+)
+def a048_theil_u2(spark, sf_dir):
+    """Theil's U2 (and U1) forecast-quality coefficients for the
+    weekly-seasonal-naive predictor of daily revenue against the
+    random-walk naive — the scale-free "is the model better than
+    doing nothing" ratio that complements a114's MASE (MASE scales by
+    in-sample MAE; U2 is the out-of-the-box RMSE ratio Theil defined,
+    U2 < 1 ⟺ the model beats the naive walk). Both error sums are
+    exact BIGINT squared-dollar folds over the aligned lag-7/lag-1
+    daily series (the first 7 days are excluded from BOTH sums, the
+    standard alignment); the two square roots and the ratio run once.
+    One corpus touch; ~2400-row summary window."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    ts = daily.select(
+        "y", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    w = Window.orderBy("t")
+    fc = ts.select(
+        "y",
+        F.lag("y", 7).over(w).alias("snaive"),
+        F.lag("y", 1).over(w).alias("naive"),
+    ).filter(F.col("snaive").isNotNull())
+    m = fc.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            (F.col("y") - F.col("snaive")) * (F.col("y") - F.col("snaive"))
+        )
+        .cast("bigint")
+        .alias("sse_s"),
+        F.sum(
+            (F.col("y") - F.col("naive")) * (F.col("y") - F.col("naive"))
+        )
+        .cast("bigint")
+        .alias("sse_n"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("snaive") * F.col("snaive"))
+        .cast("bigint")
+        .alias("sff"),
+    )
+    return m.select(
+        F.col("n").alias("n_obs"),
+        F.round(
+            F.sqrt(F.col("sse_s").cast("double"))
+            / F.sqrt(F.col("sse_n").cast("double")),
+            6,
+        ).alias("theil_u2_r"),
+        F.round(
+            F.sqrt(F.col("sse_s").cast("double") / F.col("n"))
+            / (
+                F.sqrt(F.col("sff").cast("double") / F.col("n"))
+                + F.sqrt(F.col("syy").cast("double") / F.col("n"))
+            ),
+            6,
+        ).alias("theil_u1_r"),
+        F.when(
+            F.col("sse_s") < F.col("sse_n"), "seasonal_beats_naive"
+        )
+        .otherwise("naive_wins")
+        .alias("verdict"),
     )
