@@ -233,3 +233,85 @@ def test_theil_u_consistency(row):
     assert r.theil_u2_r >= 0.0
     assert 0.0 <= r.theil_u1_r <= 1.0 + 1e-9
     assert (r.verdict == "seasonal_beats_naive") == (r.theil_u2_r < 1.0)
+
+
+def test_somers_gamma_bounds(row):
+    r = row("a005_somers_gamma")[0]
+    assert -1.0 <= r.gamma_r <= 1.0
+    # |gamma| >= |somers' d| always (gamma drops ties from the denom)
+    assert abs(r.gamma_r) >= abs(r.somers_dxy_r) - 1e-6
+    assert abs(r.gamma_r) >= abs(r.somers_dyx_r) - 1e-6
+
+
+def test_bartlett_nonneg(row):
+    r = row("a007_bartlett_test")[0]
+    assert r.bartlett_chi2_r >= 0.0
+
+
+def test_g_test_nonneg(row):
+    r = row("a010_g_test")[0]
+    assert r.g_stat_r >= 0.0
+
+
+def test_durbin_watson_range_and_identity(row):
+    r = row("a011_durbin_watson")[0]
+    assert 0.0 <= r.dw_r <= 4.0
+    # rho1 = 1 - DW/2 by construction
+    assert abs(r.rho1_r - (1.0 - r.dw_r / 2.0)) < 2e-6
+
+
+def test_breusch_pagan_nonneg(row):
+    r = row("a012_breusch_pagan")[0]
+    assert r.bp_lm_r >= 0.0
+
+
+def test_chow_f_nonneg(row):
+    r = row("a013_chow_test")[0]
+    assert r.f_chow_r >= 0.0
+
+
+def test_vif_at_least_one(row):
+    r = row("a014_vif")[0]
+    # VIF = 1/(1-R^2) >= 1 for any real predictor set
+    for v in (r.vif_quantity_r, r.vif_discount_r, r.vif_tax_r):
+        assert v >= 1.0 - 1e-6
+    for c in (r.r12_r, r.r13_r, r.r23_r):
+        assert -1.0 <= c <= 1.0
+
+
+def test_adf_outputs_finite(row):
+    r = row("a038_adf")[0]
+    # the AR coefficient rho on differences sits in (-2, 1) for any
+    # real series; the t ratio must agree in sign with rho
+    assert -2.0 < r.rho_r < 1.0
+    assert (r.adf_t_r < 0) == (r.rho_r < 0)
+
+
+def test_granger_f_nonneg(row):
+    r = row("a039_granger_causality")[0]
+    # restricted SSE >= unrestricted SSE, so F >= 0 up to rounding
+    assert r.f_granger_r >= -1e-6
+
+
+def test_breusch_godfrey_lm_bounds(row):
+    r = row("a040_breusch_godfrey")[0]
+    # LM = n*R^2 with R^2 in [0,1]
+    assert -1e-6 <= r.lm_bg_r <= r.n_obs + 1e-6
+    assert -1.0 <= r.rho_resid_r <= 1.0
+
+
+def test_white_r2_bounds(row):
+    r = row("a041_white_test")[0]
+    assert -1e-6 <= r.r2_aux_r <= 1.0 + 1e-6
+    assert abs(r.lm_white_r - r.n_obs * r.r2_aux_r) < 2e-4
+
+
+def test_lilliefors_d_range(row):
+    r = row("a042_lilliefors")[0]
+    assert 0.0 <= r.d_stat_r <= 1.0
+
+
+def test_conover_t_bounds(row):
+    r = row("a044_conover_squared_ranks")[0]
+    # normalized squared ranks are <= 1 each, so T <= n1
+    assert 0.0 <= r.t_norm_r <= r.n_urgent + 1e-6
