@@ -6300,3 +6300,669 @@ def a048_theil_u2(spark, sf_dir):
         .otherwise("naive_wins")
         .alias("verdict"),
     )
+
+
+@query(
+    "a049_kendalls_w",
+    oracle="""
+WITH per AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END),
+                       0) AS BIGINT) AS x1,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END),
+                       0) AS BIGINT) AS x2,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 END), 0) AS BIGINT) AS x3,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+                           THEN 1 END), 0) AS BIGINT) AS x4,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                           THEN 1 END), 0) AS BIGINT) AS x5
+  FROM events GROUP BY user_id
+), rk AS (
+  SELECT user_id,
+         2 + 2 * ((CASE WHEN x2 < x1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x3 < x1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x4 < x1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x5 < x1 THEN 1 ELSE 0 END))
+           + ((CASE WHEN x2 = x1 THEN 1 ELSE 0 END)
+              + (CASE WHEN x3 = x1 THEN 1 ELSE 0 END)
+              + (CASE WHEN x4 = x1 THEN 1 ELSE 0 END)
+              + (CASE WHEN x5 = x1 THEN 1 ELSE 0 END)) AS r1,
+         2 + 2 * ((CASE WHEN x1 < x2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x3 < x2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x4 < x2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x5 < x2 THEN 1 ELSE 0 END))
+           + ((CASE WHEN x1 = x2 THEN 1 ELSE 0 END)
+              + (CASE WHEN x3 = x2 THEN 1 ELSE 0 END)
+              + (CASE WHEN x4 = x2 THEN 1 ELSE 0 END)
+              + (CASE WHEN x5 = x2 THEN 1 ELSE 0 END)) AS r2,
+         2 + 2 * ((CASE WHEN x1 < x3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x2 < x3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x4 < x3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x5 < x3 THEN 1 ELSE 0 END))
+           + ((CASE WHEN x1 = x3 THEN 1 ELSE 0 END)
+              + (CASE WHEN x2 = x3 THEN 1 ELSE 0 END)
+              + (CASE WHEN x4 = x3 THEN 1 ELSE 0 END)
+              + (CASE WHEN x5 = x3 THEN 1 ELSE 0 END)) AS r3,
+         2 + 2 * ((CASE WHEN x1 < x4 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x2 < x4 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x3 < x4 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x5 < x4 THEN 1 ELSE 0 END))
+           + ((CASE WHEN x1 = x4 THEN 1 ELSE 0 END)
+              + (CASE WHEN x2 = x4 THEN 1 ELSE 0 END)
+              + (CASE WHEN x3 = x4 THEN 1 ELSE 0 END)
+              + (CASE WHEN x5 = x4 THEN 1 ELSE 0 END)) AS r4,
+         2 + 2 * ((CASE WHEN x1 < x5 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x2 < x5 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x3 < x5 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x4 < x5 THEN 1 ELSE 0 END))
+           + ((CASE WHEN x1 = x5 THEN 1 ELSE 0 END)
+              + (CASE WHEN x2 = x5 THEN 1 ELSE 0 END)
+              + (CASE WHEN x3 = x5 THEN 1 ELSE 0 END)
+              + (CASE WHEN x4 = x5 THEN 1 ELSE 0 END)) AS r5,
+         ((CASE WHEN x2 = x1 THEN 1 ELSE 0 END)
+          + (CASE WHEN x3 = x1 THEN 1 ELSE 0 END)
+          + (CASE WHEN x4 = x1 THEN 1 ELSE 0 END)
+          + (CASE WHEN x5 = x1 THEN 1 ELSE 0 END) + 1) AS t1,
+         ((CASE WHEN x1 = x2 THEN 1 ELSE 0 END)
+          + (CASE WHEN x3 = x2 THEN 1 ELSE 0 END)
+          + (CASE WHEN x4 = x2 THEN 1 ELSE 0 END)
+          + (CASE WHEN x5 = x2 THEN 1 ELSE 0 END) + 1) AS t2,
+         ((CASE WHEN x1 = x3 THEN 1 ELSE 0 END)
+          + (CASE WHEN x2 = x3 THEN 1 ELSE 0 END)
+          + (CASE WHEN x4 = x3 THEN 1 ELSE 0 END)
+          + (CASE WHEN x5 = x3 THEN 1 ELSE 0 END) + 1) AS t3,
+         ((CASE WHEN x1 = x4 THEN 1 ELSE 0 END)
+          + (CASE WHEN x2 = x4 THEN 1 ELSE 0 END)
+          + (CASE WHEN x3 = x4 THEN 1 ELSE 0 END)
+          + (CASE WHEN x5 = x4 THEN 1 ELSE 0 END) + 1) AS t4,
+         ((CASE WHEN x1 = x5 THEN 1 ELSE 0 END)
+          + (CASE WHEN x2 = x5 THEN 1 ELSE 0 END)
+          + (CASE WHEN x3 = x5 THEN 1 ELSE 0 END)
+          + (CASE WHEN x4 = x5 THEN 1 ELSE 0 END) + 1) AS t5
+  FROM per
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(r1) AS BIGINT) AS rr1,
+         CAST(SUM(r2) AS BIGINT) AS rr2,
+         CAST(SUM(r3) AS BIGINT) AS rr3,
+         CAST(SUM(r4) AS BIGINT) AS rr4,
+         CAST(SUM(r5) AS BIGINT) AS rr5,
+         CAST(SUM((t1 * t1 - 1) + (t2 * t2 - 1) + (t3 * t3 - 1)
+                  + (t4 * t4 - 1) + (t5 * t5 - 1)) AS BIGINT) AS tt
+  FROM rk
+)
+SELECT m AS n_raters,
+       round(
+         3.0 * CAST((rr1 - 6 * m) * (rr1 - 6 * m)
+                    + (rr2 - 6 * m) * (rr2 - 6 * m)
+                    + (rr3 - 6 * m) * (rr3 - 6 * m)
+                    + (rr4 - 6 * m) * (rr4 - 6 * m)
+                    + (rr5 - 6 * m) * (rr5 - 6 * m) AS DOUBLE)
+         / (120.0 * CAST(m AS DOUBLE) * m - CAST(m AS DOUBLE) * tt),
+         6) AS w_r,
+       round(
+         CAST(m AS DOUBLE) * 4.0
+         * (3.0 * CAST((rr1 - 6 * m) * (rr1 - 6 * m)
+                       + (rr2 - 6 * m) * (rr2 - 6 * m)
+                       + (rr3 - 6 * m) * (rr3 - 6 * m)
+                       + (rr4 - 6 * m) * (rr4 - 6 * m)
+                       + (rr5 - 6 * m) * (rr5 - 6 * m) AS DOUBLE)
+            / (120.0 * CAST(m AS DOUBLE) * m
+               - CAST(m AS DOUBLE) * tt)), 6) AS chi2_r
+FROM s
+""",
+    tags=("inference", "stats"),
+)
+def a049_kendalls_w(spark, sf_dir):
+    """Kendall's coefficient of concordance W, with the tie
+    correction, across all users' rankings of the 5 event types by
+    personal usage — the multi-rater agreement statistic that a118's
+    pairwise tau and a-family ICC don't give: W ∈ [0,1] asks whether
+    THOUSANDS of rankings share one consensus ordering. Within-user
+    midranks of the 5 counts are DOUBLED integers from pairwise CASE
+    comparisons (no sort); each user's tie correction Σ(t³−t) folds
+    to Σ_j(t_j²−1) with t_j the size of item j's tie class — all
+    exact BIGINTs in ONE user-level fold — and W = 12S/(m²(n³−n) −
+    mΣT) is a single readout (χ² = m(n−1)W). One corpus scan, one
+    user shuffle, 1-row output at any scale."""
+    ev = table(spark, sf_dir, "events")
+    types = ("view", "click", "purchase", "signup", "error")
+    per = ev.groupBy("user_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"x{i+1}")
+            for i, t in enumerate(types)
+        ]
+    )
+
+    def r2(j):
+        others = [k for k in range(1, 6) if k != j]
+        less = sum(
+            (
+                F.when(F.col(f"x{k}") < F.col(f"x{j}"), 1).otherwise(0)
+                for k in others[1:]
+            ),
+            F.when(F.col(f"x{others[0]}") < F.col(f"x{j}"), 1).otherwise(0),
+        )
+        eq = sum(
+            (
+                F.when(F.col(f"x{k}") == F.col(f"x{j}"), 1).otherwise(0)
+                for k in others[1:]
+            ),
+            F.when(F.col(f"x{others[0]}") == F.col(f"x{j}"), 1).otherwise(
+                0
+            ),
+        )
+        return (2 + 2 * less + eq).alias(f"r{j}"), (eq + 1).alias(f"t{j}")
+
+    cols = []
+    for j in range(1, 6):
+        rj, tj = r2(j)
+        cols.extend([rj, tj])
+    rk = per.select(*cols)
+    s = rk.agg(
+        F.count("*").cast("bigint").alias("m"),
+        *[F.sum(f"r{j}").cast("bigint").alias(f"rr{j}") for j in range(1, 6)],
+        sum(
+            (
+                F.sum(F.col(f"t{j}") * F.col(f"t{j}") - 1)
+                for j in range(2, 6)
+            ),
+            F.sum(F.col("t1") * F.col("t1") - 1),
+        )
+        .cast("bigint")
+        .alias("tt"),
+    )
+    s4 = sum(
+        (
+            (F.col(f"rr{j}") - 6 * F.col("m"))
+            * (F.col(f"rr{j}") - 6 * F.col("m"))
+            for j in range(2, 6)
+        ),
+        (F.col("rr1") - 6 * F.col("m"))
+        * (F.col("rr1") - 6 * F.col("m")),
+    )
+    md = F.col("m").cast("double")
+    w = (
+        3.0
+        * s4.cast("double")
+        / (120.0 * md * F.col("m") - md * F.col("tt"))
+    )
+    return s.select(
+        F.col("m").alias("n_raters"),
+        F.round(w, 6).alias("w_r"),
+        F.round(md * 4.0 * w, 6).alias("chi2_r"),
+    )
+
+
+@query(
+    "a050_goodman_kruskal_lambda",
+    oracle="""
+WITH ct AS (
+  SELECT c_nationkey AS x, c_mktsegment AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+), rowmax AS (
+  SELECT CAST(SUM(mx) AS BIGINT) AS sum_rowmax FROM (
+    SELECT x, MAX(n) AS mx FROM ct GROUP BY x)
+), colmax AS (
+  SELECT CAST(SUM(mx) AS BIGINT) AS sum_colmax FROM (
+    SELECT y, MAX(n) AS mx FROM ct GROUP BY y)
+), ymax AS (
+  SELECT CAST(MAX(s) AS BIGINT) AS max_y FROM (
+    SELECT y, SUM(n) AS s FROM ct GROUP BY y)
+), xmax AS (
+  SELECT CAST(MAX(s) AS BIGINT) AS max_x FROM (
+    SELECT x, SUM(n) AS s FROM ct GROUP BY x)
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn FROM ct
+)
+SELECT nn AS n_customers,
+       round(CAST(sum_rowmax - max_y AS DOUBLE) / (nn - max_y), 6)
+         AS lambda_seg_given_nation_r,
+       round(CAST(sum_colmax - max_x AS DOUBLE) / (nn - max_x), 6)
+         AS lambda_nation_given_seg_r,
+       round(CAST((sum_rowmax - max_y) + (sum_colmax - max_x)
+                  AS DOUBLE)
+             / CAST((nn - max_y) + (nn - max_x) AS DOUBLE), 6)
+         AS lambda_symmetric_r
+FROM rowmax CROSS JOIN colmax CROSS JOIN ymax CROSS JOIN xmax
+CROSS JOIN tot
+""",
+    tags=("inference", "stats"),
+)
+def a050_goodman_kruskal_lambda(spark, sf_dir):
+    """Goodman–Kruskal lambda (both directions + symmetric) for
+    nation → market segment — the proportional-reduction-in-error
+    association measure that answers the question a413's Cramér's V
+    cannot: "by HOW MUCH does knowing the nation improve a modal
+    GUESS of the segment" (λ = 0 when the marginal mode already wins
+    everywhere, even under strong dependence — which is why both are
+    reported in any association audit). Everything is exact BIGINT
+    row/column maxima off ONE contingency fold (≤ 25×5 cells), three
+    closed-form divisions at the end. One corpus scan, one keyed
+    shuffle, 1-row output."""
+    c = table(spark, sf_dir, "customer")
+    ct = c.groupBy(
+        F.col("c_nationkey").alias("x"),
+        F.col("c_mktsegment").alias("y"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    rowmax = (
+        ct.groupBy("x")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("sum_rowmax"))
+    )
+    colmax = (
+        ct.groupBy("y")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("sum_colmax"))
+    )
+    ymax = (
+        ct.groupBy("y")
+        .agg(F.sum("n").alias("s"))
+        .agg(F.max("s").cast("bigint").alias("max_y"))
+    )
+    xmax = (
+        ct.groupBy("x")
+        .agg(F.sum("n").alias("s"))
+        .agg(F.max("s").cast("bigint").alias("max_x"))
+    )
+    tot = ct.agg(F.sum("n").cast("bigint").alias("nn"))
+    out = (
+        rowmax.crossJoin(F.broadcast(colmax))
+        .crossJoin(F.broadcast(ymax))
+        .crossJoin(F.broadcast(xmax))
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        F.col("nn").alias("n_customers"),
+        F.round(
+            (F.col("sum_rowmax") - F.col("max_y")).cast("double")
+            / (F.col("nn") - F.col("max_y")),
+            6,
+        ).alias("lambda_seg_given_nation_r"),
+        F.round(
+            (F.col("sum_colmax") - F.col("max_x")).cast("double")
+            / (F.col("nn") - F.col("max_x")),
+            6,
+        ).alias("lambda_nation_given_seg_r"),
+        F.round(
+            (
+                (F.col("sum_rowmax") - F.col("max_y"))
+                + (F.col("sum_colmax") - F.col("max_x"))
+            ).cast("double")
+            / (
+                (F.col("nn") - F.col("max_y"))
+                + (F.col("nn") - F.col("max_x"))
+            ).cast("double"),
+            6,
+        ).alias("lambda_symmetric_r"),
+    )
+
+
+@query(
+    "a051_uncertainty_coefficient",
+    oracle="""
+WITH ct AS (
+  SELECT source AS x, lang AS y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), lnn AS (
+  SELECT CAST(SUM(n * CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000.0,
+                                 0) AS BIGINT)) AS BIGINT) AS s_xy,
+         CAST(SUM(n) AS BIGINT) AS nn
+  FROM ct
+), lx AS (
+  SELECT CAST(SUM(s * CAST(ROUND(ln(CAST(s AS DOUBLE)) * 1000000.0,
+                                 0) AS BIGINT)) AS BIGINT) AS s_x
+  FROM (SELECT x, CAST(SUM(n) AS BIGINT) AS s FROM ct GROUP BY x)
+), ly AS (
+  SELECT CAST(SUM(s * CAST(ROUND(ln(CAST(s AS DOUBLE)) * 1000000.0,
+                                 0) AS BIGINT)) AS BIGINT) AS s_y
+  FROM (SELECT y, CAST(SUM(n) AS BIGINT) AS s FROM ct GROUP BY y)
+), h AS (
+  SELECT nn,
+         ln(CAST(nn AS DOUBLE))
+           - CAST(s_y AS DOUBLE) / 1000000.0 / nn AS h_y,
+         ln(CAST(nn AS DOUBLE))
+           - CAST(s_x AS DOUBLE) / 1000000.0 / nn AS h_x,
+         (CAST(s_xy AS DOUBLE) / 1000000.0
+          - CAST(s_x AS DOUBLE) / 1000000.0
+          - CAST(s_y AS DOUBLE) / 1000000.0) / nn
+           + ln(CAST(nn AS DOUBLE)) AS mi
+  FROM lnn CROSS JOIN lx CROSS JOIN ly
+)
+SELECT nn AS n_docs,
+       round(mi, 6) AS mi_nats_r,
+       round(mi / h_y, 6) AS u_lang_given_source_r,
+       round(mi / h_x, 6) AS u_source_given_lang_r,
+       round(2.0 * mi / (h_x + h_y), 6) AS u_symmetric_r
+FROM h
+""",
+    tags=("inference", "stats"),
+)
+def a051_uncertainty_coefficient(spark, sf_dir):
+    """Theil's uncertainty coefficient U (both directions +
+    symmetric) for source → language — the ENTROPY-based PRE measure
+    that complements a050's modal lambda (lambda only credits mode
+    flips; U credits any probability-mass sharpening) and normalizes
+    a368's raw mutual information into "fraction of H(Y) explained".
+    Every Σ n·ln n term uses the q156 quantized-ln discipline (ln
+    once per contingency cell / margin, micro-quantized to BIGINT
+    before the exact sums — cells are bounded by the source×lang
+    domain), and MI = (Σ_xy − Σ_x − Σ_y)/N + ln N is algebra on one
+    row. One corpus scan, one cell-keyed fold."""
+    d = table(spark, sf_dir, "documents")
+    ct = d.groupBy(
+        F.col("source").alias("x"), F.col("lang").alias("y")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+    def ln_micro(c):
+        return F.round(
+            F.log(F.col(c).cast("double")) * 1000000.0, 0
+        ).cast("bigint")
+
+    lnn = ct.agg(
+        F.sum(F.col("n") * ln_micro("n")).cast("bigint").alias("s_xy"),
+        F.sum("n").cast("bigint").alias("nn"),
+    )
+    lx = (
+        ct.groupBy("x")
+        .agg(F.sum("n").cast("bigint").alias("s"))
+        .agg(
+            F.sum(F.col("s") * ln_micro("s"))
+            .cast("bigint")
+            .alias("s_x")
+        )
+    )
+    ly = (
+        ct.groupBy("y")
+        .agg(F.sum("n").cast("bigint").alias("s"))
+        .agg(
+            F.sum(F.col("s") * ln_micro("s"))
+            .cast("bigint")
+            .alias("s_y")
+        )
+    )
+    h = lnn.crossJoin(F.broadcast(lx)).crossJoin(F.broadcast(ly))
+    lnN = F.log(F.col("nn").cast("double"))
+    h_y = lnN - F.col("s_y").cast("double") / 1000000.0 / F.col("nn")
+    h_x = lnN - F.col("s_x").cast("double") / 1000000.0 / F.col("nn")
+    mi = (
+        F.col("s_xy").cast("double") / 1000000.0
+        - F.col("s_x").cast("double") / 1000000.0
+        - F.col("s_y").cast("double") / 1000000.0
+    ) / F.col("nn") + lnN
+    return h.select(
+        F.col("nn").alias("n_docs"),
+        F.round(mi, 6).alias("mi_nats_r"),
+        F.round(mi / h_y, 6).alias("u_lang_given_source_r"),
+        F.round(mi / h_x, 6).alias("u_source_given_lang_r"),
+        F.round(2.0 * mi / (h_x + h_y), 6).alias("u_symmetric_r"),
+    )
+
+
+@query(
+    "a052_cramer_von_mises",
+    oracle="""
+WITH obs AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
+         CAST(ROUND(o_totalprice, 0) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), hist AS (
+  SELECT v,
+         CAST(COALESCE(SUM(CASE WHEN g = 1 THEN 1 END), 0) AS BIGINT)
+           AS c1,
+         CAST(COALESCE(SUM(CASE WHEN g = 2 THEN 1 END), 0) AS BIGINT)
+           AS c2
+  FROM obs GROUP BY v
+), cum AS (
+  SELECT v, c1, c2,
+         CAST(SUM(c1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS f2,
+         CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER () AS BIGINT) AS n2
+  FROM hist
+), terms AS (
+  SELECT n1, n2,
+         CAST(ROUND((c1 + c2)
+           * (CAST(f1 AS DOUBLE) / n1 - CAST(f2 AS DOUBLE) / n2)
+           * (CAST(f1 AS DOUBLE) / n1 - CAST(f2 AS DOUBLE) / n2)
+           * 1000000000.0, 0) AS BIGINT) AS t_fp
+  FROM cum
+)
+SELECT MAX(n1) AS n_urgent, MAX(n2) AS n_low,
+       round(CAST(MAX(n1) AS DOUBLE) * MAX(n2)
+             / ((CAST(MAX(n1) AS DOUBLE) + MAX(n2))
+                * (CAST(MAX(n1) AS DOUBLE) + MAX(n2)))
+             * CAST(SUM(t_fp) AS DOUBLE) / 1000000000.0, 6)
+         AS cvm_t_r
+FROM terms
+""",
+    tags=("inference", "stats"),
+)
+def a052_cramer_von_mises(spark, sf_dir):
+    """Two-sample Cramér–von Mises statistic (URGENT vs LOW order
+    values) — the INTEGRATED-squared-CDF-distance test that completes
+    the two-sample panel: q157's KS reacts to the single worst
+    deviation, a047's AD weights the tails, CvM weighs the WHOLE
+    curve equally, so sustained small shifts register. The empirical
+    CDFs live on one pooled value histogram; each distinct value
+    contributes l·(F̂₁−F̂₂)², run once as a double and nano-quantized
+    to BIGINT before the exact sum (the per-value count l is the
+    correct tie weight — this is the discrete CvM functional). One
+    corpus fold, bounded histogram, 1-row readout."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("g"),
+        F.round(F.col("o_totalprice"), 0).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("v").agg(
+        F.coalesce(F.sum(F.when(F.col("g") == 1, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.coalesce(F.sum(F.when(F.col("g") == 2, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "c1",
+        "c2",
+        F.sum("c1").over(wc).cast("bigint").alias("f1"),
+        F.sum("c2").over(wc).cast("bigint").alias("f2"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+    )
+    diff = (
+        F.col("f1").cast("double") / F.col("n1")
+        - F.col("f2").cast("double") / F.col("n2")
+    )
+    terms = cum.select(
+        "n1",
+        "n2",
+        F.round(
+            (F.col("c1") + F.col("c2")) * diff * diff * 1000000000.0, 0
+        )
+        .cast("bigint")
+        .alias("t_fp"),
+    )
+    n1d = F.max("n1").cast("double")
+    return terms.agg(
+        F.max("n1").alias("n_urgent"),
+        F.max("n2").alias("n_low"),
+        F.round(
+            n1d
+            * F.max("n2")
+            / ((n1d + F.max("n2")) * (n1d + F.max("n2")))
+            * F.sum("t_fp").cast("double")
+            / 1000000000.0,
+            6,
+        ).alias("cvm_t_r"),
+    )
+
+
+@query(
+    "a053_ansari_bradley",
+    oracle="""
+WITH obs AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
+         CAST(ROUND(o_totalprice, 0) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), hist AS (
+  SELECT v,
+         CAST(COALESCE(SUM(CASE WHEN g = 1 THEN 1 END), 0) AS BIGINT)
+           AS c1,
+         CAST(COALESCE(SUM(CASE WHEN g = 2 THEN 1 END), 0) AS BIGINT)
+           AS c2
+  FROM obs GROUP BY v
+), cum AS (
+  SELECT c1, c2,
+         2 * CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + (c1 + c2) + 1 AS r2,
+         CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER () AS BIGINT) AS n2
+  FROM hist
+), scored AS (
+  SELECT n1, n2, c1,
+         LEAST(r2, 2 * (n1 + n2 + 1) - r2) AS s2
+  FROM cum
+), s AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+         CAST(SUM(c1 * s2) AS BIGINT) AS ab2
+  FROM scored
+)
+SELECT n1 AS n_urgent, n2 AS n_low,
+       round(CAST(ab2 AS DOUBLE) / 2.0, 1) AS ab_stat_r,
+       round(CASE WHEN (n1 + n2) % 2 = 0 THEN
+         (CAST(ab2 AS DOUBLE) / 2.0
+          - CAST(n1 AS DOUBLE) * (n1 + n2 + 2) / 4.0)
+         / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 2)
+                * (n1 + n2 - 2)
+                / (48.0 * (CAST(n1 AS DOUBLE) + n2 - 1)))
+       ELSE
+         (CAST(ab2 AS DOUBLE) / 2.0
+          - CAST(n1 AS DOUBLE) * (n1 + n2 + 1) * (n1 + n2 + 1)
+            / (4.0 * (CAST(n1 AS DOUBLE) + n2)))
+         / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1)
+                * (3.0 + (CAST(n1 AS DOUBLE) + n2)
+                         * (CAST(n1 AS DOUBLE) + n2))
+                / (48.0 * (CAST(n1 AS DOUBLE) + n2)
+                   * (CAST(n1 AS DOUBLE) + n2)))
+       END, 6) AS z_ab_r
+FROM s
+""",
+    tags=("inference", "stats"),
+)
+def a053_ansari_bradley(spark, sf_dir):
+    """Ansari–Bradley dispersion test (URGENT vs LOW order values) —
+    the rank-based scale test whose scores fold in from BOTH ends
+    (score = min(rank, N+1−rank)), giving it a different sensitivity
+    profile from a044's squared-rank Conover: AB weights center vs
+    extreme placement linearly, so it reacts to interquartile
+    narrowing that squared ranks over-discount. Doubled midrank
+    scores come off one pooled value histogram (s₂ = min(R₂,
+    2(N+1)−R₂), exact integers), AB is one weighted fold, and the z
+    readout uses the classical even/odd-N null moments (midranks
+    under ties, documented — the standard large-sample treatment).
+    One corpus fold, bounded histogram, 1-row output."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("g"),
+        F.round(F.col("o_totalprice"), 0).cast("bigint").alias("v"),
+    )
+    hist = obs.groupBy("v").agg(
+        F.coalesce(F.sum(F.when(F.col("g") == 1, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.coalesce(F.sum(F.when(F.col("g") == 2, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "c1",
+        (
+            2
+            * F.coalesce(
+                F.sum(F.col("c1") + F.col("c2")).over(wb), F.lit(0)
+            ).cast("bigint")
+            + (F.col("c1") + F.col("c2"))
+            + 1
+        ).alias("r2"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+    )
+    scored = cum.select(
+        "n1",
+        "n2",
+        "c1",
+        F.least(
+            F.col("r2"),
+            2 * (F.col("n1") + F.col("n2") + 1) - F.col("r2"),
+        ).alias("s2"),
+    )
+    s = scored.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(F.col("c1") * F.col("s2")).cast("bigint").alias("ab2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    ab = F.col("ab2").cast("double") / 2.0
+    z_even = (ab - n1d * (F.col("n1") + F.col("n2") + 2) / 4.0) / F.sqrt(
+        n1d
+        * F.col("n2")
+        * (F.col("n1") + F.col("n2") + 2)
+        * (F.col("n1") + F.col("n2") - 2)
+        / (48.0 * (nd - 1))
+    )
+    z_odd = (
+        ab
+        - n1d
+        * (F.col("n1") + F.col("n2") + 1)
+        * (F.col("n1") + F.col("n2") + 1)
+        / (4.0 * nd)
+    ) / F.sqrt(
+        n1d
+        * F.col("n2")
+        * (F.col("n1") + F.col("n2") + 1)
+        * (3.0 + nd * nd)
+        / (48.0 * nd * nd)
+    )
+    return s.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_low"),
+        F.round(ab, 1).alias("ab_stat_r"),
+        F.round(
+            F.when((F.col("n1") + F.col("n2")) % 2 == 0, z_even).otherwise(
+                z_odd
+            ),
+            6,
+        ).alias("z_ab_r"),
+    )

@@ -315,3 +315,47 @@ def test_conover_t_bounds(row):
     r = row("a044_conover_squared_ranks")[0]
     # normalized squared ranks are <= 1 each, so T <= n1
     assert 0.0 <= r.t_norm_r <= r.n_urgent + 1e-6
+
+
+def test_kendalls_w_range(row):
+    r = row("a049_kendalls_w")[0]
+    assert 0.0 <= r.w_r <= 1.0 + 1e-9
+    # chi2 = m (n-1) W identity
+    assert abs(r.chi2_r - r.n_raters * 4.0 * r.w_r) < 2e-4
+
+
+def test_gk_lambda_bounds(row):
+    r = row("a050_goodman_kruskal_lambda")[0]
+    for v in (
+        r.lambda_seg_given_nation_r,
+        r.lambda_nation_given_seg_r,
+        r.lambda_symmetric_r,
+    ):
+        assert -1e-9 <= v <= 1.0 + 1e-9
+    lo = min(r.lambda_seg_given_nation_r, r.lambda_nation_given_seg_r)
+    hi = max(r.lambda_seg_given_nation_r, r.lambda_nation_given_seg_r)
+    # symmetric lambda is a weighted mean of the two directions
+    assert lo - 1e-6 <= r.lambda_symmetric_r <= hi + 1e-6
+
+
+def test_uncertainty_coefficient_bounds(row):
+    r = row("a051_uncertainty_coefficient")[0]
+    assert r.mi_nats_r >= -1e-6
+    for v in (
+        r.u_lang_given_source_r,
+        r.u_source_given_lang_r,
+        r.u_symmetric_r,
+    ):
+        assert -1e-6 <= v <= 1.0 + 1e-6
+
+
+def test_cvm_nonneg(row):
+    r = row("a052_cramer_von_mises")[0]
+    assert r.cvm_t_r >= 0.0
+
+
+def test_ansari_bradley_score_bounds(row):
+    r = row("a053_ansari_bradley")[0]
+    nn = r.n_urgent + r.n_low
+    # AB sums n1 scores, each in [1, (N+1)/2]
+    assert r.n_urgent <= r.ab_stat_r <= r.n_urgent * (nn + 1) / 2.0
