@@ -6966,3 +6966,252 @@ def a053_ansari_bradley(spark, sf_dir):
             6,
         ).alias("z_ab_r"),
     )
+
+
+@query(
+    "a054_map_mrr",
+    oracle="""
+WITH ranked AS (
+  SELECT c_nationkey AS nk,
+         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+    ON o.o_custkey = c.c_custkey
+), cut AS (
+  SELECT nk, rel, rk,
+         CAST(SUM(rel) OVER (PARTITION BY nk ORDER BY rk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumrel
+  FROM ranked WHERE rk <= 100
+), perq AS (
+  SELECT nk,
+         CAST(COALESCE(SUM(CASE WHEN rel = 1 THEN
+           CAST(ROUND(CAST(cumrel AS DOUBLE) / rk
+                      * 1000000000.0, 0) AS BIGINT) END), 0)
+           AS BIGINT) AS ap_num_fp,
+         CAST(COALESCE(SUM(rel), 0) AS BIGINT) AS n_rel,
+         MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel
+  FROM cut GROUP BY nk
+), scored AS (
+  SELECT nk,
+         CASE WHEN n_rel > 0
+              THEN CAST(ROUND(CAST(ap_num_fp AS DOUBLE) / n_rel, 0)
+                        AS BIGINT) END AS ap_fp,
+         CASE WHEN first_rel IS NOT NULL
+              THEN CAST(ROUND(1000000000.0 / first_rel, 0) AS BIGINT)
+              END AS rr_fp
+  FROM perq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(ap_fp) AS BIGINT) AS n_with_relevant,
+       round(CAST(SUM(ap_fp) AS DOUBLE) / COUNT(ap_fp)
+             / 1000000000.0, 6) AS map100_r,
+       round(CAST(SUM(rr_fp) AS DOUBLE) / COUNT(rr_fp)
+             / 1000000000.0, 6) AS mrr_r
+FROM scored
+""",
+    tags=("inference", "eval"),
+)
+def a054_map_mrr(spark, sf_dir):
+    """MAP@100 and MRR over 25 nation-scoped retrieval runs (rank
+    each nation's customers by account balance, relevance = has ever
+    ordered) — the two ranking-eval standards q288's NDCG does not
+    give: AP integrates precision AT EVERY relevant hit (the
+    area-under-PR view), MRR scores only the first hit (the
+    navigational view). Precision terms cumrel/rank are run once per
+    relevant row and nano-quantized BEFORE the per-query exact sums
+    (a437 discipline); per-query AP and RR are re-quantized so the
+    cross-query means are exact integer divisions. The rank window
+    partitions by nation (distributed), the @100 cutoff bounds every
+    downstream fold. One corpus scan + one distinct-buyer
+    semi-aggregate."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    buyers = orders.select("o_custkey").distinct().withColumn(
+        "rel1", F.lit(1)
+    )
+    ranked = (
+        cust.join(
+            buyers.withColumnRenamed("o_custkey", "c_custkey"),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.when(F.col("rel1").isNotNull(), 1).otherwise(0).alias(
+                "rel"
+            ),
+            F.row_number()
+            .over(
+                Window.partitionBy("c_nationkey").orderBy(
+                    F.col("c_acctbal").desc(), "c_custkey"
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 100)
+    )
+    wc = Window.partitionBy("nk").orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cut = ranked.select(
+        "nk",
+        "rel",
+        "rk",
+        F.sum("rel").over(wc).cast("bigint").alias("cumrel"),
+    )
+    perq = cut.groupBy("nk").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.round(
+                        F.col("cumrel").cast("double")
+                        / F.col("rk")
+                        * 1000000000.0,
+                        0,
+                    ).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("ap_num_fp"),
+        F.coalesce(F.sum("rel"), F.lit(0)).cast("bigint").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+    )
+    scored = perq.select(
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.col("ap_num_fp").cast("double") / F.col("n_rel"), 0
+            ).cast("bigint"),
+        ).alias("ap_fp"),
+        F.when(
+            F.col("first_rel").isNotNull(),
+            F.round(1000000000.0 / F.col("first_rel"), 0).cast("bigint"),
+        ).alias("rr_fp"),
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.count("ap_fp").cast("bigint").alias("n_with_relevant"),
+        F.round(
+            F.sum("ap_fp").cast("double")
+            / F.count("ap_fp")
+            / 1000000000.0,
+            6,
+        ).alias("map100_r"),
+        F.round(
+            F.sum("rr_fp").cast("double")
+            / F.count("rr_fp")
+            / 1000000000.0,
+            6,
+        ).alias("mrr_r"),
+    )
+
+
+def _rbo_rows(p: float = 0.9, depth: int = 50):
+    """RBO weights (1−p)·p^(k−1)/k at 1e12 fixed point for k=1..depth,
+    generated once in Python and embedded as identical integer
+    literals in both plans (a016/a443 recipe)."""
+    rows = []
+    for k in range(1, depth + 1):
+        w = (1.0 - p) * (p ** (k - 1)) / k
+        rows.append((k, int(round(w * 1000000000000.0))))
+    return rows
+
+
+_RBO_ROWS = _rbo_rows()
+_RBO_VALUES = ", ".join(f"({k}, {w})" for k, w in _RBO_ROWS)
+
+
+@query(
+    "a055_rank_biased_overlap",
+    oracle=f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS rev_cents,
+         CAST(SUM(CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY l_partkey
+), two AS (
+  SELECT l_partkey,
+         row_number() OVER (ORDER BY rev_cents DESC, l_partkey)
+           AS r1,
+         row_number() OVER (ORDER BY qty_cents DESC, l_partkey)
+           AS r2
+  FROM per_part
+), mm AS (
+  SELECT GREATEST(r1, r2) AS m FROM two
+  WHERE GREATEST(r1, r2) <= 50
+), hist AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM mm GROUP BY m
+), ks(k, w_fp) AS (VALUES {_RBO_VALUES}),
+ov AS (
+  SELECT k.k, k.w_fp,
+         CAST(COALESCE((SELECT SUM(h.c) FROM hist h
+                        WHERE h.m <= k.k), 0) AS BIGINT) AS overlap
+  FROM ks k
+)
+SELECT CAST(50 AS BIGINT) AS depth,
+       CAST(MAX(overlap) AS BIGINT) AS overlap_at_depth,
+       round(CAST(SUM(w_fp * overlap) AS DOUBLE) / 1000000000000.0,
+             6) AS rbo_r
+FROM ov
+""",
+    tags=("inference", "eval"),
+)
+def a055_rank_biased_overlap(spark, sf_dir):
+    """Rank-biased overlap (p = 0.9, depth 50) between the
+    revenue-ranking and quantity-ranking of parts — the top-weighted
+    list-similarity measure built for comparing retrieval runs,
+    where q277's Kendall tau treats rank 1 and rank 10,000 swaps
+    identically: RBO's geometric weights make the head dominate and
+    the truncated-depth sum well-defined for indefinite lists. The
+    per-depth set overlap |S_k∩T_k| collapses to a cumulative count
+    of max(r1, r2) ≤ k (no per-depth set join); the (1−p)p^(k−1)/k
+    weights are a 50-row pico-fixed-point literal table generated
+    once in Python, so RBO is ONE exact BIGINT weighted fold. Two
+    rank windows over the part summary; everything after is 50
+    rows."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.sum(F.round(F.col("l_quantity") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_cents"),
+    )
+    two = per_part.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("rev_cents").desc(), "l_partkey"))
+        .alias("r1"),
+        F.row_number()
+        .over(Window.orderBy(F.col("qty_cents").desc(), "l_partkey"))
+        .alias("r2"),
+    )
+    mm = two.select(
+        F.greatest("r1", "r2").alias("m")
+    ).filter(F.col("m") <= 50)
+    hist = mm.groupBy("m").agg(F.count("*").cast("bigint").alias("c"))
+    ks = spark.createDataFrame(_RBO_ROWS, "k int, w_fp bigint")
+    ov = (
+        ks.join(F.broadcast(hist), F.col("m") <= F.col("k"), "left")
+        .groupBy("k", "w_fp")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("overlap")
+        )
+    )
+    return ov.agg(
+        F.lit(50).cast("bigint").alias("depth"),
+        F.max("overlap").cast("bigint").alias("overlap_at_depth"),
+        F.round(
+            F.sum(F.col("w_fp") * F.col("overlap")).cast("double")
+            / 1000000000000.0,
+            6,
+        ).alias("rbo_r"),
+    )

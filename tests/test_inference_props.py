@@ -359,3 +359,18 @@ def test_ansari_bradley_score_bounds(row):
     nn = r.n_urgent + r.n_low
     # AB sums n1 scores, each in [1, (N+1)/2]
     assert r.n_urgent <= r.ab_stat_r <= r.n_urgent * (nn + 1) / 2.0
+
+
+def test_map_mrr_dominance(row):
+    r = row("a054_map_mrr")[0]
+    assert 0.0 <= r.map100_r <= 1.0 + 1e-9
+    assert 0.0 <= r.mrr_r <= 1.0 + 1e-9
+    # MRR scores only the first hit at full credit, so MRR >= MAP
+    assert r.mrr_r >= r.map100_r - 1e-6
+    assert r.n_with_relevant <= r.n_queries
+
+
+def test_rbo_bounds(row):
+    r = row("a055_rank_biased_overlap")[0]
+    assert 0.0 <= r.rbo_r <= 1.0 + 1e-9
+    assert 0 <= r.overlap_at_depth <= r.depth
