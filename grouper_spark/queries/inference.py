@@ -7215,3 +7215,315 @@ def a055_rank_biased_overlap(spark, sf_dir):
             6,
         ).alias("rbo_r"),
     )
+
+
+@query(
+    "a056_weighted_kappa",
+    oracle="""
+WITH rng AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+), mid AS (
+  SELECT lo + (hi - lo) // 2 AS m FROM rng
+), act AS (
+  SELECT e.user_id,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) < d.m
+                           THEN 1 END), 0) AS BIGINT) AS a1,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) >= d.m
+                           THEN 1 END), 0) AS BIGINT) AS a2
+  FROM events e CROSS JOIN mid d
+  GROUP BY e.user_id
+), lv AS (
+  SELECT CASE WHEN a1 < 20 THEN 0 WHEN a1 < 40 THEN 1 ELSE 2 END
+           AS l1,
+         CASE WHEN a2 < 20 THEN 0 WHEN a2 < 40 THEN 1 ELSE 2 END
+           AS l2
+  FROM act
+), ct AS (
+  SELECT l1, l2, CAST(COUNT(*) AS BIGINT) AS n FROM lv GROUP BY 1, 2
+), margins AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn FROM ct
+), full_ AS (
+  SELECT i.l1, j.l2,
+         COALESCE(c.n, 0) AS n,
+         (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM ct
+          WHERE ct.l1 = i.l1) AS row_n,
+         (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM ct
+          WHERE ct.l2 = j.l2) AS col_n
+  FROM (SELECT unnest(generate_series(0, 2)) AS l1) i
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS l2) j
+  LEFT JOIN ct c ON c.l1 = i.l1 AND c.l2 = j.l2
+), sums AS (
+  SELECT m.nn,
+         CAST(SUM((l1 - l2) * (l1 - l2) * n * m.nn) AS BIGINT)
+           AS wo_q,
+         CAST(SUM((l1 - l2) * (l1 - l2) * row_n * col_n) AS BIGINT)
+           AS we_q,
+         CAST(SUM(abs(l1 - l2) * n * m.nn) AS BIGINT) AS wo_l,
+         CAST(SUM(abs(l1 - l2) * row_n * col_n) AS BIGINT) AS we_l
+  FROM full_ CROSS JOIN margins m
+  GROUP BY m.nn
+)
+SELECT nn AS n_users,
+       round(1.0 - CAST(wo_q AS DOUBLE) / CAST(we_q AS DOUBLE), 6)
+         AS kappa_quadratic_r,
+       round(1.0 - CAST(wo_l AS DOUBLE) / CAST(we_l AS DOUBLE), 6)
+         AS kappa_linear_r
+FROM sums
+""",
+    tags=("inference", "stats"),
+)
+def a056_weighted_kappa(spark, sf_dir):
+    """Weighted Cohen's kappa (linear + quadratic) for the ordinal
+    agreement between each user's first-half and second-half
+    engagement TERCILE (low/mid/high activity bands) — the ordinal
+    upgrade of a352's unweighted kappa: disagreeing by one band costs
+    less than by two, which is what a stability monitor actually
+    means by "consistent users". κ_w = 1 − Σw·O/Σw·E with the
+    identity that both the observed and expected weighted
+    disagreement can be cleared to EXACT integers (O scaled by N,
+    E = row×col margins), so each kappa is ONE division; the 3×3
+    grid is filled densely so zero cells still contribute their
+    expected weight. One corpus fold + broadcast midpoint; ≤9 cells
+    at any scale."""
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    mid = rng.select((F.col("lo") + F.expr("(hi - lo) div 2")).alias("m"))
+    act = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.unix_micros("ts") < F.col("m"), 1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("a1"),
+            F.coalesce(
+                F.sum(F.when(F.unix_micros("ts") >= F.col("m"), 1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("a2"),
+        )
+    )
+
+    def band(c):
+        return (
+            F.when(F.col(c) < 20, 0)
+            .when(F.col(c) < 40, 1)
+            .otherwise(2)
+        )
+
+    lv = act.select(band("a1").alias("l1"), band("a2").alias("l2"))
+    ct = lv.groupBy("l1", "l2").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    grid = (
+        spark.createDataFrame([(i,) for i in range(3)], "l1 int")
+        .crossJoin(
+            spark.createDataFrame([(j,) for j in range(3)], "l2 int")
+        )
+    )
+    rows = ct.groupBy("l1").agg(
+        F.sum("n").cast("bigint").alias("row_n")
+    )
+    cols = ct.groupBy("l2").agg(
+        F.sum("n").cast("bigint").alias("col_n")
+    )
+    nn = ct.agg(F.sum("n").cast("bigint").alias("nn"))
+    full_ = (
+        grid.join(F.broadcast(ct), ["l1", "l2"], "left")
+        .join(F.broadcast(rows), "l1", "left")
+        .join(F.broadcast(cols), "l2", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "l1",
+            "l2",
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
+            F.coalesce("row_n", F.lit(0).cast("bigint")).alias("row_n"),
+            F.coalesce("col_n", F.lit(0).cast("bigint")).alias("col_n"),
+            "nn",
+        )
+    )
+    dq = (F.col("l1") - F.col("l2")) * (F.col("l1") - F.col("l2"))
+    dl = F.abs(F.col("l1") - F.col("l2"))
+    sums = full_.groupBy("nn").agg(
+        F.sum(dq * F.col("n") * F.col("nn")).cast("bigint").alias("wo_q"),
+        F.sum(dq * F.col("row_n") * F.col("col_n"))
+        .cast("bigint")
+        .alias("we_q"),
+        F.sum(dl * F.col("n") * F.col("nn")).cast("bigint").alias("wo_l"),
+        F.sum(dl * F.col("row_n") * F.col("col_n"))
+        .cast("bigint")
+        .alias("we_l"),
+    )
+    return sums.select(
+        F.col("nn").alias("n_users"),
+        F.round(
+            1.0
+            - F.col("wo_q").cast("double") / F.col("we_q").cast("double"),
+            6,
+        ).alias("kappa_quadratic_r"),
+        F.round(
+            1.0
+            - F.col("wo_l").cast("double") / F.col("we_l").cast("double"),
+            6,
+        ).alias("kappa_linear_r"),
+    )
+
+
+@query(
+    "a057_matthews_corrcoef",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN c.c_acctbal > 0
+                        AND o.o_custkey IS NOT NULL THEN 1 END), 0)
+              AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(CASE WHEN c.c_acctbal > 0
+                        AND o.o_custkey IS NULL THEN 1 END), 0)
+              AS BIGINT) AS fp,
+         CAST(COALESCE(SUM(CASE WHEN c.c_acctbal <= 0
+                        AND o.o_custkey IS NOT NULL THEN 1 END), 0)
+              AS BIGINT) AS fn_,
+         CAST(COALESCE(SUM(CASE WHEN c.c_acctbal <= 0
+                        AND o.o_custkey IS NULL THEN 1 END), 0)
+              AS BIGINT) AS tn
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+    ON o.o_custkey = c.c_custkey
+)
+SELECT tp, fp, fn_ AS fn, tn,
+       CASE WHEN tp + fp > 0 AND tp + fn_ > 0 AND tn + fp > 0
+                 AND tn + fn_ > 0 THEN
+         round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn_)
+               / sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE)
+                      + fn_) * (CAST(tn AS DOUBLE) + fp)
+                      * (CAST(tn AS DOUBLE) + fn_)), 6)
+       END AS mcc_r,
+       CASE WHEN 2 * tp + fp + fn_ > 0 THEN
+         round(2.0 * tp / (2.0 * CAST(tp AS DOUBLE) + fp + fn_), 6)
+       END AS f1_r,
+       CASE WHEN tp + fn_ > 0 AND tn + fp > 0 THEN
+         round(0.5 * (CAST(tp AS DOUBLE) / (tp + fn_)
+                      + CAST(tn AS DOUBLE) / (tn + fp)), 6)
+       END AS balanced_acc_r,
+       CASE WHEN tp + fn_ > 0 AND tn + fp > 0 THEN
+         round(CAST(tp AS DOUBLE) / (tp + fn_)
+               + CAST(tn AS DOUBLE) / (tn + fp) - 1.0, 6)
+       END AS youden_j_r
+FROM cell
+""",
+    tags=("inference", "eval"),
+)
+def a057_matthews_corrcoef(spark, sf_dir):
+    """Matthews correlation coefficient + F1 + balanced accuracy +
+    Youden's J for the positive-balance → will-order predictor — the
+    binary-eval battery that completes the classifier-metric panel
+    (q286 grades ranking skill via AUC, q285 calibration; MCC is the
+    single-number confusion-matrix summary that stays honest under
+    class imbalance, where raw accuracy and even F1 mislead — the
+    standard pairing in any model card). One exact 2×2 fold off a
+    distinct-buyer semi-aggregate; every metric is a handful of
+    once-per-query doubles. 1-row output at any scale."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    buyers = orders.select("o_custkey").distinct().withColumn(
+        "bought", F.lit(1)
+    )
+    j = cust.join(
+        buyers.withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey",
+        "left",
+    )
+    cell = j.agg(
+        *[
+            F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+            .cast("bigint")
+            .alias(nm)
+            for nm, cond in (
+                (
+                    "tp",
+                    (F.col("c_acctbal") > 0)
+                    & F.col("bought").isNotNull(),
+                ),
+                (
+                    "fp",
+                    (F.col("c_acctbal") > 0) & F.col("bought").isNull(),
+                ),
+                (
+                    "fn",
+                    (F.col("c_acctbal") <= 0)
+                    & F.col("bought").isNotNull(),
+                ),
+                (
+                    "tn",
+                    (F.col("c_acctbal") <= 0) & F.col("bought").isNull(),
+                ),
+            )
+        ]
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    all_margins = (
+        (F.col("tp") + F.col("fp") > 0)
+        & (F.col("tp") + F.col("fn") > 0)
+        & (F.col("tn") + F.col("fp") > 0)
+        & (F.col("tn") + F.col("fn") > 0)
+    )
+    both_classes = (F.col("tp") + F.col("fn") > 0) & (
+        F.col("tn") + F.col("fp") > 0
+    )
+    # degenerate fixtures (sf0.001: every customer has bought, so the
+    # actual-negative margin is empty) yield NULL metrics instead of
+    # ANSI divide-by-zero; guard mirrored in the oracle
+    return cell.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            all_margins,
+            F.round(
+                (tp * F.col("tn") - fp * F.col("fn"))
+                / F.sqrt(
+                    (tp + F.col("fp"))
+                    * (tp + F.col("fn"))
+                    * (tn + F.col("fp"))
+                    * (tn + F.col("fn"))
+                ),
+                6,
+            ),
+        ).alias("mcc_r"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.round(
+                2.0
+                * F.col("tp")
+                / (2.0 * tp + F.col("fp") + F.col("fn")),
+                6,
+            ),
+        ).alias("f1_r"),
+        F.when(
+            both_classes,
+            F.round(
+                0.5
+                * (
+                    tp / (F.col("tp") + F.col("fn"))
+                    + tn / (F.col("tn") + F.col("fp"))
+                ),
+                6,
+            ),
+        ).alias("balanced_acc_r"),
+        F.when(
+            both_classes,
+            F.round(
+                tp / (F.col("tp") + F.col("fn"))
+                + tn / (F.col("tn") + F.col("fp"))
+                - 1.0,
+                6,
+            ),
+        ).alias("youden_j_r"),
+    )

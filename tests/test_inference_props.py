@@ -374,3 +374,20 @@ def test_rbo_bounds(row):
     r = row("a055_rank_biased_overlap")[0]
     assert 0.0 <= r.rbo_r <= 1.0 + 1e-9
     assert 0 <= r.overlap_at_depth <= r.depth
+
+
+def test_weighted_kappa_bounds(row):
+    r = row("a056_weighted_kappa")[0]
+    for v in (r.kappa_quadratic_r, r.kappa_linear_r):
+        assert -1.0 - 1e-9 <= v <= 1.0 + 1e-9
+
+
+def test_matthews_panel_consistency(row):
+    r = row("a057_matthews_corrcoef")[0]
+    if r.mcc_r is not None:
+        assert -1.0 <= r.mcc_r <= 1.0
+    if r.f1_r is not None:
+        assert 0.0 <= r.f1_r <= 1.0
+    if r.balanced_acc_r is not None and r.youden_j_r is not None:
+        # J = 2*BA - 1 identity
+        assert abs(r.youden_j_r - (2.0 * r.balanced_acc_r - 1.0)) < 2e-6
