@@ -7527,3 +7527,122 @@ def a057_matthews_corrcoef(spark, sf_dir):
             ),
         ).alias("youden_j_r"),
     )
+
+
+@query(
+    "a058_bland_altman",
+    oracle="""
+WITH liagg AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount)
+                             * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS net_cents
+  FROM lineitem GROUP BY l_orderkey
+), paired AS (
+  SELECT (CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)
+           - l.net_cents) // 100 AS d
+  FROM orders o JOIN liagg l ON l.l_orderkey = o.o_orderkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS sd_,
+         CAST(SUM(d * d) AS BIGINT) AS sdd
+  FROM paired
+), fit AS (
+  SELECT n,
+         CAST(sd_ AS DOUBLE) / n AS bias,
+         sqrt((CAST(n AS DOUBLE) * sdd - CAST(sd_ AS DOUBLE) * sd_)
+              / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) AS sd
+  FROM m
+), outside AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_out
+  FROM paired p CROSS JOIN fit f
+  WHERE CAST(p.d AS DOUBLE) < f.bias - 1.96 * f.sd
+     OR CAST(p.d AS DOUBLE) > f.bias + 1.96 * f.sd
+)
+SELECT f.n AS n_orders,
+       round(f.bias, 6) AS bias_dollars_r,
+       round(f.bias - 1.96 * f.sd, 6) AS loa_lower_r,
+       round(f.bias + 1.96 * f.sd, 6) AS loa_upper_r,
+       round(CAST(o.n_out AS DOUBLE) / f.n, 6) AS frac_outside_r
+FROM fit f CROSS JOIN outside o
+""",
+    tags=("inference", "stats"),
+)
+def a058_bland_altman(spark, sf_dir):
+    """Bland–Altman agreement analysis between the order-header total
+    and the discounted lineitem sum — the method-comparison standard
+    that a4-family Deming regression complements but does not
+    replace: BA reports the BIAS and 95% limits of agreement in the
+    measurement's own units, which is what a reconciliation monitor
+    acts on (Deming answers "what line relates them", BA answers
+    "how far apart do they get"). Per-order differences are exact
+    integers, floor-quantized to whole dollars so Σd² stays inside
+    BIGINT at any tested sf (the header/net gap is price-scale in
+    this fixture), off one lineitem fold + one header join; bias and
+    SD come from exact BIGINT moments; the outside-LoA count re-scans
+    only the per-order DIFFERENCE summary against a broadcast 1-row
+    fit. At 100 TB: one lineitem shuffle on the order key, one
+    order-sized pass."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    liagg = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1.0 - F.col("l_discount"))
+                * 100.0,
+                0,
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("net_cents")
+    )
+    paired = o.join(
+        liagg, o.o_orderkey == liagg.l_orderkey
+    ).select(
+        F.expr(
+            "(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)"
+            " - net_cents) div 100"
+        ).alias("d")
+    ).localCheckpoint(eager=False)
+    m = paired.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd_"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+    )
+    fit = m.select(
+        "n",
+        (F.col("sd_").cast("double") / F.col("n")).alias("bias"),
+        (
+            F.sqrt(
+                (
+                    F.col("n").cast("double") * F.col("sdd")
+                    - F.col("sd_").cast("double") * F.col("sd_")
+                )
+                / F.col("n").cast("double")
+                / (F.col("n").cast("double") - 1.0)
+            )
+        ).alias("sd"),
+    )
+    dd = F.col("d").cast("double")
+    outside = (
+        paired.crossJoin(F.broadcast(fit))
+        .filter(
+            (dd < F.col("bias") - 1.96 * F.col("sd"))
+            | (dd > F.col("bias") + 1.96 * F.col("sd"))
+        )
+        .agg(F.count("*").cast("bigint").alias("n_out"))
+    )
+    return fit.crossJoin(F.broadcast(outside)).select(
+        F.col("n").alias("n_orders"),
+        F.round("bias", 6).alias("bias_dollars_r"),
+        F.round(F.col("bias") - 1.96 * F.col("sd"), 6).alias(
+            "loa_lower_r"
+        ),
+        F.round(F.col("bias") + 1.96 * F.col("sd"), 6).alias(
+            "loa_upper_r"
+        ),
+        F.round(
+            F.col("n_out").cast("double") / F.col("n"), 6
+        ).alias("frac_outside_r"),
+    )

@@ -391,3 +391,10 @@ def test_matthews_panel_consistency(row):
     if r.balanced_acc_r is not None and r.youden_j_r is not None:
         # J = 2*BA - 1 identity
         assert abs(r.youden_j_r - (2.0 * r.balanced_acc_r - 1.0)) < 2e-6
+
+
+def test_bland_altman_loa_order(row):
+    r = row("a058_bland_altman")[0]
+    assert r.loa_lower_r <= r.bias_dollars_r <= r.loa_upper_r
+    # ~5% outside the 95% limits for any roughly symmetric distribution
+    assert 0.0 <= r.frac_outside_r <= 0.25
