@@ -55,6 +55,7 @@ _MODULES = (
     "indexing",
     "skew",
     "inference",
+    "inference2",
     # keep last: re-registers existing queries under driver-sampler
     # alias names (depends on every other module being loaded)
     "aliases",
