@@ -540,3 +540,740 @@ def a063_croston_intermittent(spark, sf_dir):
             (1.0 - _CROSTON_ALPHA / 2.0) * z_hat / p_hat, 6
         ).alias("sba_r"),
     ).orderBy("bkt")
+
+
+@query(
+    "a064_aalen_johansen",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+), signed AS (
+  SELECT user_id, s_ts, last_ts FROM base WHERE s_ts IS NOT NULL
+), firsts AS (
+  SELECT s.user_id,
+         MIN(CASE WHEN e.event_type = 'purchase' THEN e.ts END) AS p_ts,
+         MIN(CASE WHEN e.event_type = 'error' THEN e.ts END) AS e_ts
+  FROM signed s JOIN events e
+    ON e.user_id = s.user_id AND e.ts >= s.s_ts
+       AND e.event_type IN ('purchase', 'error')
+  GROUP BY s.user_id
+), subj AS (
+  SELECT s.user_id,
+         CAST(CASE
+           WHEN f.p_ts IS NOT NULL AND (f.e_ts IS NULL OR f.p_ts <= f.e_ts)
+             THEN (epoch_us(f.p_ts) - epoch_us(s.s_ts)) // 86400000000
+           WHEN f.e_ts IS NOT NULL
+             THEN (epoch_us(f.e_ts) - epoch_us(s.s_ts)) // 86400000000
+           ELSE (epoch_us(s.last_ts) - epoch_us(s.s_ts)) // 86400000000
+         END AS BIGINT) AS t_days,
+         CASE
+           WHEN f.p_ts IS NOT NULL AND (f.e_ts IS NULL OR f.p_ts <= f.e_ts)
+             THEN 1
+           WHEN f.e_ts IS NOT NULL THEN 2
+           ELSE 0
+         END AS cause
+  FROM signed s LEFT JOIN firsts f ON f.user_id = s.user_id
+), tt AS (
+  SELECT t_days,
+         CAST(COALESCE(SUM(CASE WHEN cause = 1 THEN 1 END), 0)
+              AS BIGINT) AS d1,
+         CAST(COALESCE(SUM(CASE WHEN cause = 2 THEN 1 END), 0)
+              AS BIGINT) AS d2,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM subj GROUP BY t_days
+), risk AS (
+  SELECT t_days, d1, d2,
+         CAST(SUM(m) OVER ()
+              - COALESCE(SUM(m) OVER (ORDER BY t_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n
+  FROM tt
+), lnterms AS (
+  SELECT t_days, d1, d2, n,
+         CASE WHEN d1 + d2 > 0 AND d1 + d2 < n
+              THEN CAST(ROUND(ln(1.0 - CAST(d1 + d2 AS DOUBLE) / n)
+                              * 1000000.0, 0) AS BIGINT)
+              WHEN d1 + d2 > 0 THEN CAST(-99000000 AS BIGINT)
+              ELSE 0 END AS ln_micro
+  FROM risk
+), sprev AS (
+  SELECT t_days, d1, d2, n,
+         EXP(CAST(COALESCE(SUM(ln_micro) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS DOUBLE) / 1000000.0) AS s_minus
+  FROM lnterms
+)
+SELECT t_days, n AS n_at_risk, d1, d2,
+       round(SUM(s_minus * d1 / n) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS cif_purchase_r,
+       round(SUM(s_minus * d2 / n) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS cif_error_r
+FROM sprev
+ORDER BY t_days
+""",
+)
+def a064_aalen_johansen(spark, sf_dir):
+    """Aalen–Johansen cumulative incidence under competing risks:
+    after signup a user either converts (first purchase, cause 1) or
+    hits a fatal error first (cause 2), censored at last activity —
+    the estimator that 1−KM gets WRONG under competing events (it
+    overstates each cause by ignoring the other). CIF_k(t) =
+    Σ_{s≤t} Ŝ(s−)·d_k/n_s where Ŝ is the any-cause KM: the ln(1−d/n)
+    terms are micro-quantized exact BIGINTs (the q245 recipe), exp
+    runs once per event day on that exact integer, and each CIF term
+    multiplies it by the exact d_k/n ratio before an order-pinned
+    cumulative window — identical fp order in both engines, terminal
+    round 6. Tie convention: same-instant purchase beats error. At
+    100 TB: two user-keyed folds of events; every window runs on the
+    ≤31-row day summary (the fixture's event horizon)."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("s_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    signed = base.filter(F.col("s_ts").isNotNull()).localCheckpoint(
+        eager=False
+    )
+    firsts = (
+        signed.join(
+            ev.filter(F.col("event_type").isin("purchase", "error"))
+            .select("user_id", "event_type", F.col("ts").alias("f_raw")),
+            "user_id",
+        )
+        .filter(F.col("f_raw") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("f_raw"))
+            ).alias("p_ts"),
+            F.min(
+                F.when(F.col("event_type") == "error", F.col("f_raw"))
+            ).alias("e_ts"),
+        )
+    )
+    is_p = F.col("p_ts").isNotNull() & (
+        F.col("e_ts").isNull() | (F.col("p_ts") <= F.col("e_ts"))
+    )
+    day = lambda c: F.expr(  # noqa: E731
+        f"(unix_micros({c}) - unix_micros(s_ts)) div 86400000000"
+    )
+    subj = signed.join(firsts, "user_id", "left").select(
+        F.when(is_p, day("p_ts"))
+        .when(F.col("e_ts").isNotNull(), day("e_ts"))
+        .otherwise(day("last_ts"))
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(is_p, 1)
+        .when(F.col("e_ts").isNotNull(), 2)
+        .otherwise(0)
+        .alias("cause"),
+    )
+    tt = subj.groupBy("t_days").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("cause") == 1, 1)), F.lit(0)
+        ).cast("bigint").alias("d1"),
+        F.coalesce(
+            F.sum(F.when(F.col("cause") == 2, 1)), F.lit(0)
+        ).cast("bigint").alias("d2"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    wall = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcur = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = tt.select(
+        "t_days",
+        "d1",
+        "d2",
+        (
+            F.sum("m").over(Window.partitionBy())
+            - F.coalesce(F.sum("m").over(wall), F.lit(0))
+        ).cast("bigint").alias("n"),
+    )
+    d_tot = F.col("d1") + F.col("d2")
+    lnterms = risk.withColumn(
+        "ln_micro",
+        F.when(
+            (d_tot > 0) & (d_tot < F.col("n")),
+            F.round(
+                F.log(1.0 - d_tot.cast("double") / F.col("n")) * 1e6, 0
+            ).cast("bigint"),
+        )
+        .when(d_tot > 0, F.lit(-99000000).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint")),
+    )
+    sprev = lnterms.select(
+        "t_days",
+        "d1",
+        "d2",
+        "n",
+        F.exp(
+            F.coalesce(F.sum("ln_micro").over(wall), F.lit(0))
+            .cast("double") / 1e6
+        ).alias("s_minus"),
+    )
+    return sprev.select(
+        "t_days",
+        F.col("n").alias("n_at_risk"),
+        "d1",
+        "d2",
+        F.round(
+            F.sum(
+                F.col("s_minus") * F.col("d1") / F.col("n")
+            ).over(wcur),
+            6,
+        ).alias("cif_purchase_r"),
+        F.round(
+            F.sum(
+                F.col("s_minus") * F.col("d2") / F.col("n")
+            ).over(wcur),
+            6,
+        ).alias("cif_error_r"),
+    ).orderBy("t_days")
+
+
+@query(
+    "a065_km_greenwood_ci",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+), signed AS (
+  SELECT user_id, s_ts, last_ts FROM base WHERE s_ts IS NOT NULL
+), conv AS (
+  SELECT s.user_id, MIN(e.ts) AS p_ts
+  FROM signed s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+  GROUP BY s.user_id
+), subj AS (
+  SELECT CAST(CASE WHEN c.p_ts IS NOT NULL
+              THEN (epoch_us(c.p_ts) - epoch_us(s.s_ts)) // 86400000000
+              ELSE (epoch_us(s.last_ts) - epoch_us(s.s_ts)) // 86400000000
+              END AS BIGINT) AS t_days,
+         CASE WHEN c.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM signed s LEFT JOIN conv c ON c.user_id = s.user_id
+), tt AS (
+  SELECT t_days,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM subj GROUP BY t_days
+), risk AS (
+  SELECT t_days, d,
+         CAST(SUM(m) OVER ()
+              - COALESCE(SUM(m) OVER (ORDER BY t_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n
+  FROM tt
+), terms AS (
+  SELECT t_days, d, n,
+         CASE WHEN d > 0 AND d < n
+              THEN CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n)
+                              * 1000000.0, 0) AS BIGINT)
+              WHEN d > 0 THEN CAST(-99000000 AS BIGINT)
+              ELSE 0 END AS ln_micro,
+         CASE WHEN d = 0 THEN 0
+              WHEN d < n
+              THEN CAST(ROUND(CAST(d AS DOUBLE) * 1000000000000.0
+                              / (CAST(n AS DOUBLE) * (n - d)), 0)
+                        AS BIGINT)
+              ELSE CAST(1000000000000 AS BIGINT) END AS gw_pico
+  FROM risk
+), cum AS (
+  SELECT t_days, d, n,
+         CAST(SUM(ln_micro) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS lsum,
+         CAST(SUM(gw_pico) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS gsum
+  FROM terms
+)
+SELECT t_days, n AS n_at_risk, d AS n_events,
+       round(EXP(CAST(lsum AS DOUBLE) / 1000000.0), 6) AS survival_r,
+       round(GREATEST(
+         EXP(CAST(lsum AS DOUBLE) / 1000000.0)
+           - 1.96 * EXP(CAST(lsum AS DOUBLE) / 1000000.0)
+                  * SQRT(CAST(gsum AS DOUBLE) / 1000000000000.0),
+         0.0), 6) AS ci_lo_r,
+       round(LEAST(
+         EXP(CAST(lsum AS DOUBLE) / 1000000.0)
+           + 1.96 * EXP(CAST(lsum AS DOUBLE) / 1000000.0)
+                  * SQRT(CAST(gsum AS DOUBLE) / 1000000000000.0),
+         1.0), 6) AS ci_hi_r
+FROM cum
+ORDER BY t_days
+""",
+)
+def a065_km_greenwood_ci(spark, sf_dir):
+    """Kaplan–Meier with Greenwood 95% confidence bands for
+    signup→purchase conversion — the uncertainty q245 reports none
+    of: Var[Ŝ(t)] = Ŝ(t)²·Σ d/(n(n−d)). Both running sums are
+    fixed-point exact BIGINTs (ln terms micro-quantized per the q245
+    recipe; Greenwood increments pico-quantized, with the d = n
+    degenerate tail pinned to exactly 1.0 in both engines), exp/sqrt
+    run once per event day on those exact integers, and the linear CI
+    is clamped to [0, 1]. At 100 TB the corpus never survives past
+    the per-user fold; windows run on the ≤31-row day summary."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("s_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    signed = base.filter(F.col("s_ts").isNotNull()).localCheckpoint(
+        eager=False
+    )
+    conv = (
+        signed.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_raw")
+            ),
+            "user_id",
+        )
+        .filter(F.col("p_raw") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_raw").alias("p_ts"))
+    )
+    subj = signed.join(conv, "user_id", "left").select(
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.expr(
+                "(unix_micros(p_ts) - unix_micros(s_ts))"
+                " div 86400000000"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "(unix_micros(last_ts) - unix_micros(s_ts))"
+                " div 86400000000"
+            )
+        )
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tt = subj.groupBy("t_days").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    wall = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcur = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = tt.select(
+        "t_days",
+        "d",
+        (
+            F.sum("m").over(Window.partitionBy())
+            - F.coalesce(F.sum("m").over(wall), F.lit(0))
+        ).cast("bigint").alias("n"),
+    )
+    dd = F.col("d").cast("double")
+    nn = F.col("n").cast("double")
+    terms = risk.select(
+        "t_days",
+        "d",
+        "n",
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n")),
+            F.round(F.log(1.0 - dd / F.col("n")) * 1e6, 0).cast("bigint"),
+        )
+        .when(F.col("d") > 0, F.lit(-99000000).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("ln_micro"),
+        F.when(F.col("d") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("d") < F.col("n"),
+            F.round(
+                dd * 1000000000000.0 / (nn * (F.col("n") - F.col("d"))),
+                0,
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(1000000000000).cast("bigint"))
+        .alias("gw_pico"),
+    )
+    cum = terms.select(
+        "t_days",
+        "d",
+        "n",
+        F.sum("ln_micro").over(wcur).cast("bigint").alias("lsum"),
+        F.sum("gw_pico").over(wcur).cast("bigint").alias("gsum"),
+    )
+    s_hat = F.exp(F.col("lsum").cast("double") / 1e6)
+    se = s_hat * F.sqrt(F.col("gsum").cast("double") / 1e12)
+    return cum.select(
+        "t_days",
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.round(s_hat, 6).alias("survival_r"),
+        F.round(F.greatest(s_hat - 1.96 * se, F.lit(0.0)), 6)
+        .alias("ci_lo_r"),
+        F.round(F.least(s_hat + 1.96 * se, F.lit(1.0)), 6)
+        .alias("ci_hi_r"),
+    ).orderBy("t_days")
+
+
+# Part co-order graph shared by a066/a067: parts are adjacent when
+# they appear together in >= _CO_MIN_ORDERS distinct orders; orders
+# with more than _CO_ORDER_CAP distinct parts are dropped BEFORE the
+# pair join so the fan-out is bounded by cap^2 x n_orders, never
+# O(parts^2) (the q146 hot-bucket discipline). Edge count stays ~3.5k
+# across sf0.001-0.1 while nodes grow 100x: the graph SPARSIFIES with
+# scale, which is exactly what keeps two-path enumeration bounded.
+_CO_ORDER_CAP = 20
+_CO_MIN_ORDERS = 2
+
+_CO_EDGES_SQL = f"""
+  op AS (
+    SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+           CAST(l_partkey AS BIGINT) AS p
+    FROM lineitem
+  ), okeep AS (
+    SELECT o FROM op GROUP BY o
+    HAVING COUNT(*) <= {_CO_ORDER_CAP}
+  ), opk AS (
+    SELECT op.o, p FROM op JOIN okeep ON op.o = okeep.o
+  ), edges AS (
+    SELECT a.p AS u, b.p AS v
+    FROM opk a JOIN opk b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p
+    HAVING COUNT(*) >= {_CO_MIN_ORDERS}
+  )
+"""
+
+
+def _coorder_edges(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    op = (
+        li.select(
+            F.col("l_orderkey").cast("bigint").alias("o"),
+            F.col("l_partkey").cast("bigint").alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    okeep = op.groupBy("o").agg(F.count("*").alias("np")).filter(
+        F.col("np") <= _CO_ORDER_CAP
+    )
+    opk = op.join(okeep.select("o"), "o")
+    a = opk.select("o", F.col("p").alias("u"))
+    b = opk.select("o", F.col("p").alias("v"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _CO_MIN_ORDERS)
+        .select("u", "v")
+    )
+
+
+@query(
+    "a066_adamic_adar_linkpred",
+    oracle=f"""
+WITH {_CO_EDGES_SQL},
+sym AS (
+  SELECT u AS a, v AS b FROM edges
+  UNION ALL SELECT v AS a, u AS b FROM edges
+), deg AS (
+  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY a
+), w AS (
+  SELECT node,
+         CAST(ROUND(1000000000000.0 / ln(CAST(degree AS DOUBLE)), 0)
+              AS BIGINT) AS w_fp
+  FROM deg WHERE degree >= 2
+), paths AS (
+  SELECT e1.b AS u, e2.b AS v, e1.a AS z
+  FROM sym e1 JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b
+), cand AS (
+  SELECT p.u, p.v,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(w.w_fp) AS BIGINT) AS aa_fp
+  FROM paths p JOIN w ON w.node = p.z
+  GROUP BY p.u, p.v
+), nonedge AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+  WHERE e.u IS NULL
+), scored AS (
+  SELECT n.u, n.v, n.cn,
+         round(CAST(n.aa_fp AS DOUBLE) / 1000000000000.0, 6) AS aa_r,
+         round(CAST(n.cn AS DOUBLE)
+               / (du.degree + dv.degree - n.cn), 6) AS jaccard_r
+  FROM nonedge n
+  JOIN deg du ON du.node = n.u
+  JOIN deg dv ON dv.node = n.v
+)
+SELECT * FROM scored
+ORDER BY aa_r DESC, u ASC, v ASC
+LIMIT 20
+""",
+)
+def a066_adamic_adar_linkpred(spark, sf_dir):
+    """Adamic-Adar link prediction on the part co-order graph (edge =
+    bought together in >= 2 distinct orders; orders capped at 20
+    distinct parts before the pair join, the q146 hot-bucket
+    discipline). For each NON-edge joined by a two-path, AA =
+    sum_z 1/ln(deg z) over common neighbors: ln runs once per NODE on
+    its exact integer degree and is pico-quantized to a BIGINT
+    weight, so the per-pair sum is exact integer arithmetic
+    (float-order-free); common-neighbor Jaccard cn/(deg_u+deg_v-cn)
+    rides along. Top 20 by AA with a deterministic tie-break. At
+    100 TB: one distinct + two bounded equi-joins; the two-path stage
+    is sum(deg^2) of a graph whose edge count stays ~3.5k from
+    sf0.001 to sf0.1 while nodes grow 100x."""
+    edges = _coorder_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    ).localCheckpoint(eager=False)
+    w = deg.filter(F.col("degree") >= 2).select(
+        "node",
+        F.round(
+            1000000000000.0 / F.log(F.col("degree").cast("double")), 0
+        ).cast("bigint").alias("w_fp"),
+    )
+    e1 = sym.select(F.col("a").alias("z"), F.col("b").alias("u"))
+    e2 = sym.select(F.col("a").alias("z"), F.col("b").alias("v"))
+    paths = e1.join(e2, "z").filter(F.col("u") < F.col("v"))
+    cand = (
+        paths.join(w.withColumnRenamed("node", "z"), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("bigint").alias("cn"),
+            F.sum("w_fp").cast("bigint").alias("aa_fp"),
+        )
+    )
+    nonedge = cand.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    scored = (
+        nonedge.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(
+                F.col("aa_fp").cast("double") / 1000000000000.0, 6
+            ).alias("aa_r"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")),
+                6,
+            ).alias("jaccard_r"),
+        )
+    )
+    return scored.orderBy(
+        F.col("aa_r").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(20)
+
+
+@query(
+    "a067_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_CO_EDGES_SQL},
+sym AS (
+  SELECT u AS a, v AS b FROM edges
+  UNION ALL SELECT v AS a, u AS b FROM edges
+), nodes AS (
+  SELECT DISTINCT a AS node FROM sym
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN sym e ON e.a = r.node
+), comp AS (
+  SELECT node, CAST(MIN(lbl) AS BIGINT) AS lbl FROM reach GROUP BY node
+), sizes AS (
+  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize FROM comp GROUP BY lbl
+)
+SELECT csize AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(SUM(csize) AS BIGINT) AS n_nodes
+FROM sizes
+GROUP BY csize
+ORDER BY csize
+""",
+)
+def a067_connected_components(spark, sf_dir):
+    """Weakly-connected components of the part co-order graph via
+    min-label propagation run to a DRIVER-CHECKED fixed point: each
+    sweep takes the min label over the 1-hop neighborhood (one
+    edge-keyed equi-join + groupBy), eagerly checkpointed so sweep
+    k+1 never replans sweep k (the a459 k-center discipline), and the
+    loop exits when a sweep changes zero labels — iteration count is
+    the graph diameter (~log n after the giant component stabilizes),
+    the same convergence contract as GraphX/GraphFrames connected
+    components. The oracle is a DuckDB WITH RECURSIVE reachability
+    closure (UNION-dedup bounds it at sum of component sizes
+    squared). Output is the component-size histogram — scale-stable
+    shape, no per-node blowup. At 100 TB: per-sweep cost is one
+    shuffle of the ~3.5k-edge list joined to node labels; nothing
+    materializes O(n^2)."""
+    edges = _coorder_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        nb = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("a"), F.col("lbl").alias("alb")
+                ),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("alb").alias("nlb"))
+        )
+        new = labels.join(nb, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlb"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(
+        F.count("*").cast("bigint").alias("csize")
+    )
+    return (
+        sizes.groupBy(F.col("csize").alias("component_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_components"),
+            F.sum("csize").cast("bigint").alias("n_nodes"),
+        )
+        .orderBy("component_size")
+    )
+
+
+@query(
+    "a068_fuzzy_name_blocking",
+    oracle="""
+WITH blocked AS (
+  SELECT p_partkey, p_name, p_brand,
+         regexp_extract(p_name, '([a-z]+)$', 1) AS blk,
+         ROW_NUMBER() OVER (
+           PARTITION BY regexp_extract(p_name, '([a-z]+)$', 1)
+           ORDER BY p_partkey
+         ) AS rn
+  FROM part
+), kept AS (
+  SELECT * FROM blocked WHERE rn <= 256
+), pairs AS (
+  SELECT a.blk,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+         CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS same_brand
+  FROM kept a JOIN kept b
+    ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+)
+SELECT blk,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(dist) AS BIGINT) AS dist_sum,
+       round(CAST(SUM(dist) AS DOUBLE) / COUNT(*), 6) AS avg_dist_r,
+       round(CAST(SUM(same_brand) AS DOUBLE) / COUNT(*), 6)
+         AS same_brand_frac_r
+FROM pairs
+GROUP BY blk
+ORDER BY blk
+""",
+)
+def a068_fuzzy_name_blocking(spark, sf_dir):
+    """Blocked fuzzy record matching on part names: block on the last
+    word (the noun in this fixture's adjective-noun names), cap each
+    block at its first 256 members by key (documented bound — block
+    self-joins are quadratic in block size, so the cap, not the data,
+    sets the pair budget at 100 TB), then keep near-miss pairs at
+    Levenshtein distance 1-3 (0 = exact dup, handled by the exact
+    dedup family). Spark uses the 3-arg BANDED levenshtein — O(len*k)
+    with early exit above the bound, the form the full O(len^2) DP
+    can't match at scale; DuckDB's 2-arg + BETWEEN filter is
+    value-identical. Per-block pair counts, exact distance sums, and
+    the same-brand fraction (a linkage-precision proxy) come out of
+    one fold."""
+    p = table(spark, sf_dir, "part")
+    blocked = p.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("blk"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("blk").orderBy("p_partkey")
+        ),
+    )
+    kept = blocked.filter(F.col("rn") <= 256).localCheckpoint(
+        eager=False
+    )
+    a = kept.select(
+        "blk",
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+        F.col("p_brand").alias("ba"),
+    )
+    b = kept.select(
+        "blk",
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+        F.col("p_brand").alias("bb"),
+    )
+    dist = F.levenshtein(F.col("na"), F.col("nb"), 3)
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            "blk",
+            dist.cast("bigint").alias("dist"),
+            F.when(F.col("ba") == F.col("bb"), 1).otherwise(0)
+            .alias("same_brand"),
+        )
+        .filter(F.col("dist").between(1, 3))
+    )
+    return (
+        pairs.groupBy("blk")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("dist").cast("bigint").alias("dist_sum"),
+            F.round(
+                F.sum("dist").cast("double") / F.count("*"), 6
+            ).alias("avg_dist_r"),
+            F.round(
+                F.sum("same_brand").cast("double") / F.count("*"), 6
+            ).alias("same_brand_frac_r"),
+        )
+        .orderBy("blk")
+    )
