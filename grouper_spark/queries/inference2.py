@@ -1277,3 +1277,656 @@ def a068_fuzzy_name_blocking(spark, sf_dir):
         )
         .orderBy("blk")
     )
+
+
+@query(
+    "a069_cooks_distance",
+    oracle="""
+WITH xy AS (
+  SELECT c.c_custkey,
+         CAST(ROUND(c.c_acctbal, 0) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM xy
+), fit AS (
+  SELECT n, sx, sy,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx_c,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS beta,
+         ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+          - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+            * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+           / (n - 2) AS mse
+  FROM m
+), diag AS (
+  SELECT p.c_custkey, p.x, p.y,
+         1.0 / f.n + (p.x - CAST(f.sx AS DOUBLE) / f.n)
+                   * (p.x - CAST(f.sx AS DOUBLE) / f.n) / f.sxx_c AS h,
+         p.y - (CAST(f.sy AS DOUBLE) / f.n
+                - f.beta * (CAST(f.sx AS DOUBLE) / f.n))
+             - f.beta * p.x AS e,
+         f.mse
+  FROM xy p CROSS JOIN fit f
+)
+SELECT c_custkey, x, y,
+       round(h, 6) AS leverage_r,
+       round(e / SQRT(mse * (1.0 - h)), 6) AS student_r,
+       round(e * e * h / (2.0 * mse * (1.0 - h) * (1.0 - h)), 6)
+         AS cooks_d_r
+FROM diag
+ORDER BY round(e * e * h / (2.0 * mse * (1.0 - h) * (1.0 - h)), 6) DESC,
+         c_custkey ASC
+LIMIT 20
+""",
+)
+def a069_cooks_distance(spark, sf_dir):
+    """OLS influence diagnostics (leverage, internally studentized
+    residual, Cook's distance) for spend-on-acctbal simple
+    regression, reporting the 20 most influential customers. The
+    corpus folds to five exact BIGINT moments (dollar-quantized);
+    centered moments, β, and MSE are derived in double with IDENTICAL
+    expression text in both engines, so every per-customer h_i =
+    1/n + (x−x̄)²/Sxx and D_i = e²h/(2·MSE(1−h)²) is the same double;
+    ranking is on the ROUNDED statistic with a key tie-break, which
+    is what makes a float-ordered top-k hash-stable. At 100 TB: one
+    orders fold, one 1-row broadcast, one corpus re-scan — no
+    pairwise anything."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    xy = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 0).cast("bigint").alias("x"),
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxx_c = F.col("sxx").cast("double") - sxd * F.col("sx") / F.col("n")
+    sxy_c = F.col("sxy").cast("double") - sxd * F.col("sy") / F.col("n")
+    syy_c = F.col("syy").cast("double") - syd * F.col("sy") / F.col("n")
+    fit = m.select(
+        "n",
+        "sx",
+        "sy",
+        sxx_c.alias("sxx_c"),
+        (sxy_c / sxx_c).alias("beta"),
+        ((syy_c - sxy_c * sxy_c / sxx_c) / (F.col("n") - 2)).alias("mse"),
+    )
+    xd = F.col("x").cast("double")
+    h = (
+        1.0 / F.col("n")
+        + (xd - F.col("sx").cast("double") / F.col("n"))
+        * (xd - F.col("sx").cast("double") / F.col("n"))
+        / F.col("sxx_c")
+    )
+    e = (
+        F.col("y")
+        - (
+            F.col("sy").cast("double") / F.col("n")
+            - F.col("beta") * (F.col("sx").cast("double") / F.col("n"))
+        )
+        - F.col("beta") * F.col("x")
+    )
+    diag = xy.crossJoin(F.broadcast(fit)).select(
+        "c_custkey", "x", "y", h.alias("h"), e.alias("e"), "mse"
+    )
+    cooks = (
+        F.col("e") * F.col("e") * F.col("h")
+        / (2.0 * F.col("mse") * (1.0 - F.col("h")) * (1.0 - F.col("h")))
+    )
+    return (
+        diag.select(
+            "c_custkey",
+            "x",
+            "y",
+            F.round("h", 6).alias("leverage_r"),
+            F.round(
+                F.col("e") / F.sqrt(F.col("mse") * (1.0 - F.col("h"))), 6
+            ).alias("student_r"),
+            F.round(cooks, 6).alias("cooks_d_r"),
+        )
+        .orderBy(F.col("cooks_d_r").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "a070_dixon_q_outlier",
+    oracle="""
+WITH vals AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) AS x,
+         c_custkey
+  FROM customer
+), ranked AS (
+  SELECT nationkey, x,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY x ASC, c_custkey ASC) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY x DESC, c_custkey DESC) AS rd,
+         CAST(COUNT(*) OVER (PARTITION BY nationkey) AS BIGINT) AS n
+  FROM vals
+), stats AS (
+  SELECT nationkey, MAX(n) AS n,
+         CAST(MAX(CASE WHEN ra = 1 THEN x END) AS BIGINT) AS x1,
+         CAST(MAX(CASE WHEN ra = 2 THEN x END) AS BIGINT) AS x2,
+         CAST(MAX(CASE WHEN rd = 2 THEN x END) AS BIGINT) AS xn1,
+         CAST(MAX(CASE WHEN rd = 1 THEN x END) AS BIGINT) AS xn
+  FROM ranked GROUP BY nationkey
+)
+SELECT nationkey, n, x1, x2, xn1, xn,
+       round(CAST(xn - xn1 AS DOUBLE) / (xn - x1), 6) AS q_max_r,
+       round(CAST(x2 - x1 AS DOUBLE) / (xn - x1), 6) AS q_min_r
+FROM stats
+ORDER BY nationkey
+""",
+)
+def a070_dixon_q_outlier(spark, sf_dir):
+    """Dixon's Q ratio test for a single outlier at each end of the
+    per-nation account-balance distribution: Q_max = (x_(n) −
+    x_(n−1))/(x_(n) − x_(1)), Q_min mirrored. The four order
+    statistics come from two nation-partitioned row_number windows
+    with key tie-breaks (duplicated extremes give gap 0, the
+    textbook convention), balances are exact cents BIGINTs, and the
+    ratio is the only double — terminal, once per nation. At 100 TB
+    the windows partition by nation (25 groups) after the scan;
+    no global single-partition stage."""
+    c = table(spark, sf_dir, "customer")
+    vals = c.select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("bigint").alias("x"),
+        "c_custkey",
+    )
+    wa = Window.partitionBy("nationkey").orderBy(
+        F.col("x").asc(), F.col("c_custkey").asc()
+    )
+    wd = Window.partitionBy("nationkey").orderBy(
+        F.col("x").desc(), F.col("c_custkey").desc()
+    )
+    ranked = vals.select(
+        "nationkey",
+        "x",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+        F.count("*").over(Window.partitionBy("nationkey"))
+        .cast("bigint").alias("n"),
+    )
+    stats = ranked.groupBy("nationkey").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("ra") == 1, F.col("x")))
+        .cast("bigint").alias("x1"),
+        F.max(F.when(F.col("ra") == 2, F.col("x")))
+        .cast("bigint").alias("x2"),
+        F.max(F.when(F.col("rd") == 2, F.col("x")))
+        .cast("bigint").alias("xn1"),
+        F.max(F.when(F.col("rd") == 1, F.col("x")))
+        .cast("bigint").alias("xn"),
+    )
+    rng = (F.col("xn") - F.col("x1")).cast("double")
+    return stats.select(
+        "nationkey",
+        "n",
+        "x1",
+        "x2",
+        "xn1",
+        "xn",
+        F.round((F.col("xn") - F.col("xn1")).cast("double") / rng, 6)
+        .alias("q_max_r"),
+        F.round((F.col("x2") - F.col("x1")).cast("double") / rng, 6)
+        .alias("q_min_r"),
+    ).orderBy("nationkey")
+
+
+_LLR_MIN_COUNT = 5
+
+
+@query(
+    "a071_dunning_llr_collocations",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks))) AS pos,
+         unnest(toks) AS w
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+             AS toks
+    FROM documents
+  )
+), bi AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
+  FROM bi GROUP BY w1, w2
+), m1 AS (
+  SELECT w1, CAST(SUM(k11) AS BIGINT) AS c1 FROM big GROUP BY w1
+), m2 AS (
+  SELECT w2, CAST(SUM(k11) AS BIGINT) AS c2 FROM big GROUP BY w2
+), tot AS (
+  SELECT CAST(SUM(k11) AS BIGINT) AS nn FROM big
+), cells AS (
+  SELECT g.w1, g.w2, g.k11,
+         CAST(m1.c1 - g.k11 AS BIGINT) AS k12,
+         CAST(m2.c2 - g.k11 AS BIGINT) AS k21,
+         CAST(t.nn - m1.c1 - m2.c2 + g.k11 AS BIGINT) AS k22,
+         m1.c1, m2.c2, t.nn
+  FROM big g JOIN m1 ON m1.w1 = g.w1 JOIN m2 ON m2.w2 = g.w2
+  CROSS JOIN tot t
+  WHERE g.k11 >= {_LLR_MIN_COUNT}
+), scored AS (
+  SELECT w1, w2, k11,
+         round(2.0 * (
+             k11 * ln(CAST(k11 AS DOUBLE) * nn
+                      / (CAST(c1 AS DOUBLE) * c2))
+           + CASE WHEN k12 > 0 THEN
+               k12 * ln(CAST(k12 AS DOUBLE) * nn
+                        / (CAST(c1 AS DOUBLE) * (nn - c2)))
+             ELSE 0.0 END
+           + CASE WHEN k21 > 0 THEN
+               k21 * ln(CAST(k21 AS DOUBLE) * nn
+                        / (CAST(nn - c1 AS DOUBLE) * c2))
+             ELSE 0.0 END
+           + CASE WHEN k22 > 0 THEN
+               k22 * ln(CAST(k22 AS DOUBLE) * nn
+                        / (CAST(nn - c1 AS DOUBLE) * (nn - c2)))
+             ELSE 0.0 END), 6) AS llr_r
+  FROM cells
+)
+SELECT w1, w2, k11, llr_r
+FROM scored
+ORDER BY llr_r DESC, w1 ASC, w2 ASC
+LIMIT 30
+""",
+)
+def a071_dunning_llr_collocations(spark, sf_dir):
+    """Dunning log-likelihood-ratio collocation extraction over
+    adjacent token bigrams (the q121 whitespace tokenization) — the
+    collocation statistic that, unlike PMI, does not explode on rare
+    pairs because each 2×2 cell is weighted by its own count. Margins
+    are bigram-position counts so the contingency table is exactly
+    consistent (k11+k12+k21+k22 = N); all counts are exact BIGINTs;
+    the four ln terms run once per CANDIDATE bigram (k11 ≥ 5) and
+    feed the terminal 6dp round; ranking is on the rounded statistic
+    with a (w1, w2) tie-break. At 100 TB: explode-to-tokens with the
+    positional self-join on (doc, pos+1) — an equi-join — then
+    word-keyed folds; candidates, not the corpus, pay the
+    transcendental."""
+    from ..operators.core import ensure_parallelism
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    a = tok.select("doc_id", "pos", F.col("w").alias("w1"))
+    b = tok.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    big = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("k11"))
+        .localCheckpoint(eager=False)
+    )
+    m1 = big.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("c1"))
+    m2 = big.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("c2"))
+    tot = big.agg(F.sum("k11").cast("bigint").alias("nn"))
+    cells = (
+        big.filter(F.col("k11") >= _LLR_MIN_COUNT)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("c1") - F.col("k11")).cast("bigint").alias("k12"),
+            (F.col("c2") - F.col("k11")).cast("bigint").alias("k21"),
+            (F.col("nn") - F.col("c1") - F.col("c2") + F.col("k11"))
+            .cast("bigint").alias("k22"),
+            "c1",
+            "c2",
+            "nn",
+        )
+    )
+    nn = F.col("nn")
+    term = lambda k, r, c: F.when(  # noqa: E731
+        k > 0,
+        k * F.log(
+            k.cast("double") * nn / (r.cast("double") * c)
+        ),
+    ).otherwise(F.lit(0.0))
+    llr = 2.0 * (
+        F.col("k11")
+        * F.log(
+            F.col("k11").cast("double") * nn
+            / (F.col("c1").cast("double") * F.col("c2"))
+        )
+        + term(F.col("k12"), F.col("c1"), nn - F.col("c2"))
+        + term(F.col("k21"), nn - F.col("c1"), F.col("c2"))
+        + term(F.col("k22"), nn - F.col("c1"), nn - F.col("c2"))
+    )
+    return (
+        cells.select(
+            "w1", "w2", "k11", F.round(llr, 6).alias("llr_r")
+        )
+        .orderBy(
+            F.col("llr_r").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(30)
+    )
+
+
+@query(
+    "a072_herfindahl_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT p.p_type, CAST(l.l_suppkey AS BIGINT) AS s,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice
+                             * (1.0 - l.l_discount) * 100.0, 0)
+                       AS BIGINT)) // 100 AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_type, l.l_suppkey
+), mkt AS (
+  SELECT p_type,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(r) AS BIGINT) AS tot,
+         CAST(SUM(r * r) AS BIGINT) AS sq
+  FROM rev GROUP BY p_type
+)
+SELECT p_type, n_suppliers,
+       round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot), 6)
+         AS hhi_r,
+       CAST(ROUND(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot)
+                  * 10000.0, 0) AS BIGINT) AS hhi_points,
+       round((CAST(tot AS DOUBLE) * tot) / CAST(sq AS DOUBLE), 6)
+         AS effective_n_r,
+       round((CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot)
+              - 1.0 / n_suppliers)
+             / (1.0 - 1.0 / n_suppliers), 6) AS hhi_norm_r
+FROM mkt
+ORDER BY p_type
+""",
+)
+def a072_herfindahl_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman supplier-concentration index per part-type
+    market: HHI = Σ share² computed as the exact-integer ratio
+    Σr²/(Σr)² on dollar-quantized revenues (≤ ~1e13 squared terms at
+    sf0.1, 100× headroom), plus DOJ-style basis points, effective
+    competitor count 1/HHI, and the normalized (HHI − 1/n)/(1 − 1/n).
+    One lineitem fold keyed (type, supplier) after the part equi-join
+    — the join carries only (partkey, type), Catalyst prunes the rest
+    — then a 6-row market fold. At 100 TB nothing outlives the first
+    aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        li.join(p.select("p_partkey", "p_type"),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_type", F.col("l_suppkey").cast("bigint").alias("s"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount)"
+                " * 100.0, 0) AS BIGINT)) div 100 AS BIGINT)"
+            ).alias("r")
+        )
+    )
+    mkt = rev.groupBy("p_type").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("r").cast("bigint").alias("tot"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sq"),
+    )
+    hhi = F.col("sq").cast("double") / (
+        F.col("tot").cast("double") * F.col("tot")
+    )
+    return mkt.select(
+        "p_type",
+        "n_suppliers",
+        F.round(hhi, 6).alias("hhi_r"),
+        F.round(hhi * 10000.0, 0).cast("bigint").alias("hhi_points"),
+        F.round(
+            (F.col("tot").cast("double") * F.col("tot"))
+            / F.col("sq").cast("double"),
+            6,
+        ).alias("effective_n_r"),
+        F.round(
+            (hhi - 1.0 / F.col("n_suppliers"))
+            / (1.0 - 1.0 / F.col("n_suppliers")),
+            6,
+        ).alias("hhi_norm_r"),
+    ).orderBy("p_type")
+
+
+@query(
+    "a073_inequality_panel",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS dollars
+  FROM orders GROUP BY o_custkey
+), binned AS (
+  SELECT CAST(dollars // 100 AS BIGINT) * 100 + 50 AS x,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM spend GROUP BY 1
+), lns AS (
+  SELECT x, cnt,
+         CAST(ROUND(ln(CAST(x AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+           AS lnx_micro
+  FROM binned
+), agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * x) AS BIGINT) AS sx,
+         CAST(SUM(cnt * lnx_micro) AS BIGINT) AS sl,
+         CAST(SUM(cnt * x * lnx_micro) AS BIGINT) AS sxl
+  FROM lns
+)
+SELECT n,
+       round(CAST(sx AS DOUBLE) / n, 6) AS mean_r,
+       round((CAST(sxl AS DOUBLE) / 1000000.0
+              - CAST(sx AS DOUBLE) * ln(CAST(sx AS DOUBLE) / n))
+             / (CAST(sx AS DOUBLE)), 6) AS theil_t_r,
+       round(ln(CAST(sx AS DOUBLE) / n)
+             - CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+         AS theil_l_r,
+       round(1.0 - EXP(CAST(sl AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1000000.0))
+                   / (CAST(sx AS DOUBLE) / n), 6) AS atkinson1_r
+FROM agg
+""",
+)
+def a073_inequality_panel(spark, sf_dir):
+    """Inequality panel on per-customer spend: Theil T and Theil L
+    (the GE(1)/GE(0) entropy pair) plus the Atkinson ε=1 index, which
+    is 1 − geomean/mean. Spend is binned to hundred-dollar midpoints
+    so the ln domain is BOUNDED BY THE VALUE RANGE, not the customer
+    count — ln runs once per bin (the histogram discipline that keeps
+    per-row transcendentals out of the sum at 100 TB), micro-
+    quantized; Σcnt·lnx and Σcnt·x·lnx are exact BIGINTs; ln(μ) and
+    exp run once on the 1-row aggregate. T = (Σxlnx/1e6 − Σx·lnμ)/Σx
+    with the 1/(Nμ) folded through — identical expression text both
+    engines. One orders fold, one bounded histogram, one readout."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("dollars")
+    )
+    binned = spend.groupBy(
+        (F.expr("CAST(dollars div 100 AS BIGINT)") * 100 + 50).alias("x")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    lns = binned.select(
+        "x",
+        "cnt",
+        F.round(F.log(F.col("x").cast("double")) * 1e6, 0)
+        .cast("bigint").alias("lnx_micro"),
+    )
+    agg = lns.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("x")).cast("bigint").alias("sx"),
+        F.sum(F.col("cnt") * F.col("lnx_micro"))
+        .cast("bigint").alias("sl"),
+        F.sum(F.col("cnt") * F.col("x") * F.col("lnx_micro"))
+        .cast("bigint").alias("sxl"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    lnmu = F.log(sxd / F.col("n"))
+    return agg.select(
+        "n",
+        F.round(sxd / F.col("n"), 6).alias("mean_r"),
+        F.round(
+            (F.col("sxl").cast("double") / 1e6 - sxd * lnmu) / sxd, 6
+        ).alias("theil_t_r"),
+        F.round(
+            lnmu - F.col("sl").cast("double") / (nd * 1e6), 6
+        ).alias("theil_l_r"),
+        F.round(
+            1.0
+            - F.exp(F.col("sl").cast("double") / (nd * 1e6))
+            / (sxd / F.col("n")),
+            6,
+        ).alias("atkinson1_r"),
+    )
+
+
+@query(
+    "a074_lift_gains_deciles",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN event_type IN ('click', 'view')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS eng
+  FROM events GROUP BY user_id
+), lab AS (
+  SELECT eng, CASE WHEN np >= 14 THEN 1 ELSE 0 END AS pos FROM u
+), rng AS (
+  SELECT CAST(MIN(eng) AS BIGINT) AS lo, CAST(MAX(eng) AS BIGINT) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt
+  FROM lab
+), binned AS (
+  SELECT CAST(LEAST(9, ((l.eng - r.lo) * 10) // (r.hi - r.lo + 1))
+              AS BIGINT) AS decile_bin,
+         l.pos, r.nt, r.pt
+  FROM lab l CROSS JOIN rng r
+), g AS (
+  SELECT decile_bin, MAX(nt) AS nt, MAX(pt) AS pt,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM binned GROUP BY decile_bin
+)
+SELECT decile_bin, n_users, n_pos,
+       round(CAST(n_pos AS DOUBLE) / n_users, 6) AS resp_rate_r,
+       round((CAST(n_pos AS DOUBLE) / n_users)
+             / (CAST(pt AS DOUBLE) / nt), 6) AS lift_r,
+       round(CAST(SUM(n_pos) OVER (ORDER BY decile_bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / MAX(pt) OVER (), 6) AS cum_gain_r
+FROM g
+ORDER BY decile_bin
+""",
+)
+def a074_lift_gains_deciles(spark, sf_dir):
+    """Lift and cumulative-gains table for an engagement-scored
+    purchase-depth model readout: score = click+view count, target =
+    heavy purchaser (≥14 purchases — the engagement-depth threshold
+    convention for this fixture's everyone-does-everything event
+    mix). Deciles are VALUE-GRID bins over [min, max] with integer
+    arithmetic — never a global ntile, which would single-partition
+    the corpus — so the binning is one broadcast of a 1-row range
+    aggregate. Per-bin response rate, lift vs the base rate, and the
+    descending cumulative gain curve are exact-count ratios,
+    terminal doubles. At 100 TB: one user fold, one broadcast, one
+    ≤10-row window."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("np"),
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("eng"),
+    )
+    lab = u.select(
+        "eng", F.when(F.col("np") >= 14, 1).otherwise(0).alias("pos")
+    )
+    rng = lab.agg(
+        F.min("eng").cast("bigint").alias("lo"),
+        F.max("eng").cast("bigint").alias("hi"),
+        F.count("*").cast("bigint").alias("nt"),
+        F.sum("pos").cast("bigint").alias("pt"),
+    )
+    binned = lab.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(9),
+            F.expr("((eng - lo) * 10) div (hi - lo + 1)"),
+        ).cast("bigint").alias("decile_bin"),
+        "pos",
+        "nt",
+        "pt",
+    )
+    g = binned.groupBy("decile_bin").agg(
+        F.max("nt").alias("nt"),
+        F.max("pt").alias("pt"),
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    wdesc = Window.orderBy(F.col("decile_bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        "decile_bin",
+        "n_users",
+        "n_pos",
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n_users"), 6
+        ).alias("resp_rate_r"),
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n_users"))
+            / (F.col("pt").cast("double") / F.col("nt")),
+            6,
+        ).alias("lift_r"),
+        F.round(
+            F.sum("n_pos").over(wdesc).cast("double")
+            / F.max("pt").over(Window.partitionBy()),
+            6,
+        ).alias("cum_gain_r"),
+    ).orderBy("decile_bin")
