@@ -66,10 +66,10 @@ hist AS (
   FROM ut ORDER BY ABS(u_t) DESC, d ASC LIMIT 1
 )
 SELECT n.n AS n_days,
-       CAST(ABS(b.u_star) // 2 AS BIGINT) AS k_stat,
+       CAST(ABS(b.u_star) AS BIGINT) AS k_stat,
        b.change_date,
-       round(2.0 * EXP(-6.0 * (CAST(ABS(b.u_star) AS DOUBLE) / 2.0)
-                            * (CAST(ABS(b.u_star) AS DOUBLE) / 2.0)
+       round(2.0 * EXP(-6.0 * CAST(ABS(b.u_star) AS DOUBLE)
+                            * CAST(ABS(b.u_star) AS DOUBLE)
                      / (CAST(n.n AS DOUBLE) * n.n * n.n
                         + CAST(n.n AS DOUBLE) * n.n)), 6) AS p_approx_r
 FROM best b CROSS JOIN n
@@ -82,8 +82,9 @@ def a059_pettitt_changepoint(spark, sf_dir):
     — to the cumulative sum of per-day sign-sums, and each sign-sum
     equals (2·midrank − n − 1) EXACTLY under ties, so the whole test
     is a value histogram + two windows with zero pairwise joins.
-    Doubled midranks (2c_less + g + 1) keep every term integer; K =
-    max|U_t| is an exact BIGINT halved at readout, and the single
+    The per-day sign-sum (2c_less + g − n) is ALREADY exact — not
+    doubled (the tie mass splits symmetrically); K = max|U_t| is an
+    exact BIGINT, and the single
     exp() runs once on the final K. At 100 TB: one orders shuffle on
     the date key, then O(days) work; the ORDER BY-ABS argmax touches
     ~2.4k rows."""
@@ -108,11 +109,11 @@ def a059_pettitt_changepoint(spark, sf_dir):
         )
     )
     best = ut.orderBy(F.abs("u_t").desc(), F.col("d").asc()).limit(1)
-    ad = F.abs(F.col("u_t")).cast("double") / 2.0
+    ad = F.abs(F.col("u_t")).cast("double")
     nn = F.col("n").cast("double")
     return best.crossJoin(F.broadcast(n)).select(
         F.col("n").alias("n_days"),
-        F.expr("CAST(ABS(u_t) div 2 AS BIGINT)").alias("k_stat"),
+        F.abs(F.col("u_t")).cast("bigint").alias("k_stat"),
         F.col("d").alias("change_date"),
         F.round(
             2.0 * F.exp(-6.0 * ad * ad / (nn * nn * nn + nn * nn)), 6

@@ -398,3 +398,273 @@ def test_bland_altman_loa_order(row):
     assert r.loa_lower_r <= r.bias_dollars_r <= r.loa_upper_r
     # ~5% outside the 95% limits for any roughly symmetric distribution
     assert 0.0 <= r.frac_outside_r <= 0.25
+
+
+# ---- battery II (inference2.py) ----
+
+def _daily_series(sf_dir):
+    import duckdb
+
+    return [
+        r[1]
+        for r in duckdb.connect()
+        .execute(
+            f"""SELECT CAST(o_orderdate AS DATE) d,
+                 CAST(SUM(CAST(ROUND(o_totalprice*100.0,0) AS BIGINT))//100
+                      AS BIGINT) x
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+        )
+        .fetchall()
+    ]
+
+
+def test_pettitt_brute_force(row, sf_dir):
+    r = row("a059_pettitt_changepoint")[0]
+    xs = _daily_series(sf_dir)
+    n = len(xs)
+    assert r.n_days == n
+    # brute-force U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j)
+    import numpy as np
+
+    a = np.asarray(xs, dtype=np.int64)
+    sgn_row = np.sign(a[:, None] - a[None, :]).sum(axis=1)  # vs all j
+    # U_t = cumulative sum of per-i sign-sums (pairs inside prefix cancel)
+    u = np.cumsum(sgn_row)
+    k_brute = int(np.max(np.abs(u)))
+    assert r.k_stat == k_brute
+    assert 0.0 <= r.p_approx_r <= 2.0 + 1e-9
+
+
+def test_buishand_snht_brute_force(row, sf_dir):
+    r = row("a060_buishand_snht")[0]
+    import numpy as np
+
+    a = np.asarray([x // 100 for x in _daily_series(sf_dir)], dtype=float)
+    n = len(a)
+    s = a.cumsum() - (np.arange(1, n + 1)) * a.mean()
+    sd = a.std(ddof=1)
+    r_brute = (s.max() - s.min()) / sd / math.sqrt(n)
+    assert abs(r.buishand_rsqn_r - r_brute) < 1e-4
+    k = np.arange(1, n)
+    z = s[:-1] / sd
+    t = z * z * (1.0 / k + 1.0 / (n - k)) * n / n  # T_k = z^2 n(1/k+1/(n-k))/n
+    t_k = (s[:-1] ** 2) / (sd * sd) * (1.0 / k + 1.0 / (n - k))
+    assert abs(r.snht_t_r - t_k.max()) < 1e-3
+    assert r.buishand_rsqn_r >= 0.0
+
+
+def test_bartels_rvn_brute_force(row, sf_dir):
+    r = row("a061_bartels_rank_vn")[0]
+    import pandas as pd
+
+    xs = pd.Series(_daily_series(sf_dir))
+    rk = xs.rank(method="average").to_numpy()
+    num = ((rk[:-1] - rk[1:]) ** 2).sum()
+    den = ((rk - rk.mean()) ** 2).sum()
+    assert abs(r.rvn_r - num / den) < 1e-4
+    assert 0.0 < r.rvn_r < 4.0
+
+
+def test_yule_walker_brute_force(row, sf_dir):
+    r = row("a062_yule_walker_ar2")[0]
+    import numpy as np
+
+    a = np.asarray([x // 100 for x in _daily_series(sf_dir)], dtype=float)
+    n = len(a)
+    m = a.mean()
+
+    def cov(k):
+        return ((a[: n - k] - m) * (a[k:] - m)).sum()
+
+    r1, r2 = cov(1) / cov(0), cov(2) / cov(0)
+    assert abs(r.r1_r - r1) < 1e-4 and abs(r.r2_r - r2) < 1e-4
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    assert abs(r.phi1_r - phi1) < 1e-4 and abs(r.phi2_r - phi2) < 1e-4
+    assert 0.0 < r.noise_ratio_r <= 1.0 + 1e-9
+
+
+def test_croston_identities(row):
+    rows = row("a063_croston_intermittent")
+    assert len(rows) == 97
+    for r in rows:
+        assert r.z_hat_r > 0 and r.p_hat_r >= 1.0 - 1e-9
+        assert abs(r.croston_r - r.z_hat_r / r.p_hat_r) < 2e-6
+        assert abs(r.sba_r - 0.9 * r.croston_r) < 2e-6
+
+
+def test_aalen_johansen_monotone_and_bounded(row):
+    rows = row("a064_aalen_johansen")
+    prev1 = prev2 = 0.0
+    for r in rows:
+        assert r.cif_purchase_r >= prev1 - 1e-9
+        assert r.cif_error_r >= prev2 - 1e-9
+        assert r.cif_purchase_r + r.cif_error_r <= 1.0 + 1e-6
+        prev1, prev2 = r.cif_purchase_r, r.cif_error_r
+
+
+def test_greenwood_brackets_km(row):
+    rows = row("a065_km_greenwood_ci")
+    km = {r.t_days: r for r in row("q245_kaplan_meier")}
+    prev = 1.0
+    for r in rows:
+        assert r.ci_lo_r <= r.survival_r <= r.ci_hi_r
+        assert r.survival_r <= prev + 1e-9
+        prev = r.survival_r
+        # same framing as q245: survival curves must agree (4dp there)
+        assert abs(round(r.survival_r, 4) - km[r.t_days].survival_r) < 2e-4
+
+
+def test_adamic_adar_scores_positive(row):
+    rows = row("a066_adamic_adar_linkpred")
+    assert rows, "link-prediction candidates must exist"
+    for r in rows:
+        assert r.cn >= 1
+        assert r.aa_r > 0.0
+        assert 0.0 < r.jaccard_r <= 1.0
+        assert r.u < r.v
+
+
+def test_connected_components_union_find(row, sf_dir):
+    import duckdb
+
+    rows = row("a067_connected_components")
+    edges = duckdb.connect().execute(
+        f"""WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p
+              FROM '{sf_dir}/lineitem.parquet'),
+        okeep AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 20),
+        opk AS (SELECT op.o, p FROM op JOIN okeep ON op.o=okeep.o)
+        SELECT a.p, b.p FROM opk a JOIN opk b
+        ON a.o=b.o AND a.p<b.p GROUP BY 1,2 HAVING count(*) >= 2"""
+    ).fetchall()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    from collections import Counter
+
+    sizes = Counter(Counter(find(x) for x in parent).values())
+    got = {r.component_size: (r.n_components, r.n_nodes) for r in rows}
+    assert got == {s: (c, s * c) for s, c in sizes.items()}
+
+
+def test_fuzzy_blocking_brute_force(row, sf_dir):
+    import duckdb
+
+    rows = row("a068_fuzzy_name_blocking")
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = duckdb.connect().execute(
+        f"""SELECT regexp_extract(p_name, '([a-z]+)$', 1),
+               list(p_name ORDER BY p_partkey)
+        FROM '{sf_dir}/part.parquet' GROUP BY 1"""
+    ).fetchall()
+    expect = {}
+    for blk, ns in names:
+        ns = ns[:256]
+        pairs = [
+            lev(ns[i], ns[j])
+            for i in range(len(ns))
+            for j in range(i + 1, len(ns))
+        ]
+        pairs = [d for d in pairs if 1 <= d <= 3]
+        if pairs:
+            expect[blk] = (len(pairs), sum(pairs))
+    got = {r.blk: (r.n_pairs, r.dist_sum) for r in rows}
+    assert got == expect
+
+
+def test_cooks_distance_numpy(row, sf_dir):
+    import duckdb
+    import numpy as np
+
+    rows = row("a069_cooks_distance")
+    xy = duckdb.connect().execute(
+        f"""SELECT CAST(ROUND(c_acctbal,0) AS BIGINT),
+               CAST(SUM(CAST(ROUND(o_totalprice*100.0,0) AS BIGINT))//100
+                    AS BIGINT)
+        FROM '{sf_dir}/customer.parquet' c
+        JOIN '{sf_dir}/orders.parquet' o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal"""
+    ).fetchall()
+    x = np.array([p[0] for p in xy], float)
+    y = np.array([p[1] for p in xy], float)
+    n = len(x)
+    beta = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    alpha = y.mean() - beta * x.mean()
+    e = y - alpha - beta * x
+    mse = (e ** 2).sum() / (n - 2)
+    h = 1.0 / n + (x - x.mean()) ** 2 / ((x - x.mean()) ** 2).sum()
+    d = e ** 2 * h / (2 * mse * (1 - h) ** 2)
+    assert abs(max(d) - rows[0].cooks_d_r) < 1e-4
+    for r in rows:
+        assert 0.0 < r.leverage_r < 1.0
+        assert r.cooks_d_r >= 0.0
+
+
+def test_dixon_q_bounds(row):
+    for r in row("a070_dixon_q_outlier"):
+        assert r.x1 <= r.x2 <= r.xn and r.x1 <= r.xn1 <= r.xn
+        assert 0.0 <= r.q_max_r <= 1.0 and 0.0 <= r.q_min_r <= 1.0
+
+
+def test_llr_nonnegative_and_brute(row):
+    rows = row("a071_dunning_llr_collocations")
+    assert rows
+    for r in rows:
+        assert r.llr_r >= -1e-6
+        assert r.k11 >= 5
+    # scores must be sorted descending
+    vals = [r.llr_r for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_hhi_identities(row):
+    for r in row("a072_herfindahl_concentration"):
+        assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi_r <= 1.0 + 1e-9
+        assert abs(r.effective_n_r - 1.0 / r.hhi_r) < 1e-3
+        assert -1e-6 <= r.hhi_norm_r <= 1.0 + 1e-9
+        assert r.effective_n_r <= r.n_suppliers + 1e-6
+
+
+def test_inequality_identities(row):
+    r = row("a073_inequality_panel")[0]
+    assert r.theil_t_r >= -1e-6 and r.theil_l_r >= -1e-6
+    assert 0.0 <= r.atkinson1_r < 1.0
+    # Atkinson(1) = 1 - exp(-Theil L), exactly
+    assert abs(r.atkinson1_r - (1.0 - math.exp(-r.theil_l_r))) < 2e-5
+
+
+def test_lift_gains_consistency(row):
+    rows = row("a074_lift_gains_deciles")
+    base_users = sum(r.n_users for r in rows)
+    base_pos = sum(r.n_pos for r in rows)
+    for r in rows:
+        assert abs(r.resp_rate_r - r.n_pos / r.n_users) < 2e-6
+        assert abs(
+            r.lift_r - (r.n_pos / r.n_users) / (base_pos / base_users)
+        ) < 1e-4
+    # cumulative gain reaches 1.0 at the lowest bin
+    assert abs(rows[0].cum_gain_r - 1.0) < 2e-6 or abs(
+        max(r.cum_gain_r for r in rows) - 1.0
+    ) < 2e-6
