@@ -1931,3 +1931,582 @@ def a074_lift_gains_deciles(spark, sf_dir):
             6,
         ).alias("cum_gain_r"),
     ).orderBy("decile_bin")
+
+
+from .inference import _phi  # shared A&S-26.2.17 Φ text (both engines)
+
+
+@query(
+    "a075_multiple_testing_fdr",
+    oracle=f"""
+WITH dollars AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+         CAST(ROUND(o.o_totalprice, 0) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), nat AS (
+  SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM dollars GROUP BY nationkey
+), gtot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+         CAST(SUM(ss) AS BIGINT) AS sst,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM nat
+), zp AS (
+  SELECT nationkey, n,
+         (CAST(s AS DOUBLE) / n - CAST(st AS DOUBLE) / nt)
+           / (SQRT((CAST(nt AS DOUBLE) * sst - CAST(st AS DOUBLE) * st)
+                   / (CAST(nt AS DOUBLE) * (nt - 1)))
+              / SQRT(CAST(n AS DOUBLE))) AS z,
+         m
+  FROM nat CROSS JOIN gtot
+), pv AS (
+  SELECT nationkey, n, z, m,
+         CAST(ROUND((2.0 * (1.0 - {_phi("abs(z)")})) * 1000000000.0, 0)
+              AS BIGINT) AS p_fp
+  FROM zp
+), ranked AS (
+  SELECT nationkey, n, z, m, p_fp,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_fp ASC, nationkey ASC)
+              AS BIGINT) AS rk
+  FROM pv
+), adj AS (
+  SELECT nationkey, n, z, p_fp,
+         MIN(CAST(p_fp AS DOUBLE) * m / rk) OVER (
+           ORDER BY rk DESC ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS bh_raw,
+         MAX(CAST(p_fp AS DOUBLE) * (m - rk + 1)) OVER (
+           ORDER BY rk ASC ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS holm_raw
+  FROM ranked
+)
+SELECT nationkey, n, round(z, 6) AS z_r,
+       round(CAST(p_fp AS DOUBLE) / 1000000000.0, 6) AS p_r,
+       round(LEAST(bh_raw, 1000000000.0) / 1000000000.0, 6) AS p_bh_r,
+       round(LEAST(holm_raw, 1000000000.0) / 1000000000.0, 6)
+         AS p_holm_r,
+       CASE WHEN LEAST(bh_raw, 1000000000.0) < 50000000.0
+            THEN 1 ELSE 0 END AS rej_bh,
+       CASE WHEN LEAST(holm_raw, 1000000000.0) < 50000000.0
+            THEN 1 ELSE 0 END AS rej_holm
+FROM adj
+ORDER BY nationkey
+""",
+)
+def a075_multiple_testing_fdr(spark, sf_dir):
+    """Benjamini–Hochberg FDR and Holm–Bonferroni FWER adjustment
+    over the 25-nation family of mean-order-value z-tests — the
+    multiple-testing layer every per-segment monitoring sweep needs
+    before it pages anyone. Per-nation z comes from exact dollar
+    moments; two-sided p runs through the shared A&S Φ text and is
+    NANO-QUANTIZED to a BIGINT before ranking, so the p-ordering
+    (with a nationkey tie-break) is integer-deterministic; BH is the
+    bottom-up running min of p·m/rank, Holm the top-down running max
+    of p·(m−rank+1), both clamped at 1. Rejection flags at α=0.05.
+    At 100 TB: one orders fold to 25 rows; windows touch 25 rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    dollars = o.join(
+        c.select("c_custkey", "c_nationkey"),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.round("o_totalprice", 0).cast("bigint").alias("v"),
+    )
+    nat = dollars.groupBy("nationkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+    )
+    glob = nat.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("ss").cast("bigint").alias("sst"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    zp = nat.crossJoin(F.broadcast(glob)).withColumn(
+        "z",
+        F.expr(
+            "(CAST(s AS DOUBLE) / n - CAST(st AS DOUBLE) / nt)"
+            " / (SQRT((CAST(nt AS DOUBLE) * sst - CAST(st AS DOUBLE) * st)"
+            "         / (CAST(nt AS DOUBLE) * (nt - 1)))"
+            "    / SQRT(CAST(n AS DOUBLE)))"
+        ),
+    )
+    pv = zp.withColumn(
+        "p_fp",
+        F.expr(
+            f"CAST(ROUND((2.0 * (1.0 - {_phi('abs(z)')}))"
+            " * 1000000000.0, 0) AS BIGINT)"
+        ),
+    )
+    wrk = Window.orderBy(F.col("p_fp").asc(), F.col("nationkey").asc())
+    ranked = pv.withColumn(
+        "rk", F.row_number().over(wrk).cast("bigint")
+    )
+    wdn = Window.orderBy(F.col("rk").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wup = Window.orderBy(F.col("rk").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = ranked.select(
+        "nationkey",
+        "n",
+        "z",
+        "p_fp",
+        F.min(
+            F.col("p_fp").cast("double") * F.col("m") / F.col("rk")
+        ).over(wdn).alias("bh_raw"),
+        F.max(
+            F.col("p_fp").cast("double")
+            * (F.col("m") - F.col("rk") + 1)
+        ).over(wup).alias("holm_raw"),
+    )
+    bh = F.least(F.col("bh_raw"), F.lit(1000000000.0))
+    holm = F.least(F.col("holm_raw"), F.lit(1000000000.0))
+    return adj.select(
+        "nationkey",
+        "n",
+        F.round("z", 6).alias("z_r"),
+        F.round(F.col("p_fp").cast("double") / 1000000000.0, 6)
+        .alias("p_r"),
+        F.round(bh / 1000000000.0, 6).alias("p_bh_r"),
+        F.round(holm / 1000000000.0, 6).alias("p_holm_r"),
+        F.when(bh < 50000000.0, 1).otherwise(0).alias("rej_bh"),
+        F.when(holm < 50000000.0, 1).otherwise(0).alias("rej_holm"),
+    ).orderBy("nationkey")
+
+
+@query(
+    "a076_mahalanobis_outliers",
+    oracle="""
+WITH xy AS (
+  SELECT c.c_custkey,
+         CAST(ROUND(c.c_acctbal, 0) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM xy
+), cov AS (
+  SELECT n, sx, sy,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+           AS vx,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+           AS vy,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1)
+           AS cxy
+  FROM m
+), d2 AS (
+  SELECT p.c_custkey, p.x, p.y,
+         (c.vy * (p.x - CAST(c.sx AS DOUBLE) / c.n)
+               * (p.x - CAST(c.sx AS DOUBLE) / c.n)
+          - 2.0 * c.cxy * (p.x - CAST(c.sx AS DOUBLE) / c.n)
+                * (p.y - CAST(c.sy AS DOUBLE) / c.n)
+          + c.vx * (p.y - CAST(c.sy AS DOUBLE) / c.n)
+                * (p.y - CAST(c.sy AS DOUBLE) / c.n))
+           / (c.vx * c.vy - c.cxy * c.cxy) AS d2
+  FROM xy p CROSS JOIN cov c
+)
+SELECT c_custkey, x, y,
+       round(d2, 6) AS mahal_d2_r,
+       round(EXP(-0.5 * d2), 6) AS chi2_p_r
+FROM d2
+ORDER BY round(d2, 6) DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def a076_mahalanobis_outliers(spark, sf_dir):
+    """Bivariate Mahalanobis outlier scan over (account balance,
+    total spend): the 2×2 covariance inverts in closed form, so D² =
+    [v_y dx² − 2c dx dy + v_x dy²]/det needs no linear algebra
+    library, and under bivariate normality D² ~ χ²(2) whose survival
+    function is EXACTLY exp(−D²/2) — one transcendental per output
+    row. Moments are exact dollar BIGINTs; covariance and per-row D²
+    are identical double expressions both engines; top-20 ranks on
+    the ROUNDED statistic with a key tie-break. At 100 TB: one fold,
+    one 1-row broadcast, one re-scan."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    xy = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 0).cast("bigint").alias("x"),
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = m.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (F.col("sxx").cast("double")
+             - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("vx"),
+        (
+            (F.col("syy").cast("double")
+             - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("vy"),
+        (
+            (F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("cxy"),
+    )
+    dx = F.col("x") - F.col("sx").cast("double") / F.col("n")
+    dy = F.col("y") - F.col("sy").cast("double") / F.col("n")
+    d2 = (
+        F.col("vy") * dx * dx
+        - 2.0 * F.col("cxy") * dx * dy
+        + F.col("vx") * dy * dy
+    ) / (F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy"))
+    scored = xy.crossJoin(F.broadcast(cov)).select(
+        "c_custkey",
+        "x",
+        "y",
+        F.round(d2, 6).alias("mahal_d2_r"),
+        F.round(F.exp(-0.5 * d2), 6).alias("chi2_p_r"),
+    )
+    return scored.orderBy(
+        F.col("mahal_d2_r").desc(), F.col("c_custkey").asc()
+    ).limit(20)
+
+
+@query(
+    "a077_average_precision",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN event_type IN ('click', 'view')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS eng
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT CASE WHEN np >= 14 THEN 1 ELSE 0 END AS pos,
+         CAST(ROW_NUMBER() OVER (ORDER BY eng DESC, user_id ASC)
+              AS BIGINT) AS k
+  FROM u
+), hits AS (
+  SELECT k, pos,
+         CAST(SUM(pos) OVER (ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS h
+  FROM ranked
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS p
+  FROM ranked
+)
+SELECT t.n AS n_users, t.p AS n_pos,
+       round(CAST(SUM(CASE WHEN h2.pos = 1
+                   THEN CAST(h2.h AS DOUBLE) / h2.k END) AS DOUBLE)
+             / t.p, 6) AS ap_r,
+       round(CAST(MAX(CASE WHEN h2.k = 10 THEN h2.h END) AS DOUBLE)
+             / 10.0, 6) AS p_at_10_r,
+       round(CAST(MAX(CASE WHEN h2.k = 25 THEN h2.h END) AS DOUBLE)
+             / 25.0, 6) AS p_at_25_r,
+       round(CAST(t.p AS DOUBLE) / t.n, 6) AS prevalence_r
+FROM hits h2 CROSS JOIN tot t
+GROUP BY t.n, t.p
+""",
+)
+def a077_average_precision(spark, sf_dir):
+    """Average precision (the PR-AUC step estimate) for the
+    engagement-ranks-heavy-purchasers readout that q286 scores by
+    ROC: AP = (1/P)·Σ_{hits} precision@k, which unlike ROC-AUC does
+    not credit true negatives and is the standard retrieval/imbalance
+    metric. Ranking is (score desc, user_id) — fully deterministic;
+    hit prefix counts are an exact window sum; each AP term is an
+    exact-count ratio summed in rank order identically in both
+    engines; precision@10/@25 and prevalence ride along. At 100 TB
+    the only corpus stage is the user fold; the rank window is
+    user-count sized and would move to a top-k + partial-AP design
+    if users outgrew a single window (documented bound)."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("np"),
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("eng"),
+    )
+    wr = Window.orderBy(F.col("eng").desc(), F.col("user_id").asc())
+    ranked = u.select(
+        F.when(F.col("np") >= 14, 1).otherwise(0).alias("pos"),
+        F.row_number().over(wr).cast("bigint").alias("k"),
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    hits = ranked.select(
+        "k", "pos", F.sum("pos").over(wk).cast("bigint").alias("h")
+    )
+    tot = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .groupBy("n", "p")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("pos") == 1,
+                        F.col("h").cast("double") / F.col("k"),
+                    )
+                ).cast("double") / F.first("p"),
+                6,
+            ).alias("ap_r"),
+            F.round(
+                F.max(
+                    F.when(F.col("k") == 10, F.col("h"))
+                ).cast("double") / 10.0,
+                6,
+            ).alias("p_at_10_r"),
+            F.round(
+                F.max(
+                    F.when(F.col("k") == 25, F.col("h"))
+                ).cast("double") / 25.0,
+                6,
+            ).alias("p_at_25_r"),
+            F.round(
+                F.first("p").cast("double") / F.first("n"), 6
+            ).alias("prevalence_r"),
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("p").alias("n_pos"),
+            "ap_r",
+            "p_at_10_r",
+            "p_at_25_r",
+            "prevalence_r",
+        )
+    )
+
+
+_ELBOW_KS = (1, 2, 3, 4, 5, 6, 7, 8)
+_ELBOW_K_VALUES = ", ".join(f"({k})" for k in _ELBOW_KS)
+
+
+@query(
+    "a078_elbow_wss",
+    oracle=f"""
+WITH ks(k) AS (VALUES {_ELBOW_K_VALUES}),
+spend AS (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+), hist AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM spend GROUP BY x
+), rng AS (
+  SELECT CAST(MIN(x) AS BIGINT) AS lo, CAST(MAX(x) AS BIGINT) AS hi
+  FROM hist
+), assigned AS (
+  SELECT ks.k, LEAST(ks.k - 1, ((h.x - r.lo) * ks.k) // (r.hi - r.lo + 1))
+           AS bin,
+         h.x, h.cnt
+  FROM hist h CROSS JOIN rng r CROSS JOIN ks
+), bins AS (
+  SELECT k, bin,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * x) AS BIGINT) AS s,
+         CAST(SUM(cnt * x * x) AS BIGINT) AS ss
+  FROM assigned GROUP BY k, bin
+), wss AS (
+  SELECT k,
+         CAST(SUM(CAST(ROUND(CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * s / n, 0)
+                       AS BIGINT)) AS BIGINT) AS wss_units
+  FROM bins GROUP BY k
+)
+SELECT k, wss_units,
+       CAST(LAG(wss_units) OVER (ORDER BY k) - wss_units AS BIGINT)
+         AS drop_units,
+       CAST((LAG(wss_units) OVER (ORDER BY k) - wss_units)
+            - (wss_units - LEAD(wss_units) OVER (ORDER BY k))
+            AS BIGINT) AS curvature_units
+FROM wss
+ORDER BY k
+""",
+)
+def a078_elbow_wss(spark, sf_dir):
+    """Elbow-method WSS curve for k = 1..8 equal-width segmentations
+    of per-customer spend, with first-difference drops and the
+    second-difference curvature whose argmax is the knee. The corpus
+    folds ONCE to a spend value histogram (domain-bounded, not
+    row-bounded), the k-table is a constant literal crossed against
+    the histogram, assignment is pure integer arithmetic (never a
+    global ntile), and per-(k, bin) WSS = Σx² − (Σx)²/n comes from
+    exact BIGINT moments, each bin's WSS rounded to integer units\n    BEFORE the cross-bin sum (bin sums are order-free in integers;\n    the raw double sum differed by 1 ulp between engines). 8 rows.
+    At 100 TB: one fold + histogram-sized work; the 8× blowup is on
+    the histogram, never the corpus."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("x")
+    )
+    hist = spend.groupBy("x").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    rng = hist.agg(
+        F.min("x").cast("bigint").alias("lo"),
+        F.max("x").cast("bigint").alias("hi"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _ELBOW_KS], "k bigint")
+    assigned = (
+        hist.crossJoin(F.broadcast(rng))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "k",
+            F.least(
+                F.col("k") - 1,
+                F.expr("((x - lo) * k) div (hi - lo + 1)"),
+            ).alias("bin"),
+            "x",
+            "cnt",
+        )
+    )
+    bins = assigned.groupBy("k", "bin").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("x")).cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("x") * F.col("x"))
+        .cast("bigint").alias("ss"),
+    )
+    wss = bins.groupBy("k").agg(
+        F.sum(
+            F.round(
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n"),
+                0,
+            ).cast("bigint")
+        ).cast("bigint").alias("wss_units")
+    )
+    wk = Window.orderBy("k")
+    return wss.select(
+        "k",
+        "wss_units",
+        (F.lag("wss_units").over(wk) - F.col("wss_units"))
+        .cast("bigint").alias("drop_units"),
+        (
+            (F.lag("wss_units").over(wk) - F.col("wss_units"))
+            - (F.col("wss_units") - F.lead("wss_units").over(wk))
+        ).cast("bigint").alias("curvature_units"),
+    ).orderBy("k")
+
+
+_HILL_KS = (50, 100, 200)
+
+
+@query(
+    "a079_hill_tail_index",
+    oracle=f"""
+WITH ks(k) AS (VALUES {", ".join(f"({k})" for k in _HILL_KS)}),
+vals AS (
+  SELECT CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                 o_orderkey ASC) AS BIGINT) AS rk
+  FROM orders
+), top AS (
+  SELECT x, rk,
+         CAST(ROUND(ln(CAST(x AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+           AS lnx_micro
+  FROM vals WHERE rk <= {max(_HILL_KS) + 1}
+), per_k AS (
+  SELECT ks.k,
+         CAST(SUM(CASE WHEN t.rk <= ks.k THEN t.lnx_micro END)
+              AS BIGINT) AS sl,
+         CAST(MAX(CASE WHEN t.rk = ks.k + 1 THEN t.lnx_micro END)
+              AS BIGINT) AS ln_thresh,
+         CAST(MAX(CASE WHEN t.rk = ks.k + 1 THEN t.x END)
+              AS BIGINT) AS x_thresh
+  FROM top t CROSS JOIN ks
+  GROUP BY ks.k
+)
+SELECT k, x_thresh,
+       round((CAST(sl AS DOUBLE) / k - ln_thresh) / 1000000.0, 6)
+         AS hill_h_r,
+       round(1000000.0 / (CAST(sl AS DOUBLE) / k - ln_thresh), 6)
+         AS alpha_r
+FROM per_k
+ORDER BY k
+""",
+)
+def a079_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the order-value tail index at k = 50/100/200
+    top order statistics: H_k = (1/k)Σ ln(x_(i)/x_(k+1)), α = 1/H —
+    the heavy-tail exponent that decides whether spend aggregates
+    even have a variance. The global rank is a top-(k_max+1) —
+    TakeOrderedAndProject in Spark, never a full sort — with a
+    deterministic (value, key) tie-break; ln is micro-quantized per
+    retained row (BOUNDED at 201 transcendentals by construction, not
+    by sf), so Σln is an exact BIGINT and H is a terminal double. At
+    100 TB: one scan with a per-partition top-k combine."""
+    o = table(spark, sf_dir, "orders")
+    wr = Window.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    vals = o.select(
+        F.round("o_totalprice", 0).cast("bigint").alias("x"),
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+    )
+    top = vals.filter(F.col("rk") <= max(_HILL_KS) + 1).select(
+        "x",
+        "rk",
+        F.round(F.log(F.col("x").cast("double")) * 1e6, 0)
+        .cast("bigint").alias("lnx_micro"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _HILL_KS], "k bigint")
+    per_k = (
+        top.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("rk") <= F.col("k"), F.col("lnx_micro"))
+            ).cast("bigint").alias("sl"),
+            F.max(
+                F.when(F.col("rk") == F.col("k") + 1, F.col("lnx_micro"))
+            ).cast("bigint").alias("ln_thresh"),
+            F.max(
+                F.when(F.col("rk") == F.col("k") + 1, F.col("x"))
+            ).cast("bigint").alias("x_thresh"),
+        )
+    )
+    h = (
+        F.col("sl").cast("double") / F.col("k") - F.col("ln_thresh")
+    )
+    return per_k.select(
+        "k",
+        "x_thresh",
+        F.round(h / 1e6, 6).alias("hill_h_r"),
+        F.round(1e6 / h, 6).alias("alpha_r"),
+    ).orderBy("k")

@@ -668,3 +668,73 @@ def test_lift_gains_consistency(row):
     assert abs(rows[0].cum_gain_r - 1.0) < 2e-6 or abs(
         max(r.cum_gain_r for r in rows) - 1.0
     ) < 2e-6
+
+
+def test_fdr_dominance(row):
+    rows = row("a075_multiple_testing_fdr")
+    assert len(rows) == 25
+    for r in rows:
+        # Holm (FWER) is uniformly at least as conservative as BH (FDR)
+        assert r.p_holm_r >= r.p_bh_r - 1e-6
+        assert r.p_bh_r >= r.p_r - 1e-6
+        assert 0.0 <= r.p_r <= 1.0 + 1e-9
+        assert r.rej_holm <= r.rej_bh
+
+
+def test_mahalanobis_numpy(row, sf_dir):
+    import duckdb
+    import numpy as np
+
+    rows = row("a076_mahalanobis_outliers")
+    xy = duckdb.connect().execute(
+        f"""SELECT CAST(ROUND(c_acctbal,0) AS BIGINT),
+               CAST(SUM(CAST(ROUND(o_totalprice*100.0,0) AS BIGINT))//100
+                    AS BIGINT)
+        FROM '{sf_dir}/customer.parquet' c
+        JOIN '{sf_dir}/orders.parquet' o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal"""
+    ).fetchall()
+    a = np.array(xy, float)
+    mu = a.mean(axis=0)
+    cov = np.cov(a.T)
+    inv = np.linalg.inv(cov)
+    d = a - mu
+    d2 = (d @ inv * d).sum(axis=1)
+    assert abs(rows[0].mahal_d2_r - d2.max()) < 1e-3
+    for r in rows:
+        assert r.mahal_d2_r >= 0.0
+        assert abs(r.chi2_p_r - math.exp(-r.mahal_d2_r / 2.0)) < 2e-6
+
+
+def test_average_precision_bounds(row):
+    r = row("a077_average_precision")[0]
+    assert 0.0 <= r.ap_r <= 1.0 + 1e-9
+    # AP of any ranking is at least the prevalence achieved by chance
+    assert r.ap_r >= r.prevalence_r * 0.5
+    # p@k is NULL when fewer than k users exist (15 users at sf0.001)
+    for v in (r.p_at_10_r, r.p_at_25_r):
+        if v is not None:
+            assert 0.0 <= v <= 1.0
+    assert r.n_pos <= r.n_users
+
+
+def test_elbow_wss_monotone(row):
+    rows = row("a078_elbow_wss")
+    wss = [r.wss_units for r in rows]
+    assert [r.k for r in rows] == list(range(1, 9))
+    # WSS is non-increasing in k for nested equal-width refinements?
+    # Not guaranteed for arbitrary grids, but k=1 must dominate all.
+    assert wss[0] == max(wss)
+    assert all(w >= 0 for w in wss)
+    # drop identity
+    for i in range(1, len(rows)):
+        assert rows[i].drop_units == wss[i - 1] - wss[i]
+
+
+def test_hill_alpha_identity(row):
+    rows = row("a079_hill_tail_index")
+    assert [r.k for r in rows] == [50, 100, 200]
+    for r in rows:
+        assert r.hill_h_r > 0.0
+        assert abs(r.alpha_r - 1.0 / r.hill_h_r) < 1e-3
+        assert r.x_thresh > 0
