@@ -2510,3 +2510,686 @@ def a079_hill_tail_index(spark, sf_dir):
         F.round(h / 1e6, 6).alias("hill_h_r"),
         F.round(1e6 / h, 6).alias("alpha_r"),
     ).orderBy("k")
+
+
+@query(
+    "a080_diff_in_diff",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN 0 ELSE 1 END AS post,
+         user_id,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+), per_user AS (
+  SELECT treat, post, user_id, CAST(SUM(v) AS BIGINT) AS y
+  FROM cell GROUP BY treat, post, user_id
+), cells AS (
+  SELECT treat, post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS ss
+  FROM per_user GROUP BY treat, post
+), wide AS (
+  SELECT
+    MAX(CASE WHEN treat = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+      AS m_t1,
+    MAX(CASE WHEN treat = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END)
+      AS m_t0,
+    MAX(CASE WHEN treat = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+      AS m_c1,
+    MAX(CASE WHEN treat = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END)
+      AS m_c0,
+    SUM((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        / (n - 1) / n) AS var_did,
+    CAST(SUM(n) AS BIGINT) AS n_obs
+  FROM cells
+)
+SELECT n_obs,
+       round(m_t1 / 100.0, 6) AS mean_treat_post_r,
+       round(m_t0 / 100.0, 6) AS mean_treat_pre_r,
+       round(m_c1 / 100.0, 6) AS mean_ctrl_post_r,
+       round(m_c0 / 100.0, 6) AS mean_ctrl_pre_r,
+       round((m_t1 - m_t0 - (m_c1 - m_c0)) / 100.0, 6) AS did_r,
+       round(SQRT(var_did) / 100.0, 6) AS se_r,
+       round((m_t1 - m_t0 - (m_c1 - m_c0)) / SQRT(var_did), 6) AS t_r
+FROM wide
+""",
+)
+def a080_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences on per-user purchase revenue around
+    the mid-month boundary (post = Jan 16+), with a deterministic
+    parity treatment assignment — the 2×2 design whose interaction
+    term nets out both the group level difference and the common
+    time shock. Each cell folds to exact cents (n, Σy, Σy²); the four
+    means, the DiD = (T₁−T₀)−(C₁−C₀), and the unequal-variance SE
+    √Σs²ᵢ/nᵢ are terminal doubles off those integers. At 100 TB: one
+    filtered fold keyed (treat, post, user), then 4 rows."""
+    ev = table(spark, sf_dir, "events")
+    cell = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).cast("bigint").alias("treat"),
+        F.when(
+            F.to_date("ts") < F.lit("2024-01-16").cast("date"), 0
+        ).otherwise(1).alias("post"),
+        "user_id",
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v"),
+    )
+    per_user = cell.groupBy("treat", "post", "user_id").agg(
+        F.sum("v").cast("bigint").alias("y")
+    )
+    cells = per_user.groupBy("treat", "post").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    pick = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treat") == t) & (F.col("post") == p), mean)
+    )
+    wide = cells.agg(
+        pick(1, 1).alias("m_t1"),
+        pick(1, 0).alias("m_t0"),
+        pick(0, 1).alias("m_c1"),
+        pick(0, 0).alias("m_c0"),
+        F.sum(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("var_did"),
+        F.sum("n").cast("bigint").alias("n_obs"),
+    )
+    did = F.col("m_t1") - F.col("m_t0") - (
+        F.col("m_c1") - F.col("m_c0")
+    )
+    return wide.select(
+        "n_obs",
+        F.round(F.col("m_t1") / 100.0, 6).alias("mean_treat_post_r"),
+        F.round(F.col("m_t0") / 100.0, 6).alias("mean_treat_pre_r"),
+        F.round(F.col("m_c1") / 100.0, 6).alias("mean_ctrl_post_r"),
+        F.round(F.col("m_c0") / 100.0, 6).alias("mean_ctrl_pre_r"),
+        F.round(did / 100.0, 6).alias("did_r"),
+        F.round(F.sqrt(F.col("var_did")) / 100.0, 6).alias("se_r"),
+        F.round(did / F.sqrt(F.col("var_did")), 6).alias("t_r"),
+    )
+
+
+@query(
+    "a081_iv_wald_estimator",
+    oracle="""
+WITH obs AS (
+  SELECT CAST(c.c_nationkey % 2 AS BIGINT) AS z,
+         CAST(ROUND(c.c_acctbal, 0) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_nationkey, c.c_acctbal
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z * x) AS BIGINT) AS szx,
+         CAST(SUM(z * y) AS BIGINT) AS szy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM obs
+)
+SELECT n,
+       round((CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * sy / n)
+             / (CAST(szx AS DOUBLE) - CAST(sz AS DOUBLE) * sx / n), 6)
+         AS beta_iv_r,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6)
+         AS beta_ols_r,
+       round((CAST(szx AS DOUBLE) - CAST(sz AS DOUBLE) * sx / n)
+             / (CAST(sz AS DOUBLE) * (n - sz) / n), 6)
+         AS first_stage_r,
+       round(CAST(szy AS DOUBLE) / sz
+             - (CAST(sy AS DOUBLE) - szy) / (n - sz), 6)
+         AS reduced_form_r
+FROM m
+""",
+)
+def a081_iv_wald_estimator(spark, sf_dir):
+    """Instrumental-variable Wald estimator with a binary instrument
+    (nation parity), treatment = account balance, outcome = spend:
+    β_IV = cov(z,y)/cov(z,x) — for a binary z this IS the Wald ratio
+    (ȳ₁−ȳ₀)/(x̄₁−x̄₀) — next to the plain OLS β for contrast, the
+    first-stage slope cov(z,x)/var(z), and the reduced form ȳ₁−ȳ₀.
+    Everything derives from ONE pass of exact BIGINT cross-moments;
+    the ratios are terminal doubles with identical expression text in
+    both engines. At 100 TB: one orders fold keyed by customer, one
+    8-number summary."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    obs = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_nationkey", "c_acctbal")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            (F.col("c_nationkey") % 2).cast("bigint").alias("z"),
+            F.round("c_acctbal", 0).cast("bigint").alias("x"),
+            "y",
+        )
+    )
+    m = obs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("z") * F.col("x")).cast("bigint").alias("szx"),
+        F.sum(F.col("z") * F.col("y")).cast("bigint").alias("szy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n")
+    czy = F.col("szy").cast("double") - F.col("sz").cast("double") * F.col("sy") / nd
+    czx = F.col("szx").cast("double") - F.col("sz").cast("double") * F.col("sx") / nd
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / nd
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / nd
+    return m.select(
+        "n",
+        F.round(czy / czx, 6).alias("beta_iv_r"),
+        F.round(cxy / cxx, 6).alias("beta_ols_r"),
+        F.round(
+            czx
+            / (F.col("sz").cast("double") * (nd - F.col("sz")) / nd),
+            6,
+        ).alias("first_stage_r"),
+        F.round(
+            F.col("szy").cast("double") / F.col("sz")
+            - (F.col("sy").cast("double") - F.col("szy"))
+            / (nd - F.col("sz")),
+            6,
+        ).alias("reduced_form_r"),
+    )
+
+
+@query(
+    "a082_oaxaca_blinder",
+    oracle="""
+WITH obs AS (
+  SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS g,
+         CAST(ROUND(c.c_acctbal, 0) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+), m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM obs GROUP BY g
+), fit AS (
+  SELECT g, n,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS beta
+  FROM m
+), wide AS (
+  SELECT
+    MAX(CASE WHEN g = 1 THEN n END) AS n_a,
+    MAX(CASE WHEN g = 0 THEN n END) AS n_b,
+    MAX(CASE WHEN g = 1 THEN mx END) AS mx_a,
+    MAX(CASE WHEN g = 0 THEN mx END) AS mx_b,
+    MAX(CASE WHEN g = 1 THEN my END) AS my_a,
+    MAX(CASE WHEN g = 0 THEN my END) AS my_b,
+    MAX(CASE WHEN g = 1 THEN beta END) AS beta_a,
+    MAX(CASE WHEN g = 0 THEN beta END) AS beta_b
+  FROM fit
+)
+SELECT n_a, n_b,
+       round(my_a - my_b, 6) AS gap_r,
+       round((mx_a - mx_b) * beta_b, 6) AS explained_r,
+       round(mx_a * (beta_a - beta_b)
+             + (my_a - beta_a * mx_a) - (my_b - beta_b * mx_b), 6)
+         AS unexplained_r,
+       round(beta_a, 6) AS beta_a_r,
+       round(beta_b, 6) AS beta_b_r
+FROM wide
+""",
+)
+def a082_oaxaca_blinder(spark, sf_dir):
+    """Oaxaca–Blinder two-fold decomposition of the AUTOMOBILE-vs-
+    rest spend gap into the part explained by different account-
+    balance ENDOWMENTS at reference-group prices ((x̄_A − x̄_B)·β_B)
+    and the unexplained coefficient + intercept shift — the standard
+    wage-gap audit ported to segment analytics. Identity: gap =
+    explained + unexplained EXACTLY, a property test pin. Per-group
+    OLS comes from exact BIGINT moments; every readout is a terminal
+    double of those. At 100 TB: one orders fold, one 2-row group
+    summary, one pivot."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    obs = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+            .otherwise(0).alias("g"),
+            F.round("c_acctbal", 0).cast("bigint").alias("x"),
+            "y",
+        )
+    )
+    m = obs.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    fit = m.select(
+        "g",
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        (
+            (F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+            / (F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        ).alias("beta"),
+    )
+    pick = lambda g, c_: F.max(  # noqa: E731
+        F.when(F.col("g") == g, F.col(c_))
+    )
+    wide = fit.agg(
+        pick(1, "n").alias("n_a"),
+        pick(0, "n").alias("n_b"),
+        pick(1, "mx").alias("mx_a"),
+        pick(0, "mx").alias("mx_b"),
+        pick(1, "my").alias("my_a"),
+        pick(0, "my").alias("my_b"),
+        pick(1, "beta").alias("beta_a"),
+        pick(0, "beta").alias("beta_b"),
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("my_a") - F.col("my_b"), 6).alias("gap_r"),
+        F.round(
+            (F.col("mx_a") - F.col("mx_b")) * F.col("beta_b"), 6
+        ).alias("explained_r"),
+        F.round(
+            F.col("mx_a") * (F.col("beta_a") - F.col("beta_b"))
+            + (F.col("my_a") - F.col("beta_a") * F.col("mx_a"))
+            - (F.col("my_b") - F.col("beta_b") * F.col("mx_b")),
+            6,
+        ).alias("unexplained_r"),
+        F.round("beta_a", 6).alias("beta_a_r"),
+        F.round("beta_b", 6).alias("beta_b_r"),
+    )
+
+
+@query(
+    "a083_weibull_plot_fit",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+), signed AS (
+  SELECT user_id, s_ts, last_ts FROM base WHERE s_ts IS NOT NULL
+), conv AS (
+  SELECT s.user_id, MIN(e.ts) AS p_ts
+  FROM signed s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+  GROUP BY s.user_id
+), subj AS (
+  SELECT CAST(CASE WHEN c.p_ts IS NOT NULL
+              THEN (epoch_us(c.p_ts) - epoch_us(s.s_ts)) // 86400000000
+              ELSE (epoch_us(s.last_ts) - epoch_us(s.s_ts)) // 86400000000
+              END AS BIGINT) AS t_days,
+         CASE WHEN c.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM signed s LEFT JOIN conv c ON c.user_id = s.user_id
+), tt AS (
+  SELECT t_days, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM subj GROUP BY t_days
+), risk AS (
+  SELECT t_days, d,
+         CAST(SUM(m) OVER ()
+              - COALESCE(SUM(m) OVER (ORDER BY t_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n
+  FROM tt
+), lnterms AS (
+  SELECT t_days,
+         CASE WHEN d > 0 AND d < n
+              THEN CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n)
+                              * 1000000.0, 0) AS BIGINT)
+              WHEN d > 0 THEN CAST(-99000000 AS BIGINT)
+              ELSE 0 END AS ln_micro
+  FROM risk
+), km AS (
+  SELECT t_days,
+         CAST(SUM(ln_micro) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS lsum
+  FROM lnterms
+), pts AS (
+  SELECT CAST(ROUND(ln(CAST(t_days AS DOUBLE)) * 1000000.0, 0)
+              AS BIGINT) AS x_fp,
+         CAST(ROUND(ln(-(CAST(lsum AS DOUBLE) / 1000000.0))
+                    * 1000000.0, 0) AS BIGINT) AS y_fp
+  FROM km WHERE t_days >= 1 AND lsum < 0 AND lsum > -99000000
+), m2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_fp) AS BIGINT) AS sx, CAST(SUM(y_fp) AS BIGINT) AS sy,
+         CAST(SUM(x_fp * x_fp) AS BIGINT) AS sxx,
+         CAST(SUM(x_fp * y_fp) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT n AS n_points,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6)
+         AS shape_r,
+       round(EXP(-(CAST(sy AS DOUBLE) / n
+                   - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                     * (CAST(sx AS DOUBLE) / n)) / 1000000.0
+                 / ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                 * 1000000.0 / 1000000.0), 6) AS scale_days_r
+FROM m2
+""",
+)
+def a083_weibull_plot_fit(spark, sf_dir):
+    """Weibull probability-plot fit to the signup→purchase KM curve:
+    regress y = ln(−ln S(t)) on x = ln t — linear iff T ~ Weibull,
+    slope = shape k̂, scale = exp(−â/k̂). Because the engine's KM is
+    an exact micro-quantized ln SUM, ln S(t) IS lsum/1e6 with no
+    second exp/ln round-trip; x and y are micro-quantized per KM day
+    (≤31 bounded points), so the OLS moments are exact BIGINTs and
+    the fit is terminal. Degenerate S=1/S≤e⁻⁹⁹ days are excluded by
+    integer guards. At 100 TB: inherits the q245 scale shape — the
+    corpus dies at the per-user fold."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("s_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    signed = base.filter(F.col("s_ts").isNotNull()).localCheckpoint(
+        eager=False
+    )
+    conv = (
+        signed.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_raw")
+            ),
+            "user_id",
+        )
+        .filter(F.col("p_raw") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_raw").alias("p_ts"))
+    )
+    subj = signed.join(conv, "user_id", "left").select(
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.expr(
+                "(unix_micros(p_ts) - unix_micros(s_ts))"
+                " div 86400000000"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "(unix_micros(last_ts) - unix_micros(s_ts))"
+                " div 86400000000"
+            )
+        )
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tt = subj.groupBy("t_days").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    wall = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcur = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = tt.select(
+        "t_days",
+        "d",
+        (
+            F.sum("m").over(Window.partitionBy())
+            - F.coalesce(F.sum("m").over(wall), F.lit(0))
+        ).cast("bigint").alias("n"),
+    )
+    lnterms = risk.select(
+        "t_days",
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n")),
+            F.round(
+                F.log(
+                    1.0 - F.col("d").cast("double") / F.col("n")
+                ) * 1e6,
+                0,
+            ).cast("bigint"),
+        )
+        .when(F.col("d") > 0, F.lit(-99000000).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("ln_micro"),
+    )
+    km = lnterms.select(
+        "t_days",
+        F.sum("ln_micro").over(wcur).cast("bigint").alias("lsum"),
+    )
+    pts = km.filter(
+        (F.col("t_days") >= 1)
+        & (F.col("lsum") < 0)
+        & (F.col("lsum") > -99000000)
+    ).select(
+        F.round(F.log(F.col("t_days").cast("double")) * 1e6, 0)
+        .cast("bigint").alias("x_fp"),
+        F.round(
+            F.log(-(F.col("lsum").cast("double") / 1e6)) * 1e6, 0
+        ).cast("bigint").alias("y_fp"),
+    )
+    m2 = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x_fp").cast("bigint").alias("sx"),
+        F.sum("y_fp").cast("bigint").alias("sy"),
+        F.sum(F.col("x_fp") * F.col("x_fp")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x_fp") * F.col("y_fp")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n")
+    slope = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / nd
+    ) / (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / nd
+    )
+    intercept_micro = (
+        F.col("sy").cast("double") / nd
+        - slope * (F.col("sx").cast("double") / nd)
+    )
+    return m2.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("shape_r"),
+        F.round(
+            F.exp(-intercept_micro / 1e6 / slope * 1e6 / 1e6), 6
+        ).alias("scale_days_r"),
+    )
+
+
+_DBSCAN_GRID = 40
+_DBSCAN_DENS = 320  # core cell iff cnt * _DBSCAN_DENS >= n_points
+_DBSCAN_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+_DBSCAN_OFF_VALUES = ", ".join(f"({dx}, {dy})" for dx, dy in _DBSCAN_OFFSETS)
+
+
+@query(
+    "a084_dbscan_grid",
+    oracle=f"""
+WITH RECURSIVE off(dx, dy) AS (VALUES {_DBSCAN_OFF_VALUES}),
+xy AS (
+  SELECT CAST(ROUND(c.c_acctbal, 0) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+), rng AS (
+  SELECT CAST(MIN(x) AS BIGINT) AS xlo, CAST(MAX(x) AS BIGINT) AS xhi,
+         CAST(MIN(y) AS BIGINT) AS ylo, CAST(MAX(y) AS BIGINT) AS yhi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM xy
+), cells AS (
+  SELECT LEAST({_DBSCAN_GRID - 1},
+               ((p.x - r.xlo) * {_DBSCAN_GRID}) // (r.xhi - r.xlo + 1))
+           AS cx,
+         LEAST({_DBSCAN_GRID - 1},
+               ((p.y - r.ylo) * {_DBSCAN_GRID}) // (r.yhi - r.ylo + 1))
+           AS cy,
+         r.n
+  FROM xy p CROSS JOIN rng r
+), occ AS (
+  SELECT cx, cy, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY cx, cy
+), core AS (
+  SELECT cx, cy, cnt, CAST(cx * {_DBSCAN_GRID} + cy AS BIGINT) AS key
+  FROM occ WHERE cnt * {_DBSCAN_DENS} >= n
+), adj AS (
+  SELECT a.key AS u, b.key AS v
+  FROM core a JOIN off o ON TRUE
+  JOIN core b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+), reach(node, lbl) AS (
+  SELECT key, key FROM core
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN adj e ON e.u = r.node
+), comp AS (
+  SELECT node, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM reach
+  GROUP BY node
+)
+SELECT c.cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(k.cnt) AS BIGINT) AS n_points
+FROM comp c JOIN core k ON k.key = c.node
+GROUP BY c.cluster_id
+ORDER BY n_points DESC, cluster_id ASC
+""",
+)
+def a084_dbscan_grid(spark, sf_dir):
+    """Grid-DBSCAN density clustering of customers in (account
+    balance, spend) space: a scale-free 40×40 value grid (integer
+    binning off a 1-row broadcast range — never a global sort), core
+    cells by RELATIVE density (cnt·320 ≥ n, so the threshold tracks
+    sf), clusters = connected components of the 8-neighborhood
+    core-cell adjacency, labels propagated with the a067 min-label
+    loop to a driver-checked fixed point. Cell-level DBSCAN is the
+    standard gridded approximation that keeps the neighbor search an
+    EQUI-join on shifted integer coordinates (the constant 9-offset
+    table) instead of an O(n²) distance join; the cell count is
+    bounded at 1600 by construction at any sf. Oracle: recursive-CTE
+    closure over the same cells."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    xy = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            F.round("c_acctbal", 0).cast("bigint").alias("x"), "y"
+        )
+    )
+    rng = xy.agg(
+        F.min("x").cast("bigint").alias("xlo"),
+        F.max("x").cast("bigint").alias("xhi"),
+        F.min("y").cast("bigint").alias("ylo"),
+        F.max("y").cast("bigint").alias("yhi"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    g = _DBSCAN_GRID
+    cells = xy.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(g - 1), F.expr(f"((x - xlo) * {g}) div (xhi - xlo + 1)")
+        ).alias("cx"),
+        F.least(
+            F.lit(g - 1), F.expr(f"((y - ylo) * {g}) div (yhi - ylo + 1)")
+        ).alias("cy"),
+        "n",
+    )
+    occ = cells.groupBy("cx", "cy").agg(
+        F.max("n").alias("n"), F.count("*").cast("bigint").alias("cnt")
+    )
+    core = occ.filter(
+        F.col("cnt") * _DBSCAN_DENS >= F.col("n")
+    ).select(
+        "cx", "cy", "cnt",
+        (F.col("cx") * g + F.col("cy")).cast("bigint").alias("key"),
+    ).localCheckpoint(eager=True)
+    off = spark.createDataFrame(_DBSCAN_OFFSETS, "dx long, dy long")
+    shifted = core.crossJoin(F.broadcast(off)).select(
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        F.col("key").alias("u"),
+    )
+    adj = shifted.join(
+        core.select("cx", "cy", F.col("key").alias("v")), ["cx", "cy"]
+    ).select("u", "v").localCheckpoint(eager=True)
+    labels = core.select(
+        F.col("key").alias("node"), F.col("key").alias("lbl")
+    ).localCheckpoint(eager=True)
+    while True:
+        nb = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("u"), F.col("lbl").alias("ulb")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("ulb").alias("nlb"))
+        )
+        new = labels.join(nb, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlb"), F.col("lbl"))
+            ).alias("lbl"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.lbl") != F.col("b.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return (
+        labels.join(core.select(F.col("key").alias("node"), "cnt"), "node")
+        .groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum("cnt").cast("bigint").alias("n_points"),
+        )
+        .orderBy(F.col("n_points").desc(), F.col("cluster_id").asc())
+    )

@@ -738,3 +738,42 @@ def test_hill_alpha_identity(row):
         assert r.hill_h_r > 0.0
         assert abs(r.alpha_r - 1.0 / r.hill_h_r) < 1e-3
         assert r.x_thresh > 0
+
+
+def test_did_cell_identity(row):
+    r = row("a080_diff_in_diff")[0]
+    did = (r.mean_treat_post_r - r.mean_treat_pre_r) - (
+        r.mean_ctrl_post_r - r.mean_ctrl_pre_r
+    )
+    assert abs(r.did_r - did) < 2e-5
+    assert r.se_r > 0.0
+    assert abs(r.t_r - r.did_r / r.se_r) < 1e-3
+
+
+def test_iv_wald_consistency(row):
+    r = row("a081_iv_wald_estimator")[0]
+    # beta_iv = reduced form / first stage (Wald identity)
+    assert abs(r.beta_iv_r - r.reduced_form_r / r.first_stage_r) < max(
+        1e-3, abs(r.beta_iv_r) * 1e-3
+    )
+
+
+def test_oaxaca_gap_decomposition(row):
+    r = row("a082_oaxaca_blinder")[0]
+    assert abs(r.gap_r - (r.explained_r + r.unexplained_r)) < 2e-5
+
+
+def test_weibull_fit_positive_scale(row):
+    r = row("a083_weibull_plot_fit")[0]
+    assert r.n_points >= 3
+    assert r.scale_days_r > 0.0
+
+
+def test_dbscan_grid_sane(row):
+    rows = row("a084_dbscan_grid")
+    assert rows, "at least one dense cluster must exist"
+    for r in rows:
+        assert r.n_cells >= 1
+        assert r.n_points >= r.n_cells  # every core cell holds points
+    sizes = [r.n_points for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
