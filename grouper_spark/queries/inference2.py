@@ -2375,9 +2375,11 @@ def a078_elbow_wss(spark, sf_dir):
             " div 100 AS BIGINT)"
         ).alias("x")
     )
+    # hist feeds both the range branch and the k-assignment branch;
+    # checkpoint so the corpus fold doesn't replan per reference
     hist = spend.groupBy("x").agg(
         F.count("*").cast("bigint").alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
     rng = hist.agg(
         F.min("x").cast("bigint").alias("lo"),
         F.max("x").cast("bigint").alias("hi"),

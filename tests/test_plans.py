@@ -1062,3 +1062,73 @@ def test_a032_decay_weights_broadcast_join(spark, sf_dir, registry):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+# ---- round-7 battery II pins -----------------------------------------
+
+
+def test_a059_pettitt_no_pairwise_join(spark, sf_dir, registry):
+    """Pettitt must be histogram + windows: the only join is daily
+    value -> rank (equi), never a corpus self-join; exactly one
+    orders scan per branch and no CartesianProduct."""
+    df = registry["a059_pettitt_changepoint"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_a063_croston_weight_table_broadcast(spark, sf_dir, registry):
+    """The 128-row SES weight table joins broadcast-side."""
+    df = registry["a063_croston_intermittent"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_a066_linkpred_no_cartesian(spark, sf_dir, registry):
+    """Two-path enumeration and the non-edge anti-join are all
+    equi-joins on z/(u,v) — a CartesianProduct would mean the
+    candidate stage degenerated to all-pairs."""
+    df = registry["a066_adamic_adar_linkpred"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_a067_components_final_plan_scans_no_corpus(spark, sf_dir, registry):
+    """After convergence the labels are eagerly checkpointed — the
+    final histogram plan must not rescan lineitem (a scan here would
+    mean each sweep replanned the edge derivation)."""
+    df = registry["a067_connected_components"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "FileScan parquet" not in plan, plan
+
+
+def test_a069_influence_single_fold_plus_broadcast(spark, sf_dir, registry):
+    """Cook's D re-scans only the checkpointed per-customer summary
+    against a broadcast 1-row fit."""
+    df = registry["a069_cooks_distance"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_a078_elbow_k_table_on_histogram(spark, sf_dir, registry):
+    """The k-grid multiplies the HISTOGRAM, not the corpus: the fold
+    lands in one checkpointed frame, so the final plan holds no
+    parquet scan at all (3 references to the checkpoint instead)."""
+    df = registry["a078_elbow_wss"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 0, plan
+
+
+def test_a079_hill_rank_is_windowed_topk(spark, sf_dir, registry):
+    """Hill keeps only rk <= 201: the filter must sit above the rank
+    window so the ln projection touches a bounded row count."""
+    df = registry["a079_hill_tail_index"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_a084_dbscan_final_plan_scans_no_corpus(spark, sf_dir, registry):
+    """Labels and core cells are eagerly checkpointed; the readout
+    joins two checkpointed frames only."""
+    df = registry["a084_dbscan_grid"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "FileScan parquet" not in plan, plan
