@@ -3195,3 +3195,470 @@ def a084_dbscan_grid(spark, sf_dir):
         )
         .orderBy(F.col("n_points").desc(), F.col("cluster_id").asc())
     )
+
+
+_GMM_BINS = 512
+_GMM_ITERS = 5
+
+
+def _gmm_estep_sql(p: str) -> str:
+    """One E-step + M-step over the materialized histogram `h`,
+    reading params from CTE name `p` — shared SQL text so every
+    iteration is literally the same expression in both engines.
+    Responsibilities are micro-quantized (1e6 fixed point) so the
+    M-step moments are exact BIGINTs."""
+    r1 = (
+        f"(pi1 * EXP(-(h.xg - {p}.mu1) * (h.xg - {p}.mu1)"
+        f" / (2.0 * {p}.s1 * {p}.s1)) / {p}.s1)"
+    )
+    r2 = (
+        f"((1.0 - pi1) * EXP(-(h.xg - {p}.mu2) * (h.xg - {p}.mu2)"
+        f" / (2.0 * {p}.s2 * {p}.s2)) / {p}.s2)"
+    )
+    return f"""
+  SELECT
+    CAST(SUM(h.cnt * rfp) AS BIGINT) AS n1,
+    CAST(SUM(h.cnt) * 1000000 AS BIGINT) AS ntot,
+    SUM(h.cnt * rfp * h.xg) * 1.0 / SUM(h.cnt * rfp) AS mu1,
+    SQRT(GREATEST(
+      SUM(h.cnt * rfp * h.xg * h.xg) * 1.0 / SUM(h.cnt * rfp)
+      - (SUM(h.cnt * rfp * h.xg) * 1.0 / SUM(h.cnt * rfp))
+        * (SUM(h.cnt * rfp * h.xg) * 1.0 / SUM(h.cnt * rfp)),
+      CAST(0.25 AS DOUBLE))) AS s1,
+    SUM(h.cnt * (1000000 - rfp) * h.xg) * 1.0
+      / SUM(h.cnt * (1000000 - rfp)) AS mu2,
+    SQRT(GREATEST(
+      SUM(h.cnt * (1000000 - rfp) * h.xg * h.xg) * 1.0
+        / SUM(h.cnt * (1000000 - rfp))
+      - (SUM(h.cnt * (1000000 - rfp) * h.xg) * 1.0
+         / SUM(h.cnt * (1000000 - rfp)))
+        * (SUM(h.cnt * (1000000 - rfp) * h.xg) * 1.0
+           / SUM(h.cnt * (1000000 - rfp))),
+      CAST(0.25 AS DOUBLE))) AS s2,
+    CAST(SUM(h.cnt * rfp) AS DOUBLE) / (SUM(h.cnt) * 1000000) AS pi1
+  FROM (
+    SELECT h.xg, h.cnt,
+           CAST(ROUND({r1} / ({r1} + {r2}) * 1000000.0, 0) AS BIGINT)
+             AS rfp
+    FROM hist h CROSS JOIN {p}
+  ) h
+"""
+
+
+@query(
+    "a085_gmm_em_1d",
+    oracle=f"""
+WITH spend AS (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+), rng AS MATERIALIZED (
+  SELECT CAST(MIN(x) AS BIGINT) AS lo, CAST(MAX(x) AS BIGINT) AS hi
+  FROM spend
+), hist AS MATERIALIZED (
+  SELECT LEAST({_GMM_BINS - 1},
+               ((s.x - r.lo) * {_GMM_BINS}) // (r.hi - r.lo + 1)) AS xg,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM spend s CROSS JOIN rng r
+  GROUP BY 1
+), mom AS MATERIALIZED (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * xg) AS BIGINT) AS sx,
+         CAST(SUM(cnt * xg * xg) AS BIGINT) AS sxx
+  FROM hist
+), it0 AS MATERIALIZED (
+  SELECT CAST(0.5 AS DOUBLE) AS pi1,
+         CAST({_GMM_BINS} AS DOUBLE) / 4.0 AS mu1,
+         CAST({_GMM_BINS} AS DOUBLE) * 3.0 / 4.0 AS mu2,
+         SQRT((CAST(m.n AS DOUBLE) * m.sxx - CAST(m.sx AS DOUBLE) * m.sx)
+              / (CAST(m.n AS DOUBLE) * (m.n - 1))) AS s1,
+         SQRT((CAST(m.n AS DOUBLE) * m.sxx - CAST(m.sx AS DOUBLE) * m.sx)
+              / (CAST(m.n AS DOUBLE) * (m.n - 1))) AS s2
+  FROM mom m
+),
+it1 AS MATERIALIZED ({_gmm_estep_sql("it0")}),
+it2 AS MATERIALIZED ({_gmm_estep_sql("it1")}),
+it3 AS MATERIALIZED ({_gmm_estep_sql("it2")}),
+it4 AS MATERIALIZED ({_gmm_estep_sql("it3")}),
+it5 AS MATERIALIZED ({_gmm_estep_sql("it4")})
+SELECT CAST({_GMM_ITERS} AS BIGINT) AS n_iters,
+       round(pi1, 6) AS pi1_r,
+       round(mu1, 6) AS mu1_grid_r, round(s1, 6) AS sigma1_grid_r,
+       round(mu2, 6) AS mu2_grid_r, round(s2, 6) AS sigma2_grid_r
+FROM it5
+""",
+)
+def a085_gmm_em_1d(spark, sf_dir):
+    """Two-component 1D Gaussian-mixture EM over per-customer spend,
+    run 5 fixed iterations from a deterministic quartile init — the
+    canonical iterative-refinement algorithm expressed scale-first:
+    the corpus folds ONCE to a 512-bin value-grid histogram (bounded
+    by construction, so E-steps cost O(bins), never O(rows)), each
+    E-step's responsibilities are MICRO-QUANTIZED to 1e6 fixed point
+    so every M-step moment (Σc·r, Σc·r·x, Σc·r·x²) is an exact BIGINT
+    with sf1 headroom, and variances are floored at 0.25 grid² to pin
+    the degenerate-collapse branch identically in both engines. The
+    oracle unrolls the 5 iterations as MATERIALIZED CTEs sharing ONE
+    expression text (the a448/_OLS2 recipe — DuckDB would otherwise
+    inline 2^k copies); Spark iterates over an eagerly checkpointed
+    1-row param frame against the checkpointed histogram."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("x")
+    )
+    rng = spend.agg(
+        F.min("x").cast("bigint").alias("lo"),
+        F.max("x").cast("bigint").alias("hi"),
+    )
+    g = _GMM_BINS
+    hist = (
+        spend.crossJoin(F.broadcast(rng))
+        .groupBy(
+            F.least(
+                F.lit(g - 1),
+                F.expr(f"((x - lo) * {g}) div (hi - lo + 1)"),
+            ).alias("xg")
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    mom = hist.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("xg")).cast("bigint").alias("sx"),
+        F.sum(F.col("cnt") * F.col("xg") * F.col("xg"))
+        .cast("bigint").alias("sxx"),
+    )
+    sd0 = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    params = mom.select(
+        F.lit(0.5).cast("double").alias("pi1"),
+        F.lit(g / 4.0).alias("mu1"),
+        F.lit(g * 3.0 / 4.0).alias("mu2"),
+        sd0.alias("s1"),
+        sd0.alias("s2"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_GMM_ITERS):
+        r1 = (
+            "(pi1 * EXP(-(xg - mu1) * (xg - mu1)"
+            " / (2.0 * s1 * s1)) / s1)"
+        )
+        r2 = (
+            "((1.0 - pi1) * EXP(-(xg - mu2) * (xg - mu2)"
+            " / (2.0 * s2 * s2)) / s2)"
+        )
+        est = hist.crossJoin(F.broadcast(params)).select(
+            "xg",
+            "cnt",
+            F.expr(
+                f"CAST(ROUND({r1} / ({r1} + {r2}) * 1000000.0, 0)"
+                " AS BIGINT)"
+            ).alias("rfp"),
+        )
+        c, rfp, xg = F.col("cnt"), F.col("rfp"), F.col("xg")
+        anti = F.lit(1000000) - rfp
+        params = est.agg(
+            (
+                F.sum(c * rfp).cast("double")
+                / (F.sum(c) * 1000000)
+            ).alias("pi1"),
+            (
+                F.sum(c * rfp * xg) * F.lit(1.0) / F.sum(c * rfp)
+            ).alias("mu1"),
+            (
+                F.sum(c * anti * xg) * F.lit(1.0) / F.sum(c * anti)
+            ).alias("mu2"),
+            F.sqrt(
+                F.greatest(
+                    F.sum(c * rfp * xg * xg) * F.lit(1.0)
+                    / F.sum(c * rfp)
+                    - (F.sum(c * rfp * xg) * F.lit(1.0) / F.sum(c * rfp))
+                    * (F.sum(c * rfp * xg) * F.lit(1.0) / F.sum(c * rfp)),
+                    F.lit(0.25).cast("double"),
+                )
+            ).alias("s1"),
+            F.sqrt(
+                F.greatest(
+                    F.sum(c * anti * xg * xg) * F.lit(1.0)
+                    / F.sum(c * anti)
+                    - (F.sum(c * anti * xg) * F.lit(1.0) / F.sum(c * anti))
+                    * (F.sum(c * anti * xg) * F.lit(1.0) / F.sum(c * anti)),
+                    F.lit(0.25).cast("double"),
+                )
+            ).alias("s2"),
+        ).select("pi1", "mu1", "mu2", "s1", "s2").localCheckpoint(
+            eager=True
+        )
+    return params.select(
+        F.lit(_GMM_ITERS).cast("bigint").alias("n_iters"),
+        F.round("pi1", 6).alias("pi1_r"),
+        F.round("mu1", 6).alias("mu1_grid_r"),
+        F.round("s1", 6).alias("sigma1_grid_r"),
+        F.round("mu2", 6).alias("mu2_grid_r"),
+        F.round("s2", 6).alias("sigma2_grid_r"),
+    )
+
+
+@query(
+    "a086_tost_equivalence",
+    oracle=f"""
+WITH per_user AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), grp AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s, CAST(SUM(y * y) AS BIGINT) AS ss
+  FROM per_user GROUP BY arm
+), wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+    MAX(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END) AS m1,
+    MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END) AS m0,
+    MAX(CASE WHEN arm = 1 THEN
+        (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) END)
+      AS v1,
+    MAX(CASE WHEN arm = 0 THEN
+        (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) END)
+      AS v0
+  FROM grp
+), fit AS (
+  SELECT n1, n0, m1, m0,
+         SQRT(v1 / n1 + v0 / n0) AS se,
+         0.2 * SQRT(((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2))
+           AS delta
+  FROM wide
+), ts AS (
+  SELECT n1, n0, m1, m0, se, delta,
+         ((m1 - m0) + delta) / se AS t_lower,
+         (delta - (m1 - m0)) / se AS t_upper
+  FROM fit
+)
+SELECT n1, n0,
+       round((m1 - m0) / 100.0, 6) AS diff_dollars_r,
+       round(delta / 100.0, 6) AS margin_dollars_r,
+       round(t_lower, 6) AS t_lower_r,
+       round(t_upper, 6) AS t_upper_r,
+       round(1.0 - {_phi("t_lower")}, 6) AS p_lower_r,
+       round(1.0 - {_phi("t_upper")}, 6) AS p_upper_r,
+       CASE WHEN 1.0 - {_phi("t_lower")} < 0.05
+             AND 1.0 - {_phi("t_upper")} < 0.05
+            THEN 1 ELSE 0 END AS equivalent
+FROM ts
+""",
+)
+def a086_tost_equivalence(spark, sf_dir):
+    """TOST equivalence test (two one-sided tests) for per-user
+    purchase revenue between the parity arms: rejecting BOTH
+    H₀: d ≤ −δ and H₀: d ≥ +δ at α=0.05 establishes equivalence
+    within δ = 0.2 pooled SD — the A/A-style check a significance
+    test cannot give you (failing to reject ≠ equivalent). Exact
+    cents moments per arm; Welch SE; normal-approximation p's through
+    the shared A&S Φ text on identical doubles. At 100 TB: one
+    filtered user fold to 2 rows."""
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+            .cast("bigint").alias("y")
+        )
+        .select((F.col("user_id") % 2).cast("bigint").alias("arm"), "y")
+    )
+    grp = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    pick = lambda a, e: F.max(F.when(F.col("arm") == a, e))  # noqa: E731
+    wide = grp.agg(
+        pick(1, F.col("n")).alias("n1"),
+        pick(0, F.col("n")).alias("n0"),
+        pick(1, mean).alias("m1"),
+        pick(0, mean).alias("m0"),
+        pick(1, var).alias("v1"),
+        pick(0, var).alias("v0"),
+    )
+    fit = wide.select(
+        "n1",
+        "n0",
+        "m1",
+        "m0",
+        F.sqrt(
+            F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")
+        ).alias("se"),
+        (
+            0.2
+            * F.sqrt(
+                (
+                    (F.col("n1") - 1) * F.col("v1")
+                    + (F.col("n0") - 1) * F.col("v0")
+                )
+                / (F.col("n1") + F.col("n0") - 2)
+            )
+        ).alias("delta"),
+    )
+    ts = fit.select(
+        "n1",
+        "n0",
+        "m1",
+        "m0",
+        "se",
+        "delta",
+        (((F.col("m1") - F.col("m0")) + F.col("delta")) / F.col("se"))
+        .alias("t_lower"),
+        ((F.col("delta") - (F.col("m1") - F.col("m0"))) / F.col("se"))
+        .alias("t_upper"),
+    )
+    p_lo = F.expr(f"1.0 - {_phi('t_lower')}")
+    p_hi = F.expr(f"1.0 - {_phi('t_upper')}")
+    return ts.select(
+        "n1",
+        "n0",
+        F.round((F.col("m1") - F.col("m0")) / 100.0, 6)
+        .alias("diff_dollars_r"),
+        F.round(F.col("delta") / 100.0, 6).alias("margin_dollars_r"),
+        F.round("t_lower", 6).alias("t_lower_r"),
+        F.round("t_upper", 6).alias("t_upper_r"),
+        F.round(p_lo, 6).alias("p_lower_r"),
+        F.round(p_hi, 6).alias("p_upper_r"),
+        F.when((p_lo < 0.05) & (p_hi < 0.05), 1).otherwise(0)
+        .alias("equivalent"),
+    )
+
+
+_HB_BINS = 64
+
+
+@query(
+    "a087_hellinger_bhattacharyya",
+    oracle=f"""
+WITH spend AS (
+  SELECT c.c_nationkey % 2 AS grp,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS x
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_nationkey
+), rng AS (
+  SELECT CAST(MIN(x) AS BIGINT) AS lo, CAST(MAX(x) AS BIGINT) AS hi
+  FROM spend
+), binned AS (
+  SELECT s.grp,
+         LEAST({_HB_BINS - 1},
+               ((s.x - r.lo) * {_HB_BINS}) // (r.hi - r.lo + 1)) AS b
+  FROM spend s CROSS JOIN rng r
+), cells AS (
+  SELECT b,
+         CAST(COALESCE(SUM(CASE WHEN grp = 0 THEN 1 END), 0) AS BIGINT)
+           AS c0,
+         CAST(COALESCE(SUM(CASE WHEN grp = 1 THEN 1 END), 0) AS BIGINT)
+           AS c1
+  FROM binned GROUP BY b
+), terms AS (
+  SELECT b, c0, c1,
+         CAST(ROUND(SQRT(CAST(c0 * c1 AS DOUBLE)) * 1000000.0, 0)
+              AS BIGINT) AS rt_fp
+  FROM cells
+), agg AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(rt_fp) AS BIGINT) AS srt,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM terms
+)
+SELECT n0, n1, n_bins,
+       round(CAST(srt AS DOUBLE) / 1000000.0
+             / SQRT(CAST(n0 AS DOUBLE) * n1), 6) AS bc_r,
+       round(SQRT(GREATEST(1.0 - CAST(srt AS DOUBLE) / 1000000.0
+                           / SQRT(CAST(n0 AS DOUBLE) * n1),
+                           CAST(0.0 AS DOUBLE))), 6) AS hellinger_r,
+       round(-ln(CAST(srt AS DOUBLE) / 1000000.0
+                 / SQRT(CAST(n0 AS DOUBLE) * n1)), 6)
+         AS bhattacharyya_dist_r
+FROM agg
+""",
+)
+def a087_hellinger_bhattacharyya(spark, sf_dir):
+    """Hellinger distance and Bhattacharyya coefficient/distance
+    between the two nation-parity spend distributions over a shared
+    scale-free 64-bin value grid: BC = Σ√(p·q) = Σ√(c0·c1)/√(n0·n1)
+    where each per-bin √(c0·c1) runs on an exact integer product and
+    is micro-quantized BEFORE the cross-bin sum (integer sums are
+    order-free; a raw double Σ would be at the mercy of aggregation
+    order), then H = √(1−BC) clamped at 0 and D_B = −ln BC run once
+    on the 1-row readout. At 100 TB: one fold, one bounded histogram."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("x")
+        )
+        .select((F.col("c_nationkey") % 2).alias("grp"), "x")
+        .localCheckpoint(eager=False)
+    )
+    rng = spend.agg(
+        F.min("x").cast("bigint").alias("lo"),
+        F.max("x").cast("bigint").alias("hi"),
+    )
+    b = _HB_BINS
+    binned = spend.crossJoin(F.broadcast(rng)).select(
+        "grp",
+        F.least(
+            F.lit(b - 1), F.expr(f"((x - lo) * {b}) div (hi - lo + 1)")
+        ).alias("b"),
+    )
+    cells = binned.groupBy("b").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == 0, 1)), F.lit(0)
+        ).cast("bigint").alias("c0"),
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == 1, 1)), F.lit(0)
+        ).cast("bigint").alias("c1"),
+    )
+    terms = cells.select(
+        "c0",
+        "c1",
+        F.round(
+            F.sqrt((F.col("c0") * F.col("c1")).cast("double")) * 1e6, 0
+        ).cast("bigint").alias("rt_fp"),
+    )
+    agg = terms.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("rt_fp").cast("bigint").alias("srt"),
+        F.count("*").cast("bigint").alias("n_bins"),
+    )
+    bc = (
+        F.col("srt").cast("double") / 1e6
+        / F.sqrt(F.col("n0").cast("double") * F.col("n1"))
+    )
+    return agg.select(
+        "n0",
+        "n1",
+        "n_bins",
+        F.round(bc, 6).alias("bc_r"),
+        F.round(
+            F.sqrt(F.greatest(1.0 - bc, F.lit(0.0).cast("double"))), 6
+        ).alias("hellinger_r"),
+        F.round(-F.log(bc), 6).alias("bhattacharyya_dist_r"),
+    )

@@ -777,3 +777,32 @@ def test_dbscan_grid_sane(row):
         assert r.n_points >= r.n_cells  # every core cell holds points
     sizes = [r.n_points for r in rows]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_gmm_em_sane(row):
+    r = row("a085_gmm_em_1d")[0]
+    assert 0.0 < r.pi1_r < 1.0
+    assert 0.0 <= r.mu1_grid_r <= 511.0 and 0.0 <= r.mu2_grid_r <= 511.0
+    assert r.sigma1_grid_r >= 0.5 - 1e-9  # sqrt of 0.25 floor
+    assert r.sigma2_grid_r >= 0.5 - 1e-9
+    # quartile init orders the components; EM keeps them ordered on
+    # this unimodal-ish fixture
+    assert r.mu1_grid_r < r.mu2_grid_r
+
+
+def test_tost_identities(row):
+    r = row("a086_tost_equivalence")[0]
+    assert r.margin_dollars_r > 0.0
+    # t_lower + t_upper = 2*delta/se > 0
+    assert r.t_lower_r + r.t_upper_r > 0.0
+    assert 0.0 <= r.p_lower_r <= 1.0 and 0.0 <= r.p_upper_r <= 1.0
+    assert r.equivalent in (0, 1)
+
+
+def test_hellinger_bounds(row):
+    r = row("a087_hellinger_bhattacharyya")[0]
+    assert 0.0 < r.bc_r <= 1.0 + 1e-6
+    assert 0.0 <= r.hellinger_r <= 1.0
+    assert r.bhattacharyya_dist_r >= -1e-6
+    # H^2 = 1 - BC identity
+    assert abs(r.hellinger_r ** 2 - (1.0 - r.bc_r)) < 2e-5
