@@ -3662,3 +3662,427 @@ def a087_hellinger_bhattacharyya(spark, sf_dir):
         ).alias("hellinger_r"),
         F.round(-F.log(bc), 6).alias("bhattacharyya_dist_r"),
     )
+
+
+@query(
+    "a088_negbin_overdispersion",
+    oracle="""
+WITH days AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                INTERVAL 1 DAY)) AS d
+), users AS (
+  SELECT DISTINCT user_id FROM events
+), grid AS (
+  SELECT u.user_id, CAST(dy.d AS DATE) AS d
+  FROM users u CROSS JOIN days dy
+), clicks AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, CAST(ts AS DATE)
+), cells AS (
+  SELECT CAST(COALESCE(c.k, 0) AS BIGINT) AS k
+  FROM grid g LEFT JOIN clicks c
+    ON c.user_id = g.user_id AND c.d = g.d
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(k) AS BIGINT) AS s,
+         CAST(SUM(k * k) AS BIGINT) AS ss
+  FROM cells
+)
+SELECT n,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_r,
+       round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1),
+             6) AS var_r,
+       round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+             / (CAST(s AS DOUBLE) / n), 6) AS dispersion_r,
+       round((n - 1)
+             * ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+             / (CAST(s AS DOUBLE) / n), 6) AS poisson_chi2_r,
+       round((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+             / (((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                - CAST(s AS DOUBLE) / n), 6) AS nb_r_r,
+       round((CAST(s AS DOUBLE) / n)
+             / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)),
+             6) AS nb_p_r
+FROM m
+""",
+)
+def a088_negbin_overdispersion(spark, sf_dir):
+    """Overdispersion diagnosis + negative-binomial method-of-moments
+    fit for per-user daily click counts on the FULL user×day grid
+    (zero days included via a calendar cross-join — dropping zeros is
+    the classic dispersion-estimate bug): dispersion index s²/x̄, the
+    Poisson χ² dispersion statistic (n−1)s²/x̄, and the NB MoM r̂ =
+    x̄²/(s²−x̄), p̂ = x̄/s². All from one exact BIGINT count fold;
+    every readout is a terminal double. The calendar table is a
+    30-row literal series and users fold first, so the grid is
+    users×30, never events×30. At 100 TB: one filtered fold + one
+    bounded cross join."""
+    ev = table(spark, sf_dir, "events")
+    days = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30',"
+        " INTERVAL 1 DAY)) AS d"
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    cells = grid.join(clicks, ["user_id", "d"], "left").select(
+        F.coalesce(F.col("k"), F.lit(0)).cast("bigint").alias("k")
+    )
+    m = cells.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    return m.select(
+        "n",
+        F.round(mean, 6).alias("mean_r"),
+        F.round(var, 6).alias("var_r"),
+        F.round(var / mean, 6).alias("dispersion_r"),
+        F.round((F.col("n") - 1) * var / mean, 6)
+        .alias("poisson_chi2_r"),
+        F.round(mean * mean / (var - mean), 6).alias("nb_r_r"),
+        F.round(mean / var, 6).alias("nb_p_r"),
+    )
+
+
+@query(
+    "a089_stratified_efficiency",
+    oracle="""
+WITH obs AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS h,
+         CAST(ROUND(o.o_totalprice, 0) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), strata AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM obs GROUP BY h
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+         CAST(SUM(ss) AS BIGINT) AS sst,
+         CAST(COUNT(*) AS BIGINT) AS n_strata
+  FROM strata
+), parts AS (
+  SELECT t.nt, t.st, t.sst, t.n_strata,
+         SUM((CAST(st2.n AS DOUBLE) / t.nt)
+             * ((CAST(st2.ss AS DOUBLE)
+                 - CAST(st2.s AS DOUBLE) * st2.s / st2.n)
+                / (st2.n - 1))
+             / st2.n * (CAST(st2.n AS DOUBLE) / t.nt)) AS v_strat
+  FROM strata st2 CROSS JOIN tot t
+  GROUP BY t.nt, t.st, t.sst, t.n_strata
+)
+SELECT n_strata, nt AS n_obs,
+       round(CAST(st AS DOUBLE) / nt, 6) AS mean_r,
+       round(((CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / nt)
+              / (nt - 1)) / nt, 6) AS v_srs_r,
+       round(v_strat, 6) AS v_strat_r,
+       round((((CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / nt)
+               / (nt - 1)) / nt) / v_strat, 6) AS efficiency_gain_r
+FROM parts
+""",
+)
+def a089_stratified_efficiency(spark, sf_dir):
+    """Design-based efficiency of proportional stratification by
+    nation for estimating mean order value: V_strat = Σ W_h²·s_h²/n_h
+    under proportional allocation vs the SRS variance s²/n, and their
+    ratio — the survey-sampling answer to "is stratifying on this key
+    worth it". Exact dollar moments per stratum; one 25-row summary;
+    every variance is a terminal double of exact integers. At 100 TB:
+    one orders fold keyed by nation."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    obs = o.join(
+        c.select("c_custkey", "c_nationkey"),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").cast("bigint").alias("h"),
+        F.round("o_totalprice", 0).cast("bigint").alias("v"),
+    )
+    strata = obs.groupBy("h").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+    )
+    tot = strata.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("ss").cast("bigint").alias("sst"),
+        F.count("*").cast("bigint").alias("n_strata"),
+    )
+    sh2 = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    parts = (
+        strata.crossJoin(F.broadcast(tot))
+        .groupBy("nt", "st", "sst", "n_strata")
+        .agg(
+            F.sum(
+                (F.col("n").cast("double") / F.col("nt"))
+                * sh2 / F.col("n")
+                * (F.col("n").cast("double") / F.col("nt"))
+            ).alias("v_strat")
+        )
+    )
+    v_srs = (
+        (
+            F.col("sst").cast("double")
+            - F.col("st").cast("double") * F.col("st") / F.col("nt")
+        )
+        / (F.col("nt") - 1)
+    ) / F.col("nt")
+    return parts.select(
+        "n_strata",
+        F.col("nt").alias("n_obs"),
+        F.round(F.col("st").cast("double") / F.col("nt"), 6)
+        .alias("mean_r"),
+        F.round(v_srs, 6).alias("v_srs_r"),
+        F.round("v_strat", 6).alias("v_strat_r"),
+        F.round(v_srs / F.col("v_strat"), 6).alias("efficiency_gain_r"),
+    )
+
+
+@query(
+    "a090_icc_design_effect",
+    oracle="""
+WITH obs AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+         CAST(ROUND(o.o_totalprice, 0) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM obs GROUP BY g
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * s / n, 0) AS BIGINT))
+              AS BIGINT) AS sq_grp,
+         CAST(SUM(ss) AS BIGINT) AS sst
+  FROM grp
+), anova AS (
+  SELECT nt, k,
+         (CAST(sq_grp AS DOUBLE) - CAST(st AS DOUBLE) * st / nt)
+           / (k - 1) AS msb,
+         (CAST(sst AS DOUBLE) - sq_grp) / (nt - k) AS msw,
+         CAST(nt AS DOUBLE) / k AS mbar
+  FROM tot
+)
+SELECT nt AS n_obs, k AS n_clusters,
+       round(msb / 1000000000.0, 6) AS msb_bn_r,
+       round(msw / 1000000000.0, 6) AS msw_bn_r,
+       round((msb - msw) / (msb + (mbar - 1.0) * msw), 6) AS icc_r,
+       round(1.0 + (mbar - 1.0)
+             * ((msb - msw) / (msb + (mbar - 1.0) * msw)), 6) AS deff_r
+FROM anova
+""",
+)
+def a090_icc_design_effect(spark, sf_dir):
+    """Intraclass correlation (one-way ANOVA method of moments) and
+    Kish design effect DEFF = 1 + (m̄−1)·ICC for order values
+    clustered by customer nation — the number that converts a
+    cluster-sampled n into its effective sample size. MSB/MSW come
+    from exact integer moments (group squares via Σs²/n in double on
+    exact BIGINTs), m̄ = n/k. One fold, 25-row summary, terminal
+    doubles. At 100 TB: one orders shuffle on the nation key."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    obs = o.join(
+        c.select("c_custkey", "c_nationkey"),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").cast("bigint").alias("g"),
+        F.round("o_totalprice", 0).cast("bigint").alias("v"),
+    )
+    grp = obs.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s") / F.col("n"), 0
+            ).cast("bigint")
+        ).cast("bigint").alias("sq_grp"),
+        F.sum("ss").cast("bigint").alias("sst"),
+    )
+    anova = tot.select(
+        "nt",
+        "k",
+        (
+            (F.col("sq_grp").cast("double")
+             - F.col("st").cast("double") * F.col("st") / F.col("nt"))
+            / (F.col("k") - 1)
+        ).alias("msb"),
+        (
+            (F.col("sst").cast("double") - F.col("sq_grp"))
+            / (F.col("nt") - F.col("k"))
+        ).alias("msw"),
+        (F.col("nt").cast("double") / F.col("k")).alias("mbar"),
+    )
+    icc = (F.col("msb") - F.col("msw")) / (
+        F.col("msb") + (F.col("mbar") - 1.0) * F.col("msw")
+    )
+    return anova.select(
+        F.col("nt").alias("n_obs"),
+        F.col("k").alias("n_clusters"),
+        F.round(F.col("msb") / 1000000000.0, 6).alias("msb_bn_r"),
+        F.round(F.col("msw") / 1000000000.0, 6).alias("msw_bn_r"),
+        F.round(icc, 6).alias("icc_r"),
+        F.round(1.0 + (F.col("mbar") - 1.0) * icc, 6).alias("deff_r"),
+    )
+
+
+@query(
+    "a091_price_elasticity_within",
+    oracle="""
+WITH lines AS (
+  SELECT CAST(l_partkey AS BIGINT) AS part,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice / l_quantity, 0) AS BIGINT) AS p
+  FROM lineitem WHERE l_quantity >= 1
+), pv AS (
+  SELECT p, CAST(ROUND(ln(CAST(p AS DOUBLE)) * 10000.0, 0) AS BIGINT)
+           AS lnp
+  FROM (SELECT DISTINCT p FROM lines WHERE p >= 1)
+), qv AS (
+  SELECT q, CAST(ROUND(ln(CAST(q AS DOUBLE)) * 10000.0, 0) AS BIGINT)
+           AS lnq
+  FROM (SELECT DISTINCT q FROM lines)
+), obs AS (
+  SELECT l.part, pv.lnp AS x, qv.lnq AS y
+  FROM lines l JOIN pv ON pv.p = l.p JOIN qv ON qv.q = l.q
+), per_part AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(ROUND(CAST(SUM(x) AS DOUBLE) * SUM(y) / COUNT(*), 0)
+              AS BIGINT) AS cross_term,
+         CAST(ROUND(CAST(SUM(x) AS DOUBLE) * SUM(x) / COUNT(*), 0)
+              AS BIGINT) AS sq_term
+  FROM obs GROUP BY part
+), moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM obs
+), fe AS (
+  SELECT CAST(SUM(cross_term) AS BIGINT) AS sum_cross,
+         CAST(SUM(sq_term) AS BIGINT) AS sum_sq,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM per_part
+)
+SELECT m.n AS n_lines, f.n_parts,
+       round((CAST(m.sxy AS DOUBLE) - f.sum_cross)
+             / (CAST(m.sxx AS DOUBLE) - f.sum_sq), 6)
+         AS elasticity_within_r,
+       round((CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sy / m.n)
+             / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n),
+             6) AS elasticity_pooled_r
+FROM moments m CROSS JOIN fe f
+""",
+)
+def a091_price_elasticity_within(spark, sf_dir):
+    """Price elasticity of demand from the within-part (fixed-
+    effects) log-log estimator: ε = Σ_w(x−x̄_p)(y−ȳ_p) /
+    Σ_w(x−x̄_p)², which controls for per-part level differences that
+    bias the pooled slope (reported alongside for the contrast). ln
+    runs once per DISTINCT VALUE — quantity (≤ ~50 values) and unit
+    price dollars (range-bounded) — quantized at 1e4 and joined back,
+    so per-line x·y products are exact BIGINTs with sf1 headroom; the
+    per-part x̄ terms ΣxΣy/n are rounded to integer units BEFORE the
+    cross-part sum (order-free). At 100 TB: one fold per value table,
+    one line-level join pipeline, two summary folds."""
+    li = table(spark, sf_dir, "lineitem")
+    lines = li.filter(F.col("l_quantity") >= 1).select(
+        F.col("l_partkey").cast("bigint").alias("part"),
+        F.round("l_quantity", 0).cast("bigint").alias("q"),
+        F.round(
+            F.col("l_extendedprice") / F.col("l_quantity"), 0
+        ).cast("bigint").alias("p"),
+    ).localCheckpoint(eager=False)
+    pv = (
+        lines.filter(F.col("p") >= 1)
+        .select("p")
+        .distinct()
+        .select(
+            "p",
+            F.round(F.log(F.col("p").cast("double")) * 1e4, 0)
+            .cast("bigint").alias("lnp"),
+        )
+    )
+    qv = (
+        lines.select("q")
+        .distinct()
+        .select(
+            "q",
+            F.round(F.log(F.col("q").cast("double")) * 1e4, 0)
+            .cast("bigint").alias("lnq"),
+        )
+    )
+    obs = (
+        lines.join(pv, "p")
+        .join(F.broadcast(qv), "q")
+        .select(
+            "part",
+            F.col("lnp").alias("x"),
+            F.col("lnq").alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_part = obs.groupBy("part").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum("x").cast("double") * F.sum("y") / F.count("*"), 0
+        ).cast("bigint").alias("cross_term"),
+        F.round(
+            F.sum("x").cast("double") * F.sum("x") / F.count("*"), 0
+        ).cast("bigint").alias("sq_term"),
+    )
+    moments = obs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    fe = per_part.agg(
+        F.sum("cross_term").cast("bigint").alias("sum_cross"),
+        F.sum("sq_term").cast("bigint").alias("sum_sq"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+    return moments.crossJoin(F.broadcast(fe)).select(
+        F.col("n").alias("n_lines"),
+        "n_parts",
+        F.round(
+            (F.col("sxy").cast("double") - F.col("sum_cross"))
+            / (F.col("sxx").cast("double") - F.col("sum_sq")),
+            6,
+        ).alias("elasticity_within_r"),
+        F.round(
+            (
+                F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+            )
+            / (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+            ),
+            6,
+        ).alias("elasticity_pooled_r"),
+    )

@@ -806,3 +806,34 @@ def test_hellinger_bounds(row):
     assert r.bhattacharyya_dist_r >= -1e-6
     # H^2 = 1 - BC identity
     assert abs(r.hellinger_r ** 2 - (1.0 - r.bc_r)) < 2e-5
+
+
+def test_negbin_moment_identities(row):
+    r = row("a088_negbin_overdispersion")[0]
+    assert abs(r.dispersion_r - r.var_r / r.mean_r) < 1e-4
+    if r.var_r > r.mean_r:  # overdispersed -> valid NB MoM
+        assert r.nb_r_r > 0.0
+        assert 0.0 < r.nb_p_r < 1.0
+
+
+def test_stratified_never_worse_much(row):
+    r = row("a089_stratified_efficiency")[0]
+    # proportional stratification variance <= SRS up to the fpc slack
+    assert r.v_strat_r <= r.v_srs_r * 1.01
+    assert r.efficiency_gain_r >= 0.99
+
+
+def test_icc_deff_identity(row):
+    r = row("a090_icc_design_effect")[0]
+    assert -1.0 <= r.icc_r <= 1.0
+    mbar = r.n_obs / r.n_clusters
+    assert abs(r.deff_r - (1.0 + (mbar - 1.0) * r.icc_r)) < 1e-3
+    assert r.msb_bn_r > 0.0 and r.msw_bn_r > 0.0
+
+
+def test_elasticity_fixture_negative(row):
+    r = row("a091_price_elasticity_within")[0]
+    # both estimators exist and are finite; within FE uses all parts
+    assert r.n_parts >= 1 and r.n_lines > r.n_parts
+    assert r.elasticity_within_r is not None
+    assert r.elasticity_pooled_r is not None
