@@ -1870,9 +1870,10 @@ def a074_lift_gains_deciles(spark, sf_dir):
     purchase-depth model readout: score = click+view count, target =
     heavy purchaser (≥14 purchases — the engagement-depth threshold
     convention for this fixture's everyone-does-everything event
-    mix). Deciles are VALUE-GRID bins over [min, max] with integer
-    arithmetic — never a global ntile, which would single-partition
-    the corpus — so the binning is one broadcast of a 1-row range
+    mix). Complements q171 (rank-decile lift via ntile on orders):
+    this op adds the cumulative GAINS curve and uses VALUE-GRID bins
+    over [min, max] with integer arithmetic — never a global ntile,
+    which would single-partition the corpus — so the binning is one broadcast of a 1-row range
     aggregate. Per-bin response rate, lift vs the base rate, and the
     descending cumulative gain curve are exact-count ratios,
     terminal doubles. At 100 TB: one user fold, one broadcast, one
@@ -4086,3 +4087,176 @@ def a091_price_elasticity_within(spark, sf_dir):
             6,
         ).alias("elasticity_pooled_r"),
     )
+
+
+@query(
+    "a092_source_overlap_matrix",
+    oracle="""
+WITH sh AS (
+  SELECT source, doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 4),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                           i, i + 4), ' ')
+         )) AS shingles
+  FROM documents
+), src_sh AS (
+  SELECT DISTINCT source, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM src_sh GROUP BY source
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM src_sh a JOIN src_sh b
+    ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.src_a, p.src_b, p.inter,
+       sa.sz AS size_a, sb.sz AS size_b,
+       round(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 6)
+         AS jaccard_r,
+       round(CAST(p.inter AS DOUBLE) / LEAST(sa.sz, sb.sz), 6)
+         AS containment_r
+FROM pairs p
+JOIN sizes sa ON sa.source = p.src_a
+JOIN sizes sb ON sb.source = p.src_b
+ORDER BY jaccard_r DESC, src_a ASC, src_b ASC
+LIMIT 15
+""",
+)
+def a092_source_overlap_matrix(spark, sf_dir):
+    """Cross-source 5-gram contamination matrix — the corpus-curation
+    readout that says WHICH ingest sources duplicate each other (the
+    doc-level near-dup family answers which documents): per-source
+    distinct shingle sets, pairwise intersection via an equi-join on
+    the shingle value (posting lists are bounded by the SOURCE
+    CATALOG size, so the pair fan-out per shingle is ≤ C(sources,2)
+    regardless of corpus size), Jaccard + the min-side containment
+    that catches a small source swallowed by a big one. Top 15 pairs,
+    deterministic tie-break. At 100 TB: one explode + two shuffles on
+    (source, shingle) / shingle."""
+    from ..functions.text import word_shingles
+    from ..operators.core import ensure_parallelism
+
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "source", word_shingles("text", 5).alias("shingles")
+    )
+    src_sh = (
+        sh.select("source", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = src_sh.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    a = src_sh.select(F.col("source").alias("src_a"), "shingle")
+    b = src_sh.select(F.col("source").alias("src_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("size_b"))
+    return (
+        pairs.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            "size_a",
+            "size_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ).alias("jaccard_r"),
+            F.round(
+                F.col("inter").cast("double")
+                / F.least(F.col("size_a"), F.col("size_b")),
+                6,
+            ).alias("containment_r"),
+        )
+        .orderBy(
+            F.col("jaccard_r").desc(),
+            F.col("src_a").asc(),
+            F.col("src_b").asc(),
+        )
+        .limit(15)
+    )
+
+
+@query(
+    "a093_source_redundancy_audit",
+    oracle="""
+WITH sh AS (
+  SELECT source, doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 4),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                           i, i + 4), ' ')
+         )) AS shingles
+  FROM documents
+), ex AS (
+  SELECT source, doc_id, unnest(shingles) AS shingle FROM sh
+), per_source AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS gram_instances,
+         CAST(COUNT(DISTINCT shingle) AS BIGINT) AS distinct_grams
+  FROM ex GROUP BY source
+)
+SELECT source, n_docs, gram_instances, distinct_grams,
+       round(1.0 - CAST(distinct_grams AS DOUBLE) / gram_instances, 6)
+         AS redundancy_r,
+       round(CAST(gram_instances AS DOUBLE) / n_docs, 6)
+         AS grams_per_doc_r
+FROM per_source
+ORDER BY redundancy_r DESC, source ASC
+""",
+)
+def a093_source_redundancy_audit(spark, sf_dir):
+    """Intra-source redundancy audit: for each ingest source, the
+    fraction of per-doc-distinct 5-gram instances that are repeats of
+    grams already seen in the SAME source — the number that predicts
+    how much exact/near dedup will shrink each source before you pay
+    to run it (1 − distinct/instances). Count-distinct folds ride the
+    (source, shingle) shuffle; all ratios are exact-count terminal
+    doubles. At 100 TB: one explode, one two-level aggregate — the
+    same shape Spark's partial-aggregate pipeline optimizes best."""
+    from ..functions.text import word_shingles
+    from ..operators.core import ensure_parallelism
+
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
+    ex = (
+        d.select(
+            "source",
+            "doc_id",
+            F.explode_outer(word_shingles("text", 5)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    per_source = ex.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("gram_instances"),
+        F.countDistinct("shingle").cast("bigint").alias("distinct_grams"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "gram_instances",
+        "distinct_grams",
+        F.round(
+            1.0
+            - F.col("distinct_grams").cast("double")
+            / F.col("gram_instances"),
+            6,
+        ).alias("redundancy_r"),
+        F.round(
+            F.col("gram_instances").cast("double") / F.col("n_docs"), 6
+        ).alias("grams_per_doc_r"),
+    ).orderBy(F.col("redundancy_r").desc(), F.col("source").asc())

@@ -837,3 +837,22 @@ def test_elasticity_fixture_negative(row):
     assert r.n_parts >= 1 and r.n_lines > r.n_parts
     assert r.elasticity_within_r is not None
     assert r.elasticity_pooled_r is not None
+
+
+def test_source_overlap_bounds(row):
+    rows = row("a092_source_overlap_matrix")
+    assert len(rows) == 15
+    for r in rows:
+        assert 0.0 < r.jaccard_r <= 1.0
+        assert r.jaccard_r <= r.containment_r + 1e-9
+        assert r.inter <= min(r.size_a, r.size_b)
+        assert r.src_a < r.src_b
+
+
+def test_source_redundancy_bounds(row):
+    rows = row("a093_source_redundancy_audit")
+    assert len(rows) == 20  # fixed source catalog
+    for r in rows:
+        assert 0.0 <= r.redundancy_r < 1.0
+        assert r.distinct_grams <= r.gram_instances
+        assert r.grams_per_doc_r > 0.0
