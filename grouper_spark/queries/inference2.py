@@ -4260,3 +4260,439 @@ def a093_source_redundancy_audit(spark, sf_dir):
             F.col("gram_instances").cast("double") / F.col("n_docs"), 6
         ).alias("grams_per_doc_r"),
     ).orderBy(F.col("redundancy_r").desc(), F.col("source").asc())
+
+
+@query(
+    "a094_morans_i_geary_c",
+    oracle=f"""
+WITH off(dx, dy) AS (
+  VALUES (-1, 0), (1, 0), (0, -1), (0, 1)
+), xy AS (
+  SELECT CAST(ROUND(c.c_acctbal, 0) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+), rng AS (
+  SELECT CAST(MIN(x) AS BIGINT) AS xlo, CAST(MAX(x) AS BIGINT) AS xhi,
+         CAST(MIN(y) AS BIGINT) AS ylo, CAST(MAX(y) AS BIGINT) AS yhi
+  FROM xy
+), allcells AS (
+  SELECT a.cx, b.cy FROM
+    (SELECT unnest(generate_series(0, {_DBSCAN_GRID - 1})) AS cx) a
+  CROSS JOIN
+    (SELECT unnest(generate_series(0, {_DBSCAN_GRID - 1})) AS cy) b
+), occ AS (
+  SELECT LEAST({_DBSCAN_GRID - 1},
+               ((p.x - r.xlo) * {_DBSCAN_GRID}) // (r.xhi - r.xlo + 1))
+           AS cx,
+         LEAST({_DBSCAN_GRID - 1},
+               ((p.y - r.ylo) * {_DBSCAN_GRID}) // (r.yhi - r.ylo + 1))
+           AS cy,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM xy p CROSS JOIN rng r GROUP BY 1, 2
+), grid AS (
+  SELECT a.cx, a.cy, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS cnt
+  FROM allcells a LEFT JOIN occ o ON o.cx = a.cx AND o.cy = a.cy
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nc, CAST(SUM(cnt) AS BIGINT) AS s
+  FROM grid
+), z AS (
+  SELECT g.cx, g.cy,
+         CAST(ROUND((CAST(g.cnt AS DOUBLE) * t.nc - t.s) * 100.0 / t.nc,
+                    0) AS BIGINT) AS zc,
+         t.nc
+  FROM grid g CROSS JOIN tot t
+), pairs AS (
+  SELECT a.zc AS za, b.zc AS zb
+  FROM z a JOIN off o ON TRUE
+  JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+), sums AS (
+  SELECT (SELECT CAST(SUM(za * zb) AS BIGINT) FROM pairs) AS cross_sum,
+         (SELECT CAST(SUM((za - zb) * (za - zb)) AS BIGINT) FROM pairs)
+           AS diff_sum,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS w,
+         (SELECT CAST(SUM(zc * zc) AS BIGINT) FROM z) AS zz,
+         (SELECT MAX(nc) FROM z) AS nc
+)
+SELECT nc AS n_cells, w AS n_weights,
+       round((CAST(nc AS DOUBLE) / w) * cross_sum / zz, 6) AS morans_i_r,
+       round((CAST(nc AS DOUBLE) - 1.0) / (2.0 * w) * diff_sum / zz, 6)
+         AS gearys_c_r,
+       round(-1.0 / (CAST(nc AS DOUBLE) - 1.0), 6) AS expected_i_r
+FROM sums
+""",
+)
+def a094_morans_i_geary_c(spark, sf_dir):
+    """Moran's I and Geary's C spatial autocorrelation of customer
+    density over the 40×40 (balance, spend) value grid with rook
+    adjacency — the spatial-stats pair that says whether dense cells
+    CLUSTER (I > E[I] = −1/(n−1), C < 1) or repel. The full 1600-cell
+    lattice (zeros included — dropping empty cells biases both
+    statistics) is a literal 40×40 cross join; deviations are
+    centi-quantized BIGINTs (n·cnt − S scaled, headroom to sf1), so
+    Σw·z_iz_j, Σw(z_i−z_j)² and Σz² are exact integers; adjacency is
+    the constant 4-offset equi-join. At 100 TB: one fold, then
+    lattice-sized work."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    xy = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+                " div 100 AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            F.round("c_acctbal", 0).cast("bigint").alias("x"), "y"
+        )
+    )
+    rng = xy.agg(
+        F.min("x").cast("bigint").alias("xlo"),
+        F.max("x").cast("bigint").alias("xhi"),
+        F.min("y").cast("bigint").alias("ylo"),
+        F.max("y").cast("bigint").alias("yhi"),
+    )
+    g = _DBSCAN_GRID
+    occ = (
+        xy.crossJoin(F.broadcast(rng))
+        .groupBy(
+            F.least(
+                F.lit(g - 1),
+                F.expr(f"((x - xlo) * {g}) div (xhi - xlo + 1)"),
+            ).alias("cx"),
+            F.least(
+                F.lit(g - 1),
+                F.expr(f"((y - ylo) * {g}) div (yhi - ylo + 1)"),
+            ).alias("cy"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    allcells = spark.range(g).select(
+        F.col("id").alias("cx")
+    ).crossJoin(spark.range(g).select(F.col("id").alias("cy")))
+    grid = allcells.join(occ, ["cx", "cy"], "left").select(
+        "cx",
+        "cy",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"),
+    )
+    tot = grid.agg(
+        F.count("*").cast("bigint").alias("nc"),
+        F.sum("cnt").cast("bigint").alias("s"),
+    )
+    z = grid.crossJoin(F.broadcast(tot)).select(
+        "cx",
+        "cy",
+        F.round(
+            (F.col("cnt").cast("double") * F.col("nc") - F.col("s"))
+            * 100.0 / F.col("nc"),
+            0,
+        ).cast("bigint").alias("zc"),
+        "nc",
+    ).localCheckpoint(eager=False)
+    off = spark.createDataFrame(
+        [(-1, 0), (1, 0), (0, -1), (0, 1)], "dx long, dy long"
+    )
+    shifted = z.crossJoin(F.broadcast(off)).select(
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        F.col("zc").alias("za"),
+    )
+    pairs = shifted.join(
+        z.select("cx", "cy", F.col("zc").alias("zb")), ["cx", "cy"]
+    )
+    psums = pairs.agg(
+        F.sum(F.col("za") * F.col("zb")).cast("bigint").alias("cross_sum"),
+        F.sum(
+            (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
+        ).cast("bigint").alias("diff_sum"),
+        F.count("*").cast("bigint").alias("w"),
+    )
+    zsums = z.agg(
+        F.sum(F.col("zc") * F.col("zc")).cast("bigint").alias("zz"),
+        F.max("nc").alias("nc"),
+    )
+    sums = psums.crossJoin(F.broadcast(zsums))
+    ncd = F.col("nc").cast("double")
+    return sums.select(
+        F.col("nc").alias("n_cells"),
+        F.col("w").alias("n_weights"),
+        F.round(
+            (ncd / F.col("w")) * F.col("cross_sum") / F.col("zz"), 6
+        ).alias("morans_i_r"),
+        F.round(
+            (ncd - 1.0) / (2.0 * F.col("w"))
+            * F.col("diff_sum") / F.col("zz"),
+            6,
+        ).alias("gearys_c_r"),
+        F.round(-1.0 / (ncd - 1.0), 6).alias("expected_i_r"),
+    )
+
+
+_DELTA_TOP_WORDS = 30
+
+
+@query(
+    "a095_burrows_delta",
+    oracle=f"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x != '')) AS w
+  FROM documents
+), topw AS (
+  SELECT w FROM tok GROUP BY w
+  ORDER BY COUNT(*) DESC, w ASC LIMIT {_DELTA_TOP_WORDS}
+), src_tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS nt FROM tok GROUP BY source
+), freq AS (
+  SELECT s.source, t.w,
+         CAST(COALESCE(c.k, 0) AS BIGINT) AS k, s.nt
+  FROM src_tot s CROSS JOIN topw t
+  LEFT JOIN (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS k
+    FROM tok JOIN topw USING (w) GROUP BY source, w
+  ) c ON c.source = s.source AND c.w = t.w
+), rel AS (
+  SELECT source, w,
+         CAST(k * 1000000000 // nt AS BIGINT) AS f
+  FROM freq
+), stats AS (
+  SELECT w,
+         CAST(SUM(f) AS DOUBLE) / COUNT(*) AS mu,
+         SQRT((CAST(SUM(f * f) AS DOUBLE)
+               - CAST(SUM(f) AS DOUBLE) * SUM(f) / COUNT(*))
+              / (COUNT(*) - 1)) AS sd
+  FROM rel GROUP BY w
+), zsc AS (
+  SELECT r.source, r.w, (r.f - s.mu) / s.sd AS z
+  FROM rel r JOIN stats s ON s.w = r.w WHERE s.sd > 0
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(SUM(CAST(ROUND(ABS(a.z - b.z) * 1000000.0, 0) AS BIGINT))
+              AS BIGINT) AS sum_fp,
+         CAST(COUNT(*) AS BIGINT) AS nw
+  FROM zsc a JOIN zsc b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, nw AS n_words,
+       round(CAST(sum_fp AS DOUBLE) / nw / 1000000.0, 6) AS delta_r
+FROM pairs
+ORDER BY delta_r ASC, src_a ASC, src_b ASC
+LIMIT 15
+""",
+)
+def a095_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between ingest sources —
+    the authorship-attribution measure (mean |z_a − z_b| over the
+    top-{_DELTA_TOP_WORDS} words' per-mille frequencies z-scored
+    across sources) repurposed as a "same generator?" curation
+    signal: near-zero Delta across supposedly independent sources
+    flags shared provenance. Frequencies are nano-fixed-point
+    INTEGERS (k·1e9 div n_tokens), so the per-word mean/sd moments
+    are exact BIGINT sums — never an unordered double AVG — and the
+    word-level z's are identical doubles; per-word |Δz| terms are
+    micro-quantized before the cross-word fold (order-free). The 15 most-similar pairs. At
+    100 TB: one token fold, one {_DELTA_TOP_WORDS}-row broadcast
+    lexicon, catalog-sized joins."""
+    from ..operators.core import ensure_parallelism
+
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("w"),
+    ).localCheckpoint(eager=False)
+    topw = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(_DELTA_TOP_WORDS)
+        .select("w")
+    )
+    src_tot = tok.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("nt")
+    )
+    counts = (
+        tok.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    freq = (
+        src_tot.crossJoin(F.broadcast(topw))
+        .join(counts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "CAST(coalesce(k, 0) * 1000000000 div nt AS BIGINT)"
+            ).alias("f"),
+        )
+    )
+    stats = freq.groupBy("w").agg(
+        (F.sum("f").cast("double") / F.count("*")).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("f") * F.col("f")).cast("double")
+                - F.sum("f").cast("double") * F.sum("f") / F.count("*")
+            )
+            / (F.count("*") - 1)
+        ).alias("sd"),
+    )
+    zsc = (
+        freq.join(stats, "w")
+        .filter(F.col("sd") > 0)
+        .select(
+            "source",
+            "w",
+            ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = zsc.select("w", F.col("source").alias("src_a"), F.col("z").alias("za"))
+    b = zsc.select("w", F.col("source").alias("src_b"), F.col("z").alias("zb"))
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.round(F.abs(F.col("za") - F.col("zb")) * 1e6, 0)
+                .cast("bigint")
+            ).cast("bigint").alias("sum_fp"),
+            F.count("*").cast("bigint").alias("nw"),
+        )
+    )
+    return (
+        pairs.select(
+            "src_a",
+            "src_b",
+            F.col("nw").alias("n_words"),
+            F.round(
+                F.col("sum_fp").cast("double") / F.col("nw") / 1e6, 6
+            ).alias("delta_r"),
+        )
+        .orderBy(
+            F.col("delta_r").asc(), F.col("src_a").asc(),
+            F.col("src_b").asc(),
+        )
+        .limit(15)
+    )
+
+
+_BACKFILL_WAVE = 10
+
+
+@query(
+    "a096_backfill_planner",
+    oracle=f"""
+WITH ledger AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT MIN(d) AS lo, MAX(d) AS hi FROM ledger
+), calendar AS (
+  SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE)
+           AS d
+  FROM bounds b
+), watermark AS (
+  SELECT hi - INTERVAL 14 DAY AS wm FROM bounds
+), work AS (
+  SELECT c.d,
+         CAST(COALESCE(l.n_rows, 0) AS BIGINT) AS n_rows,
+         CASE WHEN l.d IS NULL THEN 'missing'
+              WHEN c.d > w.wm THEN 'stale'
+              ELSE 'done' END AS status
+  FROM calendar c
+  LEFT JOIN ledger l ON l.d = c.d
+  CROSS JOIN watermark w
+), todo AS (
+  SELECT d, n_rows, status,
+         CAST((ROW_NUMBER() OVER (ORDER BY d ASC) - 1)
+              // {_BACKFILL_WAVE} AS BIGINT) AS wave
+  FROM work WHERE status != 'done'
+)
+SELECT wave,
+       CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       MIN(d) AS first_date, MAX(d) AS max_date,
+       CAST(SUM(CASE WHEN status = 'missing' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missing,
+       CAST(SUM(n_rows) AS BIGINT) AS est_rows
+FROM todo
+GROUP BY wave
+ORDER BY wave
+""",
+)
+def a096_backfill_planner(spark, sf_dir):
+    """Backfill work planner over the daily partition ledger: derive
+    the full calendar between the ledger bounds, classify each day as
+    done / stale (inside the 14-day reprocess horizon) / missing
+    (calendar gap with no data — the failure a max-date watermark
+    silently skips), and batch the to-do set into ordered waves of
+    {_BACKFILL_WAVE} with per-wave partition counts and estimated row
+    volume. The calendar is a generate_series off a 1-row bounds
+    aggregate; everything downstream is calendar-sized. At 100 TB:
+    one orders fold keyed by date, then O(days)."""
+    o = table(spark, sf_dir, "orders")
+    ledger = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    ).localCheckpoint(eager=False)
+    bounds = ledger.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    calendar = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    work = (
+        calendar.join(
+            ledger.select(F.col("d").alias("ld"), "n_rows"),
+            calendar.d == F.col("ld"),
+            "left",
+        )
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.date_sub(F.col("hi"), 14).alias("wm")
+                )
+            )
+        )
+        .select(
+            "d",
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            .cast("bigint").alias("n_rows"),
+            F.when(F.col("ld").isNull(), "missing")
+            .when(F.col("d") > F.col("wm"), "stale")
+            .otherwise("done").alias("status"),
+        )
+    )
+    todo = work.filter(F.col("status") != "done").select(
+        "d",
+        "n_rows",
+        "status",
+        F.expr(
+            f"CAST((ROW_NUMBER() OVER (ORDER BY d ASC) - 1)"
+            f" div {_BACKFILL_WAVE} AS BIGINT)"
+        ).alias("wave"),
+    )
+    return (
+        todo.groupBy("wave")
+        .agg(
+            F.count("*").cast("bigint").alias("n_partitions"),
+            F.min("d").alias("first_date"),
+            F.max("d").alias("max_date"),
+            F.sum(
+                F.when(F.col("status") == "missing", 1).otherwise(0)
+            ).cast("bigint").alias("n_missing"),
+            F.sum("n_rows").cast("bigint").alias("est_rows"),
+        )
+        .orderBy("wave")
+    )

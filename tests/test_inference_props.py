@@ -856,3 +856,36 @@ def test_source_redundancy_bounds(row):
         assert 0.0 <= r.redundancy_r < 1.0
         assert r.distinct_grams <= r.gram_instances
         assert r.grams_per_doc_r > 0.0
+
+
+def test_morans_geary_relation(row):
+    r = row("a094_morans_i_geary_c")[0]
+    assert r.n_cells == 1600
+    # positive spatial autocorrelation in a clumped customer grid
+    assert r.morans_i_r > r.expected_i_r
+    assert r.gearys_c_r < 1.0 + 1e-6
+    assert -1.5 <= r.morans_i_r <= 1.5
+    assert 0.0 <= r.gearys_c_r <= 3.0
+
+
+def test_burrows_delta_nonneg_sorted(row):
+    rows = row("a095_burrows_delta")
+    assert len(rows) == 15
+    vals = [r.delta_r for r in rows]
+    assert vals == sorted(vals)
+    for r in rows:
+        assert r.delta_r >= 0.0
+        assert r.n_words >= 10
+
+
+def test_backfill_waves_ordered(row):
+    rows = row("a096_backfill_planner")
+    assert rows
+    prev_last = None
+    for r in rows:
+        assert 1 <= r.n_partitions <= 10
+        assert r.first_date <= r.max_date
+        assert r.n_missing <= r.n_partitions
+        if prev_last is not None:
+            assert r.first_date > prev_last
+        prev_last = r.max_date
