@@ -4696,3 +4696,324 @@ def a096_backfill_planner(spark, sf_dir):
         )
         .orderBy("wave")
     )
+
+
+@query(
+    "a097_taylor_power_law",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+         MAX(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+), calendar AS (
+  SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE)
+           AS d
+  FROM bounds b
+), nations AS (
+  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS g FROM customer
+), counts AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+         CAST(o.o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), grid AS (
+  SELECT n.g, cal.d, CAST(COALESCE(c.k, 0) AS BIGINT) AS k
+  FROM nations n CROSS JOIN calendar cal
+  LEFT JOIN counts c ON c.g = n.g AND c.d = cal.d
+), mv AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(k) AS BIGINT) AS s, CAST(SUM(k * k) AS BIGINT) AS ss
+  FROM grid GROUP BY g
+), pts AS (
+  SELECT g,
+         CAST(ROUND(ln(CAST(s AS DOUBLE) / n) * 1000000.0, 0) AS BIGINT)
+           AS x_fp,
+         CAST(ROUND(ln((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                       / (n - 1)) * 1000000.0, 0) AS BIGINT) AS y_fp
+  FROM mv WHERE s > 0 AND ss * n > s * s
+), ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_fp) AS BIGINT) AS sx, CAST(SUM(y_fp) AS BIGINT) AS sy,
+         CAST(SUM(x_fp * x_fp) AS BIGINT) AS sxx,
+         CAST(SUM(x_fp * y_fp) AS BIGINT) AS sxy,
+         CAST(SUM(y_fp * y_fp) AS BIGINT) AS syy
+  FROM pts
+)
+SELECT n AS n_groups,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6)
+         AS taylor_b_r,
+       round((CAST(sy AS DOUBLE) / n
+              - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                * (CAST(sx AS DOUBLE) / n)) / 1000000.0, 6)
+         AS ln_a_r,
+       round(POWER(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n, 2)
+             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)), 6)
+         AS r2_r
+FROM ols
+""",
+)
+def a097_taylor_power_law(spark, sf_dir):
+    """Taylor's power law fit (variance = a·mean^b across groups) for
+    per-nation daily order counts — the aggregation-law exponent
+    (b→1 Poisson, b→2 clumped) that sizes how partition skew grows
+    with volume. Zero days are kept via a calendar×nation closure
+    (dropping them inflates both moments); per-group mean/variance
+    come from exact BIGINT count moments; the 25 log-log points are
+    micro-quantized so the OLS moments are exact integers; slope,
+    intercept, and R² are terminal doubles. At 100 TB: one orders
+    fold keyed (nation, date), then 25-point work."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    counts = o.join(
+        c.select("c_custkey", "c_nationkey"),
+        o.o_custkey == F.col("c_custkey"),
+    ).groupBy(
+        F.col("c_nationkey").cast("bigint").alias("g"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.count("*").cast("bigint").alias("k"))
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    calendar = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    nations = c.select(
+        F.col("c_nationkey").cast("bigint").alias("g")
+    ).distinct()
+    grid = nations.crossJoin(calendar).join(
+        counts, ["g", "d"], "left"
+    ).select(
+        "g", F.coalesce(F.col("k"), F.lit(0)).cast("bigint").alias("k")
+    )
+    mv = grid.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("ss"),
+    )
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    pts = mv.filter(
+        (F.col("s") > 0)
+        & (F.col("ss") * F.col("n") > F.col("s") * F.col("s"))
+    ).select(
+        F.round(
+            F.log(F.col("s").cast("double") / F.col("n")) * 1e6, 0
+        ).cast("bigint").alias("x_fp"),
+        F.round(F.log(var) * 1e6, 0).cast("bigint").alias("y_fp"),
+    )
+    ols = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x_fp").cast("bigint").alias("sx"),
+        F.sum("y_fp").cast("bigint").alias("sy"),
+        F.sum(F.col("x_fp") * F.col("x_fp")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x_fp") * F.col("y_fp")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y_fp") * F.col("y_fp")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n")
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / nd
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / nd
+    cyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / nd
+    slope = cxy / cxx
+    return ols.select(
+        F.col("n").alias("n_groups"),
+        F.round(slope, 6).alias("taylor_b_r"),
+        F.round(
+            (F.col("sy").cast("double") / nd
+             - slope * (F.col("sx").cast("double") / nd)) / 1e6,
+            6,
+        ).alias("ln_a_r"),
+        F.round(F.pow(cxy, 2) / (cxx * cyy), 6).alias("r2_r"),
+    )
+
+
+# Wilder RSI smoothing weights (1/14)·(13/14)^k at 1e9 fixed point,
+# truncated at 64 ages (tail mass < 1e-2 of a cent at these scales) —
+# Python-generated literals embedded in both plans.
+_RSI_N = 14
+_RSI_K = 64
+_RSI_ROWS = [
+    (k, int(round((1.0 / _RSI_N) * ((_RSI_N - 1.0) / _RSI_N) ** k * 1e9)))
+    for k in range(_RSI_K)
+]
+_RSI_VALUES = ", ".join(f"({k}, {w})" for k, w in _RSI_ROWS)
+
+
+@query(
+    "a098_ohlc_technical",
+    oracle=f"""
+WITH w(age, wfp) AS (VALUES {_RSI_VALUES}),
+ticks AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(epoch_us(ts) * 4096 + event_id % 4096 AS BIGINT) AS tk,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS px
+  FROM events WHERE event_type = 'purchase'
+), bars AS (
+  SELECT h,
+         CAST(arg_min(px, tk) AS BIGINT) AS open,
+         CAST(MAX(px) AS BIGINT) AS high,
+         CAST(MIN(px) AS BIGINT) AS low,
+         CAST(arg_max(px, tk) AS BIGINT) AS close,
+         CAST(COUNT(*) AS BIGINT) AS n_ticks
+  FROM ticks GROUP BY h
+), seq AS (
+  SELECT h, open, high, low, close, n_ticks,
+         CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS bar,
+         CAST(close - LAG(close) OVER (ORDER BY h) AS BIGINT) AS chg
+  FROM bars
+), rsi AS (
+  SELECT s.bar,
+         CAST(SUM(CASE WHEN p.chg > 0 THEN p.chg * w.wfp ELSE 0 END)
+              AS BIGINT) AS gain_w,
+         CAST(SUM(CASE WHEN p.chg < 0 THEN -p.chg * w.wfp ELSE 0 END)
+              AS BIGINT) AS loss_w
+  FROM seq s JOIN seq p ON p.bar <= s.bar AND p.bar > s.bar - {_RSI_K}
+  JOIN w ON w.age = s.bar - p.bar
+  WHERE p.chg IS NOT NULL
+  GROUP BY s.bar
+), boll AS (
+  SELECT bar, h, close,
+         CAST(SUM(close) OVER (ORDER BY bar
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS s20,
+         CAST(SUM(close * close) OVER (ORDER BY bar
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS ss20,
+         CAST(COUNT(*) OVER (ORDER BY bar
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n20
+  FROM seq
+), ind AS (
+  SELECT b.bar, b.h, b.close,
+         CAST(b.s20 AS DOUBLE) / b.n20 AS ma20,
+         SQRT(GREATEST((CAST(b.ss20 AS DOUBLE)
+                        - CAST(b.s20 AS DOUBLE) * b.s20 / b.n20) / b.n20,
+                       CAST(0.0 AS DOUBLE))) AS sd20,
+         r.gain_w, r.loss_w
+  FROM boll b JOIN rsi r ON r.bar = b.bar
+  WHERE b.n20 = 20
+)
+SELECT h, close,
+       round(100.0 - 100.0 / (1.0 + CAST(gain_w AS DOUBLE)
+                                    / NULLIF(loss_w, 0)), 6) AS rsi_r,
+       round(ma20 / 100.0, 6) AS ma20_r,
+       round((close - ma20 + 2.0 * sd20) / (4.0 * sd20), 6) AS pct_b_r,
+       CASE WHEN close > ma20 + 2.0 * sd20 THEN 1
+            WHEN close < ma20 - 2.0 * sd20 THEN -1 ELSE 0 END AS breach
+FROM ind
+ORDER BY h DESC LIMIT 24
+""",
+)
+def a098_ohlc_technical(spark, sf_dir):
+    """Hourly OHLC bars over purchase values with an RSI-14
+    (Wilder-smoothed via the a063 truncated fixed-point weight-table
+    recipe — Σgain·w is an exact BIGINT, no recursion) and Bollinger
+    %B + band-breach flags from exact 20-bar rolling cent moments.
+    Open/close use arg_min/arg_max on a scalar
+    (epoch_us·4096 + event_id%4096) tick key — deterministic even
+    under timestamp collisions; the RSI window is an age-bounded
+    equi-join (≤64 lagged bars per bar — calendar-bounded, not
+    corpus-bounded). Latest 24 bars. At 100 TB: one hour-keyed fold;
+    everything downstream is bar-count sized."""
+    ev = table(spark, sf_dir, "events")
+    ticks = ev.filter(F.col("event_type") == "purchase").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.expr(
+            "CAST(unix_micros(ts) * 4096 + event_id % 4096 AS BIGINT)"
+        ).alias("tk"),
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("px"),
+    )
+    bars = ticks.groupBy("h").agg(
+        F.expr("CAST(MIN_BY(px, tk) AS BIGINT)").alias("open"),
+        F.max("px").cast("bigint").alias("high"),
+        F.min("px").cast("bigint").alias("low"),
+        F.expr("CAST(MAX_BY(px, tk) AS BIGINT)").alias("close"),
+        F.count("*").cast("bigint").alias("n_ticks"),
+    )
+    wh = Window.orderBy("h")
+    seq = bars.select(
+        "h",
+        "close",
+        F.row_number().over(wh).cast("bigint").alias("bar"),
+        (F.col("close") - F.lag("close").over(wh))
+        .cast("bigint").alias("chg"),
+    ).localCheckpoint(eager=False)
+    wtab = spark.createDataFrame(_RSI_ROWS, "age bigint, wfp bigint")
+    p = seq.select(
+        F.col("bar").alias("pbar"), F.col("chg").alias("chg")
+    ).filter(F.col("chg").isNotNull())
+    rsi = (
+        seq.select("bar")
+        .join(
+            p,
+            (F.col("pbar") <= F.col("bar"))
+            & (F.col("pbar") > F.col("bar") - _RSI_K),
+        )
+        .withColumn("age", F.col("bar") - F.col("pbar"))
+        .join(F.broadcast(wtab), "age")
+        .groupBy("bar")
+        .agg(
+            F.sum(
+                F.when(F.col("chg") > 0, F.col("chg") * F.col("wfp"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("gain_w"),
+            F.sum(
+                F.when(F.col("chg") < 0, -F.col("chg") * F.col("wfp"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("loss_w"),
+        )
+    )
+    w20 = Window.orderBy("bar").rowsBetween(-19, 0)
+    boll = seq.select(
+        "bar",
+        "h",
+        "close",
+        F.sum("close").over(w20).cast("bigint").alias("s20"),
+        F.sum(F.col("close") * F.col("close")).over(w20)
+        .cast("bigint").alias("ss20"),
+        F.count("*").over(w20).cast("bigint").alias("n20"),
+    )
+    ind = boll.join(rsi, "bar").filter(F.col("n20") == 20)
+    ma20 = F.col("s20").cast("double") / F.col("n20")
+    sd20 = F.sqrt(
+        F.greatest(
+            (
+                F.col("ss20").cast("double")
+                - F.col("s20").cast("double") * F.col("s20") / F.col("n20")
+            ) / F.col("n20"),
+            F.lit(0.0).cast("double"),
+        )
+    )
+    return (
+        ind.select(
+            "h",
+            "close",
+            F.round(
+                100.0
+                - 100.0
+                / (
+                    1.0
+                    + F.col("gain_w").cast("double")
+                    / F.nullif(F.col("loss_w"), F.lit(0))
+                ),
+                6,
+            ).alias("rsi_r"),
+            F.round(ma20 / 100.0, 6).alias("ma20_r"),
+            F.round(
+                (F.col("close") - ma20 + 2.0 * sd20) / (4.0 * sd20), 6
+            ).alias("pct_b_r"),
+            F.when(F.col("close") > ma20 + 2.0 * sd20, 1)
+            .when(F.col("close") < ma20 - 2.0 * sd20, -1)
+            .otherwise(0).alias("breach"),
+        )
+        .orderBy(F.col("h").desc())
+        .limit(24)
+    )

@@ -889,3 +889,24 @@ def test_backfill_waves_ordered(row):
         if prev_last is not None:
             assert r.first_date > prev_last
         prev_last = r.max_date
+
+
+def test_taylor_power_law_sane(row):
+    r = row("a097_taylor_power_law")[0]
+    assert r.n_groups >= 20
+    assert 0.0 <= r.r2_r <= 1.0 + 1e-9
+    # count data sits between Poisson (1) and strong clumping (2+ rare)
+    assert 0.0 < r.taylor_b_r < 3.0
+
+
+def test_ohlc_rsi_bounds(row):
+    rows = row("a098_ohlc_technical")
+    assert len(rows) == 24
+    for r in rows:
+        if r.rsi_r is not None:
+            assert 0.0 <= r.rsi_r <= 100.0
+        assert r.breach in (-1, 0, 1)
+        if r.breach == 1:
+            assert r.pct_b_r > 1.0 - 1e-6
+        if r.breach == -1:
+            assert r.pct_b_r < 1e-6
