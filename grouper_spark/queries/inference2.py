@@ -333,44 +333,52 @@ WITH daily AS (
   FROM lagged
 ), g AS (
   SELECT t.n,
-         CAST(t.n * t.n * m.sxx0 - 2 * t.n * t.t * t.t
-              + t.n * t.t * t.t AS BIGINT) AS g0,
-         CAST(t.n * t.n * m.sxx1 - t.n * t.t * m.sab1
-              + (t.n - 1) * t.t * t.t AS BIGINT) AS g1,
-         CAST(t.n * t.n * m.sxx2 - t.n * t.t * m.sab2
-              + (t.n - 2) * t.t * t.t AS BIGINT) AS g2
+         CAST(m.sxx0 AS DOUBLE)
+           - (CAST(t.t AS DOUBLE) / t.n) * t.t AS g0,
+         CAST(m.sxx1 AS DOUBLE)
+           - (CAST(t.t AS DOUBLE) / t.n) * m.sab1
+           + (t.n - 1) * (CAST(t.t AS DOUBLE) / t.n)
+             * (CAST(t.t AS DOUBLE) / t.n) AS g1,
+         CAST(m.sxx2 AS DOUBLE)
+           - (CAST(t.t AS DOUBLE) / t.n) * m.sab2
+           + (t.n - 2) * (CAST(t.t AS DOUBLE) / t.n)
+             * (CAST(t.t AS DOUBLE) / t.n) AS g2
   FROM tot t CROSS JOIN moments m
 )
 SELECT n AS n_days,
-       round(CAST(g1 AS DOUBLE) / g0, 6) AS r1_r,
-       round(CAST(g2 AS DOUBLE) / g0, 6) AS r2_r,
-       round((CAST(g1 AS DOUBLE) / g0)
-             * (1.0 - CAST(g2 AS DOUBLE) / g0)
-             / (1.0 - (CAST(g1 AS DOUBLE) / g0)
-                      * (CAST(g1 AS DOUBLE) / g0)), 6) AS phi1_r,
-       round((CAST(g2 AS DOUBLE) / g0 - (CAST(g1 AS DOUBLE) / g0)
-                                        * (CAST(g1 AS DOUBLE) / g0))
-             / (1.0 - (CAST(g1 AS DOUBLE) / g0)
-                      * (CAST(g1 AS DOUBLE) / g0)), 6) AS phi2_r,
+       round(g1 / g0, 6) AS r1_r,
+       round(g2 / g0, 6) AS r2_r,
+       round((g1 / g0)
+             * (1.0 - g2 / g0)
+             / (1.0 - (g1 / g0)
+                      * (g1 / g0)), 6) AS phi1_r,
+       round((g2 / g0 - (g1 / g0)
+                                        * (g1 / g0))
+             / (1.0 - (g1 / g0)
+                      * (g1 / g0)), 6) AS phi2_r,
        round(1.0
-             - ((CAST(g1 AS DOUBLE) / g0) * (1.0 - CAST(g2 AS DOUBLE) / g0)
-                / (1.0 - (CAST(g1 AS DOUBLE) / g0)
-                         * (CAST(g1 AS DOUBLE) / g0)))
-               * (CAST(g1 AS DOUBLE) / g0)
-             - ((CAST(g2 AS DOUBLE) / g0
-                 - (CAST(g1 AS DOUBLE) / g0) * (CAST(g1 AS DOUBLE) / g0))
-                / (1.0 - (CAST(g1 AS DOUBLE) / g0)
-                         * (CAST(g1 AS DOUBLE) / g0)))
-               * (CAST(g2 AS DOUBLE) / g0), 6) AS noise_ratio_r
+             - ((g1 / g0) * (1.0 - g2 / g0)
+                / (1.0 - (g1 / g0)
+                         * (g1 / g0)))
+               * (g1 / g0)
+             - ((g2 / g0
+                 - (g1 / g0) * (g1 / g0))
+                / (1.0 - (g1 / g0)
+                         * (g1 / g0)))
+               * (g2 / g0), 6) AS noise_ratio_r
 FROM g
 """,
 )
 def a062_yule_walker_ar2(spark, sf_dir):
     """Yule–Walker AR(2) fit to the daily revenue series (hundred-
-    dollar units). Autocovariance numerators are n²-scaled EXACT
-    BIGINTs: n²Σx_i x_{i+k} − nT·Σ(x_i + x_{i+k}) + (n−k)T², expanded
-    so no fractional mean enters before the terminal ratios (≤ ~1e16
-    at sf0.1, ~1e18 at the 10× point — documented headroom cap).
+    dollar units). Autocovariance numerators
+    Σx_ix_{i+k} − x̄·Σ(x_i+x_{i+k}) + (n−k)x̄² are DOUBLES built from
+    single exact BIGINT moments with identical expression text in
+    both engines — each term is one product of exact inputs, never an
+    unordered float sum, so the result is bit-deterministic while the
+    moments themselves (the only corpus-sized sums) stay exact
+    integers with 100× headroom (an earlier n²-scaled integer form
+    overflowed at the 10× audit point).
     r1, r2 and the closed-form φ1 = r1(1−r2)/(1−r1²), φ2 =
     (r2−r1²)/(1−r1²), innovation ratio 1 − φ1r1 − φ2r2 are terminal
     doubles. One date-keyed fold, two LAG windows over ~2.4k rows."""
@@ -398,26 +406,23 @@ def a062_yule_walker_ar2(spark, sf_dir):
             F.when(F.col("x2").isNotNull(), F.col("x") + F.col("x2"))
         ).cast("bigint").alias("sab2"),
     )
+    tm = F.col("t").cast("double") / F.col("n")
     g = moments.crossJoin(F.broadcast(tot)).select(
         "n",
+        (F.col("sxx0").cast("double") - tm * F.col("t")).alias("g0"),
         (
-            F.col("n") * F.col("n") * F.col("sxx0")
-            - 2 * F.col("n") * F.col("t") * F.col("t")
-            + F.col("n") * F.col("t") * F.col("t")
-        ).cast("bigint").alias("g0"),
+            F.col("sxx1").cast("double")
+            - tm * F.col("sab1")
+            + (F.col("n") - 1) * tm * tm
+        ).alias("g1"),
         (
-            F.col("n") * F.col("n") * F.col("sxx1")
-            - F.col("n") * F.col("t") * F.col("sab1")
-            + (F.col("n") - 1) * F.col("t") * F.col("t")
-        ).cast("bigint").alias("g1"),
-        (
-            F.col("n") * F.col("n") * F.col("sxx2")
-            - F.col("n") * F.col("t") * F.col("sab2")
-            + (F.col("n") - 2) * F.col("t") * F.col("t")
-        ).cast("bigint").alias("g2"),
+            F.col("sxx2").cast("double")
+            - tm * F.col("sab2")
+            + (F.col("n") - 2) * tm * tm
+        ).alias("g2"),
     )
-    r1 = F.col("g1").cast("double") / F.col("g0")
-    r2 = F.col("g2").cast("double") / F.col("g0")
+    r1 = F.col("g1") / F.col("g0")
+    r2 = F.col("g2") / F.col("g0")
     phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
     phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
     return g.select(
@@ -938,6 +943,14 @@ def a065_km_greenwood_ci(spark, sf_dir):
 # scale, which is exactly what keeps two-path enumeration bounded.
 _CO_ORDER_CAP = 20
 _CO_MIN_ORDERS = 2
+# Hard edge budget: keep the top-K pairs by support (key tie-break).
+# The support threshold alone does NOT bound the graph — any uniform
+# data growth multiplies every pair's support, so at 10x the >= 2
+# filter admits ~1.2M edges and the downstream closure explodes
+# (observed live on the staged scale10 fixture). The cap makes every
+# downstream stage (two-path join, label propagation, recursive
+# closure) budget-bounded at ANY scale.
+_CO_MAX_EDGES = 4000
 
 _CO_EDGES_SQL = f"""
   op AS (
@@ -950,10 +963,14 @@ _CO_EDGES_SQL = f"""
   ), opk AS (
     SELECT op.o, p FROM op JOIN okeep ON op.o = okeep.o
   ), edges AS (
-    SELECT a.p AS u, b.p AS v
-    FROM opk a JOIN opk b ON a.o = b.o AND a.p < b.p
-    GROUP BY a.p, b.p
-    HAVING COUNT(*) >= {_CO_MIN_ORDERS}
+    SELECT u, v FROM (
+      SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+      FROM opk a JOIN opk b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= {_CO_MIN_ORDERS}
+      ORDER BY c DESC, u ASC, v ASC
+      LIMIT {_CO_MAX_EDGES}
+    )
   )
 """
 
@@ -980,6 +997,8 @@ def _coorder_edges(spark, sf_dir):
         .groupBy("u", "v")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= _CO_MIN_ORDERS)
+        .orderBy(F.col("c").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(_CO_MAX_EDGES)
         .select("u", "v")
     )
 
@@ -5016,4 +5035,195 @@ def a098_ohlc_technical(spark, sf_dir):
         )
         .orderBy(F.col("h").desc())
         .limit(24)
+    )
+
+
+_CCF_MAX_LAG = 7
+
+
+@query(
+    "a099_cross_correlation",
+    oracle=f"""
+WITH lags(lag) AS (
+  SELECT unnest(generate_series(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG}))
+), daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) // 10000
+              AS BIGINT) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE))
+              AS BIGINT) AS t
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT lg.lag, a.rev AS x, b.cnt AS y
+  FROM daily a CROSS JOIN lags lg
+  JOIN daily b ON b.t = a.t + lg.lag
+), m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)),
+             6) AS ccf_r
+FROM m
+ORDER BY lag
+""",
+)
+def a099_cross_correlation(spark, sf_dir):
+    """Cross-correlation function between daily revenue (hundred-
+    dollar units) and daily order count at lags −7..+7 — the
+    lead/lag diagnostic that says whether volume LEADS value or just
+    co-moves (peak off lag 0 = a transfer delay). The series aligns
+    on a row-number time index so calendar gaps don't silently
+    misalign lags; each lag's Pearson r comes from exact BIGINT
+    cross-moments of the ALIGNED pairs (per-lag n shrinks at the
+    edges and the moments follow — no padding bias). 15 rows. At
+    100 TB: one date fold; the lag join is O(days × 15)."""
+    o = table(spark, sf_dir, "orders")
+    wd = Window.orderBy("d")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 10000 AS BIGINT)"
+        ).alias("rev"),
+        F.count("*").cast("bigint").alias("cnt"),
+    ).withColumn(
+        "t", F.row_number().over(wd).cast("bigint")
+    ).localCheckpoint(eager=False)
+    lags = spark.createDataFrame(
+        [(l,) for l in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1)],
+        "lag bigint",
+    )
+    a = daily.select("t", F.col("rev").alias("x"))
+    b = daily.select(F.col("t").alias("tb"), F.col("cnt").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("t") + F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n")
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / nd
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / nd
+    cyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / nd
+    return m.select(
+        "lag",
+        "n",
+        F.round(cxy / F.sqrt(cxx * cyy), 6).alias("ccf_r"),
+    ).orderBy("lag")
+
+
+@query(
+    "a100_jackknife_se",
+    oracle="""
+WITH obs AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+         CAST(ROUND(o.o_totalprice, 0) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+  FROM obs GROUP BY g
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM grp
+), loo AS (
+  SELECT g.g,
+         CAST(ROUND((CAST(t.st - g.s AS DOUBLE) / (t.nt - g.n))
+                    * 100.0, 0) AS BIGINT) AS theta_fp,
+         t.k, t.nt, t.st
+  FROM grp g CROSS JOIN tot t
+), jack AS (
+  SELECT MAX(k) AS k, MAX(nt) AS nt, MAX(st) AS st,
+         CAST(SUM(theta_fp) AS BIGINT) AS sth,
+         CAST(SUM(theta_fp * theta_fp) AS BIGINT) AS sthh
+  FROM loo
+)
+SELECT k AS n_groups,
+       round(CAST(st AS DOUBLE) / nt, 6) AS mean_r,
+       round(SQRT((CAST(k AS DOUBLE) - 1.0) / k
+                  * (CAST(sthh AS DOUBLE)
+                     - CAST(sth AS DOUBLE) * sth / k))
+             / 100.0, 6) AS se_jack_r,
+       round((CAST(sth AS DOUBLE) / k) / 100.0, 6)
+         AS theta_bar_r
+FROM jack
+""",
+)
+def a100_jackknife_se(spark, sf_dir):
+    """Delete-one-GROUP jackknife standard error of the mean order
+    value with nations as the resampling blocks — the
+    cluster-respecting SE that an iid formula understates when
+    observations correlate within nation (compare a090's DEFF). Each
+    leave-one-out mean θ_(i) = (S−s_i)/(N−n_i) is CENTI-quantized to
+    a BIGINT so the jackknife moments are exact integer sums that
+    survive squaring at sf1 magnitudes (micro-quantization overflowed
+    — order values are ~1e5 dollars), order-free; SE = √((k−1)/k · Σ(θ_(i)−θ̄)²). At 100 TB: one
+    fold to 25 rows, one broadcast, closed form."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    obs = o.join(
+        c.select("c_custkey", "c_nationkey"),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").cast("bigint").alias("g"),
+        F.round("o_totalprice", 0).cast("bigint").alias("v"),
+    )
+    grp = obs.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    loo = grp.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (F.col("st") - F.col("s")).cast("double")
+            / (F.col("nt") - F.col("n")) * 100.0,
+            0,
+        ).cast("bigint").alias("theta_fp"),
+        "k",
+        "nt",
+        "st",
+    )
+    jack = loo.agg(
+        F.max("k").alias("k"),
+        F.max("nt").alias("nt"),
+        F.max("st").alias("st"),
+        F.sum("theta_fp").cast("bigint").alias("sth"),
+        F.sum(F.col("theta_fp") * F.col("theta_fp"))
+        .cast("bigint").alias("sthh"),
+    )
+    kd = F.col("k").cast("double")
+    return jack.select(
+        F.col("k").alias("n_groups"),
+        F.round(F.col("st").cast("double") / F.col("nt"), 6)
+        .alias("mean_r"),
+        F.round(
+            F.sqrt(
+                (kd - 1.0) / F.col("k")
+                * (
+                    F.col("sthh").cast("double")
+                    - F.col("sth").cast("double") * F.col("sth") / F.col("k")
+                )
+            ) / 100.0,
+            6,
+        ).alias("se_jack_r"),
+        F.round(
+            (F.col("sth").cast("double") / F.col("k")) / 100.0, 6
+        ).alias("theta_bar_r"),
     )

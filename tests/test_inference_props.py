@@ -910,3 +910,23 @@ def test_ohlc_rsi_bounds(row):
             assert r.pct_b_r > 1.0 - 1e-6
         if r.breach == -1:
             assert r.pct_b_r < 1e-6
+
+
+def test_ccf_symmetric_n_and_bounds(row):
+    rows = row("a099_cross_correlation")
+    assert [r.lag for r in rows] == list(range(-7, 8))
+    by_lag = {r.lag: r for r in rows}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.ccf_r <= 1.0 + 1e-9
+        # aligned-pair count is symmetric in the lag sign
+        assert r.n == by_lag[-r.lag].n
+    # revenue and order count on the same day are strongly coupled
+    assert by_lag[0].ccf_r > 0.5
+
+
+def test_jackknife_se_positive(row):
+    r = row("a100_jackknife_se")[0]
+    assert r.n_groups >= 20
+    assert r.se_jack_r > 0.0
+    # leave-one-out means average back near the full mean
+    assert abs(r.theta_bar_r - r.mean_r) < r.mean_r * 0.01
