@@ -5227,3 +5227,330 @@ def a100_jackknife_se(spark, sf_dir):
             (F.col("sth").cast("double") / F.col("k")) / 100.0, 6
         ).alias("theta_bar_r"),
     )
+
+
+@query(
+    "a126_lognormal_fit_gof",
+    oracle=f"""
+WITH vals AS (
+  SELECT CAST(ROUND(o_totalprice, 0) AS BIGINT) // 100 * 100 + 50 AS v
+  FROM orders WHERE o_totalprice >= 1
+), lv AS (
+  SELECT v, CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+           AS lnv, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY v
+), m AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * lnv) AS BIGINT) AS sl,
+         CAST(SUM(cnt * lnv * lnv // 1000000) AS BIGINT) AS sll
+  FROM lv
+), fit AS (
+  SELECT n,
+         CAST(sl AS DOUBLE) / n / 1000000.0 AS mu,
+         SQRT((CAST(sll AS DOUBLE) * 1000000.0
+               - CAST(sl AS DOUBLE) / n * sl)
+              / (n - 1)) / 1000000.0 AS sigma
+  FROM m
+), ecdf AS (
+  SELECT l.v, l.lnv,
+         CAST(SUM(l.cnt) OVER (ORDER BY l.v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         f.n, f.mu, f.sigma
+  FROM lv l CROSS JOIN fit f
+), dev AS (
+  SELECT v,
+         ABS(CAST(cum AS DOUBLE) / n
+             - {_phi("((lnv / 1000000.0 - mu) / sigma)")}) AS d
+  FROM ecdf
+)
+SELECT f.n AS n_obs,
+       round(f.mu, 6) AS mu_log_r,
+       round(f.sigma, 6) AS sigma_log_r,
+       round(EXP(f.mu + f.sigma * f.sigma / 2.0), 6) AS implied_mean_r,
+       round((SELECT MAX(d) FROM dev), 6) AS ks_stat_r,
+       round((SELECT MAX(d) FROM dev) * SQRT(CAST(f.n AS DOUBLE)), 6)
+         AS ks_scaled_r
+FROM fit f
+""",
+)
+def a126_lognormal_fit_gof(spark, sf_dir):
+    """Lognormal fit of order values by log-moment MLE (μ̂, σ̂ on the
+    ln scale) with a Kolmogorov–Smirnov goodness-of-fit readout
+    against the fitted CDF — the distribution check that decides
+    whether multiplicative models are safe for spend. Order totals are
+    near-UNIQUE, so values bin to hundred-dollar midpoints first (a
+    raw distinct-value ECDF self-joined 1.1e12 pairs at the 10x
+    audit point — caught live); ln runs once per bin, micro-quantized
+    so Σln and Σln² are exact BIGINTs (ln² folded at 1e6); the ECDF
+    is a cumulative WINDOW over the bounded histogram, and the KS
+    statistic is evaluated at bin edges (binned KS, documented); Φ is
+    the shared A&S text. At 100 TB:
+    one fold, histogram-sized work."""
+    o = table(spark, sf_dir, "orders")
+    vals = o.filter(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(ROUND(o_totalprice, 0) AS BIGINT)"
+            " div 100 * 100 + 50"
+        ).alias("v")
+    )
+    lv = vals.groupBy("v").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    ).select(
+        "v",
+        F.round(F.log(F.col("v").cast("double")) * 1e6, 0)
+        .cast("bigint").alias("lnv"),
+        "cnt",
+    ).localCheckpoint(eager=False)
+    m = lv.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("lnv")).cast("bigint").alias("sl"),
+        F.sum(
+            F.expr("cnt * lnv * lnv div 1000000")
+        ).cast("bigint").alias("sll"),
+    )
+    fit = m.select(
+        "n",
+        (F.col("sl").cast("double") / F.col("n") / 1e6).alias("mu"),
+        (
+            F.sqrt(
+                (
+                    F.col("sll").cast("double") * 1e6
+                    - F.col("sl").cast("double") / F.col("n") * F.col("sl")
+                )
+                / (F.col("n") - 1)
+            ) / 1e6
+        ).alias("sigma"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = lv.select(
+        "v",
+        "lnv",
+        F.sum("cnt").over(wv).cast("bigint").alias("cum"),
+    ).crossJoin(F.broadcast(fit))
+    dev = ecdf.select(
+        F.abs(
+            F.col("cum").cast("double") / F.col("n")
+            - F.expr(_phi("((lnv / 1000000.0 - mu) / sigma)"))
+        ).alias("d")
+    )
+    ks = dev.agg(F.max("d").alias("ks"))
+    return fit.crossJoin(F.broadcast(ks)).select(
+        F.col("n").alias("n_obs"),
+        F.round("mu", 6).alias("mu_log_r"),
+        F.round("sigma", 6).alias("sigma_log_r"),
+        F.round(
+            F.exp(F.col("mu") + F.col("sigma") * F.col("sigma") / 2.0), 6
+        ).alias("implied_mean_r"),
+        F.round("ks", 6).alias("ks_stat_r"),
+        F.round(
+            F.col("ks") * F.sqrt(F.col("n").cast("double")), 6
+        ).alias("ks_scaled_r"),
+    )
+
+
+@query(
+    "a127_abc_xyz_classification",
+    oracle="""
+WITH demand AS (
+  SELECT CAST(l_partkey AS BIGINT) AS part,
+         CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1, 2
+), per_part AS (
+  SELECT part,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(rev) AS BIGINT) AS rev,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(q * q) AS BIGINT) AS sqq
+  FROM demand GROUP BY part
+), ranked AS (
+  SELECT part, rev, n_days, sq, sqq,
+         CAST(SUM(rev) OVER (ORDER BY rev DESC, part ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_rev,
+         CAST(SUM(rev) OVER () AS BIGINT) AS tot_rev
+  FROM per_part
+), classed AS (
+  SELECT part, rev,
+         CASE WHEN cum_rev * 100 <= tot_rev * 80 THEN 'A'
+              WHEN cum_rev * 100 <= tot_rev * 95 THEN 'B'
+              ELSE 'C' END AS abc,
+         CASE WHEN n_days < 2 THEN 'Z'
+              WHEN (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n_days)
+                   / (n_days - 1)
+                   <= 0.25 * (CAST(sq AS DOUBLE) / n_days)
+                          * (CAST(sq AS DOUBLE) / n_days) THEN 'X'
+              WHEN (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n_days)
+                   / (n_days - 1)
+                   <= 1.0 * (CAST(sq AS DOUBLE) / n_days)
+                         * (CAST(sq AS DOUBLE) / n_days) THEN 'Y'
+              ELSE 'Z' END AS xyz,
+         tot_rev
+  FROM ranked
+)
+SELECT abc, xyz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue,
+       round(CAST(SUM(rev) AS DOUBLE) / MAX(tot_rev), 6) AS rev_share_r
+FROM classed
+GROUP BY abc, xyz
+ORDER BY abc, xyz
+""",
+)
+def a127_abc_xyz_classification(spark, sf_dir):
+    """ABC×XYZ inventory classification: parts ranked by revenue into
+    cumulative-share classes (A ≤ 80%, B ≤ 95%, C rest — integer
+    cross-multiplied thresholds, no float shares) crossed with demand-
+    variability classes from the exact daily-demand CV² (X: CV² ≤
+    0.25, Y: ≤ 1, Z: else/insufficient history — variance-to-mean²
+    compared via identical double expressions off exact BIGINTs). The
+    revenue rank window is part-count sized (dimension-scaled, not
+    fact-scaled — documented bound); output is the 9-cell class
+    matrix with revenue shares. At 100 TB: one lineitem fold keyed
+    (part, day), one part fold, one window over the part dimension."""
+    li = table(spark, sf_dir, "lineitem")
+    demand = li.groupBy(
+        F.col("l_partkey").cast("bigint").alias("part"),
+        F.to_date("l_shipdate").alias("d"),
+    ).agg(
+        F.sum(F.round("l_quantity", 0).cast("bigint"))
+        .cast("bigint").alias("q"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("rev"),
+    )
+    per_part = demand.groupBy("part").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("rev").cast("bigint").alias("rev"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+    )
+    wr = Window.orderBy(F.col("rev").desc(), F.col("part").asc())
+    ranked = per_part.select(
+        "part",
+        "rev",
+        "n_days",
+        "sq",
+        "sqq",
+        F.sum("rev").over(
+            wr.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint").alias("cum_rev"),
+        F.sum("rev").over(Window.partitionBy())
+        .cast("bigint").alias("tot_rev"),
+    )
+    var = (
+        F.col("sqq").cast("double")
+        - F.col("sq").cast("double") * F.col("sq") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    mean2 = (
+        (F.col("sq").cast("double") / F.col("n_days"))
+        * (F.col("sq").cast("double") / F.col("n_days"))
+    )
+    classed = ranked.select(
+        "part",
+        "rev",
+        F.when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 80, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 95, "B")
+        .otherwise("C").alias("abc"),
+        F.when(F.col("n_days") < 2, "Z")
+        .when(var <= 0.25 * mean2, "X")
+        .when(var <= 1.0 * mean2, "Y")
+        .otherwise("Z").alias("xyz"),
+        "tot_rev",
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("bigint").alias("revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.max("tot_rev"), 6
+            ).alias("rev_share_r"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+@query(
+    "a128_newsvendor_stock",
+    oracle="""
+WITH demand AS (
+  SELECT CAST(l_partkey % 97 AS BIGINT) AS bkt,
+         CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS z
+  FROM lineitem GROUP BY 1, 2
+), hist AS (
+  SELECT bkt, z, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM demand GROUP BY bkt, z
+), cum AS (
+  SELECT bkt, z, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY bkt ORDER BY z
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumc,
+         CAST(SUM(cnt) OVER (PARTITION BY bkt) AS BIGINT) AS n,
+         CAST(SUM(cnt * z) OVER (PARTITION BY bkt) AS BIGINT) AS sz
+  FROM hist
+), q AS (
+  SELECT bkt,
+         CAST(MIN(CASE WHEN cumc * 10 >= n * 9 THEN z END) AS BIGINT)
+           AS q90,
+         MAX(n) AS n_days, MAX(sz) AS sz
+  FROM cum GROUP BY bkt
+)
+SELECT bkt, n_days, q90,
+       round(CAST(sz AS DOUBLE) / n_days, 6) AS mean_demand_r,
+       round(q90 - CAST(sz AS DOUBLE) / n_days, 6) AS safety_stock_r
+FROM q
+ORDER BY bkt
+""",
+)
+def a128_newsvendor_stock(spark, sf_dir):
+    """Newsvendor stocking level at the 0.9 critical fractile for each
+    of 97 part buckets: the order-up-to quantity is the exact 90th-
+    percentile of nonzero daily demand read off the bucket's demand
+    HISTOGRAM (integer cross-multiplied cumulative threshold — never
+    a percentile_approx, never a global sort), with safety stock =
+    q₀.₉ − mean. Windows partition by bucket over domain-bounded
+    histograms. At 100 TB: one lineitem fold, bucket-local work."""
+    li = table(spark, sf_dir, "lineitem")
+    demand = li.groupBy(
+        (F.col("l_partkey") % 97).cast("bigint").alias("bkt"),
+        F.to_date("l_shipdate").alias("d"),
+    ).agg(
+        F.sum(F.round("l_quantity", 0).cast("bigint"))
+        .cast("bigint").alias("z")
+    )
+    hist = demand.groupBy("bkt", "z").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wb = Window.partitionBy("bkt").orderBy("z").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("bkt")
+    cum = hist.select(
+        "bkt",
+        "z",
+        F.sum("cnt").over(wb).cast("bigint").alias("cumc"),
+        F.sum("cnt").over(wp).cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("z")).over(wp)
+        .cast("bigint").alias("sz"),
+    )
+    q = cum.groupBy("bkt").agg(
+        F.min(
+            F.when(F.col("cumc") * 10 >= F.col("n") * 9, F.col("z"))
+        ).cast("bigint").alias("q90"),
+        F.max("n").alias("n_days"),
+        F.max("sz").alias("sz"),
+    )
+    mean = F.col("sz").cast("double") / F.col("n_days")
+    return q.select(
+        "bkt",
+        "n_days",
+        "q90",
+        F.round(mean, 6).alias("mean_demand_r"),
+        F.round(F.col("q90") - mean, 6).alias("safety_stock_r"),
+    ).orderBy("bkt")

@@ -930,3 +930,37 @@ def test_jackknife_se_positive(row):
     assert r.se_jack_r > 0.0
     # leave-one-out means average back near the full mean
     assert abs(r.theta_bar_r - r.mean_r) < r.mean_r * 0.01
+
+
+def test_lognormal_fit_sane(row):
+    r = row("a126_lognormal_fit_gof")[0]
+    assert r.sigma_log_r > 0.0
+    assert 0.0 <= r.ks_stat_r <= 1.0
+    # implied lognormal mean should be within an order of magnitude of
+    # the true mean of a positive distribution this fit targets
+    assert r.implied_mean_r > 0.0
+
+
+def test_abc_xyz_matrix_consistency(row, sf_dir):
+    import duckdb
+
+    rows = row("a127_abc_xyz_classification")
+    n_parts = duckdb.connect().execute(
+        f"SELECT count(DISTINCT l_partkey) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_parts for r in rows) == n_parts
+    assert abs(sum(r.rev_share_r for r in rows) - 1.0) < 1e-3
+    a_share = sum(r.rev_share_r for r in rows if r.abc == "A")
+    c_share = sum(r.rev_share_r for r in rows if r.abc == "C")
+    assert a_share >= c_share  # A-class concentrates revenue
+
+
+def test_newsvendor_quantile_dominates_mean(row):
+    rows = row("a128_newsvendor_stock")
+    assert len(rows) == 97
+    for r in rows:
+        # the 0.9 fractile of a nonnegative demand is >= ... its mean
+        # only for right-skewed series; assert the weaker exact facts
+        assert r.q90 >= 1
+        assert r.mean_demand_r > 0.0
+        assert abs(r.safety_stock_r - (r.q90 - r.mean_demand_r)) < 2e-6
