@@ -5554,3 +5554,232 @@ def a128_newsvendor_stock(spark, sf_dir):
         F.round(mean, 6).alias("mean_demand_r"),
         F.round(F.col("q90") - mean, 6).alias("safety_stock_r"),
     ).orderBy("bkt")
+
+
+_HUB_N = 256
+_HUB_K = 10
+
+
+@query(
+    "a129_hubness_audit",
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id < {_HUB_N}
+), knn AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM s q JOIN s c ON c.vec_id != q.vec_id
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id
+  ) <= {_HUB_K}
+), occ AS (
+  SELECT s.vec_id,
+         CAST(COALESCE(k.c, 0) AS BIGINT) AS nk
+  FROM s LEFT JOIN (
+    SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM knn GROUP BY neighbor_id
+  ) k ON k.neighbor_id = s.vec_id
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(nk) AS BIGINT) AS s1,
+         CAST(SUM(nk * nk) AS BIGINT) AS s2,
+         CAST(SUM(nk * nk * nk) AS BIGINT) AS s3,
+         CAST(MAX(nk) AS BIGINT) AS max_occ,
+         CAST(SUM(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_antihubs
+  FROM occ
+)
+SELECT n AS n_vectors, max_occ, n_antihubs,
+       round(CAST(s1 AS DOUBLE) / n, 6) AS mean_occ_r,
+       round(CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6)
+         AS var_occ_r,
+       round((CAST(s3 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                * (CAST(s1 AS DOUBLE) / n))
+             / POWER(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n), 1.5), 6)
+         AS skew_occ_r
+FROM m
+""",
+)
+def a129_hubness_audit(spark, sf_dir):
+    """Hubness audit of the embedding space: the k-occurrence
+    distribution N_k (how often each vector appears in other
+    vectors' cosine top-{_HUB_K}) over a deterministic {_HUB_N}-vector
+    panel — right-skewed N_k with anti-hubs is THE
+    curse-of-dimensionality symptom that silently degrades every
+    ANN/dedup pipeline downstream. Mean(N_k) = k exactly (a property
+    pin); variance and skewness come from exact integer occurrence
+    moments; the kNN ranking breaks float ties by neighbor id. The
+    panel keeps the pair stage at {_HUB_N}² at ANY sf (the audit is a
+    fixed-size probe, not a corpus sweep). Cosines use the shared
+    left-fold dot recipe — bit-identical cross-engine."""
+    from ..functions.vector import cosine_similarity
+
+    e = table(spark, sf_dir, "embeddings")
+    s = e.filter(F.col("vec_id") < _HUB_N).select(
+        "vec_id", "embedding"
+    ).localCheckpoint(eager=False)
+    q = s.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    c = s.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        q.join(F.broadcast(c), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qe"), F.col("ce")).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    knn = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= _HUB_K
+    )
+    koc = knn.groupBy("neighbor_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    occ = s.join(
+        koc, s.vec_id == koc.neighbor_id, "left"
+    ).select(
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("nk")
+    )
+    m = occ.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("nk").cast("bigint").alias("s1"),
+        F.sum(F.col("nk") * F.col("nk")).cast("bigint").alias("s2"),
+        F.sum(F.col("nk") * F.col("nk") * F.col("nk"))
+        .cast("bigint").alias("s3"),
+        F.max("nk").cast("bigint").alias("max_occ"),
+        F.sum(F.when(F.col("nk") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_antihubs"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3.0 * mu * m2
+        - mu * mu * mu
+    )
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        "max_occ",
+        "n_antihubs",
+        F.round(mu, 6).alias("mean_occ_r"),
+        F.round(m2, 6).alias("var_occ_r"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_occ_r"),
+    )
+
+
+@query(
+    "a130_twonn_intrinsic_dim",
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id < {_HUB_N}
+), d2 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, q.e) + list_dot_product(c.e, c.e)
+           - 2.0 * list_dot_product(q.e, c.e) AS dd,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.e, q.e)
+                    + list_dot_product(c.e, c.e)
+                    - 2.0 * list_dot_product(q.e, c.e) ASC, c.vec_id ASC
+         ) AS rn
+  FROM s q JOIN s c ON c.vec_id != q.vec_id
+), mu AS (
+  SELECT query_id,
+         CAST(ROUND(0.5 * ln(MAX(CASE WHEN rn = 2 THEN dd END)
+                             / MAX(CASE WHEN rn = 1 THEN dd END))
+                    * 1000000.0, 0) AS BIGINT) AS lnmu_fp
+  FROM d2 WHERE rn <= 2 GROUP BY query_id
+  HAVING MAX(CASE WHEN rn = 1 THEN dd END) > 0
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lnmu_fp) AS BIGINT) AS sl
+  FROM mu
+)
+SELECT n AS n_points,
+       round(CAST(n AS DOUBLE) * 1000000.0 / sl, 6) AS intrinsic_dim_r,
+       round(CAST(sl AS DOUBLE) / n / 1000000.0, 6) AS mean_ln_mu_r
+FROM agg
+""",
+)
+def a130_twonn_intrinsic_dim(spark, sf_dir):
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017): with
+    μ_i = r₂/r₁ the ratio of each point's two nearest-neighbor
+    distances, d̂ = n / Σ ln μ_i — the honest answer to "how many of
+    the 64 embedding dimensions are real", which prices every
+    LSH/IVF/PQ design choice upstream. Distances come from the shared
+    left-fold dot recipe (d² = ⟨q,q⟩+⟨c,c⟩−2⟨q,c⟩, bit-identical
+    cross-engine); ln μ = ½ln(d₂²/d₁²) is micro-quantized per panel
+    point so the sum is exact; the {_HUB_N}-point panel bounds the
+    pair stage at any sf. Duplicate points (r₁ = 0) are excluded by
+    an exact guard in both engines."""
+    from ..functions.vector import dot
+
+    e = table(spark, sf_dir, "embeddings")
+    s = e.filter(F.col("vec_id") < _HUB_N).select(
+        "vec_id", "embedding"
+    ).localCheckpoint(eager=False)
+    q = s.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = s.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+    )
+    dd = (
+        dot(F.col("qe"), F.col("qe"))
+        + dot(F.col("ce"), F.col("ce"))
+        - 2.0 * dot(F.col("qe"), F.col("ce"))
+    )
+    scored = q.join(
+        F.broadcast(c), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", dd.alias("dd"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("dd").asc(), F.col("neighbor_id").asc()
+    )
+    top2 = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= 2
+    )
+    mu = (
+        top2.groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("dd"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("dd"))).alias("d2"),
+        )
+        .filter(F.col("d1") > 0)
+        .select(
+            F.round(
+                0.5 * F.log(F.col("d2") / F.col("d1")) * 1e6, 0
+            ).cast("bigint").alias("lnmu_fp")
+        )
+    )
+    agg = mu.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lnmu_fp").cast("bigint").alias("sl"),
+    )
+    return agg.select(
+        F.col("n").alias("n_points"),
+        F.round(
+            F.col("n").cast("double") * 1e6 / F.col("sl"), 6
+        ).alias("intrinsic_dim_r"),
+        F.round(
+            F.col("sl").cast("double") / F.col("n") / 1e6, 6
+        ).alias("mean_ln_mu_r"),
+    )

@@ -964,3 +964,22 @@ def test_newsvendor_quantile_dominates_mean(row):
         assert r.q90 >= 1
         assert r.mean_demand_r > 0.0
         assert abs(r.safety_stock_r - (r.q90 - r.mean_demand_r)) < 2e-6
+
+
+def test_hubness_mean_is_k(row):
+    r = row("a129_hubness_audit")[0]
+    assert r.n_vectors == 256
+    # every point emits exactly k = 10 neighbor votes
+    assert abs(r.mean_occ_r - 10.0) < 1e-6
+    assert r.var_occ_r >= 0.0
+    assert r.max_occ >= 10
+    assert 0 <= r.n_antihubs < r.n_vectors
+
+
+def test_twonn_dim_sane(row):
+    r = row("a130_twonn_intrinsic_dim")[0]
+    assert r.n_points >= 200
+    assert r.mean_ln_mu_r > 0.0
+    # estimated intrinsic dim of a 64-d embedding must be positive
+    # and cannot exceed the ambient dimension by much
+    assert 0.5 <= r.intrinsic_dim_r <= 128.0
