@@ -5783,3 +5783,363 @@ def a130_twonn_intrinsic_dim(spark, sf_dir):
             F.col("sl").cast("double") / F.col("n") / 1e6, 6
         ).alias("mean_ln_mu_r"),
     )
+
+
+@query(
+    "a131_lindley_queue_replay",
+    oracle="""
+WITH arr AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS t,
+         CAST((30 + event_id % 31) * 1000000 AS BIGINT) AS svc,
+         CAST(ROW_NUMBER() OVER (ORDER BY ts ASC, event_id ASC)
+              AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase'
+), inc AS (
+  SELECT n, t, svc,
+         CASE WHEN n = 1 THEN CAST(0 AS BIGINT)
+              ELSE CAST(LAG(svc) OVER (ORDER BY n)
+                        - (t - LAG(t) OVER (ORDER BY n)) AS BIGINT)
+         END AS delta
+  FROM arr
+), pre AS (
+  SELECT n, t, svc,
+         CAST(SUM(delta) OVER (ORDER BY n
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS p
+  FROM inc
+), waits AS (
+  SELECT n, t, svc,
+         CAST(p - MIN(p) OVER (ORDER BY n
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS w
+  FROM pre
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_jobs,
+         CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(MAX(w) AS BIGINT) AS max_w,
+         CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_waited,
+         CAST(SUM(svc) AS BIGINT) AS ssvc,
+         CAST(MAX(t) - MIN(t) AS BIGINT) AS horizon
+  FROM waits
+)
+SELECT n_jobs,
+       round(CAST(sw AS DOUBLE) / n_jobs / 1000000.0, 6)
+         AS mean_wait_s_r,
+       round(CAST(max_w AS DOUBLE) / 1000000.0, 6) AS max_wait_s_r,
+       round(CAST(n_waited AS DOUBLE) / n_jobs, 6) AS frac_waited_r,
+       round(CAST(ssvc AS DOUBLE) / horizon, 6) AS utilization_r,
+       CAST(n_jobs - n_waited AS BIGINT) AS n_busy_periods
+FROM agg
+""",
+)
+def a131_lindley_queue_replay(spark, sf_dir):
+    """Exact single-server FIFO queue replay over the purchase-event
+    arrival trace (deterministic 30–60 s service times keyed off
+    event_id): the Lindley recursion W_n = max(0, W_{n−1}+S_{n−1}−A_n)
+    is NOT a fold here — it collapses to W_n = P_n − min_{k≤n}P_k
+    with P the prefix sum of (S_{n−1}−A_n), the same
+    prefix-minus-running-min identity the CUSUM family uses, so two
+    ordered windows over exact integer microseconds replace the
+    sequential loop. Complements a398's analytic M/M/1 ESTIMATES with
+    measured trace waits: mean/max wait, delay fraction, utilization
+    Σsvc/horizon, busy-period count (zero-wait arrivals). The global
+    window is the inherent sequential dependency of a single queue —
+    at 100 TB you'd partition by queue/server key (documented); all
+    arithmetic stays exact BIGINT micros."""
+    ev = table(spark, sf_dir, "events")
+    wn = Window.orderBy("n")
+    arr = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr("CAST(unix_micros(ts) AS BIGINT)").alias("t"),
+        ((30 + F.col("event_id") % 31) * 1000000)
+        .cast("bigint").alias("svc"),
+        F.row_number().over(
+            Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        ).cast("bigint").alias("n"),
+    )
+    inc = arr.select(
+        "n",
+        "t",
+        "svc",
+        F.when(F.col("n") == 1, F.lit(0).cast("bigint"))
+        .otherwise(
+            (
+                F.lag("svc").over(wn)
+                - (F.col("t") - F.lag("t").over(wn))
+            ).cast("bigint")
+        )
+        .alias("delta"),
+    )
+    wcum = wn.rowsBetween(Window.unboundedPreceding, 0)
+    pre = inc.select(
+        "n",
+        "t",
+        "svc",
+        F.sum("delta").over(wcum).cast("bigint").alias("p"),
+    )
+    waits = pre.select(
+        "n",
+        "t",
+        "svc",
+        (F.col("p") - F.min("p").over(wcum)).cast("bigint").alias("w"),
+    )
+    agg = waits.agg(
+        F.count("*").cast("bigint").alias("n_jobs"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.max("w").cast("bigint").alias("max_w"),
+        F.sum(F.when(F.col("w") > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_waited"),
+        F.sum("svc").cast("bigint").alias("ssvc"),
+        (F.max("t") - F.min("t")).cast("bigint").alias("horizon"),
+    )
+    return agg.select(
+        "n_jobs",
+        F.round(
+            F.col("sw").cast("double") / F.col("n_jobs") / 1e6, 6
+        ).alias("mean_wait_s_r"),
+        F.round(F.col("max_w").cast("double") / 1e6, 6)
+        .alias("max_wait_s_r"),
+        F.round(
+            F.col("n_waited").cast("double") / F.col("n_jobs"), 6
+        ).alias("frac_waited_r"),
+        F.round(
+            F.col("ssvc").cast("double") / F.col("horizon"), 6
+        ).alias("utilization_r"),
+        (F.col("n_jobs") - F.col("n_waited")).cast("bigint")
+        .alias("n_busy_periods"),
+    )
+
+
+_CIDX_PANEL = 512
+
+
+@query(
+    "a132_harrell_c_index",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+         MAX(ts) AS last_ts,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks
+  FROM events GROUP BY user_id
+), signed AS (
+  SELECT user_id, s_ts, last_ts, clicks FROM base
+  WHERE s_ts IS NOT NULL AND user_id < {_CIDX_PANEL}
+), conv AS (
+  SELECT s.user_id, MIN(e.ts) AS p_ts
+  FROM signed s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+  GROUP BY s.user_id
+), subj AS (
+  SELECT s.user_id, s.clicks,
+         CAST(CASE WHEN c.p_ts IS NOT NULL
+              THEN epoch_us(c.p_ts) - epoch_us(s.s_ts)
+              ELSE epoch_us(s.last_ts) - epoch_us(s.s_ts)
+              END AS BIGINT) AS t_us,
+         CASE WHEN c.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM signed s LEFT JOIN conv c ON c.user_id = s.user_id
+), pairs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_comparable,
+         CAST(SUM(CASE WHEN a.clicks > b.clicks THEN 1 ELSE 0 END)
+              AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN a.clicks = b.clicks THEN 1 ELSE 0 END)
+              AS BIGINT) AS tied_pred
+  FROM subj a JOIN subj b
+    ON a.ev = 1 AND a.t_us < b.t_us
+)
+SELECT n_comparable, concordant, tied_pred,
+       round((CAST(concordant AS DOUBLE) + 0.5 * tied_pred)
+             / n_comparable, 6) AS c_index_r
+FROM pairs
+""",
+)
+def a132_harrell_c_index(spark, sf_dir):
+    """Harrell's concordance index for "does click volume predict
+    faster signup→purchase conversion": among comparable pairs (i
+    converted strictly before j's observed time), C = P(higher score
+    converts first), ties in the score credited ½ — the survival
+    analogue of ROC-AUC that respects censoring, which q286's plain
+    AUC cannot. The pairwise stage runs on a fixed {_CIDX_PANEL}-user
+    panel (the a129 bounded-probe pattern — comparable-pair counting
+    is inherently quadratic, so the audit bounds it by construction;
+    the estimator itself is exact integer counting on microsecond
+    times with a strict < comparability rule). Higher-clicks-converts-
+    faster shows as C > 0.5."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("s_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("bigint").alias("clicks"),
+    )
+    signed = base.filter(
+        F.col("s_ts").isNotNull() & (F.col("user_id") < _CIDX_PANEL)
+    ).localCheckpoint(eager=False)
+    conv = (
+        signed.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_raw")
+            ),
+            "user_id",
+        )
+        .filter(F.col("p_raw") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_raw").alias("p_ts"))
+    )
+    subj = signed.join(conv, "user_id", "left").select(
+        "user_id",
+        "clicks",
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.expr("unix_micros(p_ts) - unix_micros(s_ts)"),
+        )
+        .otherwise(F.expr("unix_micros(last_ts) - unix_micros(s_ts)"))
+        .cast("bigint")
+        .alias("t_us"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+    ).localCheckpoint(eager=False)
+    a = subj.select(
+        F.col("clicks").alias("ca"),
+        F.col("t_us").alias("ta"),
+        F.col("ev").alias("ea"),
+    )
+    b = subj.select(
+        F.col("clicks").alias("cb"), F.col("t_us").alias("tb")
+    )
+    pairs = a.join(
+        b, (F.col("ea") == 1) & (F.col("ta") < F.col("tb"))
+    ).agg(
+        F.count("*").cast("bigint").alias("n_comparable"),
+        F.sum(F.when(F.col("ca") > F.col("cb"), 1).otherwise(0))
+        .cast("bigint").alias("concordant"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0))
+        .cast("bigint").alias("tied_pred"),
+    )
+    return pairs.select(
+        "n_comparable",
+        "concordant",
+        "tied_pred",
+        F.round(
+            (F.col("concordant").cast("double") + 0.5 * F.col("tied_pred"))
+            / F.col("n_comparable"),
+            6,
+        ).alias("c_index_r"),
+    )
+
+
+# O'Brien-Fleming two-sided boundaries for 5 equally-spaced looks at
+# overall alpha 0.05 (Lan-DeMets OBF spending, standard table values) —
+# embedded constants, identical in both plans.
+_OBF_LOOKS = ((6, 4.8769), (12, 3.3569), (18, 2.6803), (24, 2.2898), (30, 2.0310))
+_OBF_VALUES = ", ".join(f"({d}, CAST({z} AS DOUBLE))" for d, z in _OBF_LOOKS)
+
+
+@query(
+    "a133_group_sequential_obf",
+    oracle=f"""
+WITH looks(look_day, z_bound) AS (VALUES {_OBF_VALUES}),
+per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(ts AS DATE) AS d,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+), cells AS (
+  SELECT l.look_day, l.z_bound, p.arm, p.user_id,
+         CAST(SUM(p.v) AS BIGINT) AS y
+  FROM per_user p JOIN looks l
+    ON p.d < DATE '2024-01-01' + INTERVAL (l.look_day) DAY
+  GROUP BY l.look_day, l.z_bound, p.arm, p.user_id
+), grp AS (
+  SELECT look_day, z_bound, arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS ss
+  FROM cells GROUP BY look_day, z_bound, arm
+), wide AS (
+  SELECT look_day, z_bound,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END) AS m1,
+         MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END) AS m0,
+         MAX(CASE WHEN arm = 1 THEN
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+             END) AS v1,
+         MAX(CASE WHEN arm = 0 THEN
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+             END) AS v0
+  FROM grp GROUP BY look_day, z_bound
+)
+SELECT look_day,
+       CAST(n1 + n0 AS BIGINT) AS n_users,
+       round(z_bound, 6) AS z_bound_r,
+       round((m1 - m0) / SQRT(v1 / n1 + v0 / n0), 6) AS z_obs_r,
+       CASE WHEN ABS((m1 - m0) / SQRT(v1 / n1 + v0 / n0)) > z_bound
+            THEN 1 ELSE 0 END AS crossed
+FROM wide
+ORDER BY look_day
+""",
+)
+def a133_group_sequential_obf(spark, sf_dir):
+    """Group-sequential A/B monitor with O'Brien–Fleming boundaries at
+    5 equally-spaced looks (days 6/12/18/24/30, overall α = 0.05,
+    standard Lan–DeMets OBF table embedded as constants in both
+    plans) — the peeking-safe alternative to q308's SPRT: early looks
+    need z > 4.88, the final look only 2.03. Each look's Welch z
+    comes from exact cents moments of the per-user purchase revenue
+    ACCUMULATED to that look's cutoff (the look table joins the event
+    fold — 5× a user-keyed aggregate, never 5 scans). At 100 TB: one
+    filtered fold keyed (look, arm, user)."""
+    ev = table(spark, sf_dir, "events")
+    looks = spark.createDataFrame(
+        [(d, z) for d, z in _OBF_LOOKS], "look_day bigint, z_bound double"
+    )
+    per_user = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("user_id") % 2).cast("bigint").alias("arm"),
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v"),
+    )
+    cells = (
+        per_user.join(
+            F.broadcast(looks),
+            F.col("d")
+            < F.expr("DATE '2024-01-01' + make_interval(0,0,0,look_day)"),
+        )
+        .groupBy("look_day", "z_bound", "arm", "user_id")
+        .agg(F.sum("v").cast("bigint").alias("y"))
+    )
+    grp = cells.groupBy("look_day", "z_bound", "arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    pick = lambda a, e: F.max(F.when(F.col("arm") == a, e))  # noqa: E731
+    wide = grp.groupBy("look_day", "z_bound").agg(
+        pick(1, F.col("n")).alias("n1"),
+        pick(0, F.col("n")).alias("n0"),
+        pick(1, mean).alias("m1"),
+        pick(0, mean).alias("m0"),
+        pick(1, var).alias("v1"),
+        pick(0, var).alias("v0"),
+    )
+    z = (F.col("m1") - F.col("m0")) / F.sqrt(
+        F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")
+    )
+    return wide.select(
+        "look_day",
+        (F.col("n1") + F.col("n0")).cast("bigint").alias("n_users"),
+        F.round("z_bound", 6).alias("z_bound_r"),
+        F.round(z, 6).alias("z_obs_r"),
+        F.when(F.abs(z) > F.col("z_bound"), 1).otherwise(0)
+        .alias("crossed"),
+    ).orderBy("look_day")

@@ -983,3 +983,30 @@ def test_twonn_dim_sane(row):
     # estimated intrinsic dim of a 64-d embedding must be positive
     # and cannot exceed the ambient dimension by much
     assert 0.5 <= r.intrinsic_dim_r <= 128.0
+
+
+def test_lindley_waits_sane(row):
+    r = row("a131_lindley_queue_replay")[0]
+    assert r.mean_wait_s_r >= 0.0
+    assert r.max_wait_s_r >= r.mean_wait_s_r
+    assert 0.0 <= r.frac_waited_r <= 1.0
+    assert r.utilization_r > 0.0
+    assert r.n_busy_periods >= 1
+
+
+def test_c_index_bounds(row):
+    r = row("a132_harrell_c_index")[0]
+    assert r.n_comparable > 0
+    assert r.concordant + r.tied_pred <= r.n_comparable
+    assert 0.0 <= r.c_index_r <= 1.0
+
+
+def test_obf_boundaries_decrease(row):
+    rows = row("a133_group_sequential_obf")
+    assert [r.look_day for r in rows] == [6, 12, 18, 24, 30]
+    bounds = [r.z_bound_r for r in rows]
+    assert bounds == sorted(bounds, reverse=True)
+    ns = [r.n_users for r in rows]
+    assert ns == sorted(ns)  # looks accumulate users
+    for r in rows:
+        assert r.crossed in (0, 1)
