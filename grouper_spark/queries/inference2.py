@@ -6143,3 +6143,334 @@ def a133_group_sequential_obf(spark, sf_dir):
         F.when(F.abs(z) > F.col("z_bound"), 1).otherwise(0)
         .alias("crossed"),
     ).orderBy("look_day")
+
+
+_ENS_W = 28  # trailing ensemble window (days)
+
+
+@query(
+    "a134_crps_ensemble",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 10000 AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE))
+              AS BIGINT) AS t
+  FROM orders GROUP BY 1
+), targets AS (
+  SELECT t, x FROM daily WHERE t > {_ENS_W}
+), term1 AS (
+  SELECT tg.t, CAST(SUM(ABS(e.x - tg.x)) AS BIGINT) AS s1,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM targets tg JOIN daily e
+    ON e.t >= tg.t - {_ENS_W} AND e.t < tg.t
+  GROUP BY tg.t
+), term2 AS (
+  SELECT tg.t, CAST(SUM(ABS(e1.x - e2.x)) AS BIGINT) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS mm
+  FROM targets tg
+  JOIN daily e1 ON e1.t >= tg.t - {_ENS_W} AND e1.t < tg.t
+  JOIN daily e2 ON e2.t >= tg.t - {_ENS_W} AND e2.t < tg.t
+  GROUP BY tg.t
+), per_day AS (
+  SELECT t1.t,
+         CAST(t1.s1 AS DOUBLE) / t1.m
+           - 0.5 * CAST(t2.s2 AS DOUBLE) / t2.mm AS crps
+  FROM term1 t1 JOIN term2 t2 ON t2.t = t1.t
+), qd AS (
+  SELECT t, CAST(ROUND(crps * 1000000.0, 0) AS BIGINT) AS crps_fp
+  FROM per_day
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(CAST(SUM(crps_fp) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+         AS mean_crps_r,
+       round(CAST(MAX(crps_fp) AS DOUBLE) / 1000000.0, 6)
+         AS max_crps_r
+FROM qd
+""",
+)
+def a134_crps_ensemble(spark, sf_dir):
+    """Continuous ranked probability score for the trailing-28-day
+    empirical-ensemble forecast of daily revenue (hundred-dollar
+    units): CRPS(F, y) = E|X−y| − ½E|X−X′| evaluated EXACTLY on the
+    discrete ensemble — both expectations are integer absolute-
+    difference sums over calendar-bounded windows (28 and 28² terms
+    per day), so the only doubles are the terminal per-day ratios,
+    micro-quantized before the cross-day average (order-free). CRPS
+    is the proper score that rewards calibration AND sharpness
+    together — the upgrade over point-forecast MAE the a114/a048
+    family reports. At 100 TB: one date fold; O(days·28²) after."""
+    o = table(spark, sf_dir, "orders")
+    wd = Window.orderBy("d")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 10000 AS BIGINT)"
+        ).alias("x")
+    ).withColumn(
+        "t", F.row_number().over(wd).cast("bigint")
+    ).localCheckpoint(eager=False)
+    targets = daily.filter(F.col("t") > _ENS_W).select(
+        "t", F.col("x").alias("y")
+    )
+    e = daily.select(F.col("t").alias("et"), F.col("x").alias("ex"))
+    term1 = (
+        targets.join(
+            e,
+            (F.col("et") >= F.col("t") - _ENS_W)
+            & (F.col("et") < F.col("t")),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.abs(F.col("ex") - F.col("y")))
+            .cast("bigint").alias("s1"),
+            F.count("*").cast("bigint").alias("m"),
+        )
+    )
+    e2 = daily.select(F.col("t").alias("e2t"), F.col("x").alias("e2x"))
+    term2 = (
+        targets.join(
+            e,
+            (F.col("et") >= F.col("t") - _ENS_W)
+            & (F.col("et") < F.col("t")),
+        )
+        .join(
+            e2,
+            (F.col("e2t") >= F.col("t") - _ENS_W)
+            & (F.col("e2t") < F.col("t")),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.abs(F.col("ex") - F.col("e2x")))
+            .cast("bigint").alias("s2"),
+            F.count("*").cast("bigint").alias("mm"),
+        )
+    )
+    per_day = term1.join(term2, "t").select(
+        "t",
+        (
+            F.col("s1").cast("double") / F.col("m")
+            - 0.5 * F.col("s2").cast("double") / F.col("mm")
+        ).alias("crps"),
+    )
+    qd = per_day.select(
+        F.round(F.col("crps") * 1e6, 0).cast("bigint").alias("crps_fp")
+    )
+    return qd.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(
+            F.sum("crps_fp").cast("double") / F.count("*") / 1e6, 6
+        ).alias("mean_crps_r"),
+        F.round(F.max("crps_fp").cast("double") / 1e6, 6)
+        .alias("max_crps_r"),
+    )
+
+
+@query(
+    "a135_winkler_interval_score",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 10000 AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE))
+              AS BIGINT) AS t
+  FROM orders GROUP BY 1
+), targets AS (
+  SELECT t, x FROM daily WHERE t > {_ENS_W}
+), ranked AS (
+  SELECT tg.t, tg.x AS y, e.x AS ex,
+         ROW_NUMBER() OVER (PARTITION BY tg.t
+                            ORDER BY e.x ASC, e.t ASC) AS rk
+  FROM targets tg JOIN daily e
+    ON e.t >= tg.t - {_ENS_W} AND e.t < tg.t
+), bounds AS (
+  SELECT t, MAX(y) AS y,
+         CAST(MAX(CASE WHEN rk = 3 THEN ex END) AS BIGINT) AS lo,
+         CAST(MAX(CASE WHEN rk = 26 THEN ex END) AS BIGINT) AS hi
+  FROM ranked GROUP BY t
+), scored AS (
+  SELECT t, y, lo, hi,
+         CAST((hi - lo)
+              + CASE WHEN y < lo THEN 10 * (lo - y) ELSE 0 END
+              + CASE WHEN y > hi THEN 10 * (y - hi) ELSE 0 END
+              AS BIGINT) AS ws,
+         CASE WHEN y >= lo AND y <= hi THEN 1 ELSE 0 END AS covered
+  FROM bounds
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(CAST(SUM(ws) AS DOUBLE) / COUNT(*), 6) AS mean_winkler_r,
+       round(CAST(SUM(covered) AS DOUBLE) / COUNT(*), 6)
+         AS coverage_r,
+       round(CAST(SUM(hi - lo) AS DOUBLE) / COUNT(*), 6)
+         AS mean_width_r
+FROM scored
+""",
+)
+def a135_winkler_interval_score(spark, sf_dir):
+    """Winkler interval score for the trailing-ensemble 80%% interval
+    (order statistics 3 and 26 of the 28-member window ≈ the
+    q10/q90): IS = width + (2/α)·overshoot, α = 0.2 → penalty factor
+    10 — the proper score that jointly grades coverage and sharpness,
+    reported next to the raw empirical coverage and mean width. Every
+    score is an EXACT integer (hundred-dollar units, integer penalty
+    factor); ranks break ties by ensemble day. At 100 TB: one date
+    fold, O(days·28) rank windows partitioned by target day."""
+    o = table(spark, sf_dir, "orders")
+    wd = Window.orderBy("d")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 10000 AS BIGINT)"
+        ).alias("x")
+    ).withColumn(
+        "t", F.row_number().over(wd).cast("bigint")
+    ).localCheckpoint(eager=False)
+    targets = daily.filter(F.col("t") > _ENS_W).select(
+        "t", F.col("x").alias("y")
+    )
+    e = daily.select(F.col("t").alias("et"), F.col("x").alias("ex"))
+    wr = Window.partitionBy("t").orderBy(
+        F.col("ex").asc(), F.col("et").asc()
+    )
+    ranked = targets.join(
+        e,
+        (F.col("et") >= F.col("t") - _ENS_W) & (F.col("et") < F.col("t")),
+    ).withColumn("rk", F.row_number().over(wr))
+    bounds = ranked.groupBy("t").agg(
+        F.max("y").alias("y"),
+        F.max(F.when(F.col("rk") == 3, F.col("ex")))
+        .cast("bigint").alias("lo"),
+        F.max(F.when(F.col("rk") == 26, F.col("ex")))
+        .cast("bigint").alias("hi"),
+    )
+    ws = (
+        (F.col("hi") - F.col("lo"))
+        + F.when(
+            F.col("y") < F.col("lo"), 10 * (F.col("lo") - F.col("y"))
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("y") > F.col("hi"), 10 * (F.col("y") - F.col("hi"))
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    scored = bounds.select(
+        ws.alias("ws"),
+        F.when(
+            (F.col("y") >= F.col("lo")) & (F.col("y") <= F.col("hi")), 1
+        ).otherwise(0).alias("covered"),
+        (F.col("hi") - F.col("lo")).alias("width"),
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(
+            F.sum("ws").cast("double") / F.count("*"), 6
+        ).alias("mean_winkler_r"),
+        F.round(
+            F.sum("covered").cast("double") / F.count("*"), 6
+        ).alias("coverage_r"),
+        F.round(
+            F.sum("width").cast("double") / F.count("*"), 6
+        ).alias("mean_width_r"),
+    )
+
+
+@query(
+    "a136_pit_uniformity",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+              // 10000 AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE))
+              AS BIGINT) AS t
+  FROM orders GROUP BY 1
+), targets AS (
+  SELECT t, x FROM daily WHERE t > {_ENS_W}
+), pit AS (
+  SELECT tg.t,
+         CAST(SUM(CASE WHEN e.x < tg.x THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below
+  FROM targets tg JOIN daily e
+    ON e.t >= tg.t - {_ENS_W} AND e.t < tg.t
+  GROUP BY tg.t
+), binned AS (
+  SELECT LEAST(3, n_below * 4 // ({_ENS_W} + 1)) AS pit_bin
+  FROM pit
+), cells AS (
+  SELECT pit_bin, CAST(COUNT(*) AS BIGINT) AS k FROM binned
+  GROUP BY pit_bin
+), tot AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS n FROM cells
+)
+SELECT c.pit_bin, c.k,
+       round(CAST(c.k AS DOUBLE) / t.n, 6) AS frac_r,
+       round(POWER(c.k - CAST(t.n AS DOUBLE) / 4.0, 2)
+             / (CAST(t.n AS DOUBLE) / 4.0), 6) AS chi2_term_r
+FROM cells c CROSS JOIN tot t
+ORDER BY c.pit_bin
+""",
+)
+def a136_pit_uniformity(spark, sf_dir):
+    """Probability-integral-transform uniformity check for the same
+    trailing ensemble: each day's PIT rank (how many ensemble members
+    fall below the outcome) should be uniform if the forecast is
+    calibrated — a U-shaped histogram means underdispersion, a hump
+    means overdispersion, exactly the diagnosis CRPS alone can't
+    localize. Ranks are exact integer counts; quartile bins use
+    integer cross-multiplication; the per-bin χ² terms against the
+    uniform expectation are terminal doubles. 4 rows. At 100 TB:
+    one date fold + an O(days·28) band join."""
+    o = table(spark, sf_dir, "orders")
+    wd = Window.orderBy("d")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 10000 AS BIGINT)"
+        ).alias("x")
+    ).withColumn(
+        "t", F.row_number().over(wd).cast("bigint")
+    ).localCheckpoint(eager=False)
+    targets = daily.filter(F.col("t") > _ENS_W).select(
+        "t", F.col("x").alias("y")
+    )
+    e = daily.select(F.col("t").alias("et"), F.col("x").alias("ex"))
+    pit = (
+        targets.join(
+            e,
+            (F.col("et") >= F.col("t") - _ENS_W)
+            & (F.col("et") < F.col("t")),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("ex") < F.col("y"), 1).otherwise(0))
+            .cast("bigint").alias("n_below")
+        )
+    )
+    binned = pit.select(
+        F.least(
+            F.lit(3),
+            F.expr(f"n_below * 4 div ({_ENS_W} + 1)"),
+        ).alias("pit_bin")
+    )
+    cells = binned.groupBy("pit_bin").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    tot = cells.agg(F.sum("k").cast("bigint").alias("n"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "pit_bin",
+            "k",
+            F.round(
+                F.col("k").cast("double") / F.col("n"), 6
+            ).alias("frac_r"),
+            F.round(
+                F.pow(
+                    F.col("k") - F.col("n").cast("double") / 4.0, 2
+                ) / (F.col("n").cast("double") / 4.0),
+                6,
+            ).alias("chi2_term_r"),
+        )
+        .orderBy("pit_bin")
+    )

@@ -1010,3 +1010,28 @@ def test_obf_boundaries_decrease(row):
     assert ns == sorted(ns)  # looks accumulate users
     for r in rows:
         assert r.crossed in (0, 1)
+
+
+def test_crps_nonneg(row):
+    r = row("a134_crps_ensemble")[0]
+    assert r.n_days > 0
+    # CRPS of any forecast is nonnegative and bounded by max |X - y|
+    assert 0.0 <= r.mean_crps_r <= r.max_crps_r + 1e-9
+
+
+def test_winkler_dominates_width(row):
+    r = row("a135_winkler_interval_score")[0]
+    # score = width + penalties, so mean score >= mean width
+    assert r.mean_winkler_r >= r.mean_width_r - 1e-6
+    assert 0.0 <= r.coverage_r <= 1.0
+    # an 80% interval from the same process should cover well
+    assert r.coverage_r >= 0.4
+
+
+def test_pit_bins_partition(row):
+    rows = row("a136_pit_uniformity")
+    assert sum(r.k for r in rows) > 0
+    assert abs(sum(r.frac_r for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 0 <= r.pit_bin <= 3
+        assert r.chi2_term_r >= 0.0
