@@ -6474,3 +6474,368 @@ def a136_pit_uniformity(spark, sf_dir):
         )
         .orderBy("pit_bin")
     )
+
+
+@query(
+    "a137_tail_dependence",
+    oracle="""
+WITH xy AS (
+  SELECT c.c_custkey,
+         CAST(ROUND(c.c_acctbal * 100.0, 0) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY x ASC, c_custkey ASC) AS rx,
+         ROW_NUMBER() OVER (ORDER BY y ASC, c_custkey ASC) AS ry,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM xy
+), m AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CASE WHEN rx * 20 > n * 19 AND ry * 20 > n * 19
+                       THEN 1 ELSE 0 END) AS BIGINT) AS both_hi,
+         CAST(SUM(CASE WHEN rx * 20 <= n AND ry * 20 <= n
+                       THEN 1 ELSE 0 END) AS BIGINT) AS both_lo,
+         CAST(SUM(CASE WHEN rx * 20 > n * 19 THEN 1 ELSE 0 END)
+              AS BIGINT) AS hi_x,
+         CAST(SUM(CASE WHEN rx * 20 <= n THEN 1 ELSE 0 END)
+              AS BIGINT) AS lo_x
+  FROM ranked
+)
+SELECT n, both_hi, both_lo,
+       round(CAST(both_hi AS DOUBLE) / hi_x, 6) AS lambda_upper_r,
+       round(CAST(both_lo AS DOUBLE) / lo_x, 6) AS lambda_lower_r,
+       round(CAST(both_hi AS DOUBLE) * 400.0 / n
+             / (1.0 * 1.0), 6) AS upper_lift_r
+FROM m
+""",
+)
+def a137_tail_dependence(spark, sf_dir):
+    """Empirical tail-dependence coefficients between account balance
+    and total spend: λ_U ≈ P(Y in top 5% | X in top 5%), λ_L the
+    mirrored lower-tail version — the dependence-in-the-extremes
+    readout that Pearson/Spearman wash out (joint risk concentrates
+    in tails). Ranks are keyed row_numbers, tail membership is
+    integer cross-multiplication (rx·20 > 19n), and every coefficient
+    is an exact-count ratio; upper_lift is the joint-tail mass
+    against the 1/400 independence baseline. The rank windows are
+    customer-count sized (q171's legitimately-ordered class). At
+    100 TB: one fold, two windows, exact counting."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    xy = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+            .cast("bigint").alias("y")
+        )
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100.0, 0)
+            .cast("bigint").alias("x"),
+            "y",
+        )
+    )
+    wx = Window.orderBy(F.col("x").asc(), F.col("c_custkey").asc())
+    wy = Window.orderBy(F.col("y").asc(), F.col("c_custkey").asc())
+    ranked = xy.select(
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    m = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("rx") * 20 > F.col("n") * 19)
+                & (F.col("ry") * 20 > F.col("n") * 19),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("both_hi"),
+        F.sum(
+            F.when(
+                (F.col("rx") * 20 <= F.col("n"))
+                & (F.col("ry") * 20 <= F.col("n")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("both_lo"),
+        F.sum(
+            F.when(F.col("rx") * 20 > F.col("n") * 19, 1).otherwise(0)
+        ).cast("bigint").alias("hi_x"),
+        F.sum(
+            F.when(F.col("rx") * 20 <= F.col("n"), 1).otherwise(0)
+        ).cast("bigint").alias("lo_x"),
+    )
+    return m.select(
+        "n",
+        "both_hi",
+        "both_lo",
+        F.round(
+            F.col("both_hi").cast("double") / F.col("hi_x"), 6
+        ).alias("lambda_upper_r"),
+        F.round(
+            F.col("both_lo").cast("double") / F.col("lo_x"), 6
+        ).alias("lambda_lower_r"),
+        F.round(
+            F.col("both_hi").cast("double") * 400.0 / F.col("n")
+            / (1.0 * 1.0),
+            6,
+        ).alias("upper_lift_r"),
+    )
+
+
+@query(
+    "a138_chatterjee_xi",
+    oracle="""
+WITH xy AS (
+  SELECT c.c_custkey,
+         CAST(ROUND(c.c_acctbal * 100.0, 0) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+), yhist AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS g FROM xy GROUP BY y
+), yrank AS (
+  SELECT y,
+         CAST(COALESCE(SUM(g) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + g AS BIGINT) AS r_le
+  FROM yhist
+), seq AS (
+  SELECT yr.r_le,
+         LEAD(yr.r_le) OVER (ORDER BY p.x ASC, p.c_custkey ASC)
+           AS r_next,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM xy p JOIN yrank yr ON yr.y = p.y
+), m AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CASE WHEN r_next IS NOT NULL
+                       THEN ABS(r_le - r_next) END) AS BIGINT) AS sad
+  FROM seq
+)
+SELECT n,
+       round(1.0 - 3.0 * CAST(sad AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n - 1.0), 6) AS xi_r
+FROM m
+""",
+)
+def a138_chatterjee_xi(spark, sf_dir):
+    """Chatterjee's ξ rank correlation (JASA 2021) between account
+    balance and spend: ξ = 1 − 3Σ|r_{i+1} − r_i|/(n²−1) where r is
+    the count of y-values ≤ y_i and the sequence walks in x order —
+    the modern coefficient that detects ARBITRARY functional
+    dependence (oscillating, non-monotone) where Pearson/Spearman
+    read ~0, and equals ~0 under independence. Ranks come from a
+    y-value histogram (tie-exact r_le counts, no per-row rank
+    window over y), the x-walk is one ordered window, and Σ|Δr| is
+    an exact BIGINT. At 100 TB: one fold, one histogram, one ordered
+    walk — the walk is the estimator's inherent sequential core."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    xy = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+            .cast("bigint").alias("y")
+        )
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100.0, 0)
+            .cast("bigint").alias("x"),
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    yhist = xy.groupBy("y").agg(F.count("*").cast("bigint").alias("g"))
+    wv = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    yrank = yhist.select(
+        "y",
+        (
+            F.coalesce(F.sum("g").over(wv), F.lit(0)) + F.col("g")
+        ).cast("bigint").alias("r_le"),
+    )
+    wx = Window.orderBy(F.col("x").asc(), F.col("c_custkey").asc())
+    seq = xy.join(yrank, "y").select(
+        "r_le",
+        F.lead("r_le").over(wx).alias("r_next"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    m = seq.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(
+                F.col("r_next").isNotNull(),
+                F.abs(F.col("r_le") - F.col("r_next")),
+            )
+        ).cast("bigint").alias("sad"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "n",
+        F.round(
+            1.0 - 3.0 * F.col("sad").cast("double") / (nd * nd - 1.0), 6
+        ).alias("xi_r"),
+    )
+
+
+_DCOR_PANEL = 512
+
+
+@query(
+    "a139_distance_correlation",
+    oracle=f"""
+WITH xy AS (
+  SELECT c.c_custkey,
+         CAST(ROUND(c.c_acctbal, 0) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT))
+              // 100000 AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey < {_DCOR_PANEL}
+  GROUP BY c.c_custkey, c.c_acctbal
+), pairs AS (
+  SELECT a.c_custkey AS i,
+         CAST(ABS(a.x - b.x) AS BIGINT) AS dx,
+         CAST(ABS(a.y - b.y) AS BIGINT) AS dy
+  FROM xy a JOIN xy b ON TRUE
+), per_i AS (
+  SELECT i,
+         CAST(SUM(dx) AS BIGINT) AS rx,
+         CAST(SUM(dy) AS BIGINT) AS ry,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy_i,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx_i,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy_i
+  FROM pairs GROUP BY i
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS tx,
+         CAST(SUM(ry) AS BIGINT) AS ty,
+         CAST(SUM(sxy_i) AS BIGINT) AS sxy,
+         CAST(SUM(sxx_i) AS BIGINT) AS sxx,
+         CAST(SUM(syy_i) AS BIGINT) AS syy,
+         CAST(SUM(rx * ry) AS BIGINT) AS srxry,
+         CAST(SUM(rx * rx) AS BIGINT) AS srx2,
+         CAST(SUM(ry * ry) AS BIGINT) AS sry2
+  FROM per_i
+), parts AS (
+  SELECT n,
+         CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+           - 2.0 * CAST(srxry AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n * n)
+           + (CAST(tx AS DOUBLE) * ty)
+             / (CAST(n AS DOUBLE) * n * n * n) AS dcov2,
+         CAST(sxx AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+           - 2.0 * CAST(srx2 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n * n)
+           + (CAST(tx AS DOUBLE) * tx)
+             / (CAST(n AS DOUBLE) * n * n * n) AS dvarx,
+         CAST(syy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+           - 2.0 * CAST(sry2 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n * n)
+           + (CAST(ty AS DOUBLE) * ty)
+             / (CAST(n AS DOUBLE) * n * n * n) AS dvary
+  FROM m
+)
+SELECT n AS n_panel,
+       round(dcov2, 6) AS dcov2_r,
+       round(dvarx, 6) AS dvarx_r,
+       round(dvary, 6) AS dvary_r,
+       round(SQRT(GREATEST(dcov2, CAST(0.0 AS DOUBLE))
+                  / SQRT(dvarx * dvary)), 6) AS dcor_r
+FROM parts
+""",
+)
+def a139_distance_correlation(spark, sf_dir):
+    """Székely's distance correlation between account balance and
+    spend on a fixed {_DCOR_PANEL}-customer panel — the dependence
+    measure that is ZERO iff independent (any functional or set-
+    valued relation shows up, unlike Pearson). V-statistic form:
+    dCov² = S₁ − 2S₂ + S₃ with S₁ = Σd^x d^y/n², S₂ = Σᵢ rxᵢryᵢ/n³,
+    S₃ = tx·ty/n⁴ — every Σ over pairs/rows is an exact BIGINT
+    (dollars × thousand-dollar units keep rx²/ry² inside BIGINT at
+    the 10× point), and the three normalizations are terminal
+    doubles with identical expression text. The panel bounds the
+    O(n²) pair stage by construction (the a129/a132 probe pattern);
+    a corpus-wide dcor would use the random-projection estimator
+    instead (documented)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    xy = (
+        c.filter(F.col("c_custkey") < _DCOR_PANEL)
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+                " div 100000 AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 0).cast("bigint").alias("x"),
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = xy.select(
+        F.col("c_custkey").alias("i"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = xy.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "i",
+        F.abs(F.col("xa") - F.col("xb")).cast("bigint").alias("dx"),
+        F.abs(F.col("ya") - F.col("yb")).cast("bigint").alias("dy"),
+    )
+    per_i = pairs.groupBy("i").agg(
+        F.sum("dx").cast("bigint").alias("rx"),
+        F.sum("dy").cast("bigint").alias("ry"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy_i"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx_i"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy_i"),
+    )
+    m = per_i.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("tx"),
+        F.sum("ry").cast("bigint").alias("ty"),
+        F.sum("sxy_i").cast("bigint").alias("sxy"),
+        F.sum("sxx_i").cast("bigint").alias("sxx"),
+        F.sum("syy_i").cast("bigint").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("srxry"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("srx2"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("sry2"),
+    )
+    nd = F.col("n").cast("double")
+
+    def vform(s1, s2, t1, t2):
+        return (
+            F.col(s1).cast("double") / (nd * F.col("n"))
+            - 2.0 * F.col(s2).cast("double")
+            / (nd * F.col("n") * F.col("n"))
+            + (F.col(t1).cast("double") * F.col(t2))
+            / (nd * F.col("n") * F.col("n") * F.col("n"))
+        )
+
+    parts = m.select(
+        "n",
+        vform("sxy", "srxry", "tx", "ty").alias("dcov2"),
+        vform("sxx", "srx2", "tx", "tx").alias("dvarx"),
+        vform("syy", "sry2", "ty", "ty").alias("dvary"),
+    )
+    return parts.select(
+        F.col("n").alias("n_panel"),
+        F.round("dcov2", 6).alias("dcov2_r"),
+        F.round("dvarx", 6).alias("dvarx_r"),
+        F.round("dvary", 6).alias("dvary_r"),
+        F.round(
+            F.sqrt(
+                F.greatest(F.col("dcov2"), F.lit(0.0).cast("double"))
+                / F.sqrt(F.col("dvarx") * F.col("dvary"))
+            ),
+            6,
+        ).alias("dcor_r"),
+    )

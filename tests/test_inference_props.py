@@ -1035,3 +1035,26 @@ def test_pit_bins_partition(row):
     for r in rows:
         assert 0 <= r.pit_bin <= 3
         assert r.chi2_term_r >= 0.0
+
+
+def test_tail_dependence_bounds(row):
+    r = row("a137_tail_dependence")[0]
+    assert 0.0 <= r.lambda_upper_r <= 1.0
+    assert 0.0 <= r.lambda_lower_r <= 1.0
+    assert r.both_hi <= r.n // 20 + 1
+
+
+def test_chatterjee_xi_bounds(row):
+    r = row("a138_chatterjee_xi")[0]
+    # xi in [-1/2 + O(1/n), 1]; for continuous-ish data it sits in
+    # [-0.5, 1] with independence near 0
+    assert -0.55 <= r.xi_r <= 1.0
+
+
+def test_distance_correlation_bounds(row):
+    r = row("a139_distance_correlation")[0]
+    assert r.n_panel > 0
+    assert r.dvarx_r > 0.0 and r.dvary_r > 0.0
+    assert 0.0 <= r.dcor_r <= 1.0 + 1e-9
+    # V-statistic dCov^2 is nonnegative up to rounding
+    assert r.dcov2_r >= -1e-6
