@@ -6839,3 +6839,143 @@ def a139_distance_correlation(spark, sf_dir):
             6,
         ).alias("dcor_r"),
     )
+
+
+@query(
+    "a140_price_indexes",
+    oracle="""
+WITH months AS (
+  SELECT CAST(l_partkey AS BIGINT) AS part,
+         date_trunc('month', l_shipdate) AS mo,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS rev_cents,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(mo) AS mo0, MAX(mo) AS mo1 FROM months
+), base AS (
+  SELECT m.part, m.rev_cents AS r0, m.q AS q0
+  FROM months m JOIN bounds b ON m.mo = b.mo0 WHERE m.q > 0
+), cur AS (
+  SELECT m.part, m.rev_cents AS r1, m.q AS q1
+  FROM months m JOIN bounds b ON m.mo = b.mo1 WHERE m.q > 0
+), matched AS (
+  SELECT b.part,
+         CAST(b.r0 AS DOUBLE) / b.q0 AS p0,
+         CAST(c.r1 AS DOUBLE) / c.q1 AS p1,
+         b.q0, c.q1, b.r0, c.r1
+  FROM base b JOIN cur c ON c.part = b.part
+), terms AS (
+  SELECT part,
+         CAST(ROUND(p1 * q0, 0) AS BIGINT) AS l_num,
+         CAST(ROUND(p0 * q0, 0) AS BIGINT) AS l_den,
+         CAST(ROUND(p1 * q1, 0) AS BIGINT) AS p_num,
+         CAST(ROUND(p0 * q1, 0) AS BIGINT) AS p_den,
+         r0, r1,
+         CAST(ROUND(ln(p1 / p0) * 1000000.0, 0) AS BIGINT) AS lnr_fp
+  FROM matched
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(l_num) AS BIGINT) AS ln_, CAST(SUM(l_den) AS BIGINT)
+           AS ld_,
+         CAST(SUM(p_num) AS BIGINT) AS pn_, CAST(SUM(p_den) AS BIGINT)
+           AS pd_,
+         CAST(SUM(r0) AS BIGINT) AS s0, CAST(SUM(r1) AS BIGINT) AS s1
+  FROM terms
+), torn AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (CAST(t.r0 AS DOUBLE) / x.s0 + CAST(t.r1 AS DOUBLE) / x.s1)
+           * 0.5 * t.lnr_fp, 0) AS BIGINT)) AS BIGINT) AS tw_fp
+  FROM terms t CROSS JOIN tot x
+)
+SELECT x.n_parts,
+       round(CAST(x.ln_ AS DOUBLE) / x.ld_, 6) AS laspeyres_r,
+       round(CAST(x.pn_ AS DOUBLE) / x.pd_, 6) AS paasche_r,
+       round(SQRT((CAST(x.ln_ AS DOUBLE) / x.ld_)
+                  * (CAST(x.pn_ AS DOUBLE) / x.pd_)), 6) AS fisher_r,
+       round(EXP(CAST(t.tw_fp AS DOUBLE) / 1000000.0), 6)
+         AS tornqvist_r
+FROM tot x CROSS JOIN torn t
+""",
+)
+def a140_price_indexes(spark, sf_dir):
+    """Bilateral price indexes between the first and last shipment
+    months over the matched part basket: Laspeyres (base-weighted),
+    Paasche (current-weighted), Fisher (their geometric mean — the
+    superlative index), and Törnqvist (revenue-share-weighted log
+    index). Per-part unit prices are exact-integer ratios; each
+    index's numerator/denominator contributions and each Törnqvist
+    share×ln term are ROUNDED TO INTEGER UNITS per part before the
+    cross-part fold (the order-free discipline — parts are an
+    unordered group), with ln once per matched part (dimension-
+    bounded). At 100 TB: one (part, month) fold, two month slices,
+    one matched join."""
+    li = table(spark, sf_dir, "lineitem")
+    months = li.groupBy(
+        F.col("l_partkey").cast("bigint").alias("part"),
+        F.date_trunc("month", "l_shipdate").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint").alias("rev_cents"),
+        F.sum(F.round("l_quantity", 0).cast("bigint"))
+        .cast("bigint").alias("q"),
+    ).localCheckpoint(eager=False)
+    bounds = months.agg(
+        F.min("mo").alias("mo0"), F.max("mo").alias("mo1")
+    )
+    base = (
+        months.crossJoin(F.broadcast(bounds))
+        .filter((F.col("mo") == F.col("mo0")) & (F.col("q") > 0))
+        .select("part", F.col("rev_cents").alias("r0"),
+                F.col("q").alias("q0"))
+    )
+    cur = (
+        months.crossJoin(F.broadcast(bounds))
+        .filter((F.col("mo") == F.col("mo1")) & (F.col("q") > 0))
+        .select("part", F.col("rev_cents").alias("r1"),
+                F.col("q").alias("q1"))
+    )
+    p0 = F.col("r0").cast("double") / F.col("q0")
+    p1 = F.col("r1").cast("double") / F.col("q1")
+    terms = base.join(cur, "part").select(
+        "part",
+        F.round(p1 * F.col("q0"), 0).cast("bigint").alias("l_num"),
+        F.round(p0 * F.col("q0"), 0).cast("bigint").alias("l_den"),
+        F.round(p1 * F.col("q1"), 0).cast("bigint").alias("p_num"),
+        F.round(p0 * F.col("q1"), 0).cast("bigint").alias("p_den"),
+        "r0",
+        "r1",
+        F.round(F.log(p1 / p0) * 1e6, 0).cast("bigint").alias("lnr_fp"),
+    ).localCheckpoint(eager=False)
+    tot = terms.agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("l_num").cast("bigint").alias("ln_"),
+        F.sum("l_den").cast("bigint").alias("ld_"),
+        F.sum("p_num").cast("bigint").alias("pn_"),
+        F.sum("p_den").cast("bigint").alias("pd_"),
+        F.sum("r0").cast("bigint").alias("s0"),
+        F.sum("r1").cast("bigint").alias("s1"),
+    )
+    torn = terms.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                (
+                    F.col("r0").cast("double") / F.col("s0")
+                    + F.col("r1").cast("double") / F.col("s1")
+                )
+                * 0.5 * F.col("lnr_fp"),
+                0,
+            ).cast("bigint")
+        ).cast("bigint").alias("tw_fp")
+    )
+    lasp = F.col("ln_").cast("double") / F.col("ld_")
+    paas = F.col("pn_").cast("double") / F.col("pd_")
+    return tot.crossJoin(F.broadcast(torn)).select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres_r"),
+        F.round(paas, 6).alias("paasche_r"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher_r"),
+        F.round(
+            F.exp(F.col("tw_fp").cast("double") / 1e6), 6
+        ).alias("tornqvist_r"),
+    )

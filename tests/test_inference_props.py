@@ -1058,3 +1058,15 @@ def test_distance_correlation_bounds(row):
     assert 0.0 <= r.dcor_r <= 1.0 + 1e-9
     # V-statistic dCov^2 is nonnegative up to rounding
     assert r.dcov2_r >= -1e-6
+
+
+def test_price_index_fisher_between(row):
+    r = row("a140_price_indexes")[0]
+    assert r.n_parts > 0
+    lo, hi = sorted([r.laspeyres_r, r.paasche_r])
+    # Fisher is the geometric mean: strictly between L and P
+    assert lo - 1e-6 <= r.fisher_r <= hi + 1e-6
+    for v in (r.laspeyres_r, r.paasche_r, r.fisher_r, r.tornqvist_r):
+        assert v > 0.0
+    # Tornqvist is superlative too: close to Fisher on matched baskets
+    assert abs(r.tornqvist_r - r.fisher_r) < 0.25
