@@ -34,13 +34,15 @@ _DAILY_SQL = """
 
 
 def _daily(spark, sf_dir):
+    # multiply-referenced by every consumer's branches (totals,
+    # histogram, windows) — checkpoint so the orders fold plans once
     o = table(spark, sf_dir, "orders")
     return o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.expr(
             "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
             " div 100 AS BIGINT)"
         ).alias("x")
-    )
+    ).localCheckpoint(eager=False)
 
 
 @query(
@@ -2037,7 +2039,7 @@ def a075_multiple_testing_fdr(spark, sf_dir):
         F.count("*").cast("bigint").alias("n"),
         F.sum("v").cast("bigint").alias("s"),
         F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
-    )
+    ).localCheckpoint(eager=False)
     glob = nat.agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("s").cast("bigint").alias("st"),
@@ -3833,7 +3835,7 @@ def a089_stratified_efficiency(spark, sf_dir):
         F.count("*").cast("bigint").alias("n"),
         F.sum("v").cast("bigint").alias("s"),
         F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
-    )
+    ).localCheckpoint(eager=False)
     tot = strata.agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("s").cast("bigint").alias("st"),
@@ -4793,7 +4795,9 @@ def a097_taylor_power_law(spark, sf_dir):
     ).groupBy(
         F.col("c_nationkey").cast("bigint").alias("g"),
         F.to_date("o_orderdate").alias("d"),
-    ).agg(F.count("*").cast("bigint").alias("k"))
+    ).agg(F.count("*").cast("bigint").alias("k")).localCheckpoint(
+        eager=False
+    )
     bounds = o.agg(
         F.min(F.to_date("o_orderdate")).alias("lo"),
         F.max(F.to_date("o_orderdate")).alias("hi"),
@@ -5184,7 +5188,7 @@ def a100_jackknife_se(spark, sf_dir):
     grp = obs.groupBy("g").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("v").cast("bigint").alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     tot = grp.agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("s").cast("bigint").alias("st"),
@@ -6012,7 +6016,7 @@ def a132_harrell_c_index(spark, sf_dir):
         F.col("clicks").alias("cb"), F.col("t_us").alias("tb")
     )
     pairs = a.join(
-        b, (F.col("ea") == 1) & (F.col("ta") < F.col("tb"))
+        F.broadcast(b), (F.col("ea") == 1) & (F.col("ta") < F.col("tb"))
     ).agg(
         F.count("*").cast("bigint").alias("n_comparable"),
         F.sum(F.when(F.col("ca") > F.col("cb"), 1).otherwise(0))
