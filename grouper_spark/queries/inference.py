@@ -7318,15 +7318,17 @@ def a056_weighted_kappa(spark, sf_dir):
         )
 
     lv = act.select(band("a1").alias("l1"), band("a2").alias("l2"))
+    # ct feeds 4 branches (cells + row/col margins + total):
+    # checkpoint the <=9-row table so the corpus fold plans once
     ct = lv.groupBy("l1", "l2").agg(
         F.count("*").cast("bigint").alias("n")
-    )
-    grid = (
-        spark.createDataFrame([(i,) for i in range(3)], "l1 int")
-        .crossJoin(
-            spark.createDataFrame([(j,) for j in range(3)], "l2 int")
-        )
-    )
+    ).coalesce(1).localCheckpoint(eager=False)
+    # one 9-row literal frame: building this as crossJoin of two
+    # default-parallelism frames made a 32x32 = 1024-partition
+    # cartesian stage for 9 rows (observed 19-24 s at sf0.01)
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(3) for j in range(3)], "l1 int, l2 int"
+    ).coalesce(1)
     rows = ct.groupBy("l1").agg(
         F.sum("n").cast("bigint").alias("row_n")
     )
