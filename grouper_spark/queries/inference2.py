@@ -4391,9 +4391,12 @@ def a094_morans_i_geary_c(spark, sf_dir):
         )
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    allcells = spark.range(g).select(
-        F.col("id").alias("cx")
-    ).crossJoin(spark.range(g).select(F.col("id").alias("cy")))
+    # single literal frame: range().crossJoin(range()) would build a
+    # 32x32-partition cartesian stage for the 1600-cell lattice
+    allcells = spark.createDataFrame(
+        [(i, j) for i in range(g) for j in range(g)],
+        "cx long, cy long",
+    ).coalesce(1)
     grid = allcells.join(occ, ["cx", "cy"], "left").select(
         "cx",
         "cy",

@@ -1164,10 +1164,13 @@ def q294_hotspot_analysis(spark, sf_dir):
         F.expr("x div 100").cast("int").alias("cx"),
         F.expr("y div 100").cast("int").alias("cy"),
     ).agg(F.count("*").cast("bigint").alias("n"))
-    lat = spark.range(10).select(F.col("id").cast("int").alias("cx"))
-    lattice = lat.crossJoin(
-        spark.range(10).select(F.col("id").cast("int").alias("cy"))
-    )
+    # one 100-row literal frame — a crossJoin of two default-
+    # parallelism range() frames makes a 32x32-partition cartesian
+    # stage for 100 rows (the a056 scheduler-overhead bug)
+    lattice = spark.createDataFrame(
+        [(i, j) for i in range(10) for j in range(10)],
+        "cx int, cy int",
+    ).coalesce(1)
     filled = (
         lattice.join(counts, ["cx", "cy"], "left")
         .select(
