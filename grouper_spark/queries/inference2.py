@@ -6986,3 +6986,306 @@ def a140_price_indexes(spark, sf_dir):
             F.exp(F.col("tw_fp").cast("double") / 1e6), 6
         ).alias("tornqvist_r"),
     )
+
+
+# Daily log-returns of revenue at 1e4 fixed point — shared by the
+# volatility family; ln once per day (calendar-bounded).
+_RET_SQL = """
+  daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+  ), lnd AS (
+    SELECT d,
+           CAST(ROUND(ln(CAST(cents AS DOUBLE)) * 10000.0, 0) AS BIGINT)
+             AS lnx
+    FROM daily
+  ), rets AS (
+    SELECT d,
+           CAST(lnx - LAG(lnx) OVER (ORDER BY d) AS BIGINT) AS r
+    FROM lnd
+    QUALIFY r IS NOT NULL
+  )
+"""
+
+
+def _rets(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    wd = Window.orderBy("d")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    lnd = daily.select(
+        "d",
+        F.round(F.log(F.col("cents").cast("double")) * 1e4, 0)
+        .cast("bigint").alias("lnx"),
+    )
+    return lnd.select(
+        "d", (F.col("lnx") - F.lag("lnx").over(wd)).cast("bigint").alias("r")
+    ).filter(F.col("r").isNotNull()).localCheckpoint(eager=False)
+
+
+@query(
+    "a141_arch_lm_test",
+    oracle=f"""
+WITH {_RET_SQL},
+sq AS (
+  SELECT CAST(r * r // 10000 AS BIGINT) AS y,
+         CAST(LAG(r * r // 10000, 1) OVER (ORDER BY d) AS BIGINT) AS x1,
+         CAST(LAG(r * r // 10000, 2) OVER (ORDER BY d) AS BIGINT) AS x2
+  FROM rets
+  QUALIFY x1 IS NOT NULL AND x2 IS NOT NULL
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x1) AS BIGINT) AS s1,
+         CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y * x1) AS BIGINT) AS sy1,
+         CAST(SUM(y * x2) AS BIGINT) AS sy2,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM sq
+), c AS (
+  SELECT n,
+         CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS a11,
+         CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS a12,
+         CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS a22,
+         CAST(sy1 AS DOUBLE) - CAST(sy AS DOUBLE) * s1 / n AS b1,
+         CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * s2 / n AS b2,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS tss
+  FROM m
+), fit AS (
+  SELECT n,
+         (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta1,
+         (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS beta2,
+         (b1 * ((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12))
+          + b2 * ((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12)))
+           / tss AS r2
+  FROM c
+)
+SELECT n AS n_obs,
+       round(beta1, 6) AS beta1_r,
+       round(beta2, 6) AS beta2_r,
+       round(r2, 6) AS r2_r,
+       round(CAST(n AS DOUBLE) * r2, 6) AS arch_lm_r
+FROM fit
+""",
+)
+def a141_arch_lm_test(spark, sf_dir):
+    """Engle's ARCH LM test for volatility clustering in daily
+    log-returns of revenue: regress r²_t on its first two lags (the
+    closed-form 2-predictor OLS off exact centered moments — the
+    a013/_OLS2 discipline) and report LM = n·R², which is χ²(2) under
+    homoskedasticity. Log-returns are 1e4-quantized per day (ln once
+    per calendar day), squares fold at 1e4 so every cross-moment
+    stays an exact BIGINT; the 2×2 normal-equation solve and R² are
+    terminal doubles with identical expression text. At 100 TB: one
+    date fold; everything else is O(days)."""
+    rets = _rets(spark, sf_dir)
+    wd = Window.orderBy("d")
+    y = F.expr("CAST(r * r div 10000 AS BIGINT)")
+    sq = rets.select(
+        "d",
+        y.alias("y"),
+        F.lag(y, 1).over(wd).cast("bigint").alias("x1"),
+        F.lag(y, 2).over(wd).cast("bigint").alias("x2"),
+    ).filter(F.col("x1").isNotNull() & F.col("x2").isNotNull())
+    m = sq.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("y") * F.col("x1")).cast("bigint").alias("sy1"),
+        F.sum(F.col("y") * F.col("x2")).cast("bigint").alias("sy2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n")
+    a11 = F.col("s11").cast("double") - F.col("s1").cast("double") * F.col("s1") / nd
+    a12 = F.col("s12").cast("double") - F.col("s1").cast("double") * F.col("s2") / nd
+    a22 = F.col("s22").cast("double") - F.col("s2").cast("double") * F.col("s2") / nd
+    b1 = F.col("sy1").cast("double") - F.col("sy").cast("double") * F.col("s1") / nd
+    b2 = F.col("sy2").cast("double") - F.col("sy").cast("double") * F.col("s2") / nd
+    tss = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / nd
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    r2 = (b1 * beta1 + b2 * beta2) / tss
+    return m.select(
+        F.col("n").alias("n_obs"),
+        F.round(beta1, 6).alias("beta1_r"),
+        F.round(beta2, 6).alias("beta2_r"),
+        F.round(r2, 6).alias("r2_r"),
+        F.round(nd.cast("double") * r2, 6).alias("arch_lm_r"),
+    )
+
+
+@query(
+    "a142_risk_metrics_panel",
+    oracle=f"""
+WITH {_RET_SQL},
+cum AS (
+  SELECT d, r,
+         CAST(SUM(r) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c
+  FROM rets
+), dd_t AS (
+  SELECT CAST(MAX(c) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+              AS BIGINT) AS dd_t
+  FROM cum
+), dd AS (
+  SELECT CAST(MAX(dd_t) AS BIGINT) AS max_dd FROM dd_t
+), hist AS (
+  SELECT CAST(r // 10 AS BIGINT) AS rb, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(r) AS BIGINT) AS sr
+  FROM rets GROUP BY 1
+), cumh AS (
+  SELECT rb, k, sr,
+         CAST(SUM(k) OVER (ORDER BY rb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ck,
+         CAST(SUM(sr) OVER (ORDER BY rb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS csr,
+         CAST(SUM(k) OVER () AS BIGINT) AS n
+  FROM hist
+), var_bin AS (
+  SELECT MIN(rb) AS vb FROM cumh WHERE ck * 20 >= n
+), tail AS (
+  SELECT c.n,
+         MAX(CASE WHEN c.rb = v.vb THEN c.csr END) AS tail_sum,
+         MAX(CASE WHEN c.rb = v.vb THEN c.ck END) AS tail_n,
+         MAX(v.vb) AS vb
+  FROM cumh c CROSS JOIN var_bin v
+  GROUP BY c.n
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r) AS BIGINT) AS s,
+         CAST(SUM(r * r) AS BIGINT) AS ss,
+         CAST(SUM(CASE WHEN r < 0 THEN r * r ELSE 0 END) AS BIGINT)
+           AS ssd,
+         CAST(SUM(CASE WHEN r > 0 THEN r ELSE 0 END) AS BIGINT) AS gain,
+         CAST(SUM(CASE WHEN r < 0 THEN -r ELSE 0 END) AS BIGINT) AS loss
+  FROM rets
+)
+SELECT m.n AS n_days,
+       round(CAST(m.s AS DOUBLE) / m.n / 10000.0 * 365.0, 6)
+         AS ann_return_r,
+       round(SQRT((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+                  / (m.n - 1)) / 10000.0 * SQRT(365.0), 6) AS ann_vol_r,
+       round((CAST(m.s AS DOUBLE) / m.n)
+             / SQRT((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+                    / (m.n - 1)) * SQRT(365.0), 6) AS sharpe_r,
+       round((CAST(m.s AS DOUBLE) / m.n)
+             / SQRT(CAST(m.ssd AS DOUBLE) / m.n) * SQRT(365.0), 6)
+         AS sortino_r,
+       round(1.0 - EXP(-CAST(d.max_dd AS DOUBLE) / 10000.0), 6)
+         AS max_drawdown_r,
+       round(CAST(t.vb * 10 AS DOUBLE) / 10000.0, 6) AS var95_r,
+       round(CAST(t.tail_sum AS DOUBLE) / t.tail_n / 10000.0, 6)
+         AS cvar95_r,
+       round(CAST(m.gain AS DOUBLE) / m.loss, 6) AS omega0_r
+FROM mom m CROSS JOIN dd d CROSS JOIN tail t
+""",
+)
+def a142_risk_metrics_panel(spark, sf_dir):
+    """The quantitative-risk panel on daily revenue log-returns:
+    annualized return/volatility, Sharpe and Sortino (downside
+    semideviation), maximum drawdown via the running-max-minus-
+    current identity on EXACT cumulative fixed-point returns (the
+    Lindley/CUSUM prefix trick — no sequential loop), historical
+    VaR₉₅/CVaR₉₅ read off an integer-binned return histogram with
+    cross-multiplied fractile thresholds, and the Ω(0) gain/loss
+    ratio. Every cross-row sum is an exact BIGINT at 1e4 return
+    scale; transcendentals (ln per day, one exp) are
+    calendar-bounded. At 100 TB: one date fold; O(days) windows."""
+    rets = _rets(spark, sf_dir)
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = rets.select(
+        "d", "r", F.sum("r").over(wd).cast("bigint").alias("c")
+    )
+    dd = cum.select(
+        (F.max("c").over(wd) - F.col("c")).cast("bigint").alias("dd_t")
+    ).agg(F.max("dd_t").cast("bigint").alias("max_dd"))
+    hist = rets.groupBy(
+        F.expr("CAST(r div 10 AS BIGINT)").alias("rb")
+    ).agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("r").cast("bigint").alias("sr"),
+    )
+    wrb = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, 0)
+    cumh = hist.select(
+        "rb",
+        F.sum("k").over(wrb).cast("bigint").alias("ck"),
+        F.sum("sr").over(wrb).cast("bigint").alias("csr"),
+        F.sum("k").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    var_bin = cumh.filter(F.col("ck") * 20 >= F.col("n")).agg(
+        F.min("rb").alias("vb")
+    )
+    tail = (
+        cumh.crossJoin(F.broadcast(var_bin))
+        .groupBy("n")
+        .agg(
+            F.max(
+                F.when(F.col("rb") == F.col("vb"), F.col("csr"))
+            ).alias("tail_sum"),
+            F.max(
+                F.when(F.col("rb") == F.col("vb"), F.col("ck"))
+            ).alias("tail_n"),
+            F.max("vb").alias("vb"),
+        )
+    )
+    mom = rets.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("s"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("ss"),
+        F.sum(
+            F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0)
+        ).cast("bigint").alias("ssd"),
+        F.sum(F.when(F.col("r") > 0, F.col("r")).otherwise(0))
+        .cast("bigint").alias("gain"),
+        F.sum(F.when(F.col("r") < 0, -F.col("r")).otherwise(0))
+        .cast("bigint").alias("loss"),
+    )
+    nd = F.col("n")
+    mean = F.col("s").cast("double") / nd
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / nd)
+        / (nd - 1)
+    )
+    return (
+        mom.crossJoin(F.broadcast(dd))
+        .crossJoin(F.broadcast(tail.select("tail_sum", "tail_n", "vb")))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(mean / 1e4 * 365.0, 6).alias("ann_return_r"),
+            F.round(sd / 1e4 * F.sqrt(F.lit(365.0)), 6).alias("ann_vol_r"),
+            F.round(mean / sd * F.sqrt(F.lit(365.0)), 6).alias("sharpe_r"),
+            F.round(
+                mean
+                / F.sqrt(F.col("ssd").cast("double") / nd)
+                * F.sqrt(F.lit(365.0)),
+                6,
+            ).alias("sortino_r"),
+            F.round(
+                1.0 - F.exp(-F.col("max_dd").cast("double") / 1e4), 6
+            ).alias("max_drawdown_r"),
+            F.round((F.col("vb") * 10).cast("double") / 1e4, 6)
+            .alias("var95_r"),
+            F.round(
+                F.col("tail_sum").cast("double") / F.col("tail_n") / 1e4,
+                6,
+            ).alias("cvar95_r"),
+            F.round(
+                F.col("gain").cast("double") / F.col("loss"), 6
+            ).alias("omega0_r"),
+        )
+    )

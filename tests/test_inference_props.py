@@ -1070,3 +1070,22 @@ def test_price_index_fisher_between(row):
         assert v > 0.0
     # Tornqvist is superlative too: close to Fisher on matched baskets
     assert abs(r.tornqvist_r - r.fisher_r) < 0.25
+
+
+def test_arch_lm_nonneg(row):
+    r = row("a141_arch_lm_test")[0]
+    assert r.n_obs > 100
+    assert -1e-6 <= r.r2_r <= 1.0
+    assert r.arch_lm_r >= -1e-4
+
+
+def test_risk_panel_identities(row):
+    r = row("a142_risk_metrics_panel")[0]
+    assert r.ann_vol_r > 0.0
+    # Sortino >= Sharpe iff downside semidev <= full sd; both finite
+    assert abs(r.sharpe_r) < 1e6 and abs(r.sortino_r) < 1e6
+    assert 0.0 <= r.max_drawdown_r < 1.0
+    # CVaR95 is at least as extreme (negative) as VaR95
+    assert r.cvar95_r <= r.var95_r + 1e-6
+    assert r.var95_r <= 0.0 + 1e-6 or r.omega0_r > 1.0
+    assert r.omega0_r > 0.0
