@@ -7289,3 +7289,295 @@ def a142_risk_metrics_panel(spark, sf_dir):
             ).alias("omega0_r"),
         )
     )
+
+
+@query(
+    "a143_seasonal_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         isodow(CAST(o_orderdate AS DATE)) % 7 + 1 AS dow,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) // 100
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), s_w AS (
+  SELECT a.dow,
+         CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+           AS s,
+         CAST(COUNT(DISTINCT a.d) AS BIGINT) AS n
+  FROM daily a JOIN daily b ON b.dow = a.dow AND b.d > a.d
+  GROUP BY a.dow
+), ties AS (
+  SELECT dow, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj
+  FROM (
+    SELECT dow, x, CAST(COUNT(*) AS BIGINT) AS t
+    FROM daily GROUP BY dow, x
+  ) GROUP BY dow
+), var_w AS (
+  SELECT s.dow, s.s, s.n + 1 AS n,
+         (CAST((s.n + 1) AS DOUBLE) * s.n * (2 * (s.n + 1) + 5)
+          - COALESCE(t.tie_adj, 0)) / 18.0 AS v
+  FROM s_w s LEFT JOIN ties t ON t.dow = s.dow
+), agg AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS s_tot, SUM(v) AS v_tot,
+         CAST(COUNT(*) AS BIGINT) AS n_seasons
+  FROM var_w
+)
+SELECT n_seasons, s_tot,
+       round(v_tot, 4) AS var_tot_r,
+       round((CAST(s_tot AS DOUBLE)
+              - CASE WHEN s_tot > 0 THEN 1
+                     WHEN s_tot < 0 THEN -1 ELSE 0 END)
+             / SQRT(v_tot), 6) AS z_r
+FROM agg
+""",
+)
+def a143_seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal Mann–Kendall trend test on daily revenue with
+    weekday seasons: S = Σ_w Σ_{i<j} sgn(x_j − x_i) computed WITHIN
+    each weekday (so the weekly cycle can't masquerade as trend —
+    the failure mode of q273's plain MK), with the exact tie-adjusted
+    variance Σ n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18 and the
+    continuity-corrected z. The within-season pair join is
+    calendar-bounded (≤343² pairs per weekday at any sf —
+    documented); S and the tie terms are exact BIGINTs. Spark's dow
+    numbering is derived as isodow%7+1 in the oracle (the q256
+    gotcha). At 100 TB: one date fold, seven bounded self-joins."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("x")
+    ).select("d", F.dayofweek("d").alias("dow"), "x").localCheckpoint(
+        eager=False
+    )
+    b = daily.select(
+        F.col("dow").alias("dowb"),
+        F.col("d").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    s_w = (
+        daily.join(
+            b, (F.col("dowb") == F.col("dow")) & (F.col("db") > F.col("d"))
+        )
+        .groupBy("dow")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("x"), 1)
+                .when(F.col("xb") < F.col("x"), -1)
+                .otherwise(0)
+            ).cast("bigint").alias("s"),
+            F.countDistinct("d").cast("bigint").alias("n"),
+        )
+    )
+    ties = (
+        daily.groupBy("dow", "x")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("dow")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("bigint").alias("tie_adj")
+        )
+    )
+    var_w = s_w.join(ties, "dow", "left").select(
+        "s",
+        (
+            (
+                (F.col("n") + 1).cast("double")
+                * F.col("n")
+                * (2 * (F.col("n") + 1) + 5)
+                - F.coalesce(F.col("tie_adj"), F.lit(0))
+            ) / 18.0
+        ).alias("v"),
+    )
+    agg = var_w.agg(
+        F.sum("s").cast("bigint").alias("s_tot"),
+        F.sum("v").alias("v_tot"),
+        F.count("*").cast("bigint").alias("n_seasons"),
+    )
+    sgn = (
+        F.when(F.col("s_tot") > 0, 1)
+        .when(F.col("s_tot") < 0, -1)
+        .otherwise(0)
+    )
+    return agg.select(
+        "n_seasons",
+        "s_tot",
+        F.round("v_tot", 4).alias("var_tot_r"),
+        F.round(
+            (F.col("s_tot").cast("double") - sgn) / F.sqrt(F.col("v_tot")),
+            6,
+        ).alias("z_r"),
+    )
+
+
+def _phi_inv(p: str) -> str:
+    """Inverse standard normal CDF as shared SQL text — Abramowitz–
+    Stegun 26.2.23 rational approximation (|ε| < 4.5e-4) for the
+    upper tail, reflected for p > 0.5. Identical expression text in
+    both engines (the _phi/_lf recipe); consumers feed it exact
+    1-row-derived probabilities and round the result."""
+    q = f"(CASE WHEN {p} < 0.5 THEN {p} ELSE 1.0 - ({p}) END)"
+    t = f"SQRT(-2.0 * ln({q}))"
+    core = (
+        f"({t} - (2.515517 + 0.802853 * {t} + 0.010328 * {t} * {t})"
+        f" / (1.0 + 1.432788 * {t} + 0.189269 * {t} * {t}"
+        f" + 0.001308 * {t} * {t} * {t}))"
+    )
+    return f"(CASE WHEN {p} < 0.5 THEN -{core} ELSE {core} END)"
+
+
+_ESD_ROUNDS = 3
+
+
+@query(
+    "a144_generalized_esd",
+    oracle=f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) // 10000
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), m0 AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS ss
+  FROM daily
+), o1 AS MATERIALIZED (
+  SELECT d.d, d.x,
+         ABS(d.x - CAST(m.s AS DOUBLE) / m.n)
+           / SQRT((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+                  / (m.n - 1)) AS r,
+         m.n
+  FROM daily d CROSS JOIN m0 m
+  ORDER BY ABS(d.x - CAST(m.s AS DOUBLE) / m.n) DESC, d.d ASC LIMIT 1
+), m1 AS MATERIALIZED (
+  SELECT m.n - 1 AS n, CAST(m.s - o.x AS BIGINT) AS s,
+         CAST(m.ss - o.x * o.x AS BIGINT) AS ss
+  FROM m0 m CROSS JOIN o1 o
+), o2 AS MATERIALIZED (
+  SELECT d.d, d.x,
+         ABS(d.x - CAST(m.s AS DOUBLE) / m.n)
+           / SQRT((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+                  / (m.n - 1)) AS r,
+         m.n
+  FROM daily d CROSS JOIN m1 m
+  WHERE d.d != (SELECT d FROM o1)
+  ORDER BY ABS(d.x - CAST(m.s AS DOUBLE) / m.n) DESC, d.d ASC LIMIT 1
+), m2 AS MATERIALIZED (
+  SELECT m.n - 1 AS n, CAST(m.s - o.x AS BIGINT) AS s,
+         CAST(m.ss - o.x * o.x AS BIGINT) AS ss
+  FROM m1 m CROSS JOIN o2 o
+), o3 AS MATERIALIZED (
+  SELECT d.d, d.x,
+         ABS(d.x - CAST(m.s AS DOUBLE) / m.n)
+           / SQRT((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+                  / (m.n - 1)) AS r,
+         m.n
+  FROM daily d CROSS JOIN m2 m
+  WHERE d.d NOT IN (SELECT d FROM o1 UNION ALL SELECT d FROM o2)
+  ORDER BY ABS(d.x - CAST(m.s AS DOUBLE) / m.n) DESC, d.d ASC LIMIT 1
+), rounds AS (
+  SELECT 1 AS i, d, x, r, n FROM o1
+  UNION ALL SELECT 2, d, x, r, n FROM o2
+  UNION ALL SELECT 3, d, x, r, n FROM o3
+)
+SELECT i AS round_i, d AS outlier_date, x AS value_hundreds,
+       round(r, 6) AS r_stat_r,
+       round((CAST(n - i AS DOUBLE)
+              * {_phi_inv(f"(1.0 - 0.05 / (2.0 * (CAST(n AS DOUBLE) - i + 1)))")})
+             / SQRT((CAST(n AS DOUBLE) - i - 1
+                     + POWER({_phi_inv(f"(1.0 - 0.05 / (2.0 * (CAST(n AS DOUBLE) - i + 1)))")}, 2))
+                    * (CAST(n AS DOUBLE) - i + 1)), 6) AS lambda_r,
+       CASE WHEN r > (CAST(n - i AS DOUBLE)
+              * {_phi_inv(f"(1.0 - 0.05 / (2.0 * (CAST(n AS DOUBLE) - i + 1)))")})
+             / SQRT((CAST(n AS DOUBLE) - i - 1
+                     + POWER({_phi_inv(f"(1.0 - 0.05 / (2.0 * (CAST(n AS DOUBLE) - i + 1)))")}, 2))
+                    * (CAST(n AS DOUBLE) - i + 1))
+            THEN 1 ELSE 0 END AS is_outlier
+FROM rounds
+ORDER BY i
+""",
+)
+def a144_generalized_esd(spark, sf_dir):
+    """Generalized extreme studentized deviate test (Rosner) for up
+    to 3 outliers in the daily revenue series — the iterative Grubbs
+    that stays valid under masking: each round removes the most
+    studentized point and RECOMPUTES mean/sd by SUBTRACTING the
+    removed value from the exact BIGINT moments (never a re-scan),
+    then compares R_i against the Rosner critical value built from a
+    shared A&S-26.2.23 inverse-normal text; hundred-dollar units keep
+    Σx² inside BIGINT at 10x magnitudes (the a062 lesson) (the large-n t≈z form,
+    documented approximation). The oracle unrolls the 3 rounds as
+    MATERIALIZED CTEs; Spark runs the same loop over eagerly
+    checkpointed 1-row states. At 100 TB: one fold; each round is a
+    broadcast re-scan of the day summary."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))"
+            " div 10000 AS BIGINT)"
+        ).alias("x")
+    ).localCheckpoint(eager=True)
+    m = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    ).localCheckpoint(eager=True)
+    removed = []
+    rows = []
+    remaining = daily
+    for i in range(1, _ESD_ROUNDS + 1):
+        mean = F.col("s").cast("double") / F.col("n")
+        sd = F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            ) / (F.col("n") - 1)
+        )
+        cand = (
+            remaining.crossJoin(F.broadcast(m))
+            .select(
+                "d",
+                "x",
+                (F.abs(F.col("x") - mean) / sd).alias("r"),
+                "n",
+            )
+            .orderBy(F.col("r").desc(), F.col("d").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rows.append(cand.withColumn("i", F.lit(i).cast("bigint")))
+        picked = cand.select("d", "x")
+        remaining = remaining.join(picked.select("d"), "d", "left_anti")
+        m = (
+            m.crossJoin(F.broadcast(picked.select(F.col("x").alias("rx"))))
+            .select(
+                (F.col("n") - 1).cast("bigint").alias("n"),
+                (F.col("s") - F.col("rx")).cast("bigint").alias("s"),
+                (F.col("ss") - F.col("rx") * F.col("rx"))
+                .cast("bigint").alias("ss"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    pinv = _phi_inv(
+        "(1.0 - 0.05 / (2.0 * (CAST(n AS DOUBLE) - i + 1)))"
+    )
+    lam = F.expr(
+        f"(CAST(n - i AS DOUBLE) * {pinv})"
+        f" / SQRT((CAST(n AS DOUBLE) - i - 1 + POWER({pinv}, 2))"
+        f" * (CAST(n AS DOUBLE) - i + 1))"
+    )
+    return out.select(
+        F.col("i").alias("round_i"),
+        F.col("d").alias("outlier_date"),
+        F.col("x").alias("value_hundreds"),
+        F.round("r", 6).alias("r_stat_r"),
+        F.round(lam, 6).alias("lambda_r"),
+        F.when(F.col("r") > lam, 1).otherwise(0).alias("is_outlier"),
+    ).orderBy("round_i")

@@ -1089,3 +1089,25 @@ def test_risk_panel_identities(row):
     assert r.cvar95_r <= r.var95_r + 1e-6
     assert r.var95_r <= 0.0 + 1e-6 or r.omega0_r > 1.0
     assert r.omega0_r > 0.0
+
+
+def test_seasonal_mk_sane(row):
+    r = row("a143_seasonal_mann_kendall")[0]
+    assert r.n_seasons == 7
+    assert r.var_tot_r > 0.0
+    # z is finite and the continuity correction shrinks |S| by 1
+    assert abs(r.z_r) < 50.0
+
+
+def test_gesd_rounds_structure(row):
+    rows = row("a144_generalized_esd")
+    assert [r.round_i for r in rows] == [1, 2, 3]
+    dates = [r.outlier_date for r in rows]
+    assert len(set(dates)) == 3  # removes a DIFFERENT point each round
+    for r in rows:
+        assert r.r_stat_r > 0.0
+        assert r.lambda_r > 2.0  # Rosner critical values at alpha=.05
+        assert r.is_outlier in (0, 1)
+    # inward ordering: once a round fails to reject, its R is below
+    # lambda; R_1 is the global max studentized deviation
+    assert rows[0].r_stat_r >= rows[1].r_stat_r - 5.0
