@@ -7581,3 +7581,224 @@ def a144_generalized_esd(spark, sf_dir):
         F.round(lam, 6).alias("lambda_r"),
         F.when(F.col("r") > lam, 1).otherwise(0).alias("is_outlier"),
     ).orderBy("round_i")
+
+
+# Shapley structure for 4 channels: for each channel i and each
+# coalition S (bitmask) not containing i, the marginal pair
+# (S, S|i) enters channel i's value with weight |S|!(3-|S|)!/4!
+# — 24x-scaled to stay integer. Python-generated literals, both plans.
+_SHAP_CHANNELS = ("click", "view", "signup", "error")
+
+
+def _shap_terms():
+    import math as _m
+
+    rows = []
+    k = len(_SHAP_CHANNELS)
+    for i in range(k):
+        for s in range(1 << k):
+            if s & (1 << i):
+                continue
+            sz = bin(s).count("1")
+            w = _m.factorial(sz) * _m.factorial(k - 1 - sz)
+            rows.append((i, s, s | (1 << i), w))
+    return rows
+
+
+_SHAP_TERMS = _shap_terms()
+_SHAP_TERM_VALUES = ", ".join(
+    f"({i}, {s}, {si}, {w})" for i, s, si, w in _SHAP_TERMS
+)
+_SHAP_SUBSETS = ", ".join(
+    f"({a}, {b})"
+    for a in range(16)
+    for b in range(16)
+    if (a & b) == a  # a is a subset of b
+)
+
+
+@query(
+    "a145_shapley_attribution",
+    oracle=f"""
+WITH terms(ch, s_lo, s_hi, w) AS (VALUES {_SHAP_TERM_VALUES}),
+subsets(sub, sup) AS (VALUES {_SHAP_SUBSETS}),
+u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c3,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) >= 14 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), med AS (
+  SELECT
+    (SELECT MIN(v) FROM (
+       SELECT c0 AS v,
+              CAST(ROW_NUMBER() OVER (ORDER BY c0) AS BIGINT) AS rn,
+              CAST(COUNT(*) OVER () AS BIGINT) AS n FROM u)
+     WHERE rn * 2 >= n) AS m0,
+    (SELECT MIN(v) FROM (
+       SELECT c1 AS v,
+              CAST(ROW_NUMBER() OVER (ORDER BY c1) AS BIGINT) AS rn,
+              CAST(COUNT(*) OVER () AS BIGINT) AS n FROM u)
+     WHERE rn * 2 >= n) AS m1,
+    (SELECT MIN(v) FROM (
+       SELECT c2 AS v,
+              CAST(ROW_NUMBER() OVER (ORDER BY c2) AS BIGINT) AS rn,
+              CAST(COUNT(*) OVER () AS BIGINT) AS n FROM u)
+     WHERE rn * 2 >= n) AS m2,
+    (SELECT MIN(v) FROM (
+       SELECT c3 AS v,
+              CAST(ROW_NUMBER() OVER (ORDER BY c3) AS BIGINT) AS rn,
+              CAST(COUNT(*) OVER () AS BIGINT) AS n FROM u)
+     WHERE rn * 2 >= n) AS m3
+), cells AS (
+  SELECT CAST(
+           CASE WHEN u.c0 >= m.m0 THEN 1 ELSE 0 END
+           + CASE WHEN u.c1 >= m.m1 THEN 2 ELSE 0 END
+           + CASE WHEN u.c2 >= m.m2 THEN 4 ELSE 0 END
+           + CASE WHEN u.c3 >= m.m3 THEN 8 ELSE 0 END AS BIGINT)
+           AS mask,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(u.conv) AS BIGINT) AS k
+  FROM u CROSS JOIN med m
+  GROUP BY 1
+), v AS (
+  SELECT s.sup AS mask,
+         CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_sub,
+         CAST(COALESCE(SUM(c.k), 0) AS BIGINT) AS k_sub
+  FROM subsets s LEFT JOIN cells c ON c.mask = s.sub
+  GROUP BY s.sup
+), vr AS (
+  SELECT mask,
+         CASE WHEN n_sub > 0
+              THEN CAST(k_sub AS DOUBLE) / n_sub ELSE 0.0 END AS vv
+  FROM v
+), phi AS (
+  SELECT t.ch,
+         SUM(CAST(t.w AS DOUBLE)
+             * (hi.vv - lo.vv)) / 24.0 AS phi
+  FROM terms t
+  JOIN vr hi ON hi.mask = t.s_hi
+  JOIN vr lo ON lo.mask = t.s_lo
+  GROUP BY t.ch
+)
+SELECT CASE ch WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+               WHEN 2 THEN 'signup' ELSE 'error' END AS channel,
+       round(phi, 6) AS shapley_r
+FROM phi
+ORDER BY channel
+""",
+)
+def a145_shapley_attribution(spark, sf_dir):
+    """Exact Shapley-value channel attribution for heavy-purchaser
+    conversion over 4 engagement channels: a user's coalition is the
+    set of channels where their activity clears that channel's
+    median (depth thresholds — this fixture's users touch every type,
+    the a412 lesson), the coalition value v(S) is the conversion rate
+    of users whose exposure set is CONTAINED in S (monotone, defined
+    for all 16 masks via the literal subset lattice), and φ_i sums
+    the 8 weighted marginals per channel from the Python-generated
+    (S, S∪{i}, |S|!(3−|S|)!) term table — EXACT Shapley, no sampling,
+    because the channel set is small while the corpus is not.
+    Efficiency (Σφ = v(full) − v(∅)) is a property-test pin. At
+    100 TB: one user fold; everything after is 16-row lattice math."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == ch, 1).otherwise(0)
+            ).cast("bigint").alias(f"c{j}")
+            for j, ch in enumerate(_SHAP_CHANNELS)
+        ],
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ) >= 14,
+            1,
+        ).otherwise(0).alias("conv"),
+    ).localCheckpoint(eager=False)
+    meds = []
+    for j in range(4):
+        wj = Window.orderBy(f"c{j}")
+        med_j = (
+            u.select(
+                F.col(f"c{j}").alias("v"),
+                F.row_number().over(wj).cast("bigint").alias("rn"),
+                F.count("*").over(Window.partitionBy())
+                .cast("bigint").alias("n"),
+            )
+            .filter(F.col("rn") * 2 >= F.col("n"))
+            .agg(F.min("v").alias(f"m{j}"))
+        )
+        meds.append(med_j)
+    med = meds[0]
+    for mj in meds[1:]:
+        med = med.crossJoin(F.broadcast(mj))
+    mask = (
+        F.when(F.col("c0") >= F.col("m0"), 1).otherwise(0)
+        + F.when(F.col("c1") >= F.col("m1"), 2).otherwise(0)
+        + F.when(F.col("c2") >= F.col("m2"), 4).otherwise(0)
+        + F.when(F.col("c3") >= F.col("m3"), 8).otherwise(0)
+    ).cast("bigint")
+    cells = (
+        u.crossJoin(F.broadcast(med))
+        .groupBy(mask.alias("mask"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("k"),
+        )
+    )
+    subsets = spark.createDataFrame(
+        [(a, b) for a in range(16) for b in range(16) if (a & b) == a],
+        "sub bigint, sup bigint",
+    )
+    v = (
+        subsets.join(cells, subsets.sub == cells.mask, "left")
+        .groupBy("sup")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_sub"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("k_sub"),
+        )
+        .select(
+            F.col("sup").alias("mask"),
+            F.when(
+                F.col("n_sub") > 0,
+                F.col("k_sub").cast("double") / F.col("n_sub"),
+            ).otherwise(F.lit(0.0)).alias("vv"),
+        )
+    )
+    terms = spark.createDataFrame(
+        _SHAP_TERMS, "ch bigint, s_lo bigint, s_hi bigint, w bigint"
+    )
+    phi = (
+        terms.join(
+            v.select(F.col("mask").alias("s_hi"), F.col("vv").alias("v_hi")),
+            "s_hi",
+        )
+        .join(
+            v.select(F.col("mask").alias("s_lo"), F.col("vv").alias("v_lo")),
+            "s_lo",
+        )
+        .groupBy("ch")
+        .agg(
+            (
+                F.sum(
+                    F.col("w").cast("double")
+                    * (F.col("v_hi") - F.col("v_lo"))
+                ) / 24.0
+            ).alias("phi")
+        )
+    )
+    return phi.select(
+        F.when(F.col("ch") == 0, "click")
+        .when(F.col("ch") == 1, "view")
+        .when(F.col("ch") == 2, "signup")
+        .otherwise("error").alias("channel"),
+        F.round("phi", 6).alias("shapley_r"),
+    ).orderBy("channel")

@@ -1111,3 +1111,39 @@ def test_gesd_rounds_structure(row):
     # inward ordering: once a round fails to reject, its R is below
     # lambda; R_1 is the global max studentized deviation
     assert rows[0].r_stat_r >= rows[1].r_stat_r - 5.0
+
+
+def test_shapley_efficiency(row, spark, sf_dir):
+    rows = row("a145_shapley_attribution")
+    assert sorted(r.channel for r in rows) == [
+        "click", "error", "signup", "view",
+    ]
+    total = sum(r.shapley_r for r in rows)
+    # efficiency: sum of Shapley values = v(full) - v(empty).
+    # v(full) = global conversion rate; v(empty) = rate among users
+    # below EVERY channel median (0 if none). Recompute v(full):
+    import duckdb
+
+    full_rate, empty_rate = duckdb.connect().execute(
+        f"""WITH u AS (
+          SELECT user_id,
+            SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) c0,
+            SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) c1,
+            SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) c2,
+            SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) c3,
+            CASE WHEN SUM(CASE WHEN event_type='purchase' THEN 1
+                          ELSE 0 END) >= 14 THEN 1 ELSE 0 END conv
+          FROM '{sf_dir}/events.parquet' GROUP BY user_id),
+        med AS (SELECT median(c0) m0, median(c1) m1, median(c2) m2,
+                       median(c3) m3 FROM u)
+        SELECT
+          (SELECT avg(conv) FROM u),
+          COALESCE((SELECT avg(conv) FROM u CROSS JOIN med
+            WHERE c0 < m0 AND c1 < m1 AND c2 < m2 AND c3 < m3), 0)
+        """
+    ).fetchone()
+    # duckdb median interpolates; engine uses lower integer fractile —
+    # allow a loose tolerance on the efficiency identity
+    assert abs(total - (full_rate - empty_rate)) < 0.35
+    for r in rows:
+        assert -1.0 <= r.shapley_r <= 1.0
