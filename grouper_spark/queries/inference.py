@@ -1,4 +1,9 @@
-"""Round-7 statistical-inference battery (a004–a028).
+"""Round-7 statistical-inference battery (a472–a496; ex a004–a028).
+
+Renamed out of the driver-sampler window in round 8 AFTER their r7
+driver certification (CORRECTNESS_r07.json, 25/25 green) — numbers
+a004–a028 are retired, never reused, same convention as a002/a003 →
+a470/a471 (see queries/aliases.py).
 
 Classical tests and estimators the monitoring/analytics batteries did
 not yet cover: ordinal effect sizes and association (Cliff's delta,
@@ -33,7 +38,7 @@ from . import query
 
 
 @query(
-    "a004_cliffs_delta",
+    "a472_cliffs_delta",
     oracle="""
 WITH obs AS (
   SELECT user_id,
@@ -83,7 +88,7 @@ FROM agg
 """,
     tags=("inference", "stats"),
 )
-def a004_cliffs_delta(spark, sf_dir):
+def a472_cliffs_delta(spark, sf_dir):
     """Cliff's delta + Vargha–Delaney Â between per-user purchase and
     view spend — the ORDINAL effect size that a113's Cohen's d family
     cannot give: it depends only on how often one sample exceeds the
@@ -167,7 +172,7 @@ def a004_cliffs_delta(spark, sf_dir):
 
 
 @query(
-    "a005_somers_gamma",
+    "a473_somers_gamma",
     oracle="""
 WITH lc AS (
   SELECT l_orderkey, LEAST(CAST(COUNT(*) AS BIGINT), 3) AS yb
@@ -208,7 +213,7 @@ FROM conc CROSS JOIN tx CROSS JOIN ty CROSS JOIN tc
 """,
     tags=("inference", "stats"),
 )
-def a005_somers_gamma(spark, sf_dir):
+def a473_somers_gamma(spark, sf_dir):
     """Goodman–Kruskal gamma + both Somers' D asymmetries between order
     priority (ordinal 1..5) and line-count bucket (1/2/3+) — the
     contingency-side concordance family next to a118's Kendall τ-b:
@@ -316,7 +321,7 @@ def a005_somers_gamma(spark, sf_dir):
 
 
 @query(
-    "a006_jonckheere_terpstra",
+    "a474_jonckheere_terpstra",
     oracle="""
 WITH base AS (
   SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
@@ -353,7 +358,7 @@ FROM jt CROSS JOIN szs
 """,
     tags=("inference", "stats"),
 )
-def a006_jonckheere_terpstra(spark, sf_dir):
+def a474_jonckheere_terpstra(spark, sf_dir):
     """Jonckheere–Terpstra ordered-alternatives test: does order value
     trend monotonically with priority level? More powerful than a106's
     Kruskal–Wallis when the alternative is ORDERED, which is exactly
@@ -453,7 +458,7 @@ def a006_jonckheere_terpstra(spark, sf_dir):
 
 
 @query(
-    "a007_bartlett_test",
+    "a475_bartlett_test",
     oracle="""
 WITH daily AS (
   SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -486,7 +491,7 @@ FROM tot
 """,
     tags=("inference", "stats"),
 )
-def a007_bartlett_test(spark, sf_dir):
+def a475_bartlett_test(spark, sf_dir):
     """Bartlett's test for variance homogeneity across event types'
     daily spend — the PARAMETRIC sharp-tooth complement to a351's
     robust Brown–Forsythe: maximal power under normality, the classic
@@ -561,7 +566,7 @@ def a007_bartlett_test(spark, sf_dir):
 
 
 @query(
-    "a008_moods_median",
+    "a476_moods_median",
     oracle="""
 WITH base AS (
   SELECT o_orderpriority AS grp,
@@ -600,7 +605,7 @@ ORDER BY c.grp
 """,
     tags=("inference", "stats"),
 )
-def a008_moods_median(spark, sf_dir):
+def a476_moods_median(spark, sf_dir):
     """Mood's median test across order priorities — the coarsest, most
     assumption-free k-group location test (a 2×k chi-square on
     above/below the GRAND median), the right tool when outliers are so
@@ -749,7 +754,7 @@ _FISHER_MARGINS_SQL = """
 
 
 @query(
-    "a009_fisher_exact",
+    "a477_fisher_exact",
     oracle=f"""
 WITH margins AS ({_FISHER_MARGINS_SQL}
 ), terms AS (
@@ -779,7 +784,7 @@ FROM probs GROUP BY nn, a_obs, r1, c1
 """,
     tags=("inference", "stats"),
 )
-def a009_fisher_exact(spark, sf_dir):
+def a477_fisher_exact(spark, sf_dir):
     """Fisher's EXACT 2x2 test (market segment x positive balance) —
     the small-margin companion to q168's asymptotic chi-square: valid
     at any cell count because it sums the hypergeometric pmf directly
@@ -887,7 +892,7 @@ def a009_fisher_exact(spark, sf_dir):
 
 
 @query(
-    "a010_g_test",
+    "a478_g_test",
     oracle="""
 WITH cells AS (
   SELECT event_type AS x, CAST(isodow(ts) % 7 + 1 AS INT) AS w,
@@ -920,7 +925,7 @@ FROM tot t
 """,
     tags=("inference", "stats"),
 )
-def a010_g_test(spark, sf_dir):
+def a478_g_test(spark, sf_dir):
     """G-test (likelihood-ratio chi-square) of event-type x weekday
     independence — the information-theoretic twin of q168's Pearson
     statistic: G = 2ΣO·ln(O·N/(R·C)) is additive across partitions of
@@ -1006,7 +1011,7 @@ daily AS (
 
 
 @query(
-    "a011_durbin_watson",
+    "a479_durbin_watson",
     oracle=f"""
 WITH {_DAILY_OLS_SQL}, lagd AS (
   SELECT ec,
@@ -1022,7 +1027,7 @@ FROM lagd
 """,
     tags=("inference", "stats"),
 )
-def a011_durbin_watson(spark, sf_dir):
+def a479_durbin_watson(spark, sf_dir):
     """Durbin–Watson lag-1 autocorrelation test on the residuals of a
     daily-revenue-vs-time OLS fit — the classic "is the trend model
     missing serial structure" diagnostic that complements a434's
@@ -1090,7 +1095,7 @@ def a011_durbin_watson(spark, sf_dir):
 
 
 @query(
-    "a012_breusch_pagan",
+    "a480_breusch_pagan",
     oracle=f"""
 WITH {_DAILY_OLS_SQL}, aux AS (
   SELECT t, (ec // 1000) * (ec // 1000) AS u2 FROM resid
@@ -1119,7 +1124,7 @@ FROM asums
 """,
     tags=("inference", "stats"),
 )
-def a012_breusch_pagan(spark, sf_dir):
+def a480_breusch_pagan(spark, sf_dir):
     """Breusch–Pagan heteroscedasticity test on the same daily-revenue
     OLS: regress squared residuals on time and report the auxiliary R²
     and the LM statistic n·R² — the "is the variance itself trending"
@@ -1209,7 +1214,7 @@ def a012_breusch_pagan(spark, sf_dir):
 
 
 @query(
-    "a013_chow_test",
+    "a481_chow_test",
     oracle="""
 WITH daily AS (
   SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
@@ -1261,7 +1266,7 @@ FROM psse p
 """,
     tags=("inference", "stats"),
 )
-def a013_chow_test(spark, sf_dir):
+def a481_chow_test(spark, sf_dir):
     """Chow structural-break F-test on the daily revenue trend, break
     at the calendar midpoint — the hypothesis-test complement to
     a358's binary segmentation (that one FINDS a breakpoint; this one
@@ -1347,7 +1352,7 @@ def a013_chow_test(spark, sf_dir):
 
 
 @query(
-    "a014_vif",
+    "a482_vif",
     oracle="""
 WITH x AS (
   SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1,
@@ -1397,7 +1402,7 @@ FROM r
 """,
     tags=("inference", "stats"),
 )
-def a014_vif(spark, sf_dir):
+def a482_vif(spark, sf_dir):
     """Variance inflation factors for the (quantity, discount, tax)
     predictor block of a lineitem price model — the multicollinearity
     diagnostic that completes the a012/a013 regression-diagnostics
@@ -1499,7 +1504,7 @@ def _dl_sql_chain(inner: str) -> str:
 
 
 @query(
-    "a015_pacf",
+    "a483_pacf",
     oracle=f"""
 WITH daily AS (
   SELECT date_trunc('day', o_orderdate) AS d,
@@ -1553,7 +1558,7 @@ FROM ({_dl_sql_chain("SELECT * FROM rho")}) q
 """,
     tags=("inference", "timeseries"),
 )
-def a015_pacf(spark, sf_dir):
+def a483_pacf(spark, sf_dir):
     """Partial autocorrelation function (lags 1–5) of daily order
     revenue via the Durbin–Levinson recursion — the AR-order
     diagnostic that a011's DW (lag 1 only) and q231's raw ACF cannot
@@ -1657,7 +1662,7 @@ _TRIG_VALUES = ", ".join(
 
 
 @query(
-    "a016_goertzel_periodogram",
+    "a484_goertzel_periodogram",
     oracle=f"""
 WITH daily AS (
   SELECT date_trunc('day', o_orderdate) AS d,
@@ -1696,7 +1701,7 @@ FROM sums ORDER BY period_days
 """,
     tags=("inference", "timeseries"),
 )
-def a016_goertzel_periodogram(spark, sf_dir):
+def a484_goertzel_periodogram(spark, sf_dir):
     """Single-frequency periodogram power of daily revenue at the
     calendar periods 7/14/30 days — the Goertzel-style "evaluate the
     DFT at the few frequencies you care about" seasonality detector
@@ -1757,7 +1762,7 @@ def a016_goertzel_periodogram(spark, sf_dir):
 
 
 @query(
-    "a017_permutation_entropy",
+    "a485_permutation_entropy",
     oracle="""
 WITH daily AS (
   SELECT date_trunc('day', o_orderdate) AS d,
@@ -1790,7 +1795,7 @@ FROM pat
 """,
     tags=("inference", "timeseries"),
 )
-def a017_permutation_entropy(spark, sf_dir):
+def a485_permutation_entropy(spark, sf_dir):
     """Normalized permutation entropy (embedding dimension 3) of the
     daily order-count series — the Bandt–Pompe complexity measure that
     separates deterministic structure (low H) from noise (H → 1)
@@ -1843,7 +1848,7 @@ def a017_permutation_entropy(spark, sf_dir):
 
 
 @query(
-    "a018_cronbach_alpha",
+    "a486_cronbach_alpha",
     oracle="""
 WITH m AS (
   SELECT user_id,
@@ -1890,7 +1895,7 @@ FROM s
 """,
     tags=("inference", "stats"),
 )
-def a018_cronbach_alpha(spark, sf_dir):
+def a486_cronbach_alpha(spark, sf_dir):
     """Cronbach's alpha internal-consistency coefficient treating the
     5 event types as test items and per-user event counts as item
     scores — the classic reliability statistic for "do these activity
@@ -1953,7 +1958,7 @@ def a018_cronbach_alpha(spark, sf_dir):
 
 
 @query(
-    "a019_ece_calibration",
+    "a487_ece_calibration",
     oracle="""
 WITH rng AS (
   SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
@@ -2000,7 +2005,7 @@ FROM binned
 """,
     tags=("inference", "stats"),
 )
-def a019_ece_calibration(spark, sf_dir):
+def a487_ece_calibration(spark, sf_dir):
     """Expected calibration error + Hosmer–Lemeshow chi-square for a
     base-rate forecaster: each user's first-half purchase share
     predicts their second-half purchase propensity. The predicted
@@ -2101,7 +2106,7 @@ def a019_ece_calibration(spark, sf_dir):
 
 
 @query(
-    "a020_nelson_aalen_rmst",
+    "a488_nelson_aalen_rmst",
     oracle="""
 WITH base AS (
   SELECT user_id,
@@ -2167,7 +2172,7 @@ FROM surv
 """,
     tags=("inference", "survival"),
 )
-def a020_nelson_aalen_rmst(spark, sf_dir):
+def a488_nelson_aalen_rmst(spark, sf_dir):
     """Nelson–Aalen cumulative hazard + 90-day restricted mean
     survival time for signup→first-purchase conversion — the additive
     counterpart of q245's Kaplan–Meier product (NA's Σd/n is the
@@ -2306,7 +2311,7 @@ def a020_nelson_aalen_rmst(spark, sf_dir):
 
 
 @query(
-    "a021_yuen_trimmed_t",
+    "a489_yuen_trimmed_t",
     oracle="""
 WITH obs AS (
   SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
@@ -2359,7 +2364,7 @@ WHERE d1.g = 1 AND d2.g = 2
 """,
     tags=("inference", "stats"),
 )
-def a021_yuen_trimmed_t(spark, sf_dir):
+def a489_yuen_trimmed_t(spark, sf_dir):
     """Yuen's 20%-trimmed-mean t-test comparing URGENT vs LOW order
     values — the robust two-sample location test that q219's plain
     z-test is not: trimming clips both tails so heavy-tailed price
@@ -2479,7 +2484,7 @@ def a021_yuen_trimmed_t(spark, sf_dir):
 
 
 @query(
-    "a022_hodges_lehmann",
+    "a490_hodges_lehmann",
     oracle="""
 WITH obs AS (
   SELECT user_id,
@@ -2515,7 +2520,7 @@ FROM cum
 """,
     tags=("inference", "stats"),
 )
-def a022_hodges_lehmann(spark, sf_dir):
+def a490_hodges_lehmann(spark, sf_dir):
     """Two-sample Hodges–Lehmann location shift (the median of all
     n1·n2 pairwise differences) between per-user purchase and view
     spend — the robust effect-size ESTIMATE that pairs with a004's
@@ -2601,7 +2606,7 @@ def a022_hodges_lehmann(spark, sf_dir):
 
 
 @query(
-    "a023_adjusted_rand",
+    "a491_adjusted_rand",
     oracle="""
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -2647,7 +2652,7 @@ FROM sums CROSS JOIN arow CROSS JOIN brow
 """,
     tags=("inference", "similarity"),
 )
-def a023_adjusted_rand(spark, sf_dir):
+def a491_adjusted_rand(spark, sf_dir):
     """Adjusted Rand index between the embeddings' ground-truth
     labels and the a437-convention nearest-seed-centroid clustering
     (seeds = vec_id < 8) — the chance-corrected external-validity
@@ -2751,7 +2756,7 @@ def a023_adjusted_rand(spark, sf_dir):
 
 
 @query(
-    "a024_davies_bouldin_ch",
+    "a492_davies_bouldin_ch",
     oracle="""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -2829,7 +2834,7 @@ FROM rmax
 """,
     tags=("inference", "similarity"),
 )
-def a024_davies_bouldin_ch(spark, sf_dir):
+def a492_davies_bouldin_ch(spark, sf_dir):
     """Davies–Bouldin and Calinski–Harabasz indices for the
     a437-convention seed-centroid clustering — the two internal
     validity scores (worst-pair overlap and between/within variance
@@ -3010,7 +3015,7 @@ def a024_davies_bouldin_ch(spark, sf_dir):
 
 
 @query(
-    "a027_yules_k",
+    "a495_yules_k",
     oracle="""
 WITH tok AS (
   SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
@@ -3031,7 +3036,7 @@ FROM tc
 """,
     tags=("inference", "text"),
 )
-def a027_yules_k(spark, sf_dir):
+def a495_yules_k(spark, sf_dir):
     """Yule's K lexical-richness characteristic over the whole corpus
     vocabulary — the repeat-rate statistic (10⁴·(Σm²−N)/N²) that is
     text-LENGTH-INVARIANT, unlike raw type/token ratio, so it can
@@ -3152,11 +3157,11 @@ ORDER BY event_type
 
 
 @query(
-    "a025_hits",
+    "a493_hits",
     oracle=_hits_oracle(),
     tags=("inference", "graph"),
 )
-def a025_hits(spark, sf_dir):
+def a493_hits(spark, sf_dir):
     """HITS hubs & authorities on the event-type transition graph —
     the link-analysis dual of q119's PageRank on the same 5-node
     Markov structure: authorities are types that high-hub types lead
@@ -3269,7 +3274,7 @@ _RC_KS = (1, 2, 4, 8, 16, 32)
 
 
 @query(
-    "a026_rich_club",
+    "a494_rich_club",
     oracle=f"""
 WITH g AS (
   SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS d
@@ -3322,7 +3327,7 @@ FROM ks ORDER BY k
 """,
     tags=("inference", "graph"),
 )
-def a026_rich_club(spark, sf_dir):
+def a494_rich_club(spark, sf_dir):
     """Rich-club coefficient φ(k) of the q146 co-visitation graph at
     degree thresholds 1..32 — the "do the hubs talk to each other"
     topology probe that complements q146's triangle census and a111's
@@ -3440,7 +3445,7 @@ def a026_rich_club(spark, sf_dir):
 
 
 @query(
-    "a028_dersimonian_laird",
+    "a496_dersimonian_laird",
     oracle="""
 WITH cells AS (
   SELECT c.c_mktsegment AS seg,
@@ -3530,7 +3535,7 @@ FROM pooled
 """,
     tags=("inference", "stats"),
 )
-def a028_dersimonian_laird(spark, sf_dir):
+def a496_dersimonian_laird(spark, sf_dir):
     """DerSimonian–Laird random-effects meta-analysis pooling the
     per-segment (acctbal>0 → has-orders) log-odds-ratios — the
     heterogeneity-aware counterpart of a471's Mantel–Haenszel fixed

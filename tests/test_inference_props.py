@@ -32,7 +32,7 @@ def row(spark, sf_dir):
 
 
 def test_cliffs_delta_vda_identity(row):
-    r = row("a004_cliffs_delta")[0]
+    r = row("a472_cliffs_delta")[0]
     assert -1.0 <= r.cliffs_delta_r <= 1.0
     assert 0.0 <= r.vda_r <= 1.0
     # Â = (δ+1)/2 exactly (tie mass splits evenly)
@@ -41,7 +41,7 @@ def test_cliffs_delta_vda_identity(row):
 
 
 def test_fisher_tails_overlap_at_observed(row):
-    r = row("a009_fisher_exact")[0]
+    r = row("a477_fisher_exact")[0]
     # left and right tails both include P(K = a_obs), so they sum > 1
     assert r.p_left_r + r.p_right_r >= 1.0 - 1e-5
     assert 0.0 <= r.p_left_r <= 1.0 + 1e-9
@@ -49,41 +49,41 @@ def test_fisher_tails_overlap_at_observed(row):
 
 
 def test_pacf_lag1_equals_acf1(row):
-    r = row("a015_pacf")[0]
+    r = row("a483_pacf")[0]
     assert r.pacf1_r == r.acf1_r
     for v in (r.pacf1_r, r.pacf2_r, r.pacf3_r, r.pacf4_r, r.pacf5_r):
         assert -1.0 <= v <= 1.0
 
 
 def test_periodogram_power_nonnegative(row):
-    rows = row("a016_goertzel_periodogram")
+    rows = row("a484_goertzel_periodogram")
     assert [r.period_days for r in rows] == [7, 14, 30]
     for r in rows:
         assert r.power_r >= 0.0
 
 
 def test_permutation_entropy_normalized(row):
-    r = row("a017_permutation_entropy")[0]
+    r = row("a485_permutation_entropy")[0]
     assert 0.0 <= r.h_norm_r <= 1.0 + 1e-9
     assert 1 <= r.n_patterns <= 6
 
 
 def test_cronbach_alpha_upper_bound(row):
-    r = row("a018_cronbach_alpha")[0]
+    r = row("a486_cronbach_alpha")[0]
     # alpha <= 1 always; item variances positive on this fixture
     assert r.alpha_r <= 1.0 + 1e-9
     assert r.item_var_num > 0 and r.total_var_num > 0
 
 
 def test_ece_bounds(row):
-    r = row("a019_ece_calibration")[0]
+    r = row("a487_ece_calibration")[0]
     assert 0.0 <= r.ece_r <= 1.0
     assert 1 <= r.n_bins <= 10
     assert r.hl_chi2_r >= 0.0
 
 
 def test_nelson_aalen_monotone_pieces(row):
-    r = row("a020_nelson_aalen_rmst")[0]
+    r = row("a488_nelson_aalen_rmst")[0]
     assert r.h_final_r >= 0.0
     # RMST(90) is an average of a [0,1] survival curve over <=90 days
     assert 0.0 <= r.rmst90_r <= 90.0 + 1e-9
@@ -91,7 +91,7 @@ def test_nelson_aalen_monotone_pieces(row):
 
 
 def test_yuen_h_le_n(row):
-    r = row("a021_yuen_trimmed_t")[0]
+    r = row("a489_yuen_trimmed_t")[0]
     assert r.h_urgent <= r.n_urgent and r.h_low <= r.n_low
     # 20% trim leaves at least 60% of each group
     assert r.h_urgent >= 0.6 * r.n_urgent - 1
@@ -99,24 +99,24 @@ def test_yuen_h_le_n(row):
 
 
 def test_hodges_lehmann_pairs(row):
-    r = row("a022_hodges_lehmann")[0]
+    r = row("a490_hodges_lehmann")[0]
     assert r.n_pairs == r.n_purchase * r.n_view
 
 
 def test_ari_upper_bound(row):
-    r = row("a023_adjusted_rand")[0]
+    r = row("a491_adjusted_rand")[0]
     assert r.ari_r <= 1.0 + 1e-9
     assert r.s_index <= min(r.s_a, r.s_b)
 
 
 def test_davies_bouldin_positive(row):
-    r = row("a024_davies_bouldin_ch")[0]
+    r = row("a492_davies_bouldin_ch")[0]
     assert r.db_index_r > 0.0
     assert r.ch_index_r > 0.0
 
 
 def test_hits_l1_normalized(row):
-    rows = row("a025_hits")
+    rows = row("a493_hits")
     assert len(rows) == 5
     # floor-div renormalization keeps each L1 sum within 5 fp units of 1
     assert abs(sum(r.hub_r for r in rows) - 1.0) < 1e-5
@@ -126,7 +126,7 @@ def test_hits_l1_normalized(row):
 
 
 def test_rich_club_monotone_support(row):
-    rows = row("a026_rich_club")
+    rows = row("a494_rich_club")
     # rich-node counts shrink as the threshold rises
     ns = [r.n_rich for r in rows]
     assert ns == sorted(ns, reverse=True)
@@ -136,14 +136,14 @@ def test_rich_club_monotone_support(row):
 
 
 def test_yules_k_spectrum_identity(row):
-    r = row("a027_yules_k")[0]
+    r = row("a495_yules_k")[0]
     assert r.v_types <= r.n_tokens
     assert r.s2 >= r.n_tokens  # sum m^2 >= sum m
     assert r.yules_k_r >= 0.0
 
 
 def test_dersimonian_laird_tau_nonneg(row):
-    r = row("a028_dersimonian_laird")[0]
+    r = row("a496_dersimonian_laird")[0]
     assert r.tau2_r >= 0.0
     assert r.q_r >= 0.0
     assert abs(math.log(r.pooled_or_r) - r.pooled_lor_r) < 1e-4
@@ -236,7 +236,7 @@ def test_theil_u_consistency(row):
 
 
 def test_somers_gamma_bounds(row):
-    r = row("a005_somers_gamma")[0]
+    r = row("a473_somers_gamma")[0]
     assert -1.0 <= r.gamma_r <= 1.0
     # |gamma| >= |somers' d| always (gamma drops ties from the denom)
     assert abs(r.gamma_r) >= abs(r.somers_dxy_r) - 1e-6
@@ -244,34 +244,34 @@ def test_somers_gamma_bounds(row):
 
 
 def test_bartlett_nonneg(row):
-    r = row("a007_bartlett_test")[0]
+    r = row("a475_bartlett_test")[0]
     assert r.bartlett_chi2_r >= 0.0
 
 
 def test_g_test_nonneg(row):
-    r = row("a010_g_test")[0]
+    r = row("a478_g_test")[0]
     assert r.g_stat_r >= 0.0
 
 
 def test_durbin_watson_range_and_identity(row):
-    r = row("a011_durbin_watson")[0]
+    r = row("a479_durbin_watson")[0]
     assert 0.0 <= r.dw_r <= 4.0
     # rho1 = 1 - DW/2 by construction
     assert abs(r.rho1_r - (1.0 - r.dw_r / 2.0)) < 2e-6
 
 
 def test_breusch_pagan_nonneg(row):
-    r = row("a012_breusch_pagan")[0]
+    r = row("a480_breusch_pagan")[0]
     assert r.bp_lm_r >= 0.0
 
 
 def test_chow_f_nonneg(row):
-    r = row("a013_chow_test")[0]
+    r = row("a481_chow_test")[0]
     assert r.f_chow_r >= 0.0
 
 
 def test_vif_at_least_one(row):
-    r = row("a014_vif")[0]
+    r = row("a482_vif")[0]
     # VIF = 1/(1-R^2) >= 1 for any real predictor set
     for v in (r.vif_quantity_r, r.vif_discount_r, r.vif_tax_r):
         assert v >= 1.0 - 1e-6
