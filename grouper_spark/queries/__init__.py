@@ -56,6 +56,7 @@ _MODULES = (
     "skew",
     "inference",
     "inference2",
+    "inference3",
     # keep last: re-registers existing queries under driver-sampler
     # alias names (depends on every other module being loaded)
     "aliases",

@@ -977,6 +977,12 @@ _CO_EDGES_SQL = f"""
 """
 
 
+# Hard cap for min-label-propagation fixed points (a067/a084): the
+# co-order and grid graphs converge in <= their diameter (single-digit
+# sweeps observed at every sf); 64 is ~10x headroom.
+_LABEL_PROP_MAX_SWEEPS = 64
+
+
 def _coorder_edges(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     op = (
@@ -1161,7 +1167,11 @@ def a067_connected_components(spark, sf_dir):
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    while True:
+    # Min-label propagation converges in <= diameter sweeps; the hard
+    # cap turns a regression (asymmetric edges, nondeterministic label
+    # source) into a loud failure instead of a hung gate accumulating
+    # checkpointed frames (r7 ADVICE; a030 _ABS_ITERS discipline).
+    for _sweep in range(_LABEL_PROP_MAX_SWEEPS):
         nb = (
             sym.join(
                 labels.select(
@@ -1188,6 +1198,11 @@ def a067_connected_components(spark, sf_dir):
         labels = new
         if changed == 0:
             break
+    else:  # pragma: no cover - regression guard
+        raise RuntimeError(
+            f"a067 label propagation did not converge in"
+            f" {_LABEL_PROP_MAX_SWEEPS} sweeps"
+        )
     sizes = labels.groupBy("lbl").agg(
         F.count("*").cast("bigint").alias("csize")
     )
@@ -3182,7 +3197,8 @@ def a084_dbscan_grid(spark, sf_dir):
     labels = core.select(
         F.col("key").alias("node"), F.col("key").alias("lbl")
     ).localCheckpoint(eager=True)
-    while True:
+    # Bounded like a067: loud failure beats a hung fixed point.
+    for _sweep in range(_LABEL_PROP_MAX_SWEEPS):
         nb = (
             adj.join(
                 labels.select(
@@ -3208,6 +3224,11 @@ def a084_dbscan_grid(spark, sf_dir):
         labels = new
         if changed == 0:
             break
+    else:  # pragma: no cover - regression guard
+        raise RuntimeError(
+            f"a084 label propagation did not converge in"
+            f" {_LABEL_PROP_MAX_SWEEPS} sweeps"
+        )
     return (
         labels.join(core.select(F.col("key").alias("node"), "cnt"), "node")
         .groupBy(F.col("lbl").alias("cluster_id"))

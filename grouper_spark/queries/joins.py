@@ -471,7 +471,32 @@ def q165_bucketed_join(spark, sf_dir):
         path = jvm.org.apache.hadoop.fs.Path(wh, name)
         fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         marker = jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS")
-        if fs.exists(marker):
+        # Spark trusts a declared bucketing spec blindly (it skips the
+        # join-side shuffle), so a stale/foreign layout re-registered
+        # with the wrong spec would return WRONG join results silently
+        # (r7 ADVICE). Re-register only if (a) the spec marker this
+        # writer persists alongside _SUCCESS matches today's spec AND
+        # (b) every data file carries a Spark bucket-id suffix < 16;
+        # anything else falls through to delete+rewrite.
+        spec = jvm.org.apache.hadoop.fs.Path(path, f"_BUCKET_SPEC.{key}.16")
+
+        def layout_ok() -> bool:
+            if not (fs.exists(marker) and fs.exists(spec)):
+                return False
+            import re as _re
+
+            buckets = set()
+            for st in fs.listStatus(path):
+                fname = st.getPath().getName()
+                if fname.startswith("_"):
+                    continue
+                m = _re.search(r"_(\d{5})\.", fname)
+                if not m or int(m.group(1)) >= 16:
+                    return False
+                buckets.add(int(m.group(1)))
+            return bool(buckets)
+
+        if layout_ok():
             ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
                 for f in df_side.schema.fields
@@ -484,6 +509,7 @@ def q165_bucketed_join(spark, sf_dir):
             return
         fs.delete(path, True)
         write_bucketed(df_side, name, [key], 16, sort_by=[key])
+        fs.create(spec, True).close()
 
     ensure(li, lt, "l_orderkey")
     ensure(orders, ot, "o_orderkey")

@@ -33,8 +33,15 @@ MARKS = {
 
 def plan_counts(spark, fn, sf_dir):
     df = fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Execute the df's OWN QueryExecution (a noop write would run a
+    # SEPARATE execution, leaving this one un-executed and its adaptive
+    # plan initial/isFinalPlan=false — r7 ADVICE). toRdd().count() runs
+    # the job entirely JVM-side: no rows cross to the Python driver.
+    qe = df._jdf.queryExecution()
+    qe.toRdd().count()
+    plan = qe.executedPlan().toString()
+    if "AdaptiveSparkPlan" in plan and "isFinalPlan=true" not in plan:
+        raise RuntimeError("adaptive plan did not finalize after execution")
     return {k: len(re.findall(v, plan)) for k, v in MARKS.items()}
 
 
