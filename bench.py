@@ -176,6 +176,47 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # sum over the round-1 continuity set only, comparable to BENCH_r1/r2
     continuity = round(sum(timings[n] for n in HEADLINE[:11]), 3)
+
+    # sf1 scale point (r7 verdict #5): the 10 heaviest headline queries
+    # re-timed on the 10x-staged fixture (~1.5M orders / 6M lineitems ≈
+    # sf1) so the "plans survive 10x" claim is wall-clock empirical, not
+    # plan-shape-only. min-of-2 (these are the slow ones). Opt out with
+    # SPARK_GRAFT_SF1=0; skipped silently if the staged dir is absent
+    # (tools/stage_scale10.py creates it).
+    sf1_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "scale10",
+    )
+    sf1: dict | None = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and os.path.isdir(
+        sf1_dir
+    ):
+        heavy = (
+            "a381_product_quantization",
+            "a440_geometric_median",
+            "a355_mrl_truncation_audit",
+            "q249_power_iteration",
+            "a404_lsh_prf_eval",
+            "q83_neardup_lsh_rerank",
+            "q146_triangle_count",
+            "a459_kcenter_seeding",
+            "a450_lof_panel",
+            "a448_ipf_raking",
+        )
+        sf1_timings = {
+            name: round(
+                min(run_one(spark, registry[name], sf1_dir) for _ in range(2)),
+                3,
+            )
+            for name in heavy
+        }
+        sf1 = {
+            "dir": sf1_dir,
+            "approx_sf": 1.0,
+            "queries": sf1_timings,
+            "total": round(sum(sf1_timings.values()), 3),
+        }
     print(
         json.dumps(
             {
@@ -199,6 +240,7 @@ def main() -> None:
                     continuity / calib_jvm_sec, 3
                 ),
                 "queries": timings,
+                "sf1_headline": sf1,
                 "sf": sf,
                 "grouper_throughput_items_per_s": grouper_items_s,
                 "grouper_baseline_items_per_s": 909.0,

@@ -4760,29 +4760,29 @@ _KCORE_K = 4
 @query(
     "a120_kcore_peel",
     oracle=f"""
-WITH lp AS (
+WITH lp AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges0 AS (
+), edges0 AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
                      AND a.l_partkey < b.l_partkey
-), deg0 AS (
+), deg0 AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d
   FROM (SELECT u AS node FROM edges0 UNION ALL SELECT v AS node FROM edges0)
   GROUP BY node
-), keep1 AS (
+), keep1 AS MATERIALIZED (
   SELECT node FROM deg0 WHERE d >= {_KCORE_K}
-), edges1 AS (
+), edges1 AS MATERIALIZED (
   SELECT e.u, e.v FROM edges0 e
   JOIN keep1 ku ON ku.node = e.u
   JOIN keep1 kv ON kv.node = e.v
-), deg1 AS (
+), deg1 AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d
   FROM (SELECT u AS node FROM edges1 UNION ALL SELECT v AS node FROM edges1)
   GROUP BY node
-), keep2 AS (
+), keep2 AS MATERIALIZED (
   SELECT node FROM deg1 WHERE d >= {_KCORE_K}
-), edges2 AS (
+), edges2 AS MATERIALIZED (
   SELECT e.u, e.v FROM edges1 e
   JOIN keep2 ku ON ku.node = e.u
   JOIN keep2 kv ON kv.node = e.v

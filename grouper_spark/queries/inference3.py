@@ -304,7 +304,8 @@ WITH t AS (
          CAST(COUNT(*) AS BIGINT) AS w
   FROM t GROUP BY 1
 ), lam AS (
-  SELECT * FROM (VALUES (-1.0), (0.0), (0.5), (1.0)) AS l(lambda)
+  SELECT CAST(lambda AS DOUBLE) AS lambda
+  FROM (VALUES (-1.0), (0.0), (0.5), (1.0)) AS l(lambda)
 ), tr AS (
   SELECT l.lambda, b.m, b.w,
          CASE WHEN l.lambda = -1.0
@@ -322,15 +323,15 @@ WITH t AS (
 ), s AS (
   SELECT lambda,
          CAST(SUM(w) AS BIGINT) AS n,
-         CAST(SUM(w * (q // 100000)) AS BIGINT) AS s1,
-         CAST(SUM(w * ((q // 100000) * (q // 100000))) AS BIGINT) AS s2,
+         CAST(SUM(w * (q // 1000000)) AS BIGINT) AS s1,
+         CAST(SUM(w * ((q // 1000000) * (q // 1000000))) AS BIGINT) AS s2,
          CAST(SUM(w * lnm_q) AS BIGINT) AS slnm
   FROM tr GROUP BY lambda
 ), ll AS (
   SELECT lambda, n,
          round(-0.5 * n * LN((CAST(s2 AS DOUBLE) / n
                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                 / 1000000.0)
+                 / 10000.0)
                + (lambda - 1.0) * (CAST(slnm AS DOUBLE) / 100000000.0),
                6) AS loglik_r
   FROM s
@@ -347,8 +348,9 @@ def a149_boxcox_grid(spark, sf_dir):
     are EXACT odd integers in $50 units (m = 2·bin+1 ≤ 3999), so each
     transform runs once per (λ, bin) — ≤ 8k transcendental sites with
     exact integer inputs — is fixed-pointed to a BIGINT at 1e8 (then
-    coarsened to 1e3 for the square), and the weighted moment sums are
-    exact integers (Σw·q² ≤ ~6e17 at sf1; scale budget documented).
+    coarsened to 1e2 for the square — the 10× audit caught the 1e3
+    variant overflowing on capped-top-bin mass), and the weighted
+    moment sums are exact integers (Σw·qc² ≤ ~2.4e18 at 10×sf1).
     Box-Cox is scale-equivariant, so the $50 unit does not change the
     argmax. The Jacobian term (λ−1)Σw·ln(m) reuses the same quantized
     ln. At 100 TB: one histogram fold (≤2000 bins), a 4×-bin literal
@@ -388,7 +390,7 @@ def a149_boxcox_grid(spark, sf_dir):
         q.alias("q"),
         F.round(F.log(mD) * 1e8, 0).cast("bigint").alias("lnm_q"),
     )
-    qc = F.expr("q div 100000")
+    qc = F.expr("q div 1000000")
     s = tr.groupBy("lambda").agg(
         F.sum("w").cast("bigint").alias("n"),
         F.sum(F.col("w") * qc).cast("bigint").alias("s1"),
@@ -397,7 +399,7 @@ def a149_boxcox_grid(spark, sf_dir):
     )
     nD = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / nD
-    var = (F.col("s2").cast("double") / nD - mean * mean) / 1e6
+    var = (F.col("s2").cast("double") / nD - mean * mean) / 1e4
     ll = s.select(
         "lambda",
         "n",
@@ -852,9 +854,10 @@ WITH c AS (
           FROM (SELECT COUNT(*) AS k FROM c GROUP BY hh, f_seg))
 ), rates AS (
   SELECT f.field,
-         CAST(f.agree_match AS DOUBLE) / m.m_all AS m_k,
-         CAST(f.agree_all - f.agree_match AS DOUBLE)
-           / (CAST(t.n AS DOUBLE) * (t.n - 1) / 2.0 - m.m_all) AS u_k
+         CAST(f.agree_match + 1 AS DOUBLE) / (m.m_all + 2) AS m_k,
+         CAST(f.agree_all - f.agree_match + 1 AS DOUBLE)
+           / (CAST(t.n AS DOUBLE) * (t.n - 1) / 2.0 - m.m_all + 2.0)
+           AS u_k
   FROM fields f CROSS JOIN mpairs m CROSS JOIN tot t
 )
 SELECT field,
@@ -874,10 +877,12 @@ def a154_fellegi_sunter(spark, sf_dir):
     pairs — is a Σ C(k,2) over a histogram fold, so the O(n²)
     comparison space is never built (the blocking-free trick that
     makes FS parameter estimation feasible at 100 TB). Comparison
-    fields: nation, market segment, $1000 balance bucket. ln runs
-    once per field on exact-integer-derived rationals; the weights
-    are the log2 agree/disagree scores a linkage pass would apply
-    (a068's fuzzy blocking is the execution side)."""
+    fields: nation, market segment, $1000 balance bucket; add-one
+    (Laplace) smoothing keeps both rates strictly inside (0,1) — the
+    10× audit's replicated households drive raw m to exactly 1 and
+    ln(1−m) to −∞ otherwise. ln runs once per field on exact-integer
+    rationals; the weights are the log2 agree/disagree scores a
+    linkage pass would apply (a068's fuzzy blocking executes)."""
     c = table(spark, sf_dir, "customer").select(
         F.expr("c_custkey div 10").alias("hh"),
         F.col("c_nationkey").cast("bigint").alias("f_nation"),
@@ -913,9 +918,9 @@ def a154_fellegi_sunter(spark, sf_dir):
         )
     fields = parts[0].unionAll(parts[1]).unionAll(parts[2])
     nD = F.col("n").cast("double")
-    m_k = F.col("agree_match").cast("double") / F.col("m_all")
-    u_k = (F.col("agree_all") - F.col("agree_match")).cast("double") / (
-        nD * (F.col("n") - 1) / 2.0 - F.col("m_all")
+    m_k = (F.col("agree_match") + 1).cast("double") / (F.col("m_all") + 2)
+    u_k = (F.col("agree_all") - F.col("agree_match") + 1).cast("double") / (
+        nD * (F.col("n") - 1) / 2.0 - F.col("m_all") + 2.0
     )
     ln2 = F.log(F.lit(2.0))
     return (
@@ -1435,15 +1440,18 @@ WITH daily AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          (2 * CAST(SUM(x) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS ym
   FROM daily
+), mus AS (
+  SELECT n, ym, GREATEST(1, ym // 3000) AS su FROM mu
+), dv AS (
+  SELECT m.n, CAST((d.x - m.ym) // m.su AS BIGINT) AS v
+  FROM daily d CROSS JOIN mus m
 ), mom AS (
-  SELECT MAX(m.n) AS n,
-         CAST(SUM((d.x - m.ym)) AS BIGINT) AS s1,
-         CAST(SUM((d.x - m.ym) * (d.x - m.ym)) AS BIGINT) AS s2,
-         CAST(SUM((d.x - m.ym) * (d.x - m.ym) * (d.x - m.ym)) AS BIGINT)
-           AS s3,
-         CAST(SUM((d.x - m.ym) * (d.x - m.ym) * (d.x - m.ym)
-                  * (d.x - m.ym)) AS BIGINT) AS s4
-  FROM daily d CROSS JOIN mu m
+  SELECT MAX(n) AS n,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2,
+         CAST(SUM(v * v * v) AS BIGINT) AS s3,
+         CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+  FROM dv
 ), c AS (
   SELECT n,
          CAST(s2 AS DOUBLE) / n
@@ -1512,8 +1520,12 @@ def a159_dagostino_k2(spark, sf_dir):
     (kilodollars): Z1 is D'Agostino (1970)'s skewness transform, Z2
     Anscombe–Glynn (1983)'s kurtosis transform, K² = Z1² + Z2². All
     four raw moments are exact BIGINT sums of integer-rounded-demeaned
-    kilodollar values (two-pass; demeaned 4th powers stay under 2e17
-    at sf1); every transcendental (sqrt/ln/cbrt) runs once on scalar
+    values in an ADAPTIVE unit (kilodollars ÷ max(1, mean/3000), so
+    demeaned magnitudes stay ~3e3 and 4th-power sums under ~2e17 at
+    EVERY scale — the 10× audit caught the fixed-unit variant
+    overflowing; both engines truncate negative integer division
+    identically, verified); skewness/kurtosis are scale-invariant so
+    the unit cancels. Every transcendental (sqrt/ln/cbrt) runs once on scalar
     aggregates. Complements a109's Jarque–Bera with the finite-n
     normalizing transforms. At 100 TB: one daily fold then pure
     scalar math."""
@@ -1529,14 +1541,18 @@ def a159_dagostino_k2(spark, sf_dir):
         F.expr(
             "(2 * CAST(SUM(x) AS BIGINT) + COUNT(*)) div (2 * COUNT(*))"
         ).alias("ym"),
+    ).select(
+        "n", "ym", F.greatest(F.lit(1), F.expr("ym div 3000")).alias("su")
     )
-    dv = F.col("x") - F.col("ym")
-    mom = daily.crossJoin(F.broadcast(mu)).agg(
+    dv = F.expr("CAST((x - ym) div su AS BIGINT)")
+    mom = daily.crossJoin(F.broadcast(mu)).select(
+        "n", dv.alias("v")
+    ).agg(
         F.max("n").alias("n"),
-        F.sum(dv).cast("bigint").alias("s1"),
-        F.sum(dv * dv).cast("bigint").alias("s2"),
-        F.sum(dv * dv * dv).cast("bigint").alias("s3"),
-        F.sum(dv * dv * dv * dv).cast("bigint").alias("s4"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.expr("v * v")).cast("bigint").alias("s2"),
+        F.sum(F.expr("v * v * v")).cast("bigint").alias("s3"),
+        F.sum(F.expr("v * v * v * v")).cast("bigint").alias("s4"),
     )
     nD = F.col("n").cast("double")
     a1 = F.col("s1").cast("double") / nD
@@ -2746,7 +2762,8 @@ WITH t AS (
   FROM orders
 ), n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
 qs AS (
-  SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS q(q)
+  SELECT CAST(q AS DOUBLE) AS q
+  FROM (VALUES (0.5), (0.9), (0.99)) AS q(q)
 ), targets AS (
   SELECT q.q, CAST(CEIL(q.q * n.n) AS BIGINT) AS i, n.n,
          GREATEST(1, n.n // 10000) AS tol

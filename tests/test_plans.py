@@ -1132,3 +1132,33 @@ def test_a084_dbscan_final_plan_scans_no_corpus(spark, sf_dir, registry):
     df = registry["a084_dbscan_grid"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "FileScan parquet" not in plan, plan
+
+
+def test_a161_apriori_no_cartesian(spark, sf_dir, registry):
+    """Candidate generation is all EQUI joins on (order, item) keys —
+    downward-closure pruning must never degrade to a cartesian, and
+    the scale-relative min-support frame is broadcast."""
+    df = registry["a161_apriori_triples"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_a147_gpd_threshold_is_broadcast(spark, sf_dir, registry):
+    """The P90 threshold is a 1-row frame broadcast against the
+    corpus — the tail filter must not shuffle the fact side."""
+    df = registry["a147_gpd_pwm_tail"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_a154_fellegi_sunter_no_pair_join(spark, sf_dir, registry):
+    """FS m/u estimation is histogram combinatorics: the plan must
+    contain ONLY aggregate folds over the customer scan — a pairwise
+    self-join of customers (SortMergeJoin on a non-key) would mean the
+    O(n^2) comparison space got materialized."""
+    df = registry["a154_fellegi_sunter"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
