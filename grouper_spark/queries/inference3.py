@@ -2848,3 +2848,429 @@ def a170_approx_percentile_audit(spark, sf_dir):
         .alias("sketch_within_bound"),
     )
     return exact.orderBy("q")
+
+
+@query(
+    "a171_ks_two_sample",
+    oracle=f"""
+WITH dranks AS ({_DRANK_SQL}),
+cum AS (
+  SELECT n1, n2,
+         CAST(SUM(c1) OVER (ORDER BY xc) AS BIGINT) AS f1,
+         CAST(SUM(g - c1) OVER (ORDER BY xc) AS BIGINT) AS f2
+  FROM dranks
+), sup AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+         MAX(ABS(f1 * n2 - f2 * n1)) AS dnum
+  FROM cum GROUP BY n1
+), k AS (
+  SELECT n1, n2,
+         CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS d,
+         CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+           * SQRT(CAST(n1 AS DOUBLE) * n2 / (CAST(n1 AS DOUBLE) + n2))
+           AS lam
+  FROM sup
+)
+SELECT n1, n2,
+       round(d, 6) AS ks_d_r,
+       round(2.0 * (EXP(-2.0 * lam * lam)
+                    - EXP(-8.0 * lam * lam)
+                    + EXP(-18.0 * lam * lam)), 6) AS p_approx_r
+FROM k
+""",
+)
+def a171_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov test on treat/ctrl per-user
+    engagement — the distribution-level drift check the one-sample
+    Lilliefors (a042) and k-sample Anderson–Darling (a047) family was
+    missing. D = sup|F̂₁−F̂₂| is an EXACT integer maximum: both ECDFs
+    step on the shared value histogram, so |f1·n2 − f2·n1| over one
+    cumulative window decides the supremum with no float compare; the
+    three-term Smirnov asymptotic p is a fixed-order scalar
+    expression. Shares the doubled-rank histogram CTE with a157/a158.
+    At 100 TB: one events fold + one value-ordered window."""
+    dranks = _drank(spark, sf_dir)
+    wv = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dranks.select(
+        "n1",
+        "n2",
+        F.sum("c1").over(wv).cast("bigint").alias("f1"),
+        F.sum(F.col("g") - F.col("c1")).over(wv).cast("bigint").alias("f2"),
+    )
+    sup = cum.groupBy("n1").agg(
+        F.max("n2").alias("n2"),
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        ).alias("dnum"),
+    )
+    n1D = F.col("n1").cast("double")
+    d = F.col("dnum").cast("double") / (n1D * F.col("n2"))
+    lam = d * F.sqrt(n1D * F.col("n2") / (n1D + F.col("n2")))
+    k = sup.select("n1", "n2", d.alias("d"), lam.alias("lam"))
+    ll = F.col("lam") * F.col("lam")
+    return k.select(
+        "n1",
+        "n2",
+        F.round("d", 6).alias("ks_d_r"),
+        F.round(
+            2.0
+            * (
+                F.exp(-2.0 * ll) - F.exp(-8.0 * ll) + F.exp(-18.0 * ll)
+            ),
+            6,
+        ).alias("p_approx_r"),
+    )
+
+
+# Shared logistic expression text (identical on both engines): sigmoid
+# of the linear predictor, micro-quantized per DISTINCT feature value.
+_SIG = "1.0 / (1.0 + EXP(-(b0 + b1 * x)))"
+
+_LOGIT_HIST_SQL = """
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+  FROM (
+    SELECT LEAST(u.n_ev // 4, 50) AS x,
+           CASE WHEN u.pc * m.nu > m.s THEN 1 ELSE 0 END AS y
+    FROM (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100.0, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pc
+      FROM events GROUP BY user_id
+    ) u CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nu, CAST(SUM(pc) AS BIGINT) AS s
+      FROM (SELECT SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ROUND(value * 100.0, 0) AS BIGINT)
+                            ELSE 0 END) AS pc
+            FROM events GROUP BY user_id)
+    ) m
+  ) GROUP BY x
+"""
+
+
+def _logit_step_sql(prev: str) -> str:
+    """One IRLS step as SQL text over the MATERIALIZED hist + previous
+    beta CTE; sums are exact BIGINTs of 1e8-quantized sigmoid terms."""
+    return f"""
+  SELECT b.b0 + (CAST(s.s2 AS DOUBLE) * s.u0 - CAST(s.s1 AS DOUBLE) * s.u1)
+               / (CAST(s.s0 AS DOUBLE) * s.s2
+                  - CAST(s.s1 AS DOUBLE) * s.s1) AS b0,
+         b.b1 + (CAST(s.s0 AS DOUBLE) * s.u1 - CAST(s.s1 AS DOUBLE) * s.u0)
+               / (CAST(s.s0 AS DOUBLE) * s.s2
+                  - CAST(s.s1 AS DOUBLE) * s.s1) AS b1
+  FROM (
+    SELECT CAST(SUM(n * wq) AS BIGINT) AS s0,
+           CAST(SUM(n * wq * x) AS BIGINT) AS s1,
+           CAST(SUM(n * wq * x * x) AS BIGINT) AS s2,
+           CAST(SUM(sy * 100000000 - n * pq) AS BIGINT) AS u0,
+           CAST(SUM((sy * 100000000 - n * pq) * x) AS BIGINT) AS u1
+    FROM (
+      SELECT h.x, h.n, h.sy,
+             CAST(ROUND(({_SIG}) * 100000000.0, 0) AS BIGINT) AS pq,
+             CAST(ROUND(({_SIG}) * (1.0 - ({_SIG})) * 100000000.0, 0)
+                  AS BIGINT) AS wq
+      FROM hist h CROSS JOIN {prev}
+    )
+  ) s CROSS JOIN {prev} b
+"""
+
+
+@query(
+    "a172_logistic_irls",
+    oracle=f"""
+WITH hist AS MATERIALIZED ({_LOGIT_HIST_SQL}),
+beta0 AS MATERIALIZED (
+  SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1
+),
+beta1 AS MATERIALIZED ({_logit_step_sql("beta0")}),
+beta2 AS MATERIALIZED ({_logit_step_sql("beta1")}),
+beta3 AS MATERIALIZED ({_logit_step_sql("beta2")}),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_users,
+               CAST(SUM(sy) AS BIGINT) AS n_pos FROM hist)
+SELECT t.n_users, t.n_pos,
+       round(b.b0, 6) AS intercept_r,
+       round(b.b1, 6) AS coef_r,
+       round(EXP(b.b1), 6) AS odds_ratio_r
+FROM beta3 b CROSS JOIN tot t
+""",
+)
+def a172_logistic_irls(spark, sf_dir):
+    """Logistic regression (intercept + one bounded integer feature) by
+    THREE unrolled IRLS/Newton steps — the GLM the monitoring batteries
+    route around, made hash-checkable with the GMM-EM discipline: the
+    feature x = min(events÷4, 50) takes ≤ 50 DISTINCT values, so the
+    sigmoid runs once per (step, value) on identical doubles, is
+    1e8-quantized, and every XᵀWX / Xᵀ(y−p) entry is an exact BIGINT
+    histogram sum; the 2×2 solve is four terminal double ops per step.
+    Step 1 is fully exact (σ(0)=½, w=¼). Label: user's purchase value
+    above the population mean (exact cross-multiplication). At 100 TB:
+    one events fold to a ≤50-row histogram; each IRLS step is
+    constant-size math — the corpus is touched once."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_ev"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100.0, 0).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pc"),
+    )
+    m = u.agg(
+        F.count("*").cast("bigint").alias("nu"),
+        F.sum("pc").cast("bigint").alias("s"),
+    )
+    hist = (
+        u.crossJoin(F.broadcast(m))
+        .select(
+            F.least(F.expr("n_ev div 4"), F.lit(50).cast("bigint")).alias(
+                "x"
+            ),
+            F.when(F.col("pc") * F.col("nu") > F.col("s"), 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("x")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def step(beta):
+        j = hist.crossJoin(F.broadcast(beta))
+        sig = F.expr(_SIG)
+        terms = j.select(
+            "x",
+            "n",
+            "sy",
+            "b0",
+            "b1",
+            F.round(sig * 1e8, 0).cast("bigint").alias("pq"),
+            F.round(sig * (1.0 - sig) * 1e8, 0).cast("bigint").alias("wq"),
+        )
+        s = terms.groupBy("b0", "b1").agg(
+            F.sum(F.col("n") * F.col("wq")).cast("bigint").alias("s0"),
+            F.sum(F.col("n") * F.col("wq") * F.col("x"))
+            .cast("bigint")
+            .alias("s1"),
+            F.sum(F.col("n") * F.col("wq") * F.col("x") * F.col("x"))
+            .cast("bigint")
+            .alias("s2"),
+            F.sum(F.col("sy") * F.lit(100000000) - F.col("n") * F.col("pq"))
+            .cast("bigint")
+            .alias("u0"),
+            F.sum(
+                (F.col("sy") * F.lit(100000000) - F.col("n") * F.col("pq"))
+                * F.col("x")
+            )
+            .cast("bigint")
+            .alias("u1"),
+        )
+        det = (
+            F.col("s0").cast("double") * F.col("s2")
+            - F.col("s1").cast("double") * F.col("s1")
+        )
+        return s.select(
+            (
+                F.col("b0")
+                + (
+                    F.col("s2").cast("double") * F.col("u0")
+                    - F.col("s1").cast("double") * F.col("u1")
+                )
+                / det
+            ).alias("b0"),
+            (
+                F.col("b1")
+                + (
+                    F.col("s0").cast("double") * F.col("u1")
+                    - F.col("s1").cast("double") * F.col("u0")
+                )
+                / det
+            ).alias("b1"),
+        ).localCheckpoint(eager=True)
+
+    beta = spark.createDataFrame([(0.0, 0.0)], "b0 double, b1 double")
+    for _ in range(3):
+        beta = step(beta)
+    tot = hist.agg(
+        F.sum("n").cast("bigint").alias("n_users"),
+        F.sum("sy").cast("bigint").alias("n_pos"),
+    )
+    return beta.crossJoin(F.broadcast(tot)).select(
+        "n_users",
+        "n_pos",
+        F.round("b0", 6).alias("intercept_r"),
+        F.round("b1", 6).alias("coef_r"),
+        F.round(F.exp("b1"), 6).alias("odds_ratio_r"),
+    )
+
+
+# Cox weight expression — identical text both engines; EXP runs once
+# per (day, x) grid cell (both dimensions bounded), 1e8-quantized.
+_COXW = "CAST(ROUND(EXP(b * x) * 100000000.0, 0) AS BIGINT)"
+
+_COX_GRID_SQL = """
+  SELECT t, x, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(x) AS BIGINT) AS sx
+  FROM (
+    SELECT CAST(date_diff('day', MIN(ts),
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END))
+                AS BIGINT) AS t,
+           LEAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 // 2, 40) AS x
+    FROM events GROUP BY user_id
+  ) WHERE t IS NOT NULL GROUP BY t, x
+"""
+
+
+def _cox_step_sql(prev: str) -> str:
+    return f"""
+  SELECT b.b + CAST(s.uq AS DOUBLE) / s.iq AS b
+  FROM (
+    SELECT CAST(SUM(CAST(ROUND((dd.sx_t - dd.d_t
+               * (CAST(r.s1 AS DOUBLE) / r.s0)) * 1000000.0, 0) AS BIGINT))
+             AS BIGINT) AS uq,
+           CAST(SUM(CAST(ROUND(dd.d_t
+               * (CAST(r.s2 AS DOUBLE) / r.s0
+                  - (CAST(r.s1 AS DOUBLE) / r.s0)
+                    * (CAST(r.s1 AS DOUBLE) / r.s0)) * 1000000.0, 0)
+               AS BIGINT)) AS BIGINT) AS iq
+    FROM (
+      SELECT t,
+             CAST(SUM(s0p) OVER (ORDER BY t DESC) AS BIGINT) AS s0,
+             CAST(SUM(s1p) OVER (ORDER BY t DESC) AS BIGINT) AS s1,
+             CAST(SUM(s2p) OVER (ORDER BY t DESC) AS BIGINT) AS s2
+      FROM (
+        SELECT g.t,
+               CAST(SUM(g.c * ({_COXW})) AS BIGINT) AS s0p,
+               CAST(SUM(g.c * ({_COXW}) * g.x) AS BIGINT) AS s1p,
+               CAST(SUM(g.c * ({_COXW}) * g.x * g.x) AS BIGINT) AS s2p
+        FROM grid g CROSS JOIN {prev}
+        GROUP BY g.t
+      )
+    ) r JOIN (
+      SELECT t, CAST(SUM(c) AS BIGINT) AS d_t, CAST(SUM(sx) AS BIGINT)
+               AS sx_t
+      FROM grid GROUP BY t
+    ) dd ON dd.t = r.t
+  ) s CROSS JOIN {prev} b
+"""
+
+
+@query(
+    "a173_cox_ph",
+    oracle=f"""
+WITH grid AS MATERIALIZED (
+  SELECT t, x, c, sx, CAST(b AS DOUBLE) AS b FROM (
+    {_COX_GRID_SQL}
+  ) CROSS JOIN (SELECT 0 AS b)
+),
+grid0 AS MATERIALIZED (SELECT t, x, c, sx FROM grid),
+beta0 AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS b),
+beta1 AS MATERIALIZED ({_cox_step_sql("beta0").replace("grid g", "grid0 g").replace("FROM grid GROUP", "FROM grid0 GROUP")}),
+beta2 AS MATERIALIZED ({_cox_step_sql("beta1").replace("grid g", "grid0 g").replace("FROM grid GROUP", "FROM grid0 GROUP")}),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_users FROM grid0)
+SELECT t.n_users,
+       round(b.b, 6) AS beta_r,
+       round(EXP(b.b), 6) AS hazard_ratio_r
+FROM beta2 b CROSS JOIN tot t
+""",
+)
+def a173_cox_ph(spark, sf_dir):
+    """Cox proportional-hazards regression (one covariate, Breslow tie
+    handling, two unrolled Newton steps) on time-to-first-purchase vs
+    click engagement — the survival-regression flagship, made
+    hash-checkable: users collapse to a (day, x) GRID (both dimensions
+    bounded — days by the calendar, x = min(clicks÷2, 40)), exp(βx)
+    runs once per grid CELL and is 1e8-quantized, risk-set sums S0/S1/S2
+    are suffix windows of exact BIGINTs over event days, and the
+    per-day score/information terms are micro-quantized before the
+    final fold, so β updates are ratios of exact integers. Step 1 is
+    fully exact (e⁰=1). This fixture has no censoring (every user
+    converts — documented); the risk-set machinery is censoring-ready
+    since only event days contribute score terms. At 100 TB: one
+    events fold to the grid, then constant-size math per step."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ),
+            F.min("ts"),
+        )
+        .cast("bigint")
+        .alias("t"),
+        F.least(
+            F.expr(
+                "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+                " div 2"
+            ),
+            F.lit(40).cast("bigint"),
+        ).alias("x"),
+    ).filter(F.col("t").isNotNull())
+    grid = u.groupBy("t", "x").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("x").cast("bigint").alias("sx"),
+    ).localCheckpoint(eager=True)
+    dayagg = grid.groupBy("t").agg(
+        F.sum("c").cast("bigint").alias("d_t"),
+        F.sum("sx").cast("bigint").alias("sx_t"),
+    ).localCheckpoint(eager=True)
+
+    def step(beta):
+        j = grid.crossJoin(F.broadcast(beta))
+        wq = F.expr(_COXW)
+        per_t = j.groupBy("t").agg(
+            F.sum(F.col("c") * wq).cast("bigint").alias("s0p"),
+            F.sum(F.col("c") * wq * F.col("x")).cast("bigint").alias("s1p"),
+            F.sum(F.col("c") * wq * F.col("x") * F.col("x"))
+            .cast("bigint")
+            .alias("s2p"),
+        )
+        wdesc = Window.orderBy(F.col("t").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        r = per_t.select(
+            "t",
+            F.sum("s0p").over(wdesc).cast("bigint").alias("s0"),
+            F.sum("s1p").over(wdesc).cast("bigint").alias("s1"),
+            F.sum("s2p").over(wdesc).cast("bigint").alias("s2"),
+        )
+        s0D = F.col("s0").cast("double")
+        m1 = F.col("s1").cast("double") / s0D
+        m2 = F.col("s2").cast("double") / s0D
+        terms = r.join(dayagg, "t").select(
+            F.round((F.col("sx_t") - F.col("d_t") * m1) * 1e6, 0)
+            .cast("bigint")
+            .alias("uq"),
+            F.round(F.col("d_t") * (m2 - m1 * m1) * 1e6, 0)
+            .cast("bigint")
+            .alias("iq"),
+        )
+        s = terms.agg(
+            F.sum("uq").cast("bigint").alias("uq"),
+            F.sum("iq").cast("bigint").alias("iq"),
+        )
+        return (
+            s.crossJoin(F.broadcast(beta))
+            .select(
+                (
+                    F.col("b")
+                    + F.col("uq").cast("double") / F.col("iq")
+                ).alias("b")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    beta = spark.createDataFrame([(0.0,)], "b double")
+    for _ in range(2):
+        beta = step(beta)
+    tot = grid.agg(F.sum("c").cast("bigint").alias("n_users"))
+    return beta.crossJoin(F.broadcast(tot)).select(
+        "n_users",
+        F.round("b", 6).alias("beta_r"),
+        F.round(F.exp("b"), 6).alias("hazard_ratio_r"),
+    )

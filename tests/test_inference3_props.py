@@ -252,3 +252,27 @@ def test_approx_percentile_guarantee_holds(row):
         if cents is not None:
             assert r["exact_cents"] >= cents  # quantiles monotone in q
         cents = r["exact_cents"]
+
+
+def test_ks_two_sample_bounds(row):
+    r = row("a171_ks_two_sample")[0]
+    assert 0.0 <= r["ks_d_r"] <= 1.0
+    assert -1e-6 <= r["p_approx_r"] <= 1.0 + 1e-6
+
+
+def test_logistic_irls_sane(row):
+    r = row("a172_logistic_irls")[0]
+    assert 0 < r["n_pos"] < r["n_users"]
+    # odds ratio must equal exp(coef) and share the coefficient's
+    # direction
+    assert abs(r["odds_ratio_r"] - round(math.exp(r["coef_r"]), 6)) < 1e-5
+    assert (r["odds_ratio_r"] > 1.0) == (r["coef_r"] > 0)
+
+
+def test_cox_ph_hazard_ratio_identity(row):
+    r = row("a173_cox_ph")[0]
+    assert r["n_users"] > 0
+    assert abs(
+        r["hazard_ratio_r"] - round(math.exp(r["beta_r"]), 6)
+    ) < 1e-5
+    assert r["hazard_ratio_r"] > 0
