@@ -180,7 +180,8 @@ def main() -> None:
     # sf1 scale point (r7 verdict #5): the 10 heaviest headline queries
     # re-timed on the 10x-staged fixture (~1.5M orders / 6M lineitems ≈
     # sf1) so the "plans survive 10x" claim is wall-clock empirical, not
-    # plan-shape-only. min-of-2 (these are the slow ones). Opt out with
+    # plan-shape-only. Single-shot (a scale probe, not a tight
+    # benchmark — q83 alone runs ~2.5 min here). Opt out with
     # SPARK_GRAFT_SF1=0; skipped silently if the staged dir is absent
     # (tools/stage_scale10.py creates it).
     sf1_dir = os.path.join(
@@ -205,10 +206,7 @@ def main() -> None:
             "a448_ipf_raking",
         )
         sf1_timings = {
-            name: round(
-                min(run_one(spark, registry[name], sf1_dir) for _ in range(2)),
-                3,
-            )
+            name: round(run_one(spark, registry[name], sf1_dir), 3)
             for name in heavy
         }
         sf1 = {
