@@ -979,6 +979,27 @@ def a478_g_test(spark, sf_dir):
     )
 
 
+def _unit_scaled(daily, *extra):
+    """Adaptive-unit rescale of a (d, y) daily-dollar summary: y //=
+    max(1, mean(y)/3000), so downstream squared/cross moment BIGINT
+    sums keep the same overflow budget at EVERY corpus scale (the
+    full-registry 10x sweep caught a038/a039/a040/a041/a042/a048
+    overflowing on 10x daily magnitudes). The consumers are
+    scale-invariant statistics (t-ratios, F, LM, KS, U1/U2), so the
+    unit cancels; both engines truncate the integer division
+    identically (verified)."""
+    unit = daily.agg(
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT),"
+            " CAST((CAST(SUM(y) AS BIGINT) div COUNT(*)) div 3000"
+            " AS BIGINT))"
+        ).alias("u")
+    )
+    return daily.crossJoin(F.broadcast(unit)).select(
+        "d", F.expr("CAST(y div u AS BIGINT)").alias("y"), *extra
+    )
+
+
 _DAILY_OLS_SQL = """
 daily AS (
   SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
@@ -4739,11 +4760,16 @@ def a037_kpss(spark, sf_dir):
 @query(
     "a038_adf",
     oracle="""
-WITH daily AS (
+WITH daily0 AS (
   SELECT date_trunc('day', o_orderdate) AS d,
          CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
               // 100 AS BIGINT) AS y
   FROM orders GROUP BY d
+), unit AS (
+  SELECT GREATEST(1, (CAST(SUM(y) AS BIGINT) // COUNT(*)) // 3000) AS u
+  FROM daily0
+), daily AS (
+  SELECT d, CAST(y // u AS BIGINT) AS y FROM daily0 CROSS JOIN unit
 ), ts_ AS (
   SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily
 ), dd AS (
@@ -4800,6 +4826,7 @@ def a038_adf(spark, sf_dir):
             " div 100 AS BIGINT)"
         ).alias("y")
     )
+    daily = _unit_scaled(daily)
     ts = daily.select(
         "y", F.row_number().over(Window.orderBy("d")).alias("t")
     )
@@ -4873,12 +4900,17 @@ def _apply_levels(df, levels):
 
 
 _GRANGER_MOMENTS_SQL = """
-WITH daily AS (
+WITH daily0 AS (
   SELECT date_trunc('day', o_orderdate) AS d,
          CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
               // 100 AS BIGINT) AS y,
          CAST(COUNT(*) AS BIGINT) AS x
   FROM orders GROUP BY d
+), unit AS (
+  SELECT GREATEST(1, (CAST(SUM(y) AS BIGINT) // COUNT(*)) // 3000) AS u
+  FROM daily0
+), daily AS (
+  SELECT d, CAST(y // u AS BIGINT) AS y, x FROM daily0 CROSS JOIN unit
 ), ts_ AS (
   SELECT y, x, row_number() OVER (ORDER BY d) AS t FROM daily
 ), lagged AS (
@@ -4934,6 +4966,7 @@ def a039_granger_causality(spark, sf_dir):
         ).alias("y"),
         F.count("*").cast("bigint").alias("x"),
     )
+    daily = _unit_scaled(daily, "x")
     ts = daily.select(
         "y", "x", F.row_number().over(Window.orderBy("d")).alias("t")
     )
@@ -4992,11 +5025,16 @@ def a039_granger_causality(spark, sf_dir):
 
 
 _RESID_SQL = """
-WITH daily AS (
+WITH daily0 AS (
   SELECT date_trunc('day', o_orderdate) AS d,
          CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
               // 100 AS BIGINT) AS y
   FROM orders GROUP BY d
+), unit AS (
+  SELECT GREATEST(1, (CAST(SUM(y) AS BIGINT) // COUNT(*)) // 3000) AS u
+  FROM daily0
+), daily AS (
+  SELECT d, CAST(y // u AS BIGINT) AS y FROM daily0 CROSS JOIN unit
 ), ts_ AS (
   SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily
 ), sums AS (
@@ -5065,6 +5103,7 @@ def a040_breusch_godfrey(spark, sf_dir):
             " div 100 AS BIGINT)"
         ).alias("y")
     )
+    daily = _unit_scaled(daily)
     ts = daily.select(
         "y", F.row_number().over(Window.orderBy("d")).alias("t")
     )
@@ -5181,6 +5220,7 @@ def a041_white_test(spark, sf_dir):
             " div 100 AS BIGINT)"
         ).alias("y")
     )
+    daily = _unit_scaled(daily)
     ts = daily.select(
         "y", F.row_number().over(Window.orderBy("d")).alias("t")
     )
@@ -5267,11 +5307,16 @@ def _phi(x: str) -> str:
 @query(
     "a042_lilliefors",
     oracle=f"""
-WITH daily AS (
+WITH daily0 AS (
   SELECT date_trunc('day', o_orderdate) AS d,
          CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
               // 100 AS BIGINT) AS y
   FROM orders GROUP BY d
+), unit AS (
+  SELECT GREATEST(1, (CAST(SUM(y) AS BIGINT) // COUNT(*)) // 3000) AS u
+  FROM daily0
+), daily AS (
+  SELECT d, CAST(y // u AS BIGINT) AS y FROM daily0 CROSS JOIN unit
 ), m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(y) AS BIGINT) AS sy,
@@ -5334,6 +5379,7 @@ def a042_lilliefors(spark, sf_dir):
             " div 100 AS BIGINT)"
         ).alias("y")
     )
+    daily = _unit_scaled(daily)
     m = daily.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("sy"),
@@ -6206,11 +6252,16 @@ def a047_anderson_darling_ksample(spark, sf_dir):
 @query(
     "a048_theil_u2",
     oracle="""
-WITH daily AS (
+WITH daily0 AS (
   SELECT date_trunc('day', o_orderdate) AS d,
          CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
               // 100 AS BIGINT) AS y
   FROM orders GROUP BY d
+), unit AS (
+  SELECT GREATEST(1, (CAST(SUM(y) AS BIGINT) // COUNT(*)) // 3000) AS u
+  FROM daily0
+), daily AS (
+  SELECT d, CAST(y // u AS BIGINT) AS y FROM daily0 CROSS JOIN unit
 ), ts_ AS (
   SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily
 ), fc AS (
@@ -6258,6 +6309,7 @@ def a048_theil_u2(spark, sf_dir):
             " div 100 AS BIGINT)"
         ).alias("y")
     )
+    daily = _unit_scaled(daily)
     ts = daily.select(
         "y", F.row_number().over(Window.orderBy("d")).alias("t")
     )
