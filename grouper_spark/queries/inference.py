@@ -1001,11 +1001,16 @@ def _unit_scaled(daily, *extra):
 
 
 _DAILY_OLS_SQL = """
-daily AS (
+daily0 AS (
   SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
          CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) // 100
               AS BIGINT) AS y
   FROM orders GROUP BY d
+), unit AS (
+  SELECT GREATEST(1, (CAST(SUM(y) AS BIGINT) // COUNT(*)) // 3000) AS u
+  FROM daily0
+), daily AS (
+  SELECT d, CAST(y // u AS BIGINT) AS y FROM daily0 CROSS JOIN unit
 ), ts_ AS (
   SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t FROM daily
 ), sums AS (
@@ -1069,6 +1074,7 @@ def a479_durbin_watson(spark, sf_dir):
             " div 100 AS BIGINT)"
         ).alias("y")
     )
+    daily = _unit_scaled(daily)
     ts = daily.select(
         "y",
         F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
@@ -1165,6 +1171,7 @@ def a480_breusch_pagan(spark, sf_dir):
             " div 100 AS BIGINT)"
         ).alias("y")
     )
+    daily = _unit_scaled(daily)
     ts = daily.select(
         "y",
         F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
@@ -1237,11 +1244,16 @@ def a480_breusch_pagan(spark, sf_dir):
 @query(
     "a481_chow_test",
     oracle="""
-WITH daily AS (
+WITH daily0 AS (
   SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
          CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) // 100
               AS BIGINT) AS y
   FROM orders GROUP BY d
+), unit AS (
+  SELECT GREATEST(1, (CAST(SUM(y) AS BIGINT) // COUNT(*)) // 3000) AS u
+  FROM daily0
+), daily AS (
+  SELECT d, CAST(y // u AS BIGINT) AS y FROM daily0 CROSS JOIN unit
 ), ts_ AS (
   SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
          CAST(COUNT(*) OVER () AS BIGINT) AS n_all
@@ -1307,6 +1319,7 @@ def a481_chow_test(spark, sf_dir):
             " div 100 AS BIGINT)"
         ).alias("y")
     )
+    daily = _unit_scaled(daily)
     ts = daily.select(
         "y",
         F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
