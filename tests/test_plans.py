@@ -997,20 +997,20 @@ def test_a462_gram_join_is_row_equi(spark, sf_dir, registry):
 # ---- round-7 battery pins --------------------------------------------
 
 
-def test_a014_vif_single_pruned_scan(spark, sf_dir, registry):
+def test_a482_vif_single_pruned_scan(spark, sf_dir, registry):
     """VIF folds the corpus in ONE aggregate over 3 pruned columns."""
-    df = registry["a014_vif"].fn(spark, sf_dir)
+    df = registry["a482_vif"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("FileScan parquet") == 1
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "l_extendedprice" not in scan and "l_orderkey" not in scan
 
 
-def test_a022_convolution_is_aggregate_by_aggregate(spark, sf_dir, registry):
+def test_a490_convolution_is_aggregate_by_aggregate(spark, sf_dir, registry):
     """The HL difference convolution must join two VALUE HISTOGRAMS
     (bounded grids), never the per-user tables: both join inputs carry
     an Aggregate above the corpus in the optimized plan."""
-    df = registry["a022_hodges_lehmann"].fn(spark, sf_dir)
+    df = registry["a490_hodges_lehmann"].fn(spark, sf_dir)
     opt = optimized_of(df)
     ji = opt.index("Join")
     # everything below the first Join node must include two aggregates
@@ -1018,20 +1018,20 @@ def test_a022_convolution_is_aggregate_by_aggregate(spark, sf_dir, registry):
     assert below.count("Aggregate") >= 2, opt
 
 
-def test_a024_centroids_broadcast(spark, sf_dir, registry):
+def test_a492_centroids_broadcast(spark, sf_dir, registry):
     """Seed-centroid distance sweeps broadcast the 8-row side; the
     embeddings corpus is never shuffled for the assignment."""
-    df = registry["a024_davies_bouldin_ch"].fn(spark, sf_dir)
+    df = registry["a492_davies_bouldin_ch"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_a025_hits_final_plan_scans_no_corpus(spark, sf_dir, registry):
+def test_a493_hits_final_plan_scans_no_corpus(spark, sf_dir, registry):
     """After the eager edge checkpoint, the 8 HITS iterations run on
     checkpointed 5-row frames — the FINAL plan must contain no parquet
     scan of events (a corpus scan inside the loop would replan the lag
     window once per iteration)."""
-    df = registry["a025_hits"].fn(spark, sf_dir)
+    df = registry["a493_hits"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "FileScan parquet" not in plan, plan
 
@@ -1042,13 +1042,13 @@ def test_a030_absorbing_final_plan_scans_no_corpus(spark, sf_dir, registry):
     assert "FileScan parquet" not in plan, plan
 
 
-def test_a026_rich_club_reuses_checkpointed_edges(spark, sf_dir, registry):
+def test_a494_rich_club_reuses_checkpointed_edges(spark, sf_dir, registry):
     """The co-visitation edge build (the q146 capped path) is
     checkpointed once; the degree/threshold assembly downstream must
     not re-scan events at all (the cap itself is pinned at operator
     level by test_cooccurrence_posting_fanout_is_repartitioned and
     q146's own plan tests — a026 shares that exact build)."""
-    df = registry["a026_rich_club"].fn(spark, sf_dir)
+    df = registry["a494_rich_club"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("FileScan parquet") == 0, plan.count(
         "FileScan parquet"
