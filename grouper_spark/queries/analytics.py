@@ -2493,17 +2493,25 @@ WITH halves AS (
          CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
               THEN 0 ELSE 1 END AS half
   FROM events
+), ok0 AS (
+  SELECT event_type, d FROM halves WHERE half = 0
+  GROUP BY event_type, d HAVING COUNT(*) <= 4096
+), ok1 AS (
+  SELECT event_type, d FROM halves WHERE half = 1
+  GROUP BY event_type, d HAVING COUNT(*) <= 4096
 ), e0 AS (
   SELECT DISTINCT a.user_id AS u, b.user_id AS v
   FROM halves a JOIN halves b
     ON a.event_type = b.event_type AND a.d = b.d
        AND a.user_id < b.user_id
+  JOIN ok0 ON ok0.event_type = a.event_type AND ok0.d = a.d
   WHERE a.half = 0 AND b.half = 0
 ), e1 AS (
   SELECT DISTINCT a.user_id AS u, b.user_id AS v
   FROM halves a JOIN halves b
     ON a.event_type = b.event_type AND a.d = b.d
        AND a.user_id < b.user_id
+  JOIN ok1 ON ok1.event_type = a.event_type AND ok1.d = a.d
   WHERE a.half = 1 AND b.half = 1
 ), flags AS (
   SELECT COALESCE(e0.u, e1.u) AS u, COALESCE(e0.v, e1.v) AS v,
@@ -2511,11 +2519,12 @@ WITH halves AS (
          CASE WHEN e1.u IS NOT NULL THEN 1 ELSE 0 END AS in1
   FROM e0 FULL OUTER JOIN e1 ON e1.u = e0.u AND e1.v = e0.v
 )
-SELECT CAST(SUM(in0) AS BIGINT) AS n_edges_first,
-       CAST(SUM(in1) AS BIGINT) AS n_edges_second,
-       CAST(SUM(in0 * in1) AS BIGINT) AS n_shared,
-       round(CAST(SUM(in0 * in1) AS DOUBLE)
-             / (SUM(in0) + SUM(in1) - SUM(in0 * in1)), 6)
+SELECT CAST(COALESCE(SUM(in0), 0) AS BIGINT) AS n_edges_first,
+       CAST(COALESCE(SUM(in1), 0) AS BIGINT) AS n_edges_second,
+       CAST(COALESCE(SUM(in0 * in1), 0) AS BIGINT) AS n_shared,
+       round(CAST(COALESCE(SUM(in0 * in1), 0) AS DOUBLE)
+             / NULLIF(COALESCE(SUM(in0), 0) + COALESCE(SUM(in1), 0)
+                      - COALESCE(SUM(in0 * in1), 0), 0), 6)
          AS edge_jaccard_r
 FROM flags
 """,
@@ -2529,8 +2538,10 @@ def q309_graph_stability(spark, sf_dir):
     computed weekly and cached, or whether the structure churns too
     fast to reuse. Both edge sets come from the capped posting-list
     pair machinery (same-day-same-type co-occurrence, distinct
-    pairs), and the comparison is the q244 membership-flag full-outer
-    join — one aggregate over the unioned edge keys, no edge set ever
+    pairs; the oracle mirrors the max_bucket=4096 drop so the cap is
+    parity-PROVEN when it engages — at 10x every (type, day) bucket
+    exceeds the cap and both engines agree on the empty graph), and
+    the comparison is the q244 membership-flag full-outer join — one aggregate over the unioned edge keys, no edge set ever
     collected. A high Jaccard certifies cacheable structure; a low
     one is itself the drift alarm."""
     ev = table(spark, sf_dir, "events")
@@ -2562,14 +2573,15 @@ def q309_graph_stability(spark, sf_dir):
         F.coalesce("in0", F.lit(0)).alias("in0"),
         F.coalesce("in1", F.lit(0)).alias("in1"),
     )
-    shared = F.sum(F.col("in0") * F.col("in1"))
+    shared = F.coalesce(F.sum(F.col("in0") * F.col("in1")), F.lit(0))
+    s0 = F.coalesce(F.sum("in0"), F.lit(0))
+    s1 = F.coalesce(F.sum("in1"), F.lit(0))
     return flags.agg(
-        F.sum("in0").cast("bigint").alias("n_edges_first"),
-        F.sum("in1").cast("bigint").alias("n_edges_second"),
+        s0.cast("bigint").alias("n_edges_first"),
+        s1.cast("bigint").alias("n_edges_second"),
         shared.cast("bigint").alias("n_shared"),
         F.round(
-            shared.cast("double")
-            / (F.sum("in0") + F.sum("in1") - shared),
+            shared.cast("double") / F.nullif(s0 + s1 - shared, F.lit(0)),
             6,
         ).alias("edge_jaccard_r"),
     )
