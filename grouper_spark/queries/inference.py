@@ -3710,7 +3710,7 @@ def a496_dersimonian_laird(spark, sf_dir):
 
 
 @query(
-    "a029_weighted_reservoir",
+    "a497_weighted_reservoir",
     oracle="""
 WITH u AS (
   SELECT doc_id, source, n_chars,
@@ -3735,7 +3735,7 @@ FROM ranked WHERE rn <= 100
 """,
     tags=("inference", "curation"),
 )
-def a029_weighted_reservoir(spark, sf_dir):
+def a497_weighted_reservoir(spark, sf_dir):
     """Efraimidis–Spirakis weighted reservoir sample: 100 documents
     drawn WITHOUT replacement with probability proportional to length
     — the distributed one-pass equivalent of weighted reservoir
@@ -3827,11 +3827,11 @@ FROM v{_ABS_ITERS} ORDER BY start_state
 
 
 @query(
-    "a030_absorbing_markov",
+    "a498_absorbing_markov",
     oracle=_absorbing_oracle(),
     tags=("inference", "graph"),
 )
-def a030_absorbing_markov(spark, sf_dir):
+def a498_absorbing_markov(spark, sf_dir):
     """Expected steps to 'purchase' absorption from each transient
     event state, by 24 rounds of exact value iteration v ← 1 + Q·v on
     the row-normalized transient transition matrix — the absorbing-
@@ -3929,7 +3929,7 @@ def _erlang_sql_chain(inner: str) -> str:
 
 
 @query(
-    "a031_erlang_c",
+    "a499_erlang_c",
     oracle=f"""
 WITH span AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -3955,7 +3955,7 @@ FROM ({_erlang_sql_chain("SELECT * FROM load")}) q
 """,
     tags=("inference", "stats"),
 )
-def a031_erlang_c(spark, sf_dir):
+def a499_erlang_c(spark, sf_dir):
     """Erlang B blocking and Erlang C wait probabilities for the event
     stream treated as an arrival process against a 50-jobs/hour
     service rate — the staffing closed forms that extend a398's M/M/1
@@ -4027,7 +4027,7 @@ _DECAY_VALUES = ", ".join(f"({d}, {w})" for d, w in _DECAY_ROWS)
 
 
 @query(
-    "a032_decay_weighted_engagement",
+    "a500_decay_weighted_engagement",
     oracle=f"""
 WITH mx AS (
   SELECT MAX(epoch_us(ts)) AS m FROM events
@@ -4064,7 +4064,7 @@ FROM cum GROUP BY decile ORDER BY decile
 """,
     tags=("inference", "events"),
 )
-def a032_decay_weighted_engagement(spark, sf_dir):
+def a500_decay_weighted_engagement(spark, sf_dir):
     """Half-life-decayed engagement value per user (7-day half-life,
     ages capped at 30 days), summarized as a decile profile — the
     recency-weighted LTV signal that q149's EWMA (a sequential series
@@ -4143,7 +4143,7 @@ def a032_decay_weighted_engagement(spark, sf_dir):
 
 
 @query(
-    "a033_intersect_except",
+    "a501_intersect_except",
     oracle="""
 WITH vd AS (
   SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
@@ -4175,7 +4175,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM i_set) AS n_intersect,
 """,
     tags=("inference", "sql"),
 )
-def a033_intersect_except(spark, sf_dir):
+def a501_intersect_except(spark, sf_dir):
     """INTERSECT / EXCEPT / INTERSECT ALL / EXCEPT ALL over the
     (user, day) view-vs-purchase activity sets — the four ANSI set
     operators, the one relational-surface family the inventory had
@@ -4238,7 +4238,7 @@ _PERIOD_CASE = (
 
 
 @query(
-    "a034_page_trend",
+    "a502_page_trend",
     oracle="""
 WITH m AS (
   SELECT user_id,
@@ -4279,7 +4279,7 @@ FROM rk
 """,
     tags=("inference", "stats"),
 )
-def a034_page_trend(spark, sf_dir):
+def a502_page_trend(spark, sf_dir):
     """Page's L trend test for ordered repeated measures — does
     per-user activity MONOTONICALLY rise across the month's three
     decades? — the ordered-alternative sharpening of a411's Friedman
@@ -4339,7 +4339,7 @@ def a034_page_trend(spark, sf_dir):
 
 
 @query(
-    "a035_quade_test",
+    "a503_quade_test",
     oracle="""
 WITH per AS (
   SELECT user_id,
@@ -4401,7 +4401,7 @@ FROM s
 """,
     tags=("inference", "stats"),
 )
-def a035_quade_test(spark, sf_dir):
+def a503_quade_test(spark, sf_dir):
     """Quade test on the user × month-decade activity matrix — the
     repeated-measures test that WEIGHTS each user (block) by how much
     their activity actually varies, so high-signal users dominate
@@ -4514,7 +4514,7 @@ def a035_quade_test(spark, sf_dir):
 
 
 @query(
-    "a036_cox_stuart",
+    "a504_cox_stuart",
     oracle=f"""
 WITH daily AS (
   SELECT date_trunc('day', o_orderdate) AS d,
@@ -4561,7 +4561,7 @@ FROM probs
 """,
     tags=("inference", "timeseries"),
 )
-def a036_cox_stuart(spark, sf_dir):
+def a504_cox_stuart(spark, sf_dir):
     """Cox–Stuart sign test for monotone trend in daily revenue —
     the distribution-free trend detector that pairs the series' first
     half against its second half (x_i vs x_{i+h}) and asks whether
@@ -4641,7 +4641,7 @@ def a036_cox_stuart(spark, sf_dir):
 
 
 @query(
-    "a037_kpss",
+    "a505_kpss",
     oracle="""
 WITH daily AS (
   SELECT date_trunc('day', o_orderdate) AS d,
@@ -4693,7 +4693,7 @@ FROM agg_
 """,
     tags=("inference", "timeseries"),
 )
-def a037_kpss(spark, sf_dir):
+def a505_kpss(spark, sf_dir):
     """KPSS level-stationarity test on daily revenue — the
     null-reversed partner of trend tests: KPSS takes STATIONARITY as
     the null (a437-family drift monitors ask "did it move"; KPSS asks
@@ -4771,7 +4771,7 @@ def a037_kpss(spark, sf_dir):
 
 
 @query(
-    "a038_adf",
+    "a506_adf",
     oracle="""
 WITH daily0 AS (
   SELECT date_trunc('day', o_orderdate) AS d,
@@ -4819,7 +4819,7 @@ FROM c
 """,
     tags=("inference", "timeseries"),
 )
-def a038_adf(spark, sf_dir):
+def a506_adf(spark, sf_dir):
     """Dickey–Fuller unit-root test (constant, no augmentation
     lags) on daily revenue — the null-complement of a037's KPSS: DF
     takes the unit root as the null, so running both classifies the
@@ -4947,7 +4947,7 @@ WITH daily0 AS (
 
 
 @query(
-    "a039_granger_causality",
+    "a507_granger_causality",
     oracle=f"""{_GRANGER_MOMENTS_SQL}
 SELECT CAST(n AS BIGINT) AS n_obs,
        round(b2, 6) AS beta_orders_r,
@@ -4957,7 +4957,7 @@ FROM ({_sql_chain(_OLS2_LEVELS, "SELECT * FROM m")}) q
 """,
     tags=("inference", "timeseries"),
 )
-def a039_granger_causality(spark, sf_dir):
+def a507_granger_causality(spark, sf_dir):
     """Granger causality (one lag): do yesterday's ORDER COUNTS carry
     predictive information about today's REVENUE beyond revenue's own
     lag? The unrestricted OLS y_t ~ (1, y_{{t-1}}, x_{{t-1}}) is solved in
@@ -5072,7 +5072,7 @@ WITH daily0 AS (
 
 
 @query(
-    "a040_breusch_godfrey",
+    "a508_breusch_godfrey",
     oracle=f"""{_RESID_SQL}, lagged AS (
   SELECT t, ec,
          lag(ec) OVER (ORDER BY t) AS e1
@@ -5097,7 +5097,7 @@ FROM ({_sql_chain(_OLS2_LEVELS, "SELECT * FROM m")}) q
 """,
     tags=("inference", "timeseries"),
 )
-def a040_breusch_godfrey(spark, sf_dir):
+def a508_breusch_godfrey(spark, sf_dir):
     """Breusch–Godfrey LM test for first-order serial correlation in
     the daily-revenue trend residuals — the regression-based
     generalization of a011's Durbin–Watson (BG stays valid with
@@ -5189,7 +5189,7 @@ def a040_breusch_godfrey(spark, sf_dir):
 
 
 @query(
-    "a041_white_test",
+    "a509_white_test",
     oracle=f"""{_RESID_SQL}, sq AS (
   SELECT t, (ec // 1000) * (ec // 1000) AS u FROM resid
 ), m AS (
@@ -5212,7 +5212,7 @@ FROM ({_sql_chain(_OLS2_LEVELS, "SELECT * FROM m")}) q
 """,
     tags=("inference", "timeseries"),
 )
-def a041_white_test(spark, sf_dir):
+def a509_white_test(spark, sf_dir):
     """White's heteroskedasticity test on the daily-revenue trend
     residuals — the specification-free partner of a012's
     Breusch–Pagan: the auxiliary regression of SQUARED residuals on
@@ -5318,7 +5318,7 @@ def _phi(x: str) -> str:
 
 
 @query(
-    "a042_lilliefors",
+    "a510_lilliefors",
     oracle=f"""
 WITH daily0 AS (
   SELECT date_trunc('day', o_orderdate) AS d,
@@ -5372,7 +5372,7 @@ FROM dterm
 """,
     tags=("inference", "stats"),
 )
-def a042_lilliefors(spark, sf_dir):
+def a510_lilliefors(spark, sf_dir):
     """Lilliefors normality test on daily revenue — the KS distance
     against a normal with ESTIMATED (μ̂, σ̂), which is the test q157's
     two-sample KS and a109's Jarque–Bera moments do not give (JB sees
@@ -5446,7 +5446,7 @@ def a042_lilliefors(spark, sf_dir):
 
 
 @query(
-    "a043_brunner_munzel",
+    "a511_brunner_munzel",
     oracle="""
 WITH obs AS (
   SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
@@ -5507,7 +5507,7 @@ WHERE d1.g = 1 AND d2.g = 2
 """,
     tags=("inference", "stats"),
 )
-def a043_brunner_munzel(spark, sf_dir):
+def a511_brunner_munzel(spark, sf_dir):
     """Brunner–Munzel test (URGENT vs LOW order values) — the
     nonparametric Behrens–Fisher solution: unlike q233's
     Mann–Whitney it does NOT assume equal variances/shapes under the
@@ -5622,7 +5622,7 @@ def a043_brunner_munzel(spark, sf_dir):
 
 
 @query(
-    "a044_conover_squared_ranks",
+    "a512_conover_squared_ranks",
     oracle="""
 WITH obs AS (
   SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
@@ -5685,7 +5685,7 @@ FROM s
 """,
     tags=("inference", "stats"),
 )
-def a044_conover_squared_ranks(spark, sf_dir):
+def a512_conover_squared_ranks(spark, sf_dir):
     """Conover squared-ranks test for equal variances (URGENT vs LOW
     order values) — the RANK-based scale test that stays valid when
     a007's Bartlett (normality-dependent) and a351's Levene
@@ -5817,7 +5817,7 @@ WITH rng AS (
 
 
 @query(
-    "a045_bowker_symmetry",
+    "a513_bowker_symmetry",
     oracle=f"""{_MODAL_SQL}, ct AS (
   SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n FROM paired
   GROUP BY t1, t2
@@ -5847,7 +5847,7 @@ FROM terms
 """,
     tags=("inference", "stats"),
 )
-def a045_bowker_symmetry(spark, sf_dir):
+def a513_bowker_symmetry(spark, sf_dir):
     """Bowker's test of symmetry on the 5×5 paired transition table
     of each user's MODAL event type, first half vs second half of the
     corpus window — the k×k generalization of a412's McNemar: under
@@ -5942,7 +5942,7 @@ def a045_bowker_symmetry(spark, sf_dir):
 
 
 @query(
-    "a046_stuart_maxwell",
+    "a514_stuart_maxwell",
     oracle=f"""{_MODAL_SQL}, coll AS (
   SELECT CASE WHEN t1 = 'purchase' THEN 'purchase'
               WHEN t1 = 'click' THEN 'click' ELSE 'other' END AS c1,
@@ -5987,7 +5987,7 @@ FROM cell
 """,
     tags=("inference", "stats"),
 )
-def a046_stuart_maxwell(spark, sf_dir):
+def a514_stuart_maxwell(spark, sf_dir):
     """Stuart–Maxwell marginal-homogeneity test on the 3-category
     (purchase / click / other) modal-behavior transition — the
     complement of a045's Bowker: Bowker asks whether individual
@@ -6107,7 +6107,7 @@ def a046_stuart_maxwell(spark, sf_dir):
 
 
 @query(
-    "a047_anderson_darling_ksample",
+    "a515_anderson_darling_ksample",
     oracle="""
 WITH obs AS (
   SELECT o_orderpriority AS g,
@@ -6163,7 +6163,7 @@ FROM gterm
 """,
     tags=("inference", "stats"),
 )
-def a047_anderson_darling_ksample(spark, sf_dir):
+def a515_anderson_darling_ksample(spark, sf_dir):
     """k-sample Anderson–Darling test (Scholz–Stephens A²ₐₖₙ, midrank
     version) across the 5 order priorities — the tail-sensitive
     k-sample distribution-equality test that q157's two-sample KS and
@@ -6263,7 +6263,7 @@ def a047_anderson_darling_ksample(spark, sf_dir):
 
 
 @query(
-    "a048_theil_u2",
+    "a516_theil_u2",
     oracle="""
 WITH daily0 AS (
   SELECT date_trunc('day', o_orderdate) AS d,
@@ -6302,7 +6302,7 @@ FROM m
 """,
     tags=("inference", "timeseries"),
 )
-def a048_theil_u2(spark, sf_dir):
+def a516_theil_u2(spark, sf_dir):
     """Theil's U2 (and U1) forecast-quality coefficients for the
     weekly-seasonal-naive predictor of daily revenue against the
     random-walk naive — the scale-free "is the model better than
@@ -6373,7 +6373,7 @@ def a048_theil_u2(spark, sf_dir):
 
 
 @query(
-    "a049_kendalls_w",
+    "a517_kendalls_w",
     oracle="""
 WITH per AS (
   SELECT user_id,
@@ -6484,7 +6484,7 @@ FROM s
 """,
     tags=("inference", "stats"),
 )
-def a049_kendalls_w(spark, sf_dir):
+def a517_kendalls_w(spark, sf_dir):
     """Kendall's coefficient of concordance W, with the tie
     correction, across all users' rankings of the 5 event types by
     personal usage — the multi-rater agreement statistic that a118's
@@ -6570,7 +6570,7 @@ def a049_kendalls_w(spark, sf_dir):
 
 
 @query(
-    "a050_goodman_kruskal_lambda",
+    "a518_goodman_kruskal_lambda",
     oracle="""
 WITH ct AS (
   SELECT c_nationkey AS x, c_mktsegment AS y,
@@ -6605,7 +6605,7 @@ CROSS JOIN tot
 """,
     tags=("inference", "stats"),
 )
-def a050_goodman_kruskal_lambda(spark, sf_dir):
+def a518_goodman_kruskal_lambda(spark, sf_dir):
     """Goodman–Kruskal lambda (both directions + symmetric) for
     nation → market segment — the proportional-reduction-in-error
     association measure that answers the question a413's Cramér's V
@@ -6675,7 +6675,7 @@ def a050_goodman_kruskal_lambda(spark, sf_dir):
 
 
 @query(
-    "a051_uncertainty_coefficient",
+    "a519_uncertainty_coefficient",
     oracle="""
 WITH ct AS (
   SELECT source AS x, lang AS y, CAST(COUNT(*) AS BIGINT) AS n
@@ -6714,7 +6714,7 @@ FROM h
 """,
     tags=("inference", "stats"),
 )
-def a051_uncertainty_coefficient(spark, sf_dir):
+def a519_uncertainty_coefficient(spark, sf_dir):
     """Theil's uncertainty coefficient U (both directions +
     symmetric) for source → language — the ENTROPY-based PRE measure
     that complements a050's modal lambda (lambda only credits mode
@@ -6776,7 +6776,7 @@ def a051_uncertainty_coefficient(spark, sf_dir):
 
 
 @query(
-    "a052_cramer_von_mises",
+    "a520_cramer_von_mises",
     oracle="""
 WITH obs AS (
   SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
@@ -6818,7 +6818,7 @@ FROM terms
 """,
     tags=("inference", "stats"),
 )
-def a052_cramer_von_mises(spark, sf_dir):
+def a520_cramer_von_mises(spark, sf_dir):
     """Two-sample Cramér–von Mises statistic (URGENT vs LOW order
     values) — the INTEGRATED-squared-CDF-distance test that completes
     the two-sample panel: q157's KS reacts to the single worst
@@ -6889,7 +6889,7 @@ def a052_cramer_von_mises(spark, sf_dir):
 
 
 @query(
-    "a053_ansari_bradley",
+    "a521_ansari_bradley",
     oracle="""
 WITH obs AS (
   SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
@@ -6941,7 +6941,7 @@ FROM s
 """,
     tags=("inference", "stats"),
 )
-def a053_ansari_bradley(spark, sf_dir):
+def a521_ansari_bradley(spark, sf_dir):
     """Ansari–Bradley dispersion test (URGENT vs LOW order values) —
     the rank-based scale test whose scores fold in from BOTH ends
     (score = min(rank, N+1−rank)), giving it a different sensitivity

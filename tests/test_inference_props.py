@@ -150,13 +150,13 @@ def test_dersimonian_laird_tau_nonneg(row):
 
 
 def test_weighted_reservoir_size(row):
-    r = row("a029_weighted_reservoir")[0]
+    r = row("a497_weighted_reservoir")[0]
     assert r.k_sampled == 100
     assert r.n_sources >= 1
 
 
 def test_absorbing_steps_at_least_one(row):
-    rows = row("a030_absorbing_markov")
+    rows = row("a498_absorbing_markov")
     assert len(rows) == 4
     for r in rows:
         # at least one step to absorb from any transient state
@@ -164,7 +164,7 @@ def test_absorbing_steps_at_least_one(row):
 
 
 def test_erlang_c_dominates_b(row):
-    r = row("a031_erlang_c")[0]
+    r = row("a499_erlang_c")[0]
     assert 0.0 <= r.erlang_b8_r <= 1.0
     if r.erlang_c8_r is not None:
         # Erlang C (wait) >= Erlang B (block) at the same c
@@ -172,64 +172,64 @@ def test_erlang_c_dominates_b(row):
 
 
 def test_decay_deciles_monotone(row):
-    rows = row("a032_decay_weighted_engagement")
+    rows = row("a500_decay_weighted_engagement")
     avgs = [r.avg_decayed_dollars_r for r in rows]
     assert avgs == sorted(avgs)
     assert all(r.n_users > 0 for r in rows)
 
 
 def test_intersect_except_counts(row):
-    r = row("a033_intersect_except")[0]
+    r = row("a501_intersect_except")[0]
     # bag counts dominate set counts; EXCEPT ALL >= EXCEPT
     assert r.n_intersect_all >= r.n_intersect
     assert r.n_except_all >= r.n_except
 
 
 def test_page_l_range(row):
-    r = row("a034_page_trend")[0]
+    r = row("a502_page_trend")[0]
     # doubled L is between n*k(k+1)/1... loose sanity: positive, bounded
     assert 12 * r.n_users <= r.l2_stat <= 36 * r.n_users
 
 
 def test_quade_f_nonneg(row):
-    r = row("a035_quade_test")[0]
+    r = row("a503_quade_test")[0]
     assert r.f_quade_r >= 0.0
 
 
 def test_cox_stuart_p_range(row):
-    r = row("a036_cox_stuart")[0]
+    r = row("a504_cox_stuart")[0]
     assert 0.0 <= r.p_two_sided_r <= 1.0
 
 
 def test_kpss_nonneg(row):
-    r = row("a037_kpss")[0]
+    r = row("a505_kpss")[0]
     assert r.kpss_eta_r >= 0.0
 
 
 def test_brunner_munzel_p_hat_range(row):
-    r = row("a043_brunner_munzel")[0]
+    r = row("a511_brunner_munzel")[0]
     assert 0.0 <= r.p_hat_r <= 1.0
 
 
 def test_bowker_df_bound(row):
-    r = row("a045_bowker_symmetry")[0]
+    r = row("a513_bowker_symmetry")[0]
     assert 0 <= r.df_used <= 10  # C(5,2) unordered pairs
     assert r.chi2_bowker_r >= 0.0
 
 
 def test_stuart_maxwell_margins_sum_zero(row):
-    r = row("a046_stuart_maxwell")[0]
+    r = row("a514_stuart_maxwell")[0]
     assert r.d_purchase + r.d_click + r.d_other == 0
 
 
 def test_ad_ksample_shape(row):
-    r = row("a047_anderson_darling_ksample")[0]
+    r = row("a515_anderson_darling_ksample")[0]
     assert r.k_groups == 5
     assert r.a2_akn_r is not None
 
 
 def test_theil_u_consistency(row):
-    r = row("a048_theil_u2")[0]
+    r = row("a516_theil_u2")[0]
     assert r.theil_u2_r >= 0.0
     assert 0.0 <= r.theil_u1_r <= 1.0 + 1e-9
     assert (r.verdict == "seasonal_beats_naive") == (r.theil_u2_r < 1.0)
@@ -280,7 +280,7 @@ def test_vif_at_least_one(row):
 
 
 def test_adf_outputs_finite(row):
-    r = row("a038_adf")[0]
+    r = row("a506_adf")[0]
     # the AR coefficient rho on differences sits in (-2, 1) for any
     # real series; the t ratio must agree in sign with rho
     assert -2.0 < r.rho_r < 1.0
@@ -288,45 +288,45 @@ def test_adf_outputs_finite(row):
 
 
 def test_granger_f_nonneg(row):
-    r = row("a039_granger_causality")[0]
+    r = row("a507_granger_causality")[0]
     # restricted SSE >= unrestricted SSE, so F >= 0 up to rounding
     assert r.f_granger_r >= -1e-6
 
 
 def test_breusch_godfrey_lm_bounds(row):
-    r = row("a040_breusch_godfrey")[0]
+    r = row("a508_breusch_godfrey")[0]
     # LM = n*R^2 with R^2 in [0,1]
     assert -1e-6 <= r.lm_bg_r <= r.n_obs + 1e-6
     assert -1.0 <= r.rho_resid_r <= 1.0
 
 
 def test_white_r2_bounds(row):
-    r = row("a041_white_test")[0]
+    r = row("a509_white_test")[0]
     assert -1e-6 <= r.r2_aux_r <= 1.0 + 1e-6
     # r2_aux_r is rounded to 6dp, so the identity holds to n*5e-7
     assert abs(r.lm_white_r - r.n_obs * r.r2_aux_r) < r.n_obs * 5.1e-7 + 1e-6
 
 
 def test_lilliefors_d_range(row):
-    r = row("a042_lilliefors")[0]
+    r = row("a510_lilliefors")[0]
     assert 0.0 <= r.d_stat_r <= 1.0
 
 
 def test_conover_t_bounds(row):
-    r = row("a044_conover_squared_ranks")[0]
+    r = row("a512_conover_squared_ranks")[0]
     # normalized squared ranks are <= 1 each, so T <= n1
     assert 0.0 <= r.t_norm_r <= r.n_urgent + 1e-6
 
 
 def test_kendalls_w_range(row):
-    r = row("a049_kendalls_w")[0]
+    r = row("a517_kendalls_w")[0]
     assert 0.0 <= r.w_r <= 1.0 + 1e-9
     # chi2 = m (n-1) W identity
     assert abs(r.chi2_r - r.n_raters * 4.0 * r.w_r) < 2e-4
 
 
 def test_gk_lambda_bounds(row):
-    r = row("a050_goodman_kruskal_lambda")[0]
+    r = row("a518_goodman_kruskal_lambda")[0]
     for v in (
         r.lambda_seg_given_nation_r,
         r.lambda_nation_given_seg_r,
@@ -340,7 +340,7 @@ def test_gk_lambda_bounds(row):
 
 
 def test_uncertainty_coefficient_bounds(row):
-    r = row("a051_uncertainty_coefficient")[0]
+    r = row("a519_uncertainty_coefficient")[0]
     assert r.mi_nats_r >= -1e-6
     for v in (
         r.u_lang_given_source_r,
@@ -351,12 +351,12 @@ def test_uncertainty_coefficient_bounds(row):
 
 
 def test_cvm_nonneg(row):
-    r = row("a052_cramer_von_mises")[0]
+    r = row("a520_cramer_von_mises")[0]
     assert r.cvm_t_r >= 0.0
 
 
 def test_ansari_bradley_score_bounds(row):
-    r = row("a053_ansari_bradley")[0]
+    r = row("a521_ansari_bradley")[0]
     nn = r.n_urgent + r.n_low
     # AB sums n1 scores, each in [1, (N+1)/2]
     assert r.n_urgent <= r.ab_stat_r <= r.n_urgent * (nn + 1) / 2.0

@@ -1036,8 +1036,8 @@ def test_a493_hits_final_plan_scans_no_corpus(spark, sf_dir, registry):
     assert "FileScan parquet" not in plan, plan
 
 
-def test_a030_absorbing_final_plan_scans_no_corpus(spark, sf_dir, registry):
-    df = registry["a030_absorbing_markov"].fn(spark, sf_dir)
+def test_a498_absorbing_final_plan_scans_no_corpus(spark, sf_dir, registry):
+    df = registry["a498_absorbing_markov"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "FileScan parquet" not in plan, plan
 
@@ -1055,10 +1055,10 @@ def test_a494_rich_club_reuses_checkpointed_edges(spark, sf_dir, registry):
     )
 
 
-def test_a032_decay_weights_broadcast_join(spark, sf_dir, registry):
+def test_a500_decay_weights_broadcast_join(spark, sf_dir, registry):
     """The 31-row decay table joins broadcast; the corpus-side fold is
     map-side combined (partial aggregate before the exchange)."""
-    df = registry["a032_decay_weighted_engagement"].fn(spark, sf_dir)
+    df = registry["a500_decay_weighted_engagement"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan or "partial" in plan.lower()

@@ -1,7 +1,7 @@
 """Driver-sampler window invariants (no SparkSession needed).
 
 The driver hash-certifies the alphabetically-first 50 registry names
-each round.  These tests pin the round-8 rotation contract from
+each round.  These tests pin the round-9 rotation contract from
 queries/aliases.py: the window must be 50 FIRST-TIME names — zero
 re-hashes of anything certified in rounds 1..=_CERTIFIED_THROUGH.
 
@@ -19,7 +19,7 @@ import re
 
 from grouper_spark.queries import load_all
 
-_CERTIFIED_THROUGH = 7  # rounds whose CORRECTNESS files are "spent"
+_CERTIFIED_THROUGH = 8  # rounds whose CORRECTNESS files are "spent"
 _ROOT = os.path.join(os.path.dirname(__file__), os.pardir)
 
 
@@ -73,7 +73,7 @@ def test_window_composition():
 
 def test_retired_numbers_not_reused():
     reg = load_all()
-    retired = {f"a{i:03d}" for i in range(0, 29)} | {
+    retired = {f"a{i:03d}" for i in range(0, 54)} | {
         "a415",
         "a416",
         "a423",
