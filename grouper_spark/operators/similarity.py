@@ -177,9 +177,10 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     top_pairs: int = 20,
     num_bands: int = 16,
-    band_planes: int = 2,
+    band_planes: int | None = 2,
     seed: int = 42,
     max_bucket: int | None = None,
+    target_bucket: int = 8,
 ) -> DataFrame:
     """Corpus-scale embedding near-dup: banded random-hyperplane LSH
     candidate generation + exact cosine rerank. Never materializes
@@ -200,12 +201,25 @@ def lsh_neardup_pairs(
     collision probability p — tune bands/planes to the similarity floor
     you care about. ``max_bucket`` drops pathological buckets (all-equal
     vectors at corpus scale) the same way the shingle df-cap does.
+
+    ``band_planes=None`` engages the scaling law that keeps candidate
+    volume LINEAR in corpus size: planes per band grows with log2(n) so
+    the expected random-collision bucket size stays ~``target_bucket``
+    regardless of n (at 100 TB / ~1e8 vectors that is ~24 planes). Per-
+    band match probability for a pair at cosine c is p^planes with
+    p = 1 - arccos(c)/π, so adaptive planes only suit a true NEAR-DUP
+    floor (c ≥ ~0.99, p ≥ ~0.97) where p^24 stays large — at that floor
+    the 16-band miss probability is < 1e-6 even at 1e8 rows, while a
+    random pair (p≈0.5) collides with probability 2^-planes ≈ 8/n.
     Returns ``(vec_a, vec_b, cosine)``.
     """
     dim = 64
     first = corpus.select(F.size(vec_col).alias("d")).first()
     if first is not None:
         dim = first["d"]
+    if band_planes is None:
+        n = corpus.count()
+        band_planes = max(8, math.ceil(math.log2(max(n, 2) / target_bucket)))
     n_planes = num_bands * band_planes
     mat = np.array(
         random_hyperplanes(dim, n_planes, seed), dtype=np.float64

