@@ -1028,14 +1028,17 @@ def q280_embedding_drift(spark, sf_dir):
 @query(
     "q297_knn_classifier_eval",
     oracle="""
-WITH pairs AS (
+WITH panel AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  ORDER BY md5('kp|' || CAST(vec_id AS VARCHAR)) LIMIT 256
+), pairs AS (
   SELECT a.vec_id AS qid, a.label AS true_label, b.label AS nb_label,
          row_number() OVER (
            PARTITION BY a.vec_id
            ORDER BY round(list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
                     DESC, b.vec_id) AS rk
-  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+  FROM panel a JOIN embeddings b ON b.vec_id != a.vec_id
 ), votes AS (
   SELECT qid, true_label, nb_label,
          CAST(COUNT(*) AS BIGINT) AS v
@@ -1061,17 +1064,20 @@ ORDER BY true_label
     tags=("similarity", "eval", "mlops"),
 )
 def q297_knn_classifier_eval(spark, sf_dir):
-    """Leave-one-out 5-NN label accuracy over the embedding corpus —
-    the zero-training classifier whose holdout accuracy IS a direct
-    measurement of embedding quality (if neighbors don't share labels,
-    the geometry is wrong and every downstream ANN/cluster use
-    inherits it). Neighbor ranking uses 6-dp ROUNDED cosine with id
-    tie-break (the q83 contract — raw-float ordering could flip a
-    boundary neighbor between engines), majority vote breaks ties
-    toward the smaller label deterministically. The all-pairs scoring
-    is the deliberate exact reference at this corpus size; the 100 TB
-    path swaps in q266's banded candidates and reuses the identical
-    vote/accuracy tail. Complements q296: that evaluates a parametric
+    """Leave-one-out 5-NN label accuracy over a deterministic 256-vector
+    evaluation panel — the zero-training classifier whose holdout
+    accuracy IS a direct measurement of embedding quality (if neighbors
+    don't share labels, the geometry is wrong and every downstream
+    ANN/cluster use inherits it). The panel is the md5-ordered first 256
+    vectors (both engines derive the identical set), scored against the
+    FULL corpus, so both the Spark plan and the oracle are LINEAR in
+    corpus size at any scale — the 100 TB shape is broadcast-the-panel /
+    stream-the-corpus, never corpus×corpus (the r8 scale10 sweep's one
+    documented exception was this query's old all-pairs oracle).
+    Neighbor ranking uses 6-dp ROUNDED cosine with id tie-break (the q83
+    contract — raw-float ordering could flip a boundary neighbor between
+    engines), majority vote breaks ties toward the smaller label
+    deterministically. Complements q296: that evaluates a parametric
     model, this evaluates the representation itself."""
     from pyspark.sql import Window
 
@@ -1079,18 +1085,24 @@ def q297_knn_classifier_eval(spark, sf_dir):
     from ..operators.core import ensure_parallelism
 
     e = table(spark, sf_dir, "embeddings")
-    a = ensure_parallelism(e).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("true_label"),
-        l2_normalize("embedding").alias("__va"),
+    a = (
+        e.orderBy(
+            F.md5(F.concat(F.lit("kp|"), F.col("vec_id").cast("string")))
+        )
+        .limit(256)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("true_label"),
+            l2_normalize("embedding").alias("__va"),
+        )
     )
-    b = e.select(
+    b = ensure_parallelism(e).select(
         F.col("vec_id").alias("nid"),
         F.col("label").alias("nb_label"),
         l2_normalize("embedding").alias("__vb"),
     )
     pairs = (
-        a.crossJoin(F.broadcast(b))
+        b.crossJoin(F.broadcast(a))
         .filter(F.col("nid") != F.col("qid"))
         .select(
             "qid",

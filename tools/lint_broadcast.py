@@ -54,7 +54,6 @@ BOUNDING_NODES = ("Aggregate", "GlobalLimit", "LocalLimit")
 # path is a different registered query, not a different plan for these.
 ALLOWLIST = {
     "q53_embedding_neardup": "exact all-pairs oracle; 100 TB path = q83/q266 banded",
-    "q297_knn_classifier_eval": "exact LOO reference; 100 TB path = q266 candidates",
     "q340_first_relevant_rank": "exact MRR reference; 100 TB path = q266 candidates",
 }
 
