@@ -180,9 +180,11 @@ def main() -> None:
     # sf1 scale point (r7 verdict #5): the 10 heaviest headline queries
     # re-timed on the 10x-staged fixture (~1.5M orders / 6M lineitems ≈
     # sf1) so the "plans survive 10x" claim is wall-clock empirical, not
-    # plan-shape-only. Single-shot (a scale probe, not a tight
-    # benchmark — q83 alone runs ~2.5 min here). Opt out with
-    # SPARK_GRAFT_SF1=0; skipped silently if the staged dir is absent
+    # plan-shape-only. min-of-2 per query (r8 verdict #8: single-shot
+    # sf1 numbers carry 36%-class JVM noise), and the section records
+    # total/jvm_fixed_work_sec so sf1 deltas can be normalized the same
+    # way the continuity set is. Opt out with SPARK_GRAFT_SF1=0;
+    # skipped silently if the staged dir is absent
     # (tools/stage_scale10.py creates it).
     sf1_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -206,14 +208,21 @@ def main() -> None:
             "a448_ipf_raking",
         )
         sf1_timings = {
-            name: round(run_one(spark, registry[name], sf1_dir), 3)
+            name: round(
+                min(run_one(spark, registry[name], sf1_dir) for _ in range(2)),
+                3,
+            )
             for name in heavy
         }
+        sf1_total = round(sum(sf1_timings.values()), 3)
         sf1 = {
             "dir": sf1_dir,
             "approx_sf": 1.0,
             "queries": sf1_timings,
-            "total": round(sum(sf1_timings.values()), 3),
+            "total": sf1_total,
+            # same normalization contract as continuity_normalized:
+            # sf1 wall in units of the fixed-work JVM probe.
+            "total_normalized": round(sf1_total / calib_jvm_sec, 3),
         }
     print(
         json.dumps(
