@@ -57,6 +57,7 @@ _MODULES = (
     "inference",
     "inference2",
     "inference3",
+    "inference4",
     # keep last: re-registers existing queries under driver-sampler
     # alias names (depends on every other module being loaded)
     "aliases",
