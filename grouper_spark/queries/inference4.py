@@ -530,3 +530,450 @@ def a178_hoeffding_d(spark, sf_dir):
             6,
         ).alias("d_stat_r"),
     )
+
+@query(
+    "a179_blomqvist_beta",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+med AS (
+  SELECT
+    (SELECT v FROM daily ORDER BY v, d
+      LIMIT 1 OFFSET (SELECT ((COUNT(*) + 1) // 2) - 1 FROM daily)) AS mv,
+    (SELECT y FROM daily ORDER BY y, d
+      LIMIT 1 OFFSET (SELECT ((COUNT(*) + 1) // 2) - 1 FROM daily)) AS my
+), quad AS (
+  SELECT
+    CAST(SUM(CASE WHEN v > mv AND y > my THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN v <= mv AND y > my THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN v <= mv AND y <= my THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+    CAST(SUM(CASE WHEN v > mv AND y <= my THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM daily CROSS JOIN med
+)
+SELECT n1, n2, n3, n4,
+       round(CAST(n1 + n3 - n2 - n4 AS DOUBLE) / (n1 + n2 + n3 + n4), 6)
+         AS beta_r
+FROM quad
+""",
+    tags=("inference", "dependence"),
+)
+def a179_blomqvist_beta(spark, sf_dir):
+    """Blomqvist's beta (medial correlation) between daily order volume
+    and daily revenue: the quadrant statistic — concordance of signs
+    around the (median, median) center. The robust quick-look
+    dependence check that needs only quadrant COUNTS (exact integers);
+    medians are the deterministic LOWER medians ((n+1)//2-th order
+    statistic with date tie-break), the q160 exact-median convention,
+    so no interpolation ever enters. One corpus fold + one broadcast of
+    a 1-row median pair."""
+    daily = _dailyv(spark, sf_dir).localCheckpoint(eager=False)
+    n_half = daily.groupBy().agg(
+        (((F.count("*") + 1) / 2).cast("bigint") - 1).alias("k")
+    )
+    wv = Window.orderBy("v", "d")
+    wy = Window.orderBy("y", "d")
+    ranked = daily.select(
+        "v",
+        "y",
+        (F.row_number().over(wv) - 1).cast("bigint").alias("rv"),
+        (F.row_number().over(wy) - 1).cast("bigint").alias("ry"),
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(n_half))
+        .agg(
+            F.max(F.when(F.col("rv") == F.col("k"), F.col("v"))).alias("mv"),
+            F.max(F.when(F.col("ry") == F.col("k"), F.col("y"))).alias("my"),
+        )
+    )
+    quad = daily.crossJoin(F.broadcast(med)).agg(
+        F.sum(((F.col("v") > F.col("mv")) & (F.col("y") > F.col("my"))).cast("bigint")).alias("n1"),
+        F.sum(((F.col("v") <= F.col("mv")) & (F.col("y") > F.col("my"))).cast("bigint")).alias("n2"),
+        F.sum(((F.col("v") <= F.col("mv")) & (F.col("y") <= F.col("my"))).cast("bigint")).alias("n3"),
+        F.sum(((F.col("v") > F.col("mv")) & (F.col("y") <= F.col("my"))).cast("bigint")).alias("n4"),
+    )
+    return quad.select(
+        "n1",
+        "n2",
+        "n3",
+        "n4",
+        F.round(
+            (F.col("n1") + F.col("n3") - F.col("n2") - F.col("n4")).cast("double")
+            / (F.col("n1") + F.col("n2") + F.col("n3") + F.col("n4")),
+            6,
+        ).alias("beta_r"),
+    )
+
+
+@query(
+    "a180_welch_anova",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag || '/' || l_linestatus AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+                  * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS s2
+  FROM lineitem
+  GROUP BY 1
+  HAVING COUNT(*) >= 2
+), stats AS (
+  SELECT grp, n,
+         CAST(s1 AS DOUBLE) / n AS m,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS s2v
+  FROM g
+), w AS (
+  SELECT grp, n, m, s2v, CAST(n AS DOUBLE) / s2v AS wt FROM stats
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(wt) AS sw,
+         SUM(wt * m) AS swm
+  FROM w
+), grand AS (
+  SELECT k, sw, swm / sw AS gm FROM tot
+), comp AS (
+  SELECT g2.k, g2.gm,
+         SUM(w.wt * (w.m - g2.gm) * (w.m - g2.gm)) AS num,
+         SUM((1.0 - w.wt / g2.sw) * (1.0 - w.wt / g2.sw) / (w.n - 1))
+           AS lam
+  FROM w CROSS JOIN grand g2
+  GROUP BY g2.k, g2.gm, g2.sw
+)
+SELECT k AS n_groups,
+       round(gm, 6) AS grand_mean_r,
+       round((num / (k - 1))
+             / (1.0 + 2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1.0) * lam),
+             6) AS f_welch_r,
+       round((CAST(k AS DOUBLE) * k - 1.0) / (3.0 * lam), 6) AS df2_r
+FROM comp
+""",
+    tags=("inference", "anova"),
+)
+def a180_welch_anova(spark, sf_dir):
+    """Welch's heteroscedasticity-robust one-way ANOVA of line-item
+    quantity across the 6 returnflag/linestatus groups — the F* that
+    does NOT assume equal group variances (classic ANOVA q272's blind
+    spot; a475_bartlett tests the assumption, this drops it). Group
+    moments are exact BIGINT sums of the integer quantities; the Welch
+    weights, grand mean, F*, and Welch–Satterthwaite df2 are a fixed
+    scalar expression tree over the 6-row group summary, identical on
+    both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity", 0).cast("bigint")
+    g = (
+        li.groupBy(
+            F.concat_ws("/", "l_returnflag", "l_linestatus").alias("grp")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(q).cast("bigint").alias("s1"),
+            F.sum(q * q).cast("bigint").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    stats = g.select(
+        "grp",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("m"),
+        (
+            (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("s2v"),
+    ).select("grp", "n", "m", "s2v", (F.col("n").cast("double") / F.col("s2v")).alias("wt"))
+    tot = stats.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("wt").alias("sw"),
+        F.sum(F.col("wt") * F.col("m")).alias("swm"),
+    ).select("k", "sw", (F.col("swm") / F.col("sw")).alias("gm"))
+    comp = (
+        stats.crossJoin(F.broadcast(tot))
+        .groupBy("k", "gm", "sw")
+        .agg(
+            F.sum(F.col("wt") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))).alias("num"),
+            F.sum(
+                (F.lit(1.0) - F.col("wt") / F.col("sw"))
+                * (F.lit(1.0) - F.col("wt") / F.col("sw"))
+                / (F.col("n") - 1)
+            ).alias("lam"),
+        )
+    )
+    kd = F.col("k").cast("double")
+    return comp.select(
+        F.col("k").alias("n_groups"),
+        F.round("gm", 6).alias("grand_mean_r"),
+        F.round(
+            (F.col("num") / (F.col("k") - 1))
+            / (F.lit(1.0) + F.lit(2.0) * (F.col("k") - 2) / (kd * F.col("k") - F.lit(1.0)) * F.col("lam")),
+            6,
+        ).alias("f_welch_r"),
+        F.round((kd * F.col("k") - F.lit(1.0)) / (F.lit(3.0) * F.col("lam")), 6).alias("df2_r"),
+    )
+
+@query(
+    "a181_ancova",
+    oracle="""
+WITH li AS (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y
+  FROM lineitem
+), g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM li GROUP BY grp
+), within AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nt,
+         SUM(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS wxx,
+         SUM(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) AS wxy,
+         SUM(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) AS wyy
+  FROM g
+), totals AS (
+  SELECT CAST(SUM(sx) AS BIGINT) AS tx, CAST(SUM(sy) AS BIGINT) AS ty,
+         CAST(SUM(sxx) AS BIGINT) AS txx, CAST(SUM(sxy) AS BIGINT) AS txy,
+         CAST(SUM(syy) AS BIGINT) AS tyy, CAST(SUM(n) AS BIGINT) AS nt
+  FROM g
+), comp AS (
+  SELECT w.k, w.nt,
+         w.wyy - w.wxy * w.wxy / w.wxx AS sse_w,
+         (CAST(t.tyy AS DOUBLE) - CAST(t.ty AS DOUBLE) * t.ty / t.nt)
+           - (CAST(t.txy AS DOUBLE) - CAST(t.tx AS DOUBLE) * t.ty / t.nt)
+             * (CAST(t.txy AS DOUBLE) - CAST(t.tx AS DOUBLE) * t.ty / t.nt)
+             / (CAST(t.txx AS DOUBLE) - CAST(t.tx AS DOUBLE) * t.tx / t.nt)
+           AS sse_t,
+         w.wxy / w.wxx AS b_common
+  FROM within w CROSS JOIN totals t
+)
+SELECT k AS n_groups, nt AS n_obs,
+       round(b_common, 6) AS slope_r,
+       round((sse_t - sse_w) / (k - 1) / (sse_w / (nt - k - 1)), 6)
+         AS f_group_r
+FROM comp
+""",
+    tags=("inference", "anova", "regression"),
+)
+def a181_ancova(spark, sf_dir):
+    """One-way ANCOVA: extended price (whole dollars) by returnflag
+    group, adjusting for quantity as the covariate with a common
+    within-group slope. F compares the covariate-adjusted group effect
+    (SSE_total-regression minus SSE_within-regression) to the within
+    residual — the textbook adjusted-means test, distinct from
+    a408_two_way_anova (no covariate) and q138_groupwise_regression
+    (per-group slopes, no test). Every raw moment is an exact BIGINT
+    in whole-dollar/whole-unit scale (cents would overflow y² sums at
+    the 10× fixture); the scalar assembly is identical IEEE on both
+    engines."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round("l_quantity", 0).cast("bigint").alias("x"),
+        F.round("l_extendedprice", 0).cast("bigint").alias("y"),
+    )
+    g = li.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    within = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias("wxx"),
+        F.sum(F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")).alias("wxy"),
+        F.sum(F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")).alias("wyy"),
+    )
+    totals = g.agg(
+        F.sum("sx").cast("bigint").alias("tx"),
+        F.sum("sy").cast("bigint").alias("ty"),
+        F.sum("sxx").cast("bigint").alias("txx"),
+        F.sum("sxy").cast("bigint").alias("txy"),
+        F.sum("syy").cast("bigint").alias("tyy"),
+        F.sum("n").cast("bigint").alias("nt2"),
+    )
+    txy_c = F.col("txy").cast("double") - F.col("tx").cast("double") * F.col("ty") / F.col("nt2")
+    comp = within.crossJoin(F.broadcast(totals)).select(
+        "k",
+        "nt",
+        (F.col("wyy") - F.col("wxy") * F.col("wxy") / F.col("wxx")).alias("sse_w"),
+        (
+            (F.col("tyy").cast("double") - F.col("ty").cast("double") * F.col("ty") / F.col("nt2"))
+            - txy_c * txy_c
+            / (F.col("txx").cast("double") - F.col("tx").cast("double") * F.col("tx") / F.col("nt2"))
+        ).alias("sse_t"),
+        (F.col("wxy") / F.col("wxx")).alias("b_common"),
+    )
+    return comp.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_obs"),
+        F.round("b_common", 6).alias("slope_r"),
+        F.round(
+            (F.col("sse_t") - F.col("sse_w"))
+            / (F.col("k") - 1)
+            / (F.col("sse_w") / (F.col("nt") - F.col("k") - 1)),
+            6,
+        ).alias("f_group_r"),
+    )
+
+
+@query(
+    "a182_bass_diffusion",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS fd
+  FROM orders GROUP BY o_custkey
+), bounds AS (SELECT MIN(fd) AS d0 FROM firsts),
+weekly AS (
+  SELECT CAST(DATEDIFF('day', b.d0, f.fd) // 7 AS BIGINT) AS wk,
+         CAST(COUNT(*) AS BIGINT) AS s
+  FROM firsts f CROSS JOIN bounds b
+  GROUP BY 1
+), unit AS (
+  SELECT GREATEST(1, CAST(SUM(s) AS BIGINT) // 1000) AS u FROM weekly
+), series AS (
+  SELECT wk,
+         CAST(SUM(s) OVER (ORDER BY wk) // u AS BIGINT) AS cum
+  FROM weekly CROSS JOIN unit
+), steps AS (
+  SELECT wk, cum,
+         LAG(cum) OVER (ORDER BY wk) AS prev
+  FROM series
+), reg AS (
+  SELECT CAST(cum - prev AS BIGINT) AS sa,
+         CAST(prev AS BIGINT) AS nn
+  FROM steps WHERE prev IS NOT NULL
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(nn) AS BIGINT) AS s1,
+         CAST(SUM(nn * nn) AS BIGINT) AS s2,
+         CAST(SUM(nn * nn * nn) AS BIGINT) AS s3,
+         CAST(SUM(nn * nn * nn * nn) AS BIGINT) AS s4,
+         CAST(SUM(sa) AS BIGINT) AS sy,
+         CAST(SUM(sa * nn) AS BIGINT) AS sy1,
+         CAST(SUM(sa * nn * nn) AS BIGINT) AS sy2
+  FROM reg
+), cram AS (
+  SELECT
+    CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s3)
+      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s2)
+      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s3 - CAST(s2 AS DOUBLE) * s2)
+      AS det,
+    CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s3)
+      - CAST(s1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * sy2)
+      + CAST(s2 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * s3 - CAST(s2 AS DOUBLE) * sy2)
+      AS det_a,
+    CAST(n AS DOUBLE) * (CAST(sy1 AS DOUBLE) * s4 - CAST(sy2 AS DOUBLE) * s3)
+      - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s2)
+      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * sy2 - CAST(sy1 AS DOUBLE) * s2)
+      AS det_b,
+    CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE) * sy2 - CAST(s3 AS DOUBLE) * sy1)
+      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * sy2 - CAST(s3 AS DOUBLE) * sy)
+      + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s3 - CAST(s2 AS DOUBLE) * s2)
+      AS det_c
+  FROM sums
+), abc AS (
+  SELECT det_a / det AS a, det_b / det AS b, det_c / det AS c FROM cram
+)
+SELECT round(a, 6) AS a_r, round(b, 6) AS b_r, round(c, 6) AS c_r,
+       round(b * b - 4.0 * a * c, 6) AS disc_r,
+       CASE WHEN b * b - 4.0 * a * c >= 0 AND c <> 0 THEN
+         round((-b - sqrt(b * b - 4.0 * a * c)) / (2.0 * c), 6) END AS m_hat_r,
+       CASE WHEN b * b - 4.0 * a * c >= 0 AND c <> 0 THEN
+         round(a / ((-b - sqrt(b * b - 4.0 * a * c)) / (2.0 * c)), 6) END AS p_hat_r,
+       CASE WHEN b * b - 4.0 * a * c >= 0 AND c <> 0 THEN
+         round(-c * ((-b - sqrt(b * b - 4.0 * a * c)) / (2.0 * c)), 6) END AS q_hat_r
+FROM abc
+""",
+    tags=("inference", "forecast", "growth"),
+)
+def a182_bass_diffusion(spark, sf_dir):
+    """Bass diffusion model of customer adoption: weekly first-order
+    counts s_t regressed on cumulative adopters (s = a + bN + cN², the
+    discrete Bass analogue), then innovation p, imitation q and market
+    size M recovered from the quadratic's root (M = (-b-√(b²-4ac))/2c,
+    p = a/M, q = -cM). Adopter counts are unit-rescaled (max(1,
+    total//1000)) so ΣN⁴ stays inside BIGINT at every corpus scale;
+    the 3×3 normal equations solve by Cramer determinants over exact
+    integer power sums; sqrt runs once on a scalar. p̂ and q̂ are
+    scale-free; m_hat is in rescaled-adopter units. When the fitted
+    quadratic has no real root (disc < 0 — adoption is not S-shaped,
+    which IS the diagnostic on a uniform-adoption corpus), the root
+    columns are NULL and disc_r carries the evidence."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min(F.to_date("o_orderdate")).alias("fd"))
+    bounds = firsts.agg(F.min("fd").alias("d0"))
+    weekly = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr("CAST(DATEDIFF(fd, d0) div 7 AS BIGINT)").alias("wk")
+        )
+        .agg(F.count("*").cast("bigint").alias("s"))
+    )
+    unit = weekly.agg(
+        F.greatest(F.lit(1).cast("bigint"), (F.sum("s").cast("bigint") / F.lit(1000)).cast("bigint")).alias("u")
+    )
+    wwk = Window.orderBy("wk")
+    series = (
+        weekly.crossJoin(F.broadcast(unit))
+        .select(
+            "wk",
+            F.expr(
+                "CAST(SUM(s) OVER (ORDER BY wk) div u AS BIGINT)"
+            ).alias("cum"),
+        )
+    )
+    steps = series.select("wk", "cum", F.lag("cum").over(wwk).alias("prev"))
+    reg = steps.filter(F.col("prev").isNotNull()).select(
+        (F.col("cum") - F.col("prev")).cast("bigint").alias("sa"),
+        F.col("prev").cast("bigint").alias("nn"),
+    )
+    nn, sa = F.col("nn"), F.col("sa")
+    sums = reg.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(nn).cast("bigint").alias("s1"),
+        F.sum(nn * nn).cast("bigint").alias("s2"),
+        F.sum(nn * nn * nn).cast("bigint").alias("s3"),
+        F.sum(nn * nn * nn * nn).cast("bigint").alias("s4"),
+        F.sum(sa).cast("bigint").alias("sy"),
+        F.sum(sa * nn).cast("bigint").alias("sy1"),
+        F.sum(sa * nn * nn).cast("bigint").alias("sy2"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    cram = sums.select(
+        (
+            d("n") * (d("s2") * F.col("s4") - d("s3") * F.col("s3"))
+            - d("s1") * (d("s1") * F.col("s4") - d("s3") * F.col("s2"))
+            + d("s2") * (d("s1") * F.col("s3") - d("s2") * F.col("s2"))
+        ).alias("det"),
+        (
+            d("sy") * (d("s2") * F.col("s4") - d("s3") * F.col("s3"))
+            - d("s1") * (d("sy1") * F.col("s4") - d("s3") * F.col("sy2"))
+            + d("s2") * (d("sy1") * F.col("s3") - d("s2") * F.col("sy2"))
+        ).alias("det_a"),
+        (
+            d("n") * (d("sy1") * F.col("s4") - d("sy2") * F.col("s3"))
+            - d("sy") * (d("s1") * F.col("s4") - d("s3") * F.col("s2"))
+            + d("s2") * (d("s1") * F.col("sy2") - d("sy1") * F.col("s2"))
+        ).alias("det_b"),
+        (
+            d("n") * (d("s2") * F.col("sy2") - d("s3") * F.col("sy1"))
+            - d("s1") * (d("s1") * F.col("sy2") - d("s3") * F.col("sy"))
+            + d("sy") * (d("s1") * F.col("s3") - d("s2") * F.col("s2"))
+        ).alias("det_c"),
+    )
+    abc = cram.select(
+        (F.col("det_a") / F.col("det")).alias("a"),
+        (F.col("det_b") / F.col("det")).alias("b"),
+        (F.col("det_c") / F.col("det")).alias("c"),
+    )
+    disc = F.col("b") * F.col("b") - F.lit(4.0) * F.col("a") * F.col("c")
+    ok = (disc >= 0) & (F.col("c") != 0)
+    m_hat = (-F.col("b") - F.sqrt(disc)) / (F.lit(2.0) * F.col("c"))
+    return abc.select(
+        F.round("a", 6).alias("a_r"),
+        F.round("b", 6).alias("b_r"),
+        F.round("c", 6).alias("c_r"),
+        F.round(disc, 6).alias("disc_r"),
+        F.when(ok, F.round(m_hat, 6)).alias("m_hat_r"),
+        F.when(ok, F.round(F.col("a") / m_hat, 6)).alias("p_hat_r"),
+        F.when(ok, F.round(-F.col("c") * m_hat, 6)).alias("q_hat_r"),
+    )
