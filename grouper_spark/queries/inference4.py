@@ -977,3 +977,301 @@ def a182_bass_diffusion(spark, sf_dir):
         F.when(ok, F.round(F.col("a") / m_hat, 6)).alias("p_hat_r"),
         F.when(ok, F.round(-F.col("c") * m_hat, 6)).alias("q_hat_r"),
     )
+
+
+# --- Process mining (a183-a186) -------------------------------------
+# The event log is (user_id, ts, event_id, event_type); (user_id, ts)
+# is unique in the fixture but every ordering still tie-breaks on
+# event_id so the sequence is total. One window pass per user builds
+# the directly-follows pairs; everything downstream is bounded by the
+# event-type vocabulary (5 types -> <=25 transitions), so the footprint
+# matrix and bottleneck tables are O(1) in corpus size.
+
+_DFG_SQL = """
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+         CAST(epoch_us(ts) AS BIGINT) AS t_us,
+         LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
+  FROM events
+"""
+
+
+def _dfg_pairs(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt_us"),
+    ).filter(F.col("dst").isNotNull())
+
+
+@query(
+    "a183_directly_follows_graph",
+    oracle=f"""
+WITH dfg AS ({_DFG_SQL}),
+cnt AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM dfg WHERE dst IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt)
+SELECT src, dst, n,
+       CAST(n * 1000000 // t AS BIGINT) AS share_ppm
+FROM cnt CROSS JOIN tot
+ORDER BY n DESC, src, dst
+LIMIT 40
+""",
+    tags=("process", "events", "graph"),
+)
+def a183_directly_follows_graph(spark, sf_dir):
+    """Directly-follows graph (the process-mining primitive every
+    discovery algorithm starts from): per-user event sequences ordered
+    by (ts, event_id), one LEAD window pass emits the src->dst
+    transition multiset, one groupBy counts it. Share is an exact
+    integer ppm (cross-multiplied, floor), never a float division.
+    Top-40 transitions by (count desc, src, dst) -- deterministic at
+    every scale because the transition vocabulary is type x type."""
+    pairs = _dfg_pairs(spark, sf_dir)
+    cnt = pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = cnt.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.expr("CAST(n * 1000000 div t AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n"), "src", "dst")
+        .limit(40)
+    )
+
+
+@query(
+    "a184_process_footprint_matrix",
+    oracle=f"""
+WITH dfg AS ({_DFG_SQL}),
+cnt AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM dfg WHERE dst IS NOT NULL GROUP BY 1, 2
+), types AS (SELECT DISTINCT event_type AS t FROM events),
+grid AS (
+  SELECT a.t AS ta, b.t AS tb
+  FROM types a CROSS JOIN types b WHERE a.t < b.t
+)
+SELECT ta, tb,
+       CAST(COALESCE(f.n, 0) AS BIGINT) AS f_ab,
+       CAST(COALESCE(r.n, 0) AS BIGINT) AS f_ba,
+       CASE
+         WHEN COALESCE(f.n, 0) > 0 AND COALESCE(r.n, 0) > 0 THEN '||'
+         WHEN COALESCE(f.n, 0) > 0 THEN '->'
+         WHEN COALESCE(r.n, 0) > 0 THEN '<-'
+         ELSE '#'
+       END AS relation
+FROM grid
+LEFT JOIN cnt f ON f.src = grid.ta AND f.dst = grid.tb
+LEFT JOIN cnt r ON r.src = grid.tb AND r.dst = grid.ta
+ORDER BY ta, tb
+""",
+    tags=("process", "events", "graph"),
+)
+def a184_process_footprint_matrix(spark, sf_dir):
+    """Alpha-algorithm footprint matrix: for every unordered event-type
+    pair the causal relation derived from the directly-follows counts
+    -- sequence (->, <-), parallel (||, both directions observed) or
+    choice (#, never adjacent). The grid is the type vocabulary crossed
+    with itself (a < b), so the output is O(|types|^2) regardless of
+    corpus size; the two count lookups are broadcast-able left joins
+    onto a <=25-row table."""
+    pairs = _dfg_pairs(spark, sf_dir)
+    cnt = pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    e = table(spark, sf_dir, "events")
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    grid = (
+        types.alias("a")
+        .crossJoin(types.alias("b"))
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    )
+    f = cnt.select(
+        F.col("src").alias("ta"), F.col("dst").alias("tb"), F.col("n").alias("n_f")
+    )
+    r = cnt.select(
+        F.col("dst").alias("ta"), F.col("src").alias("tb"), F.col("n").alias("n_r")
+    )
+    out = (
+        grid.join(F.broadcast(f), ["ta", "tb"], "left")
+        .join(F.broadcast(r), ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            F.coalesce("n_f", F.lit(0)).cast("bigint").alias("f_ab"),
+            F.coalesce("n_r", F.lit(0)).cast("bigint").alias("f_ba"),
+        )
+        .withColumn(
+            "relation",
+            F.when((F.col("f_ab") > 0) & (F.col("f_ba") > 0), F.lit("||"))
+            .when(F.col("f_ab") > 0, F.lit("->"))
+            .when(F.col("f_ba") > 0, F.lit("<-"))
+            .otherwise(F.lit("#")),
+        )
+    )
+    return out.orderBy("ta", "tb")
+
+
+@query(
+    "a185_transition_bottlenecks",
+    oracle=f"""
+WITH dfg AS ({_DFG_SQL}),
+waits AS (
+  SELECT src, dst,
+         CAST((nxt_us - t_us) // 1000000 AS BIGINT) AS wait_s
+  FROM dfg WHERE dst IS NOT NULL
+)
+SELECT src, dst,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(wait_s) AS BIGINT) AS total_wait_s,
+       CAST(MAX(wait_s) AS BIGINT) AS max_wait_s,
+       CAST((SUM(wait_s) // COUNT(*)) * 100
+            + ((SUM(wait_s) % COUNT(*)) * 100) // COUNT(*)
+            AS BIGINT) AS mean_wait_centi_s
+FROM waits
+GROUP BY 1, 2
+ORDER BY mean_wait_centi_s DESC, src, dst
+""",
+    tags=("process", "events"),
+)
+def a185_transition_bottlenecks(spark, sf_dir):
+    """Process bottleneck table: per directly-follows transition the
+    exact waiting-time profile (count, total, max, mean) in integer
+    seconds. Per-row wait floors microseconds to seconds BEFORE the sum
+    so the fold stays within BIGINT at any corpus size (max wait ~2.6e6
+    s; 1e12 rows -> 2.6e18 < 2^63); the mean is the overflow-safe
+    split-division floor((total*100)/n) = (total//n)*100 +
+    ((total%n)*100)//n, identical in both engines. Output is bounded by
+    the type x type vocabulary."""
+    pairs = _dfg_pairs(spark, sf_dir)
+    waits = pairs.select(
+        "src",
+        "dst",
+        F.expr("CAST((nxt_us - t_us) div 1000000 AS BIGINT)").alias("wait_s"),
+    )
+    return (
+        waits.groupBy("src", "dst")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("wait_s").cast("bigint").alias("total_wait_s"),
+            F.max("wait_s").cast("bigint").alias("max_wait_s"),
+        )
+        .select(
+            "src",
+            "dst",
+            "n",
+            "total_wait_s",
+            "max_wait_s",
+            F.expr(
+                "CAST((total_wait_s div n) * 100"
+                " + ((total_wait_s % n) * 100) div n AS BIGINT)"
+            ).alias("mean_wait_centi_s"),
+        )
+        .orderBy(F.desc("mean_wait_centi_s"), "src", "dst")
+    )
+
+
+@query(
+    "a186_case_variant_entropy",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), pu AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS variant
+  FROM seq WHERE rn <= 8 GROUP BY user_id
+), vc AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS c FROM pu GROUP BY 1
+), byc AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(ROUND(c * LN(c) * 1000000.0, 0) AS BIGINT) AS q
+  FROM vc GROUP BY c
+), tots AS (
+  SELECT CAST(SUM(c * m) AS BIGINT) AS n_cases,
+         CAST(SUM(m) AS BIGINT) AS n_variants,
+         CAST(SUM(m * q) AS BIGINT) AS s_micro
+  FROM byc
+), top AS (
+  SELECT variant AS top_variant, c AS top_count
+  FROM vc ORDER BY c DESC, variant LIMIT 1
+)
+SELECT n_cases, n_variants, top_variant, CAST(top_count AS BIGINT) AS top_count,
+       ROUND(LN(n_cases)
+             - (CAST(s_micro AS DOUBLE) / 1000000.0)
+               / CAST(n_cases AS DOUBLE), 6) AS entropy_nats_r
+FROM tots CROSS JOIN top
+""",
+    tags=("process", "events", "text"),
+)
+def a186_case_variant_entropy(spark, sf_dir):
+    """Case-variant analysis: each user's trace is truncated to its
+    first 8 events (ordered by ts, event_id) and serialized as a
+    'a>b>c' variant string; the variant distribution's Shannon entropy
+    says how standardized the process is. H = ln(N) - (1/N)*sum(c*ln c)
+    is folded the nano-quantized way (a155 discipline): ln runs once
+    per DISTINCT count value on exact integers, each term is rounded to
+    an integer micro-nat BEFORE the cross-variant sum, so the fold is
+    a BIGINT and engine-order-independent."""
+    e = table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.array_join(
+            F.slice(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(ts, event_id, event_type))), x -> x.event_type)"
+                ),
+                1,
+                8,
+            ),
+            ">",
+        ).alias("variant")
+    )
+    vc = pu.groupBy("variant").agg(F.count("*").cast("bigint").alias("c"))
+    byc = vc.groupBy("c").agg(F.count("*").cast("bigint").alias("m")).select(
+        "c",
+        "m",
+        F.expr(
+            "CAST(ROUND(c * LN(c) * 1000000.0, 0) AS BIGINT)"
+        ).alias("q"),
+    )
+    tots = byc.agg(
+        F.sum(F.col("c") * F.col("m")).cast("bigint").alias("n_cases"),
+        F.sum("m").cast("bigint").alias("n_variants"),
+        F.sum(F.col("m") * F.col("q")).cast("bigint").alias("s_micro"),
+    )
+    top = (
+        vc.orderBy(F.desc("c"), "variant")
+        .limit(1)
+        .select(
+            F.col("variant").alias("top_variant"),
+            F.col("c").cast("bigint").alias("top_count"),
+        )
+    )
+    return tots.crossJoin(F.broadcast(top)).select(
+        "n_cases",
+        "n_variants",
+        "top_variant",
+        "top_count",
+        F.round(
+            F.log(F.col("n_cases").cast("double"))
+            - (F.col("s_micro").cast("double") / F.lit(1000000.0))
+            / F.col("n_cases").cast("double"),
+            6,
+        ).alias("entropy_nats_r"),
+    )
