@@ -1275,3 +1275,400 @@ def a186_case_variant_entropy(spark, sf_dir):
             6,
         ).alias("entropy_nats_r"),
     )
+
+
+# --- Data valuation (a187-a188) --------------------------------------
+
+
+@query(
+    "a187_loo_source_value",
+    oracle="""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+         CAST(SUM(n_chars) AS BIGINT) AS t_s
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(SUM(t_s) AS BIGINT) AS t
+  FROM per_src
+)
+SELECT source, n_s,
+       CAST(n_s * 1000000 // n AS BIGINT) AS share_ppm,
+       CAST(t_s * 1000000 // n_s AS BIGINT) AS own_mean_chars_micro,
+       CAST(t * 1000000 // n
+            - (t - t_s) * 1000000 // (n - n_s) AS BIGINT)
+         AS loo_delta_micro
+FROM per_src CROSS JOIN tot
+ORDER BY loo_delta_micro DESC, source
+""",
+    tags=("valuation", "documents"),
+)
+def a187_loo_source_value(spark, sf_dir):
+    """Leave-one-source-out data valuation: each ingest source's
+    marginal contribution to the corpus mean document length, i.e.
+    mean(all) - mean(all \\ source). Everything is one map-side-combined
+    groupBy to 20 source rows plus exact integer-micro divisions (floor,
+    cross-multiplied) -- no doubles anywhere, so the ranking is stable
+    at any corpus size. Positive delta = the source pulls the corpus
+    mean UP (removing it lowers quality proxy); the 100 TB use is
+    pruning the bottom of this table before pretraining."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.sum("n_chars").cast("bigint").alias("t_s"),
+    )
+    tot = per_src.agg(
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.sum("t_s").cast("bigint").alias("t"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.expr("CAST(n_s * 1000000 div n AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST(t_s * 1000000 div n_s AS BIGINT)").alias(
+                "own_mean_chars_micro"
+            ),
+            F.expr(
+                "CAST(t * 1000000 div n"
+                " - (t - t_s) * 1000000 div (n - n_s) AS BIGINT)"
+            ).alias("loo_delta_micro"),
+        )
+        .orderBy(F.desc("loo_delta_micro"), "source")
+    )
+
+
+@query(
+    "a188_ols_leverage_dffits",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+idx AS (
+  SELECT d, v, CAST(DATEDIFF('day', (SELECT MIN(d) FROM daily), d)
+                    AS BIGINT) AS t
+  FROM daily
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(v * v) AS BIGINT) AS svv,
+         CAST(SUM(t * v) AS BIGINT) AS stv
+  FROM idx
+), coef AS (
+  SELECT n, st, stt, sv, stv,
+         CAST(n * stt - st * st AS DOUBLE) AS dxx,
+         CAST(n * svv - sv * sv AS DOUBLE) / n AS syy_c,
+         CAST(n * stv - st * sv AS DOUBLE) AS dxy
+  FROM s
+), scal AS (
+  SELECT n, st, dxx, dxy / dxx AS b,
+         (syy_c - (dxy / dxx) * (dxy / dxx) * (dxx / n)) AS sse
+  FROM coef
+), per AS (
+  SELECT d, t, v, n, sse,
+         1.0 / n + CAST((n * t - st) * (n * t - st) AS DOUBLE)
+                   / (n * dxx) AS h,
+         (CAST(v AS DOUBLE) - (CAST(sv2.svq AS DOUBLE) / n))
+           - b * (CAST(t AS DOUBLE) - (CAST(st AS DOUBLE) / n)) AS e
+  FROM idx CROSS JOIN scal
+  CROSS JOIN (SELECT CAST(SUM(v) AS BIGINT) AS svq FROM idx) sv2
+), dff AS (
+  SELECT d, t, v, h, e,
+         SQRT((sse - e * e / (1.0 - h)) / (n - 3)) AS s_loo,
+         (e / (SQRT((sse - e * e / (1.0 - h)) / (n - 3))
+               * SQRT(1.0 - h))) * SQRT(h / (1.0 - h)) AS dffits
+  FROM per
+)
+SELECT d, v, ROUND(h, 6) AS h_r, ROUND(e, 6) AS e_r,
+       ROUND(s_loo, 6) AS s_loo_r, ROUND(dffits, 6) AS dffits_r
+FROM dff
+ORDER BY ABS(ROUND(dffits, 6)) DESC, d
+LIMIT 12
+""",
+    tags=("valuation", "regression", "inference"),
+)
+def a188_ols_leverage_dffits(spark, sf_dir):
+    """Per-observation influence diagnostics for the daily volume-on-
+    time trend regression: leverage h_i and DFFITS (the leave-one-out
+    scaled change in fit -- the companion to a069's Cook's D, which
+    measures coefficient change; DFFITS measures FITTED-VALUE change).
+    All moment sums are exact BIGINTs over the bounded day panel; the
+    scalar slope/SSE and per-day h/e/DFFITS are double expressions with
+    identical text in both engines, each feeding its own terminal
+    round(,6) -- no cross-row double folds anywhere. Top-12 days by
+    |DFFITS| (tie-break d)."""
+    daily = _dailyv(spark, sf_dir)
+    bounds = daily.agg(F.min("d").alias("d0"))
+    idx = (
+        daily.crossJoin(F.broadcast(bounds))
+        .select(
+            "d",
+            "v",
+            F.datediff("d", "d0").cast("bigint").alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    s = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+        F.sum(F.col("t") * F.col("v")).cast("bigint").alias("stv"),
+    )
+    coef = s.select(
+        "n",
+        "st",
+        "sv",
+        F.expr("CAST(n * stt - st * st AS DOUBLE)").alias("dxx"),
+        F.expr("CAST(n * svv - sv * sv AS DOUBLE) / n").alias("syy_c"),
+        F.expr("CAST(n * stv - st * sv AS DOUBLE)").alias("dxy"),
+    )
+    scal = coef.select(
+        "n",
+        "st",
+        "sv",
+        "dxx",
+        (F.col("dxy") / F.col("dxx")).alias("b"),
+        (
+            F.col("syy_c")
+            - (F.col("dxy") / F.col("dxx"))
+            * (F.col("dxy") / F.col("dxx"))
+            * (F.col("dxx") / F.col("n"))
+        ).alias("sse"),
+    )
+    per = idx.crossJoin(F.broadcast(scal)).select(
+        "d",
+        "t",
+        "v",
+        "n",
+        "sse",
+        (
+            F.lit(1.0) / F.col("n")
+            + F.expr("CAST((n * t - st) * (n * t - st) AS DOUBLE)")
+            / (F.col("n") * F.col("dxx"))
+        ).alias("h"),
+        (
+            (F.col("v").cast("double") - F.col("sv").cast("double") / F.col("n"))
+            - F.col("b")
+            * (F.col("t").cast("double") - F.col("st").cast("double") / F.col("n"))
+        ).alias("e"),
+    )
+    s_loo = F.sqrt(
+        (F.col("sse") - F.col("e") * F.col("e") / (F.lit(1.0) - F.col("h")))
+        / (F.col("n") - F.lit(3))
+    )
+    dffits = (
+        F.col("e") / (s_loo * F.sqrt(F.lit(1.0) - F.col("h")))
+    ) * F.sqrt(F.col("h") / (F.lit(1.0) - F.col("h")))
+    dff = per.select(
+        "d",
+        "v",
+        "h",
+        "e",
+        s_loo.alias("s_loo"),
+        dffits.alias("dffits"),
+    )
+    return (
+        dff.select(
+            "d",
+            "v",
+            F.round("h", 6).alias("h_r"),
+            F.round("e", 6).alias("e_r"),
+            F.round("s_loo", 6).alias("s_loo_r"),
+            F.round("dffits", 6).alias("dffits_r"),
+        )
+        .orderBy(F.abs(F.col("dffits_r")).desc(), "d")
+        .limit(12)
+    )
+
+
+# --- Bipartite graph motifs (a189-a190) -------------------------------
+# Customer-part purchase graph through lineitem JOIN orders. The part
+# side is panel-bounded to the top-25 parts by line count (tie-break
+# partkey), so the pairwise stage is <=C(25,2)=300 part pairs and each
+# customer contributes at most C(25,2) pair rows -- linear in customers
+# at every corpus scale, never all-pairs on the full part catalog.
+
+_BIPARTITE_EDGES_SQL = """
+  panel AS (
+    SELECT CAST(l_partkey AS BIGINT) AS pk
+    FROM lineitem GROUP BY 1
+    ORDER BY COUNT(*) DESC, pk LIMIT 25
+  ),
+  edges AS (
+    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS ck, p.pk
+    FROM lineitem l
+    JOIN panel p ON CAST(l.l_partkey AS BIGINT) = p.pk
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+  )
+"""
+
+
+def _bipartite_edges(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    panel = (
+        l.groupBy(F.col("l_partkey").cast("bigint").alias("pk"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pk")
+        .limit(25)
+        .select("pk")
+    )
+    return (
+        l.join(
+            F.broadcast(panel),
+            l["l_partkey"].cast("bigint") == panel["pk"],
+        )
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").cast("bigint").alias("ck"), "pk")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+@query(
+    "a189_butterfly_count",
+    oracle=f"""
+WITH {_BIPARTITE_EDGES_SQL},
+pairs AS (
+  SELECT e1.pk AS p1, e2.pk AS p2, CAST(COUNT(*) AS BIGINT) AS common_c
+  FROM edges e1 JOIN edges e2 ON e1.ck = e2.ck AND e1.pk < e2.pk
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(common_c * (common_c - 1) // 2) AS BIGINT)
+           AS total_butterflies
+  FROM pairs
+)
+SELECT p1, p2, common_c,
+       CAST(common_c * (common_c - 1) // 2 AS BIGINT) AS butterflies,
+       total_butterflies
+FROM pairs CROSS JOIN tot
+ORDER BY common_c DESC, p1, p2
+LIMIT 15
+""",
+    tags=("graph", "bipartite"),
+)
+def a189_butterfly_count(spark, sf_dir):
+    """Butterfly (2x2 biclique) counting on the customer-part purchase
+    graph -- the bipartite analogue of triangle counting that drives
+    bipartite clustering and spam/collusion detection. For part pair
+    (p1,p2) with c common customers the pair hosts C(c,2) butterflies;
+    the total is the exact BIGINT sum. The part side is the top-25
+    panel (_BIPARTITE_EDGES_SQL), so the customer self-join emits at
+    most C(25,2) rows per customer -- linear in corpus. Top-15 pairs
+    plus the corpus total on every row."""
+    edges = _bipartite_edges(spark, sf_dir)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    pairs = (
+        e1.join(
+            e2,
+            (F.col("e1.ck") == F.col("e2.ck"))
+            & (F.col("e1.pk") < F.col("e2.pk")),
+        )
+        .groupBy(
+            F.col("e1.pk").alias("p1"), F.col("e2.pk").alias("p2")
+        )
+        .agg(F.count("*").cast("bigint").alias("common_c"))
+    )
+    tot = pairs.agg(
+        F.sum(
+            F.expr("common_c * (common_c - 1) div 2")
+        ).cast("bigint").alias("total_butterflies")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "p1",
+            "p2",
+            "common_c",
+            F.expr(
+                "CAST(common_c * (common_c - 1) div 2 AS BIGINT)"
+            ).alias("butterflies"),
+            "total_butterflies",
+        )
+        .orderBy(F.desc("common_c"), "p1", "p2")
+        .limit(15)
+    )
+
+
+@query(
+    "a190_bipartite_edge_redundancy",
+    oracle=f"""
+WITH {_BIPARTITE_EDGES_SQL},
+pairs AS (
+  SELECT e1.pk AS p1, e2.pk AS p2, CAST(COUNT(*) AS BIGINT) AS common_c
+  FROM edges e1 JOIN edges e2 ON e1.ck = e2.ck AND e1.pk < e2.pk
+  GROUP BY 1, 2
+), solid AS (
+  SELECT p1, p2 FROM pairs WHERE common_c >= 2
+), red AS (
+  SELECT DISTINCT e1.ck, e1.pk
+  FROM edges e1
+  JOIN edges e2 ON e1.ck = e2.ck AND e1.pk <> e2.pk
+  JOIN solid s
+    ON s.p1 = LEAST(e1.pk, e2.pk) AND s.p2 = GREATEST(e1.pk, e2.pk)
+), cnts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM red) AS n_redundant,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM solid) AS n_solid_pairs
+)
+SELECT n_edges, n_redundant, n_solid_pairs,
+       CAST(n_redundant * 1000000 // n_edges AS BIGINT) AS redundancy_ppm
+FROM cnts
+""",
+    tags=("graph", "bipartite"),
+)
+def a190_bipartite_edge_redundancy(spark, sf_dir):
+    """Bipartite edge redundancy: the fraction of customer-part edges
+    that participate in at least one butterfly (the graph-robustness
+    number behind 'if this edge is noise, is the motif still
+    supported?'). An edge (c,p) is redundant iff c buys some other
+    panel part p2 with common(p,p2) >= 2 (c plus at least one other
+    customer). Same bounded panel as a189; redundancy is an exact
+    integer ppm."""
+    edges = _bipartite_edges(spark, sf_dir)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    pairs = (
+        e1.join(
+            e2,
+            (F.col("e1.ck") == F.col("e2.ck"))
+            & (F.col("e1.pk") < F.col("e2.pk")),
+        )
+        .groupBy(F.col("e1.pk").alias("p1"), F.col("e2.pk").alias("p2"))
+        .agg(F.count("*").cast("bigint").alias("common_c"))
+    )
+    solid = pairs.filter(F.col("common_c") >= 2).select("p1", "p2")
+    red = (
+        e1.join(
+            e2,
+            (F.col("e1.ck") == F.col("e2.ck"))
+            & (F.col("e1.pk") != F.col("e2.pk")),
+        )
+        .select(
+            F.col("e1.ck").alias("ck"),
+            F.col("e1.pk").alias("pk"),
+            F.least(F.col("e1.pk"), F.col("e2.pk")).alias("p1"),
+            F.greatest(F.col("e1.pk"), F.col("e2.pk")).alias("p2"),
+        )
+        .join(F.broadcast(solid), ["p1", "p2"])
+        .select("ck", "pk")
+        .distinct()
+    )
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    n_red = red.agg(F.count("*").cast("bigint").alias("n_redundant"))
+    n_solid = solid.agg(F.count("*").cast("bigint").alias("n_solid_pairs"))
+    return (
+        n_edges.crossJoin(F.broadcast(n_red))
+        .crossJoin(F.broadcast(n_solid))
+        .select(
+            "n_edges",
+            "n_redundant",
+            "n_solid_pairs",
+            F.expr(
+                "CAST(n_redundant * 1000000 div n_edges AS BIGINT)"
+            ).alias("redundancy_ppm"),
+        )
+    )
