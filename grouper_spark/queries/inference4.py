@@ -1672,3 +1672,467 @@ def a190_bipartite_edge_redundancy(spark, sf_dir):
             ).alias("redundancy_ppm"),
         )
     )
+
+
+# --- Method comparison (a191-a194) ------------------------------------
+# Two "measurements" of daily activity: order volume v and kilodollar
+# revenue yk = y div 1000. The day panel is calendar-bounded, so even
+# the Passing-Bablok all-pairs slope stage is <=C(2404,2) ~ 2.9M rows
+# at EVERY corpus scale -- the one groupBy that builds the panel is the
+# only stage that touches the fact table.
+
+
+@query(
+    "a191_passing_bablok",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+pan AS (
+  SELECT d, v, CAST(y // 1000 AS BIGINT) AS yk,
+         ROW_NUMBER() OVER (ORDER BY d) AS i
+  FROM daily
+), sl AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(b.yk - a.yk AS BIGINT) AS num,
+         CAST(b.v - a.v AS BIGINT) AS den
+  FROM pan a JOIN pan b ON a.i < b.i
+  WHERE b.v <> a.v AND (b.yk - a.yk) <> -(b.v - a.v)
+), valid AS (
+  SELECT CAST(num AS DOUBLE) / den AS s, i, j FROM sl
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN s < -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS k_neg
+  FROM valid
+), ranked AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s, i, j) AS rn FROM valid
+), bsel AS (
+  SELECT CASE WHEN sc.n_pairs % 2 = 1 THEN
+           (SELECT s FROM ranked, scal sc2
+             WHERE rn = (sc2.n_pairs + 1) // 2 + sc2.k_neg)
+         ELSE
+           ((SELECT s FROM ranked, scal sc2
+              WHERE rn = sc2.n_pairs // 2 + sc2.k_neg)
+            + (SELECT s FROM ranked, scal sc2
+                WHERE rn = sc2.n_pairs // 2 + 1 + sc2.k_neg)) / 2.0
+         END AS b, sc.n_pairs, sc.k_neg
+  FROM scal sc
+), resid AS (
+  SELECT CAST(p.yk AS DOUBLE) - bs.b * p.v AS r, p.d
+  FROM pan p CROSS JOIN bsel bs
+), rr AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, d) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM resid
+), asel AS (
+  SELECT CASE WHEN MAX(n) % 2 = 1 THEN
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN r END)
+         ELSE
+           (MAX(CASE WHEN rn = n // 2 THEN r END)
+            + MAX(CASE WHEN rn = n // 2 + 1 THEN r END)) / 2.0
+         END AS a
+  FROM rr
+)
+SELECT n_pairs, k_neg, ROUND(b, 6) AS slope_r, ROUND(a, 6) AS intercept_r
+FROM bsel CROSS JOIN asel
+""",
+    tags=("inference", "method-comparison"),
+)
+def a191_passing_bablok(spark, sf_dir):
+    """Passing-Bablok method-comparison regression of daily kilodollar
+    revenue on daily order volume: the nonparametric estimator robust
+    to errors in BOTH measurements -- slope = the K-shifted median of
+    all C(n,2) pairwise slopes (slopes exactly equal to -1 excluded, K
+    = count of slopes < -1 restores symmetry), intercept = median(y -
+    b*x). Slopes live on the calendar-bounded panel so the pair stage
+    is O(1) in corpus size; the -1 exclusion and the K count are exact
+    integer tests (num = -den, num < -den cross-multiplied by positive
+    den via double compare on exact inputs); medians are explicit
+    row_number order statistics, never an engine median()."""
+    daily = _dailyv(spark, sf_dir)
+    w_d = Window.orderBy("d")
+    pan = daily.select(
+        "d",
+        "v",
+        F.expr("CAST(y div 1000 AS BIGINT)").alias("yk"),
+        F.row_number().over(w_d).alias("i"),
+    ).localCheckpoint(eager=False)
+    a = pan.alias("a")
+    b = pan.alias("b")
+    sl = (
+        a.join(b, F.col("a.i") < F.col("b.i"))
+        .filter(
+            (F.col("b.v") != F.col("a.v"))
+            & ((F.col("b.yk") - F.col("a.yk"))
+               != -(F.col("b.v") - F.col("a.v")))
+        )
+        .select(
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            (F.col("b.yk") - F.col("a.yk")).cast("bigint").alias("num"),
+            (F.col("b.v") - F.col("a.v")).cast("bigint").alias("den"),
+        )
+    )
+    valid = sl.select(
+        (F.col("num").cast("double") / F.col("den")).alias("s"), "i", "j"
+    ).localCheckpoint(eager=False)
+    scal = valid.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("s") < -1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k_neg"),
+    )
+    ranked = valid.select(
+        "s", F.row_number().over(Window.orderBy("s", "i", "j")).alias("rn")
+    )
+    picks = (
+        ranked.crossJoin(F.broadcast(scal))
+        .filter(
+            (F.col("rn") == F.expr("(n_pairs + 1) div 2 + k_neg"))
+            | (F.col("rn") == F.expr("n_pairs div 2 + k_neg"))
+            | (F.col("rn") == F.expr("n_pairs div 2 + 1 + k_neg"))
+        )
+        .groupBy("n_pairs", "k_neg")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n_pairs + 1) div 2 + k_neg"),
+                    F.col("s"),
+                )
+            ).alias("s_mid"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("n_pairs div 2 + k_neg"), F.col("s")
+                )
+            ).alias("s_lo"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("n_pairs div 2 + 1 + k_neg"),
+                    F.col("s"),
+                )
+            ).alias("s_hi"),
+        )
+    )
+    bsel = picks.select(
+        "n_pairs",
+        "k_neg",
+        F.when(F.expr("n_pairs % 2 = 1"), F.col("s_mid"))
+        .otherwise((F.col("s_lo") + F.col("s_hi")) / F.lit(2.0))
+        .alias("b"),
+    )
+    resid = pan.crossJoin(F.broadcast(bsel)).select(
+        (F.col("yk").cast("double") - F.col("b") * F.col("v")).alias("r"),
+        "d",
+        "n_pairs",
+        "k_neg",
+        F.col("b").alias("bb"),
+    )
+    w_r = Window.orderBy("r", "d")
+    rr = resid.select(
+        "r",
+        "n_pairs",
+        "k_neg",
+        "bb",
+        F.row_number().over(w_r).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    asel = (
+        rr.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("n div 2"))
+            | (F.col("rn") == F.expr("n div 2 + 1"))
+        )
+        .groupBy("n_pairs", "k_neg", "bb")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("r"))
+            ).alias("r_mid"),
+            F.max(
+                F.when(F.col("rn") == F.expr("n div 2"), F.col("r"))
+            ).alias("r_lo"),
+            F.max(
+                F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("r"))
+            ).alias("r_hi"),
+        )
+    )
+    return asel.select(
+        "n_pairs",
+        "k_neg",
+        F.round("bb", 6).alias("slope_r"),
+        F.round(
+            F.when(F.expr("n % 2 = 1"), F.col("r_mid")).otherwise(
+                (F.col("r_lo") + F.col("r_hi")) / F.lit(2.0)
+            ),
+            6,
+        ).alias("intercept_r"),
+    )
+
+
+@query(
+    "a192_copeland_ranking",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), users AS (SELECT DISTINCT user_id FROM events),
+types AS (SELECT DISTINCT event_type AS t FROM events),
+grid AS (
+  SELECT u.user_id, ty.t, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM users u CROSS JOIN types ty
+  LEFT JOIN counts c ON c.user_id = u.user_id AND c.t = ty.t
+), duels AS (
+  SELECT g1.t AS t1, g2.t AS t2,
+         CAST(SUM(CASE WHEN g1.c > g2.c THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+         CAST(SUM(CASE WHEN g2.c > g1.c THEN 1 ELSE 0 END) AS BIGINT) AS w2
+  FROM grid g1 JOIN grid g2
+    ON g1.user_id = g2.user_id AND g1.t < g2.t
+  GROUP BY 1, 2
+), points AS (
+  SELECT t1 AS t,
+         CASE WHEN w1 > w2 THEN 2 WHEN w1 = w2 THEN 1 ELSE 0 END AS pts,
+         w1 AS uw
+  FROM duels
+  UNION ALL
+  SELECT t2 AS t,
+         CASE WHEN w2 > w1 THEN 2 WHEN w1 = w2 THEN 1 ELSE 0 END AS pts,
+         w2 AS uw
+  FROM duels
+)
+SELECT t AS event_type,
+       CAST(SUM(pts) AS BIGINT) AS copeland_doubled,
+       CAST(SUM(CASE WHEN pts = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS majority_wins,
+       CAST(SUM(CASE WHEN pts = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS majority_ties,
+       CAST(SUM(uw) AS BIGINT) AS total_user_wins
+FROM points
+GROUP BY 1
+ORDER BY copeland_doubled DESC, total_user_wins DESC, event_type
+""",
+    tags=("inference", "method-comparison", "ranking"),
+)
+def a192_copeland_ranking(spark, sf_dir):
+    """Copeland pairwise-majority ranking of event types: every user
+    'votes' in each type-vs-type duel by which they performed more
+    often (per-user counts, missing = 0 via the users x types grid);
+    the duel winner is the user-majority, and the Copeland score is
+    wins x 2 + ties x 1 over all opponents -- the Condorcet-consistent
+    aggregate that a plain popularity count is not. The grid is |users|
+    x |types| (linear), the duel stage joins the grid to itself per
+    user on the bounded type vocabulary (<=C(5,2) rows/user), and all
+    tallies are exact BIGINTs."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "user_id", F.col("event_type").alias("t")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    users = e.select("user_id").distinct()
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "t"], "left")
+        .select(
+            "user_id", "t", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    g1 = grid.alias("g1")
+    g2 = grid.alias("g2")
+    duels = (
+        g1.join(
+            g2,
+            (F.col("g1.user_id") == F.col("g2.user_id"))
+            & (F.col("g1.t") < F.col("g2.t")),
+        )
+        .groupBy(F.col("g1.t").alias("t1"), F.col("g2.t").alias("t2"))
+        .agg(
+            F.sum(F.when(F.col("g1.c") > F.col("g2.c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("w1"),
+            F.sum(F.when(F.col("g2.c") > F.col("g1.c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("w2"),
+        )
+    )
+    pts1 = duels.select(
+        F.col("t1").alias("t"),
+        F.when(F.col("w1") > F.col("w2"), 2)
+        .when(F.col("w1") == F.col("w2"), 1)
+        .otherwise(0)
+        .alias("pts"),
+        F.col("w1").alias("uw"),
+    )
+    pts2 = duels.select(
+        F.col("t2").alias("t"),
+        F.when(F.col("w2") > F.col("w1"), 2)
+        .when(F.col("w1") == F.col("w2"), 1)
+        .otherwise(0)
+        .alias("pts"),
+        F.col("w2").alias("uw"),
+    )
+    return (
+        pts1.unionAll(pts2)
+        .groupBy(F.col("t").alias("event_type"))
+        .agg(
+            F.sum("pts").cast("bigint").alias("copeland_doubled"),
+            F.sum(F.when(F.col("pts") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("majority_wins"),
+            F.sum(F.when(F.col("pts") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("majority_ties"),
+            F.sum("uw").cast("bigint").alias("total_user_wins"),
+        )
+        .orderBy(
+            F.desc("copeland_doubled"), F.desc("total_user_wins"), "event_type"
+        )
+    )
+
+
+@query(
+    "a193_lin_ccc",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+pan AS (SELECT v, CAST(y // 1000 AS BIGINT) AS yk FROM daily),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sx,
+         CAST(SUM(yk) AS BIGINT) AS sy,
+         CAST(SUM(v * v) AS BIGINT) AS sxx,
+         CAST(SUM(yk * yk) AS BIGINT) AS syy,
+         CAST(SUM(v * yk) AS BIGINT) AS sxy
+  FROM pan
+)
+SELECT n,
+       ROUND(CAST(2 * (n * sxy - sx * sy) AS DOUBLE)
+             / CAST((n * sxx - sx * sx) + (n * syy - sy * sy)
+                    + (sx - sy) * (sx - sy) AS DOUBLE), 6) AS ccc_r,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r,
+       ROUND((CAST(2 * (n * sxy - sx * sy) AS DOUBLE)
+              / CAST((n * sxx - sx * sx) + (n * syy - sy * sy)
+                     + (sx - sy) * (sx - sy) AS DOUBLE))
+             / (CAST(n * sxy - sx * sy AS DOUBLE)
+                / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))), 6) AS c_b_r
+FROM s
+""",
+    tags=("inference", "method-comparison"),
+)
+def a193_lin_ccc(spark, sf_dir):
+    """Lin's concordance correlation coefficient between daily order
+    volume and daily kilodollar revenue: CCC = 2*s_xy / (s_xx + s_yy +
+    (xbar-ybar)^2), the agreement measure that penalizes both scatter
+    (Pearson part) AND location/scale shift (the C_b accuracy factor,
+    emitted too). Cross-multiplied by n^2 everything is one exact
+    BIGINT fold over the bounded day panel; two sqrt calls run once on
+    exact integers and every output feeds a terminal round(,6)."""
+    daily = _dailyv(spark, sf_dir)
+    pan = daily.select("v", F.expr("CAST(y div 1000 AS BIGINT)").alias("yk"))
+    s = pan.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sx"),
+        F.sum("yk").cast("bigint").alias("sy"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sxx"),
+        F.sum(F.col("yk") * F.col("yk")).cast("bigint").alias("syy"),
+        F.sum(F.col("v") * F.col("yk")).cast("bigint").alias("sxy"),
+    )
+    ccc = F.expr(
+        "CAST(2 * (n * sxy - sx * sy) AS DOUBLE)"
+        " / CAST((n * sxx - sx * sx) + (n * syy - sy * sy)"
+        " + (sx - sy) * (sx - sy) AS DOUBLE)"
+    )
+    pear = F.expr(
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+        " * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))"
+    )
+    return s.select(
+        "n",
+        F.round(ccc, 6).alias("ccc_r"),
+        F.round(pear, 6).alias("pearson_r"),
+        F.round(ccc / pear, 6).alias("c_b_r"),
+    )
+
+
+@query(
+    "a194_total_deviation_index",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+pan AS (SELECT d, v, CAST(y // 1000 AS BIGINT) AS yk FROM daily),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(yk) AS BIGINT) AS syk
+  FROM pan
+), cal AS (
+  SELECT p.d, p.v,
+         CAST(p.yk * s.sv // s.syk AS BIGINT) AS yhat,
+         ABS(p.v - CAST(p.yk * s.sv // s.syk AS BIGINT)) AS adiff,
+         s.n, s.sv
+  FROM pan p CROSS JOIN s
+), ranked AS (
+  SELECT adiff, n, sv,
+         ROW_NUMBER() OVER (ORDER BY adiff, d) AS rn
+  FROM cal
+)
+SELECT MAX(n) AS n,
+       CAST(MAX(CASE WHEN rn = (MAX_N * 9 + 9) // 10 THEN adiff END)
+            AS BIGINT) AS tdi90,
+       CAST(MAX(thr) AS BIGINT) AS coverage_thr,
+       CAST(SUM(CASE WHEN adiff <= thr THEN 1 ELSE 0 END) * 1000000
+            // MAX(n) AS BIGINT) AS coverage_ppm
+FROM (SELECT adiff, n, sv, rn,
+             MAX(n) OVER () AS MAX_N,
+             (sv // n) // 10 AS thr
+      FROM ranked)
+GROUP BY ()
+""",
+    tags=("inference", "method-comparison"),
+)
+def a194_total_deviation_index(spark, sf_dir):
+    """Total deviation index for the volume-vs-revenue agreement: the
+    revenue series is ratio-calibrated onto the volume scale (yhat =
+    yk * sum(v) // sum(yk), an exact BIGINT floor), TDI90 is the exact
+    90th-percentile order statistic of |v - yhat| (rank ceil(0.9 n) via
+    row_number, never an engine percentile), and coverage is the exact
+    ppm of days within 10% of mean daily volume. The TDI/coverage pair
+    is the method-comparison dual of a193's CCC: 'how big is the
+    disagreement' instead of 'how correlated are they'."""
+    daily = _dailyv(spark, sf_dir)
+    pan = daily.select("d", "v", F.expr("CAST(y div 1000 AS BIGINT)").alias("yk"))
+    s = pan.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum("yk").cast("bigint").alias("syk"),
+    )
+    cal = pan.crossJoin(F.broadcast(s)).select(
+        "d",
+        "v",
+        "n",
+        "sv",
+        F.expr("ABS(v - CAST(yk * sv div syk AS BIGINT))").alias("adiff"),
+        F.expr("(sv div n) div 10").alias("thr"),
+    )
+    ranked = cal.select(
+        "adiff",
+        "n",
+        "thr",
+        F.row_number().over(Window.orderBy("adiff", "d")).alias("rn"),
+    )
+    return ranked.groupBy().agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 9 + 9) div 10"), F.col("adiff")
+            )
+        ).cast("bigint").alias("tdi90"),
+        F.max("thr").cast("bigint").alias("coverage_thr"),
+        F.expr(
+            "CAST(SUM(CASE WHEN adiff <= thr THEN 1 ELSE 0 END) * 1000000"
+            " div MAX(n) AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )
