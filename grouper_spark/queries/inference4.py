@@ -2136,3 +2136,270 @@ def a194_total_deviation_index(spark, sf_dir):
             " div MAX(n) AS BIGINT)"
         ).alias("coverage_ppm"),
     )
+
+
+# --- Layout & locality audits (a195-a198) -----------------------------
+# Physical-design health metrics over the orders table, keyed by the
+# write-order proxy bucket = o_orderkey div 4096 (a fixed chunk size,
+# so the bucket count grows linearly with the corpus and every audit
+# below is one bucket-partitioned pass -- no global sorts, no windows
+# over the full table).
+
+
+@query(
+    "a195_comonth_collision_audit",
+    oracle="""
+WITH bm AS (
+  SELECT DISTINCT CAST(o_orderkey // 4096 AS BIGINT) AS bucket,
+         CAST(strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS VARCHAR)
+           AS month
+  FROM orders
+), per_month AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS k FROM bm GROUP BY 1
+), per_bucket AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS m FROM bm GROUP BY 1
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM per_bucket) AS n_buckets,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM per_month) AS n_months,
+  (SELECT CAST(SUM(k * (k - 1) // 2) AS BIGINT) FROM per_month)
+    AS comonth_collisions,
+  (SELECT CAST(SUM(m) * 100 // COUNT(*) AS BIGINT) FROM per_bucket)
+    AS mean_months_per_bucket_centi
+""",
+    tags=("layout", "audit"),
+)
+def a195_comonth_collision_audit(spark, sf_dir):
+    """Clustering-locality audit: how badly do write-order chunks
+    (orderkey div 4096, a parquet-row-group proxy) interleave the
+    orderdate dimension? A perfectly date-clustered table has each
+    month touched by ~contiguous chunks; the co-month collision count
+    sum_m C(k_m, 2) (k_m = chunks touching month m) is the number of
+    chunk pairs a month-predicate scan must co-read -- the same number
+    OPTIMIZE/Z-ORDER maintenance drives down. Months are calendar-
+    bounded, so the collision fold is over <=84 rows; the distinct
+    (chunk, month) pass is one map-side-combined aggregate."""
+    o = table(spark, sf_dir, "orders")
+    bm = o.select(
+        F.expr("CAST(o_orderkey div 4096 AS BIGINT)").alias("bucket"),
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month"),
+    ).distinct().localCheckpoint(eager=False)
+    per_month = bm.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    per_bucket = bm.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    a = per_bucket.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.expr("CAST(SUM(m) * 100 div COUNT(*) AS BIGINT)").alias(
+            "mean_months_per_bucket_centi"
+        ),
+    )
+    b = per_month.agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.sum(F.expr("k * (k - 1) div 2")).cast("bigint").alias(
+            "comonth_collisions"
+        ),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_buckets", "n_months", "comonth_collisions",
+        "mean_months_per_bucket_centi",
+    )
+
+
+@query(
+    "a196_partition_balance_audit",
+    oracle="""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5('pb|' || CAST(o_orderkey AS VARCHAR)),
+                              1, 13)) AS BIGINT) % 32 AS bucket
+  FROM orders
+), per AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r FROM h GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(r) AS BIGINT) AS total_rows,
+       CAST(MIN(r) AS BIGINT) AS min_rows,
+       CAST(MAX(r) AS BIGINT) AS max_rows,
+       CAST((MAX(r) - MIN(r)) * 1000000 // SUM(r) AS BIGINT)
+         AS range_ppm,
+       CAST(SUM((32 * r - (SELECT SUM(r) FROM per))
+                * (32 * r - (SELECT SUM(r) FROM per))) AS BIGINT)
+         AS sumsq_dev_x32
+FROM per
+""",
+    tags=("layout", "audit", "skew"),
+)
+def a196_partition_balance_audit(spark, sf_dir):
+    """Hash-partition balance audit: rows per bucket under the
+    deterministic 52-bit md5 slice of the orderkey mod 32 (the engine-
+    portable stand-in for a shuffle partitioner -- same draw on both
+    engines, the a1NN bootstrap discipline). Emits min/max/range-ppm
+    and the exact cross-multiplied deviation sum sum((32 r_i - N)^2)
+    (chi-square numerator x 32^2) so 'is the partitioner balanced'
+    needs no float mean. One groupBy to 32 rows at any corpus size."""
+    o = table(spark, sf_dir, "orders")
+    h = o.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pb|"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 32
+        ).alias("bucket")
+    )
+    per = h.groupBy("bucket").agg(F.count("*").cast("bigint").alias("r"))
+    tot = per.agg(F.sum("r").cast("bigint").alias("n_total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("r").cast("bigint").alias("total_rows"),
+            F.min("r").cast("bigint").alias("min_rows"),
+            F.max("r").cast("bigint").alias("max_rows"),
+            F.expr(
+                "CAST((MAX(r) - MIN(r)) * 1000000 div SUM(r) AS BIGINT)"
+            ).alias("range_ppm"),
+            F.sum(
+                (F.lit(32) * F.col("r") - F.col("n_total"))
+                * (F.lit(32) * F.col("r") - F.col("n_total"))
+            ).cast("bigint").alias("sumsq_dev_x32"),
+        )
+    )
+
+
+@query(
+    "a197_bucket_sortedness_audit",
+    oracle="""
+WITH seq AS (
+  SELECT CAST(o_orderkey // 4096 AS BIGINT) AS bucket,
+         CAST(o_orderdate AS DATE) AS d,
+         LEAD(CAST(o_orderdate AS DATE)) OVER
+           (PARTITION BY CAST(o_orderkey // 4096 AS BIGINT)
+            ORDER BY o_orderkey) AS nxt
+  FROM orders
+), steps AS (
+  SELECT bucket,
+         CASE WHEN nxt < d THEN 1 ELSE 0 END AS descent
+  FROM seq WHERE nxt IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+       CAST(SUM(descent) AS BIGINT) AS descents,
+       CAST(1000000 - SUM(descent) * 1000000 // COUNT(*) AS BIGINT)
+         AS sortedness_ppm
+FROM steps
+""",
+    tags=("layout", "audit"),
+)
+def a197_bucket_sortedness_audit(spark, sf_dir):
+    """Within-chunk sortedness audit: walking each write-order chunk
+    (orderkey div 4096) in key order, what fraction of adjacent steps
+    keep orderdate non-decreasing? 1.0 means the date column is
+    monotone inside every chunk (delta/RLE encodings and zone maps are
+    maximally effective); random interleave gives ~0.5. The window is
+    PARTITIONED by chunk -- a parallel per-chunk pass, never a global
+    sort -- and the descent tally is an exact integer ppm."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("bucket").orderBy("o_orderkey")
+    seq = o.select(
+        F.expr("CAST(o_orderkey div 4096 AS BIGINT)").alias("bucket"),
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    ).select(
+        "bucket", "d", F.lead("d").over(w).alias("nxt")
+    )
+    steps = seq.filter(F.col("nxt").isNotNull()).select(
+        "bucket",
+        F.when(F.col("nxt") < F.col("d"), 1).otherwise(0).alias("descent"),
+    )
+    return steps.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_steps"),
+        F.countDistinct("bucket").cast("bigint").alias("n_buckets"),
+        F.sum("descent").cast("bigint").alias("descents"),
+        F.expr(
+            "CAST(1000000 - SUM(descent) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("sortedness_ppm"),
+    )
+
+
+@query(
+    "a198_delta_bitwidth_audit",
+    oracle="""
+WITH seq AS (
+  SELECT CAST(o_orderkey AS BIGINT)
+         - LAG(CAST(o_orderkey AS BIGINT)) OVER
+             (PARTITION BY CAST(o_orderkey // 4096 AS BIGINT)
+              ORDER BY o_orderkey) AS delta
+  FROM orders
+), cl AS (
+  SELECT CASE WHEN delta < 16 THEN 4 WHEN delta < 256 THEN 8
+              WHEN delta < 4096 THEN 12 WHEN delta < 65536 THEN 16
+              WHEN delta < 1048576 THEN 20 WHEN delta < 16777216 THEN 24
+              WHEN delta < 4294967296 THEN 32 ELSE 64 END AS w
+  FROM seq WHERE delta IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_deltas,
+       CAST(SUM(CASE WHEN w = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+       CAST(SUM(CASE WHEN w = 8 THEN 1 ELSE 0 END) AS BIGINT) AS c8,
+       CAST(SUM(CASE WHEN w = 12 THEN 1 ELSE 0 END) AS BIGINT) AS c12,
+       CAST(SUM(CASE WHEN w = 16 THEN 1 ELSE 0 END) AS BIGINT) AS c16,
+       CAST(SUM(CASE WHEN w > 16 THEN 1 ELSE 0 END) AS BIGINT) AS c_wide,
+       CAST(SUM(w) AS BIGINT) AS bits_delta,
+       CAST(COUNT(*) * 64 AS BIGINT) AS bits_plain,
+       CAST(1000000 - SUM(w) * 1000000 // (COUNT(*) * 64) AS BIGINT)
+         AS savings_ppm
+FROM cl
+""",
+    tags=("layout", "audit", "encoding"),
+)
+def a198_delta_bitwidth_audit(spark, sf_dir):
+    """Delta-encoding bit-width audit for the orderkey column (the
+    companion to the RLE audit: WOULD delta encoding pay, before
+    rewriting the table?): within each write-order chunk the key deltas
+    are classified into parquet-style bit-width classes (4/8/12/16/...)
+    by exact integer comparison, and the audit reports the class
+    histogram plus total delta bits vs 64-bit plain -- savings_ppm is
+    the headline. Window is per-chunk (parallel), tallies are exact
+    BIGINTs."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("bucket").orderBy("k")
+    seq = o.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.expr("CAST(o_orderkey div 4096 AS BIGINT)").alias("bucket"),
+    ).select((F.col("k") - F.lag("k").over(w)).alias("delta"))
+    cl = seq.filter(F.col("delta").isNotNull()).select(
+        F.when(F.col("delta") < 16, 4)
+        .when(F.col("delta") < 256, 8)
+        .when(F.col("delta") < 4096, 12)
+        .when(F.col("delta") < 65536, 16)
+        .when(F.col("delta") < 1048576, 20)
+        .when(F.col("delta") < 16777216, 24)
+        .when(F.col("delta") < 4294967296, 32)
+        .otherwise(64)
+        .alias("w")
+    )
+    return cl.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_deltas"),
+        F.sum(F.when(F.col("w") == 4, 1).otherwise(0)).cast("bigint").alias("c4"),
+        F.sum(F.when(F.col("w") == 8, 1).otherwise(0)).cast("bigint").alias("c8"),
+        F.sum(F.when(F.col("w") == 12, 1).otherwise(0)).cast("bigint").alias("c12"),
+        F.sum(F.when(F.col("w") == 16, 1).otherwise(0)).cast("bigint").alias("c16"),
+        F.sum(F.when(F.col("w") > 16, 1).otherwise(0)).cast("bigint").alias("c_wide"),
+        F.sum("w").cast("bigint").alias("bits_delta"),
+        (F.count("*") * F.lit(64)).cast("bigint").alias("bits_plain"),
+        F.expr(
+            "CAST(1000000 - SUM(w) * 1000000 div (COUNT(*) * 64) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )
