@@ -22,6 +22,8 @@ at 100 TB.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window, functions as F
 
 from ..sources import table
@@ -2402,4 +2404,840 @@ def a198_delta_bitwidth_audit(spark, sf_dir):
         F.expr(
             "CAST(1000000 - SUM(w) * 1000000 div (COUNT(*) * 64) AS BIGINT)"
         ).alias("savings_ppm"),
+    )
+
+
+# --- Battery extension (a199-a206): process/queueing/infra/dynamics ---
+
+
+@query(
+    "a199_heuristic_miner_dependency",
+    oracle=f"""
+WITH dfg AS ({_DFG_SQL}),
+cnt AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM dfg WHERE dst IS NOT NULL GROUP BY 1, 2
+), types AS (SELECT DISTINCT event_type AS t FROM events),
+grid AS (
+  SELECT a.t AS ta, b.t AS tb FROM types a CROSS JOIN types b
+), dep AS (
+  SELECT g.ta, g.tb,
+         CAST(COALESCE(f.n, 0) AS BIGINT) AS f_ab,
+         CAST(COALESCE(r.n, 0) AS BIGINT) AS f_ba
+  FROM grid g
+  LEFT JOIN cnt f ON f.src = g.ta AND f.dst = g.tb
+  LEFT JOIN cnt r ON r.src = g.tb AND r.dst = g.ta
+)
+SELECT ta, tb, f_ab,
+       ROUND(CASE WHEN ta = tb
+                  THEN CAST(f_ab AS DOUBLE) / (f_ab + 1)
+                  ELSE CAST(f_ab - f_ba AS DOUBLE) / (f_ab + f_ba + 1)
+             END, 6) AS dep_r,
+       CASE WHEN (CASE WHEN ta = tb
+                       THEN CAST(f_ab AS DOUBLE) / (f_ab + 1)
+                       ELSE CAST(f_ab - f_ba AS DOUBLE) / (f_ab + f_ba + 1)
+                  END) >= 0.5 THEN 1 ELSE 0 END AS edge_flag
+FROM dep
+ORDER BY ta, tb
+""",
+    tags=("process", "events", "graph"),
+)
+def a199_heuristic_miner_dependency(spark, sf_dir):
+    """Heuristics-miner dependency measure over the full (ordered)
+    type x type grid: dep(a,b) = (|a>b| - |b>a|) / (|a>b| + |b>a| + 1)
+    for a != b and the length-one-loop form |a>a| / (|a>a| + 1) on the
+    diagonal -- the noise-robust causal strength the heuristic miner
+    thresholds to draw its net (edge_flag at the classic 0.5). The
+    ratio is a single division of exact BIGINT counts feeding a
+    terminal round(,6); grid and output are O(|types|^2)."""
+    pairs = _dfg_pairs(spark, sf_dir)
+    cnt = pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    e = table(spark, sf_dir, "events")
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    grid = (
+        types.alias("a")
+        .crossJoin(types.alias("b"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    )
+    f = cnt.select(
+        F.col("src").alias("ta"), F.col("dst").alias("tb"),
+        F.col("n").alias("n_f"),
+    )
+    r = cnt.select(
+        F.col("dst").alias("ta"), F.col("src").alias("tb"),
+        F.col("n").alias("n_r"),
+    )
+    dep = (
+        grid.join(F.broadcast(f), ["ta", "tb"], "left")
+        .join(F.broadcast(r), ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            F.coalesce("n_f", F.lit(0)).cast("bigint").alias("f_ab"),
+            F.coalesce("n_r", F.lit(0)).cast("bigint").alias("f_ba"),
+        )
+    )
+    dep_expr = F.when(
+        F.col("ta") == F.col("tb"),
+        F.col("f_ab").cast("double") / (F.col("f_ab") + F.lit(1)),
+    ).otherwise(
+        (F.col("f_ab") - F.col("f_ba")).cast("double")
+        / (F.col("f_ab") + F.col("f_ba") + F.lit(1))
+    )
+    return dep.select(
+        "ta",
+        "tb",
+        "f_ab",
+        F.round(dep_expr, 6).alias("dep_r"),
+        F.when(dep_expr >= 0.5, 1).otherwise(0).alias("edge_flag"),
+    ).orderBy("ta", "tb")
+
+
+@query(
+    "a200_littles_law_audit",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us,
+         CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                   - LAG(CAST(epoch_us(ts) AS BIGINT)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR LAG(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, sid,
+         CAST(MIN(t_us) AS BIGINT) AS s_start,
+         CAST(MAX(t_us) AS BIGINT) AS s_end
+  FROM (
+    SELECT user_id, t_us,
+           SUM(new_s) OVER
+             (PARTITION BY user_id ORDER BY t_us
+              ROWS UNBOUNDED PRECEDING) AS sid
+    FROM seq
+  ) GROUP BY 1, 2
+), horiz AS (
+  SELECT CAST(MIN(s_start) AS BIGINT) AS h0,
+         CAST(MAX(s_end) AS BIGINT) AS h1
+  FROM sess
+), ticks AS (
+  SELECT h0 + 3600000000 * CAST(g AS BIGINT) AS tick
+  FROM horiz, UNNEST(generate_series(1, 2400)) AS u(g)
+  WHERE h0 + 3600000000 * CAST(g AS BIGINT) < h1
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(s_end - s_start) AS BIGINT) AS total_dur_us,
+         (SELECT h1 - h0 FROM horiz) AS horizon_us
+  FROM sess
+), sampled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS span_hits,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ticks) AS n_ticks
+  FROM ticks t JOIN sess s
+    ON s.s_start <= t.tick AND t.tick < s.s_end
+)
+SELECT n_sessions, total_dur_us, horizon_us,
+       CAST(total_dur_us * 1000000 // horizon_us AS BIGINT)
+         AS l_timeavg_micro,
+       CAST(span_hits * 1000000 // n_ticks AS BIGINT) AS l_sampled_micro,
+       span_hits, n_ticks
+FROM scal CROSS JOIN sampled
+""",
+    tags=("process", "events", "queueing"),
+)
+def a200_littles_law_audit(spark, sf_dir):
+    """Little's law audit on sessionized activity: L (time-average
+    concurrent sessions) computed two independent ways -- exactly, as
+    sum(session durations)/horizon (which IS lambda*W, so the law holds
+    by construction), and empirically, by sampling concurrency at up to
+    2400 hourly ticks (count of sessions spanning each tick). The gap
+    between l_timeavg_micro and l_sampled_micro is pure sampling error
+    -- the classic way a dashboard 'current sessions' gauge disagrees
+    with throughput x latency. Sessions are 30-min-gap windows built by
+    one per-user running-sum window pass; the tick join is sessions x
+    <=2400 bounded ticks. All outputs exact integer micros."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > 1800000000
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        seq.select("user_id", "t_us", F.sum("new_s").over(w2).alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("t_us").cast("bigint").alias("s_start"),
+            F.max("t_us").cast("bigint").alias("s_end"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    horiz = sess.agg(
+        F.min("s_start").cast("bigint").alias("h0"),
+        F.max("s_end").cast("bigint").alias("h1"),
+    )
+    scal = sess.crossJoin(F.broadcast(horiz)).agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum(F.col("s_end") - F.col("s_start")).cast("bigint").alias(
+            "total_dur_us"
+        ),
+        (F.max("h1") - F.max("h0")).cast("bigint").alias("horizon_us"),
+    )
+    # Per-session closed form for "# hourly ticks g in [1, 2400] with
+    # tick < h1 and s_start <= h0 + g*3600e6 < s_end" — equivalent to
+    # the oracle's range join but with ZERO join fan-out (the r5
+    # non-equi-band lesson: a BETWEEN tick join plans as a cartesian).
+    u = 3600000000
+    hits = sess.crossJoin(F.broadcast(horiz)).select(
+        F.greatest(
+            F.expr(f"(s_start - h0 + {u - 1}) div {u}"), F.lit(1).cast("bigint")
+        ).alias("g_lo"),
+        F.least(
+            F.expr(f"(s_end - h0 - 1) div {u}"),
+            F.expr(f"(h1 - h0 - 1) div {u}"),
+            F.lit(2400).cast("bigint"),
+        ).alias("g_hi"),
+    )
+    n_ticks_df = horiz.select(
+        F.least(
+            F.expr(f"(h1 - h0 - 1) div {u}"), F.lit(2400).cast("bigint")
+        ).alias("n_ticks")
+    )
+    sampled = (
+        hits.agg(
+            F.sum(
+                F.greatest(
+                    F.col("g_hi") - F.col("g_lo") + F.lit(1),
+                    F.lit(0).cast("bigint"),
+                )
+            )
+            .cast("bigint")
+            .alias("span_hits")
+        )
+        .crossJoin(F.broadcast(n_ticks_df))
+    )
+    return scal.crossJoin(F.broadcast(sampled)).select(
+        "n_sessions",
+        "total_dur_us",
+        "horizon_us",
+        F.expr("CAST(total_dur_us * 1000000 div horizon_us AS BIGINT)").alias(
+            "l_timeavg_micro"
+        ),
+        F.expr("CAST(span_hits * 1000000 div n_ticks AS BIGINT)").alias(
+            "l_sampled_micro"
+        ),
+        "span_hits",
+        "n_ticks",
+    )
+
+
+@query(
+    "a201_var1_model",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+pan AS (
+  SELECT d, v, CAST(y // 1000 AS BIGINT) AS yk,
+         LAG(v) OVER (ORDER BY d) AS vl,
+         LAG(CAST(y // 1000 AS BIGINT)) OVER (ORDER BY d) AS yl
+  FROM daily
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vl) AS BIGINT) AS sx1, CAST(SUM(yl) AS BIGINT) AS sx2,
+         CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(yk) AS BIGINT) AS sy,
+         CAST(SUM(vl * vl) AS BIGINT) AS s11,
+         CAST(SUM(vl * yl) AS BIGINT) AS s12,
+         CAST(SUM(yl * yl) AS BIGINT) AS s22,
+         CAST(SUM(vl * v) AS BIGINT) AS c1v,
+         CAST(SUM(yl * v) AS BIGINT) AS c2v,
+         CAST(SUM(vl * yk) AS BIGINT) AS c1y,
+         CAST(SUM(yl * yk) AS BIGINT) AS c2y
+  FROM pan WHERE vl IS NOT NULL
+), m AS (
+  SELECT n,
+         CAST(n * s11 - sx1 * sx1 AS DOUBLE) AS m11,
+         CAST(n * s12 - sx1 * sx2 AS DOUBLE) AS m12,
+         CAST(n * s22 - sx2 * sx2 AS DOUBLE) AS m22,
+         CAST(n * c1v - sx1 * sv AS DOUBLE) AS b1v,
+         CAST(n * c2v - sx2 * sv AS DOUBLE) AS b2v,
+         CAST(n * c1y - sx1 * sy AS DOUBLE) AS b1y,
+         CAST(n * c2y - sx2 * sy AS DOUBLE) AS b2y,
+         CAST(sv AS DOUBLE) / n AS mv, CAST(sy AS DOUBLE) / n AS my,
+         CAST(sx1 AS DOUBLE) / n AS m1, CAST(sx2 AS DOUBLE) / n AS m2
+  FROM s
+), a AS (
+  SELECT n, mv, my, m1, m2,
+         (b1v * m22 - b2v * m12) / (m11 * m22 - m12 * m12) AS a11,
+         (b2v * m11 - b1v * m12) / (m11 * m22 - m12 * m12) AS a12,
+         (b1y * m22 - b2y * m12) / (m11 * m22 - m12 * m12) AS a21,
+         (b2y * m11 - b1y * m12) / (m11 * m22 - m12 * m12) AS a22
+  FROM m
+)
+SELECT n,
+       ROUND(a11, 6) AS a11_r, ROUND(a12, 6) AS a12_r,
+       ROUND(a21, 6) AS a21_r, ROUND(a22, 6) AS a22_r,
+       ROUND(mv - a11 * m1 - a12 * m2, 6) AS c1_r,
+       ROUND(my - a21 * m1 - a22 * m2, 6) AS c2_r,
+       ROUND(CASE WHEN (a11 + a22) * (a11 + a22)
+                       - 4 * (a11 * a22 - a12 * a21) >= 0
+                  THEN GREATEST(
+                    ABS((a11 + a22
+                         + SQRT((a11 + a22) * (a11 + a22)
+                                - 4 * (a11 * a22 - a12 * a21))) / 2),
+                    ABS((a11 + a22
+                         - SQRT((a11 + a22) * (a11 + a22)
+                                - 4 * (a11 * a22 - a12 * a21))) / 2))
+                  ELSE SQRT(ABS(a11 * a22 - a12 * a21))
+             END, 6) AS spectral_radius_r
+FROM a
+""",
+    tags=("inference", "timeseries"),
+)
+def a201_var1_model(spark, sf_dir):
+    """Bivariate VAR(1) fit on the (daily volume, daily kilodollar
+    revenue) system: [v_t, y_t]' = c + A [v_{t-1}, y_{t-1}]' + e, the
+    workhorse lead-lag model Granger causality (a507) presumes. Each
+    equation is a two-predictor OLS solved in closed form from exact
+    n-cross-multiplied BIGINT lag moments over the bounded day panel;
+    the stability diagnostic is the companion-matrix spectral radius
+    (real eigenvalues via the trace/det quadratic when the discriminant
+    is nonnegative, modulus sqrt(|det|) for the complex pair). Scalar
+    doubles only, every output a terminal round(,6)."""
+    daily = _dailyv(spark, sf_dir)
+    w = Window.orderBy("d")
+    pan = daily.select(
+        "d",
+        "v",
+        F.expr("CAST(y div 1000 AS BIGINT)").alias("yk"),
+    ).select(
+        "d",
+        "v",
+        "yk",
+        F.lag("v").over(w).alias("vl"),
+        F.lag("yk").over(w).alias("yl"),
+    ).filter(F.col("vl").isNotNull())
+    s = pan.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vl").cast("bigint").alias("sx1"),
+        F.sum("yl").cast("bigint").alias("sx2"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum("yk").cast("bigint").alias("sy"),
+        F.sum(F.col("vl") * F.col("vl")).cast("bigint").alias("s11"),
+        F.sum(F.col("vl") * F.col("yl")).cast("bigint").alias("s12"),
+        F.sum(F.col("yl") * F.col("yl")).cast("bigint").alias("s22"),
+        F.sum(F.col("vl") * F.col("v")).cast("bigint").alias("c1v"),
+        F.sum(F.col("yl") * F.col("v")).cast("bigint").alias("c2v"),
+        F.sum(F.col("vl") * F.col("yk")).cast("bigint").alias("c1y"),
+        F.sum(F.col("yl") * F.col("yk")).cast("bigint").alias("c2y"),
+    )
+    m = s.select(
+        "n",
+        F.expr("CAST(n * s11 - sx1 * sx1 AS DOUBLE)").alias("m11"),
+        F.expr("CAST(n * s12 - sx1 * sx2 AS DOUBLE)").alias("m12"),
+        F.expr("CAST(n * s22 - sx2 * sx2 AS DOUBLE)").alias("m22"),
+        F.expr("CAST(n * c1v - sx1 * sv AS DOUBLE)").alias("b1v"),
+        F.expr("CAST(n * c2v - sx2 * sv AS DOUBLE)").alias("b2v"),
+        F.expr("CAST(n * c1y - sx1 * sy AS DOUBLE)").alias("b1y"),
+        F.expr("CAST(n * c2y - sx2 * sy AS DOUBLE)").alias("b2y"),
+        F.expr("CAST(sv AS DOUBLE) / n").alias("mv"),
+        F.expr("CAST(sy AS DOUBLE) / n").alias("my"),
+        F.expr("CAST(sx1 AS DOUBLE) / n").alias("m1"),
+        F.expr("CAST(sx2 AS DOUBLE) / n").alias("m2"),
+    )
+    a = m.select(
+        "n",
+        "mv",
+        "my",
+        "m1",
+        "m2",
+        F.expr(
+            "(b1v * m22 - b2v * m12) / (m11 * m22 - m12 * m12)"
+        ).alias("a11"),
+        F.expr(
+            "(b2v * m11 - b1v * m12) / (m11 * m22 - m12 * m12)"
+        ).alias("a12"),
+        F.expr(
+            "(b1y * m22 - b2y * m12) / (m11 * m22 - m12 * m12)"
+        ).alias("a21"),
+        F.expr(
+            "(b2y * m11 - b1y * m12) / (m11 * m22 - m12 * m12)"
+        ).alias("a22"),
+    )
+    return a.select(
+        "n",
+        F.round("a11", 6).alias("a11_r"),
+        F.round("a12", 6).alias("a12_r"),
+        F.round("a21", 6).alias("a21_r"),
+        F.round("a22", 6).alias("a22_r"),
+        F.round(
+            F.col("mv") - F.col("a11") * F.col("m1") - F.col("a12") * F.col("m2"),
+            6,
+        ).alias("c1_r"),
+        F.round(
+            F.col("my") - F.col("a21") * F.col("m1") - F.col("a22") * F.col("m2"),
+            6,
+        ).alias("c2_r"),
+        F.round(
+            F.expr(
+                "CASE WHEN (a11 + a22) * (a11 + a22)"
+                " - 4 * (a11 * a22 - a12 * a21) >= 0"
+                " THEN GREATEST("
+                " ABS((a11 + a22 + SQRT((a11 + a22) * (a11 + a22)"
+                " - 4 * (a11 * a22 - a12 * a21))) / 2),"
+                " ABS((a11 + a22 - SQRT((a11 + a22) * (a11 + a22)"
+                " - 4 * (a11 * a22 - a12 * a21))) / 2))"
+                " ELSE SQRT(ABS(a11 * a22 - a12 * a21)) END"
+            ),
+            6,
+        ).alias("spectral_radius_r"),
+    )
+
+
+@query(
+    "a202_poincare_sd",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+pan AS (
+  SELECT v, LEAD(v) OVER (ORDER BY d) AS vn FROM daily
+), dz AS (
+  SELECT CAST(vn - v AS BIGINT) AS df, CAST(vn + v AS BIGINT) AS sm
+  FROM pan WHERE vn IS NOT NULL
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(df) AS BIGINT) AS sd, CAST(SUM(df * df) AS BIGINT) AS sdd,
+         CAST(SUM(sm) AS BIGINT) AS ss, CAST(SUM(sm * sm) AS BIGINT) AS sss
+  FROM dz
+)
+SELECT n,
+       ROUND(SQRT(CAST(n * sdd - sd * sd AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * n * 2)), 6) AS sd1_r,
+       ROUND(SQRT(CAST(n * sss - ss * ss AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * n * 2)), 6) AS sd2_r,
+       ROUND(SQRT(CAST(n * sdd - sd * sd AS DOUBLE)
+                  / CAST(n * sss - ss * ss AS DOUBLE)), 6) AS ratio_r,
+       ROUND(PI() * SQRT(CAST(n * sdd - sd * sd AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n * 2))
+                  * SQRT(CAST(n * sss - ss * ss AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n * 2)), 6) AS ellipse_area_r
+FROM s
+""",
+    tags=("inference", "timeseries"),
+)
+def a202_poincare_sd(spark, sf_dir):
+    """Poincare-plot dispersion of daily order volume: SD1 (short-term
+    variability, the spread of (v_t, v_{t+1}) perpendicular to the
+    identity line = sd(diff)/sqrt(2)) and SD2 (long-term, along the
+    line = sd(sum)/sqrt(2)), plus their ratio and the fitted ellipse
+    area pi*SD1*SD2 -- the HRV-style nonlinear summary that separates
+    jitter from drift where a plain variance cannot. Lag pairs come
+    from one LEAD over the bounded day panel; diff/sum moments are
+    exact BIGINTs, the sqrts are scalar, every output a terminal
+    round(,6)."""
+    daily = _dailyv(spark, sf_dir)
+    w = Window.orderBy("d")
+    pan = daily.select("v", F.lead("v").over(w).alias("vn")).filter(
+        F.col("vn").isNotNull()
+    )
+    dz = pan.select(
+        (F.col("vn") - F.col("v")).cast("bigint").alias("df"),
+        (F.col("vn") + F.col("v")).cast("bigint").alias("sm"),
+    )
+    s = dz.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("df").cast("bigint").alias("sd"),
+        F.sum(F.col("df") * F.col("df")).cast("bigint").alias("sdd"),
+        F.sum("sm").cast("bigint").alias("ss"),
+        F.sum(F.col("sm") * F.col("sm")).cast("bigint").alias("sss"),
+    )
+    sd1 = F.sqrt(
+        F.expr(
+            "CAST(n * sdd - sd * sd AS DOUBLE) / (CAST(n AS DOUBLE) * n * 2)"
+        )
+    )
+    sd2 = F.sqrt(
+        F.expr(
+            "CAST(n * sss - ss * ss AS DOUBLE) / (CAST(n AS DOUBLE) * n * 2)"
+        )
+    )
+    return s.select(
+        "n",
+        F.round(sd1, 6).alias("sd1_r"),
+        F.round(sd2, 6).alias("sd2_r"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "CAST(n * sdd - sd * sd AS DOUBLE)"
+                    " / CAST(n * sss - ss * ss AS DOUBLE)"
+                )
+            ),
+            6,
+        ).alias("ratio_r"),
+        F.round(F.lit(math.pi) * sd1 * sd2, 6).alias("ellipse_area_r"),
+    )
+
+
+@query(
+    "a203_transfer_entropy",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+med AS (
+  SELECT
+    (SELECT v FROM daily ORDER BY v, d
+      LIMIT 1 OFFSET (SELECT ((COUNT(*) + 1) // 2) - 1 FROM daily)) AS mv,
+    (SELECT y FROM daily ORDER BY y, d
+      LIMIT 1 OFFSET (SELECT ((COUNT(*) + 1) // 2) - 1 FROM daily)) AS my
+), bin AS (
+  SELECT d,
+         CASE WHEN v > (SELECT mv FROM med) THEN 1 ELSE 0 END AS bv,
+         CASE WHEN y > (SELECT my FROM med) THEN 1 ELSE 0 END AS by_
+  FROM daily
+), tri AS (
+  SELECT by_ AS a, LAG(by_) OVER (ORDER BY d) AS b,
+         LAG(bv) OVER (ORDER BY d) AS c
+  FROM bin
+), cells AS (
+  SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n_abc
+  FROM tri WHERE b IS NOT NULL GROUP BY 1, 2, 3
+), marg AS (
+  SELECT c1.a, c1.b, c1.c, c1.n_abc,
+         (SELECT SUM(n_abc) FROM cells c2 WHERE c2.b = c1.b) AS n_b,
+         (SELECT SUM(n_abc) FROM cells c2
+           WHERE c2.a = c1.a AND c2.b = c1.b) AS n_ab,
+         (SELECT SUM(n_abc) FROM cells c2
+           WHERE c2.b = c1.b AND c2.c = c1.c) AS n_bc
+  FROM cells c1
+), q AS (
+  SELECT CAST(SUM(n_abc) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(n_abc * LN(CAST(n_abc AS DOUBLE) * n_b
+                                        / (CAST(n_ab AS DOUBLE) * n_bc))
+                             * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s_micro
+  FROM marg
+)
+SELECT n,
+       ROUND((CAST(s_micro AS DOUBLE) / 1000000.0) / n, 6) AS te_vy_r
+FROM q
+""",
+    tags=("inference", "timeseries", "information"),
+)
+def a203_transfer_entropy(spark, sf_dir):
+    """Transfer entropy TE(volume -> revenue) at lag 1 on the median-
+    binarized daily panel: TE = sum p(y_t, y_{t-1}, v_{t-1}) * ln[
+    p(y_t | y_{t-1}, v_{t-1}) / p(y_t | y_{t-1}) ] -- the directed,
+    model-free dependence that Granger causality (a507) linearizes.
+    Binarization thresholds at the exact lower median (a179's order
+    statistic); the triple histogram has <=8 cells, each ln runs once
+    per cell on exact integer count ratios, each term is nano-quantized
+    to BIGINT micro BEFORE the cross-cell sum (a155/a186 discipline),
+    and the single terminal division feeds round(,6)."""
+    daily = _dailyv(spark, sf_dir).localCheckpoint(eager=False)
+    n_all = daily.agg(F.count("*").cast("bigint").alias("n_all"))
+    mv = (
+        daily.crossJoin(F.broadcast(n_all))
+        .select(
+            "v",
+            F.row_number().over(Window.orderBy("v", "d")).alias("rn"),
+            "n_all",
+        )
+        .filter(F.col("rn") == F.expr("(n_all + 1) div 2"))
+        .select(F.col("v").alias("mv"))
+    )
+    my = (
+        daily.crossJoin(F.broadcast(n_all))
+        .select(
+            "y",
+            F.row_number().over(Window.orderBy("y", "d")).alias("rn"),
+            "n_all",
+        )
+        .filter(F.col("rn") == F.expr("(n_all + 1) div 2"))
+        .select(F.col("y").alias("my"))
+    )
+    bin_df = daily.crossJoin(F.broadcast(mv)).crossJoin(F.broadcast(my)).select(
+        "d",
+        F.when(F.col("v") > F.col("mv"), 1).otherwise(0).alias("bv"),
+        F.when(F.col("y") > F.col("my"), 1).otherwise(0).alias("by_"),
+    )
+    w = Window.orderBy("d")
+    tri = bin_df.select(
+        F.col("by_").alias("a"),
+        F.lag("by_").over(w).alias("b"),
+        F.lag("bv").over(w).alias("c"),
+    ).filter(F.col("b").isNotNull())
+    cells = tri.groupBy("a", "b", "c").agg(
+        F.count("*").cast("bigint").alias("n_abc")
+    ).localCheckpoint(eager=False)
+    n_b = cells.groupBy("b").agg(F.sum("n_abc").cast("bigint").alias("n_b"))
+    n_ab = cells.groupBy("a", "b").agg(
+        F.sum("n_abc").cast("bigint").alias("n_ab")
+    )
+    n_bc = cells.groupBy("b", "c").agg(
+        F.sum("n_abc").cast("bigint").alias("n_bc")
+    )
+    marg = (
+        cells.join(F.broadcast(n_b), "b")
+        .join(F.broadcast(n_ab), ["a", "b"])
+        .join(F.broadcast(n_bc), ["b", "c"])
+    )
+    q = marg.agg(
+        F.sum("n_abc").cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(n_abc * LN(CAST(n_abc AS DOUBLE) * n_b"
+                " / (CAST(n_ab AS DOUBLE) * n_bc)) * 1000000.0, 0) AS BIGINT)"
+            )
+        ).cast("bigint").alias("s_micro"),
+    )
+    return q.select(
+        "n",
+        F.round(
+            (F.col("s_micro").cast("double") / F.lit(1000000.0)) / F.col("n"),
+            6,
+        ).alias("te_vy_r"),
+    )
+
+
+@query(
+    "a204_recurrence_quantification",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+pan AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
+), eps AS (
+  SELECT CAST((MAX(v) - MIN(v)) // 20 AS BIGINT) AS e,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pan
+), rec AS (
+  SELECT a.i AS i, b.i AS j
+  FROM pan a JOIN pan b ON a.i < b.i
+  WHERE ABS(a.v - b.v) <= (SELECT e FROM eps)
+), diag AS (
+  SELECT r1.i, r1.j
+  FROM rec r1
+  WHERE EXISTS (SELECT 1 FROM rec r2
+                 WHERE r2.i = r1.i + 1 AND r2.j = r1.j + 1)
+     OR EXISTS (SELECT 1 FROM rec r2
+                 WHERE r2.i = r1.i - 1 AND r2.j = r1.j - 1)
+), cnts AS (
+  SELECT (SELECT e FROM eps) AS eps,
+         (SELECT n FROM eps) AS n,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM rec) AS n_recurrent,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM diag) AS n_in_lines
+)
+SELECT n, eps, n_recurrent,
+       CAST(n_recurrent * 1000000 // (n * (n - 1) // 2) AS BIGINT)
+         AS rr_ppm,
+       n_in_lines,
+       CASE WHEN n_recurrent = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(n_in_lines * 1000000 // n_recurrent AS BIGINT)
+       END AS det_ppm
+FROM cnts
+""",
+    tags=("inference", "timeseries", "dynamics"),
+)
+def a204_recurrence_quantification(spark, sf_dir):
+    """Recurrence quantification analysis of daily order volume:
+    recurrence rate (fraction of day pairs within eps = range/20 of
+    each other) and determinism (fraction of recurrent pairs lying on a
+    diagonal line of length >= 2, i.e. whose successor or predecessor
+    pair also recurs -- periodic dynamics score high, noise scores
+    low). The pair stage is the calendar-bounded panel self-join
+    (<=C(2404,2) rows at any corpus scale); the diagonal test is an
+    exact (i+1, j+1) self-join of the recurrent-pair set; eps and all
+    tallies are exact integers."""
+    daily = _dailyv(spark, sf_dir)
+    pan = daily.select(
+        "v", F.row_number().over(Window.orderBy("d")).alias("i")
+    ).localCheckpoint(eager=False)
+    eps = pan.agg(
+        F.expr("CAST((MAX(v) - MIN(v)) div 20 AS BIGINT)").alias("e"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    a = pan.alias("a")
+    b = pan.alias("b")
+    rec = (
+        a.join(b, F.col("a.i") < F.col("b.i"))
+        .crossJoin(F.broadcast(eps))
+        .filter(F.abs(F.col("a.v") - F.col("b.v")) <= F.col("e"))
+        .select(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .localCheckpoint(eager=False)
+    )
+    succ = rec.select(
+        (F.col("i") - 1).alias("i"), (F.col("j") - 1).alias("j"),
+        F.lit(1).alias("has_succ"),
+    )
+    pred = rec.select(
+        (F.col("i") + 1).alias("i"), (F.col("j") + 1).alias("j"),
+        F.lit(1).alias("has_pred"),
+    )
+    diag = (
+        rec.join(succ, ["i", "j"], "left")
+        .join(pred, ["i", "j"], "left")
+        .filter(F.col("has_succ").isNotNull() | F.col("has_pred").isNotNull())
+        .select("i", "j")
+    )
+    n_rec = rec.agg(F.count("*").cast("bigint").alias("n_recurrent"))
+    n_diag = diag.agg(F.count("*").cast("bigint").alias("n_in_lines"))
+    return (
+        eps.crossJoin(F.broadcast(n_rec))
+        .crossJoin(F.broadcast(n_diag))
+        .select(
+            "n",
+            F.col("e").alias("eps"),
+            "n_recurrent",
+            F.expr(
+                "CAST(n_recurrent * 1000000 div (n * (n - 1) div 2) AS BIGINT)"
+            ).alias("rr_ppm"),
+            "n_in_lines",
+            F.expr(
+                "CASE WHEN n_recurrent = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(n_in_lines * 1000000 div n_recurrent AS BIGINT) END"
+            ).alias("det_ppm"),
+        )
+    )
+
+
+@query(
+    "a205_seasonal_strength",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+ma AS (
+  SELECT d, v,
+         CAST(isodow(d) AS BIGINT) AS dow,
+         CAST(SUM(v) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                           AND 3 FOLLOWING) AS BIGINT) AS t7,
+         CAST(COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                             AND 3 FOLLOWING) AS BIGINT) AS w7
+  FROM daily
+), interior AS (
+  SELECT d, v, dow, CAST(7 * v - t7 AS BIGINT) AS det7
+  FROM ma WHERE w7 = 7
+), vbar AS (
+  SELECT CAST(SUM(v) // COUNT(*) AS BIGINT) AS vb FROM interior
+), seas AS (
+  SELECT dow, CAST(SUM(det7) AS BIGINT) AS s_num,
+         CAST(COUNT(*) AS BIGINT) AS n_dow
+  FROM interior GROUP BY 1
+), rel AS (
+  SELECT i.d,
+         CAST(i.det7 * 1000000 // (7 * vb) AS BIGINT) AS det_rel,
+         CAST((i.det7 * s.n_dow - s.s_num) * 1000000
+              // (7 * s.n_dow * vb) AS BIGINT) AS rem_rel,
+         CAST((7 * s.n_dow * i.v - s.s_num) * 1000000
+              // (7 * s.n_dow * vb) AS BIGINT) AS sa_rel
+  FROM interior i JOIN seas s ON i.dow = s.dow CROSS JOIN vbar
+), mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(det_rel) AS BIGINT) AS s_d,
+         CAST(SUM(det_rel * det_rel) AS BIGINT) AS ss_d,
+         CAST(SUM(rem_rel) AS BIGINT) AS s_r,
+         CAST(SUM(rem_rel * rem_rel) AS BIGINT) AS ss_r,
+         CAST(SUM(sa_rel) AS BIGINT) AS s_a,
+         CAST(SUM(sa_rel * sa_rel) AS BIGINT) AS ss_a
+  FROM rel
+)
+SELECT n,
+       ROUND(GREATEST(0.0, 1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)
+                                 / CAST(n * ss_d - s_d * s_d AS DOUBLE)),
+             6) AS seasonal_strength_r,
+       ROUND(GREATEST(0.0, 1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)
+                                 / CAST(n * ss_a - s_a * s_a AS DOUBLE)),
+             6) AS trend_strength_r
+FROM mo
+""",
+    tags=("inference", "timeseries"),
+)
+def a205_seasonal_strength(spark, sf_dir):
+    """STL-style seasonal and trend strength of daily order volume:
+    detrend with a centered 7-day moving average (interior days only),
+    estimate the day-of-week seasonal as the per-dow mean of the
+    detrended series, and report F_seasonal = 1 - Var(remainder)/
+    Var(detrended) and F_trend = 1 - Var(remainder)/Var(seasonally
+    adjusted) (Hyndman's feasts definitions, clamped at 0). To keep
+    every cross-row fold exact at ANY corpus scale, per-day values are
+    floor-normalized to ppm-of-mean-volume BIGINTs (det7*1e6 //
+    (7*vbar) etc.) BEFORE the moment sums -- scale-free by
+    construction, identical floors in both engines."""
+    daily = _dailyv(spark, sf_dir)
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "v",
+        F.sum("v").over(w7).cast("bigint").alias("t7"),
+        F.count("*").over(w7).cast("bigint").alias("w7"),
+    )
+    # Spark dayofweek is 1=Sunday..7; DuckDB isodow is 1=Monday..7.
+    # Derive DuckDB's numbering: isodow = ((dayofweek + 5) % 7) + 1.
+    interior = ma.filter(F.col("w7") == 7).select(
+        "d",
+        "v",
+        F.expr("CAST(((dayofweek(d) + 5) % 7) + 1 AS BIGINT)").alias("dow"),
+        F.expr("CAST(7 * v - t7 AS BIGINT)").alias("det7"),
+    ).localCheckpoint(eager=False)
+    vbar = interior.agg(
+        F.expr("CAST(SUM(v) div COUNT(*) AS BIGINT)").alias("vb")
+    )
+    seas = interior.groupBy("dow").agg(
+        F.sum("det7").cast("bigint").alias("s_num"),
+        F.count("*").cast("bigint").alias("n_dow"),
+    )
+    rel = (
+        interior.join(F.broadcast(seas), "dow")
+        .crossJoin(F.broadcast(vbar))
+        .select(
+            F.expr("CAST(det7 * 1000000 div (7 * vb) AS BIGINT)").alias(
+                "det_rel"
+            ),
+            F.expr(
+                "CAST((det7 * n_dow - s_num) * 1000000"
+                " div (7 * n_dow * vb) AS BIGINT)"
+            ).alias("rem_rel"),
+            F.expr(
+                "CAST((7 * n_dow * v - s_num) * 1000000"
+                " div (7 * n_dow * vb) AS BIGINT)"
+            ).alias("sa_rel"),
+        )
+    )
+    mo = rel.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("det_rel").cast("bigint").alias("s_d"),
+        F.sum(F.col("det_rel") * F.col("det_rel")).cast("bigint").alias("ss_d"),
+        F.sum("rem_rel").cast("bigint").alias("s_r"),
+        F.sum(F.col("rem_rel") * F.col("rem_rel")).cast("bigint").alias("ss_r"),
+        F.sum("sa_rel").cast("bigint").alias("s_a"),
+        F.sum(F.col("sa_rel") * F.col("sa_rel")).cast("bigint").alias("ss_a"),
+    )
+    return mo.select(
+        "n",
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.expr("CAST(n * ss_r - s_r * s_r AS DOUBLE)")
+                / F.expr("CAST(n * ss_d - s_d * s_d AS DOUBLE)"),
+            ),
+            6,
+        ).alias("seasonal_strength_r"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.expr("CAST(n * ss_r - s_r * s_r AS DOUBLE)")
+                / F.expr("CAST(n * ss_a - s_a * s_a AS DOUBLE)"),
+            ),
+            6,
+        ).alias("trend_strength_r"),
     )
