@@ -260,3 +260,60 @@ def test_delta_bitwidth_conservation(row):
         r["savings_ppm"]
         == 1_000_000 - r["bits_delta"] * 1_000_000 // r["bits_plain"]
     )
+
+
+def test_heuristic_dependency_bounds(row):
+    rs = row("a199_heuristic_miner_dependency")
+    for r in rs:
+        assert -1.0 <= r["dep_r"] <= 1.0
+        assert r["edge_flag"] == (1 if r["dep_r"] >= 0.5 else 0)
+        if r["ta"] == r["tb"]:
+            assert r["dep_r"] >= 0.0
+
+
+def test_littles_law_agreement(row):
+    r = row("a200_littles_law_audit")[0]
+    # total session time cannot exceed horizon x population, and the
+    # sampled concurrency estimator must agree with the exact
+    # time-average within coarse sampling error (hourly ticks).
+    assert 0 < r["total_dur_us"] <= r["horizon_us"] * r["n_sessions"]
+    assert r["n_ticks"] > 0
+    lo = min(r["l_timeavg_micro"], r["l_sampled_micro"])
+    hi = max(r["l_timeavg_micro"], r["l_sampled_micro"])
+    assert hi <= 2 * lo + 2_000_000  # within 2x + 2 sessions slack
+
+
+def test_var1_stability(row):
+    r = row("a201_var1_model")[0]
+    assert r["n"] > 0
+    # daily activity is stationary in the fixture: stable VAR
+    assert 0.0 <= r["spectral_radius_r"] < 1.5
+
+
+def test_poincare_identity(row):
+    r = row("a202_poincare_sd")[0]
+    assert r["sd1_r"] >= 0 and r["sd2_r"] >= 0
+    # ellipse area = pi * sd1 * sd2 within rounding
+    assert abs(r["ellipse_area_r"] - math.pi * r["sd1_r"] * r["sd2_r"]) < 0.01
+    if r["sd2_r"] > 0:
+        assert abs(r["ratio_r"] - r["sd1_r"] / r["sd2_r"]) < 1e-3
+
+
+def test_transfer_entropy_nonneg(row):
+    r = row("a203_transfer_entropy")[0]
+    # TE is a KL divergence: nonnegative up to micro-quantization slack
+    assert r["te_vy_r"] >= -1e-4
+    assert r["te_vy_r"] <= math.log(2.0) + 1e-6  # binary alphabet cap
+
+
+def test_rqa_bounds(row):
+    r = row("a204_recurrence_quantification")[0]
+    assert 0 <= r["rr_ppm"] <= 1_000_000
+    assert 0 <= r["det_ppm"] <= 1_000_000
+    assert r["n_in_lines"] <= r["n_recurrent"]
+
+
+def test_seasonal_strength_bounds(row):
+    r = row("a205_seasonal_strength")[0]
+    assert 0.0 <= r["seasonal_strength_r"] <= 1.0 + 1e-9
+    assert 0.0 <= r["trend_strength_r"] <= 1.0 + 1e-9
