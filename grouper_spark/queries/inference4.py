@@ -3241,3 +3241,188 @@ def a205_seasonal_strength(spark, sf_dir):
             6,
         ).alias("trend_strength_r"),
     )
+
+
+@query(
+    "a206_allan_variance",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+idx AS (
+  SELECT v, CAST(DATEDIFF('day', (SELECT MIN(d) FROM daily), d)
+                 AS BIGINT) AS t
+  FROM daily
+), taus AS (
+  SELECT CAST(tau AS BIGINT) AS tau
+  FROM (VALUES (1), (2), (4), (8), (16)) AS tv(tau)
+), blocks AS (
+  SELECT ta.tau, i.t // ta.tau AS bk,
+         CAST(SUM(i.v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM idx i CROSS JOIN taus ta
+  GROUP BY 1, 2
+), full_b AS (
+  SELECT tau, bk, s FROM blocks WHERE c = tau
+), diffs AS (
+  SELECT b1.tau, CAST(b2.s - b1.s AS BIGINT) AS dk
+  FROM full_b b1 JOIN full_b b2
+    ON b1.tau = b2.tau AND b2.bk = b1.bk + 1
+)
+SELECT tau, CAST(COUNT(*) AS BIGINT) AS m,
+       CAST(SUM(dk * dk) AS BIGINT) AS sum_d2,
+       ROUND(CAST(SUM(dk * dk) AS DOUBLE)
+             / (2.0 * COUNT(*) * tau * tau), 6) AS avar_r
+FROM diffs
+GROUP BY tau
+ORDER BY tau
+""",
+    tags=("inference", "timeseries"),
+)
+def a206_allan_variance(spark, sf_dir):
+    """Allan variance of daily order volume at averaging times tau =
+    1, 2, 4, 8, 16 days: AVAR(tau) = E[(ybar_{k+1} - ybar_k)^2] / 2
+    over consecutive non-overlapping tau-day blocks -- the clock-
+    stability statistic that separates white noise (slope -1 in
+    log-log) from random walk (slope +1) where a plain variance
+    conflates them. Blocks come from one groupBy on (tau, t div tau)
+    over the bounded day panel crossed with a 5-row literal tau table;
+    partial tail blocks are dropped exactly (c = tau); block-sum diffs
+    are an equi-join on bk+1; the fold is exact BIGINT with one
+    terminal division per tau."""
+    daily = _dailyv(spark, sf_dir)
+    bounds = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(bounds)).select(
+        "v", F.datediff("d", "d0").cast("bigint").alias("t")
+    )
+    taus = spark.createDataFrame(
+        [(1,), (2,), (4,), (8,), (16,)], "tau long"
+    )
+    blocks = (
+        idx.crossJoin(F.broadcast(taus))
+        .groupBy("tau", F.expr("t div tau").alias("bk"))
+        .agg(
+            F.sum("v").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("c"),
+        )
+    )
+    full_b = blocks.filter(F.col("c") == F.col("tau")).select(
+        "tau", "bk", "s"
+    ).localCheckpoint(eager=False)
+    b1 = full_b.alias("b1")
+    b2 = full_b.alias("b2")
+    diffs = b1.join(
+        b2,
+        (F.col("b1.tau") == F.col("b2.tau"))
+        & (F.col("b2.bk") == F.col("b1.bk") + 1),
+    ).select(
+        F.col("b1.tau").alias("tau"),
+        (F.col("b2.s") - F.col("b1.s")).cast("bigint").alias("dk"),
+    )
+    return (
+        diffs.groupBy("tau")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum(F.col("dk") * F.col("dk")).cast("bigint").alias("sum_d2"),
+        )
+        .select(
+            "tau",
+            "m",
+            "sum_d2",
+            F.round(
+                F.expr(
+                    "CAST(sum_d2 AS DOUBLE) / (2.0 * m * tau * tau)"
+                ),
+                6,
+            ).alias("avar_r"),
+        )
+        .orderBy("tau")
+    )
+
+
+@query(
+    "a207_split_half_reliability",
+    oracle="""
+WITH types AS (
+  SELECT event_type AS t,
+         ROW_NUMBER() OVER (ORDER BY event_type) AS tr
+  FROM (SELECT DISTINCT event_type FROM events)
+), halves AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ty.tr % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS h1,
+         CAST(SUM(CASE WHEN ty.tr % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS h2
+  FROM events e JOIN types ty ON e.event_type = ty.t
+  GROUP BY 1
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(h1) AS BIGINT) AS s1, CAST(SUM(h2) AS BIGINT) AS s2,
+         CAST(SUM(h1 * h1) AS BIGINT) AS s11,
+         CAST(SUM(h2 * h2) AS BIGINT) AS s22,
+         CAST(SUM(h1 * h2) AS BIGINT) AS s12
+  FROM halves
+)
+SELECT n,
+       ROUND(CAST(n * s12 - s1 * s2 AS DOUBLE)
+             / (SQRT(CAST(n * s11 - s1 * s1 AS DOUBLE))
+                * SQRT(CAST(n * s22 - s2 * s2 AS DOUBLE))), 6) AS r_half_r,
+       ROUND(2.0 * (CAST(n * s12 - s1 * s2 AS DOUBLE)
+                    / (SQRT(CAST(n * s11 - s1 * s1 AS DOUBLE))
+                       * SQRT(CAST(n * s22 - s2 * s2 AS DOUBLE))))
+             / (1.0 + CAST(n * s12 - s1 * s2 AS DOUBLE)
+                      / (SQRT(CAST(n * s11 - s1 * s1 AS DOUBLE))
+                         * SQRT(CAST(n * s22 - s2 * s2 AS DOUBLE)))),
+             6) AS spearman_brown_r
+FROM s
+""",
+    tags=("inference", "psychometrics"),
+)
+def a207_split_half_reliability(spark, sf_dir):
+    """Split-half reliability of the per-user engagement instrument:
+    event types are split odd/even by alphabetical rank (deterministic
+    halves), each user's two half-scores are exact counts, their
+    Pearson correlation is the split-half reliability, and the
+    Spearman-Brown prophecy 2r/(1+r) projects it to full length -- the
+    a486 Cronbach alpha's classical companion (alpha is the mean of
+    all split-half coefficients under equal variances). One groupBy to
+    per-user rows, exact n-cross-multiplied BIGINT moments, two scalar
+    sqrts, terminal round(,6)."""
+    e = table(spark, sf_dir, "events")
+    types = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("t"),
+            F.row_number().over(Window.orderBy("event_type")).alias("tr"),
+        )
+    )
+    halves = (
+        e.join(F.broadcast(types), e["event_type"] == types["t"])
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("tr") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("h1"),
+            F.sum(F.when(F.col("tr") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("h2"),
+        )
+    )
+    s = halves.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("h1").cast("bigint").alias("s1"),
+        F.sum("h2").cast("bigint").alias("s2"),
+        F.sum(F.col("h1") * F.col("h1")).cast("bigint").alias("s11"),
+        F.sum(F.col("h2") * F.col("h2")).cast("bigint").alias("s22"),
+        F.sum(F.col("h1") * F.col("h2")).cast("bigint").alias("s12"),
+    )
+    r = F.expr(
+        "CAST(n * s12 - s1 * s2 AS DOUBLE)"
+        " / (SQRT(CAST(n * s11 - s1 * s1 AS DOUBLE))"
+        " * SQRT(CAST(n * s22 - s2 * s2 AS DOUBLE)))"
+    )
+    return s.select(
+        "n",
+        F.round(r, 6).alias("r_half_r"),
+        F.round(F.lit(2.0) * r / (F.lit(1.0) + r), 6).alias(
+            "spearman_brown_r"
+        ),
+    )

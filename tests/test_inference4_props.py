@@ -317,3 +317,27 @@ def test_seasonal_strength_bounds(row):
     r = row("a205_seasonal_strength")[0]
     assert 0.0 <= r["seasonal_strength_r"] <= 1.0 + 1e-9
     assert 0.0 <= r["trend_strength_r"] <= 1.0 + 1e-9
+
+
+def test_allan_variance_consistency(row):
+    rs = row("a206_allan_variance")
+    # sparse small-sf day panels may lack full blocks at large tau;
+    # whatever taus survive must be from the literal grid, in order
+    taus = [r["tau"] for r in rs]
+    assert taus == sorted(taus) and set(taus) <= {1, 2, 4, 8, 16}
+    assert 1 in taus
+    for r in rs:
+        assert r["avar_r"] >= 0.0
+        assert abs(
+            r["avar_r"] - r["sum_d2"] / (2.0 * r["m"] * r["tau"] ** 2)
+        ) < 1e-6
+
+
+def test_split_half_spearman_brown_identity(row):
+    r = row("a207_split_half_reliability")[0]
+    assert -1.0 - 1e-9 <= r["r_half_r"] <= 1.0 + 1e-9
+    sb = 2.0 * r["r_half_r"] / (1.0 + r["r_half_r"])
+    assert abs(r["spearman_brown_r"] - sb) < 1e-3
+    # prophecy lengthening never reduces a positive reliability
+    if r["r_half_r"] > 0:
+        assert r["spearman_brown_r"] >= r["r_half_r"] - 1e-9
