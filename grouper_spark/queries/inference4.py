@@ -2529,8 +2529,8 @@ WITH seq AS (
   WHERE h0 + 3600000000 * CAST(g AS BIGINT) < h1
 ), scal AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
-         CAST(SUM(s_end - s_start) AS BIGINT) AS total_dur_us,
-         (SELECT h1 - h0 FROM horiz) AS horizon_us
+         CAST(SUM((s_end - s_start) // 1000) AS BIGINT) AS total_dur_ms,
+         (SELECT (h1 - h0) // 1000 FROM horiz) AS horizon_ms
   FROM sess
 ), sampled AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS span_hits,
@@ -2538,10 +2538,13 @@ WITH seq AS (
   FROM ticks t JOIN sess s
     ON s.s_start <= t.tick AND t.tick < s.s_end
 )
-SELECT n_sessions, total_dur_us, horizon_us,
-       CAST(total_dur_us * 1000000 // horizon_us AS BIGINT)
-         AS l_timeavg_micro,
-       CAST(span_hits * 1000000 // n_ticks AS BIGINT) AS l_sampled_micro,
+SELECT n_sessions, total_dur_ms, horizon_ms,
+       CAST((total_dur_ms // horizon_ms) * 1000000
+            + ((total_dur_ms % horizon_ms) * 1000000) // horizon_ms
+            AS BIGINT) AS l_timeavg_micro,
+       CAST((span_hits // n_ticks) * 1000000
+            + ((span_hits % n_ticks) * 1000000) // n_ticks
+            AS BIGINT) AS l_sampled_micro,
        span_hits, n_ticks
 FROM scal CROSS JOIN sampled
 """,
@@ -2557,7 +2560,11 @@ def a200_littles_law_audit(spark, sf_dir):
     -- the classic way a dashboard 'current sessions' gauge disagrees
     with throughput x latency. Sessions are 30-min-gap windows built by
     one per-user running-sum window pass; the tick join is sessions x
-    <=2400 bounded ticks. All outputs exact integer micros."""
+    <=2400 bounded ticks. Durations floor to milliseconds per session
+    BEFORE the corpus fold and both L ratios use the overflow-safe
+    split division (total//h)*1e6 + ((total%h)*1e6)//h -- the 10x
+    sweep caught the naive total*1e6 overflowing BIGINT (a038 class).
+    All outputs exact integers."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -2594,10 +2601,12 @@ def a200_littles_law_audit(spark, sf_dir):
     )
     scal = sess.crossJoin(F.broadcast(horiz)).agg(
         F.count("*").cast("bigint").alias("n_sessions"),
-        F.sum(F.col("s_end") - F.col("s_start")).cast("bigint").alias(
-            "total_dur_us"
+        F.sum(F.expr("(s_end - s_start) div 1000")).cast("bigint").alias(
+            "total_dur_ms"
         ),
-        (F.max("h1") - F.max("h0")).cast("bigint").alias("horizon_us"),
+        F.expr("(MAX(h1) - MAX(h0)) div 1000").cast("bigint").alias(
+            "horizon_ms"
+        ),
     )
     # Per-session closed form for "# hourly ticks g in [1, 2400] with
     # tick < h1 and s_start <= h0 + g*3600e6 < s_end" — equivalent to
@@ -2634,14 +2643,17 @@ def a200_littles_law_audit(spark, sf_dir):
     )
     return scal.crossJoin(F.broadcast(sampled)).select(
         "n_sessions",
-        "total_dur_us",
-        "horizon_us",
-        F.expr("CAST(total_dur_us * 1000000 div horizon_us AS BIGINT)").alias(
-            "l_timeavg_micro"
-        ),
-        F.expr("CAST(span_hits * 1000000 div n_ticks AS BIGINT)").alias(
-            "l_sampled_micro"
-        ),
+        "total_dur_ms",
+        "horizon_ms",
+        F.expr(
+            "CAST((total_dur_ms div horizon_ms) * 1000000"
+            " + ((total_dur_ms % horizon_ms) * 1000000) div horizon_ms"
+            " AS BIGINT)"
+        ).alias("l_timeavg_micro"),
+        F.expr(
+            "CAST((span_hits div n_ticks) * 1000000"
+            " + ((span_hits % n_ticks) * 1000000) div n_ticks AS BIGINT)"
+        ).alias("l_sampled_micro"),
         "span_hits",
         "n_ticks",
     )

@@ -276,7 +276,7 @@ def test_littles_law_agreement(row):
     # total session time cannot exceed horizon x population, and the
     # sampled concurrency estimator must agree with the exact
     # time-average within coarse sampling error (hourly ticks).
-    assert 0 < r["total_dur_us"] <= r["horizon_us"] * r["n_sessions"]
+    assert 0 < r["total_dur_ms"] <= r["horizon_ms"] * r["n_sessions"]
     assert r["n_ticks"] > 0
     lo = min(r["l_timeavg_micro"], r["l_sampled_micro"])
     hi = max(r["l_timeavg_micro"], r["l_sampled_micro"])
