@@ -3405,6 +3405,9 @@ def a207_split_half_reliability(spark, sf_dir):
             F.col("event_type").alias("t"),
             F.row_number().over(Window.orderBy("event_type")).alias("tr"),
         )
+        # no-op bound: the type vocabulary is fixed; pins the broadcast
+        # side as bounded in the analyzed plan (q95/a118 lint pattern)
+        .limit(64)
     )
     halves = (
         e.join(F.broadcast(types), e["event_type"] == types["t"])
