@@ -208,9 +208,11 @@ def lsh_neardup_pairs(
     regardless of n (at 100 TB / ~1e8 vectors that is ~24 planes). Per-
     band match probability for a pair at cosine c is p^planes with
     p = 1 - arccos(c)/π, so adaptive planes only suit a true NEAR-DUP
-    floor (c ≥ ~0.99, p ≥ ~0.97) where p^24 stays large — at that floor
-    the 16-band miss probability is < 1e-6 even at 1e8 rows, while a
-    random pair (p≈0.5) collides with probability 2^-planes ≈ 8/n.
+    floor where p^24 stays large: at c = 0.996 (p ≈ 0.9715) the 24-plane
+    band matches with p^24 ≈ 0.50 and the 16-band miss is
+    (1-0.50)^16 ≈ 1.5e-5 at 1e8 rows; the miss drops below 1e-6 only
+    for c ≥ ~0.9975 (p ≥ ~0.9774). A random pair (p≈0.5) collides with
+    probability 2^-planes ≈ 8/n.
     Returns ``(vec_a, vec_b, cosine)``.
     """
     dim = 64

@@ -4444,7 +4444,7 @@ def a410_theil_decomposition(spark, sf_dir):
 
 
 @query(
-    "a111_degree_assortativity",
+    "a557_degree_assortativity",
     oracle="""
 WITH lp AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -4482,7 +4482,7 @@ FROM sums
 """,
     tags=("graph", "analytics"),
 )
-def a111_degree_assortativity(spark, sf_dir):
+def a557_degree_assortativity(spark, sf_dir):
     """Degree assortativity of the co-purchase graph — Newman's r, the
     Pearson correlation of endpoint degrees over edges, completing the
     graph-science battery (PageRank q119, components q63, triangles
@@ -4544,7 +4544,7 @@ def a111_degree_assortativity(spark, sf_dir):
 
 
 @query(
-    "a112_link_prediction",
+    "a558_link_prediction",
     oracle="""
 WITH lp AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -4582,7 +4582,7 @@ LIMIT 30
 """,
     tags=("graph", "ml"),
 )
-def a112_link_prediction(spark, sf_dir):
+def a558_link_prediction(spark, sf_dir):
     """Link prediction over the co-purchase graph: common-neighbor
     count and the Resource-Allocation index Σ_z 1/deg(z) for candidate
     (non-adjacent) pairs — the classic graph-completion scorer, and
@@ -4644,7 +4644,7 @@ def a112_link_prediction(spark, sf_dir):
 
 
 @query(
-    "a118_kendall_tau_b",
+    "a564_kendall_tau_b",
     oracle="""
 WITH samp AS (
   SELECT c_custkey AS id,
@@ -4682,7 +4682,7 @@ FROM pairs p CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty
 """,
     tags=("analytics", "stats"),
 )
-def a118_kendall_tau_b(spark, sf_dir):
+def a564_kendall_tau_b(spark, sf_dir):
     """Kendall tau-b rank correlation between account balance and
     realized order spend over a FIXED 200-customer panel — the
     tie-corrected concordance twin of Spearman (a346): Spearman
@@ -4770,7 +4770,7 @@ _KCORE_K = 4
 
 
 @query(
-    "a120_kcore_peel",
+    "a566_kcore_peel",
     oracle=f"""
 WITH lp AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -4811,7 +4811,7 @@ ORDER BY round
 """,
     tags=("graph", "analytics"),
 )
-def a120_kcore_peel(spark, sf_dir):
+def a566_kcore_peel(spark, sf_dir):
     """Two peel rounds toward the 4-core of the co-purchase
     graph — the degeneracy-ordering primitive behind community
     detection and dense-subgraph mining, and the graph-side analogue

@@ -2395,7 +2395,7 @@ _LN2 = 0.6931471805599453
 
 
 @query(
-    "a108_jensen_shannon",
+    "a554_jensen_shannon",
     oracle=f"""
 WITH tok AS (
   SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -2439,7 +2439,7 @@ ORDER BY c.src_a, c.src_b
 """,
     tags=("curation", "stats"),
 )
-def a108_jensen_shannon(spark, sf_dir):
+def a554_jensen_shannon(spark, sf_dir):
     """Jensen-Shannon divergence between every source pair's unigram
     distribution — the bounded symmetric divergence (0 ≤ JS ≤ ln 2)
     that drives source-mixture curation decisions, completing the

@@ -649,7 +649,7 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256)  # alpha_256, embedded literal
 
 
 @query(
-    "a121_hll_oracled",
+    "a567_hll_oracled",
     oracle=f"""
 WITH vals AS (
   SELECT DISTINCT l_orderkey AS v FROM lineitem
@@ -688,7 +688,7 @@ FROM sums s CROSS JOIN exact e
 """,
     tags=("indexing", "sketch"),
 )
-def a121_hll_oracled(spark, sf_dir):
+def a567_hll_oracled(spark, sf_dir):
     """HyperLogLog with a full exact-value oracle — the oracled twin of
     q123's native hll_sketch_agg (rows-only by necessity: Spark's
     sketch bytes aren't reproducible in SQL). md5-derived 60-bit

@@ -7039,7 +7039,7 @@ def a521_ansari_bradley(spark, sf_dir):
 
 
 @query(
-    "a054_map_mrr",
+    "a522_map_mrr",
     oracle="""
 WITH ranked AS (
   SELECT c_nationkey AS nk,
@@ -7084,7 +7084,7 @@ FROM scored
 """,
     tags=("inference", "eval"),
 )
-def a054_map_mrr(spark, sf_dir):
+def a522_map_mrr(spark, sf_dir):
     """MAP@100 and MRR over 25 nation-scoped retrieval runs (rank
     each nation's customers by account balance, relevance = has ever
     ordered) — the two ranking-eval standards q288's NDCG does not
@@ -7198,7 +7198,7 @@ _RBO_VALUES = ", ".join(f"({k}, {w})" for k, w in _RBO_ROWS)
 
 
 @query(
-    "a055_rank_biased_overlap",
+    "a523_rank_biased_overlap",
     oracle=f"""
 WITH per_part AS (
   SELECT l_partkey,
@@ -7234,7 +7234,7 @@ FROM ov
 """,
     tags=("inference", "eval"),
 )
-def a055_rank_biased_overlap(spark, sf_dir):
+def a523_rank_biased_overlap(spark, sf_dir):
     """Rank-biased overlap (p = 0.9, depth 50) between the
     revenue-ranking and quantity-ranking of parts — the top-weighted
     list-similarity measure built for comparing retrieval runs,
@@ -7288,7 +7288,7 @@ def a055_rank_biased_overlap(spark, sf_dir):
 
 
 @query(
-    "a056_weighted_kappa",
+    "a524_weighted_kappa",
     oracle="""
 WITH rng AS (
   SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
@@ -7342,7 +7342,7 @@ FROM sums
 """,
     tags=("inference", "stats"),
 )
-def a056_weighted_kappa(spark, sf_dir):
+def a524_weighted_kappa(spark, sf_dir):
     """Weighted Cohen's kappa (linear + quadratic) for the ordinal
     agreement between each user's first-half and second-half
     engagement TERCILE (low/mid/high activity bands) — the ordinal
@@ -7448,7 +7448,7 @@ def a056_weighted_kappa(spark, sf_dir):
 
 
 @query(
-    "a057_matthews_corrcoef",
+    "a525_matthews_corrcoef",
     oracle="""
 WITH cell AS (
   SELECT CAST(COALESCE(SUM(CASE WHEN c.c_acctbal > 0
@@ -7490,7 +7490,7 @@ FROM cell
 """,
     tags=("inference", "eval"),
 )
-def a057_matthews_corrcoef(spark, sf_dir):
+def a525_matthews_corrcoef(spark, sf_dir):
     """Matthews correlation coefficient + F1 + balanced accuracy +
     Youden's J for the positive-balance → will-order predictor — the
     binary-eval battery that completes the classifier-metric panel
@@ -7602,7 +7602,7 @@ def a057_matthews_corrcoef(spark, sf_dir):
 
 
 @query(
-    "a058_bland_altman",
+    "a526_bland_altman",
     oracle="""
 WITH liagg AS (
   SELECT l_orderkey,
@@ -7640,7 +7640,7 @@ FROM fit f CROSS JOIN outside o
 """,
     tags=("inference", "stats"),
 )
-def a058_bland_altman(spark, sf_dir):
+def a526_bland_altman(spark, sf_dir):
     """Bland–Altman agreement analysis between the order-header total
     and the discounted lineitem sum — the method-comparison standard
     that a4-family Deming regression complements but does not

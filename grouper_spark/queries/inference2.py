@@ -46,7 +46,7 @@ def _daily(spark, sf_dir):
 
 
 @query(
-    "a059_pettitt_changepoint",
+    "a527_pettitt_changepoint",
     oracle=f"""
 WITH daily AS ({_DAILY_SQL}),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
@@ -77,7 +77,7 @@ SELECT n.n AS n_days,
 FROM best b CROSS JOIN n
 """,
 )
-def a059_pettitt_changepoint(spark, sf_dir):
+def a527_pettitt_changepoint(spark, sf_dir):
     """Pettitt rank-based changepoint test on the daily order-revenue
     series. The Mann–Whitney-style statistic U_t = Σ_{i≤t}Σ_{j>t}
     sgn(x_i−x_j) collapses — because the i,j≤t block is antisymmetric
@@ -124,7 +124,7 @@ def a059_pettitt_changepoint(spark, sf_dir):
 
 
 @query(
-    "a060_buishand_snht",
+    "a528_buishand_snht",
     oracle=f"""
 WITH daily AS (
   SELECT d, CAST(x // 100 AS BIGINT) AS x FROM ({_DAILY_SQL})
@@ -163,7 +163,7 @@ FROM pre p CROSS JOIN s CROSS JOIN tmax tm
 GROUP BY s.n, s.sd
 """,
 )
-def a060_buishand_snht(spark, sf_dir):
+def a528_buishand_snht(spark, sf_dir):
     """Buishand range test + standard normal homogeneity test (SNHT)
     on the daily revenue series, quantized to whole hundreds of
     dollars so every cumulative deviation stays exact: n·S_k = n·P_k
@@ -229,7 +229,7 @@ def a060_buishand_snht(spark, sf_dir):
 
 
 @query(
-    "a061_bartels_rank_vn",
+    "a529_bartels_rank_vn",
     oracle=f"""
 WITH daily AS ({_DAILY_SQL}),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
@@ -264,7 +264,7 @@ SELECT n AS n_days,
 FROM parts
 """,
 )
-def a061_bartels_rank_vn(spark, sf_dir):
+def a529_bartels_rank_vn(spark, sf_dir):
     """Bartels rank von Neumann ratio test for randomness of the
     daily revenue sequence: RVN = Σ(r_i − r_{i+1})² / Σ(r_i − r̄)²
     over tie-exact midranks. Doubled midranks make BOTH sums exact
@@ -312,7 +312,7 @@ def a061_bartels_rank_vn(spark, sf_dir):
 
 
 @query(
-    "a062_yule_walker_ar2",
+    "a530_yule_walker_ar2",
     oracle=f"""
 WITH daily AS (
   SELECT d, CAST(x // 100 AS BIGINT) AS x FROM ({_DAILY_SQL})
@@ -371,7 +371,7 @@ SELECT n AS n_days,
 FROM g
 """,
 )
-def a062_yule_walker_ar2(spark, sf_dir):
+def a530_yule_walker_ar2(spark, sf_dir):
     """Yule–Walker AR(2) fit to the daily revenue series (hundred-
     dollar units). Autocovariance numerators
     Σx_ix_{i+k} − x̄·Σ(x_i+x_{i+k}) + (n−k)x̄² are DOUBLES built from
@@ -451,7 +451,7 @@ _CROSTON_VALUES = ", ".join(f"({k}, {w})" for k, w in _CROSTON_ROWS)
 
 
 @query(
-    "a063_croston_intermittent",
+    "a531_croston_intermittent",
     oracle=f"""
 WITH w(age, wfp) AS (VALUES {_CROSTON_VALUES}),
 demand AS (
@@ -493,7 +493,7 @@ FROM fit
 ORDER BY bkt
 """,
 )
-def a063_croston_intermittent(spark, sf_dir):
+def a531_croston_intermittent(spark, sf_dir):
     """Croston intermittent-demand forecast per part bucket (97
     series, ~23% of (bucket, day) slots carry demand in this
     fixture). Demand sizes and inter-arrival gaps are smoothed with
@@ -551,7 +551,7 @@ def a063_croston_intermittent(spark, sf_dir):
 
 
 @query(
-    "a064_aalen_johansen",
+    "a532_aalen_johansen",
     oracle="""
 WITH base AS (
   SELECT user_id,
@@ -625,7 +625,7 @@ FROM sprev
 ORDER BY t_days
 """,
 )
-def a064_aalen_johansen(spark, sf_dir):
+def a532_aalen_johansen(spark, sf_dir):
     """Aalen–Johansen cumulative incidence under competing risks:
     after signup a user either converts (first purchase, cause 1) or
     hits a fatal error first (cause 2), censored at last activity —
@@ -750,7 +750,7 @@ def a064_aalen_johansen(spark, sf_dir):
 
 
 @query(
-    "a065_km_greenwood_ci",
+    "a533_km_greenwood_ci",
     oracle="""
 WITH base AS (
   SELECT user_id,
@@ -824,7 +824,7 @@ FROM cum
 ORDER BY t_days
 """,
 )
-def a065_km_greenwood_ci(spark, sf_dir):
+def a533_km_greenwood_ci(spark, sf_dir):
     """Kaplan–Meier with Greenwood 95% confidence bands for
     signup→purchase conversion — the uncertainty q245 reports none
     of: Var[Ŝ(t)] = Ŝ(t)²·Σ d/(n(n−d)). Both running sums are
@@ -1012,7 +1012,7 @@ def _coorder_edges(spark, sf_dir):
 
 
 @query(
-    "a066_adamic_adar_linkpred",
+    "a534_adamic_adar_linkpred",
     oracle=f"""
 WITH {_CO_EDGES_SQL},
 sym AS (
@@ -1052,7 +1052,7 @@ ORDER BY aa_r DESC, u ASC, v ASC
 LIMIT 20
 """,
 )
-def a066_adamic_adar_linkpred(spark, sf_dir):
+def a534_adamic_adar_linkpred(spark, sf_dir):
     """Adamic-Adar link prediction on the part co-order graph (edge =
     bought together in >= 2 distinct orders; orders capped at 20
     distinct parts before the pair join, the q146 hot-bucket
@@ -1115,7 +1115,7 @@ def a066_adamic_adar_linkpred(spark, sf_dir):
 
 
 @query(
-    "a067_connected_components",
+    "a535_connected_components",
     oracle=f"""
 WITH RECURSIVE {_CO_EDGES_SQL},
 sym AS (
@@ -1140,7 +1140,7 @@ GROUP BY csize
 ORDER BY csize
 """,
 )
-def a067_connected_components(spark, sf_dir):
+def a535_connected_components(spark, sf_dir):
     """Weakly-connected components of the part co-order graph via
     min-label propagation run to a DRIVER-CHECKED fixed point: each
     sweep takes the min label over the 1-hop neighborhood (one
@@ -1217,7 +1217,7 @@ def a067_connected_components(spark, sf_dir):
 
 
 @query(
-    "a068_fuzzy_name_blocking",
+    "a536_fuzzy_name_blocking",
     oracle="""
 WITH blocked AS (
   SELECT p_partkey, p_name, p_brand,
@@ -1248,7 +1248,7 @@ GROUP BY blk
 ORDER BY blk
 """,
 )
-def a068_fuzzy_name_blocking(spark, sf_dir):
+def a536_fuzzy_name_blocking(spark, sf_dir):
     """Blocked fuzzy record matching on part names: block on the last
     word (the noun in this fixture's adjective-noun names), cap each
     block at its first 256 members by key (documented bound — block
@@ -1317,7 +1317,7 @@ def a068_fuzzy_name_blocking(spark, sf_dir):
 
 
 @query(
-    "a069_cooks_distance",
+    "a537_cooks_distance",
     oracle="""
 WITH xy AS (
   SELECT c.c_custkey,
@@ -1365,7 +1365,7 @@ ORDER BY round(e * e * h / (2.0 * mse * (1.0 - h) * (1.0 - h)), 6) DESC,
 LIMIT 20
 """,
 )
-def a069_cooks_distance(spark, sf_dir):
+def a537_cooks_distance(spark, sf_dir):
     """OLS influence diagnostics (leverage, internally studentized
     residual, Cook's distance) for spend-on-acctbal simple
     regression, reporting the 20 most influential customers. The
@@ -1456,7 +1456,7 @@ def a069_cooks_distance(spark, sf_dir):
 
 
 @query(
-    "a070_dixon_q_outlier",
+    "a538_dixon_q_outlier",
     oracle="""
 WITH vals AS (
   SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
@@ -1486,7 +1486,7 @@ FROM stats
 ORDER BY nationkey
 """,
 )
-def a070_dixon_q_outlier(spark, sf_dir):
+def a538_dixon_q_outlier(spark, sf_dir):
     """Dixon's Q ratio test for a single outlier at each end of the
     per-nation account-balance distribution: Q_max = (x_(n) −
     x_(n−1))/(x_(n) − x_(1)), Q_min mirrored. The four order
@@ -1546,7 +1546,7 @@ _LLR_MIN_COUNT = 5
 
 
 @query(
-    "a071_dunning_llr_collocations",
+    "a539_dunning_llr_collocations",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id,
@@ -1605,7 +1605,7 @@ ORDER BY llr_r DESC, w1 ASC, w2 ASC
 LIMIT 30
 """,
 )
-def a071_dunning_llr_collocations(spark, sf_dir):
+def a539_dunning_llr_collocations(spark, sf_dir):
     """Dunning log-likelihood-ratio collocation extraction over
     adjacent token bigrams (the q121 whitespace tokenization) — the
     collocation statistic that, unlike PMI, does not explode on rare
@@ -1690,7 +1690,7 @@ def a071_dunning_llr_collocations(spark, sf_dir):
 
 
 @query(
-    "a072_herfindahl_concentration",
+    "a540_herfindahl_concentration",
     oracle="""
 WITH rev AS (
   SELECT p.p_type, CAST(l.l_suppkey AS BIGINT) AS s,
@@ -1720,7 +1720,7 @@ FROM mkt
 ORDER BY p_type
 """,
 )
-def a072_herfindahl_concentration(spark, sf_dir):
+def a540_herfindahl_concentration(spark, sf_dir):
     """Herfindahl–Hirschman supplier-concentration index per part-type
     market: HHI = Σ share² computed as the exact-integer ratio
     Σr²/(Σr)² on dollar-quantized revenues (≤ ~1e13 squared terms at
@@ -1770,7 +1770,7 @@ def a072_herfindahl_concentration(spark, sf_dir):
 
 
 @query(
-    "a073_inequality_panel",
+    "a541_inequality_panel",
     oracle="""
 WITH spend AS (
   SELECT o_custkey,
@@ -1807,7 +1807,7 @@ SELECT n,
 FROM agg
 """,
 )
-def a073_inequality_panel(spark, sf_dir):
+def a541_inequality_panel(spark, sf_dir):
     """Inequality panel on per-customer spend: Theil T and Theil L
     (the GE(1)/GE(0) entropy pair) plus the Atkinson ε=1 index, which
     is 1 − geomean/mean. Spend is binned to hundred-dollar midpoints
@@ -1864,7 +1864,7 @@ def a073_inequality_panel(spark, sf_dir):
 
 
 @query(
-    "a074_lift_gains_deciles",
+    "a542_lift_gains_deciles",
     oracle="""
 WITH u AS (
   SELECT user_id,
@@ -1901,7 +1901,7 @@ FROM g
 ORDER BY decile_bin
 """,
 )
-def a074_lift_gains_deciles(spark, sf_dir):
+def a542_lift_gains_deciles(spark, sf_dir):
     """Lift and cumulative-gains table for an engagement-scored
     purchase-depth model readout: score = click+view count, target =
     heavy purchaser (≥14 purchases — the engagement-depth threshold
@@ -1974,7 +1974,7 @@ from .inference import _phi  # shared A&S-26.2.17 Φ text (both engines)
 
 
 @query(
-    "a075_multiple_testing_fdr",
+    "a543_multiple_testing_fdr",
     oracle=f"""
 WITH dollars AS (
   SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
@@ -2030,7 +2030,7 @@ FROM adj
 ORDER BY nationkey
 """,
 )
-def a075_multiple_testing_fdr(spark, sf_dir):
+def a543_multiple_testing_fdr(spark, sf_dir):
     """Benjamini–Hochberg FDR and Holm–Bonferroni FWER adjustment
     over the 25-nation family of mean-order-value z-tests — the
     multiple-testing layer every per-segment monitoring sweep needs
@@ -2116,7 +2116,7 @@ def a075_multiple_testing_fdr(spark, sf_dir):
 
 
 @query(
-    "a076_mahalanobis_outliers",
+    "a544_mahalanobis_outliers",
     oracle="""
 WITH xy AS (
   SELECT c.c_custkey,
@@ -2160,7 +2160,7 @@ ORDER BY round(d2, 6) DESC, c_custkey ASC
 LIMIT 20
 """,
 )
-def a076_mahalanobis_outliers(spark, sf_dir):
+def a544_mahalanobis_outliers(spark, sf_dir):
     """Bivariate Mahalanobis outlier scan over (account balance,
     total spend): the 2×2 covariance inverts in closed form, so D² =
     [v_y dx² − 2c dx dy + v_x dy²]/det needs no linear algebra
@@ -2237,7 +2237,7 @@ def a076_mahalanobis_outliers(spark, sf_dir):
 
 
 @query(
-    "a077_average_precision",
+    "a545_average_precision",
     oracle="""
 WITH u AS (
   SELECT user_id,
@@ -2275,7 +2275,7 @@ FROM hits h2 CROSS JOIN tot t
 GROUP BY t.n, t.p
 """,
 )
-def a077_average_precision(spark, sf_dir):
+def a545_average_precision(spark, sf_dir):
     """Average precision (the PR-AUC step estimate) for the
     engagement-ranks-heavy-purchasers readout that q286 scores by
     ROC: AP = (1/P)·Σ_{hits} precision@k, which unlike ROC-AUC does
@@ -2354,7 +2354,7 @@ _ELBOW_K_VALUES = ", ".join(f"({k})" for k in _ELBOW_KS)
 
 
 @query(
-    "a078_elbow_wss",
+    "a546_elbow_wss",
     oracle=f"""
 WITH ks(k) AS (VALUES {_ELBOW_K_VALUES}),
 spend AS (
@@ -2394,7 +2394,7 @@ FROM wss
 ORDER BY k
 """,
 )
-def a078_elbow_wss(spark, sf_dir):
+def a546_elbow_wss(spark, sf_dir):
     """Elbow-method WSS curve for k = 1..8 equal-width segmentations
     of per-customer spend, with first-difference drops and the
     second-difference curvature whose argmax is the knee. The corpus

@@ -1,4 +1,4 @@
-"""Round-9 battery (a174–a198): signal filtering, serially-correlated
+"""Round-9 battery (a174–a207): signal filtering, serially-correlated
 and zero-inflated regression corrections, exact dependence measures,
 process mining, data valuation, bipartite graph motifs, method
 comparison, and layout/locality audits the earlier batteries did not
@@ -55,6 +55,37 @@ def _dailyv(spark, sf_dir):
             ).alias("y"),
         )
         .localCheckpoint(eager=False)
+    )
+
+
+# (d, v, yk) with adaptive-unit revenue: yk = y // max(1, mean(y)/3000),
+# the inference.py _unit_scaled discipline. A fixed kilodollar divisor
+# put a201/a193's n-cross-multiplied yk moments (n*s22, sx2*sx2) within
+# ~2x of int64 max at the 10x gate; the adaptive unit pins mean(yk) at
+# ~3000 at EVERY corpus scale, so the squared-moment overflow budget is
+# scale-invariant. Both engines floor-divide identically.
+_DAILYVK_SQL = f"""
+daily0 AS ({_DAILYV_SQL}),
+uk AS (
+  SELECT GREATEST(1, (CAST(SUM(y) AS BIGINT) // COUNT(*)) // 3000) AS u
+  FROM daily0
+),
+daily AS (
+  SELECT d, v, CAST(y // u AS BIGINT) AS yk FROM daily0 CROSS JOIN uk
+)
+"""
+
+
+def _dailyvk(spark, sf_dir):
+    daily = _dailyv(spark, sf_dir)
+    unit = daily.agg(
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT),"
+            " (CAST(SUM(y) AS BIGINT) div COUNT(*)) div 3000)"
+        ).alias("u")
+    )
+    return daily.crossJoin(F.broadcast(unit)).select(
+        "d", "v", F.expr("CAST(y div u AS BIGINT)").alias("yk")
     )
 
 
@@ -1296,9 +1327,10 @@ WITH per_src AS (
 SELECT source, n_s,
        CAST(n_s * 1000000 // n AS BIGINT) AS share_ppm,
        CAST(t_s * 1000000 // n_s AS BIGINT) AS own_mean_chars_micro,
-       CAST(t * 1000000 // n
-            - (t - t_s) * 1000000 // (n - n_s) AS BIGINT)
-         AS loo_delta_micro
+       CASE WHEN n = n_s THEN CAST(0 AS BIGINT)
+            ELSE CAST(t * 1000000 // n
+                      - (t - t_s) * 1000000 // (n - n_s) AS BIGINT)
+       END AS loo_delta_micro
 FROM per_src CROSS JOIN tot
 ORDER BY loo_delta_micro DESC, source
 """,
@@ -1331,9 +1363,13 @@ def a187_loo_source_value(spark, sf_dir):
             F.expr("CAST(t_s * 1000000 div n_s AS BIGINT)").alias(
                 "own_mean_chars_micro"
             ),
+            # Degenerate single-source corpus: n = n_s makes the LOO
+            # mean undefined; emit 0 on both engines (a204 det_ppm
+            # guard pattern) instead of Spark-NULL vs DuckDB-raise.
             F.expr(
-                "CAST(t * 1000000 div n"
-                " - (t - t_s) * 1000000 div (n - n_s) AS BIGINT)"
+                "CASE WHEN n = n_s THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(t * 1000000 div n"
+                " - (t - t_s) * 1000000 div (n - n_s) AS BIGINT) END"
             ).alias("loo_delta_micro"),
         )
         .orderBy(F.desc("loo_delta_micro"), "source")
@@ -1617,7 +1653,9 @@ pairs AS (
          (SELECT CAST(COUNT(*) AS BIGINT) FROM solid) AS n_solid_pairs
 )
 SELECT n_edges, n_redundant, n_solid_pairs,
-       CAST(n_redundant * 1000000 // n_edges AS BIGINT) AS redundancy_ppm
+       CASE WHEN n_edges = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(n_redundant * 1000000 // n_edges AS BIGINT)
+       END AS redundancy_ppm
 FROM cnts
 """,
     tags=("graph", "bipartite"),
@@ -1669,16 +1707,21 @@ def a190_bipartite_edge_redundancy(spark, sf_dir):
             "n_edges",
             "n_redundant",
             "n_solid_pairs",
+            # Empty edge panel (degenerate fixture): 0, not NULL/raise.
             F.expr(
-                "CAST(n_redundant * 1000000 div n_edges AS BIGINT)"
+                "CASE WHEN n_edges = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(n_redundant * 1000000 div n_edges AS BIGINT) END"
             ).alias("redundancy_ppm"),
         )
     )
 
 
 # --- Method comparison (a191-a194) ------------------------------------
-# Two "measurements" of daily activity: order volume v and kilodollar
-# revenue yk = y div 1000. The day panel is calendar-bounded, so even
+# Two "measurements" of daily activity: order volume v and revenue yk —
+# kilodollar (y div 1000) for a191/a194, whose rank/order statistics
+# never square yk, and adaptive-unit (_dailyvk) for a193, whose squared
+# moments need scale-invariant int64 headroom. Panel is calendar-bounded
+# either way, so even
 # the Passing-Bablok all-pairs slope stage is <=C(2404,2) ~ 2.9M rows
 # at EVERY corpus scale -- the one groupBy that builds the panel is the
 # only stage that touches the fact table.
@@ -1996,8 +2039,8 @@ def a192_copeland_ranking(spark, sf_dir):
 @query(
     "a193_lin_ccc",
     oracle=f"""
-WITH daily AS ({_DAILYV_SQL}),
-pan AS (SELECT v, CAST(y // 1000 AS BIGINT) AS yk FROM daily),
+WITH {_DAILYVK_SQL},
+pan AS (SELECT v, yk FROM daily),
 s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(v) AS BIGINT) AS sx,
@@ -2026,14 +2069,15 @@ FROM s
 )
 def a193_lin_ccc(spark, sf_dir):
     """Lin's concordance correlation coefficient between daily order
-    volume and daily kilodollar revenue: CCC = 2*s_xy / (s_xx + s_yy +
+    volume and daily adaptive-unit revenue: CCC = 2*s_xy / (s_xx + s_yy +
     (xbar-ybar)^2), the agreement measure that penalizes both scatter
     (Pearson part) AND location/scale shift (the C_b accuracy factor,
     emitted too). Cross-multiplied by n^2 everything is one exact
-    BIGINT fold over the bounded day panel; two sqrt calls run once on
+    BIGINT fold over the bounded day panel; the revenue side is the
+    adaptive-unit yk (_dailyvk) so the squared moments keep the same
+    int64 headroom at every corpus scale; two sqrt calls run once on
     exact integers and every output feeds a terminal round(,6)."""
-    daily = _dailyv(spark, sf_dir)
-    pan = daily.select("v", F.expr("CAST(y div 1000 AS BIGINT)").alias("yk"))
+    pan = _dailyvk(spark, sf_dir).select("v", "yk")
     s = pan.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("v").cast("bigint").alias("sx"),
@@ -2539,12 +2583,16 @@ WITH seq AS (
     ON s.s_start <= t.tick AND t.tick < s.s_end
 )
 SELECT n_sessions, total_dur_ms, horizon_ms,
-       CAST((total_dur_ms // horizon_ms) * 1000000
-            + ((total_dur_ms % horizon_ms) * 1000000) // horizon_ms
-            AS BIGINT) AS l_timeavg_micro,
-       CAST((span_hits // n_ticks) * 1000000
-            + ((span_hits % n_ticks) * 1000000) // n_ticks
-            AS BIGINT) AS l_sampled_micro,
+       CASE WHEN horizon_ms = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((total_dur_ms // horizon_ms) * 1000000
+                      + ((total_dur_ms % horizon_ms) * 1000000)
+                        // horizon_ms AS BIGINT)
+       END AS l_timeavg_micro,
+       CASE WHEN n_ticks = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((span_hits // n_ticks) * 1000000
+                      + ((span_hits % n_ticks) * 1000000) // n_ticks
+                      AS BIGINT)
+       END AS l_sampled_micro,
        span_hits, n_ticks
 FROM scal CROSS JOIN sampled
 """,
@@ -2645,14 +2693,20 @@ def a200_littles_law_audit(spark, sf_dir):
         "n_sessions",
         "total_dur_ms",
         "horizon_ms",
+        # Degenerate horizons (all events in one instant / under ~2h →
+        # zero ticks) must yield 0 on both engines, not Spark-NULL vs
+        # DuckDB-raise (a204 det_ppm guard pattern).
         F.expr(
-            "CAST((total_dur_ms div horizon_ms) * 1000000"
+            "CASE WHEN horizon_ms = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((total_dur_ms div horizon_ms) * 1000000"
             " + ((total_dur_ms % horizon_ms) * 1000000) div horizon_ms"
-            " AS BIGINT)"
+            " AS BIGINT) END"
         ).alias("l_timeavg_micro"),
         F.expr(
-            "CAST((span_hits div n_ticks) * 1000000"
-            " + ((span_hits % n_ticks) * 1000000) div n_ticks AS BIGINT)"
+            "CASE WHEN n_ticks = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((span_hits div n_ticks) * 1000000"
+            " + ((span_hits % n_ticks) * 1000000) div n_ticks"
+            " AS BIGINT) END"
         ).alias("l_sampled_micro"),
         "span_hits",
         "n_ticks",
@@ -2662,11 +2716,11 @@ def a200_littles_law_audit(spark, sf_dir):
 @query(
     "a201_var1_model",
     oracle=f"""
-WITH daily AS ({_DAILYV_SQL}),
+WITH {_DAILYVK_SQL},
 pan AS (
-  SELECT d, v, CAST(y // 1000 AS BIGINT) AS yk,
+  SELECT d, v, yk,
          LAG(v) OVER (ORDER BY d) AS vl,
-         LAG(CAST(y // 1000 AS BIGINT)) OVER (ORDER BY d) AS yl
+         LAG(yk) OVER (ORDER BY d) AS yl
   FROM daily
 ), s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -2721,7 +2775,7 @@ FROM a
     tags=("inference", "timeseries"),
 )
 def a201_var1_model(spark, sf_dir):
-    """Bivariate VAR(1) fit on the (daily volume, daily kilodollar
+    """Bivariate VAR(1) fit on the (daily volume, daily adaptive-unit
     revenue) system: [v_t, y_t]' = c + A [v_{t-1}, y_{t-1}]' + e, the
     workhorse lead-lag model Granger causality (a507) presumes. Each
     equation is a two-predictor OLS solved in closed form from exact
@@ -2729,14 +2783,11 @@ def a201_var1_model(spark, sf_dir):
     the stability diagnostic is the companion-matrix spectral radius
     (real eigenvalues via the trace/det quadratic when the discriminant
     is nonnegative, modulus sqrt(|det|) for the complex pair). Scalar
-    doubles only, every output a terminal round(,6)."""
-    daily = _dailyv(spark, sf_dir)
+    doubles only, every output a terminal round(,6); the revenue side
+    is the adaptive-unit yk (_dailyvk) so the n-cross-multiplied lag
+    moments keep the same int64 headroom at every corpus scale."""
     w = Window.orderBy("d")
-    pan = daily.select(
-        "d",
-        "v",
-        F.expr("CAST(y div 1000 AS BIGINT)").alias("yk"),
-    ).select(
+    pan = _dailyvk(spark, sf_dir).select(
         "d",
         "v",
         "yk",

@@ -1555,7 +1555,7 @@ def a409_hash_collision_audit(spark, sf_dir):
 
 
 @query(
-    "a115_textrank_keywords",
+    "a561_textrank_keywords",
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
@@ -1590,7 +1590,7 @@ LIMIT 20
 """,
     tags=("lm", "graph"),
 )
-def a115_textrank_keywords(spark, sf_dir):
+def a561_textrank_keywords(spark, sf_dir):
     """TextRank keyword extraction — one damped PageRank step over the
     token co-occurrence graph (adjacent-token edges, weight = corpus
     bigram count), from the uniform initial score: s(t) = 0.15 +

@@ -4384,7 +4384,7 @@ def a408_two_way_anova(spark, sf_dir):
 
 
 @query(
-    "a106_kruskal_wallis",
+    "a552_kruskal_wallis",
     oracle="""
 WITH daily AS (
   SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -4427,7 +4427,7 @@ ORDER BY g.grp
 """,
     tags=("monitoring", "stats"),
 )
-def a106_kruskal_wallis(spark, sf_dir):
+def a552_kruskal_wallis(spark, sf_dir):
     """Kruskal-Wallis rank ANOVA across event types — the
     nonparametric k-group location test completing the battery next to
     Mann-Whitney (2 groups), Levene (a351), and two-way ANOVA (a408).
@@ -4532,7 +4532,7 @@ _BH_THR = (9.883285, 8.49699, 7.68606, 7.110696, 6.664409, 6.299766, 5.991465)
 
 
 @query(
-    "a107_benjamini_hochberg",
+    "a553_benjamini_hochberg",
     oracle=f"""
 WITH ev AS (
   SELECT isodow(CAST(ts AS DATE)) % 7 + 1 AS dow FROM events
@@ -4565,7 +4565,7 @@ ORDER BY t.bh_rank
 """,
     tags=("monitoring", "stats"),
 )
-def a107_benjamini_hochberg(spark, sf_dir):
+def a553_benjamini_hochberg(spark, sf_dir):
     """Benjamini-Hochberg FDR step-up over a fixed 7-hypothesis family
     (one per day-of-week: is that day's event volume off its uniform
     share?) — the multiple-testing controller every per-segment
@@ -4621,7 +4621,7 @@ def a107_benjamini_hochberg(spark, sf_dir):
 
 
 @query(
-    "a109_jarque_bera",
+    "a555_jarque_bera",
     oracle="""
 WITH v AS (
   SELECT event_type AS grp, CAST(ROUND(value, 0) AS BIGINT) AS x FROM events
@@ -4661,7 +4661,7 @@ ORDER BY grp
 """,
     tags=("monitoring", "stats"),
 )
-def a109_jarque_bera(spark, sf_dir):
+def a555_jarque_bera(spark, sf_dir):
     """Jarque-Bera normality test per event type — the
     moments-based gate (skewness² + excess-kurtosis²/4, scaled by n/6)
     that decides whether a z-score monitor's normal assumption is even
@@ -4718,7 +4718,7 @@ def a109_jarque_bera(spark, sf_dir):
 
 
 @query(
-    "a125_runs_test",
+    "a571_runs_test",
     oracle="""
 WITH daily AS (
   SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -4755,7 +4755,7 @@ ORDER BY grp
 """,
     tags=("monitoring", "stats"),
 )
-def a125_runs_test(spark, sf_dir):
+def a571_runs_test(spark, sf_dir):
     """Wald-Wolfowitz runs test on the up/down sequence of daily event
     counts per type — the randomness check that catches oscillating or
     trending load (too few runs = momentum, too many = ringing) that a
@@ -4809,7 +4809,7 @@ def a125_runs_test(spark, sf_dir):
 
 
 @query(
-    "a117_page_hinkley",
+    "a563_page_hinkley",
     oracle="""
 WITH RECURSIVE daily AS (
   SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -4846,7 +4846,7 @@ ORDER BY grp
 """,
     tags=("monitoring", "drift"),
 )
-def a117_page_hinkley(spark, sf_dir):
+def a563_page_hinkley(spark, sf_dir):
     """Page-Hinkley upward-drift detector over each event type's daily
     volume — the sequential change monitor that complements CUSUM
     (fixed reference) and binary segmentation (a358, offline): PH
@@ -5534,7 +5534,7 @@ def a427_western_electric_rules(spark, sf_dir):
 
 
 @query(
-    "a119_theil_sen_slope",
+    "a565_theil_sen_slope",
     oracle="""
 WITH daily AS (
   SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -5570,7 +5570,7 @@ ORDER BY grp
 """,
     tags=("monitoring", "stats"),
 )
-def a119_theil_sen_slope(spark, sf_dir):
+def a565_theil_sen_slope(spark, sf_dir):
     """Theil-Sen robust trend slope of each event type's daily volume
     — the median of all pairwise slopes, the ESTIMATOR companion to
     q273's Mann-Kendall trend TEST (MK says whether a monotone trend
@@ -5644,7 +5644,7 @@ def a119_theil_sen_slope(spark, sf_dir):
 
 
 @query(
-    "a113_effect_sizes",
+    "a559_effect_sizes",
     oracle="""
 WITH v AS (
   SELECT CASE WHEN event_type = 'purchase' THEN 'treat' ELSE 'ctrl' END
@@ -5687,7 +5687,7 @@ FROM stats
 """,
     tags=("monitoring", "stats"),
 )
-def a113_effect_sizes(spark, sf_dir):
+def a559_effect_sizes(spark, sf_dir):
     """Standardized effect sizes between two event populations —
     Cohen's d (pooled SD), Hedges' g (small-sample bias correction
     1 − 3/(4N−9)), and Glass's Δ (control-only SD) on purchase-vs-view

@@ -859,7 +859,7 @@ def a389_compressibility(spark, sf_dir):
 
 
 @query(
-    "a116_readability_scores",
+    "a562_readability_scores",
     oracle="""
 WITH per_doc AS (
   SELECT source,
@@ -892,7 +892,7 @@ ORDER BY source
 """,
     tags=("quality", "text"),
 )
-def a116_readability_scores(spark, sf_dir):
+def a562_readability_scores(spark, sf_dir):
     """Readability scoring per source — the Flesch reading-ease shape
     (206.835 − 1.015·ASL − 84.6·ASW) with documents as the sentence
     unit and vowel-group runs as the deterministic syllable proxy (a

@@ -214,8 +214,12 @@ def q83_neardup_lsh_rerank(spark, sf_dir):
 
     Scale shape: ``band_planes=None`` engages the log2(n) plane-scaling
     law (expected random bucket ≈ 8 rows at ANY corpus size, candidate
-    volume linear in n; per-pair miss probability < 1e-6 at the ≥0.99
-    planted floor even at 1e8 rows — see lsh_neardup_pairs). max_bucket
+    volume linear in n). At the actual ≥0.996 planted-cosine floor the
+    per-pair miss at 1e8 rows (24 planes) is ≈ 1.5e-5 — p = 1-θ/π ≈
+    0.9715, p²⁴ ≈ 0.50, (1-0.50)¹⁶ ≈ 1.5e-5, see lsh_neardup_pairs —
+    negligible against thousands of planted pairs, and the exact-dup
+    pairs at cosine 1.0 that dominate the top-20 are missed with
+    probability exactly 0 (identical sign patterns). max_bucket
     is the pathological-skew backstop only: bucket loads are Poisson(8),
     so a 1024 cap cannot touch a planted pair on any non-adversarial
     corpus (P[bucket>1024] < 1e-300) — which is why the oracle does not
@@ -1548,7 +1552,7 @@ def a381_product_quantization(spark, sf_dir):
 
 
 @query(
-    "a124_isotropy_audit",
+    "a570_isotropy_audit",
     oracle="""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1579,7 +1583,7 @@ FROM agg
 """,
     tags=("similarity", "audit"),
 )
-def a124_isotropy_audit(spark, sf_dir):
+def a570_isotropy_audit(spark, sf_dir):
     """Embedding isotropy audit — the EXACT mean pairwise cosine of
     the whole corpus WITHOUT any pair enumeration, via the Gram
     identity Σᵢ≠ⱼ⟨uᵢ,uⱼ⟩ = ‖Σᵢuᵢ‖² − Σᵢ‖uᵢ‖²: one component explode,

@@ -135,7 +135,7 @@ _SQL_CLASS = """
 
 
 @query(
-    "a101_skew_corpus_audit",
+    "a547_skew_corpus_audit",
     oracle=_SQL_CORPUS
     + f""", cls AS (
   SELECT {_SQL_CLASS} AS doc_class, text,
@@ -151,7 +151,7 @@ SELECT doc_class,
 FROM cls GROUP BY doc_class ORDER BY doc_class""",
     tags=("skew", "versioning"),
 )
-def a101_skew_corpus_audit(spark, sf_dir):
+def a547_skew_corpus_audit(spark, sf_dir):
     """Staged-skew-corpus integrity audit: reads the STAGED parquet
     (written under the _source_fingerprint path) and summarizes it per
     skew class — doc counts, distinct texts, token volume, and an
@@ -194,7 +194,7 @@ def a101_skew_corpus_audit(spark, sf_dir):
 
 
 @query(
-    "a102_skew_tfidf_capped",
+    "a548_skew_tfidf_capped",
     oracle=_SQL_CORPUS
     + f""", tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -239,7 +239,7 @@ FROM ranked WHERE rk <= 3
 ORDER BY doc_a, rk""",
     tags=("skew", "similarity", "capped"),
 )
-def a102_skew_tfidf_capped(spark, sf_dir):
+def a548_skew_tfidf_capped(spark, sf_dir):
     """TF-IDF kNN with the ``max_df`` stop-token cap ENGAGED (q198's
     general path finally exercised on data where the cap bites): the
     ``zhot``/``zp*`` injection appears in ~0.4·n docs (df 200 at
@@ -264,7 +264,7 @@ def a102_skew_tfidf_capped(spark, sf_dir):
 
 
 @query(
-    "a103_skew_shingle_capped",
+    "a549_skew_shingle_capped",
     oracle=_SQL_CORPUS
     + f""", sh0 AS (
   SELECT doc_id,
@@ -295,7 +295,7 @@ ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 40""",
     tags=("skew", "dedup", "capped"),
 )
-def a103_skew_shingle_capped(spark, sf_dir):
+def a549_skew_shingle_capped(spark, sf_dir):
     """Shingle-Jaccard near-dup with ``max_df`` ENGAGED: the injected
     hot-phrase shingles (df ≈ 0.4·n) and spam-text shingles (df = n/5)
     both exceed the cap of 64 at every sf and are
@@ -337,7 +337,7 @@ def _mh_sql_hash(p: int) -> str:
 
 
 @query(
-    "a104_skew_minhash_capped",
+    "a550_skew_minhash_capped",
     oracle=_SQL_CORPUS
     + ", sh0 AS (\n"
     "  SELECT doc_id,\n"
@@ -387,7 +387,7 @@ def _mh_sql_hash(p: int) -> str:
     "ORDER BY doc_a, doc_b",
     tags=("skew", "lsh", "capped"),
 )
-def a104_skew_minhash_capped(spark, sf_dir):
+def a550_skew_minhash_capped(spark, sf_dir):
     """MinHash-LSH banding with ``max_bucket`` ENGAGED: every fifth doc
     carries the identical spam text, so all n/5 of them share one
     signature and land in ONE bucket per band — n/5 (100 at sf0.01,
@@ -478,7 +478,7 @@ def a104_skew_minhash_capped(spark, sf_dir):
 
 
 @query(
-    "a105_skew_salted_join",
+    "a551_skew_salted_join",
     oracle="""
 WITH fact AS (
   SELECT l_returnflag,
@@ -499,7 +499,7 @@ GROUP BY f.l_returnflag
 ORDER BY f.l_returnflag""",
     tags=("skew", "join"),
 )
-def a105_skew_salted_join(spark, sf_dir):
+def a551_skew_salted_join(spark, sf_dir):
     """Salted equi-join under TRUE key skew: collapsing half the part
     keys onto key 0 puts ~50% of lineitem rows on ONE join key — the
     pathological reducer hot-spot — and ``salted_join`` spreads it over

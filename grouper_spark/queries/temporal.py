@@ -2010,7 +2010,7 @@ def a402_hurst_exponent(spark, sf_dir):
 
 
 @query(
-    "a114_seasonal_naive_mase",
+    "a560_seasonal_naive_mase",
     oracle="""
 WITH daily AS (
   SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -2041,7 +2041,7 @@ ORDER BY grp
 """,
     tags=("temporal", "forecast"),
 )
-def a114_seasonal_naive_mase(spark, sf_dir):
+def a560_seasonal_naive_mase(spark, sf_dir):
     """Seasonal-naive forecast evaluation — MASE and sMAPE of the
     lag-7 ("same weekday last week") predictor of daily event volume,
     per type. This is the FORECAST-SCORING half the battery lacked:
@@ -2245,7 +2245,7 @@ def a421_seasonal_decompose(spark, sf_dir):
 
 
 @query(
-    "a123_fulfillment_lead_time",
+    "a569_fulfillment_lead_time",
     oracle="""
 WITH lt AS (
   SELECT o.o_orderpriority AS priority,
@@ -2271,7 +2271,7 @@ ORDER BY priority
 """,
     tags=("temporal", "ops"),
 )
-def a123_fulfillment_lead_time(spark, sf_dir):
+def a569_fulfillment_lead_time(spark, sf_dir):
     """Order-to-ship fulfillment lead time per priority class — the
     operations KPI (mean/min/max lead days + the 90-day SLA breach
     rate) that joins the order header's commitment date to every

@@ -675,7 +675,7 @@ _WN_HEX = 15  # 60-bit md5 hashes, BIGINT-safe both engines
 
 
 @query(
-    "a110_winnowing_fingerprint",
+    "a556_winnowing_fingerprint",
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
@@ -712,7 +712,7 @@ ORDER BY doc_id
 """,
     tags=("text", "fingerprint"),
 )
-def a110_winnowing_fingerprint(spark, sf_dir):
+def a556_winnowing_fingerprint(spark, sf_dir):
     """Robust winnowing (the MOSS fingerprinting algorithm): positional
     {k}-gram hashes, a sliding window of {w} grams, the window MINIMUM
     selected as a fingerprint — guaranteeing every {w}-gram run of a

@@ -1352,7 +1352,7 @@ def a400_format_footprint_advisor(spark, sf_dir):
 
 
 @query(
-    "a122_cdc_upsert_apply",
+    "a568_cdc_upsert_apply",
     oracle="""
 WITH base AS (
   SELECT o_orderkey AS key, o_orderstatus AS status,
@@ -1390,7 +1390,7 @@ ORDER BY status
 """,
     tags=("versioning", "cdc"),
 )
-def a122_cdc_upsert_apply(spark, sf_dir):
+def a568_cdc_upsert_apply(spark, sf_dir):
     """CDC changelog apply — last-LSN-wins upsert/delete merge, the
     batch half of every lakehouse MERGE INTO and the keyed-table twin
     of q155's SCD2 (which keeps history; this materializes current

@@ -363,7 +363,7 @@ def test_ansari_bradley_score_bounds(row):
 
 
 def test_map_mrr_dominance(row):
-    r = row("a054_map_mrr")[0]
+    r = row("a522_map_mrr")[0]
     assert 0.0 <= r.map100_r <= 1.0 + 1e-9
     assert 0.0 <= r.mrr_r <= 1.0 + 1e-9
     # MRR scores only the first hit at full credit, so MRR >= MAP
@@ -372,19 +372,19 @@ def test_map_mrr_dominance(row):
 
 
 def test_rbo_bounds(row):
-    r = row("a055_rank_biased_overlap")[0]
+    r = row("a523_rank_biased_overlap")[0]
     assert 0.0 <= r.rbo_r <= 1.0 + 1e-9
     assert 0 <= r.overlap_at_depth <= r.depth
 
 
 def test_weighted_kappa_bounds(row):
-    r = row("a056_weighted_kappa")[0]
+    r = row("a524_weighted_kappa")[0]
     for v in (r.kappa_quadratic_r, r.kappa_linear_r):
         assert -1.0 - 1e-9 <= v <= 1.0 + 1e-9
 
 
 def test_matthews_panel_consistency(row):
-    r = row("a057_matthews_corrcoef")[0]
+    r = row("a525_matthews_corrcoef")[0]
     if r.mcc_r is not None:
         assert -1.0 <= r.mcc_r <= 1.0
     if r.f1_r is not None:
@@ -395,7 +395,7 @@ def test_matthews_panel_consistency(row):
 
 
 def test_bland_altman_loa_order(row):
-    r = row("a058_bland_altman")[0]
+    r = row("a526_bland_altman")[0]
     assert r.loa_lower_r <= r.bias_dollars_r <= r.loa_upper_r
     # ~5% outside the 95% limits for any roughly symmetric distribution
     assert 0.0 <= r.frac_outside_r <= 0.25
@@ -420,7 +420,7 @@ def _daily_series(sf_dir):
 
 
 def test_pettitt_brute_force(row, sf_dir):
-    r = row("a059_pettitt_changepoint")[0]
+    r = row("a527_pettitt_changepoint")[0]
     xs = _daily_series(sf_dir)
     n = len(xs)
     assert r.n_days == n
@@ -437,7 +437,7 @@ def test_pettitt_brute_force(row, sf_dir):
 
 
 def test_buishand_snht_brute_force(row, sf_dir):
-    r = row("a060_buishand_snht")[0]
+    r = row("a528_buishand_snht")[0]
     import numpy as np
 
     a = np.asarray([x // 100 for x in _daily_series(sf_dir)], dtype=float)
@@ -455,7 +455,7 @@ def test_buishand_snht_brute_force(row, sf_dir):
 
 
 def test_bartels_rvn_brute_force(row, sf_dir):
-    r = row("a061_bartels_rank_vn")[0]
+    r = row("a529_bartels_rank_vn")[0]
     import pandas as pd
 
     xs = pd.Series(_daily_series(sf_dir))
@@ -467,7 +467,7 @@ def test_bartels_rvn_brute_force(row, sf_dir):
 
 
 def test_yule_walker_brute_force(row, sf_dir):
-    r = row("a062_yule_walker_ar2")[0]
+    r = row("a530_yule_walker_ar2")[0]
     import numpy as np
 
     a = np.asarray([x // 100 for x in _daily_series(sf_dir)], dtype=float)
@@ -486,7 +486,7 @@ def test_yule_walker_brute_force(row, sf_dir):
 
 
 def test_croston_identities(row):
-    rows = row("a063_croston_intermittent")
+    rows = row("a531_croston_intermittent")
     assert len(rows) == 97
     for r in rows:
         assert r.z_hat_r > 0 and r.p_hat_r >= 1.0 - 1e-9
@@ -495,7 +495,7 @@ def test_croston_identities(row):
 
 
 def test_aalen_johansen_monotone_and_bounded(row):
-    rows = row("a064_aalen_johansen")
+    rows = row("a532_aalen_johansen")
     prev1 = prev2 = 0.0
     for r in rows:
         assert r.cif_purchase_r >= prev1 - 1e-9
@@ -505,7 +505,7 @@ def test_aalen_johansen_monotone_and_bounded(row):
 
 
 def test_greenwood_brackets_km(row):
-    rows = row("a065_km_greenwood_ci")
+    rows = row("a533_km_greenwood_ci")
     km = {r.t_days: r for r in row("q245_kaplan_meier")}
     prev = 1.0
     for r in rows:
@@ -517,7 +517,7 @@ def test_greenwood_brackets_km(row):
 
 
 def test_adamic_adar_scores_positive(row):
-    rows = row("a066_adamic_adar_linkpred")
+    rows = row("a534_adamic_adar_linkpred")
     assert rows, "link-prediction candidates must exist"
     for r in rows:
         assert r.cn >= 1
@@ -529,7 +529,7 @@ def test_adamic_adar_scores_positive(row):
 def test_connected_components_union_find(row, sf_dir):
     import duckdb
 
-    rows = row("a067_connected_components")
+    rows = row("a535_connected_components")
     edges = duckdb.connect().execute(
         f"""WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p
               FROM '{sf_dir}/lineitem.parquet'),
@@ -559,7 +559,7 @@ def test_connected_components_union_find(row, sf_dir):
 def test_fuzzy_blocking_brute_force(row, sf_dir):
     import duckdb
 
-    rows = row("a068_fuzzy_name_blocking")
+    rows = row("a536_fuzzy_name_blocking")
 
     def lev(a, b):
         if len(a) < len(b):
@@ -599,7 +599,7 @@ def test_cooks_distance_numpy(row, sf_dir):
     import duckdb
     import numpy as np
 
-    rows = row("a069_cooks_distance")
+    rows = row("a537_cooks_distance")
     xy = duckdb.connect().execute(
         f"""SELECT CAST(ROUND(c_acctbal,0) AS BIGINT),
                CAST(SUM(CAST(ROUND(o_totalprice*100.0,0) AS BIGINT))//100
@@ -624,13 +624,13 @@ def test_cooks_distance_numpy(row, sf_dir):
 
 
 def test_dixon_q_bounds(row):
-    for r in row("a070_dixon_q_outlier"):
+    for r in row("a538_dixon_q_outlier"):
         assert r.x1 <= r.x2 <= r.xn and r.x1 <= r.xn1 <= r.xn
         assert 0.0 <= r.q_max_r <= 1.0 and 0.0 <= r.q_min_r <= 1.0
 
 
 def test_llr_nonnegative_and_brute(row):
-    rows = row("a071_dunning_llr_collocations")
+    rows = row("a539_dunning_llr_collocations")
     assert rows
     for r in rows:
         assert r.llr_r >= -1e-6
@@ -641,7 +641,7 @@ def test_llr_nonnegative_and_brute(row):
 
 
 def test_hhi_identities(row):
-    for r in row("a072_herfindahl_concentration"):
+    for r in row("a540_herfindahl_concentration"):
         assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi_r <= 1.0 + 1e-9
         assert abs(r.effective_n_r - 1.0 / r.hhi_r) < 1e-3
         assert -1e-6 <= r.hhi_norm_r <= 1.0 + 1e-9
@@ -649,7 +649,7 @@ def test_hhi_identities(row):
 
 
 def test_inequality_identities(row):
-    r = row("a073_inequality_panel")[0]
+    r = row("a541_inequality_panel")[0]
     assert r.theil_t_r >= -1e-6 and r.theil_l_r >= -1e-6
     assert 0.0 <= r.atkinson1_r < 1.0
     # Atkinson(1) = 1 - exp(-Theil L), exactly
@@ -657,7 +657,7 @@ def test_inequality_identities(row):
 
 
 def test_lift_gains_consistency(row):
-    rows = row("a074_lift_gains_deciles")
+    rows = row("a542_lift_gains_deciles")
     base_users = sum(r.n_users for r in rows)
     base_pos = sum(r.n_pos for r in rows)
     for r in rows:
@@ -672,7 +672,7 @@ def test_lift_gains_consistency(row):
 
 
 def test_fdr_dominance(row):
-    rows = row("a075_multiple_testing_fdr")
+    rows = row("a543_multiple_testing_fdr")
     assert len(rows) == 25
     for r in rows:
         # Holm (FWER) is uniformly at least as conservative as BH (FDR)
@@ -686,7 +686,7 @@ def test_mahalanobis_numpy(row, sf_dir):
     import duckdb
     import numpy as np
 
-    rows = row("a076_mahalanobis_outliers")
+    rows = row("a544_mahalanobis_outliers")
     xy = duckdb.connect().execute(
         f"""SELECT CAST(ROUND(c_acctbal,0) AS BIGINT),
                CAST(SUM(CAST(ROUND(o_totalprice*100.0,0) AS BIGINT))//100
@@ -708,7 +708,7 @@ def test_mahalanobis_numpy(row, sf_dir):
 
 
 def test_average_precision_bounds(row):
-    r = row("a077_average_precision")[0]
+    r = row("a545_average_precision")[0]
     assert 0.0 <= r.ap_r <= 1.0 + 1e-9
     # AP of any ranking is at least the prevalence achieved by chance
     assert r.ap_r >= r.prevalence_r * 0.5
@@ -720,7 +720,7 @@ def test_average_precision_bounds(row):
 
 
 def test_elbow_wss_monotone(row):
-    rows = row("a078_elbow_wss")
+    rows = row("a546_elbow_wss")
     wss = [r.wss_units for r in rows]
     assert [r.k for r in rows] == list(range(1, 9))
     # WSS is non-increasing in k for nested equal-width refinements?

@@ -781,40 +781,40 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark, sf_dir, registry):
     assert not bad, bad
 
 
-def test_a103_skew_capped_pairs_no_cartesian(spark, sf_dir, registry):
+def test_a549_skew_capped_pairs_no_cartesian(spark, sf_dir, registry):
     """The capped shingle-Jaccard path over the skewed corpus must stay
     a posting-list equi-join — the cap must not change the plan shape,
     only the posting volume."""
-    df = registry["a103_skew_shingle_capped"].fn(spark, sf_dir)
+    df = registry["a549_skew_shingle_capped"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_a112_two_path_is_equi_join(spark, sf_dir, registry):
+def test_a558_two_path_is_equi_join(spark, sf_dir, registry):
     """Link-prediction candidates come from the panel-seeded two-path
     equi-join on the shared neighbor — never node×node."""
-    df = registry["a112_link_prediction"].fn(spark, sf_dir)
+    df = registry["a558_link_prediction"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_a124_isotropy_no_pair_join(spark, sf_dir, registry):
+def test_a570_isotropy_no_pair_join(spark, sf_dir, registry):
     """The Gram-identity isotropy audit must contain NO join at all —
     the whole point is O(n·d) instead of the O(n²) pairwise sweep.
     (The only joins allowed are the two final 1-row aggregates.)"""
-    df = registry["a124_isotropy_audit"].fn(spark, sf_dir)
+    df = registry["a570_isotropy_audit"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
-def test_a121_hll_single_scan(spark, sf_dir, registry):
+def test_a567_hll_single_scan(spark, sf_dir, registry):
     """The HLL twin folds the fact scan to 256 registers: one parquet
     scan feeds both the register build and the exact count (via the
     checkpointed distinct), never a re-read per branch."""
-    df = registry["a121_hll_oracled"].fn(spark, sf_dir)
+    df = registry["a567_hll_oracled"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("FileScan parquet") <= 1, plan
 
@@ -1067,53 +1067,53 @@ def test_a500_decay_weights_broadcast_join(spark, sf_dir, registry):
 # ---- round-7 battery II pins -----------------------------------------
 
 
-def test_a059_pettitt_no_pairwise_join(spark, sf_dir, registry):
+def test_a527_pettitt_no_pairwise_join(spark, sf_dir, registry):
     """Pettitt must be histogram + windows: the only join is daily
     value -> rank (equi), never a corpus self-join; exactly one
     orders scan per branch and no CartesianProduct."""
-    df = registry["a059_pettitt_changepoint"].fn(spark, sf_dir)
+    df = registry["a527_pettitt_changepoint"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
 
 
-def test_a063_croston_weight_table_broadcast(spark, sf_dir, registry):
+def test_a531_croston_weight_table_broadcast(spark, sf_dir, registry):
     """The 128-row SES weight table joins broadcast-side."""
-    df = registry["a063_croston_intermittent"].fn(spark, sf_dir)
+    df = registry["a531_croston_intermittent"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
 
 
-def test_a066_linkpred_no_cartesian(spark, sf_dir, registry):
+def test_a534_linkpred_no_cartesian(spark, sf_dir, registry):
     """Two-path enumeration and the non-edge anti-join are all
     equi-joins on z/(u,v) — a CartesianProduct would mean the
     candidate stage degenerated to all-pairs."""
-    df = registry["a066_adamic_adar_linkpred"].fn(spark, sf_dir)
+    df = registry["a534_adamic_adar_linkpred"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
 
 
-def test_a067_components_final_plan_scans_no_corpus(spark, sf_dir, registry):
+def test_a535_components_final_plan_scans_no_corpus(spark, sf_dir, registry):
     """After convergence the labels are eagerly checkpointed — the
     final histogram plan must not rescan lineitem (a scan here would
     mean each sweep replanned the edge derivation)."""
-    df = registry["a067_connected_components"].fn(spark, sf_dir)
+    df = registry["a535_connected_components"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "FileScan parquet" not in plan, plan
 
 
-def test_a069_influence_single_fold_plus_broadcast(spark, sf_dir, registry):
+def test_a537_influence_single_fold_plus_broadcast(spark, sf_dir, registry):
     """Cook's D re-scans only the checkpointed per-customer summary
     against a broadcast 1-row fit."""
-    df = registry["a069_cooks_distance"].fn(spark, sf_dir)
+    df = registry["a537_cooks_distance"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_a078_elbow_k_table_on_histogram(spark, sf_dir, registry):
+def test_a546_elbow_k_table_on_histogram(spark, sf_dir, registry):
     """The k-grid multiplies the HISTOGRAM, not the corpus: the fold
     lands in one checkpointed frame, so the final plan holds no
     parquet scan at all (3 references to the checkpoint instead)."""
-    df = registry["a078_elbow_wss"].fn(spark, sf_dir)
+    df = registry["a546_elbow_wss"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("FileScan parquet") == 0, plan
 

@@ -19,7 +19,7 @@ import re
 
 from grouper_spark.queries import load_all
 
-_CERTIFIED_THROUGH = 8  # rounds whose CORRECTNESS files are "spent"
+_CERTIFIED_THROUGH = 9  # rounds whose CORRECTNESS files are "spent"
 _ROOT = os.path.join(os.path.dirname(__file__), os.pardir)
 
 
@@ -73,11 +73,10 @@ def test_window_composition():
 
 def test_retired_numbers_not_reused():
     reg = load_all()
-    retired = {f"a{i:03d}" for i in range(0, 54)} | {
-        "a415",
-        "a416",
-        "a423",
-        "a424",
-    }
+    retired = (
+        {f"a{i:03d}" for i in range(0, 79)}
+        | {f"a{i:03d}" for i in range(101, 126)}
+        | {"a415", "a416", "a423", "a424"}
+    )
     used = {n.split("_")[0] for n in reg if re.match(r"^a\d{3}_", n)}
     assert not (used & retired), sorted(used & retired)

@@ -88,7 +88,7 @@ def registry():
 
 
 def test_minhash_bucket_cap_drops_spam_bucket(spark, sf_dir, registry):
-    out = registry["a104_skew_minhash_capped"].fn(spark, sf_dir)
+    out = registry["a550_skew_minhash_capped"].fn(spark, sf_dir)
     rows = out.collect()
     spam_ids = {i for i in range(5000) if i % 5 == 3}
     # no candidate pair is spam×spam: the mega-bucket was dropped

@@ -99,11 +99,11 @@ def main() -> int:
     )
 
     # --- minhash max_bucket ------------------------------------------
-    from grouper_spark.queries.skew import a104_skew_minhash_capped  # noqa: F401
+    from grouper_spark.queries.skew import a550_skew_minhash_capped  # noqa: F401
     from grouper_spark.queries import load_all
 
     reg = load_all()
-    capped_cand = reg["a104_skew_minhash_capped"].fn(spark, sf_dir).count()
+    capped_cand = reg["a550_skew_minhash_capped"].fn(spark, sf_dir).count()
     # uncapped twin: identical banding, no bucket cap — count raw pairs
     spam = d.filter(F.col("doc_id") % 5 == 3).count()
     uncapped_lower_bound = spam * (spam - 1) // 2  # the spam bucket alone
@@ -128,11 +128,11 @@ def main() -> int:
             sys.executable,
             "tools/check_parity.py",
             sf_dir,
-            "a101_skew_corpus_audit",
-            "a102_skew_tfidf_capped",
-            "a103_skew_shingle_capped",
-            "a104_skew_minhash_capped",
-            "a105_skew_salted_join",
+            "a547_skew_corpus_audit",
+            "a548_skew_tfidf_capped",
+            "a549_skew_shingle_capped",
+            "a550_skew_minhash_capped",
+            "a551_skew_salted_join",
         ],
         capture_output=True,
         text=True,
