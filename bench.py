@@ -206,6 +206,10 @@ def main() -> None:
             "a459_kcenter_seeding",
             "a450_lof_panel",
             "a448_ipf_raking",
+            # r9 verdict #3: the two slowest scale10-sweep queries were
+            # invisible to this section — time them where they hurt.
+            "a191_passing_bablok",   # O(days^2) pair stage, scale-constant
+            "q56_ann_ivf",           # IVF coarse quantizer + cell rerank
         )
         sf1_timings = {
             name: round(

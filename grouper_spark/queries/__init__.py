@@ -58,6 +58,7 @@ _MODULES = (
     "inference2",
     "inference3",
     "inference4",
+    "inference5",
     # keep last: re-registers existing queries under driver-sampler
     # alias names (depends on every other module being loaded)
     "aliases",

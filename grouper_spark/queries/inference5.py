@@ -1,0 +1,2031 @@
+"""Round-10 battery (a208–a228): robust/local regression (Siegel
+repeated medians, quantized-tricube LOESS, hinge trend, RANSAC),
+density estimation, SPC capability, epidemiology-style rate
+standardization, shrinkage, event studies, forecast skill scores,
+insurance chain-ladder, supply-chain bullwhip, scheduling dispatch
+rules, M/G/1 queueing, spatial Ripley K, actuarial life tables, and —
+for the LLM-pipeline surface — an AMS F2 sketch audit, rendezvous
+(HRW) sharding, an l-diversity/t-closeness privacy audit, a planted
+twin embedding-alignment audit, and a dedup scaling curve.
+
+Named a208+ so the battery sorts OUTSIDE the round-10 driver-sampler
+window (the first-50 window ends at a128; see queries/aliases.py).
+Shared design rules (the monitoring.py discipline): ONE
+map-side-combined aggregate folds the corpus to a keyed summary; every
+cross-row sum is an exact BIGINT (fixed-point where the source is a
+double); transcendentals run once per group/bin/scalar on identical
+exact inputs and feed a terminal ``round(x, 6)``; pairwise self-joins
+only over calendar-bounded or hash-bounded panels.
+
+Reference parity target: junegunn/grouper exposes no statistics
+surface (src/grouper/core.clj is a 155-line micro-batching utility);
+these extend the engine's analytics coverage for pipeline monitoring
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..sources import table
+from . import query
+from .inference4 import _DAILYV_SQL, _dailyv
+
+
+@query(
+    "a208_siegel_repeated_medians",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+pan AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i FROM daily
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pan
+), sl AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(b.v - a.v AS DOUBLE) / (b.i - a.i) AS s
+  FROM pan a JOIN pan b ON a.i <> b.i
+), ranked AS (
+  SELECT i, s, ROW_NUMBER() OVER (PARTITION BY i ORDER BY s, j) AS rn
+  FROM sl
+), med_i AS (
+  SELECT r.i,
+         CASE WHEN (sc.n - 1) % 2 = 1
+              THEN MAX(CASE WHEN r.rn = sc.n // 2 THEN r.s END)
+              ELSE (MAX(CASE WHEN r.rn = (sc.n - 1) // 2 THEN r.s END)
+                    + MAX(CASE WHEN r.rn = (sc.n - 1) // 2 + 1
+                          THEN r.s END)) / 2.0
+         END AS m
+  FROM ranked r CROSS JOIN scal sc
+  GROUP BY r.i, sc.n
+), mr AS (
+  SELECT m, i, ROW_NUMBER() OVER (ORDER BY m, i) AS rn FROM med_i
+), slope AS (
+  SELECT CASE WHEN sc.n % 2 = 1
+              THEN MAX(CASE WHEN mr.rn = (sc.n + 1) // 2 THEN mr.m END)
+              ELSE (MAX(CASE WHEN mr.rn = sc.n // 2 THEN mr.m END)
+                    + MAX(CASE WHEN mr.rn = sc.n // 2 + 1 THEN mr.m END))
+                   / 2.0
+         END AS b, sc.n AS n
+  FROM mr CROSS JOIN scal sc GROUP BY sc.n
+), resid AS (
+  SELECT p.v - s.b * p.i AS r, p.i,
+         ROW_NUMBER() OVER (ORDER BY p.v - s.b * p.i, p.i) AS rn
+  FROM pan p CROSS JOIN slope s
+)
+SELECT s.n,
+       ROUND(s.b, 6) AS slope_r,
+       ROUND(CASE WHEN s.n % 2 = 1
+                  THEN MAX(CASE WHEN r.rn = (s.n + 1) // 2 THEN r.r END)
+                  ELSE (MAX(CASE WHEN r.rn = s.n // 2 THEN r.r END)
+                        + MAX(CASE WHEN r.rn = s.n // 2 + 1 THEN r.r END))
+                       / 2.0
+             END, 6) AS intercept_r
+FROM resid r CROSS JOIN slope s
+GROUP BY s.n, s.b
+""",
+    tags=("inference", "robust-regression"),
+)
+def a208_siegel_repeated_medians(spark, sf_dir):
+    """Siegel repeated-median regression of daily order volume on time:
+    slope = median_i( median_{j != i} (v_j - v_i)/(j - i) ), intercept =
+    median_i(v_i - b*i) — the 50%-breakdown-point robust line (Theil–Sen
+    a565 breaks down at 29%). The pair stage lives on the
+    calendar-bounded day panel (<= 2404² rows at ANY corpus scale); each
+    pairwise slope is one exact-integer-ratio double; all medians are
+    explicit row_number order statistics (never an engine median), with
+    deterministic (value, index) tie-breaks so both engines pick the
+    identical element."""
+    daily = _dailyv(spark, sf_dir)
+    pan = daily.select(
+        "v",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
+    ).localCheckpoint(eager=False)
+    scal = pan.agg(F.count("*").cast("bigint").alias("n"))
+    a = pan.alias("a")
+    b = pan.alias("b")
+    sl = a.join(b, F.col("a.i") != F.col("b.i")).select(
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        (
+            (F.col("b.v") - F.col("a.v")).cast("double")
+            / (F.col("b.i") - F.col("a.i"))
+        ).alias("s"),
+    )
+    ranked = sl.select(
+        "i",
+        "s",
+        F.row_number()
+        .over(Window.partitionBy("i").orderBy("s", "j"))
+        .alias("rn"),
+    )
+    med_i = (
+        ranked.crossJoin(F.broadcast(scal))
+        .groupBy("i", "n")
+        .agg(
+            F.expr(
+                "CASE WHEN (n - 1) % 2 = 1"
+                " THEN MAX(CASE WHEN rn = n div 2 THEN s END)"
+                " ELSE (MAX(CASE WHEN rn = (n - 1) div 2 THEN s END)"
+                " + MAX(CASE WHEN rn = (n - 1) div 2 + 1 THEN s END))"
+                " / 2.0 END"
+            ).alias("m")
+        )
+    )
+    mr = med_i.select(
+        "m", "i", "n", F.row_number().over(Window.orderBy("m", "i")).alias("rn")
+    )
+    slope = mr.groupBy("n").agg(
+        F.expr(
+            "CASE WHEN n % 2 = 1"
+            " THEN MAX(CASE WHEN rn = (n + 1) div 2 THEN m END)"
+            " ELSE (MAX(CASE WHEN rn = n div 2 THEN m END)"
+            " + MAX(CASE WHEN rn = n div 2 + 1 THEN m END)) / 2.0 END"
+        ).alias("b")
+    )
+    resid = (
+        pan.crossJoin(F.broadcast(slope))
+        .select(
+            "n",
+            "b",
+            (F.col("v") - F.col("b") * F.col("i")).alias("r"),
+            "i",
+        )
+        .select(
+            "n",
+            "b",
+            "r",
+            F.row_number().over(Window.orderBy("r", "i")).alias("rn"),
+        )
+    )
+    return resid.groupBy("n", "b").agg(
+        F.round(F.col("b"), 6).alias("slope_r"),
+        F.round(
+            F.expr(
+                "CASE WHEN n % 2 = 1"
+                " THEN MAX(CASE WHEN rn = (n + 1) div 2 THEN r END)"
+                " ELSE (MAX(CASE WHEN rn = n div 2 THEN r END)"
+                " + MAX(CASE WHEN rn = n div 2 + 1 THEN r END)) / 2.0 END"
+            ),
+            6,
+        ).alias("intercept_r"),
+    ).select("n", "slope_r", "intercept_r")
+
+
+@query(
+    "a211_process_capability",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+mrp AS (
+  SELECT v, ABS(v - LAG(v) OVER (ORDER BY d)) AS mr FROM daily
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(v * v) AS BIGINT) AS svv,
+         CAST(SUM(mr) AS BIGINT) AS smr
+  FROM mrp
+), lim AS (
+  SELECT n, sv, svv, smr,
+         CAST(sv // (2 * n) AS BIGINT) AS lsl,
+         CAST((3 * sv) // (2 * n) AS BIGINT) AS usl,
+         CAST(sv AS DOUBLE) / n AS mu,
+         SQRT(CAST(n * svv - sv * sv AS DOUBLE) / (CAST(n AS DOUBLE)
+              * (n - 1))) AS sig_o,
+         (CAST(smr AS DOUBLE) / (n - 1)) / CAST(1.128 AS DOUBLE) AS sig_w
+  FROM s
+)
+SELECT n, lsl, usl, ROUND(mu, 6) AS mu_r,
+       ROUND(sig_w, 6) AS sigma_within_r,
+       ROUND(sig_o, 6) AS sigma_overall_r,
+       ROUND(CASE WHEN smr = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE (usl - lsl) / (6 * sig_w) END, 6) AS cp_r,
+       ROUND(CASE WHEN smr = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE LEAST(usl - mu, mu - lsl) / (3 * sig_w)
+             END, 6) AS cpk_r,
+       ROUND((usl - lsl) / (6 * sig_o), 6) AS pp_r,
+       ROUND(LEAST(usl - mu, mu - lsl) / (3 * sig_o), 6) AS ppk_r
+FROM lim
+""",
+    tags=("inference", "spc"),
+)
+def a211_process_capability(spark, sf_dir):
+    """Process capability indices (Cp/Cpk from within-subgroup sigma,
+    Pp/Ppk from overall sigma) for daily order volume against spec
+    limits [mu/2, 3mu/2] (exact integer floors of the grand mean).
+    Within-sigma is the individuals-chart estimator MRbar/d2 (d2 =
+    1.128 for moving ranges of 2), the SPC companion to the p-chart
+    (q338) and Western Electric rules (a427) this battery family
+    already has — capability answers 'does the process fit the spec',
+    not 'is it in control'. All moments are exact BIGINTs over the
+    calendar-bounded day panel; two sqrt calls run once on exact
+    integers; degenerate zero-moving-range fixtures emit 0 (guard on
+    both engines)."""
+    daily = _dailyv(spark, sf_dir)
+    mrp = daily.select(
+        "v",
+        F.abs(F.col("v") - F.lag("v").over(Window.orderBy("d"))).alias("mr"),
+    )
+    s = mrp.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+        F.sum("mr").cast("bigint").alias("smr"),
+    )
+    lim = s.select(
+        "n",
+        "sv",
+        "svv",
+        "smr",
+        F.expr("CAST(sv div (2 * n) AS BIGINT)").alias("lsl"),
+        F.expr("CAST((3 * sv) div (2 * n) AS BIGINT)").alias("usl"),
+        F.expr("CAST(sv AS DOUBLE) / n").alias("mu"),
+        F.expr(
+            "SQRT(CAST(n * svv - sv * sv AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * (n - 1)))"
+        ).alias("sig_o"),
+        F.expr(
+            "(CAST(smr AS DOUBLE) / (n - 1)) / CAST(1.128 AS DOUBLE)"
+        ).alias("sig_w"),
+    )
+    return lim.select(
+        "n",
+        "lsl",
+        "usl",
+        F.round("mu", 6).alias("mu_r"),
+        F.round("sig_w", 6).alias("sigma_within_r"),
+        F.round("sig_o", 6).alias("sigma_overall_r"),
+        F.round(
+            F.expr(
+                "CASE WHEN smr = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE (usl - lsl) / (6 * sig_w) END"
+            ),
+            6,
+        ).alias("cp_r"),
+        F.round(
+            F.expr(
+                "CASE WHEN smr = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE LEAST(usl - mu, mu - lsl) / (3 * sig_w) END"
+            ),
+            6,
+        ).alias("cpk_r"),
+        F.round(F.expr("(usl - lsl) / (6 * sig_o)"), 6).alias("pp_r"),
+        F.round(
+            F.expr("LEAST(usl - mu, mu - lsl) / (3 * sig_o)"), 6
+        ).alias("ppk_r"),
+    )
+
+
+@query(
+    "a215_hinge_trend",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+pan AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS t
+  FROM daily
+), kk AS (
+  SELECT CAST(MAX(t) // 2 AS BIGINT) AS k FROM pan
+), feat AS (
+  SELECT p.v, p.t,
+         CASE WHEN p.t > kk.k THEN p.t - kk.k ELSE 0 END AS h,
+         kk.k
+  FROM pan p CROSS JOIN kk
+), s AS (
+  SELECT MAX(k) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(h) AS BIGINT) AS sh,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(t * h) AS BIGINT) AS sth,
+         CAST(SUM(h * h) AS BIGINT) AS shh,
+         CAST(SUM(t * v) AS BIGINT) AS stv,
+         CAST(SUM(h * v) AS BIGINT) AS shv,
+         CAST(SUM(v * v) AS BIGINT) AS svv
+  FROM feat
+), m AS (
+  SELECT k, n,
+         CAST(n AS DOUBLE) AS a11, CAST(st AS DOUBLE) AS a12,
+         CAST(sh AS DOUBLE) AS a13, CAST(stt AS DOUBLE) AS a22,
+         CAST(sth AS DOUBLE) AS a23, CAST(shh AS DOUBLE) AS a33,
+         CAST(sv AS DOUBLE) AS y1, CAST(stv AS DOUBLE) AS y2,
+         CAST(shv AS DOUBLE) AS y3, CAST(svv AS DOUBLE) AS syy
+  FROM s
+), det AS (
+  SELECT k, n, y1, y2, y3, syy, a11, a12, a13, a22, a23, a33,
+         a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+           + a13 * (a12 * a23 - a22 * a13) AS dd
+  FROM m
+), coef AS (
+  SELECT k, n, y1, y2, y3, syy, a11,
+         (y1 * (a22 * a33 - a23 * a23) - a12 * (y2 * a33 - a23 * y3)
+            + a13 * (y2 * a23 - a22 * y3)) / dd AS b0,
+         (a11 * (y2 * a33 - a23 * y3) - y1 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * y3 - y2 * a13)) / dd AS b1,
+         (a11 * (a22 * y3 - y2 * a23) - a12 * (a12 * y3 - y2 * a13)
+            + y1 * (a12 * a23 - a22 * a13)) / dd AS b2
+  FROM det
+)
+SELECT n, k,
+       ROUND(b0, 6) AS b0_r, ROUND(b1, 6) AS slope_pre_r,
+       ROUND(b1 + b2, 6) AS slope_post_r, ROUND(b2, 6) AS slope_change_r,
+       ROUND(1 - (syy - b0 * y1 - b1 * y2 - b2 * y3)
+                 / (syy - y1 * y1 / a11), 6) AS r2_r
+FROM coef
+""",
+    tags=("inference", "regression", "timeseries"),
+)
+def a215_hinge_trend(spark, sf_dir):
+    """Continuous piecewise-linear (hinge) trend of daily order volume
+    with one knot at the calendar midpoint: v = b0 + b1*t + b2*(t-k)+ .
+    Unlike the Chow test (a481, which fits two DISCONNECTED segments
+    and asks 'did the coefficients change?') or binary segmentation
+    (a358, which finds the breakpoint), this fits the prophet-style
+    continuous trend and reports the slope change at the knot. The
+    hinge feature is an exact integer, so the 3x3 normal equations are
+    built from exact BIGINT moments and solved in closed form (Cramer's
+    rule) with doubles only at the terminal scalar stage; R^2 comes
+    from the regression identity SSE = Syy - b'X'y."""
+    daily = _dailyv(spark, sf_dir)
+    pan = daily.select(
+        "v",
+        (F.row_number().over(Window.orderBy("d")) - 1)
+        .cast("bigint")
+        .alias("t"),
+    )
+    kk = pan.agg(F.expr("CAST(MAX(t) div 2 AS BIGINT)").alias("k"))
+    feat = pan.crossJoin(F.broadcast(kk)).select(
+        "v",
+        "t",
+        F.expr("CASE WHEN t > k THEN t - k ELSE CAST(0 AS BIGINT) END").alias(
+            "h"
+        ),
+        "k",
+    )
+    s = feat.agg(
+        F.max("k").alias("k"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("h").cast("bigint").alias("sh"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum(F.col("t") * F.col("h")).cast("bigint").alias("sth"),
+        F.sum(F.col("h") * F.col("h")).cast("bigint").alias("shh"),
+        F.sum(F.col("t") * F.col("v")).cast("bigint").alias("stv"),
+        F.sum(F.col("h") * F.col("v")).cast("bigint").alias("shv"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+    )
+    m = s.select(
+        "k",
+        "n",
+        F.expr("CAST(n AS DOUBLE)").alias("a11"),
+        F.expr("CAST(st AS DOUBLE)").alias("a12"),
+        F.expr("CAST(sh AS DOUBLE)").alias("a13"),
+        F.expr("CAST(stt AS DOUBLE)").alias("a22"),
+        F.expr("CAST(sth AS DOUBLE)").alias("a23"),
+        F.expr("CAST(shh AS DOUBLE)").alias("a33"),
+        F.expr("CAST(sv AS DOUBLE)").alias("y1"),
+        F.expr("CAST(stv AS DOUBLE)").alias("y2"),
+        F.expr("CAST(shv AS DOUBLE)").alias("y3"),
+        F.expr("CAST(svv AS DOUBLE)").alias("syy"),
+    )
+    det = m.withColumn(
+        "dd",
+        F.expr(
+            "a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)"
+            " + a13 * (a12 * a23 - a22 * a13)"
+        ),
+    )
+    coef = det.select(
+        "k",
+        "n",
+        "y1",
+        "y2",
+        "y3",
+        "syy",
+        "a11",
+        F.expr(
+            "(y1 * (a22 * a33 - a23 * a23) - a12 * (y2 * a33 - a23 * y3)"
+            " + a13 * (y2 * a23 - a22 * y3)) / dd"
+        ).alias("b0"),
+        F.expr(
+            "(a11 * (y2 * a33 - a23 * y3) - y1 * (a12 * a33 - a23 * a13)"
+            " + a13 * (a12 * y3 - y2 * a13)) / dd"
+        ).alias("b1"),
+        F.expr(
+            "(a11 * (a22 * y3 - y2 * a23) - a12 * (a12 * y3 - y2 * a13)"
+            " + y1 * (a12 * a23 - a22 * a13)) / dd"
+        ).alias("b2"),
+    )
+    return coef.select(
+        "n",
+        "k",
+        F.round("b0", 6).alias("b0_r"),
+        F.round("b1", 6).alias("slope_pre_r"),
+        F.round(F.col("b1") + F.col("b2"), 6).alias("slope_post_r"),
+        F.round("b2", 6).alias("slope_change_r"),
+        F.round(
+            F.expr(
+                "1 - (syy - b0 * y1 - b1 * y2 - b2 * y3)"
+                " / (syy - y1 * y1 / a11)"
+            ),
+            6,
+        ).alias("r2_r"),
+    )
+
+
+@query(
+    "a224_heidke_peirce_skill",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+dirs AS (
+  SELECT d,
+         CASE WHEN v - LAG(v) OVER (ORDER BY d) > 0 THEN 1 ELSE 0 END
+           AS up,
+         LAG(v) OVER (ORDER BY d) AS vl
+  FROM daily
+), fa AS (
+  SELECT LAG(up) OVER (ORDER BY d) AS f, up AS a
+  FROM dirs WHERE vl IS NOT NULL
+), cm AS (
+  SELECT CAST(SUM(CASE WHEN f = 1 AND a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(SUM(CASE WHEN f = 1 AND a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS fp,
+         CAST(SUM(CASE WHEN f = 0 AND a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS fn,
+         CAST(SUM(CASE WHEN f = 0 AND a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tn
+  FROM fa WHERE f IS NOT NULL
+)
+SELECT tp, fp, fn, tn,
+       ROUND(CAST(2 * (tp * tn - fp * fn) AS DOUBLE)
+             / CAST((tp + fn) * (fn + tn) + (tp + fp) * (fp + tn)
+                    AS DOUBLE), 6) AS hss_r,
+       ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
+             / CAST((tp + fn) * (fp + tn) AS DOUBLE), 6) AS pss_r,
+       ROUND((CAST(tp AS DOUBLE) / (tp + fn)
+              + CAST(tn AS DOUBLE) / (fp + tn)) / 2, 6)
+         AS balanced_acc_r,
+       ROUND((tp - CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                   / (tp + fp + fn + tn))
+             / (tp + fp + fn - CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                               / (tp + fp + fn + tn)), 6) AS gss_r
+FROM cm
+""",
+    tags=("inference", "forecast-eval"),
+)
+def a224_heidke_peirce_skill(spark, sf_dir):
+    """Categorical forecast-verification skill scores for the
+    persistence forecast 'tomorrow moves the way today moved' on daily
+    order volume: Heidke (HSS, chance-corrected accuracy), Peirce
+    (PSS/true skill statistic, hit rate minus false-alarm rate),
+    Gilbert (GSS/equitable threat score) and balanced accuracy from the
+    exact 2x2 contingency table. These are the meteorology-standard
+    complements to MCC (a525) and Cohen's kappa (a352): PSS is
+    base-rate-free, GSS discounts chance hits. The direction pairs are
+    two window lags over the bounded day panel; everything downstream
+    is exact BIGINT cross-multiplication with terminal round(,6).
+    Zero-diff days count as 'down' (documented tie rule)."""
+    daily = _dailyv(spark, sf_dir)
+    w = Window.orderBy("d")
+    dirs = daily.select(
+        F.expr(
+            "CASE WHEN v - LAG(v) OVER (ORDER BY d) > 0 THEN 1 ELSE 0 END"
+        ).alias("up"),
+        F.lag("v").over(w).alias("vl"),
+        F.col("d"),
+    ).filter(F.col("vl").isNotNull())
+    fa = dirs.select(
+        F.lag("up").over(Window.orderBy("d")).alias("f"),
+        F.col("up").alias("a"),
+    ).filter(F.col("f").isNotNull())
+    cm = fa.agg(
+        F.sum(F.expr("CASE WHEN f = 1 AND a = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.expr("CASE WHEN f = 1 AND a = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.expr("CASE WHEN f = 0 AND a = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.expr("CASE WHEN f = 0 AND a = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.expr(
+                "CAST(2 * (tp * tn - fp * fn) AS DOUBLE)"
+                " / CAST((tp + fn) * (fn + tn) + (tp + fp) * (fp + tn)"
+                " AS DOUBLE)"
+            ),
+            6,
+        ).alias("hss_r"),
+        F.round(
+            F.expr(
+                "CAST(tp * tn - fp * fn AS DOUBLE)"
+                " / CAST((tp + fn) * (fp + tn) AS DOUBLE)"
+            ),
+            6,
+        ).alias("pss_r"),
+        F.round(
+            F.expr(
+                "(CAST(tp AS DOUBLE) / (tp + fn)"
+                " + CAST(tn AS DOUBLE) / (fp + tn)) / 2"
+            ),
+            6,
+        ).alias("balanced_acc_r"),
+        F.round(
+            F.expr(
+                "(tp - CAST((tp + fp) * (tp + fn) AS DOUBLE)"
+                " / (tp + fp + fn + tn))"
+                " / (tp + fp + fn - CAST((tp + fp) * (tp + fn) AS DOUBLE)"
+                " / (tp + fp + fn + tn))"
+            ),
+            6,
+        ).alias("gss_r"),
+    )
+
+
+@query(
+    "a209_loess_grid",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+pan AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t
+  FROM daily
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         GREATEST(CAST(1 AS BIGINT), CAST(COUNT(*) // 4 AS BIGINT)) AS h
+  FROM pan
+), grid AS (
+  SELECT CAST(g AS BIGINT) AS g,
+         1 + (CAST(g AS BIGINT) * (n - 1)) // 23 AS tg, n, h
+  FROM scal, UNNEST(generate_series(0, 23)) AS u(g)
+), wt AS (
+  SELECT gr.g, gr.tg, gr.n, gr.h,
+         p.t - gr.tg AS u,
+         ((gr.h * gr.h * gr.h
+           - ABS(p.t - gr.tg) * ABS(p.t - gr.tg) * ABS(p.t - gr.tg))
+          * 100) // (gr.h * gr.h * gr.h) AS q,
+         p.v
+  FROM grid gr JOIN pan p ON ABS(p.t - gr.tg) <= gr.h
+), sums AS (
+  SELECT g, tg, MAX(n) AS n, MAX(h) AS h,
+         CAST(SUM(q * q * q) AS BIGINT) AS s0,
+         CAST(SUM(q * q * q * u) AS BIGINT) AS s1,
+         CAST(SUM(q * q * q * u * u) AS BIGINT) AS s2,
+         CAST(SUM(q * q * q * v) AS BIGINT) AS t0,
+         CAST(SUM(q * q * q * u * v) AS BIGINT) AS t1
+  FROM wt GROUP BY g, tg
+)
+SELECT g, tg, n, h,
+       ROUND((CAST(s2 AS DOUBLE) * t0 - CAST(s1 AS DOUBLE) * t1)
+             / (CAST(s0 AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1), 6)
+         AS fit_r
+FROM sums
+ORDER BY g
+""",
+    tags=("inference", "regression", "timeseries"),
+)
+def a209_loess_grid(spark, sf_dir):
+    """LOESS (locally weighted linear regression) of daily order volume
+    evaluated at 24 evenly spaced calendar points with a quantized
+    tricube kernel: q = floor(100*(1-(|dt|/h)^3)) cubed, h = n/4 days.
+    Quantizing the tricube to an integer in [0,100]^3 makes every
+    weighted moment an exact BIGINT (the engine's fixed-point
+    discipline: a float tricube would need order-dependent double
+    sums), and the common h^9 denominator cancels inside the
+    weighted-least-squares ratio. Each eval point solves the 2x2 local
+    normal equations in closed form from five exact sums; the day
+    panel is calendar-bounded so the grid x panel fan-out is <= 24 x
+    2404 rows at ANY corpus scale. Headroom: wq*u*v <= 1e6*600*v stays
+    inside int64 through sf1e4 daily volumes."""
+    daily = _dailyv(spark, sf_dir)
+    pan = daily.select(
+        "v",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
+    ).localCheckpoint(eager=False)
+    scal = pan.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT), CAST(COUNT(*) div 4 AS BIGINT))"
+        ).alias("h"),
+    )
+    grid = scal.select(
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("g"),
+        "n",
+        "h",
+    ).select(
+        F.col("g").cast("bigint").alias("g"),
+        (F.lit(1) + (F.col("g").cast("bigint") * (F.col("n") - 1))
+         .cast("bigint") / F.lit(1)).alias("_gx"),
+        F.expr("1 + (CAST(g AS BIGINT) * (n - 1)) div 23").alias("tg"),
+        "n",
+        "h",
+    ).drop("_gx")
+    wt = (
+        pan.crossJoin(F.broadcast(grid))
+        .filter(F.expr("ABS(t - tg) <= h"))
+        .select(
+            "g",
+            "tg",
+            "n",
+            "h",
+            F.expr("t - tg").alias("u"),
+            F.expr(
+                "((h * h * h - ABS(t - tg) * ABS(t - tg) * ABS(t - tg))"
+                " * 100) div (h * h * h)"
+            ).alias("q"),
+            "v",
+        )
+    )
+    sums = wt.groupBy("g", "tg").agg(
+        F.max("n").alias("n"),
+        F.max("h").alias("h"),
+        F.sum(F.expr("q * q * q")).cast("bigint").alias("s0"),
+        F.sum(F.expr("q * q * q * u")).cast("bigint").alias("s1"),
+        F.sum(F.expr("q * q * q * u * u")).cast("bigint").alias("s2"),
+        F.sum(F.expr("q * q * q * v")).cast("bigint").alias("t0"),
+        F.sum(F.expr("q * q * q * u * v")).cast("bigint").alias("t1"),
+    )
+    return sums.select(
+        "g",
+        "tg",
+        "n",
+        "h",
+        F.round(
+            F.expr(
+                "(CAST(s2 AS DOUBLE) * t0 - CAST(s1 AS DOUBLE) * t1)"
+                " / (CAST(s0 AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+            ),
+            6,
+        ).alias("fit_r"),
+    ).orderBy("g")
+
+
+@query(
+    "a210_kde_epanechnikov",
+    oracle=f"""
+WITH daily0 AS ({_DAILYV_SQL}),
+uk AS (
+  SELECT GREATEST(CAST(1 AS BIGINT),
+                  (CAST(SUM(v) AS BIGINT) // COUNT(*)) // 3000) AS u
+  FROM daily0
+), pan AS (
+  SELECT CAST(v // u AS BIGINT) AS vs, u FROM daily0 CROSS JOIN uk
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(u) AS u,
+         CAST(MIN(vs) AS BIGINT) AS vmin,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST((MAX(vs) - MIN(vs)) // 8 AS BIGINT)) AS h,
+         CAST(MAX(vs) - MIN(vs) AS BIGINT) AS vrange
+  FROM pan
+), grid AS (
+  SELECT CAST(g AS BIGINT) AS g,
+         vmin + (CAST(g AS BIGINT) * vrange) // 31 AS xg, n, h, u
+  FROM scal, UNNEST(generate_series(0, 31)) AS w(g)
+), kq AS (
+  SELECT gr.g, gr.xg, gr.n, gr.h, gr.u,
+         (3000000 * (gr.h * gr.h - (p.vs - gr.xg) * (p.vs - gr.xg)))
+           // (4 * gr.h * gr.h) AS k
+  FROM grid gr JOIN pan p ON ABS(p.vs - gr.xg) < gr.h
+)
+SELECT g, xg, MAX(n) AS n, MAX(h) AS h, MAX(u) AS unit,
+       CAST(COALESCE(SUM(k), 0) * 1000 // (MAX(n) * MAX(h)) AS BIGINT)
+         AS f_nano
+FROM kq GROUP BY g, xg
+ORDER BY g
+""",
+    tags=("inference", "density"),
+)
+def a210_kde_epanechnikov(spark, sf_dir):
+    """Kernel density estimate of the daily-order-volume distribution at
+    32 grid points with the Epanechnikov kernel K(z) = 0.75(1 - z^2):
+    the kernel is a POLYNOMIAL, so — unlike a Gaussian KDE — every
+    evaluation is exact integer arithmetic (k = 3e6*(h^2-d^2) //
+    (4h^2), a [0, 750000]-scaled weight), and the density is an exact
+    nano-unit ratio with no per-row transcendental anywhere. Volumes
+    are adaptive-unit rescaled (mean ~3000, the _unit_scaled
+    discipline) so h^2 arithmetic keeps int64 headroom at every corpus
+    scale; bandwidth h = range/8, grid = 32 equal steps. The histogram
+    cousins (q77, q120 equidepth, a461 v-optimal) bin counts; this is
+    the smoothed-density member of that family."""
+    daily = _dailyv(spark, sf_dir)
+    uk = daily.agg(
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT),"
+            " (CAST(SUM(v) AS BIGINT) div COUNT(*)) div 3000)"
+        ).alias("u")
+    )
+    pan0 = daily.crossJoin(F.broadcast(uk)).select(
+        F.expr("CAST(v div u AS BIGINT)").alias("vs"), "u"
+    )
+    pan = pan0.select("vs")
+    scal = pan0.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("u").alias("u"),
+        F.min("vs").cast("bigint").alias("vmin"),
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT),"
+            " CAST((MAX(vs) - MIN(vs)) div 8 AS BIGINT))"
+        ).alias("h"),
+        F.expr("CAST(MAX(vs) - MIN(vs) AS BIGINT)").alias("vrange"),
+    )
+    grid = scal.select(
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("g"), "*"
+    ).select(
+        F.col("g").cast("bigint").alias("g"),
+        F.expr("vmin + (CAST(g AS BIGINT) * vrange) div 31").alias("xg"),
+        "n",
+        "h",
+        "u",
+    )
+    kq = (
+        pan.crossJoin(F.broadcast(grid))
+        .filter(F.expr("ABS(vs - xg) < h"))
+        .select(
+            "g",
+            "xg",
+            "n",
+            "h",
+            "u",
+            F.expr(
+                "(3000000 * (h * h - (vs - xg) * (vs - xg)))"
+                " div (4 * h * h)"
+            ).alias("k"),
+        )
+    )
+    return (
+        kq.groupBy("g", "xg")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("h").alias("h"),
+            F.max("u").alias("unit"),
+            F.expr(
+                "CAST(COALESCE(SUM(k), 0) * 1000 div (MAX(n) * MAX(h))"
+                " AS BIGINT)"
+            ).alias("f_nano"),
+        )
+        .orderBy("g")
+    )
+
+
+@query(
+    "a213_james_stein",
+    oracle="""
+WITH base AS (
+  SELECT n.n_name,
+         CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), uk AS (
+  SELECT GREATEST(CAST(1 AS BIGINT),
+                  (CAST(SUM(cents) AS BIGINT) // COUNT(*)) // 3000) AS u
+  FROM base
+), vals AS (
+  SELECT n_name, CAST(cents // u AS BIGINT) AS val FROM base CROSS JOIN uk
+), grp AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(val) AS BIGINT) AS sv,
+         CAST(SUM(val * val) AS BIGINT) AS svv
+  FROM vals GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_i) AS BIGINT) AS nn,
+         CAST(SUM(sv) AS BIGINT) AS svt,
+         CAST(SUM(svv - (sv // n_i) * sv - ((sv % n_i) * sv) // n_i)
+              AS BIGINT) AS ssw
+  FROM grp
+), mid AS (
+  SELECT g.n_name, g.n_i,
+         CAST(g.sv // g.n_i AS BIGINT) AS m_i,
+         CAST(t.svt // t.nn AS BIGINT) AS xbar,
+         t.k, t.nn, t.ssw
+  FROM grp g CROSS JOIN tot t
+), ss AS (
+  SELECT CAST(SUM((m_i - xbar) * (m_i - xbar)) AS BIGINT) AS s_between
+  FROM mid
+)
+SELECT m.n_name, m.n_i, m.m_i AS mean_unit, m.xbar AS grand_unit,
+       ROUND(GREATEST(CAST(0 AS DOUBLE),
+             1 - ((m.k - 3) * (CAST(m.ssw AS DOUBLE) / (m.nn - m.k))
+                  / m.n_i) / s.s_between), 6) AS shrink_r,
+       ROUND(m.xbar + GREATEST(CAST(0 AS DOUBLE),
+             1 - ((m.k - 3) * (CAST(m.ssw AS DOUBLE) / (m.nn - m.k))
+                  / m.n_i) / s.s_between) * (m.m_i - m.xbar), 6) AS js_r
+FROM mid m CROSS JOIN ss s
+ORDER BY m.n_name
+""",
+    tags=("inference", "shrinkage"),
+)
+def a213_james_stein(spark, sf_dir):
+    """Positive-part James–Stein shrinkage of per-nation mean order
+    value toward the grand mean: js_i = xbar + max(0, 1 -
+    (k-3)(s²/n_i)/S)·(m_i - xbar), with S = Σ(m_i - xbar)² and s² the
+    pooled within variance — the canonical 'borrow strength across 25
+    small groups' estimator (empirical-Bayes RATES are q311; this is
+    the Gaussian-means member). Order values are adaptive-unit rescaled
+    (mean ~3000); group means are exact floor divisions; within sums of
+    squares use the a200 split-division trick (svv - (sv div n)·sv -
+    ((sv % n)·sv) div n) so no sv² term ever forms — the moment
+    arithmetic stays linear in group size and inside int64 at any
+    corpus scale. One shuffled groupBy over the fact join; 25 rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr(
+                "CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    uk = base.agg(
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT),"
+            " (CAST(SUM(cents) AS BIGINT) div COUNT(*)) div 3000)"
+        ).alias("u")
+    )
+    vals = base.crossJoin(F.broadcast(uk)).select(
+        "n_name", F.expr("CAST(cents div u AS BIGINT)").alias("val")
+    )
+    grp = vals.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.sum("val").cast("bigint").alias("sv"),
+        F.sum(F.expr("val * val")).cast("bigint").alias("svv"),
+    ).localCheckpoint(eager=False)
+    tot = grp.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_i").cast("bigint").alias("nn"),
+        F.sum("sv").cast("bigint").alias("svt"),
+        F.sum(
+            F.expr("svv - (sv div n_i) * sv - ((sv % n_i) * sv) div n_i")
+        )
+        .cast("bigint")
+        .alias("ssw"),
+    )
+    mid = grp.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_i",
+        F.expr("CAST(sv div n_i AS BIGINT)").alias("m_i"),
+        F.expr("CAST(svt div nn AS BIGINT)").alias("xbar"),
+        "k",
+        "nn",
+        "ssw",
+    )
+    ss = mid.agg(
+        F.sum(F.expr("(m_i - xbar) * (m_i - xbar)"))
+        .cast("bigint")
+        .alias("s_between")
+    )
+    shrink = (
+        "GREATEST(CAST(0 AS DOUBLE),"
+        " 1 - ((k - 3) * (CAST(ssw AS DOUBLE) / (nn - k)) / n_i)"
+        " / s_between)"
+    )
+    return (
+        mid.crossJoin(F.broadcast(ss))
+        .select(
+            "n_name",
+            "n_i",
+            F.col("m_i").alias("mean_unit"),
+            F.col("xbar").alias("grand_unit"),
+            F.round(F.expr(shrink), 6).alias("shrink_r"),
+            F.round(
+                F.expr(f"xbar + {shrink} * (m_i - xbar)"), 6
+            ).alias("js_r"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "a228_ransac_line",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+pan AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t
+  FROM daily
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(SUM(v) AS BIGINT) // (COUNT(*) * 20)) AS tol
+  FROM pan
+), cand0 AS (
+  SELECT CAST(c AS BIGINT) AS c,
+         1 + ('0x' || substr(md5('ra|' || CAST(c AS VARCHAR)), 1, 15))
+               ::BIGINT % n AS i1,
+         1 + ('0x' || substr(md5('rb|' || CAST(c AS VARCHAR)), 1, 15))
+               ::BIGINT % n AS i2,
+         n, tol
+  FROM scal, UNNEST(generate_series(0, 63)) AS w(c)
+), cand AS (
+  SELECT c0.c, c0.i1, c0.i2, p1.v AS v1, p2.v AS v2, c0.n, c0.tol
+  FROM cand0 c0
+  JOIN pan p1 ON p1.t = c0.i1
+  JOIN pan p2 ON p2.t = c0.i2
+  WHERE c0.i1 <> c0.i2
+), scored AS (
+  SELECT cd.c, cd.i1, cd.i2, cd.v1, cd.v2, cd.n, cd.tol,
+         CAST(SUM(CASE WHEN ABS((p.v - cd.v1) * (cd.i2 - cd.i1)
+                                - (p.t - cd.i1) * (cd.v2 - cd.v1))
+                            <= cd.tol * ABS(cd.i2 - cd.i1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+  FROM cand cd CROSS JOIN pan p
+  GROUP BY cd.c, cd.i1, cd.i2, cd.v1, cd.v2, cd.n, cd.tol
+), best AS (
+  SELECT * FROM (
+    SELECT s.*, ROW_NUMBER() OVER (ORDER BY n_in DESC, c) AS rk
+    FROM scored s
+  ) WHERE rk = 1
+), fitpts AS (
+  SELECT p.t, p.v, b.c, b.n_in, b.i1, b.i2, b.v1, b.v2
+  FROM pan p CROSS JOIN best b
+  WHERE ABS((p.v - b.v1) * (b.i2 - b.i1)
+            - (p.t - b.i1) * (b.v2 - b.v1)) <= b.tol * ABS(b.i2 - b.i1)
+), fit AS (
+  SELECT MAX(c) AS c, MAX(n_in) AS n_inliers,
+         CAST(MAX(v2) - MAX(v1) AS DOUBLE)
+           / (MAX(i2) - MAX(i1)) AS cand_slope,
+         CAST(COUNT(*) AS BIGINT) AS nf,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(t * v) AS BIGINT) AS stv
+  FROM fitpts
+)
+SELECT c, n_inliers, ROUND(cand_slope, 6) AS cand_slope_r,
+       ROUND(CAST(nf * stv - st * sv AS DOUBLE)
+             / CAST(nf * stt - st * st AS DOUBLE), 6) AS slope_r,
+       ROUND((sv - (CAST(nf * stv - st * sv AS DOUBLE)
+                    / CAST(nf * stt - st * st AS DOUBLE)) * st)
+             / CAST(nf AS DOUBLE), 6) AS intercept_r
+FROM fit
+""",
+    tags=("inference", "robust-regression"),
+)
+def a228_ransac_line(spark, sf_dir):
+    """Deterministic RANSAC line fit of daily order volume on time: 64
+    md5-seeded candidate point pairs (the 'random' samples, re-derivable
+    in SQL), inlier = |cross-multiplied residual| <= tol*|dt| with tol =
+    mean volume / 20 — an EXACT integer test, no division — winner = max
+    inlier count (ties to the smallest candidate id), then an exact-
+    moment OLS refit on the winner's inlier set. The consensus stage is
+    64 x the calendar-bounded panel; the refit reuses the inlier
+    predicate verbatim, so both engines select the identical point set.
+    Complements Siegel (a208) and Theil–Sen (a565): RANSAC tolerates
+    arbitrarily gross outliers as long as half the panel is clean."""
+    daily = _dailyv(spark, sf_dir)
+    pan = daily.select(
+        "v",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
+    ).localCheckpoint(eager=False)
+    scal = pan.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT),"
+            " CAST(SUM(v) AS BIGINT) div (COUNT(*) * 20))"
+        ).alias("tol"),
+    )
+    cand0 = scal.select(
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("c"), "n", "tol"
+    ).select(
+        F.col("c").cast("bigint").alias("c"),
+        F.expr(
+            "1 + CAST(conv(substring(md5(concat('ra|', CAST(c AS STRING))),"
+            " 1, 15), 16, 10) AS BIGINT) % n"
+        ).alias("i1"),
+        F.expr(
+            "1 + CAST(conv(substring(md5(concat('rb|', CAST(c AS STRING))),"
+            " 1, 15), 16, 10) AS BIGINT) % n"
+        ).alias("i2"),
+        "n",
+        "tol",
+    )
+    p1 = pan.select(F.col("t").alias("t1"), F.col("v").alias("v1"))
+    p2 = pan.select(F.col("t").alias("t2"), F.col("v").alias("v2"))
+    cand = (
+        cand0.filter(F.col("i1") != F.col("i2"))
+        .join(F.broadcast(p1).hint("broadcast"), F.col("i1") == F.col("t1"))
+        .join(F.broadcast(p2).hint("broadcast"), F.col("i2") == F.col("t2"))
+        .select("c", "i1", "i2", "v1", "v2", "n", "tol")
+    )
+    scored = (
+        pan.crossJoin(F.broadcast(cand))
+        .groupBy("c", "i1", "i2", "v1", "v2", "n", "tol")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN ABS((v - v1) * (i2 - i1)"
+                    " - (t - i1) * (v2 - v1)) <= tol * ABS(i2 - i1)"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_in")
+        )
+    )
+    best = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("n_in"), "c")),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    fitpts = pan.crossJoin(F.broadcast(best)).filter(
+        F.expr(
+            "ABS((v - v1) * (i2 - i1) - (t - i1) * (v2 - v1))"
+            " <= tol * ABS(i2 - i1)"
+        )
+    )
+    fit = fitpts.agg(
+        F.max("c").alias("c"),
+        F.max("n_in").alias("n_inliers"),
+        F.expr(
+            "CAST(MAX(v2) - MAX(v1) AS DOUBLE) / (MAX(i2) - MAX(i1))"
+        ).alias("cand_slope"),
+        F.count("*").cast("bigint").alias("nf"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.expr("t * t")).cast("bigint").alias("stt"),
+        F.sum(F.expr("t * v")).cast("bigint").alias("stv"),
+    )
+    return fit.select(
+        "c",
+        "n_inliers",
+        F.round("cand_slope", 6).alias("cand_slope_r"),
+        F.round(
+            F.expr(
+                "CAST(nf * stv - st * sv AS DOUBLE)"
+                " / CAST(nf * stt - st * st AS DOUBLE)"
+            ),
+            6,
+        ).alias("slope_r"),
+        F.round(
+            F.expr(
+                "(sv - (CAST(nf * stv - st * sv AS DOUBLE)"
+                " / CAST(nf * stt - st * st AS DOUBLE)) * st)"
+                " / CAST(nf AS DOUBLE)"
+            ),
+            6,
+        ).alias("intercept_r"),
+    )
+
+
+@query(
+    "a212_rate_standardization",
+    oracle="""
+WITH cells AS (
+  SELECT n.n_name,
+         string_split(p.p_type, ' ')[1] AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ret
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), strata AS (
+  SELECT stratum, CAST(SUM(n_lines) AS BIGINT) AS w_s,
+         CAST(SUM(n_ret) AS BIGINT) AS r_s
+  FROM cells GROUP BY 1
+), joined AS (
+  SELECT c.n_name, c.stratum, c.n_lines, c.n_ret, s.w_s,
+         CAST(s.r_s * 1000000 // s.w_s AS BIGINT) AS g_rate_micro,
+         CAST(c.n_ret * 1000000 // c.n_lines AS BIGINT) AS c_rate_micro
+  FROM cells c JOIN strata s ON c.stratum = s.stratum
+)
+SELECT n_name,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(n_ret) * 1000000 // SUM(n_lines) AS BIGINT) AS crude_ppm,
+       CAST(SUM(c_rate_micro * w_s) // SUM(w_s) AS BIGINT) AS direct_ppm,
+       ROUND(CAST(SUM(n_ret) AS DOUBLE) * 1000000
+             / SUM(g_rate_micro * n_lines), 6) AS smr_r
+FROM joined
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("inference", "epidemiology"),
+)
+def a212_rate_standardization(spark, sf_dir):
+    """Direct and indirect rate standardization of per-nation lineitem
+    return rates with part-type family as the confounding stratum — the
+    epidemiology-standard answer to 'nation A returns more, but does it
+    just ship more return-prone part types?'. Direct = nation's
+    stratum rates weighted by the GLOBAL stratum mix (exact micro-rate
+    x weight integer fold); indirect = observed/expected where expected
+    applies global stratum rates to the nation's own mix (the SMR; one
+    terminal double division). Per-stratum rates are exact integer
+    micro floors, so the whole table is reproducible bit-for-bit; one
+    shuffled groupBy to 25 x 6 cells bounds everything downstream."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    cells = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.expr("split(p_type, ' ')[0]").alias("stratum"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_ret"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    strata = cells.groupBy("stratum").agg(
+        F.sum("n_lines").cast("bigint").alias("w_s"),
+        F.sum("n_ret").cast("bigint").alias("r_s"),
+    )
+    joined = cells.join(F.broadcast(strata), "stratum").select(
+        "n_name",
+        "n_lines",
+        "n_ret",
+        "w_s",
+        F.expr("CAST(r_s * 1000000 div w_s AS BIGINT)").alias(
+            "g_rate_micro"
+        ),
+        F.expr("CAST(n_ret * 1000000 div n_lines AS BIGINT)").alias(
+            "c_rate_micro"
+        ),
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.expr(
+                "CAST(SUM(n_ret) * 1000000 div SUM(n_lines) AS BIGINT)"
+            ).alias("crude_ppm"),
+            F.expr(
+                "CAST(SUM(c_rate_micro * w_s) div SUM(w_s) AS BIGINT)"
+            ).alias("direct_ppm"),
+            F.round(
+                F.expr(
+                    "CAST(SUM(n_ret) AS DOUBLE) * 1000000"
+                    " / SUM(g_rate_micro * n_lines)"
+                ),
+                6,
+            ).alias("smr_r"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "a214_event_study_car",
+    oracle="""
+WITH mon AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), months AS (
+  SELECT m, CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT) AS t,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_m
+  FROM (SELECT DISTINCT m FROM mon)
+), segs AS (
+  SELECT DISTINCT seg FROM mon
+), grid AS (
+  SELECT s.seg, mo.m, mo.t, mo.n_m, COALESCE(x.v, 0) AS v
+  FROM segs s CROSS JOIN months mo
+  LEFT JOIN mon x ON x.seg = s.seg AND x.m = mo.m
+), mkt AS (
+  SELECT m, t, n_m, CAST(SUM(v) AS BIGINT) AS mk FROM grid
+  GROUP BY m, t, n_m
+), pan AS (
+  SELECT g.seg, g.t, g.v, k.mk, g.n_m,
+         CASE WHEN g.t <= g.n_m - 6 THEN 1 ELSE 0 END AS est
+  FROM grid g JOIN mkt k ON g.t = k.t
+), mom AS (
+  SELECT seg,
+         CAST(COUNT(*) FILTER (WHERE est = 1) AS BIGINT) AS ne,
+         CAST(SUM(mk) FILTER (WHERE est = 1) AS BIGINT) AS sm,
+         CAST(SUM(mk * mk) FILTER (WHERE est = 1) AS BIGINT) AS smm,
+         CAST(SUM(v) FILTER (WHERE est = 1) AS BIGINT) AS sv,
+         CAST(SUM(v * v) FILTER (WHERE est = 1) AS BIGINT) AS svv,
+         CAST(SUM(mk * v) FILTER (WHERE est = 1) AS BIGINT) AS smv
+  FROM pan GROUP BY seg
+), coef AS (
+  SELECT seg, ne,
+         CAST(ne * smv - sm * sv AS DOUBLE)
+           / CAST(ne * smm - sm * sm AS DOUBLE) AS beta,
+         (CAST(sv AS DOUBLE) - (CAST(ne * smv - sm * sv AS DOUBLE)
+            / CAST(ne * smm - sm * sm AS DOUBLE)) * sm) / ne AS alpha,
+         (CAST(ne * svv - sv * sv AS DOUBLE)
+          - (CAST(ne * smv - sm * sv AS DOUBLE)
+             * CAST(ne * smv - sm * sv AS DOUBLE))
+            / CAST(ne * smm - sm * sm AS DOUBLE))
+           / (CAST(ne AS DOUBLE) * (ne - 2)) AS s2
+  FROM mom
+), ev AS (
+  SELECT p.seg, CAST(COUNT(*) AS BIGINT) AS lw,
+         CAST(SUM(p.v) AS BIGINT) AS sv_e,
+         CAST(SUM(p.mk) AS BIGINT) AS sm_e,
+         MAX(c.beta) AS beta, MAX(c.s2) AS s2, MAX(c.alpha) AS alpha
+  FROM pan p JOIN coef c ON p.seg = c.seg
+  WHERE p.est = 0
+  GROUP BY p.seg
+), evc AS (
+  SELECT seg, lw, alpha, beta, s2,
+         sv_e - lw * alpha - beta * sm_e AS car
+  FROM ev
+)
+SELECT seg, lw AS event_months,
+       ROUND(alpha, 6) AS alpha_r, ROUND(beta, 6) AS beta_r,
+       ROUND(car, 6) AS car_r,
+       ROUND(car / SQRT(lw * s2), 6) AS t_stat_r
+FROM evc
+ORDER BY seg
+""",
+    tags=("inference", "event-study"),
+)
+def a214_event_study_car(spark, sf_dir):
+    """Event-study cumulative abnormal activity: each market segment's
+    monthly order volume is regressed on the total market volume over
+    an estimation window (all but the last 6 months), then the last 6
+    months' residuals are cumulated into a CAR with the standard
+    t = CAR / sqrt(L * s²) test — the finance event-study design
+    transplanted to pipeline monitoring ('did segment X deviate from
+    its market beta after the event?'). The month x segment grid is
+    calendar-bounded (<= 82 x 5 at any corpus scale) and zero-filled
+    via an explicit grid join so sparse small-sf months cannot skew the
+    OLS; all moments are exact BIGINTs; CAR is linear in (v, mk), so
+    it folds to exact BIGINT event-window sums plus scalar double
+    arithmetic — no order-sensitive double SUM anywhere."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    mon = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        )
+        .agg(F.count("*").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    months = (
+        mon.select("m")
+        .distinct()
+        .select(
+            "m",
+            F.row_number().over(Window.orderBy("m")).cast("bigint").alias("t"),
+        )
+        .withColumn("n_m", F.count("*").over(Window.partitionBy()).cast("bigint"))
+    )
+    segs = mon.select("seg").distinct()
+    grid = (
+        segs.crossJoin(months)
+        .join(mon, ["seg", "m"], "left")
+        .select("seg", "m", "t", "n_m", F.coalesce("v", F.lit(0)).alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    mkt = grid.groupBy("m", "t", "n_m").agg(
+        F.sum("v").cast("bigint").alias("mk")
+    )
+    pan = grid.join(mkt.select("t", "mk"), "t").select(
+        "seg",
+        "t",
+        "v",
+        "mk",
+        F.expr("CASE WHEN t <= n_m - 6 THEN 1 ELSE 0 END").alias("est"),
+    )
+    mom = pan.groupBy("seg").agg(
+        F.expr("CAST(COUNT(*) FILTER (WHERE est = 1) AS BIGINT)").alias("ne"),
+        F.expr("CAST(SUM(mk) FILTER (WHERE est = 1) AS BIGINT)").alias("sm"),
+        F.expr(
+            "CAST(SUM(mk * mk) FILTER (WHERE est = 1) AS BIGINT)"
+        ).alias("smm"),
+        F.expr("CAST(SUM(v) FILTER (WHERE est = 1) AS BIGINT)").alias("sv"),
+        F.expr(
+            "CAST(SUM(v * v) FILTER (WHERE est = 1) AS BIGINT)"
+        ).alias("svv"),
+        F.expr(
+            "CAST(SUM(mk * v) FILTER (WHERE est = 1) AS BIGINT)"
+        ).alias("smv"),
+    )
+    coef = mom.select(
+        "seg",
+        "ne",
+        F.expr(
+            "CAST(ne * smv - sm * sv AS DOUBLE)"
+            " / CAST(ne * smm - sm * sm AS DOUBLE)"
+        ).alias("beta"),
+        F.expr(
+            "(CAST(sv AS DOUBLE) - (CAST(ne * smv - sm * sv AS DOUBLE)"
+            " / CAST(ne * smm - sm * sm AS DOUBLE)) * sm) / ne"
+        ).alias("alpha"),
+        F.expr(
+            "(CAST(ne * svv - sv * sv AS DOUBLE)"
+            " - (CAST(ne * smv - sm * sv AS DOUBLE)"
+            " * CAST(ne * smv - sm * sv AS DOUBLE))"
+            " / CAST(ne * smm - sm * sm AS DOUBLE))"
+            " / (CAST(ne AS DOUBLE) * (ne - 2))"
+        ).alias("s2"),
+    )
+    ev = (
+        pan.filter(F.col("est") == 0)
+        .join(F.broadcast(coef), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count("*").cast("bigint").alias("lw"),
+            F.sum("v").cast("bigint").alias("sv_e"),
+            F.sum("mk").cast("bigint").alias("sm_e"),
+            F.max("beta").alias("beta"),
+            F.max("s2").alias("s2"),
+            F.max("alpha").alias("alpha"),
+        )
+    )
+    # CAR is linear in (v, mk), so it folds to exact BIGINT sums and
+    # scalar double arithmetic — never an order-sensitive double SUM.
+    ev = ev.withColumn("car", F.expr("sv_e - lw * alpha - beta * sm_e"))
+    return ev.select(
+        "seg",
+        F.col("lw").alias("event_months"),
+        F.round("alpha", 6).alias("alpha_r"),
+        F.round("beta", 6).alias("beta_r"),
+        F.round("car", 6).alias("car_r"),
+        F.round(F.expr("car / SQRT(lw * s2)"), 6).alias("t_stat_r"),
+    ).orderBy("seg")
+
+
+@query(
+    "a221_chain_ladder",
+    oracle="""
+WITH pay AS (
+  SELECT (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS om,
+         (year(l.l_shipdate) * 12 + month(l.l_shipdate))
+           - (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS dev,
+         CAST(ROUND(l.l_extendedprice * 100.0, 0) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), m0 AS (
+  SELECT MIN(om) AS om0 FROM pay
+), tri AS (
+  SELECT p.om - m.om0 AS origin, LEAST(p.dev, 5) AS dev,
+         CAST(SUM(p.cents) AS BIGINT) AS paid
+  FROM pay p CROSS JOIN m0 m
+  WHERE p.om - m.om0 < 12
+    AND (p.om - m.om0) + p.dev < 12
+  GROUP BY 1, 2
+), cum AS (
+  SELECT origin, dev,
+         CAST(SUM(paid) OVER (PARTITION BY origin ORDER BY dev
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM tri
+), fac AS (
+  SELECT a.dev AS d,
+         CAST(SUM(b.c) AS BIGINT) AS num, CAST(SUM(a.c) AS BIGINT) AS den
+  FROM cum a JOIN cum b ON a.origin = b.origin AND b.dev = a.dev + 1
+  WHERE a.origin + a.dev + 1 < 12
+  GROUP BY 1
+), fpivot AS (
+  SELECT COALESCE(MAX(CASE WHEN d = 0 THEN CAST(num AS DOUBLE) / den END),
+                  1.0) AS f0,
+         COALESCE(MAX(CASE WHEN d = 1 THEN CAST(num AS DOUBLE) / den END),
+                  1.0) AS f1,
+         COALESCE(MAX(CASE WHEN d = 2 THEN CAST(num AS DOUBLE) / den END),
+                  1.0) AS f2,
+         COALESCE(MAX(CASE WHEN d = 3 THEN CAST(num AS DOUBLE) / den END),
+                  1.0) AS f3,
+         COALESCE(MAX(CASE WHEN d = 4 THEN CAST(num AS DOUBLE) / den END),
+                  1.0) AS f4
+  FROM fac
+), latest AS (
+  SELECT origin, MAX(dev) AS dlast FROM cum GROUP BY origin
+), ult AS (
+  SELECT l.origin, l.dlast, c.c AS latest_cents,
+         c.c * (CASE WHEN l.dlast <= 0 THEN f.f0 ELSE 1.0 END)
+             * (CASE WHEN l.dlast <= 1 THEN f.f1 ELSE 1.0 END)
+             * (CASE WHEN l.dlast <= 2 THEN f.f2 ELSE 1.0 END)
+             * (CASE WHEN l.dlast <= 3 THEN f.f3 ELSE 1.0 END)
+             * (CASE WHEN l.dlast <= 4 THEN f.f4 ELSE 1.0 END) AS ultimate
+  FROM latest l
+  JOIN cum c ON c.origin = l.origin AND c.dev = l.dlast
+  CROSS JOIN fpivot f
+)
+SELECT origin, dlast, latest_cents,
+       CAST(FLOOR(ultimate) AS BIGINT) AS ultimate_cents,
+       CAST(FLOOR(ultimate) AS BIGINT) - latest_cents AS reserve_cents
+FROM ult
+ORDER BY origin
+""",
+    tags=("inference", "actuarial"),
+)
+def a221_chain_ladder(spark, sf_dir):
+    """Chain-ladder loss development (the standard actuarial reserving
+    method) on the order->ship payment triangle: origin = order month
+    (first 12 fixture months), development lag = ship month - order
+    month, with a month-12 valuation cutoff so late origins have
+    censored tails exactly like a real reserving triangle. Age-to-age
+    factors are volume-weighted across origins that observe dev d+1
+    (exact BIGINT cent sums; one double division per factor, <= 5
+    factors); ultimates multiply the latest diagonal by the factor tail
+    (bounded double products via an explicit dev CASE ladder — no
+    order-sensitive aggregation). The triangle is calendar-bounded
+    (12 x 6 cells) at any corpus scale; only the one groupBy that
+    builds it scans the fact join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    pay = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate)").alias("om"),
+        F.expr(
+            "(year(l_shipdate) * 12 + month(l_shipdate))"
+            " - (year(o_orderdate) * 12 + month(o_orderdate))"
+        ).alias("dev"),
+        F.expr(
+            "CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)"
+        ).alias("cents"),
+    )
+    m0 = pay.agg(F.min("om").alias("om0"))
+    tri = (
+        pay.crossJoin(F.broadcast(m0))
+        .filter(F.expr("om - om0 < 12 AND (om - om0) + dev < 12"))
+        .groupBy(
+            F.expr("om - om0").alias("origin"),
+            F.expr("LEAST(dev, 5)").alias("dev"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("paid"))
+        .localCheckpoint(eager=False)
+    )
+    cum = tri.select(
+        "origin",
+        "dev",
+        F.sum("paid")
+        .over(
+            Window.partitionBy("origin")
+            .orderBy("dev")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("c"),
+    ).localCheckpoint(eager=False)
+    a = cum.alias("a")
+    b = cum.alias("b")
+    fac = (
+        a.join(
+            b,
+            (F.col("a.origin") == F.col("b.origin"))
+            & (F.col("b.dev") == F.col("a.dev") + 1),
+        )
+        .filter(F.expr("a.origin + a.dev + 1 < 12"))
+        .groupBy(F.col("a.dev").alias("d"))
+        .agg(
+            F.sum("b.c").cast("bigint").alias("num"),
+            F.sum("a.c").cast("bigint").alias("den"),
+        )
+    )
+    fpivot = fac.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("d") == i,
+                        F.col("num").cast("double") / F.col("den"),
+                    )
+                ),
+                F.lit(1.0),
+            ).alias(f"f{i}")
+            for i in range(5)
+        ]
+    )
+    latest = cum.groupBy("origin").agg(F.max("dev").alias("dlast"))
+    ult = (
+        latest.join(
+            cum,
+            (latest.origin == cum.origin) & (F.col("dlast") == cum.dev),
+        )
+        .select(latest.origin, "dlast", F.col("c").alias("latest_cents"))
+        .crossJoin(F.broadcast(fpivot))
+        .select(
+            "origin",
+            "dlast",
+            "latest_cents",
+            F.expr(
+                "latest_cents"
+                " * (CASE WHEN dlast <= 0 THEN f0 ELSE 1.0 END)"
+                " * (CASE WHEN dlast <= 1 THEN f1 ELSE 1.0 END)"
+                " * (CASE WHEN dlast <= 2 THEN f2 ELSE 1.0 END)"
+                " * (CASE WHEN dlast <= 3 THEN f3 ELSE 1.0 END)"
+                " * (CASE WHEN dlast <= 4 THEN f4 ELSE 1.0 END)"
+            ).alias("ultimate"),
+        )
+    )
+    # Ultimates reach 1e9+ cents, where a 6dp ROUND exceeds double
+    # resolution and the two engines break the tie differently — emit
+    # FLOOR'd integer cents instead (floor of bit-identical doubles is
+    # engine-identical at any magnitude).
+    return ult.select(
+        "origin",
+        "dlast",
+        "latest_cents",
+        F.expr("CAST(FLOOR(ultimate) AS BIGINT)").alias("ultimate_cents"),
+        F.expr(
+            "CAST(FLOOR(ultimate) AS BIGINT) - latest_cents"
+        ).alias("reserve_cents"),
+    ).orderBy("origin")
+
+
+@query(
+    "a222_bullwhip_effect",
+    oracle="""
+WITH li AS (
+  SELECT l.l_shipdate, o.o_orderdate,
+         CAST(ROUND(l.l_quantity * 100.0, 0) AS BIGINT) AS qc
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), dem AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+         CAST(SUM(qc) AS BIGINT) AS q
+  FROM li GROUP BY 1
+), shp AS (
+  SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS m,
+         CAST(SUM(qc) AS BIGINT) AS q
+  FROM li GROUP BY 1
+), uk AS (
+  SELECT GREATEST(CAST(1 AS BIGINT),
+                  (CAST(SUM(q) AS BIGINT) // COUNT(*)) // 30000) AS u
+  FROM dem
+), pan AS (
+  SELECT d.m, CAST(d.q // u.u AS BIGINT) AS dq,
+         CAST(s.q // u.u AS BIGINT) AS sq
+  FROM dem d JOIN shp s ON d.m = s.m CROSS JOIN uk u
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dq) AS BIGINT) AS sd,
+         CAST(SUM(dq * dq) AS BIGINT) AS sdd,
+         CAST(SUM(sq) AS BIGINT) AS ss,
+         CAST(SUM(sq * sq) AS BIGINT) AS sss
+  FROM pan
+)
+SELECT n,
+       ROUND(CAST(n * sdd - sd * sd AS DOUBLE)
+             / (CAST(sd AS DOUBLE) * sd), 6) AS cv2_demand_r,
+       ROUND(CAST(n * sss - ss * ss AS DOUBLE)
+             / (CAST(ss AS DOUBLE) * ss), 6) AS cv2_ship_r,
+       ROUND((CAST(n * sss - ss * ss AS DOUBLE)
+              / (CAST(ss AS DOUBLE) * ss))
+             / (CAST(n * sdd - sd * sd AS DOUBLE)
+                / (CAST(sd AS DOUBLE) * sd)), 6) AS bullwhip_r
+FROM mom
+""",
+    tags=("inference", "supply-chain"),
+)
+def a222_bullwhip_effect(spark, sf_dir):
+    """Bullwhip-effect measurement: the variance-amplification ratio
+    CV²(monthly shipped quantity) / CV²(monthly ordered quantity) — the
+    Lee/Padmanabhan/Whang demand-distortion metric, >1 meaning the
+    fulfillment echelon amplifies demand variability. Both series fold
+    to the calendar-bounded month panel (months present in BOTH series,
+    so partial edge months cancel); quantities are cent-quantized then
+    adaptive-unit rescaled (CV² is unit-free, so the rescale cancels
+    exactly); all moments are exact BIGINTs with terminal double
+    ratios."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr("year(o_orderdate) * 12 + month(o_orderdate)").alias("dm"),
+        F.expr("year(l_shipdate) * 12 + month(l_shipdate)").alias("sm"),
+        F.expr("CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT)").alias("qc"),
+    )
+    dem = base.groupBy(F.col("dm").alias("m")).agg(
+        F.sum("qc").cast("bigint").alias("q")
+    )
+    shp = base.groupBy(F.col("sm").alias("m")).agg(
+        F.sum("qc").cast("bigint").alias("q")
+    )
+    uk = dem.agg(
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT),"
+            " (CAST(SUM(q) AS BIGINT) div COUNT(*)) div 30000)"
+        ).alias("u")
+    )
+    pan = (
+        dem.select(F.col("m"), F.col("q").alias("dq0"))
+        .join(shp.select(F.col("m"), F.col("q").alias("sq0")), "m")
+        .crossJoin(F.broadcast(uk))
+        .select(
+            F.expr("CAST(dq0 div u AS BIGINT)").alias("dq"),
+            F.expr("CAST(sq0 div u AS BIGINT)").alias("sq"),
+        )
+    )
+    mom = pan.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dq").cast("bigint").alias("sd"),
+        F.sum(F.expr("dq * dq")).cast("bigint").alias("sdd"),
+        F.sum("sq").cast("bigint").alias("ss"),
+        F.sum(F.expr("sq * sq")).cast("bigint").alias("sss"),
+    )
+    return mom.select(
+        "n",
+        F.round(
+            F.expr(
+                "CAST(n * sdd - sd * sd AS DOUBLE)"
+                " / (CAST(sd AS DOUBLE) * sd)"
+            ),
+            6,
+        ).alias("cv2_demand_r"),
+        F.round(
+            F.expr(
+                "CAST(n * sss - ss * ss AS DOUBLE)"
+                " / (CAST(ss AS DOUBLE) * ss)"
+            ),
+            6,
+        ).alias("cv2_ship_r"),
+        F.round(
+            F.expr(
+                "(CAST(n * sss - ss * ss AS DOUBLE)"
+                " / (CAST(ss AS DOUBLE) * ss))"
+                " / (CAST(n * sdd - sd * sd AS DOUBLE)"
+                " / (CAST(sd AS DOUBLE) * sd))"
+            ),
+            6,
+        ).alias("bullwhip_r"),
+    )
+
+
+_JOBS_SQL = """
+jobs AS (
+  SELECT o.o_orderkey AS okey,
+         o.o_orderkey % 64 AS mach,
+         CAST(DATEDIFF('day', (SELECT MIN(CAST(o_orderdate AS DATE))
+                               FROM orders),
+                       CAST(o.o_orderdate AS DATE)) AS BIGINT) AS r,
+         CAST(DATEDIFF('day', (SELECT MIN(CAST(o_orderdate AS DATE))
+                               FROM orders),
+                       CAST(o.o_orderdate AS DATE)) AS BIGINT)
+           + 3 + ('0x' || substr(md5('due|' || CAST(o.o_orderkey
+                  AS VARCHAR)), 1, 15))::BIGINT % 28 AS due,
+         CAST(COUNT(*) AS BIGINT) AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3, 4
+)
+"""
+
+
+@query(
+    "a223_dispatch_rules",
+    oracle=f"""
+WITH {_JOBS_SQL},
+fifo AS (
+  SELECT mach, due, p,
+         CAST(SUM(p) OVER (PARTITION BY mach ORDER BY r, okey
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM jobs
+), spt AS (
+  SELECT mach, due, p,
+         CAST(SUM(p) OVER (PARTITION BY mach ORDER BY p, okey
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM jobs
+), edd AS (
+  SELECT mach, due, p,
+         CAST(SUM(p) OVER (PARTITION BY mach ORDER BY due, okey
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM jobs
+), unioned AS (
+  SELECT 'fifo' AS rule, * FROM fifo
+  UNION ALL SELECT 'spt' AS rule, * FROM spt
+  UNION ALL SELECT 'edd' AS rule, * FROM edd
+)
+SELECT rule,
+       CAST(COUNT(*) AS BIGINT) AS n_jobs,
+       CAST(SUM(c) AS BIGINT) AS total_flow,
+       CAST(SUM(GREATEST(c - due, 0)) AS BIGINT) AS total_tardiness,
+       CAST(SUM(CASE WHEN c > due THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tardy
+FROM unioned
+GROUP BY rule
+ORDER BY rule
+""",
+    tags=("inference", "scheduling"),
+)
+def a223_dispatch_rules(spark, sf_dir):
+    """Single-machine dispatch-rule replay: orders are jobs (processing
+    time = lineitem count, machine = orderkey mod 64, md5-jittered due
+    dates so EDD is not FIFO in disguise), sequenced per machine under
+    FIFO, SPT (shortest processing time — the total-flow-time-optimal
+    rule) and EDD (earliest due date — the max-lateness-optimal rule),
+    and scored on exact total flow, total tardiness and tardy-job
+    count. Each rule is one partitioned running sum (the q229 ordered-
+    recurrence shape, 64-way parallel, never a global sort); ties break
+    on orderkey so both engines replay the identical sequence. The
+    classic OR result to expect: SPT minimizes total_flow, EDD
+    minimizes the worst lateness but not necessarily total
+    tardiness."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    d0 = o.agg(F.min(F.col("o_orderdate").cast("date")).alias("d0"))
+    jobs = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .crossJoin(F.broadcast(d0))
+        .groupBy(
+            F.col("o_orderkey").alias("okey"),
+            F.expr("o_orderkey % 64").alias("mach"),
+            F.expr(
+                "CAST(DATEDIFF(CAST(o_orderdate AS DATE), d0) AS BIGINT)"
+            ).alias("r"),
+            F.expr(
+                "CAST(DATEDIFF(CAST(o_orderdate AS DATE), d0) AS BIGINT)"
+                " + 3 + CAST(conv(substring(md5(concat('due|',"
+                " CAST(o_orderkey AS STRING))), 1, 15), 16, 10)"
+                " AS BIGINT) % 28"
+            ).alias("due"),
+        )
+        .agg(F.count("*").cast("bigint").alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    def replay(rule, order_cols):
+        w = (
+            Window.partitionBy("mach")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return jobs.select(
+            F.lit(rule).alias("rule"),
+            "due",
+            F.sum("p").over(w).cast("bigint").alias("c"),
+        )
+    unioned = (
+        replay("fifo", ["r", "okey"])
+        .unionAll(replay("spt", ["p", "okey"]))
+        .unionAll(replay("edd", ["due", "okey"]))
+    )
+    return (
+        unioned.groupBy("rule")
+        .agg(
+            F.count("*").cast("bigint").alias("n_jobs"),
+            F.sum("c").cast("bigint").alias("total_flow"),
+            F.sum(F.expr("GREATEST(c - due, CAST(0 AS BIGINT))"))
+            .cast("bigint")
+            .alias("total_tardiness"),
+            F.sum(F.expr("CASE WHEN c > due THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_tardy"),
+        )
+        .orderBy("rule")
+    )
+
+
+@query(
+    "a225_mg1_pollaczek",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us,
+         CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                   - LAG(CAST(epoch_us(ts) AS BIGINT)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR LAG(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, sid,
+         CAST(MIN(t_us) AS BIGINT) AS s_start,
+         CAST(MAX(t_us) AS BIGINT) AS s_end
+  FROM (
+    SELECT user_id, t_us,
+           SUM(new_s) OVER
+             (PARTITION BY user_id ORDER BY t_us
+              ROWS UNBOUNDED PRECEDING) AS sid
+    FROM seq
+  ) GROUP BY 1, 2
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MAX(s_start) - MIN(s_start) AS BIGINT) // 1000000 AS span_s,
+         CAST(SUM((s_end - s_start) // 1000000) AS BIGINT) AS sdur,
+         CAST(SUM(((s_end - s_start) // 1000000)
+                  * ((s_end - s_start) // 1000000)) AS BIGINT) AS sdur2
+  FROM sess
+), pk AS (
+  SELECT n, span_s, sdur, sdur2,
+         CAST(n - 1 AS DOUBLE) / span_s AS lam,
+         CAST(sdur AS DOUBLE) / n AS es,
+         CAST(sdur2 AS DOUBLE) / n AS es2
+  FROM mom
+)
+SELECT n AS n_sessions, span_s,
+       ROUND(lam, 6) AS lambda_r, ROUND(es, 6) AS es_r,
+       ROUND(es2, 6) AS es2_r,
+       ROUND(lam * es, 6) AS rho_r,
+       CASE WHEN lam * es < 1 THEN 0 ELSE 1 END AS saturated,
+       ROUND(CASE WHEN lam * es < 1
+                  THEN lam * es2 / (2 * (1 - lam * es))
+                  ELSE CAST(0 AS DOUBLE) END, 6) AS wq_r,
+       ROUND(CASE WHEN lam * es < 1
+                  THEN lam * lam * es2 / (2 * (1 - lam * es))
+                  ELSE CAST(0 AS DOUBLE) END, 6) AS lq_r
+FROM pk
+""",
+    tags=("inference", "queueing", "events"),
+)
+def a225_mg1_pollaczek(spark, sf_dir):
+    """Pollaczck–Khinchine M/G/1 queueing estimates from sessionized
+    event activity: arrivals = session starts (lambda = (n-1)/span),
+    service = session duration in whole seconds (E[S], E[S²] exact
+    BIGINT moments — the SECOND moment is what M/M/1 (a398) and
+    Erlang-C (a499) cannot use; P-K is exactly the formula that prices
+    service-time VARIANCE: Wq = lambda*E[S²] / (2(1-rho))). Uses the
+    a200 Little's-law sessionization verbatim (30-min gap rule) so the
+    queueing family shares one session definition; saturated (rho >= 1)
+    fixtures emit the 0-sentinel on both engines rather than a negative
+    queue. Second moments are second-quantized to keep sdur2 linear
+    headroom (1e4² per session) at any corpus scale."""
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) AS BIGINT)").alias("t_us"),
+        F.expr(
+            "CASE WHEN CAST(unix_micros(ts) AS BIGINT)"
+            " - LAG(CAST(unix_micros(ts) AS BIGINT)) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000"
+            " OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            " IS NULL THEN 1 ELSE 0 END"
+        ).alias("new_s"),
+    )
+    sess = (
+        seq.select(
+            "user_id",
+            "t_us",
+            F.sum("new_s")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("t_us")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("t_us").cast("bigint").alias("s_start"),
+            F.max("t_us").cast("bigint").alias("s_end"),
+        )
+    )
+    mom = sess.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(MAX(s_start) - MIN(s_start) AS BIGINT) div 1000000"
+        ).alias("span_s"),
+        F.sum(F.expr("(s_end - s_start) div 1000000"))
+        .cast("bigint")
+        .alias("sdur"),
+        F.sum(
+            F.expr(
+                "((s_end - s_start) div 1000000)"
+                " * ((s_end - s_start) div 1000000)"
+            )
+        )
+        .cast("bigint")
+        .alias("sdur2"),
+    )
+    pk = mom.select(
+        "n",
+        "span_s",
+        F.expr("CAST(n - 1 AS DOUBLE) / span_s").alias("lam"),
+        F.expr("CAST(sdur AS DOUBLE) / n").alias("es"),
+        F.expr("CAST(sdur2 AS DOUBLE) / n").alias("es2"),
+    )
+    return pk.select(
+        F.col("n").alias("n_sessions"),
+        "span_s",
+        F.round("lam", 6).alias("lambda_r"),
+        F.round("es", 6).alias("es_r"),
+        F.round("es2", 6).alias("es2_r"),
+        F.round(F.expr("lam * es"), 6).alias("rho_r"),
+        F.expr("CASE WHEN lam * es < 1 THEN 0 ELSE 1 END").alias(
+            "saturated"
+        ),
+        F.round(
+            F.expr(
+                "CASE WHEN lam * es < 1"
+                " THEN lam * es2 / (2 * (1 - lam * es))"
+                " ELSE CAST(0 AS DOUBLE) END"
+            ),
+            6,
+        ).alias("wq_r"),
+        F.round(
+            F.expr(
+                "CASE WHEN lam * es < 1"
+                " THEN lam * lam * es2 / (2 * (1 - lam * es))"
+                " ELSE CAST(0 AS DOUBLE) END"
+            ),
+            6,
+        ).alias("lq_r"),
+    )
+
+
+@query(
+    "a227_life_table",
+    oracle="""
+WITH tenure AS (
+  SELECT user_id,
+         CAST(DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                       MAX(CAST(ts AS DATE))) AS BIGINT) AS days
+  FROM events GROUP BY 1
+), bands AS (
+  SELECT LEAST(days // 30, 9) AS x, CAST(COUNT(*) AS BIGINT) AS d_x
+  FROM tenure GROUP BY 1
+), grid AS (
+  SELECT CAST(g AS BIGINT) AS x FROM UNNEST(generate_series(0, 9)) t(g)
+), full_t AS (
+  SELECT gr.x, COALESCE(b.d_x, 0) AS d_x
+  FROM grid gr LEFT JOIN bands b ON gr.x = b.x
+), lt AS (
+  SELECT x, d_x,
+         CAST(SUM(d_x) OVER (ORDER BY x DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS l_x
+  FROM full_t
+), ex AS (
+  SELECT x, d_x, l_x,
+         CAST(COALESCE(SUM(l_x) OVER (ORDER BY x
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+              AS BIGINT) AS tail_l
+  FROM lt
+)
+SELECT x, l_x, d_x,
+       CAST(CASE WHEN l_x = 0 THEN 0
+                 ELSE d_x * 1000000 // l_x END AS BIGINT) AS q_x_micro,
+       CAST(CASE WHEN l_x = 0 THEN 0
+                 ELSE tail_l * 1000000 // l_x END AS BIGINT)
+         AS e_x_micro_bands
+FROM ex
+ORDER BY x
+""",
+    tags=("inference", "survival"),
+)
+def a227_life_table(spark, sf_dir):
+    """Complete-cohort abridged life table of user activity tenure
+    (first-to-last event span, 30-day bands, capped at band 9): l_x =
+    users surviving to enter band x, d_x = deaths (last activity) in
+    band x, q_x = d_x/l_x, and the curtate expectation e_x = sum of
+    future survivors / l_x — the classical actuarial presentation,
+    complementary to the Kaplan–Meier estimator (q245: handles
+    censoring, no banding) and the Nelson–Aalen RMST (a488). All
+    columns are exact integer micro ratios; the table is 10 rows at
+    any corpus scale (one user-level groupBy, one 10-row window)."""
+    e = table(spark, sf_dir, "events")
+    tenure = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(DATEDIFF(MAX(CAST(ts AS DATE)), MIN(CAST(ts AS DATE)))"
+            " AS BIGINT)"
+        ).alias("days")
+    )
+    bands = tenure.groupBy(
+        F.expr("LEAST(days div 30, CAST(9 AS BIGINT))").alias("x")
+    ).agg(F.count("*").cast("bigint").alias("d_x"))
+    grid = spark.range(10).select(F.col("id").cast("bigint").alias("x"))
+    full_t = grid.join(bands, "x", "left").select(
+        "x", F.coalesce("d_x", F.lit(0)).cast("bigint").alias("d_x")
+    )
+    lt = full_t.select(
+        "x",
+        "d_x",
+        F.sum("d_x")
+        .over(
+            Window.orderBy(F.desc("x")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("l_x"),
+    )
+    ex = lt.select(
+        "x",
+        "d_x",
+        "l_x",
+        F.coalesce(
+            F.sum("l_x").over(
+                Window.orderBy("x").rowsBetween(
+                    1, Window.unboundedFollowing
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tail_l"),
+    )
+    return ex.select(
+        "x",
+        "l_x",
+        "d_x",
+        F.expr(
+            "CAST(CASE WHEN l_x = 0 THEN 0"
+            " ELSE d_x * 1000000 div l_x END AS BIGINT)"
+        ).alias("q_x_micro"),
+        F.expr(
+            "CAST(CASE WHEN l_x = 0 THEN 0"
+            " ELSE tail_l * 1000000 div l_x END AS BIGINT)"
+        ).alias("e_x_micro_bands"),
+    ).orderBy("x")
