@@ -2029,3 +2029,797 @@ def a227_life_table(spark, sf_dir):
             " ELSE tail_l * 1000000 div l_x END AS BIGINT)"
         ).alias("e_x_micro_bands"),
     ).orderBy("x")
+
+
+@query(
+    "a217_ams_f2_sketch",
+    oracle="""
+WITH toks AS (
+  SELECT w FROM documents,
+       UNNEST(string_split_regex(trim(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+), cnt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+), exact AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         CAST(SUM(c * c) AS BIGINT) AS f2
+  FROM cnt
+), signs AS (
+  SELECT k.k,
+         CAST(SUM((1 - 2 * (('0x' || substr(md5('ams' || CAST(k.k AS
+              VARCHAR) || '|' || w), 1, 15))::BIGINT % 2)) * c)
+              AS BIGINT) AS s_k
+  FROM cnt, UNNEST(generate_series(0, 15)) AS k(k)
+  GROUP BY k.k
+), est AS (
+  SELECT CAST(SUM(s_k * s_k) AS BIGINT) AS est16 FROM signs
+)
+SELECT e.n_tokens, e.n_vocab, e.f2,
+       x.est16,
+       ROUND(ABS(CAST(x.est16 AS DOUBLE) / 16 / e.f2 - 1), 6)
+         AS rel_err_r
+FROM exact e CROSS JOIN est x
+""",
+    tags=("sketch", "documents", "text"),
+)
+def a217_ams_f2_sketch(spark, sf_dir):
+    """AMS (Alon–Matias–Szegedy) second-frequency-moment sketch audit
+    over the document word stream: 16 independent estimators s_k =
+    sum_w sign_k(w)*c_w with md5-derived ±1 signs, averaged as
+    est16/16, against the EXACT F2 = sum c_w² — the sketch family
+    member missing from the engine's Bloom / Count-Min / HLL / KMV
+    audits (q262, q161, a567, q330): F2 is self-join size, the quantity
+    a join-cardinality advisor wants cheaply. Everything is exact
+    BIGINT (signs are exact, the 16 fold sums are integers, est16 is an
+    integer); only the terminal relative error is one double division.
+    Headroom: |s_k| <= total tokens, so s_k² stays inside int64 through
+    ~3e9-token corpora — same budget as the exact F2 itself.
+    Cites reference semantics: none (grouper core.clj has no sketch
+    surface); standard AMS construction from the 1996 paper."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    cnt = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    cnt = cnt.localCheckpoint(eager=False)
+    exact = cnt.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("f2"),
+    )
+    signs = (
+        cnt.select(
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("k"),
+            "w",
+            "c",
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(1 - 2 * (CAST(conv(substring(md5(concat('ams',"
+                    " CAST(k AS STRING), '|', w)), 1, 15), 16, 10)"
+                    " AS BIGINT) % 2)) * c"
+                )
+            )
+            .cast("bigint")
+            .alias("s_k")
+        )
+    )
+    est = signs.agg(
+        F.sum(F.expr("s_k * s_k")).cast("bigint").alias("est16")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_tokens",
+        "n_vocab",
+        "f2",
+        "est16",
+        F.round(
+            F.expr("ABS(CAST(est16 AS DOUBLE) / 16 / f2 - 1)"), 6
+        ).alias("rel_err_r"),
+    )
+
+
+@query(
+    "a218_rendezvous_hashing",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('hrw|0|' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS w0,
+         ('0x' || substr(md5('hrw|1|' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS w1,
+         ('0x' || substr(md5('hrw|2|' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS w2,
+         ('0x' || substr(md5('hrw|3|' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS w3,
+         ('0x' || substr(md5('hrw|4|' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS w4,
+         ('0x' || substr(md5('hrw|5|' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS w5,
+         ('0x' || substr(md5('hrw|6|' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS w6,
+         ('0x' || substr(md5('hrw|7|' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS w7,
+         ('0x' || substr(md5('mod|' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS hm
+  FROM documents
+), asg AS (
+  SELECT doc_id, hm,
+         CASE GREATEST(w0, w1, w2, w3, w4, w5, w6, w7)
+              WHEN w0 THEN 0 WHEN w1 THEN 1 WHEN w2 THEN 2
+              WHEN w3 THEN 3 WHEN w4 THEN 4 WHEN w5 THEN 5
+              WHEN w6 THEN 6 ELSE 7 END AS node,
+         CASE GREATEST(w1, w2, w3, w4, w5, w6, w7)
+              WHEN w1 THEN 1 WHEN w2 THEN 2 WHEN w3 THEN 3
+              WHEN w4 THEN 4 WHEN w5 THEN 5 WHEN w6 THEN 6
+              ELSE 7 END AS node_drop0,
+         hm % 8 AS node_mod, hm % 7 AS node_mod7
+  FROM w
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN node = 0 THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS hrw_remap_ppm,
+         CAST(SUM(CASE WHEN node_mod % 7 <> node_mod7
+                       OR node_mod = 7 THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS mod_remap_ppm
+  FROM asg
+)
+SELECT a.node, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * 1000000 // MAX(s.n) AS BIGINT) AS share_ppm,
+       MAX(s.hrw_remap_ppm) AS hrw_remap_ppm,
+       MAX(s.mod_remap_ppm) AS mod_remap_ppm
+FROM asg a CROSS JOIN scal s
+GROUP BY a.node
+ORDER BY a.node
+""",
+    tags=("systems", "sharding", "documents"),
+)
+def a218_rendezvous_hashing(spark, sf_dir):
+    """Rendezvous (highest-random-weight) sharding audit over document
+    ids: each doc goes to the node with the max md5 weight among 8
+    virtual nodes — one projection with 8 hashes, NO shuffle besides
+    the final 8-row census. Reports per-node balance (share_ppm ~
+    125000 each) and the sharding system's headline property: removing
+    node 0 remaps EXACTLY the docs that lived on node 0 (hrw_remap_ppm
+    ~ 1/8) because every other doc's argmax is unchanged, while the
+    naive mod-N baseline remaps ~7/8 of ALL docs (mod_remap_ppm: h%8
+    vs h%7 disagree almost everywhere). Companion to consistent
+    hashing (q303) — HRW is the variant with perfect balance and no
+    ring metadata; everything is md5-exact and SQL-re-derivable."""
+    d = table(spark, sf_dir, "documents")
+    def h(tag):
+        return (
+            f"CAST(conv(substring(md5(concat('{tag}|',"
+            " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+    w = d.select(
+        "doc_id",
+        *[F.expr(h(f"hrw|{i}")).alias(f"w{i}") for i in range(8)],
+        F.expr(h("mod")).alias("hm"),
+    )
+    asg = w.select(
+        "doc_id",
+        "hm",
+        F.expr(
+            "CASE GREATEST(w0, w1, w2, w3, w4, w5, w6, w7)"
+            " WHEN w0 THEN 0 WHEN w1 THEN 1 WHEN w2 THEN 2"
+            " WHEN w3 THEN 3 WHEN w4 THEN 4 WHEN w5 THEN 5"
+            " WHEN w6 THEN 6 ELSE 7 END"
+        ).alias("node"),
+        F.expr("hm % 8").alias("node_mod"),
+        F.expr("hm % 7").alias("node_mod7"),
+    ).localCheckpoint(eager=False)
+    scal = asg.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(SUM(CASE WHEN node = 0 THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("hrw_remap_ppm"),
+        F.expr(
+            "CAST(SUM(CASE WHEN node_mod % 7 <> node_mod7"
+            " OR node_mod = 7 THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("mod_remap_ppm"),
+    )
+    return (
+        asg.crossJoin(F.broadcast(scal))
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST(COUNT(*) * 1000000 div MAX(n) AS BIGINT)"
+            ).alias("share_ppm"),
+            F.max("hrw_remap_ppm").alias("hrw_remap_ppm"),
+            F.max("mod_remap_ppm").alias("mod_remap_ppm"),
+        )
+        .orderBy("node")
+    )
+
+
+@query(
+    "a219_l_diversity_tcloseness",
+    oracle="""
+WITH cells AS (
+  SELECT c.c_mktsegment AS seg, n.n_name, o.o_orderpriority AS pri,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2, 3
+), gl AS (
+  SELECT pri, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM cells GROUP BY 1
+), gtot AS (
+  SELECT CAST(SUM(gcnt) AS BIGINT) AS gn FROM gl
+), gcum AS (
+  SELECT pri,
+         CAST(SUM(gcnt) OVER (ORDER BY pri
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum
+  FROM gl
+), ccum AS (
+  SELECT seg, n_name, pri, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY seg, n_name ORDER BY pri
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum,
+         CAST(SUM(cnt) OVER (PARTITION BY seg, n_name) AS BIGINT) AS k
+  FROM cells
+), lvl AS (
+  SELECT c.seg, c.n_name, c.k,
+         ABS(c.ccum * 1000000 // c.k - g.gcum * 1000000 // t.gn)
+           AS emd_term,
+         c.cnt
+  FROM ccum c JOIN gcum g ON c.pri = g.pri CROSS JOIN gtot t
+), ent AS (
+  SELECT seg, n_name, MAX(k) AS k,
+         CAST(COUNT(*) AS BIGINT) AS l_distinct,
+         ROUND(-SUM((CAST(cnt AS DOUBLE) / k)
+                    * LN(CAST(cnt AS DOUBLE) / k)), 6) AS entropy_r,
+         CAST(SUM(emd_term) // 4 AS BIGINT) AS t_micro
+  FROM lvl
+  GROUP BY seg, n_name
+)
+SELECT seg, n_name, k, l_distinct, entropy_r, t_micro,
+       CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END AS l3_ok,
+       CASE WHEN t_micro <= 200000 THEN 1 ELSE 0 END AS t02_ok
+FROM ent
+ORDER BY seg, n_name
+""",
+    tags=("privacy", "audit"),
+)
+def a219_l_diversity_tcloseness(spark, sf_dir):
+    """l-diversity and t-closeness audit — the two standard refinements
+    of k-anonymity (q260 covers k) for quasi-identifier classes (market
+    segment x nation) against the sensitive attribute order priority:
+    l_distinct = distinct sensitive values per class (homogeneity-attack
+    resistance), entropy (entropy-l-diversity, one ln per class-level
+    on exact rationals), and t-closeness as the exact ordinal EMD
+    between the class's priority distribution and the global one
+    (mean |cumulative-share gap| over the 4 interior boundaries, in
+    integer micro). One groupBy to <= 125 x 5 cells bounds everything;
+    the per-class entropy SUM spans <= 5 doubles inside one group —
+    each term is formed from exact integers, and the 5-term sum is
+    inside a single hash-aggregate group so its order is the pri-join
+    order... emitted through a terminal round(,6) with magnitudes ~1,
+    where 5-term reassociation noise (~1e-16) cannot reach the 6th
+    decimal."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            "n_name",
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    glob = cells.groupBy("pri").agg(
+        F.sum("cnt").cast("bigint").alias("gcnt")
+    )
+    gtot = glob.agg(F.sum("gcnt").cast("bigint").alias("gn"))
+    gcum = glob.select(
+        "pri",
+        F.sum("gcnt")
+        .over(
+            Window.orderBy("pri").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("gcum"),
+    )
+    ccum = cells.select(
+        "seg",
+        "n_name",
+        "pri",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("seg", "n_name")
+            .orderBy("pri")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("ccum"),
+        F.sum("cnt")
+        .over(Window.partitionBy("seg", "n_name"))
+        .cast("bigint")
+        .alias("k"),
+    )
+    lvl = (
+        ccum.join(F.broadcast(gcum), "pri")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "seg",
+            "n_name",
+            "k",
+            F.expr(
+                "ABS(ccum * 1000000 div k - gcum * 1000000 div gn)"
+            ).alias("emd_term"),
+            "cnt",
+        )
+    )
+    ent = lvl.groupBy("seg", "n_name").agg(
+        F.max("k").alias("k"),
+        F.count("*").cast("bigint").alias("l_distinct"),
+        F.round(
+            -F.sum(
+                F.expr(
+                    "(CAST(cnt AS DOUBLE) / k)"
+                    " * LN(CAST(cnt AS DOUBLE) / k)"
+                )
+            ),
+            6,
+        ).alias("entropy_r"),
+        F.expr("CAST(SUM(emd_term) div 4 AS BIGINT)").alias("t_micro"),
+    )
+    return ent.select(
+        "seg",
+        "n_name",
+        "k",
+        "l_distinct",
+        "entropy_r",
+        "t_micro",
+        F.expr("CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END").alias(
+            "l3_ok"
+        ),
+        F.expr("CASE WHEN t_micro <= 200000 THEN 1 ELSE 0 END").alias(
+            "t02_ok"
+        ),
+    ).orderBy("seg", "n_name")
+
+
+@query(
+    "a220_dedup_scaling_curve",
+    oracle="""
+WITH fp AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+         ('0x' || substr(md5('sc|' || CAST(doc_id AS VARCHAR)), 1, 1))
+           ::BIGINT AS nib
+  FROM documents
+), per_fp AS (
+  SELECT f, CAST(MIN(nib) AS BIGINT) AS min_nib,
+         CAST(SUM(CASE WHEN nib < 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN nib < 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN nib < 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(SUM(CASE WHEN nib < 8 THEN 1 ELSE 0 END) AS BIGINT) AS c8,
+         CAST(COUNT(*) AS BIGINT) AS c16
+  FROM fp GROUP BY f
+), agg AS (
+  SELECT s.s,
+         CAST(SUM(CASE s.s WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 4 THEN c4
+                           WHEN 8 THEN c8 ELSE c16 END) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN min_nib < s.s AND (CASE s.s WHEN 1 THEN c1
+                   WHEN 2 THEN c2 WHEN 4 THEN c4 WHEN 8 THEN c8
+                   ELSE c16 END) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM per_fp CROSS JOIN (SELECT UNNEST([1, 2, 4, 8, 16]) AS s) s
+  GROUP BY s.s
+), pts AS (
+  SELECT s, n, v, n - v AS dups,
+         CAST((n - v) * 1000000 // n AS BIGINT) AS dup_ppm,
+         LN(CAST(n AS DOUBLE)) AS lx,
+         LN(CAST(n - v + 1 AS DOUBLE)) AS ly
+  FROM agg
+), fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+  FROM pts
+)
+SELECT p.s AS subset_16ths, p.n AS n_docs, p.v AS n_distinct,
+       p.dups, p.dup_ppm,
+       ROUND((f.m * f.sxy - f.sx * f.sy)
+             / (f.m * f.sxx - f.sx * f.sx), 6) AS scaling_exponent_r
+FROM pts p CROSS JOIN fit f
+ORDER BY p.s
+""",
+    tags=("dedup", "documents", "scaling"),
+)
+def a220_dedup_scaling_curve(spark, sf_dir):
+    """Duplicate-mass scaling curve: exact-dup counts on NESTED
+    md5-nibble subsets of the corpus (1/16, 2/16, 4/16, 8/16, all) and
+    the log-log slope of duplicates vs corpus size — the measured
+    scaling-law exponent that says how dedup burden grows as you ingest
+    more (superlinear exponent > 1 = duplication concentrates; the
+    number a 100 TB capacity plan extrapolates from). The whole curve
+    is ONE shuffle: group by normalized-text fingerprint once, carry a
+    per-fingerprint nibble histogram, then distinct-at-subset-s = (min
+    nibble < s), member count = the histogram prefix — never five
+    corpus scans. Heaps' law (q243) tracks vocabulary growth; this
+    tracks duplicate growth. The 5-point OLS runs on ln of exact
+    integers (ln ulp noise ~1e-16 is far below the 6dp round)."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("f"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('sc|',"
+            " CAST(doc_id AS STRING))), 1, 1), 16, 10) AS BIGINT)"
+        ).alias("nib"),
+    )
+    per_fp = fp.groupBy("f").agg(
+        F.min("nib").cast("bigint").alias("min_nib"),
+        F.sum(F.expr("CASE WHEN nib < 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.expr("CASE WHEN nib < 2 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("c2"),
+        F.sum(F.expr("CASE WHEN nib < 4 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("c4"),
+        F.sum(F.expr("CASE WHEN nib < 8 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("c8"),
+        F.count("*").cast("bigint").alias("c16"),
+    )
+    sizes = spark.range(5).select(
+        F.expr("element_at(array(1, 2, 4, 8, 16), CAST(id + 1 AS INT))")
+        .cast("bigint")
+        .alias("s")
+    )
+    sel = (
+        "CASE s WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 4 THEN c4"
+        " WHEN 8 THEN c8 ELSE c16 END"
+    )
+    agg = (
+        per_fp.crossJoin(F.broadcast(sizes))
+        .groupBy("s")
+        .agg(
+            F.sum(F.expr(sel)).cast("bigint").alias("n"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN min_nib < s AND ({sel}) > 0"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    pts = agg.select(
+        "s",
+        "n",
+        "v",
+        F.expr("n - v").alias("dups"),
+        F.expr("CAST((n - v) * 1000000 div n AS BIGINT)").alias("dup_ppm"),
+        F.expr("LN(CAST(n AS DOUBLE))").alias("lx"),
+        F.expr("LN(CAST(n - v + 1 AS DOUBLE))").alias("ly"),
+    ).localCheckpoint(eager=False)
+    fit = pts.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.expr("lx * lx")).alias("sxx"),
+        F.sum(F.expr("lx * ly")).alias("sxy"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("s").alias("subset_16ths"),
+            F.col("n").alias("n_docs"),
+            F.col("v").alias("n_distinct"),
+            "dups",
+            "dup_ppm",
+            F.round(
+                F.expr(
+                    "(m * sxy - sx * sy) / (m * sxx - sx * sx)"
+                ),
+                6,
+            ).alias("scaling_exponent_r"),
+        )
+        .orderBy("subset_16ths")
+    )
+
+
+@query(
+    "a226_ripley_k",
+    oracle="""
+WITH pts0 AS (
+  SELECT c_custkey,
+         ('0x' || substr(md5('rk|' || CAST(c_custkey AS VARCHAR)), 1, 15))
+           ::BIGINT AS hv,
+         ('0x' || substr(md5('rx|' || CAST(c_custkey AS VARCHAR)), 1, 15))
+           ::BIGINT % 1000000 AS x,
+         ('0x' || substr(md5('ry|' || CAST(c_custkey AS VARCHAR)), 1, 15))
+           ::BIGINT % 1000000 AS y
+  FROM customer
+), pts AS (
+  SELECT x, y FROM pts0 ORDER BY hv, c_custkey LIMIT 2048
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts
+), radii AS (
+  SELECT CAST(UNNEST([25000, 50000, 100000]) AS BIGINT) AS r
+), pair AS (
+  SELECT r.r,
+         CAST(SUM(CASE WHEN (a.x - b.x) * (a.x - b.x)
+                          + (a.y - b.y) * (a.y - b.y) <= r.r * r.r
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+  FROM pts a CROSS JOIN pts b CROSS JOIN radii r
+  WHERE a.x < b.x OR (a.x = b.x AND a.y < b.y)
+     OR (a.x = b.x AND a.y = b.y)
+  GROUP BY r.r
+)
+SELECT p.r, s.n, p.n_within,
+       CAST(FLOOR(CAST(1000000 AS DOUBLE) * 1000000 * 2 * p.n_within
+                  / (CAST(s.n AS DOUBLE) * (s.n - 1))) AS BIGINT)
+         AS k_hat_floor,
+       ROUND(SQRT(CAST(1000000 AS DOUBLE) * 1000000 * 2 * p.n_within
+                  / (CAST(s.n AS DOUBLE) * (s.n - 1)) / PI()) - p.r, 6)
+         AS l_minus_r_r
+FROM pair p CROSS JOIN scal s
+ORDER BY p.r
+""",
+    tags=("inference", "spatial"),
+)
+def a226_ripley_k(spark, sf_dir):
+    """Ripley's K / L spatial clustering statistic on an md5-planted
+    point field (2048 hash-selected customers placed uniformly on a
+    1e6 x 1e6 grid — complete spatial randomness by construction, so
+    L(r) - r should hover near 0 and the statistic is fully
+    SQL-re-derivable): K_hat(r) = A * 2 * pairs_within(r) / (n(n-1)) at
+    three radii. The panel is rank-bounded at 2048 points at ANY corpus
+    scale, so the pair stage is a fixed ~2M-comparison brute force with
+    exact integer distance tests; K_hat reaches ~3e10 where 6dp
+    rounding exceeds double resolution, so it is FLOOR'd to a BIGINT
+    (the a221 recipe) while the O(1e3)-magnitude L(r) - r keeps its
+    round(,6). Grid-cell machinery for sf-scaled spatial joins lives in
+    q222; this is the bounded-panel STATISTIC on top."""
+    c = table(spark, sf_dir, "customer")
+    def h(tag):
+        return (
+            f"CAST(conv(substring(md5(concat('{tag}|',"
+            " CAST(c_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+    pts0 = c.select(
+        "c_custkey",
+        F.expr(h("rk")).alias("hv"),
+        F.expr(h("rx") + " % 1000000").alias("x"),
+        F.expr(h("ry") + " % 1000000").alias("y"),
+    )
+    pts = (
+        pts0.orderBy("hv", "c_custkey")
+        .limit(2048)
+        .select("x", "y")
+        .localCheckpoint(eager=False)
+    )
+    scal = pts.agg(F.count("*").cast("bigint").alias("n"))
+    radii = spark.range(3).select(
+        F.expr(
+            "CAST(element_at(array(25000, 50000, 100000),"
+            " CAST(id + 1 AS INT)) AS BIGINT)"
+        ).alias("r")
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    pair = (
+        a.crossJoin(b)
+        .filter(
+            F.expr(
+                "a.x < b.x OR (a.x = b.x AND a.y < b.y)"
+                " OR (a.x = b.x AND a.y = b.y)"
+            )
+        )
+        .crossJoin(F.broadcast(radii))
+        .groupBy("r")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN (a.x - b.x) * (a.x - b.x)"
+                    " + (a.y - b.y) * (a.y - b.y) <= r * r"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_within")
+        )
+    )
+    return (
+        pair.crossJoin(F.broadcast(scal))
+        .select(
+            "r",
+            "n",
+            "n_within",
+            F.expr(
+                "CAST(FLOOR(CAST(1000000 AS DOUBLE) * 1000000 * 2"
+                " * n_within / (CAST(n AS DOUBLE) * (n - 1))) AS BIGINT)"
+            ).alias("k_hat_floor"),
+            F.round(
+                F.expr(
+                    "SQRT(CAST(1000000 AS DOUBLE) * 1000000 * 2"
+                    " * n_within / (CAST(n AS DOUBLE) * (n - 1)) / PI())"
+                    " - r"
+                ),
+                6,
+            ).alias("l_minus_r_r"),
+        )
+        .orderBy("r")
+    )
+
+
+@query(
+    "a216_twin_alignment_audit",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ('0x' || substr(md5('al|' || CAST(vec_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS hv
+  FROM embeddings
+), panel AS (
+  SELECT vec_id, v FROM base ORDER BY hv, vec_id LIMIT 256
+), tw AS (
+  SELECT vec_id, v,
+         list_prepend(v[1] + CAST(0.02 AS DOUBLE)
+           + CAST((('0x' || substr(md5('tw|' || CAST(vec_id AS VARCHAR)),
+                    1, 15))::BIGINT % 60001) AS DOUBLE) / 1e6,
+           v[2:]) AS tv
+  FROM panel
+), uf AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(ROUND(1000.0 * x
+           / sqrt(list_dot_product(v, v)), 0) AS BIGINT)) AS uf,
+         list_transform(tv, x -> CAST(ROUND(1000.0 * x
+           / sqrt(list_dot_product(tv, tv)), 0) AS BIGINT)) AS tuf
+  FROM tw
+), twin_d AS (
+  SELECT CAST(SUM(d2) AS BIGINT) AS sum_d2t,
+         CAST(COUNT(*) AS BIGINT) AS n_panel
+  FROM (
+    SELECT list_reduce(list_transform(range(64), q ->
+             (uf[q + 1] - tuf[q + 1]) * (uf[q + 1] - tuf[q + 1])),
+             (acc, t) -> acc + t) AS d2
+    FROM uf
+  )
+), pair AS (
+  SELECT LEAST(list_reduce(list_transform(range(64), q ->
+           (a.uf[q + 1] - b.uf[q + 1]) * (a.uf[q + 1] - b.uf[q + 1])),
+           (acc, t) -> acc + t) * 16 // 4000000, 15) AS bin,
+         (4000000 - list_reduce(list_transform(range(64), q ->
+           (a.uf[q + 1] - b.uf[q + 1]) * (a.uf[q + 1] - b.uf[q + 1])),
+           (acc, t) -> acc + t)) AS w
+  FROM uf a JOIN uf b ON a.vec_id < b.vec_id
+), pscal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(w * w) // COUNT(*) AS BIGINT) AS uniformity_proxy
+  FROM pair
+), grid AS (
+  SELECT CAST(g AS BIGINT) AS bin FROM UNNEST(generate_series(0, 15)) t(g)
+), hist AS (
+  SELECT gr.bin, CAST(COALESCE(COUNT(p.bin), 0) AS BIGINT) AS n_in_bin
+  FROM grid gr LEFT JOIN pair p ON p.bin = gr.bin
+  GROUP BY gr.bin
+)
+SELECT h.bin, h.n_in_bin, t.n_panel,
+       CAST(t.sum_d2t // t.n_panel AS BIGINT) AS alignment_md2,
+       s.n_pairs, s.uniformity_proxy
+FROM hist h CROSS JOIN twin_d t CROSS JOIN pscal s
+ORDER BY h.bin
+""",
+    tags=("similarity", "embedding", "audit"),
+)
+def a216_twin_alignment_audit(spark, sf_dir):
+    """Alignment/uniformity audit of the embedding space (the Wang–
+    Isola contrastive-representation diagnostics, exact-arithmetic
+    edition): ALIGNMENT = mean squared distance between 256
+    hash-panelled vectors and their md5-planted near-dup twins (the
+    q83 planting recipe — positives should be close), UNIFORMITY =
+    mean (4e6 - d²)² over all panel pairs plus the 16-bin pair-distance
+    histogram (points should spread; a mass pile-up in low bins is the
+    collapsed-cone pathology a570's isotropy audit sees from a
+    different angle). Unit vectors are milli-fixed via the q39-proven
+    sqrt-dot fold, so every pairwise d² is an exact BIGINT array fold
+    (zip_with + integer aggregate — no explode, no order-sensitive
+    double sum); the panel is rank-bounded at 256 so the pair stage is
+    a fixed 32640 comparisons at ANY corpus scale."""
+    from ..functions.vector import l2_norm
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('al|',"
+            " CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    panel = e.orderBy("hv", "vec_id").limit(256).select("vec_id", "v")
+    delta = F.expr(
+        "CAST(0.02 AS DOUBLE)"
+        " + CAST((CAST(conv(substring(md5(concat('tw|',"
+        " CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        " % 60001) AS DOUBLE) / 1e6"
+    )
+    tw = panel.select(
+        "vec_id",
+        "v",
+        F.concat(
+            F.array(F.element_at("v", 1) + delta), F.slice("v", 2, 63)
+        ).alias("tv"),
+    )
+    nv = l2_norm(F.col("v"))
+    nt = l2_norm(F.col("tv"))
+    uf = tw.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.round(1000.0 * x / nv, 0).cast("bigint")
+        ).alias("uf"),
+        F.transform(
+            "tv", lambda x: F.round(1000.0 * x / nt, 0).cast("bigint")
+        ).alias("tuf"),
+    ).localCheckpoint(eager=False)
+    d2_twin = F.expr(
+        "aggregate(zip_with(uf, tuf, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    twin_d = uf.select(d2_twin.alias("d2")).agg(
+        F.sum("d2").cast("bigint").alias("sum_d2t"),
+        F.count("*").cast("bigint").alias("n_panel"),
+    )
+    a = uf.select(F.col("vec_id").alias("ida"), F.col("uf").alias("ua"))
+    b = uf.select(F.col("vec_id").alias("idb"), F.col("uf").alias("ub"))
+    d2_pair = F.expr(
+        "aggregate(zip_with(ua, ub, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    pair = (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select(d2_pair.alias("d2"))
+        .select(
+            F.expr(
+                "LEAST(d2 * 16 div 4000000, CAST(15 AS BIGINT))"
+            ).alias("bin"),
+            F.expr("4000000 - d2").alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pscal = pair.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(SUM(w * w) div COUNT(*) AS BIGINT)"
+        ).alias("uniformity_proxy"),
+    )
+    grid = spark.range(16).select(F.col("id").cast("bigint").alias("bin"))
+    hist = (
+        grid.join(pair, "bin", "left")
+        .groupBy("bin")
+        .agg(F.count("w").cast("bigint").alias("n_in_bin"))
+    )
+    return (
+        hist.crossJoin(F.broadcast(twin_d))
+        .crossJoin(F.broadcast(pscal))
+        .select(
+            "bin",
+            "n_in_bin",
+            "n_panel",
+            F.expr("CAST(sum_d2t div n_panel AS BIGINT)").alias(
+                "alignment_md2"
+            ),
+            "n_pairs",
+            "uniformity_proxy",
+        )
+        .orderBy("bin")
+    )
