@@ -672,13 +672,13 @@ def a209_loess_grid(spark, sf_dir):
     oracle=f"""
 WITH daily0 AS ({_DAILYV_SQL}),
 uk AS (
-  SELECT GREATEST(CAST(1 AS BIGINT),
-                  (CAST(SUM(v) AS BIGINT) // COUNT(*)) // 3000) AS u
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(v) AS BIGINT) AS sv
   FROM daily0
 ), pan AS (
-  SELECT CAST(v // u AS BIGINT) AS vs, u FROM daily0 CROSS JOIN uk
+  SELECT CAST((v * 3000 * nd) // sv AS BIGINT) AS vs
+  FROM daily0 CROSS JOIN uk
 ), scal AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(u) AS u,
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(MIN(vs) AS BIGINT) AS vmin,
          GREATEST(CAST(1 AS BIGINT),
                   CAST((MAX(vs) - MIN(vs)) // 8 AS BIGINT)) AS h,
@@ -686,15 +686,15 @@ uk AS (
   FROM pan
 ), grid AS (
   SELECT CAST(g AS BIGINT) AS g,
-         vmin + (CAST(g AS BIGINT) * vrange) // 31 AS xg, n, h, u
+         vmin + (CAST(g AS BIGINT) * vrange) // 31 AS xg, n, h
   FROM scal, UNNEST(generate_series(0, 31)) AS w(g)
 ), kq AS (
-  SELECT gr.g, gr.xg, gr.n, gr.h, gr.u,
+  SELECT gr.g, gr.xg, gr.n, gr.h,
          (3000000 * (gr.h * gr.h - (p.vs - gr.xg) * (p.vs - gr.xg)))
            // (4 * gr.h * gr.h) AS k
   FROM grid gr JOIN pan p ON ABS(p.vs - gr.xg) < gr.h
 )
-SELECT g, xg, MAX(n) AS n, MAX(h) AS h, MAX(u) AS unit,
+SELECT g, xg, MAX(n) AS n, MAX(h) AS h,
        CAST(COALESCE(SUM(k), 0) * 1000 // (MAX(n) * MAX(h)) AS BIGINT)
          AS f_nano
 FROM kq GROUP BY g, xg
@@ -709,25 +709,23 @@ def a210_kde_epanechnikov(spark, sf_dir):
     evaluation is exact integer arithmetic (k = 3e6*(h^2-d^2) //
     (4h^2), a [0, 750000]-scaled weight), and the density is an exact
     nano-unit ratio with no per-row transcendental anywhere. Volumes
-    are adaptive-unit rescaled (mean ~3000, the _unit_scaled
-    discipline) so h^2 arithmetic keeps int64 headroom at every corpus
-    scale; bandwidth h = range/8, grid = 32 equal steps. The histogram
-    cousins (q77, q120 equidepth, a461 v-optimal) bin counts; this is
-    the smoothed-density member of that family."""
+    are RATIO-rescaled to mean 3000 (vs = v*3000*n // sum(v) — unlike
+    the divide-only _unit_scaled this also scales sparse small-sf
+    volumes UP, so the grid never degenerates to zero-width steps)
+    keeping h^2 arithmetic inside int64 at every corpus scale;
+    bandwidth h = range/8, grid = 32 equal steps. The histogram cousins
+    (q77, q120 equidepth, a461 v-optimal) bin counts; this is the
+    smoothed-density member of that family."""
     daily = _dailyv(spark, sf_dir)
     uk = daily.agg(
-        F.expr(
-            "GREATEST(CAST(1 AS BIGINT),"
-            " (CAST(SUM(v) AS BIGINT) div COUNT(*)) div 3000)"
-        ).alias("u")
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("v").cast("bigint").alias("sv"),
     )
-    pan0 = daily.crossJoin(F.broadcast(uk)).select(
-        F.expr("CAST(v div u AS BIGINT)").alias("vs"), "u"
+    pan = daily.crossJoin(F.broadcast(uk)).select(
+        F.expr("CAST((v * 3000 * nd) div sv AS BIGINT)").alias("vs")
     )
-    pan = pan0.select("vs")
-    scal = pan0.agg(
+    scal = pan.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.max("u").alias("u"),
         F.min("vs").cast("bigint").alias("vmin"),
         F.expr(
             "GREATEST(CAST(1 AS BIGINT),"
@@ -742,7 +740,6 @@ def a210_kde_epanechnikov(spark, sf_dir):
         F.expr("vmin + (CAST(g AS BIGINT) * vrange) div 31").alias("xg"),
         "n",
         "h",
-        "u",
     )
     kq = (
         pan.crossJoin(F.broadcast(grid))
@@ -752,7 +749,6 @@ def a210_kde_epanechnikov(spark, sf_dir):
             "xg",
             "n",
             "h",
-            "u",
             F.expr(
                 "(3000000 * (h * h - (vs - xg) * (vs - xg)))"
                 " div (4 * h * h)"
@@ -764,7 +760,6 @@ def a210_kde_epanechnikov(spark, sf_dir):
         .agg(
             F.max("n").alias("n"),
             F.max("h").alias("h"),
-            F.max("u").alias("unit"),
             F.expr(
                 "CAST(COALESCE(SUM(k), 0) * 1000 div (MAX(n) * MAX(h))"
                 " AS BIGINT)"
@@ -2550,7 +2545,7 @@ WITH pts0 AS (
            ::BIGINT % 1000000 AS y
   FROM customer
 ), pts AS (
-  SELECT x, y FROM pts0 ORDER BY hv, c_custkey LIMIT 2048
+  SELECT c_custkey AS pid, x, y FROM pts0 ORDER BY hv, c_custkey LIMIT 2048
 ), scal AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts
 ), radii AS (
@@ -2561,8 +2556,7 @@ WITH pts0 AS (
                           + (a.y - b.y) * (a.y - b.y) <= r.r * r.r
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_within
   FROM pts a CROSS JOIN pts b CROSS JOIN radii r
-  WHERE a.x < b.x OR (a.x = b.x AND a.y < b.y)
-     OR (a.x = b.x AND a.y = b.y)
+  WHERE a.pid < b.pid
   GROUP BY r.r
 )
 SELECT p.r, s.n, p.n_within,
@@ -2605,7 +2599,7 @@ def a226_ripley_k(spark, sf_dir):
     pts = (
         pts0.orderBy("hv", "c_custkey")
         .limit(2048)
-        .select("x", "y")
+        .select(F.col("c_custkey").alias("pid"), "x", "y")
         .localCheckpoint(eager=False)
     )
     scal = pts.agg(F.count("*").cast("bigint").alias("n"))
@@ -2619,12 +2613,7 @@ def a226_ripley_k(spark, sf_dir):
     b = pts.alias("b")
     pair = (
         a.crossJoin(b)
-        .filter(
-            F.expr(
-                "a.x < b.x OR (a.x = b.x AND a.y < b.y)"
-                " OR (a.x = b.x AND a.y = b.y)"
-            )
-        )
+        .filter(F.expr("a.pid < b.pid"))
         .crossJoin(F.broadcast(radii))
         .groupBy("r")
         .agg(
