@@ -1,4 +1,4 @@
-"""Round-10 battery (a208–a228): robust/local regression (Siegel
+"""Round-10 battery (a208–a231): robust/local regression (Siegel
 repeated medians, quantized-tricube LOESS, hinge trend, RANSAC),
 density estimation, SPC capability, epidemiology-style rate
 standardization, shrinkage, event studies, forecast skill scores,
@@ -2811,4 +2811,441 @@ def a216_twin_alignment_audit(spark, sf_dir):
             "uniformity_proxy",
         )
         .orderBy("bin")
+    )
+
+
+@query(
+    "a229_cka_quantization_audit",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ('0x' || substr(md5('ck|' || CAST(vec_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS hv
+  FROM embeddings
+), panel AS (
+  SELECT vec_id, v FROM base ORDER BY hv, vec_id LIMIT 256
+), uf AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(ROUND(1000.0 * x
+           / sqrt(list_dot_product(v, v)), 0) AS BIGINT)) AS uf
+  FROM panel
+), comp AS (
+  SELECT vec_id, i AS d, uf[i] AS x,
+         CAST(FLOOR(uf[i] * 127.0 / 1000 + 0.5) AS BIGINT) AS y
+  FROM uf, UNNEST(generate_series(1, 64)) AS t(i)
+), dims AS (
+  SELECT d, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM comp GROUP BY d
+), cross_m AS (
+  SELECT a.d AS da, b.d AS db,
+         CAST(SUM(a.x * b.x) AS BIGINT) AS sxx,
+         CAST(SUM(a.x * b.y) AS BIGINT) AS sxy,
+         CAST(SUM(a.y * b.y) AS BIGINT) AS syy
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+  GROUP BY a.d, b.d
+), cent AS (
+  SELECT CAST(FLOOR((da_.n * c.sxx - da_.sx * db_.sx) / 1000.0 + 0.5)
+              AS BIGINT) AS cxx,
+         CAST(FLOOR((da_.n * c.sxy - da_.sx * db_.sy) / 1000.0 + 0.5)
+              AS BIGINT) AS cxy,
+         CAST(FLOOR((da_.n * c.syy - da_.sy * db_.sy) / 1000.0 + 0.5)
+              AS BIGINT) AS cyy
+  FROM cross_m c
+  JOIN dims da_ ON c.da = da_.d
+  JOIN dims db_ ON c.db = db_.d
+), fro AS (
+  SELECT CAST(SUM(cxx * cxx) AS BIGINT) AS fxx,
+         CAST(SUM(cxy * cxy) AS BIGINT) AS fxy,
+         CAST(SUM(cyy * cyy) AS BIGINT) AS fyy,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM cent
+)
+SELECT 256 AS n_panel, n_cells,
+       ROUND(CAST(fxy AS DOUBLE)
+             / (SQRT(CAST(fxx AS DOUBLE)) * SQRT(CAST(fyy AS DOUBLE))),
+             6) AS cka_r
+FROM fro
+""",
+    tags=("similarity", "embedding", "audit"),
+)
+def a229_cka_quantization_audit(spark, sf_dir):
+    """Linear CKA (centered kernel alignment) between the embedding
+    space and its int8-quantized copy on a 256-vector hash panel: CKA =
+    ||X'Y||F² / (||X'X||F ||Y'Y||F) over CENTERED features — the
+    representation-similarity metric that answers 'did int8
+    quantization change the GEOMETRY?' where q89's roundtrip error only
+    answers 'did the coordinates move?'. A CKA near 1 certifies the
+    quantized index is geometrically faithful. All 64x64x3 cross-moment
+    matrices are exact BIGINT folds over milli-fixed unit coordinates
+    (the a570 recipe); int8 codes derive from the SAME fixed-point ints
+    via the tie-safe floor(x+0.5) half-up (never engine ROUND on a .5
+    boundary); centered cells are scaled by floor(c/1000+0.5) so the
+    Frobenius squares stay inside int64 — every sum is
+    order-insensitive integer arithmetic, with three scalar doubles at
+    the end. The dim-pair fan-out is 256 x 64 x 64 = 1M rows at ANY
+    corpus scale."""
+    from ..functions.vector import l2_norm
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('ck|',"
+            " CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    panel = e.orderBy("hv", "vec_id").limit(256).select("vec_id", "v")
+    nv = l2_norm(F.col("v"))
+    uf = panel.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.round(1000.0 * x / nv, 0).cast("bigint")
+        ).alias("uf"),
+    )
+    comp = uf.select(
+        "vec_id", F.posexplode("uf").alias("d0", "x")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        "x",
+        F.expr(
+            "CAST(FLOOR(x * 127.0 / 1000 + 0.5) AS BIGINT)"
+        ).alias("y"),
+    ).localCheckpoint(eager=False)
+    dims = comp.groupBy("d").agg(
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    a = comp.select(
+        F.col("vec_id").alias("vid"), F.col("d").alias("da"),
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+    )
+    b = comp.select(
+        F.col("vec_id").alias("vid"), F.col("d").alias("db"),
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+    )
+    cross_m = (
+        a.join(b, "vid")
+        .groupBy("da", "db")
+        .agg(
+            F.sum(F.expr("xa * xb")).cast("bigint").alias("sxx"),
+            F.sum(F.expr("xa * yb")).cast("bigint").alias("sxy"),
+            F.sum(F.expr("ya * yb")).cast("bigint").alias("syy"),
+        )
+    )
+    da_ = dims.select(
+        F.col("d").alias("da"), F.col("sx").alias("sxa"),
+        F.col("sy").alias("sya"), "n",
+    )
+    db_ = dims.select(
+        F.col("d").alias("db"), F.col("sx").alias("sxb"),
+        F.col("sy").alias("syb"),
+    )
+    cent = (
+        cross_m.join(F.broadcast(da_), "da")
+        .join(F.broadcast(db_), "db")
+        .select(
+            F.expr(
+                "CAST(FLOOR((n * sxx - sxa * sxb) / 1000.0 + 0.5)"
+                " AS BIGINT)"
+            ).alias("cxx"),
+            F.expr(
+                "CAST(FLOOR((n * sxy - sxa * syb) / 1000.0 + 0.5)"
+                " AS BIGINT)"
+            ).alias("cxy"),
+            F.expr(
+                "CAST(FLOOR((n * syy - sya * syb) / 1000.0 + 0.5)"
+                " AS BIGINT)"
+            ).alias("cyy"),
+        )
+    )
+    fro = cent.agg(
+        F.sum(F.expr("cxx * cxx")).cast("bigint").alias("fxx"),
+        F.sum(F.expr("cxy * cxy")).cast("bigint").alias("fxy"),
+        F.sum(F.expr("cyy * cyy")).cast("bigint").alias("fyy"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    return fro.select(
+        F.lit(256).alias("n_panel"),
+        "n_cells",
+        F.round(
+            F.expr(
+                "CAST(fxy AS DOUBLE)"
+                " / (SQRT(CAST(fxx AS DOUBLE)) * SQRT(CAST(fyy AS DOUBLE)))"
+            ),
+            6,
+        ).alias("cka_r"),
+    )
+
+
+@query(
+    "a230_preference_cycles",
+    oracle="""
+WITH top_parts AS (
+  SELECT l_partkey AS pk
+  FROM lineitem GROUP BY 1
+  ORDER BY COUNT(*) DESC, l_partkey LIMIT 12
+), cp AS (
+  SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN top_parts t ON l.l_partkey = t.pk
+  GROUP BY 1, 2
+), duel AS (
+  SELECT a.pk AS pa, b.pk AS pb,
+         CAST(SUM(CASE WHEN a.cnt > b.cnt THEN 1 ELSE 0 END) AS BIGINT)
+           AS w_ab,
+         CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1 ELSE 0 END) AS BIGINT)
+           AS w_ba
+  FROM cp a JOIN cp b ON a.ck = b.ck AND a.pk < b.pk
+  GROUP BY 1, 2
+), rel AS (
+  SELECT pa, pb,
+         CASE WHEN w_ab > w_ba THEN 1
+              WHEN w_ba > w_ab THEN -1 ELSE 0 END AS pref
+  FROM duel
+), triads AS (
+  SELECT r1.pref AS p_ab, r2.pref AS p_bc, r3.pref AS p_ac
+  FROM rel r1
+  JOIN rel r2 ON r2.pa = r1.pb
+  JOIN rel r3 ON r3.pa = r1.pa AND r3.pb = r2.pb
+), census AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triads,
+         CAST(SUM(CASE WHEN p_ab = 0 OR p_bc = 0 OR p_ac = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+         CAST(SUM(CASE WHEN (p_ab = 1 AND p_bc = 1 AND p_ac = -1)
+                         OR (p_ab = -1 AND p_bc = -1 AND p_ac = 1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cyclic
+  FROM triads
+)
+SELECT 12 AS n_parts, n_triads, n_tied, n_cyclic,
+       CAST(1000000 - n_cyclic * 1000000
+            // GREATEST(n_triads - n_tied, 1) AS BIGINT)
+         AS transitivity_ppm
+FROM census
+""",
+    tags=("inference", "ranking"),
+)
+def a230_preference_cycles(spark, sf_dir):
+    """Condorcet-cycle census over the customer part-preference
+    tournament: pairwise majorities among the top-12 panel parts (A
+    beats B if more both-buyers bought A more often), then the exact
+    count of cyclic triads A>B>C>A among the C(12,3) = 220 triples —
+    the intransitivity that Copeland ranking (a192) silently averages
+    away; a high cycle rate means NO ranking is faithful. Strict
+    majorities only (tied edges censused separately and excluded from
+    the transitivity denominator). The duel stage is per-customer over
+    a fixed 12-part panel (<= 66 pairs per customer); the triad stage
+    is a 3-way join of a 66-row majority matrix — bounded at any
+    corpus scale."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    top_parts = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "pk")
+        .limit(12)
+        .select("pk")
+    )
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(top_parts), li.l_partkey == F.col("pk"))
+        .groupBy(F.col("o_custkey").alias("ck"), "pk")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    a = cp.select(
+        F.col("ck").alias("cka"), F.col("pk").alias("pa"),
+        F.col("cnt").alias("ca"),
+    )
+    b = cp.select(
+        F.col("ck").alias("ckb"), F.col("pk").alias("pb"),
+        F.col("cnt").alias("cb"),
+    )
+    duel = (
+        a.join(b, (F.col("cka") == F.col("ckb")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(
+            F.sum(F.expr("CASE WHEN ca > cb THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("w_ab"),
+            F.sum(F.expr("CASE WHEN cb > ca THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("w_ba"),
+        )
+    )
+    rel = duel.select(
+        "pa",
+        "pb",
+        F.expr(
+            "CASE WHEN w_ab > w_ba THEN 1"
+            " WHEN w_ba > w_ab THEN -1 ELSE 0 END"
+        ).alias("pref"),
+    ).localCheckpoint(eager=False)
+    r1 = rel.select(
+        F.col("pa").alias("x"), F.col("pb").alias("y"),
+        F.col("pref").alias("p_ab"),
+    )
+    r2 = rel.select(
+        F.col("pa").alias("y2"), F.col("pb").alias("z"),
+        F.col("pref").alias("p_bc"),
+    )
+    r3 = rel.select(
+        F.col("pa").alias("x3"), F.col("pb").alias("z3"),
+        F.col("pref").alias("p_ac"),
+    )
+    triads = (
+        r1.join(F.broadcast(r2), F.col("y") == F.col("y2"))
+        .join(
+            F.broadcast(r3),
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+        .select("p_ab", "p_bc", "p_ac")
+    )
+    census = triads.agg(
+        F.count("*").cast("bigint").alias("n_triads"),
+        F.sum(
+            F.expr(
+                "CASE WHEN p_ab = 0 OR p_bc = 0 OR p_ac = 0"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_tied"),
+        F.sum(
+            F.expr(
+                "CASE WHEN (p_ab = 1 AND p_bc = 1 AND p_ac = -1)"
+                " OR (p_ab = -1 AND p_bc = -1 AND p_ac = 1)"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_cyclic"),
+    )
+    return census.select(
+        F.lit(12).alias("n_parts"),
+        "n_triads",
+        "n_tied",
+        "n_cyclic",
+        F.expr(
+            "CAST(1000000 - n_cyclic * 1000000"
+            " div GREATEST(n_triads - n_tied, CAST(1 AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("transitivity_ppm"),
+    )
+
+
+@query(
+    "a231_crow_amsaa",
+    oracle="""
+WITH d0 AS (
+  SELECT MIN(CAST(ts AS DATE)) AS dmin FROM events
+), pts AS (
+  SELECT CAST(DATEDIFF('day', d.dmin, CAST(e.ts AS DATE)) + 1 AS BIGINT)
+           AS t_day
+  FROM events e CROSS JOIN d0 d
+), mon AS (
+  SELECT t_day AS t_end, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1
+), cum AS (
+  SELECT t_end,
+         CAST(SUM(c) OVER (ORDER BY t_end
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum
+  FROM mon
+), lg AS (
+  SELECT LN(CAST(t_end AS DOUBLE)) AS lx,
+         LN(CAST(n_cum AS DOUBLE)) AS ly
+  FROM cum
+), fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+  FROM lg
+)
+SELECT m AS n_points,
+       ROUND(CASE WHEN m * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE (m * sxy - sx * sy) / (m * sxx - sx * sx)
+             END, 6) AS beta_r,
+       ROUND(CASE WHEN m * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE (sy - ((m * sxy - sx * sy)
+                        / (m * sxx - sx * sx)) * sx) / m
+             END, 6) AS ln_lambda_r,
+       CASE WHEN m * sxx - sx * sx <> 0
+             AND (m * sxy - sx * sy) / (m * sxx - sx * sx) < 1
+            THEN 1 ELSE 0 END AS reliability_growth
+FROM fit
+""",
+    tags=("inference", "reliability"),
+)
+def a231_crow_amsaa(spark, sf_dir):
+    """Crow-AMSAA (Duane) reliability-growth fit on the cumulative
+    event process: N(t) = lambda * t^beta estimated by the log-log OLS
+    of cumulative counts at daily boundaries (the event fixture spans a
+    single ~30-day window, so 30-day buckets would degenerate to one
+    point; daily boundaries stay calendar-bounded at <= 2404) —
+    beta < 1 means the
+    inter-event rate is improving (reliability growth), beta > 1 means
+    intensification; the standard NHPP power-law model next to the
+    fixture's homogeneous-Poisson checks (q329 GOF, a401 Fano). The
+    boundary panel is calendar-bounded at any corpus scale; cumulative counts are exact BIGINT window sums; ln runs
+    once per boundary point on exact integers and the 2-moment OLS is
+    scalar doubles into a terminal round(,6) — ln's 1-ulp cross-engine
+    noise sits ~1e-10 below the 6th decimal at these magnitudes."""
+    e = table(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.col("ts").cast("date")).alias("dmin"))
+    pts = e.crossJoin(F.broadcast(d0)).select(
+        F.expr(
+            "CAST(DATEDIFF(CAST(ts AS DATE), dmin) + 1 AS BIGINT)"
+        ).alias("t_day")
+    )
+    mon = pts.groupBy(F.col("t_day").alias("t_end")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cum = mon.select(
+        "t_end",
+        F.sum("c")
+        .over(
+            Window.orderBy("t_end").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("n_cum"),
+    )
+    lg = cum.select(
+        F.expr("LN(CAST(t_end AS DOUBLE))").alias("lx"),
+        F.expr("LN(CAST(n_cum AS DOUBLE))").alias("ly"),
+    )
+    fit = lg.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.expr("lx * lx")).alias("sxx"),
+        F.sum(F.expr("lx * ly")).alias("sxy"),
+    )
+    return fit.select(
+        F.col("m").alias("n_points"),
+        F.round(
+            F.expr(
+                "CASE WHEN m * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE (m * sxy - sx * sy) / (m * sxx - sx * sx) END"
+            ),
+            6,
+        ).alias("beta_r"),
+        F.round(
+            F.expr(
+                "CASE WHEN m * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE (sy - ((m * sxy - sx * sy)"
+                " / (m * sxx - sx * sx)) * sx) / m END"
+            ),
+            6,
+        ).alias("ln_lambda_r"),
+        F.expr(
+            "CASE WHEN m * sxx - sx * sx <> 0"
+            " AND (m * sxy - sx * sy) / (m * sxx - sx * sx) < 1"
+            " THEN 1 ELSE 0 END"
+        ).alias("reliability_growth"),
     )

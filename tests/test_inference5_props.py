@@ -1,5 +1,5 @@
 """Textbook-invariant property checks for the round-10 battery
-(grouper_spark/queries/inference5.py, a208-a228).
+(grouper_spark/queries/inference5.py, a208-a231).
 
 Same contract as test_inference4_props.py: the parity gate proves
 Spark == DuckDB but cannot catch a formula BOTH sides encode wrong --
@@ -296,3 +296,31 @@ def test_ransac_sanity(row, daily):
     v = [x[1] for x in daily]
     tol = max(1, sum(v) // (n * 20))
     assert abs(r["slope_r"] - r["cand_slope_r"]) <= 2 * tol
+
+
+def test_cka_bounds(row):
+    r = row("a229_cka_quantization_audit")[0]
+    assert r["n_panel"] == 256
+    assert r["n_cells"] == 64 * 64
+    # int8 quantization of milli-fixed coords is near-lossless, and
+    # CKA is a normalized inner product: in (0, 1].
+    assert 0.9 < r["cka_r"] <= 1.0 + 1e-9
+
+
+def test_preference_cycles_census(row):
+    r = row("a230_preference_cycles")[0]
+    assert r["n_parts"] == 12
+    # 3-way join over ordered pairs enumerates each triple once
+    assert r["n_triads"] == 220
+    assert 0 <= r["n_tied"] <= r["n_triads"]
+    assert 0 <= r["n_cyclic"] <= r["n_triads"] - r["n_tied"]
+    assert 0 <= r["transitivity_ppm"] <= 1_000_000
+
+
+def test_crow_amsaa_fit(row):
+    r = row("a231_crow_amsaa")[0]
+    assert r["n_points"] >= 2
+    # cumulative counts grow, so the log-log slope is positive
+    assert r["beta_r"] > 0
+    assert r["reliability_growth"] in (0, 1)
+    assert r["reliability_growth"] == (1 if r["beta_r"] < 1 else 0)
