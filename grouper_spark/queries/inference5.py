@@ -29,7 +29,7 @@ from pyspark.sql import Window, functions as F
 
 from ..sources import table
 from . import query
-from .inference4 import _DAILYV_SQL, _dailyv
+from .inference4 import _DAILYV_SQL, _DAILYVK_SQL, _dailyv, _dailyvk
 
 
 @query(
@@ -3248,4 +3248,807 @@ def a231_crow_amsaa(spark, sf_dir):
             " AND (m * sxy - sx * sy) / (m * sxx - sx * sx) < 1"
             " THEN 1 ELSE 0 END"
         ).alias("reliability_growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a232-a241: round-10 extension tranche — external cluster-evaluation
+# metrics for dedup (B-cubed, V-measure), forecast-calibration testing,
+# uneven-sampling spectral analysis, marketing adstock, rank dispersion,
+# AFT survival fitting, randomness tests, variance-break detection, and
+# renewal analysis. Same fixed-point/BIGINT discipline as a208-a231.
+# ---------------------------------------------------------------------------
+
+# Shared synthetic dedup-evaluation corpus: every document spawns a
+# planted near-dup twin in family fam=doc_id. Twins of doc_id % 7 == 0
+# get their edit PREPENDED (breaking a prefix-blocking key -> recall
+# hits); all other twins get it APPENDED (prefix survives -> the block
+# merges the family). Exact-dup texts across different doc_ids merge
+# blocks across families -> precision hits. The predicted clustering
+# under evaluation is the md5(first-40-chars) blocking key.
+_CLUSTER_EVAL_SQL = """
+  SELECT fam, MD5(SUBSTR(txt, 1, 40)) AS pred
+  FROM (
+    SELECT doc_id AS fam, LOWER(text) AS txt FROM documents
+    UNION ALL
+    SELECT doc_id AS fam,
+           CASE WHEN doc_id % 7 = 0 THEN 'zq ' || LOWER(text)
+                ELSE LOWER(text) || ' zq' END AS txt
+    FROM documents
+  )
+"""
+
+
+def _cluster_eval_contingency(spark, sf_dir):
+    """(pred, fam, npg) contingency of the planted-twin blocking corpus,
+    plus per-cluster (np), per-family (ng) and total (n) marginals as
+    separate tiny aggregates. One corpus pass builds the contingency;
+    marginals aggregate the contingency, never the corpus."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("txt")
+    )
+    aug = docs.select(
+        F.col("doc_id").alias("fam"), F.col("txt")
+    ).unionAll(
+        docs.select(
+            F.col("doc_id").alias("fam"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("zq "), F.col("txt")),
+            )
+            .otherwise(F.concat(F.col("txt"), F.lit(" zq")))
+            .alias("txt"),
+        )
+    )
+    lab = aug.select(
+        "fam", F.md5(F.substring("txt", 1, 40)).alias("pred")
+    )
+    cont = (
+        lab.groupBy("pred", "fam")
+        .agg(F.count("*").cast("bigint").alias("npg"))
+        .localCheckpoint(eager=False)
+    )
+    pc = cont.groupBy("pred").agg(
+        F.sum("npg").cast("bigint").alias("np")
+    )
+    gc = cont.groupBy("fam").agg(
+        F.sum("npg").cast("bigint").alias("ng")
+    )
+    return cont, pc, gc
+
+
+@query(
+    "a232_bcubed_cluster_eval",
+    oracle=f"""
+WITH lab AS ({_CLUSTER_EVAL_SQL}),
+cont AS (
+  SELECT pred, fam, CAST(COUNT(*) AS BIGINT) AS npg
+  FROM lab GROUP BY pred, fam
+), pc AS (
+  SELECT pred, CAST(SUM(npg) AS BIGINT) AS np FROM cont GROUP BY pred
+), gc AS (
+  SELECT fam, CAST(SUM(npg) AS BIGINT) AS ng FROM cont GROUP BY fam
+), terms AS (
+  SELECT c.npg, p.np, g.ng,
+         CAST(c.npg * c.npg * 1000000 // p.np AS BIGINT) AS bp_micro,
+         CAST(c.npg * c.npg * 1000000 // g.ng AS BIGINT) AS br_micro,
+         CAST(c.npg * (c.npg - 1) // 2 AS BIGINT) AS tp
+  FROM cont c JOIN pc p USING (pred) JOIN gc g USING (fam)
+), marg AS (
+  SELECT (SELECT CAST(SUM(np * (np - 1) // 2) AS BIGINT) FROM pc) AS pp,
+         (SELECT CAST(SUM(ng * (ng - 1) // 2) AS BIGINT) FROM gc) AS gp
+), agg AS (
+  SELECT CAST(SUM(npg) AS BIGINT) AS n,
+         CAST(SUM(bp_micro) AS BIGINT) AS bp,
+         CAST(SUM(br_micro) AS BIGINT) AS br,
+         CAST(SUM(tp) AS BIGINT) AS tp
+  FROM terms
+)
+SELECT a.n AS n_items,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pc) AS n_pred_clusters,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM gc) AS n_gold_families,
+       ROUND(CAST(a.bp AS DOUBLE) / 1000000.0 / a.n, 6) AS bcubed_p_r,
+       ROUND(CAST(a.br AS DOUBLE) / 1000000.0 / a.n, 6) AS bcubed_r_r,
+       ROUND(CASE WHEN a.bp + a.br = 0 THEN 0.0
+                  ELSE 2.0 * a.bp * a.br
+                       / (CAST(a.bp AS DOUBLE) + a.br) / 1000000.0 / a.n
+             END, 6) AS bcubed_f1_r,
+       ROUND(CASE WHEN m.pp = 0 THEN 0.0
+                  ELSE CAST(a.tp AS DOUBLE) / m.pp END, 6)
+         AS pair_precision_r,
+       ROUND(CASE WHEN m.gp = 0 THEN 0.0
+                  ELSE CAST(a.tp AS DOUBLE) / m.gp END, 6)
+         AS pair_recall_r,
+       ROUND(CASE WHEN a.tp = 0 OR m.pp + m.gp = 0 THEN 0.0
+                  ELSE 2.0 * a.tp / (CAST(m.pp AS DOUBLE) + m.gp)
+             END, 6) AS pair_f1_r
+FROM agg a CROSS JOIN marg m
+""",
+    tags=("dedup", "eval", "documents"),
+)
+def a232_bcubed_cluster_eval(spark, sf_dir):
+    """B-cubed precision/recall/F1 plus pairwise P/R/F1 of a prefix
+    blocking key against planted near-dup twin families — the standard
+    EXTERNAL evaluation of a dedup clustering (a491's adjusted Rand is
+    the chance-corrected cousin; B-cubed is the per-item view that
+    rewards putting each item in a pure, complete cluster). B³P =
+    (1/N) Σ_{p,g} n_pg²/n_p, B³R with n_g; pairwise TP/PP/GP are exact
+    C(n,2) BIGINTs. Per-cell ratios are floored to micro units (same
+    floor in both engines) so the cross-cell sum is an exact BIGINT;
+    the contingency is one corpus groupBy and the marginals aggregate
+    the contingency — nothing here re-reads the corpus, so the whole
+    evaluation is two shuffles at any scale."""
+    cont, pc, gc = _cluster_eval_contingency(spark, sf_dir)
+    terms = (
+        cont.join(pc, "pred")
+        .join(gc, "fam")
+        .select(
+            "npg",
+            F.expr(
+                "CAST(npg * npg * 1000000 div np AS BIGINT)"
+            ).alias("bp_micro"),
+            F.expr(
+                "CAST(npg * npg * 1000000 div ng AS BIGINT)"
+            ).alias("br_micro"),
+            F.expr("CAST(npg * (npg - 1) div 2 AS BIGINT)").alias("tp"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("npg").cast("bigint").alias("n"),
+        F.sum("bp_micro").cast("bigint").alias("bp"),
+        F.sum("br_micro").cast("bigint").alias("br"),
+        F.sum("tp").cast("bigint").alias("tp"),
+    )
+    marg = (
+        pc.agg(
+            F.expr("CAST(SUM(np * (np - 1) div 2) AS BIGINT)").alias("pp"),
+            F.count("*").cast("bigint").alias("n_pred_clusters"),
+        )
+        .crossJoin(
+            gc.agg(
+                F.expr(
+                    "CAST(SUM(ng * (ng - 1) div 2) AS BIGINT)"
+                ).alias("gp"),
+                F.count("*").cast("bigint").alias("n_gold_families"),
+            )
+        )
+    )
+    return agg.crossJoin(F.broadcast(marg)).select(
+        F.col("n").alias("n_items"),
+        "n_pred_clusters",
+        "n_gold_families",
+        F.round(F.col("bp").cast("double") / 1e6 / F.col("n"), 6).alias(
+            "bcubed_p_r"
+        ),
+        F.round(F.col("br").cast("double") / 1e6 / F.col("n"), 6).alias(
+            "bcubed_r_r"
+        ),
+        F.round(
+            F.expr(
+                "CASE WHEN bp + br = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE 2.0 * bp * br / (CAST(bp AS DOUBLE) + br)"
+                " / 1000000.0 / n END"
+            ),
+            6,
+        ).alias("bcubed_f1_r"),
+        F.round(
+            F.expr(
+                "CASE WHEN pp = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE CAST(tp AS DOUBLE) / pp END"
+            ),
+            6,
+        ).alias("pair_precision_r"),
+        F.round(
+            F.expr(
+                "CASE WHEN gp = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE CAST(tp AS DOUBLE) / gp END"
+            ),
+            6,
+        ).alias("pair_recall_r"),
+        F.round(
+            F.expr(
+                "CASE WHEN tp = 0 OR pp + gp = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE 2.0 * tp / (CAST(pp AS DOUBLE) + gp) END"
+            ),
+            6,
+        ).alias("pair_f1_r"),
+    )
+
+
+@query(
+    "a233_v_measure_cluster_eval",
+    oracle=f"""
+WITH lab AS ({_CLUSTER_EVAL_SQL}),
+cont AS (
+  SELECT pred, fam, CAST(COUNT(*) AS BIGINT) AS npg
+  FROM lab GROUP BY pred, fam
+), pc AS (
+  SELECT pred, CAST(SUM(npg) AS BIGINT) AS np FROM cont GROUP BY pred
+), gc AS (
+  SELECT fam, CAST(SUM(npg) AS BIGINT) AS ng FROM cont GROUP BY fam
+), tot AS (SELECT CAST(SUM(npg) AS BIGINT) AS n FROM cont),
+cond AS (
+  SELECT CAST(SUM(CAST(ROUND(c.npg * LN(CAST(p.np AS DOUBLE) / c.npg)
+                             * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS hck_micro,
+         CAST(SUM(CAST(ROUND(c.npg * LN(CAST(g.ng AS DOUBLE) / c.npg)
+                             * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS hkc_micro
+  FROM cont c JOIN pc p USING (pred) JOIN gc g USING (fam)
+), hmarg AS (
+  SELECT (SELECT CAST(SUM(CAST(ROUND(ng * LN(CAST(t.n AS DOUBLE) / ng)
+                                     * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+          FROM gc CROSS JOIN tot t) AS hc_micro,
+         (SELECT CAST(SUM(CAST(ROUND(np * LN(CAST(t.n AS DOUBLE) / np)
+                                     * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+          FROM pc CROSS JOIN tot t) AS hk_micro
+)
+SELECT t.n AS n_items,
+       ROUND(CAST(c.hck_micro AS DOUBLE) / 1000000.0 / t.n, 6)
+         AS h_c_given_k_r,
+       ROUND(CAST(m.hc_micro AS DOUBLE) / 1000000.0 / t.n, 6) AS h_c_r,
+       ROUND(CASE WHEN m.hc_micro = 0 THEN 1.0
+                  ELSE 1.0 - CAST(c.hck_micro AS DOUBLE) / m.hc_micro
+             END, 6) AS homogeneity_r,
+       ROUND(CASE WHEN m.hk_micro = 0 THEN 1.0
+                  ELSE 1.0 - CAST(c.hkc_micro AS DOUBLE) / m.hk_micro
+             END, 6) AS completeness_r,
+       ROUND(CASE WHEN (CASE WHEN m.hc_micro = 0 THEN 1.0
+                             ELSE 1.0 - CAST(c.hck_micro AS DOUBLE)
+                                  / m.hc_micro END)
+                     + (CASE WHEN m.hk_micro = 0 THEN 1.0
+                             ELSE 1.0 - CAST(c.hkc_micro AS DOUBLE)
+                                  / m.hk_micro END) = 0 THEN 0.0
+                  ELSE 2.0
+                       * (CASE WHEN m.hc_micro = 0 THEN 1.0
+                               ELSE 1.0 - CAST(c.hck_micro AS DOUBLE)
+                                    / m.hc_micro END)
+                       * (CASE WHEN m.hk_micro = 0 THEN 1.0
+                               ELSE 1.0 - CAST(c.hkc_micro AS DOUBLE)
+                                    / m.hk_micro END)
+                       / ((CASE WHEN m.hc_micro = 0 THEN 1.0
+                                ELSE 1.0 - CAST(c.hck_micro AS DOUBLE)
+                                     / m.hc_micro END)
+                          + (CASE WHEN m.hk_micro = 0 THEN 1.0
+                                  ELSE 1.0 - CAST(c.hkc_micro AS DOUBLE)
+                                       / m.hk_micro END))
+             END, 6) AS v_measure_r
+FROM cond c CROSS JOIN hmarg m CROSS JOIN tot t
+""",
+    tags=("dedup", "eval", "documents"),
+)
+def a233_v_measure_cluster_eval(spark, sf_dir):
+    """Homogeneity / completeness / V-measure of the same prefix-block
+    clustering a232 evaluates — the entropy view of external cluster
+    quality: h = 1 - H(gold|pred)/H(gold) (each block holds one
+    family), c = 1 - H(pred|gold)/H(pred) (each family stays in one
+    block), V = their harmonic mean. Every entropy term is
+    n_pg·ln(marginal/n_pg) on exact BIGINT counts, fixed-pointed to
+    micro units per contingency cell before the exact cross-cell sum
+    (the LN runs once per cell, identical inputs in both engines).
+    Shares a232's two-shuffle contingency plan."""
+    cont, pc, gc = _cluster_eval_contingency(spark, sf_dir)
+    cond = (
+        cont.join(pc, "pred")
+        .join(gc, "fam")
+        .agg(
+            F.sum("npg").cast("bigint").alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(npg * LN(CAST(np AS DOUBLE) / npg)"
+                    " * 1000000.0, 0) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("hck_micro"),
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(npg * LN(CAST(ng AS DOUBLE) / npg)"
+                    " * 1000000.0, 0) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("hkc_micro"),
+        )
+    )
+    # marginal entropies need n; compute them against the 1-row total
+    tot = cond.select(F.col("n").alias("n_tot"))
+    hc_m = (
+        gc.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(ng * LN(CAST(n_tot AS DOUBLE) / ng)"
+                    " * 1000000.0, 0) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("hc_micro")
+        )
+    )
+    hk_m = (
+        pc.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(np * LN(CAST(n_tot AS DOUBLE) / np)"
+                    " * 1000000.0, 0) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("hk_micro")
+        )
+    )
+    out = cond.crossJoin(F.broadcast(hc_m)).crossJoin(F.broadcast(hk_m))
+    h_expr = (
+        "CASE WHEN hc_micro = 0 THEN 1.0"
+        " ELSE 1.0 - CAST(hck_micro AS DOUBLE) / hc_micro END"
+    )
+    c_expr = (
+        "CASE WHEN hk_micro = 0 THEN 1.0"
+        " ELSE 1.0 - CAST(hkc_micro AS DOUBLE) / hk_micro END"
+    )
+    return out.select(
+        F.col("n").alias("n_items"),
+        F.round(F.col("hck_micro").cast("double") / 1e6 / F.col("n"), 6)
+        .alias("h_c_given_k_r"),
+        F.round(F.col("hc_micro").cast("double") / 1e6 / F.col("n"), 6)
+        .alias("h_c_r"),
+        F.round(F.expr(h_expr), 6).alias("homogeneity_r"),
+        F.round(F.expr(c_expr), 6).alias("completeness_r"),
+        F.round(
+            F.expr(
+                f"CASE WHEN ({h_expr}) + ({c_expr}) = 0"
+                " THEN CAST(0 AS DOUBLE)"
+                f" ELSE 2.0 * ({h_expr}) * ({c_expr})"
+                f" / (({h_expr}) + ({c_expr})) END"
+            ),
+            6,
+        ).alias("v_measure_r"),
+    )
+
+
+@query(
+    "a234_spiegelhalter_z",
+    oracle="""
+WITH subj AS (
+  SELECT f.user_id,
+         LEAST(CAST(10 AS BIGINT), f.recency) AS bin,
+         CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS churned
+  FROM (
+    SELECT user_id,
+           CAST(DATE '2024-01-20' - CAST(MAX(ts) AS DATE) AS BIGINT)
+             AS recency
+    FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+    GROUP BY user_id
+  ) f
+  LEFT JOIN (
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) > DATE '2024-01-20'
+      AND CAST(ts AS DATE) <= DATE '2024-01-30'
+      AND event_type = 'purchase'
+  ) h ON h.user_id = f.user_id
+), bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(churned) AS BIGINT) AS ok
+  FROM subj GROUP BY bin
+), agg AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS n,
+         CAST(SUM((ok * 10 - nk * bin) * (10 - 2 * bin)) AS BIGINT)
+           AS num_i,
+         CAST(SUM(nk * (10 - 2 * bin) * (10 - 2 * bin)
+                  * bin * (10 - bin)) AS BIGINT) AS den_i
+  FROM bins
+)
+SELECT n AS n_users,
+       num_i AS z_num_centi,
+       den_i AS z_den_e4,
+       ROUND(CASE WHEN den_i = 0 THEN 0.0
+                  ELSE num_i / SQRT(CAST(den_i AS DOUBLE)) END, 6)
+         AS z_r,
+       CASE WHEN den_i > 0
+             AND ABS(num_i / SQRT(CAST(den_i AS DOUBLE))) > 1.959964
+            THEN 1 ELSE 0 END AS miscalibrated_flag
+FROM agg
+""",
+    tags=("analytics", "eval", "calibration"),
+)
+def a234_spiegelhalter_z(spark, sf_dir):
+    """Spiegelhalter's Z test of forecast calibration for q285's
+    recency-decile churn score: Z = Σ(y−p)(1−2p) / sqrt(Σ(1−2p)²p(1−p)).
+    Unlike a487's binned ECE (a magnitude) this is a significance TEST —
+    under perfect calibration Z ~ N(0,1), so |Z| > 1.96 rejects at 5%.
+    With p = bin/10 both sums are EXACT BIGINTs after clearing
+    denominators: numerator·100 = Σ(10·ok − nk·bin)(10−2·bin),
+    denominator·10⁴ = Σ nk(10−2·bin)²·bin(10−bin), and the 100/√10⁴
+    factors cancel so z = num_i/√den_i with one terminal sqrt. One
+    corpus groupBy to per-user recency, one 11-row aggregate."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("date")
+    horizon = F.lit("2024-01-30").cast("date")
+    day = F.col("ts").cast("date")
+    feat = (
+        ev.filter(day <= cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.datediff(cutoff, F.max(day)).cast("bigint").alias("recency")
+        )
+    )
+    horizon_active = (
+        ev.filter(
+            (day > cutoff)
+            & (day <= horizon)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    bins = (
+        feat.join(horizon_active, "user_id", "left")
+        .select(
+            F.least(F.lit(10).cast("bigint"), F.col("recency")).alias(
+                "bin"
+            ),
+            F.col("active").isNull().cast("int").alias("churned"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("nk"),
+            F.sum("churned").cast("bigint").alias("ok"),
+        )
+    )
+    agg = bins.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum(F.expr("(ok * 10 - nk * bin) * (10 - 2 * bin)"))
+        .cast("bigint")
+        .alias("num_i"),
+        F.sum(
+            F.expr("nk * (10 - 2 * bin) * (10 - 2 * bin) * bin * (10 - bin)")
+        )
+        .cast("bigint")
+        .alias("den_i"),
+    )
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.col("num_i").alias("z_num_centi"),
+        F.col("den_i").alias("z_den_e4"),
+        F.round(
+            F.expr(
+                "CASE WHEN den_i = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE num_i / SQRT(CAST(den_i AS DOUBLE)) END"
+            ),
+            6,
+        ).alias("z_r"),
+        F.expr(
+            "CASE WHEN den_i > 0"
+            " AND ABS(num_i / SQRT(CAST(den_i AS DOUBLE))) > 1.959964"
+            " THEN 1 ELSE 0 END"
+        ).alias("miscalibrated_flag"),
+    )
+
+
+@query(
+    "a235_lomb_scargle",
+    oracle=f"""
+WITH {_DAILYVK_SQL},
+scal AS (
+  SELECT MIN(d) AS d0, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yk) AS BIGINT) AS s,
+         CAST(SUM(yk * yk) AS BIGINT) AS s2
+  FROM daily
+), pan AS (
+  SELECT CAST(dd.d - sc.d0 AS BIGINT) AS t,
+         CAST(sc.n * dd.yk - sc.s AS BIGINT) AS yc,
+         sc.n, sc.s, sc.s2
+  FROM daily dd CROSS JOIN scal sc
+), grid AS (SELECT UNNEST([7, 30, 91, 365]) AS p),
+st1 AS (
+  SELECT g.p,
+         CAST(SUM(CAST(ROUND(SIN(2 * (2 * PI() / g.p) * pan.t)
+                             * 1000000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS s2_fp,
+         CAST(SUM(CAST(ROUND(COS(2 * (2 * PI() / g.p) * pan.t)
+                             * 1000000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS c2_fp
+  FROM pan CROSS JOIN grid g GROUP BY g.p
+), tau AS (
+  SELECT p,
+         ATAN2(s2_fp / 1000000000.0, c2_fp / 1000000000.0)
+           / (2 * (2 * PI() / p)) AS tau
+  FROM st1
+), st2 AS (
+  SELECT t.p,
+         CAST(MIN(pan.n) AS BIGINT) AS n,
+         CAST(MIN(pan.s2) AS BIGINT) AS sy2,
+         CAST(MIN(pan.s) AS BIGINT) AS sy,
+         CAST(SUM(CAST(ROUND(pan.yc
+                * COS((2 * PI() / t.p) * (pan.t - t.tau))
+                * 1000.0, 0) AS BIGINT)) AS BIGINT) AS a_fp,
+         CAST(SUM(CAST(ROUND(pan.yc
+                * SIN((2 * PI() / t.p) * (pan.t - t.tau))
+                * 1000.0, 0) AS BIGINT)) AS BIGINT) AS b_fp,
+         CAST(SUM(CAST(ROUND(COS((2 * PI() / t.p) * (pan.t - t.tau))
+                * COS((2 * PI() / t.p) * (pan.t - t.tau))
+                * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS cc_fp,
+         CAST(SUM(CAST(ROUND(SIN((2 * PI() / t.p) * (pan.t - t.tau))
+                * SIN((2 * PI() / t.p) * (pan.t - t.tau))
+                * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS ss_fp
+  FROM pan CROSS JOIN tau t GROUP BY t.p
+)
+SELECT p AS period_days, n AS n_days,
+       ROUND(CASE WHEN cc_fp = 0 OR ss_fp = 0
+                    OR n * sy2 - sy * sy = 0 THEN 0.0
+                  ELSE 0.5 * (
+                    (a_fp / 1000.0 / n) * (a_fp / 1000.0 / n)
+                      / (cc_fp / 1000000000.0)
+                    + (b_fp / 1000.0 / n) * (b_fp / 1000.0 / n)
+                      / (ss_fp / 1000000000.0))
+                    / ((CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * n))
+             END, 6) AS power_norm_r
+FROM st2 ORDER BY p
+""",
+    tags=("temporal", "spectral"),
+)
+def a235_lomb_scargle(spark, sf_dir):
+    """Lomb-Scargle normalized periodogram of daily revenue at candidate
+    periods 7/30/91/365 days — the spectral estimator for UNEVENLY
+    sampled series (the order calendar has gaps, so a484's Goertzel DFT
+    over the row index mis-bins frequencies; Lomb-Scargle evaluates sin/
+    cos at the true day offsets and is invariant to the gaps). Two
+    bounded-panel trig passes: pass 1 accumulates Σsin(2ωt), Σcos(2ωt)
+    for the per-frequency phase shift τ = atan2(Σs,Σc)/2ω; pass 2
+    accumulates the τ-centered projections. Every trig term is
+    evaluated once per (day, period) on exact integer day offsets and
+    fixed-pointed (nano for unit-bounded terms, milli for the
+    yc-weighted terms whose centered weights n·yk−S are exact BIGINTs)
+    before exact sums, so both engines add identical integers. The day
+    panel is calendar-bounded (≤2404 rows at ANY corpus scale), so the
+    trig stage is scale-constant; only the one groupBy building the
+    panel sees the corpus."""
+    daily = _dailyvk(spark, sf_dir)
+    scal = daily.agg(
+        F.min("d").alias("d0"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("yk").cast("bigint").alias("s"),
+        F.sum(F.expr("yk * yk")).cast("bigint").alias("s2"),
+    )
+    pan = daily.crossJoin(F.broadcast(scal)).select(
+        F.datediff("d", "d0").cast("bigint").alias("t"),
+        F.expr("CAST(n * yk - s AS BIGINT)").alias("yc"),
+        "n",
+        "s",
+        "s2",
+    )
+    grid = spark.sql("SELECT explode(array(7, 30, 91, 365)) AS p")
+    per = pan.crossJoin(F.broadcast(grid))
+    st1 = per.groupBy("p").agg(
+        F.sum(
+            F.expr(
+                "CAST(ROUND(SIN(2 * (2 * PI() / p) * t)"
+                " * 1000000000.0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("s2_fp"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(COS(2 * (2 * PI() / p) * t)"
+                " * 1000000000.0, 0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("c2_fp"),
+    )
+    tau = st1.select(
+        "p",
+        F.expr(
+            "ATAN2(s2_fp / 1000000000.0, c2_fp / 1000000000.0)"
+            " / (2 * (2 * PI() / p))"
+        ).alias("tau"),
+    )
+    st2 = (
+        pan.crossJoin(F.broadcast(tau))
+        .groupBy("p")
+        .agg(
+            F.min("n").cast("bigint").alias("n"),
+            F.min("s2").cast("bigint").alias("sy2"),
+            F.min("s").cast("bigint").alias("sy"),
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(yc * COS((2 * PI() / p) * (t - tau))"
+                    " * 1000.0, 0) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("a_fp"),
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(yc * SIN((2 * PI() / p) * (t - tau))"
+                    " * 1000.0, 0) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("b_fp"),
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(COS((2 * PI() / p) * (t - tau))"
+                    " * COS((2 * PI() / p) * (t - tau))"
+                    " * 1000000000.0, 0) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("cc_fp"),
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(SIN((2 * PI() / p) * (t - tau))"
+                    " * SIN((2 * PI() / p) * (t - tau))"
+                    " * 1000000000.0, 0) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("ss_fp"),
+        )
+    )
+    return st2.select(
+        F.col("p").alias("period_days"),
+        F.col("n").alias("n_days"),
+        F.round(
+            F.expr(
+                "CASE WHEN cc_fp = 0 OR ss_fp = 0"
+                " OR n * sy2 - sy * sy = 0 THEN CAST(0 AS DOUBLE)"
+                " ELSE 0.5 * ("
+                " (a_fp / 1000.0 / n) * (a_fp / 1000.0 / n)"
+                "   / (cc_fp / 1000000000.0)"
+                " + (b_fp / 1000.0 / n) * (b_fp / 1000.0 / n)"
+                "   / (ss_fp / 1000000000.0))"
+                " / ((CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)"
+                "    / (CAST(n AS DOUBLE) * n)) END"
+            ),
+            6,
+        ).alias("power_norm_r"),
+    ).orderBy("period_days")
+
+
+@query(
+    "a236_adstock_transform",
+    oracle=f"""
+WITH {_DAILYVK_SQL},
+pan AS (
+  SELECT yk, v, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i
+  FROM daily
+), ad AS (
+  SELECT a.i, CAST(MIN(a.yk) AS BIGINT) AS yk,
+         CAST(MIN(a.v) AS BIGINT) AS v,
+         CAST(SUM((CASE a.i - b.i
+                   WHEN 0 THEN 10000000 WHEN 1 THEN 7000000
+                   WHEN 2 THEN 4900000 WHEN 3 THEN 3430000
+                   WHEN 4 THEN 2401000 WHEN 5 THEN 1680700
+                   WHEN 6 THEN 1176490 ELSE 823543 END) * b.v)
+              AS BIGINT) AS ade7
+  FROM pan a JOIN pan b ON a.i - b.i BETWEEN 0 AND 7
+  WHERE a.i >= 8 GROUP BY a.i
+), un AS (
+  SELECT GREATEST(CAST(1 AS BIGINT), CAST(MAX(ade7) AS BIGINT) // 30000)
+           AS ua,
+         GREATEST(CAST(1 AS BIGINT), CAST(MAX(v) AS BIGINT) // 30000)
+           AS uv
+  FROM ad
+), sc AS (
+  SELECT CAST(ade7 // ua AS BIGINT) AS x,
+         CAST(v // uv AS BIGINT) AS w, yk
+  FROM ad CROSS JOIN un
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(SUM(yk) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(w * w) AS BIGINT) AS sww,
+         CAST(SUM(yk * yk) AS BIGINT) AS syy,
+         CAST(SUM(x * yk) AS BIGINT) AS sxy,
+         CAST(SUM(w * yk) AS BIGINT) AS swy
+  FROM sc
+)
+SELECT n AS n_days,
+       ROUND(CASE WHEN n * sww - sw * sw <= 0 OR n * syy - sy * sy <= 0
+                  THEN 0.0
+                  ELSE (CAST(n AS DOUBLE) * swy - CAST(sw AS DOUBLE) * sy)
+                       / SQRT(CAST(n AS DOUBLE) * sww
+                              - CAST(sw AS DOUBLE) * sw)
+                       / SQRT(CAST(n AS DOUBLE) * syy
+                              - CAST(sy AS DOUBLE) * sy)
+             END, 6) AS corr_raw_r,
+       ROUND(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                  THEN 0.0
+                  ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / SQRT(CAST(n AS DOUBLE) * sxx
+                              - CAST(sx AS DOUBLE) * sx)
+                       / SQRT(CAST(n AS DOUBLE) * syy
+                              - CAST(sy AS DOUBLE) * sy)
+             END, 6) AS corr_adstock_r
+FROM mom
+""",
+    tags=("temporal", "marketing"),
+)
+def a236_adstock_transform(spark, sf_dir):
+    """Geometric adstock transform (θ=0.7, 8-tap carryover) of daily
+    order volume, and its Pearson correlation with daily revenue vs the
+    un-transformed volume — the standard marketing-mix preprocessing
+    step that spreads an activity spike over subsequent days. The
+    decay weights are EXACT integers with denominators cleared:
+    adstock·10⁷ = Σ_{{l=0..7}} 7^l·10^(7−l)·v_{{t−l}}, so the transform
+    is pure BIGINT arithmetic (no float power). The 8-tap window is an
+    index-adjacency self-join on the calendar-bounded day panel (≤2404
+    rows at ANY scale); both adstock and raw volume are unit-rescaled
+    by exact data-dependent divisors (the a038-class discipline) so the
+    correlation moments keep int64 headroom at every corpus scale."""
+    daily = _dailyvk(spark, sf_dir)
+    pan = daily.select(
+        "yk",
+        "v",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
+    ).localCheckpoint(eager=False)
+    a = pan.alias("a")
+    b = pan.alias("b")
+    w_case = (
+        "CASE a.i - b.i"
+        " WHEN 0 THEN 10000000 WHEN 1 THEN 7000000"
+        " WHEN 2 THEN 4900000 WHEN 3 THEN 3430000"
+        " WHEN 4 THEN 2401000 WHEN 5 THEN 1680700"
+        " WHEN 6 THEN 1176490 ELSE 823543 END"
+    )
+    ad = (
+        a.join(
+            b,
+            (F.col("a.i") - F.col("b.i") >= 0)
+            & (F.col("a.i") - F.col("b.i") <= 7),
+        )
+        .filter(F.col("a.i") >= 8)
+        .groupBy(F.col("a.i").alias("i"))
+        .agg(
+            F.min("a.yk").cast("bigint").alias("yk"),
+            F.min("a.v").cast("bigint").alias("v"),
+            F.sum(F.expr(f"({w_case}) * b.v")).cast("bigint").alias("ade7"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    un = ad.agg(
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT),"
+            " CAST(MAX(ade7) AS BIGINT) div 30000)"
+        ).alias("ua"),
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT), CAST(MAX(v) AS BIGINT) div 30000)"
+        ).alias("uv"),
+    )
+    sc = ad.crossJoin(F.broadcast(un)).select(
+        F.expr("CAST(ade7 div ua AS BIGINT)").alias("x"),
+        F.expr("CAST(v div uv AS BIGINT)").alias("w"),
+        "yk",
+    )
+    mom = sc.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum("yk").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("w * w")).cast("bigint").alias("sww"),
+        F.sum(F.expr("yk * yk")).cast("bigint").alias("syy"),
+        F.sum(F.expr("x * yk")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("w * yk")).cast("bigint").alias("swy"),
+    )
+    corr = (
+        "CASE WHEN n * s{a}{a} - s{a} * s{a} <= 0"
+        " OR n * syy - sy * sy <= 0"
+        " THEN CAST(0 AS DOUBLE)"
+        " ELSE (CAST(n AS DOUBLE) * s{a}y - CAST(s{a} AS DOUBLE) * sy)"
+        " / SQRT(CAST(n AS DOUBLE) * s{a}{a}"
+        "        - CAST(s{a} AS DOUBLE) * s{a})"
+        " / SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) END"
+    )
+    return mom.select(
+        F.col("n").alias("n_days"),
+        F.round(F.expr(corr.format(a="w")), 6).alias("corr_raw_r"),
+        F.round(F.expr(corr.format(a="x")), 6).alias("corr_adstock_r"),
     )
