@@ -1,4 +1,4 @@
-"""Round-10 battery (a208–a231): robust/local regression (Siegel
+"""Round-10 battery (a208–a241): robust/local regression (Siegel
 repeated medians, quantized-tricube LOESS, hinge trend, RANSAC),
 density estimation, SPC capability, epidemiology-style rate
 standardization, shrinkage, event studies, forecast skill scores,
@@ -6,7 +6,11 @@ insurance chain-ladder, supply-chain bullwhip, scheduling dispatch
 rules, M/G/1 queueing, spatial Ripley K, actuarial life tables, and —
 for the LLM-pipeline surface — an AMS F2 sketch audit, rendezvous
 (HRW) sharding, an l-diversity/t-closeness privacy audit, a planted
-twin embedding-alignment audit, and a dedup scaling curve.
+twin embedding-alignment audit, and a dedup scaling curve. The
+a232-a241 extension adds external dedup-cluster evaluation (B-cubed,
+V-measure), a calibration significance test, uneven-sampling spectral
+analysis, adstock, rank dispersion, AFT survival fitting, randomness
+and variance-break tests, and renewal analysis.
 
 Named a208+ so the battery sorts OUTSIDE the round-10 driver-sampler
 window (the first-50 window ends at a128; see queries/aliases.py).
@@ -3308,11 +3312,15 @@ def _cluster_eval_contingency(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("npg"))
         .localCheckpoint(eager=False)
     )
-    pc = cont.groupBy("pred").agg(
-        F.sum("npg").cast("bigint").alias("np")
+    pc = (
+        cont.groupBy("pred")
+        .agg(F.sum("npg").cast("bigint").alias("np"))
+        .localCheckpoint(eager=False)
     )
-    gc = cont.groupBy("fam").agg(
-        F.sum("npg").cast("bigint").alias("ng")
+    gc = (
+        cont.groupBy("fam")
+        .agg(F.sum("npg").cast("bigint").alias("ng"))
+        .localCheckpoint(eager=False)
     )
     return cont, pc, gc
 
@@ -3550,6 +3558,7 @@ def a233_v_measure_cluster_eval(spark, sf_dir):
             .cast("bigint")
             .alias("hkc_micro"),
         )
+        .localCheckpoint(eager=False)
     )
     # marginal entropies need n; compute them against the 1-row total
     tot = cond.select(F.col("n").alias("n_tot"))
@@ -4051,4 +4060,500 @@ def a236_adstock_transform(spark, sf_dir):
         F.col("n").alias("n_days"),
         F.round(F.expr(corr.format(a="w")), 6).alias("corr_raw_r"),
         F.round(F.expr(corr.format(a="x")), 6).alias("corr_adstock_r"),
+    )
+
+
+@query(
+    "a237_siegel_tukey",
+    oracle="""
+WITH pool AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+         o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), ranked AS (
+  SELECT ga,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS BIGINT)
+           AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM pool
+), st AS (
+  SELECT ga, n,
+         CASE WHEN i * 2 = n + 1 THEN n
+              WHEN i * 2 < n + 1
+              THEN 2 * i - (i % 2)
+              ELSE 2 * (n + 1 - i) - (1 - (n + 1 - i) % 2)
+         END AS w
+  FROM ranked
+), agg AS (
+  SELECT CAST(MIN(n) AS BIGINT) AS n,
+         CAST(SUM(ga) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN ga = 1 THEN w ELSE 0 END) AS BIGINT) AS wa
+  FROM st
+)
+SELECT n AS n_total, na AS n_urgent, wa AS w_stat,
+       ROUND((wa - CAST(na AS DOUBLE) * (n + 1) / 2.0)
+             / SQRT(CAST(na AS DOUBLE) * (n - na) * (n + 1) / 12.0), 6)
+         AS z_r,
+       CASE WHEN (wa - CAST(na AS DOUBLE) * (n + 1) / 2.0)
+                 / SQRT(CAST(na AS DOUBLE) * (n - na) * (n + 1) / 12.0)
+                 < 0
+            THEN 1 ELSE 0 END AS urgent_more_dispersed_flag
+FROM agg
+""",
+    tags=("inference", "nonparametric"),
+)
+def a237_siegel_tukey(spark, sf_dir):
+    """Siegel-Tukey rank test of dispersion equality between URGENT and
+    LOW order prices: ranks are dealt alternately from the two extremes
+    of the pooled sorted sample (1 to the min; 2,3 to the two maxima;
+    4,5 to the next minima; ...), so LOW ranks concentrate in the
+    less-dispersed group, then a Wilcoxon rank-sum runs on those ranks.
+    The extreme-alternating weight is a closed form of the ascending
+    position i: low half (2i - i%2), high half with depth k = n+1-i
+    (2k - (1 - k%2)), and for odd n the middle element takes the last
+    rank n — pure BIGINT arithmetic, so W is exact; ties are
+    broken deterministically by (cents, orderkey), the house order-
+    statistic discipline (classical mid-rank tie handling would need
+    rational averages; the deterministic break is documented and
+    identical in both engines). Against a443/a521: Ansari-Bradley
+    weights by min(i, n+1-i); Siegel-Tukey is its integer-rank twin
+    that needs no rational scores. One corpus filter + one global sort
+    (the operator IS an order statistic), one aggregate."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    pool = o.select(
+        F.expr("CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        ).alias("ga"),
+    )
+    ranked = pool.select(
+        "ga",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_orderkey"))
+        .cast("bigint")
+        .alias("i"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    st = ranked.select(
+        "ga",
+        "n",
+        F.expr(
+            "CASE WHEN i * 2 = n + 1 THEN n"
+            " WHEN i * 2 < n + 1"
+            " THEN 2 * i - (i % 2)"
+            " ELSE 2 * (n + 1 - i) - (1 - (n + 1 - i) % 2) END"
+        ).alias("w"),
+    )
+    agg = st.agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.sum("ga").cast("bigint").alias("na"),
+        F.sum(F.expr("CASE WHEN ga = 1 THEN w ELSE 0 END"))
+        .cast("bigint")
+        .alias("wa"),
+    )
+    z = (
+        "(wa - CAST(na AS DOUBLE) * (n + 1) / 2.0)"
+        " / SQRT(CAST(na AS DOUBLE) * (n - na) * (n + 1) / 12.0)"
+    )
+    return agg.select(
+        F.col("n").alias("n_total"),
+        F.col("na").alias("n_urgent"),
+        F.col("wa").alias("w_stat"),
+        F.round(F.expr(z), 6).alias("z_r"),
+        F.expr(f"CASE WHEN {z} < 0 THEN 1 ELSE 0 END").alias(
+            "urgent_more_dispersed_flag"
+        ),
+    )
+
+
+@query(
+    "a238_loglogistic_aft",
+    oracle="""
+WITH dur AS (
+  SELECT CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+              AS BIGINT) + 1 AS t
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+), sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dur),
+ranked AS (
+  SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn
+  FROM dur
+), grid AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7, 8, 9]) AS j),
+qpts AS (
+  SELECT g.j, r.t,
+         CAST(ROUND(LN(CAST(r.t AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+           AS lx,
+         CAST(ROUND(LN(CAST(2 * g.j + 1 AS DOUBLE) / (19 - 2 * g.j))
+                    * 1000000.0, 0) AS BIGINT) AS ly
+  FROM ranked r JOIN grid g CROSS JOIN sc
+    ON r.rn = (2 * g.j + 1) * (sc.n - 1) // 20 + 1
+), fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+         CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+         CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+         CAST(SUM(ly * ly) AS BIGINT) AS syy
+  FROM qpts
+)
+SELECT (SELECT n FROM sc) AS n_durations, m AS n_quantile_points,
+       ROUND(CASE WHEN m * sxx - sx * sx = 0 THEN 0.0
+                  ELSE (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             END, 6) AS shape_r,
+       ROUND(CASE WHEN m * sxx - sx * sx = 0 OR m * sxy - sx * sy = 0
+                  THEN 0.0
+                  ELSE EXP(-((CAST(sy AS DOUBLE)
+                              - ((CAST(m AS DOUBLE) * sxy
+                                  - CAST(sx AS DOUBLE) * sy)
+                                 / (CAST(m AS DOUBLE) * sxx
+                                    - CAST(sx AS DOUBLE) * sx)) * sx)
+                             / m / 1000000.0)
+                           / ((CAST(m AS DOUBLE) * sxy
+                               - CAST(sx AS DOUBLE) * sy)
+                              / (CAST(m AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE) * sx)))
+             END, 6) AS scale_days_r,
+       ROUND(CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+                  THEN 0.0
+                  ELSE (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       / (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+             END, 6) AS r2_r
+FROM fit
+""",
+    tags=("inference", "survival"),
+)
+def a238_loglogistic_aft(spark, sf_dir):
+    """Log-logistic AFT fit of order-to-ship durations by quantile
+    regression on the logit scale: if T ~ LogLogistic(α, β) then
+    logit F(t) = β(ln t − ln α), so regressing ln(q/(1−q)) on ln t_q at
+    the empirical q ∈ {0.05, 0.15, …, 0.95} deciles recovers shape β
+    (slope) and scale α = exp(−b₀/β) days, with R² grading the fit
+    (a083 does the same construction on a Weibull via ln(−ln(1−q));
+    the log-logistic has heavier tails and a closed logit link).
+    Negative fixture deltas (ship before order — synthetic-data
+    artifacts) are excluded so ln t is defined. The
+    quantile positions (2j+1)(n−1)//20 + 1 are exact integers; each
+    LN runs once per decile point and is fixed-pointed to micro units,
+    so the 10-point OLS moments are exact BIGINTs. One big co-
+    partitioned join + one global sort (the order-statistic pass), then
+    a 10-row fit."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    dur = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.expr("CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)"))
+        .select(
+            (
+                F.datediff("l_shipdate", "o_orderdate").cast("bigint") + 1
+            ).alias("t")
+        )
+    )
+    sc = dur.agg(F.count("*").cast("bigint").alias("n"))
+    ranked = dur.select(
+        "t",
+        F.row_number().over(Window.orderBy("t")).cast("bigint").alias("rn"),
+    )
+    grid = spark.sql(
+        "SELECT explode(array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9)) AS j"
+    ).crossJoin(F.broadcast(sc))
+    qpts = ranked.join(
+        F.broadcast(grid),
+        F.col("rn")
+        == F.expr("(2 * j + 1) * (n - 1) div 20 + 1").cast("bigint"),
+    ).select(
+        "n",
+        F.expr(
+            "CAST(ROUND(LN(CAST(t AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"
+        ).alias("lx"),
+        F.expr(
+            "CAST(ROUND(LN(CAST(2 * j + 1 AS DOUBLE) / (19 - 2 * j))"
+            " * 1000000.0, 0) AS BIGINT)"
+        ).alias("ly"),
+    )
+    fit = qpts.agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.expr("lx * lx")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("lx * ly")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("ly * ly")).cast("bigint").alias("syy"),
+    )
+    b1 = (
+        "((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+    )
+    return fit.select(
+        F.col("n").alias("n_durations"),
+        F.col("m").alias("n_quantile_points"),
+        F.round(
+            F.expr(
+                "CASE WHEN m * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)"
+                f" ELSE {b1} END"
+            ),
+            6,
+        ).alias("shape_r"),
+        F.round(
+            F.expr(
+                "CASE WHEN m * sxx - sx * sx = 0 OR m * sxy - sx * sy = 0"
+                " THEN CAST(0 AS DOUBLE)"
+                f" ELSE EXP(-((CAST(sy AS DOUBLE) - {b1} * sx)"
+                f" / m / 1000000.0) / {b1}) END"
+            ),
+            6,
+        ).alias("scale_days_r"),
+        F.round(
+            F.expr(
+                "CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0"
+                " THEN CAST(0 AS DOUBLE)"
+                " ELSE (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                " * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                " / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+                " / (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+                " END"
+            ),
+            6,
+        ).alias("r2_r"),
+    )
+
+
+@query(
+    "a239_turning_points_test",
+    oracle=f"""
+WITH daily AS ({_DAILYV_SQL}),
+seq AS (
+  SELECT v,
+         LAG(v) OVER (ORDER BY d) AS pv,
+         LEAD(v) OVER (ORDER BY d) AS nv
+  FROM daily
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        AND ((v > pv AND v > nv) OR (v < pv AND v < nv))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t_pts
+  FROM seq
+)
+SELECT n AS n_days, t_pts AS turning_points,
+       ROUND(2.0 * (n - 2) / 3.0, 6) AS expected_r,
+       ROUND((t_pts - 2.0 * (n - 2) / 3.0)
+             / SQRT((16.0 * n - 29.0) / 90.0), 6) AS z_r,
+       CASE WHEN ABS((t_pts - 2.0 * (n - 2) / 3.0)
+                     / SQRT((16.0 * n - 29.0) / 90.0)) > 1.959964
+            THEN 1 ELSE 0 END AS nonrandom_flag
+FROM agg
+""",
+    tags=("temporal", "randomness"),
+)
+def a239_turning_points_test(spark, sf_dir):
+    """Turning-points test of serial randomness on daily order volume:
+    an interior day is a turning point iff it is a strict local max or
+    min of the day-ordered sequence; under i.i.d. data E[T] = 2(n−2)/3
+    and Var[T] = (16n−29)/90, so z = (T−E)/√Var flags trend/seasonal
+    structure (too few turns) or alternation (too many). Complements
+    a571's runs test (sign-of-median view) and a529's rank von Neumann
+    (magnitude view) with the local-extremum view; flat ties count as
+    non-turns, deterministically in both engines. One bounded-panel
+    window pass; the count and n are exact BIGINTs with one terminal
+    sqrt."""
+    daily = _dailyv(spark, sf_dir)
+    w = Window.orderBy("d")
+    seq = daily.select(
+        "v",
+        F.lag("v").over(w).alias("pv"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    agg = seq.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CASE WHEN pv IS NOT NULL AND nv IS NOT NULL"
+                " AND ((v > pv AND v > nv) OR (v < pv AND v < nv))"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("t_pts"),
+    )
+    z = (
+        "(t_pts - 2.0 * (n - 2) / 3.0)"
+        " / SQRT((16.0 * n - 29.0) / 90.0)"
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("t_pts").alias("turning_points"),
+        F.round(F.expr("2.0 * (n - 2) / 3.0"), 6).alias("expected_r"),
+        F.round(F.expr(z), 6).alias("z_r"),
+        F.expr(
+            f"CASE WHEN ABS({z}) > 1.959964 THEN 1 ELSE 0 END"
+        ).alias("nonrandom_flag"),
+    )
+
+
+@query(
+    "a240_cusum_squares_break",
+    oracle=f"""
+WITH {_DAILYVK_SQL},
+seq AS (
+  SELECT d, CAST(yk * yk AS BIGINT) AS sq,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k
+  FROM daily
+), cum AS (
+  SELECT d, k,
+         CAST(SUM(sq) OVER (ORDER BY k) AS BIGINT) AS sk,
+         CAST(SUM(sq) OVER () AS BIGINT) AS sn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM seq
+), dev AS (
+  SELECT d, k, n, sn,
+         CAST(ABS(sk * n - k * sn) AS BIGINT) AS num
+  FROM cum
+), best AS (
+  SELECT d, k, n, sn, num,
+         ROW_NUMBER() OVER (ORDER BY num DESC, k) AS rn
+  FROM dev
+)
+SELECT n AS n_days, k AS k_at_max, d AS break_date,
+       ROUND(CAST(num AS DOUBLE) / n / sn, 6) AS dmax_r,
+       ROUND(CAST(num AS DOUBLE) / n / sn * SQRT(n / 2.0), 6) AS stat_r,
+       CASE WHEN CAST(num AS DOUBLE) / n / sn * SQRT(n / 2.0) > 1.36
+            THEN 1 ELSE 0 END AS break_flag
+FROM best WHERE rn = 1
+""",
+    tags=("temporal", "changepoint"),
+)
+def a240_cusum_squares_break(spark, sf_dir):
+    """CUSUM-of-squares variance-break scan on daily revenue: D_k =
+    S_k/S_n − k/n for cumulative squared (unit-scaled) revenue S_k;
+    max_k |D_k| marks the most likely variance regime change, and
+    |D|·√(n/2) compares against the ~1.36 Kolmogorov-Smirnov-style 5%
+    band (Brown-Durbin-Evans applied to squares). Complements the MEAN
+    changepoint family (q166 CUSUM, a527 Pettitt, a528 Buishand/SNHT,
+    a563 Page-Hinkley) — those miss pure volatility shifts, which is
+    what this detects. The argmax runs on the exact BIGINT cross-
+    multiplied deviation |S_k·n − k·S_n| (no division before the
+    terminal scaling), tie-broken to the earliest day; squares of the
+    a038-unit-scaled yk keep int64 headroom at every corpus scale."""
+    daily = _dailyvk(spark, sf_dir)
+    seq = daily.select(
+        "d",
+        F.expr("CAST(yk * yk AS BIGINT)").alias("sq"),
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("k"),
+    )
+    wcum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = seq.select(
+        "d",
+        "k",
+        F.sum("sq").over(wcum).cast("bigint").alias("sk"),
+        F.sum("sq").over(wall).cast("bigint").alias("sn"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+    )
+    dev = cum.select(
+        "d",
+        "k",
+        "n",
+        "sn",
+        F.expr("CAST(ABS(sk * n - k * sn) AS BIGINT)").alias("num"),
+    )
+    best = dev.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("num").desc(), "k"))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    stat = "CAST(num AS DOUBLE) / n / sn * SQRT(n / 2.0)"
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("k_at_max"),
+        F.col("d").alias("break_date"),
+        F.round(F.expr("CAST(num AS DOUBLE) / n / sn"), 6).alias("dmax_r"),
+        F.round(F.expr(stat), 6).alias("stat_r"),
+        F.expr(f"CASE WHEN {stat} > 1.36 THEN 1 ELSE 0 END").alias(
+            "break_flag"
+        ),
+    )
+
+
+@query(
+    "a241_renewal_function",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(CAST(o_orderdate AS DATE)) AS f
+  FROM orders GROUP BY o_custkey
+), nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM firsts),
+rep AS (
+  SELECT CAST(CAST(o.o_orderdate AS DATE) - fs.f AS BIGINT) AS delta
+  FROM orders o JOIN firsts fs ON o.o_custkey = fs.o_custkey
+  WHERE CAST(o.o_orderdate AS DATE) > fs.f
+), grid AS (SELECT UNNEST([7, 30, 91, 182, 365]) AS h),
+agg AS (
+  SELECT g.h,
+         CAST(SUM(CASE WHEN r.delta <= g.h THEN 1 ELSE 0 END) AS BIGINT)
+           AS repeats
+  FROM rep r CROSS JOIN grid g GROUP BY g.h
+)
+SELECT a.h AS horizon_days, a.repeats AS repeat_orders,
+       n.n_cust AS n_customers,
+       CAST(a.repeats * 1000000 // n.n_cust AS BIGINT) AS m_hat_ppm
+FROM agg a CROSS JOIN nc n ORDER BY a.h
+""",
+    tags=("events", "renewal"),
+)
+def a241_renewal_function(spark, sf_dir):
+    """Empirical renewal function of repeat purchasing: M̂(t) = average
+    number of FOLLOW-UP orders a customer places within t days of their
+    first order, on the horizon grid {7, 30, 91, 182, 365} — the
+    renewal-theory summary that inventory/CRM models consume directly
+    (a153 models the interarrival distribution; the renewal function is
+    its integrated counterpart and needs no distributional assumption).
+    Exact BIGINT counting end-to-end: one groupBy for first-order
+    dates, one co-partitioned self-join on custkey, a 5-arm horizon
+    aggregate, ppm ratios by integer division. Same-day repeat orders
+    (delta = 0) are excluded — the renewal clock starts after the
+    first purchase completes."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("f")
+    )
+    nc = firsts.agg(F.count("*").cast("bigint").alias("n_cust"))
+    rep = (
+        o.join(firsts, "o_custkey")
+        .filter(F.col("o_orderdate").cast("date") > F.col("f"))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), "f")
+            .cast("bigint")
+            .alias("delta")
+        )
+    )
+    grid = spark.sql("SELECT explode(array(7, 30, 91, 182, 365)) AS h")
+    agg = (
+        rep.crossJoin(F.broadcast(grid))
+        .groupBy("h")
+        .agg(
+            F.sum(F.expr("CASE WHEN delta <= h THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("repeats")
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(nc))
+        .select(
+            F.col("h").alias("horizon_days"),
+            F.col("repeats").alias("repeat_orders"),
+            F.col("n_cust").alias("n_customers"),
+            F.expr("CAST(repeats * 1000000 div n_cust AS BIGINT)").alias(
+                "m_hat_ppm"
+            ),
+        )
+        .orderBy("horizon_days")
     )

@@ -1,5 +1,5 @@
 """Textbook-invariant property checks for the round-10 battery
-(grouper_spark/queries/inference5.py, a208-a231).
+(grouper_spark/queries/inference5.py, a208-a241).
 
 Same contract as test_inference4_props.py: the parity gate proves
 Spark == DuckDB but cannot catch a formula BOTH sides encode wrong --
@@ -324,3 +324,277 @@ def test_crow_amsaa_fit(row):
     assert r["beta_r"] > 0
     assert r["reliability_growth"] in (0, 1)
     assert r["reliability_growth"] == (1 if r["beta_r"] < 1 else 0)
+
+
+# ---------------------------------------------------------------------------
+# a232-a241 extension tranche
+# ---------------------------------------------------------------------------
+
+
+def _cluster_contingency(sf_dir):
+    """Independent Python rebuild of the a232/a233 planted-twin corpus."""
+    import collections
+    import hashlib
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    cont = collections.Counter()
+    for doc_id, text in rows:
+        norm = text.lower()
+        twin = "zq " + norm if doc_id % 7 == 0 else norm + " zq"
+        for txt in (norm, twin):
+            pred = hashlib.md5(txt[:40].encode("utf-8")).hexdigest()
+            cont[(pred, doc_id)] += 1
+    return cont
+
+
+def test_bcubed_recompute(row, sf_dir):
+    r = row("a232_bcubed_cluster_eval")[0]
+    cont = _cluster_contingency(sf_dir)
+    n = sum(cont.values())
+    np_, ng = {}, {}
+    for (p, g), c in cont.items():
+        np_[p] = np_.get(p, 0) + c
+        ng[g] = ng.get(g, 0) + c
+    assert r["n_items"] == n
+    assert r["n_pred_clusters"] == len(np_)
+    assert r["n_gold_families"] == len(ng)
+    bp = sum(c * c / np_[p] for (p, g), c in cont.items()) / n
+    br = sum(c * c / ng[g] for (p, g), c in cont.items()) / n
+    assert abs(r["bcubed_p_r"] - bp) < 2e-4  # per-cell micro floor bias
+    assert abs(r["bcubed_r_r"] - br) < 2e-4
+    tp = sum(c * (c - 1) // 2 for c in cont.values())
+    pp = sum(c * (c - 1) // 2 for c in np_.values())
+    gp = sum(c * (c - 1) // 2 for c in ng.values())
+    assert abs(r["pair_precision_r"] - tp / pp) < 1e-6
+    assert abs(r["pair_recall_r"] - tp / gp) < 1e-6
+    # harmonic mean is bracketed by min and max of its arguments
+    for p_, r_, f_ in (
+        (r["bcubed_p_r"], r["bcubed_r_r"], r["bcubed_f1_r"]),
+        (r["pair_precision_r"], r["pair_recall_r"], r["pair_f1_r"]),
+    ):
+        assert 0.0 <= f_ <= 1.0
+        assert min(p_, r_) - 1e-6 <= f_ <= max(p_, r_) + 1e-6
+
+
+def test_v_measure_recompute(row, sf_dir):
+    r = row("a233_v_measure_cluster_eval")[0]
+    cont = _cluster_contingency(sf_dir)
+    n = sum(cont.values())
+    np_, ng = {}, {}
+    for (p, g), c in cont.items():
+        np_[p] = np_.get(p, 0) + c
+        ng[g] = ng.get(g, 0) + c
+    hck = sum(c * math.log(np_[p] / c) for (p, g), c in cont.items()) / n
+    hkc = sum(c * math.log(ng[g] / c) for (p, g), c in cont.items()) / n
+    hc = sum(c * math.log(n / c) for c in ng.values()) / n
+    hk = sum(c * math.log(n / c) for c in np_.values()) / n
+    h = 1 - hck / hc if hc else 1.0
+    co = 1 - hkc / hk if hk else 1.0
+    v = 2 * h * co / (h + co) if h + co else 0.0
+    assert abs(r["h_c_given_k_r"] - hck) < 1e-4
+    assert abs(r["homogeneity_r"] - h) < 1e-4
+    assert abs(r["completeness_r"] - co) < 1e-4
+    assert abs(r["v_measure_r"] - v) < 1e-4
+    assert 0.0 <= r["homogeneity_r"] <= 1.0
+    assert 0.0 <= r["completeness_r"] <= 1.0
+
+
+def test_spiegelhalter_consistency(row):
+    r = row("a234_spiegelhalter_z")[0]
+    # z reproduces from the exact integer numerator/denominator columns
+    if r["z_den_e4"] > 0:
+        z = r["z_num_centi"] / math.sqrt(r["z_den_e4"])
+        assert abs(r["z_r"] - z) < 1e-5
+        assert r["miscalibrated_flag"] == (1 if abs(z) > 1.959964 else 0)
+    assert r["n_users"] > 0
+
+
+def test_lomb_scargle_recompute(row, daily):
+    rs = sorted(row("a235_lomb_scargle"), key=lambda r: r["period_days"])
+    assert [r["period_days"] for r in rs] == [7, 30, 91, 365]
+    # independent float Lomb-Scargle on the same unit-scaled panel
+    ys = [x[2] for x in daily]
+    u = max(1, (sum(ys) // len(ys)) // 3000)
+    yk = [y // u for y in ys]
+    d0 = daily[0][0]
+    ts = [(x[0] - d0).days for x in daily]
+    n = len(yk)
+    mean = sum(yk) / n
+    var = sum((y - mean) ** 2 for y in yk) / n
+    for r in rs:
+        w = 2 * math.pi / r["period_days"]
+        s2 = sum(math.sin(2 * w * t) for t in ts)
+        c2 = sum(math.cos(2 * w * t) for t in ts)
+        tau = math.atan2(s2, c2) / (2 * w)
+        a = sum((y - mean) * math.cos(w * (t - tau)) for y, t in zip(yk, ts))
+        b = sum((y - mean) * math.sin(w * (t - tau)) for y, t in zip(yk, ts))
+        cc = sum(math.cos(w * (t - tau)) ** 2 for t in ts)
+        ss = sum(math.sin(w * (t - tau)) ** 2 for t in ts)
+        p = 0.5 * (a * a / cc + b * b / ss) / var
+        assert r["power_norm_r"] >= 0.0
+        assert abs(r["power_norm_r"] - p) < 1e-3
+        assert r["n_days"] == n
+
+
+def test_adstock_recompute(row, daily):
+    r = row("a236_adstock_transform")[0]
+    ys = [x[2] for x in daily]
+    u = max(1, (sum(ys) // len(ys)) // 3000)
+    yk = [y // u for y in ys]
+    vs = [x[1] for x in daily]
+    theta = 0.7
+    xs, ws, yy = [], [], []
+    for i in range(7, len(vs)):
+        xs.append(sum(theta**l * vs[i - l] for l in range(8)))
+        ws.append(vs[i])
+        yy.append(yk[i])
+    assert r["n_days"] == len(xs)
+
+    def corr(a, b):
+        n = len(a)
+        sa, sb = sum(a), sum(b)
+        num = n * sum(x * y for x, y in zip(a, b)) - sa * sb
+        da = n * sum(x * x for x in a) - sa * sa
+        db = n * sum(y * y for y in b) - sb * sb
+        return num / math.sqrt(da) / math.sqrt(db) if da > 0 and db > 0 else 0
+
+    # unit-scaling floors shift the correlations only marginally
+    assert abs(r["corr_raw_r"] - corr(ws, yy)) < 5e-3
+    assert abs(r["corr_adstock_r"] - corr(xs, yy)) < 5e-3
+    assert -1.0 <= r["corr_raw_r"] <= 1.0
+    assert -1.0 <= r["corr_adstock_r"] <= 1.0
+
+
+def test_siegel_tukey_recompute(row, sf_dir):
+    import duckdb
+
+    r = row("a237_siegel_tukey")[0]
+    rows = duckdb.sql(
+        f"""SELECT CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT),
+                   o_orderkey,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+            FROM '{sf_dir}/orders.parquet'
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ORDER BY 1, 2"""
+    ).fetchall()
+    n = len(rows)
+    assert r["n_total"] == n
+    # deal Siegel-Tukey ranks alternately from the extremes
+    # textbook dealing: 1 -> min; 2,3 -> the two maxima; 4,5 -> the next
+    # two minima; 6,7 -> the next two maxima; ...
+    w = [0] * n
+    lo, hi, nxt, side, first = 0, n - 1, 1, "low", True
+    while lo <= hi:
+        if side == "low":
+            for _ in range(1 if first else 2):
+                if lo > hi:
+                    break
+                w[lo] = nxt
+                nxt += 1
+                lo += 1
+            first, side = False, "high"
+        else:
+            for _ in range(2):
+                if lo > hi:
+                    break
+                w[hi] = nxt
+                nxt += 1
+                hi -= 1
+            side = "low"
+    wa = sum(wi for wi, (c, k, ga) in zip(w, rows) if ga == 1)
+    assert r["w_stat"] == wa
+    na = sum(1 for _, _, ga in rows if ga == 1)
+    z = (wa - na * (n + 1) / 2.0) / math.sqrt(
+        na * (n - na) * (n + 1) / 12.0
+    )
+    assert abs(r["z_r"] - z) < 1e-5
+
+
+def test_loglogistic_bounds(row, sf_dir):
+    import duckdb
+
+    r = row("a238_loglogistic_aft")[0]
+    assert r["n_quantile_points"] == 10
+    assert r["shape_r"] > 0  # durations grow with q by construction
+    assert 0.0 <= r["r2_r"] <= 1.0
+    lo, hi = duckdb.sql(
+        f"""SELECT MIN(d), MAX(d) FROM (
+              SELECT CAST(CAST(l.l_shipdate AS DATE)
+                          - CAST(o.o_orderdate AS DATE) AS BIGINT) + 1 AS d
+              FROM '{sf_dir}/lineitem.parquet' l
+              JOIN '{sf_dir}/orders.parquet' o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+            )"""
+    ).fetchone()
+    # the fitted median (= scale) must sit inside the observed support
+    assert lo <= r["scale_days_r"] <= hi
+
+
+def test_turning_points_recompute(row, daily):
+    r = row("a239_turning_points_test")[0]
+    v = [x[1] for x in daily]
+    n = len(v)
+    t = sum(
+        1
+        for i in range(1, n - 1)
+        if (v[i] > v[i - 1] and v[i] > v[i + 1])
+        or (v[i] < v[i - 1] and v[i] < v[i + 1])
+    )
+    assert r["n_days"] == n
+    assert r["turning_points"] == t
+    z = (t - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+    assert abs(r["z_r"] - z) < 1e-5
+    assert r["nonrandom_flag"] == (1 if abs(z) > 1.959964 else 0)
+
+
+def test_cusum_squares_recompute(row, daily):
+    r = row("a240_cusum_squares_break")[0]
+    ys = [x[2] for x in daily]
+    u = max(1, (sum(ys) // len(ys)) // 3000)
+    sq = [(y // u) ** 2 for y in ys]
+    n = len(sq)
+    sn = sum(sq)
+    best_num, best_k = -1, None
+    sk = 0
+    for k, s in enumerate(sq, start=1):
+        sk += s
+        num = abs(sk * n - k * sn)
+        if num > best_num:
+            best_num, best_k = num, k
+    assert r["n_days"] == n
+    assert r["k_at_max"] == best_k
+    assert abs(r["dmax_r"] - best_num / n / sn) < 1e-6
+    assert r["break_date"] == daily[best_k - 1][0]
+    assert 0.0 <= r["dmax_r"] <= 1.0
+
+
+def test_renewal_function_recompute(row, sf_dir):
+    import duckdb
+
+    rs = sorted(row("a241_renewal_function"), key=lambda r: r["horizon_days"])
+    assert [r["horizon_days"] for r in rs] == [7, 30, 91, 182, 365]
+    rows = duckdb.sql(
+        f"""SELECT o_custkey, CAST(o_orderdate AS DATE)
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()
+    firsts = {}
+    for c, d in rows:
+        if c not in firsts or d < firsts[c]:
+            firsts[c] = d
+    prev = -1
+    for r in rs:
+        h = r["horizon_days"]
+        reps = sum(
+            1 for c, d in rows if 0 < (d - firsts[c]).days <= h
+        )
+        assert r["repeat_orders"] == reps
+        assert r["n_customers"] == len(firsts)
+        assert r["m_hat_ppm"] == reps * 1_000_000 // len(firsts)
+        # the renewal function is nondecreasing in the horizon
+        assert r["m_hat_ppm"] >= prev
+        prev = r["m_hat_ppm"]
