@@ -59,6 +59,7 @@ _MODULES = (
     "inference3",
     "inference4",
     "inference5",
+    "inference6",
     # keep last: re-registers existing queries under driver-sampler
     # alias names (depends on every other module being loaded)
     "aliases",
