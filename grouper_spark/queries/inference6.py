@@ -1,4 +1,4 @@
-"""Round-10 battery extension (a572–a584): nonlinear time-series
+"""Round-10 battery extension (a572–a586): nonlinear time-series
 complexity (Hjorth parameters, sample entropy, Higuchi fractal
 dimension, detrended fluctuation analysis), econometric diagnostics
 (Goldfeld–Quandt split-sample heteroscedasticity, Engle–Granger
@@ -9,7 +9,10 @@ all-confidence, cosine, Jaccard) a422 left out, and a Hawkes-style
 self-excitation audit of the event stream. The a582–a584 extension
 adds max-drawdown/Ulcer and historical VaR/ES tail-risk monitors on
 the daily revenue level and a walk-count (exact-integer power
-iteration) eigenvector centrality over the co-purchase graph.
+iteration) eigenvector centrality over the co-purchase graph;
+a585–a586 add Kleinberg two-state burst detection (Viterbi via
+F.aggregate vs recursive-CTE oracle) and the Hill/DEdH tail-index
+pair.
 
 Shared design rules (the monitoring.py discipline): ONE map-side
 combined aggregate folds the corpus to a keyed summary; every
@@ -1557,4 +1560,206 @@ def a584_walk_centrality(spark, sf_dir):
         )
         .orderBy(F.col("w4").desc(), "u")
         .limit(20)
+    )
+
+
+@query(
+    "a585_kleinberg_burst",
+    oracle=f"""
+WITH RECURSIVE daily AS ({_TDAILY_SQL}),
+ordered AS (
+  SELECT grp, c,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY d) AS BIGINT)
+           AS k,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+         CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS s
+  FROM daily
+), params AS (
+  SELECT DISTINCT grp, n,
+         CAST(s AS DOUBLE) / n AS lam,
+         ln(CAST(s AS DOUBLE) / n) AS lnl0,
+         ln(2 * CAST(s AS DOUBLE) / n) AS lnl1,
+         ln(CAST(n AS DOUBLE)) AS gam
+  FROM ordered
+), state AS (
+  SELECT grp, CAST(0 AS BIGINT) AS k, n, lam, lnl0, lnl1, gam,
+         CAST(0.0 AS DOUBLE) AS v0, CAST(1e18 AS DOUBLE) AS v1,
+         CAST(0 AS BIGINT) AS c0, CAST(0 AS BIGINT) AS c1
+  FROM params
+  UNION ALL
+  SELECT s.grp, s.k + 1, s.n, s.lam, s.lnl0, s.lnl1, s.gam,
+         (s.lam - o.c * s.lnl0) + LEAST(s.v0, s.v1),
+         (2 * s.lam - o.c * s.lnl1) + LEAST(s.v0 + s.gam, s.v1),
+         CASE WHEN s.v0 <= s.v1 THEN s.c0 ELSE s.c1 END,
+         CASE WHEN s.v0 + s.gam < s.v1 THEN s.c0 ELSE s.c1 END + 1
+  FROM state s JOIN ordered o ON o.grp = s.grp AND o.k = s.k + 1
+  WHERE s.k < s.n
+)
+SELECT grp, n AS n_days,
+       CAST(s AS DOUBLE) / n AS lam,
+       round(LEAST(v0, v1), 6) AS cost_r,
+       CAST(CASE WHEN v0 <= v1 THEN c0 ELSE c1 END AS BIGINT)
+         AS n_burst_days
+FROM state JOIN (SELECT DISTINCT grp AS g2, s FROM ordered) o2
+  ON o2.g2 = state.grp
+WHERE k = n
+ORDER BY grp
+""",
+    tags=("monitoring", "events"),
+)
+def a585_kleinberg_burst(spark, sf_dir):
+    """Kleinberg two-state burst detection over each event type's
+    daily counts: a Viterbi pass on the Poisson-cost automaton (base
+    rate lambda vs burst rate 2*lambda, entering a burst costs
+    gamma = ln n) that returns the optimal path's total cost AND its
+    number of burst days — the principled 'is this spike a regime or
+    noise' detector behind trending-topic pipelines. The recurrence
+    carries (v0, v1, burst-day count) per state; Spark folds it with
+    F.aggregate over the per-type 30-day array while the oracle steps
+    the SAME expression text through a recursive CTE (the a360/a563
+    recipe — identical IEEE sequence, bit-identical doubles, so even
+    the argmin branches agree). The two ln calls run once per type;
+    lambda is emitted as a raw exact ratio."""
+    daily = _tdaily(spark, sf_dir)
+    g = daily.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)").alias(
+            "xs"
+        ),
+    )
+    p = g.select(
+        "grp",
+        "n",
+        "s",
+        "xs",
+        F.expr("CAST(s AS DOUBLE) / n").alias("lam"),
+        F.expr("ln(CAST(s AS DOUBLE) / n)").alias("lnl0"),
+        F.expr("ln(2 * CAST(s AS DOUBLE) / n)").alias("lnl1"),
+        F.expr("ln(CAST(n AS DOUBLE))").alias("gam"),
+    )
+    fin = p.select(
+        "grp",
+        "n",
+        "lam",
+        F.expr(
+            "aggregate(xs,"
+            " named_struct('v0', CAST(0.0 AS DOUBLE),"
+            "              'v1', CAST(1e18 AS DOUBLE),"
+            "              'c0', CAST(0 AS BIGINT),"
+            "              'c1', CAST(0 AS BIGINT)),"
+            " (acc, c) -> named_struct("
+            "   'v0', (lam - c * lnl0) + LEAST(acc.v0, acc.v1),"
+            "   'v1', (2 * lam - c * lnl1) + LEAST(acc.v0 + gam, acc.v1),"
+            "   'c0', CASE WHEN acc.v0 <= acc.v1 THEN acc.c0 ELSE acc.c1 END,"
+            "   'c1', CASE WHEN acc.v0 + gam < acc.v1 THEN acc.c0"
+            "         ELSE acc.c1 END + 1L),"
+            " acc -> acc)"
+        ).alias("st"),
+    )
+    return fin.select(
+        "grp",
+        F.col("n").alias("n_days"),
+        "lam",
+        F.expr("round(LEAST(st.v0, st.v1), 6)").alias("cost_r"),
+        F.expr(
+            "CAST(CASE WHEN st.v0 <= st.v1 THEN st.c0 ELSE st.c1 END"
+            " AS BIGINT)"
+        ).alias("n_burst_days"),
+    ).orderBy("grp")
+
+
+@query(
+    "a586_hill_tail_index",
+    oracle="""
+WITH px AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS x, o_orderkey
+  FROM orders
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, o_orderkey) AS rn
+  FROM px
+), thr AS (
+  SELECT CAST(x AS BIGINT) AS xk1 FROM ranked WHERE rn = 201
+), terms AS (
+  SELECT r.rn,
+         CAST(round(ln(CAST(r.x AS DOUBLE) / t.xk1) * 1e9, 0) AS BIGINT)
+           AS l_fp,
+         CAST(round(ln(CAST(r.x AS DOUBLE) / t.xk1)
+                    * ln(CAST(r.x AS DOUBLE) / t.xk1) * 1e12, 0)
+              AS BIGINT) AS l2_fp
+  FROM ranked r CROSS JOIN thr t
+  WHERE r.rn <= 200
+), agg AS (
+  SELECT CAST(SUM(l_fp) AS BIGINT) AS s1,
+         CAST(SUM(l2_fp) AS BIGINT) AS s2
+  FROM terms
+)
+SELECT (SELECT xk1 FROM thr) AS threshold_cents,
+       CAST(200 AS BIGINT) AS k_tail,
+       round(CAST(s1 AS DOUBLE) / 200 / 1e9, 6) AS hill_r,
+       round(CAST(s1 AS DOUBLE) / 200 / 1e9 + 1
+             - CAST(0.5 AS DOUBLE)
+               / (1 - (CAST(s1 AS DOUBLE) / 200 / 1e9)
+                      * (CAST(s1 AS DOUBLE) / 200 / 1e9)
+                      / (CAST(s2 AS DOUBLE) / 200 / 1e12)), 6)
+         AS dedh_xi_r
+FROM agg
+""",
+    tags=("inference", "extreme"),
+)
+def a586_hill_tail_index(spark, sf_dir):
+    """Hill tail-index estimator (k = 200 upper order statistics) plus
+    the Dekkers–Einmahl–de Haan moment correction for the order-value
+    distribution — the POT-family answer to 'how heavy is the spend
+    tail' that a147's GPD-PWM fit cross-checks: Hill assumes xi > 0,
+    DEdH extends to the whole real line. The tail panel is a FIXED
+    200-row order-statistic slice (deterministic price-then-key
+    ranking, constant work at any corpus scale); each log-spacing term
+    is evaluated on identical exact cent integers and fixed-pointed
+    (nano for the linear sum, pico for the squared sum — the a235
+    per-term recipe, and 200 bounded terms keep both sums far inside
+    int64), so the cross-row sums are exact BIGINTs feeding two
+    terminal round(x, 6) readouts."""
+    o = table(spark, sf_dir, "orders")
+    px = o.select(
+        F.expr("CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)").alias("x"),
+        "o_orderkey",
+    )
+    ranked = px.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.col("x").desc(), "o_orderkey"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 201).localCheckpoint(eager=False)
+    thr = ranked.filter(F.col("rn") == 201).select(
+        F.col("x").cast("bigint").alias("xk1")
+    )
+    terms = (
+        ranked.filter(F.col("rn") <= 200)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.expr(
+                "CAST(round(ln(CAST(x AS DOUBLE) / xk1) * 1e9, 0) AS BIGINT)"
+            ).alias("l_fp"),
+            F.expr(
+                "CAST(round(ln(CAST(x AS DOUBLE) / xk1)"
+                " * ln(CAST(x AS DOUBLE) / xk1) * 1e12, 0) AS BIGINT)"
+            ).alias("l2_fp"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("l_fp").cast("bigint").alias("s1"),
+        F.sum("l2_fp").cast("bigint").alias("s2"),
+    )
+    return agg.crossJoin(F.broadcast(thr)).select(
+        F.col("xk1").alias("threshold_cents"),
+        F.lit(200).cast("bigint").alias("k_tail"),
+        F.expr("round(CAST(s1 AS DOUBLE) / 200 / 1e9, 6)").alias("hill_r"),
+        F.expr(
+            "round(CAST(s1 AS DOUBLE) / 200 / 1e9 + 1"
+            " - CAST(0.5 AS DOUBLE)"
+            " / (1 - (CAST(s1 AS DOUBLE) / 200 / 1e9)"
+            " * (CAST(s1 AS DOUBLE) / 200 / 1e9)"
+            " / (CAST(s2 AS DOUBLE) / 200 / 1e12)), 6)"
+        ).alias("dedh_xi_r"),
     )

@@ -1,5 +1,5 @@
 """Textbook-invariant property checks for the round-10 extension
-battery (grouper_spark/queries/inference6.py, a572-a584).
+battery (grouper_spark/queries/inference6.py, a572-a586).
 
 Same contract as test_inference5_props.py: the parity gate proves
 Spark == DuckDB but cannot catch a formula BOTH sides encode wrong --
@@ -489,3 +489,56 @@ def test_walk_centrality_recompute(row, sf_dir):
         assert abs(r["centrality"] - w4 / mw) < 1e-15
         assert abs(r["lambda_est"] - w4 / w3[u]) < 1e-12
         assert 0 < r["centrality"] <= 1
+
+
+def test_kleinberg_burst_recompute(row, tdaily):
+    rs = {r["grp"]: r for r in row("a585_kleinberg_burst")}
+    for grp, xs in tdaily.items():
+        n = len(xs)
+        s = sum(xs)
+        lam = s / n
+        lnl0, lnl1 = math.log(lam), math.log(2 * lam)
+        gam = math.log(n)
+        v0, v1, c0, c1 = 0.0, 1e18, 0, 0
+        for c in xs:
+            nv0 = (lam - c * lnl0) + min(v0, v1)
+            nv1 = (2 * lam - c * lnl1) + min(v0 + gam, v1)
+            nc0 = c0 if v0 <= v1 else c1
+            nc1 = (c0 if v0 + gam < v1 else c1) + 1
+            v0, v1, c0, c1 = nv0, nv1, nc0, nc1
+        r = rs[grp]
+        assert r["n_days"] == n
+        assert abs(r["lam"] - lam) < 1e-12
+        assert abs(r["cost_r"] - min(v0, v1)) < 1e-5
+        assert r["n_burst_days"] == (c0 if v0 <= v1 else c1)
+        assert 0 <= r["n_burst_days"] <= n
+
+
+def test_hill_recompute(row, sf_dir):
+    con = duckdb.connect()
+    xs = [
+        int(x)
+        for (x,) in con.execute(
+            f"""
+            SELECT CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+            FROM '{sf_dir}/orders.parquet'
+            ORDER BY 1 DESC, o_orderkey LIMIT 201
+            """
+        ).fetchall()
+    ]
+    xk1 = xs[200]
+    s1 = sum(int(round(math.log(x / xk1) * 1e9)) for x in xs[:200])
+    s2 = sum(
+        int(round(math.log(x / xk1) ** 2 * 1e12)) for x in xs[:200]
+    )
+    hill = s1 / 200 / 1e9
+    m2 = s2 / 200 / 1e12
+    dedh = hill + 1 - 0.5 / (1 - hill * hill / m2)
+    r = row("a586_hill_tail_index")[0]
+    assert r["threshold_cents"] == xk1
+    assert r["k_tail"] == 200
+    assert abs(r["hill_r"] - hill) < 1e-5
+    assert abs(r["dedh_xi_r"] - dedh) < 1e-4
+    # Hill is a positive mean of log spacings; DEdH <= Hill + 1.
+    assert r["hill_r"] > 0
+    assert r["dedh_xi_r"] <= r["hill_r"] + 1
