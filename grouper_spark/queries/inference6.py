@@ -1,4 +1,4 @@
-"""Round-10 battery extension (a572–a586): nonlinear time-series
+"""Round-10 battery extension (a572–a587): nonlinear time-series
 complexity (Hjorth parameters, sample entropy, Higuchi fractal
 dimension, detrended fluctuation analysis), econometric diagnostics
 (Goldfeld–Quandt split-sample heteroscedasticity, Engle–Granger
@@ -12,7 +12,7 @@ the daily revenue level and a walk-count (exact-integer power
 iteration) eigenvector centrality over the co-purchase graph;
 a585–a586 add Kleinberg two-state burst detection (Viterbi via
 F.aggregate vs recursive-CTE oracle) and the Hill/DEdH tail-index
-pair.
+pair; a587 adds exact matrix-profile motif/discord discovery.
 
 Shared design rules (the monitoring.py discipline): ONE map-side
 combined aggregate folds the corpus to a keyed summary; every
@@ -1762,4 +1762,142 @@ def a586_hill_tail_index(spark, sf_dir):
             " * (CAST(s1 AS DOUBLE) / 200 / 1e9)"
             " / (CAST(s2 AS DOUBLE) / 200 / 1e12)), 6)"
         ).alias("dedh_xi_r"),
+    )
+
+
+@query(
+    "a587_motif_discord",
+    oracle=f"""
+WITH daily AS ({_TDAILY_SQL}),
+ser AS (
+  SELECT grp, c,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY d) AS BIGINT)
+           AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM daily
+), sub AS (
+  SELECT s.grp, s.rn AS strt, e.rn - s.rn AS o, e.c AS val
+  FROM ser s JOIN ser e
+    ON e.grp = s.grp AND e.rn - s.rn BETWEEN 0 AND 6
+  WHERE s.rn <= s.n - 6
+), d2 AS (
+  SELECT a.grp, a.strt AS i, b.strt AS j,
+         CAST(SUM((a.val - b.val) * (a.val - b.val)) AS BIGINT) AS d2
+  FROM sub a JOIN sub b
+    ON b.grp = a.grp AND b.o = a.o AND b.strt >= a.strt + 7
+  GROUP BY a.grp, a.strt, b.strt
+), motif AS (
+  SELECT grp, i, j, d2,
+         row_number() OVER (PARTITION BY grp ORDER BY d2, i, j) AS mr
+  FROM d2
+), nn AS (
+  SELECT grp, i, CAST(MIN(d2) AS BIGINT) AS nn_d2
+  FROM (
+    SELECT grp, i, d2 FROM d2
+    UNION ALL
+    SELECT grp, j AS i, d2 FROM d2
+  ) GROUP BY grp, i
+), discord AS (
+  SELECT grp, i, nn_d2,
+         row_number() OVER (PARTITION BY grp ORDER BY nn_d2 DESC, i) AS dr
+  FROM nn
+)
+SELECT m.grp, m.i AS motif_i, m.j AS motif_j, m.d2 AS motif_d2,
+       d.i AS discord_i, d.nn_d2 AS discord_d2
+FROM motif m JOIN discord d ON d.grp = m.grp AND d.dr = 1
+WHERE m.mr = 1
+ORDER BY m.grp
+""",
+    tags=("monitoring", "signal"),
+)
+def a587_motif_discord(spark, sf_dir):
+    """Matrix-profile-style motif and discord discovery on each event
+    type's daily count series (subsequence length m=7, exact squared
+    Euclidean, trivial matches excluded by a full-m gap): the motif is
+    the closest pair of week-shaped subsequences (recurring regime),
+    the discord is the subsequence whose nearest neighbor is farthest
+    (the anomalous week) — the two primitives the MP literature builds
+    everything else from. All distances are exact BIGINTs (integer
+    counts, bounded 7-term sums); the subsequence table is a
+    calendar-bounded band self-join (24 starts x 7 offsets per type at
+    every corpus scale) and both argmins are deterministic
+    row_number picks with (d2, i, j) tie-breaks."""
+    daily = _tdaily(spark, sf_dir)
+    w = Window.partitionBy("grp").orderBy("d")
+    wall = Window.partitionBy("grp")
+    ser = daily.select(
+        "grp",
+        "c",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+    )
+    s, e = ser.alias("s"), ser.alias("e")
+    sub = (
+        s.join(
+            e,
+            (F.col("e.grp") == F.col("s.grp"))
+            & (F.col("e.rn") - F.col("s.rn") >= 0)
+            & (F.col("e.rn") - F.col("s.rn") <= 6),
+        )
+        .filter(F.col("s.rn") <= F.col("s.n") - 6)
+        .select(
+            F.col("s.grp").alias("grp"),
+            F.col("s.rn").alias("strt"),
+            (F.col("e.rn") - F.col("s.rn")).alias("o"),
+            F.col("e.c").alias("val"),
+        )
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    d2 = (
+        a.join(
+            b,
+            (F.col("b.grp") == F.col("a.grp"))
+            & (F.col("b.o") == F.col("a.o"))
+            & (F.col("b.strt") >= F.col("a.strt") + 7),
+        )
+        .groupBy(
+            F.col("a.grp").alias("grp"),
+            F.col("a.strt").alias("i"),
+            F.col("b.strt").alias("j"),
+        )
+        .agg(
+            F.sum(
+                (F.col("a.val") - F.col("b.val"))
+                * (F.col("a.val") - F.col("b.val"))
+            )
+            .cast("bigint")
+            .alias("d2")
+        )
+        .localCheckpoint(eager=False)
+    )
+    motif = d2.withColumn(
+        "mr",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy("d2", "i", "j")
+        ),
+    ).filter(F.col("mr") == 1)
+    nn = (
+        d2.select("grp", "i", "d2")
+        .unionAll(d2.select("grp", F.col("j").alias("i"), "d2"))
+        .groupBy("grp", "i")
+        .agg(F.min("d2").cast("bigint").alias("nn_d2"))
+    )
+    discord = nn.withColumn(
+        "dr",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.col("nn_d2").desc(), "i")
+        ),
+    ).filter(F.col("dr") == 1)
+    return (
+        motif.alias("m")
+        .join(discord.alias("d"), "grp")
+        .select(
+            "grp",
+            F.col("m.i").alias("motif_i"),
+            F.col("m.j").alias("motif_j"),
+            F.col("m.d2").alias("motif_d2"),
+            F.col("d.i").alias("discord_i"),
+            F.col("d.nn_d2").alias("discord_d2"),
+        )
+        .orderBy("grp")
     )

@@ -1,5 +1,5 @@
 """Textbook-invariant property checks for the round-10 extension
-battery (grouper_spark/queries/inference6.py, a572-a586).
+battery (grouper_spark/queries/inference6.py, a572-a587).
 
 Same contract as test_inference5_props.py: the parity gate proves
 Spark == DuckDB but cannot catch a formula BOTH sides encode wrong --
@@ -542,3 +542,33 @@ def test_hill_recompute(row, sf_dir):
     # Hill is a positive mean of log spacings; DEdH <= Hill + 1.
     assert r["hill_r"] > 0
     assert r["dedh_xi_r"] <= r["hill_r"] + 1
+
+
+def test_motif_discord_recompute(row, tdaily):
+    rs = {r["grp"]: r for r in row("a587_motif_discord")}
+    m = 7
+    for grp, xs in tdaily.items():
+        n = len(xs)
+        starts = list(range(n - m + 1))
+        d2 = {}
+        for ii, i in enumerate(starts):
+            for j in starts[ii + 1:]:
+                if j - i < m:
+                    continue
+                d2[(i, j)] = sum(
+                    (xs[i + o] - xs[j + o]) ** 2 for o in range(m)
+                )
+        motif = min(d2.items(), key=lambda kv: (kv[1], kv[0]))
+        nn = {}
+        for (i, j), d in d2.items():
+            nn[i] = min(nn.get(i, 1 << 62), d)
+            nn[j] = min(nn.get(j, 1 << 62), d)
+        discord = max(nn.items(), key=lambda kv: (kv[1], -kv[0]))
+        r = rs[grp]
+        # 1-based rn in the query vs 0-based here.
+        assert (r["motif_i"] - 1, r["motif_j"] - 1) == motif[0]
+        assert r["motif_d2"] == motif[1]
+        assert r["discord_i"] - 1 == discord[0]
+        assert r["discord_d2"] == discord[1]
+        # A discord's NN distance can never undercut the motif pair.
+        assert r["discord_d2"] >= r["motif_d2"]
