@@ -4390,7 +4390,9 @@ def a239_turning_points_test(spark, sf_dir):
     return agg.select(
         F.col("n").alias("n_days"),
         F.col("t_pts").alias("turning_points"),
-        F.round(F.expr("2.0 * (n - 2) / 3.0"), 6).alias("expected_r"),
+        F.round(
+            F.expr("CAST(2.0 AS DOUBLE) * (n - 2) / CAST(3.0 AS DOUBLE)"), 6
+        ).alias("expected_r"),
         F.round(F.expr(z), 6).alias("z_r"),
         F.expr(
             f"CASE WHEN ABS({z}) > 1.959964 THEN 1 ELSE 0 END"
