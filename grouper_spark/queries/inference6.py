@@ -1,4 +1,4 @@
-"""Round-10 battery extension (a572–a587): nonlinear time-series
+"""Round-10 battery extension (a572–a590): nonlinear time-series
 complexity (Hjorth parameters, sample entropy, Higuchi fractal
 dimension, detrended fluctuation analysis), econometric diagnostics
 (Goldfeld–Quandt split-sample heteroscedasticity, Engle–Granger
@@ -12,7 +12,9 @@ the daily revenue level and a walk-count (exact-integer power
 iteration) eigenvector centrality over the co-purchase graph;
 a585–a586 add Kleinberg two-state burst detection (Viterbi via
 F.aggregate vs recursive-CTE oracle) and the Hill/DEdH tail-index
-pair; a587 adds exact matrix-profile motif/discord discovery.
+pair; a587 adds exact matrix-profile motif/discord discovery;
+a588–a590 add Baron–Kenny/Sobel mediation, a Scheffé simultaneous
+contrast, and a Poisson log-link IRLS trend fit.
 
 Shared design rules (the monitoring.py discipline): ONE map-side
 combined aggregate folds the corpus to a keyed summary; every
@@ -1900,4 +1902,409 @@ def a587_motif_discord(spark, sf_dir):
             F.col("d.nn_d2").alias("discord_d2"),
         )
         .orderBy("grp")
+    )
+
+
+@query(
+    "a588_mediation_sobel",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(m) AS BIGINT) AS sm,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(m * m) AS BIGINT) AS smm,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * m) AS BIGINT) AS sxm,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(m * y) AS BIGINT) AS smy
+  FROM u
+), cen AS (
+  SELECT n,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+         CAST(n * smm - sm * sm AS DOUBLE) AS cmm,
+         CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+         CAST(n * sxm - sx * sm AS DOUBLE) AS cxm,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+         CAST(n * smy - sm * sy AS DOUBLE) AS cmy
+  FROM mom
+), fits AS (
+  SELECT n, cxx, cmm, cyy, cxm, cxy, cmy,
+         cxm / cxx AS a_hat,
+         (cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) AS b_hat,
+         (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm) AS bx_hat,
+         ((cmm - cxm * cxm / cxx) / n) / (n - 2) / (cxx / n) AS var_a,
+         (((cyy - ((cmm * cxy - cxm * cmy)
+                   / (cxx * cmm - cxm * cxm)) * cxy
+                - ((cxx * cmy - cxm * cxy)
+                   / (cxx * cmm - cxm * cxm)) * cmy) / n) / (n - 3))
+           * (cxx / n) / ((cxx * cmm - cxm * cxm) / (n * CAST(n AS DOUBLE)))
+           AS var_b
+  FROM cen
+)
+SELECT n AS n_users,
+       round(a_hat, 6) AS a_r,
+       round(b_hat, 6) AS b_r,
+       round(bx_hat, 6) AS direct_r,
+       round(a_hat * b_hat, 6) AS ab_r,
+       round(a_hat * b_hat
+             / sqrt(a_hat * a_hat * var_b + b_hat * b_hat * var_a), 6)
+         AS sobel_z_r
+FROM fits
+""",
+    tags=("inference", "causal"),
+)
+def a588_mediation_sobel(spark, sf_dir):
+    """Baron–Kenny mediation with the Sobel test on the per-user
+    engagement funnel (views -> clicks -> purchases): path a from the
+    m~x regression, path b (and the direct effect) from the y~x+m
+    two-predictor solve, indirect effect a·b, and Sobel's
+    z = ab/sqrt(a²·var_b + b²·var_a) — the canonical 'does the
+    mediator carry the effect' decomposition. One map-side per-user
+    fold to 10 exact BIGINT moments; every centered cross-product is
+    cast to DOUBLE BEFORE the products that would overflow int64 at
+    the 10x gate (the a576/a038 lesson), the normal-equation solve and
+    both residual variances are closed-form expressions with identical
+    text in both engines, and the single sqrt feeds the terminal
+    round(x, 6)."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("m"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    mom = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("m").cast("bigint").alias("sm"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("smm"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("m")).cast("bigint").alias("sxm"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("m") * F.col("y")).cast("bigint").alias("smy"),
+    )
+    cen = mom.select(
+        "n",
+        F.expr("CAST(n * sxx - sx * sx AS DOUBLE)").alias("cxx"),
+        F.expr("CAST(n * smm - sm * sm AS DOUBLE)").alias("cmm"),
+        F.expr("CAST(n * syy - sy * sy AS DOUBLE)").alias("cyy"),
+        F.expr("CAST(n * sxm - sx * sm AS DOUBLE)").alias("cxm"),
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE)").alias("cxy"),
+        F.expr("CAST(n * smy - sm * sy AS DOUBLE)").alias("cmy"),
+    )
+    fits = cen.select(
+        "n",
+        "cyy",
+        "cxy",
+        "cmy",
+        F.expr("cxm / cxx").alias("a_hat"),
+        F.expr(
+            "(cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm)"
+        ).alias("b_hat"),
+        F.expr(
+            "(cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm)"
+        ).alias("bx_hat"),
+        F.expr(
+            "((cmm - cxm * cxm / cxx) / n) / (n - 2) / (cxx / n)"
+        ).alias("var_a"),
+        F.expr(
+            "(((cyy - ((cmm * cxy - cxm * cmy)"
+            " / (cxx * cmm - cxm * cxm)) * cxy"
+            " - ((cxx * cmy - cxm * cxy)"
+            " / (cxx * cmm - cxm * cxm)) * cmy) / n) / (n - 3))"
+            " * (cxx / n) / ((cxx * cmm - cxm * cxm)"
+            " / (n * CAST(n AS DOUBLE)))"
+        ).alias("var_b"),
+    )
+    return fits.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("a_hat"), 6).alias("a_r"),
+        F.round(F.col("b_hat"), 6).alias("b_r"),
+        F.round(F.col("bx_hat"), 6).alias("direct_r"),
+        F.round(F.col("a_hat") * F.col("b_hat"), 6).alias("ab_r"),
+        F.expr(
+            "round(a_hat * b_hat"
+            " / sqrt(a_hat * a_hat * var_b + b_hat * b_hat * var_a), 6)"
+        ).alias("sobel_z_r"),
+    )
+
+
+@query(
+    "a589_scheffe_contrast",
+    oracle="""
+WITH g AS (
+  SELECT event_type AS grp,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS sg,
+         CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)
+                  * CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS ssg
+  FROM events GROUP BY grp
+), piv AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n_total,
+         MAX(CASE WHEN grp = 'purchase' THEN ng END) AS n_p,
+         MAX(CASE WHEN grp = 'purchase' THEN sg END) AS s_p,
+         MAX(CASE WHEN grp = 'signup' THEN ng END) AS n_s,
+         MAX(CASE WHEN grp = 'signup' THEN sg END) AS s_s,
+         MAX(CASE WHEN grp = 'click' THEN ng END) AS n_c,
+         MAX(CASE WHEN grp = 'click' THEN sg END) AS s_c,
+         MAX(CASE WHEN grp = 'view' THEN ng END) AS n_v,
+         MAX(CASE WHEN grp = 'view' THEN sg END) AS s_v,
+         MAX(CASE WHEN grp = 'error' THEN ng END) AS n_e,
+         MAX(CASE WHEN grp = 'error' THEN sg END) AS s_e,
+         MAX(CASE WHEN grp = 'purchase' THEN ssg END) AS q_p,
+         MAX(CASE WHEN grp = 'signup' THEN ssg END) AS q_s,
+         MAX(CASE WHEN grp = 'click' THEN ssg END) AS q_c,
+         MAX(CASE WHEN grp = 'view' THEN ssg END) AS q_v,
+         MAX(CASE WHEN grp = 'error' THEN ssg END) AS q_e
+  FROM g
+), calc AS (
+  SELECT n_total,
+         (3 * (CAST(s_p AS DOUBLE) / n_p) + 3 * (CAST(s_s AS DOUBLE) / n_s)
+          - 2 * (CAST(s_c AS DOUBLE) / n_c) - 2 * (CAST(s_v AS DOUBLE) / n_v)
+          - 2 * (CAST(s_e AS DOUBLE) / n_e)) / 6 / 100 AS c_hat,
+         ((CAST(q_p AS DOUBLE) - CAST(s_p AS DOUBLE) * s_p / n_p)
+          + (CAST(q_s AS DOUBLE) - CAST(s_s AS DOUBLE) * s_s / n_s)
+          + (CAST(q_c AS DOUBLE) - CAST(s_c AS DOUBLE) * s_c / n_c)
+          + (CAST(q_v AS DOUBLE) - CAST(s_v AS DOUBLE) * s_v / n_v)
+          + (CAST(q_e AS DOUBLE) - CAST(s_e AS DOUBLE) * s_e / n_e))
+          / (n_total - 5) / 10000 AS mse,
+         (CAST(9 AS DOUBLE) / n_p + CAST(9 AS DOUBLE) / n_s
+          + CAST(4 AS DOUBLE) / n_c + CAST(4 AS DOUBLE) / n_v
+          + CAST(4 AS DOUBLE) / n_e) / 36 AS wsum
+  FROM piv
+)
+SELECT n_total,
+       round(c_hat, 6) AS c_hat_r,
+       round(sqrt(mse * wsum), 6) AS se_r,
+       round(c_hat * c_hat / (4 * mse * wsum), 6) AS scheffe_f_r
+FROM calc
+""",
+    tags=("inference", "anova"),
+)
+def a589_scheffe_contrast(spark, sf_dir):
+    """Scheffé simultaneous contrast on per-type event values:
+    transactional types (purchase, signup) vs engagement types (click,
+    view, error), weights (3,3,-2,-2,-2)/6 — the post-hoc contrast
+    whose F-scaled statistic C²/((k−1)·SE²) is valid for ANY contrast
+    chosen after looking at the data, the guarantee Tukey HSD (a432)
+    does not give for complex weightings. One map-side fold to exact
+    cent moments per type; the within-group MSE and the contrast are
+    literal 5-term expressions over the pivoted scalars (fixed IEEE
+    order both engines, cast-before-square residual SS), and the
+    single sqrt feeds the terminal round(x, 6)."""
+    ev = table(spark, sf_dir, "events")
+    vfp = F.expr("CAST(ROUND(value * 100.0, 0) AS BIGINT)")
+    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum(vfp).cast("bigint").alias("sg"),
+        F.sum(vfp * vfp).cast("bigint").alias("ssg"),
+    )
+    piv = g.agg(
+        F.sum("ng").cast("bigint").alias("n_total"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("ng"))).alias("n_p"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("sg"))).alias("s_p"),
+        F.max(F.when(F.col("grp") == "signup", F.col("ng"))).alias("n_s"),
+        F.max(F.when(F.col("grp") == "signup", F.col("sg"))).alias("s_s"),
+        F.max(F.when(F.col("grp") == "click", F.col("ng"))).alias("n_c"),
+        F.max(F.when(F.col("grp") == "click", F.col("sg"))).alias("s_c"),
+        F.max(F.when(F.col("grp") == "view", F.col("ng"))).alias("n_v"),
+        F.max(F.when(F.col("grp") == "view", F.col("sg"))).alias("s_v"),
+        F.max(F.when(F.col("grp") == "error", F.col("ng"))).alias("n_e"),
+        F.max(F.when(F.col("grp") == "error", F.col("sg"))).alias("s_e"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("ssg"))).alias("q_p"),
+        F.max(F.when(F.col("grp") == "signup", F.col("ssg"))).alias("q_s"),
+        F.max(F.when(F.col("grp") == "click", F.col("ssg"))).alias("q_c"),
+        F.max(F.when(F.col("grp") == "view", F.col("ssg"))).alias("q_v"),
+        F.max(F.when(F.col("grp") == "error", F.col("ssg"))).alias("q_e"),
+    )
+    calc = piv.select(
+        "n_total",
+        F.expr(
+            "(3 * (CAST(s_p AS DOUBLE) / n_p)"
+            " + 3 * (CAST(s_s AS DOUBLE) / n_s)"
+            " - 2 * (CAST(s_c AS DOUBLE) / n_c)"
+            " - 2 * (CAST(s_v AS DOUBLE) / n_v)"
+            " - 2 * (CAST(s_e AS DOUBLE) / n_e)) / 6 / 100"
+        ).alias("c_hat"),
+        F.expr(
+            "((CAST(q_p AS DOUBLE) - CAST(s_p AS DOUBLE) * s_p / n_p)"
+            " + (CAST(q_s AS DOUBLE) - CAST(s_s AS DOUBLE) * s_s / n_s)"
+            " + (CAST(q_c AS DOUBLE) - CAST(s_c AS DOUBLE) * s_c / n_c)"
+            " + (CAST(q_v AS DOUBLE) - CAST(s_v AS DOUBLE) * s_v / n_v)"
+            " + (CAST(q_e AS DOUBLE) - CAST(s_e AS DOUBLE) * s_e / n_e))"
+            " / (n_total - 5) / 10000"
+        ).alias("mse"),
+        F.expr(
+            "(CAST(9 AS DOUBLE) / n_p + CAST(9 AS DOUBLE) / n_s"
+            " + CAST(4 AS DOUBLE) / n_c + CAST(4 AS DOUBLE) / n_v"
+            " + CAST(4 AS DOUBLE) / n_e) / 36"
+        ).alias("wsum"),
+    )
+    return calc.select(
+        "n_total",
+        F.round(F.col("c_hat"), 6).alias("c_hat_r"),
+        F.expr("round(sqrt(mse * wsum), 6)").alias("se_r"),
+        F.expr("round(c_hat * c_hat / (4 * mse * wsum), 6)").alias(
+            "scheffe_f_r"
+        ),
+    )
+
+
+# a590: shared IRLS expression text (identical in the oracle CTEs and
+# the Spark selectExpr stages — the a360/a585 bit-identical recipe).
+_A590_MU = "exp(b0 + b1 * t)"
+_A590_TERMS = (
+    f"CAST(round({_A590_MU} * 1e6, 0) AS BIGINT) AS w_fp",
+    f"CAST(round({_A590_MU} * t * 1e6, 0) AS BIGINT) AS wt_fp",
+    f"CAST(round({_A590_MU} * t * t * 1e6, 0) AS BIGINT) AS wt2_fp",
+    f"CAST(round(({_A590_MU} * (b0 + b1 * t) + (c - {_A590_MU}))"
+    " * 1e6, 0) AS BIGINT) AS wz_fp",
+    f"CAST(round(({_A590_MU} * (b0 + b1 * t) + (c - {_A590_MU}))"
+    " * t * 1e6, 0) AS BIGINT) AS wzt_fp",
+)
+_A590_B1 = (
+    "(CAST(sw AS DOUBLE) * swzt - CAST(swt AS DOUBLE) * swz)"
+    " / (CAST(sw AS DOUBLE) * swt2 - CAST(swt AS DOUBLE) * swt)"
+)
+_A590_B0 = f"(CAST(swz AS DOUBLE) - ({_A590_B1}) * swt) / sw"
+_A590_DEV = (
+    f"CAST(round((c * ln(c / {_A590_MU}) - (c - {_A590_MU}))"
+    " * 1e6, 0) AS BIGINT)"
+)
+
+
+def _a590_step_sql(prev: str) -> str:
+    terms = ",\n             ".join(_A590_TERMS)
+    return f"""
+  SELECT n, s, {_A590_B0} AS b0, {_A590_B1} AS b1
+  FROM (
+    SELECT MAX(n) AS n, MAX(s) AS s,
+           CAST(SUM(w_fp) AS BIGINT) AS sw,
+           CAST(SUM(wt_fp) AS BIGINT) AS swt,
+           CAST(SUM(wt2_fp) AS BIGINT) AS swt2,
+           CAST(SUM(wz_fp) AS BIGINT) AS swz,
+           CAST(SUM(wzt_fp) AS BIGINT) AS swzt
+    FROM (
+      SELECT p.n, p.s, d.t, d.c, p.b0, p.b1,
+             {terms}
+      FROM day d CROSS JOIN {prev} p
+    )
+  )
+"""
+
+
+@query(
+    "a590_poisson_trend_irls",
+    oracle=f"""
+WITH day AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, c
+  FROM (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+  )
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM day
+), it0 AS (
+  SELECT n, s, ln(CAST(s AS DOUBLE) / n) AS b0, CAST(0.0 AS DOUBLE) AS b1
+  FROM base
+), it1 AS MATERIALIZED ({_a590_step_sql("it0")}
+), it2 AS MATERIALIZED ({_a590_step_sql("it1")}
+), it3 AS MATERIALIZED ({_a590_step_sql("it2")}
+), dev AS (
+  SELECT MAX(p.n) AS n, MAX(p.b0) AS b0, MAX(p.b1) AS b1,
+         CAST(SUM({_A590_DEV}) AS BIGINT) AS sdev
+  FROM (SELECT d.t, d.c, p3.n, p3.b0, p3.b1
+        FROM day d CROSS JOIN it3 p3) AS p(t, c, n, b0, b1)
+)
+SELECT n AS n_days,
+       round(b0, 6) AS b0_r,
+       round(b1, 6) AS b1_r,
+       round(exp(b1) - 1, 6) AS daily_growth_r,
+       2 * sdev AS dev_micro
+FROM dev
+""",
+    tags=("inference", "glm"),
+)
+def a590_poisson_trend_irls(spark, sf_dir):
+    """Poisson log-link trend regression of the total daily event
+    count on time, fit by three unrolled IRLS steps — the GLM answer
+    to 'is volume growing exponentially' whose multiplicative
+    daily_growth = exp(b1)−1 readout is the number capacity planning
+    actually wants (OLS on counts misreads the variance structure).
+    The working-weight sums of every step are per-term micro
+    fixed-pointed exact BIGINTs over the calendar-bounded day panel
+    (the a235 recipe — term count never grows with corpus size), the
+    beta updates are closed-form expressions with IDENTICAL text in
+    the Spark stages and the oracle's MATERIALIZED CTE chain (the
+    a360/a585 bit-identical-doubles recipe), and the deviance is an
+    exact micro-unit BIGINT."""
+    ev = table(spark, sf_dir, "events")
+    day = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(
+            F.row_number().over(Window.orderBy("d")).cast("bigint").alias("t"),
+            "c",
+        )
+        .localCheckpoint(eager=False)
+    )
+    prev = day.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    ).selectExpr(
+        "n", "s", "ln(CAST(s AS DOUBLE) / n) AS b0", "CAST(0.0 AS DOUBLE) AS b1"
+    )
+    for _ in range(3):
+        terms = day.crossJoin(F.broadcast(prev)).selectExpr(
+            "n", "s", "t", "c", "b0", "b1", *_A590_TERMS
+        )
+        sums = terms.agg(
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+            F.sum("w_fp").cast("bigint").alias("sw"),
+            F.sum("wt_fp").cast("bigint").alias("swt"),
+            F.sum("wt2_fp").cast("bigint").alias("swt2"),
+            F.sum("wz_fp").cast("bigint").alias("swz"),
+            F.sum("wzt_fp").cast("bigint").alias("swzt"),
+        )
+        prev = sums.selectExpr(
+            "n", "s", f"{_A590_B0} AS b0", f"{_A590_B1} AS b1"
+        )
+    dev = (
+        day.crossJoin(F.broadcast(prev))
+        .selectExpr("n", "b0", "b1", "t", "c", f"{_A590_DEV} AS d_fp")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            F.sum("d_fp").cast("bigint").alias("sdev"),
+        )
+    )
+    return dev.selectExpr(
+        "n AS n_days",
+        "round(b0, 6) AS b0_r",
+        "round(b1, 6) AS b1_r",
+        "round(exp(b1) - 1, 6) AS daily_growth_r",
+        "2 * sdev AS dev_micro",
     )

@@ -1,5 +1,5 @@
 """Textbook-invariant property checks for the round-10 extension
-battery (grouper_spark/queries/inference6.py, a572-a587).
+battery (grouper_spark/queries/inference6.py, a572-a590).
 
 Same contract as test_inference5_props.py: the parity gate proves
 Spark == DuckDB but cannot catch a formula BOTH sides encode wrong --
@@ -572,3 +572,123 @@ def test_motif_discord_recompute(row, tdaily):
         assert r["discord_d2"] == discord[1]
         # A discord's NN distance can never undercut the motif pair.
         assert r["discord_d2"] >= r["motif_d2"]
+
+
+def test_mediation_sobel_recompute(row, sf_dir):
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        FROM '{sf_dir}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    x = np.array([float(r[0]) for r in rows])
+    m = np.array([float(r[1]) for r in rows])
+    y = np.array([float(r[2]) for r in rows])
+    n = len(x)
+    # Path a: OLS m ~ 1 + x, textbook SE.
+    X1 = np.column_stack([np.ones(n), x])
+    beta1, *_ = np.linalg.lstsq(X1, m, rcond=None)
+    a_hat = beta1[1]
+    r1 = m - X1 @ beta1
+    sxx = ((x - x.mean()) ** 2).sum()
+    var_a = (r1 @ r1) / (n - 2) / sxx
+    # Paths b, c': OLS y ~ 1 + x + m.
+    X2 = np.column_stack([np.ones(n), x, m])
+    beta2, *_ = np.linalg.lstsq(X2, y, rcond=None)
+    bx_hat, b_hat = beta2[1], beta2[2]
+    r2 = y - X2 @ beta2
+    sigma2 = (r2 @ r2) / (n - 3)
+    cov = np.linalg.inv(X2.T @ X2) * sigma2
+    var_b = cov[2, 2]
+    sobel = a_hat * b_hat / math.sqrt(
+        a_hat**2 * var_b + b_hat**2 * var_a
+    )
+    r = row("a588_mediation_sobel")[0]
+    assert r["n_users"] == n
+    assert abs(r["a_r"] - a_hat) < 1e-5
+    assert abs(r["b_r"] - b_hat) < 1e-5
+    assert abs(r["direct_r"] - bx_hat) < 1e-5
+    assert abs(r["ab_r"] - a_hat * b_hat) < 1e-5
+    assert abs(r["sobel_z_r"] - sobel) < 1e-4
+
+
+def test_scheffe_recompute(row, sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type, COUNT(*),
+               SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)),
+               SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)
+                   * CAST(ROUND(value * 100.0, 0) AS BIGINT))
+        FROM '{sf_dir}/events.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    g = {r[0]: (int(r[1]), int(r[2]), int(r[3])) for r in rows}
+    n_total = sum(v[0] for v in g.values())
+    w = {"purchase": 3, "signup": 3, "click": -2, "view": -2, "error": -2}
+    c_hat = sum(w[k] * (g[k][1] / g[k][0]) for k in w) / 6 / 100
+    ssw = sum(v[2] - v[1] ** 2 / v[0] for v in g.values())
+    mse = ssw / (n_total - 5) / 10000
+    wsum = sum((w[k] / 6) ** 2 / g[k][0] for k in w)
+    f_stat = c_hat**2 / (4 * mse * wsum)
+    r = row("a589_scheffe_contrast")[0]
+    assert r["n_total"] == n_total
+    assert abs(r["c_hat_r"] - c_hat) < 1e-4
+    assert abs(r["se_r"] - math.sqrt(mse * wsum)) < 1e-5
+    assert abs(r["scheffe_f_r"] - f_stat) < 1e-3 * max(1.0, f_stat)
+    assert r["scheffe_f_r"] >= 0
+
+
+def test_poisson_irls_recompute(row, sf_dir):
+    con = duckdb.connect()
+    cs = [
+        int(c)
+        for (c,) in con.execute(
+            f"""
+            SELECT COUNT(*) FROM '{sf_dir}/events.parquet'
+            GROUP BY CAST(date_trunc('day', ts) AS DATE)
+            ORDER BY CAST(date_trunc('day', ts) AS DATE)
+            """
+        ).fetchall()
+    ]
+    n = len(cs)
+    s = sum(cs)
+    b0, b1 = math.log(s / n), 0.0
+    for _ in range(3):
+        sw = swt = swt2 = swz = swzt = 0
+        for t, c in enumerate(cs, start=1):
+            mu = math.exp(b0 + b1 * t)
+            wz = mu * (b0 + b1 * t) + (c - mu)
+            sw += int(round(mu * 1e6))
+            swt += int(round(mu * t * 1e6))
+            swt2 += int(round(mu * t * t * 1e6))
+            swz += int(round(wz * 1e6))
+            swzt += int(round(wz * t * 1e6))
+        b1 = (sw * swzt - swt * swz) / (sw * swt2 - swt * swt)
+        b0 = (swz - b1 * swt) / sw
+    sdev = sum(
+        int(
+            round(
+                (
+                    c * math.log(c / math.exp(b0 + b1 * t))
+                    - (c - math.exp(b0 + b1 * t))
+                )
+                * 1e6
+            )
+        )
+        for t, c in enumerate(cs, start=1)
+    )
+    r = row("a590_poisson_trend_irls")[0]
+    assert r["n_days"] == n
+    assert abs(r["b0_r"] - b0) < 1e-4
+    assert abs(r["b1_r"] - b1) < 1e-5
+    assert abs(r["daily_growth_r"] - (math.exp(b1) - 1)) < 1e-5
+    assert abs(r["dev_micro"] - 2 * sdev) < 200  # sub-ulp fp slack
+    # Fitted mean at t=(1+n)/2 should sit near the sample mean.
+    mid_mu = math.exp(b0 + b1 * (1 + n) / 2)
+    assert abs(mid_mu - s / n) < 0.05 * (s / n)
