@@ -57,6 +57,16 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Drop cached blocks left by the previous query's
+        # localCheckpoint frames: across a 700+-query sweep they
+        # accumulate tens of GB in the driver-JVM block manager and
+        # OOM the heap at scale10 (the round-10 q325 cascade). Each
+        # query's checkpoints are dead once it has printed.
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:
+            pass
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
