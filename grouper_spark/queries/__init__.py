@@ -60,6 +60,7 @@ _MODULES = (
     "inference4",
     "inference5",
     "inference6",
+    "inference7",
     # keep last: re-registers existing queries under driver-sampler
     # alias names (depends on every other module being loaded)
     "aliases",
