@@ -1,5 +1,5 @@
 """Textbook-invariant property checks for the round-10 battery
-extension 3 (grouper_spark/queries/inference7.py, a591-a598).
+extension 3 (grouper_spark/queries/inference7.py, a593/a595/a598).
 
 Same contract as test_inference4_props.py: the parity gate proves
 Spark == DuckDB but cannot catch a formula BOTH sides encode wrong --
@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import math
 from collections import defaultdict
-from fractions import Fraction
 
 import pytest
 
@@ -68,66 +67,6 @@ def daily_counts(spark, sf_dir):
     return dict(out)
 
 
-def _resid_exact(ys):
-    # Denominator-cleared residuals E_t = D*y - anum - bnum*k as exact ints.
-    n = len(ys)
-    ks = list(range(1, n + 1))
-    sx, sy = sum(ks), sum(ys)
-    sxx = sum(k * k for k in ks)
-    sxy = sum(k * y for k, y in zip(ks, ys))
-    d = n * sxx - sx * sx
-    anum = sy * sxx - sx * sxy
-    bnum = n * sxy - sx * sy
-    return [d * y - anum - bnum * k for k, y in zip(ks, ys)]
-
-
-def test_resid_orthogonality(panel):
-    # OLS normal equations hold EXACTLY for the cleared residuals.
-    for grp, ys in panel.items():
-        es = _resid_exact(ys)
-        assert sum(es) == 0
-        assert sum(e * k for k, e in zip(range(1, len(es) + 1), es)) == 0
-
-
-def test_durbin_watson_recompute(row, panel):
-    rs = {r["grp"]: r for r in row("a591_durbin_watson")}
-    assert set(rs) == set(panel)
-    for grp, ys in panel.items():
-        es = _resid_exact(ys)
-        see = sum(e * e for e in es)
-        sdd = sum((a - b) ** 2 for a, b in zip(es[1:], es[:-1]))
-        r = rs[grp]
-        assert r["see"] == see and r["sdd"] == sdd
-        if see:
-            # raw ratio is one IEEE division of the exact integers
-            assert r["dw"] == sdd / see
-            assert 0.0 <= r["dw"] <= 4.0
-            assert r["rho1_r"] == pytest.approx(1 - r["dw"] / 2, abs=5e-7)
-
-
-def test_breusch_godfrey_recompute(row, panel):
-    np = pytest.importorskip("numpy")
-    rs = {r["grp"]: r for r in row("a592_breusch_godfrey")}
-    for grp, ys in panel.items():
-        es = _resid_exact(ys)
-        e = np.array(es[1:], dtype=float)
-        el = np.array(es[:-1], dtype=float)
-        k = np.arange(2, len(es) + 1, dtype=float)
-        x = np.column_stack([np.ones_like(k), k, el])
-        beta, *_ = np.linalg.lstsq(x, e, rcond=None)
-        fit = x @ beta
-        ss_res = float(((e - fit) ** 2).sum())
-        ss_tot = float(((e - e.mean()) ** 2).sum())
-        r = rs[grp]
-        if ss_tot > 0 and r["r2_r"] is not None:
-            r2 = 1 - ss_res / ss_tot
-            assert r["r2_r"] == pytest.approx(r2, abs=1e-4)
-            assert 0 <= r["r2_r"] <= 1
-            assert r["lm_r"] == pytest.approx(r["m"] * r["r2_r"], abs=2e-5)
-            assert 0 <= r["lm_r"] <= r["m"]
-            assert r["rho_hat_r"] == pytest.approx(beta[2], abs=1e-4)
-
-
 def test_ramsey_reset_recompute(row, panel):
     np = pytest.importorskip("numpy")
     rs = {r["grp"]: r for r in row("a593_ramsey_reset")}
@@ -146,25 +85,6 @@ def test_ramsey_reset_recompute(row, panel):
             f = (sse1 - sse2) * (n - 3) / sse2
             assert r["reset_f_r"] == pytest.approx(f, rel=1e-3, abs=1e-4)
             assert r["reset_f_r"] >= 0
-
-
-def test_cox_stuart_recompute(row, panel):
-    rs = {r["grp"]: r for r in row("a594_cox_stuart")}
-    for grp, ys in panel.items():
-        n = len(ys)
-        h = n // 2
-        off = n - h
-        pos = sum(1 for i in range(h) if ys[i + off] > ys[i])
-        neg = sum(1 for i in range(h) if ys[i + off] < ys[i])
-        m = pos + neg
-        r = rs[grp]
-        assert (r["pos"], r["neg"], r["m_eff"]) == (pos, neg, m)
-        assert r["tot"] == 2**m
-        kmin = min(pos, neg)
-        ptail = sum(math.comb(m, i) for i in range(kmin + 1))
-        assert r["ptail"] == ptail
-        assert r["p_two"] == min(1.0, 2.0 * ptail / 2**m)
-        assert 0 < r["p_two"] <= 1.0
 
 
 def _lz76(s: str) -> int:
@@ -205,45 +125,6 @@ def test_lz76_known_strings():
     assert _lz76("abcabc") == 4  # a | b | c | abc
     assert _lz76("uuddu") == 3  # u | u d (found u, extend) ... d | u? ->
     # trace: u new; u found, ud new; d found, du new -> 3
-
-
-def test_energy_distance_recompute(row, daily_counts):
-    # Rebuild weekday/weekend daily totals from the per-type panel.
-    tot = defaultdict(int)
-    for grp, dcs in daily_counts.items():
-        for d, c in dcs:
-            tot[d] += c
-    wd = [c for d, c in tot.items() if d.isoweekday() not in (6, 7)]
-    we = [c for d, c in tot.items() if d.isoweekday() in (6, 7)]
-    (r,) = row("a596_energy_distance")
-    assert (r["m"], r["n"]) == (len(wd), len(we))
-    axy = sum(abs(x - y) for x in wd for y in we)
-    bxx = sum(abs(x - y) for x in wd for y in wd)
-    cyy = sum(abs(x - y) for x in we for y in we)
-    assert (r["axy"], r["bxx"], r["cyy"]) == (axy, bxx, cyy)
-    if wd and we:
-        m, n = len(wd), len(we)
-        e = 2.0 * axy / (m * n) - bxx / (m * m) - cyy / (n * n)
-        assert r["e_dist"] == pytest.approx(e, abs=1e-12)
-        # energy distance is a metric squared form: nonnegative
-        assert r["e_dist"] >= -1e-12
-        assert r["t_stat_r"] == pytest.approx(m * n / (m + n) * e, abs=5e-7)
-
-
-def test_tail_dependence_bounds(row):
-    (r,) = row("a597_tail_dependence")
-    n = r["n"]
-    assert r["k90"] == (n * 9) // 10 and r["k95"] == (n * 19) // 20
-    for q in ("90", "95"):
-        kq = r[f"k{q}"]
-        for side in ("u", "l"):
-            lam = r[f"lam_{side}{q}"]
-            cnt = r[f"c{side}{q}"]
-            assert 0 <= cnt <= n - kq
-            assert lam == cnt / (n - kq)
-            assert 0.0 <= lam <= 1.0
-    # the 95% tail set is nested inside the 90% tail set
-    assert r["cu95"] <= r["cu90"] and r["cl95"] <= r["cl90"]
 
 
 def _soundex_simple(tok: str) -> str:
