@@ -61,6 +61,7 @@ _MODULES = (
     "inference5",
     "inference6",
     "inference7",
+    "inference8",
     # keep last: re-registers existing queries under driver-sampler
     # alias names (depends on every other module being loaded)
     "aliases",
