@@ -1,9 +1,13 @@
-"""Round-10 battery extension 4 (a599–a606): forecast-rationality and
+"""Round-10 battery extension 4 (a599–a610): forecast-rationality and
 structural-stability diagnostics (Mincer–Zarnowitz, Quandt–Andrews
 supF, MOSUM), inequality order-statistic measures (Hoover index,
 Palma ratio, quintile share), combined location-scale and
 distribution-shape rank tests (Lepage, Baumgartner–Weiß–Schindler,
-Fligner–Killeen), and Fisher's g exact-periodogram periodicity test.
+Fligner–Killeen), Fisher's g exact-periodogram periodicity test,
+Watson's U² circular uniformity of the daily arrival phase, the
+Holm step-down and Storey q-value multiple-testing adjusters over a
+shared 25-nation z-test family, and a character-bigram gibberish
+scorer for corpus curation.
 
 Every candidate in this tranche was vetted against the REGISTRY name
 list (the excision lesson from commit 422b3b4 — SURVEY keyword greps
@@ -1336,4 +1340,426 @@ def a599_fligner_killeen(spark, sf_dir):
             .alias("fk_stat_r"),
         )
         .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a607 Watson U² circular uniformity of daily mean arrival phase
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a607_watson_u2",
+    oracle="""
+WITH dsec AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM(CAST(EXTRACT(hour FROM ts) * 3600
+                       + EXTRACT(minute FROM ts) * 60
+                       + EXTRACT(second FROM CAST(date_trunc('second', ts)
+                                                  AS TIMESTAMP)) AS BIGINT))
+              // COUNT(*) AS BIGINT) AS t
+  FROM events GROUP BY d
+),
+r AS (
+  SELECT t,
+         CAST(row_number() OVER (ORDER BY t, d) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(t) OVER () AS BIGINT) AS st
+  FROM dsec
+),
+w AS (
+  SELECT i, n, st,
+         2 * n * t - (2 * i - 1) * 86400 - 2 * st + n * 86400 AS wi
+  FROM r
+),
+agg AS (
+  SELECT CAST(MIN(n) AS BIGINT) AS n,
+         CAST(SUM(wi * wi) AS BIGINT) AS sw2
+  FROM w
+)
+SELECT n, sw2,
+       CAST(sw2 AS DOUBLE) / (4.0 * n * n * 86400.0 * 86400.0)
+         + 1.0 / (12.0 * n) AS u2,
+       round((CAST(sw2 AS DOUBLE) / (4.0 * n * n * 86400.0 * 86400.0)
+              + 1.0 / (12.0 * n)
+              - 0.1 / n + 0.1 / (n * n)) * (1.0 + 0.8 / n), 6)
+         AS u2_mod_r
+FROM agg
+""",
+    tags=("inference", "circular"),
+)
+def a607_watson_u2(spark, sf_dir):
+    """Watson's U² rotation-invariant uniformity test on the daily
+    MEAN arrival phase (mean second-of-day of each day's events) —
+    the circular Cramér–von Mises analog that, unlike a443's Rayleigh
+    (unimodal-alternative) and a156's Kuiper (sup-norm), integrates
+    squared CDF deviation around the whole circle and is invariant to
+    where the day 'starts'. Exactness by denominator clearing: with
+    integer mean-seconds t_i (floor-divided day sums, documented) and
+    T = 86400, the centered terms scale to w_i = 2n·t_i − (2i−1)·T −
+    2Σt + n·T — exact BIGINTs whose squares sum ≤ ~4e15 on the
+    30-day panel at ANY corpus scale — and U² = Σw²/(4n²T²) +
+    1/(12n) is raw scalar algebra on two exact integers (identical
+    expression text). Stephens' modified statistic rounds at 6dp. One
+    corpus fold; a 30-row sort after."""
+    ev = table(spark, sf_dir, "events")
+    dsec = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.expr(
+            "CAST(SUM(CAST(EXTRACT(hour FROM ts) * 3600"
+            " + EXTRACT(minute FROM ts) * 60"
+            " + EXTRACT(second FROM CAST(date_trunc('second', ts)"
+            " AS TIMESTAMP)) AS BIGINT)) div COUNT(*) AS BIGINT)"
+        ).alias("t")
+    )
+    wr = Window.orderBy("t", "d")
+    wall = Window.partitionBy()
+    r = dsec.select(
+        "t",
+        F.row_number().over(wr).cast("bigint").alias("i"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+        F.sum("t").over(wall).cast("bigint").alias("st"),
+    )
+    wi = (
+        2 * F.col("n") * F.col("t")
+        - (2 * F.col("i") - 1) * 86400
+        - 2 * F.col("st")
+        + F.col("n") * 86400
+    )
+    agg = r.select("n", wi.alias("wi")).groupBy().agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.sum(F.col("wi") * F.col("wi")).cast("bigint").alias("sw2"),
+    )
+    n = F.col("n")
+    u2 = F.col("sw2").cast("double") / (4.0 * n * n * 86400.0 * 86400.0) + 1.0 / (
+        12.0 * n
+    )
+    return agg.select(
+        "n",
+        "sw2",
+        u2.alias("u2"),
+        F.round(
+            (u2 - 0.1 / n + 0.1 / (n * n)) * (1.0 + 0.8 / n), 6
+        ).alias("u2_mod_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a608 / a609 shared per-nation p-value panel
+# ---------------------------------------------------------------------------
+
+# 25 two-sided one-proportion z-tests: is each nation's customer share
+# consistent with the uniform 1/25? z = (25x − n)/sqrt(24n) has an
+# exact BIGINT numerator; p = 2·Φ(−|z|) runs the shared A&S Φ text
+# once per nation. The multiple-testing adjusters (a608 Holm, a609
+# Storey) consume this family.
+_NATION_P_SQL = """
+cnt AS (
+  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM customer GROUP BY c_nationkey
+),
+pz AS (
+  SELECT nk, x, n, m,
+         (25.0 * x - n) / sqrt(24.0 * n) AS z
+  FROM cnt
+),
+pp AS (
+  SELECT nk, x, n, m, z,
+         2.0 * {phi_mz} AS p
+  FROM pz
+)
+"""
+
+
+def _nation_p_sql() -> str:
+    from .inference import _phi
+
+    return _NATION_P_SQL.format(phi_mz=_phi("(-ABS(z))"))
+
+
+def _nation_p(spark, sf_dir):
+    from .inference import _phi
+
+    c = table(spark, sf_dir, "customer")
+    wall = Window.partitionBy()
+    cnt = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    cnt = cnt.select(
+        "nk",
+        "x",
+        F.sum("x").over(wall).cast("bigint").alias("n"),
+        F.count("*").over(wall).cast("bigint").alias("m"),
+    )
+    pz = cnt.select(
+        "nk",
+        "x",
+        "n",
+        "m",
+        ((25.0 * F.col("x") - F.col("n")) / F.sqrt(24.0 * F.col("n"))).alias(
+            "z"
+        ),
+    )
+    return pz.select(
+        "nk",
+        "x",
+        "n",
+        "m",
+        "z",
+        F.expr(f"2.0 * {_phi('(-ABS(z))')}").alias("p"),
+    ).localCheckpoint(eager=False)
+
+
+@query(
+    "a608_holm_stepdown",
+    oracle=f"""
+WITH {{np}},
+rk AS (
+  SELECT nk, m, p,
+         CAST(row_number() OVER (ORDER BY p, nk) AS BIGINT) AS i
+  FROM pp
+),
+adj AS (
+  SELECT nk, m, p, i,
+         MAX(LEAST(1.0, (m - i + 1) * p))
+           OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS holm
+  FROM rk
+)
+SELECT nk, i AS p_rank, round(p, 6) AS p_r, round(holm, 6) AS holm_r,
+       CASE WHEN holm <= 0.05 THEN 1 ELSE 0 END AS reject05
+FROM adj ORDER BY i
+""".replace("{np}", _nation_p_sql()),
+    tags=("inference", "multiple-testing"),
+)
+def a608_holm_stepdown(spark, sf_dir):
+    """Holm–Bonferroni step-down adjustment over the 25-nation
+    customer-share z-test family — the UNIFORMLY-more-powerful exact
+    replacement for plain Bonferroni that controls FWER with no
+    independence assumption, complementing the FDR-controlling
+    a553/a543 (different error metric: family-wise vs false-discovery
+    rate). The p-panel is one customer fold (exact BIGINT z
+    numerators, shared A&S Φ text once per nation); the step-down is
+    a running MAX of min(1, (m−i+1)·p) over the p-ascending order
+    (nation-key tie break), a single 25-row window. Identical doubles
+    both engines; terminal round(x, 6) readouts plus the α=0.05
+    decision column."""
+    pp = _nation_p(spark, sf_dir)
+    wr = Window.orderBy("p", "nk")
+    rk = pp.select(
+        "nk", "m", "p", F.row_number().over(wr).cast("bigint").alias("i")
+    )
+    wcum = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    holm = F.max(
+        F.least(F.lit(1.0), (F.col("m") - F.col("i") + 1) * F.col("p"))
+    ).over(wcum)
+    adj = rk.select("nk", "p", "i", holm.alias("holm"))
+    return adj.select(
+        "nk",
+        F.col("i").alias("p_rank"),
+        F.round(F.col("p"), 6).alias("p_r"),
+        F.round(F.col("holm"), 6).alias("holm_r"),
+        F.when(F.col("holm") <= 0.05, 1).otherwise(0).alias("reject05"),
+    ).orderBy("i")
+
+
+@query(
+    "a609_storey_qvalue",
+    oracle=f"""
+WITH {{np}},
+pi0 AS (
+  SELECT LEAST(1.0,
+         CAST(SUM(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+           / (0.5 * MIN(m))) AS pi0
+  FROM pp
+),
+rk AS (
+  SELECT nk, m, p,
+         CAST(row_number() OVER (ORDER BY p, nk) AS BIGINT) AS i
+  FROM pp
+),
+q AS (
+  SELECT rk.nk, rk.m, rk.p, rk.i, pi0.pi0,
+         MIN(LEAST(1.0, pi0.pi0 * rk.m * rk.p / rk.i))
+           OVER (ORDER BY rk.i ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS qv
+  FROM rk CROSS JOIN pi0
+)
+SELECT nk, i AS p_rank, round(p, 6) AS p_r, round(pi0, 6) AS pi0_r,
+       round(qv, 6) AS q_r
+FROM q ORDER BY i
+""".replace("{np}", _nation_p_sql()),
+    tags=("inference", "multiple-testing"),
+)
+def a609_storey_qvalue(spark, sf_dir):
+    """Storey q-values with the λ=0.5 plug-in π̂₀ estimate over the
+    same 25-nation z-test family as a608 — the positive-FDR refinement
+    of Benjamini–Hochberg (a553) that first ESTIMATES the null
+    fraction π₀ = #{{p > ½}}/(½·m) instead of assuming it is 1, then
+    takes the tail-monotone minimum of π̂₀·m·p/i — sharper q-values
+    whenever real effects exist. One customer fold builds the exact
+    p-panel; π̂₀ is a 1-row aggregate; the monotone step is a single
+    backwards running-MIN window over 25 rows (nation-key tie break).
+    Identical doubles both engines, terminal round(x, 6)."""
+    pp = _nation_p(spark, sf_dir)
+    pi0 = pp.agg(
+        F.least(
+            F.lit(1.0),
+            F.sum(F.when(F.col("p") > 0.5, 1).otherwise(0)).cast("double")
+            / (0.5 * F.min("m")),
+        ).alias("pi0")
+    )
+    wr = Window.orderBy("p", "nk")
+    rk = pp.select(
+        "nk", "m", "p", F.row_number().over(wr).cast("bigint").alias("i")
+    )
+    wtail = Window.orderBy("i").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    q = rk.crossJoin(F.broadcast(pi0)).select(
+        "nk",
+        "p",
+        "i",
+        "pi0",
+        F.min(
+            F.least(
+                F.lit(1.0),
+                F.col("pi0") * F.col("m") * F.col("p") / F.col("i"),
+            )
+        )
+        .over(wtail)
+        .alias("qv"),
+    )
+    return q.select(
+        "nk",
+        F.col("i").alias("p_rank"),
+        F.round(F.col("p"), 6).alias("p_r"),
+        F.round(F.col("pi0"), 6).alias("pi0_r"),
+        F.round(F.col("qv"), 6).alias("q_r"),
+    ).orderBy("i")
+
+
+# ---------------------------------------------------------------------------
+# a610 character-bigram gibberish score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a610_char_gibberish",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text)),
+                               i -> substr(text, CAST(i AS INTEGER), 2)))
+           AS b
+  FROM documents
+),
+dgb AS MATERIALIZED (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY doc_id, b
+),
+types AS MATERIALIZED (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS cbg FROM dgb GROUP BY b
+),
+pref AS (
+  SELECT substr(b, 1, 1) AS c1, CAST(SUM(cbg) AS BIGINT) AS cc1
+  FROM types GROUP BY substr(b, 1, 1)
+),
+vsz AS (
+  SELECT CAST(COUNT(DISTINCT substr(b, 2, 1)) AS BIGINT) AS v2 FROM types
+),
+score AS (
+  SELECT t.b,
+         CAST(ROUND(1e9 * ln((t.cbg + 1.0) / (p.cc1 + v.v2)), 0)
+              AS BIGINT) AS sn
+  FROM types t
+  JOIN pref p ON p.c1 = substr(t.b, 1, 1)
+  CROSS JOIN vsz v
+),
+docs AS (
+  SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS nb,
+         CAST(SUM(d.c * s.sn) AS BIGINT) AS tot
+  FROM dgb d JOIN score s ON s.b = d.b
+  GROUP BY d.doc_id
+)
+SELECT doc_id, nb,
+       CAST(-tot AS DOUBLE) / (nb * 1e9) AS nll
+FROM docs
+ORDER BY CAST(-tot AS DOUBLE) / (nb * 1e9) DESC, doc_id
+LIMIT 20
+""",
+    tags=("curation", "quality"),
+)
+def a610_char_gibberish(spark, sf_dir):
+    """Character-bigram gibberish scorer over the document corpus: fit
+    a Laplace-smoothed char-bigram model ON the corpus itself, score
+    every document by its mean negative log-likelihood −Σ ln P(c₂|c₁)
+    / n_bigrams, and surface the top-20 most surprising documents —
+    the classic keyboard-mash / mojibake / binary-spill detector that
+    word-level filters (q122's word-bigram LM, q101's Gopher rules)
+    cannot see because a mashed doc can still tokenize. Scale shape:
+    one bigram explode (routed through ensure_parallelism — a
+    single-file scan would serialize the CPU-dense substr fan-out),
+    bigram-TYPE counts (≤ alphabet², value-bounded), ln once per TYPE
+    nano-fixed to BIGINT (the a541 histogram discipline — never a
+    per-row transcendental), and a broadcast join back so each doc's
+    total is an exact BIGINT sum; the mean NLL is ONE raw IEEE
+    division of exact integers, making the top-20 ordering
+    deterministic (doc_id tie break). At 100 TB: two narrow shuffles
+    + one broadcast; no corpus-sized window."""
+    from ..operators.core import ensure_parallelism
+
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substr(text, i, 2))"
+            )
+        ).alias("b"),
+    )
+    # One corpus pass: per-(doc, bigram) counts feed BOTH the type
+    # model and the per-doc scoring join; the checkpoint stops
+    # Catalyst replanning the explode per reference (one scan instead
+    # of four). At 100 TB this materializes a corpus-shaped narrow
+    # intermediate once instead of re-reading the corpus twice.
+    dgb = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    types = dgb.groupBy("b").agg(F.sum("c").cast("bigint").alias("cbg"))
+    pref = types.groupBy(F.substring("b", 1, 1).alias("c1")).agg(
+        F.sum("cbg").cast("bigint").alias("cc1")
+    )
+    vsz = types.agg(
+        F.countDistinct(F.substring("b", 2, 1)).cast("bigint").alias("v2")
+    )
+    score = (
+        types.join(pref, F.substring(types["b"], 1, 1) == pref["c1"])
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "b",
+            F.expr(
+                "CAST(ROUND(1e9 * ln((cbg + 1.0) / (cc1 + v2)), 0) AS BIGINT)"
+            ).alias("sn"),
+        )
+    )
+    docs = (
+        dgb.join(F.broadcast(score), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("nb"),
+            F.sum(F.col("c") * F.col("sn")).cast("bigint").alias("tot"),
+        )
+    )
+    nll = (-F.col("tot")).cast("double") / (F.col("nb") * 1e9)
+    return (
+        docs.select("doc_id", "nb", nll.alias("nll"))
+        .orderBy(F.col("nll").desc(), "doc_id")
+        .limit(20)
     )

@@ -1,5 +1,5 @@
 """Textbook-invariant property checks for the round-10 battery
-extension 4 (grouper_spark/queries/inference8.py, a599-a606).
+extension 4 (grouper_spark/queries/inference8.py, a599-a610).
 
 Same contract as test_inference7_props.py: the parity gate proves
 Spark == DuckDB but cannot catch a formula BOTH sides encode wrong --
@@ -309,3 +309,144 @@ def test_fligner_killeen_recompute(spark, sf_dir, row):
         assert r["ga_r"] == pytest.approx(means[g], abs=2e-3)
         assert r["fk_stat_r"] == pytest.approx(stat, rel=0.05, abs=0.05)
         assert r["fk_stat_r"] >= 0
+
+
+def test_watson_u2_recompute(spark, sf_dir, row):
+    from pyspark.sql import functions as F
+
+    from grouper_spark.sources import table
+
+    ev = table(spark, sf_dir, "events")
+    ts = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(EXTRACT(hour FROM ts) * 3600"
+                " + EXTRACT(minute FROM ts) * 60"
+                " + EXTRACT(second FROM CAST(date_trunc('second', ts)"
+                " AS TIMESTAMP)) AS BIGINT)) div COUNT(*) AS BIGINT)"
+            ).alias("t")
+        )
+        .orderBy("t", "d")
+        .collect()
+    )
+    t = [r["t"] for r in ts]
+    n, st = len(t), sum(t)
+    ws = [
+        2 * n * ti - (2 * i - 1) * 86400 - 2 * st + n * 86400
+        for i, ti in enumerate(t, start=1)
+    ]
+    sw2 = sum(w * w for w in ws)
+    (r,) = row("a607_watson_u2")
+    assert (r["n"], r["sw2"]) == (n, sw2)
+    u2 = sw2 / (4 * n * n * 86400.0 * 86400.0) + 1 / (12 * n)
+    assert r["u2"] == u2
+    assert u2 > 0
+    # direct-definition recompute: U2 = sum(u_i - (2i-1)/2n - ubar + 1/2)^2
+    # + 1/(12n), with u_i = t_i / T
+    us = [ti / 86400 for ti in t]
+    ub = sum(us) / n
+    direct = (
+        sum(
+            (u - (2 * i - 1) / (2 * n) - ub + 0.5) ** 2
+            for i, u in enumerate(us, start=1)
+        )
+        + 1 / (12 * n)
+    )
+    assert u2 == pytest.approx(direct, rel=1e-9)
+    assert r["u2_mod_r"] == pytest.approx(
+        (u2 - 0.1 / n + 0.1 / n**2) * (1 + 0.8 / n), abs=5e-7
+    )
+
+
+@pytest.fixture(scope="module")
+def nation_p(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from grouper_spark.sources import table
+
+    c = table(spark, sf_dir, "customer")
+    xs = {
+        r["nk"]: r["x"]
+        for r in c.groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .collect()
+    }
+    n = sum(xs.values())
+    nd = NormalDist()
+    return {
+        nk: 2 * nd.cdf(-abs((25 * x - n) / math.sqrt(24 * n)))
+        for nk, x in xs.items()
+    }
+
+
+def test_holm_recompute(row, nation_p):
+    rs = row("a608_holm_stepdown")
+    m = len(nation_p)
+    assert len(rs) == m
+    order = sorted(nation_p.items(), key=lambda kv: (kv[1], kv[0]))
+    run = 0.0
+    for i, (nk, p) in enumerate(order, start=1):
+        run = max(run, min(1.0, (m - i + 1) * p))
+        r = rs[i - 1]
+        assert r["nk"] == nk and r["p_rank"] == i
+        # shared A&S Phi carries |eps| < 7.5e-8 per tail
+        assert r["p_r"] == pytest.approx(p, abs=1e-5)
+        assert r["holm_r"] == pytest.approx(run, abs=3e-4)
+        assert r["holm_r"] + 1e-9 >= r["p_r"]
+        if i > 1:
+            assert r["holm_r"] >= rs[i - 2]["holm_r"] - 1e-9
+
+
+def test_storey_recompute(row, nation_p):
+    rs = row("a609_storey_qvalue")
+    m = len(nation_p)
+    ps = sorted(nation_p.values())
+    pi0 = min(1.0, sum(1 for p in ps if p > 0.5) / (0.5 * m))
+    qs = [min(1.0, pi0 * m * p / (i + 1)) for i, p in enumerate(ps)]
+    for i in range(m - 2, -1, -1):
+        qs[i] = min(qs[i], qs[i + 1])
+    for i, r in enumerate(rs):
+        assert r["pi0_r"] == pytest.approx(pi0, abs=1e-4)
+        assert r["q_r"] == pytest.approx(qs[i], abs=3e-4)
+        assert 0.0 <= r["q_r"] <= 1.0
+        if i > 0:
+            assert r["q_r"] >= rs[i - 1]["q_r"] - 1e-9
+
+
+def test_char_gibberish_recompute(spark, sf_dir, row):
+    from grouper_spark.sources import table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    types: Counter = Counter()
+    for t in docs.values():
+        for i in range(len(t) - 1):
+            types[t[i : i + 2]] += 1
+    pref: Counter = Counter()
+    for b, c in types.items():
+        pref[b[0]] += c
+    v2 = len({b[1] for b in types})
+    sn = {
+        b: round(1e9 * math.log((c + 1.0) / (pref[b[0]] + v2)))
+        for b, c in types.items()
+    }
+    scored = []
+    for did, t in docs.items():
+        bgs = [t[i : i + 2] for i in range(len(t) - 1)]
+        if not bgs:
+            continue
+        tot = sum(sn[b] for b in bgs)
+        scored.append((did, len(bgs), -tot / (len(bgs) * 1e9)))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    rs = row("a610_char_gibberish")
+    assert [(r["doc_id"], r["nb"]) for r in rs] == [
+        (d, nb) for d, nb, _ in scored[:20]
+    ]
+    for r, (_, _, nll) in zip(rs, scored[:20]):
+        assert r["nll"] == nll
+        assert r["nll"] > 0  # mean NLL of a finite-prob model is positive
