@@ -29,6 +29,51 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(min_partitions)
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    alias: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order_cols)`` without
+    the single-partition WindowExec (which moves ALL rows to one task
+    and sorts them single-threaded — the classic global-sort straggler).
+
+    Range-repartition on the order columns (contiguous, ordered ranges
+    across partitions), rank within each partition in parallel, then
+    add exact per-partition offsets computed from the ACTUAL partition
+    counts — so the sampling variance in the range boundaries can never
+    affect the result, only the balance. ``order_cols`` must be a total
+    order (unique tuples); the returned ``alias`` column is bigint.
+
+    The partition count defaults to the session parallelism, so the
+    sort scales with the cluster instead of serializing on one core.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    counts = part.groupBy("__pid").agg(F.count("*").alias("__c"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0))
+        .cast("bigint")
+        .alias("__off"),
+    )
+    return (
+        part.withColumn("__lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(alias, (F.col("__lrn") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -3092,12 +3092,61 @@ def a448_ipf_raking(spark, sf_dir):
     1000-executor shuffle sum bit-matches DuckDB's serial fold) and
     each scaling is one ROUND of a double ratio of exact integers —
     deterministic on both engines, replayed by an unrolled-CTE
-    oracle. Each round is two groupBy-join passes over the ~100-cell
-    weight table; the corpus is touched ONCE to build cell counts.
+    oracle. The corpus is touched ONCE to build cell counts; the
+    (source × lang) weight table is vocabulary-sized (~10–100 cells
+    here), so the 20 half-steps run as exact driver-side scalar
+    arithmetic (Python ints + the functions.exact HALF_UP replica of
+    F.round(double, 0)) instead of 20 checkpoint+broadcast Spark jobs
+    — bit-identical weights, ~20 fewer jobs. A cardinality guard
+    keeps the distributed half-step loop as the fallback for a
+    pathological margin vocabulary (>100k cells).
     Zero-count cells never exist (only observed cells carry weight),
     so no scaling step can divide by zero. The output weight-to-count
     ratio per cell is the sampling rate a downstream mixer applies."""
+    from ..functions.exact import round0_half_up
+
     d = table(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy("source", "lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .limit(100_001)
+        .collect()
+    )
+    if len(cells) <= 100_000:
+        # driver-exact path: same arithmetic, zero per-iteration jobs
+        rows = [
+            [r["source"], r["lang"], r["n"], r["n"] * 1_000_000]
+            for r in cells
+        ]
+        sum_n = sum(r[2] for r in rows)
+        n_src = len({r[0] for r in rows})
+        # F.round(sum(n)·1e6/countDistinct(source)) — double ratio of
+        # exact ints, HALF_UP
+        t_row = round0_half_up(float(sum_n) * 1000000.0 / float(n_src))
+        t_lang: dict[str, int] = {}
+        for r in rows:
+            t_lang[r[1]] = t_lang.get(r[1], 0) + r[2]
+        t_lang = {k: v * 1_000_000 for k, v in t_lang.items()}
+        for _ in range(10):
+            s_src: dict[str, int] = {}
+            for r in rows:
+                s_src[r[0]] = s_src.get(r[0], 0) + r[3]
+            for r in rows:
+                r[3] = round0_half_up(
+                    float(r[3]) * float(t_row) / float(s_src[r[0]])
+                )
+            s_lang: dict[str, int] = {}
+            for r in rows:
+                s_lang[r[1]] = s_lang.get(r[1], 0) + r[3]
+            for r in rows:
+                r[3] = round0_half_up(
+                    float(r[3]) * float(t_lang[r[1]]) / float(s_lang[r[1]])
+                )
+        return spark.createDataFrame(
+            [tuple(r) for r in rows],
+            "source string, lang string, n bigint, w_micro bigint",
+        ).orderBy("source", "lang")
+
     w = (
         d.groupBy("source", "lang")
         .agg(F.count("*").cast("bigint").alias("n"))

@@ -1791,7 +1791,12 @@ def a191_passing_bablok(spark, sf_dir):
     is O(1) in corpus size; the -1 exclusion and the K count are exact
     integer tests (num = -den, num < -den cross-multiplied by positive
     den via double compare on exact inputs); medians are explicit
-    row_number order statistics, never an engine median()."""
+    row_number order statistics, never an engine median() — the slope
+    rank over the ~2.5M pairs through operators.core.global_row_number
+    (parallel range-partitioned sort, exact offsets) instead of a
+    single-task global window."""
+    from ..operators.core import global_row_number
+
     daily = _dailyv(spark, sf_dir)
     w_d = Window.orderBy("d")
     pan = daily.select(
@@ -1825,9 +1830,11 @@ def a191_passing_bablok(spark, sf_dir):
         .cast("bigint")
         .alias("k_neg"),
     )
-    ranked = valid.select(
-        "s", F.row_number().over(Window.orderBy("s", "i", "j")).alias("rn")
-    )
+    # the 2.5M-pair slope rank is the one corpus-independent hotspot:
+    # a bare Window.orderBy would sort it in ONE task (~3.4 s of the
+    # query's 6 s); the range-partitioned exact global rank runs the
+    # sort across the session's cores with bit-identical ranks
+    ranked = global_row_number(valid, ["s", "i", "j"]).select("s", "rn")
     picks = (
         ranked.crossJoin(F.broadcast(scal))
         .filter(

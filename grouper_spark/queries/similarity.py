@@ -706,59 +706,45 @@ def q249_power_iteration(spark, sf_dir):
     trajectory and the eigenvector hash-matches to the last bit.
     lambda_r is the dominant-eigenvalue estimate from the final
     pre-normalization scale. The all-ones start vector makes the
-    converged sign deterministic."""
+    converged sign deterministic. The d×d integer gramian (2080 upper
+    cells — bounded by dim², the IVF-centroid collect pattern) comes
+    to the driver once and the five iterations run as exact Python
+    integer arithmetic (the one double op per component,
+    round((double)w·1e6/mx), replicates Spark's HALF_UP rounding via
+    functions.exact) — replacing 5×(join+agg+max+checkpoint) Spark
+    jobs on 64-row frames with zero distributed work after the single
+    corpus pass."""
+    from ..functions.exact import round0_half_up
     from ..operators.linalg import gramian_upper
 
     emb = table(spark, sf_dir, "embeddings")
-    upper = gramian_upper(emb, "embedding", scale=6)
-    g = (
-        upper.select("i", "j", F.col("cents").alias("m"))
-        .unionAll(
-            upper.filter(F.col("i") != F.col("j")).select(
-                F.col("j").alias("i"),
-                F.col("i").alias("j"),
-                F.col("cents").alias("m"),
-            )
-        )
-        .localCheckpoint(eager=False)
-    )
-    v = spark.range(1, 65).select(
-        F.col("id").cast("int").alias("i"),
-        F.lit(1000000).cast("bigint").alias("v"),
-    )
+    upper = gramian_upper(emb, "embedding", scale=6).collect()
+    dim = 64
+    m = [[0] * dim for _ in range(dim)]
+    for r in upper:
+        m[r["i"] - 1][r["j"] - 1] = r["cents"]
+        m[r["j"] - 1][r["i"] - 1] = r["cents"]
+    v = [1000000] * dim
     mx = None
     for _ in range(5):
-        w = (
-            g.join(
-                F.broadcast(v.withColumnRenamed("i", "j")), "j"
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("m") * F.col("v")).cast("bigint").alias("w"))
-        )
-        mx = w.agg(F.max(F.abs(F.col("w"))).cast("bigint").alias("mx"))
-        v = (
-            w.crossJoin(F.broadcast(mx))
-            .select(
-                "i",
-                F.round(
-                    F.col("w").cast("double") * 1000000.0 / F.col("mx"), 0
-                )
-                .cast("bigint")
-                .alias("v"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return (
-        v.crossJoin(F.broadcast(mx))
-        .select(
-            F.col("i").alias("dim"),
-            F.col("v").alias("v_micro"),
-            F.round(
-                F.col("mx").cast("double") / 1000000000000.0, 6
-            ).alias("lambda_r"),
-        )
-        .orderBy("dim")
+        w = [
+            sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)
+        ]
+        mx = max(abs(x) for x in w)
+        # (double)w * 1e6 / (double)mx, rounded HALF_UP — bit-identical
+        # to the former F.round(col(w).cast(double) * 1e6 / mx, 0)
+        v = [round0_half_up(float(x) * 1000000.0 / float(mx)) for x in w]
+    out = spark.createDataFrame(
+        [(i + 1, v[i], mx) for i in range(dim)],
+        "dim int, v_micro bigint, mx bigint",
     )
+    return out.select(
+        "dim",
+        "v_micro",
+        F.round(
+            F.col("mx").cast("double") / 1000000000000.0, 6
+        ).alias("lambda_r"),
+    ).orderBy("dim")
 
 
 def _hyperplane_keys(emb):
@@ -1308,90 +1294,96 @@ def a355_mrl_truncation_audit(spark, sf_dir):
     pair under the truncated prefix vs the full vector, rolled up to
     (a) mean |Δcosine| — per-pair deltas fixed-pointed to micro units
     BEFORE the sum, so the average is an exact-integer ratio — and
-    (b) top-1 neighbor agreement with the full-width ranking. All
-    widths are computed in ONE projection over the bounded
-    query×corpus pair table (slice-then-normalize per width, no
-    re-join per width); the dim-64 row is the built-in sanity check
-    (Δ≡0, agreement≡n_queries). The 100 TB read: pick the smallest
-    width whose agreement holds and run lsh_bucket_ann there,
-    reranking at full width."""
+    (b) top-1 neighbor agreement with the full-width ranking. The
+    corpus side's four normalized prefixes are computed ONCE per row
+    BEFORE the broadcast crossJoin (not once per query×width pair —
+    a 10× saving on the dominant normalization work), and both
+    roll-ups come out of a SINGLE map-side-combined aggregation over
+    the pair table: per (query, width) the |Δcosine| micro-sum and
+    the max_by(cos, -qb) top-1 neighbor (identical to the former
+    row_number()=1 under (cos DESC, qb) — qb is unique), so no pair
+    row is exploded 4× through a shuffle and no window sort runs.
+    The dim-64 row is the built-in sanity check (Δ≡0,
+    agreement≡n_queries). The 100 TB read: pick the smallest width
+    whose agreement holds and run lsh_bucket_ann there, reranking at
+    full width."""
     from ..functions.vector import l2_normalize
     from ..operators.core import ensure_parallelism
 
     e = table(spark, sf_dir, "embeddings")
-    qs = e.filter(F.col("vec_id") < _MRL_NQ).select(
-        F.col("vec_id").alias("qa"), F.col("embedding").alias("ea")
+    # .limit is a no-op (the literal-id filter already bounds the side)
+    # that pins the bound in the plan for the broadcast lint
+    qs = e.filter(F.col("vec_id") < _MRL_NQ).limit(_MRL_NQ).select(
+        F.col("vec_id").alias("qa"),
+        *[
+            l2_normalize(F.slice(F.col("embedding"), 1, d)).alias(f"qa{d}")
+            for d in _MRL_DIMS
+        ],
     )
     cs = ensure_parallelism(e).select(
-        F.col("vec_id").alias("qb"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("qb"),
+        *[
+            l2_normalize(F.slice(F.col("embedding"), 1, d)).alias(f"qb{d}")
+            for d in _MRL_DIMS
+        ],
     )
     pairs = cs.crossJoin(F.broadcast(qs)).filter(F.col("qa") != F.col("qb"))
     cos_cols = [
-        F.round(
-            dot(
-                l2_normalize(F.slice("ea", 1, d)),
-                l2_normalize(F.slice("eb", 1, d)),
-            ),
-            6,
-        ).alias(f"c{d}")
+        F.round(dot(f"qa{d}", f"qb{d}"), 6).alias(f"c{d}")
         for d in _MRL_DIMS
     ]
-    wide = pairs.select("qa", "qb", *cos_cols).localCheckpoint(eager=False)
-    long = wide.select(
-        "qa", "qb", F.col("c64").alias("c_full"),
+    wide = pairs.select("qa", "qb", *cos_cols)
+    # one aggregation computes, per query: the pair count, each width's
+    # exact micro-unit |Δ| sum, and each width's top-1 neighbor
+    per_q = wide.groupBy("qa").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        *[
+            F.sum(
+                F.round(F.abs(F.col(f"c{d}") - F.col("c64")) * 1e6, 0).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias(f"sd{d}")
+            for d in _MRL_DIMS
+        ],
+        *[
+            F.max(
+                F.struct(
+                    F.col(f"c{d}").alias("c"), (-F.col("qb")).alias("nq")
+                )
+            ).alias(f"t{d}")
+            for d in _MRL_DIMS
+        ],
+    )
+    # reshape the n_queries-row frame to per-dim rows and finish
+    per_dim = per_q.select(
+        "n_pairs",
+        (-F.col("t64.nq")).alias("b_ref"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(d).alias("dim"), F.col(f"c{d}").alias("cos")
+                        F.lit(d).alias("dim"),
+                        F.col(f"sd{d}").alias("sd"),
+                        (-F.col(f"t{d}.nq")).alias("b_top"),
                     )
                     for d in _MRL_DIMS
                 ]
             )
-        ).alias("e"),
-    ).select(
-        "qa", "qb", F.col("e.dim").alias("dim"), F.col("e.cos").alias("cos"),
-        "c_full",
-    )
-    deltas = long.withColumn(
-        "delta_micro",
-        F.round(F.abs(F.col("cos") - F.col("c_full")) * 1e6, 0).cast("bigint"),
-    )
-    from pyspark.sql import Window
-
-    top1 = (
-        long.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("dim", "qa").orderBy(
-                    F.col("cos").desc(), "qb"
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("dim", "qa", F.col("qb").alias("b_top"))
-    )
-    ref = top1.filter(F.col("dim") == 64).select(
-        "qa", F.col("b_top").alias("b_ref")
-    )
-    agree = (
-        top1.join(F.broadcast(ref), "qa")
-        .groupBy("dim")
-        .agg(
-            F.sum((F.col("b_top") == F.col("b_ref")).cast("int"))
-            .cast("bigint")
-            .alias("n_top1_agree")
-        )
+        ).alias("x"),
     )
     return (
-        deltas.groupBy("dim")
+        per_dim.groupBy(F.col("x.dim").alias("dim"))
         .agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("n_pairs").cast("bigint").alias("n_pairs"),
             F.round(
-                F.sum("delta_micro").cast("double") / 1e6 / F.count("*"), 6
+                F.sum("x.sd").cast("double") / 1e6 / F.sum("n_pairs"), 6
             ).alias("avg_abs_delta_r"),
+            F.sum((F.col("x.b_top") == F.col("b_ref")).cast("int"))
+            .cast("bigint")
+            .alias("n_top1_agree"),
         )
-        .join(F.broadcast(agree), "dim")
         .select("dim", "n_pairs", "avg_abs_delta_r", "n_top1_agree")
         .orderBy("dim")
     )
@@ -1484,21 +1476,30 @@ def a381_product_quantization(spark, sf_dir):
     assignment census with micro-fixed mean quantization error — the
     codebook-balance/distortion diagnostic that decides whether a
     codebook needs retraining. One projection pass over the corpus;
-    zero joins, zero shuffles before the 16-group aggregate."""
+    zero joins, zero shuffles before the 16-group aggregate. The four
+    subspace arms fan out through ONE explode over an inline struct
+    array (a unionAll of four selects would re-execute the 256-term
+    distance projection once per arm — 4 corpus scans for 1)."""
     from ..operators.core import ensure_parallelism
 
     book = _pq_codebook()
     e = ensure_parallelism(table(spark, sf_dir, "embeddings"))
 
     def dist(m, k):
-        terms = None
-        for i in range(16):
-            x = F.col("embedding").getItem(m * 16 + i).cast("double")
-            t = (x - F.lit(book[(m, k)][i])) * (
-                x - F.lit(book[(m, k)][i])
-            )
-            terms = t if terms is None else terms + t
-        return terms
+        # one F.expr per distance: building the 256-term tree out of
+        # py4j Column ops costs ~4 s of driver time per call; a single
+        # SQL string parses JVM-side in one round-trip. arr[i] is
+        # 0-based like getItem; CAST('<repr>' AS DOUBLE) is the exact
+        # round-trip literal; "+" chains left-associated like the
+        # Column chain it replaces.
+        terms = " + ".join(
+            f"(CAST(embedding[{m * 16 + i}] AS DOUBLE)"
+            f" - CAST('{book[(m, k)][i]!r}' AS DOUBLE))"
+            f" * (CAST(embedding[{m * 16 + i}] AS DOUBLE)"
+            f" - CAST('{book[(m, k)][i]!r}' AS DOUBLE))"
+            for i in range(16)
+        )
+        return F.expr(terms)
 
     dists = e.select(
         "vec_id",
@@ -1528,17 +1529,23 @@ def a381_product_quantization(spark, sf_dir):
             for m in range(4)
         ],
     )
-    long = None
-    for m in range(4):
-        arm = assigned.select(
-            "vec_id",
-            F.lit(m).alias("m"),
-            F.col(f"k{m}").alias("k"),
-            F.round(F.col(f"best{m}") * 1e6, 0)
-            .cast("bigint")
-            .alias("e_micro"),
-        )
-        long = arm if long is None else long.unionAll(arm)
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.col(f"k{m}").alias("k"),
+                F.round(F.col(f"best{m}") * 1e6, 0)
+                .cast("bigint")
+                .alias("e_micro"),
+            )
+            for m in range(4)
+        ]
+    )
+    long = assigned.select(F.explode(arms).alias("a")).select(
+        F.col("a.m").alias("m"),
+        F.col("a.k").alias("k"),
+        F.col("a.e_micro").alias("e_micro"),
+    )
     return (
         long.groupBy("m", "k")
         .agg(
@@ -1959,16 +1966,23 @@ def a440_geometric_median(spark, sf_dir):
     federated averaging and outlier-proof class prototypes. Six fixed
     iterations from the fixed-point per-dimension mean; every
     iteration is ONE distributed pass: broadcast the 10-row current
-    estimate, one row-local distance fold (index order), then two
-    shuffle-free-side aggregates (per-(label,dim) numerator and
-    per-label denominator) whose terms are fixed-pointed to BIGINT —
+    estimate, one row-local distance fold (index order), then a single
+    per-(label,dim) aggregate carrying BOTH the numerator and the
+    denominator (each dim of a label sees exactly the label's row set,
+    so the per-(label,dim) denominator sum IS the per-label one — no
+    second aggregate, no num⋈den join, no corpus-wide intermediate to
+    checkpoint) with terms fixed-pointed to BIGINT —
     so the reduction is order-independent and a 1000-executor sum
     bit-matches DuckDB's serial one. The next estimate is a ratio of
     exact integers: deterministic doubles on both engines. Points
     exactly at the estimate (dist=0) are skipped per the classical
     rule. The oracle unrolls the same six relational passes as
     chained CTEs. At 100 TB: 6 linear scans, no self-join, state is
-    O(labels × dim)."""
+    O(labels × dim). The checkpoint before the dim explode is a
+    projection barrier, not a reuse cache: without it CollapseProject
+    folds the interpreted 64-term distance fold into the Generate's
+    projection and re-evaluates it once per EXPLODED row (64× the
+    work, the q104/q145 class)."""
     from ..operators.core import ensure_parallelism
 
     e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
@@ -2007,7 +2021,7 @@ def a440_geometric_median(spark, sf_dir):
             .filter(F.col("dist") > 0)
             .localCheckpoint(eager=False)
         )
-        num = (
+        y_df = (
             d.select("label", "dist", F.posexplode("v").alias("p", "x"))
             .groupBy("label", "p")
             .agg(
@@ -2017,18 +2031,18 @@ def a440_geometric_median(spark, sf_dir):
                     ).cast("bigint")
                 )
                 .cast("bigint")
-                .alias("num_fp")
+                .alias("num_fp"),
+                # every p of a label aggregates exactly the label's
+                # rows, so this per-(label,p) sum equals the per-label
+                # one — no separate denominator pass, no num⋈den join
+                F.sum(
+                    F.round(1000000000000.0 / F.col("dist"), 0).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias("den_fp"),
             )
-        )
-        den = d.groupBy("label").agg(
-            F.sum(
-                F.round(1000000000000.0 / F.col("dist"), 0).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("den_fp")
-        )
-        y_df = (
-            num.join(den, "label")
             .select(
                 "label",
                 "p",
@@ -2615,75 +2629,66 @@ def a459_kcenter_seeding(spark, sf_dir):
     maximizes what the picks contain; this maximizes how far apart
     they sit — the seeding that fixes k-means' first-8-rows codebook
     (q95) and the standard coreset/diverse-eval-set selector): start
-    from vec 0, then 7 sweeps each broadcasting the ≤8 chosen
-    vectors against the corpus, taking per-point MIN distance to the
-    set (exact fixed-point BIGINT) and picking the argmax with
-    (radius DESC, vec_id) determinism. The radius column IS the
-    covering-radius curve: radius at step k bounds every point's
-    distance to its nearest center by that value — the quantity the
-    2-approx guarantee speaks about. Each sweep is one scan + one
-    aggregate; the chosen set never exceeds k rows, so 100 TB costs
-    k linear passes (or one pass of the streaming variant)."""
+    from vec 0, then 7 sweeps each embedding the ≤8 chosen vectors as
+    codegen literals against the corpus, taking per-point MIN distance
+    to the set (exact fixed-point BIGINT, a map-side ``least()`` — no
+    crossJoin row fan-out, no corpus-wide shuffle of the vectors) and
+    picking the argmax with (radius DESC, vec_id) determinism via
+    TakeOrdered. The chosen set is ≤8 rows by construction, so the
+    per-sweep driver collect is O(k·dim) — the IVF-centroid pattern.
+    The per-member squared-diff chain adds in index order, exactly the
+    zip_with/aggregate fold it replaces (0.0 + t0 ≡ t0 in IEEE). The
+    radius column IS the covering-radius curve: radius at step k
+    bounds every point's distance to its nearest center by that value
+    — the quantity the 2-approx guarantee speaks about. Each sweep is
+    one scan + a top-1 reduce; the chosen set never exceeds k rows,
+    so 100 TB costs k linear passes (or one pass of the streaming
+    variant)."""
     from ..operators.core import ensure_parallelism
 
     e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).localCheckpoint(eager=False)
-    chosen = (
-        e.filter(F.col("vec_id") == 0)
-        .limit(1)
-        .select(
-            F.lit(1).cast("int").alias("step"),
-            "vec_id",
-            "v",
-            F.lit(0).cast("bigint").alias("radius_fp"),
-        )
-        .localCheckpoint(eager=False)
+    first = (
+        e.filter(F.col("vec_id") == 0).limit(1).collect()[0]
     )
-    d_fp = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with("v", "sv", lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+    chosen = [(1, first["vec_id"], list(first["v"]), 0)]
+
+    def d_fp_lit(sv):
+        # single SQL string per member (py4j Column chains cost seconds
+        # of driver time per sweep); v[i] is 0-based like F.get, the
+        # "+" chain left-associates like the zip_with/aggregate fold,
+        # CAST('<repr>' AS DOUBLE) round-trips the collected double
+        terms = " + ".join(
+            f"(v[{i}] - CAST('{c!r}' AS DOUBLE))"
+            f" * (v[{i}] - CAST('{c!r}' AS DOUBLE))"
+            for i, c in enumerate(sv)
         )
-        * 1000000000.0,
-        0,
-    ).cast("bigint")
+        return F.expr(
+            f"CAST(round(sqrt({terms}) * 1000000000.0, 0) AS BIGINT)"
+        )
+
     for j in range(2, 9):
-        s = chosen.select(
-            F.col("vec_id").alias("sid"), F.col("v").alias("sv")
-        ).limit(8)
-        mins = (
-            e.crossJoin(F.broadcast(s))
-            .filter(F.col("vec_id") != F.col("sid"))
-            .select("vec_id", "v", d_fp.alias("fp"))
-            .groupBy("vec_id")
-            .agg(
-                F.min("fp").alias("mn_fp"),
-                F.first("v").alias("v"),
-                F.count("*").cast("int").alias("n_seen"),
-            )
-            # a point already chosen joins fewer set rows than |S|
-            # after the != filter; requiring all |S| rows excludes it
-            .filter(F.col("n_seen") == j - 1)
-        )
+        ids = [c[1] for c in chosen]
+        mn_fp = F.least(*[d_fp_lit(c[2]) for c in chosen]) if len(
+            chosen
+        ) > 1 else d_fp_lit(chosen[0][2])
         pick = (
-            mins.orderBy(F.col("mn_fp").desc(), "vec_id")
+            e.filter(~F.col("vec_id").isin(ids))
+            .select("vec_id", "v", mn_fp.alias("mn_fp"))
+            .orderBy(F.col("mn_fp").desc(), "vec_id")
             .limit(1)
-            .select(
-                F.lit(j).cast("int").alias("step"),
-                "vec_id",
-                "v",
-                F.col("mn_fp").alias("radius_fp"),
-            )
+            .collect()[0]
         )
-        # eager: the chosen set is <=8 rows; materializing it per sweep
-        # truncates the union lineage so sweep j never replans sweep j-1
-        chosen = chosen.unionAll(pick).localCheckpoint(eager=True)
-    return chosen.select(
+        chosen.append(
+            (j, pick["vec_id"], list(pick["v"]), pick["mn_fp"])
+        )
+    out = spark.createDataFrame(
+        [(s, vid, rfp) for s, vid, _, rfp in chosen],
+        "step int, vec_id bigint, radius_fp bigint",
+    )
+    return out.select(
         "step",
         "vec_id",
         F.round(F.col("radius_fp") / 1000000000.0, 6).alias("radius_r"),

@@ -99,10 +99,30 @@ class JsonlCommitWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         tmp = f"task-{self.job_id}-{uuid.uuid4().hex}.jsonl.tmp"
         n = 0
-        with open(os.path.join(self.path, tmp), "w") as fh:
-            for r in rows:
-                fh.write(json.dumps(r.asDict()) + "\n")
-                n += 1
+        try:
+            with open(os.path.join(self.path, tmp), "w") as fh:
+                for r in rows:
+                    fh.write(json.dumps(r.asDict()) + "\n")
+                    n += 1
+        except BaseException:
+            # a task failing mid-write cleans its own litter instead of
+            # relying on the driver sweep
+            try:
+                os.remove(os.path.join(self.path, tmp))
+            except OSError:
+                pass
+            raise
+        # Zombie-task guard: a task can finish AFTER the driver's
+        # abort() swept this job's .tmp files. The ordering makes the
+        # handoff race-free: the task writes its .tmp THEN checks the
+        # abort marker; the driver writes the marker THEN sweeps. Every
+        # interleaving either has the sweep see the .tmp or the task
+        # see the marker.
+        if os.path.exists(os.path.join(self.path, f"_ABORTED-{self.job_id}")):
+            try:
+                os.remove(os.path.join(self.path, tmp))
+            except OSError:
+                pass
         return _JsonlCommitMessage(tmp, n)
 
     def _sweep_tmp(self):
@@ -150,6 +170,16 @@ class JsonlCommitWriter(DataSourceWriter):
     def abort(self, messages):
         import os
 
+        # marker BEFORE sweep (see write(): the pairing is what closes
+        # the zombie-task window). One zero-byte marker per aborted job
+        # stays behind; readers only consult _MANIFEST, so it is inert.
+        try:
+            with open(
+                os.path.join(self.path, f"_ABORTED-{self.job_id}"), "w"
+            ):
+                pass
+        except OSError:
+            pass
         for m in messages:
             if m is None:
                 continue

@@ -1,0 +1,91 @@
+"""Round-10 optimization-round tests: the new parallel global rank
+operator and the driver-side HALF_UP rounding replica that the q249 /
+a448 / a440 iteration tails rely on for bit-identical results."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from grouper_spark.functions.exact import round0_half_up
+from grouper_spark.operators.core import global_row_number
+from grouper_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test-opt-r10")
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    rng = random.Random(7)
+    rows = [
+        (rng.random(), rng.randint(0, 10**6), i)
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "s double, i bigint, j bigint")
+    got = {
+        (r["s"], r["i"], r["j"]): r["rn"]
+        for r in global_row_number(df, ["s", "i", "j"]).collect()
+    }
+    want = {
+        (r["s"], r["i"], r["j"]): r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("s", "i", "j"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_fewer_rows_than_partitions(spark):
+    df = spark.createDataFrame(
+        [(3.0, 1), (1.0, 2), (2.0, 3)], "s double, i bigint"
+    )
+    out = sorted(
+        (r["rn"], r["s"]) for r in global_row_number(df, ["s", "i"]).collect()
+    )
+    assert out == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_global_row_number_preserves_columns_and_rowcount(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("i")
+    )
+    out = global_row_number(df, [F.col("k").desc(), "i"], alias="g")
+    assert set(out.columns) == {"k", "i", "g"}
+    rns = [r["g"] for r in out.collect()]
+    assert sorted(rns) == list(range(1, 1001))
+
+
+def _spark_round0(spark, xs: list[float]) -> list[int]:
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    return [
+        r["r"]
+        for r in df.select(
+            F.round(F.col("x"), 0).cast("bigint").alias("r")
+        ).collect()
+    ]
+
+
+def test_round0_half_up_matches_spark_round(spark):
+    rng = random.Random(11)
+    xs = [
+        0.5, 1.5, 2.5, -0.5, -1.5, -2.5,          # exact ties
+        0.49999999999999994, 2.675, -2.675,       # classic repr traps
+        1e15 + 0.5, -1e15 - 0.5,                  # large magnitudes
+    ]
+    xs += [rng.uniform(-1e6, 1e6) for _ in range(200)]
+    # the exact shapes the driver-side replicas produce: ratios of
+    # big exact integers cast to double
+    for _ in range(200):
+        a = rng.randint(1, 10**17)
+        b = rng.randint(1, 10**9)
+        xs.append(float(a) * 1e6 / float(b))
+    got = [round0_half_up(x) for x in xs]
+    want = _spark_round0(spark, xs)
+    assert got == want, [
+        (x, g, w) for x, g, w in zip(xs, got, want) if g != w
+    ][:5]
