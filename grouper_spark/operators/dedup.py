@@ -144,7 +144,7 @@ def cooccurrence_pairs(
         # in-stage. Beats the equivalent self-join, which computes the
         # upstream `items` lineage once per join side and shuffles it
         # twice.
-        posting = (
+        plists = (
             u.groupBy(*bucket_cols)
             .agg(F.sort_array(F.collect_list("u")).alias("members"))
             .filter(F.size("members") <= max_bucket)
@@ -160,7 +160,7 @@ def cooccurrence_pairs(
         # position yields exactly the v > u half — the pair stream is
         # half the naive explode² and no u<v post-filter runs.
         return (
-            posting.select(
+            plists.select(
                 F.posexplode("members").alias("pos", "u"), "members"
             )
             .select(

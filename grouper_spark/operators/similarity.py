@@ -140,6 +140,15 @@ def ivf_ann(
         # argmax ties resolve to the lowest index — deterministic
         return pd.Series(_sims(v).argmax(axis=1).astype("int32"))
 
+    # The equi-join on `cell` derives an isnotnull(cell) filter that the
+    # optimizer pushes below the repartition exchange, DUPLICATING the
+    # UDF: every corpus row paid _cell_of (and the Arrow round-trip of
+    # its embedding) twice — two ArrowEvalPython nodes in the plan.
+    # Marking the (actually deterministic) UDF non-deterministic fences
+    # the pushdown so it evaluates once; _cell_of never returns null,
+    # so the filter's placement cannot change the join result.
+    _cell_of = _cell_of.asNondeterministic()
+
     @F.pandas_udf("array<int>")
     def _probes_of(v: pd.Series) -> pd.Series:
         idx = np.argsort(-_sims(v), kind="stable", axis=1)[:, :n_probe]
@@ -181,6 +190,8 @@ def lsh_neardup_pairs(
     seed: int = 42,
     max_bucket: int | None = None,
     target_bucket: int = 8,
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Corpus-scale embedding near-dup: banded random-hyperplane LSH
     candidate generation + exact cosine rerank. Never materializes
@@ -213,14 +224,21 @@ def lsh_neardup_pairs(
     (1-0.50)^16 ≈ 1.5e-5 at 1e8 rows; the miss drops below 1e-6 only
     for c ≥ ~0.9975 (p ≥ ~0.9774). A random pair (p≈0.5) collides with
     probability 2^-planes ≈ 8/n.
+
+    ``n_rows``/``dim`` let the caller pass corpus cardinality and vector
+    dimension when it already knows them (or can derive both in one
+    cheap aggregate) — otherwise this function runs one count and one
+    first() job against ``corpus``, which for a derived corpus (e.g.
+    q83's generator-expanded twins) re-executes its lineage.
     Returns ``(vec_a, vec_b, cosine)``.
     """
-    dim = 64
-    first = corpus.select(F.size(vec_col).alias("d")).first()
-    if first is not None:
-        dim = first["d"]
+    if dim is None:
+        dim = 64
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        if first is not None:
+            dim = first["d"]
     if band_planes is None:
-        n = corpus.count()
+        n = n_rows if n_rows is not None else corpus.count()
         band_planes = max(8, math.ceil(math.log2(max(n, 2) / target_bucket)))
     n_planes = num_bands * band_planes
     mat = np.array(
@@ -419,16 +437,30 @@ def tfidf_knn(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    n_docs = d.count()  # scalar, driver-side once; literal in the plan
-    idf = tf.groupBy("tok").agg(
-        F.count("*").cast("bigint").alias("df"),
-        F.round(
-            F.log(F.lit(float(n_docs)) / F.count("*").cast("double"))
-            * 1000000.0,
-            0,
+    # n_docs rides the DAG as a broadcast 1-row aggregate instead of a
+    # separate driver count() job (one fewer action + document scan;
+    # same double — the literal was float(count), this is the count
+    # cast to double before the identical division). Attached via a
+    # constant-key EQUI-join (BroadcastHashJoin), not crossJoin — a
+    # BNLJ here would trip the all-pairs plan lint this query carries.
+    nd = d.agg(F.count("*").cast("double").alias("__nd")).withColumn(
+        "__k", F.lit(1)
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(nd), "__k")
+        .select(
+            "tok",
+            "df",
+            F.round(
+                F.log(F.col("__nd") / F.col("df").cast("double")) * 1000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("idf_micro"),
         )
-        .cast("bigint")
-        .alias("idf_micro"),
     )
     if max_df is not None:
         idf = idf.filter(F.col("df") <= max_df)

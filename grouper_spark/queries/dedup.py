@@ -1759,20 +1759,29 @@ def a404_lsh_prf_eval(spark, sf_dir):
             >= _PRF_T
         )
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)  # referenced by n_true + the TP join
+        # single reference now (the fused full-outer count) — no
+        # checkpoint needed
     )
-    pred = cand.select("doc_a", "doc_b").distinct().localCheckpoint(
-        eager=False
+    pred = cand.select("doc_a", "doc_b").distinct()
+    # All three counts from ONE action: a full-outer join of the two
+    # pair sets classifies every pair as truth-only / pred-only / both,
+    # and a single aggregate counts the classes (n_tp = both, n_true =
+    # truth side, n_pred = pred side). The former three sequential
+    # .count() actions + createDataFrame round-trip ran 4 driver-
+    # synchronized jobs over the same checkpointed frames; this is one
+    # job, same integers. Ratios still rounded ENGINE-side (Python
+    # round() is banker's rounding, the oracle's is half-away).
+    pj = pred.withColumn("__p", F.lit(1)).join(
+        truth.withColumn("__t", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "full_outer",
     )
-    n_true = truth.count()
-    n_pred = pred.count()
-    n_tp = pred.join(truth, ["doc_a", "doc_b"]).count()
-    # ratios rounded ENGINE-side: Python round() is banker's rounding,
-    # the oracle's round() is half-away — compute them where the oracle
-    # does
-    base = spark.createDataFrame(
-        [(n_true, n_pred, n_tp)],
-        "n_true bigint, n_pred bigint, n_tp bigint",
+    base = pj.agg(
+        F.count("__t").cast("bigint").alias("n_true"),
+        F.count("__p").cast("bigint").alias("n_pred"),
+        F.count(F.when(F.col("__p").isNotNull() & F.col("__t").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_tp"),
     )
     return base.select(
         "n_true",

@@ -145,6 +145,12 @@ def q53_embedding_neardup(spark, sf_dir):
     from ..functions.vector import l2_normalize
     from ..operators.core import ensure_parallelism
 
+    # Pair scoring stays the HOF fold: an unrolled 64-term element_at
+    # chain was A/B-measured 4× SLOWER here (1.8s → 7.6s) — this
+    # projection sits above a BroadcastNestedLoopJoin, outside
+    # whole-stage codegen, where one fold loop beats 128 interpreted
+    # element_at calls. (The a381/a459 unroll wins are literal-
+    # coefficient chains inside codegen — a different class.)
     a = ensure_parallelism(e).select(
         F.col("vec_id").alias("vec_a"), l2_normalize("embedding").alias("__va")
     )
@@ -226,7 +232,15 @@ def q83_neardup_lsh_rerank(spark, sf_dir):
     need to mirror it (contrast q309, whose cap binds by design)."""
     e = table(spark, sf_dir, "embeddings")
     ed = F.col("embedding").cast("array<double>")
-    base = e.select("vec_id", ed.alias("emb"))
+    # Corpus cardinality (for the log2(n) plane law) and dim in ONE
+    # column-pruned aggregate job, passed into the operator — the old
+    # base.unionAll(twins) shape paid a count() and a first() that each
+    # re-executed the two-branch union lineage.
+    stats = e.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_even"),
+        F.first(F.size("embedding")).alias("d"),
+    ).first()
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("tw|"), F.col("vec_id").cast("string"))), 1, 15
@@ -235,25 +249,39 @@ def q83_neardup_lsh_rerank(spark, sf_dir):
         10,
     ).cast("bigint")
     delta = F.lit(0.02) + (h % F.lit(60001)).cast("double") / F.lit(1e6)
-    twins = (
-        e.filter(F.col("vec_id") % 2 == 0)
-        .select("vec_id", ed.alias("emb"), delta.alias("__d"))
+    # One scan emits original + planted twin together (explode of a 1-
+    # or 2-element struct array) instead of the former base.unionAll(
+    # twins), which scanned embeddings twice per evaluation. Same row
+    # multiset, same twin arithmetic, order-irrelevant downstream.
+    orig = F.struct(F.col("vec_id").alias("vec_id"), F.col("emb").alias("emb"))
+    twin = F.struct(
+        (F.col("vec_id") + F.lit(10000000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("emb", 1) + delta),
+            F.slice("emb", 2, 63),
+        ).alias("emb"),
+    )
+    corpus = (
+        e.select("vec_id", ed.alias("emb"))
         .select(
-            (F.col("vec_id") + F.lit(10000000)).alias("vec_id"),
-            F.concat(
-                F.array(F.element_at("emb", 1) + F.col("__d")),
-                F.slice("emb", 2, 63),
-            ).alias("emb"),
+            F.explode(
+                F.when(F.col("vec_id") % 2 == 0, F.array(orig, twin)).otherwise(
+                    F.array(orig)
+                )
+            ).alias("s")
         )
+        .select(F.col("s.vec_id").alias("vec_id"), F.col("s.emb").alias("emb"))
     )
     res = lsh_neardup_pairs(
-        base.unionAll(twins),
+        corpus,
         id_col="vec_id",
         vec_col="emb",
         top_pairs=20,
         num_bands=16,
         band_planes=None,
         max_bucket=1024,
+        n_rows=int(stats["n"]) + int(stats["n_even"]),
+        dim=int(stats["d"]),
     )
     return res.select(
         "vec_a", "vec_b", F.round("cosine", 6).alias("cosine_r")
@@ -2170,6 +2198,11 @@ def a450_lof_panel(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).localCheckpoint(eager=False)
 
+    # Distance stays the zip_with+aggregate fold: an unrolled 64-term
+    # element_at chain A/B-measured as a wash on the panel sweep
+    # (min-of-5 interleaved 0.58s vs 0.57s — the sweeps are join/window
+    # bound, not distance bound), so the simpler certified expression
+    # is kept.
     r_fp = F.round(
         F.sqrt(
             F.aggregate(
@@ -2235,8 +2268,11 @@ def a450_lof_panel(spark, sf_dir):
     )
 
     def lrd(t5, kd):
+        # kd is ≤750 rows by construction (one per sweep source) but
+        # sits behind a checkpoint (no stats → planner picks SMJ);
+        # broadcast explicitly to drop the exchange+sort pair.
         return (
-            t5.join(kd, t5.cand == kd.id)
+            t5.join(F.broadcast(kd), t5.cand == kd.id)
             .groupBy("src")
             .agg(
                 # exact-duplicate neighborhoods sum to 0 reach
@@ -2261,16 +2297,21 @@ def a450_lof_panel(spark, sf_dir):
 
     lrd_o = lrd(tn, kd_h)
     lrd_p = lrd(tp, kd_n)
+    # Final assembly joins are all ≤750-row frames behind checkpoints —
+    # broadcast every build side (plan: 10 SortMergeJoin + 13 Exchange
+    # → broadcast joins, exchanges only where a window/sort needs one).
     return (
-        lrd_p.join(tp, lrd_p.id == tp.src)
+        F.broadcast(lrd_p).join(tp, lrd_p.id == tp.src)
         .join(
-            lrd_o.select(
-                F.col("id").alias("oid"), F.col("lrd_fp").alias("olrd_fp")
+            F.broadcast(
+                lrd_o.select(
+                    F.col("id").alias("oid"), F.col("lrd_fp").alias("olrd_fp")
+                )
             ),
             F.col("cand") == F.col("oid"),
         )
         .join(
-            kd_p.select(F.col("id").alias("kid"), "kd_fp"),
+            F.broadcast(kd_p.select(F.col("id").alias("kid"), "kd_fp")),
             F.col("kid") == lrd_p.id,
         )
         .groupBy(

@@ -2769,50 +2769,43 @@ def a447_haar_wavelet_energy(spark, sf_dir):
         .orderBy("d")
         .limit(256)
     )
-    lv = day.select(
-        (F.row_number().over(Window.orderBy("d")) - 1)
-        .cast("bigint")
-        .alias("i"),
-        F.col("y").alias("s"),
-    ).localCheckpoint(eager=False)
-    energies = []
+    # The daily rollup is the only data-scale stage; the cascade itself
+    # touches ≤256 integers, so it runs DRIVER-SIDE in exact Python int
+    # arithmetic (the q249/a448 recipe) instead of 8 sequential
+    # checkpoint jobs + a 9-branch union. Bit-exactness: every (A−B)²
+    # is an exact integer whose level sum stays far below 2^53, so the
+    # old double F.sum was order-independent-exact and the Python int
+    # sum reproduces it digit-for-digit; energy = e_int / 2^k is an
+    # exact power-of-two scaling in both engines, and e_detail is a sum
+    # of dyadic rationals that is likewise exact. Final rounding stays
+    # ENGINE-side (F.round half-away) on the literal frame.
+    s = [int(r["y"]) for r in day.collect()]
+    rows = []
     for k in range(1, 9):
-        g = lv.groupBy(F.expr("i div 2").alias("i")).agg(
-            F.sum(F.when(F.col("i") % 2 == 0, F.col("s")).otherwise(0))
-            .cast("bigint")
-            .alias("a"),
-            F.sum(F.when(F.col("i") % 2 == 1, F.col("s")).otherwise(0))
-            .cast("bigint")
-            .alias("b"),
-        ).localCheckpoint(eager=False)
-        energies.append(
-            g.agg(
-                F.lit(k).alias("level"),
-                F.count("*").cast("bigint").alias("n_coeffs"),
-                (
-                    F.sum(
-                        (F.col("a") - F.col("b")).cast("double")
-                        * (F.col("a") - F.col("b"))
-                    )
-                    / float(2 ** k)
-                ).alias("energy"),
+        ab = [
+            (
+                sum(s[2 * j : 2 * j + 1]),
+                sum(s[2 * j + 1 : 2 * j + 2]),
             )
+            for j in range((len(s) + 1) // 2)
+        ]
+        e_int = sum((a - b) * (a - b) for a, b in ab)
+        energy = (
+            float(e_int) / float(2**k) if ab else None
         )
-        lv = g.select("i", (F.col("a") + F.col("b")).alias("s"))
-    all_lv = energies[0]
-    for e in energies[1:]:
-        all_lv = all_lv.unionAll(e)
-    tot = all_lv.agg(F.sum("energy").alias("e_detail"))
-    return (
-        all_lv.crossJoin(F.broadcast(tot))
-        .select(
-            "level",
-            "n_coeffs",
-            F.round(F.col("energy"), 6).alias("energy_r"),
-            F.round(F.col("energy") / F.col("e_detail"), 6).alias("share_r"),
-        )
-        .orderBy("level")
+        rows.append((k, len(ab), energy))
+        s = [a + b for a, b in ab]
+    e_detail = sum(r[2] for r in rows if r[2] is not None)
+    base = spark.createDataFrame(
+        [(lvl, n, en, float(e_detail)) for (lvl, n, en) in rows],
+        "level int, n_coeffs bigint, energy double, e_detail double",
     )
+    return base.select(
+        "level",
+        "n_coeffs",
+        F.round(F.col("energy"), 6).alias("energy_r"),
+        F.round(F.col("energy") / F.col("e_detail"), 6).alias("share_r"),
+    ).orderBy("level")
 
 
 @query(

@@ -84,23 +84,38 @@ class JsonlCommitWriter(DataSourceWriter):
 
         self.path = options["path"]
         self.overwrite = overwrite
-        # Job-unique prefix, minted driver-side and shipped to every
-        # task via pickling: commit()/abort() can then glob this job's
-        # leftover .tmp litter (failed-before-message tasks, lost
-        # speculative attempts) without touching a concurrent job's
-        # in-flight files.
+        # Job-unique id, minted driver-side and shipped to every task
+        # via pickling: it names this job's staging directory, so
+        # commit()/abort() can remove this job's leftover litter
+        # (failed-before-message tasks, lost speculative attempts)
+        # without touching a concurrent job's in-flight files.
         self.job_id = uuid.uuid4().hex[:12]
+
+    def _pending_dir(self) -> str:
+        import os
+
+        # Job-scoped staging directory (the FileOutputCommitter
+        # `_temporary/<attempt>` design): every task .tmp lives HERE,
+        # never in the table directory. This is what makes the protocol
+        # robust to zombie workers that are SIGKILLed between creating
+        # a .tmp and any self-cleanup — no driver sweep can win that
+        # race file-by-file (the marker handshake only helps a worker
+        # that lives long enough to check it), but litter confined to
+        # the staging dir is invisible to readers and to directory
+        # listings of the table path, and abort/commit remove the whole
+        # tree best-effort.
+        return os.path.join(self.path, f"_pending-{self.job_id}")
 
     def write(self, rows):
         import json
         import os
         import uuid
 
-        os.makedirs(self.path, exist_ok=True)
+        os.makedirs(self._pending_dir(), exist_ok=True)
         tmp = f"task-{self.job_id}-{uuid.uuid4().hex}.jsonl.tmp"
         n = 0
         try:
-            with open(os.path.join(self.path, tmp), "w") as fh:
+            with open(os.path.join(self._pending_dir(), tmp), "w") as fh:
                 for r in rows:
                     fh.write(json.dumps(r.asDict()) + "\n")
                     n += 1
@@ -108,40 +123,26 @@ class JsonlCommitWriter(DataSourceWriter):
             # a task failing mid-write cleans its own litter instead of
             # relying on the driver sweep
             try:
-                os.remove(os.path.join(self.path, tmp))
+                os.remove(os.path.join(self._pending_dir(), tmp))
             except OSError:
                 pass
             raise
         # Zombie-task guard: a task can finish AFTER the driver's
-        # abort() swept this job's .tmp files. The ordering makes the
-        # handoff race-free: the task writes its .tmp THEN checks the
-        # abort marker; the driver writes the marker THEN sweeps. Every
-        # interleaving either has the sweep see the .tmp or the task
-        # see the marker.
+        # abort() removed the staging tree. Ordering: the task writes
+        # its .tmp THEN checks the abort marker; the driver writes the
+        # marker THEN removes staging — a surviving zombie either gets
+        # cleaned by the tree removal or sees the marker and cleans
+        # itself; a SIGKILLed one leaves litter only inside the
+        # recreated staging dir, which readers never consult.
         if os.path.exists(os.path.join(self.path, f"_ABORTED-{self.job_id}")):
-            try:
-                os.remove(os.path.join(self.path, tmp))
-            except OSError:
-                pass
+            import shutil
+
+            shutil.rmtree(self._pending_dir(), ignore_errors=True)
         return _JsonlCommitMessage(tmp, n)
-
-    def _sweep_tmp(self):
-        """Remove every .tmp file this job created that was never
-        promoted by commit() — tasks that died before returning a
-        commit message leave these behind with no message to name them."""
-        import glob
-        import os
-
-        for p in glob.glob(
-            os.path.join(self.path, f"task-{self.job_id}-*.jsonl.tmp")
-        ):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
 
     def commit(self, messages):
         import os
+        import shutil
 
         final = []
         for m in messages:
@@ -149,11 +150,11 @@ class JsonlCommitWriter(DataSourceWriter):
                 continue
             dst = m.tmp_name[: -len(".tmp")]
             os.replace(
-                os.path.join(self.path, m.tmp_name),
+                os.path.join(self._pending_dir(), m.tmp_name),
                 os.path.join(self.path, dst),
             )
             final.append(dst)
-        self._sweep_tmp()
+        shutil.rmtree(self._pending_dir(), ignore_errors=True)
         manifest = os.path.join(self.path, "_MANIFEST")
         if not self.overwrite and os.path.exists(manifest):
             # mode('append'): the manifest is the reader-visible table
@@ -169,10 +170,12 @@ class JsonlCommitWriter(DataSourceWriter):
 
     def abort(self, messages):
         import os
+        import shutil
 
-        # marker BEFORE sweep (see write(): the pairing is what closes
-        # the zombie-task window). One zero-byte marker per aborted job
-        # stays behind; readers only consult _MANIFEST, so it is inert.
+        # marker BEFORE staging removal (see write(): the pairing
+        # covers zombies that survive to their check). One zero-byte
+        # marker per aborted job stays behind; readers only consult
+        # _MANIFEST, so it is inert.
         try:
             with open(
                 os.path.join(self.path, f"_ABORTED-{self.job_id}"), "w"
@@ -180,14 +183,7 @@ class JsonlCommitWriter(DataSourceWriter):
                 pass
         except OSError:
             pass
-        for m in messages:
-            if m is None:
-                continue
-            try:
-                os.remove(os.path.join(self.path, m.tmp_name))
-            except OSError:
-                pass
-        self._sweep_tmp()
+        shutil.rmtree(self._pending_dir(), ignore_errors=True)
 
 
 class JsonlCommitDataSource(DataSource):

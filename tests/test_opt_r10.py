@@ -89,3 +89,45 @@ def test_round0_half_up_matches_spark_round(spark):
     assert got == want, [
         (x, g, w) for x, g, w in zip(xs, got, want) if g != w
     ][:5]
+
+
+# --- round-10 batch 2: vector-function and pair-generator rewrites ---
+
+
+def _old_l2_normalize(a):
+    """The pre-optimization transform-with-inlined-divisor formulation
+    (O(d²) interpreted per row) — kept here as the equivalence oracle."""
+    from grouper_spark.functions.vector import l2_norm
+
+    a = F.col(a) if isinstance(a, str) else a
+    n = l2_norm(a)
+    safe = F.when(n == 0, F.lit(1.0)).otherwise(n)
+    return F.transform(a, lambda x: x.cast("double") / safe)
+
+
+def test_l2_normalize_bit_identical_to_old_formulation(spark):
+    from grouper_spark.functions.vector import l2_normalize
+
+    rng = random.Random(83)
+    rows = [
+        (i, [rng.uniform(-5, 5) for _ in range(rng.choice([1, 3, 64]))])
+        for i in range(500)
+    ]
+    rows += [(1000, [0.0] * 8), (1001, []), (1002, None)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = df.select(
+        "id",
+        l2_normalize("v").alias("new"),
+        _old_l2_normalize("v").alias("old"),
+    ).collect()
+    import struct as _struct
+
+    for r in out:
+        if r["old"] is None or r["new"] is None:
+            assert r["old"] == r["new"], r
+            continue
+        a = [_struct.pack("d", x) for x in r["new"]]
+        b = [_struct.pack("d", x) for x in r["old"]]
+        assert a == b, r["id"]
+
+
