@@ -486,31 +486,47 @@ def q144_semantic_dedup(spark, sf_dir):
     e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    # Codebook assignment is MAP-SIDE: the k=8 centroids (bounded by
+    # construction — vec_id < 8) are collected once and embedded as
+    # array literals (the IVF-codebook pattern), so the argmin is a
+    # least() over 8 per-row distance folds with NO crossJoin fan-out
+    # and NO groupBy(vec_id) shuffle carrying the vectors back
+    # together. Arithmetic is identical per (row, centroid) — the
+    # literal array holds the same doubles the broadcast column did,
+    # and least(struct(d_fp, cid)) is the same lexicographic min the
+    # row-wise F.min(struct) computed.
+    cent_rows = sorted(
+        (int(r["cid"]), list(r["cv"]))
+        for r in e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .collect()
     )
-    d_fp = F.aggregate(
-        F.zip_with(
-            "v",
-            "cv",
-            lambda x, c: F.round((x - c) * (x - c) * 1000000000000.0, 0).cast(
-                "bigint"
+
+    def d_fp_to(cv: list):
+        return F.aggregate(
+            F.zip_with(
+                "v",
+                F.lit(cv),
+                lambda x, c: F.round(
+                    (x - c) * (x - c) * 1000000000000.0, 0
+                ).cast("bigint"),
             ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    m = F.least(
+        *[
+            F.struct(
+                d_fp_to(cv).alias("d_fp"),
+                F.lit(cid).cast("bigint").alias("cid"),
+            )
+            for cid, cv in cent_rows
+        ]
     )
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", "v", d_fp.alias("d_fp"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d_fp", "cid")).alias("m"), F.first("v").alias("v"))
-        .select("vec_id", F.col("m.cid").alias("cell"), "v")
-        # referenced by both pair sides and the final left join;
-        # checkpoint so the codebook assignment runs once per query,
-        # not once per reference
-        .localCheckpoint(eager=False)
-    )
+    # single downstream reference (the per-cell cogroup) — no
+    # checkpoint needed now that nothing re-plans the assignment
+    assign = e.select("vec_id", m.getField("cid").alias("cell"), "v")
     # In-cell dedup as the published per-cluster matrix product: one
     # shuffle groups each cell's vectors into an Arrow batch, numpy
     # computes the cell's cosine gram in float64, and each vector maps

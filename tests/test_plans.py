@@ -346,15 +346,16 @@ def test_q144_codebook_broadcast_no_corpus_shuffle_for_assign(
 ):
     df = registry["q144_semantic_dedup"].fn(spark, sf_dir)
     plan = plan_of(df)
-    # the assignment subtree (codebook broadcast crossJoin) is
-    # checkpointed and computed once, so the visible plan consumes the
-    # checkpoint; in-cell dedup is the per-cluster Arrow-batched matrix
+    # r10-opt: the codebook assignment is MAP-SIDE — the 8 collected
+    # centroids ride as array literals in a least(struct(d_fp, cid))
+    # argmin, so there is NO join (and no checkpoint) anywhere in the
+    # plan; in-cell dedup stays the per-cluster Arrow-batched matrix
     # product — one hash exchange on the cell key into
     # FlatMapGroupsInPandas, never a nested loop / cartesian over
     # corpus²
-    assert "Scan ExistingRDD" in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
+    assert "least(" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "hashpartitioning(cell" in plan, plan
 
