@@ -412,29 +412,74 @@ def dedup_clusters(
     join never re-executes. Driver sees only per-round changed COUNTS
     (scalars), never row data. Raises RuntimeError instead of returning
     partially-propagated labels if max_iters is ever hit.
+
+    Scale shape: the rounds run on the EDGE-INCIDENT doc subset only.
+    An isolated doc (no jaccard>=threshold neighbor) keeps its own id
+    forever — initial label is the own id, prop never reaches it, and
+    min(own) = own — so iterating it is pure waste; at the 100 TB
+    design point the near-dup subgraph is a small fraction of the
+    corpus, and every per-round shuffle is sized by it instead of by
+    the corpus. Isolated docs are appended once at the end with their
+    own id (one anti-join, no shuffle of the rounds). Labels stay
+    closed over the subgraph: a component's min doc id is itself
+    edge-incident, so the pointer-jump parent lookup never leaves it.
     """
     pairs = shingle_jaccard_pairs(df, id_col, text_col, n).filter(
         F.col("jaccard") >= threshold
     )
-    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = half.union(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # both orientations via one explode, NOT half.union(half.reversed):
+    # union branches share no subtree at runtime, so the reversed branch
+    # would re-execute the whole shingle-join pipeline a second time
+    # (the a357/q146 lesson)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"),
+                        F.col("doc_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
 
-    labels = df.select(F.col(id_col).alias("doc")).withColumn(
-        "cluster_id", F.col("doc")
-    ).localCheckpoint()
+    # edge-incident docs only (edges carry both orientations, so src
+    # alone covers every endpoint)
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc"))
+        .localCheckpoint()
+    )
+    done = None
     for _ in range(max_iters):
         prop = labels.join(edges, labels["doc"] == edges["src"]).select(
-            F.col("dst").alias("doc"), "cluster_id"
+            F.col("dst").alias("doc"),
+            "cluster_id",
+            F.lit(None).cast(labels.schema["cluster_id"].dataType).alias("old"),
         )
+        # carry the previous label through the aggregate: the labels
+        # branch contributes exactly one row per doc, so max(old)
+        # recovers it — the round's changed count then needs no
+        # new-vs-old join, just a filter over the materialized frame.
         # checkpoint before the self-referencing parent join: stepped
         # appears on both sides, and without materialization the whole
         # union+aggregate subtree would execute twice per round
         stepped = (
-            labels.unionByName(prop)
+            labels.select("doc", "cluster_id", F.col("cluster_id").alias("old"))
+            .unionByName(prop)
             .groupBy("doc")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max("old").alias("old"),
+            )
             .localCheckpoint()
         )
         # pointer jumping: labels are doc ids, so each label has its own
@@ -445,20 +490,26 @@ def dedup_clusters(
         )
         new_labels = (
             stepped.join(parent, stepped["cluster_id"] == parent["p"])
-            .select("doc", F.col("pl").alias("cluster_id"))
+            .select("doc", F.col("pl").alias("cluster_id"), "old")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("cluster_id") != F.col("old")
+        ).count()
+        labels = new_labels.select("doc", "cluster_id")
         if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"dedup_clusters did not converge in {max_iters} iterations; "
-        "component diameter > 2^max_iters is not a plausible corpus — "
-        "check the edge threshold"
+            done = labels
+            break
+    if done is None:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} iterations; "
+            "component diameter > 2^max_iters is not a plausible corpus — "
+            "check the edge threshold"
+        )
+    # isolated docs never entered the rounds; their label is their id
+    isolated = (
+        df.select(F.col(id_col).alias("doc"))
+        .join(done.select("doc"), "doc", "left_anti")
+        .withColumn("cluster_id", F.col("doc"))
     )
+    return done.unionByName(isolated)
