@@ -131,3 +131,51 @@ def test_l2_normalize_bit_identical_to_old_formulation(spark):
         assert a == b, r["id"]
 
 
+
+def test_dedup_clusters_one_row_per_doc_min_reachable_label(spark):
+    """The subgraph-restricted rounds + isolated-doc append must emit
+    EXACTLY one row per input doc, labeled with the min doc id
+    reachable in the jaccard>=threshold pair graph — brute-force
+    BFS-checked on a corpus mixing chains, a clique, and isolates."""
+    from grouper_spark.operators import dedup_clusters, shingle_jaccard_pairs
+    from pyspark.sql import functions as F
+
+    words = [f"w{i}" for i in range(60)]
+    docs = []
+    # chain of 5 (each overlaps the next by 3 of its 6 words)
+    for i in range(5):
+        docs.append((i + 1, " ".join(words[i * 3 : i * 3 + 6])))
+    # clique of 3 near-identical docs
+    base = words[30:36]
+    docs += [
+        (10, " ".join(base)),
+        (11, " ".join(base[:5] + [words[40]])),
+        (12, " ".join(base[:5] + [words[41]])),
+    ]
+    # two isolates
+    docs += [(20, " ".join(words[45:51])), (21, " ".join(words[52:58]))]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    thr = 0.2
+    out = dedup_clusters(df, "doc_id", "text", threshold=thr).collect()
+    labels = {r["doc"]: r["cluster_id"] for r in out}
+    assert len(out) == len(docs) == len(labels)  # one row per doc
+
+    # brute-force ground truth from the same pair operator
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in shingle_jaccard_pairs(df, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= thr)
+        .collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for d, _ in docs:
+        seen = {d}
+        frontier = [d]
+        while frontier:
+            nxt = [m for f in frontier for m in adj.get(f, ()) if m not in seen]
+            seen.update(nxt)
+            frontier = nxt
+        assert labels[d] == min(seen), (d, sorted(seen))
