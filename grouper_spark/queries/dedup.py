@@ -1731,57 +1731,156 @@ def a404_lsh_prf_eval(spark, sf_dir):
     PAIR CLASSIFIER against exact truth — the method-acceptance test a
     dedup rollout needs (q246 audits the sketch's Jaccard ERROR, q305
     its capture curve; this scores the end decision): truth = pairs
-    with exact shingle Jaccard ≥ {_PRF_T} (generated through the
-    posting-list join, so truth costs colliding-pairs, never corpus²),
-    prediction = q238's banded candidates. All three counts are exact
-    integers from one shared shingle stream (the checkpointed q238
-    machinery, read three ways); P/R/F1 are single divisions. The
-    banding params (4 bands × 2 rows) come from a399's planning
-    table — this query is its empirical receipt."""
-    sh, sigs, cand = _minhash_components(spark, sf_dir)
-    szs = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
-    xa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    xb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    tp = (
-        xa.join(xb, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+    with exact shingle Jaccard ≥ {_PRF_T}, prediction = q238's banded
+    candidates; P/R/F1 are single divisions over exact integers.
+
+    The truth side never materializes doc-level pairs: docs with an
+    IDENTICAL shingle set form an equivalence class (exact dedup before
+    the quadratic stage — the guide-§8 move of deciding on small rows),
+    intersections are computed once per CLASS pair on the ≤classes-sized
+    representative posting lists, and the pair counts expand back
+    arithmetically (qualifying cross-class pair → ma·mb doc pairs;
+    any class with ≥2 members and a non-empty set contributes C(m,2)
+    Jaccard-1 pairs). A doc pair's (inter, sza, szb) depends only on
+    the two shingle SETS, so truth membership is a class-pair fact;
+    the counts are bit-identical to the former doc-level posting join,
+    which generated Σ df² pair rows — 138M at the 10× fixture (each
+    replica multiplies every df by 10, pairs by 100) vs 1.3M class-level
+    rows. Predictions classify by class lookup instead of a full-outer
+    join against the truth pair set. The banding params (4 bands × 2
+    rows) come from a399's planning table — this query is its
+    empirical receipt."""
+    from ..functions.text import word_shingles
+    from ..operators.core import ensure_parallelism
+
+    _, sigs, cand = _minhash_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    w_ss = Window.partitionBy("ss")
+    # doc → (class id = min doc_id of its shingle-set class, class size,
+    # set size); one shuffle on the sorted shingle array (exact key, no
+    # hashing shortcut — md5'ing the set would risk collisions).
+    cls = (
+        ensure_parallelism(d)
+        .select("doc_id", F.sort_array(word_shingles("text", 3)).alias("ss"))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w_ss).alias("cid"),
+            F.count("*").over(w_ss).alias("m"),
+            F.size("ss").alias("sz"),
+            "ss",
+        )
+        .localCheckpoint(eager=False)
+    )
+    reps = cls.filter(F.col("doc_id") == F.col("cid"))
+    # class-level posting lists (members sorted ⇒ emitted ca < cb, the
+    # cooccurrence_pairs slice pattern); the explicit repartition keys
+    # the O(b²) fan-out across cores before AQE can coalesce the tiny
+    # posting table to one partition.
+    plists = (
+        reps.select("cid", F.explode("ss").alias("sh"))
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_list("cid")).alias("members"))
+        .filter(F.size("members") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    ipairs = (
+        plists.select(F.posexplode("members").alias("pos", "ca"), "members")
+        .select(
+            "ca",
+            F.explode(
+                F.slice(
+                    "members",
+                    F.col("pos") + F.lit(2),
+                    F.greatest(
+                        F.size("members") - F.col("pos") - 1, F.lit(0)
+                    ),
+                )
+            ).alias("cb"),
+        )
+        .groupBy("ca", "cb")
         .agg(F.count("*").cast("bigint").alias("inter"))
     )
-    sa = szs.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = szs.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-    truth = (
-        tp.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+    sa = reps.select(
+        F.col("cid").alias("ca"),
+        F.col("sz").alias("sza"),
+        F.col("m").alias("ma"),
+    )
+    sb = reps.select(
+        F.col("cid").alias("cb"),
+        F.col("sz").alias("szb"),
+        F.col("m").alias("mb"),
+    )
+    # qualifying cross-class pairs, with the doc-pair count they expand
+    # to; referenced twice (n_true sum + prediction lookup) → checkpoint
+    qc = (
+        ipairs.join(F.broadcast(sa), "ca")
+        .join(F.broadcast(sb), "cb")
         .filter(
             F.col("inter").cast("double")
             / (F.col("sza") + F.col("szb") - F.col("inter"))
             >= _PRF_T
         )
-        .select("doc_a", "doc_b")
-        # single reference now (the fused full-outer count) — no
-        # checkpoint needed
+        .select(
+            "ca", "cb", (F.col("ma") * F.col("mb")).cast("bigint").alias("cnt")
+        )
+        .localCheckpoint(eager=False)
+    )
+    intra = reps.filter((F.col("m") >= 2) & (F.col("sz") >= 1)).select(
+        F.expr("CAST(m * (m - 1) div 2 AS BIGINT)").alias("cnt")
+    )
+    n_true_df = (
+        qc.select("cnt")
+        .unionAll(intra)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_true"))
     )
     pred = cand.select("doc_a", "doc_b").distinct()
-    # All three counts from ONE action: a full-outer join of the two
-    # pair sets classifies every pair as truth-only / pred-only / both,
-    # and a single aggregate counts the classes (n_tp = both, n_true =
-    # truth side, n_pred = pred side). The former three sequential
-    # .count() actions + createDataFrame round-trip ran 4 driver-
-    # synchronized jobs over the same checkpointed frames; this is one
-    # job, same integers. Ratios still rounded ENGINE-side (Python
-    # round() is banker's rounding, the oracle's is half-away).
-    pj = pred.withColumn("__p", F.lit(1)).join(
-        truth.withColumn("__t", F.lit(1)),
-        ["doc_a", "doc_b"],
-        "full_outer",
+    # classify every predicted pair by class lookup: same class with a
+    # non-empty set ⇒ Jaccard 1 ⇒ true; else true iff its (ca,cb) class
+    # pair qualified. qc has ca<cb strictly, so a same-class pair can
+    # never collide with a qc row.
+    pj = (
+        pred.join(
+            cls.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("cid").alias("ca0"),
+                F.col("sz").alias("sza0"),
+            ),
+            "doc_a",
+        )
+        .join(
+            cls.select(
+                F.col("doc_id").alias("doc_b"), F.col("cid").alias("cb0")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("ca0", "cb0").alias("ca"),
+            F.greatest("ca0", "cb0").alias("cb"),
+            (
+                (F.col("ca0") == F.col("cb0")) & (F.col("sza0") >= 1)
+            ).alias("same_tp"),
+        )
+        .join(
+            F.broadcast(qc.select("ca", "cb", F.lit(True).alias("qhit"))),
+            ["ca", "cb"],
+            "left",
+        )
     )
-    base = pj.agg(
-        F.count("__t").cast("bigint").alias("n_true"),
-        F.count("__p").cast("bigint").alias("n_pred"),
-        F.count(F.when(F.col("__p").isNotNull() & F.col("__t").isNotNull(), 1))
+    stats = pj.agg(
+        F.count("*").cast("bigint").alias("n_pred"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("same_tp") | F.col("qhit").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("n_tp"),
+    )
+    base = stats.crossJoin(F.broadcast(n_true_df)).select(
+        "n_true", "n_pred", "n_tp"
     )
     return base.select(
         "n_true",

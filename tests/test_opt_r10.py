@@ -179,3 +179,64 @@ def test_dedup_clusters_one_row_per_doc_min_reachable_label(spark):
             seen.update(nxt)
             frontier = nxt
         assert labels[d] == min(seen), (d, sorted(seen))
+
+
+def test_a404_class_decomposition_matches_doc_level_truth(spark, tmp_path):
+    """a404's truth side collapses identical shingle SETS into classes
+    and expands pair counts arithmetically; pin it against a doc-level
+    brute force on a corpus with nontrivial classes: replicated texts
+    (m=3 and m=2 classes), a near-dup pair straddling classes, and an
+    m=2 class with an EMPTY shingle set (texts under 3 words), whose
+    intra-class pairs must NOT count as truth (inter = 0)."""
+    import itertools
+    import re
+
+    from grouper_spark.queries.dedup import _PRF_T, _minhash_components
+
+    words = [f"w{i:02d}" for i in range(40)]
+    text_a = " ".join(words[:12])
+    text_b = " ".join(words[10:24])
+    text_b_near = " ".join(words[10:23] + [words[30]])  # high overlap w/ B
+    docs = [
+        (0, text_a),
+        (1, text_a),
+        (2, text_a),  # class m=3
+        (3, text_b),
+        (4, text_b),  # class m=2
+        (5, text_b_near),  # near-dup of the B class
+        (6, " ".join(words[25:33])),  # isolate
+        (7, "one two"),
+        (8, "one two"),  # m=2 class, EMPTY shingle set
+        (9, " ".join(words[33:40])),  # isolate
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    def shingles(t: str) -> frozenset[str]:
+        toks = re.split(r"\s+", t.strip())
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        )
+
+    ss = {i: shingles(t) for i, t in docs}
+    truth = set()
+    for a, b in itertools.combinations(sorted(ss), 2):
+        inter = len(ss[a] & ss[b])
+        union = len(ss[a] | ss[b])
+        if inter >= 1 and inter / union >= _PRF_T:
+            truth.add((a, b))
+    _, _, cand = _minhash_components(spark, sf_dir)
+    pred = {
+        (r["doc_a"], r["doc_b"])
+        for r in cand.select("doc_a", "doc_b").distinct().collect()
+    }
+    from grouper_spark.queries import load_all
+
+    row = load_all()["a404_lsh_prf_eval"].fn(spark, sf_dir).collect()[0]
+    assert row["n_true"] == len(truth)
+    assert row["n_pred"] == len(pred)
+    assert row["n_tp"] == len(pred & truth)
