@@ -1787,17 +1787,84 @@ def a191_passing_bablok(spark, sf_dir):
     to errors in BOTH measurements -- slope = the K-shifted median of
     all C(n,2) pairwise slopes (slopes exactly equal to -1 excluded, K
     = count of slopes < -1 restores symmetry), intercept = median(y -
-    b*x). Slopes live on the calendar-bounded panel so the pair stage
-    is O(1) in corpus size; the -1 exclusion and the K count are exact
-    integer tests (num = -den, num < -den cross-multiplied by positive
-    den via double compare on exact inputs); medians are explicit
-    row_number order statistics, never an engine median() — the slope
-    rank over the ~2.5M pairs through operators.core.global_row_number
-    (parallel range-partitioned sort, exact offsets) instead of a
-    single-task global window."""
+    b*x). The panel is calendar-bounded (<= ~2404 (d, v, yk) rows at
+    ANY corpus scale -- the one groupBy over orders is the only stage
+    that touches facts), so after that aggregate the whole estimator
+    runs DRIVER-SIDE on the collected panel (the q249/a448/a493
+    bounded-state recipe): the C(n,2) slopes, the shifted-median rank
+    picks and the residual median are numpy float64 ops that replicate
+    the engine expressions operation-for-operation (int64 subtraction,
+    int->double conversion, one IEEE division per pair, (lo+hi)/2.0 --
+    all exact, no transcendental), and VALUES at rank positions depend
+    only on the sorted slope order, so s-ties need no (i, j)
+    tie-breaking. Terminal round(_, 6) stays engine-side on the
+    literal frame. The former distributed pipeline (theta-join pair
+    stage + parallel global rank) remains as the fallback for a panel
+    that ever exceeds the driver bound, and for the degenerate
+    rank-out-of-range cases whose NULL flow the relational plan
+    defines."""
+    daily = _dailyv(spark, sf_dir)
+    rows = (
+        daily.select(
+            "d", "v", F.expr("CAST(y div 1000 AS BIGINT)").alias("yk")
+        )
+        .collect()
+    )
+    if 0 < len(rows) <= _PB_MAX_PANEL:
+        import numpy as np
+
+        rows.sort(key=lambda r: r["d"])
+        v = np.array([r["v"] for r in rows], dtype=np.int64)
+        yk = np.array([r["yk"] for r in rows], dtype=np.int64)
+        n = len(rows)
+        iu = np.triu_indices(n, 1)
+        den = (v[None, :] - v[:, None])[iu]
+        num = (yk[None, :] - yk[:, None])[iu]
+        keep = (den != 0) & (num != -den)
+        s = num[keep].astype(np.float64) / den[keep].astype(np.float64)
+        n_pairs = int(s.size)
+        k_neg = int((s < -1.0).sum())
+        ss = np.sort(s)
+        if n_pairs % 2 == 1:
+            ranks = ((n_pairs + 1) // 2 + k_neg,)
+        else:
+            ranks = (n_pairs // 2 + k_neg, n_pairs // 2 + 1 + k_neg)
+        if all(1 <= rk <= n_pairs for rk in ranks):
+            if n_pairs % 2 == 1:
+                b = float(ss[ranks[0] - 1])
+            else:
+                b = float((ss[ranks[0] - 1] + ss[ranks[1] - 1]) / 2.0)
+            r = yk.astype(np.float64) - np.float64(b) * v.astype(np.float64)
+            rs = np.sort(r)
+            if n % 2 == 1:
+                a_val = float(rs[(n + 1) // 2 - 1])
+            else:
+                a_val = float((rs[n // 2 - 1] + rs[n // 2]) / 2.0)
+            out = spark.createDataFrame(
+                [(n_pairs, k_neg, b, a_val)],
+                "n_pairs bigint, k_neg bigint, b double, a double",
+            )
+            return out.select(
+                "n_pairs",
+                "k_neg",
+                F.round("b", 6).alias("slope_r"),
+                F.round("a", 6).alias("intercept_r"),
+            )
+    return _a191_distributed(spark, daily)
+
+
+# driver-side panel bound for a191: 8000 days ≈ 32M pair slopes ≈ a few
+# hundred MB of transient numpy state; the fixture calendar is ~2404
+# days at every sf, so the fallback only guards a different fixture
+_PB_MAX_PANEL = 8000
+
+
+def _a191_distributed(spark, daily):
+    """The distributed Passing-Bablok pipeline (theta-join pair stage,
+    parallel global rank): fallback when the daily panel exceeds the
+    driver bound or a rank pick falls out of range."""
     from ..operators.core import global_row_number
 
-    daily = _dailyv(spark, sf_dir)
     w_d = Window.orderBy("d")
     pan = daily.select(
         "d",
