@@ -3649,14 +3649,25 @@ def a361_clustering_coefficient(spark, sf_dir):
     graph — C(i) = 2·T(i)/(deg(i)(deg(i)−1)), the "how cliquish is
     each node's neighborhood" number that completes the graph battery
     (global triangles q146, components q63, PageRank q119, LPA a357).
-    Triangles enumerate once per unordered triple via the oriented
-    two-path + closing-edge join (u<v<w), then explode to their three
-    corners for per-node counts; degrees come from the undirected edge
-    list. Per-node coefficients are micro-fixed BEFORE the histogram
-    aggregate, so bin membership and the bin means hash exactly.
-    Output is a fixed 10-bin distribution — bounded at any graph size.
-    Pair generation is order-bounded (≤7 lines/order, see a357); real
-    carts need the q146 hot-bucket cap first."""
+    Triangles are counted per EDGE by intersecting the two endpoints'
+    higher-neighbor adjacency arrays (for the canonical u<v edge list,
+    N+(x) = {y > x : (x,y) ∈ E}; a triangle a<b<c is found exactly once,
+    at its lowest edge (a,b), as c ∈ N+(a)∩N+(b)) — the corner rows for
+    per-node counts come out of ONE explode of (u,v,intersection). The
+    former two-path + closing-edge join materialized Σ_u C(d⁺(u),2)
+    candidate rows through a shuffle (49M rows for 1.2M edges at sf0.1
+    — 20k part nodes at avg degree 120 — with GC pressure to match);
+    the intersection form's shuffled volume is edge- plus
+    triangle-count-sized, and the Σ(d⁺(u)+d⁺(v)) hash-probe work runs
+    map-side inside codegen. Adjacency arrays are part-keyed (NOT
+    bounded by construction), so the joins carry no broadcast hint —
+    AQE broadcasts at audit scale and falls back to shuffle beyond its
+    threshold. Degrees come from the undirected edge list. Per-node
+    coefficients are micro-fixed BEFORE the histogram aggregate, so bin
+    membership and the bin means hash exactly. Output is a fixed 10-bin
+    distribution — bounded at any graph size. Pair generation is
+    order-bounded (≤7 lines/order, see a357); real carts need the q146
+    hot-bucket cap first."""
     li = table(spark, sf_dir, "lineitem")
     lp = li.select("l_orderkey", "l_partkey").distinct()
     a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
@@ -3666,7 +3677,7 @@ def a361_clustering_coefficient(spark, sf_dir):
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint(eager=False)  # reused by deg + three triangle sides
+        .localCheckpoint(eager=False)  # reused by deg + adj + the edge probe
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -3674,27 +3685,48 @@ def a361_clustering_coefficient(spark, sf_dir):
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("d"))
     )
-    e1 = edges.select(F.col("u").alias("tu"), F.col("v").alias("tv"))
-    e2 = edges.select(F.col("u").alias("tu"), F.col("v").alias("tw"))
-    e3 = edges.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
-    tri = (
-        e1.join(e2, "tu")
-        .filter(F.col("tw") > F.col("tv"))
+    adj = edges.groupBy("u").agg(F.collect_list("v").alias("nu"))
+    inter = (
+        edges.join(adj, "u")
         .join(
-            e3,
-            (F.col("cu") == F.col("tv")) & (F.col("cv") == F.col("tw")),
+            adj.select(F.col("u").alias("v"), F.col("nu").alias("nv")),
+            "v",
+            "left",
         )
         .select(
-            F.col("tu").alias("a"), F.col("tv").alias("b"),
-            F.col("tw").alias("c"),
+            "u",
+            "v",
+            # slice(nu,1,0) = typed empty array for max-id endpoints
+            F.array_intersect(
+                "nu", F.coalesce("nv", F.slice("nu", 1, 0))
+            ).alias("cw"),
         )
     )
+    _tsz = F.size("cw").cast("bigint")
     tcount = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("t"))
+        inter.select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("node"), _tsz.alias("t")
+                        ),
+                        F.struct(
+                            F.col("v").alias("node"), _tsz.alias("t")
+                        ),
+                    ),
+                    F.transform(
+                        "cw",
+                        lambda w: F.struct(
+                            w.alias("node"),
+                            F.lit(1).cast("bigint").alias("t"),
+                        ),
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.node").alias("node"))
+        .agg(F.sum("e.t").cast("bigint").alias("t"))
     )
     coef = deg.join(tcount, "node", "left").select(
         "node",

@@ -293,3 +293,70 @@ def test_a191_driver_path_matches_distributed_fallback(spark, tmp_path):
     want = _a191_distributed(spark, _dailyv(spark, sf_dir)).collect()
     assert len(got) == len(want) == 1
     assert got[0].asDict() == want[0].asDict()
+
+
+def test_a361_intersection_triangles_match_bruteforce(spark, tmp_path):
+    """a361's per-edge adjacency-intersection triangle counts must
+    reproduce a brute-force triple enumeration. Synthetic baskets
+    engineered for the edge cases: a 4-clique (every edge closes two
+    triangles), a node with degree 1 (no c_micro row), max-id nodes
+    with empty higher-neighbor sets (the slice(nu,1,0) branch), and a
+    disconnected zero-triangle pair."""
+    import itertools
+
+    baskets = [
+        [1, 2, 3, 4],   # 4-clique: 4 triangles
+        [2, 3, 5],      # extra triangle sharing edge (2,3)
+        [4, 5],         # closes nothing new except via (4,5)? no (4,5,x)
+        [6, 7],         # disconnected zero-triangle edge
+        [1, 5],         # path edge
+        [8],            # singleton basket: no edges
+    ]
+    rows = []
+    for oid, parts in enumerate(baskets):
+        for p in parts:
+            rows.append((oid, p))
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    # brute force over the undirected co-purchase graph
+    edges = set()
+    for parts in baskets:
+        for a, b in itertools.combinations(sorted(set(parts)), 2):
+            edges.add((a, b))
+    nodes = sorted({n for e in edges for n in e})
+    deg = {n: sum(1 for e in edges if n in e) for n in nodes}
+    tri = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    bins: dict[int, list] = {}
+    for n in nodes:
+        d = deg[n]
+        if d < 2:
+            continue
+        c_micro = round(2.0 * tri[n] / (d * (d - 1)) * 1e6)  # no .5 ties
+        bins.setdefault(min(c_micro // 100000, 9), []).append(
+            (tri[n], c_micro)
+        )
+    want = {
+        int(b): (
+            len(v),
+            sum(t for t, _ in v),
+            round(sum(c for _, c in v) / 1e6 / len(v), 6),
+        )
+        for b, v in bins.items()
+    }
+    from grouper_spark.queries import load_all
+
+    got = {
+        r["c_bin"]: (r["n_nodes"], r["triangles_x3"], r["avg_c_r"])
+        for r in load_all()["a361_clustering_coefficient"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want
