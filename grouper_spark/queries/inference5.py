@@ -98,8 +98,68 @@ def a208_siegel_repeated_medians(spark, sf_dir):
     pairwise slope is one exact-integer-ratio double; all medians are
     explicit row_number order statistics (never an engine median), with
     deterministic (value, index) tie-breaks so both engines pick the
-    identical element."""
+    identical element. Because the panel is calendar-bounded, the whole
+    estimator after the one orders groupBy runs DRIVER-SIDE on the
+    collected panel (the a191 recipe): the (n×n) slope matrix, the
+    per-row and global median picks and the residual median are numpy
+    float64 ops replicating the engine expressions op-for-op (int64
+    subtraction, int→double conversion, one IEEE division per pair,
+    (lo+hi)/2.0), and VALUES at rank positions depend only on sorted
+    order, so ties need no (s, j) tie-breaking. Terminal round(_, 6)
+    stays engine-side on the literal frame. The distributed pipeline
+    remains as the fallback for an oversized panel."""
     daily = _dailyv(spark, sf_dir)
+    rows = daily.select("d", "v").collect()
+    if 2 <= len(rows) <= _SIEGEL_MAX_PANEL:
+        import numpy as np
+
+        rows.sort(key=lambda r: r["d"])
+        v = np.array([r["v"] for r in rows], dtype=np.int64)
+        n = len(rows)
+        idx = np.arange(1, n + 1, dtype=np.int64)
+        num = (v[None, :] - v[:, None]).astype(np.float64)
+        den = (idx[None, :] - idx[:, None]).astype(np.float64)
+        np.fill_diagonal(den, 1.0)  # dummy; diagonal excluded below
+        s = num / den
+        np.fill_diagonal(s, np.inf)  # sorts last, then dropped
+        srt = np.sort(s, axis=1)[:, : n - 1]  # the n-1 slopes per i
+        k = n - 1
+        if k % 2 == 1:
+            m = srt[:, n // 2 - 1]
+        else:
+            m = (srt[:, k // 2 - 1] + srt[:, k // 2]) / 2.0
+        ms = np.sort(m)
+        if n % 2 == 1:
+            b = float(ms[(n + 1) // 2 - 1])
+        else:
+            b = float((ms[n // 2 - 1] + ms[n // 2]) / 2.0)
+        r = v.astype(np.float64) - np.float64(b) * idx.astype(np.float64)
+        rs = np.sort(r)
+        if n % 2 == 1:
+            a_val = float(rs[(n + 1) // 2 - 1])
+        else:
+            a_val = float((rs[n // 2 - 1] + rs[n // 2]) / 2.0)
+        out = spark.createDataFrame(
+            [(n, b, a_val)], "n bigint, b double, a double"
+        )
+        return out.select(
+            "n",
+            F.round("b", 6).alias("slope_r"),
+            F.round("a", 6).alias("intercept_r"),
+        )
+    return _a208_distributed(spark, daily)
+
+
+# driver-side panel bound for a208: 4000 days ≈ two 128 MB (n×n) numpy
+# matrices; the fixture calendar is ~2404 days at every sf, so the
+# fallback only guards a different fixture
+_SIEGEL_MAX_PANEL = 4000
+
+
+def _a208_distributed(spark, daily):
+    """The distributed Siegel pipeline (i≠j theta-join pair stage,
+    per-i rank windows): fallback when the daily panel exceeds the
+    driver bound."""
     pan = daily.select(
         "v",
         F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),

@@ -360,3 +360,40 @@ def test_a361_intersection_triangles_match_bruteforce(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_a208_driver_path_matches_distributed_fallback(spark, tmp_path):
+    """a208's driver-exact numpy path must reproduce the distributed
+    pipeline bit-for-bit. Two synthetic panels: even n with repeated v
+    values (slope ties across pairs, mean-of-two medians at every
+    level) and odd n (middle-element picks)."""
+    import datetime
+
+    from grouper_spark.queries import load_all
+    from grouper_spark.queries.inference4 import _dailyv
+    from grouper_spark.queries.inference5 import _a208_distributed
+
+    base = datetime.date(2024, 3, 1)
+    for panel in (
+        [3, 7, 7, 2, 9, 9, 4, 11, 3, 8, 10, 5],  # n=12, ties
+        [5, 1, 6, 6, 2, 8, 4, 9, 7, 3, 12],      # n=11
+    ):
+        rows = []
+        oid = 0
+        for day, v in enumerate(panel):
+            d = base + datetime.timedelta(days=day)
+            for _ in range(v):
+                rows.append((oid, d, 100.0))
+                oid += 1
+        spark.createDataFrame(
+            rows, "o_orderkey bigint, o_orderdate date, o_totalprice double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/orders.parquet"
+        )
+        sf_dir = str(tmp_path)
+        got = load_all()["a208_siegel_repeated_medians"].fn(
+            spark, sf_dir
+        ).collect()
+        want = _a208_distributed(spark, _dailyv(spark, sf_dir)).collect()
+        assert len(got) == len(want) == 1
+        assert got[0].asDict() == want[0].asDict()
