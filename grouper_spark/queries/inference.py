@@ -7431,7 +7431,14 @@ def a524_weighted_kappa(spark, sf_dir):
     E = row×col margins), so each kappa is ONE division; the 3×3
     grid is filled densely so zero cells still contribute their
     expected weight. One corpus fold + broadcast midpoint; ≤9 cells
-    at any scale."""
+    at any scale — so the margin/weight tail runs DRIVER-SIDE on the
+    collected contingency cells (the q249/a448 recipe: pure BIGINT
+    sums, bit-identical), replacing the former grid/margins/moments
+    join cascade (5 lattice-sized Spark jobs); the terminal divisions
+    + round(6) stay engine-side on the literal frame. An empty corpus
+    reproduces the engine's NULL flow (nn = SUM() over zero rows is
+    NULL, so the observed sums are NULL while the expected sums are
+    0)."""
     ev = table(spark, sf_dir, "events")
     rng = ev.agg(
         F.min(F.unix_micros("ts")).alias("lo"),
@@ -7465,49 +7472,36 @@ def a524_weighted_kappa(spark, sf_dir):
         )
 
     lv = act.select(band("a1").alias("l1"), band("a2").alias("l2"))
-    # ct feeds 4 branches (cells + row/col margins + total):
-    # checkpoint the <=9-row table so the corpus fold plans once
     ct = lv.groupBy("l1", "l2").agg(
         F.count("*").cast("bigint").alias("n")
-    ).coalesce(1).localCheckpoint(eager=False)
-    # one 9-row literal frame: building this as crossJoin of two
-    # default-parallelism frames made a 32x32 = 1024-partition
-    # cartesian stage for 9 rows (observed 19-24 s at sf0.01)
-    grid = spark.createDataFrame(
-        [(i, j) for i in range(3) for j in range(3)], "l1 int, l2 int"
-    ).coalesce(1)
-    rows = ct.groupBy("l1").agg(
-        F.sum("n").cast("bigint").alias("row_n")
     )
-    cols = ct.groupBy("l2").agg(
-        F.sum("n").cast("bigint").alias("col_n")
-    )
-    nn = ct.agg(F.sum("n").cast("bigint").alias("nn"))
-    full_ = (
-        grid.join(F.broadcast(ct), ["l1", "l2"], "left")
-        .join(F.broadcast(rows), "l1", "left")
-        .join(F.broadcast(cols), "l2", "left")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "l1",
-            "l2",
-            F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
-            F.coalesce("row_n", F.lit(0).cast("bigint")).alias("row_n"),
-            F.coalesce("col_n", F.lit(0).cast("bigint")).alias("col_n"),
-            "nn",
-        )
-    )
-    dq = (F.col("l1") - F.col("l2")) * (F.col("l1") - F.col("l2"))
-    dl = F.abs(F.col("l1") - F.col("l2"))
-    sums = full_.groupBy("nn").agg(
-        F.sum(dq * F.col("n") * F.col("nn")).cast("bigint").alias("wo_q"),
-        F.sum(dq * F.col("row_n") * F.col("col_n"))
-        .cast("bigint")
-        .alias("we_q"),
-        F.sum(dl * F.col("n") * F.col("nn")).cast("bigint").alias("wo_l"),
-        F.sum(dl * F.col("row_n") * F.col("col_n"))
-        .cast("bigint")
-        .alias("we_l"),
+    # ≤ 9 rows by construction (3×3 band grid): margins, weights and
+    # the four moment sums run driver-side in exact ints
+    cells = {(r["l1"], r["l2"]): r["n"] for r in ct.collect()}
+    if cells:
+        nn = sum(cells.values())
+        row_n = {i: sum(cells.get((i, j), 0) for j in range(3))
+                 for i in range(3)}
+        col_n = {j: sum(cells.get((i, j), 0) for i in range(3))
+                 for j in range(3)}
+        wo_q = we_q = wo_l = we_l = 0
+        for i in range(3):
+            for j in range(3):
+                dq = (i - j) * (i - j)
+                dl = abs(i - j)
+                n = cells.get((i, j), 0)
+                wo_q += dq * n * nn
+                we_q += dq * row_n[i] * col_n[j]
+                wo_l += dl * n * nn
+                we_l += dl * row_n[i] * col_n[j]
+    else:
+        # engine NULL flow on an empty corpus: nn = SUM() of no rows
+        # is NULL, so observed sums are NULL and expected sums are 0
+        nn = wo_q = wo_l = None
+        we_q = we_l = 0
+    sums = spark.createDataFrame(
+        [(nn, wo_q, we_q, wo_l, we_l)],
+        "nn bigint, wo_q bigint, we_q bigint, wo_l bigint, we_l bigint",
     )
     return sums.select(
         F.col("nn").alias("n_users"),

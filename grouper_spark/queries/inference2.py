@@ -4352,7 +4352,17 @@ def a094_morans_i_geary_c(spark, sf_dir):
     centi-quantized BIGINTs (n·cnt − S scaled, headroom to sf1), so
     Σw·z_iz_j, Σw(z_i−z_j)² and Σz² are exact integers; adjacency is
     the constant 4-offset equi-join. At 100 TB: one fold, then
-    lattice-sized work."""
+    lattice-sized work. The lattice tail (zero-fill, deviations, rook
+    pairs, moment sums) runs DRIVER-SIDE on the collected ≤1600
+    occupancy cells (the q249/a448 recipe): every step is exact integer
+    arithmetic except the zc deviation, whose one double expression is
+    replicated bit-for-bit by functions.exact.round0_half_up; the
+    terminal divisions + round(6) stay engine-side on the literal
+    moment frame. The former tail was 7 chained lattice-sized Spark
+    jobs (grid join, tot, z checkpoint, offset explode, pair join, two
+    moment aggregates)."""
+    from ..functions.exact import round0_half_up
+
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     xy = (
@@ -4367,6 +4377,8 @@ def a094_morans_i_geary_c(spark, sf_dir):
         .select(
             F.round("c_acctbal", 0).cast("bigint").alias("x"), "y"
         )
+        # rng + occ both read xy: one corpus join/groupBy, not two
+        .localCheckpoint(eager=False)
     )
     rng = xy.agg(
         F.min("x").cast("bigint").alias("xlo"),
@@ -4389,54 +4401,34 @@ def a094_morans_i_geary_c(spark, sf_dir):
         )
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    # single literal frame: range().crossJoin(range()) would build a
-    # 32x32-partition cartesian stage for the 1600-cell lattice
-    allcells = spark.createDataFrame(
-        [(i, j) for i in range(g) for j in range(g)],
-        "cx long, cy long",
-    ).coalesce(1)
-    grid = allcells.join(occ, ["cx", "cy"], "left").select(
-        "cx",
-        "cy",
-        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"),
+    # ≤ g² rows by construction (grouped on capped grid keys); the
+    # zero-filled lattice, deviations, rook pairs and moment sums run
+    # driver-side in exact ints (zc's one double expression replicated
+    # by round0_half_up)
+    cnt = {(r["cx"], r["cy"]): r["cnt"] for r in occ.collect()}
+    nc = g * g
+    s = sum(cnt.values())
+    zc = {
+        (i, j): round0_half_up(
+            (float(cnt.get((i, j), 0)) * nc - s) * 100.0 / nc
+        )
+        for i in range(g)
+        for j in range(g)
+    }
+    cross_sum = diff_sum = w = 0
+    for (i, j), za in zc.items():
+        for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            zb = zc.get((i + di, j + dj))
+            if zb is not None:
+                cross_sum += za * zb
+                diff_sum += (za - zb) * (za - zb)
+                w += 1
+    zz = sum(v * v for v in zc.values())
+    sums = spark.createDataFrame(
+        [(nc, w, cross_sum, diff_sum, zz)],
+        "nc bigint, w bigint, cross_sum bigint, diff_sum bigint,"
+        " zz bigint",
     )
-    tot = grid.agg(
-        F.count("*").cast("bigint").alias("nc"),
-        F.sum("cnt").cast("bigint").alias("s"),
-    )
-    z = grid.crossJoin(F.broadcast(tot)).select(
-        "cx",
-        "cy",
-        F.round(
-            (F.col("cnt").cast("double") * F.col("nc") - F.col("s"))
-            * 100.0 / F.col("nc"),
-            0,
-        ).cast("bigint").alias("zc"),
-        "nc",
-    ).localCheckpoint(eager=False)
-    off = spark.createDataFrame(
-        [(-1, 0), (1, 0), (0, -1), (0, 1)], "dx long, dy long"
-    )
-    shifted = z.crossJoin(F.broadcast(off)).select(
-        (F.col("cx") + F.col("dx")).alias("cx"),
-        (F.col("cy") + F.col("dy")).alias("cy"),
-        F.col("zc").alias("za"),
-    )
-    pairs = shifted.join(
-        z.select("cx", "cy", F.col("zc").alias("zb")), ["cx", "cy"]
-    )
-    psums = pairs.agg(
-        F.sum(F.col("za") * F.col("zb")).cast("bigint").alias("cross_sum"),
-        F.sum(
-            (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
-        ).cast("bigint").alias("diff_sum"),
-        F.count("*").cast("bigint").alias("w"),
-    )
-    zsums = z.agg(
-        F.sum(F.col("zc") * F.col("zc")).cast("bigint").alias("zz"),
-        F.max("nc").alias("nc"),
-    )
-    sums = psums.crossJoin(F.broadcast(zsums))
     ncd = F.col("nc").cast("double")
     return sums.select(
         F.col("nc").alias("n_cells"),

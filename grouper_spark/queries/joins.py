@@ -1174,7 +1174,13 @@ def q294_hotspot_analysis(spark, sf_dir):
     corpus-sized — and the z denominator uses the standard Gi*
     variance with exact integer moments from the filled lattice. One
     corpus aggregate (cell counts), everything after is constant-size
-    regardless of point volume."""
+    regardless of point volume — so the lattice tail (zero-fill,
+    integer moments, 3×3 neighborhood sums) runs DRIVER-SIDE on the
+    collected ≤100 occupancy cells (the q249/a448 recipe: pure BIGINT
+    arithmetic, bit-identical), replacing the former checkpoint +
+    theta-join + two-aggregate cascade; the terminal sqrt/division
+    expression stays engine-side on the literal (cell × moments)
+    frame, so its IEEE sequence is unchanged."""
     c = table(spark, sf_dir, "customer")
     h = lambda a, b: (  # noqa: E731
         F.conv(
@@ -1190,49 +1196,46 @@ def q294_hotspot_analysis(spark, sf_dir):
         F.expr("x div 100").cast("int").alias("cx"),
         F.expr("y div 100").cast("int").alias("cy"),
     ).agg(F.count("*").cast("bigint").alias("n"))
-    # one 100-row literal frame — a crossJoin of two default-
-    # parallelism range() frames makes a 32x32-partition cartesian
-    # stage for 100 rows (the a056 scheduler-overhead bug)
-    lattice = spark.createDataFrame(
-        [(i, j) for i in range(10) for j in range(10)],
-        "cx int, cy int",
+    # ≤ 100 rows by construction (10×10 grid keys); zero-fill,
+    # moments and 3×3 neighborhood sums run driver-side in exact ints
+    occ = {(r["cx"], r["cy"]): r["n"] for r in counts.collect()}
+    filled = {
+        (i, j): occ.get((i, j), 0) for i in range(10) for j in range(10)
+    }
+    m = len(filled)
+    s1 = sum(filled.values())
+    s2 = sum(v * v for v in filled.values())
+    rows = []
+    for (i, j), n in sorted(filled.items()):
+        wsum = k = 0
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                gn = filled.get((i + di, j + dj))
+                if gn is not None:
+                    wsum += gn
+                    k += 1
+        rows.append((i, j, n, wsum, k, m, s1, s2))
+    # Arrow (pandas) literal path: createDataFrame(tuples).coalesce(1)
+    # routes all 32 parent slices through ONE task's sequential Python
+    # worker rounds (~4.5 s at local[32]); Arrow batches convert
+    # driver-side and scan JVM-only (measured 0.08 s)
+    import pandas as pd
+
+    cells = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["cx", "cy", "n", "wsum", "k", "m", "s1", "s2"],
+        ),
+        "cx int, cy int, n bigint, wsum bigint, k bigint, m bigint,"
+        " s1 bigint, s2 bigint",
     ).coalesce(1)
-    filled = (
-        lattice.join(counts, ["cx", "cy"], "left")
-        .select(
-            "cx", "cy", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
-        )
-        .localCheckpoint(eager=False)
-    )
-    stats = filled.agg(
-        F.count("*").cast("bigint").alias("m"),
-        F.sum("n").cast("bigint").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
-    )
-    g = filled.select(
-        F.col("cx").alias("gx"), F.col("cy").alias("gy"), F.col("n").alias("gn")
-    )
-    nbhd = (
-        filled.join(
-            g,
-            (F.abs(F.col("gx") - F.col("cx")) <= 1)
-            & (F.abs(F.col("gy") - F.col("cy")) <= 1),
-        )
-        .groupBy("cx", "cy")
-        .agg(
-            F.sum("gn").cast("bigint").alias("wsum"),
-            F.count("*").cast("bigint").alias("k"),
-        )
-    )
     md = F.col("m").cast("double")
     mean = F.col("s1").cast("double") / md
     sd = F.sqrt(F.col("s2").cast("double") / md - mean * mean)
     kd = F.col("k").cast("double")
     denom = sd * F.sqrt((md * kd - kd * kd) / (F.col("m") - 1))
     return (
-        nbhd.join(filled, ["cx", "cy"])
-        .crossJoin(F.broadcast(stats))
-        .select(
+        cells.select(
             "cx",
             "cy",
             "n",
