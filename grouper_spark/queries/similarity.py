@@ -653,14 +653,19 @@ def q240_lsh_hyperplane_index(spark, sf_dir):
     over the corpus, one map-side-combined groupBy; the planes ride
     along as constants, never a join."""
     emb = table(spark, sf_dir, "embeddings")
-    e = F.col("embedding").cast("array<double>")
 
+    # one F.expr SQL string per plane dot (the a381 plan-construction
+    # lesson, same rewrite as _hyperplane_keys): parses to the
+    # identical aggregate/zip_with tree, so the fold order and the
+    # sign bits are unchanged bit-for-bit
     def dot_plane(p: int):
-        plane = F.array(*[F.lit(x) for x in _LSH_PLANES[p]])
-        return F.aggregate(
-            F.zip_with(e, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        plane = ", ".join(
+            f"CAST('{x!r}' AS DOUBLE)" for x in _LSH_PLANES[p]
+        )
+        return F.expr(
+            "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" array({plane}), (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
 
     dots = emb.select(
@@ -793,15 +798,24 @@ def q249_power_iteration(spark, sf_dir):
 
 def _hyperplane_keys(emb):
     """(vec_id, k0, k1) band keys from the shared md5-literal planes —
-    the Spark half of q240's signature machinery, reused by q266."""
-    e = F.col("embedding").cast("array<double>")
+    the Spark half of q240's signature machinery, reused by q266.
+
+    Each plane dot is ONE F.expr SQL string (16 py4j calls total)
+    instead of a py4j Column chain per literal (16 planes × 64 F.lit +
+    zip_with/aggregate lambdas ≈ 2000 round-trips — q266's wall was
+    8-10 s of plan CONSTRUCTION against ~1 s of execution, the a381
+    class). The SQL text parses to the identical aggregate/zip_with
+    expression tree, so the IEEE fold order — and the band bits — are
+    unchanged bit-for-bit."""
 
     def dot_plane(p: int):
-        plane = F.array(*[F.lit(x) for x in _LSH_PLANES[p]])
-        return F.aggregate(
-            F.zip_with(e, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        plane = ", ".join(
+            f"CAST('{x!r}' AS DOUBLE)" for x in _LSH_PLANES[p]
+        )
+        return F.expr(
+            "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" array({plane}), (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
 
     dots = emb.select(
@@ -2033,23 +2047,38 @@ def a440_geometric_median(spark, sf_dir):
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).localCheckpoint(eager=False)
-    # y0: fixed-point per-dimension mean
-    ex = e.select("label", F.posexplode("v").alias("p", "x"))
-    m0 = ex.groupBy("label", "p").agg(
-        (
-            F.round(
-                F.sum(F.round(F.col("x") * 1000000000.0, 0).cast("bigint"))
-                / F.count("*"),
-                0,
-            ).cast("bigint")
-            / 1000000000.0
-        ).alias("y")
+    # Each aggregation level below is ONE 64/65-accumulator
+    # groupBy(label) over the vector column (every per-p sum as its
+    # own accumulator, assembled into the y array in index order) —
+    # the former posexplode → groupBy(label, p) → groupBy(label)
+    # collect_list pair cost TWO shuffles per iteration plus a 64×
+    # row fan-out; the fused form is one map-side-combined exchange of
+    # 10 rows. Identical BIGINT terms in an order-independent sum and
+    # an identical per-element double expression ⇒ bit-identical y.
+    # Expressions are F.expr SQL strings (the a381 plan-construction
+    # lesson: 6 × 65 py4j agg trees otherwise dominate the wall).
+    _dim = 64
+    _m0_sums = [
+        F.expr(
+            f"CAST(SUM(CAST(ROUND(element_at(v, {p + 1})"
+            " * CAST(1000000000.0 AS DOUBLE), 0) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias(f"s{p}")
+        for p in range(_dim)
+    ]
+    _m0_y = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST(ROUND(s{p} / cnt, 0) AS BIGINT)"
+            " / CAST(1000000000.0 AS DOUBLE)"
+            for p in range(_dim)
+        )
+        + ")"
     )
-    y_df = m0.groupBy("label").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("p", "y"))),
-            lambda s: s["y"],
-        ).alias("y")
+    y_df = (
+        e.groupBy("label")
+        .agg(*_m0_sums, F.count("*").alias("cnt"))
+        .select("label", _m0_y.alias("y"))
     )
     dist_fold = F.sqrt(
         F.aggregate(
@@ -2057,6 +2086,28 @@ def a440_geometric_median(spark, sf_dir):
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
+    )
+    _num_sums = [
+        F.expr(
+            f"CAST(SUM(CAST(ROUND(element_at(v, {p + 1}) / dist"
+            " * CAST(1000000000.0 AS DOUBLE), 0) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias(f"n{p}")
+        for p in range(_dim)
+    ]
+    # every p of a label aggregates exactly the label's rows, so the
+    # per-label den sum IS the former per-(label,p) one
+    _den_sum = F.expr(
+        "CAST(SUM(CAST(ROUND(CAST(1000000000000.0 AS DOUBLE) / dist,"
+        " 0) AS BIGINT)) AS BIGINT)"
+    ).alias("den")
+    _it_y = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST(n{p} AS DOUBLE) * CAST(1000.0 AS DOUBLE) / den"
+            for p in range(_dim)
+        )
+        + ")"
     )
     for _ in range(6):
         d = (
@@ -2066,43 +2117,9 @@ def a440_geometric_median(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
         y_df = (
-            d.select("label", "dist", F.posexplode("v").alias("p", "x"))
-            .groupBy("label", "p")
-            .agg(
-                F.sum(
-                    F.round(
-                        F.col("x") / F.col("dist") * 1000000000.0, 0
-                    ).cast("bigint")
-                )
-                .cast("bigint")
-                .alias("num_fp"),
-                # every p of a label aggregates exactly the label's
-                # rows, so this per-(label,p) sum equals the per-label
-                # one — no separate denominator pass, no num⋈den join
-                F.sum(
-                    F.round(1000000000000.0 / F.col("dist"), 0).cast(
-                        "bigint"
-                    )
-                )
-                .cast("bigint")
-                .alias("den_fp"),
-            )
-            .select(
-                "label",
-                "p",
-                (
-                    F.col("num_fp").cast("double")
-                    * 1000.0
-                    / F.col("den_fp")
-                ).alias("yv"),
-            )
-            .groupBy("label")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("p", "yv"))),
-                    lambda s: s["yv"],
-                ).alias("y")
-            )
+            d.groupBy("label")
+            .agg(*_num_sums, _den_sum)
+            .select("label", _it_y.alias("y"))
         )
     counts = e.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_members")
