@@ -29,6 +29,32 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(min_partitions)
 
 
+def literal_frame(spark, rows: list[tuple], schema: str) -> DataFrame:
+    """Small literal DataFrame via the Arrow (pandas) conversion path.
+
+    ``spark.createDataFrame(list_of_tuples, ...)`` parallelizes the
+    rows over ``defaultParallelism`` Python-pickled slices, so every
+    evaluation of the frame runs one Python-worker round PER SLICE —
+    ~0.3 s for 32 parallel tasks at local[32], and ~4.5 s when a
+    ``.coalesce(1)`` folds the 32 rounds into one sequential task (the
+    q294 finding). A pandas DataFrame converts to Arrow batches on the
+    driver, so the scan is JVM-only (measured 0.08 s for the same
+    coalesced frame). Falls back to the tuple path when pandas is
+    unavailable or the Arrow conversion rejects the values — identical
+    rows either way, only the scan changes.
+    """
+    try:
+        import pandas as pd
+
+        names = [f.split()[0] for f in schema.split(",")]
+        pdf = pd.DataFrame(
+            [list(r) for r in rows], columns=names, dtype=object
+        )
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: Sequence[Column | str],

@@ -15,6 +15,7 @@ from pyspark.sql import Window, functions as F
 from ..operators import cooccurrence_pairs
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 
 @query(
@@ -1558,7 +1559,7 @@ def q264_ranking_overlap(spark, sf_dir):
         F.row_number().over(wa).alias("ra"),
         F.row_number().over(wb).alias("rb"),
     )
-    ks = spark.createDataFrame([(10,), (25,), (50,), (100,)], "k int")
+    ks = literal_frame(spark, [(10,), (25,), (50,), (100,)], "k int")
     hit = (
         (F.col("ra") <= F.col("k")) & (F.col("rb") <= F.col("k"))
     ).cast("int")
@@ -2949,7 +2950,8 @@ def q328_cache_coverage_curve(spark, sf_dir):
         F.row_number().over(w).alias("rk"),
         F.sum("hits").over(wt).cast("bigint").alias("total"),
     )
-    spine = spark.createDataFrame(
+    spine = literal_frame(
+        spark,
         [(10,), (50,), (100,), (500,), (1000,)], "cache_size bigint"
     )
     covered = F.sum(

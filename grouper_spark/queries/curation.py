@@ -25,6 +25,7 @@ from ..functions.text import (
 )
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 _TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
 
@@ -3142,7 +3143,8 @@ def a448_ipf_raking(spark, sf_dir):
                 r[3] = round0_half_up(
                     float(r[3]) * float(t_lang[r[1]]) / float(s_lang[r[1]])
                 )
-        return spark.createDataFrame(
+        return literal_frame(
+        spark,
             [tuple(r) for r in rows],
             "source string, lang string, n bigint, w_micro bigint",
         ).orderBy("source", "lang")

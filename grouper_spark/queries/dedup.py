@@ -17,6 +17,7 @@ from ..operators import (
 )
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 
 @query(
@@ -1477,7 +1478,8 @@ def q325_dedup_threshold_curve(spark, sf_dir):
         F.col("size_a").cast("bigint").alias("sz_a"),
         F.col("size_b").cast("bigint").alias("sz_b"),
     ).localCheckpoint(eager=False)
-    spine = spark.createDataFrame(
+    spine = literal_frame(
+        spark,
         [(50,), (60,), (70,), (80,), (90,)], "thr_pct bigint"
     )
     ndocs = d.agg(F.count("*").cast("bigint").alias("n"))

@@ -16,6 +16,7 @@ from ..operators import sessionize
 from ..sources import table
 from . import query
 from ._sqlgen import sql_money_sum
+from ..operators.core import literal_frame
 
 
 @query(
@@ -1406,7 +1407,8 @@ def q293_session_gap_sensitivity(spark, sf_dir):
             "gap_us"
         )
     ).filter(F.col("gap_us").isNotNull())
-    spine = spark.createDataFrame(
+    spine = literal_frame(
+        spark,
         [(5,), (15,), (30,), (60,), (120,)], "gap_minutes bigint"
     )
     users = ev.agg(

@@ -16,6 +16,7 @@ from pyspark.sql import Window, functions as F
 from ..functions.text import tokens
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 _N_POSTINGS = 5
 
@@ -623,7 +624,8 @@ def a399_lsh_band_optimizer(spark, sf_dir):
     exponents is deterministic cross-engine (both delegate to libm
     pow on identical inputs; verified by the hash gate). Ten-row
     compute-only output; sf_dir is accepted for signature parity."""
-    grid = spark.createDataFrame(
+    grid = literal_frame(
+        spark,
         [(4, 2), (4, 4), (8, 2), (8, 4), (8, 8),
          (16, 2), (16, 4), (32, 2), (32, 4), (64, 2)],
         "b int, r int",

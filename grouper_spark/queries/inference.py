@@ -35,6 +35,7 @@ from pyspark.sql import Window, functions as F
 
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 
 @query(
@@ -1771,7 +1772,8 @@ def a484_goertzel_periodogram(spark, sf_dir):
     dev = ts.crossJoin(F.broadcast(mu)).select(
         "t", (F.col("y") - F.col("ym")).cast("bigint").alias("dv"), "n"
     )
-    trig = spark.createDataFrame(
+    trig = literal_frame(
+        spark,
         _TRIG_ROWS, "p int, j int, c_fp bigint, s_fp bigint"
     )
     terms = dev.join(
@@ -3257,7 +3259,8 @@ def a493_hits(spark, sf_dir):
                     hraw[src] = hraw.get(src, 0) + w_fp * a[dst]
             htot = sum(hraw.values())
             h = {n: hraw.get(n, 0) // (htot // 1_000_000_000) for n in node_names}
-        lit = spark.createDataFrame(
+        lit = literal_frame(
+        spark,
             [(n, h[n], a[n]) for n in node_names],
             "node string, hs bigint, as_ bigint",
         )
@@ -3275,7 +3278,7 @@ def a493_hits(spark, sf_dir):
             .coalesce(1)
             .localCheckpoint(eager=True)
         )
-        nodes = spark.createDataFrame([(n,) for n in node_names], "node string")
+        nodes = literal_frame(spark, [(n,) for n in node_names], "node string")
         h_df = nodes.select(
             "node", F.lit(1000000000).cast("bigint").alias("s")
         )
@@ -3466,7 +3469,7 @@ def a494_rich_club(spark, sf_dir):
         )
         .select("dgu", "dgv")
     )
-    ks = spark.createDataFrame([(k,) for k in _RC_KS], "k int")
+    ks = literal_frame(spark, [(k,) for k in _RC_KS], "k int")
     nr = (
         deg.crossJoin(F.broadcast(ks))
         .groupBy("k")
@@ -3930,7 +3933,8 @@ def a498_absorbing_markov(spark, sf_dir):
                 s: 1_000_000 + inc.get(s, 0) // 1_000_000
                 for s in _ABS_STATES
             }
-        lit = spark.createDataFrame(
+        lit = literal_frame(
+        spark,
             [(s, v[s]) for s in _ABS_STATES], "s string, v bigint"
         )
     else:  # pragma: no cover - vocabulary beyond any plausible event mix
@@ -3948,7 +3952,8 @@ def a498_absorbing_markov(spark, sf_dir):
             .coalesce(1)
             .localCheckpoint(eager=True)
         )
-        tstates = spark.createDataFrame(
+        tstates = literal_frame(
+        spark,
             [(s,) for s in _ABS_STATES], "s string"
         )
         v_df = tstates.select("s", F.lit(0).cast("bigint").alias("v"))
@@ -4170,7 +4175,7 @@ def a500_decay_weighted_engagement(spark, sf_dir):
         ).alias("age"),
         F.round(F.col("value") * 100.0, 0).cast("bigint").alias("vc"),
     )
-    decay = spark.createDataFrame(_DECAY_ROWS, "age bigint, w_fp bigint")
+    decay = literal_frame(spark, _DECAY_ROWS, "age bigint, w_fp bigint")
     scored = (
         aged.join(F.broadcast(decay), "age")
         .groupBy("user_id")
@@ -7345,7 +7350,7 @@ def a523_rank_biased_overlap(spark, sf_dir):
         F.greatest("r1", "r2").alias("m")
     ).filter(F.col("m") <= 50)
     hist = mm.groupBy("m").agg(F.count("*").cast("bigint").alias("c"))
-    ks = spark.createDataFrame(_RBO_ROWS, "k int, w_fp bigint")
+    ks = literal_frame(spark, _RBO_ROWS, "k int, w_fp bigint")
     ov = (
         ks.join(F.broadcast(hist), F.col("m") <= F.col("k"), "left")
         .groupBy("k", "w_fp")
@@ -7499,7 +7504,8 @@ def a524_weighted_kappa(spark, sf_dir):
         # is NULL, so observed sums are NULL and expected sums are 0
         nn = wo_q = wo_l = None
         we_q = we_l = 0
-    sums = spark.createDataFrame(
+    sums = literal_frame(
+        spark,
         [(nn, wo_q, we_q, wo_l, we_l)],
         "nn bigint, wo_q bigint, we_q bigint, wo_l bigint, we_l bigint",
     )

@@ -21,6 +21,7 @@ from pyspark.sql import Window, functions as F
 
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 # Shared base series: daily order revenue in whole dollars — exact
 # integer fold (cents round, then integer div), one shuffle on the
@@ -523,7 +524,7 @@ def a531_croston_intermittent(spark, sf_dir):
         .cast("bigint").alias("gap"),
         (F.row_number().over(wr).cast("bigint") - 1).alias("age"),
     )
-    wtab = spark.createDataFrame(_CROSTON_ROWS, "age bigint, wfp bigint")
+    wtab = literal_frame(spark, _CROSTON_ROWS, "age bigint, wfp bigint")
     recent = seq.join(F.broadcast(wtab), "age")
     fit = recent.groupBy("bkt").agg(
         F.count("*").cast("bigint").alias("m_obs"),
@@ -1186,7 +1187,8 @@ def a535_connected_components(spark, sf_dir):
     hist: dict[int, int] = {}
     for s in csize.values():
         hist[s] = hist.get(s, 0) + 1
-    lit = spark.createDataFrame(
+    lit = literal_frame(
+        spark,
         [(s, n, s * n) for s, n in sorted(hist.items())],
         "component_size bigint, n_components bigint, n_nodes bigint",
     )
@@ -2398,7 +2400,7 @@ def a546_elbow_wss(spark, sf_dir):
         F.min("x").cast("bigint").alias("lo"),
         F.max("x").cast("bigint").alias("hi"),
     )
-    ks = spark.createDataFrame([(k,) for k in _ELBOW_KS], "k bigint")
+    ks = literal_frame(spark, [(k,) for k in _ELBOW_KS], "k bigint")
     assigned = (
         hist.crossJoin(F.broadcast(rng))
         .crossJoin(F.broadcast(ks))
@@ -2501,7 +2503,7 @@ def a079_hill_tail_index(spark, sf_dir):
         F.round(F.log(F.col("x").cast("double")) * 1e6, 0)
         .cast("bigint").alias("lnx_micro"),
     )
-    ks = spark.createDataFrame([(k,) for k in _HILL_KS], "k bigint")
+    ks = literal_frame(spark, [(k,) for k in _HILL_KS], "k bigint")
     per_k = (
         top.crossJoin(F.broadcast(ks))
         .groupBy("k")
@@ -3162,7 +3164,7 @@ def a084_dbscan_grid(spark, sf_dir):
         "cx", "cy", "cnt",
         (F.col("cx") * g + F.col("cy")).cast("bigint").alias("key"),
     ).localCheckpoint(eager=True)
-    off = spark.createDataFrame(_DBSCAN_OFFSETS, "dx long, dy long")
+    off = literal_frame(spark, _DBSCAN_OFFSETS, "dx long, dy long")
     shifted = core.crossJoin(F.broadcast(off)).select(
         (F.col("cx") + F.col("dx")).alias("cx"),
         (F.col("cy") + F.col("dy")).alias("cy"),
@@ -4424,7 +4426,8 @@ def a094_morans_i_geary_c(spark, sf_dir):
                 diff_sum += (za - zb) * (za - zb)
                 w += 1
     zz = sum(v * v for v in zc.values())
-    sums = spark.createDataFrame(
+    sums = literal_frame(
+        spark,
         [(nc, w, cross_sum, diff_sum, zz)],
         "nc bigint, w bigint, cross_sum bigint, diff_sum bigint,"
         " zz bigint",
@@ -4962,7 +4965,7 @@ def a098_ohlc_technical(spark, sf_dir):
         (F.col("close") - F.lag("close").over(wh))
         .cast("bigint").alias("chg"),
     ).localCheckpoint(eager=False)
-    wtab = spark.createDataFrame(_RSI_ROWS, "age bigint, wfp bigint")
+    wtab = literal_frame(spark, _RSI_ROWS, "age bigint, wfp bigint")
     p = seq.select(
         F.col("bar").alias("pbar"), F.col("chg").alias("chg")
     ).filter(F.col("chg").isNotNull())
@@ -5093,7 +5096,8 @@ def a099_cross_correlation(spark, sf_dir):
     ).withColumn(
         "t", F.row_number().over(wd).cast("bigint")
     ).localCheckpoint(eager=False)
-    lags = spark.createDataFrame(
+    lags = literal_frame(
+        spark,
         [(l,) for l in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1)],
         "lag bigint",
     )
@@ -6092,7 +6096,8 @@ def a133_group_sequential_obf(spark, sf_dir):
     fold — 5× a user-keyed aggregate, never 5 scans). At 100 TB: one
     filtered fold keyed (look, arm, user)."""
     ev = table(spark, sf_dir, "events")
-    looks = spark.createDataFrame(
+    looks = literal_frame(
+        spark,
         [(d, z) for d, z in _OBF_LOOKS], "look_day bigint, z_bound double"
     )
     per_user = ev.filter(F.col("event_type") == "purchase").select(
@@ -7744,7 +7749,8 @@ def a145_shapley_attribution(spark, sf_dir):
             F.sum("conv").cast("bigint").alias("k"),
         )
     )
-    subsets = spark.createDataFrame(
+    subsets = literal_frame(
+        spark,
         [(a, b) for a in range(16) for b in range(16) if (a & b) == a],
         "sub bigint, sup bigint",
     )
@@ -7763,7 +7769,8 @@ def a145_shapley_attribution(spark, sf_dir):
             ).otherwise(F.lit(0.0)).alias("vv"),
         )
     )
-    terms = spark.createDataFrame(
+    terms = literal_frame(
+        spark,
         _SHAP_TERMS, "ch bigint, s_lo bigint, s_hi bigint, w bigint"
     )
     phi = (

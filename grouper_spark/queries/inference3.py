@@ -23,6 +23,7 @@ from pyspark.sql import Window, functions as F
 
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 # Daily order revenue in whole dollars — exact BIGINT (cents summed
 # exactly, then integer-divided). Shared by the forecast/filter ops.
@@ -366,7 +367,8 @@ def a149_boxcox_grid(spark, sf_dir):
         .cast("bigint")
         .alias("m")
     ).agg(F.count("*").cast("bigint").alias("w"))
-    lam = spark.createDataFrame(
+    lam = literal_frame(
+        spark,
         [(-1.0,), (0.0,), (0.5,), (1.0,)], "lambda double"
     )
     mD = F.col("m").cast("double")
@@ -1043,7 +1045,8 @@ def a155_spectral_entropy(spark, sf_dir):
     dev = ts.crossJoin(F.broadcast(mu)).select(
         "t", (F.col("y") - F.col("ym")).cast("bigint").alias("dv"), "n"
     )
-    trig = spark.createDataFrame(
+    trig = literal_frame(
+        spark,
         _SPEC_TRIG_ROWS, "p int, j int, c_fp bigint, s_fp bigint"
     )
     sums = (
@@ -3093,7 +3096,7 @@ def a172_logistic_irls(spark, sf_dir):
             ).alias("b1"),
         ).localCheckpoint(eager=True)
 
-    beta = spark.createDataFrame([(0.0, 0.0)], "b0 double, b1 double")
+    beta = literal_frame(spark, [(0.0, 0.0)], "b0 double, b1 double")
     for _ in range(3):
         beta = step(beta)
     tot = hist.agg(
@@ -3265,7 +3268,7 @@ def a173_cox_ph(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
 
-    beta = spark.createDataFrame([(0.0,)], "b double")
+    beta = literal_frame(spark, [(0.0,)], "b double")
     for _ in range(2):
         beta = step(beta)
     tot = grid.agg(F.sum("c").cast("bigint").alias("n_users"))

@@ -28,6 +28,7 @@ from pyspark.sql import Window, functions as F
 
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 # Daily order volume + whole-dollar revenue — both exact BIGINTs.
 # Shared by the filter/dependence/model-selection ops. The day panel is
@@ -1840,7 +1841,8 @@ def a191_passing_bablok(spark, sf_dir):
                 a_val = float(rs[(n + 1) // 2 - 1])
             else:
                 a_val = float((rs[n // 2 - 1] + rs[n // 2]) / 2.0)
-            out = spark.createDataFrame(
+            out = literal_frame(
+        spark,
                 [(n_pairs, k_neg, b, a_val)],
                 "n_pairs bigint, k_neg bigint, b double, a double",
             )
@@ -3429,7 +3431,8 @@ def a206_allan_variance(spark, sf_dir):
     idx = daily.crossJoin(F.broadcast(bounds)).select(
         "v", F.datediff("d", "d0").cast("bigint").alias("t")
     )
-    taus = spark.createDataFrame(
+    taus = literal_frame(
+        spark,
         [(1,), (2,), (4,), (8,), (16,)], "tau long"
     )
     blocks = (

@@ -34,6 +34,7 @@ from pyspark.sql import Window, functions as F
 from ..sources import table
 from . import query
 from .inference4 import _DAILYV_SQL, _DAILYVK_SQL, _dailyv, _dailyvk
+from ..operators.core import literal_frame
 
 
 @query(
@@ -139,7 +140,8 @@ def a208_siegel_repeated_medians(spark, sf_dir):
             a_val = float(rs[(n + 1) // 2 - 1])
         else:
             a_val = float((rs[n // 2 - 1] + rs[n // 2]) / 2.0)
-        out = spark.createDataFrame(
+        out = literal_frame(
+        spark,
             [(n, b, a_val)], "n bigint, b double, a double"
         )
         return out.select(

@@ -20,6 +20,7 @@ from ..functions.text import money_sum
 from ..sources import table
 from . import query
 from ._sqlgen import sql_money_sum
+from ..operators.core import literal_frame
 
 
 @query(
@@ -1215,17 +1216,14 @@ def q294_hotspot_analysis(spark, sf_dir):
                     wsum += gn
                     k += 1
         rows.append((i, j, n, wsum, k, m, s1, s2))
-    # Arrow (pandas) literal path: createDataFrame(tuples).coalesce(1)
-    # routes all 32 parent slices through ONE task's sequential Python
-    # worker rounds (~4.5 s at local[32]); Arrow batches convert
-    # driver-side and scan JVM-only (measured 0.08 s)
-    import pandas as pd
-
-    cells = spark.createDataFrame(
-        pd.DataFrame(
-            rows,
-            columns=["cx", "cy", "n", "wsum", "k", "m", "s1", "s2"],
-        ),
+    # Arrow literal path (operators.core.literal_frame):
+    # createDataFrame(tuples).coalesce(1) routes all 32 parent slices
+    # through ONE task's sequential Python worker rounds (~4.5 s at
+    # local[32]); Arrow batches convert driver-side and scan JVM-only
+    # (measured 0.08 s)
+    cells = literal_frame(
+        spark,
+        rows,
         "cx int, cy int, n bigint, wsum bigint, k bigint, m bigint,"
         " s1 bigint, s2 bigint",
     ).coalesce(1)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 _PMI_WINDOW = 2  # co-occurrence distance: tokens within 2 positions
 _PMI_MIN_PAIRS = 5
@@ -547,7 +548,8 @@ def q230_mixture_kl_audit(spark, sf_dir):
     tok = d.groupBy("source").agg(
         F.sum(token_count("text")).cast("bigint").alias("n_tokens")
     )
-    target = spark.createDataFrame(
+    target = literal_frame(
+        spark,
         [("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1)],
         "source string, p_target double",
     )
@@ -1202,7 +1204,8 @@ def q342_vocab_coverage_curve(spark, sf_dir):
         F.row_number().over(w).alias("rk"),
         F.sum("f").over(wt).cast("bigint").alias("total"),
     )
-    spine = spark.createDataFrame(
+    spine = literal_frame(
+        spark,
         [(100,), (500,), (1000,), (5000,), (20000,)], "vocab_size bigint"
     )
     covered = F.sum(

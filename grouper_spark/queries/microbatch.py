@@ -18,6 +18,7 @@ from ..streaming import (
 from ..streaming.stream import append_stream_file, stateful_sessionize
 from ..streaming.stream import scoped_shuffle_partitions
 from . import query
+from ..operators.core import literal_frame
 
 # Stateful streaming runs without AQE; size the state-store width to the
 # replayed fixture state instead of the batch default.
@@ -315,7 +316,7 @@ def q71_incremental_matview(spark, sf_dir):
         # collect-then-rewrite avoids reading+overwriting the same files
         # in one plan; the view is group-key-sized (tiny) by definition
         rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode(
+        literal_frame(spark, rows, merged.schema).write.mode(
             "overwrite"
         ).parquet(view_dir)
 
@@ -623,7 +624,7 @@ def q187_idempotent_sink(spark, sf_dir):
         else:
             merged = part
         rows = merged.collect()  # group-key-sized by definition
-        spark.createDataFrame(rows, merged.schema).write.mode(
+        literal_frame(spark, rows, merged.schema).write.mode(
             "overwrite"
         ).parquet(sink_dir)
         committed.add(batch_id)

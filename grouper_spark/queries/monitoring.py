@@ -17,6 +17,7 @@ from pyspark.sql import Window, functions as F
 
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 _PSI_BIN = 100  # n_chars bin width
 
@@ -4134,7 +4135,8 @@ def a405_power_analysis(spark, sf_dir):
         "k",
         (F.col("k").cast("double") / F.col("n")).alias("p"),
     )
-    grid = spark.createDataFrame(
+    grid = literal_frame(
+        spark,
         [(0.01,), (0.02,), (0.05,), (0.10,)], "mde double"
     )
 
@@ -6287,7 +6289,8 @@ def a443_circular_stats(spark, sf_dir):
     Flat-profile fixture → R̄≈0, p≈1: the test correctly refuses to
     see a peak hour. At 100 TB: the bucket rollup is the only
     data-scale stage."""
-    trig = spark.createDataFrame(
+    trig = literal_frame(
+        spark,
         [(h, _COS_FP_24[h], _SIN_FP_24[h]) for h in range(24)],
         "hod int, cos_fp long, sin_fp long",
     )

@@ -18,6 +18,7 @@ from ..functions.text import token_count
 from ..operators import canonicalize_exact, dedup_clusters
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 _MIN_TOKENS = 10
 _JACCARD = 0.5
@@ -224,7 +225,8 @@ def q237_observation_metrics(spark, sf_dir):
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [
             (
                 m["n_rows"],

@@ -13,6 +13,7 @@ from ..functions.vector import cosine_similarity, dot, l2_norm
 from ..operators import ann_topk_bruteforce, ivf_ann, lsh_bucket_ann, lsh_neardup_pairs
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 N_QUERIES = 10
 TOP_K = 5
@@ -783,7 +784,8 @@ def q249_power_iteration(spark, sf_dir):
         # (double)w * 1e6 / (double)mx, rounded HALF_UP — bit-identical
         # to the former F.round(col(w).cast(double) * 1e6 / mx, 0)
         v = [round0_half_up(float(x) * 1000000.0 / float(mx)) for x in w]
-    out = spark.createDataFrame(
+    out = literal_frame(
+        spark,
         [(i + 1, v[i], mx) for i in range(dim)],
         "dim int, v_micro bigint, mx bigint",
     )
@@ -2758,7 +2760,8 @@ def a459_kcenter_seeding(spark, sf_dir):
         chosen.append(
             (j, pick["vec_id"], list(pick["v"]), pick["mn_fp"])
         )
-    out = spark.createDataFrame(
+    out = literal_frame(
+        spark,
         [(s, vid, rfp) for s, vid, _, rfp in chosen],
         "step int, vec_id bigint, radius_fp bigint",
     )

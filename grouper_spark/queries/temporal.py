@@ -17,6 +17,7 @@ from pyspark.sql import Window, functions as F
 from ..functions.text import money
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 
 @query(
@@ -1221,7 +1222,8 @@ def q298_backtest_mape(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("x"))
         .localCheckpoint(eager=False)
     )
-    horizons = spark.createDataFrame(
+    horizons = literal_frame(
+        spark,
         [(1,), (2,), (3,), (7,)], "horizon bigint"
     )
     f = daily.select(F.col("day").alias("fday"), F.col("x").alias("forecast"))
@@ -1509,7 +1511,7 @@ def q329_poisson_fit_gof(spark, sf_dir):
         F.least(F.col("k"), F.lit(9).cast("bigint")).alias("kbin")
     ).agg(F.count("*").cast("bigint").alias("o"))
     facts = [1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0, 40320.0, 362880.0]
-    spine = spark.createDataFrame([(k,) for k in range(10)], "kbin bigint")
+    spine = literal_frame(spark, [(k,) for k in range(10)], "kbin bigint")
     lam = F.col("sk").cast("double") / F.col("n")
     fact = None
     for k, fv in enumerate(facts):
@@ -1942,7 +1944,7 @@ def a402_hurst_exponent(spark, sf_dir):
     ranked = daily.select(
         "x", F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k")
     )
-    ms = spark.createDataFrame([(8,), (16,), (32,)], "m long")
+    ms = literal_frame(spark, [(8,), (16,), (32,)], "m long")
     chunked = ranked.crossJoin(F.broadcast(ms)).select(
         "m",
         F.expr("(k - 1) div m").alias("chunk"),
@@ -2796,7 +2798,8 @@ def a447_haar_wavelet_energy(spark, sf_dir):
         rows.append((k, len(ab), energy))
         s = [a + b for a, b in ab]
     e_detail = sum(r[2] for r in rows if r[2] is not None)
-    base = spark.createDataFrame(
+    base = literal_frame(
+        spark,
         [(lvl, n, en, float(e_detail)) for (lvl, n, en) in rows],
         "level int, n_coeffs bigint, energy double, e_detail double",
     )

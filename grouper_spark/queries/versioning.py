@@ -15,6 +15,7 @@ from pyspark.sql import Window, functions as F
 
 from ..sources import table
 from . import query
+from ..operators.core import literal_frame
 
 # v1 = orders before 1997; v2 = orders before 1998 with urgent-priority
 # totals repriced +10%. Deterministic synthetic "versions" of one table.
@@ -1345,7 +1346,8 @@ def a400_format_footprint_advisor(spark, sf_dir):
             getattr(w, fmt)(path)
         b = fs_bytes(path)
         rows.append((fmt, n_rows, b, round(b / n_rows, 2)))
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         rows, "format string, n_rows bigint, total_bytes bigint, "
         "bytes_per_row double"
     ).orderBy("format")

@@ -397,3 +397,23 @@ def test_a208_driver_path_matches_distributed_fallback(spark, tmp_path):
         want = _a208_distributed(spark, _dailyv(spark, sf_dir)).collect()
         assert len(got) == len(want) == 1
         assert got[0].asDict() == want[0].asDict()
+
+
+def test_literal_frame_matches_tuple_path(spark):
+    """operators.core.literal_frame (Arrow literal path) must produce
+    the same rows, schema and null placement as the tuple
+    createDataFrame it replaces — including None in integer columns
+    (a524's empty-corpus NULL flow) and an empty row list."""
+    from grouper_spark.operators.core import literal_frame
+
+    schema = "a bigint, b bigint, c double, s string"
+    rows = [(1, None, 2.5, "x"), (2, 7, None, None), (-3, 0, -0.0, "")]
+    got = literal_frame(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    empty = literal_frame(spark, [], "k int, v bigint")
+    assert empty.collect() == []
+    assert empty.schema.simpleString() == "struct<k:int,v:bigint>"
