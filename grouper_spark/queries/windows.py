@@ -355,9 +355,25 @@ def a365_numeric_range_frame(spark, sf_dir):
             "dollars",
             F.count("*").over(w).cast("bigint").alias("n_peers"),
             F.sum("dollars").over(w).cast("bigint").alias("peer_dollars"),
-            F.round(F.avg("dollars").over(w).cast("double"), 6).alias(
-                "peer_avg_r"
-            ),
+        )
+        # peer_avg_r derived from the two frame aggregates in a
+        # post-window projection: a sliding VALUE frame is recomputed
+        # per row (no retraction for declarative aggregates), so a
+        # third windowed AVG re-walked every frame buffer for a number
+        # count+sum already determine — ABBA A/B 9.6 s → 5.6 s min
+        # with byte-identical output (the exact bigint ratio is also
+        # DuckDB's AVG-over-BIGINT arithmetic, where Spark's windowed
+        # AVG sums doubles)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "dollars",
+            "n_peers",
+            "peer_dollars",
+            F.round(
+                F.col("peer_dollars").cast("double") / F.col("n_peers"),
+                6,
+            ).alias("peer_avg_r"),
         )
         .filter(F.col("o_orderkey") < 500)
         .orderBy("o_orderkey")
