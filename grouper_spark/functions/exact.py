@@ -31,3 +31,26 @@ def round0_half_up(x: float) -> int:
             Decimal("1"), rounding=ROUND_HALF_UP
         )
     )
+
+
+def round0_half_up_vec(a):
+    """Vectorized ``round0_half_up`` over a float64 ndarray → int64.
+
+    Computes HALF_UP on the TRUE binary value with exact float steps:
+    for |v| < 2**52 both ``floor(|v|)`` and ``|v| - floor(|v|)`` are
+    exactly representable (the fractional part is a tail of the
+    significand), so the ``frac >= 0.5`` test is exact; for
+    |v| >= 2**52 the value is already integral and passes through.
+    That equals HALF_UP on the round-trip rendering because a tie
+    needs the rendering to be exactly ``n.5``, which round-trips to
+    the double ``n.5`` itself — any non-tie double renders strictly
+    on its own side of the boundary (module docstring). Caller must
+    guard |v| < 2**63 (int64) — values at the bench's fixed-point
+    scales are orders of magnitude below it.
+    """
+    import numpy as np
+
+    aa = np.abs(a)
+    i = np.floor(aa)
+    r = np.where(aa - i >= 0.5, i + 1.0, i)
+    return np.copysign(r, a).astype(np.int64)

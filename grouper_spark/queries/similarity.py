@@ -2024,31 +2024,152 @@ def a440_geometric_median(spark, sf_dir):
     robust centroid that a single poisoned/outlier vector cannot drag
     the way the k-means mean can — the aggregation rule behind robust
     federated averaging and outlier-proof class prototypes. Six fixed
-    iterations from the fixed-point per-dimension mean; every
-    iteration is ONE distributed pass: broadcast the 10-row current
-    estimate, one row-local distance fold (index order), then a single
-    per-(label,dim) aggregate carrying BOTH the numerator and the
-    denominator (each dim of a label sees exactly the label's row set,
-    so the per-(label,dim) denominator sum IS the per-label one — no
-    second aggregate, no num⋈den join, no corpus-wide intermediate to
-    checkpoint) with terms fixed-pointed to BIGINT —
-    so the reduction is order-independent and a 1000-executor sum
-    bit-matches DuckDB's serial one. The next estimate is a ratio of
-    exact integers: deterministic doubles on both engines. Points
-    exactly at the estimate (dist=0) are skipped per the classical
-    rule. The oracle unrolls the same six relational passes as
-    chained CTEs. At 100 TB: 6 linear scans, no self-join, state is
-    O(labels × dim). The checkpoint before the dim explode is a
-    projection barrier, not a reuse cache: without it CollapseProject
-    folds the interpreted 64-term distance fold into the Generate's
-    projection and re-evaluates it once per EXPLODED row (64× the
-    work, the q104/q145 class)."""
-    from ..operators.core import ensure_parallelism
-
-    e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
+    iterations from the fixed-point per-dimension mean, with every
+    per-(label,dim) term fixed-pointed to BIGINT so the reduction is
+    order-independent and a 1000-executor sum bit-matches DuckDB's
+    serial one. The panel the iterations actually need is just the
+    (label, v) rows; when the corpus is driver-bounded (≤100k rows)
+    the whole six-pass loop runs DRIVER-SIDE in numpy (the
+    q249/a448/a191 bounded-state recipe): int64 sums are exact in any
+    order, the distance fold is replayed dim-by-dim in index order,
+    and F.round(double, 0) is replicated by functions.exact's HALF_UP
+    vector replica — bit-identical y, ~20 fewer sequential jobs
+    (driver bench: 6 broadcast builds + 6 checkpoint materializations
+    + 12 AQE shuffle jobs collapsed into one collect + one literal
+    scan). Terminal round(_, 6) stays engine-side. The distributed
+    six-pass loop (one broadcast join + one fused 65-accumulator
+    aggregate per iteration) remains the fallback for a corpus above
+    the bound — at 100 TB: 6 linear scans, no self-join, state is
+    O(labels × dim)."""
+    src = table(spark, sf_dir, "embeddings").select(
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).localCheckpoint(eager=False)
+    )
+    head = src.limit(_A440_MAX_ROWS + 1).collect()
+    if len(head) <= _A440_MAX_ROWS:
+        out = _a440_driver_exact(spark, head)
+        if out is not None:
+            return out
+    return _a440_distributed(spark, src)
+
+
+# driver-side corpus bound for a440: 100k rows × 64 dims ≈ 51 MB of
+# float64 panel (plus one int64 twin while fixed-pointing) — well under
+# driver headroom; every fixture is orders of magnitude below it
+_A440_MAX_ROWS = 100_000
+
+
+def _a440_driver_exact(spark, rows):
+    """Driver replica of the six Weiszfeld passes on collected rows.
+
+    Returns None (→ caller falls back to the distributed loop) for any
+    shape the replica does not bit-replicate: ragged/NULL vectors,
+    non-finite values, or fixed-point terms near the int64 edge —
+    the relational plan then defines the semantics."""
+    import numpy as np
+
+    from ..functions.exact import round0_half_up_vec
+
+    if not rows:
+        return None
+    try:
+        X = np.array([r["v"] for r in rows], dtype=np.float64)
+        lab = np.array([r["label"] for r in rows], dtype=np.int64)
+    except (TypeError, ValueError):
+        return None
+    if X.ndim != 2 or X.shape[1] == 0 or not np.isfinite(X).all():
+        return None
+    n, dim = X.shape
+    uniq, li = np.unique(lab, return_inverse=True)
+    n_labels = len(uniq)
+    cnt = np.bincount(li, minlength=n_labels).astype(np.int64)
+    scale = 1000000000.0
+    guard = float(2**62)
+
+    # y0: fixed-point per-dimension mean — SUM(CAST(ROUND(x·1e9) AS
+    # BIGINT)) per (label, p), then ROUND(s/cnt)·1e-9
+    t0 = X * scale
+    if np.abs(t0).max() >= guard:
+        return None
+    s0 = np.zeros((n_labels, dim), np.int64)
+    np.add.at(s0, li, round0_half_up_vec(t0))
+    y = (
+        round0_half_up_vec(
+            s0.astype(np.float64) / cnt.astype(np.float64)[:, None]
+        ).astype(np.float64)
+        / scale
+    )
+
+    active = np.ones(n_labels, dtype=bool)
+    for _ in range(6):
+        idx = np.nonzero(active[li])[0]
+        Xa = X[idx]
+        Ya = y[li[idx]]
+        # row-local distance fold, index order (left fold, exact IEEE)
+        acc = np.zeros(len(idx), np.float64)
+        for q in range(dim):
+            dq = Xa[:, q] - Ya[:, q]
+            acc = acc + dq * dq
+        dist = np.sqrt(acc)
+        m = dist > 0.0
+        idx, Xa, dist = idx[m], Xa[m], dist[m]
+        lm = li[idx]
+        # a label whose every member sits exactly on the estimate
+        # drops out of the aggregate — and, via the inner join, out
+        # of every later pass and the output (same as the plan)
+        survived = np.zeros(n_labels, dtype=bool)
+        survived[lm] = True
+        active &= survived
+        tf = (Xa / dist[:, None]) * scale
+        df = 1000000000000.0 / dist
+        if len(idx) and (
+            np.abs(tf).max() >= guard or np.abs(df).max() >= guard
+        ):
+            return None
+        num = np.zeros((n_labels, dim), np.int64)
+        den = np.zeros(n_labels, np.int64)
+        np.add.at(num, lm, round0_half_up_vec(tf))
+        np.add.at(den, lm, round0_half_up_vec(df))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y = (num.astype(np.float64) * 1000.0) / den.astype(
+                np.float64
+            )[:, None]
+
+    from ..operators.core import literal_frame
+
+    out_rows = [
+        (int(uniq[l]), int(p), float(y[l, p]), int(cnt[l]))
+        for l in np.nonzero(active)[0]
+        for p in range(dim)
+    ]
+    return (
+        literal_frame(
+            spark,
+            out_rows,
+            "label int, p int, coord double, n_members bigint",
+        )
+        .select(
+            "label",
+            "p",
+            F.round("coord", 6).alias("coord_r"),
+            "n_members",
+        )
+        .orderBy("label", "p")
+    )
+
+
+def _a440_distributed(spark, src):
+    """The distributed six-pass Weiszfeld loop: per iteration,
+    broadcast the 10-row estimate, one row-local distance fold, one
+    fused per-label aggregate carrying all 64 numerator sums AND the
+    denominator (each dim of a label sees exactly the label's row
+    set). The checkpoint before each aggregate is a projection
+    barrier, not a reuse cache: without it CollapseProject folds the
+    interpreted 64-term distance fold into downstream projections and
+    re-evaluates it per consumer (the q104/q145 class)."""
+    from ..operators.core import ensure_parallelism
+
+    e = ensure_parallelism(src).localCheckpoint(eager=False)
     # Each aggregation level below is ONE 64/65-accumulator
     # groupBy(label) over the vector column (every per-p sum as its
     # own accumulator, assembled into the y array in index order) —
