@@ -2041,13 +2041,15 @@ def a440_geometric_median(spark, sf_dir):
     aggregate per iteration) remains the fallback for a corpus above
     the bound — at 100 TB: 6 linear scans, no self-join, state is
     O(labels × dim)."""
+    from ..operators.core import collect_vector_panel
+
     src = table(spark, sf_dir, "embeddings").select(
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    head = src.limit(_A440_MAX_ROWS + 1).collect()
-    if len(head) <= _A440_MAX_ROWS:
-        out = _a440_driver_exact(spark, head)
+    panel = collect_vector_panel(src, "label", "v", _A440_MAX_ROWS)
+    if panel is not None:
+        out = _a440_driver_exact(spark, *panel)
         if out is not None:
             return out
     return _a440_distributed(spark, src)
@@ -2059,26 +2061,16 @@ def a440_geometric_median(spark, sf_dir):
 _A440_MAX_ROWS = 100_000
 
 
-def _a440_driver_exact(spark, rows):
-    """Driver replica of the six Weiszfeld passes on collected rows.
-
-    Returns None (→ caller falls back to the distributed loop) for any
-    shape the replica does not bit-replicate: ragged/NULL vectors,
-    non-finite values, or fixed-point terms near the int64 edge —
-    the relational plan then defines the semantics."""
+def _a440_driver_exact(spark, lab, X):
+    """Driver replica of the six Weiszfeld passes on the collected
+    (label, vector) panel (clean-shape checks already done by
+    collect_vector_panel). Returns None (→ caller falls back to the
+    distributed loop) when a fixed-point term lands near the int64
+    edge — the relational plan then defines the semantics."""
     import numpy as np
 
     from ..functions.exact import round0_half_up_vec
 
-    if not rows:
-        return None
-    try:
-        X = np.array([r["v"] for r in rows], dtype=np.float64)
-        lab = np.array([r["label"] for r in rows], dtype=np.int64)
-    except (TypeError, ValueError):
-        return None
-    if X.ndim != 2 or X.shape[1] == 0 or not np.isfinite(X).all():
-        return None
     n, dim = X.shape
     uniq, li = np.unique(lab, return_inverse=True)
     n_labels = len(uniq)
@@ -2335,24 +2327,113 @@ def a450_lof_panel(spark, sf_dir):
     is SPARSER than their neighbors' neighborhoods (LOF ≈ 1 inlier,
     ≫ 1 outlier), complementing the registry's series-based anomaly
     stack (q306 votes on time, this votes on embedding-space
-    density). Exact LOF needs 2-hop neighborhoods, so the plan is
-    three bounded-side × corpus sweeps, never corpus × corpus: panel
-    (30, limit-pinned) → its neighbors (≤150) → their neighbors
-    (≤750), each broadcast against the scan, each top-5 by an exact
-    integer (r_fp, id) ranking. Reachability distances are greatest()
-    of fixed-point BIGINTs, local reachability densities are rounded
-    back to fixed point so the final LOF mean is a sum of exact
-    integers — order-independent across 1000 executors and
-    bit-identical to DuckDB's QUALIFY-based replay. At 100 TB the
-    panel sweeps ride the same plan; the corpus-wide variant swaps
-    the brute-force sweep for the LSH/IVF candidate generators
-    (q38/q56) feeding identical reach/lrd algebra."""
-    from ..operators.core import ensure_parallelism
+    density). Exact LOF needs 2-hop neighborhoods: three bounded-side
+    × corpus sweeps (panel 30 → its neighbors ≤150 → their neighbors
+    ≤750), each top-5 by an exact integer (r_fp, id) ranking, then a
+    ≤750-row reach/lrd/LOF tail. When the corpus itself is
+    driver-bounded (≤100k rows) the sweeps run driver-side too (the
+    a440 recipe): the fp distance replays Spark's fold dim-by-dim in
+    index order on the SAME float64s, F.round(·, 0) goes through the
+    functions.exact HALF_UP vector replica, and top-5 is a lexsort on
+    exact (r_fp, cand) integers — bit-identical rows with ONE corpus
+    collect instead of three plan+compile+shuffle rounds (profiled:
+    re-executing a warmed sweep takes 0.09s; a fresh sweep 0.6-0.8s —
+    the wall was per-sweep plan analysis + codegen, not compute). The
+    distributed sweeps remain the fallback above the bound — at
+    100 TB they ride broadcast against the scan, never corpus ×
+    corpus, feeding the same driver tail (≤750 rows at ANY scale; the
+    r10 BHJ-vs-SMJ assembly question is settled by having no
+    assembly joins at all). Terminal round(_, 6) stays engine-side on
+    the literal frame; the corpus-wide variant swaps the brute-force
+    sweep for the LSH/IVF candidate generators (q38/q56) feeding
+    identical reach/lrd algebra."""
+    from ..operators.core import collect_vector_panel
 
-    e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
+    src = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).localCheckpoint(eager=False)
+    )
+    panel = collect_vector_panel(src, "vec_id", "v", _A450_MAX_ROWS)
+    if panel is not None:
+        out = _a450_driver_exact(spark, *panel)
+        if out is not None:
+            return out
+    return _a450_distributed(spark, src)
+
+
+# driver-side corpus bound for a450 (same rationale as _A440_MAX_ROWS;
+# the worst-case sweep is then 750 × 100k × 64 numpy flops)
+_A450_MAX_ROWS = 100_000
+
+
+def _a450_driver_exact(spark, ids, X):
+    """Driver replica of the three top-5 sweeps: exact fp distances,
+    (r_fp, cand) lexsort, id-inequality self-exclusion. Returns None
+    (→ distributed fallback) for duplicate ids or fp terms near the
+    int64 edge."""
+    import numpy as np
+
+    from ..functions.exact import round0_half_up_vec
+
+    if len(np.unique(ids)) != len(ids):
+        return None
+    n, dim = X.shape
+    pos = {int(i): k for k, i in enumerate(ids)}
+    guard = float(2**62)
+
+    xt = np.ascontiguousarray(X.T)
+
+    def sweep(src_ids, keep_all):
+        out = []
+        ss = sorted(src_ids)
+        # vectorize the fold across a chunk of sources at once (the
+        # per-element op sequence is unchanged — same IEEE results)
+        for c0 in range(0, len(ss), 64):
+            chunk = ss[c0 : c0 + 64]
+            pv = np.array([X[pos[s]] for s in chunk], np.float64)
+            acc = np.zeros((len(chunk), n), np.float64)
+            for q in range(dim):
+                d = pv[:, q][:, None] - xt[q][None, :]
+                acc += d * d
+            rf_f = np.sqrt(acc) * 1000000000.0
+            if rf_f.size and np.abs(rf_f).max() >= guard:
+                return None
+            rf_c = round0_half_up_vec(rf_f)
+            for k, s in enumerate(chunk):
+                m = ids != s
+                cand, r = ids[m], rf_c[k][m]
+                order = np.lexsort((cand, r))[:5]
+                for rn, j in enumerate(order, start=1):
+                    if keep_all or rn == 5:
+                        out.append((int(s), int(cand[j]), int(r[j]), rn))
+        return out
+
+    pan_ids = [int(i) for i in ids if i < 30]
+    tp = sweep(pan_ids, keep_all=True)
+    if tp is None:
+        return None
+    tn = sweep({c for (_, c, _, _) in tp}, keep_all=True)
+    if tn is None:
+        return None
+    th = sweep({c for (_, c, _, _) in tn}, keep_all=False)
+    if th is None:
+        return None
+    return _a450_tail(
+        spark,
+        tp,
+        tn,
+        [(s, r) for (s, _, r, _) in th],
+    )
+
+
+def _a450_distributed(spark, src):
+    """The distributed 2-hop pipeline: each sweep broadcasts its
+    bounded source panel against the corpus scan and takes the top 5
+    by the exact (r_fp, cand) ranking (WindowGroupLimit keeps the
+    shuffle at ≤5 rows per source per map task)."""
+    from ..operators.core import ensure_parallelism
+
+    e = ensure_parallelism(src).localCheckpoint(eager=False)
 
     # Distance stays the zip_with+aggregate fold: an unrolled 64-term
     # element_at chain A/B-measured as a wash on the panel sweep
@@ -2384,7 +2465,7 @@ def a450_lof_panel(spark, sf_dir):
         )
         return (
             d.filter(F.col("rn") <= 5) if keep_all else d.filter(F.col("rn") == 5)
-        ).localCheckpoint(eager=False)
+        ).collect()
 
     pan = (
         e.filter(F.col("vec_id") < 30)
@@ -2392,98 +2473,85 @@ def a450_lof_panel(spark, sf_dir):
         .select(F.col("vec_id").alias("src"), F.col("v").alias("pv"))
     )
     tp = top5(pan, keep_all=True)
-    nbr_ids = (
-        tp.groupBy(F.col("cand").alias("id")).agg(F.count("*").alias("_c"))
-        .select("id")
-        .limit(150)
-    )
-    nsrc = (
-        e.join(F.broadcast(nbr_ids), e.vec_id == nbr_ids.id)
-        .select(F.col("id").alias("src"), F.col("v").alias("pv"))
-        .limit(150)
+    nbr_ids = sorted({r["cand"] for r in tp})
+    nsrc = e.filter(F.col("vec_id").isin(nbr_ids)).select(
+        F.col("vec_id").alias("src"), F.col("v").alias("pv")
     )
     tn = top5(nsrc, keep_all=True)
-    hop_ids = (
-        tn.groupBy(F.col("cand").alias("id")).agg(F.count("*").alias("_c"))
-        .select("id")
-        .limit(750)
-    )
-    hsrc = (
-        e.join(F.broadcast(hop_ids), e.vec_id == hop_ids.id)
-        .select(F.col("id").alias("src"), F.col("v").alias("pv"))
-        .limit(750)
+    hop_ids = sorted({r["cand"] for r in tn})
+    hsrc = e.filter(F.col("vec_id").isin(hop_ids)).select(
+        F.col("vec_id").alias("src"), F.col("v").alias("pv")
     )
     th = top5(hsrc, keep_all=False)
 
-    kd_n = tn.filter(F.col("rn") == 5).select(
-        F.col("src").alias("id"), F.col("r_fp").alias("kd_fp")
-    )
-    kd_h = th.select(F.col("src").alias("id"), F.col("r_fp").alias("kd_fp"))
-    kd_p = tp.filter(F.col("rn") == 5).select(
-        F.col("src").alias("id"), F.col("r_fp").alias("kd_fp")
+    return _a450_tail(
+        spark,
+        [(r["src"], r["cand"], r["r_fp"], r["rn"]) for r in tp],
+        [(r["src"], r["cand"], r["r_fp"], r["rn"]) for r in tn],
+        [(r["src"], r["r_fp"]) for r in th],
     )
 
+
+def _a450_tail(spark, tp, tn, th):
+    """Driver-side reach/lrd/LOF tail over the ≤750-row top-5 tables
+    (tp/tn as (src, cand, r_fp, rn) tuples, th as (src, r_fp))."""
+    from ..functions.exact import round0_half_up
+
+    kd_n = {s: r for (s, _, r, rn) in tn if rn == 5}
+    kd_h = dict(th)
+    kd_p = {s: r for (s, _, r, rn) in tp if rn == 5}
+
     def lrd(t5, kd):
-        # kd is ≤750 rows by construction (one per sweep source) but
-        # sits behind a checkpoint (no stats → planner picks SMJ);
-        # broadcast explicitly to drop the exchange+sort pair.
-        return (
-            t5.join(F.broadcast(kd), t5.cand == kd.id)
-            .groupBy("src")
-            .agg(
-                # exact-duplicate neighborhoods sum to 0 reach
-                # distance (every copy at distance 0 — the 10x
-                # amplified corpus does this for real); floor at one
-                # fp unit per neighbor (5 total) so lrd caps at 1e18
-                # (5 summed stay inside BIGINT) instead of dividing by
-                # zero,
-                # and co-duplicate clusters score LOF = 1
-                F.round(
-                    F.lit(5.0e18)
-                    / F.greatest(
-                        F.sum(F.greatest("r_fp", "kd_fp")), F.lit(5)
-                    ),
-                    0,
-                )
-                .cast("bigint")
-                .alias("lrd_fp")
-            )
-            .select(F.col("src").alias("id"), "lrd_fp")
-        )
+        # exact-duplicate neighborhoods sum to 0 reach distance (every
+        # copy at distance 0 — the 10x amplified corpus does this for
+        # real); floor at one fp unit per neighbor (5 total) so lrd
+        # caps at 1e18 (5 summed stay inside BIGINT) instead of
+        # dividing by zero, and co-duplicate clusters score LOF = 1.
+        # A cand without a kd row mirrors the former inner join: the
+        # pair is skipped, and a source with no surviving pair emits
+        # no lrd row at all.
+        s: dict = {}
+        for (src, cand, r, _) in t5:
+            k = kd.get(cand)
+            if k is None:
+                continue
+            s[src] = s.get(src, 0) + max(r, k)
+        return {
+            src: round0_half_up(5.0e18 / float(max(tot, 5)))
+            for src, tot in s.items()
+        }
 
     lrd_o = lrd(tn, kd_h)
     lrd_p = lrd(tp, kd_n)
-    # Final assembly joins are all ≤750-row frames behind checkpoints —
-    # broadcast every build side (plan: 10 SortMergeJoin + 13 Exchange
-    # → broadcast joins, exchanges only where a window/sort needs one).
+    # Final assembly (formerly a 10-broadcast-join tree): per panel id,
+    # the exact BIGINT sum of its 5 neighbors' lrd — inner-join drop
+    # semantics replicated by the dict lookups.
+    sum_olrd: dict = {}
+    for (p, cand, _, _) in tp:
+        if p not in lrd_p or p not in kd_p:
+            continue
+        o = lrd_o.get(cand)
+        if o is None:
+            continue
+        sum_olrd[p] = sum_olrd.get(p, 0) + o
+    out_rows = [
+        (int(p), kd_p[p], lrd_p[p], sum_olrd[p]) for p in sorted(sum_olrd)
+    ]
     return (
-        F.broadcast(lrd_p).join(tp, lrd_p.id == tp.src)
-        .join(
-            F.broadcast(
-                lrd_o.select(
-                    F.col("id").alias("oid"), F.col("lrd_fp").alias("olrd_fp")
-                )
-            ),
-            F.col("cand") == F.col("oid"),
+        literal_frame(
+            spark,
+            out_rows,
+            "vec_id bigint, kd_fp bigint, lrd_fp bigint, sum_olrd bigint",
         )
-        .join(
-            F.broadcast(kd_p.select(F.col("id").alias("kid"), "kd_fp")),
-            F.col("kid") == lrd_p.id,
-        )
-        .groupBy(
-            lrd_p.id.alias("vec_id"),
-            F.col("lrd_fp"),
-            F.col("kd_fp"),
-        )
-        .agg(
+        .select(
+            "vec_id",
             F.round(F.col("kd_fp") / 1000000000.0, 6).alias("kdist_r"),
             F.round(
-                F.sum("olrd_fp").cast("double")
+                F.col("sum_olrd").cast("double")
                 / (5.0 * F.col("lrd_fp")),
                 6,
             ).alias("lof_r"),
         )
-        .select("vec_id", "kdist_r", "lof_r")
         .orderBy("vec_id")
     )
 

@@ -76,6 +76,55 @@ def _collect_sorted(df):
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
                                     "/root/testdata/sf0.01"])
+def test_a450_driver_path_bitmatches_distributed(spark, sf_dir):
+    """The numpy sweep replica (driver path) returns row-for-row what
+    the distributed broadcast-sweep pipeline returns."""
+    from pyspark.sql import functions as F
+
+    from grouper_spark.queries import load_all
+    from grouper_spark.queries.similarity import _a450_distributed
+    from grouper_spark.sources import table
+
+    registry = load_all()
+    fast = _collect_sorted(registry["a450_lof_panel"].fn(spark, sf_dir))
+    src = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    slow = _collect_sorted(_a450_distributed(spark, src))
+    assert len(fast) == len(slow) and len(fast) > 0
+    assert fast == slow
+
+
+def test_collect_vector_panel_guards(spark):
+    """Over-cap, NULL vectors and ragged widths all return None (the
+    caller's distributed fallback path)."""
+    from grouper_spark.operators.core import collect_vector_panel
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "id bigint, v array<double>"
+    )
+    got = collect_vector_panel(ok, "id", "v", 10)
+    assert got is not None
+    ids, X = got
+    assert ids.tolist() == [1, 2] and X.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    assert collect_vector_panel(ok, "id", "v", 1) is None  # over cap
+    bad_null = spark.createDataFrame(
+        [(1, [1.0, None])], "id bigint, v array<double>"
+    )
+    assert collect_vector_panel(bad_null, "id", "v", 10) is None
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])], "id bigint, v array<double>"
+    )
+    assert collect_vector_panel(ragged, "id", "v", 10) is None
+    nan = spark.createDataFrame(
+        [(1, [float("nan"), 2.0])], "id bigint, v array<double>"
+    )
+    assert collect_vector_panel(nan, "id", "v", 10) is None
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
 def test_a440_driver_path_bitmatches_distributed(spark, sf_dir):
     """The collected-panel Weiszfeld replica returns row-for-row,
     bit-for-bit what the distributed six-pass loop returns."""
