@@ -496,24 +496,35 @@ def q144_semantic_dedup(spark, sf_dir):
     # literal array holds the same doubles the broadcast column did,
     # and least(struct(d_fp, cid)) is the same lexicographic min the
     # row-wise F.min(struct) computed.
+    # the codebook collect reads the RAW table (not the repartitioned
+    # corpus frame): vec_id < 8 pushes into the parquet scan, so the
+    # extra action is a row-group point-read instead of a full
+    # scan + 32-way repartition (same float→double cast, same values)
     cent_rows = sorted(
         (int(r["cid"]), list(r["cv"]))
-        for r in e.filter(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        for r in table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "cv"
+            ),
+        )
         .collect()
     )
 
+    # one F.expr SQL string per centroid (the a381/q240
+    # plan-construction lesson: 8 × 64-element F.lit arrays + py4j
+    # lambda trees cost ~0.6 s of BUILD per call; the string parses to
+    # the identical aggregate/zip_with tree — same fold order, same
+    # doubles via the round-trip repr cast, bit-identical assignment)
     def d_fp_to(cv: list):
-        return F.aggregate(
-            F.zip_with(
-                "v",
-                F.lit(cv),
-                lambda x, c: F.round(
-                    (x - c) * (x - c) * 1000000000000.0, 0
-                ).cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv)
+        return F.expr(
+            f"aggregate(zip_with(v, array({arr}), (x, c) ->"
+            " CAST(ROUND((x - c) * (x - c)"
+            " * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
 
     m = F.least(
