@@ -79,14 +79,25 @@ def random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[f
     return planes
 
 
-def _bucket_col(vec_col, planes: list[list[float]]):
-    """Sign-pattern bucket id of a vector against fixed hyperplanes."""
-    bucket = F.lit(0).cast("bigint")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(vec_col, plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket
+def _bucket_col(vec_sql: str, planes: list[list[float]]):
+    """Sign-pattern bucket id of a vector against fixed hyperplanes.
+
+    ONE F.expr SQL string instead of planes × dim ``F.lit`` py4j calls
+    (the a381/q240 plan-construction lesson): each plane dot parses to
+    the identical aggregate/zip_with tree ``dot()`` built — same
+    double literals via round-trip repr, same fold order, identical
+    sign bits. ``vec_sql`` is the vector column NAME."""
+    terms = " + ".join(
+        "(CASE WHEN aggregate(zip_with("
+        + vec_sql
+        + ", array("
+        + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in p)
+        + "), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0"
+        f" THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
 
 def ivf_ann(
@@ -314,27 +325,32 @@ def lsh_bucket_ann(
     k: int = 5,
     num_planes: int = 6,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane bucketing.
 
     Equi-join on the bucket id (plus same-bucket exact rerank); recall
     depends on ``num_planes`` (fewer planes -> bigger buckets -> higher
-    recall, more compute). Returns ``(query_id, neighbor_id, cosine)``.
+    recall, more compute). ``dim`` skips the one-row dim probe when
+    the caller already knows the vector dimension (the q83/a191
+    parameter path — for a derived corpus the probe re-executes its
+    lineage). Returns ``(query_id, neighbor_id, cosine)``.
     """
-    dim = 64  # fixture embedding dim; planes are generated per call anyway
-    first = corpus.select(F.size(vec_col).alias("d")).first()
-    if first is not None:
-        dim = first["d"]
+    if dim is None:
+        dim = 64  # fallback if the probe finds an empty corpus
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        if first is not None:
+            dim = first["d"]
     planes = random_hyperplanes(dim, num_planes, seed)
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _bucket_col(F.col(vec_col), planes).alias("bucket"),
+        _bucket_col(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        _bucket_col(F.col(vec_col), planes).alias("bucket"),
+        _bucket_col(vec_col, planes).alias("bucket"),
     )
     pairs = c.join(F.broadcast(q), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")

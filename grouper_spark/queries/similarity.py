@@ -57,7 +57,15 @@ def q38_ann_lsh(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES)
     res = lsh_bucket_ann(
-        e, q, id_col="vec_id", vec_col="embedding", k=TOP_K, num_planes=6
+        e,
+        q,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=TOP_K,
+        num_planes=6,
+        # fixture embedding dim — skips the per-call first() probe job;
+        # the operator still probes when a caller doesn't know it
+        dim=64,
     )
     return res.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r")
