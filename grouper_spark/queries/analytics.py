@@ -326,6 +326,54 @@ def q139_share_of_total(spark, sf_dir):
 _COVIS_MAX_BUCKET = 4096
 
 
+def covis_graph(spark, sf_dir):
+    """The capped co-visitation graph shared by q146 and a494 (one
+    code path, byte-for-byte the same build both oracles encode):
+    users sharing an (event_type, day) bucket co-occur, hot buckets
+    above _COVIS_MAX_BUCKET are dropped before the pair fan-out, and
+    an edge exists at activity-set Jaccard ≥ 0.30 with UNCAPPED
+    per-user denominators. Returns (sz, edges) — the per-user bucket
+    counts and the checkpointed oriented (u < v) edge list, both
+    reused by several downstream branches."""
+    from ..operators.core import ensure_parallelism
+
+    ev = ensure_parallelism(table(spark, sf_dir, "events"))
+    # g feeds three branches (sz, the posting build, and its bucket-size
+    # window); checkpoint the 80k-row distinct once so the scan+distinct
+    # shuffle doesn't replan per branch.
+    g = (
+        ev.select(
+            "user_id", "event_type", F.date_trunc("day", "ts").alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sz = g.groupBy("user_id").agg(F.count("*").alias("n"))
+    co = cooccurrence_pairs(
+        g, "user_id", ["event_type", "d"], max_bucket=_COVIS_MAX_BUCKET
+    )
+    # sz and edges are small (user- and edge-count sized) but referenced
+    # repeatedly; without checkpoints the scan→distinct→pair pipeline
+    # replans once per reference (34 duplicated scans, zero reuse)
+    sz = sz.localCheckpoint(eager=False)
+    edges = (
+        co.join(
+            sz.select(F.col("user_id").alias("u"), F.col("n").alias("na")),
+            "u",
+        )
+        .join(
+            sz.select(F.col("user_id").alias("v"), F.col("n").alias("nb")),
+            "v",
+        )
+        .filter(
+            F.col("i") * 100 >= 30 * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    return sz, edges
+
+
 @query(
     "q146_triangle_count",
     oracle=f"""
@@ -397,35 +445,7 @@ def q146_triangle_count(spark, sf_dir):
     distributed triangle enumeration (orientation kills the 6x duplicate
     factor). Zero-triangle users stay in the output via left joins, so
     the result is non-empty at every SF."""
-    from ..operators.core import ensure_parallelism
-
-    ev = ensure_parallelism(table(spark, sf_dir, "events"))
-    # g feeds three branches (sz, the posting build, and its bucket-size
-    # window); checkpoint the 80k-row distinct once so the scan+distinct
-    # shuffle doesn't replan per branch.
-    g = (
-        ev.select(
-            "user_id", "event_type", F.date_trunc("day", "ts").alias("d")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    sz = g.groupBy("user_id").agg(F.count("*").alias("n"))
-    co = cooccurrence_pairs(
-        g, "user_id", ["event_type", "d"], max_bucket=_COVIS_MAX_BUCKET
-    )
-    # sz and edges are small (user- and edge-count sized) but referenced
-    # repeatedly (sz: both edge sides + final joins; edges: e1/e2/e3 +
-    # degree); without checkpoints the scan→distinct→pair pipeline
-    # replans once per reference (34 duplicated scans, zero reuse)
-    sz = sz.localCheckpoint(eager=False)
-    edges = (
-        co.join(sz.select(F.col("user_id").alias("u"), F.col("n").alias("na")), "u")
-        .join(sz.select(F.col("user_id").alias("v"), F.col("n").alias("nb")), "v")
-        .filter(F.col("i") * 100 >= 30 * (F.col("na") + F.col("nb") - F.col("i")))
-        .select("u", "v")
-        .localCheckpoint(eager=False)
-    )
+    sz, edges = covis_graph(spark, sf_dir)
     # Per-edge adjacency-intersection triangles (the a361 rewrite —
     # ABBA A/B vs the two-path + closing-edge join: 4.74 s vs 5.73 s
     # min at sf0.1, identical output): a triangle a<b<c is found

@@ -3415,39 +3415,13 @@ def a494_rich_club(spark, sf_dir):
     Jaccard ≥ 0.30 with uncapped denominators) so the edge stage
     stays bounded by max_bucket²·n_buckets at any scale; degrees,
     per-threshold rich-node and rich-edge counts are exact integer
-    folds of the edge list against a 6-row broadcast threshold
-    table. Cites q146 (analytics.py) for the shared build."""
-    from ..operators.core import ensure_parallelism
-    from ..operators.dedup import cooccurrence_pairs
+    sums — all six thresholds as accumulators of ONE global aggregate
+    per table (no 6× crossJoin fan-out, no per-k groupBy shuffle),
+    pivoted back to rows with stack(). Shares queries.analytics.
+    covis_graph with q146 — one code path for the capped build."""
+    from .analytics import covis_graph
 
-    ev = ensure_parallelism(table(spark, sf_dir, "events"))
-    g = (
-        ev.select(
-            "user_id", "event_type", F.date_trunc("day", "ts").alias("d")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    sz = g.groupBy("user_id").agg(F.count("*").alias("n"))
-    co = cooccurrence_pairs(
-        g, "user_id", ["event_type", "d"], max_bucket=4096
-    )
-    edges = (
-        co.join(sz.withColumnRenamed("user_id", "u"), "u")
-        .withColumnRenamed("n", "na")
-        .join(
-            sz.withColumnRenamed("user_id", "v").withColumnRenamed(
-                "n", "nb"
-            ),
-            "v",
-        )
-        .filter(
-            F.col("i") * 100
-            >= 30 * (F.col("na") + F.col("nb") - F.col("i"))
-        )
-        .select("u", "v")
-        .localCheckpoint(eager=False)
-    )
+    _, edges = covis_graph(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -3469,56 +3443,47 @@ def a494_rich_club(spark, sf_dir):
         )
         .select("dgu", "dgv")
     )
-    ks = literal_frame(spark, [(k,) for k in _RC_KS], "k int")
-    nr = (
-        deg.crossJoin(F.broadcast(ks))
-        .groupBy("k")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("degree") > F.col("k"), 1)), F.lit(0)
-            )
+    nr1 = deg.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("degree") > k, 1)), F.lit(0))
             .cast("bigint")
-            .alias("n_rich")
-        )
+            .alias(f"nr{k}")
+            for k in _RC_KS
+        ]
     )
-    er = (
-        de.crossJoin(F.broadcast(ks))
-        .groupBy("k")
-        .agg(
+    er1 = de.agg(
+        *[
             F.coalesce(
                 F.sum(
-                    F.when(
-                        (F.col("dgu") > F.col("k"))
-                        & (F.col("dgv") > F.col("k")),
-                        1,
-                    )
+                    F.when((F.col("dgu") > k) & (F.col("dgv") > k), 1)
                 ),
                 F.lit(0),
             )
             .cast("bigint")
-            .alias("e_rich")
-        )
+            .alias(f"er{k}")
+            for k in _RC_KS
+        ]
+    )
+    stacked = nr1.crossJoin(F.broadcast(er1)).selectExpr(
+        f"stack({len(_RC_KS)}, "
+        + ", ".join(f"CAST({k} AS INT), nr{k}, er{k}" for k in _RC_KS)
+        + ") AS (k, n_rich, e_rich)"
     )
     nrd = F.col("n_rich").cast("double")
-    return (
-        ks.join(F.broadcast(nr), "k", "left")
-        .join(F.broadcast(er), "k", "left")
-        .select(
-            "k",
-            F.coalesce("n_rich", F.lit(0).cast("bigint")).alias("n_rich"),
-            F.coalesce("e_rich", F.lit(0).cast("bigint")).alias("e_rich"),
-            F.when(
-                F.coalesce("n_rich", F.lit(0)) >= 2,
-                F.round(
-                    2.0
-                    * F.coalesce("e_rich", F.lit(0)).cast("double")
-                    / (nrd * (nrd - 1.0)),
-                    6,
-                ),
-            ).alias("phi_r"),
-        )
-        .orderBy("k")
-    )
+    return stacked.select(
+        "k",
+        "n_rich",
+        "e_rich",
+        F.when(
+            F.col("n_rich") >= 2,
+            F.round(
+                2.0
+                * F.col("e_rich").cast("double")
+                / (nrd * (nrd - 1.0)),
+                6,
+            ),
+        ).alias("phi_r"),
+    ).orderBy("k")
 
 
 @query(
