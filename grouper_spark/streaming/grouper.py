@@ -68,6 +68,52 @@ class Request:
     errback: Callable[[BaseException], Any] | None = None
 
 
+class _BoundedFifo:
+    """Minimal bounded FIFO for the submit→dispatch handoff.
+
+    ``queue.Queue`` pays a ``not_empty.notify()`` inside EVERY put —
+    but this engine's dispatcher never waits on not_empty (it has its
+    own wake condition, woken on queue-full or flush), so that notify
+    was pure per-item overhead on the producer's hot path, and the
+    dispatcher's per-item ``get_nowait`` re-acquired the same mutex N
+    times per drain. This keeps exactly the two operations the engine
+    needs — put with capacity backpressure, bulk drain under one lock
+    acquisition — with identical FIFO order and blocking semantics."""
+
+    def __init__(self, maxsize: int) -> None:
+        from collections import deque
+
+        self._maxsize = maxsize
+        self._dq: Any = deque()
+        self._mutex = threading.Lock()
+        self._not_full = threading.Condition(self._mutex)
+
+    def put_nowait(self, item: Any) -> None:
+        with self._mutex:
+            if len(self._dq) >= self._maxsize:
+                raise _queue.Full
+            self._dq.append(item)
+
+    def put(self, item: Any) -> None:
+        with self._not_full:
+            while len(self._dq) >= self._maxsize:
+                self._not_full.wait()
+            self._dq.append(item)
+
+    def drain(self) -> list:
+        """All queued items, FIFO, under one mutex acquisition; wakes
+        every producer blocked on capacity."""
+        with self._not_full:
+            items = list(self._dq)
+            self._dq.clear()
+            if items:
+                self._not_full.notify_all()
+        return items
+
+    def empty(self) -> bool:
+        return not self._dq
+
+
 class Grouper:
     """Asynchronous micro-batching engine.
 
@@ -110,7 +156,7 @@ class Grouper:
 
         self._proc_fn = proc_fn
         self._interval_s = None if interval is None else interval / 1000.0
-        self._queue: _queue.Queue[Request] = _queue.Queue(maxsize=capacity)
+        self._queue = _BoundedFifo(capacity)
         # pool=N → own a fixed pool with bounded submission: a semaphore
         # sized to the pool emulates the reference's SynchronousQueue +
         # CallerRunsPolicy (core.clj:85-97) — no idle worker means the
@@ -224,12 +270,11 @@ class Grouper:
         # "Should not terminate until queue is empty" (core.clj:124-126).
         while self._running or not self._queue.empty():
             self._sleep()
-            batch: list[Request] = []
-            while True:
-                try:
-                    batch.append(self._queue.get_nowait())
-                except _queue.Empty:
-                    break
+            # Bulk drain under ONE mutex acquisition instead of one
+            # get_nowait (lock + notify) per item (§4: batch the
+            # boundary); FIFO order, the capacity bound and blocked-
+            # producer wakeups are unchanged.
+            batch = self._queue.drain()
             if not batch:
                 continue
             if self._executor is None:
