@@ -2927,13 +2927,25 @@ def a459_kcenter_seeding(spark, sf_dir):
     — the quantity the 2-approx guarantee speaks about. Each sweep is
     one scan + a top-1 reduce; the chosen set never exceeds k rows,
     so 100 TB costs k linear passes (or one pass of the streaming
-    variant)."""
-    from ..operators.core import ensure_parallelism
+    variant). Below a 100k-row corpus the 8 sweeps run DRIVER-SIDE
+    (the a440/a450 recipe: the wall was 7 fresh plan+job rounds, not
+    compute) — the "+" chain is replayed term-by-term in index order,
+    round(·,0) via the HALF_UP vector replica, argmax by exact
+    (-radius, vec_id) ordering; the sweep loop stays as the
+    above-cap fallback."""
+    from ..operators.core import collect_vector_panel, ensure_parallelism
 
-    e = ensure_parallelism(table(spark, sf_dir, "embeddings")).select(
+    src = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).localCheckpoint(eager=False)
+    )
+    panel = collect_vector_panel(src, "vec_id", "v", 100_000)
+    if panel is not None:
+        out = _a459_driver_exact(spark, *panel)
+        if out is not None:
+            return out
+
+    e = ensure_parallelism(src).localCheckpoint(eager=False)
     first = (
         e.filter(F.col("vec_id") == 0).limit(1).collect()[0]
     )
@@ -2971,6 +2983,64 @@ def a459_kcenter_seeding(spark, sf_dir):
     out = literal_frame(
         spark,
         [(s, vid, rfp) for s, vid, _, rfp in chosen],
+        "step int, vec_id bigint, radius_fp bigint",
+    )
+    return out.select(
+        "step",
+        "vec_id",
+        F.round(F.col("radius_fp") / 1000000000.0, 6).alias("radius_r"),
+    ).orderBy("step")
+
+
+def _a459_driver_exact(spark, ids, X):
+    """Driver replica of the 8 Gonzalez sweeps: the per-member "+"
+    distance chain replayed term-by-term in index order, HALF_UP via
+    the vector replica, argmax by exact (-min_dist, vec_id). Returns
+    None (→ the distributed sweep loop) for duplicate ids, a corpus
+    the engine path couldn't seed either (no vec 0 / fewer than 8
+    rows), or fp terms near the int64 edge."""
+    import numpy as np
+
+    from ..functions.exact import round0_half_up_vec
+    from ..operators.core import literal_frame
+
+    n, dim = X.shape
+    if n < 8 or len(np.unique(ids)) != len(ids):
+        return None
+    zero_pos = np.nonzero(ids == 0)[0]
+    if len(zero_pos) != 1:
+        return None
+    guard = float(2**62)
+
+    def d_fp(sv):
+        # first term IS the seed (the engine chain has no 0.0 seed)
+        d0 = X[:, 0] - sv[0]
+        acc = d0 * d0
+        for q in range(1, dim):
+            d = X[:, q] - sv[q]
+            acc = acc + d * d
+        return np.sqrt(acc) * 1000000000.0
+
+    chosen = [(1, int(ids[zero_pos[0]]), 0)]
+    taken = {int(ids[zero_pos[0]])}
+    mn = None
+    for j in range(2, 9):
+        # incremental min: only the newest member needs a fresh sweep
+        sv = X[np.nonzero(ids == chosen[-1][1])[0][0]]
+        df_ = d_fp(sv)
+        if np.abs(df_).max() >= guard:
+            return None
+        d_new = round0_half_up_vec(df_)
+        mn = d_new if mn is None else np.minimum(mn, d_new)
+        m = ~np.isin(ids, list(taken))
+        cand_ids, cand_mn = ids[m], mn[m]
+        order = np.lexsort((cand_ids, -cand_mn))
+        pick = order[0]
+        chosen.append((j, int(cand_ids[pick]), int(cand_mn[pick])))
+        taken.add(int(cand_ids[pick]))
+    out = literal_frame(
+        spark,
+        chosen,
         "step int, vec_id bigint, radius_fp bigint",
     )
     return out.select(

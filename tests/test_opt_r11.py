@@ -125,6 +125,22 @@ def test_collect_vector_panel_guards(spark):
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
                                     "/root/testdata/sf0.01"])
+def test_a459_driver_path_bitmatches_sweeps(spark, sf_dir, monkeypatch):
+    """The numpy Gonzalez replica returns row-for-row what the
+    distributed sweep loop returns (fallback forced by patching the
+    panel collector to decline)."""
+    import grouper_spark.operators.core as core
+    from grouper_spark.queries import load_all
+
+    registry = load_all()
+    fast = _collect_sorted(registry["a459_kcenter_seeding"].fn(spark, sf_dir))
+    monkeypatch.setattr(core, "collect_vector_panel", lambda *a, **k: None)
+    slow = _collect_sorted(registry["a459_kcenter_seeding"].fn(spark, sf_dir))
+    assert len(fast) == 8 and fast == slow
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
 def test_a440_driver_path_bitmatches_distributed(spark, sf_dir):
     """The collected-panel Weiszfeld replica returns row-for-row,
     bit-for-bit what the distributed six-pass loop returns."""
