@@ -46,12 +46,21 @@ def literal_frame(spark, rows: list[tuple], schema: str) -> DataFrame:
     try:
         import pandas as pd
 
-        names = [f.split()[0] for f in schema.split(",")]
+        # DDL string or StructType both resolve to field names (the
+        # StructType call sites — q71/q187 microbatches — previously
+        # fell through to the slow tuple path via AttributeError)
+        if hasattr(schema, "fieldNames"):
+            names = list(schema.fieldNames())
+        else:
+            names = [f.split()[0] for f in schema.split(",")]
         pdf = pd.DataFrame(
             [list(r) for r in rows], columns=names, dtype=object
         )
         return spark.createDataFrame(pdf, schema)
-    except Exception:
+    except (ImportError, ValueError, TypeError):
+        # pandas missing or the Arrow conversion rejected the values —
+        # identical rows via the tuple path; anything else is a real
+        # bug and should surface
         return spark.createDataFrame(rows, schema)
 
 

@@ -3422,11 +3422,15 @@ def a494_rich_club(spark, sf_dir):
     from .analytics import covis_graph
 
     _, edges = covis_graph(spark, sf_dir)
+    # deg is referenced three times (the n_rich aggregate + both sides
+    # of the per-edge degree attach); checkpoint so the union+groupBy
+    # runs once instead of once per reference
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("degree"))
+        .localCheckpoint(eager=False)
     )
     de = (
         edges.join(

@@ -152,9 +152,12 @@ def a208_siegel_repeated_medians(spark, sf_dir):
     return _a208_distributed(spark, daily)
 
 
-# driver-side panel bound for a208: 4000 days ≈ two 128 MB (n×n) numpy
-# matrices; the fixture calendar is ~2404 days at every sf, so the
-# fallback only guards a different fixture
+# driver-side panel bound for a208: 4000 days ≈ 128 MB per (n×n)
+# float64 matrix, and num/den/s plus the np.sort copy are live
+# simultaneously, so peak transient memory at the bound is ~4 matrices
+# ≈ 0.5 GB — comfortably inside the driver. The fixture calendar is
+# ~2404 days at every sf, so the fallback only guards a different
+# fixture
 _SIEGEL_MAX_PANEL = 4000
 
 

@@ -2191,7 +2191,26 @@ def _a440_distributed(spark, src):
     # an identical per-element double expression ⇒ bit-identical y.
     # Expressions are F.expr SQL strings (the a381 plan-construction
     # lesson: 6 × 65 py4j agg trees otherwise dominate the wall).
+    # The fixture embedding dim, same constant the _LSH_PLANES share.
+    # element_at past the end would return NULL (non-ANSI) and SUM
+    # would silently skip it, so fail LOUDLY instead: rows with any
+    # other width trip the assert below before an aggregate can
+    # swallow them. (Corpora ≤100k rows never reach this code — the
+    # driver replica handles them and itself declines ragged panels.)
     _dim = 64
+    e = e.select(
+        "label",
+        F.when(
+            F.size("v") == _dim, F.col("v")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("a440: expected 64-dim embedding, got "),
+                    F.size("v").cast("string"),
+                )
+            )
+        ).alias("v"),
+    )
     _m0_sums = [
         F.expr(
             f"CAST(SUM(CAST(ROUND(element_at(v, {p + 1})"

@@ -40,7 +40,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             print(f"{time.time() - t0:8.3f} {name}", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"   ERROR {name}: {type(e).__name__}", flush=True)
+            msg = str(e).split("\n", 1)[0][:200]
+            print(f"   ERROR {name}: {type(e).__name__}: {msg}", flush=True)
         spark.sparkContext.setJobDescription(None)
 
 
